@@ -1,0 +1,191 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]].
+  *
+  * Determinism contract (must hold on both engines — see
+  * [[graft.core.Exact]] and [[graft.bars.Bars]]):
+  *  - double aggregates go through exact DECIMAL sums;
+  *  - `round` on doubles is emulated as
+  *    `CAST(ROUND(CAST(x AS DECIMAL(28,10)), 2) AS DOUBLE)` which
+  *    matches Spark's HALF_UP-on-shortest-repr semantics;
+  *  - every query ORDER BYs a deterministic key, mirrored in Spark;
+  *  - no clock functions — anchors are literals.
+  */
+object OracleSql {
+
+  /** SQL twin of [[graft.bars.Bars.fromLineitem]] +
+    * [[graft.etl.Transform.transform]] + deterministic keep-first dedup
+    * ([[graft.etl.Merge.mergeSources]]). Keep in lockstep with the
+    * Scala definitions. */
+  val barsCte: String = """
+WITH bars AS (
+  SELECT
+    CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS row_id,
+    CAST(l_shipdate AS DATE) AS date,
+    'S' || CAST(l_suppkey % 25 AS VARCHAR) AS symbol,
+    CASE WHEN l_linestatus = 'O' THEN 'alpha_vantage' ELSE 'yahoo_finance' END AS data_source,
+    CASE WHEN l_orderkey % 97 = 0 THEN NULL
+         ELSE CAST(FLOOR(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) END AS open,
+    CASE WHEN l_orderkey % 97 = 0 THEN NULL
+         ELSE GREATEST(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)) AS DOUBLE),
+                       CAST(FLOOR(l_extendedprice) AS DOUBLE)) + 2.0 END AS high,
+    CASE WHEN l_orderkey % 97 = 0 THEN NULL
+         ELSE LEAST(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)) AS DOUBLE),
+                    CAST(FLOOR(l_extendedprice) AS DOUBLE)) - 1.0 END AS low,
+    CAST(FLOOR(l_extendedprice) AS DOUBLE) AS close,
+    CASE WHEN l_orderkey % 53 = 0 THEN NULL ELSE CAST(l_quantity AS BIGINT) END AS volume,
+    CAST(CAST(l_shipdate AS DATE) + CAST(l_suppkey % 3 AS INTEGER) AS TIMESTAMP) AS processed_at
+  FROM lineitem
+),
+tbars AS (
+  SELECT row_id, date, symbol, data_source, open, high, low, close,
+    COALESCE(volume, 0) AS volume, processed_at,
+    CAST(ROUND(CAST((close - open) / open * 100 AS DECIMAL(28,10)), 2) AS DOUBLE) AS daily_change_pct,
+    CAST(ROUND(CAST((high - low) / open * 100 AS DECIMAL(28,10)), 2) AS DOUBLE) AS daily_volatility
+  FROM bars
+),
+merged AS (
+  SELECT row_id, date, symbol, data_source, open, high, low, close, volume,
+         processed_at, daily_change_pct, daily_volatility
+  FROM (SELECT *, row_number() OVER
+          (PARTITION BY date, symbol, data_source ORDER BY row_id) AS __rn
+        FROM tbars)
+  WHERE __rn = 1
+)
+"""
+
+  private val mergedCols =
+    "row_id, date, symbol, data_source, open, high, low, close, volume, processed_at, daily_change_pct, daily_volatility"
+
+  val q01_transform_derive: String = barsCte +
+    s"SELECT $mergedCols FROM tbars ORDER BY row_id"
+
+  val q02_merge_dedup: String = barsCte +
+    s"SELECT $mergedCols FROM merged ORDER BY row_id"
+
+  val q03_daily_metrics: String = barsCte + """
+SELECT date, symbol,
+  min(close) AS close_price,
+  CAST(sum(CAST(daily_volatility AS DECIMAL(38,4))) AS DOUBLE)
+    / CAST(count(daily_volatility) AS DOUBLE) AS avg_volatility,
+  count(DISTINCT data_source) AS source_count
+FROM merged GROUP BY date, symbol ORDER BY date, symbol"""
+
+  val q04_moving_averages: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date)
+SELECT symbol, date, close_price,
+  avg(close_price) OVER (PARTITION BY symbol ORDER BY date
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma_5d,
+  avg(close_price) OVER (PARTITION BY symbol ORDER BY date
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ma_10d,
+  avg(close_price) OVER (PARTITION BY symbol ORDER BY date
+    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ma_20d,
+  avg(close_price) OVER (PARTITION BY symbol ORDER BY date
+    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS ma_50d
+FROM daily ORDER BY symbol, date"""
+
+  val q05_inconsistency: String = barsCte + """
+SELECT * FROM (
+  SELECT date, symbol,
+    min(close) AS min_close, max(close) AS max_close, avg(close) AS avg_close,
+    count(DISTINCT data_source) AS source_count,
+    (max(close) - min(close)) / min(close) * 100 AS price_diff_pct
+  FROM merged GROUP BY date, symbol)
+WHERE source_count > 1 AND price_diff_pct > 2.0
+ORDER BY date, symbol"""
+
+  val q06_quality_metrics: String = barsCte + """
+SELECT count(*) AS total_rows,
+  count(DISTINCT date) AS unique_dates,
+  count(DISTINCT symbol) AS unique_symbols,
+  count(DISTINCT data_source) AS unique_sources,
+  min(date) AS earliest_date, max(date) AS latest_date,
+  count(CASE WHEN open IS NULL THEN 1 END) AS null_open,
+  count(CASE WHEN high IS NULL THEN 1 END) AS null_high,
+  count(CASE WHEN low IS NULL THEN 1 END) AS null_low,
+  count(CASE WHEN volume IS NULL THEN 1 END) AS null_volume,
+  min(close) AS min_close, max(close) AS max_close, avg(close) AS avg_close
+FROM merged"""
+
+  val q07_ingestion_stats: String = barsCte + """
+SELECT CAST(processed_at AS DATE) AS ingestion_date,
+  count(*) AS rows_ingested,
+  count(DISTINCT symbol) AS unique_symbols,
+  count(DISTINCT data_source) AS unique_sources,
+  min(date) AS earliest_data_date, max(date) AS latest_data_date
+FROM merged GROUP BY CAST(processed_at AS DATE) ORDER BY ingestion_date"""
+
+  val q08_upsert: String = barsCte + s"""
+, target AS (SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'),
+staging AS (
+  SELECT row_id, date, symbol, data_source, open, high, low, close + 1.0 AS close,
+         volume, processed_at, daily_change_pct, daily_volatility
+  FROM merged WHERE date >= DATE '1998-06-01' AND date < DATE '1999-01-01')
+SELECT $mergedCols FROM (
+  SELECT * FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM staging s
+    WHERE s.date = t.date AND s.symbol = t.symbol AND s.data_source = t.data_source)
+  UNION ALL
+  SELECT * FROM staging)
+ORDER BY row_id, close"""
+
+  val q09_validate_rules: String = barsCte + """
+SELECT count(*) AS row_count,
+  count(CASE WHEN close < 0 THEN 1 END) AS negative_close,
+  count(CASE WHEN date > DATE '2000-01-01' THEN 1 END) AS future_dates,
+  count(CASE WHEN close > 10000 THEN 1 END) AS over_price_cap,
+  count(CASE WHEN volume > 1000000000 THEN 1 END) AS over_volume_cap,
+  count(CASE WHEN daily_volatility > 20.0 THEN 1 END) AS over_volatility_cap,
+  max(date) AS newest_date, min(date) AS oldest_date,
+  count(DISTINCT symbol) AS unique_symbols
+FROM merged"""
+
+  val q10_null_profile: String = barsCte + """
+SELECT
+  count(CASE WHEN open IS NULL THEN 1 END) AS null_open,
+  count(CASE WHEN high IS NULL THEN 1 END) AS null_high,
+  count(CASE WHEN low IS NULL THEN 1 END) AS null_low,
+  count(CASE WHEN close IS NULL THEN 1 END) AS null_close,
+  count(CASE WHEN volume IS NULL THEN 1 END) AS null_volume
+FROM bars"""
+
+  val q11_dup_count: String = barsCte + """
+SELECT COALESCE(sum(cnt - 1), 0) AS duplicate_rows FROM (
+  SELECT count(*) AS cnt FROM bars GROUP BY date, symbol, data_source)
+WHERE cnt > 1"""
+
+  val q12_coverage: String = barsCte + """
+SELECT symbol FROM (VALUES ('S0'),('S1'),('S2'),('S3'),('S4'),('SXX'),('SYY')) v(symbol)
+EXCEPT SELECT DISTINCT symbol FROM merged
+ORDER BY symbol"""
+
+  val q13_agg_pushdown: String = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+  def all: Map[String, String] = Map(
+    "q01_transform_derive" -> q01_transform_derive,
+    "q02_merge_dedup" -> q02_merge_dedup,
+    "q03_daily_metrics" -> q03_daily_metrics,
+    "q04_moving_averages" -> q04_moving_averages,
+    "q05_inconsistency" -> q05_inconsistency,
+    "q06_quality_metrics" -> q06_quality_metrics,
+    "q07_ingestion_stats" -> q07_ingestion_stats,
+    "q08_upsert" -> q08_upsert,
+    "q09_validate_rules" -> q09_validate_rules,
+    "q10_null_profile" -> q10_null_profile,
+    "q11_dup_count" -> q11_dup_count,
+    "q12_coverage" -> q12_coverage,
+    "q13_agg_pushdown" -> q13_agg_pushdown)
+}

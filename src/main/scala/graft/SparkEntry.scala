@@ -1,13 +1,150 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.StockAnalytics
+import graft.bars.Bars
+import graft.core.{Exact, Tables}
+import graft.etl.{Merge, Schemas, Transform, Upsert}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in [[OracleSql]].
+  *
+  * Every query is deterministic (no clock, exact decimal aggregation,
+  * explicit total orders) so the driver's hash compare is meaningful —
+  * see the contract notes in [[OracleSql]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Canonical bar pipeline over the harness data: lineitem → bars →
+    * transform (casts, null handling, derived metrics) → two-source
+    * split → union → deterministic keep-first dedup. This is the
+    * reference's DAG (§3.1) as one lazy plan. */
+  def mergedBars(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = transformedBars(spark, sfDir)
+    // Split by source and re-union: exercises A1's heterogeneous-source
+    // union on the same plan the reference runs (AV frame + Yahoo frame).
+    val av = t.filter(col("data_source") === "alpha_vantage")
+    val yh = t.filter(col("data_source") === "yahoo_finance")
+    Merge.mergeSources(Seq(av, yh), keys = Schemas.mergeKey,
+      priority = Seq(col("row_id")), sorted = false)
+  }
+
+  def transformedBars(spark: SparkSession, sfDir: String): DataFrame =
+    Transform.transform(Bars.bars(spark, sfDir), processedAt = col("processed_at"))
+
+  /** Flagship query on sf=0.001: full pipeline + the reference's
+    * moving-average analytic (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val merged = mergedBars(spark, "/root/testdata/sf0.001")
+    StockAnalytics.movingAverages(merged, pick = min(_))
+  }
+
+  private val minPick: Column => Column = min(_)
+  private val exactAvg4: Column => Column = Exact.exactAvg(_, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1-P9: normalization, casts, null handling, derived metrics.
+    "q01_transform_derive" -> ((s, dir) =>
+      transformedBars(s, dir).orderBy(col("row_id"))),
+
+    // A1/A2/O2: union + deterministic keep-first dedup.
+    "q02_merge_dedup" -> ((s, dir) =>
+      mergedBars(s, dir).orderBy(col("row_id"))),
+
+    // A3/K9: daily metrics view.
+    "q03_daily_metrics" -> ((s, dir) =>
+      StockAnalytics.dailyMetrics(mergedBars(s, dir), pick = minPick, avgF = exactAvg4)
+        .orderBy(col("date"), col("symbol"))),
+
+    // W2: pre-agg + trailing moving averages 5/10/20/50.
+    "q04_moving_averages" -> ((s, dir) =>
+      StockAnalytics.movingAverages(mergedBars(s, dir), pick = minPick)
+        .orderBy(col("symbol"), col("date"))),
+
+    // A4/J2: cross-source inconsistency (group + HAVING).
+    "q05_inconsistency" -> ((s, dir) =>
+      StockAnalytics.inconsistencies(mergedBars(s, dir), minPctDiff = 2.0)
+        .drop("source_details")
+        .select("date", "symbol", "min_close", "max_close", "avg_close",
+          "source_count", "price_diff_pct")
+        .orderBy(col("date"), col("symbol"))),
+
+    // A5: global data-quality metrics (single agg pass).
+    "q06_quality_metrics" -> ((s, dir) =>
+      StockAnalytics.qualityMetrics(mergedBars(s, dir)).drop("source_counts")),
+
+    // A6: ingestion stats by DATE(processed_at).
+    "q07_ingestion_stats" -> ((s, dir) =>
+      StockAnalytics.ingestionStats(mergedBars(s, dir))
+        .orderBy(col("ingestion_date"))),
+
+    // K7/J1: join-based MERGE upsert (anti-join + union).
+    "q08_upsert" -> ((s, dir) => {
+      val merged = mergedBars(s, dir)
+      val target = merged.filter(col("date") < lit("1999-01-01").cast("date"))
+      val staging = merged
+        .filter(col("date") >= lit("1998-06-01").cast("date") &&
+          col("date") < lit("1999-01-01").cast("date"))
+        .withColumn("close", col("close") + 1.0)
+        .select(merged.columns.map(col): _*)
+      Upsert.upsert(target, staging, Schemas.mergeKey)
+        .orderBy(col("row_id"), col("close"))
+    }),
+
+    // P10-P14: validator rule probes as one aggregation pass.
+    "q09_validate_rules" -> ((s, dir) =>
+      mergedBars(s, dir).agg(
+        count(lit(1)).as("row_count"),
+        count(when(col("close") < 0, 1)).as("negative_close"),
+        count(when(col("date") > lit("2000-01-01").cast("date"), 1)).as("future_dates"),
+        count(when(col("close") > 10000, 1)).as("over_price_cap"),
+        count(when(col("volume") > 1000000000L, 1)).as("over_volume_cap"),
+        count(when(col("daily_volatility") > 20.0, 1)).as("over_volatility_cap"),
+        max(col("date")).as("newest_date"),
+        min(col("date")).as("oldest_date"),
+        countDistinct(col("symbol")).as("unique_symbols"))),
+
+    // A8: per-column null profile (pre-transform, so volume nulls exist).
+    "q10_null_profile" -> ((s, dir) =>
+      Bars.bars(s, dir).agg(
+        count(when(col("open").isNull, 1)).as("null_open"),
+        count(when(col("high").isNull, 1)).as("null_high"),
+        count(when(col("low").isNull, 1)).as("null_low"),
+        count(when(col("close").isNull, 1)).as("null_close"),
+        count(when(col("volume").isNull, 1)).as("null_volume"))),
+
+    // A9: duplicate-key extra-row count.
+    "q11_dup_count" -> ((s, dir) =>
+      Bars.bars(s, dir)
+        .groupBy(col("date"), col("symbol"), col("data_source")).count()
+        .filter(col("count") > 1)
+        .agg(coalesce(sum(col("count") - 1), lit(0L)).as("duplicate_rows"))),
+
+    // J3: symbol-coverage set difference (required − actual).
+    "q12_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val required = Seq("S0", "S1", "S2", "S3", "S4", "SXX", "SYY")
+        .toDF("symbol")
+      required.except(mergedBars(s, dir).select("symbol").distinct())
+        .orderBy(col("symbol"))
+    }),
+
+    // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
+    "q13_agg_pushdown" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          Exact.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Exact.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          Exact.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          Exact.exactAvg(col("l_quantity"), 2).as("avg_qty"),
+          Exact.exactAvg(col("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,131 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytic query surface
+  * (reference `plugins/helpers/queries.py:22-163`) as five DataFrame
+  * transformations over the canonical bar table (SURVEY.md §2.5 A3–A6,
+  * §2.6 W1/W2, §2.4 J2). Each is a pure plan — partition pruning,
+  * pushdown and whole-stage codegen come from Catalyst.
+  *
+  * `pick` parameterizes the representative-value aggregate: the SQL
+  * reference uses ANY_VALUE (nondeterministic); oracle-checked runs
+  * pass `min` to stay deterministic.
+  */
+object StockAnalytics {
+
+  /** Daily metrics view (A3/K9, reference `queries.py:22-34`):
+    * per (date, symbol): representative close, avg volatility,
+    * source count. */
+  def dailyMetrics(bars: DataFrame, pick: Column => Column = any_value(_),
+      avgF: Column => Column = avg(_)): DataFrame =
+    bars.groupBy(col("date"), col("symbol"))
+      .agg(
+        pick(col("close")).as("close_price"),
+        avgF(col("daily_volatility")).as("avg_volatility"),
+        countDistinct(col("data_source")).as("source_count"))
+
+  /** Moving averages, SQL frame semantics (W2, reference
+    * `queries.py:76-115`): pre-aggregate multi-source rows to one bar
+    * per (symbol, date), then 5/10/20/50-row trailing averages.
+    * The pre-agg CTE is semantic, not a perf trick: without it the MA
+    * windows would mix rows from both sources.
+    * One shuffle for the group-by; the window reuses the same
+    * (symbol) partitioning — Catalyst elides the second exchange.
+    */
+  def movingAverages(bars: DataFrame, pick: Column => Column = any_value(_),
+      windows: Seq[Int] = Seq(5, 10, 20, 50)): DataFrame = {
+    val daily = bars.groupBy(col("symbol"), col("date"))
+      .agg(pick(col("close")).as("close_price"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    windows.foldLeft(daily) { (df, n) =>
+      df.withColumn(s"ma_${n}d",
+        avg(col("close_price")).over(w.rowsBetween(-(n - 1), Window.currentRow)))
+    }
+  }
+
+  /** Moving averages, pandas semantics (W1, reference
+    * `transformers.py:128-151`): NULL until a full window of rows
+    * exists (`rolling(n)` with default min_periods=n). */
+  def movingAveragesPandasStyle(bars: DataFrame, pick: Column => Column = any_value(_),
+      windows: Seq[Int] = Seq(5, 10, 20, 50)): DataFrame = {
+    val daily = bars.groupBy(col("symbol"), col("date"))
+      .agg(pick(col("close")).as("close_price"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    windows.foldLeft(daily) { (df, n) =>
+      df.withColumn(s"ma_${n}d",
+        when(row_number().over(w) >= n,
+          avg(col("close_price")).over(w.rowsBetween(-(n - 1), Window.currentRow))))
+    }
+  }
+
+  /** Cross-source inconsistency report (A4/J2, reference
+    * `queries.py:37-73`): per (date, symbol) with >1 source, price
+    * stats + divergence pct + per-source detail array, HAVING expressed
+    * as a post-agg filter. The detail array is sorted for determinism
+    * (the SQL's ARRAY_AGG has no ORDER BY — ours is strictly more
+    * defined). */
+  def inconsistencies(bars: DataFrame, minPctDiff: Double = 2.0): DataFrame =
+    bars.groupBy(col("date"), col("symbol"))
+      .agg(
+        min(col("close")).as("min_close"),
+        max(col("close")).as("max_close"),
+        avg(col("close")).as("avg_close"),
+        countDistinct(col("data_source")).as("source_count"),
+        array_sort(collect_list(struct(col("data_source"), col("close"))))
+          .as("source_details"))
+      .filter(col("source_count") > 1)
+      .withColumn("price_diff_pct",
+        (col("max_close") - col("min_close")) / col("min_close") * 100)
+      .filter(col("price_diff_pct") > minPctDiff)
+
+  /** Data-quality metrics (A5, reference `queries.py:118-147`): one
+    * global aggregation row — counts, distinct counts, null counts
+    * (COUNTIF ≡ count(when)), price stats, plus an ordered per-source
+    * count array (the ARRAY_AGG(STRUCT(...) ORDER BY) two-step). */
+  def qualityMetrics(bars: DataFrame): DataFrame = {
+    val perSource = bars.groupBy(col("data_source")).agg(count(lit(1)).as("cnt"))
+    val sourceArray = perSource
+      .agg(array_sort(collect_list(struct(col("data_source"), col("cnt"))))
+        .as("source_counts"))
+    val global = bars.agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("date")).as("unique_dates"),
+      countDistinct(col("symbol")).as("unique_symbols"),
+      countDistinct(col("data_source")).as("unique_sources"),
+      min(col("date")).as("earliest_date"),
+      max(col("date")).as("latest_date"),
+      count(when(col("open").isNull, 1)).as("null_open"),
+      count(when(col("high").isNull, 1)).as("null_high"),
+      count(when(col("low").isNull, 1)).as("null_low"),
+      count(when(col("volume").isNull, 1)).as("null_volume"),
+      min(col("close")).as("min_close"),
+      max(col("close")).as("max_close"),
+      avg(col("close")).as("avg_close"))
+    global.crossJoin(sourceArray)
+  }
+
+  /** Ingestion stats (A6, reference `queries.py:150-163`): per
+    * ingestion day (DATE(processed_at)): volumes, distinct symbols and
+    * sources, covered bar-date range. */
+  def ingestionStats(bars: DataFrame): DataFrame =
+    bars.groupBy(to_date(col("processed_at")).as("ingestion_date"))
+      .agg(
+        count(lit(1)).as("rows_ingested"),
+        countDistinct(col("symbol")).as("unique_symbols"),
+        countDistinct(col("data_source")).as("unique_sources"),
+        min(col("date")).as("earliest_data_date"),
+        max(col("date")).as("latest_data_date"))
+
+  /** Time-window filter helper (P15, reference `queries.py:46,83-84`):
+    * `date >= anchor - n days`, optional symbol IN list. `anchor`
+    * defaults to current_date; oracle runs pass a literal. */
+  def recentWindow(bars: DataFrame, days: Int,
+      anchor: Column = current_date(),
+      symbols: Seq[String] = Nil): DataFrame = {
+    val base = bars.filter(col("date") >= date_sub(anchor, days))
+    if (symbols.isEmpty) base else base.filter(col("symbol").isin(symbols: _*))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Validation result shape, mirroring the reference's
+  * `{passed, errors, warnings, metrics}` contract
+  * (reference `dags/utils/validators.py:75-80`,
+  * `plugins/custom_operators/data_quality.py:79-85`). */
+case class ValidationResult(
+    passed: Boolean,
+    errors: Seq[String],
+    warnings: Seq[String],
+    metrics: Map[String, Any]) {
+  def ++(other: ValidationResult): ValidationResult = ValidationResult(
+    passed && other.passed, errors ++ other.errors,
+    warnings ++ other.warnings, metrics ++ other.metrics)
+}
+
+/** Extension point mirroring the reference's `validation_callable`
+  * contract (`data_quality.py:24,40,79`). */
+trait Validator {
+  def validate(df: DataFrame): ValidationResult
+}
+
+/** Data-quality gates (SURVEY.md §2.3 P10–P17, §3.2; reference
+  * `dags/utils/validators.py:64-459`). Design rule: each validator is
+  * ONE `df.agg(...)` pass — every probe (null counts, min/max,
+  * thresholds, dup counts) is an aggregate expression in a single job,
+  * the distributed analog of the reference's one-pass-over-pandas.
+  * The reference's serial per-symbol loops become shuffle aggregations.
+  */
+object Validators {
+
+  private def nullCount(c: String): Column =
+    count(when(col(c).isNull, 1)).as(s"null_$c")
+
+  /** Raw-data validation (reference `validators.py:64-162`): empty
+    * check, required columns, negative close, future dates, null
+    * profile, dup count, age warning — one aggregation pass. */
+  def validateRaw(
+      df: DataFrame,
+      requiredColumns: Seq[String] =
+        Seq("date", "symbol", "open", "high", "low", "close", "volume", "data_source"),
+      today: Column = current_date()): ValidationResult = {
+    val missing = requiredColumns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      return ValidationResult(passed = false,
+        errors = Seq(s"missing required columns: ${missing.mkString(",")}"),
+        warnings = Nil, metrics = Map("missing_columns" -> missing))
+
+    val dateCol = to_date(col("date"))
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("row_count"),
+      countDistinct(col("symbol")).as("unique_symbols"),
+      min(col("close")).as("min_close"),
+      max(col("close")).as("max_close"),
+      count(when(col("close") < 0, 1)).as("negative_close"),
+      count(when(dateCol > today, 1)).as("future_dates"),
+      min(dateCol).as("oldest_date"),
+      max(dateCol).as("newest_date")) ++
+      requiredColumns.map(nullCount)
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    if (r.getLong(r.fieldIndex("row_count")) == 0)
+      return ValidationResult(passed = false, errors = Seq("empty input"),
+        warnings = Nil, metrics = Map("row_count" -> 0L))
+
+    val errors = Seq(
+      (r.getLong(r.fieldIndex("negative_close")) > 0) ->
+        s"${r.getLong(r.fieldIndex("negative_close"))} rows with negative close",
+      (r.getLong(r.fieldIndex("future_dates")) > 0) ->
+        s"${r.getLong(r.fieldIndex("future_dates"))} rows with future dates"
+    ).collect { case (true, msg) => msg }
+
+    val nullClose = r.getLong(r.fieldIndex("null_close"))
+    val allErrors = errors ++
+      (if (nullClose > 0) Seq(s"$nullClose null close values") else Nil)
+
+    ValidationResult(
+      passed = allErrors.isEmpty,
+      errors = allErrors,
+      warnings = Nil,
+      metrics = r.schema.fieldNames.map(f => f -> r.get(r.fieldIndex(f))).toMap)
+  }
+
+  /** Transformed-data validation (reference `validators.py:165-251`):
+    * raw checks plus threshold warnings (close>10000, volume>1e9,
+    * volatility>20) and per-source counts. */
+  def validateTransformed(
+      df: DataFrame,
+      today: Column = current_date(),
+      priceCap: Double = 10000.0,
+      volumeCap: Double = 1e9,
+      volatilityCap: Double = 20.0): ValidationResult = {
+    val base = validateRaw(df,
+      requiredColumns = Seq("date", "symbol", "open", "high", "low", "close",
+        "volume", "data_source", "processed_at", "daily_change_pct", "daily_volatility"),
+      today = today)
+    if (!base.passed) return base
+
+    val r = df.agg(
+      count(when(col("close") > priceCap, 1)).as("over_price_cap"),
+      count(when(col("volume") > volumeCap, 1)).as("over_volume_cap"),
+      count(when(col("daily_volatility") > volatilityCap, 1)).as("over_volatility_cap"))
+      .collect()(0)
+
+    val warnings = Seq(
+      (r.getLong(0) > 0) -> s"${r.getLong(0)} rows with close > $priceCap",
+      (r.getLong(1) > 0) -> s"${r.getLong(1)} rows with volume > $volumeCap",
+      (r.getLong(2) > 0) -> s"${r.getLong(2)} rows with volatility > $volatilityCap"
+    ).collect { case (true, msg) => msg }
+
+    base ++ ValidationResult(passed = true, Nil, warnings,
+      Map("over_price_cap" -> r.getLong(0), "over_volume_cap" -> r.getLong(1),
+        "over_volatility_cap" -> r.getLong(2)))
+  }
+
+  /** Duplicate-key count (reference `validators.py:153,227`):
+    * total extra rows beyond the first per key. */
+  def duplicateCount(df: DataFrame, keys: Seq[String]): Long = {
+    val r = df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum(col("count") - 1), lit(0L)))
+      .collect()(0)
+    r.getLong(0)
+  }
+
+  /** Freshness gate (reference `validate_data_freshness`,
+    * `validators.py:254-309`): newest date must be within
+    * `maxAgeDays` of `today`. The batch analog of a watermark. */
+  def validateFreshness(
+      df: DataFrame, dateCol: String = "date",
+      maxAgeDays: Int = 1, today: Column = current_date()): ValidationResult = {
+    val r = df.agg(
+      max(col(dateCol)).as("newest"),
+      min(col(dateCol)).as("oldest"),
+      max(when(col(dateCol) >= date_sub(today, maxAgeDays), 1).otherwise(0)).as("fresh"))
+      .collect()(0)
+    val fresh = !r.isNullAt(2) && r.getInt(2) == 1
+    ValidationResult(
+      passed = fresh,
+      errors = if (fresh) Nil else Seq(s"stale data: newest=${r.get(0)} older than $maxAgeDays days"),
+      warnings = Nil,
+      metrics = Map("newest_date" -> r.get(0), "oldest_date" -> r.get(1)))
+  }
+
+  /** Symbol-coverage gate (reference `validate_symbol_coverage`,
+    * `validators.py:312-365`): required − actual = missing,
+    * actual − required = extra. Distinct symbol sets are tiny, so the
+    * set diff collects then compares driver-side. */
+  def validateCoverage(df: DataFrame, required: Seq[String],
+      symbolCol: String = "symbol"): ValidationResult = {
+    val actual = df.select(col(symbolCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = required.toSet -- actual
+    val extra = actual -- required.toSet
+    ValidationResult(
+      passed = missing.isEmpty,
+      errors = if (missing.isEmpty) Nil else Seq(s"missing symbols: ${missing.toSeq.sorted.mkString(",")}"),
+      warnings = if (extra.isEmpty) Nil else Seq(s"unexpected symbols: ${extra.toSeq.sorted.mkString(",")}"),
+      metrics = Map("missing" -> missing.toSeq.sorted, "extra" -> extra.toSeq.sorted))
+  }
+
+  /** Cross-source consistency (J2, reference `validators.py:233-244`):
+    * the reference's O(symbols×dates) nested loop re-expressed as one
+    * shuffle aggregation — groups with >1 source whose close values
+    * diverge more than `maxPctDiff`. */
+  def crossSourceInconsistencies(df: DataFrame, maxPctDiff: Double = 5.0): DataFrame = {
+    df.groupBy(col("date"), col("symbol"))
+      .agg(
+        min(col("close")).as("min_close"),
+        max(col("close")).as("max_close"),
+        countDistinct(col("data_source")).as("n_sources"))
+      .filter(col("n_sources") > 1)
+      .withColumn("pct_diff", (col("max_close") - col("min_close")) / col("min_close") * 100)
+      .filter(col("pct_diff") > maxPctDiff)
+  }
+
+  /** Schema-compatibility probe (reference
+    * `validate_bigquery_schema_compatibility`, `validators.py:410-459`):
+    * counts of values that fail to coerce to the declared type —
+    * `cast(c as t) IS NULL AND c IS NOT NULL` per column, one pass. */
+  def castFailureCounts(df: DataFrame, declared: Map[String, String]): Map[String, Long] = {
+    val probes = declared.toSeq.map { case (c, t) =>
+      count(when(col(c).cast(t).isNull && col(c).isNotNull, 1)).as(c)
+    }
+    val r = df.agg(probes.head, probes.tail: _*).collect()(0)
+    declared.keys.map(c => c -> r.getLong(r.fieldIndex(c))).toMap
+  }
+}
