@@ -90,6 +90,8 @@ SELECT * FROM (
   SELECT date, symbol,
     min(close) AS min_close, max(close) AS max_close, avg(close) AS avg_close,
     count(DISTINCT data_source) AS source_count,
+    array_agg(struct_pack(data_source := data_source, close := close)
+              ORDER BY data_source, close) AS source_details,
     (max(close) - min(close)) / min(close) * 100 AS price_diff_pct
   FROM merged GROUP BY date, symbol)
 WHERE source_count > 1 AND price_diff_pct > 2.0
@@ -105,7 +107,11 @@ SELECT count(*) AS total_rows,
   count(CASE WHEN high IS NULL THEN 1 END) AS null_high,
   count(CASE WHEN low IS NULL THEN 1 END) AS null_low,
   count(CASE WHEN volume IS NULL THEN 1 END) AS null_volume,
-  min(close) AS min_close, max(close) AS max_close, avg(close) AS avg_close
+  min(close) AS min_close, max(close) AS max_close, avg(close) AS avg_close,
+  (SELECT array_agg(struct_pack(data_source := data_source, cnt := cnt)
+                    ORDER BY data_source, cnt)
+   FROM (SELECT data_source, count(*) AS cnt FROM merged GROUP BY data_source))
+    AS source_counts
 FROM merged"""
 
   val q07_ingestion_stats: String = barsCte + """
@@ -151,7 +157,7 @@ SELECT
 FROM bars"""
 
   val q11_dup_count: String = barsCte + """
-SELECT COALESCE(sum(cnt - 1), 0) AS duplicate_rows FROM (
+SELECT CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT) AS duplicate_rows FROM (
   SELECT count(*) AS cnt FROM bars GROUP BY date, symbol, data_source)
 WHERE cnt > 1"""
 

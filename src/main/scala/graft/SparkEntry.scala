@@ -63,17 +63,16 @@ object SparkEntry {
       StockAnalytics.movingAverages(mergedBars(s, dir), pick = minPick)
         .orderBy(col("symbol"), col("date"))),
 
-    // A4/J2: cross-source inconsistency (group + HAVING).
+    // A4/J2: cross-source inconsistency (group + HAVING), including the
+    // ARRAY_AGG(STRUCT) detail column (sorted for determinism).
     "q05_inconsistency" -> ((s, dir) =>
       StockAnalytics.inconsistencies(mergedBars(s, dir), minPctDiff = 2.0)
-        .drop("source_details")
-        .select("date", "symbol", "min_close", "max_close", "avg_close",
-          "source_count", "price_diff_pct")
         .orderBy(col("date"), col("symbol"))),
 
-    // A5: global data-quality metrics (single agg pass).
+    // A5: global data-quality metrics (single agg pass), including the
+    // ordered per-source count array.
     "q06_quality_metrics" -> ((s, dir) =>
-      StockAnalytics.qualityMetrics(mergedBars(s, dir)).drop("source_counts")),
+      StockAnalytics.qualityMetrics(mergedBars(s, dir))),
 
     // A6: ingestion stats by DATE(processed_at).
     "q07_ingestion_stats" -> ((s, dir) =>

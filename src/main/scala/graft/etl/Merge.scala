@@ -21,7 +21,10 @@ object Merge {
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Deterministic keep-first dedup (A2): one row per `keys`, choosing
-    * by `priority` (e.g. source order, then a unique row id). */
+    * by `priority` (e.g. source order, then a unique row id).
+    * `priority` must be a total order within each key group — include a
+    * unique tiebreaker column (row id), or the survivor is
+    * partition-order-dependent and the determinism contract is void. */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String], priority: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(priority: _*)
     df.withColumn("__rn", row_number().over(w))
@@ -42,7 +45,7 @@ object Merge {
   def mergeSources(
       dfs: Seq[DataFrame],
       keys: Seq[String] = Schemas.mergeKey,
-      priority: Seq[Column] = Seq(col("data_source")),
+      priority: Seq[Column],
       sorted: Boolean = true): DataFrame = {
     val deduped = dedupKeepFirst(unionSources(dfs), keys, priority)
     if (sorted) deduped.orderBy(keys.map(col): _*) else deduped

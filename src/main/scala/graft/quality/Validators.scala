@@ -35,85 +35,100 @@ object Validators {
   private def nullCount(c: String): Column =
     count(when(col(c).isNull, 1)).as(s"null_$c")
 
+  /** Shared single-pass core: run the base probes plus any
+    * caller-supplied extra aggregate probes in ONE `df.agg`, and build
+    * the base error list. Returns (row, result-so-far) so callers can
+    * layer rule-specific warnings without a second Spark job. */
+  private def probe(
+      df: DataFrame,
+      requiredColumns: Seq[String],
+      today: Column,
+      extraAggs: Seq[Column]): Either[ValidationResult, (Row, ValidationResult)] = {
+    val missing = requiredColumns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      return Left(ValidationResult(passed = false,
+        errors = Seq(s"missing required columns: ${missing.mkString(",")}"),
+        warnings = Nil, metrics = Map("missing_columns" -> missing)))
+
+    // Build probes only for columns the caller actually requires — a
+    // column list without `close`/`symbol`/`date` is legitimate and must
+    // degrade to fewer probes, not an unresolved-column error.
+    val has = requiredColumns.toSet
+    val dateCol = to_date(col("date"))
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("row_count")) ++
+      (if (has("symbol")) Seq(countDistinct(col("symbol")).as("unique_symbols")) else Nil) ++
+      (if (has("close")) Seq(
+        min(col("close")).as("min_close"),
+        max(col("close")).as("max_close"),
+        count(when(col("close") < 0, 1)).as("negative_close")) else Nil) ++
+      (if (has("date")) Seq(
+        count(when(dateCol > today, 1)).as("future_dates"),
+        min(dateCol).as("oldest_date"),
+        max(dateCol).as("newest_date")) else Nil) ++
+      requiredColumns.map(nullCount) ++ extraAggs
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    if (r.getLong(r.fieldIndex("row_count")) == 0)
+      return Left(ValidationResult(passed = false, errors = Seq("empty input"),
+        warnings = Nil, metrics = Map("row_count" -> 0L)))
+
+    def longOr0(f: String): Long =
+      if (r.schema.fieldNames.contains(f)) r.getLong(r.fieldIndex(f)) else 0L
+    val errors = Seq(
+      (longOr0("negative_close") > 0) ->
+        s"${longOr0("negative_close")} rows with negative close",
+      (longOr0("future_dates") > 0) ->
+        s"${longOr0("future_dates")} rows with future dates"
+    ).collect { case (true, msg) => msg }
+
+    val nullClose = longOr0("null_close")
+    val allErrors = errors ++
+      (if (nullClose > 0) Seq(s"$nullClose null close values") else Nil)
+
+    Right((r, ValidationResult(
+      passed = allErrors.isEmpty,
+      errors = allErrors,
+      warnings = Nil,
+      metrics = r.schema.fieldNames.map(f => f -> r.get(r.fieldIndex(f))).toMap)))
+  }
+
   /** Raw-data validation (reference `validators.py:64-162`): empty
     * check, required columns, negative close, future dates, null
-    * profile, dup count, age warning — one aggregation pass. */
+    * profile — one aggregation pass. */
   def validateRaw(
       df: DataFrame,
       requiredColumns: Seq[String] =
         Seq("date", "symbol", "open", "high", "low", "close", "volume", "data_source"),
-      today: Column = current_date()): ValidationResult = {
-    val missing = requiredColumns.filterNot(df.columns.contains)
-    if (missing.nonEmpty)
-      return ValidationResult(passed = false,
-        errors = Seq(s"missing required columns: ${missing.mkString(",")}"),
-        warnings = Nil, metrics = Map("missing_columns" -> missing))
-
-    val dateCol = to_date(col("date"))
-    val aggs: Seq[Column] = Seq(
-      count(lit(1)).as("row_count"),
-      countDistinct(col("symbol")).as("unique_symbols"),
-      min(col("close")).as("min_close"),
-      max(col("close")).as("max_close"),
-      count(when(col("close") < 0, 1)).as("negative_close"),
-      count(when(dateCol > today, 1)).as("future_dates"),
-      min(dateCol).as("oldest_date"),
-      max(dateCol).as("newest_date")) ++
-      requiredColumns.map(nullCount)
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-
-    if (r.getLong(r.fieldIndex("row_count")) == 0)
-      return ValidationResult(passed = false, errors = Seq("empty input"),
-        warnings = Nil, metrics = Map("row_count" -> 0L))
-
-    val errors = Seq(
-      (r.getLong(r.fieldIndex("negative_close")) > 0) ->
-        s"${r.getLong(r.fieldIndex("negative_close"))} rows with negative close",
-      (r.getLong(r.fieldIndex("future_dates")) > 0) ->
-        s"${r.getLong(r.fieldIndex("future_dates"))} rows with future dates"
-    ).collect { case (true, msg) => msg }
-
-    val nullClose = r.getLong(r.fieldIndex("null_close"))
-    val allErrors = errors ++
-      (if (nullClose > 0) Seq(s"$nullClose null close values") else Nil)
-
-    ValidationResult(
-      passed = allErrors.isEmpty,
-      errors = allErrors,
-      warnings = Nil,
-      metrics = r.schema.fieldNames.map(f => f -> r.get(r.fieldIndex(f))).toMap)
-  }
+      today: Column = current_date()): ValidationResult =
+    probe(df, requiredColumns, today, Nil).fold(identity, _._2)
 
   /** Transformed-data validation (reference `validators.py:165-251`):
-    * raw checks plus threshold warnings (close>10000, volume>1e9,
-    * volatility>20) and per-source counts. */
+    * the raw checks plus threshold warnings (close>10000, volume>1e9,
+    * volatility>20) — still ONE aggregation pass: the threshold probes
+    * ride in the same agg as the base probes. */
   def validateTransformed(
       df: DataFrame,
       today: Column = current_date(),
       priceCap: Double = 10000.0,
       volumeCap: Double = 1e9,
       volatilityCap: Double = 20.0): ValidationResult = {
-    val base = validateRaw(df,
-      requiredColumns = Seq("date", "symbol", "open", "high", "low", "close",
-        "volume", "data_source", "processed_at", "daily_change_pct", "daily_volatility"),
-      today = today)
-    if (!base.passed) return base
-
-    val r = df.agg(
+    val thresholds = Seq(
       count(when(col("close") > priceCap, 1)).as("over_price_cap"),
       count(when(col("volume") > volumeCap, 1)).as("over_volume_cap"),
       count(when(col("daily_volatility") > volatilityCap, 1)).as("over_volatility_cap"))
-      .collect()(0)
-
-    val warnings = Seq(
-      (r.getLong(0) > 0) -> s"${r.getLong(0)} rows with close > $priceCap",
-      (r.getLong(1) > 0) -> s"${r.getLong(1)} rows with volume > $volumeCap",
-      (r.getLong(2) > 0) -> s"${r.getLong(2)} rows with volatility > $volatilityCap"
-    ).collect { case (true, msg) => msg }
-
-    base ++ ValidationResult(passed = true, Nil, warnings,
-      Map("over_price_cap" -> r.getLong(0), "over_volume_cap" -> r.getLong(1),
-        "over_volatility_cap" -> r.getLong(2)))
+    probe(df,
+      requiredColumns = Seq("date", "symbol", "open", "high", "low", "close",
+        "volume", "data_source", "processed_at", "daily_change_pct", "daily_volatility"),
+      today = today, extraAggs = thresholds).fold(identity, { case (r, base) =>
+      def n(f: String): Long = r.getLong(r.fieldIndex(f))
+      val warnings = Seq(
+        (n("over_price_cap") > 0) -> s"${n("over_price_cap")} rows with close > $priceCap",
+        (n("over_volume_cap") > 0) -> s"${n("over_volume_cap")} rows with volume > $volumeCap",
+        (n("over_volatility_cap") > 0) ->
+          s"${n("over_volatility_cap")} rows with volatility > $volatilityCap"
+      ).collect { case (true, msg) => msg }
+      base.copy(warnings = base.warnings ++ warnings)
+    })
   }
 
   /** Duplicate-key count (reference `validators.py:153,227`):
