@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
 object Transform {
 
   /** daily_change_pct = round((close-open)/open*100, 2)
-    * (reference `transformers.py:62`). Div-by-zero on open=0 yields
-    * Infinity/NaN exactly like pandas doubles. */
+    * (reference `transformers.py:62`). Declared divergence: open=0
+    * yields NULL (Spark non-ANSI division), not pandas' inf — NULL
+    * degrades gracefully in downstream aggregates, inf poisons them.
+    * Pinned by TransformSpec. */
   def dailyChangePct(open: Column, close: Column): Column =
     round((close - open) / open * 100, 2)
 

@@ -195,10 +195,12 @@ object Validators {
   /** Schema-compatibility probe (reference
     * `validate_bigquery_schema_compatibility`, `validators.py:410-459`):
     * counts of values that fail to coerce to the declared type —
-    * `cast(c as t) IS NULL AND c IS NOT NULL` per column, one pass. */
+    * `try_cast(c as t) IS NULL AND c IS NOT NULL` per column, one pass.
+    * try_cast (not cast) so the probe returns counts instead of
+    * throwing under ANSI evaluation mode. */
   def castFailureCounts(df: DataFrame, declared: Map[String, String]): Map[String, Long] = {
     val probes = declared.toSeq.map { case (c, t) =>
-      count(when(col(c).cast(t).isNull && col(c).isNotNull, 1)).as(c)
+      count(when(col(c).try_cast(t).isNull && col(c).isNotNull, 1)).as(c)
     }
     val r = df.agg(probes.head, probes.tail: _*).collect()(0)
     declared.keys.map(c => c -> r.getLong(r.fieldIndex(c))).toMap

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** One shared local session for the whole test run: Spark session
+  * startup costs seconds, so suites must not each build their own. */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite with Matchers {
+  lazy val spark: SparkSession = SparkSpec.spark
+
+  def df(schema: StructType, rows: Row*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))), schema)
+
+  /** Order-insensitive frame compare on fully-collected rows. */
+  def assertSameRows(actual: DataFrame, expected: DataFrame): Unit = {
+    actual.columns.sorted shouldBe expected.columns.sorted
+    val cols = actual.columns.sorted.toIndexedSeq
+    def norm(d: DataFrame) =
+      d.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    norm(actual) shouldBe norm(expected)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StockAnalyticsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("date", DateType),
+    StructField("symbol", StringType),
+    StructField("close", DoubleType),
+    StructField("daily_volatility", DoubleType),
+    StructField("data_source", StringType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("volume", LongType),
+    StructField("processed_at", TimestampType)))
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def bar(date: String, sym: String, close: Double, vol: Double = 1.0,
+      src: String = "av", processed: String = "2024-01-05 00:00:00") =
+    Row(d(date), sym, close, vol, src, close, close + 1, close - 1, 10L, ts(processed))
+
+  test("dailyMetrics groups per (date,symbol) with source count (A3)") {
+    val out = StockAnalytics.dailyMetrics(
+      df(schema, bar("2024-01-01", "A", 10.0), bar("2024-01-01", "A", 12.0, src = "yh"),
+        bar("2024-01-02", "A", 11.0)),
+      pick = min(_)).orderBy("date")
+    val rows = out.collect()
+    rows should have length 2
+    rows(0).getAs[Double]("close_price") shouldBe 10.0
+    rows(0).getAs[Long]("source_count") shouldBe 2L
+  }
+
+  test("movingAverages: SQL frame semantics average available rows (W2)") {
+    val out = StockAnalytics.movingAverages(
+      df(schema, bar("2024-01-01", "A", 10.0), bar("2024-01-02", "A", 20.0),
+        bar("2024-01-03", "A", 30.0)),
+      pick = min(_), windows = Seq(2)).orderBy("date").collect()
+    out.map(_.getAs[Double]("ma_2d")).toSeq shouldBe Seq(10.0, 15.0, 25.0)
+  }
+
+  test("movingAveragesPandasStyle NULLs until a full window exists (W1)") {
+    val out = StockAnalytics.movingAveragesPandasStyle(
+      df(schema, bar("2024-01-01", "A", 10.0), bar("2024-01-02", "A", 20.0),
+        bar("2024-01-03", "A", 30.0)),
+      pick = min(_), windows = Seq(2)).orderBy("date").collect()
+    out(0).isNullAt(out(0).fieldIndex("ma_2d")) shouldBe true
+    out(1).getAs[Double]("ma_2d") shouldBe 15.0
+    out(2).getAs[Double]("ma_2d") shouldBe 25.0
+  }
+
+  test("moving average pre-agg collapses multi-source rows first (W2 CTE semantics)") {
+    val out = StockAnalytics.movingAverages(
+      df(schema, bar("2024-01-01", "A", 10.0), bar("2024-01-01", "A", 99.0, src = "yh")),
+      pick = min(_), windows = Seq(5)).collect()
+    out should have length 1 // one row per (symbol, date), not per source
+    out(0).getAs[Double]("ma_5d") shouldBe 10.0
+  }
+
+  test("inconsistencies applies HAVING semantics and sorted details (A4/J2)") {
+    val out = StockAnalytics.inconsistencies(
+      df(schema,
+        bar("2024-01-01", "A", 100.0), bar("2024-01-01", "A", 110.0, src = "yh"), // 10% > 2%
+        bar("2024-01-02", "B", 100.0), bar("2024-01-02", "B", 100.5, src = "yh"), // 0.5%
+        bar("2024-01-03", "C", 50.0)), // single source
+      minPctDiff = 2.0).collect()
+    out should have length 1
+    out(0).getAs[String]("symbol") shouldBe "A"
+    val details = out(0).getSeq[Row](out(0).fieldIndex("source_details"))
+    details.map(_.getAs[String]("data_source")) shouldBe Seq("av", "yh")
+  }
+
+  test("qualityMetrics emits one global row with ordered source counts (A5)") {
+    val out = StockAnalytics.qualityMetrics(
+      df(schema, bar("2024-01-01", "A", 1.0), bar("2024-01-02", "B", 2.0, src = "yh"),
+        bar("2024-01-03", "C", 3.0, src = "yh"))).collect()
+    out should have length 1
+    out(0).getAs[Long]("total_rows") shouldBe 3L
+    out(0).getAs[Long]("unique_symbols") shouldBe 3L
+    val counts = out(0).getSeq[Row](out(0).fieldIndex("source_counts"))
+    counts.map(r => (r.getString(0), r.getLong(1))) shouldBe Seq(("av", 1L), ("yh", 2L))
+  }
+
+  test("ingestionStats groups by DATE(processed_at) (A6)") {
+    val out = StockAnalytics.ingestionStats(
+      df(schema, bar("2024-01-01", "A", 1.0, processed = "2024-01-05 10:00:00"),
+        bar("2024-01-02", "A", 2.0, processed = "2024-01-05 23:00:00"),
+        bar("2024-01-03", "A", 3.0, processed = "2024-01-06 00:00:00")))
+      .orderBy("ingestion_date").collect()
+    out should have length 2
+    out(0).getAs[Long]("rows_ingested") shouldBe 2L
+    out(0).getAs[java.sql.Date]("earliest_data_date").toString shouldBe "2024-01-01"
+  }
+
+  test("recentWindow filters by lookback and symbol list (P15)") {
+    val frame = df(schema, bar("2024-01-01", "A", 1.0), bar("2024-01-09", "A", 2.0),
+      bar("2024-01-09", "B", 3.0))
+    val out = StockAnalytics.recentWindow(frame, days = 3,
+      anchor = lit("2024-01-10").cast("date"), symbols = Seq("A"))
+    out.collect().map(_.getAs[Double]("close")).toSeq shouldBe Seq(2.0)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class UpsertSpec extends SparkSpec {
+
+  private def frame(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "date", "v").withColumn("date", col("date").cast("date"))
+  }
+
+  test("upsert updates matched keys and inserts unmatched (K7/J1)") {
+    val target = frame((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+    val staging = frame((2L, "2024-01-02", 99.0), (3L, "2024-01-03", 30.0))
+    val out = Upsert.upsert(target, staging, Seq("id"))
+    out.count() shouldBe 3
+    out.filter(col("id") === 2).collect()(0).getAs[Double]("v") shouldBe 99.0
+    out.filter(col("id") === 3).count() shouldBe 1
+  }
+
+  test("upsert is idempotent: applying the same staging twice") {
+    val target = frame((1L, "2024-01-01", 10.0))
+    val staging = frame((1L, "2024-01-01", 50.0), (2L, "2024-01-02", 20.0))
+    val once = Upsert.upsert(target, staging, Seq("id"))
+    val twice = Upsert.upsert(once, staging, Seq("id"))
+    assertSameRows(twice, once)
+  }
+
+  test("affectedRows splits matched vs inserted like num_dml_affected_rows") {
+    val target = frame((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+    val staging = frame((2L, "2024-01-02", 99.0), (3L, "2024-01-03", 30.0))
+    Upsert.affectedRows(target, staging, Seq("id")) shouldBe ((1L, 1L))
+  }
+
+  test("assertUniqueKeys rejects duplicate staging keys (MERGE contract)") {
+    val staging = frame((1L, "2024-01-01", 1.0), (1L, "2024-01-01", 2.0))
+    an[IllegalArgumentException] should be thrownBy
+      Upsert.assertUniqueKeys(staging, Seq("id"))
+    Upsert.assertUniqueKeys(frame((1L, "2024-01-01", 1.0)), Seq("id"))
+  }
+
+  test("upsertPartitioned rewrites only touched partitions and is idempotent (K5 scale path)") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val tbl = s"$dir/tbl"
+    frame((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0), (3L, "2024-01-03", 30.0))
+      .write.partitionBy("date").parquet(tbl)
+    val untouchedFiles = new java.io.File(s"$tbl/date=2024-01-01").listFiles().map(_.getName).toSet
+
+    val staging = frame((2L, "2024-01-02", 99.0), (4L, "2024-01-02", 40.0))
+    Upsert.upsertPartitioned(spark, tbl, staging, Seq("id"), "date")
+
+    val after = spark.read.parquet(tbl)
+    after.count() shouldBe 4
+    after.filter(col("id") === 2).collect()(0).getAs[Double]("v") shouldBe 99.0
+    // untouched partition's files were not rewritten
+    new java.io.File(s"$tbl/date=2024-01-01").listFiles().map(_.getName).toSet shouldBe untouchedFiles
+
+    Upsert.upsertPartitioned(spark, tbl, staging, Seq("id"), "date")
+    spark.read.parquet(tbl).count() shouldBe 4
+    new java.io.File(s"$tbl.__upsert_tmp").exists() shouldBe false
+  }
+
+  test("upsertPartitioned rejects a target not partitioned by the declared column") {
+    val dir = Files.createTempDirectory("graft_upsert_flat").toString
+    frame((1L, "2024-01-01", 1.0)).write.parquet(s"$dir/flat")
+    an[IllegalArgumentException] should be thrownBy
+      Upsert.upsertPartitioned(spark, s"$dir/flat",
+        frame((1L, "2024-01-01", 2.0)), Seq("id"), "date")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.quality
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ValidatorsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("date", StringType),
+    StructField("symbol", StringType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume", LongType),
+    StructField("data_source", StringType)))
+
+  private val today = lit("2024-06-01").cast("date")
+
+  private def good(rows: Row*): DataFrame = df(schema,
+    (rows :+ Row("2024-05-01", "A", 1.0, 2.0, 0.5, 1.5, 10L, "av")): _*)
+
+  test("clean frame passes validateRaw") {
+    val r = Validators.validateRaw(good(), today = today)
+    r.passed shouldBe true
+    r.errors shouldBe empty
+    r.metrics("row_count") shouldBe 1L
+  }
+
+  test("negative close and future dates are errors (P10/P11)") {
+    val r = Validators.validateRaw(
+      good(Row("2024-05-02", "A", 1.0, 2.0, 0.5, -3.0, 10L, "av"),
+        Row("2025-01-01", "A", 1.0, 2.0, 0.5, 1.0, 10L, "av")),
+      today = today)
+    r.passed shouldBe false
+    r.errors.exists(_.contains("negative close")) shouldBe true
+    r.errors.exists(_.contains("future dates")) shouldBe true
+  }
+
+  test("empty input and missing columns fail fast (P16/P17)") {
+    Validators.validateRaw(df(schema), today = today).errors shouldBe Seq("empty input")
+    val r = Validators.validateRaw(good().drop("close"), today = today)
+    r.passed shouldBe false
+    r.errors.head should include("missing required columns")
+  }
+
+  test("reduced column list degrades probes instead of crashing") {
+    val r = Validators.validateRaw(good().drop("close"),
+      requiredColumns = Seq("date", "symbol", "volume"), today = today)
+    r.passed shouldBe true
+  }
+
+  test("monotonicity: adding a violating row never turns fail into pass") {
+    val bad = Row("2024-05-02", "A", 1.0, 2.0, 0.5, -3.0, 10L, "av")
+    val r1 = Validators.validateRaw(good(bad), today = today)
+    val r2 = Validators.validateRaw(good(bad, bad), today = today)
+    r1.passed shouldBe false
+    r2.passed shouldBe false
+  }
+
+  test("validateTransformed layers threshold warnings in one pass (P12)") {
+    val tSchema = schema
+      .add("processed_at", TimestampType).add("daily_change_pct", DoubleType)
+      .add("daily_volatility", DoubleType)
+    val frame = df(tSchema,
+      Row("2024-05-01", "A", 1.0, 2.0, 0.5, 20000.0, 10L, "av",
+        java.sql.Timestamp.valueOf("2024-05-01 00:00:00"), 1.0, 25.0))
+    val r = Validators.validateTransformed(frame, today = today)
+    r.passed shouldBe true // thresholds warn, not fail
+    r.warnings.exists(_.contains("close > 10000")) shouldBe true
+    r.warnings.exists(_.contains("volatility > 20")) shouldBe true
+    r.warnings.exists(_.contains("volume")) shouldBe false
+  }
+
+  test("freshness gate passes iff newest date within maxAgeDays (P13)") {
+    Validators.validateFreshness(good(), maxAgeDays = 40, today = today).passed shouldBe true
+    Validators.validateFreshness(good(), maxAgeDays = 7, today = today).passed shouldBe false
+  }
+
+  test("coverage: missing symbols error, extras warn (J3)") {
+    val r = Validators.validateCoverage(good(), required = Seq("A", "B"))
+    r.passed shouldBe false
+    r.errors.head should include("B")
+    val r2 = Validators.validateCoverage(good(), required = Seq("A"))
+    r2.passed shouldBe true
+  }
+
+  test("duplicateCount counts extra rows beyond first per key (A9)") {
+    val d = good(
+      Row("2024-05-01", "A", 1.0, 2.0, 0.5, 1.5, 10L, "av"),
+      Row("2024-05-01", "A", 1.0, 2.0, 0.5, 1.6, 10L, "av"))
+    Validators.duplicateCount(d, Seq("date", "symbol", "data_source")) shouldBe 2L
+    Validators.duplicateCount(good(), Seq("date", "symbol", "data_source")) shouldBe 0L
+  }
+
+  test("castFailureCounts probes coercibility per column (schema compat)") {
+    import spark.implicits._
+    val d = Seq(("1.5", "2024-01-01"), ("oops", "not-a-date"), (null, "2024-02-01"))
+      .toDF("price", "day")
+    val m = Validators.castFailureCounts(d, Map("price" -> "double", "day" -> "date"))
+    m("price") shouldBe 1L // "oops" fails, null does not count
+    m("day") shouldBe 1L
+  }
+
+  test("crossSourceInconsistencies finds divergent multi-source groups (J2)") {
+    val d = good(
+      Row("2024-05-01", "A", 1.0, 2.0, 0.5, 2.0, 10L, "yh"), // A@05-01: 1.5 vs 2.0 -> 33%
+      Row("2024-05-02", "B", 1.0, 2.0, 0.5, 1.0, 10L, "av"),
+      Row("2024-05-02", "B", 1.0, 2.0, 0.5, 1.01, 10L, "yh")) // 1% -> below cap
+    val out = Validators.crossSourceInconsistencies(d, maxPctDiff = 5.0).collect()
+    out.map(_.getAs[String]("symbol")).toSeq shouldBe Seq("A")
+  }
+}
