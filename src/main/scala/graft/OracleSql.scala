@@ -180,6 +180,71 @@ WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
 
+  /** SQL twin of [[graft.text.TextAnalysis.tokens]]: lowercase, strip
+    * non-alphanumerics, split, drop empties. */
+  val toksCte: String = """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM documents
+)
+"""
+
+  val q14_token_stats: String = toksCte + """
+SELECT token, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(tokens) AS token FROM toks)
+GROUP BY token ORDER BY occurrences DESC, token LIMIT 100"""
+
+  val q15_doc_profile: String = toksCte + """
+, base AS (
+  SELECT doc_id,
+    CAST(len(tokens) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_unique,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(tokens, t -> CAST(length(t) AS BIGINT))), (a,x) -> a + x) AS sum_len,
+    CAST(len(list_filter(tokens, t -> list_contains(
+      ['the','a','of','to','and','in','is','it','on','for'], t))) AS BIGINT) AS stop_hits,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(tokens,
+        t -> CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT) % 1000000007)),
+      (a,x) -> (a * 31 + x) % 1000000007) AS fingerprint
+  FROM toks)
+SELECT doc_id, n_tokens, n_unique,
+  CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+  CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unique_ratio,
+  CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+  (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+   + CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+   + least(CAST(stop_hits AS DOUBLE) * 10.0 / CAST(n_tokens AS DOUBLE), 1.0)) / 3.0
+    AS quality_score,
+  fingerprint
+FROM base ORDER BY doc_id"""
+
+  val q16_lang_confusion: String = toksCte + """
+, scored AS (
+  SELECT lang,
+    len(list_filter(tokens, t -> list_contains(
+      ['der','die','das','und','ist','nicht','mit','ein','zu','den'], t))) AS s_de,
+    len(list_filter(tokens, t -> list_contains(
+      ['the','a','of','to','and','in','is','it','on','for'], t))) AS s_en,
+    len(list_filter(tokens, t -> list_contains(
+      ['el','la','que','los','y','en','un','por','con','una'], t))) AS s_es,
+    len(list_filter(tokens, t -> list_contains(
+      ['le','les','et','des','une','du','est','dans','pour','que'], t))) AS s_fr
+  FROM toks),
+predicted AS (
+  SELECT lang, CASE
+    WHEN best > 0 AND s_de = best THEN 'de'
+    WHEN best > 0 AND s_en = best THEN 'en'
+    WHEN best > 0 AND s_es = best THEN 'es'
+    WHEN best > 0 AND s_fr = best THEN 'fr'
+    ELSE 'und' END AS predicted_lang
+  FROM (SELECT lang, s_de, s_en, s_es, s_fr,
+          greatest(s_de, s_en, s_es, s_fr) AS best FROM scored))
+SELECT lang, predicted_lang, count(*) AS docs
+FROM predicted GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -193,5 +258,8 @@ ORDER BY l_returnflag, l_linestatus"""
     "q10_null_profile" -> q10_null_profile,
     "q11_dup_count" -> q11_dup_count,
     "q12_coverage" -> q12_coverage,
-    "q13_agg_pushdown" -> q13_agg_pushdown)
+    "q13_agg_pushdown" -> q13_agg_pushdown,
+    "q14_token_stats" -> q14_token_stats,
+    "q15_doc_profile" -> q15_doc_profile,
+    "q16_lang_confusion" -> q16_lang_confusion)
 }

@@ -130,6 +130,21 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Text analysis: corpus token stats (tokenize + explode + agg).
+    "q14_token_stats" -> ((s, dir) =>
+      graft.text.TextAnalysis.topTokens(Tables.documents(s, dir), k = 100)),
+
+    // Text analysis: per-doc profile (counts, diversity, quality score,
+    // rolling-hash fingerprint) — narrow projection, no shuffle.
+    "q15_doc_profile" -> ((s, dir) =>
+      graft.text.TextAnalysis.docProfile(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: language-ID heuristic vs labeled lang.
+    "q16_lang_confusion" -> ((s, dir) =>
+      graft.text.TextAnalysis.langConfusion(Tables.documents(s, dir))
+        .orderBy(col("lang"), col("predicted_lang"))),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

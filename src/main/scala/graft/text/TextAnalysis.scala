@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table (doc_id, text, lang, source, n_chars): tokenizing,
+  * corpus/doc statistics, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from codegen'd built-in functions and
+  * higher-order array functions — no UDFs, so the whole stage stays
+  * inside whole-stage codegen and scales linearly with executors; the
+  * only shuffles are the declared groupBys.
+  *
+  * Determinism: token hashing goes through md5 (identical across
+  * engines) and fingerprints use sequential modular arithmetic with
+  * an explicit fold order, so every output is bit-exact reproducible
+  * and oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Tokenize: lowercase, collapse non-alphanumerics to spaces, split,
+    * drop empties. Robust to punctuation/multi-space even though the
+    * harness corpus is pre-cleaned. */
+  def tokens(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "), _ =!= "")
+
+  def withTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("tokens", tokens(col(textCol)))
+
+  /** Corpus-level token statistics: total occurrences + document
+    * frequency per token. One explode + one shuffle on token. */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withTokens(docs, textCol)
+      .select(col(idCol), explode(col("tokens")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col(idCol)).as("doc_freq"))
+
+  /** Top-k tokens by count (deterministic tie-break on the token). */
+  def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
+    tokenStats(docs).orderBy(col("occurrences").desc, col("token")).limit(k)
+
+  // --- per-document profile -------------------------------------------------
+
+  /** Minimal multilingual stopword lists (public-knowledge closed-class
+    * words) used by the quality score and the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for"),
+    "es" -> Seq("el", "la", "que", "los", "y", "en", "un", "por", "con", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "du", "est", "dans", "pour", "que"))
+
+  private val FpMod = 1000000007L
+  private val FpBase = 31L
+
+  /** Deterministic 56-bit token hash shared with the DuckDB oracle:
+    * first 14 hex chars of md5, as an integer, mod FpMod. */
+  def tokenHash(token: Column): Column =
+    conv(substring(md5(token.cast("binary")), 1, 14), 16, 10).cast("long") % FpMod
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash of
+    * the token-hash sequence, folded left-to-right (the fold order is
+    * part of the contract — `aggregate` evaluates sequentially). Two
+    * documents share a fingerprint iff their token sequences match. */
+  def fingerprint(tokensCol: Column): Column =
+    aggregate(
+      transform(tokensCol, tokenHash(_)),
+      lit(0L),
+      (acc, h) => (acc * FpBase + h) % FpMod)
+
+  private def countIn(tokensCol: Column, words: Seq[String]): Column =
+    size(filter(tokensCol, t => t.isInCollection(words)))
+
+  /** Per-document profile: token counts, lexical diversity, average
+    * token length, stopword ratio, a [0,1] quality score, and the
+    * rolling-hash fingerprint — one narrow projection, no shuffle. */
+  def docProfile(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col("tokens")
+    val nTok = size(t).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    val stopHits = countIn(t, stopwords("en")).cast("long")
+    val sumLen = aggregate(transform(t, length(_)), lit(0L), (a, x) => a + x)
+    withTokens(docs, textCol).select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      nUniq.as("n_unique"),
+      (sumLen.cast("double") / nTok.cast("double")).as("avg_token_len"),
+      (nUniq.cast("double") / nTok.cast("double")).as("unique_ratio"),
+      (stopHits.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      qualityScore(nTok, nUniq, stopHits).as("quality_score"),
+      fingerprint(t).as("fingerprint"))
+  }
+
+  /** Heuristic quality score in [0,1]: length component (saturates at
+    * 100 tokens), lexical-diversity component, stopword-presence
+    * component — equal-weighted. Mirrors the shape of published
+    * fasttext/C4-style quality filters in pure arithmetic. */
+  def qualityScore(nTok: Column, nUniq: Column, stopHits: Column): Column = {
+    val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    val diversity = nUniq.cast("double") / nTok.cast("double")
+    val stopScore = least(stopHits.cast("double") * lit(10.0) / nTok.cast("double"), lit(1.0))
+    (lenScore + diversity + stopScore) / lit(3.0)
+  }
+
+  /** Language-ID heuristic: stopword-set hit counts per candidate
+    * language; winner by fixed evaluation order (de,en,es,fr) so ties
+    * are deterministic; no hits at all → "und" (undetermined). */
+  def languageId(tokensCol: Column): Column = {
+    val langs = Seq("de", "en", "es", "fr")
+    val scores = langs.map(l => countIn(tokensCol, stopwords(l)))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Confusion matrix of labeled vs predicted language — the
+    * aggregate view a pipeline operator would monitor. */
+  def langConfusion(docs: DataFrame, langCol: String = "lang", textCol: String = "text"): DataFrame =
+    withTokens(docs, textCol)
+      .select(col(langCol), languageId(col("tokens")).as("predicted_lang"))
+      .groupBy(col(langCol), col("predicted_lang"))
+      .agg(count(lit(1)).as("docs"))
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import TextAnalysis._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenize lowercases, strips punctuation, collapses whitespace") {
+    val out = withTokens(docs((1L, "Hello, WORLD!!  foo-bar 42")))
+      .select("tokens").collect()(0).getSeq[String](0)
+    out shouldBe Seq("hello", "world", "foo", "bar", "42")
+  }
+
+  test("tokenStats counts occurrences and doc frequency") {
+    val out = tokenStats(docs((1L, "a b a"), (2L, "a c")))
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L))
+  }
+
+  test("fingerprint is order-sensitive and reproducible") {
+    val fp = docs((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    fp(0) shouldBe fp(2) // identical sequence -> identical fingerprint
+    fp(0) should not be fp(1) // permuted sequence -> different fingerprint
+  }
+
+  test("languageId picks the stopword set with most hits, und when none") {
+    val out = docs(
+      (1L, "the cat is on the mat and it is fine"),
+      (2L, "der hund ist nicht mit der katze und"),
+      (3L, "xyzzy qwerty"))
+      .select(col("doc_id"), languageId(tokens(col("text"))).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    out.toSeq shouldBe Seq("en", "de", "und")
+  }
+
+  test("quality score stays in [0,1] and rewards diversity/stopwords") {
+    val out = docProfile(docs(
+      (1L, "the quick brown fox jumps over the lazy dog and it runs on"),
+      (2L, "spam spam spam spam spam spam")))
+      .orderBy("doc_id").collect()
+    val good = out(0).getAs[Double]("quality_score")
+    val bad = out(1).getAs[Double]("quality_score")
+    good should be > bad
+    all(Seq(good, bad)) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("docProfile handles the degenerate empty document") {
+    val out = docProfile(docs((1L, ""))).collect()(0)
+    out.getAs[Long]("n_tokens") shouldBe 0L
+    out.getAs[Long]("fingerprint") shouldBe 0L
+    // ratios are 0/0 -> null under non-ANSI division
+    out.isNullAt(out.fieldIndex("avg_token_len")) shouldBe true
+  }
+}
