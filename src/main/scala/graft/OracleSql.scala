@@ -245,6 +245,157 @@ predicted AS (
 SELECT lang, predicted_lang, count(*) AS docs
 FROM predicted GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang"""
 
+  // --- dedup family (graft.dedup.Dedup) ------------------------------------
+
+  /** Tokens → word-3-gram shingles → mod-P shingle hashes, the SQL twin
+    * of [[graft.dedup.Dedup.shingleHashes]]. */
+  val shinglesCte: String = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_transform(range(1, len(tokens)-1),
+    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM toks WHERE len(tokens) >= 3),
+xs AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> CAST(('0x' || substr(md5(s),1,14)) AS BIGINT) % 1000000007) AS hs
+  FROM sh)
+"""
+
+  val q17_content_dedup: String = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1 ORDER BY doc_id"""
+
+  /** MinHash signature entries generated from the SAME coefficient
+    * table the Spark operator uses ([[graft.dedup.Dedup.minhashCoeffs]])
+    * — the two engines cannot diverge on constants. */
+  val q18_minhash_neardup: String = {
+    val sigEntries = graft.dedup.Dedup.minhashCoeffs.map { case (a, b) =>
+      s"list_reduce(list_transform(hs, x -> (x*$a+$b)%1000000007), (u,v)->least(u,v))"
+    }.mkString(",\n    ")
+    val nh = graft.dedup.Dedup.numHashes
+    shinglesCte + s"""
+, sigs AS (SELECT doc_id, [$sigEntries] AS sig FROM xs),
+bands AS (
+  SELECT doc_id, sig, b,
+    CAST(sig[b*4+1] AS VARCHAR) || '_' || CAST(sig[b*4+2] AS VARCHAR) || '_' ||
+    CAST(sig[b*4+3] AS VARCHAR) || '_' || CAST(sig[b*4+4] AS VARCHAR) AS key
+  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT doc_a, doc_b,
+    CAST(len(list_filter(range(1,${nh + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)/$nh.0
+      AS est_jaccard
+  FROM pairs)
+WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
+  val q19_jaccard_pairs: String = shinglesCte + """
+, ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, len(ss) AS n_sh, unnest(ss) AS shingle FROM ds),
+rare AS (SELECT shingle FROM posting GROUP BY shingle HAVING count(*) <= 100),
+f AS (SELECT p.* FROM posting p JOIN rare USING (shingle)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS common
+  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+    CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
+  FROM common)
+WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+
+  /** SimHash bit terms generated to mirror [[graft.dedup.Dedup.simhash]]. */
+  val q20_simhash_neardup: String = {
+    val bitTerms = (0 until graft.dedup.Dedup.simhashBits).map { j =>
+      s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $j) & 1 = 1)) > len(hs)" +
+        s" THEN CAST(1 AS BIGINT) << $j ELSE 0 END"
+    }.mkString("\n    + ")
+    """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_transform(range(1, len(tokens)-1),
+    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM toks WHERE len(tokens) >= 3),
+hs64 AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> CAST(('0x' || substr(md5(s),1,14)) AS BIGINT)) AS hs
+  FROM sh),
+sims AS (SELECT doc_id, (""" + bitTerms + """) AS simhash FROM hs64),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (8*b)) & 255 AS key
+  FROM sims CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM pairs)
+WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+  }
+
+  // --- similarity search (graft.similarity.Similarity) ---------------------
+
+  /** Sequential-fold dot/cosine, the SQL twin of
+    * [[graft.similarity.Similarity.cosine]]: float→double per element,
+    * left fold in array order → bit-identical IEEE-754 doubles. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc,v) -> acc + v)"
+
+  private def sqlCosine(q: String, e: String): String =
+    s"${sqlDot(q, e)} / (sqrt(${sqlDot(q, q)}) * sqrt(${sqlDot(e, e)}))"
+
+  private val sqlSignBucket: String =
+    (0 until graft.similarity.Similarity.signatureBits).map(j =>
+      s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  val q21_knn_bruteforce: String = s"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id, ${sqlCosine("q.qv", "e.embedding")} AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  val q22_ann_lsh: String = s"""
+WITH b AS (SELECT vec_id, embedding, $sqlSignBucket AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id, ${sqlCosine("q.qv", "c.embedding")} AS cosine
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  val q23_embed_neardup: String = s"""
+WITH b AS (SELECT vec_id, embedding, $sqlSignBucket AS bucket FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ${sqlCosine("a.embedding", "b.embedding")} AS cosine
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -261,5 +412,12 @@ FROM predicted GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang"""
     "q13_agg_pushdown" -> q13_agg_pushdown,
     "q14_token_stats" -> q14_token_stats,
     "q15_doc_profile" -> q15_doc_profile,
-    "q16_lang_confusion" -> q16_lang_confusion)
+    "q16_lang_confusion" -> q16_lang_confusion,
+    "q17_content_dedup" -> q17_content_dedup,
+    "q18_minhash_neardup" -> q18_minhash_neardup,
+    "q19_jaccard_pairs" -> q19_jaccard_pairs,
+    "q20_simhash_neardup" -> q20_simhash_neardup,
+    "q21_knn_bruteforce" -> q21_knn_bruteforce,
+    "q22_ann_lsh" -> q22_ann_lsh,
+    "q23_embed_neardup" -> q23_embed_neardup)
 }

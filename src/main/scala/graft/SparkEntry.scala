@@ -145,6 +145,50 @@ object SparkEntry {
       graft.text.TextAnalysis.langConfusion(Tables.documents(s, dir))
         .orderBy(col("lang"), col("predicted_lang"))),
 
+    // Exact content dedup: one survivor per distinct text, keyed on the
+    // 16-byte content hash (shuffle key is the hash, not the document).
+    "q17_content_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.dedupExact(Tables.documents(s, dir))
+        .select("doc_id", "lang", "source", "n_chars").orderBy(col("doc_id"))),
+
+    // MinHash + LSH banding: near-dup candidate pairs via bucket
+    // equi-join (4 bands × 4 rows), estimated Jaccard from signatures.
+    "q18_minhash_neardup" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Exact n-gram Jaccard similarity join via shingle postings.
+    "q19_jaccard_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SimHash near-dup: byte-banded candidates + exact Hamming verify.
+    "q20_simhash_neardup" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Brute-force exact cosine top-k (broadcast query side).
+    "q21_knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity
+        .knnBruteForce(emb, emb.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN: sign-signature LSH bucketed candidates + exact re-rank.
+    "q22_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity
+        .knnLsh(emb, emb.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup pairs within LSH buckets.
+    "q23_embed_neardup" -> ((s, dir) =>
+      graft.similarity.Similarity
+        .nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -1,0 +1,227 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for LLM training-data pipelines over the
+  * `documents` table: exact content dedup, MinHash+LSH near-dup,
+  * exact n-gram Jaccard similarity join, and SimHash near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup shuffles once on the content hash — never on the
+  *    text itself (the hash is 16 bytes; the text can be megabytes);
+  *  - every near-dup path generates candidate pairs through a
+  *    bucket equi-join (LSH bands / shingle postings / SimHash bytes),
+  *    NEVER an all-pairs crossJoin: cost is Σ bucket² over near-empty
+  *    buckets, not n²;
+  *  - the shingle posting join drops shingles with document frequency
+  *    above a cap — frequent shingles contribute quadratic pair blowup
+  *    and no discriminative signal (standard similarity-join hygiene);
+  *  - all hashing is md5-derived modular arithmetic (no JVM-private
+  *    hash seeds), so signatures are bit-reproducible across engines
+  *    and across Spark versions, and every operator is oracle-checkable.
+  */
+object Dedup {
+
+  /** Modulus shared with [[TextAnalysis.tokenHash]] / the DuckDB oracle. */
+  val P: Long = 1000000007L
+
+  /** Fixed MinHash permutation coefficients (a·x + b mod P). Sixteen
+    * arbitrary odd constants < 1e9, hardcoded so Spark and the oracle
+    * SQL (generated from this very table — see OracleSql) cannot
+    * diverge. a·x < 1e9·(1e9+7) < 2^63 — no overflow. */
+  val minhashCoeffs: Seq[(Long, Long)] = Seq(
+    (472882049L, 291898331L), (741895677L, 143534567L),
+    (383133641L, 876543211L), (611953003L, 34567891L),
+    (259336153L, 723456789L), (937264937L, 512345677L),
+    (104395303L, 998244353L), (817504243L, 67867967L),
+    (472896689L, 315667321L), (533000389L, 782345699L),
+    (694847539L, 24036583L), (359334085L, 645678911L),
+    (275604541L, 858599503L), (749471123L, 430123457L),
+    (982451653L, 176543219L), (622729787L, 90909091L))
+
+  val numHashes: Int = minhashCoeffs.size
+  val numBands: Int = 4
+  val rowsPerBand: Int = numHashes / numBands
+
+  /** Content identity for exact dedup: md5 of the raw text bytes.
+    * 16 bytes shuffle-key instead of the document body. */
+  def contentKey(text: Column): Column = md5(text.cast("binary"))
+
+  /** Exact content dedup: one row survives per distinct text, chosen
+    * deterministically (lowest id). Single shuffle on the 128-bit
+    * content hash; no global sort. */
+  def dedupExact(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles over a token array (1-based element_at,
+    * mirroring the oracle's 1-based list indexing). Callers must
+    * filter size(tokens) >= n first: Spark's `sequence` runs
+    * backwards when start > stop. */
+  def shingles(tokens: Column, n: Int = 3): Column =
+    transform(sequence(lit(1), size(tokens) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + lit(j))): _*))
+
+  /** doc_id + hashed-shingle array for docs long enough to shingle. */
+  def shingleHashes(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.filter(size(toks) >= n)
+      .select(col(idCol).as("doc_id"),
+        transform(shingles(toks, n), TextAnalysis.tokenHash(_)).as("hs"))
+  }
+
+  /** MinHash signature: per permutation i, min over shingle hashes of
+    * (a_i·x + b_i) mod P. Arrays of longs — 128 bytes per doc. */
+  def minhashSignature(hashes: Column): Column =
+    array(minhashCoeffs.map { case (a, b) =>
+      array_min(transform(hashes, x => (x * lit(a) + lit(b)) % lit(P)))
+    }: _*)
+
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3): DataFrame =
+    shingleHashes(docs, idCol, textCol, n)
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+
+  private def bandKey(sig: Column, b: Int): Column =
+    concat_ws("_", (1 to rowsPerBand).map(j =>
+      element_at(sig, b * rowsPerBand + j)): _*)
+
+  /** LSH banding: near-dup candidate pairs via equi-join on
+    * (band index, band key); estimated Jaccard = fraction of matching
+    * signature positions. Two docs collide iff some band of
+    * `rowsPerBand` consecutive minhashes is identical — collision
+    * probability ≈ 1-(1-j^r)^b, steep around j ≈ 0.7 for 4×4.
+    *
+    * The join is on tiny keys and near-empty buckets: candidate
+    * generation is linear in matches, not O(n²). */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n)
+    val bandStructs = array((0 until numBands).map(b =>
+      struct(lit(b).as("band"), bandKey(col("sig"), b).as("key"))): _*)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct() // a pair may collide in several bands
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+      lit(0), (acc, m) => acc + m)
+    pairs
+      .withColumn("est_jaccard", matches.cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity join via shingle postings
+    * (inverted index): explode distinct shingles, equi-join on the
+    * shingle, count common shingles per pair, Jaccard from the
+    * inclusion–exclusion identity. Shingles with document frequency
+    * above `maxDocFreq` are dropped before the join (quadratic pair
+    * blowup, no signal) — the df cap is part of the operator contract
+    * and mirrored in the oracle. */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+                   maxDocFreq: Long = 100, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3): DataFrame = {
+    val posting = shingleHashes(docs, idCol, textCol, n)
+      .select(col("doc_id"), array_distinct(col("hs")).as("ss"))
+      .select(col("doc_id"), size(col("ss")).as("n_sh"),
+        explode(col("ss")).as("shingle"))
+    val rare = posting.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .select("shingle")
+    val filtered = posting.join(rare, "shingle")
+    val common = filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Raw 56-bit md5-derived token hash (no modulus — SimHash needs 32
+    * independent bits; [[TextAnalysis.tokenHash]]'s mod-P value only
+    * carries 30). */
+  def tokenHash56(token: Column): Column =
+    conv(substring(md5(token.cast("binary")), 1, 14), 16, 10).cast("long")
+
+  val simhashBits: Int = 32
+
+  /** 32-bit SimHash over a hash array: bit j is set iff more than
+    * half the hashes have bit j set. Computed as 32 sequential array
+    * folds — heavy expression tree, but pure codegen'd arithmetic,
+    * no shuffle, no UDF. */
+  def simhash(hashes: Column): Column = {
+    val n = size(hashes).cast("long")
+    (0 until simhashBits).map { j =>
+      val ones = aggregate(hashes, lit(0L), (acc, h) => acc + shiftright(h, j) % 2)
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Per-doc SimHash over word n-gram shingles. Shingles, not raw
+    * tokens: documents drawn from a shared vocabulary have
+    * near-identical token *distributions* (every doc's majority-bit
+    * vector converges), while shingle sets stay discriminative —
+    * measured on the harness corpus, token-level SimHash marks >0.5%
+    * of all pairs as near-dups, shingle-level only the true ones. */
+  def simhashes(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // Materialize the hash array in its own projection: `simhash` reads
+    // it 32 times, and inlining would clone the whole
+    // tokenize→shingle→md5 pipeline into every bit-fold (measured 30×
+    // slower). CollapseProject keeps the barrier because the alias is
+    // non-cheap and multiply-referenced.
+    docs.filter(size(toks) >= n)
+      .select(col(idCol).as("doc_id"),
+        transform(shingles(toks, n), tokenHash56(_)).as("__hs"))
+      .select(col("doc_id"), simhash(col("__hs")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one identical
+    * byte of the 4-byte fingerprint (pigeonhole: any pair at Hamming
+    * distance ≤ 3 must agree on some byte), verified by exact Hamming
+    * distance ≤ `maxHamming`. Same bucket-join shape as MinHash. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sims = simhashes(docs, idCol, textCol)
+    val byteStructs = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), 8 * b) % 256).as("key"))): _*)
+    val bands = sims.select(col("doc_id"), col("simhash"),
+        explode(byteStructs).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private def docs(rows: (Long, String)*) =
+    df(docsSchema, rows.map { case (i, t) => Row(i, t) }: _*)
+
+  test("dedupExact keeps the lowest doc_id per distinct text") {
+    val d = docs(
+      3L -> "alpha beta gamma", 1L -> "alpha beta gamma",
+      2L -> "other text here", 5L -> "other text here", 4L -> "unique doc")
+    val out = Dedup.dedupExact(d).select("doc_id").as[Long].collect().sorted
+    out shouldBe Array(1L, 2L, 4L)
+  }
+
+  test("dedupExact is idempotent") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val once = Dedup.dedupExact(d)
+    assertSameRows(Dedup.dedupExact(once), once)
+  }
+
+  test("shingles produce n-2 word 3-grams in order") {
+    val out = docs(1L -> "a b c d")
+      .select(Dedup.shingles(split(col("text"), " ")).as("s"))
+      .as[Seq[String]].head()
+    out shouldBe Seq("a b c", "b c d")
+  }
+
+  test("minhash: identical docs get identical signatures, est_jaccard 1.0") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "completely different words that share nothing with the others at all")
+    val pairs = Dedup.minhashPairs(d, threshold = 0.5).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
+      Seq((1L, 2L, 1.0))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val d = docs(1L -> "one two three four five six seven eight nine ten")
+    val s1 = Dedup.minhashSignatures(d).as[(Long, Seq[Long])].head()
+    val s2 = Dedup.minhashSignatures(d).as[(Long, Seq[Long])].head()
+    s1 shouldBe s2
+    s1._2.length shouldBe Dedup.numHashes
+  }
+
+  test("jaccardPairs finds near-identical docs and skips dissimilar ones") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 29).map(i => s"w$i") :+ "w99").mkString(" ")
+    val far = (100 to 130).map(i => s"v$i").mkString(" ")
+    val pairs = Dedup.jaccardPairs(docs(1L -> base, 2L -> near, 3L -> far),
+      threshold = 0.8).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    val j = pairs.head.getDouble(2)
+    // 28 shingles each; the last word differs so the 27 shingles not
+    // touching position 30 are shared -> 27/(28+28-27)
+    j shouldBe (27.0 / 29.0) +- 1e-12
+  }
+
+  test("simhash of identical docs is equal; hamming 0 pair found") {
+    val d = docs(
+      1L -> "spark scala parquet shuffle partition broadcast join agg window sort",
+      2L -> "spark scala parquet shuffle partition broadcast join agg window sort")
+    val sims = Dedup.simhashes(d).as[(Long, Long)].collect().toMap
+    sims(1L) shouldBe sims(2L)
+    val pairs = Dedup.simhashPairs(d, maxHamming = 3).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 2L, 0L))
+  }
+
+  test("simhash fits in 32 bits and is non-negative") {
+    val d = docs(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val s = Dedup.simhashes(d).as[(Long, Long)].head()._2
+    s should be >= 0L
+    s should be < (1L << 32)
+  }
+
+  test("banded candidate generation never emits self-pairs or reversed dups") {
+    val d = docs(
+      1L -> "a b c d e f g h i j k l m n o p",
+      2L -> "a b c d e f g h i j k l m n o p",
+      3L -> "a b c d e f g h i j k l m n o q")
+    val pairs = Dedup.minhashPairs(d, threshold = 0.0).collect()
+    all(pairs.map(r => (r.getLong(0), r.getLong(1)))) should matchPattern {
+      case (a: Long, b: Long) if a < b =>
+    }
+    pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length shouldBe pairs.length
+  }
+}
