@@ -396,6 +396,102 @@ SELECT id_a, id_b, cosine FROM (
   FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
 
+  // --- events (graft.events.EventAnalytics) --------------------------------
+
+  /** Gap sessionization twin: integer-microsecond gap compare,
+    * (ts, event_id) order, running sum of session starts. DuckDB's
+    * window SUM yields HUGEINT — cast to match Spark's long. */
+  val q24_sessionize: String = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM m)
+SELECT user_id, session_seq,
+  count(*) AS n_events,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+  count(DISTINCT event_type) AS distinct_types
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+
+  /** Tumbling 1h windows: Spark's window() aligns to the epoch, which
+    * on whole hours equals date_trunc. */
+  val q25_event_windows: String = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS unique_users,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  // --- storage & format round-trips ----------------------------------------
+
+  /** The Spark side wrote month-partitioned parquet and read it back
+    * through the partition predicate; the oracle computes the same
+    * date-bounded aggregate directly. */
+  val q26_stored_pruning: String = barsCte + """
+SELECT symbol, count(*) AS n_rows,
+  CAST(sum(CAST(close AS DECIMAL(38,2))) AS DOUBLE) AS sum_close,
+  min(date) AS first_date, max(date) AS last_date
+FROM merged
+WHERE strftime(date, '%Y-%m') >= '1995-01' AND strftime(date, '%Y-%m') <= '1995-06'
+GROUP BY symbol ORDER BY symbol"""
+
+  /** CSV/JSON round-trips are lossless (shortest-repr doubles, ISO
+    * timestamps, empty-string nulls), so aggregates over the
+    * round-tripped frame equal aggregates over the original. */
+  val q27_csv_roundtrip: String = barsCte + """
+SELECT symbol, count(*) AS n_rows,
+  CAST(sum(CAST(close AS DECIMAL(38,2))) AS DOUBLE) AS sum_close,
+  CAST(sum(CAST(daily_change_pct AS DECIMAL(38,4))) AS DOUBLE) AS sum_change,
+  CAST(sum(volume) AS BIGINT) AS sum_volume,
+  count(CASE WHEN open IS NULL THEN 1 END) AS null_open,
+  min(date) AS first_date, max(date) AS last_date
+FROM tbars GROUP BY symbol ORDER BY symbol"""
+
+  val q28_json_roundtrip: String = barsCte + """
+SELECT data_source, count(*) AS n_rows,
+  CAST(sum(CAST(close AS DECIMAL(38,2))) AS DOUBLE) AS sum_close,
+  CAST(sum(volume) AS BIGINT) AS sum_volume,
+  min(date) AS first_date, max(date) AS last_date
+FROM merged GROUP BY data_source ORDER BY data_source"""
+
+  /** W1 pandas rolling(n): NULL until n rows exist in the frame. */
+  val q29_ma_pandas: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date)
+SELECT symbol, date, close_price,
+  CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY date) >= 5 THEN
+    avg(close_price) OVER (PARTITION BY symbol ORDER BY date
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) END AS ma_5d,
+  CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY date) >= 10 THEN
+    avg(close_price) OVER (PARTITION BY symbol ORDER BY date
+      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) END AS ma_10d,
+  CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY date) >= 20 THEN
+    avg(close_price) OVER (PARTITION BY symbol ORDER BY date
+      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS ma_20d,
+  CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY date) >= 50 THEN
+    avg(close_price) OVER (PARTITION BY symbol ORDER BY date
+      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) END AS ma_50d
+FROM daily ORDER BY symbol, date"""
+
+  /** P13/P14 freshness + age probes vs a literal anchor. */
+  val q30_freshness: String = barsCte + """
+SELECT max(date) AS newest_date, min(date) AS oldest_date,
+  CAST(max(CASE WHEN date >= DATE '1998-12-01' - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+    AS INTEGER) AS is_fresh,
+  CAST(max(CASE WHEN date < DATE '1998-12-01' - INTERVAL 365 DAY THEN 1 ELSE 0 END)
+    AS INTEGER) AS age_warn
+FROM merged"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -419,5 +515,12 @@ WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
     "q20_simhash_neardup" -> q20_simhash_neardup,
     "q21_knn_bruteforce" -> q21_knn_bruteforce,
     "q22_ann_lsh" -> q22_ann_lsh,
-    "q23_embed_neardup" -> q23_embed_neardup)
+    "q23_embed_neardup" -> q23_embed_neardup,
+    "q24_sessionize" -> q24_sessionize,
+    "q25_event_windows" -> q25_event_windows,
+    "q26_stored_pruning" -> q26_stored_pruning,
+    "q27_csv_roundtrip" -> q27_csv_roundtrip,
+    "q28_json_roundtrip" -> q28_json_roundtrip,
+    "q29_ma_pandas" -> q29_ma_pandas,
+    "q30_freshness" -> q30_freshness)
 }

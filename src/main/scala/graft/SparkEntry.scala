@@ -44,6 +44,12 @@ object SparkEntry {
   private val minPick: Column => Column = min(_)
   private val exactAvg4: Column => Column = Exact.exactAvg(_, 4)
 
+  /** Per-sf scratch dir under the repo's build tree for queries that
+    * exercise sinks (q26–q28): sf-tagged so verify/bench runs at
+    * different scale factors never collide. */
+  private def scratch(name: String, sfDir: String): String =
+    s"/root/repo/target/scratch/${name}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1-P9: normalization, casts, null handling, derived metrics.
     "q01_transform_derive" -> ((s, dir) =>
@@ -188,6 +194,84 @@ object SparkEntry {
       graft.similarity.Similarity
         .nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Gap-based sessionization over events (lag + running sum; the
+    // batch twin of streaming session windows).
+    "q24_sessionize" -> ((s, dir) =>
+      graft.events.EventAnalytics.sessionize(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_seq"))),
+
+    // Tumbling 1-hour event-time windows + JSON property extraction.
+    "q25_event_windows" -> ((s, dir) =>
+      graft.events.EventAnalytics.windowedStats(Tables.events(s, dir), "1 hour")
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // K5/K8 storage layout: write bars partitioned by month +
+    // clustered by (symbol, date), read back through a partition-key
+    // predicate (directory pruning), aggregate the pruned slice.
+    "q26_stored_pruning" -> ((s, dir) => {
+      val path = scratch("bars_store", dir)
+      val bars = mergedBars(s, dir)
+        .withColumn("month", date_format(col("date"), "yyyy-MM"))
+      graft.store.Store.writePartitioned(bars, path, "month", Seq("symbol", "date"))
+      graft.store.Store.readTable(s, path)
+        .filter(col("month") >= "1995-01" && col("month") <= "1995-06")
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.exactSum(col("close"), 2).as("sum_close"),
+          min(col("date")).as("first_date"),
+          max(col("date")).as("last_date"))
+        .orderBy(col("symbol"))
+    }),
+
+    // S3/K1: header-CSV sink + extension-dispatched scan round-trip;
+    // aggregates over the round-tripped frame must match the oracle
+    // computed on the original (lossless text round-trip).
+    "q27_csv_roundtrip" -> ((s, dir) => {
+      val path = scratch("bars", dir) + ".csv"
+      val t = transformedBars(s, dir)
+      graft.io.Sources.writeCsv(t, path)
+      graft.io.Sources.read(s, path, Some(t.schema))
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.exactSum(col("close"), 2).as("sum_close"),
+          Exact.exactSum(col("daily_change_pct"), 4).as("sum_change"),
+          sum(col("volume")).as("sum_volume"),
+          count(when(col("open").isNull, 1)).as("null_open"),
+          min(col("date")).as("first_date"),
+          max(col("date")).as("last_date"))
+        .orderBy(col("symbol"))
+    }),
+
+    // S5/K2: JSON-lines sink + scan round-trip.
+    "q28_json_roundtrip" -> ((s, dir) => {
+      val path = scratch("bars", dir) + ".json"
+      val m = mergedBars(s, dir)
+      graft.io.Sources.writeJsonl(m, path)
+      graft.io.Sources.read(s, path, Some(m.schema))
+        .groupBy(col("data_source"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.exactSum(col("close"), 2).as("sum_close"),
+          sum(col("volume")).as("sum_volume"),
+          min(col("date")).as("first_date"),
+          max(col("date")).as("last_date"))
+        .orderBy(col("data_source"))
+    }),
+
+    // W1: pandas rolling(n) semantics — NULL until a full window.
+    "q29_ma_pandas" -> ((s, dir) =>
+      StockAnalytics.movingAveragesPandasStyle(mergedBars(s, dir), pick = minPick)
+        .orderBy(col("symbol"), col("date"))),
+
+    // P13/P14: freshness + age probes against a literal anchor.
+    "q30_freshness" -> ((s, dir) => {
+      val anchor = lit("1998-12-01").cast("date")
+      mergedBars(s, dir).agg(
+        max(col("date")).as("newest_date"),
+        min(col("date")).as("oldest_date"),
+        max(when(col("date") >= date_sub(anchor, 7), 1).otherwise(0)).as("is_fresh"),
+        max(when(col("date") < date_sub(anchor, 365), 1).otherwise(0)).as("age_warn"))
+    }),
 
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>

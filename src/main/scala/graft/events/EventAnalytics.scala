@@ -1,0 +1,68 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+
+/** Event-stream analytics over the `events` table (event_id, ts,
+  * user_id, event_type, value, props): gap-based sessionization,
+  * tumbling-window aggregates, and JSON property extraction. These are
+  * the batch twins of the streaming operators in [[graft.streaming]] —
+  * same window semantics, verifiable against a SQL oracle.
+  *
+  * Determinism: time arithmetic is integer microseconds
+  * (`unix_micros`), never floating seconds; per-user event order is
+  * (ts, event_id) — event_id breaks timestamp ties; double sums go
+  * through exact decimal accumulation (order-independent).
+  *
+  * Scale: sessionization is one shuffle on user_id + an in-partition
+  * sort — the standard lag/cumsum plan, no self-join, no collect;
+  * window aggregation is a single hash aggregate whose key count is
+  * bounded by (time buckets × event types).
+  */
+object EventAnalytics {
+
+  /** JSON property as a long: `props` is a JSON object column like
+    * `{"k": 42}`. Codegen'd path extraction, no UDF. */
+  def propLong(props: Column, field: String): Column =
+    get_json_object(props, s"$$.$field").cast("long")
+
+  /** Gap-based sessionization: a new session starts when a user is
+    * idle for more than `gapMinutes`. Session id = running count of
+    * session starts per user (dense, 1-based, deterministic). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(w)
+    val isNew = when(prev.isNull || (us - prev) > gapUs, 1).otherwise(0)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_seq",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        Exact.exactSum(col("value"), 6).as("total_value"),
+        countDistinct(col("event_type")).as("distinct_types"))
+  }
+
+  /** Tumbling event-time windows (batch form of the streaming windowed
+    * aggregation): per (window, event_type) — event count, distinct
+    * users, exact value sum, and the sum of the JSON `k` property. */
+  def windowedStats(events: DataFrame, duration: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        Exact.exactSum(col("value"), 6).as("total_value"),
+        sum(propLong(col("props"), "k")).as("sum_k"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("unique_users"), col("total_value"), col("sum_k"))
+}

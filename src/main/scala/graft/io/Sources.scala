@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format sources and sinks (SURVEY.md §2.1 S3/S4/S5, §2.2
+  * K1/K2/K3) with the reference's extension-dispatch read (reference
+  * `plugins/custom_operators/data_quality.py:63-72`).
+  *
+  * Schemas are explicit on read: the reference infers
+  * (`pd.read_csv` with no dtypes) and coerces later; distributed
+  * inference is an extra full pass over the data and produces
+  * nondeterministic widths — an engine at 100 TB declares its types.
+  */
+object Sources {
+
+  /** Text sinks default to millisecond timestamps — a lossy
+    * round-trip. Pin microsecond precision (TimestampType's full
+    * resolution) on both sides. */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Extension-dispatched read: `.csv` → header CSV, `.json` →
+    * JSON-lines, `.parquet` → parquet. Mirrors the reference's
+    * quality-gate reader; unknown extensions fail loudly. */
+  def read(spark: SparkSession, path: String,
+           schema: Option[StructType] = None): DataFrame = {
+    def base: DataFrameReader =
+      schema.fold(spark.read)(s => spark.read.schema(s))
+    path.replaceAll("/+$", "").split('.').lastOption match {
+      case Some("csv") =>
+        base.option("header", true).option("timestampFormat", TsFormat).csv(path)
+      case Some("json") | Some("jsonl") =>
+        base.option("timestampFormat", TsFormat).json(path)
+      case Some("parquet") => base.parquet(path)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported file format: ${other.getOrElse("<none>")} ($path)")
+    }
+  }
+
+  /** K1: header CSV (the reference's `to_csv(index=False)`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", true)
+      .option("timestampFormat", TsFormat).csv(path)
+
+  /** K2: JSON-lines (the reference's
+    * `to_json(orient='records', lines=True)`). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("timestampFormat", TsFormat).json(path)
+
+  /** K3: parquet. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

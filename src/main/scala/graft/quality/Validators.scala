@@ -43,7 +43,8 @@ object Validators {
       df: DataFrame,
       requiredColumns: Seq[String],
       today: Column,
-      extraAggs: Seq[Column]): Either[ValidationResult, (Row, ValidationResult)] = {
+      extraAggs: Seq[Column],
+      ageWarnDays: Int = 365): Either[ValidationResult, (Row, ValidationResult)] = {
     val missing = requiredColumns.filterNot(df.columns.contains)
     if (missing.nonEmpty)
       return Left(ValidationResult(passed = false,
@@ -64,7 +65,11 @@ object Validators {
       (if (has("date")) Seq(
         count(when(dateCol > today, 1)).as("future_dates"),
         min(dateCol).as("oldest_date"),
-        max(dateCol).as("newest_date")) else Nil) ++
+        max(dateCol).as("newest_date"),
+        // P14 (reference validators.py:146-150): any bars older than a
+        // year draw a warning — probed in the same single pass.
+        max(when(dateCol < date_sub(today, ageWarnDays), 1).otherwise(0))
+          .as("age_warn")) else Nil) ++
       requiredColumns.map(nullCount) ++ extraAggs
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
 
@@ -85,10 +90,18 @@ object Validators {
     val allErrors = errors ++
       (if (nullClose > 0) Seq(s"$nullClose null close values") else Nil)
 
+    def intOr0(f: String): Int =
+      if (r.schema.fieldNames.contains(f)) r.getInt(r.fieldIndex(f)) else 0
+    val warnings =
+      if (intOr0("age_warn") == 1)
+        Seq(s"data older than $ageWarnDays days present " +
+          s"(oldest=${r.get(r.fieldIndex("oldest_date"))})")
+      else Nil
+
     Right((r, ValidationResult(
       passed = allErrors.isEmpty,
       errors = allErrors,
-      warnings = Nil,
+      warnings = warnings,
       metrics = r.schema.fieldNames.map(f => f -> r.get(r.fieldIndex(f))).toMap)))
   }
 

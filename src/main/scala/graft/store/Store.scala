@@ -1,0 +1,54 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage layer (SURVEY.md §2.2 K5/K8/K9): the Spark re-expression of
+  * the reference's `PARTITION BY date CLUSTER BY symbol` BigQuery table
+  * (reference `plugins/helpers/queries.py:2-19`) and its
+  * `stock_daily_metrics` view (`queries.py:21-33`).
+  *
+  * Layout contract: Hive-style partition directories on the partition
+  * column + files sorted on the cluster columns inside each partition.
+  * Partition pruning turns partition-key predicates into directory
+  * skips; the in-file sort gives parquet row-group min/max skipping on
+  * the cluster key. At 100 TB this is the difference between a full
+  * scan and reading a few dates' worth of files.
+  */
+object Store {
+
+  /** K5/K8 layout: repartition on the partition key so each partition
+    * directory is written by one task (no small-file explosion: tasks ×
+    * partitions files otherwise), then sort within tasks on
+    * (partition, cluster...) so every parquet file is internally
+    * ordered on the cluster key. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       clusterCols: Seq[String]): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** K8 DDL: register the partitioned layout as a catalog table over
+    * an existing path, then recover the partition directories. */
+  def createTable(spark: SparkSession, name: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.catalog.createTable(name, path, "parquet")
+    spark.catalog.recoverPartitions(name)
+  }
+
+  /** K9: the reference's `stock_daily_metrics` view over a registered
+    * bar table (deterministic `min` in place of ANY_VALUE). */
+  def createDailyMetricsView(spark: SparkSession, barsTable: String,
+                             viewName: String = "stock_daily_metrics"): Unit =
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW $viewName AS
+      SELECT date, symbol,
+             min(close) AS close_price,
+             avg(daily_volatility) AS avg_volatility,
+             count(DISTINCT data_source) AS source_count
+      FROM $barsTable
+      GROUP BY date, symbol""")
+}

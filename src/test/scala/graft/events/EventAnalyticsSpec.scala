@@ -1,0 +1,71 @@
+package graft.events
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
+  private def ev(id: Long, minute: Long, user: Long, typ: String = "click",
+                 value: Double = 1.0, props: String = """{"k": 1}""") =
+    Row(id, new Timestamp(minute * 60000L), user, typ, value, props)
+
+  test("sessionize splits on gaps > 30 minutes, per user") {
+    val d = df(schema,
+      ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1), // session 1: 0-20
+      ev(4, 60, 1), ev(5, 65, 1),              // session 2: 60-65 (40m gap)
+      ev(6, 0, 2))                             // user 2, own session
+    val out = EventAnalytics.sessionize(d, gapMinutes = 30)
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().sorted
+    out.toSeq shouldBe Seq((1L, 1L, 3L), (1L, 2L, 2L), (2L, 1L, 1L))
+  }
+
+  test("a gap of exactly 30 minutes does NOT split the session") {
+    val d = df(schema, ev(1, 0, 1), ev(2, 30, 1), ev(3, 61, 1))
+    val out = EventAnalytics.sessionize(d, gapMinutes = 30)
+      .select("session_seq", "n_events").as[(Long, Long)].collect().sorted
+    // 0 -> 30 stays (== gap), 30 -> 61 splits (> gap)
+    out.toSeq shouldBe Seq((1L, 2L), (2L, 1L))
+  }
+
+  test("session bounds and value sums are exact") {
+    val d = df(schema,
+      ev(1, 0, 1, value = 0.1), ev(2, 5, 1, value = 0.2), ev(3, 9, 1, value = 0.3))
+    val r = EventAnalytics.sessionize(d).collect().head
+    r.getAs[Timestamp]("session_start").getTime shouldBe 0L
+    r.getAs[Timestamp]("session_end").getTime shouldBe 9 * 60000L
+    r.getAs[Double]("total_value") shouldBe 0.6 // exact via decimal sum
+  }
+
+  test("windowedStats buckets on hour boundaries and extracts JSON props") {
+    val d = df(schema,
+      ev(1, 10, 1, "view", 1.0, """{"k": 5}"""),
+      ev(2, 50, 2, "view", 2.0, """{"k": 7}"""),
+      ev(3, 70, 1, "view", 4.0, """{"k": 11}"""))
+    val out = EventAnalytics.windowedStats(d, "1 hour")
+      .select("n_events", "unique_users", "total_value", "sum_k")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    out.toSeq shouldBe Seq((1L, 1L, 4.0, 11L), (2L, 2L, 3.0, 12L))
+  }
+
+  test("propLong reads integer properties, null on absent field") {
+    val d = df(schema, ev(1, 0, 1, props = """{"k": 42}"""))
+    d.select(EventAnalytics.propLong(org.apache.spark.sql.functions.col("props"), "k"))
+      .as[Long].head() shouldBe 42L
+    d.select(EventAnalytics.propLong(org.apache.spark.sql.functions.col("props"), "zz"))
+      .as[Option[Long]].head() shouldBe None
+  }
+}

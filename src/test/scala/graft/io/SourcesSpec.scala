@@ -1,0 +1,57 @@
+package graft.io
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("date", DateType, nullable = false),
+    StructField("symbol", StringType, nullable = false),
+    StructField("open", DoubleType, nullable = true),
+    StructField("volume", LongType, nullable = true),
+    StructField("processed_at", TimestampType, nullable = false)))
+
+  private val fixture = Seq(
+    Row(Date.valueOf("2024-01-05"), "A", 101.25, 1000L,
+      Timestamp.valueOf("2024-01-05 06:00:00.123456")),
+    Row(Date.valueOf("2024-01-06"), "B", null, null,
+      Timestamp.valueOf("2024-01-06 06:00:00")),
+    // shortest-repr stress: a double with a long binary expansion
+    Row(Date.valueOf("2024-01-07"), "C", 0.1 + 0.2, 3L,
+      Timestamp.valueOf("2024-01-07 23:59:59.999999")))
+
+  private def tmp(ext: String): String =
+    Files.createTempDirectory("graft-io").resolve(s"t.$ext").toString
+
+  test("CSV round-trip is lossless including nulls, doubles, timestamps") {
+    val d = df(schema, fixture: _*)
+    val path = tmp("csv")
+    Sources.writeCsv(d, path)
+    assertSameRows(Sources.read(spark, path, Some(schema)), d)
+  }
+
+  test("JSON-lines round-trip is lossless") {
+    val d = df(schema, fixture: _*)
+    val path = tmp("json")
+    Sources.writeJsonl(d, path)
+    assertSameRows(Sources.read(spark, path, Some(schema)), d)
+  }
+
+  test("parquet round-trip is lossless") {
+    val d = df(schema, fixture: _*)
+    val path = tmp("parquet")
+    Sources.writeParquet(d, path)
+    assertSameRows(Sources.read(spark, path, Some(schema)), d)
+  }
+
+  test("extension dispatch rejects unknown formats") {
+    an[IllegalArgumentException] should be thrownBy
+      Sources.read(spark, "/tmp/whatever.xlsx")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("date", DateType, nullable = false),
+    StructField("symbol", StringType, nullable = false),
+    StructField("close", DoubleType, nullable = false)))
+
+  private def bars(rows: (String, String, Double)*) =
+    df(schema, rows.map { case (d, s, c) =>
+      Row(java.sql.Date.valueOf(d), s, c) }: _*)
+      .withColumn("month", date_format(col("date"), "yyyy-MM"))
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("t").toString
+
+  test("writePartitioned lays out hive-style partition dirs") {
+    val path = tmp("layout")
+    val d = bars(("2024-01-05", "A", 1.0), ("2024-02-05", "A", 2.0),
+      ("2024-02-06", "B", 3.0))
+    Store.writePartitioned(d, path, "month", Seq("symbol", "date"))
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    dirs.toSeq shouldBe Seq("month=2024-01", "month=2024-02")
+    assertSameRows(Store.readTable(spark, path), d)
+  }
+
+  test("partition-key predicates prune at plan level") {
+    val path = tmp("prune")
+    val d = bars(("2024-01-05", "A", 1.0), ("2024-02-05", "A", 2.0),
+      ("2024-03-05", "A", 3.0))
+    Store.writePartitioned(d, path, "month", Seq("symbol", "date"))
+    val q = Store.readTable(spark, path).filter(col("month") === "2024-02")
+    val physical = q.queryExecution.executedPlan.toString
+    // Directory pruning: the month predicate must land in
+    // PartitionFilters (skips directories), not PushedFilters.
+    physical should include("PartitionFilters")
+    physical should include regex "PartitionFilters: \\[.*month.*\\]"
+    q.count() shouldBe 1L
+  }
+
+  test("createTable registers a partitioned catalog table (K8) and the view runs (K9)") {
+    val path = tmp("ddl")
+    val d = bars(("2024-01-05", "A", 10.0), ("2024-01-05", "A", 12.0),
+      ("2024-02-06", "B", 20.0))
+      .withColumn("data_source", lit("alpha_vantage"))
+      .withColumn("daily_volatility", lit(1.5))
+    Store.writePartitioned(d, path, "month", Seq("symbol", "date"))
+    Store.createTable(spark, "bars_ddl_test", path)
+    spark.table("bars_ddl_test").count() shouldBe 3L
+    Store.createDailyMetricsView(spark, "bars_ddl_test", "dm_test")
+    val r = spark.table("dm_test").orderBy("date", "symbol")
+      .select("symbol", "close_price", "source_count")
+      .as[(String, Double, Long)].collect()
+    r.toSeq shouldBe Seq(("A", 10.0, 1L), ("B", 20.0, 1L))
+    spark.sql("DROP VIEW dm_test")
+    spark.sql("DROP TABLE bars_ddl_test")
+  }
+}
