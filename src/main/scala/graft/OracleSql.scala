@@ -492,6 +492,21 @@ SELECT max(date) AS newest_date, min(date) AS oldest_date,
     AS INTEGER) AS age_warn
 FROM merged"""
 
+  /** Multimodal metadata over text-derived binaries. The corpus is
+    * ASCII, so char offsets equal byte offsets and DuckDB's varchar
+    * functions oracle the Spark binary ops exactly; md5(varchar)
+    * hashes the same UTF-8 bytes as Spark's md5(binary). */
+  val q31_multimodal_meta: String = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  hex(encode(substr(text, 1, 8))) AS header_hex,
+  md5(text) AS content_md5,
+  CAST(('0x' || substr(md5(text),1,14)) AS BIGINT) % 1920 + 1 AS fake_width,
+  CAST(('0x' || substr(md5(text),1,14)) AS BIGINT) % 1080 + 1 AS fake_height,
+  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks,
+  md5(substr(text, 1, 256)) AS chunk0_md5
+FROM documents ORDER BY doc_id"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -522,5 +537,6 @@ FROM merged"""
     "q27_csv_roundtrip" -> q27_csv_roundtrip,
     "q28_json_roundtrip" -> q28_json_roundtrip,
     "q29_ma_pandas" -> q29_ma_pandas,
-    "q30_freshness" -> q30_freshness)
+    "q30_freshness" -> q30_freshness,
+    "q31_multimodal_meta" -> q31_multimodal_meta)
 }

@@ -273,6 +273,25 @@ object SparkEntry {
         max(when(col("date") < date_sub(anchor, 365), 1).otherwise(0)).as("age_warn"))
     }),
 
+    // Multimodal plumbing: media as opaque binary + typed metadata,
+    // stubbed-but-deterministic decode, fixed-size chunk hashes. The
+    // corpus is ASCII so text-derived binaries let DuckDB oracle the
+    // byte arithmetic.
+    "q31_multimodal_meta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("media", col("text").cast("binary"))
+      graft.multimodal.Multimodal.mediaProfile(docs, "doc_id", "media", 256)
+        .select(col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.header_hex").as("header_hex"),
+          col("meta.content_md5").as("content_md5"),
+          col("decoded.width").as("fake_width"),
+          col("decoded.height").as("fake_height"),
+          size(col("chunk_md5s")).cast("long").as("n_chunks"),
+          element_at(col("chunk_md5s"), 1).as("chunk0_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

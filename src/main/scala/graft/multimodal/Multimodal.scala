@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for LLM training-data pipelines: media
+  * (image/audio/video) as opaque `binary` columns with typed metadata,
+  * deterministic feature stubs, and fixed-size chunking (the batch
+  * shape a frame-sampler or patch-encoder consumes).
+  *
+  * The DECODE step is a STUB by design: no image/audio codecs exist in
+  * this environment, so `stubDecode` derives plausible, deterministic
+  * dimensions from the content hash. Everything around it — schemas,
+  * chunk layout, hashing, the single narrow projection — is the real
+  * distributed plumbing and is oracle-checked/unit-tested. Swap
+  * `stubDecode` for a codec-backed implementation and nothing else
+  * changes.
+  *
+  * All functions are codegen'd built-ins over binary — no UDFs, no
+  * python workers, no per-row JVM object churn beyond the buffers.
+  */
+object Multimodal {
+
+  /** Byte length + head bytes + content hash: the metadata every media
+    * ingest keeps before any decode. */
+  def mediaMeta(bin: Column): Column = struct(
+    length(bin).cast("long").as("n_bytes"),
+    hex(substring(bin, 1, 8)).as("header_hex"),
+    md5(bin).as("content_md5"))
+
+  /** STUBBED decode: deterministic fake dimensions from the content
+    * hash (md5-derived 56-bit int). A real implementation would parse
+    * the container header; the pipeline shape is identical. */
+  def stubDecode(bin: Column): Column = {
+    val h = conv(substring(md5(bin), 1, 14), 16, 10).cast("long")
+    struct(
+      (h % 1920 + 1).as("width"),
+      (h % 1080 + 1).as("height"),
+      (h % 3).cast("int").as("channels_idx"))
+  }
+
+  /** Fixed-size chunking (frame/patch sampling shape): byte ranges
+    * [i·size+1, (i+1)·size], last chunk ragged. Empty media → empty
+    * array. */
+  def chunk(bin: Column, size: Int): Column = {
+    val n = ceil(length(bin).cast("double") / size).cast("int")
+    // sequence(1, 0) runs BACKWARDS in Spark — empty media needs an
+    // explicit empty array, not an empty sequence.
+    when(n <= 0, array().cast("array<binary>"))
+      .otherwise(transform(sequence(lit(1), n),
+        i => substring(bin, (i - lit(1)) * size + 1, lit(size))))
+  }
+
+  /** Per-chunk content hashes — the dedup/caching key stream a media
+    * pipeline shuffles instead of the bytes themselves. */
+  def chunkHashes(bin: Column, size: Int): Column =
+    transform(chunk(bin, size), md5(_))
+
+  /** Full media profile over a binary column: one narrow projection,
+    * no shuffle; the media bytes never leave the scan stage. */
+  def mediaProfile(df: DataFrame, idCol: String, binCol: String,
+                   chunkSize: Int = 256): DataFrame =
+    df.select(
+      col(idCol),
+      col(binCol).as("media"),
+      mediaMeta(col(binCol)).as("meta"),
+      stubDecode(col(binCol)).as("decoded"),
+      chunkHashes(col(binCol), chunkSize).as("chunk_md5s"))
+}

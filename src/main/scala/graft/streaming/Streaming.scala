@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types._
+
+import graft.core.Exact
+import graft.etl.Upsert
+
+/** Structured Streaming re-expression of the ingest pipeline
+  * (SURVEY.md §2.10): file-source event stream → watermarked dedup
+  * (the streaming form of the keep-first dedup A2) → tumbling
+  * event-time windows (the streaming form of the daily batch cadence)
+  * → foreachBatch MERGE into the stored table (the streaming form of
+  * the K7 upsert, handling late re-delivered data).
+  *
+  * The batch twins live in [[graft.events.EventAnalytics]] and
+  * [[graft.etl.Upsert]] — same semantics, verified against each other
+  * in the test suite (batch-streaming equivalence is the correctness
+  * contract Structured Streaming is built on).
+  *
+  * Scale: state stores are keyed by (window, event_type) for the
+  * aggregation and by event_id for the dedup — both bounded by the
+  * watermark horizon; nothing accumulates unboundedly.
+  */
+object Streaming {
+
+  /** The events table schema (TESTDATA.md), micro-second timestamps. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = true)))
+
+  /** File-source ingest: new parquet files under `dir` become
+    * micro-batches (the streaming analog of the reference's daily
+    * landing directory). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Streaming dedup on event_id with a watermark: duplicates arriving
+    * within `watermark` of the original are dropped; state for older
+    * ids is evicted. The streaming A2. */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of
+    * [[graft.events.EventAnalytics.windowedStats]] minus the distinct
+    * count (distinct aggregation is unsupported over streams; the
+    * scale substitute is approx_count_distinct). */
+  def windowedStats(events: DataFrame, duration: String = "1 hour",
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.exactSum(col("value"), 6).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** foreachBatch MERGE sink: every micro-batch is upserted into the
+    * parquet table at `tablePath` on `keys` (late/duplicate rows update
+    * in place — the reference's K7 for streams). The merged result is
+    * staged to a temp dir and swapped in, so the write never reads the
+    * files it replaces; exactly-once comes from the checkpoint +
+    * idempotent merge. */
+  def upsertSink(stream: DataFrame, tablePath: String, keys: Seq[String],
+                 checkpointDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(tablePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new Path(tablePath)))
+            Upsert.upsert(spark.read.parquet(tablePath), batch, keys)
+          else batch
+        val tmp = s"$tablePath.__stream_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+        fs.delete(new Path(tmp), true)
+        ()
+      }
+
+  def startUpsertStream(stream: DataFrame, tablePath: String,
+                        keys: Seq[String], checkpointDir: String): StreamingQuery =
+    upsertSink(stream, tablePath, keys, checkpointDir).start()
+}

@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false)))
+
+  // Non-ASCII bytes on purpose: the plumbing must be byte-clean, not
+  // string-clean (real media is arbitrary bytes).
+  private val bytes600: Array[Byte] =
+    Array.tabulate(600)(i => ((i * 31 + 7) % 256 - 128).toByte)
+
+  private def media(rows: (Long, Array[Byte])*) =
+    df(schema, rows.map { case (i, b) => Row(i, b) }: _*)
+
+  test("mediaMeta: byte length, 8-byte header hex, content md5") {
+    val d = media(1L -> bytes600)
+    val r = d.select(Multimodal.mediaMeta(col("media")).as("m"))
+      .select("m.n_bytes", "m.header_hex", "m.content_md5")
+      .as[(Long, String, String)].head()
+    r._1 shouldBe 600L
+    r._2 shouldBe bytes600.take(8).map(b => f"$b%02X").mkString
+    val jm = java.security.MessageDigest.getInstance("MD5")
+    r._3 shouldBe jm.digest(bytes600).map(b => f"$b%02x").mkString
+  }
+
+  test("chunk splits into fixed sizes with ragged tail and reassembles") {
+    val d = media(1L -> bytes600)
+    val chunks = d.select(Multimodal.chunk(col("media"), 256).as("c"))
+      .as[Seq[Array[Byte]]].head()
+    chunks.map(_.length) shouldBe Seq(256, 256, 88)
+    chunks.flatten.toArray shouldBe bytes600
+  }
+
+  test("chunk of empty media is an empty array") {
+    val d = media(1L -> Array.empty[Byte])
+    d.select(Multimodal.chunk(col("media"), 256).as("c"))
+      .as[Seq[Array[Byte]]].head() shouldBe Seq.empty
+  }
+
+  test("stubDecode is deterministic and in-range") {
+    val d = media(1L -> bytes600, 2L -> bytes600)
+    val out = d.select(Multimodal.stubDecode(col("media")).as("d"))
+      .select("d.width", "d.height", "d.channels_idx")
+      .as[(Long, Long, Int)].collect()
+    out(0) shouldBe out(1) // same content -> same fake dimensions
+    out(0)._1 should (be >= 1L and be <= 1920L)
+    out(0)._2 should (be >= 1L and be <= 1080L)
+    out(0)._3 should (be >= 0 and be <= 2)
+  }
+
+  test("chunkHashes yields one md5 per chunk") {
+    val d = media(1L -> bytes600)
+    val hs = d.select(Multimodal.chunkHashes(col("media"), 256).as("h"))
+      .as[Seq[String]].head()
+    hs.length shouldBe 3
+    val jm = java.security.MessageDigest.getInstance("MD5")
+    hs.head shouldBe jm.digest(bytes600.take(256)).map(b => f"$b%02x").mkString
+  }
+}

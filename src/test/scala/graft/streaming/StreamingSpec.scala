@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.events.EventAnalytics
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Base well above the epoch: a watermark starts at 1970-01-01, and
+  // rows at-or-below the watermark are dropped as late — an event at
+  // minute 0 would silently vanish from the first micro-batch.
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def ev(id: Long, minute: Long, typ: String = "click",
+                 value: Double = 1.0): Ev =
+    Ev(id, new Timestamp(base + minute * 60000L), 1L, typ, value, """{"k": 1}""")
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-stream-$name").toString
+
+  test("dropDuplicatesWithinWatermark drops re-delivered event_ids") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.dedupWithinWatermark(ms.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", tmp("dedup-ckpt")).outputMode("append")
+      .start()
+    try {
+      ms.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      ms.addData(ev(2, 2), ev(3, 3)) // id 2 re-delivered within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      ids.toSeq shouldBe Seq(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
+  test("streaming windowed aggregation matches the batch twin (complete mode)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val events = Seq(
+      ev(1, 10, "view", 1.5), ev(2, 50, "view", 2.5),
+      ev(3, 70, "view", 4.0), ev(4, 75, "click", 8.0))
+    val q = Streaming.windowedStats(ms.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .option("checkpointLocation", tmp("win-ckpt")).outputMode("complete")
+      .start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+      val batch = EventAnalytics.windowedStats(events.toDF(), "1 hour")
+        .select("window_start", "event_type", "n_events", "total_value")
+      assertSameRows(streamed, batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert: late re-delivery updates in place across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val table = tmp("upsert") + "/events_table"
+    val q = Streaming.startUpsertStream(ms.toDF(), table,
+      keys = Seq("event_id"), checkpointDir = tmp("upsert-ckpt"))
+    try {
+      ms.addData(ev(1, 0, value = 1.0), ev(2, 1, value = 2.0))
+      q.processAllAvailable()
+      ms.addData(ev(2, 1, value = 99.0), ev(3, 2, value = 3.0)) // 2 updated
+      q.processAllAvailable()
+      val out = spark.read.parquet(table)
+        .select("event_id", "value").as[(Long, Double)].collect().sorted
+      out.toSeq shouldBe Seq((1L, 1.0), (2L, 99.0), (3L, 3.0))
+    } finally q.stop()
+  }
+}
