@@ -78,6 +78,31 @@ object Dedup {
         transform(shingles(toks, n), TextAnalysis.tokenHash(_)).as("hs"))
   }
 
+  /** One row per (doc_id, shingle hash) — the codegen'd path all
+    * near-dup operators build on. Higher-order lambdas are interpreted
+    * in Spark (never codegen'd), so per-element folds cost a plan-tree
+    * walk per shingle; here the only lambda builds the shingle STRING,
+    * and md5/conv/mod run as scalar codegen'd expressions over the
+    * exploded rows (measured 5-10× faster at sf0.1). The downstream
+    * groupBy(doc_id) aggregates collapse map-side before any shuffle —
+    * the exploded rows never cross the wire. */
+  def explodedShingleHashes(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", n: Int = 3,
+                            modP: Boolean = true): DataFrame = {
+    val h56 = conv(substring(md5(col("__sh").cast("binary")), 1, 14), 16, 10)
+      .cast("long")
+    // The token array MUST be materialized behind its own projection:
+    // the shingle lambda reads it 3× per element, and interpreted HOF
+    // lambdas re-evaluate child subtrees per access — inlined, every
+    // shingle re-runs the whole regexp tokenization (measured 7×
+    // slower at sf0.1).
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), explode(shingles(col("__toks"), n)).as("__sh"))
+      .select(col("doc_id"), (if (modP) h56 % P else h56).as("shingle"))
+  }
+
   /** MinHash signature: per permutation i, min over shingle hashes of
     * (a_i·x + b_i) mod P. Arrays of longs — 128 bytes per doc. */
   def minhashSignature(hashes: Column): Column =
@@ -85,10 +110,20 @@ object Dedup {
       array_min(transform(hashes, x => (x * lit(a) + lit(b)) % lit(P)))
     }: _*)
 
+  /** Per-doc MinHash signature via the exploded path: 16 codegen'd
+    * `min` aggregates with map-side partial combine — the shuffle
+    * carries one 16-long row per doc, not the shingles. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", n: Int = 3): DataFrame =
-    shingleHashes(docs, idCol, textCol, n)
-      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+                        textCol: String = "text", n: Int = 3): DataFrame = {
+    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("shingle") * lit(a) + lit(b)) % lit(P)).as(s"__m$i")
+    }
+    explodedShingleHashes(docs, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
 
   private def bandKey(sig: Column, b: Int): Column =
     concat_ws("_", (1 to rowsPerBand).map(j =>
@@ -137,10 +172,11 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                    maxDocFreq: Long = 100, idCol: String = "doc_id",
                    textCol: String = "text", n: Int = 3): DataFrame = {
-    val posting = shingleHashes(docs, idCol, textCol, n)
-      .select(col("doc_id"), array_distinct(col("hs")).as("ss"))
-      .select(col("doc_id"), size(col("ss")).as("n_sh"),
-        explode(col("ss")).as("shingle"))
+    // Distinct (doc, shingle) postings via one shuffle; per-doc set
+    // sizes are a 1-row-per-doc side table, broadcast back onto the
+    // pair aggregate instead of riding through the self-join.
+    val posting = explodedShingleHashes(docs, idCol, textCol, n).distinct()
+    val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = posting.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
       .select("shingle")
@@ -148,10 +184,13 @@ object Dedup {
     val common = filtered.as("a").join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
+      .join(broadcast(sizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "n_sh" -> "n_a"))), "doc_a")
+      .join(broadcast(sizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "n_sh" -> "n_b"))), "doc_b")
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -183,19 +222,24 @@ object Dedup {
     * near-identical token *distributions* (every doc's majority-bit
     * vector converges), while shingle sets stay discriminative —
     * measured on the harness corpus, token-level SimHash marks >0.5%
-    * of all pairs as near-dups, shingle-level only the true ones. */
+    * of all pairs as near-dups, shingle-level only the true ones.
+    *
+    * Exploded path: 32 codegen'd bit-count sums + a total count in one
+    * hash aggregate, then the majority test per bit. Bit-identical to
+    * the fold form ([[simhash]]) and ~10× faster (the folds are
+    * interpreted). */
   def simhashes(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", n: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // Materialize the hash array in its own projection: `simhash` reads
-    // it 32 times, and inlining would clone the whole
-    // tokenize→shingle→md5 pipeline into every bit-fold (measured 30×
-    // slower). CollapseProject keeps the barrier because the alias is
-    // non-cheap and multiply-referenced.
-    docs.filter(size(toks) >= n)
-      .select(col(idCol).as("doc_id"),
-        transform(shingles(toks, n), tokenHash56(_)).as("__hs"))
-      .select(col("doc_id"), simhash(col("__hs")).as("simhash"))
+    val bitSums = (0 until simhashBits).map(j =>
+      sum(shiftright(col("shingle"), j) % 2).as(s"__b$j")) :+
+      count(lit(1)).as("__n")
+    explodedShingleHashes(docs, idCol, textCol, n, modP = false)
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until simhashBits).map(j =>
+          when(col(s"__b$j") * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one identical
