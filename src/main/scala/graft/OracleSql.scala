@@ -507,6 +507,21 @@ SELECT doc_id,
   md5(substr(text, 1, 256)) AS chunk0_md5
 FROM documents ORDER BY doc_id"""
 
+  /** As-of join via DuckDB's native ASOF LEFT JOIN; the Spark side is
+    * the union+running-last plan. Right side deduped per (user, ts)
+    * keeping the max event_id, mirroring the Spark dedup. */
+  val q32_asof_join: String = """
+WITH v AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view')
+  WHERE rn = 1),
+p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+  v.event_id AS view_event_id, v.ts AS view_ts, v.value AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -538,5 +553,6 @@ FROM documents ORDER BY doc_id"""
     "q28_json_roundtrip" -> q28_json_roundtrip,
     "q29_ma_pandas" -> q29_ma_pandas,
     "q30_freshness" -> q30_freshness,
-    "q31_multimodal_meta" -> q31_multimodal_meta)
+    "q31_multimodal_meta" -> q31_multimodal_meta,
+    "q32_asof_join" -> q32_asof_join)
 }

@@ -292,6 +292,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // As-of join: each purchase aligned with the user's most recent
+    // prior view (union + one shuffle + running last, no range
+    // explosion). Right side deduped per (user_id, ts) so "most
+    // recent" is well defined in both engines.
+    "q32_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = graft.etl.Merge.dedupKeepFirst(
+        ev.filter(col("event_type") === "view"),
+        keys = Seq("user_id", "ts"), priority = Seq(col("event_id").desc))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.events.AsofJoin.asof(purchases, views,
+          keys = Seq("user_id"), timeCol = "ts",
+          rightCols = Seq("event_id", "ts", "value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id").as("view_event_id"),
+          col("asof_ts").as("view_ts"),
+          col("asof_value").as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -1,0 +1,52 @@
+package graft.events
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def row(id: Long, user: Long, minute: Long, v: Double) =
+    Row(id, user, new Timestamp(base + minute * 60000L), v)
+
+  test("each left row gets the most recent right row at or before its time") {
+    val left = df(schema, row(101, 1, 10, 0), row(102, 1, 30, 0), row(103, 2, 5, 0))
+    val right = df(schema, row(1, 1, 5, 1.0), row(2, 1, 20, 2.0), row(3, 2, 50, 3.0))
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts", Seq("id", "v"))
+      .select("id", "asof_id", "asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+    out.toSeq shouldBe Seq(
+      (101L, Some(1L), Some(1.0)),  // view@5 <= 10
+      (102L, Some(2L), Some(2.0)),  // view@20 <= 30
+      (103L, None, None))           // user 2 has no prior right row
+  }
+
+  test("a right row at exactly the left time matches (inclusive)") {
+    val left = df(schema, row(101, 1, 10, 0))
+    val right = df(schema, row(1, 1, 10, 7.0))
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("asof_v").as[Option[Double]].head()
+    out shouldBe Some(7.0)
+  }
+
+  test("left columns pass through untouched; matches stay within key groups") {
+    val left = df(schema, row(101, 1, 10, 42.0), row(102, 2, 10, 43.0))
+    val right = df(schema, row(1, 2, 5, 9.0))
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("id", "v", "asof_v")
+      .as[(Long, Double, Option[Double])].collect().sortBy(_._1)
+    out.toSeq shouldBe Seq((101L, 42.0, None), (102L, 43.0, Some(9.0)))
+  }
+}
