@@ -522,6 +522,22 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 ORDER BY p.event_id"""
 
+  /** Multi-table equi-join + filtered aggregate (TPC-H Q5 shape). */
+  val q33_join_revenue: String = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)
+    AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND r_name = 'ASIA'
+GROUP BY n_name ORDER BY n_name"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -554,5 +570,6 @@ ORDER BY p.event_id"""
     "q29_ma_pandas" -> q29_ma_pandas,
     "q30_freshness" -> q30_freshness,
     "q31_multimodal_meta" -> q31_multimodal_meta,
-    "q32_asof_join" -> q32_asof_join)
+    "q32_asof_join" -> q32_asof_join,
+    "q33_join_revenue" -> q33_join_revenue)
 }

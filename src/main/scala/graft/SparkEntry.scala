@@ -312,6 +312,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Stock equi-join surface (SURVEY §2.4): lineitem⋈orders is the
+    // shuffle join; customer/nation/region fall under the broadcast
+    // threshold and AQE picks broadcast — no hints, the optimizer owns
+    // the strategy. Date filter pushes to the orders scan.
+    "q33_join_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          Exact.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("n_name"))
+    }),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

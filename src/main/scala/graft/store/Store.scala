@@ -39,6 +39,21 @@ object Store {
     spark.catalog.recoverPartitions(name)
   }
 
+  /** Bucketed managed table: rows hash-partitioned into `numBuckets`
+    * files per bucket column value range and sorted inside buckets.
+    * Two tables bucketed the same way join/aggregate on the bucket
+    * key with ZERO exchanges — the pre-shuffle is paid once at write
+    * time, the win repeats on every co-located join. The Spark analog
+    * of `CLUSTER BY` that actually removes shuffles (sortWithinParts
+    * only enables row-group skipping). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K9: the reference's `stock_daily_metrics` view over a registered
     * bar table (deterministic `min` in place of ANY_VALUE). */
   def createDailyMetricsView(spark: SparkSession, barsTable: String,

@@ -49,6 +49,24 @@ class StoreSpec extends SparkSpec {
     q.count() shouldBe 1L
   }
 
+  test("bucketed tables join on the bucket key with zero exchanges") {
+    val d = bars(("2024-01-05", "A", 1.0), ("2024-01-06", "A", 2.0),
+      ("2024-01-05", "B", 3.0), ("2024-01-07", "C", 4.0)).drop("month")
+    Store.writeBucketed(d, "bars_bucketed_l", "symbol", 4)
+    Store.writeBucketed(d, "bars_bucketed_r", "symbol", 4)
+    val l = spark.table("bars_bucketed_l")
+    val r = spark.table("bars_bucketed_r").groupBy("symbol")
+      .agg(org.apache.spark.sql.functions.max("close").as("max_close"))
+    val joined = l.join(r, "symbol")
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: bucket layout satisfies the join's distribution on
+    // both sides - no shuffle exchange anywhere in the plan
+    plan should not include "Exchange hashpartitioning"
+    joined.count() shouldBe 4L
+    spark.sql("DROP TABLE bars_bucketed_l")
+    spark.sql("DROP TABLE bars_bucketed_r")
+  }
+
   test("createTable registers a partitioned catalog table (K8) and the view runs (K9)") {
     val path = tmp("ddl")
     val d = bars(("2024-01-05", "A", 10.0), ("2024-01-05", "A", 12.0),

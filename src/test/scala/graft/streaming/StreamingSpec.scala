@@ -65,6 +65,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet drops process via AvailableNow and match batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val landing = tmp("landing")
+    val events = Seq(ev(1, 10, "view", 1.5), ev(2, 50, "view", 2.5),
+      ev(3, 70, "click", 4.0))
+    // two separate file drops in the landing dir
+    events.take(2).toDF().write.mode("append").parquet(landing)
+    events.drop(2).toDF().write.mode("append").parquet(landing)
+    val q = Streaming.windowedStats(
+        Streaming.readEventsStream(spark, landing), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("file_win_out")
+      .option("checkpointLocation", tmp("file-ckpt"))
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) shouldBe true
+    finally q.stop()
+    assertSameRows(
+      spark.table("file_win_out"),
+      EventAnalytics.windowedStats(events.toDF(), "1 hour")
+        .select("window_start", "event_type", "n_events", "total_value"))
+  }
+
   test("foreachBatch upsert: late re-delivery updates in place across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
