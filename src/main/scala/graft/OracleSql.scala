@@ -538,6 +538,18 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND r_name = 'ASIA'
 GROUP BY n_name ORDER BY n_name"""
 
+  /** The salted join must equal the plain join — the oracle runs the
+    * unsalted form. */
+  val q34_salted_join: String = barsCte + """
+, dim AS (
+  SELECT 'S' || CAST(s_suppkey % 25 AS VARCHAR) AS symbol, count(*) AS n_suppliers
+  FROM supplier GROUP BY 1)
+SELECT m.symbol, count(*) AS n_rows,
+  CAST(sum(CAST(close AS DECIMAL(38,2))) AS DOUBLE) AS sum_close,
+  max(n_suppliers) AS n_suppliers
+FROM merged m JOIN dim d ON m.symbol = d.symbol
+GROUP BY m.symbol ORDER BY m.symbol"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -571,5 +583,6 @@ GROUP BY n_name ORDER BY n_name"""
     "q30_freshness" -> q30_freshness,
     "q31_multimodal_meta" -> q31_multimodal_meta,
     "q32_asof_join" -> q32_asof_join,
-    "q33_join_revenue" -> q33_join_revenue)
+    "q33_join_revenue" -> q33_join_revenue,
+    "q34_salted_join" -> q34_salted_join)
 }

@@ -334,6 +334,22 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Skew-mitigated join: bars (hot symbols) salted across 8
+    // sub-keys, dim replicated per salt — result provably identical
+    // to the plain join (the oracle IS the plain join).
+    "q34_salted_join" -> ((s, dir) => {
+      val bars = mergedBars(s, dir)
+      val dim = Tables.supplier(s, dir)
+        .groupBy(concat(lit("S"), (col("s_suppkey") % 25).cast("string")).as("symbol"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      graft.etl.Skew.saltedJoin(bars, dim, Seq("symbol"), col("row_id"), buckets = 8)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.exactSum(col("close"), 2).as("sum_close"),
+          max(col("n_suppliers")).as("n_suppliers"))
+        .orderBy(col("symbol"))
+    }),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

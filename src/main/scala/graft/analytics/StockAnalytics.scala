@@ -107,6 +107,23 @@ object StockAnalytics {
     global.crossJoin(sourceArray)
   }
 
+  /** A5 at 100 TB: `countDistinct` expands to a two-phase plan that
+    * shuffles every distinct value; the HLL sketch shuffles a fixed
+    * ~KB register set per group instead. Bounded error (`rsd`),
+    * unbounded scale — the swap-in when the exact form's shuffle
+    * becomes the bottleneck. Not oracle-checked (approximate by
+    * design); the suite bounds its error against the exact form. */
+  def qualityMetricsApprox(bars: DataFrame, rsd: Double = 0.02): DataFrame =
+    bars.agg(
+      count(lit(1)).as("total_rows"),
+      approx_count_distinct(col("date"), rsd).as("unique_dates"),
+      approx_count_distinct(col("symbol"), rsd).as("unique_symbols"),
+      approx_count_distinct(col("data_source"), rsd).as("unique_sources"),
+      min(col("date")).as("earliest_date"),
+      max(col("date")).as("latest_date"),
+      min(col("close")).as("min_close"),
+      max(col("close")).as("max_close"))
+
   /** Ingestion stats (A6, reference `queries.py:150-163`): per
     * ingestion day (DATE(processed_at)): volumes, distinct symbols and
     * sources, covered bar-date range. */
