@@ -93,3 +93,81 @@ object Streaming {
                         keys: Seq[String], checkpointDir: String): StreamingQuery =
     upsertSink(stream, tablePath, keys, checkpointDir).start()
 }
+
+/** Typed rows for the stateful session operator. */
+case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                        event_type: String, value: Double)
+
+case class SessionWindow(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long,
+                         total_value: Double)
+
+/** Custom streaming state via `flatMapGroupsWithState` (SURVEY §2.10):
+  * gap-based session windows — the streaming twin of
+  * [[graft.events.EventAnalytics.sessionize]]. Sessions close two
+  * ways: a later event from the same user arrives past the gap
+  * (emitted immediately), or the event-time watermark passes the
+  * session's gap horizon (emitted on timeout). State per user is one
+  * open session — bounded, watermark-evicted.
+  */
+object StatefulSessions {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Open-session state: [start, last] bounds + running aggregates. */
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
+
+  /** `events` needs at least (event_id, ts, user_id, event_type,
+    * value); the watermark bounds both lateness and state lifetime. */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+                 watermark: String = "1 hour"): Dataset[SessionWindow] = {
+    val gapMs = gapMinutes * 60000L
+    implicit val eventEnc = Encoders.product[SessionEvent]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionWindow]
+    implicit val longEnc = Encoders.scalaLong
+    val typed = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+
+    def fn(user: Long, rows: Iterator[SessionEvent],
+           state: GroupState[OpenSession]): Iterator[SessionWindow] = {
+      def emit(s: OpenSession) = SessionWindow(user,
+        new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+        s.n, s.total)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).toIterator
+        state.remove()
+        out
+      } else {
+        // fold this micro-batch's rows (in event order) into sessions
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var open = state.getOption
+        val closed = Seq.newBuilder[SessionWindow]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          open match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              open = Some(OpenSession(s.startMs, math.max(s.lastMs, t),
+                s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += emit(s)
+              open = Some(OpenSession(t, t, 1, e.value))
+            case None =>
+              open = Some(OpenSession(t, t, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // close via timeout once the watermark passes last+gap
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

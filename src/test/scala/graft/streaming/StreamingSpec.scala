@@ -86,6 +86,35 @@ class StreamingSpec extends SparkSpec {
         .select("window_start", "event_type", "n_events", "total_value"))
   }
 
+  test("stateful sessions: gap closes in-batch, watermark timeout closes the tail") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StatefulSessions.sessionize(ms.toDF(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .option("checkpointLocation", tmp("sess-ckpt")).outputMode("append")
+      .start()
+    try {
+      // user 1: events at 10,20 then 100 -> first session closes on gap
+      ms.addData(ev(1, 10), ev(2, 20, value = 2.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, 100))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_out")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect()
+      afterGap.toSeq shouldBe Seq((1L, 2L, 3.0))
+      // watermark past 100+30+10 -> the open session times out and emits
+      ms.addData(Ev(99, new Timestamp(base + 200 * 60000L), 2L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      ms.addData(Ev(100, new Timestamp(base + 201 * 60000L), 2L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val users = spark.table("sess_out").select("user_id")
+        .as[Long].collect().sorted
+      users should contain(1L)
+      users.count(_ == 1L) shouldBe 2 // both user-1 sessions emitted
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert: late re-delivery updates in place across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
