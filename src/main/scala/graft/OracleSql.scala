@@ -550,6 +550,20 @@ SELECT m.symbol, count(*) AS n_rows,
 FROM merged m JOIN dim d ON m.symbol = d.symbol
 GROUP BY m.symbol ORDER BY m.symbol"""
 
+  /** try_cast coercibility probes; DuckDB TRY_CAST has the same
+    * NULL-on-failure contract. */
+  val q35_cast_probe: String = """
+SELECT
+  count(CASE WHEN TRY_CAST(lang AS DOUBLE) IS NULL AND lang IS NOT NULL THEN 1 END)
+    AS lang_not_double,
+  count(CASE WHEN TRY_CAST(source AS DATE) IS NULL AND source IS NOT NULL THEN 1 END)
+    AS source_not_date,
+  count(CASE WHEN TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) IS NULL
+             AND CAST(n_chars AS VARCHAR) IS NOT NULL THEN 1 END)
+    AS n_chars_not_bigint,
+  count(*) AS row_count
+FROM documents"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -584,5 +598,6 @@ GROUP BY m.symbol ORDER BY m.symbol"""
     "q31_multimodal_meta" -> q31_multimodal_meta,
     "q32_asof_join" -> q32_asof_join,
     "q33_join_revenue" -> q33_join_revenue,
-    "q34_salted_join" -> q34_salted_join)
+    "q34_salted_join" -> q34_salted_join,
+    "q35_cast_probe" -> q35_cast_probe)
 }

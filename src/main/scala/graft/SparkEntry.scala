@@ -350,6 +350,21 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Type-coercibility probe (schema-compat validator as data): count
+    // of values that fail try_cast per declared target type.
+    "q35_cast_probe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_chars_str", col("n_chars").cast("string"))
+      d.agg(
+        count(when(col("lang").try_cast("double").isNull && col("lang").isNotNull, 1))
+          .as("lang_not_double"),
+        count(when(col("source").try_cast("date").isNull && col("source").isNotNull, 1))
+          .as("source_not_date"),
+        count(when(col("n_chars_str").try_cast("bigint").isNull &&
+          col("n_chars_str").isNotNull, 1)).as("n_chars_not_bigint"),
+        count(lit(1)).as("row_count"))
+    }),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)
