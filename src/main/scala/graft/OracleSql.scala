@@ -564,6 +564,22 @@ SELECT
   count(*) AS row_count
 FROM documents"""
 
+  /** Near-dup removal: the q18 pair query (nested WITH) feeds a
+    * recursive transitive closure; survivors are docs with no smaller
+    * connected doc_id. */
+  val q36_neardup_dedup: String = s"""
+WITH RECURSIVE
+p AS ($q18_minhash_neardup),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+conn(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN e ON c.b = e.a WHERE e.b <> c.a),
+removed AS (SELECT DISTINCT a FROM conn WHERE b < a)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT a FROM removed)
+ORDER BY doc_id"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -599,5 +615,6 @@ FROM documents"""
     "q32_asof_join" -> q32_asof_join,
     "q33_join_revenue" -> q33_join_revenue,
     "q34_salted_join" -> q34_salted_join,
-    "q35_cast_probe" -> q35_cast_probe)
+    "q35_cast_probe" -> q35_cast_probe,
+    "q36_neardup_dedup" -> q36_neardup_dedup)
 }

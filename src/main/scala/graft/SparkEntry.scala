@@ -365,6 +365,16 @@ object SparkEntry {
         count(lit(1)).as("row_count"))
     }),
 
+    // End-to-end near-dup REMOVAL: MinHash pairs → connected
+    // components → one canonical survivor per cluster.
+    "q36_neardup_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.dedup.Dedup.minhashPairs(docs, threshold = 0.5)
+      graft.dedup.Dedup.dropNearDups(docs, pairs)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -197,6 +197,50 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph via iterative
+    * min-label propagation: every node adopts the smallest label among
+    * itself and its neighbours until fixpoint. Converges in
+    * O(component diameter) rounds — near-dup components are tiny
+    * (pairs of clones, small clusters), so a handful of shuffles in
+    * practice; each round materializes via localCheckpoint so the
+    * plan does not grow with iterations. Returns (node, label) with
+    * label = min doc_id of the component. */
+  def componentLabels(pairs: DataFrame, aCol: String = "doc_a",
+                      bCol: String = "doc_b", maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighbourLabels = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select("node", "label").union(neighbourLabels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "__old"), "node")
+        .filter(col("label") =!= col("__old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup REMOVAL (the operator a training-data pipeline actually
+    * runs): given candidate pairs, drop every doc whose component
+    * contains a smaller doc_id — one canonical survivor per near-dup
+    * cluster, all unpaired docs untouched. */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val removed = componentLabels(pairs)
+      .filter(col("label") < col("node"))
+      .select(col("node").as(idCol))
+    docs.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** Raw 56-bit md5-derived token hash (no modulus — SimHash needs 32
     * independent bits; [[TextAnalysis.tokenHash]]'s mod-P value only
     * carries 30). */

@@ -86,6 +86,21 @@ class DedupSpec extends SparkSpec {
     s should be < (1L << 32)
   }
 
+  test("componentLabels: chains collapse to the min id; isolated pairs separate") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.componentLabels(pairs).as[(Long, Long)].collect().toMap
+    labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+  }
+
+  test("dropNearDups keeps one canonical doc per cluster, unpaired docs untouched") {
+    import spark.implicits._
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 5L -> "d", 6L -> "e", 9L -> "f")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    Dedup.dropNearDups(d, pairs).select("doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 5L, 9L)
+  }
+
   test("banded candidate generation never emits self-pairs or reversed dups") {
     val d = docs(
       1L -> "a b c d e f g h i j k l m n o p",
