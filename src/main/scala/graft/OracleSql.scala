@@ -580,6 +580,18 @@ SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT a FROM removed)
 ORDER BY doc_id"""
 
+  /** BPE-ish token counts; the regex is RE2-safe alternation shared
+    * verbatim (module the SQL quote doubling) with the Spark side. */
+  val q37_token_counts: String = {
+    val pat = graft.text.TextAnalysis.bpePattern.replace("'", "''")
+    s"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id"""
+  }
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -616,5 +628,6 @@ ORDER BY doc_id"""
     "q33_join_revenue" -> q33_join_revenue,
     "q34_salted_join" -> q34_salted_join,
     "q35_cast_probe" -> q35_cast_probe,
-    "q36_neardup_dedup" -> q36_neardup_dedup)
+    "q36_neardup_dedup" -> q36_neardup_dedup,
+    "q37_token_counts" -> q37_token_counts)
 }

@@ -375,6 +375,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-count estimates: whitespace vs BPE-ish pre-tokenizer.
+    "q37_token_counts" -> ((s, dir) =>
+      graft.text.TextAnalysis.tokenCounts(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

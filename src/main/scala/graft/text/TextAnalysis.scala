@@ -40,6 +40,28 @@ object TextAnalysis {
   def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
     tokenStats(docs).orderBy(col("occurrences").desc, col("token")).limit(k)
 
+  /** GPT-2-style pre-tokenizer approximation: contractions, space-
+    * prefixed letter runs, digit runs, punctuation runs. Same RE2-safe
+    * alternation in both engines, so counts are oracle-checkable.
+    * (Real BPE then merges within these pieces — the pre-tokenizer
+    * count is the standard cheap token estimate.) */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0))).cast("long")
+
+  def whitespaceTokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** Per-doc token-count estimates (whitespace vs BPE-ish) — the
+    * budgeting numbers an LLM-data pipeline tracks per document. */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      whitespaceTokenCount(col(textCol)).as("n_ws_tokens"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"))
+
   // --- per-document profile -------------------------------------------------
 
   /** Minimal multilingual stopword lists (public-knowledge closed-class

@@ -60,4 +60,15 @@ class TextAnalysisSpec extends SparkSpec {
     // ratios are 0/0 -> null under non-ANSI division
     out.isNullAt(out.fieldIndex("avg_token_len")) shouldBe true
   }
+
+  test("BPE-ish token count splits contractions and punctuation runs") {
+    val out = TextAnalysis.tokenCounts(docs(
+      (1L, "it's fine, really!!"),   // it,'s,fine,,,really,!! -> 6 bpe
+      (2L, "plain words here")))     // 3 both ways
+      .orderBy("doc_id").collect()
+    out(0).getAs[Long]("n_bpe_tokens") shouldBe 6L
+    out(0).getAs[Long]("n_ws_tokens") shouldBe 4L // it, s, fine, really
+    out(1).getAs[Long]("n_bpe_tokens") shouldBe 3L
+    out(1).getAs[Long]("n_ws_tokens") shouldBe 3L
+  }
 }
