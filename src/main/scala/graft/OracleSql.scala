@@ -592,6 +592,23 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
   }
 
+  val q38_percentiles: String = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.25) AS p25,
+  quantile_cont(l_quantity, 0.5) AS p50,
+  quantile_cont(l_quantity, 0.75) AS p75,
+  quantile_cont(l_quantity, 0.95) AS p95,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val q39_pivot_sources: String = barsCte + """
+SELECT symbol,
+  CAST(sum(CASE WHEN data_source = 'alpha_vantage'
+    THEN CAST(close AS DECIMAL(38,2)) END) AS DOUBLE) AS av_close_sum,
+  CAST(sum(CASE WHEN data_source = 'yahoo_finance'
+    THEN CAST(close AS DECIMAL(38,2)) END) AS DOUBLE) AS yh_close_sum
+FROM merged GROUP BY symbol ORDER BY symbol"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -629,5 +646,7 @@ FROM documents ORDER BY doc_id"""
     "q34_salted_join" -> q34_salted_join,
     "q35_cast_probe" -> q35_cast_probe,
     "q36_neardup_dedup" -> q36_neardup_dedup,
-    "q37_token_counts" -> q37_token_counts)
+    "q37_token_counts" -> q37_token_counts,
+    "q38_percentiles" -> q38_percentiles,
+    "q39_pivot_sources" -> q39_pivot_sources)
 }

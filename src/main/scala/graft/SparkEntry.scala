@@ -380,6 +380,30 @@ object SparkEntry {
       graft.text.TextAnalysis.tokenCounts(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Exact percentiles (continuous interpolation, matches SQL
+    // percentile_cont / DuckDB quantile_cont bit-for-bit on doubles).
+    "q38_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_quantity, 0.95)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Pivot: per-symbol close sums by source as columns (the
+    // value_counts-to-columns reshape).
+    "q39_pivot_sources" -> ((s, dir) =>
+      mergedBars(s, dir)
+        .groupBy(col("symbol"))
+        .pivot("data_source", Seq("alpha_vantage", "yahoo_finance"))
+        .agg(Exact.exactSum(col("close"), 2))
+        .withColumnsRenamed(Map(
+          "alpha_vantage" -> "av_close_sum", "yahoo_finance" -> "yh_close_sum"))
+        .orderBy(col("symbol"))),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)
