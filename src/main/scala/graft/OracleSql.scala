@@ -609,6 +609,13 @@ SELECT symbol,
     THEN CAST(close AS DECIMAL(38,2)) END) AS DOUBLE) AS yh_close_sum
 FROM merged GROUP BY symbol ORDER BY symbol"""
 
+  val q40_rollup: String = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -648,5 +655,6 @@ FROM merged GROUP BY symbol ORDER BY symbol"""
     "q36_neardup_dedup" -> q36_neardup_dedup,
     "q37_token_counts" -> q37_token_counts,
     "q38_percentiles" -> q38_percentiles,
-    "q39_pivot_sources" -> q39_pivot_sources)
+    "q39_pivot_sources" -> q39_pivot_sources,
+    "q40_rollup" -> q40_rollup)
 }

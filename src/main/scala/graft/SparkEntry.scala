@@ -404,6 +404,16 @@ object SparkEntry {
           "alpha_vantage" -> "av_close_sum", "yahoo_finance" -> "yh_close_sum"))
         .orderBy(col("symbol"))),
 
+    // Multi-dimensional aggregation: ROLLUP over (flag, status) —
+    // subtotals + grand total in one pass (Expand + single shuffle).
+    "q40_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Exact.exactSum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)
