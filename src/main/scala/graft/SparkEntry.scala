@@ -189,6 +189,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN: IVF-Flat — trained centroid cells + nprobe search + exact
+    // re-rank. The k-means training loop is not SQL-expressible, so
+    // this entry carries no oracle (rows-only check); exactness of the
+    // re-rank and recall vs q21's brute force are asserted in
+    // SimilaritySpec.
+    "q41_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity
+        .knnIvf(emb, emb.filter(col("vec_id") < 10), k = 10, nlist = 8, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs within LSH buckets.
     "q23_embed_neardup" -> ((s, dir) =>
       graft.similarity.Similarity
