@@ -22,8 +22,10 @@ TABLES = [
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True,
-                        key=lambda s: s.astype(str))
+    # Stringify before sorting: list/array-valued cells are unhashable
+    # and crash factorize inside sort_values otherwise.
+    df = df.astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 

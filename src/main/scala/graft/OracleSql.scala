@@ -85,13 +85,17 @@ SELECT symbol, date, close_price,
     ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS ma_50d
 FROM daily ORDER BY symbol, date"""
 
+  /** The detail array rides as "source:close;..." pair text — the
+    * same serialization the Spark entry applies (SparkEntry.pairText):
+    * the driver's comparator needs sortable scalars, and DOUBLE→VARCHAR
+    * is shortest-repr identical on both engines. */
   val q05_inconsistency: String = barsCte + """
 SELECT * FROM (
   SELECT date, symbol,
     min(close) AS min_close, max(close) AS max_close, avg(close) AS avg_close,
     count(DISTINCT data_source) AS source_count,
-    array_agg(struct_pack(data_source := data_source, close := close)
-              ORDER BY data_source, close) AS source_details,
+    string_agg(data_source || ':' || CAST(close AS VARCHAR), ';'
+               ORDER BY data_source, close) AS source_details,
     (max(close) - min(close)) / min(close) * 100 AS price_diff_pct
   FROM merged GROUP BY date, symbol)
 WHERE source_count > 1 AND price_diff_pct > 2.0
@@ -108,8 +112,8 @@ SELECT count(*) AS total_rows,
   count(CASE WHEN low IS NULL THEN 1 END) AS null_low,
   count(CASE WHEN volume IS NULL THEN 1 END) AS null_volume,
   min(close) AS min_close, max(close) AS max_close, avg(close) AS avg_close,
-  (SELECT array_agg(struct_pack(data_source := data_source, cnt := cnt)
-                    ORDER BY data_source, cnt)
+  (SELECT string_agg(data_source || ':' || CAST(cnt AS VARCHAR), ';'
+                     ORDER BY data_source, cnt)
    FROM (SELECT data_source, count(*) AS cnt FROM merged GROUP BY data_source))
     AS source_counts
 FROM merged"""

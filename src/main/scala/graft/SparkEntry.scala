@@ -44,6 +44,16 @@ object SparkEntry {
   private val minPick: Column => Column = min(_)
   private val exactAvg4: Column => Column = Exact.exactAvg(_, 4)
 
+  /** Canonical text form of an array<struct<k,v>> column:
+    * "k1:v1;k2:v2" over the (already sorted) array. Keeps the nested
+    * content fully in the compared output while giving the driver's
+    * row-sorting comparator a scalar it can hash. The per-element
+    * lambda is interpreted (never codegen'd), but the arrays here are
+    * per-source summaries — a handful of elements per row. */
+  private def pairText(arr: Column, kField: String, vField: String): Column =
+    array_join(transform(arr, x =>
+      concat_ws(":", x.getField(kField), x.getField(vField).cast("string"))), ";")
+
   /** Per-sf scratch dir under the repo's build tree for queries that
     * exercise sinks (q26–q28): sf-tagged so verify/bench runs at
     * different scale factors never collide. */
@@ -70,15 +80,23 @@ object SparkEntry {
         .orderBy(col("symbol"), col("date"))),
 
     // A4/J2: cross-source inconsistency (group + HAVING), including the
-    // ARRAY_AGG(STRUCT) detail column (sorted for determinism).
+    // ARRAY_AGG(STRUCT) detail column (sorted for determinism). The
+    // sorted struct array is serialized to "source:close;..." pair text
+    // for the compare — the driver's pandas comparator cannot sort
+    // array cells, and double→string casts are shortest-repr identical
+    // on both engines (the same contract the CSV round-trip rides on).
     "q05_inconsistency" -> ((s, dir) =>
       StockAnalytics.inconsistencies(mergedBars(s, dir), minPctDiff = 2.0)
+        .withColumn("source_details", pairText(col("source_details"),
+          "data_source", "close"))
         .orderBy(col("date"), col("symbol"))),
 
     // A5: global data-quality metrics (single agg pass), including the
-    // ordered per-source count array.
+    // ordered per-source count array (serialized like q05's details).
     "q06_quality_metrics" -> ((s, dir) =>
-      StockAnalytics.qualityMetrics(mergedBars(s, dir))),
+      StockAnalytics.qualityMetrics(mergedBars(s, dir))
+        .withColumn("source_counts", pairText(col("source_counts"),
+          "data_source", "cnt"))),
 
     // A6: ingestion stats by DATE(processed_at).
     "q07_ingestion_stats" -> ((s, dir) =>
