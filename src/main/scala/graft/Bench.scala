@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   *  - the timed action is a write to the `noop` sink, which executes
   *    the FULL physical plan (including deterministic final sorts that
   *    a `.count()` action would let Catalyst eliminate) with zero IO;
+  *  - each query runs `repeats` times and reports the MIN: round-2
+  *    numbers showed 3-5x within-run variance on tiny-output
+  *    aggregates (GC/JIT interactions across 41 sequential queries in
+  *    one JVM) — the min is the plan's cost, the rest is jitter;
   *  - failures propagate: a crashed query crashes the bench (rc != 0)
   *    instead of being silently timed as success.
   */
@@ -16,6 +20,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,9 +38,12 @@ object Bench {
     run(names.head) // untimed warmup
 
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      run(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        run(name)
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
