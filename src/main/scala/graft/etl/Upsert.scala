@@ -57,13 +57,21 @@ object Upsert {
     * `staging` (dynamic partition overwrite), so a daily increment
     * touches a day's worth of files, not the whole table.
     *
-    * The merged slice is first materialized to a temp directory next to
-    * the table, then re-read for the overwrite: the overwrite never
-    * reads from the path it is deleting, and an executor loss between
-    * the two steps cannot lose data (unlike an eager localCheckpoint,
-    * whose blocks die with the executor). The temp write is the price
-    * of crash-safety on plain Parquet; table formats with a
-    * transaction log make it free.
+    * Crash-safe commit protocol on plain Parquet (single writer):
+    *  1. [[recoverPartitioned]] completes or discards any commit a
+    *     previous crash left pending;
+    *  2. the merged slice (touched-partition target rows upserted with
+    *     staging) is materialized to a temp dir next to the table —
+    *     Spark's `_SUCCESS` marker distinguishes a complete slice from
+    *     a torn write;
+    *  3. dynamic partition overwrite replaces exactly the touched
+    *     partition dirs from the re-read slice (never reading the path
+    *     it deletes);
+    *  4. the temp dir is deleted ONLY after the overwrite commits — a
+    *     crash inside step 3 leaves the full merged slice on disk, and
+    *     the next call's step 1 replays it (idempotent: same keys,
+    *     same rows). Table formats with a transaction log make this
+    *     protocol free; this is the hand-rolled equivalent.
     *
     * Requires the existing table to be partitioned by `partitionCol` —
     * root-level data files would silently survive a dynamic overwrite
@@ -75,6 +83,7 @@ object Upsert {
       keys: Seq[String],
       partitionCol: String): Unit = {
     assertPartitionedLayout(spark, tablePath, partitionCol)
+    recoverPartitioned(spark, tablePath, partitionCol)
     val target = spark.read.parquet(tablePath)
     // Restrict the anti-join to touched partitions: untouched partitions
     // are left on disk as-is by dynamic overwrite. The touched-key set
@@ -84,8 +93,15 @@ object Upsert {
     val touchedTarget = target.join(broadcast(touched), Seq(partitionCol), "left_semi")
     val merged = upsert(touchedTarget, staging, keys)
 
-    val tmpPath = s"$tablePath.__upsert_tmp"
+    val tmpPath = tmpFor(tablePath)
     merged.write.mode("overwrite").parquet(tmpPath)
+    commitFromTmp(spark, tablePath, tmpPath, partitionCol)
+  }
+
+  private def tmpFor(tablePath: String): String = s"$tablePath.__upsert_tmp"
+
+  private def commitFromTmp(spark: SparkSession, tablePath: String,
+                            tmpPath: String, partitionCol: String): Unit = {
     spark.read.parquet(tmpPath).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -93,6 +109,24 @@ object Upsert {
       .parquet(tablePath)
     val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(tmpPath), true)
+  }
+
+  /** Complete (or discard) a commit a previous [[upsertPartitioned]]
+    * crash left pending. A temp slice WITH `_SUCCESS` was fully
+    * written — replay its overwrite (idempotent; the crash may have
+    * replaced any subset of the touched partitions). A temp slice
+    * WITHOUT the marker is a torn write — the table was never touched,
+    * so discard it; the caller's retry re-merges from scratch. */
+  def recoverPartitioned(spark: SparkSession, tablePath: String,
+                         partitionCol: String): Unit = {
+    val tmpPath = tmpFor(tablePath)
+    val p = new Path(tmpPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      if (fs.exists(new Path(tmpPath, "_SUCCESS")))
+        commitFromTmp(spark, tablePath, tmpPath, partitionCol)
+      else fs.delete(p, true)
+    }
   }
 
   /** A non-empty table whose root holds data files (instead of

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.types._
@@ -64,34 +64,43 @@ object Streaming {
         col("n_events"), col("total_value"))
 
   /** foreachBatch MERGE sink: every micro-batch is upserted into the
-    * parquet table at `tablePath` on `keys` (late/duplicate rows update
-    * in place — the reference's K7 for streams). The merged result is
-    * staged to a temp dir and swapped in, so the write never reads the
-    * files it replaces; exactly-once comes from the checkpoint +
-    * idempotent merge. */
+    * date-partitioned parquet table at `tablePath` on `keys`
+    * (late/duplicate rows update in place — the reference's K7 for
+    * streams). The table is partitioned by `partitionCol` (derived
+    * from the batch via `partitionExpr`) and each batch rewrites ONLY
+    * the partitions it touches, through
+    * [[graft.etl.Upsert.upsertPartitioned]]'s crash-recoverable
+    * staged-slice commit — a minute-level micro-batch costs a
+    * partition's worth of IO, never a table scan, and a crash
+    * mid-commit is replayed from the staged slice on the next batch.
+    * Exactly-once = checkpointed batch replay + idempotent merge. */
   def upsertSink(stream: DataFrame, tablePath: String, keys: Seq[String],
-                 checkpointDir: String): DataStreamWriter[Row] =
+                 checkpointDir: String, partitionCol: String = "event_date",
+                 partitionExpr: DataFrame => Column = df => to_date(df("ts")))
+      : DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val withPart = batch.withColumn(partitionCol, partitionExpr(batch))
         val fs = new Path(tablePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(new Path(tablePath)))
-            Upsert.upsert(spark.read.parquet(tablePath), batch, keys)
-          else batch
-        val tmp = s"$tablePath.__stream_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
-        fs.delete(new Path(tmp), true)
+        if (!fs.exists(new Path(tablePath)))
+          withPart.write.mode("overwrite").partitionBy(partitionCol)
+            .parquet(tablePath)
+        else if (!withPart.isEmpty)
+          Upsert.upsertPartitioned(spark, tablePath, withPart, keys, partitionCol)
         ()
       }
 
   def startUpsertStream(stream: DataFrame, tablePath: String,
-                        keys: Seq[String], checkpointDir: String): StreamingQuery =
-    upsertSink(stream, tablePath, keys, checkpointDir).start()
+                        keys: Seq[String], checkpointDir: String,
+                        partitionCol: String = "event_date",
+                        partitionExpr: DataFrame => Column = df => to_date(df("ts")))
+      : StreamingQuery =
+    upsertSink(stream, tablePath, keys, checkpointDir,
+      partitionCol, partitionExpr).start()
 }
 
 /** Typed rows for the stateful session operator. */

@@ -62,6 +62,30 @@ class UpsertSpec extends SparkSpec {
     new java.io.File(s"$tbl.__upsert_tmp").exists() shouldBe false
   }
 
+  test("recoverPartitioned replays a complete pending slice and discards a torn one") {
+    val dir = Files.createTempDirectory("graft_upsert_recover").toString
+    val tbl = s"$dir/tbl"
+    frame((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+      .write.partitionBy("date").parquet(tbl)
+
+    // Simulate a crash between slice write and overwrite commit: the
+    // merged slice (with _SUCCESS) exists, the table is still old.
+    frame((2L, "2024-01-02", 99.0), (4L, "2024-01-02", 40.0))
+      .write.parquet(s"$tbl.__upsert_tmp")
+    Upsert.recoverPartitioned(spark, tbl, "date")
+    val after = spark.read.parquet(tbl)
+    after.count() shouldBe 3 // id 1 untouched, ids 2+4 from the slice
+    after.filter(col("id") === 2).collect()(0).getAs[Double]("v") shouldBe 99.0
+    new java.io.File(s"$tbl.__upsert_tmp").exists() shouldBe false
+
+    // Torn write (no _SUCCESS): discarded, table untouched.
+    frame((9L, "2024-01-02", 1.0)).write.parquet(s"$tbl.__upsert_tmp")
+    new java.io.File(s"$tbl.__upsert_tmp/_SUCCESS").delete() shouldBe true
+    Upsert.recoverPartitioned(spark, tbl, "date")
+    spark.read.parquet(tbl).count() shouldBe 3
+    new java.io.File(s"$tbl.__upsert_tmp").exists() shouldBe false
+  }
+
   test("upsertPartitioned rejects a target not partitioned by the declared column") {
     val dir = Files.createTempDirectory("graft_upsert_flat").toString
     frame((1L, "2024-01-01", 1.0)).write.parquet(s"$dir/flat")

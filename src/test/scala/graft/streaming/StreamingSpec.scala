@@ -119,16 +119,25 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
     val table = tmp("upsert") + "/events_table"
+    // day 0 and day 1 events -> two event_date partitions
+    val day = 24 * 60L
     val q = Streaming.startUpsertStream(ms.toDF(), table,
       keys = Seq("event_id"), checkpointDir = tmp("upsert-ckpt"))
     try {
-      ms.addData(ev(1, 0, value = 1.0), ev(2, 1, value = 2.0))
+      ms.addData(ev(1, 0, value = 1.0), ev(2, day, value = 2.0))
       q.processAllAvailable()
-      ms.addData(ev(2, 1, value = 99.0), ev(3, 2, value = 3.0)) // 2 updated
+      val day0Dir = new java.io.File(s"$table/event_date=2024-01-01")
+      val day0Before = day0Dir.listFiles()
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+      // batch 2 touches ONLY day 1: id 2 updated, id 3 inserted
+      ms.addData(ev(2, day, value = 99.0), ev(3, day + 1, value = 3.0))
       q.processAllAvailable()
       val out = spark.read.parquet(table)
         .select("event_id", "value").as[(Long, Double)].collect().sorted
       out.toSeq shouldBe Seq((1L, 1.0), (2L, 99.0), (3L, 3.0))
+      // the untouched day-0 partition's files were not rewritten
+      day0Dir.listFiles().map(f => (f.getName, f.length, f.lastModified))
+        .toSet shouldBe day0Before
     } finally q.stop()
   }
 }
