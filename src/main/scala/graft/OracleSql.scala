@@ -362,10 +362,38 @@ WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
   private def sqlCosine(q: String, e: String): String =
     s"${sqlDot(q, e)} / (sqrt(${sqlDot(q, q)}) * sqrt(${sqlDot(e, e)}))"
 
-  private val sqlSignBucket: String =
-    (0 until graft.similarity.Similarity.signatureBits).map(j =>
-      s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END")
-      .mkString("(", " + ", ")")
+  /** LSH twin scaffolding: the hyperplane coefficient matrix is
+    * generated from [[graft.similarity.Similarity.hyperplane]] — the
+    * engines share constants by construction (the q18 minhash
+    * pattern). Keys are per-band sign-bit packs; the candidate join is
+    * "any band agrees" (the Spark side dedups to the first matching
+    * band — same pair set). */
+  private val hpDim = 64
+  private val hpBits = graft.similarity.Similarity.signatureBits
+  private val hpBands = graft.similarity.Similarity.signatureBands
+
+  private def hpMatrix: String =
+    (0 until hpBands * hpBits).map(p =>
+      graft.similarity.Similarity.hyperplane(p, hpDim)
+        .map(c => s"${c.toInt}.0").mkString("[", ",", "]"))
+      .mkString("[\n  ", ",\n  ", "]")
+
+  /** Sequential fold of embedding · hyperplane `p` — same float→double
+    * promotion and accumulation order as the Spark vec_dot. */
+  private def sqlHpDot(p: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1), " +
+      s"i -> CAST(embedding[i] AS DOUBLE) * m[${p + 1}][i])), (acc,v) -> acc + v)"
+
+  private def sqlBandKey(b: Int): String =
+    (0 until hpBits).map(j =>
+      s"CASE WHEN ${sqlHpDot(b * hpBits + j)} > 0 THEN ${1 << j} ELSE 0 END")
+      .mkString("(", "\n      + ", ")")
+
+  private def sqlKeyCols: String =
+    (0 until hpBands).map(b => s"${sqlBandKey(b)} AS key$b").mkString(",\n    ")
+
+  private def sqlAnyBand(a: String, b: String): String =
+    (0 until hpBands).map(j => s"$a.key$j = $b.key$j").mkString("(", " OR ", ")")
 
   val q21_knn_bruteforce: String = s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -380,11 +408,17 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
   val q22_ann_lsh: String = s"""
-WITH b AS (SELECT vec_id, embedding, $sqlSignBucket AS bucket FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+WITH hp(m) AS (SELECT $hpMatrix),
+s AS (
+  SELECT vec_id, embedding,
+    $sqlKeyCols
+  FROM embeddings, hp),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+        ${(0 until hpBands).map(b => s"key$b").mkString(", ")}
+      FROM s WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, c.vec_id, ${sqlCosine("q.qv", "c.embedding")} AS cosine
-  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+  FROM s c JOIN q ON ${sqlAnyBand("c", "q")} AND c.vec_id <> q.query_id),
 ranked AS (
   SELECT query_id, vec_id AS neighbor_id, cosine,
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
@@ -393,11 +427,15 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
   val q23_embed_neardup: String = s"""
-WITH b AS (SELECT vec_id, embedding, $sqlSignBucket AS bucket FROM embeddings)
+WITH hp(m) AS (SELECT $hpMatrix),
+s AS (
+  SELECT vec_id, embedding,
+    $sqlKeyCols
+  FROM embeddings, hp)
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     ${sqlCosine("a.embedding", "b.embedding")} AS cosine
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  FROM s a JOIN s b ON ${sqlAnyBand("a", "b")} AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
 
   // --- events (graft.events.EventAnalytics) --------------------------------

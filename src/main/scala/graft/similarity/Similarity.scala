@@ -61,34 +61,87 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  val signatureBits: Int = 4
+  /** Bits per LSH band: each band buckets the corpus into 2^bits
+    * cells, so per-band self-join work is Σ|bucket|² ≈ n²/2^bits.
+    * Scale `bits` with the corpus (bits ≈ log2(n / targetBucketRows))
+    * — at 8 bits a band has 256 cells; a trillion-row corpus wants
+    * 20+. The coefficient table is unbounded, so any width works. */
+  val signatureBits: Int = 8
 
-  /** Axis-aligned sign LSH signature: bit j set iff component j+1 is
-    * positive. A degenerate-but-deterministic instance of
-    * random-hyperplane LSH (the hyperplanes are the first
-    * `signatureBits` coordinate planes) — same collision math,
-    * P[bit match] = 1 - θ/π, and fully reproducible in the oracle. */
-  def signBucket(vec: Column, bits: Int = signatureBits): Column =
-    (0 until bits).map(j =>
-      when(element_at(vec, j + 1) > 0f, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
+  /** OR-construction bands: a candidate pair needs to collide in ANY
+    * band, recovering the recall that narrower single-band bucketing
+    * gives up — P[candidate] = 1-(1-p^bits)^bands for per-bit
+    * agreement p = 1-θ/π. At 8×8, a true near-dup (cos ≥ 0.9,
+    * p ≥ .857) is a candidate with P ≈ .94, while a random pair costs
+    * ~bands/2^bits ≈ 3% of the corpus — the S-curve near-dup dedup
+    * needs. More bands = more recall, proportionally more
+    * candidate-generation work. */
+  val signatureBands: Int = 8
 
-  /** ANN top-k: candidates restricted to the query's sign bucket
-    * (equi-join on the signature), exact cosine + per-query top-k on
-    * the candidates. Recall vs [[knnBruteForce]] is the quality
-    * metric — measured in the test suite, tunable via `bits`
-    * (fewer bits = more recall, bigger buckets). */
+  /** Coefficient `d` of pseudo-random hyperplane `plane`: a
+    * deterministic integer in [-10, 10] from a fixed Knuth-style
+    * multiplicative hash — the [[graft.dedup.Dedup.minhashCoeffs]]
+    * pattern, generated instead of tabulated so the plane supply is
+    * unbounded. Integer-valued coordinates keep the dot product
+    * bit-reproducible in any engine (exact in doubles); random
+    * DIRECTIONS are all sign-LSH needs, not random magnitudes. */
+  def hyperplaneCoeff(plane: Int, d: Int): Float = {
+    val x = ((plane.toLong * 8191L + d.toLong + 1L) * 2654435761L +
+      1013904223L) % 1000000007L
+    (x % 21L - 10L).toFloat
+  }
+
+  def hyperplane(plane: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim)(hyperplaneCoeff(plane, _))
+
+  /** Band key: `bits` hyperplane sign bits packed into an int —
+    * bit j set iff the vector's dot with hyperplane `band*bits+j` is
+    * positive. Pure projection over codegen'd [[vecDot]] calls. */
+  def bandKey(vec: Column, band: Int, bits: Int = signatureBits,
+              dim: Int = 64): Column =
+    (0 until bits).map { j =>
+      when(vecDot(vec, typedLit(hyperplane(band * bits + j, dim))) > 0d,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** All band keys as an array column, one int per band. */
+  def bandKeys(vec: Column, bands: Int = signatureBands,
+               bits: Int = signatureBits, dim: Int = 64): Column =
+    array((0 until bands).map(b => bandKey(vec, b, bits, dim)): _*)
+
+  /** Candidate pairs collide in several bands; keeping only the FIRST
+    * band where the two signatures agree makes each pair appear
+    * exactly once — deduplication as a filter instead of a
+    * distinct-shuffle over candidate rows. The zip is over
+    * `bands`-length arrays (a handful of ints), so the interpreted
+    * lambda is irrelevant. */
+  private def firstMatchingBand(aKeys: Column, bKeys: Column): Column =
+    array_position(zip_with(aKeys, bKeys, (x, y) => x === y), lit(true))
+
+  /** ANN top-k: candidates restricted to vectors sharing at least one
+    * LSH band with the query (equi-join on (band, key)), exact cosine
+    * + per-query top-k on the candidates. Recall vs [[knnBruteForce]]
+    * is the quality metric — measured in the test suite, tunable via
+    * `bands` (more = higher recall) and `bits` (more = smaller
+    * buckets; scale with corpus size). */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-             bits: Int = signatureBits,
+             bits: Int = signatureBits, bands: Int = signatureBands,
+             dim: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), bits).as("__bucket"),
-      vecNorm(col(vecCol)).as("__cnorm"))
+        bandKeys(col(vecCol), bands, bits, dim).as("__keys"),
+        vecNorm(col(vecCol)).as("__cnorm"))
+      .select(col(idCol), col(vecCol), col("__keys"), col("__cnorm"),
+        posexplode(col("__keys")).as(Seq("__band", "__key")))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), signBucket(col(vecCol), bits).as("__bucket"),
-      vecNorm(col(vecCol)).as("__qnorm")))
-    val scored = c.join(q, "__bucket")
+        col(vecCol).as("__qv"),
+        bandKeys(col(vecCol), bands, bits, dim).as("__qkeys"),
+        vecNorm(col(vecCol)).as("__qnorm"))
+      .select(col("query_id"), col("__qv"), col("__qkeys"), col("__qnorm"),
+        posexplode(col("__qkeys")).as(Seq("__band", "__key"))))
+    val scored = c.join(q, Seq("__band", "__key"))
       .filter(col(idCol) =!= col("query_id"))
+      .filter(firstMatchingBand(col("__keys"), col("__qkeys")) === col("__band") + 1)
       .withColumn("cosine",
         vecDot(col("__qv"), col(vecCol)) / (col("__qnorm") * col("__cnorm")))
     val w = Window.partitionBy(col("query_id"))
@@ -207,17 +260,24 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Embedding-cosine near-dup pairs: same-bucket candidate pairs with
-    * cosine ≥ threshold. Bucketed self-join — Σ|bucket|² work, not n². */
+  /** Embedding-cosine near-dup pairs: candidates share at least one
+    * LSH band (equi-join on (band, key), first-matching-band dedup),
+    * verified by exact cosine ≥ threshold. Per-band self-join work is
+    * Σ|bucket|² ≈ n²/2^bits per band — scale `bits` with the corpus. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-                   bits: Int = signatureBits,
+                   bits: Int = signatureBits, bands: Int = signatureBands,
+                   dim: Int = 64,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = corpus.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), bits).as("__bucket"),
-      vecNorm(col(vecCol)).as("__norm"))
+        bandKeys(col(vecCol), bands, bits, dim).as("__keys"),
+        vecNorm(col(vecCol)).as("__norm"))
+      .select(col(idCol), col(vecCol), col("__keys"), col("__norm"),
+        posexplode(col("__keys")).as(Seq("__band", "__key")))
     b.as("a").join(b.as("b"),
-        col("a.__bucket") === col("b.__bucket") &&
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(firstMatchingBand(col("a.__keys"), col("b.__keys")) ===
+        col("a.__band") + 1)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
           (col("a.__norm") * col("b.__norm"))).as("cosine"))

@@ -43,43 +43,89 @@ class SimilaritySpec extends SparkSpec {
     out.map(_._4).toSeq shouldBe out.map(_._4).toSeq.sorted.reverse
   }
 
-  test("signBucket packs sign bits of leading components") {
-    val d = vecs(
-      1L -> Seq(1f, -1f, 1f, -1f), // bits 0,2 -> 5
-      2L -> Seq(-1f, 1f, -1f, 1f)) // bits 1,3 -> 10
-    val out = d.select(col("vec_id"), Similarity.signBucket(col("embedding")).as("b"))
-      .as[(Long, Int)].collect().toMap
-    out(1L) shouldBe 5
-    out(2L) shouldBe 10
+  test("bandKey packs hyperplane sign bits; Spark and Scala agree") {
+    // e_0: dot with plane p is exactly hyperplaneCoeff(p, 0)
+    val d = vecs(1L -> (Seq(1f) ++ Seq.fill(63)(0f)))
+    val out = d.select(Similarity.bandKey(col("embedding"), band = 0).as("k"))
+      .as[Int].collect().head
+    val expected = (0 until Similarity.signatureBits)
+      .filter(j => Similarity.hyperplaneCoeff(j, 0) > 0)
+      .map(1 << _).sum
+    out shouldBe expected
+    out should (be >= 0 and be < (1 << Similarity.signatureBits))
   }
 
-  test("knnLsh only searches the query's bucket; agrees with brute force there") {
-    val d = vecs(
-      0L -> Seq(1f, 1f, 1f, 1f),
-      1L -> Seq(0.9f, 1f, 1f, 1f),   // same bucket as 0
-      2L -> Seq(1f, 1f, 1f, 0.9f),   // same bucket as 0
-      3L -> Seq(-1f, 1f, 1f, 1f))    // different bucket
+  test("knnLsh dedups multi-band collisions: identical vectors appear once") {
+    // identical vectors agree on EVERY band — without the
+    // first-matching-band filter each neighbor would surface `bands`
+    // times and pollute the top-k ranks
+    val v = Seq.tabulate(64)(i => (math.sin(i + 1) / 2).toFloat)
+    val d = vecs(0L -> v, 1L -> v, 2L -> v)
     val lsh = Similarity.knnLsh(d, d.filter(col("vec_id") === 0L), k = 5)
-      .as[(Long, Long, Int, Double)].collect()
-    lsh.map(_._2).sorted.toSeq shouldBe Seq(1L, 2L)
-    val brute = Similarity.knnBruteForce(d, d.filter(col("vec_id") === 0L), k = 5)
-      .filter(col("neighbor_id").isin(1L, 2L))
-      .as[(Long, Long, Int, Double)].collect()
-    lsh.map(t => t._2 -> t._4).toMap shouldBe brute.map(t => t._2 -> t._4).toMap
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    lsh.map(_._2).toSeq shouldBe Seq(1L, 2L)
+    lsh.map(_._3).toSeq shouldBe Seq(1, 2)
+    lsh.foreach(_._4 shouldBe 1.0 +- 1e-9)
   }
 
-  test("ANN recall vs brute force on harness embeddings is usable") {
+  test("ANN recall vs brute force on harness embeddings beats the candidate floor") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.knnBruteForce(emb, queries, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lsh = Similarity.knnLsh(emb, queries, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    // 4 sign bits ~ 1/16 of the corpus per bucket: recall is inherently
-    // partial on this tiny sample; assert it beats the ~6%
-    // random-candidate floor (measured 0.16 on the sf0.001 fixture).
+    // The fixture is near-uniform random vectors, so top-5 neighbors sit
+    // at wide angles — the worst case for sign-LSH (the S-curve promises
+    // recall for CLOSE pairs; see the planted-clone test). Candidate
+    // fraction is ~bands/2^bits ≈ 3%; measured recall 0.12, assert it
+    // beats the random-candidate floor with margin.
     val recall = (brute intersect lsh).size.toDouble / brute.size
     recall should be >= 0.1
+  }
+
+  test("LSH near-dup recall on planted high-cosine clones is high") {
+    // 50 clone pairs at cos >= 0.95 (small deterministic perturbation)
+    // hidden in the 500-vector fixture: the regime the 8x8 OR-construction
+    // is designed for (P[candidate] ~ .94 at cos .9). Theory + fixture
+    // measure ~1.0; assert >= 0.85.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val clones = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(i % 7 === 0, lit(0.02f)).otherwise(lit(-0.01f)))
+          .as("embedding"))
+    val planted = emb.unionByName(clones)
+    val found = Similarity.nearDupPairs(planted, threshold = 0.95)
+      .filter(col("id_b") >= 10000 && col("id_a") === col("id_b") - 10000)
+      .count()
+    // sanity: the perturbation really keeps the clones above threshold
+    val truePairs = Similarity.cosine(col("a.embedding"), col("b.embedding"))
+    val actual = planted.as("a").join(planted.as("b"),
+        col("b.vec_id") === col("a.vec_id") + 10000)
+      .select(truePairs.as("c")).filter(col("c") >= 0.95).count()
+    actual shouldBe 50
+    found.toDouble / actual should be >= 0.85
+  }
+
+  test("LSH bucket population scales with bits: many buckets, none dominant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val pops = emb
+      .select(posexplode(Similarity.bandKeys(col("embedding")))
+        .as(Seq("band", "key")))
+      .groupBy("band", "key").count()
+      .groupBy("band")
+      .agg(countDistinct("key").as("buckets"), max("count").as("biggest"))
+      .as[(Int, Long, Long)].collect()
+    pops.length shouldBe Similarity.signatureBands
+    pops.foreach { case (_, buckets, biggest) =>
+      // 2^8 cells over 500 vectors: the old 16-bucket scheme put ~n/16
+      // in a cell; the hyperplane keys must spread far wider
+      buckets should be >= 64L
+      biggest should be <= (n / 8)
+    }
   }
 
   test("nearDupPairs finds only same-bucket high-cosine pairs, a < b") {
