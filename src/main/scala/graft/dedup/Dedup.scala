@@ -212,20 +212,32 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    val labelType = labels.schema("label").dataType
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       val neighbourLabels = edges
         .join(labels.select(col("node").as("src"), col("label")), "src")
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.select("node", "label").union(neighbourLabels)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast(labelType).as("__old"))
+      // The node's previous label rides through the aggregation (each
+      // node contributes exactly one non-null __old), so the
+      // convergence check is a filter over the checkpointed result —
+      // not a second join re-running the round's plan (which doubled
+      // the per-round job count and dominated q36's cost).
+      val next = labels
+        .select(col("node"), col("label"), col("label").as("__old"))
+        .union(neighbourLabels)
+        .groupBy("node").agg(min("label").as("label"), max("__old").as("__old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "__old"), "node")
-        .filter(col("label") =!= col("__old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.select("node", "label")
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"componentLabels did not converge in $maxIterations rounds " +
+        "(component diameter exceeds maxIterations); labels would be " +
+        "silently wrong — raise maxIterations")
     labels
   }
 
