@@ -31,14 +31,19 @@ object Ingest {
   /** K4: write to any Hadoop-FS URI (file://, hdfs://, s3a://, gs://
     * — scheme-agnostic by construction) and report load metrics. The
     * reference's local→bucket staging hop disappears: Spark writes
-    * straight to the destination. */
+    * straight to the destination. The row count rides the write job as
+    * an observed metric — no second scan of what was just written
+    * (at 100 TB the old read-back count doubled the job's IO). */
   def uploadParquet(df: DataFrame, uri: String): LoadResult = {
-    df.write.mode("overwrite").parquet(uri)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(uri)
+    val rows = obs.get("rows").asInstanceOf[Long]
     val spark = df.sparkSession
     val p = new Path(uri)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val rows = spark.read.parquet(uri).count()
     LoadResult(rows, bytes, uri)
   }
 }

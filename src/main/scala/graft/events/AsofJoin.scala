@@ -34,9 +34,17 @@ object AsofJoin {
     // side 0 = right, 1 = left: at equal times the right row sorts
     // first, so an exactly-simultaneous right row is visible to the
     // left row's running frame (inclusive <=).
+    //
+    // The carried columns ride as ONE struct with one last(ignoreNulls)
+    // — carrying them independently would fill a NULL field of the
+    // matched row from an OLDER right row, stitching values from
+    // different rows (not as-of semantics). The struct itself is
+    // non-null for every right row, so last() always picks the matched
+    // row whole, NULL fields included; it is also one window
+    // expression instead of |rightCols|.
     val taggedRight = right.select(
-      (keys.map(col) :+ col(timeCol).as(timeCol)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      (keys.map(col) :+ col(timeCol).as(timeCol)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
       .withColumn("__side", lit(0))
     val taggedLeft = left.withColumn("__side", lit(1))
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
@@ -44,10 +52,10 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__asof",
+      last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c"))): _*)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

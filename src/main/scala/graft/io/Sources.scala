@@ -26,7 +26,11 @@ object Sources {
            schema: Option[StructType] = None): DataFrame = {
     def base: DataFrameReader =
       schema.fold(spark.read)(s => spark.read.schema(s))
-    path.replaceAll("/+$", "").split('.').lastOption match {
+    // Dispatch on the LAST path segment's extension only: a dotted
+    // directory segment (/data/v1.2/out.csv) must not hijack the match.
+    val leaf = path.replaceAll("/+$", "").split('/').last
+    (if (leaf.contains('.')) Some(leaf.substring(leaf.lastIndexOf('.') + 1))
+     else None) match {
       case Some("csv") =>
         base.option("header", true).option("timestampFormat", TsFormat).csv(path)
       case Some("json") | Some("jsonl") =>

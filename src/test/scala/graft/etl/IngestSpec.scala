@@ -27,7 +27,12 @@ class IngestSpec extends SparkSpec {
   test("uploadParquet writes to a file URI and reports load metrics (K4)") {
     val d = df(schema, Row("A", 1.5), Row("B", 2.5), Row("C", 3.5))
     val uri = "file://" + Files.createTempDirectory("graft-up").resolve("t").toString
-    val res = Ingest.uploadParquet(d, uri)
+    // the row count must ride the write job, not a second scan
+    spark.sparkContext.setJobGroup("upload-one-job", "uploadParquet", false)
+    val res = try Ingest.uploadParquet(d, uri)
+    finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker
+      .getJobIdsForGroup("upload-one-job").length shouldBe 1
     res.rows shouldBe 3L
     res.bytes should be > 0L
     res.path shouldBe uri

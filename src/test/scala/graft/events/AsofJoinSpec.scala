@@ -41,6 +41,21 @@ class AsofJoinSpec extends SparkSpec {
     out shouldBe Some(7.0)
   }
 
+  test("NULL fields of the matched right row stay NULL (no cross-row stitching)") {
+    val nullable = StructType(schema.map(f =>
+      if (f.name == "v") f.copy(dataType = DoubleType, nullable = true) else f))
+    val left = df(schema, row(101, 1, 30, 0))
+    // matched row (id 2, @20) has v=NULL; an OLDER row (id 1, @5) has
+    // v=9.0 — per-column carry would wrongly fill 9.0 into asof_v
+    val right = df(nullable,
+      Row(1L, 1L, new Timestamp(base + 5 * 60000L), 9.0),
+      Row(2L, 1L, new Timestamp(base + 20 * 60000L), null))
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts", Seq("id", "v"))
+      .select("asof_id", "asof_v")
+      .as[(Option[Long], Option[Double])].head()
+    out shouldBe ((Some(2L), None))
+  }
+
   test("left columns pass through untouched; matches stay within key groups") {
     val left = df(schema, row(101, 1, 10, 42.0), row(102, 2, 10, 43.0))
     val right = df(schema, row(1, 2, 5, 9.0))

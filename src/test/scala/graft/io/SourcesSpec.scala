@@ -54,4 +54,16 @@ class SourcesSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sources.read(spark, "/tmp/whatever.xlsx")
   }
+
+  test("extension dispatch uses the leaf name only, not dotted dir segments") {
+    val d = df(schema, fixture: _*)
+    val dir = Files.createTempDirectory("graft-io.v1.2")
+    val path = dir.resolve("t.csv").toString
+    Sources.writeCsv(d, path)
+    assertSameRows(Sources.read(spark, path, Some(schema)), d)
+    // an extensionless leaf under a dotted dir must fail cleanly, not
+    // dispatch on the directory's '2' fragment
+    an[IllegalArgumentException] should be thrownBy
+      Sources.read(spark, dir.resolve("noext").toString)
+  }
 }
