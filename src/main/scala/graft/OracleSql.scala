@@ -651,6 +651,19 @@ SELECT symbol,
     THEN CAST(close AS DECIMAL(38,2)) END) AS DOUBLE) AS yh_close_sum
 FROM merged GROUP BY symbol ORDER BY symbol"""
 
+  /** q42 reads through the catalog table + view; the semantics are
+    * q03's daily metrics, so the oracle is the same SQL. */
+  val q42_catalog_view: String = q03_daily_metrics
+
+  /** q43's partitioned upsert produces the same logical table as q08's
+    * join-based upsert — the oracle is q08's merged expectation. */
+  val q43_upsert_partitioned: String = q08_upsert
+
+  val q44_recent_window: String = barsCte + s"""
+SELECT $mergedCols FROM merged
+WHERE date >= (DATE '1998-12-01' - 90) AND symbol IN ('S1', 'S2', 'S3')
+ORDER BY row_id"""
+
   val q40_rollup: String = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
   CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
@@ -698,5 +711,8 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q37_token_counts" -> q37_token_counts,
     "q38_percentiles" -> q38_percentiles,
     "q39_pivot_sources" -> q39_pivot_sources,
-    "q40_rollup" -> q40_rollup)
+    "q40_rollup" -> q40_rollup,
+    "q42_catalog_view" -> q42_catalog_view,
+    "q43_upsert_partitioned" -> q43_upsert_partitioned,
+    "q44_recent_window" -> q44_recent_window)
 }

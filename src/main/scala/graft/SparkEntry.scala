@@ -444,6 +444,50 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // K8/K9 through the CATALOG: bars written partitioned, registered
+    // as a catalog table (partition recovery), the reference's
+    // stock_daily_metrics view created over it, and the result read
+    // THROUGH spark.table — proving the DDL surface end-to-end, not
+    // just the equivalent DataFrame plan (q03's semantics).
+    "q42_catalog_view" -> ((s, dir) => {
+      val path = scratch("bars_catalog", dir)
+      val bars = mergedBars(s, dir)
+        .withColumn("month", date_format(col("date"), "yyyy-MM"))
+      graft.store.Store.writePartitioned(bars, path, "month", Seq("symbol", "date"))
+      graft.store.Store.createTable(s, "bars_catalog", path)
+      graft.store.Store.createDailyMetricsView(s, "bars_catalog")
+      s.table("stock_daily_metrics").orderBy(col("date"), col("symbol"))
+    }),
+
+    // K5/K7 scale path end-to-end: a date-partitioned parquet target,
+    // a staging slice upserted via dynamic-partition-overwrite
+    // (only touched months rewritten), the merged table read back.
+    // Same logical result as q08 — the oracle is q08's shape.
+    "q43_upsert_partitioned" -> ((s, dir) => {
+      val path = scratch("bars_upsert", dir)
+      val merged = mergedBars(s, dir)
+        .withColumn("month", date_format(col("date"), "yyyy-MM"))
+      val target = merged.filter(col("date") < lit("1999-01-01").cast("date"))
+      target.write.mode("overwrite").partitionBy("month").parquet(path)
+      val staging = merged
+        .filter(col("date") >= lit("1998-06-01").cast("date") &&
+          col("date") < lit("1999-01-01").cast("date"))
+        .withColumn("close", col("close") + 1.0)
+        .select(merged.columns.map(col): _*)
+      Upsert.upsertPartitioned(s, path, staging, Schemas.mergeKey, "month")
+      graft.store.Store.readTable(s, path)
+        .select(target.columns.filter(_ != "month").map(col): _*)
+        .orderBy(col("row_id"), col("close"))
+    }),
+
+    // P15: the reference's most common filter shape — n-day lookback
+    // from an anchor + symbol IN list (literal anchor for the oracle).
+    "q44_recent_window" -> ((s, dir) =>
+      StockAnalytics.recentWindow(mergedBars(s, dir), days = 90,
+          anchor = lit("1998-12-01").cast("date"),
+          symbols = Seq("S1", "S2", "S3"))
+        .orderBy(col("row_id"))),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -55,14 +55,17 @@ object Store {
       .saveAsTable(table)
 
   /** K9: the reference's `stock_daily_metrics` view over a registered
-    * bar table (deterministic `min` in place of ANY_VALUE). */
+    * bar table (deterministic `min` in place of ANY_VALUE; the average
+    * goes through an exact decimal sum — see [[graft.core.Exact]] —
+    * so the view's numbers are summation-order-independent). */
   def createDailyMetricsView(spark: SparkSession, barsTable: String,
                              viewName: String = "stock_daily_metrics"): Unit =
     spark.sql(s"""
       CREATE OR REPLACE TEMPORARY VIEW $viewName AS
       SELECT date, symbol,
              min(close) AS close_price,
-             avg(daily_volatility) AS avg_volatility,
+             CAST(sum(CAST(daily_volatility AS DECIMAL(38,4))) AS DOUBLE)
+               / CAST(count(daily_volatility) AS DOUBLE) AS avg_volatility,
              count(DISTINCT data_source) AS source_count
       FROM $barsTable
       GROUP BY date, symbol""")
