@@ -34,6 +34,42 @@ class NormalizeSpec extends SparkSpec {
     out.collect()(0).getAs[String]("data_source") shouldBe "yahoo_finance"
   }
 
+  test("DSv2 connector: format(\"alphavantage\") reads a landed payload and normalizes (S1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-av-landing")
+    java.nio.file.Files.writeString(dir.resolve("AAPL.csv"),
+      "date,1. open,2. high,3. low,4. close,5. volume\n" +
+        "2024-03-01,10.0,12.0,9.0,11.0,1000\n" +
+        "2024-03-02,11.0,13.0,10.0,12.0,\n") // empty volume -> NULL
+    val raw = spark.read.format("alphavantage").load(dir.toString)
+    raw.schema shouldBe Schemas.rawAlphaVantage
+    val out = Normalize.alphaVantage(raw, symbol = "AAPL")
+    out.columns shouldBe Normalize.standardColumns
+    val rows = out.orderBy("date").collect()
+    rows(0).getAs[Double]("close") shouldBe 11.0
+    rows(1).isNullAt(rows(1).fieldIndex("volume")) shouldBe true
+
+    // column pruning reaches the scan: a projection parses one column
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val pruned = raw.select("date").queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan.readSchema().fieldNames.toSeq
+    }
+    pruned shouldBe Seq(Seq("date"))
+  }
+
+  test("DSv2 connector: format(\"yahoofinance\") parses timestamps and noise columns (S2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-yh-landing")
+    java.nio.file.Files.writeString(dir.resolve("MSFT.csv"),
+      "Date,Open,High,Low,Close,Volume,Dividends,Stock Splits\n" +
+        "2024-03-01 00:00:00,10.0,12.0,9.0,11.0,1000,0.5,0.0\n")
+    val raw = spark.read.format("yahoofinance").load(dir.toString)
+    raw.schema shouldBe Schemas.rawYahoo
+    val out = Normalize.yahooFinance(raw, symbol = "MSFT")
+    out.columns shouldBe Normalize.standardColumns
+    val r = out.collect()(0)
+    r.getAs[String]("date") shouldBe "2024-03-01"
+    r.getAs[String]("data_source") shouldBe "yahoo_finance"
+  }
+
   test("per-source error isolation: failures collected, all-fail is fatal (S6)") {
     val ok = () => df(Schemas.rawAlphaVantage, Row("2024-03-01", 1.0, 2.0, 1.0, 2.0, 10L))
     val boom = () => throw new RuntimeException("api down")
