@@ -664,6 +664,60 @@ SELECT $mergedCols FROM merged
 WHERE date >= (DATE '1998-12-01' - 90) AND symbol IN ('S1', 'S2', 'S3')
 ORDER BY row_id"""
 
+  /** q45's oracle: the q24 session CTEs + a plain BETWEEN range join —
+    * DuckDB's nested-loop is fine at oracle scale; the Spark side must
+    * produce the identical pair set through the bucketed equi-join. */
+  val q45_range_join: String = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM m),
+sess AS (
+  SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_seq),
+iv AS (SELECT user_id AS i_user, session_seq, session_start, session_end
+       FROM sess WHERE user_id % 50 = 0),
+p AS (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT i_user, session_seq, count(*) AS n_points,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM p JOIN iv ON p.ts >= iv.session_start AND p.ts <= iv.session_end
+GROUP BY i_user, session_seq ORDER BY i_user, session_seq"""
+
+  /** Hash-order sampling twin: the md5-derived key hash is the
+    * engine-shared arithmetic used everywhere else. */
+  val q46_sample: String = """
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS kh
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY kh, doc_id) AS rn
+      FROM h)
+SELECT doc_id, lang, source, n_chars, (kh % 5 = 0) AS in_hash_sample
+FROM r WHERE rn <= 20 ORDER BY doc_id"""
+
+  val q47_contamination: String = shinglesCte + """
+, ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
+bench AS (SELECT DISTINCT shingle FROM posting WHERE doc_id < 20),
+tp AS (SELECT * FROM posting WHERE doc_id >= 20),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tp GROUP BY doc_id),
+hits AS (SELECT tp.doc_id, count(*) AS n_contaminated
+         FROM tp JOIN bench USING (shingle) GROUP BY tp.doc_id)
+SELECT t.doc_id, n_shingles,
+  COALESCE(n_contaminated, 0) AS n_contaminated,
+  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+    AS contamination
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id"""
+
   val q40_rollup: String = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
   CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
@@ -714,5 +768,8 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q40_rollup" -> q40_rollup,
     "q42_catalog_view" -> q42_catalog_view,
     "q43_upsert_partitioned" -> q43_upsert_partitioned,
-    "q44_recent_window" -> q44_recent_window)
+    "q44_recent_window" -> q44_recent_window,
+    "q45_range_join" -> q45_range_join,
+    "q46_sample" -> q46_sample,
+    "q47_contamination" -> q47_contamination)
 }

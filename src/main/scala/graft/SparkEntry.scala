@@ -488,6 +488,46 @@ object SparkEntry {
           symbols = Seq("S1", "S2", "S3"))
         .orderBy(col("row_id"))),
 
+    // Pure range join (no equi-key): purchases located inside session
+    // intervals via the bucketized interval join — an equi-join on the
+    // time bucket, never a nested-loop over |points|x|intervals|.
+    "q45_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = graft.events.EventAnalytics.sessionize(ev, gapMinutes = 30)
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id").as("i_user"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.events.RangeJoin.pointInInterval(purchases, sessions,
+          "ts", "session_start", "session_end")
+        .groupBy(col("i_user"), col("session_seq"))
+        .agg(count(lit(1)).as("n_points"),
+          Exact.exactSum(col("value"), 6).as("sum_value"))
+        .orderBy(col("i_user"), col("session_seq"))
+    }),
+
+    // Deterministic sampling: fixed-size per-stratum sample by hash
+    // order, plus the global hash-sample membership flag — both pure
+    // functions of the data (partitioning-independent, engine-neutral).
+    "q46_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.etl.Sampling.stratifiedSample(docs, "lang", "doc_id", k = 20)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          (graft.etl.Sampling.keyHash(col("doc_id")) % 5 === 0)
+            .as("in_hash_sample"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark contamination: per training doc, the fraction of its
+    // distinct shingles that appear in the benchmark set (docs 0-19).
+    "q47_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.dedup.Dedup.contaminationScores(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+        .orderBy(col("doc_id"))
+    }),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -253,6 +253,35 @@ object Dedup {
     docs.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark-contamination scoring (the train/eval overlap gate a
+    * training-data pipeline runs before shipping a corpus): for each
+    * training doc, the fraction of its distinct word n-gram shingles
+    * that appear anywhere in the benchmark set.
+    *
+    * Shape: both sides reduce to distinct (doc, shingle-hash) postings;
+    * the benchmark's distinct shingle set (small — eval suites are
+    * thousands of docs, not billions) broadcast-joins against the
+    * training postings; one aggregation per training doc. The training
+    * corpus never self-joins and its text never shuffles — per-doc
+    * cost is its shingle count, total cost one pass.
+    *
+    * Returns (doc_id, n_shingles, n_contaminated, contamination) for
+    * every training doc long enough to shingle. */
+  def contaminationScores(train: DataFrame, benchmark: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 3): DataFrame = {
+    val trainPosting = explodedShingleHashes(train, idCol, textCol, n).distinct()
+    val benchShingles = explodedShingleHashes(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    val hits = trainPosting.join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    trainPosting.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Raw 56-bit md5-derived token hash (no modulus — SimHash needs 32
     * independent bits; [[TextAnalysis.tokenHash]]'s mod-P value only
     * carries 30). */

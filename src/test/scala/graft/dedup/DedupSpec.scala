@@ -37,6 +37,19 @@ class DedupSpec extends SparkSpec {
     out shouldBe Seq("a b c", "b c d")
   }
 
+  test("contaminationScores: full copy = 1.0, disjoint = 0.0, partial in between") {
+    val bench = docs(1L -> "the quick brown fox jumps over the lazy dog")
+    val train = docs(
+      20L -> "the quick brown fox jumps over the lazy dog", // verbatim copy
+      21L -> "completely different words about spark engines here",
+      22L -> "prefix tokens then the quick brown fox appears") // partial overlap
+    val out = Dedup.contaminationScores(train, bench)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    out(20L) shouldBe 1.0
+    out(21L) shouldBe 0.0
+    out(22L) should (be > 0.0 and be < 1.0)
+  }
+
   test("minhash: identical docs get identical signatures, est_jaccard 1.0") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog again and again",
