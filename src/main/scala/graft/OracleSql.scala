@@ -426,6 +426,52 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q48: IVF search with the fixed centroid matrix the Spark entry
+    * uses (hyperplanes 0-7 as cell directions). d = -cos(vec, centroid)
+    * mirrors Similarity.centStructs exactly: same fold, same norm,
+    * same (d, cell) tie-break; centroid norms are embedded as
+    * shortest-repr doubles (exact round-trip). */
+  val q48_ann_ivf_static: String = {
+    val cvals = (0 until 8).map { j =>
+      val c = graft.similarity.Similarity.hyperplane(j, hpDim)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        .max(java.lang.Double.MIN_VALUE)
+      s"($j, [${c.map(x => s"${x.toInt}.0").mkString(",")}], $cn)"
+    }.mkString(",\n  ")
+    def dotCv(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * cv[i])), (acc,v) -> acc + v)"
+    def selfDot(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * CAST($e[i] AS DOUBLE))), (acc,v) -> acc + v)"
+    s"""
+WITH cm(cell, cv, cn) AS (SELECT * FROM (VALUES
+  $cvals) v(cell, cv, cn)),
+a AS (
+  SELECT vec_id, embedding, cell,
+    (-(${dotCv("embedding")})) / (sqrt(${selfDot("embedding")}) * cn) AS d
+  FROM embeddings CROSS JOIN cm),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a WHERE vec_id < 10)
+  WHERE rn <= 3),
+scored AS (
+  SELECT p.query_id, c.vec_id, ${sqlCosine("p.qv", "c.embedding")} AS cosine
+  FROM assign c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -771,5 +817,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q44_recent_window" -> q44_recent_window,
     "q45_range_join" -> q45_range_join,
     "q46_sample" -> q46_sample,
-    "q47_contamination" -> q47_contamination)
+    "q47_contamination" -> q47_contamination,
+    "q48_ann_ivf_static" -> q48_ann_ivf_static)
 }

@@ -219,6 +219,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN: IVF search path with FIXED deterministic centroids — the
+    // assignment/probe/re-rank pipeline is fully oracle-checked (only
+    // the k-means training loop, exercised by q41 + SimilaritySpec, is
+    // not SQL-expressible).
+    "q48_ann_ivf_static" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      graft.similarity.Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10),
+          k = 10, nprobe = 3, centroids = Some(cents))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs within LSH buckets.
     "q23_embed_neardup" -> ((s, dir) =>
       graft.similarity.Similarity

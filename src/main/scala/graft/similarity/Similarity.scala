@@ -235,10 +235,17 @@ object Similarity {
     * Complementary to [[knnLsh]]: IVF adapts its partitions to the
     * data distribution (trained centroids) where sign-LSH uses fixed
     * coordinate planes. */
+  /** @param centroids fixed cell centroids, bypassing training — for
+    *                   a pre-trained index, or for an engine-neutral
+    *                   deterministic cell layout (the search path is
+    *                   then fully oracle-checkable; only the k-means
+    *                   loop is not SQL-expressible). */
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int = 10,
              nlist: Int = 8, nprobe: Int = 3, iters: Int = 2,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = trainCentroids(corpus, nlist, iters, idCol, vecCol)
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, nlist, iters, idCol, vecCol))
     val c = corpus
       .select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__cnorm"))
       .withColumn("__cell", nearestCell(col(vecCol), col("__cnorm"), cents))
