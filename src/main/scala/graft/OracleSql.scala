@@ -818,5 +818,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q45_range_join" -> q45_range_join,
     "q46_sample" -> q46_sample,
     "q47_contamination" -> q47_contamination,
-    "q48_ann_ivf_static" -> q48_ann_ivf_static)
+    "q48_ann_ivf_static" -> q48_ann_ivf_static,
+    // the bucketed-join result contract IS the plain join
+    "q49_bucketed_join" -> q34_salted_join)
 }

@@ -393,6 +393,28 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // E19 through the oracle gate: both sides written as bucketed
+    // managed tables (8 buckets on symbol), joined through the catalog
+    // — the co-located join plans ZERO exchanges (asserted in
+    // StoreSpec); the result contract is the plain join (q34's oracle).
+    "q49_bucketed_join" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val barsT = s"bars_bucketed_$suffix"
+      val dimT = s"dim_bucketed_$suffix"
+      graft.store.Store.writeBucketed(mergedBars(s, dir), barsT, "symbol", 8)
+      graft.store.Store.writeBucketed(
+        Tables.supplier(s, dir)
+          .groupBy(concat(lit("S"), (col("s_suppkey") % 25).cast("string")).as("symbol"))
+          .agg(count(lit(1)).as("n_suppliers")),
+        dimT, "symbol", 8)
+      s.table(barsT).join(s.table(dimT), "symbol")
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.exactSum(col("close"), 2).as("sum_close"),
+          max(col("n_suppliers")).as("n_suppliers"))
+        .orderBy(col("symbol"))
+    }),
+
     // Type-coercibility probe (schema-compat validator as data): count
     // of values that fail try_cast per declared target type.
     "q35_cast_probe" -> ((s, dir) => {
