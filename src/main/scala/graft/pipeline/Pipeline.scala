@@ -100,9 +100,13 @@ object Pipeline {
     val freshReport = StageReport("validate_freshness",
       Validators.validateFreshness(merged, maxAgeDays = freshDays, today = today))
 
+    // rowsWritten rides the write job as an observed metric — same
+    // single-scan contract as Ingest.uploadParquet.
+    val obs = org.apache.spark.sql.Observation()
     val stored = merged.withColumn("month", date_format(col("date"), "yyyy-MM"))
+      .observe(obs, count(lit(1)).as("rows"))
     Store.writePartitioned(stored, tablePath, "month", Seq("symbol", "date"))
-    val rows = spark.read.parquet(tablePath).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
 
     val reports = rawReports ++ Seq(tReport, covReport, freshReport)
     PipelineResult(reports, rows,
