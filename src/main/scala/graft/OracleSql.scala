@@ -595,6 +595,22 @@ SELECT doc_id,
   md5(substr(text, 1, 256)) AS chunk0_md5
 FROM documents ORDER BY doc_id"""
 
+  /** Frame sampling over the ASCII corpus: char offsets equal byte
+    * offsets, so DuckDB's varchar substr mirrors Spark's binary
+    * substring; range(0, n, stride) excludes n — the same ordinal set
+    * as Spark's sequence(0, (n-1)/stride) * stride. */
+  val q50_frame_sample: String = """
+WITH f AS (
+  SELECT doc_id, text,
+    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 128.0) AS BIGINT), 4))
+      AS frame_idx
+  FROM documents)
+SELECT doc_id, frame_idx,
+  md5(substr(text, CAST(frame_idx * 128 + 1 AS INTEGER), 128)) AS frame_md5,
+  CAST(length(substr(text, CAST(frame_idx * 128 + 1 AS INTEGER), 128)) AS BIGINT)
+    AS frame_len
+FROM f ORDER BY doc_id, frame_idx"""
+
   /** As-of join via DuckDB's native ASOF LEFT JOIN; the Spark side is
     * the union+running-last plan. Right side deduped per (user, ts)
     * keeping the max event_id, mirroring the Spark dedup. */
@@ -820,5 +836,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q47_contamination" -> q47_contamination,
     "q48_ann_ivf_static" -> q48_ann_ivf_static,
     // the bucketed-join result contract IS the plain join
-    "q49_bucketed_join" -> q34_salted_join)
+    "q49_bucketed_join" -> q34_salted_join,
+    "q50_frame_sample" -> q50_frame_sample)
 }

@@ -335,6 +335,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Frame sampling over media bytes: every 4th 128-byte frame,
+    // hashed — the 1-in-N decimation shape of a video/audio pipeline.
+    "q50_frame_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("media", col("text").cast("binary"))
+      graft.multimodal.Multimodal.frameSample(docs, "doc_id", "media",
+          frameSize = 128, stride = 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // As-of join: each purchase aligned with the user's most recent
     // prior view (union + one shuffle + running last, no range
     // explosion). Right side deduped per (user_id, ts) so "most

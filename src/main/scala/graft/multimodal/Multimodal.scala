@@ -56,6 +56,32 @@ object Multimodal {
   def chunkHashes(bin: Column, size: Int): Column =
     transform(chunk(bin, size), md5(_))
 
+  /** Stride frame-sampling: every `stride`-th fixed-size frame of the
+    * media bytes — the decimation a video/audio pipeline applies
+    * before feature extraction (sample 1-in-N frames, hash them,
+    * dedup/cache on the hash). Output rows carry the frame ORDINAL,
+    * HASH and byte length; the frame bytes themselves never leave the
+    * scan-side projection, so downstream shuffles move 16-byte hashes,
+    * not media. Ragged final frame kept (shorter than frameSize). */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+                  frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0, "frameSize must be positive")
+    require(stride > 0, "stride must be positive")
+    val nFrames = ceil(length(col(binCol)).cast("double") / frameSize).cast("long")
+    // sampled ordinals 0, stride, 2*stride, … < nFrames; empty media →
+    // explicit empty array (sequence(0, -1) would run backwards)
+    val idxs = when(nFrames <= 0, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0L), floor((nFrames - lit(1L)) / stride).cast("long")),
+        k => k * stride))
+    val frame = substr(col("__bin"), (col("frame_idx") * frameSize + 1).cast("int"),
+      lit(frameSize))
+    df.select(col(idCol), col(binCol).as("__bin"), explode(idxs).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        md5(frame).as("frame_md5"),
+        length(frame).cast("long").as("frame_len"))
+  }
+
   /** Full media profile over a binary column: one narrow projection,
     * no shuffle; the media bytes never leave the scan stage. */
   def mediaProfile(df: DataFrame, idCol: String, binCol: String,

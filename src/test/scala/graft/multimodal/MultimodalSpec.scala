@@ -57,6 +57,19 @@ class MultimodalSpec extends SparkSpec {
     out(0)._3 should (be >= 0 and be <= 2)
   }
 
+  test("frameSample decimates by stride, keeps the ragged tail, hashes bytes") {
+    // 600 bytes / 128 = 5 frames (0..4); stride 2 samples 0, 2, 4
+    val d = media(1L -> bytes600, 2L -> Array.empty[Byte])
+    val out = Multimodal.frameSample(d, "id", "media", frameSize = 128, stride = 2)
+      .orderBy("id", "frame_idx")
+      .as[(Long, Long, String, Long)].collect()
+    out.map(r => (r._1, r._2)).toSeq shouldBe Seq((1L, 0L), (1L, 2L), (1L, 4L))
+    out.map(_._4).toSeq shouldBe Seq(128L, 128L, 88L) // ragged tail
+    val jm = java.security.MessageDigest.getInstance("MD5")
+    out(1)._3 shouldBe
+      jm.digest(bytes600.slice(256, 384)).map(b => f"$b%02x").mkString
+  }
+
   test("chunkHashes yields one md5 per chunk") {
     val d = media(1L -> bytes600)
     val hs = d.select(Multimodal.chunkHashes(col("media"), 256).as("h"))
