@@ -269,6 +269,22 @@ xs AS (
   FROM sh)
 """
 
+  /** Cleanup twin: identical explicit character classes on both
+    * engines (\\s differs between Java and RE2 — never used). */
+  val q51_text_clean: String = """
+WITH c AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(
+      regexp_replace(lower(text), '[\x00-\x1f]+', ' ', 'g'), ' +', ' ', 'g'))
+      AS clean
+  FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_raw,
+  CAST(length(clean) AS BIGINT) AS n_chars_clean,
+  md5(clean) AS clean_md5,
+  (clean <> text) AS changed
+FROM c ORDER BY doc_id"""
+
   val q17_content_dedup: String = """
 SELECT doc_id, lang, source, n_chars FROM (
   SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -837,5 +853,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q48_ann_ivf_static" -> q48_ann_ivf_static,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,
-    "q50_frame_sample" -> q50_frame_sample)
+    "q50_frame_sample" -> q50_frame_sample,
+    "q51_text_clean" -> q51_text_clean)
 }

@@ -169,6 +169,12 @@ object SparkEntry {
       graft.text.TextAnalysis.langConfusion(Tables.documents(s, dir))
         .orderBy(col("lang"), col("predicted_lang"))),
 
+    // Text normalization audit: canonical cleanup (lowercase, control
+    // chars → space, collapsed runs) with before/after lengths + hash.
+    "q51_text_clean" -> ((s, dir) =>
+      graft.text.TextAnalysis.cleanReport(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // Exact content dedup: one survivor per distinct text, keyed on the
     // 16-byte content hash (shuffle key is the hash, not the document).
     "q17_content_dedup" -> ((s, dir) =>

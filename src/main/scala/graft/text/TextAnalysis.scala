@@ -28,6 +28,28 @@ object TextAnalysis {
   def withTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("tokens", tokens(col(textCol)))
 
+  /** Canonical text cleanup (the normalization pass before dedup /
+    * tokenization): lowercase, control characters → space, space runs
+    * collapsed, edges trimmed. Explicit character classes, not \\s —
+    * Java and RE2 disagree on \\s (vertical tab), and the whole point
+    * is an engine-neutral canonical form. Pure codegen'd projection. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f]+", " "), " +", " "))
+
+  /** Per-doc cleanup report: raw/clean lengths, canonical-form hash,
+    * and whether cleaning changed anything — the audit a pipeline
+    * keeps when it rewrites a corpus in place. */
+  def cleanReport(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), col(textCol).as("__raw"),
+        cleanText(col(textCol)).as("__clean"))
+      .select(col(idCol),
+        length(col("__raw")).cast("long").as("n_chars_raw"),
+        length(col("__clean")).cast("long").as("n_chars_clean"),
+        md5(col("__clean").cast("binary")).as("clean_md5"),
+        (col("__clean") =!= col("__raw")).as("changed"))
+
   /** Corpus-level token statistics: total occurrences + document
     * frequency per token. One explode + one shuffle on token. */
   def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

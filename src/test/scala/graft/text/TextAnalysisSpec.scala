@@ -11,6 +11,21 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("cleanText: control chars to space, runs collapsed, edges trimmed") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "  Hello\tWorld\n\nagain  ",
+      2L -> "already clean")
+    val out = d.select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "hello world again"
+    out(2L) shouldBe "already clean"
+    val rep = TextAnalysis.cleanReport(d)
+      .select("doc_id", "changed").as[(Long, Boolean)].collect().toMap
+    rep(1L) shouldBe true
+    rep(2L) shouldBe false
+  }
+
   test("tokenize lowercases, strips punctuation, collapses whitespace") {
     val out = withTokens(docs((1L, "Hello, WORLD!!  foo-bar 42")))
       .select("tokens").collect()(0).getSeq[String](0)
