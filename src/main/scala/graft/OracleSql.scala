@@ -712,6 +712,26 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
   }
 
+  val q52_repetition: String = shinglesCte + """
+SELECT doc_id,
+  CAST(len(hs) AS BIGINT) AS n_shingles,
+  CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+  1.0 - CAST(len(list_distinct(hs)) AS DOUBLE) / CAST(len(hs) AS DOUBLE)
+    AS dup_ratio
+FROM xs ORDER BY doc_id"""
+
+  val q53_funnel: String = """
+SELECT user_id,
+  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+  min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+  (min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+   AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+   AND min(CASE WHEN event_type = 'purchase' THEN ts END)
+       >= min(CASE WHEN event_type = 'view' THEN ts END)) AS converted
+FROM events GROUP BY user_id ORDER BY user_id"""
+
   val q38_percentiles: String = """
 SELECT l_returnflag,
   quantile_cont(l_quantity, 0.25) AS p25,
@@ -854,5 +874,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,
     "q50_frame_sample" -> q50_frame_sample,
-    "q51_text_clean" -> q51_text_clean)
+    "q51_text_clean" -> q51_text_clean,
+    "q52_repetition" -> q52_repetition,
+    "q53_funnel" -> q53_funnel)
 }

@@ -456,6 +456,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-doc repetition (Gopher/C4-style quality rule): total vs
+    // distinct shingles + duplicate fraction per doc.
+    "q52_repetition" -> ((s, dir) =>
+      graft.dedup.Dedup.repetitionScores(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // Per-user view→purchase funnel with first-touch conversion flag.
+    "q53_funnel" -> ((s, dir) =>
+      graft.events.EventAnalytics.funnel(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
     // Token-count estimates: whitespace vs BPE-ish pre-tokenizer.
     "q37_token_counts" -> ((s, dir) =>
       graft.text.TextAnalysis.tokenCounts(Tables.documents(s, dir))

@@ -282,6 +282,20 @@ object Dedup {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** WITHIN-document repetition scoring (the Gopher/C4-style quality
+    * rule: heavily self-repeating documents are low-quality or
+    * machine-generated): per doc, total vs distinct word n-gram
+    * shingles and the duplicate fraction. One explode + one map-side-
+    * combining aggregate; the text never shuffles. */
+  def repetitionScores(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 3): DataFrame =
+    explodedShingleHashes(docs, idCol, textCol, n)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+
   /** Raw 56-bit md5-derived token hash (no modulus — SimHash needs 32
     * independent bits; [[TextAnalysis.tokenHash]]'s mod-P value only
     * carries 30). */

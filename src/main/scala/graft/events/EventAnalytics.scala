@@ -65,4 +65,19 @@ object EventAnalytics {
         sum(propLong(col("props"), "k")).as("sum_k"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("unique_users"), col("total_value"), col("sum_k"))
+
+  /** Per-user view→purchase funnel: event counts per stage, first
+    * touch per stage, and whether the user converted (first purchase
+    * at-or-after first view). One shuffle on user_id; conditional
+    * aggregates instead of per-stage self-joins. */
+  def funnel(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .withColumn("converted",
+        col("first_view").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") >= col("first_view"))
 }
