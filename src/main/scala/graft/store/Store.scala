@@ -47,12 +47,22 @@ object Store {
     * of `CLUSTER BY` that actually removes shuffles (sortWithinParts
     * only enables row-group skipping). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A table written by a PREVIOUS session leaves its managed location
+    // behind after the in-memory catalog forgot it; saveAsTable then
+    // refuses with LOCATION_ALREADY_EXISTS. Drop both halves first.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** K9: the reference's `stock_daily_metrics` view over a registered
     * bar table (deterministic `min` in place of ANY_VALUE; the average
