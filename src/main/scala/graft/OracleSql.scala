@@ -140,6 +140,38 @@ SELECT $mergedCols FROM (
   SELECT * FROM staging)
 ORDER BY row_id, close"""
 
+  /** Snapshot-diff twin: q08's target/after versions reconciled via
+    * FULL JOIN; value comparison is IS NOT DISTINCT FROM per non-key
+    * column, mirroring Spark's null-safe `<=>`. */
+  val q54_snapshot_diff: String = {
+    val nonKey = Seq("row_id", "open", "high", "low", "close", "volume",
+      "processed_at", "daily_change_pct", "daily_volatility")
+    val same = nonKey.map(c => s"t.$c IS NOT DISTINCT FROM a.$c")
+      .mkString("\n      AND ")
+    barsCte + s"""
+, target AS (SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'),
+staging AS (
+  SELECT row_id, date, symbol, data_source, open, high, low, close + 1.0 AS close,
+         volume, processed_at, daily_change_pct, daily_volatility
+  FROM merged WHERE date >= DATE '1998-06-01' AND date < DATE '1999-01-01'),
+after AS (
+  SELECT * FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM staging s
+    WHERE s.date = t.date AND s.symbol = t.symbol AND s.data_source = t.data_source)
+  UNION ALL
+  SELECT * FROM staging),
+d AS (
+  SELECT CASE
+    WHEN t.date IS NULL THEN 'added'
+    WHEN a.date IS NULL THEN 'removed'
+    WHEN $same THEN 'unchanged'
+    ELSE 'changed' END AS diff_status
+  FROM target t FULL JOIN after a
+    ON t.date = a.date AND t.symbol = a.symbol AND t.data_source = a.data_source)
+SELECT diff_status, count(*) AS n FROM d
+GROUP BY diff_status ORDER BY diff_status"""
+  }
+
   val q09_validate_rules: String = barsCte + """
 SELECT count(*) AS row_count,
   count(CASE WHEN close < 0 THEN 1 END) AS negative_close,
@@ -876,5 +908,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q50_frame_sample" -> q50_frame_sample,
     "q51_text_clean" -> q51_text_clean,
     "q52_repetition" -> q52_repetition,
-    "q53_funnel" -> q53_funnel)
+    "q53_funnel" -> q53_funnel,
+    "q54_snapshot_diff" -> q54_snapshot_diff)
 }

@@ -116,6 +116,23 @@ object SparkEntry {
         .orderBy(col("row_id"), col("close"))
     }),
 
+    // Keyed snapshot diff: reconcile q08's upsert result against its
+    // target — per-status counts (added/changed/unchanged).
+    "q54_snapshot_diff" -> ((s, dir) => {
+      val merged = mergedBars(s, dir)
+      val target = merged.filter(col("date") < lit("1999-01-01").cast("date"))
+      val staging = merged
+        .filter(col("date") >= lit("1998-06-01").cast("date") &&
+          col("date") < lit("1999-01-01").cast("date"))
+        .withColumn("close", col("close") + 1.0)
+        .select(merged.columns.map(col): _*)
+      val after = Upsert.upsert(target, staging, Schemas.mergeKey)
+      graft.etl.Merge.diffByKey(target, after, Schemas.mergeKey)
+        .groupBy(col("diff_status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("diff_status"))
+    }),
+
     // P10-P14: validator rule probes as one aggregation pass.
     "q09_validate_rules" -> ((s, dir) =>
       mergedBars(s, dir).agg(

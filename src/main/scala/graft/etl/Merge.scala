@@ -37,6 +37,29 @@ object Merge {
   def dedupAny(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
+  /** Keyed snapshot diff (the reconciliation report after an upsert /
+    * backfill / migration): per key, whether the row was added,
+    * removed, changed, or unchanged between two table versions. One
+    * full-outer shuffle join on the key; value comparison is per-column
+    * null-safe equality (`<=>`), so NULL→NULL counts as unchanged and
+    * NULL→value as changed. Keys must be non-null (the usual key
+    * contract). */
+  def diffByKey(before: DataFrame, after: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    val nonKey = after.columns.filterNot(keys.contains).toSeq
+    val joinCond = keys.map(k => col(s"b.$k") === col(s"a.$k")).reduce(_ && _)
+    val sameValues =
+      if (nonKey.isEmpty) lit(true)
+      else nonKey.map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _)
+    before.as("b").join(after.as("a"), joinCond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"b.$k"), col(s"a.$k")).as(k)) :+
+          when(keys.map(k => col(s"b.$k").isNull).reduce(_ && _), "added")
+            .when(keys.map(k => col(s"a.$k").isNull).reduce(_ && _), "removed")
+            .when(sameValues, "unchanged")
+            .otherwise("changed").as("diff_status"): _*)
+  }
+
   /** Full merge stage: union, dedup on the merge key with explicit
     * priority, sort (reference `transformers.py:106-121`). The final
     * global sort exists only for file-order fidelity; pass

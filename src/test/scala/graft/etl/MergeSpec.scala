@@ -60,6 +60,23 @@ class MergeSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("diffByKey labels added/removed/changed/unchanged incl. null-safe values") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Option(10.0)), (2L, Option(20.0)), (3L, None), (4L, Option(40.0)))
+      .toDF("id", "v")
+    val after = Seq(
+      (1L, Option(10.0)),  // unchanged
+      (2L, Option(99.0)),  // changed
+      (3L, None),          // unchanged (NULL <=> NULL)
+      (5L, Option(50.0)))  // added; id 4 removed
+      .toDF("id", "v")
+    val out = Merge.diffByKey(before, after, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    out shouldBe Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added")
+  }
+
   test("mergeSources = union + dedup + optional sort (full stage)") {
     val av = bars(("2024-01-01", "A", "av", 1.0, 1L))
     val yh = bars(("2024-01-01", "A", "yh", 2.0, 2L), ("2024-01-01", "A", "yh", 3.0, 3L))
