@@ -112,11 +112,15 @@ object Similarity {
   /** Candidate pairs collide in several bands; keeping only the FIRST
     * band where the two signatures agree makes each pair appear
     * exactly once — deduplication as a filter instead of a
-    * distinct-shuffle over candidate rows. The zip is over
-    * `bands`-length arrays (a handful of ints), so the interpreted
-    * lambda is irrelevant. */
-  private def firstMatchingBand(aKeys: Column, bKeys: Column): Column =
-    array_position(zip_with(aKeys, bKeys, (x, y) => x === y), lit(true))
+    * distinct-shuffle over candidate rows. Expressed as a codegen'd
+    * when-chain over element_at, NOT a zip_with/array_position lambda:
+    * HOF lambdas are interpreted and this predicate runs once per
+    * JOINED row — the hottest expression in the whole plan. Returns
+    * the 1-based first matching band (element_at convention). */
+  private def firstMatchingBand(aKeys: Column, bKeys: Column,
+                                bands: Int = signatureBands): Column =
+    coalesce((0 until bands).map(j =>
+      when(element_at(aKeys, j + 1) === element_at(bKeys, j + 1), lit(j + 1))): _*)
 
   /** ANN top-k: candidates restricted to vectors sharing at least one
     * LSH band with the query (equi-join on (band, key)), exact cosine
@@ -141,7 +145,8 @@ object Similarity {
         posexplode(col("__qkeys")).as(Seq("__band", "__key"))))
     val scored = c.join(q, Seq("__band", "__key"))
       .filter(col(idCol) =!= col("query_id"))
-      .filter(firstMatchingBand(col("__keys"), col("__qkeys")) === col("__band") + 1)
+      .filter(firstMatchingBand(col("__keys"), col("__qkeys"), bands) ===
+        col("__band") + 1)
       .withColumn("cosine",
         vecDot(col("__qv"), col(vecCol)) / (col("__qnorm") * col("__cnorm")))
     val w = Window.partitionBy(col("query_id"))
@@ -283,7 +288,7 @@ object Similarity {
     b.as("a").join(b.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(firstMatchingBand(col("a.__keys"), col("b.__keys")) ===
+      .filter(firstMatchingBand(col("a.__keys"), col("b.__keys"), bands) ===
         col("a.__band") + 1)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
