@@ -764,6 +764,27 @@ SELECT user_id,
        >= min(CASE WHEN event_type = 'view' THEN ts END)) AS converted
 FROM events GROUP BY user_id ORDER BY user_id"""
 
+  val q55_cohort_retention: String = """
+WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT cohort_day,
+  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+  count(DISTINCT act.user_id) AS n_users
+FROM act JOIN fd ON act.user_id = fd.user_id
+GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"""
+
+  /** Histogram twin: same floor arithmetic; n_chars is integral so the
+    * double division is exact. */
+  val q56_histogram: String = """
+SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 500.0) AS BIGINT) AS bin,
+  count(*) AS n,
+  min(CAST(n_chars AS DOUBLE)) AS bin_min,
+  max(CAST(n_chars AS DOUBLE)) AS bin_max,
+  CAST(floor(CAST(n_chars AS DOUBLE) / 500.0) AS BIGINT) * 500.0 AS bin_lo
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY bin ORDER BY bin"""
+
   val q38_percentiles: String = """
 SELECT l_returnflag,
   quantile_cont(l_quantity, 0.25) AS p25,
@@ -909,5 +930,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q51_text_clean" -> q51_text_clean,
     "q52_repetition" -> q52_repetition,
     "q53_funnel" -> q53_funnel,
-    "q54_snapshot_diff" -> q54_snapshot_diff)
+    "q54_snapshot_diff" -> q54_snapshot_diff,
+    "q55_cohort_retention" -> q55_cohort_retention,
+    "q56_histogram" -> q56_histogram)
 }

@@ -484,6 +484,17 @@ object SparkEntry {
       graft.events.EventAnalytics.funnel(Tables.events(s, dir))
         .orderBy(col("user_id"))),
 
+    // Cohort retention matrix over events.
+    "q55_cohort_retention" -> ((s, dir) =>
+      graft.events.EventAnalytics.cohortRetention(Tables.events(s, dir))
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
+    // Fixed-width histogram of document lengths (sparse bins).
+    "q56_histogram" -> ((s, dir) =>
+      graft.analytics.Profiling.histogram(
+          Tables.documents(s, dir), "n_chars", binWidth = 500.0)
+        .orderBy(col("bin"))),
+
     // Token-count estimates: whitespace vs BPE-ish pre-tokenizer.
     "q37_token_counts" -> ((s, dir) =>
       graft.text.TextAnalysis.tokenCounts(Tables.documents(s, dir))

@@ -80,4 +80,20 @@ object EventAnalytics {
       .withColumn("converted",
         col("first_view").isNotNull && col("first_purchase").isNotNull &&
           col("first_purchase") >= col("first_view"))
+
+  /** Cohort retention matrix: users grouped by their first-activity
+    * day, counted on each subsequent active day offset. Two keyed
+    * aggregations + one user-keyed join — the (user, day) activity set
+    * is deduped BEFORE the join so the join input is bounded by
+    * users×active-days, not raw events. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    activity.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }
