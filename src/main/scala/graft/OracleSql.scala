@@ -619,6 +619,27 @@ SELECT symbol, date, close_price,
       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) END AS ma_50d
 FROM daily ORDER BY symbol, date"""
 
+  /** Weekly OHLC twin: DuckDB date_trunc('week') is also Monday-based;
+    * volume sums cast back to Spark's BIGINT. */
+  val q57_resample_weekly: String = barsCte + """
+, daily AS (
+  SELECT symbol, date,
+    min(open) AS open, max(high) AS high, min(low) AS low,
+    min(close) AS close, CAST(sum(volume) AS BIGINT) AS volume
+  FROM merged GROUP BY symbol, date),
+wk AS (
+  SELECT symbol, CAST(date_trunc('week', date) AS DATE) AS week,
+    min(date) AS d0, max(date) AS d1,
+    max(high) AS high, min(low) AS low,
+    CAST(sum(volume) AS BIGINT) AS volume,
+    count(*) AS n_days
+  FROM daily GROUP BY 1, 2)
+SELECT wk.symbol, week, o.open, wk.high, wk.low, c.close, wk.volume, wk.n_days
+FROM wk
+JOIN daily o ON o.symbol = wk.symbol AND o.date = wk.d0
+JOIN daily c ON c.symbol = wk.symbol AND c.date = wk.d1
+ORDER BY wk.symbol, week"""
+
   /** P13/P14 freshness + age probes vs a literal anchor. */
   val q30_freshness: String = barsCte + """
 SELECT max(date) AS newest_date, min(date) AS oldest_date,
@@ -932,5 +953,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q53_funnel" -> q53_funnel,
     "q54_snapshot_diff" -> q54_snapshot_diff,
     "q55_cohort_retention" -> q55_cohort_retention,
-    "q56_histogram" -> q56_histogram)
+    "q56_histogram" -> q56_histogram,
+    "q57_resample_weekly" -> q57_resample_weekly)
 }

@@ -324,6 +324,17 @@ object SparkEntry {
         .orderBy(col("data_source"))
     }),
 
+    // OHLC resampling: per-day bars rolled up to weekly bars.
+    "q57_resample_weekly" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("open")).as("open"), max(col("high")).as("high"),
+          min(col("low")).as("low"), min(col("close")).as("close"),
+          sum(col("volume")).as("volume"))
+      StockAnalytics.resampleWeekly(daily)
+        .orderBy(col("symbol"), col("week"))
+    }),
+
     // W1: pandas rolling(n) semantics — NULL until a full window.
     "q29_ma_pandas" -> ((s, dir) =>
       StockAnalytics.movingAveragesPandasStyle(mergedBars(s, dir), pick = minPick)

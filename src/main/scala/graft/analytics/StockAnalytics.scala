@@ -136,6 +136,34 @@ object StockAnalytics {
         min(col("date")).as("earliest_data_date"),
         max(col("date")).as("latest_data_date"))
 
+  /** OHLC resampling: daily bars → weekly bars (open = first present
+    * day's open, close = last present day's close, high/low/volume
+    * aggregated). Input must be ONE row per (symbol, date) — run the
+    * per-day pre-aggregation first (multi-source days would make
+    * "first open" ill-defined).
+    *
+    * first/last are expressed as min/max(date) + a self-join back to
+    * the daily row, NOT min_by/arg_min: the engines disagree on NULL
+    * handling in arg-extremes (DuckDB's arg_min skips NULL values,
+    * Spark's min_by returns them), and a NULL open on the week's first
+    * day must stay NULL. The joins are on (symbol, exact date) — tiny
+    * keyed shuffles against the already-aggregated weekly frame. */
+  def resampleWeekly(daily: DataFrame): DataFrame = {
+    val week = date_trunc("week", col("date")).cast("date").as("week")
+    val agg = daily.groupBy(col("symbol"), week)
+      .agg(min(col("date")).as("__d0"), max(col("date")).as("__d1"),
+        max(col("high")).as("high"), min(col("low")).as("low"),
+        sum(col("volume")).as("volume"), count(lit(1)).as("n_days"))
+    val opens = daily.select(col("symbol").as("__s0"), col("date").as("__d0"),
+      col("open").as("open"))
+    val closes = daily.select(col("symbol").as("__s1"), col("date").as("__d1"),
+      col("close").as("close"))
+    agg.join(opens, col("symbol") === col("__s0") && agg("__d0") === opens("__d0"))
+      .join(closes, col("symbol") === col("__s1") && agg("__d1") === closes("__d1"))
+      .select(col("symbol"), col("week"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("n_days"))
+  }
+
   /** Time-window filter helper (P15, reference `queries.py:46,83-84`):
     * `date >= anchor - n days`, optional symbol IN list. `anchor`
     * defaults to current_date; oracle runs pass a literal. */
