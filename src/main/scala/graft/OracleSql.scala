@@ -785,6 +785,28 @@ SELECT user_id,
        >= min(CASE WHEN event_type = 'view' THEN ts END)) AS converted
 FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** PII-scan twin generated from the shared pattern table. */
+  val q58_pii_scan: String = {
+    val cols = graft.text.TextAnalysis.piiPatterns.toSeq.sortBy(_._1)
+      .map { case (name, pat) =>
+        // standard SQL single-quoted strings keep backslashes literal,
+        // so the Scala pattern embeds verbatim (quotes doubled)
+        val p = pat.replace("'", "''")
+        s"CAST(len(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+    val flag = graft.text.TextAnalysis.piiPatterns.keys.toSeq.sorted
+      .map(n => s"n_$n > 0").mkString(" OR ")
+    s"""
+WITH c AS (
+  SELECT doc_id,
+  $cols
+  FROM documents)
+SELECT doc_id, ${graft.text.TextAnalysis.piiPatterns.keys.toSeq.sorted
+        .map(n => s"n_$n").mkString(", ")},
+  ($flag) AS has_pii
+FROM c ORDER BY doc_id"""
+  }
+
   val q55_cohort_retention: String = """
 WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
             FROM events GROUP BY user_id),
@@ -954,5 +976,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q54_snapshot_diff" -> q54_snapshot_diff,
     "q55_cohort_retention" -> q55_cohort_retention,
     "q56_histogram" -> q56_histogram,
-    "q57_resample_weekly" -> q57_resample_weekly)
+    "q57_resample_weekly" -> q57_resample_weekly,
+    "q58_pii_scan" -> q58_pii_scan)
 }

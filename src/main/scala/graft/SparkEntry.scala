@@ -495,6 +495,11 @@ object SparkEntry {
       graft.events.EventAnalytics.funnel(Tables.events(s, dir))
         .orderBy(col("user_id"))),
 
+    // PII governance scan: per-doc match counts per pattern family.
+    "q58_pii_scan" -> ((s, dir) =>
+      graft.text.TextAnalysis.piiScan(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // Cohort retention matrix over events.
     "q55_cohort_retention" -> ((s, dir) =>
       graft.events.EventAnalytics.cohortRetention(Tables.events(s, dir))

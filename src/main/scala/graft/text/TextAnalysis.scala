@@ -50,6 +50,37 @@ object TextAnalysis {
         md5(col("__clean").cast("binary")).as("clean_md5"),
         (col("__clean") =!= col("__raw")).as("changed"))
 
+  /** Conservative PII detector patterns: no lookarounds or engine-
+    * specific classes, so Java (Spark) and RE2 (DuckDB, and most scan
+    * engines) match identically. Deliberately high-precision shapes —
+    * a governance scan wants auditable rules, not heuristics. */
+  val piiPatterns: Map[String, String] = Map(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+",
+    "phone" -> "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]",
+    "ipv4" -> "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")
+
+  /** Per-doc PII scan: match count per pattern family + overall flag.
+    * Pure projection (regexp_count is codegen'd) — the text never
+    * shuffles; at corpus scale this is a single pass. */
+  def piiScan(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val counts = piiPatterns.toSeq.sortBy(_._1).map { case (name, pat) =>
+      regexp_count(lowered, lit(pat)).cast("long").as(s"n_$name")
+    }
+    docs.select((col(idCol) +: counts): _*)
+      .withColumn("has_pii",
+        piiPatterns.keys.toSeq.sorted.map(n => col(s"n_$n") > 0).reduce(_ || _))
+  }
+
+  /** Redact every PII match with a typed placeholder — the rewrite
+    * pass paired with [[piiScan]]'s audit. Case-insensitive via (?i)
+    * (identical syntax in Java and RE2). */
+  def piiRedact(text: Column): Column =
+    piiPatterns.toSeq.sortBy(_._1).foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, "(?i)" + pat, s"<$name>")
+    }
+
   /** Corpus-level token statistics: total occurrences + document
     * frequency per token. One explode + one shuffle on token. */
   def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -11,6 +11,23 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("piiScan counts pattern families; piiRedact replaces with placeholders") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "contact John.Doe@Example.com or 555-123-4567 today",
+      2L -> "hosts 10.0.0.1 and 192.168.1.1 reachable",
+      3L -> "nothing sensitive here")
+    val scan = TextAnalysis.piiScan(d)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    scan(1L) shouldBe ((1L, 1L, 0L, 1L, true))   // email, ipv4, phone order: sorted names
+    scan(2L) shouldBe ((2L, 0L, 2L, 0L, true))
+    scan(3L) shouldBe ((3L, 0L, 0L, 0L, false))
+    val red = d.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.piiRedact(col("text"))).as[String].head()
+    red shouldBe "contact <email> or <phone> today"
+  }
+
   test("cleanText: control chars to space, runs collapsed, edges trimmed") {
     import spark.implicits._
     val d = docs(
