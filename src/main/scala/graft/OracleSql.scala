@@ -87,15 +87,17 @@ FROM daily ORDER BY symbol, date"""
 
   /** The detail array rides as "source:close;..." pair text — the
     * same serialization the Spark entry applies (SparkEntry.pairText):
-    * the driver's comparator needs sortable scalars, and DOUBLE→VARCHAR
-    * is shortest-repr identical on both engines. */
+    * the driver's comparator needs sortable scalars. The double goes
+    * through DECIMAL(38,4) on BOTH engines (SparkEntry.fixedText) —
+    * raw DOUBLE→VARCHAR diverges at magnitude ≥ 1e7, where Java emits
+    * scientific notation and DuckDB stays fixed-point. */
   val q05_inconsistency: String = barsCte + """
 SELECT * FROM (
   SELECT date, symbol,
     min(close) AS min_close, max(close) AS max_close, avg(close) AS avg_close,
     count(DISTINCT data_source) AS source_count,
-    string_agg(data_source || ':' || CAST(close AS VARCHAR), ';'
-               ORDER BY data_source, close) AS source_details,
+    string_agg(data_source || ':' || CAST(CAST(close AS DECIMAL(38,4)) AS VARCHAR),
+               ';' ORDER BY data_source, close) AS source_details,
     (max(close) - min(close)) / min(close) * 100 AS price_diff_pct
   FROM merged GROUP BY date, symbol)
 WHERE source_count > 1 AND price_diff_pct > 2.0

@@ -49,10 +49,23 @@ object SparkEntry {
     * content fully in the compared output while giving the driver's
     * row-sorting comparator a scalar it can hash. The per-element
     * lambda is interpreted (never codegen'd), but the arrays here are
-    * per-source summaries — a handful of elements per row. */
-  private def pairText(arr: Column, kField: String, vField: String): Column =
+    * per-source summaries — a handful of elements per row.
+    * `vText` renders the value: integral fields use the plain string
+    * cast; double fields must use [[fixedText]]. */
+  private def pairText(arr: Column, kField: String, vField: String,
+                       vText: Column => Column = _.cast("string")): Column =
     array_join(transform(arr, x =>
-      concat_ws(":", x.getField(kField), x.getField(vField).cast("string"))), ";")
+      concat_ws(":", x.getField(kField), vText(x.getField(vField)))), ";")
+
+  /** Fixed-point text for a DOUBLE that must compare equal across
+    * engines: Java's Double.toString flips to scientific notation at
+    * magnitude ≥ 1e7 ("1.0E7") while DuckDB's VARCHAR cast never does,
+    * so raw double→string casts diverge exactly when values get big.
+    * DECIMAL(38,4)→string renders "12345678.9000" on BOTH engines —
+    * fixed-point at every magnitude, scale preserved. The oracle twin
+    * is `CAST(CAST(x AS DECIMAL(38,4)) AS VARCHAR)`. */
+  private def fixedText(c: Column): Column =
+    c.cast("decimal(38,4)").cast("string")
 
   /** Per-sf scratch dir under the repo's build tree for queries that
     * exercise sinks (q26–q28): sf-tagged so verify/bench runs at
@@ -88,7 +101,7 @@ object SparkEntry {
     "q05_inconsistency" -> ((s, dir) =>
       StockAnalytics.inconsistencies(mergedBars(s, dir), minPctDiff = 2.0)
         .withColumn("source_details", pairText(col("source_details"),
-          "data_source", "close"))
+          "data_source", "close", fixedText))
         .orderBy(col("date"), col("symbol"))),
 
     // A5: global data-quality metrics (single agg pass), including the

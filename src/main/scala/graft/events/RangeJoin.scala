@@ -27,18 +27,42 @@ object RangeJoin {
 
   /** @param points    left side, one timestamp column `ptCol`
     * @param intervals right side with `startCol`/`endCol` (inclusive
-    *                  bounds, the SQL BETWEEN contract)
+    *                  bounds, the SQL BETWEEN contract). Inverted
+    *                  intervals (end < start) match no point under
+    *                  BETWEEN, so they are dropped before the explode —
+    *                  without the guard, `sequence(b0, b1)` would emit a
+    *                  DESCENDING bucket list: wasted candidate rows that
+    *                  the exact post-filter then discards one by one.
     * @param bucketWidthSec bucket quantum in seconds
+    * @param maxBucketsPerInterval fail-fast ceiling on per-interval
+    *                  fanout: an interval spanning more than this many
+    *                  buckets (bad data or a mis-sized `bucketWidthSec`)
+    *                  would explode to millions of rows or hit Spark's
+    *                  sequence length cap mid-job; better a clear error
+    *                  at the first offending row.
     * @return each matched pair: all point columns + all interval
     *         columns (caller projects). */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       ptCol: String, startCol: String, endCol: String,
-                      bucketWidthSec: Long = 3600L): DataFrame = {
+                      bucketWidthSec: Long = 3600L,
+                      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidthSec > 0, "bucketWidthSec must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     def bucketOf(c: Column): Column =
       floor(unix_timestamp(c) / bucketWidthSec).cast("long")
     val p = points.withColumn("__bucket", bucketOf(col(ptCol)))
-    val i = intervals.withColumn("__b0", bucketOf(col(startCol)))
+    val i = intervals
+      .filter(col(endCol) >= col(startCol))
+      // assert_true returns NULL when the predicate holds and throws
+      // with the message otherwise; riding the filter keeps it in the
+      // executed plan (a dropped projection column could be pruned).
+      .filter(assert_true(
+        bucketOf(col(endCol)) - bucketOf(col(startCol)) < lit(maxBucketsPerInterval),
+        concat(lit(s"range-join interval spans more than $maxBucketsPerInterval " +
+          s"buckets of ${bucketWidthSec}s (start="), col(startCol).cast("string"),
+          lit(", end="), col(endCol).cast("string"),
+          lit("); widen bucketWidthSec or clean the interval"))).isNull)
+      .withColumn("__b0", bucketOf(col(startCol)))
       .withColumn("__b1", bucketOf(col(endCol)))
       .withColumn("__bucket", explode(sequence(col("__b0"), col("__b1"))))
       .drop("__b0", "__b1")

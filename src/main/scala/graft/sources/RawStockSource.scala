@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -14,6 +15,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.etl.Schemas
 
@@ -76,11 +78,17 @@ class RawStockScanBuilder(full: StructType, path: String)
 }
 
 class RawStockScan(required: StructType, path: String) extends Scan with Batch {
+  // The SESSION's Hadoop conf (s3a credentials, endpoints, hdfs
+  // overrides), not a bare `new Configuration()` — captured on the
+  // driver at plan time and shipped to executor readers through the
+  // task closure via its serializable wrapper.
+  private val serConf = new SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(serConf.value)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter { st =>
@@ -91,26 +99,27 @@ class RawStockScan(required: StructType, path: String) extends Scan with Batch {
     files.sorted.map(f => RawStockPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new RawStockReaderFactory(required)
+    new RawStockReaderFactory(required, serConf)
 }
 
 case class RawStockPartition(file: String) extends InputPartition
 
-class RawStockReaderFactory(required: StructType)
+class RawStockReaderFactory(required: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RawStockReader(required, partition.asInstanceOf[RawStockPartition].file)
+    new RawStockReader(required,
+      partition.asInstanceOf[RawStockPartition].file, conf.value)
 }
 
 /** Streams one landed file: header line maps payload columns to the
   * required (possibly pruned) schema positions; empty cells are NULL;
   * a column absent from the payload is NULL throughout (late payload
   * evolution must not crash extraction — the validators catch it). */
-class RawStockReader(required: StructType, file: String)
+class RawStockReader(required: StructType, file: String, conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val path = new Path(file)
   private val reader = new BufferedReader(new InputStreamReader(
-    path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8))
+    path.getFileSystem(conf).open(path), StandardCharsets.UTF_8))
   private val header: Array[String] =
     Option(reader.readLine()).map(_.split(",", -1).map(_.trim))
       .getOrElse(Array.empty)

@@ -52,9 +52,22 @@ object Store {
     // A table written by a PREVIOUS session leaves its managed location
     // behind after the in-memory catalog forgot it; saveAsTable then
     // refuses with LOCATION_ALREADY_EXISTS. Drop both halves first.
+    // The stale location is resolved the way the catalog would place a
+    // new managed table — the owning DATABASE's locationUri + the
+    // lowercased table name — so db-qualified names and a non-default
+    // current database clear the right directory (a warehouse.dir
+    // string-concat would compute `warehouse/db.table` and miss, or
+    // worse, hit an unrelated path).
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val (db, tbl) = table.split('.') match {
+      case Array(t)    => (spark.catalog.currentDatabase, t)
+      case Array(d, t) => (d, t)
+      case _ => throw new IllegalArgumentException(
+        s"table name must be [db.]table, got '$table'")
+    }
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
+      tbl.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -84,13 +84,19 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val withPart = batch.withColumn(partitionCol, partitionExpr(batch))
-        val fs = new Path(tablePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new Path(tablePath)))
-          withPart.write.mode("overwrite").partitionBy(partitionCol)
-            .parquet(tablePath)
-        else if (!withPart.isEmpty)
-          Upsert.upsertPartitioned(spark, tablePath, withPart, keys, partitionCol)
+        // An empty batch (restart replay, data-less trigger) must write
+        // NOTHING: an initial zero-row write would leave a schema-less
+        // parquet dir (only _SUCCESS) that wedges every later batch's
+        // upsertPartitioned read. Table creation waits for real rows.
+        if (!withPart.isEmpty) {
+          val fs = new Path(tablePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new Path(tablePath)))
+            withPart.write.mode("overwrite").partitionBy(partitionCol)
+              .parquet(tablePath)
+          else
+            Upsert.upsertPartitioned(spark, tablePath, withPart, keys, partitionCol)
+        }
         ()
       }
 

@@ -35,6 +35,30 @@ class RangeJoinSpec extends SparkSpec {
     out shouldBe Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
   }
 
+  test("inverted intervals (end < start) are dropped, not exploded") {
+    val points = df(ptSchema, Row(1L, ts(30)))
+    val ivs = df(ivSchema,
+      Row(10L, ts(0), ts(60)),    // valid, contains the point
+      Row(11L, ts(500), ts(-500))) // inverted: BETWEEN matches nothing
+    val out = RangeJoin.pointInInterval(points, ivs, "ts", "s", "e",
+        bucketWidthSec = 60)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    out shouldBe Set((1L, 10L))
+  }
+
+  test("an interval spanning more than maxBucketsPerInterval fails fast") {
+    val points = df(ptSchema, Row(1L, ts(30)))
+    val ivs = df(ivSchema, Row(10L, ts(0), ts(10000)))
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, ivs, "ts", "s", "e",
+        bucketWidthSec = 60, maxBucketsPerInterval = 100).collect()
+    }
+    // the executor-side assert rides up wrapped; scan the cause chain
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("\n")
+    msgs should include("100 buckets")
+  }
+
   test("result is bucket-width invariant (each pair meets exactly once)") {
     val points = df(ptSchema, (1L to 40L).map(i => Row(i, ts(i * 7))): _*)
     val ivs = df(ivSchema,

@@ -115,6 +115,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert: an empty first micro-batch creates no table") {
+    import org.apache.spark.sql.streaming.Trigger
+    val landing = tmp("empty-landing")
+    val ckpt = tmp("empty-ckpt")
+    val table = tmp("empty-upsert") + "/events_table"
+    // a data-less file drop: schema-complete parquet, zero rows — the
+    // restart-replay shape that used to leave a _SUCCESS-only table dir
+    spark.emptyDataset[Ev].toDF().write.mode("append").parquet(landing)
+    val q1 = Streaming.upsertSink(Streaming.readEventsStream(spark, landing),
+        table, keys = Seq("event_id"), checkpointDir = ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q1.awaitTermination(60000) shouldBe true finally q1.stop()
+    new java.io.File(table).exists() shouldBe false
+    // real rows arrive later on the SAME checkpoint: table created then
+    Seq(ev(1, 0), ev(2, 1)).toDF().write.mode("append").parquet(landing)
+    val q2 = Streaming.upsertSink(Streaming.readEventsStream(spark, landing),
+        table, keys = Seq("event_id"), checkpointDir = ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination(60000) shouldBe true finally q2.stop()
+    spark.read.parquet(table).select("event_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(1L, 2L)
+  }
+
   test("foreachBatch upsert: late re-delivery updates in place across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
