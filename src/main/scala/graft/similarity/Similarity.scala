@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{vecDot, vecNorm}
+import graft.functions.Hyperplanes
+import graft.functions.VectorFunctions.{vecBandKeys, vecDot, vecNorm}
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exactness baseline, and two scale
@@ -84,30 +85,36 @@ object Similarity {
     * pattern, generated instead of tabulated so the plane supply is
     * unbounded. Integer-valued coordinates keep the dot product
     * bit-reproducible in any engine (exact in doubles); random
-    * DIRECTIONS are all sign-LSH needs, not random magnitudes. */
-  def hyperplaneCoeff(plane: Int, d: Int): Float = {
-    val x = ((plane.toLong * 8191L + d.toLong + 1L) * 2654435761L +
-      1013904223L) % 1000000007L
-    (x % 21L - 10L).toFloat
-  }
+    * DIRECTIONS are all sign-LSH needs, not random magnitudes.
+    * (Delegates to [[graft.functions.Hyperplanes]] — one coefficient
+    * formula shared with the native band-key expression.) */
+  def hyperplaneCoeff(plane: Int, d: Int): Float = Hyperplanes.coeff(plane, d)
 
   def hyperplane(plane: Int, dim: Int): Array[Float] =
-    Array.tabulate(dim)(hyperplaneCoeff(plane, _))
+    Hyperplanes.plane(plane, dim)
 
   /** Band key: `bits` hyperplane sign bits packed into an int —
     * bit j set iff the vector's dot with hyperplane `band*bits+j` is
-    * positive. Pure projection over codegen'd [[vecDot]] calls. */
-  def bandKey(vec: Column, band: Int, bits: Int = signatureBits,
-              dim: Int = 64): Column =
+    * positive. Composed from per-plane [[vecDot]] calls — kept as the
+    * executable SPEC for the fused native expression (the suite
+    * asserts bit-identity); [[bandKeys]] is what the operators use.
+    * Do NOT put this form in a hot path: whole-stage codegen fuses
+    * the bands×bits dot loops into one method past the JVM's
+    * huge-method JIT limit and the stage falls back to the bytecode
+    * interpreter (measured ~8× slower than interpreted Spark eval,
+    * ~20× slower than the fused expression). */
+  def bandKeySpec(vec: Column, band: Int, bits: Int = signatureBits,
+                  dim: Int = 64): Column =
     (0 until bits).map { j =>
       when(vecDot(vec, typedLit(hyperplane(band * bits + j, dim))) > 0d,
         lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** All band keys as an array column, one int per band. */
+  /** All band keys as an array column, one int per band — the native
+    * [[graft.functions.FloatVectorBandKeys]] single-pass projection. */
   def bandKeys(vec: Column, bands: Int = signatureBands,
                bits: Int = signatureBits, dim: Int = 64): Column =
-    array((0 until bands).map(b => bandKey(vec, b, bits, dim)): _*)
+    vecBandKeys(vec, bands, bits, dim)
 
   /** Candidate pairs collide in several bands; keeping only the FIRST
     * band where the two signatures agree makes each pair appear

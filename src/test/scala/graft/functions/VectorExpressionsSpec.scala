@@ -48,6 +48,34 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("band-keys: interpreted eval matches codegen'd result") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    def run(): Array[Seq[Int]] = emb
+      .select(col("vec_id"),
+        VectorFunctions.vecBandKeys(col("embedding"), 8, 8, 64).as("k"))
+      .orderBy(col("vec_id")).select("k").as[Seq[Int]].collect()
+    val codegen = run()
+    codegen.foreach(_.foreach(k => k should (be >= 0 and be < 256)))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+  }
+
+  test("band-keys: null elements contribute zero, short vectors stop early") {
+    val d = df(schema,
+      Row(1L, Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](0f)),
+      Row(2L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](0f)))
+    // spec form over the same degenerate vectors: vec_dot defines the
+    // null/length contract; band keys must inherit it exactly
+    val spec = d.select(col("id"),
+      array((0 until 4).map(b =>
+        Similarity.bandKeySpec(col("a"), b, bits = 4, dim = 8)): _*).as("k"))
+    val native = d.select(col("id"),
+      VectorFunctions.vecBandKeys(col("a"), 4, 4, 8).as("k"))
+    assertSameRows(native, spec)
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }

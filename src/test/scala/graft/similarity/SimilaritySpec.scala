@@ -46,13 +46,23 @@ class SimilaritySpec extends SparkSpec {
   test("bandKey packs hyperplane sign bits; Spark and Scala agree") {
     // e_0: dot with plane p is exactly hyperplaneCoeff(p, 0)
     val d = vecs(1L -> (Seq(1f) ++ Seq.fill(63)(0f)))
-    val out = d.select(Similarity.bandKey(col("embedding"), band = 0).as("k"))
+    val out = d.select(Similarity.bandKeySpec(col("embedding"), band = 0).as("k"))
       .as[Int].collect().head
     val expected = (0 until Similarity.signatureBits)
       .filter(j => Similarity.hyperplaneCoeff(j, 0) > 0)
       .map(1 << _).sum
     out shouldBe expected
     out should (be >= 0 and be < (1 << Similarity.signatureBits))
+  }
+
+  test("native band-keys expression is bit-identical to the vec_dot spec form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val spec = emb.select(col("vec_id"),
+      array((0 until Similarity.signatureBands)
+        .map(b => Similarity.bandKeySpec(col("embedding"), b)): _*).as("keys"))
+    val native = emb.select(col("vec_id"),
+      Similarity.bandKeys(col("embedding")).as("keys"))
+    assertSameRows(native, spec)
   }
 
   test("knnLsh dedups multi-band collisions: identical vectors appear once") {
