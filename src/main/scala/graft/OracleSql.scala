@@ -642,6 +642,53 @@ JOIN daily o ON o.symbol = wk.symbol AND o.date = wk.d0
 JOIN daily c ON c.symbol = wk.symbol AND c.date = wk.d1
 ORDER BY wk.symbol, week"""
 
+  /** Technical indicators twin of [[graft.analytics.Indicators]].
+    * Every indicator is exact integer arithmetic up to ONE final
+    * double division (+ sqrt), operation-for-operation identical to
+    * the Spark expressions — window sums of integer-valued doubles
+    * are exact on both engines, so no stddev_samp/avg built-ins whose
+    * accumulation order the engines could disagree on. */
+  val q59_indicators: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price,
+         CAST(sum(volume) AS BIGINT) AS volume
+  FROM merged GROUP BY symbol, date),
+ind AS (
+  SELECT symbol, date, close_price,
+    row_number() OVER w AS rn,
+    sum(close_price * volume) OVER w20 AS pv,
+    sum(volume) OVER w20 AS vv,
+    sum(close_price) OVER w20 AS s1,
+    sum(close_price * close_price) OVER w20 AS s2,
+    max(close_price) OVER (PARTITION BY symbol ORDER BY date
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+    close_price - lag(close_price) OVER w AS diff
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY date),
+         w20 AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+g AS (
+  SELECT *, CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
+            CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
+  FROM ind),
+r AS (
+  SELECT *, sum(gain) OVER w14 AS sg, sum(loss) OVER w14 AS sl
+  FROM g
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT symbol, date, close_price,
+  CASE WHEN rn >= 20 AND vv > 0 THEN pv / vv END AS vwap_20d,
+  CASE WHEN rn >= 20 THEN s1 / 20 END AS boll_mid,
+  CASE WHEN rn >= 20
+    THEN s1 / 20 + 2.0 * sqrt((20 * s2 - s1 * s1) / 380) END AS boll_up,
+  CASE WHEN rn >= 20
+    THEN s1 / 20 - 2.0 * sqrt((20 * s2 - s1 * s1) / 380) END AS boll_dn,
+  (close_price - peak) / peak * 100 AS drawdown_pct,
+  CASE WHEN rn >= 15 THEN
+    CASE WHEN sl > 0 THEN 100.0 - 100.0 / (1.0 + sg / sl) ELSE 100.0 END
+  END AS rsi_14
+FROM r ORDER BY symbol, date"""
+
   /** P13/P14 freshness + age probes vs a literal anchor. */
   val q30_freshness: String = barsCte + """
 SELECT max(date) AS newest_date, min(date) AS oldest_date,
@@ -979,5 +1026,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q55_cohort_retention" -> q55_cohort_retention,
     "q56_histogram" -> q56_histogram,
     "q57_resample_weekly" -> q57_resample_weekly,
-    "q58_pii_scan" -> q58_pii_scan)
+    "q58_pii_scan" -> q58_pii_scan,
+    "q59_indicators" -> q59_indicators)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.StockAnalytics
+import graft.analytics.{Indicators, StockAnalytics}
 import graft.bars.Bars
 import graft.core.{Exact, Tables}
 import graft.etl.{Merge, Schemas, Transform, Upsert}
@@ -346,6 +346,16 @@ object SparkEntry {
           sum(col("volume")).as("volume"))
       StockAnalytics.resampleWeekly(daily)
         .orderBy(col("symbol"), col("week"))
+    }),
+
+    // Technical indicators: VWAP, Bollinger bands, running-peak
+    // drawdown, RSI — all four in one Window-operator pass.
+    "q59_indicators" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"),
+          sum(col("volume")).as("volume"))
+      Indicators.indicators(daily).orderBy(col("symbol"), col("date"))
     }),
 
     // W1: pandas rolling(n) semantics — NULL until a full window.

@@ -1,0 +1,96 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator pack over the per-day bar series — the natural
+  * extension of the reference's moving-average analytics (reference
+  * `plugins/helpers/queries.py:76-115`, `transformers.py:128-151`) to
+  * the indicator set a quant user expects: VWAP, Bollinger bands,
+  * running-peak drawdown, RSI.
+  *
+  * Input contract: ONE row per (symbol, date) with `close_price` and
+  * `volume` — run the per-day pre-aggregation first (multi-source days
+  * would pollute every window).
+  *
+  * Scale: one shuffle on `symbol` partitions every window; all four
+  * indicator families ride the SAME (symbol, date) window ordering, so
+  * Catalyst computes them in a single Window operator pass — adding an
+  * indicator costs a column, not a shuffle. Per-symbol history (even
+  * decades of days) is thousands of rows: window state stays tiny.
+  *
+  * Determinism contract (oracle hash-equality): window SUMS over
+  * integer-valued doubles are exact; every indicator is expressed as
+  * exact integer arithmetic up to ONE final double division (and a
+  * sqrt), mirrored operation-for-operation in the DuckDB oracle —
+  * Bollinger's variance is `(n·Σx² − (Σx)²) / (n·(n−1))`, a single
+  * division of exact integers, NOT stddev_samp (engines disagree on
+  * accumulation order); RSI is `100 − 100/(1 + Σgain/Σloss)` with the
+  * 1/n factors cancelled.
+  */
+object Indicators {
+
+  /** Pandas-rolling NULL-padding semantics: every windowed indicator
+    * is NULL until a full window of rows exists (min_periods = n). */
+  def indicators(daily: DataFrame,
+                 vwapWindow: Int = 20,
+                 bollWindow: Int = 20,
+                 rsiWindow: Int = 14): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    def trailing(n: Int) = w.rowsBetween(-(n - 1), Window.currentRow)
+    val rn = row_number().over(w)
+
+    val vn = vwapWindow
+    val bn = bollWindow
+    val pv = sum(col("close_price") * col("volume")).over(trailing(vn))
+    val vv = sum(col("volume")).over(trailing(vn))
+    val s1 = sum(col("close_price")).over(trailing(bn))
+    val s2 = sum(col("close_price") * col("close_price")).over(trailing(bn))
+    val peak = max(col("close_price"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val diff = col("close_price") - lag(col("close_price"), 1).over(w)
+    // NULL diff (first row) falls to the ELSE-0 branch on both engines;
+    // the rn gate below keeps those padded zeros out of every full
+    // RSI window.
+    val gain = when(diff > 0, diff).otherwise(lit(0.0))
+    val loss = when(diff < 0, -diff).otherwise(lit(0.0))
+
+    val staged = daily
+      .withColumn("__rn", rn)
+      .withColumn("__pv", pv).withColumn("__vv", vv)
+      .withColumn("__s1", s1).withColumn("__s2", s2)
+      .withColumn("__peak", peak)
+      .withColumn("__gain", gain).withColumn("__loss", loss)
+    // the gain/loss running sums need a second Window pass (they are
+    // windows OVER a window-derived column) — same partitioning, so
+    // still zero extra exchanges
+    val sg = sum(col("__gain")).over(trailing(rsiWindow))
+    val sl = sum(col("__loss")).over(trailing(rsiWindow))
+
+    staged
+      .withColumn("__sg", sg).withColumn("__sl", sl)
+      .select(
+        col("symbol"), col("date"), col("close_price"),
+        when(col("__rn") >= vn && col("__vv") > 0, col("__pv") / col("__vv"))
+          .as(s"vwap_${vn}d"),
+        when(col("__rn") >= bn, col("__s1") / lit(bn)).as("boll_mid"),
+        when(col("__rn") >= bn,
+          col("__s1") / lit(bn) + lit(2.0) * sqrt(
+            (lit(bn) * col("__s2") - col("__s1") * col("__s1")) / lit(bn * (bn - 1))))
+          .as("boll_up"),
+        when(col("__rn") >= bn,
+          col("__s1") / lit(bn) - lit(2.0) * sqrt(
+            (lit(bn) * col("__s2") - col("__s1") * col("__s1")) / lit(bn * (bn - 1))))
+          .as("boll_dn"),
+        ((col("close_price") - col("__peak")) / col("__peak") * 100)
+          .as("drawdown_pct"),
+        // rsiWindow REAL diffs need rsiWindow+1 rows; flat windows
+        // (Σloss = 0) pin to 100, the standard convention
+        when(col("__rn") >= rsiWindow + 1,
+          when(col("__sl") > 0,
+            lit(100.0) - lit(100.0) / (lit(1.0) + col("__sg") / col("__sl")))
+            .otherwise(lit(100.0)))
+          .as(s"rsi_${rsiWindow}"))
+  }
+}

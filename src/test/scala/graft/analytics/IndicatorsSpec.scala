@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("close_price", DoubleType, nullable = false),
+    StructField("volume", LongType, nullable = false)))
+
+  private def day(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+
+  /** symbol A: close 101..125 rising by 1/day, constant volume 10. */
+  private def rising = df(schema,
+    (1 to 25).map(i => Row("A", day(i), 100.0 + i, 10L)): _*)
+
+  test("windowed indicators are NULL until a full window exists") {
+    val out = Indicators.indicators(rising).orderBy("date").collect()
+    out.take(19).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("vwap_20d")))
+      assert(r.isNullAt(r.fieldIndex("boll_mid")))
+    }
+    out.take(14).foreach(r => assert(r.isNullAt(r.fieldIndex("rsi_14"))))
+    out.drop(19).foreach(r => assert(!r.isNullAt(r.fieldIndex("vwap_20d"))))
+  }
+
+  test("VWAP and Bollinger on an arithmetic series match closed forms") {
+    val out = Indicators.indicators(rising)
+      .filter(col("date") === day(20)).collect().head
+    // closes 101..120, constant volume: vwap = mid = mean = 110.5
+    out.getAs[Double]("vwap_20d") shouldBe 110.5
+    out.getAs[Double]("boll_mid") shouldBe 110.5
+    // sample variance of 20 consecutive integers = n(n+1)/12 = 35
+    val sd = math.sqrt(35.0)
+    out.getAs[Double]("boll_up") shouldBe (110.5 + 2 * sd) +- 1e-12
+    out.getAs[Double]("boll_dn") shouldBe (110.5 - 2 * sd) +- 1e-12
+  }
+
+  test("drawdown is 0 on a rising series, negative after a fall; RSI pins") {
+    val fall = df(schema,
+      ((1 to 20).map(i => Row("B", day(i), 100.0 + i, 10L)) :+
+        Row("B", day(21), 60.0, 10L)): _*)
+    val out = Indicators.indicators(fall).orderBy("date").collect()
+    out.take(20).foreach(_.getAs[Double]("drawdown_pct") shouldBe 0.0)
+    // peak 120, close 60 -> -50%
+    out.last.getAs[Double]("drawdown_pct") shouldBe -50.0
+    // monotone rise: every full RSI window is all-gain -> 100
+    Indicators.indicators(rising).filter(col("date") >= day(15))
+      .select("rsi_14").as[Double].collect().foreach(_ shouldBe 100.0)
+    // monotone fall: all-loss -> 0
+    val falling = df(schema,
+      (1 to 20).map(i => Row("C", day(i), 200.0 - i, 10L)): _*)
+    Indicators.indicators(falling).filter(col("date") >= day(15))
+      .select("rsi_14").as[Double].collect().foreach(_ shouldBe 0.0)
+  }
+
+  test("a zero-volume full window yields NULL VWAP, not a division blowup") {
+    val zero = df(schema,
+      (1 to 21).map(i => Row("D", day(i), 100.0 + i, 0L)): _*)
+    Indicators.indicators(zero).filter(col("date") >= day(20))
+      .select("vwap_20d").collect().foreach(r => assert(r.isNullAt(0)))
+  }
+}
