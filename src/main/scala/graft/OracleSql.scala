@@ -946,6 +946,21 @@ r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY kh, doc_id) AS rn
 SELECT doc_id, lang, source, n_chars, (kh % 5 = 0) AS in_hash_sample
 FROM r WHERE rn <= 20 ORDER BY doc_id"""
 
+  val q60_quota_sample: String = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+    row_number() OVER (PARTITION BY lang, source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 5 ORDER BY doc_id"""
+
+  val q61_rate_sample: String = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        % 10000 <
+      CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 ELSE 5000 END
+ORDER BY doc_id"""
+
   val q47_contamination: String = shinglesCte + """
 , ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
 posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
@@ -1027,5 +1042,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q56_histogram" -> q56_histogram,
     "q57_resample_weekly" -> q57_resample_weekly,
     "q58_pii_scan" -> q58_pii_scan,
-    "q59_indicators" -> q59_indicators)
+    "q59_indicators" -> q59_indicators,
+    "q60_quota_sample" -> q60_quota_sample,
+    "q61_rate_sample" -> q61_rate_sample)
 }

@@ -650,6 +650,25 @@ object SparkEntry {
 
     // Benchmark contamination: per training doc, the fraction of its
     // distinct shingles that appear in the benchmark set (docs 0-19).
+    // Group-quota curation cap: the k longest docs per (lang, source)
+    // — rn<=k compiles to a pre-shuffle WindowGroupLimit top-k.
+    "q60_quota_sample" -> ((s, dir) =>
+      graft.etl.Sampling.quotaPerGroup(
+        Tables.documents(s, dir), Seq("lang", "source"),
+        Seq(col("n_chars").desc, col("doc_id")), k = 5)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Per-stratum rate mixer: downsample en to 25%, keep zh whole,
+    // half of everything else — membership a pure function of doc_id.
+    "q61_rate_sample" -> ((s, dir) =>
+      graft.etl.Sampling.stratifiedRateSample(
+        Tables.documents(s, dir), "lang", "doc_id",
+        permyriad = Map("en" -> 2500, "zh" -> 10000),
+        defaultPermyriad = 5000)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "q47_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.dedup.Dedup.contaminationScores(

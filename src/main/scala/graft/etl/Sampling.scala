@@ -39,4 +39,44 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Group-quota cap — the domain-capping curation primitive: at most
+    * `k` rows per group, keeping the TOP rows by `order` (e.g. the k
+    * highest-quality documents per (lang, domain); append a
+    * deterministic tiebreak column or the cap itself is
+    * nondeterministic). Declarative row_number is the SCALE form here,
+    * not just the simple one: Catalyst's InferWindowGroupLimit rewrites
+    * the `rn <= k` filter into a per-partition top-k
+    * (WindowGroupLimit) BEFORE the shuffle, so each task ships at most
+    * k rows per group it saw — a monster group costs its partitions ×
+    * k rows on the wire, never its full population. */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String],
+                    order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty && order.nonEmpty, "need group and order columns")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-stratum keep RATES in permyriad (1/10000): a row survives iff
+    * `hash(key) % 10000 < rate(stratum)` — the up/down-sampling mixer
+    * of a training-data pipeline (keep 25% of English, all of a rare
+    * language). The rate table is a literal when-chain, not a join:
+    * typical mixes have tens of strata, and a broadcast join for a
+    * 10-entry lookup is pure overhead. Deterministic per key: a row's
+    * membership never flips as unrelated rows arrive, and raising a
+    * stratum's rate only ADDS rows (nested samples — the property that
+    * makes mix re-weighting reproducible). */
+  def stratifiedRateSample(df: DataFrame, stratumCol: String, keyCol: String,
+                           permyriad: Map[String, Int],
+                           defaultPermyriad: Int = 0): DataFrame = {
+    require((defaultPermyriad +: permyriad.values.toSeq)
+      .forall(r => r >= 0 && r <= 10000), "rates must be in [0, 10000]")
+    val rate = permyriad.toSeq.sortBy(_._1).foldRight(
+      lit(defaultPermyriad): Column) { case ((s, r), acc) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(keyHash(col(keyCol)) % 10000 < rate)
+  }
 }

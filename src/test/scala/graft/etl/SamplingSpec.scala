@@ -35,4 +35,40 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.stratifiedSample(docs.repartition(5), "lang", "doc_id", k = 10)
     assertSameRows(s, again)
   }
+
+  test("quotaPerGroup keeps the top-k by the given order, and plans a group limit") {
+    val scored = docs.withColumn("score", (col("doc_id") % 37).cast("double"))
+    val capped = Sampling.quotaPerGroup(scored, Seq("lang"),
+      Seq(col("score").desc, col("doc_id")), k = 7)
+    capped.groupBy("lang").count().as[(String, Long)].collect()
+      .foreach(_._2 shouldBe 7L)
+    // every kept row's score is >= every dropped row's score (per lang)
+    val minKept = capped.groupBy("lang").agg(min("score").as("mk"))
+    val joined = scored.join(capped.select(col("doc_id").as("kid")),
+        col("doc_id") === col("kid"), "left_anti")
+      .join(minKept, "lang")
+      .filter(col("score") > col("mk")).count()
+    joined shouldBe 0L
+    // the rn<=k filter must compile to a pre-shuffle WindowGroupLimit
+    val plan = capped.queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+
+  test("stratifiedRateSample: rate-0 strata vanish, rate-10000 strata stay whole") {
+    val s = Sampling.stratifiedRateSample(docs, "lang", "doc_id",
+      Map("en" -> 10000, "de" -> 0), defaultPermyriad = 5000)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    s.count(_._2 == "en") shouldBe 100     // all of en
+    s.count(_._2 == "de") shouldBe 0       // none of de
+    val fr = s.count(_._2 == "fr")
+    fr should (be > 25 and be < 75)        // ~50 of fr at 50%
+    // nested-sample property: raising a rate only ADDS rows
+    val half = Sampling.stratifiedRateSample(docs, "lang", "doc_id",
+      Map("fr" -> 2500), defaultPermyriad = 0)
+      .select("doc_id").as[Long].collect().toSet
+    val more = Sampling.stratifiedRateSample(docs, "lang", "doc_id",
+      Map("fr" -> 7500), defaultPermyriad = 0)
+      .select("doc_id").as[Long].collect().toSet
+    half.subsetOf(more) shouldBe true
+  }
 }
