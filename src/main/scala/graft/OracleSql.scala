@@ -689,6 +689,55 @@ SELECT symbol, date, close_price,
   END AS rsi_14
 FROM r ORDER BY symbol, date"""
 
+  /** Correlation-matrix twin of [[graft.analytics.Correlation]]:
+    * returns quantized once to DECIMAL(18,6), five exact decimal sums
+    * per pair, each cast to double, then the SAME double corr formula
+    * — accumulation order can no longer matter. */
+  val q62_corr_matrix: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+rets AS (
+  SELECT symbol, date,
+    CAST(ROUND(CAST((close_price - prev) / prev * 100 AS DECIMAL(28,10)), 6)
+         AS DECIMAL(18,6)) AS ret
+  FROM (SELECT symbol, date, close_price,
+          lag(close_price) OVER (PARTITION BY symbol ORDER BY date) AS prev
+        FROM daily)
+  WHERE prev IS NOT NULL AND prev <> 0),
+agg AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n_days,
+    -- two DuckDB-vs-Spark conversion traps here:
+    -- (1) widen before multiplying: DuckDB runs DECIMAL(18) products
+    --     in int64 and overflows; DECIMAL(24) is hugeint-backed
+    --     (values exact either way, = Spark's (18,6)x(18,6)->(37,12));
+    -- (2) decimal->double goes VIA VARCHAR: DuckDB's direct cast
+    --     divides in double arithmetic and can double-round 1 ulp off
+    --     the true value (observed on a 20-digit sum), while Java's
+    --     BigDecimal.doubleValue and strtod are correctly rounded.
+    CAST(CAST(sum(a.ret) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(b.ret) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(a.ret AS DECIMAL(24,6)) * CAST(a.ret AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(b.ret AS DECIMAL(24,6)) * CAST(b.ret AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(CAST(a.ret AS DECIMAL(24,6)) * CAST(b.ret AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
+  GROUP BY 1, 2)
+SELECT sym_a, sym_b, n_days,
+  CASE WHEN (CAST(n_days AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n_days AS DOUBLE) * syy - sy * sy) > 0
+    THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy) /
+         (sqrt(CAST(n_days AS DOUBLE) * sxx - sx * sx) *
+          sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy))
+  END AS corr
+FROM agg WHERE n_days >= 2 ORDER BY sym_a, sym_b"""
+
+  /** The bloom pre-filter is semantically invisible: the oracle is the
+    * plain semi join. */
+  val q63_bloom_semijoin: String = """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_type = 'error' AND user_id IN
+  (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+ORDER BY event_id"""
+
   /** P13/P14 freshness + age probes vs a literal anchor. */
   val q30_freshness: String = barsCte + """
 SELECT max(date) AS newest_date, min(date) AS oldest_date,
@@ -1044,5 +1093,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q58_pii_scan" -> q58_pii_scan,
     "q59_indicators" -> q59_indicators,
     "q60_quota_sample" -> q60_quota_sample,
-    "q61_rate_sample" -> q61_rate_sample)
+    "q61_rate_sample" -> q61_rate_sample,
+    "q62_corr_matrix" -> q62_corr_matrix,
+    "q63_bloom_semijoin" -> q63_bloom_semijoin)
 }

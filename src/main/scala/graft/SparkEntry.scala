@@ -358,6 +358,29 @@ object SparkEntry {
       Indicators.indicators(daily).orderBy(col("symbol"), col("date"))
     }),
 
+    // Pairwise return-correlation matrix: exact decimal sums feed an
+    // identical double corr formula on both engines.
+    "q62_corr_matrix" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Correlation.pairwiseCorr(
+        graft.analytics.Correlation.dailyReturns(daily))
+        .orderBy(col("sym_a"), col("sym_b"))
+    }),
+
+    // Bloom-pre-filtered semi join — exact semi-join semantics, the
+    // bloom only decides which fact rows pay the shuffle.
+    "q63_bloom_semijoin" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val buyers = events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("buyer_id")).distinct()
+      graft.etl.BloomJoin.semiJoinWithBloom(
+        events.filter(col("event_type") === "error"), buyers,
+        "user_id", "buyer_id", expectedItems = 100000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // W1: pandas rolling(n) semantics — NULL until a full window.
     "q29_ma_pandas" -> ((s, dir) =>
       StockAnalytics.movingAveragesPandasStyle(mergedBars(s, dir), pick = minPick)

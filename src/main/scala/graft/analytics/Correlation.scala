@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pairwise return-correlation matrix between symbols — the classic
+  * portfolio analytic over the daily bar series.
+  *
+  * Shape: per-symbol daily returns (one window pass), self-join on
+  * `date` for ordered symbol pairs, one hash aggregate per pair. The
+  * date join shuffles each return row once; pair expansion is
+  * |symbols|² per date — inherent to a correlation MATRIX (the output
+  * itself is |symbols|²), so the operator's contract is a bounded
+  * symbol universe, not a bounded row count. At 100 TB: thousands of
+  * symbols × decades of days is ~10⁷ joined rows per date-partition
+  * batch — shuffle-partitionable, no driver state.
+  *
+  * Determinism (oracle hash-equality): Pearson needs five sums per
+  * pair; double sums are accumulation-order-dependent, so returns are
+  * quantized ONCE to DECIMAL(18,6) and the sums run as exact decimal
+  * aggregates (order-independent on any engine). Each exact sum is
+  * then cast to double and the corr formula evaluates in doubles in
+  * an identical expression tree on both engines — same inputs, same
+  * IEEE ops, same bits.
+  */
+object Correlation {
+
+  /** Per-symbol daily close-to-close percent return, quantized to
+    * DECIMAL(18,6). Input: ONE row per (symbol, date) with
+    * `close_price`. First day per symbol (no prior close) is dropped. */
+  def dailyReturns(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    daily
+      .withColumn("__prev", lag(col("close_price"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= 0)
+      .withColumn("ret",
+        round(((col("close_price") - col("__prev")) / col("__prev") * 100)
+          .cast("decimal(28,10)"), 6).cast("decimal(18,6)"))
+      .select(col("symbol"), col("date"), col("ret"))
+  }
+
+  /** Correlation matrix over [[dailyReturns]] rows: one row per
+    * ordered pair (sym_a < sym_b) with the day count and the Pearson
+    * correlation of same-day returns. */
+  def pairwiseCorr(returns: DataFrame, minDays: Int = 2): DataFrame = {
+    val a = returns.select(col("symbol").as("sym_a"), col("date"),
+      col("ret").as("ra"))
+    val b = returns.select(col("symbol").as("sym_b"), col("date"),
+      col("ret").as("rb"))
+    val paired = a.join(b, Seq("date")).filter(col("sym_a") < col("sym_b"))
+    val agg = paired.groupBy(col("sym_a"), col("sym_b")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("ra")).cast("double").as("__sx"),
+      sum(col("rb")).cast("double").as("__sy"),
+      sum(col("ra") * col("ra")).cast("double").as("__sxx"),
+      sum(col("rb") * col("rb")).cast("double").as("__syy"),
+      sum(col("ra") * col("rb")).cast("double").as("__sxy"))
+    val n = col("n_days").cast("double")
+    val varx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vary = n * col("__syy") - col("__sy") * col("__sy")
+    agg
+      .filter(col("n_days") >= minDays)
+      .select(col("sym_a"), col("sym_b"), col("n_days"),
+        when(varx > 0 && vary > 0,
+          (n * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(varx) * sqrt(vary)))
+          .as("corr"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class CorrelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("close_price", DoubleType, nullable = false)))
+
+  private def day(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+
+  private def series(rows: (String, Int, Double)*) =
+    df(schema, rows.map { case (s, i, c) => Row(s, day(i), c) }: _*)
+
+  test("perfectly co-moving symbols have corr 1, mirrored symbols -1") {
+    val closes = Seq(100.0, 110.0, 99.0, 120.0, 108.0)
+    // B = 2*A: identical returns. C's returns are the NEGATIVE of A's,
+    // built multiplicatively: c_i = c_{i-1} * (2 - a_i / a_{i-1}).
+    val cSeries = closes.sliding(2).foldLeft(Vector(100.0)) {
+      case (acc, Seq(p, n)) => acc :+ acc.last * (2.0 - n / p)
+      case (acc, _) => acc
+    }
+    val rows =
+      closes.zipWithIndex.map { case (c, i) => ("A", i + 1, c) } ++
+      closes.zipWithIndex.map { case (c, i) => ("B", i + 1, 2 * c) } ++
+      cSeries.zipWithIndex.map { case (c, i) => ("C", i + 1, c) }
+    val out = Correlation.pairwiseCorr(
+      Correlation.dailyReturns(series(rows: _*)))
+      .collect().map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")) ->
+        r.getAs[Double]("corr")).toMap
+    out(("A", "B")) shouldBe 1.0 +- 1e-9
+    out(("A", "C")) shouldBe -1.0 +- 1e-9
+    out(("B", "C")) shouldBe -1.0 +- 1e-9
+  }
+
+  test("independent flat symbol yields NULL corr (zero variance guard)") {
+    val rows = (1 to 6).map(i => ("A", i, 100.0 + i * 3)) ++
+      (1 to 6).map(i => ("F", i, 50.0)) // flat: zero-variance returns
+    val out = Correlation.pairwiseCorr(Correlation.dailyReturns(series(rows: _*)))
+      .collect().head
+    out.getAs[String]("sym_a") shouldBe "A"
+    out.getAs[String]("sym_b") shouldBe "F"
+    assert(out.isNullAt(out.fieldIndex("corr")))
+    out.getAs[Long]("n_days") shouldBe 5L
+  }
+
+  test("corr is symmetric-by-construction and within [-1, 1] on harness data") {
+    val bars = graft.SparkEntry.mergedBars(spark, "/root/testdata/sf0.001")
+    val daily = bars.groupBy(col("symbol"), col("date"))
+      .agg(min(col("close")).as("close_price"))
+    val m = Correlation.pairwiseCorr(Correlation.dailyReturns(daily)).collect()
+    m.foreach { r =>
+      r.getAs[String]("sym_a") should be < r.getAs[String]("sym_b")
+      if (!r.isNullAt(r.fieldIndex("corr"))) {
+        val c = r.getAs[Double]("corr")
+        c should (be >= -1.0 - 1e-9 and be <= 1.0 + 1e-9)
+      }
+    }
+    m.length should be > 0
+  }
+}
