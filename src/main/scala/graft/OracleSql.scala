@@ -1010,6 +1010,30 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
       CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 ELSE 5000 END
 ORDER BY doc_id"""
 
+  /** Sequence-packing twin: the greedy reset-on-overflow scan is a
+    * recursive CTE advancing every shard one row per iteration —
+    * state (pack_seq, fill) carried exactly like the Spark
+    * mapPartitions fold. BIGINT anchors pin the recursion's column
+    * types to Spark's Longs. */
+  val q64_seq_packing: String = """
+WITH RECURSIVE d AS (
+  SELECT lang AS shard, doc_id, n_chars AS size,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+st AS (
+  SELECT shard, rn, doc_id, size,
+    CAST(1 AS BIGINT) AS pack_seq, size AS pack_fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.size,
+    CASE WHEN st.pack_fill + d.size <= 2000
+         THEN st.pack_seq ELSE st.pack_seq + 1 END,
+    CASE WHEN st.pack_fill + d.size <= 2000
+         THEN st.pack_fill + d.size ELSE d.size END
+  FROM d JOIN st ON d.shard = st.shard AND d.rn = st.rn + 1)
+SELECT shard, doc_id, size, pack_seq, pack_fill
+FROM st ORDER BY doc_id"""
+
   val q47_contamination: String = shinglesCte + """
 , ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
 posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
@@ -1095,5 +1119,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q60_quota_sample" -> q60_quota_sample,
     "q61_rate_sample" -> q61_rate_sample,
     "q62_corr_matrix" -> q62_corr_matrix,
-    "q63_bloom_semijoin" -> q63_bloom_semijoin)
+    "q63_bloom_semijoin" -> q63_bloom_semijoin,
+    "q64_seq_packing" -> q64_seq_packing)
 }

@@ -692,6 +692,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Greedy sequence packing: per-lang shards, 2000-char capacity —
+    // the context-window packing step of a training-data pipeline.
+    "q64_seq_packing" -> ((s, dir) =>
+      graft.etl.Packing.packGreedy(Tables.documents(s, dir),
+        shardCol = "lang", idCol = "doc_id", sizeCol = "n_chars",
+        capacity = 2000L)
+        .orderBy(col("doc_id"))),
+
     "q47_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.dedup.Dedup.contaminationScores(
