@@ -234,6 +234,17 @@ SELECT token, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
 FROM (SELECT doc_id, unnest(tokens) AS token FROM toks)
 GROUP BY token ORDER BY occurrences DESC, token LIMIT 100"""
 
+  /** Bigram twin: adjacent positions joined on (doc, pos+1) — the
+    * obviously-correct SQL form of the Spark slice+zip. */
+  val q66_bigrams: String = toksCte + """
+, pos AS (
+  SELECT doc_id, unnest(tokens) AS t, generate_subscripts(tokens, 1) AS p
+  FROM toks)
+SELECT a.t || ' ' || b.t AS bigram, count(*) AS occurrences,
+       count(DISTINCT a.doc_id) AS doc_freq
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+GROUP BY 1 ORDER BY occurrences DESC, bigram LIMIT 200"""
+
   val q15_doc_profile: String = toksCte + """
 , base AS (
   SELECT doc_id,
@@ -1034,6 +1045,11 @@ st AS (
 SELECT shard, doc_id, size, pack_seq, pack_fill
 FROM st ORDER BY doc_id"""
 
+  /** Compaction is content-preserving by contract: the oracle is the
+    * source table itself. */
+  val q65_compaction: String = """
+SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id"""
+
   val q47_contamination: String = shinglesCte + """
 , ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
 posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
@@ -1120,5 +1136,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q61_rate_sample" -> q61_rate_sample,
     "q62_corr_matrix" -> q62_corr_matrix,
     "q63_bloom_semijoin" -> q63_bloom_semijoin,
-    "q64_seq_packing" -> q64_seq_packing)
+    "q64_seq_packing" -> q64_seq_packing,
+    "q65_compaction" -> q65_compaction,
+    "q66_bigrams" -> q66_bigrams)
 }

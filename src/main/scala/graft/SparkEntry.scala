@@ -692,6 +692,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Corpus bigram vocabulary: top-200 adjacent-token pairs with
+    // corpus count + doc frequency.
+    "q66_bigrams" -> ((s, dir) =>
+      graft.text.TextAnalysis.topBigrams(Tables.documents(s, dir), k = 200)),
+
+    // Small-file compaction: fragment a partitioned table (8 writers
+    // per lang dir), compact to ~1 file per partition, read back —
+    // the oracle proves row content is untouched end-to-end.
+    "q65_compaction" -> ((s, dir) => {
+      val path = scratch("q65_compaction", dir)
+      Tables.documents(s, dir).repartition(8)
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      graft.store.Compaction.compactPartitioned(s, path, "lang",
+        targetBytes = 1L << 40)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Greedy sequence packing: per-lang shards, 2000-char capacity —
     // the context-window packing step of a training-data pipeline.
     "q64_seq_packing" -> ((s, dir) =>

@@ -100,8 +100,10 @@ object Upsert {
 
   private def tmpFor(tablePath: String): String = s"$tablePath.__upsert_tmp"
 
-  private def commitFromTmp(spark: SparkSession, tablePath: String,
-                            tmpPath: String, partitionCol: String): Unit = {
+  /** Staged dynamic-partition-overwrite commit, shared with
+    * [[graft.store.Compaction]] (same crash-safety protocol). */
+  private[graft] def commitFromTmp(spark: SparkSession, tablePath: String,
+                                   tmpPath: String, partitionCol: String): Unit = {
     spark.read.parquet(tmpPath).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -93,6 +93,30 @@ object TextAnalysis {
   def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
     tokenStats(docs).orderBy(col("occurrences").desc, col("token")).limit(k)
 
+  /** Corpus bigram vocabulary: adjacent-token pairs with corpus count
+    * and document frequency. The pair list is the token array zipped
+    * with itself shifted by one — slice + arrays_zip are ordinary
+    * codegen'd collection expressions (no interpreted HOF lambda, no
+    * per-doc window shuffle): scan → explode → one hash aggregate,
+    * the same shape as [[tokenStats]]. */
+  def bigramStats(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    withTokens(docs, textCol)
+      .filter(size(col("tokens")) >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("tokens"), lit(1), size(col("tokens")) - 1).as("a"),
+          slice(col("tokens"), lit(2), size(col("tokens")) - 1).as("b"))).as("__bg"))
+      .select(col(idCol),
+        concat_ws(" ", col("__bg.a"), col("__bg.b")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col(idCol)).as("doc_freq"))
+
+  /** Top-k bigrams (deterministic tie-break on the bigram text). */
+  def topBigrams(docs: DataFrame, k: Int = 200): DataFrame =
+    bigramStats(docs).orderBy(col("occurrences").desc, col("bigram")).limit(k)
+
   /** GPT-2-style pre-tokenizer approximation: contractions, space-
     * prefixed letter runs, digit runs, punctuation runs. Same RE2-safe
     * alternation in both engines, so counts are oracle-checkable.

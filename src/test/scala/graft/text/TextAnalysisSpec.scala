@@ -56,6 +56,14 @@ class TextAnalysisSpec extends SparkSpec {
     out.toSeq shouldBe Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L))
   }
 
+  test("bigramStats zips adjacent tokens; single-token docs contribute nothing") {
+    val out = bigramStats(docs((1L, "a b a b"), (2L, "b a"), (3L, "solo")))
+      .orderBy("bigram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // doc1: "a b","b a","a b"; doc2: "b a"
+    out.toSeq shouldBe Seq(("a b", 2L, 1L), ("b a", 2L, 2L))
+  }
+
   test("fingerprint is order-sensitive and reproducible") {
     val fp = docs((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
       .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
