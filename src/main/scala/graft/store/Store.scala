@@ -77,6 +77,35 @@ object Store {
       .saveAsTable(table)
   }
 
+  /** Partition retention (TTL): drop partition directories whose
+    * value sorts BELOW `cutoff` — the expiry half of the
+    * date-partitioned table lifecycle (the reference's BigQuery table
+    * would use a partition expiration; this is the parquet-layout
+    * equivalent). Metadata-only: directory listing + deletes, no data
+    * read, no rewrite — at 100 TB expiring a year of dailies is ~365
+    * namenode ops, not an IO job. The comparison is on the partition
+    * value STRING, so the encoding must sort chronologically — ISO
+    * dates (`event_date=2024-01-31`) and zero-padded numerics do;
+    * anything else is the caller's contract to ensure. Idempotent and
+    * crash-tolerant: a partial run leaves fewer expired dirs, the next
+    * run removes the rest.
+    * @return the dropped partition values */
+  def expirePartitions(spark: SparkSession, tablePath: String,
+                       partitionCol: String, cutoff: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val prefix = s"$partitionCol="
+      val expired = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .map(st => st.getPath)
+        .filter(_.getName.drop(prefix.length) < cutoff)
+      expired.foreach(p => fs.delete(p, true))
+      expired.map(_.getName.drop(prefix.length)).sorted
+    }
+  }
+
   /** K9: the reference's `stock_daily_metrics` view over a registered
     * bar table (deterministic `min` in place of ANY_VALUE; the average
     * goes through an exact decimal sum — see [[graft.core.Exact]] —

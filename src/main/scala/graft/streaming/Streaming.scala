@@ -107,6 +107,33 @@ object Streaming {
       : StreamingQuery =
     upsertSink(stream, tablePath, keys, checkpointDir,
       partitionCol, partitionExpr).start()
+
+  /** Watermarked stream-stream inner join: each left event (e.g. a
+    * view) matched to the same user's right events (e.g. purchases)
+    * that follow within `withinMinutes` — the streaming attribution
+    * join. Both sides carry watermarks and the join condition bounds
+    * the event-time distance, so the state store retains each side
+    * only for watermark + bound and every match is emitted exactly
+    * once; without the time bound Spark would (correctly) refuse to
+    * run the join with unbounded state. Batch twin for equivalence
+    * tests: the same join on static frames. */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+                      withinMinutes: Int,
+                      watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+        col("user_id"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("user_id"), col("event_type").as("r_type"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      l("user_id") === r("user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(l("user_id"), col("l_id"), col("l_ts"), col("r_id"),
+        col("r_ts"), col("r_value"))
+  }
 }
 
 /** Typed rows for the stateful session operator. */

@@ -35,6 +35,26 @@ class StoreSpec extends SparkSpec {
     assertSameRows(Store.readTable(spark, path), d)
   }
 
+  test("expirePartitions drops only below-cutoff dirs, metadata-only, idempotent") {
+    val path = tmp("expire")
+    val d = bars(("2023-11-05", "A", 1.0), ("2023-12-05", "A", 2.0),
+      ("2024-01-05", "B", 3.0), ("2024-02-05", "B", 4.0))
+    Store.writePartitioned(d, path, "month", Seq("symbol", "date"))
+    val keptBefore = new java.io.File(s"$path/month=2024-01").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val dropped = Store.expirePartitions(spark, path, "month", cutoff = "2024-01")
+    dropped shouldBe Seq("2023-11", "2023-12")
+    new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+      .sorted.toSeq shouldBe Seq("month=2024-01", "month=2024-02")
+    // surviving partitions untouched (no rewrite, no mtime churn)
+    new java.io.File(s"$path/month=2024-01").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet shouldBe keptBefore
+    // rows of surviving partitions fully readable
+    Store.readTable(spark, path).count() shouldBe 2L
+    // idempotent re-run
+    Store.expirePartitions(spark, path, "month", "2024-01") shouldBe Seq.empty
+  }
+
   test("partition-key predicates prune at plan level") {
     val path = tmp("prune")
     val d = bars(("2024-01-05", "A", 1.0), ("2024-02-05", "A", 2.0),

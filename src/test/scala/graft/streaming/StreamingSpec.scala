@@ -115,6 +115,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch twin across batches") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = Streaming.attributionJoin(
+      views.toDF(), buys.toDF(), withinMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .option("checkpointLocation", tmp("attr-ckpt")).outputMode("append")
+      .start()
+    val vRows = Seq(ev(1, 10, "view"), ev(2, 100, "view"))
+    val bRows = Seq(ev(10, 20, "purchase", 5.0),   // within 30m of view 1
+      ev(11, 90, "purchase", 7.0),                 // before view 2: no match
+      ev(12, 120, "purchase", 9.0))                // within 30m of view 2
+    try {
+      views.addData(vRows.head); buys.addData(bRows.head)
+      q.processAllAvailable()
+      views.addData(vRows(1)); buys.addData(bRows(1), bRows(2))
+      q.processAllAvailable()
+      // advance both watermarks so every in-bound match is emitted
+      views.addData(ev(98, 1000, "view")); buys.addData(ev(99, 1000, "purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      streamed shouldBe Set((1L, 10L), (2L, 12L), (98L, 99L))
+      // batch twin over the same (non-sentinel) events
+      val batch = Streaming.attributionJoin(
+        vRows.toDF(), bRows.toDF(), withinMinutes = 30)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      batch shouldBe Set((1L, 10L), (2L, 12L))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert: an empty first micro-batch creates no table") {
     import org.apache.spark.sql.streaming.Trigger
     val landing = tmp("empty-landing")
