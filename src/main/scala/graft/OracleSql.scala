@@ -958,6 +958,11 @@ FROM merged GROUP BY symbol ORDER BY symbol"""
     * q03's daily metrics, so the oracle is the same SQL. */
   val q42_catalog_view: String = q03_daily_metrics
 
+  /** The incremental-maintenance invariant IS the oracle: splicing
+    * recomputed touched dates into the prior rollup must equal the
+    * from-scratch aggregation (q03). */
+  val q67_incremental_rollup: String = q03_daily_metrics
+
   /** q43's partitioned upsert produces the same logical table as q08's
     * join-based upsert — the oracle is q08's merged expectation. */
   val q43_upsert_partitioned: String = q08_upsert
@@ -1138,5 +1143,6 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q63_bloom_semijoin" -> q63_bloom_semijoin,
     "q64_seq_packing" -> q64_seq_packing,
     "q65_compaction" -> q65_compaction,
-    "q66_bigrams" -> q66_bigrams)
+    "q66_bigrams" -> q66_bigrams,
+    "q67_incremental_rollup" -> q67_incremental_rollup)
 }

@@ -348,6 +348,20 @@ object SparkEntry {
         .orderBy(col("symbol"), col("week"))
     }),
 
+    // Incremental rollup maintenance: recompute only staged dates,
+    // splice into the prior rollup — oracle = q03 from scratch.
+    "q67_incremental_rollup" -> ((s, dir) => {
+      val merged = mergedBars(s, dir)
+      val cut = lit("1998-06-01").cast("date")
+      val before = merged.filter(col("date") < cut)
+      val staging = merged.filter(col("date") >= cut)
+      val rollup0 = StockAnalytics.dailyMetrics(before,
+        pick = minPick, avgF = exactAvg4)
+      StockAnalytics.incrementalDailyMetrics(rollup0, merged, staging,
+        pick = minPick, avgF = exactAvg4)
+        .orderBy(col("date"), col("symbol"))
+    }),
+
     // Technical indicators: VWAP, Bollinger bands, running-peak
     // drawdown, RSI — all four in one Window-operator pass.
     "q59_indicators" -> ((s, dir) => {

@@ -107,6 +107,29 @@ object StockAnalytics {
     global.crossJoin(sourceArray)
   }
 
+  /** Incremental maintenance of the daily-metrics rollup (A3) under a
+    * bar-table increment — the materialized-view-refresh pattern that
+    * makes the reference's `stock_daily_metrics` view affordable at
+    * 100 TB: instead of re-aggregating the whole history on every
+    * load, recompute ONLY the dates the staging batch touches (a
+    * partition-pruned scan of the updated base) and splice them into
+    * the stored rollup (anti-join out the stale groups, union the
+    * fresh ones). Invariant — proven end-to-end by the oracle row:
+    * incremental result ≡ [[dailyMetrics]] recomputed from scratch.
+    * Touched-date granularity aligns with the table's date
+    * partitioning, so the recompute scan reads a day's worth of files
+    * per staged day. */
+  def incrementalDailyMetrics(rollup: DataFrame, updatedBars: DataFrame,
+      staging: DataFrame, pick: Column => Column = any_value(_),
+      avgF: Column => Column = avg(_)): DataFrame = {
+    val touched = staging.select(col("date")).distinct()
+    val recomputed = dailyMetrics(
+      updatedBars.join(broadcast(touched), Seq("date"), "left_semi"),
+      pick, avgF)
+    rollup.join(broadcast(touched), Seq("date"), "left_anti")
+      .unionByName(recomputed)
+  }
+
   /** A5 at 100 TB: `countDistinct` expands to a two-phase plan that
     * shuffles every distinct value; the HLL sketch shuffles a fixed
     * ~KB register set per group instead. Bounded error (`rsd`),

@@ -98,6 +98,24 @@ class StockAnalyticsSpec extends SparkSpec {
     out(0).getAs[java.sql.Date]("earliest_data_date").toString shouldBe "2024-01-01"
   }
 
+  test("incrementalDailyMetrics recomputes ONLY touched dates (stale rows survive)") {
+    val base = df(schema,
+      bar("2024-01-01", "A", 10.0), bar("2024-01-02", "A", 20.0))
+    val staging = df(schema, bar("2024-01-02", "A", 99.0))
+    val updated = base.union(staging)
+    // poison the untouched date's rollup row: if the splice recomputed
+    // it, the poison would be healed — incrementality demands it survive
+    val poisoned = StockAnalytics.dailyMetrics(base, pick = min(_))
+      .withColumn("close_price",
+        when(col("date") === lit("2024-01-01").cast("date"), lit(-777.0))
+          .otherwise(col("close_price")))
+    val out = StockAnalytics.incrementalDailyMetrics(
+      poisoned, updated, staging, pick = min(_))
+      .orderBy("date").collect()
+    out(0).getAs[Double]("close_price") shouldBe -777.0 // untouched: spliced, not recomputed
+    out(1).getAs[Double]("close_price") shouldBe 20.0   // touched: recomputed from base+staging
+  }
+
   test("recentWindow filters by lookback and symbol list (P15)") {
     val frame = df(schema, bar("2024-01-01", "A", 1.0), bar("2024-01-09", "A", 2.0),
       bar("2024-01-09", "B", 3.0))
