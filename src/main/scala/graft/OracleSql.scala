@@ -958,6 +958,26 @@ FROM merged GROUP BY symbol ORDER BY symbol"""
     * q03's daily metrics, so the oracle is the same SQL. */
   val q42_catalog_view: String = q03_daily_metrics
 
+  val q68_window_ranks: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date)
+SELECT symbol, date, close_price,
+  rank() OVER (PARTITION BY symbol ORDER BY close_price DESC) AS close_rank,
+  dense_rank() OVER (PARTITION BY symbol ORDER BY close_price DESC) AS close_dense_rank,
+  ntile(4) OVER (PARTITION BY symbol ORDER BY close_price, date) AS quartile,
+  percent_rank() OVER (PARTITION BY symbol ORDER BY close_price) AS pct_rank,
+  cume_dist() OVER (PARTITION BY symbol ORDER BY close_price) AS cume,
+  lag(close_price) OVER (PARTITION BY symbol ORDER BY date) AS prev_close,
+  lead(close_price) OVER (PARTITION BY symbol ORDER BY date) AS next_close
+FROM daily ORDER BY symbol, date"""
+
+  val q69_cube: String = barsCte + """
+SELECT data_source, symbol, count(*) AS n,
+  CAST(sum(CAST(close AS DECIMAL(38,2))) AS DOUBLE) AS sum_close
+FROM merged
+GROUP BY CUBE(data_source, symbol)
+ORDER BY data_source NULLS FIRST, symbol NULLS FIRST"""
+
   /** The incremental-maintenance invariant IS the oracle: splicing
     * recomputed touched dates into the prior rollup must equal the
     * from-scratch aggregation (q03). */
@@ -1144,5 +1164,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q64_seq_packing" -> q64_seq_packing,
     "q65_compaction" -> q65_compaction,
     "q66_bigrams" -> q66_bigrams,
-    "q67_incremental_rollup" -> q67_incremental_rollup)
+    "q67_incremental_rollup" -> q67_incremental_rollup,
+    "q68_window_ranks" -> q68_window_ranks,
+    "q69_cube" -> q69_cube)
 }

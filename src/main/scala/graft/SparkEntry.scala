@@ -610,6 +610,46 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Full window-ranking family over the daily close series: rank,
+    // dense_rank, quartile ntile, percent_rank, cume_dist, lag/lead —
+    // every frame rides the same per-symbol sort (one Window pass per
+    // distinct ordering).
+    "q68_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      // rank/dense/percent_rank/cume_dist keep TIES (integer closes
+      // repeat) — their values are deterministic over tied peers;
+      // ntile splits ties arbitrarily, so it alone gets the date
+      // tiebreak for a total order.
+      val byClose = Window.partitionBy(col("symbol"))
+        .orderBy(col("close_price").desc)
+      val byCloseAsc = Window.partitionBy(col("symbol"))
+        .orderBy(col("close_price"))
+      val byCloseTotal = Window.partitionBy(col("symbol"))
+        .orderBy(col("close_price"), col("date"))
+      val byDate = Window.partitionBy(col("symbol")).orderBy(col("date"))
+      daily.select(col("symbol"), col("date"), col("close_price"),
+        rank().over(byClose).as("close_rank"),
+        dense_rank().over(byClose).as("close_dense_rank"),
+        ntile(4).over(byCloseTotal).as("quartile"),
+        percent_rank().over(byCloseAsc).as("pct_rank"),
+        cume_dist().over(byCloseAsc).as("cume"),
+        lag(col("close_price"), 1).over(byDate).as("prev_close"),
+        lead(col("close_price"), 1).over(byDate).as("next_close"))
+        .orderBy(col("symbol"), col("date"))
+    }),
+
+    // CUBE grouping sets: every (source, symbol) subtotal combination
+    // in one Expand + single shuffle.
+    "q69_cube" -> ((s, dir) =>
+      mergedBars(s, dir)
+        .cube(col("data_source"), col("symbol"))
+        .agg(count(lit(1)).as("n"),
+          Exact.exactSum(col("close"), 2).as("sum_close"))
+        .orderBy(col("data_source").asc_nulls_first,
+          col("symbol").asc_nulls_first)),
+
     // K8/K9 through the CATALOG: bars written partitioned, registered
     // as a catalog table (partition recovery), the reference's
     // stock_daily_metrics view created over it, and the result read
