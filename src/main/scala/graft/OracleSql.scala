@@ -1097,6 +1097,36 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  /** Chunk-dedup twin of [[graft.dedup.ChunkDedup.sharedChunkProfile]]:
+    * tokens unnested with positions, regrouped into 20-token chunks
+    * with an ORDER BY-backed string_agg (the SQL form of the Spark
+    * slice), then one window pass over the chunk md5 for the canonical
+    * instance and the cross-doc sharing flag. */
+  val q70_chunk_dedup: String = toksCte + """
+, pos AS (
+  SELECT doc_id, unnest(tokens) AS t, generate_subscripts(tokens, 1) AS p
+  FROM toks),
+ch AS (
+  SELECT doc_id, (p-1)//20 AS ci,
+    string_agg(t, ' ' ORDER BY p) AS chunk_text,
+    CAST(count(*) AS BIGINT) AS chunk_tokens
+  FROM pos GROUP BY doc_id, (p-1)//20),
+fl AS (
+  SELECT doc_id, ci, chunk_text, chunk_tokens,
+    row_number() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, ci) AS rn,
+    min(doc_id) OVER (PARTITION BY md5(chunk_text)) AS dmin,
+    max(doc_id) OVER (PARTITION BY md5(chunk_text)) AS dmax
+  FROM ch)
+SELECT doc_id,
+  count(*) AS n_chunks,
+  CAST(sum(CASE WHEN dmin <> dmax THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+  CAST(sum(CASE WHEN rn = 1 THEN chunk_tokens ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY ci), ''))
+    AS kept_md5,
+  CAST(sum(CASE WHEN dmin <> dmax THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS shared_ratio
+FROM fl GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -1115,6 +1145,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
     "q15_doc_profile" -> q15_doc_profile,
     "q16_lang_confusion" -> q16_lang_confusion,
     "q17_content_dedup" -> q17_content_dedup,
+    "q70_chunk_dedup" -> q70_chunk_dedup,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

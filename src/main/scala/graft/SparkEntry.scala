@@ -652,6 +652,14 @@ object SparkEntry {
 
     // CUBE grouping sets: every (source, symbol) subtotal combination
     // in one Expand + single shuffle.
+    // E-series: sub-document exact substring dedup (RefinedWeb-style)
+    // at 20-token chunk granularity — per-doc shared-chunk audit plus
+    // the md5 of the text reassembled from surviving (globally first)
+    // chunk instances.
+    "q70_chunk_dedup" -> ((s, dir) =>
+      graft.dedup.ChunkDedup.sharedChunkProfile(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     "q69_cube" -> ((s, dir) =>
       mergedBars(s, dir)
         .cube(col("data_source"), col("symbol"))
