@@ -1127,6 +1127,39 @@ SELECT doc_id,
     AS shared_ratio
 FROM fl GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Shared vocabulary-rank CTE: token counts over the whole corpus,
+    * total-ordered rank (count DESC, token) — the twin of
+    * [[graft.text.Vocab.tokenRanks]]. */
+  private val ranksCte: String = toksCte + """
+, inst AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+vocab AS (
+  SELECT token, count(*) AS occurrences FROM inst GROUP BY token),
+ranks AS (
+  SELECT token,
+    row_number() OVER (ORDER BY occurrences DESC, token) AS rank
+  FROM vocab)
+"""
+
+  val q71_rank_score: String = ranksCte + """
+SELECT doc_id,
+  count(*) AS n_tokens,
+  count(DISTINCT i.token) AS n_types,
+  CAST(sum(rank) AS BIGINT) AS rank_sum,
+  CAST(max(rank) AS BIGINT) AS rarest_rank,
+  CAST(sum(rank) AS DOUBLE) / count(*) AS mean_rank
+FROM inst i JOIN ranks r ON i.token = r.token
+GROUP BY doc_id ORDER BY doc_id"""
+
+  val q72_oov_rate: String = ranksCte + """
+SELECT doc_id,
+  count(*) AS n_tokens,
+  CAST(sum(CASE WHEN rank IS NULL OR rank > 500 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_oov,
+  CAST(sum(CASE WHEN rank IS NULL OR rank > 500 THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS oov_rate
+FROM inst i LEFT JOIN ranks r ON i.token = r.token
+GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -1146,6 +1179,8 @@ FROM fl GROUP BY doc_id ORDER BY doc_id"""
     "q16_lang_confusion" -> q16_lang_confusion,
     "q17_content_dedup" -> q17_content_dedup,
     "q70_chunk_dedup" -> q70_chunk_dedup,
+    "q71_rank_score" -> q71_rank_score,
+    "q72_oov_rate" -> q72_oov_rate,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

@@ -652,6 +652,19 @@ object SparkEntry {
 
     // CUBE grouping sets: every (source, symbol) subtotal combination
     // in one Expand + single shuffle.
+    // E-series: rank-based unigram quality scoring — instance-weighted
+    // mean corpus-frequency rank per document (exact-arithmetic
+    // surprisal proxy: rare vocabulary => high mean rank).
+    "q71_rank_score" -> ((s, dir) =>
+      graft.text.Vocab.docRankProfile(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // E-series: tokenizer-coverage audit — per-doc OOV instances and
+    // rate against the corpus top-500 vocabulary (broadcast probe).
+    "q72_oov_rate" -> ((s, dir) =>
+      graft.text.Vocab.oovProfile(Tables.documents(s, dir), vocabSize = 500)
+        .orderBy(col("doc_id"))),
+
     // E-series: sub-document exact substring dedup (RefinedWeb-style)
     // at 20-token chunk granularity — per-doc shared-chunk audit plus
     // the md5 of the text reassembled from surviving (globally first)
