@@ -1160,6 +1160,72 @@ SELECT doc_id,
 FROM inst i LEFT JOIN ranks r ON i.token = r.token
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Quality-rules twin of [[graft.text.QualityRules.ruleReport]] —
+    * thresholds and the stopword union are interpolated from the SAME
+    * Scala constants the Spark operator uses. */
+  val q73_quality_rules: String = {
+    import graft.text.QualityRules._
+    val stopList = allStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    toksCte + s"""
+, feats AS (
+  SELECT doc_id,
+    CAST(len(tokens) AS BIGINT) AS n_tokens,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(tokens, t -> CAST(length(t) AS BIGINT))), (a,x) -> a + x)
+      AS sum_len,
+    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
+    CAST(len(list_filter(tokens, t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT)
+      AS n_digit,
+    CAST(len(list_filter(tokens, t -> list_contains($stopList, t))) AS BIGINT)
+      AS n_stop
+  FROM toks WHERE len(tokens) > 0),
+r AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+    CAST(n_digit AS DOUBLE) / n_tokens AS digit_ratio,
+    CAST(n_uniq AS DOUBLE) / n_tokens AS unique_ratio,
+    n_stop AS stop_hits,
+    (n_tokens >= $minTokens AND n_tokens <= $maxTokens) AS len_ok,
+    (CAST(sum_len AS DOUBLE) / n_tokens >= $minAvgLen
+      AND CAST(sum_len AS DOUBLE) / n_tokens <= $maxAvgLen) AS word_len_ok,
+    (CAST(n_digit AS DOUBLE) / n_tokens <= $maxDigitRatio) AS digit_ok,
+    (CAST(n_uniq AS DOUBLE) / n_tokens >= $minUniqueRatio) AS rep_ok,
+    (n_stop >= $minStopHits) AS stop_ok
+  FROM feats)
+SELECT *, (len_ok AND word_len_ok AND digit_ok AND rep_ok AND stop_ok) AS keep
+FROM r ORDER BY doc_id"""
+  }
+
+  /** Shard-assignment twin of [[graft.etl.Sampling.trainShards]]: the
+    * md5-derived key hash for the shard, an independently salted
+    * ('order:'-prefixed) hash for the within-shard order. */
+  val q74_train_shards: String = """
+WITH h AS (
+  SELECT doc_id, lang,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 16
+      AS INTEGER) AS shard,
+    CAST(('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+      AS oh
+  FROM documents)
+SELECT doc_id, lang, shard,
+  row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS pos
+FROM h ORDER BY doc_id"""
+
+  /** Mixture twin of [[graft.etl.Sampling.mixToTarget]]: anchor = max
+    * target-weight/count ratio (tie-break on stratum), integer-floor
+    * permyriad rates, the shared md5 hash filter. */
+  val q75_mixture: String = """
+WITH t(lang, w) AS (VALUES ('de',15),('en',40),('es',15),('fr',15),('zh',15)),
+c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+j AS (SELECT t.lang, w, n FROM t JOIN c USING (lang) WHERE n > 0),
+m AS (SELECT lang AS ml, w AS mw, n AS mn FROM j
+      ORDER BY CAST(w AS DOUBLE)/n DESC, lang LIMIT 1),
+r AS (SELECT j.lang, (10000 * w * mn) // (n * mw) AS rate FROM j CROSS JOIN m)
+SELECT doc_id, lang, source FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        % 10000 < rate
+ORDER BY doc_id"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -1181,6 +1247,9 @@ GROUP BY doc_id ORDER BY doc_id"""
     "q70_chunk_dedup" -> q70_chunk_dedup,
     "q71_rank_score" -> q71_rank_score,
     "q72_oov_rate" -> q72_oov_rate,
+    "q73_quality_rules" -> q73_quality_rules,
+    "q74_train_shards" -> q74_train_shards,
+    "q75_mixture" -> q75_mixture,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

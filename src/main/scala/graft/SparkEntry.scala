@@ -665,6 +665,27 @@ object SparkEntry {
       graft.text.Vocab.oovProfile(Tables.documents(s, dir), vocabSize = 500)
         .orderBy(col("doc_id"))),
 
+    // E-series: Gopher/C4-style rule gate — per-doc measured features,
+    // one boolean per rule, and the combined keep verdict.
+    "q73_quality_rules" -> ((s, dir) =>
+      graft.text.QualityRules.ruleReport(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // E-series: deterministic training shards — hash-assigned shard +
+    // independently-salted epoch-stable order within each shard.
+    "q74_train_shards" -> ((s, dir) =>
+      graft.etl.Sampling.trainShards(Tables.documents(s, dir), "doc_id", 16)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))),
+
+    // E-series: downsample-only rebalance toward a target language mix
+    // (en-heavy), exact integer permyriad rates from the data's counts.
+    "q75_mixture" -> ((s, dir) =>
+      graft.etl.Sampling.mixToTarget(Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // E-series: sub-document exact substring dedup (RefinedWeb-style)
     // at 20-token chunk granularity — per-doc shared-chunk audit plus
     // the md5 of the text reassembled from surviving (globally first)

@@ -59,6 +59,57 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic training-shard assignment + epoch-stable global
+    * shuffle: `shard = hash(key) % nShards`, and the position within
+    * the shard orders by an INDEPENDENTLY salted hash (an unsalted
+    * reuse would sort every shard by the same value that chose it,
+    * leaving the order correlated with the assignment). Writing shard
+    * files is then `repartition($"shard")` + sort-within — exactly the
+    * shuffle this window form compiles to: one exchange on shard, a
+    * per-partition sort, no global order. A training job reading shard
+    * s gets the same documents in the same order on every run and
+    * every cluster size — the reproducible-data-order contract. */
+  def trainShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val orderHash = keyHash(concat(lit("order:"), col(keyCol).cast("string")))
+    val shard = (keyHash(col(keyCol)) % nShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(orderHash, col(keyCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** Rebalance a corpus toward TARGET stratum proportions by
+    * downsampling only (no duplication): the most over-demanded
+    * stratum — max target-weight/count ratio — is kept whole, and
+    * every other stratum keeps `floor(10000 · w_s · n_M / (n_s · w_M))`
+    * permyriad of its rows via the deterministic hash filter. The
+    * per-stratum counts are one tiny aggregate (strata are a config-
+    * sized set, like the rate tables above) collected to the driver to
+    * build the literal rate table; the data path stays a single
+    * projection + filter.
+    *
+    * The permyriad arithmetic is pure integer math (BigInt, engine-
+    * reproducible); only the argmax choice uses one double division
+    * per stratum, identical IEEE on both engines. */
+  def mixToTarget(df: DataFrame, stratumCol: String, keyCol: String,
+                  targetWeights: Map[String, Int]): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "target weights must be positive")
+    val counts = df.filter(col(stratumCol).isInCollection(targetWeights.keys.toSeq))
+      .groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetWeights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty, "no target stratum present in the data")
+    // anchor M = stratum with max w/n (kept whole); deterministic tie-break
+    val (mS, mW) = present.keys.toSeq.sorted
+      .map(s => (s, targetWeights(s)))
+      .sortBy { case (s, w) => (-(w.toDouble / counts(s)), s) }.head
+    val permyriad = present.map { case (s, w) =>
+      s -> (BigInt(10000) * w * counts(mS) / (BigInt(counts(s)) * mW)).toInt
+    }
+    stratifiedRateSample(df, stratumCol, keyCol, permyriad, defaultPermyriad = 0)
+  }
+
   /** Per-stratum keep RATES in permyriad (1/10000): a row survives iff
     * `hash(key) % 10000 < rate(stratum)` — the up/down-sampling mixer
     * of a training-data pipeline (keep 25% of English, all of a rare

@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based document quality filter — the Gopher/C4-style keep/drop
+  * gate of an LLM data pipeline, expressed as auditable per-rule
+  * booleans plus the combined verdict. A curation pipeline keeps the
+  * full report (not just the survivors): the per-rule failure mix is
+  * the signal that a source went bad.
+  *
+  * One narrow projection over the materialized token array — no
+  * shuffle, no UDF; every rule is exact integer counting plus at most
+  * one final division, so the report is bit-identical across engines.
+  */
+object QualityRules {
+
+  /** Inclusive token-count bounds. */
+  val minTokens = 30L
+  val maxTokens = 100000L
+  /** Mean-token-length band (printed-language heuristic). */
+  val minAvgLen = 3.0
+  val maxAvgLen = 4.6
+  /** Max tolerated fraction of all-digit tokens. */
+  val maxDigitRatio = 0.05
+  /** Min lexical diversity (distinct / total tokens). */
+  val minUniqueRatio = 0.4
+  /** Min closed-class (stopword) hits across the supported languages. */
+  val minStopHits = 1L
+
+  /** Union stopword list over the supported languages — membership of
+    * ANY closed-class word is the "looks like language" signal. */
+  val allStopwords: Seq[String] =
+    TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
+
+  /** Per-document rule report: the measured features, one boolean per
+    * rule, and `keep` = all rules pass. */
+  def ruleReport(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val t = col("__toks")
+    val nTok = size(t).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    val sumLen = aggregate(transform(t, length(_)), lit(0L), (a, x) => a + x)
+    val nDigit = size(filter(t, _.rlike("^[0-9]+$"))).cast("long")
+    val nStop = size(filter(t, _.isInCollection(allStopwords))).cast("long")
+    val avgLen = sumLen.cast("double") / nTok.cast("double")
+    val digitRatio = nDigit.cast("double") / nTok.cast("double")
+    val uniqueRatio = nUniq.cast("double") / nTok.cast("double")
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(t) > 0)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        avgLen.as("avg_token_len"),
+        digitRatio.as("digit_ratio"),
+        uniqueRatio.as("unique_ratio"),
+        nStop.as("stop_hits"),
+        (nTok >= minTokens && nTok <= maxTokens).as("len_ok"),
+        (avgLen >= minAvgLen && avgLen <= maxAvgLen).as("word_len_ok"),
+        (digitRatio <= maxDigitRatio).as("digit_ok"),
+        (uniqueRatio >= minUniqueRatio).as("rep_ok"),
+        (nStop >= minStopHits).as("stop_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("word_len_ok") && col("digit_ok") &&
+          col("rep_ok") && col("stop_ok"))
+  }
+
+  /** The filter itself: survivors of [[ruleReport]], original columns. */
+  def applyRules(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val verdicts = ruleReport(docs, idCol, textCol)
+      .select(col("doc_id").as("__qr_id"), col("keep"))
+    docs.join(verdicts, docs(idCol) === col("__qr_id"), "inner")
+      .filter(col("keep")).drop("__qr_id", "keep")
+  }
+}

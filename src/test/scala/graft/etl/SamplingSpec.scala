@@ -71,4 +71,42 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     half.subsetOf(more) shouldBe true
   }
+
+  test("trainShards: partitioning-invariant assignment, dense per-shard positions") {
+    val a = Sampling.trainShards(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().sortBy(_._1)
+    val b = Sampling.trainShards(docs.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().sortBy(_._1)
+    a shouldBe b
+    a.map(_._2).distinct.sorted shouldBe (0 until 8).toArray
+    // positions within a shard are 1..size, no gaps or duplicates
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1L to rows.length).toArray
+    }
+    // intra-shard order must not be the assignment hash's order: the
+    // salted hash decorrelates them (doc ids ascending by pos would
+    // betray a correlated order)
+    val shard0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    shard0.sorted should not be shard0
+  }
+
+  test("mixToTarget downsamples toward the target proportions, anchor kept whole") {
+    // counts: en=100, de=100, fr=100; targets en 60 / de 20 / fr 20 ->
+    // en is the anchor (kept whole), de/fr keep ~1/3.
+    val out = Sampling.mixToTarget(docs, "lang", "doc_id",
+      Map("en" -> 60, "de" -> 20, "fr" -> 20))
+    val byLang = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    byLang("en") shouldBe 100L
+    byLang("de").toDouble shouldBe (33.0 +- 15.0)
+    byLang("fr").toDouble shouldBe (33.0 +- 15.0)
+    // downsample-only: survivors are a subset of the input
+    out.count() should be <= 300L
+  }
+
+  test("mixToTarget drops strata outside the target mix") {
+    val kept = Sampling.mixToTarget(docs, "lang", "doc_id", Map("en" -> 1))
+    kept.select("lang").distinct().as[String].collect() shouldBe Array("en")
+    kept.count() shouldBe 100L // en is the anchor: kept whole
+  }
 }
