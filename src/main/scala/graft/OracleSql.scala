@@ -1226,6 +1226,37 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
         % 10000 < rate
 ORDER BY doc_id"""
 
+  /** Z-order twin of [[graft.SparkEntry.queries]]' q76: the same
+    * quantize + mask-shift Morton spread in SQL bitwise arithmetic,
+    * bounds interpolated from the shared constants. The layout write
+    * is semantics-invariant, so the oracle filters the original
+    * table. */
+  val q76_zorder: String = {
+    import graft.SparkEntry.ZBounds._
+    s"""
+WITH q AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    least(255, greatest(0, CAST(floor(
+      (CAST(o_custkey AS DOUBLE) - $ckMin) * 256 / ($ckMax - $ckMin)) AS BIGINT)))
+      AS cx,
+    least(255, greatest(0, CAST(floor(
+      (CAST(o_totalprice AS DOUBLE) - $tpMin) * 256 / ($tpMax - $tpMin)) AS BIGINT)))
+      AS cy
+  FROM orders
+  WHERE o_custkey >= 100 AND o_custkey < 300
+    AND o_totalprice >= 10000 AND o_totalprice < 100000),
+s1 AS (SELECT *, (cx | (cx << 8)) & 16711935 AS a1,
+               (cy | (cy << 8)) & 16711935 AS b1 FROM q),
+s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+               (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+               (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+               (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+SELECT o_orderkey, o_custkey, o_totalprice, a4 | (b4 << 1) AS zvalue
+FROM s4 ORDER BY o_orderkey"""
+  }
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -1250,6 +1281,7 @@ ORDER BY doc_id"""
     "q73_quality_rules" -> q73_quality_rules,
     "q74_train_shards" -> q74_train_shards,
     "q75_mixture" -> q75_mixture,
+    "q76_zorder" -> q76_zorder,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

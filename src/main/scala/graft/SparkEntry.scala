@@ -67,6 +67,14 @@ object SparkEntry {
   private def fixedText(c: Column): Column =
     c.cast("decimal(38,4)").cast("string")
 
+  /** Quantization bounds for the q76 z-order demo (at scale these come
+    * from table statistics); shared with the oracle SQL so the two
+    * engines quantize identically. */
+  object ZBounds {
+    val ckMin = 0.0; val ckMax = 1500.0
+    val tpMin = 1000.0; val tpMax = 500000.0
+  }
+
   /** Per-sf scratch dir under the repo's build tree for queries that
     * exercise sinks (q26–q28): sf-tagged so verify/bench runs at
     * different scale factors never collide. */
@@ -685,6 +693,28 @@ object SparkEntry {
           Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
+
+    // E-series: z-order (Morton) layout — orders rewritten in z-order
+    // of (custkey, totalprice) through a range-partitioned parquet
+    // round trip, then a 2-D box query over the laid-out table with
+    // the z-value recomputed per row. Semantics are layout-invariant
+    // (the oracle filters the original table); the file-level pruning
+    // the layout buys is asserted in ZOrderSpec.
+    "q76_zorder" -> ((s, dir) => {
+      import graft.store.ZOrder
+      val path = scratch("orders_zorder", dir)
+      val z = ZOrder.zValue(
+        col("o_custkey"), ZBounds.ckMin, ZBounds.ckMax,
+        col("o_totalprice"), ZBounds.tpMin, ZBounds.tpMax)
+      ZOrder.layoutZOrdered(Tables.orders(s, dir), z, numFiles = 16)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_custkey") >= 100 && col("o_custkey") < 300 &&
+          col("o_totalprice") >= 10000.0 && col("o_totalprice") < 100000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          z.as("zvalue"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // E-series: sub-document exact substring dedup (RefinedWeb-style)
     // at 20-token chunk granularity — per-doc shared-chunk audit plus
