@@ -1257,6 +1257,73 @@ SELECT o_orderkey, o_custkey, o_totalprice, a4 | (b4 << 1) AS zvalue
 FROM s4 ORDER BY o_orderkey"""
   }
 
+  /** Winsorize twin of
+    * [[graft.analytics.Profiling.winsorizedStats]]: quantile_cont
+    * bounds (the q38-proven exact-percentile parity), identical clamp,
+    * exact-decimal sums. */
+  val q77_winsorize: String = """
+WITH b AS (
+  SELECT l_returnflag AS g,
+    quantile_cont(l_quantity, 0.05) AS lo, quantile_cont(l_quantity, 0.95) AS hi
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, count(*) AS n,
+  CAST(sum(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+  CAST(sum(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_raw,
+  CAST(sum(CAST(least(greatest(CAST(l_quantity AS DOUBLE), lo), hi)
+    AS DECIMAL(38,4))) AS DOUBLE) AS sum_winsor,
+  min(lo) AS lo, min(hi) AS hi
+FROM lineitem JOIN b ON l_returnflag = b.g
+GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Centroid twin of [[graft.similarity.Similarity.groupCentroids]]:
+    * 1-based generate_subscripts shifted to Spark's 0-based posexplode
+    * dim; float components cast to double (exact) before the decimal
+    * sum. */
+  val q78_centroids: String = """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS p, unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, CAST(p - 1 AS INTEGER) AS dim, count(*) AS n,
+  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+    / CAST(count(v) AS DOUBLE) AS mean_v
+FROM e GROUP BY label, p ORDER BY label, dim"""
+
+  /** EMA/MACD twin of [[graft.analytics.Indicators.emaMacd]]: the
+    * recurrence as a recursive CTE advancing every symbol one row per
+    * iteration; α/β constants interpolated from the SAME Scala doubles
+    * (round-tripped through toString) and the fold written in the
+    * identical a·x + b·e evaluation order. The constants are routed
+    * through CAST('…' AS DOUBLE) from a STRING literal: a bare numeric
+    * literal parses as DECIMAL, and DuckDB's decimal→double cast
+    * double-rounds 1 ulp off (the q62 trap) — which compounds every
+    * iteration in a recurrence. */
+  val q79_ema_macd: String = {
+    val af = 2.0 / 13.0; val bf = 1.0 - af
+    val as = 2.0 / 27.0; val bs = 1.0 - as
+    // the recursive member needs RECURSIVE on the WHOLE with-chain
+    barsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged
+  WHERE symbol IN ('S0','S1','S2','S3','S4') GROUP BY symbol, date),
+d AS (
+  SELECT symbol, date, close_price,
+    row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM daily),
+st AS (
+  SELECT symbol, date, close_price, rn,
+    close_price AS ema_fast, close_price AS ema_slow
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.symbol, d.date, d.close_price, d.rn,
+    CAST('$af' AS DOUBLE) * d.close_price + CAST('$bf' AS DOUBLE) * st.ema_fast,
+    CAST('$as' AS DOUBLE) * d.close_price + CAST('$bs' AS DOUBLE) * st.ema_slow
+  FROM st JOIN d ON d.symbol = st.symbol AND d.rn = st.rn + 1)
+SELECT symbol, date, close_price, ema_fast, ema_slow,
+  ema_fast - ema_slow AS macd
+FROM st ORDER BY symbol, date"""
+  }
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -1282,6 +1349,9 @@ FROM s4 ORDER BY o_orderkey"""
     "q74_train_shards" -> q74_train_shards,
     "q75_mixture" -> q75_mixture,
     "q76_zorder" -> q76_zorder,
+    "q77_winsorize" -> q77_winsorize,
+    "q78_centroids" -> q78_centroids,
+    "q79_ema_macd" -> q79_ema_macd,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

@@ -716,6 +716,33 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // E-series: winsorized per-group stats — outlier clipping to exact
+    // [p05, p95] group percentiles via the frequency-weighted
+    // percentile path, clip counts + exact-decimal sums before/after.
+    "q77_winsorize" -> ((s, dir) =>
+      graft.analytics.Profiling.winsorizedStats(
+          Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag"))),
+
+    // E-series: per-label embedding centroids (mean vector per group,
+    // map-side-combined posexplode + exact-decimal average).
+    "q78_centroids" -> ((s, dir) =>
+      graft.similarity.Similarity.groupCentroids(
+          Tables.embeddings(s, dir), "label")
+        .orderBy(col("label"), col("dim"))),
+
+    // E-series: EMA(12/26) + MACD — the recursive indicator, computed
+    // on the sequential-scan node (partition by symbol, one linear
+    // pass, O(1) state) against a recursive-CTE oracle.
+    "q79_ema_macd" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .filter(col("symbol").isin("S0", "S1", "S2", "S3", "S4"))
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Indicators.emaMacd(daily)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // E-series: sub-document exact substring dedup (RefinedWeb-style)
     // at 20-token chunk granularity — per-doc shared-chunk audit plus
     // the md5 of the text reassembled from surviving (globally first)

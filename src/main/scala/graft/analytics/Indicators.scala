@@ -93,4 +93,51 @@ object Indicators {
             .otherwise(lit(100.0)))
           .as(s"rsi_${rsiWindow}"))
   }
+
+  case class EmaIn(symbol: String, date: java.sql.Date, close_price: Double)
+  case class EmaOut(symbol: String, date: java.sql.Date, close_price: Double,
+                    ema_fast: Double, ema_slow: Double, macd: Double)
+
+  /** Exponential moving averages + MACD — the recursive indicator the
+    * window-frame family can't express: `ema_t = α·x_t + (1−α)·ema_{t−1}`
+    * depends on EVERY prior row through the recurrence, so no finite
+    * frame computes it. Like sequence packing (SURVEY §2.11's
+    * escalation ladder), it runs on the engine's sequential-scan node:
+    * hash-partition by symbol, sort (symbol, date) within partitions,
+    * one linear `mapPartitions` pass with O(1) state per series —
+    * parallelism = symbol count, each series scanned exactly once, no
+    * state larger than two doubles. Seeded with the series' first
+    * close (the standard convention). The fold's arithmetic
+    * (`α·x + β·ema`, β = 1−α precomputed) is a fixed IEEE-754
+    * evaluation order, so results are bit-identical to the oracle's
+    * recursive-CTE fold. */
+  def emaMacd(daily: DataFrame, fastPeriods: Int = 12,
+              slowPeriods: Int = 26): DataFrame = {
+    require(fastPeriods > 0 && slowPeriods > fastPeriods,
+      "need 0 < fastPeriods < slowPeriods")
+    val af = 2.0 / (fastPeriods + 1); val bf = 1.0 - af
+    val as = 2.0 / (slowPeriods + 1); val bs = 1.0 - as
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[EmaIn]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[EmaOut]
+    daily.select(col("symbol").cast("string").as("symbol"),
+        col("date").cast("date").as("date"),
+        col("close_price").cast("double").as("close_price"))
+      .as[EmaIn]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("date"))
+      .mapPartitions { it =>
+        var sym: String = null
+        var ef = 0.0; var es = 0.0
+        it.map { r =>
+          if (sym == null || r.symbol != sym) {
+            sym = r.symbol; ef = r.close_price; es = r.close_price
+          } else {
+            ef = af * r.close_price + bf * ef
+            es = as * r.close_price + bs * es
+          }
+          EmaOut(r.symbol, r.date, r.close_price, ef, es, ef - es)
+        }
+      }
+      .toDF()
+  }
 }

@@ -48,4 +48,42 @@ object Profiling {
         max(v).as("bin_max"))
       .withColumn("bin_lo", lit(minVal) + col("bin") * binWidth)
   }
+
+  /** Winsorized per-group stats — the outlier-clipping pass a feature
+    * pipeline runs before normalization: values are clamped to the
+    * group's [loP, hiP] exact percentiles and the report carries the
+    * clip counts plus exact-decimal sums before/after.
+    *
+    * The percentile bounds ride the frequency-weighted exact
+    * percentile (the q38 path): a codegen'd (group, value, freq)
+    * pre-aggregate shrinks the percentile buffer to the value DOMAIN —
+    * the right exact form when the measure is low-cardinality
+    * (quantities, ratings, bucketized sizes). The bounds frame is one
+    * row per group; it is broadcast back onto the rows, so the data
+    * path pays one scan + one final group aggregate. Requires a
+    * bounded group universe (true of every config-sized dimension);
+    * drop the broadcast hint for high-cardinality groups. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      loP: Double = 0.05, hiP: Double = 0.95,
+                      sumScale: Int = 4): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP < hiP, "need 0 <= loP < hiP <= 1")
+    val v = col(valueCol)
+    val bounds = df.groupBy(col(groupCol), v)
+      .agg(count(lit(1)).as("__freq"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $loP, __freq)").as("__lo"),
+        expr(s"percentile($valueCol, $hiP, __freq)").as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(v < col("__lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(v > col("__hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        graft.core.Exact.exactSum(v, sumScale).as("sum_raw"),
+        graft.core.Exact.exactSum(
+          least(greatest(v.cast("double"), col("__lo")), col("__hi")), sumScale)
+          .as("sum_winsor"),
+        min(col("__lo")).as("lo"),
+        min(col("__hi")).as("hi"))
+  }
 }

@@ -302,4 +302,21 @@ object Similarity {
           (col("a.__norm") * col("b.__norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-group embedding centroids — the feature-aggregation step
+    * behind semantic clustering, class prototypes, and drift
+    * monitoring: the mean vector of each group, one output row per
+    * (group, dimension). `posexplode` turns the vectors into
+    * (group, dim, value) rows that COMBINE MAP-SIDE before the
+    * shuffle, so the exchange carries groups × dims partial sums, not
+    * rows × dims values; the mean is an exact-decimal sum over the
+    * (exactly double-representable) float components divided once —
+    * order-independent, oracle-exact. */
+  def groupCentroids(vecs: DataFrame, groupCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.exactAvg(col("__v").cast("double"), 6).as("mean_v"))
 }

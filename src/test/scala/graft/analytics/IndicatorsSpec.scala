@@ -67,4 +67,36 @@ class IndicatorsSpec extends SparkSpec {
     Indicators.indicators(zero).filter(col("date") >= day(20))
       .select("vwap_20d").collect().foreach(r => assert(r.isNullAt(0)))
   }
+
+  test("emaMacd matches the hand-unrolled recurrence, seeded at the first close") {
+    val d = df(schema,
+      Row("A", day(1), 10.0, 1L), Row("A", day(2), 20.0, 1L),
+      Row("A", day(3), 30.0, 1L))
+    val out = Indicators.emaMacd(d, fastPeriods = 12, slowPeriods = 26)
+      .select("date", "ema_fast", "ema_slow", "macd")
+      .as[(java.sql.Date, Double, Double, Double)].collect().sortBy(_._1.getTime)
+    val af = 2.0 / 13.0; val bf = 1.0 - af
+    val as = 2.0 / 27.0; val bs = 1.0 - as
+    out(0) shouldBe ((day(1), 10.0, 10.0, 0.0))
+    val ef2 = af * 20.0 + bf * 10.0
+    val es2 = as * 20.0 + bs * 10.0
+    out(1) shouldBe ((day(2), ef2, es2, ef2 - es2))
+    val ef3 = af * 30.0 + bf * ef2
+    val es3 = as * 30.0 + bs * es2
+    out(2) shouldBe ((day(3), ef3, es3, ef3 - es3))
+  }
+
+  test("emaMacd folds each symbol independently and survives repartitioning") {
+    val d = df(schema,
+      (1 to 10).flatMap(i => Seq(
+        Row("A", day(i), 100.0 + i, 1L),
+        Row("B", day(i), 200.0 - i, 1L))): _*)
+    val a = Indicators.emaMacd(d).select("symbol", "date", "ema_fast")
+      .as[(String, java.sql.Date, Double)].collect().sortBy(r => (r._1, r._2.getTime))
+    val b = Indicators.emaMacd(d.repartition(7)).select("symbol", "date", "ema_fast")
+      .as[(String, java.sql.Date, Double)].collect().sortBy(r => (r._1, r._2.getTime))
+    a shouldBe b
+    // B's series must not leak A's state: B starts at its own seed
+    a.filter(_._1 == "B").head._3 shouldBe 199.0
+  }
 }

@@ -44,4 +44,26 @@ class ProfilingSpec extends SparkSpec {
       r.getAs[Double]("bin_max") should be < lo + 10.0
     }
   }
+
+  test("winsorizedStats clips to exact group percentiles") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    // group A: 1..100 -> p05 = 5.95, p95 = 95.05 (percentile_cont)
+    val d = df(schema, (1 to 100).map(i => Row("A", i.toDouble)): _*)
+    val out = Profiling.winsorizedStats(d, "g", "v")
+      .select("g", "n", "n_clipped_low", "n_clipped_high", "lo", "hi",
+        "sum_raw", "sum_winsor").collect().head
+    out.getLong(1) shouldBe 100L
+    out.getLong(2) shouldBe 5L  // 1..5 below 5.95
+    out.getLong(3) shouldBe 5L  // 96..100 above 95.05
+    out.getDouble(4) shouldBe 5.95 +- 1e-9
+    out.getDouble(5) shouldBe 95.05 +- 1e-9
+    out.getDouble(6) shouldBe 5050.0
+    // clipped sum: (1..5 -> 5.95)x5 and (96..100 -> 95.05)x5
+    val expected = 5050.0 - (1 to 5).sum - (96 to 100).sum + 5 * 5.95 + 5 * 95.05
+    out.getDouble(7) shouldBe expected +- 1e-6
+  }
 }

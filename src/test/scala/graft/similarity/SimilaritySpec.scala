@@ -147,4 +147,22 @@ class SimilaritySpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
     out.head.getDouble(2) should be >= 0.99
   }
+
+  test("groupCentroids computes the per-dimension mean vector per label") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    val d = df(schema,
+      Row(1L, Seq(1.0f, 2.0f), 0), Row(2L, Seq(3.0f, 6.0f), 0),
+      Row(3L, Seq(10.0f, 20.0f), 1))
+    val out = Similarity.groupCentroids(d)
+      .select("label", "dim", "n", "mean_v")
+      .as[(Int, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    out shouldBe Array(
+      (0, 0, 2L, 2.0), (0, 1, 2L, 4.0),
+      (1, 0, 1L, 10.0), (1, 1, 1L, 20.0))
+  }
 }
