@@ -1324,6 +1324,14 @@ SELECT symbol, date, close_price, ema_fast, ema_slow,
 FROM st ORDER BY symbol, date"""
   }
 
+  /** Versioned-table twins: v2 = the logical upsert (q08's shape); v1
+    * read AFTER v2's commit = the untouched pre-upsert contents. */
+  val q80_timetravel_current: String = q08_upsert
+
+  val q81_timetravel_past: String = barsCte + s"""
+SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'
+ORDER BY row_id"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -1352,6 +1360,8 @@ FROM st ORDER BY symbol, date"""
     "q77_winsorize" -> q77_winsorize,
     "q78_centroids" -> q78_centroids,
     "q79_ema_macd" -> q79_ema_macd,
+    "q80_timetravel_current" -> q80_timetravel_current,
+    "q81_timetravel_past" -> q81_timetravel_past,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

@@ -75,6 +75,30 @@ object SparkEntry {
     val tpMin = 1000.0; val tpMax = 500000.0
   }
 
+  /** q80/q81 shared fixture: a fresh versioned table with v1 = bars
+    * before 1999 (whole-partition commit) and v2 = a MERGE commit of
+    * the q08 staging slice (close+1 over Jun–Dec 1998). Wiped first so
+    * the append-only commit log is rerunnable; returns (table path,
+    * output columns minus the partition col). */
+  private def versionedFixture(s: SparkSession, dir: String): (String, Seq[String]) = {
+    import graft.store.Versioned
+    val table = scratch("bars_versioned", dir)
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val merged = mergedBars(s, dir)
+      .withColumn("month", date_format(col("date"), "yyyy-MM"))
+    val target = merged.filter(col("date") < lit("1999-01-01").cast("date"))
+    Versioned.commit(s, table, target, "month", keys = Nil)
+    val staging = merged
+      .filter(col("date") >= lit("1998-06-01").cast("date") &&
+        col("date") < lit("1999-01-01").cast("date"))
+      .withColumn("close", col("close") + 1.0)
+      .select(merged.columns.map(col): _*)
+    Versioned.commit(s, table, staging, "month", Schemas.mergeKey)
+    (table, merged.columns.filter(_ != "month").toSeq)
+  }
+
   /** Per-sf scratch dir under the repo's build tree for queries that
     * exercise sinks (q26–q28): sf-tagged so verify/bench runs at
     * different scale factors never collide. */
@@ -793,6 +817,27 @@ object SparkEntry {
       graft.store.Store.readTable(s, path)
         .select(target.columns.filter(_ != "month").map(col): _*)
         .orderBy(col("row_id"), col("close"))
+    }),
+
+    // E-series: versioned table, CURRENT version — v1 = full target,
+    // v2 = MERGE commit of a staging slice rewriting only touched
+    // month partitions; reading v2 must equal the logical upsert
+    // (q08's oracle shape).
+    "q80_timetravel_current" -> ((s, dir) => {
+      val (table, cols) = versionedFixture(s, dir)
+      graft.store.Versioned.readVersion(s, table, 2)
+        .select(cols.map(col): _*)
+        .orderBy(col("row_id"), col("close"))
+    }),
+
+    // E-series: versioned table, TIME TRAVEL — reading v1 AFTER v2 is
+    // committed must return the pre-upsert contents untouched
+    // (snapshot isolation via manifest pointers).
+    "q81_timetravel_past" -> ((s, dir) => {
+      val (table, cols) = versionedFixture(s, dir)
+      graft.store.Versioned.readVersion(s, table, 1)
+        .select(cols.map(col): _*)
+        .orderBy(col("row_id"))
     }),
 
     // P15: the reference's most common filter shape — n-day lookback
