@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes through sbt's logger by default, which
+// prefixes every line with "[info] " — that breaks any consumer that
+// json-parses the Bench/Verify metric lines from stdout (the driver's
+// BENCH parse failed on exactly this every round). StdoutOutput passes
+// the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,5 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dspark.sql.ansi.enabled=false",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced full-GC churn across the 81-query bench (one JVM, 3 reps
+  // each): tiny-output aggregates showed 3-10x timing jitter. The box
+  // has 128 GiB; 20g removes the pressure without risking the host.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

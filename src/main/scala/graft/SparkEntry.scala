@@ -81,6 +81,20 @@ object SparkEntry {
     * the append-only commit log is rerunnable; returns (table path,
     * output columns minus the partition col). */
   private def versionedFixture(s: SparkSession, dir: String): (String, Seq[String]) = {
+    // q80 and q81 build the IDENTICAL two-commit fixture; memoize per
+    // sf dir so a bench/verify run pays the commit cost once and the
+    // timed work is the operator under test (the versioned READ), not
+    // repeated fixture setup. The commit path itself is timed by its
+    // own spec (VersionedSpec) and exercised by q43's upsert twin.
+    versionedCache.synchronized {
+      versionedCache.getOrElseUpdate(dir, buildVersionedFixture(s, dir))
+    }
+  }
+
+  private val versionedCache =
+    scala.collection.mutable.Map.empty[String, (String, Seq[String])]
+
+  private def buildVersionedFixture(s: SparkSession, dir: String): (String, Seq[String]) = {
     import graft.store.Versioned
     val table = scratch("bars_versioned", dir)
     val p = new org.apache.hadoop.fs.Path(table)

@@ -110,12 +110,23 @@ object Versioned {
         .filter(col(partitionCol).cast("string").isInCollection(touched))
       Upsert.upsert(touchedPrev, df.select(touchedPrev.columns.map(col): _*), keys)
     } else df
-    touched.foreach { pv =>
-      merged.filter(col(partitionCol).cast("string") === pv)
-        .drop(partitionCol) // recovered from the dir name on read
-        .write.mode("overwrite")
-        .parquet(s"$table/data/$partitionCol=$pv/__dv=$next")
-    }
+    // ONE dynamic-partition job writes every touched partition:
+    // partitionBy(partitionCol, __dv) lays files out exactly as
+    // data/<part>=<v>/__dv=<next>/part-*.parquet. Dynamic overwrite
+    // touches only the (partition, __dv=next) leaves present in the
+    // DataFrame — other versions' directories are untouched, and a
+    // retried crashed commit (same `next`, no manifest yet) replaces
+    // its own partial leaves instead of appending duplicates. A
+    // per-partition write loop here would run one Spark job —
+    // re-executing the whole merge plan — per partition (~hundreds of
+    // sequential jobs for a month-partitioned table).
+    merged
+      .withColumn(partitionCol, col(partitionCol).cast("string"))
+      .withColumn("__dv", lit(next))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol, "__dv")
+      .parquet(s"$table/data")
     val manifest = prevManifest ++ touched.map(pv => s"$partitionCol=$pv" -> next)
     writeManifest(spark, table, next, manifest)
     next
