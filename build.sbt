@@ -17,6 +17,11 @@ run / fork := true
 // BENCH parse failed on exactly this every round). StdoutOutput passes
 // the child's stdout/stderr through verbatim.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// sbt's "[success] Total time: ..." epilogue prints AFTER the Bench
+// metric line, so the driver's parse-the-last-stdout-line step read
+// the epilogue instead of the metrics every round. Suppress it; exit
+// codes are unaffected.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
