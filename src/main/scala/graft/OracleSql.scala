@@ -1332,6 +1332,23 @@ FROM st ORDER BY symbol, date"""
 SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'
 ORDER BY row_id"""
 
+  /** P7 twin: DuckDB strftime renders the same "yyyy-MM-dd" text Spark's
+    * date_format emits for any proleptic-Gregorian date. */
+  val q82_date_to_string: String = barsCte + """
+SELECT row_id, strftime(date, '%Y-%m-%d') AS date, symbol, close
+FROM tbars ORDER BY row_id"""
+
+  /** S6/K4 twin: the generated fixture the Spark side ingests via its
+    * fetch callable, regenerated relationally. `load_rows` is the
+    * observed write-job metric (constant = fixture size). Arithmetic is
+    * engine-identical: i*1.25 is exact binary at these magnitudes. */
+  val q83_ingest_roundtrip: String = """
+SELECT i AS id, 'S' || CAST(i % 5 AS VARCHAR) AS sym,
+  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(i AS DOUBLE) * 1.25 END AS px,
+  DATE '1998-01-01' + CAST(i AS INTEGER) AS d,
+  CAST(20 AS BIGINT) AS load_rows
+FROM range(1, 21) t(i) ORDER BY id"""
+
   def all: Map[String, String] = Map(
     "q01_transform_derive" -> q01_transform_derive,
     "q02_merge_dedup" -> q02_merge_dedup,
@@ -1362,6 +1379,8 @@ ORDER BY row_id"""
     "q79_ema_macd" -> q79_ema_macd,
     "q80_timetravel_current" -> q80_timetravel_current,
     "q81_timetravel_past" -> q81_timetravel_past,
+    "q82_date_to_string" -> q82_date_to_string,
+    "q83_ingest_roundtrip" -> q83_ingest_roundtrip,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

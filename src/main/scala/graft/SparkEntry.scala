@@ -854,6 +854,38 @@ object SparkEntry {
         .orderBy(col("row_id"))
     }),
 
+    // P7: date→string at the text-sink boundary (reference
+    // transformers.py:46) — internally DateType, "yyyy-MM-dd" VARCHAR
+    // only where the reference writes CSV.
+    "q82_date_to_string" -> ((s, dir) =>
+      Transform.dateToString(transformedBars(s, dir))
+        .select(col("row_id"), col("date"), col("symbol"), col("close"))
+        .orderBy(col("row_id"))),
+
+    // S6/K4 end-to-end: a driver-side fetch callable becomes a
+    // schema'd DataFrame, lands via uploadParquet (row count observed
+    // on the write job itself — IngestSpec pins the one-job property),
+    // and the read-back must round-trip the fixture exactly. The
+    // oracle-checkable load metric (rows) rides the output; bytes/path
+    // are environment-dependent and stay spec-verified.
+    "q83_ingest_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("sym", StringType),
+        StructField("px", DoubleType),
+        StructField("d", DateType)))
+      val fetch = () => (1L to 20L).map(i => Row(i, "S" + (i % 5),
+        if (i % 7 == 0) null else i.toDouble * 1.25,
+        java.sql.Date.valueOf(java.time.LocalDate.of(1998, 1, 1).plusDays(i))))
+      val path = scratch("ingest_roundtrip", dir)
+      val res = graft.etl.Ingest.uploadParquet(
+        graft.etl.Ingest.fromCallable(s, fetch, schema), path)
+      s.read.parquet(path).withColumn("load_rows", lit(res.rows))
+        .orderBy(col("id"))
+    }),
+
     // P15: the reference's most common filter shape — n-day lookback
     // from an anchor + symbol IN list (literal anchor for the oracle).
     "q44_recent_window" -> ((s, dir) =>
