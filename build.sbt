@@ -22,6 +22,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // the epilogue instead of the metrics every round. Suppress it; exit
 // codes are unaffected.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -56,14 +56,30 @@ object Versioned {
       .foldLeft(0)(math.max)
   }
 
+  /** Partition-dir name for a logical partition value — the SAME
+    * Hive-escaping `partitionBy` applies when laying out directories
+    * (space survives; '=', '%', ':', '/', quotes, control chars →
+    * %XX), so manifest keys always equal the on-disk dir names and a
+    * value like "a:b" commits AND reads back. Escaped names contain no
+    * '"', '\' or control chars, which is what makes the naive JSON
+    * renderer below exact (VersionedSpec holds a ScalaCheck property
+    * over this). Null/empty values are rejected at commit: a NULL
+    * partition key in a versioned table is a modeling error, not a
+    * layout problem. */
+  private[store] def partitionDirName(col: String, value: String): String = {
+    require(value != null && value.nonEmpty,
+      s"versioned tables require non-null, non-empty '$col' partition values")
+    s"$col=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)}"
+  }
+
   /** Flat JSON object {"partition": version}; keys are partition-dir
     * names ("month=1998-01"). Sorted for reproducible bytes. */
-  private def renderManifest(m: Map[String, Int]): String =
+  private[store] def renderManifest(m: Map[String, Int]): String =
     m.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": $v""" }
       .mkString("{", ", ", "}")
 
-  private def parseManifest(s: String): Map[String, Int] =
+  private[store] def parseManifest(s: String): Map[String, Int] =
     "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2).toInt).toMap
 
@@ -103,8 +119,14 @@ object Versioned {
       if (prev == 0) Map.empty[String, Int] else readManifest(spark, table, prev)
     // touched logical partitions: a tiny distinct (partition universe
     // scale), collected to name the rewrite dirs
-    val touched = df.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val touchedRaw = df.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    // Validate BEFORE sorting (null poisons String ordering) and before
+    // any data is written, so a bad partition value aborts with zero IO.
+    require(touchedRaw.forall(v => v != null && v.nonEmpty),
+      s"versioned tables require non-null, non-empty '$partitionCol' partition values")
+    val touched = touchedRaw.sorted
+    val touchedDirs = touched.map(pv => partitionDirName(partitionCol, pv))
     val merged = if (prev > 0 && keys.nonEmpty) {
       val touchedPrev = readVersion(spark, table, prev)
         .filter(col(partitionCol).cast("string").isInCollection(touched))
@@ -127,7 +149,7 @@ object Versioned {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol, "__dv")
       .parquet(s"$table/data")
-    val manifest = prevManifest ++ touched.map(pv => s"$partitionCol=$pv" -> next)
+    val manifest = prevManifest ++ touchedDirs.map(_ -> next)
     writeManifest(spark, table, next, manifest)
     next
   }
@@ -135,7 +157,14 @@ object Versioned {
   /** Read table contents as of version `v` — exactly the files that
     * version's manifest points to; later commits are invisible. The
     * partition column is recovered from the directory names via
-    * basePath. */
+    * basePath.
+    *
+    * Fanout bound: every manifest partition becomes one input dir, so
+    * plan construction is O(partitions) driver-side listing — the same
+    * bound a hive metastore's partition enumeration lives with.
+    * VersionedSpec pins 1000 partitions well inside interactive range;
+    * beyond ~10^5 partitions the right fix is a coarser partitioning,
+    * not a smarter reader. */
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val manifest = readManifest(spark, table, v)
     require(manifest.nonEmpty, s"version $v is empty")

@@ -4,6 +4,16 @@ import graft.SparkSpec
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
+/** Test-only Hadoop filesystem: the local FS under a custom scheme,
+  * resolvable ONLY through a conf carrying `fs.graftfs.impl` — the
+  * marker for proving the session Hadoop conf (s3a keys, endpoint
+  * overrides, ...) reaches executor-side DSv2 readers instead of being
+  * rebuilt from defaults. */
+class MarkerFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
 /** Mirrors the reference's extractor fixtures
   * (`tests/extractors.py:22-42`): raw Alpha Vantage columns
   * `1. open`..`5. volume`, raw Yahoo capitalized columns plus
@@ -68,6 +78,32 @@ class NormalizeSpec extends SparkSpec {
     val r = out.collect()(0)
     r.getAs[String]("date") shouldBe "2024-03-01"
     r.getAs[String]("data_source") shouldBe "yahoo_finance"
+  }
+
+  test("DSv2 connector threads the SESSION Hadoop conf to executor readers (fs.* key)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-av-fs")
+    java.nio.file.Files.writeString(dir.resolve("AAPL.csv"),
+      "date,1. open,2. high,3. low,4. close,5. volume\n" +
+        "2024-03-01,10.0,12.0,9.0,11.0,1000\n")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[MarkerFileSystem].getName)
+    hc.set("fs.graftfs.impl.disable.cache", "true")
+    try {
+      // a DEFAULT conf cannot resolve the scheme — so a successful read
+      // proves the session conf (not some fresh Configuration()) made it
+      // through SerializableConfiguration to the executor-side reader
+      an[Exception] should be thrownBy
+        new org.apache.hadoop.fs.Path(s"graftfs://$dir/AAPL.csv")
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .open(new org.apache.hadoop.fs.Path(s"graftfs://$dir/AAPL.csv"))
+      val raw = spark.read.format("alphavantage").load(s"graftfs://$dir")
+      val out = Normalize.alphaVantage(raw, symbol = "AAPL").collect()
+      out should have length 1
+      out(0).getAs[Double]("close") shouldBe 11.0
+    } finally {
+      hc.unset("fs.graftfs.impl")
+      hc.unset("fs.graftfs.impl.disable.cache")
+    }
   }
 
   test("per-source error isolation: failures collected, all-fail is fatal (S6)") {

@@ -52,6 +52,74 @@ class VersionedSpec extends SparkSpec {
     new java.io.File(s"$t/data/part=a/__dv=2").exists() shouldBe false
   }
 
+  test("partition values needing Hive escaping commit, merge, and time-travel") {
+    val t = freshTable()
+    val d = rows((1L, 1.0, "a:b"), (2L, 2.0, "p%q"), (3L, 3.0, "with space"))
+    Versioned.commit(spark, t, d, "part", Nil) shouldBe 1
+    assertSameRows(Versioned.readVersion(spark, t, 1), d)
+    // on-disk layout is the escaped dir name partitionBy produced, and
+    // the manifest key matches it (the round-6 failure mode: raw key,
+    // escaped dir -> path-not-found on read)
+    new java.io.File(s"$t/data/part=a%3Ab/__dv=1").exists() shouldBe true
+    new java.io.File(s"$t/data/part=p%25q/__dv=1").exists() shouldBe true
+    // MERGE into one escaped partition only; the others stay at v1
+    Versioned.commit(spark, t, rows((2L, 20.0, "p%q")), "part", Seq("id")) shouldBe 2
+    assertSameRows(Versioned.readVersion(spark, t, 2),
+      rows((1L, 1.0, "a:b"), (2L, 20.0, "p%q"), (3L, 3.0, "with space")))
+    assertSameRows(Versioned.readVersion(spark, t, 1), d)
+    new java.io.File(s"$t/data/part=a%3Ab/__dv=2").exists() shouldBe false
+  }
+
+  test("null/empty partition values abort the commit before any data is written") {
+    val t = freshTable()
+    an[IllegalArgumentException] should be thrownBy
+      Versioned.commit(spark, t, rows((1L, 1.0, "")), "part", Nil)
+    val nullPart = d1.withColumn("part",
+      when(col("id") === 1L, lit(null: String)).otherwise(col("part")))
+    an[IllegalArgumentException] should be thrownBy
+      Versioned.commit(spark, t, nullPart, "part", Nil)
+    new java.io.File(s"$t/data").exists() shouldBe false
+    Versioned.currentVersion(spark, t) shouldBe 0
+  }
+
+  test("property: manifest render/parse is identity over escaped partition names") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // raw logical values: alphanumerics plus every charset the escaper
+    // handles (separators, quotes, backslash, control chars, unicode)
+    val rawValue = Gen.nonEmptyListOf(Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('=', ':', '%', '/', '"', '\\', ' ', '#', '\n', '\t', '\u0001'),
+      1 -> Gen.choose('\u00a0', '\ud7ff'))).map(_.mkString)
+    val entries = Gen.listOf(Gen.zip(rawValue, Gen.choose(1, 999)))
+    val prop = Prop.forAll(entries) { es =>
+      val m = es.map { case (pv, v) =>
+        Versioned.partitionDirName("part", pv) -> v }.toMap
+      Versioned.parseManifest(Versioned.renderManifest(m)) == m
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"manifest round-trip: $res")
+  }
+
+  test("readVersion over 1000 logical partitions stays cheap and correct") {
+    val t = freshTable()
+    val wide = spark.range(0, 1000).selectExpr(
+      "id", "CAST(id AS DOUBLE) AS v", "format_string('p%04d', id) AS part")
+    Versioned.commit(spark, t, wide, "part", Nil) shouldBe 1
+    // the manifest-fanout read path: one input dir per logical
+    // partition. Construction (manifest parse + 1000-dir listing) must
+    // stay in interactive range — the documented bound is
+    // hive-metastore-scale partition counts, not file counts.
+    val t0 = System.nanoTime()
+    val dfv = Versioned.readVersion(spark, t, 1)
+    val constructSec = (System.nanoTime() - t0) / 1e9
+    assert(constructSec < 10.0,
+      f"readVersion construction took $constructSec%.1f s for 1000 partitions")
+    dfv.count() shouldBe 1000
+    dfv.select("part").distinct().count() shouldBe 1000
+    dfv.filter(col("part") === "p0042").select("v")
+      .collect().map(_.getDouble(0)).toSeq shouldBe Seq(42.0)
+  }
+
   test("data without a manifest pointer is invisible (crash = garbage, not corruption)") {
     val t = freshTable()
     Versioned.commit(spark, t, d1, "part", Nil)
