@@ -862,6 +862,36 @@ SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT a FROM removed)
 ORDER BY doc_id"""
 
+  /** Leakage-safe split twin: q18's pairs feed the recursive closure;
+    * label = least reachable doc_id (self included); the split hash is
+    * the q74/q75 md5-derived value hash, applied to the CLUSTER id. */
+  val q84_leakage_split: String = s"""
+WITH RECURSIVE
+p AS ($q18_minhash_neardup),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+conn(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN e ON c.b = e.a WHERE e.b <> c.a),
+lab AS (SELECT a AS doc_id, least(a, min(b)) AS label FROM conn GROUP BY a)
+SELECT d.doc_id, d.lang,
+  coalesce(l.label, d.doc_id) AS cluster,
+  CASE WHEN CAST(('0x' || substr(md5(
+         CAST(coalesce(l.label, d.doc_id) AS VARCHAR)), 1, 14)) AS BIGINT)
+       % 10000 < 2000
+    THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN lab l USING (doc_id)
+ORDER BY d.doc_id"""
+
+  /** Incremental-index twin: the indexed corpus is doc_id < 250 and the
+    * new batch doc_id >= 250 (disjoint, corpus ids smaller), so the
+    * incremental result is exactly the cross-boundary slice of the full
+    * union's pair set. */
+  val q85_incremental_neardup: String = s"""
+WITH p AS ($q18_minhash_neardup)
+SELECT doc_a, doc_b, est_jaccard FROM p
+WHERE doc_a < 250 AND doc_b >= 250 ORDER BY doc_a, doc_b"""
+
   /** BPE-ish token counts; the regex is RE2-safe alternation shared
     * verbatim (module the SQL quote doubling) with the Spark side. */
   val q37_token_counts: String = {
@@ -1381,6 +1411,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q81_timetravel_past" -> q81_timetravel_past,
     "q82_date_to_string" -> q82_date_to_string,
     "q83_ingest_roundtrip" -> q83_ingest_roundtrip,
+    "q84_leakage_split" -> q84_leakage_split,
+    "q85_incremental_neardup" -> q85_incremental_neardup,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

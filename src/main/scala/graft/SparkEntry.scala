@@ -980,6 +980,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/eval split: near-dup clusters assigned
+    // atomically by a value hash of the CLUSTER id, so no eval doc has
+    // a near-duplicate in train.
+    "q84_leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.dedup.Dedup.minhashPairs(docs, threshold = 0.5)
+      graft.dedup.Dedup.leakageSafeSplit(docs, pairs, evalPermyriad = 2000)
+        .select(col("doc_id"), col("lang"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental near-dup: persist the banded-signature index of the
+    // "historical" corpus (doc_id < 250), then dedup the "new batch"
+    // (doc_id >= 250) against the INDEX — the corpus text is never
+    // re-read. Oracle: the cross-boundary slice of the full pair set.
+    "q85_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idxPath = scratch("minhash_index", dir)
+      graft.dedup.Dedup.writeSignatureIndex(
+        docs.filter(col("doc_id") < 250), idxPath)
+      graft.dedup.Dedup.incrementalNearDups(s, idxPath,
+          docs.filter(col("doc_id") >= 250), threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Pushdown + exact-decimal aggregation (TPC-H Q1 shape).
     "q13_agg_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -129,6 +129,23 @@ object Dedup {
     concat_ws("_", (1 to rowsPerBand).map(j =>
       element_at(sig, b * rowsPerBand + j)): _*)
 
+  /** Banded signature rows (doc_id, sig, band, key) — the join-ready
+    * form of a MinHash signature set, shared by the self-join pair
+    * finder, the persisted index writer, and the incremental checker. */
+  private def bandedSignatures(sigs: DataFrame): DataFrame = {
+    val bandStructs = array((0 until numBands).map(b =>
+      struct(lit(b).as("band"), bandKey(col("sig"), b).as("key"))): _*)
+    sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Estimated Jaccard from two aligned signature columns: fraction of
+    * matching positions. */
+  private def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, m) => acc + m).cast("double") / lit(numHashes.toDouble)
+
   /** LSH banding: near-dup candidate pairs via equi-join on
     * (band index, band key); estimated Jaccard = fraction of matching
     * signature positions. Two docs collide iff some band of
@@ -140,24 +157,56 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n)
-    val bandStructs = array((0 until numBands).map(b =>
-      struct(lit(b).as("band"), bandKey(col("sig"), b).as("key"))): _*)
-    val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandedSignatures(minhashSignatures(docs, idCol, textCol, n))
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct() // a pair may collide in several bands
-    val matches = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-      lit(0), (acc, m) => acc + m)
     pairs
-      .withColumn("est_jaccard", matches.cast("double") / lit(numHashes.toDouble))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Persist the banded MinHash signature index of a corpus: one row
+    * per (doc_id, band, key) with the full signature, partitioned by
+    * band. This is the artifact an INCREMENTAL dedup pipeline keeps
+    * between runs — the corpus text is read once, ever; every later
+    * batch joins against 128 bytes/doc of signatures instead of
+    * re-shingling petabytes ([[incrementalNearDups]]). */
+  def writeSignatureIndex(docs: DataFrame, path: String,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 3): Unit =
+    bandedSignatures(minhashSignatures(docs, idCol, textCol, n))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Incremental near-dup check: new docs vs a persisted signature
+    * index, WITHOUT touching the indexed corpus text. The new batch is
+    * signed (one pass over the batch), then band-bucket equi-joined
+    * against the index — the same linear-in-matches candidate
+    * generation as [[minhashPairs]], with the corpus side reduced to
+    * its signatures. Cost scales with the batch, not the corpus: the
+    * daily ingest of a training-data pipeline dedups against years of
+    * history for the price of a bucketed join.
+    *
+    * Returns (doc_a = indexed corpus doc, doc_b = new doc,
+    * est_jaccard), the exact cross-boundary slice of what
+    * [[minhashPairs]] over the union would report (asserted in
+    * DedupSpec; oracled by q85). */
+  def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, newDocs: DataFrame,
+                          threshold: Double = 0.5, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 3): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val nb = bandedSignatures(minhashSignatures(newDocs, idCol, textCol, n))
+    idx.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
@@ -251,6 +300,32 @@ object Dedup {
       .filter(col("label") < col("node"))
       .select(col("node").as(idCol))
     docs.join(removed, Seq(idCol), "left_anti")
+  }
+
+  /** Leakage-safe train/eval split: every near-dup CLUSTER lands
+    * atomically on one side, so no eval doc has a near-duplicate in
+    * train (the leakage a doc-level hash split silently allows — a
+    * cloned document straddling the split inflates eval scores).
+    * Cluster identity = connected-component label over `pairs` (min
+    * doc_id), a doc's own id when unpaired; side = md5 hash of the
+    * CLUSTER id vs `evalPermyriad`/10000 (the [[graft.etl.Sampling]]
+    * value-hash contract: membership is a pure function of the data —
+    * stable across partitionings, engines, and incremental runs).
+    *
+    * Scale: the label table is bounded by docs that participate in a
+    * near-dup pair (tiny vs the corpus); everything else is one keyed
+    * join + a projection. Returns docs + (cluster, split). */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       evalPermyriad: Int, idCol: String = "doc_id"): DataFrame = {
+    require(evalPermyriad >= 0 && evalPermyriad <= 10000,
+      "evalPermyriad must be in [0, 10000]")
+    val labels = componentLabels(pairs).withColumnRenamed("node", idCol)
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+      .drop("label")
+      .withColumn("split",
+        when(graft.etl.Sampling.keyHash(col("cluster")) % 10000 < evalPermyriad,
+          lit("eval")).otherwise(lit("train")))
   }
 
   /** Benchmark-contamination scoring (the train/eval overlap gate a

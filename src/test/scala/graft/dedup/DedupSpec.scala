@@ -114,6 +114,49 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 5L, 9L)
   }
 
+  test("leakageSafeSplit: near-dup clusters land atomically on one side") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different text about other topics entirely",
+      4L -> "completely different text about other topics entirely",
+      5L -> "an unpaired document with its own content here")
+    val pairs = Dedup.minhashPairs(d, threshold = 0.5)
+    pairs.count() should be >= 2L // both planted clone pairs found
+    val out = Dedup.leakageSafeSplit(d, pairs, evalPermyriad = 5000)
+      .select("doc_id", "cluster", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out(1L) shouldBe out(2L) // same cluster, same side: no leakage
+    out(3L) shouldBe out(4L)
+    out(1L)._1 shouldBe 1L // cluster = component min
+    out(3L)._1 shouldBe 3L
+    out(5L)._1 shouldBe 5L // unpaired doc is its own cluster
+    // rate boundaries are total
+    Dedup.leakageSafeSplit(d, pairs, 0)
+      .filter(col("split") === "eval").count() shouldBe 0
+    Dedup.leakageSafeSplit(d, pairs, 10000)
+      .filter(col("split") === "train").count() shouldBe 0
+  }
+
+  test("incrementalNearDups equals the cross-boundary slice of the full pair set") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely different text about other topics entirely",
+      3L -> "a third corpus document with more unique words inside")
+    val batch = docs(
+      11L -> "the quick brown fox jumps over the lazy dog", // clone of 1
+      12L -> "a genuinely new document sharing nothing with history")
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-idx")
+      .toString + "/idx"
+    Dedup.writeSignatureIndex(corpus, idx)
+    val inc = Dedup.incrementalNearDups(spark, idx, batch, threshold = 0.5)
+    inc.count() should be >= 1L // the planted clone is caught
+    val full = Dedup.minhashPairs(corpus.unionByName(batch), threshold = 0.5)
+      .filter(col("doc_a") <= 3L && col("doc_b") >= 11L)
+    assertSameRows(inc, full)
+  }
+
   test("banded candidate generation never emits self-pairs or reversed dups") {
     val d = docs(
       1L -> "a b c d e f g h i j k l m n o p",
