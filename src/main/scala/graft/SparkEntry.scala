@@ -314,6 +314,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Persisted IVF index: build once (static centroids), search via
+    // cell-partition-pruned scan — same result contract as q48, cost
+    // bounded by the probed cells' files instead of the full corpus.
+    "q86_ivf_index_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      val idxPath = scratch("ivf_index", dir)
+      graft.similarity.Similarity.writeIvfIndex(emb, idxPath,
+        centroids = Some(cents))
+      graft.similarity.Similarity.searchIvfIndex(s, idxPath,
+          emb.filter(col("vec_id") < 10), k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs within LSH buckets.
     "q23_embed_neardup" -> ((s, dir) =>
       graft.similarity.Similarity

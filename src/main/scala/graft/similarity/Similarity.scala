@@ -279,6 +279,67 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Persist an IVF-Flat index: `path/centroids` (cell → centroid
+    * vector, nlist rows) plus `path/rows` — every corpus vector with
+    * its precomputed norm, PARTITIONED BY CELL on disk. The embedding
+    * corpus is scanned once at build time; afterwards a search touches
+    * only its probed cells' directories ([[searchIvfIndex]]) — the
+    * inverted-file property materialized as filesystem layout. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 8,
+                    iters: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    centroids: Option[Array[Array[Float]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, nlist, iters, idCol, vecCol))
+    cents.toSeq.zipWithIndex.map { case (c, j) => (j, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("cnorm"))
+      .withColumn("cell", nearestCell(col(vecCol), col("cnorm"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/rows")
+  }
+
+  /** Search a persisted IVF index: probe cells are computed from the
+    * (collected, ≤ nlist values) centroid table, pushed as a STATIC
+    * partition filter on the cell-partitioned row store — the scan
+    * reads only `nprobe/nlist` of the index's files (pruning asserted
+    * in SimilaritySpec), then the exact-cosine re-rank runs on the
+    * probed slice. Same result contract as [[knnIvf]] with the same
+    * centroids (q86's oracle IS q48's); the difference is WHERE the
+    * cost lands — index IO instead of a full-corpus assignment
+    * projection, which is what an incremental pipeline querying a
+    * static corpus wants. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int = 10, nprobe: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        vecNorm(col(vecCol)).as("__qnorm"))
+      .withColumn("__probe",
+        explode(probedCells(col("__qv"), col("__qnorm"), cents, nprobe)))
+      .select(col("query_id"), col("__qv"), col("__qnorm"),
+        col("__probe.cell").as("cell"))
+    // distinct probed cells: bounded by nlist, never by |queries|
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val rows = spark.read.parquet(s"$path/rows")
+      .filter(col("cell").isInCollection(probed))
+    val scored = rows.join(broadcast(q), "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine",
+        vecDot(col("__qv"), col(vecCol)) / (col("__qnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Embedding-cosine near-dup pairs: candidates share at least one
     * LSH band (equi-join on (band, key), first-matching-band dedup),
     * verified by exact cosine ≥ threshold. Per-band self-join work is
