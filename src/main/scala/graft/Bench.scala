@@ -9,10 +9,12 @@ import org.apache.spark.sql.SparkSession
   *  - the timed action is a write to the `noop` sink, which executes
   *    the FULL physical plan (including deterministic final sorts that
   *    a `.count()` action would let Catalyst eliminate) with zero IO;
-  *  - each query runs `repeats` times and reports the MIN: round-2
-  *    numbers showed 3-5x within-run variance on tiny-output
-  *    aggregates (GC/JIT interactions across 41 sequential queries in
-  *    one JVM) — the min is the plan's cost, the rest is jitter;
+  *  - each query runs `repeats` times and reports the MIN (the plan's
+  *    cost; round-2 numbers showed 3-5x within-run variance on
+  *    tiny-output aggregates from GC/JIT interactions across ~90
+  *    sequential queries in one JVM) AND the MEDIAN (steady-state) —
+  *    a query whose min and median disagree wildly is jitter, not a
+  *    regression, which makes cross-round adjudication possible;
   *  - failures propagate: a crashed query crashes the bench (rc != 0)
   *    instead of being silently timed as success.
   */
@@ -43,8 +45,14 @@ object Bench {
         run(name)
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
+    // A future name collision on the short key (e.g. q53_funnel vs
+    // q53_retention) would silently emit duplicate JSON keys in the
+    // adjudicated line and drop a measurement — fail loudly instead.
+    require(names.map(_.takeWhile(_ != '_')).distinct.size == names.size,
+      "bench short keys (prefix before first '_') must be unique")
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     // The driver snapshots only the LAST 2000 chars of stdout and
     // json-parses the final line. A full-name per-query map is ~2.9 kB
     // — it can never fit — so the adjudicated line uses short keys
@@ -60,13 +68,19 @@ object Bench {
     // comma-decimal locale (de_DE) would emit "1,234" — invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def render(short: Boolean): String =
-      results.map { case (k, v) =>
-        "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + fmt(v)
+    def render(short: Boolean, stat: Seq[Double] => Double): String =
+      results.map { case (k, ts) =>
+        "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + fmt(stat(ts))
       }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
+    val totalMedian = results.map(r => median(r._2)).sum
     spark.stop()
-    println(s"""{"metric":"queries_by_name","queries":${render(short = false)}}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":${render(short = true)}}""")
+    // Two full-name lines for humans and cross-round adjudication: the
+    // per-query MIN (the plan's cost) and the per-query MEDIAN (what a
+    // steady-state run sees) — a query whose min and median disagree
+    // by 5x is jitter, not a regression (the round-7 q45/q46 lesson).
+    println(s"""{"metric":"queries_by_name","queries":${render(short = false, _.min)}}""")
+    println(s"""{"metric":"queries_median_by_name","queries":${render(short = false, median)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"median_total":${fmt(totalMedian)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":${render(short = true, _.min)}}""")
   }
 }

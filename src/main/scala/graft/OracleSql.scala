@@ -1413,6 +1413,9 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q83_ingest_roundtrip" -> q83_ingest_roundtrip,
     "q84_leakage_split" -> q84_leakage_split,
     "q85_incremental_neardup" -> q85_incremental_neardup,
+    // index-after-append ≡ index-of-union: the appended index answers
+    // the same cross-boundary question q85 does
+    "q87_index_append" -> q85_incremental_neardup,
     // the persisted-index search contract IS the static-centroid IVF
     "q86_ivf_index_search" -> q48_ann_ivf_static,
     "q18_minhash_neardup" -> q18_minhash_neardup,

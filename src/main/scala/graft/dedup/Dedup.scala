@@ -182,6 +182,22 @@ object Dedup {
     bandedSignatures(minhashSignatures(docs, idCol, textCol, n))
       .write.mode("overwrite").partitionBy("band").parquet(path)
 
+  /** Absorb a new batch into an existing signature index: the batch is
+    * signed (one pass over the batch text) and its signature rows are
+    * APPENDED into the same band-partitioned layout — a dynamic
+    * partition append that adds files under each `band=` dir without
+    * rewriting history. Index-after-append is row-identical to
+    * rebuilding the index over the union (asserted in DedupSpec), so
+    * the daily cycle is: [[incrementalNearDups]] the batch against the
+    * index, keep the survivors, append exactly those — per-day cost
+    * scales with the batch forever. The caller sequence is
+    * single-writer, like every sink in this store. */
+  def appendSignatureIndex(docs: DataFrame, path: String,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 3): Unit =
+    bandedSignatures(minhashSignatures(docs, idCol, textCol, n))
+      .write.mode("append").partitionBy("band").parquet(path)
+
   /** Incremental near-dup check: new docs vs a persisted signature
     * index, WITHOUT touching the indexed corpus text. The new batch is
     * signed (one pass over the batch), then band-bucket equi-joined
@@ -194,7 +210,12 @@ object Dedup {
     * Returns (doc_a = indexed corpus doc, doc_b = new doc,
     * est_jaccard), the exact cross-boundary slice of what
     * [[minhashPairs]] over the union would report (asserted in
-    * DedupSpec; oracled by q85). */
+    * DedupSpec; oracled by q85). doc_a is ALWAYS the indexed side.
+    * A re-ingested doc whose id is already in the index is not a
+    * near-dup of itself — the self-pair is filtered; if the id spaces
+    * otherwise overlap, a genuine pair present on both sides surfaces
+    * once per side (keep batch ids disjoint from index ids to avoid
+    * mirrored pairs). */
   def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, newDocs: DataFrame,
                           threshold: Double = 0.5, idCol: String = "doc_id",
@@ -202,7 +223,8 @@ object Dedup {
     val idx = spark.read.parquet(indexPath)
     val nb = bandedSignatures(minhashSignatures(newDocs, idCol, textCol, n))
     idx.as("a").join(nb.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()

@@ -85,13 +85,19 @@ object Upsert {
     assertPartitionedLayout(spark, tablePath, partitionCol)
     recoverPartitioned(spark, tablePath, partitionCol)
     val target = spark.read.parquet(tablePath)
+    // The staging plan executes twice below — once for the touched
+    // partition keys, once inside the merged write — and a staging
+    // slice is often the tail of an expensive pipeline. Materialize it
+    // once: the cost is bounded by the increment (tiny vs the table),
+    // never by the table.
+    val stg = staging.localCheckpoint()
     // Restrict the anti-join to touched partitions: untouched partitions
     // are left on disk as-is by dynamic overwrite. The touched-key set
     // is tiny by construction (distinct partition values of a daily
     // increment) — broadcasting it is safe and prunes the target scan.
-    val touched = staging.select(partitionCol).distinct()
+    val touched = stg.select(partitionCol).distinct()
     val touchedTarget = target.join(broadcast(touched), Seq(partitionCol), "left_semi")
-    val merged = upsert(touchedTarget, staging, keys)
+    val merged = upsert(touchedTarget, stg, keys)
 
     val tmpPath = tmpFor(tablePath)
     merged.write.mode("overwrite").parquet(tmpPath)

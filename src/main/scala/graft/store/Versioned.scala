@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
 
 import graft.etl.Upsert
 
@@ -21,6 +22,7 @@ import graft.etl.Upsert
   * {{{
   *   table/data/<part>=<v>/__dv=<k>/part-*.parquet  // immutable once written
   *   table/_manifests/v<k>.json                     // {"<part>=<v>": dataVersion}
+  *   table/_manifests/schema_v<k>.json              // data-file schema (StructType JSON)
   * }}}
   *
   * The data-version level is itself a key=value directory (`__dv=k`)
@@ -44,6 +46,9 @@ object Versioned {
 
   private def manifestPath(table: String, v: Int) =
     new Path(s"$table/_manifests/v$v.json")
+
+  private def schemaPath(table: String, v: Int) =
+    new Path(s"$table/_manifests/schema_v$v.json")
 
   /** Latest committed version, 0 if none. */
   def currentVersion(spark: SparkSession, table: String): Int = {
@@ -149,6 +154,18 @@ object Versioned {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol, "__dv")
       .parquet(s"$table/data")
+    // Persist the DATA-FILE schema (non-partition columns) next to the
+    // manifest BEFORE publication: readers then reconstruct the full
+    // read schema from driver-side JSON — zero parquet-footer reads at
+    // plan construction, and the partition column type is pinned
+    // rather than re-inferred per read.
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      merged.schema.filterNot(f => f.name == partitionCol))
+    val sf = fs(spark, table)
+    val out = sf.create(schemaPath(table, next), true) // overwrite: a
+    // retried crashed commit replaces its own partial schema file
+    try out.write(dataSchema.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     val manifest = prevManifest ++ touchedDirs.map(_ -> next)
     writeManifest(spark, table, next, manifest)
     next
@@ -160,17 +177,54 @@ object Versioned {
     * basePath.
     *
     * Fanout bound: every manifest partition becomes one input dir, so
-    * plan construction is O(partitions) driver-side listing — the same
-    * bound a hive metastore's partition enumeration lives with.
-    * VersionedSpec pins 1000 partitions well inside interactive range;
-    * beyond ~10^5 partitions the right fix is a coarser partitioning,
-    * not a smarter reader. */
+    * plan construction is O(partitions) listing — the same bound a
+    * hive metastore's partition enumeration lives with. Above
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` (32)
+    * Spark distributes the listing as a job, so wall-clock scales with
+    * partitions/parallelism. Measured (round 8, local[4], warm FS):
+    * ~3-5 s at 10^3 dirs, of which most is fixed job overhead —
+    * extrapolating the per-dir cost gives ~10-30 s at 10^4, the edge
+    * of interactive; construction itself is footer-free (schema comes
+    * from the persisted JSON). Beyond ~10^5 partitions the right fix
+    * is a coarser partitioning, not a smarter reader. VersionedSpec
+    * pins the 10^3 steady-state case. */
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val manifest = readManifest(spark, table, v)
     require(manifest.nonEmpty, s"version $v is empty")
-    val dirs = manifest.toSeq.sortBy(_._1)
-      .map { case (part, dv) => s"$table/data/$part/__dv=$dv" }
-    spark.read.option("basePath", s"$table/data").parquet(dirs: _*)
+    val sorted = manifest.toSeq.sortBy(_._1)
+    val dirs = sorted.map { case (part, dv) => s"$table/data/$part/__dv=$dv" }
+    // Partition values must come back as the exact strings commit()
+    // wrote. Left to directory-name TYPE INFERENCE, numeric-looking
+    // values coerce ("0042" -> int 42, "1e3" -> double 1000.0); cast
+    // back to string they no longer equal the logical value, so the
+    // merge path's touched-partition filter matches nothing and a
+    // MERGE commit silently REPLACES the partition. The read therefore
+    // gets an explicit schema — the data-file schema commit() persisted
+    // next to the manifest (falling back to one leaf footer for tables
+    // written before schema persistence) plus the partition columns
+    // pinned to (string, int) — because user-specified partition types
+    // disable inference and keep the (unescaped) dir value verbatim.
+    // Side benefit: construction does zero parquet-footer IO.
+    val partCol = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(sorted.head._1.takeWhile(_ != '='))
+    val sp = schemaPath(table, v)
+    val f = fs(spark, table)
+    val dataSchema =
+      if (f.exists(sp)) {
+        val in = f.open(sp)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          out.toByteArray
+        } finally in.close()
+        org.apache.spark.sql.types.DataType
+          .fromJson(new String(bytes, StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      } else spark.read.parquet(dirs.head).schema
+    val full = dataSchema
+      .add(StructField(partCol, StringType, nullable = false))
+      .add(StructField("__dv", IntegerType, nullable = false))
+    spark.read.schema(full).option("basePath", s"$table/data").parquet(dirs: _*)
       .drop("__dv")
   }
 }

@@ -70,6 +70,28 @@ class VersionedSpec extends SparkSpec {
     new java.io.File(s"$t/data/part=a%3Ab/__dv=2").exists() shouldBe false
   }
 
+  test("numeric-looking string partition values MERGE instead of silently replacing") {
+    val t = freshTable()
+    // "0042" and "1e3" are the partition-inference trap: dir-name type
+    // inference coerces them to int 42 / double 1000.0, whose string
+    // forms no longer equal the logical value — the merge path's
+    // touched filter then matches nothing and the commit silently
+    // REPLACES the partition (id 1 would vanish).
+    val d = rows((1L, 1.0, "0042"), (2L, 2.0, "0042"), (3L, 3.0, "1e3"))
+    Versioned.commit(spark, t, d, "part", Nil) shouldBe 1
+    val v1 = Versioned.readVersion(spark, t, 1)
+    v1.schema("part").dataType shouldBe StringType
+    v1.select("part").distinct().as[String].collect().toSet shouldBe
+      Set("0042", "1e3")
+    // MERGE into "0042": update id 2, insert id 4 — id 1 must survive
+    Versioned.commit(spark, t, rows((2L, 20.0, "0042"), (4L, 4.0, "0042")),
+      "part", Seq("id")) shouldBe 2
+    assertSameRows(Versioned.readVersion(spark, t, 2),
+      rows((1L, 1.0, "0042"), (2L, 20.0, "0042"), (3L, 3.0, "1e3"),
+        (4L, 4.0, "0042")))
+    assertSameRows(Versioned.readVersion(spark, t, 1), d)
+  }
+
   test("null/empty partition values abort the commit before any data is written") {
     val t = freshTable()
     an[IllegalArgumentException] should be thrownBy
@@ -106,15 +128,35 @@ class VersionedSpec extends SparkSpec {
       "id", "CAST(id AS DOUBLE) AS v", "format_string('p%04d', id) AS part")
     Versioned.commit(spark, t, wide, "part", Nil) shouldBe 1
     // the manifest-fanout read path: one input dir per logical
-    // partition. Construction (manifest parse + 1000-dir listing) must
-    // stay in interactive range — the documented bound is
-    // hive-metastore-scale partition counts, not file counts.
-    val t0 = System.nanoTime()
-    val dfv = Versioned.readVersion(spark, t, 1)
-    val constructSec = (System.nanoTime() - t0) / 1e9
-    assert(constructSec < 10.0,
-      f"readVersion construction took $constructSec%.1f s for 1000 partitions")
+    // partition. The property pinned is STRUCTURAL, not wall-clock
+    // (this box shows 4-70 s of FS/GC noise for the identical listing
+    // across runs): construction must be manifest + schema JSON + ONE
+    // distributed listing job — zero parquet-footer reads (commit()
+    // persists the data schema; the old inference path paid a second
+    // footer-merge job here) and zero per-partition driver jobs. A
+    // loose wall bound backstops against O(partitions²) regressions.
+    val dfv = Versioned.readVersion(spark, t, 1) // warm the FS cache
     dfv.count() shouldBe 1000
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val again = try Versioned.readVersion(spark, t, 1) finally {
+      Thread.sleep(2000) // listener bus delivery is async
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val constructSec = (System.nanoTime() - t0) / 1e9 - 2.0
+    assert(jobs.get <= 1,
+      s"readVersion construction ran ${jobs.get} Spark jobs for 1000 " +
+        "partitions; expected at most the one parallel-listing job")
+    assert(constructSec < 30.0,
+      f"readVersion construction took $constructSec%.1f s for 1000 partitions")
+    again.schema("part").dataType shouldBe StringType
     dfv.select("part").distinct().count() shouldBe 1000
     dfv.filter(col("part") === "p0042").select("v")
       .collect().map(_.getDouble(0)).toSeq shouldBe Seq(42.0)
