@@ -36,8 +36,15 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    run(names.head) // untimed warmup
+    // Optional args restrict the run to the named queries (exact names
+    // or short keys), for local single-query probes; the driver passes
+    // no args and always benches the full registry.
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all
+      else all.filter(n => args.contains(n) || args.contains(n.takeWhile(_ != '_')))
+    require(names.nonEmpty, s"no queries match args ${args.mkString(",")}")
+    run(all.head) // untimed warmup
 
     val results = names.map { name =>
       val times = (1 to repeats).map { _ =>

@@ -245,6 +245,42 @@ SELECT a.t || ' ' || b.t AS bigram, count(*) AS occurrences,
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
 GROUP BY 1 ORDER BY occurrences DESC, bigram LIMIT 200"""
 
+  /** q89 twin: per-doc mean corpus bigram count. DuckDB's count/sum
+    * land in BIGINT/HUGEINT — cast to Spark's long; the division is
+    * the single double op on both sides. */
+  val q89_bigram_familiarity: String = toksCte + """
+, pos AS (
+  SELECT doc_id, unnest(tokens) AS t, generate_subscripts(tokens, 1) AS p
+  FROM toks),
+bg AS (
+  SELECT a.doc_id, a.t || ' ' || b.t AS bigram
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+cnt AS (SELECT bigram, count(*) AS occ FROM bg GROUP BY 1),
+per AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(cnt.occ) AS BIGINT) AS s
+  FROM bg JOIN cnt USING (bigram) GROUP BY 1)
+SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+  CAST(per.s AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE) AS familiarity
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id"""
+
+  /** q90 twin: char symbols + '</w>' per word type, adjacent pairs
+    * weighted by word frequency. */
+  val q90_bpe_pair_counts: String = toksCte + """
+, w AS (
+  SELECT t AS word, count(*) AS freq
+  FROM (SELECT unnest(tokens) AS t FROM toks) GROUP BY 1),
+s AS (
+  SELECT word, freq,
+    list_append(list_transform(range(1, length(word)+1),
+      i -> substr(word, i, 1)), '</w>') AS symbols
+  FROM w),
+p AS (
+  SELECT freq, symbols[i] AS sym_a, symbols[i+1] AS sym_b
+  FROM s, unnest(range(1, len(symbols))) AS t(i))
+SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS cnt
+FROM p GROUP BY 1, 2 ORDER BY cnt DESC, sym_a, sym_b LIMIT 200"""
+
   val q15_doc_profile: String = toksCte + """
 , base AS (
   SELECT doc_id,
@@ -531,6 +567,41 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** q88: SemDeDup twin — q48's fixed-centroid assignment CTE, then a
+    * within-cell self-join marks every vec with a lower-id cosine
+    * near-dup as dropped. Same fold-order dot/norm as the Spark side,
+    * so the ≥ 0.4 verdicts are bit-identical. */
+  val q88_semantic_dedup: String = {
+    val cvals = (0 until 8).map { j =>
+      val c = graft.similarity.Similarity.hyperplane(j, hpDim)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        .max(java.lang.Double.MIN_VALUE)
+      s"($j, [${c.map(x => s"${x.toInt}.0").mkString(",")}], $cn)"
+    }.mkString(",\n  ")
+    def dotCv(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * cv[i])), (acc,v) -> acc + v)"
+    s"""
+WITH cm(cell, cv, cn) AS (SELECT * FROM (VALUES
+  $cvals) v(cell, cv, cn)),
+a AS (
+  SELECT vec_id, embedding, cell,
+    (-(${dotCv("embedding")})) / (sqrt(${sqlDot("embedding", "embedding")}) * cn) AS d
+  FROM embeddings CROSS JOIN cm),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a)
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
+FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id"""
   }
 
   val q23_embed_neardup: String = s"""
@@ -1448,6 +1519,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q46_sample" -> q46_sample,
     "q47_contamination" -> q47_contamination,
     "q48_ann_ivf_static" -> q48_ann_ivf_static,
+    "q88_semantic_dedup" -> q88_semantic_dedup,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,
     "q50_frame_sample" -> q50_frame_sample,
@@ -1467,6 +1539,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q64_seq_packing" -> q64_seq_packing,
     "q65_compaction" -> q65_compaction,
     "q66_bigrams" -> q66_bigrams,
+    "q89_bigram_familiarity" -> q89_bigram_familiarity,
+    "q90_bpe_pair_counts" -> q90_bpe_pair_counts,
     "q67_incremental_rollup" -> q67_incremental_rollup,
     "q68_window_ranks" -> q68_window_ranks,
     "q69_cube" -> q69_cube)

@@ -346,6 +346,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup: cluster by fixed centroids, drop lower-id cosine
+    // near-dups within each cluster; full per-row keep/drop audit.
+    "q88_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      graft.similarity.Similarity.semanticDedup(emb, 0.4, cents)
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-cosine near-dup pairs within LSH buckets.
     "q23_embed_neardup" -> ((s, dir) =>
       graft.similarity.Similarity
@@ -995,6 +1005,20 @@ object SparkEntry {
     // corpus count + doc frequency.
     "q66_bigrams" -> ((s, dir) =>
       graft.text.TextAnalysis.topBigrams(Tables.documents(s, dir), k = 200)),
+
+    // CCNet-ish LM-quality proxy: per-doc mean corpus bigram
+    // frequency (exact integer sums, one final division).
+    "q89_bigram_familiarity" -> ((s, dir) =>
+      graft.text.TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // BPE training statistic: freq-weighted adjacent-symbol pairs in
+    // the initial char state — iteration 1 of Bpe.trainBpe, the
+    // SQL-expressible slice of the loop (BpeSpec pins the rest).
+    "q90_bpe_pair_counts" -> ((s, dir) =>
+      graft.text.Bpe.pairCounts(graft.text.Bpe.initialSymbols(
+          graft.text.Bpe.wordCounts(Tables.documents(s, dir))))
+        .orderBy(col("cnt").desc, col("sym_a"), col("sym_b")).limit(200)),
 
     // Small-file compaction: fragment a partitioned table (8 writers
     // per lang dir), compact to ~1 file per partition, read back —

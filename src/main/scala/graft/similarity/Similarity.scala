@@ -380,4 +380,42 @@ object Similarity {
       .groupBy(col(groupCol), col("dim"))
       .agg(count(lit(1)).as("n"),
         graft.core.Exact.exactAvg(col("__v").cast("double"), 6).as("mean_v"))
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by nearest centroid, then
+    * inside each cluster drop every document that has a LOWER-id
+    * near-duplicate (exact cosine ≥ `threshold`) — keep-first-by-id,
+    * the deterministic form of the paper's keep-one-per-dup-group.
+    * Returns every row with its cluster and a `kept` verdict, so the
+    * same output drives both the filter and the audit.
+    *
+    * Pairwise work is Σ|cell|² over clusters, never n² — that bound is
+    * the whole point of the clustering step, so `centroids.length`
+    * must scale with the corpus (the paper uses ~50k clusters for
+    * 100M+ docs; cells of ~10³-10⁴ keep the per-cell self-join
+    * trivially in-memory per task). Assignment is a pure literal
+    * projection (zero shuffle — see [[nearestCell]]); the only
+    * exchanges are the equi-join on `__cell` and the final dropped-id
+    * anti-lookup, both on the compact (id, vec) projection. With
+    * trained centroids pass [[trainCentroids]]'s output; with fixed
+    * centroids the whole operator is SQL-expressible and
+    * oracle-checked (q88). */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    centroids: Array[Array[Float]],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus.select(col(idCol), col(vecCol),
+        vecNorm(col(vecCol)).as("__norm"))
+      .withColumn("__cell", nearestCell(col(vecCol), col("__norm"), centroids))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.__cell") === col("b.__cell") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+        (col("a.__norm") * col("b.__norm")) >= threshold)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("__cell").as("cell"),
+        col("__dropped").isNull.as("kept"))
+  }
 }

@@ -99,8 +99,11 @@ object TextAnalysis {
     * codegen'd collection expressions (no interpreted HOF lambda, no
     * per-doc window shuffle): scan → explode → one hash aggregate,
     * the same shape as [[tokenStats]]. */
-  def bigramStats(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame =
+  /** Per-doc exploded adjacent-token pairs: one (id, bigram) row per
+    * position — the shared front half of [[bigramStats]] and
+    * [[bigramFamiliarity]]. */
+  private def docBigrams(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
     withTokens(docs, textCol)
       .filter(size(col("tokens")) >= 2)
       .select(col(idCol),
@@ -109,6 +112,10 @@ object TextAnalysis {
           slice(col("tokens"), lit(2), size(col("tokens")) - 1).as("b"))).as("__bg"))
       .select(col(idCol),
         concat_ws(" ", col("__bg.a"), col("__bg.b")).as("bigram"))
+
+  def bigramStats(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docBigrams(docs, idCol, textCol)
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col(idCol)).as("doc_freq"))
@@ -116,6 +123,37 @@ object TextAnalysis {
   /** Top-k bigrams (deterministic tie-break on the bigram text). */
   def topBigrams(docs: DataFrame, k: Int = 200): DataFrame =
     bigramStats(docs).orderBy(col("occurrences").desc, col("bigram")).limit(k)
+
+  /** Language-model familiarity scoring, the integer-exact proxy for
+    * CCNet-style perplexity filtering (Wenzek et al. 2020,
+    * arXiv:1911.00359): a document whose bigrams are rare in the
+    * corpus reads like gibberish/boilerplate; one whose bigrams are
+    * common reads like ordinary prose. Score = mean corpus frequency
+    * of the doc's bigrams — exact BIGINT sums on both engines with a
+    * single final double division (the q62/q71 determinism pattern;
+    * a true log-prob LM would put an `ln` per bigram between the
+    * engines and lose the bit-exact oracle).
+    *
+    * Shape: the exploded bigram table is scanned twice (corpus count,
+    * then the count-lookup join) — at 100 TB persist it, or swap the
+    * self-computed `counts` for a pre-built (possibly df-capped)
+    * vocabulary table and the lookup becomes a broadcast join. Docs
+    * with < 2 tokens surface with n_bigrams = 0 and NULL familiarity
+    * rather than vanishing — the gate downstream decides their fate. */
+  def bigramFamiliarity(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol)
+    val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("__occ"))
+    val perDoc = bg.join(counts, "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__occ")).as("__sum"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("__sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("familiarity"))
+  }
 
   /** GPT-2-style pre-tokenizer approximation: contractions, space-
     * prefixed letter runs, digit runs, punctuation runs. Same RE2-safe

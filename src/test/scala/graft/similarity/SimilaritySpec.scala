@@ -242,4 +242,20 @@ class SimilaritySpec extends SparkSpec {
       (0, 0, 2L, 2.0), (0, 1, 2L, 4.0),
       (1, 0, 1L, 10.0), (1, 1, 1L, 20.0))
   }
+
+  test("semanticDedup drops lower-id near-dups within a cluster only") {
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val d = vecs(
+      1L -> Seq(1f, 0f, 0f, 0f),          // cell 0, kept (first)
+      2L -> Seq(0.99f, 0.01f, 0f, 0f),    // cell 0, ~dup of 1 -> dropped
+      3L -> Seq(0f, 1f, 0f, 0f),          // cell 1, kept
+      4L -> Seq(0.9f, 0.9f, 0f, 0f),      // tie -> cell 0; cos vs 1 ~.707 -> kept
+      5L -> Seq(0f, 0.95f, 0.05f, 0f),    // cell 1, ~dup of 3 -> dropped
+      6L -> Seq(0.6f, 0.8f, 0f, 0f))      // cell 1; near-dup of 4 is CROSS-cell -> kept
+    val out = Similarity.semanticDedup(d, 0.9, cents)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, 0, true), (2L, 0, false), (3L, 1, true),
+      (4L, 0, true), (5L, 1, false), (6L, 1, true))
+  }
 }

@@ -111,4 +111,19 @@ class TextAnalysisSpec extends SparkSpec {
     out(1).getAs[Long]("n_bpe_tokens") shouldBe 3L
     out(1).getAs[Long]("n_ws_tokens") shouldBe 3L
   }
+
+  test("bigramFamiliarity scores docs by mean corpus bigram count") {
+    // corpus counts: "a b" -> 2, "b c" -> 1
+    val out = TextAnalysis.bigramFamiliarity(docs(
+        (1L, "a b c"),   // (2 + 1) / 2 = 1.5
+        (2L, "a b"),     // 2 / 1 = 2.0
+        (3L, "x")))      // no bigrams -> 0, null
+      .orderBy("doc_id").collect()
+    out(0).getAs[Long]("n_bigrams") shouldBe 2L
+    out(0).getAs[Double]("familiarity") shouldBe 1.5
+    out(1).getAs[Long]("n_bigrams") shouldBe 1L
+    out(1).getAs[Double]("familiarity") shouldBe 2.0
+    out(2).getAs[Long]("n_bigrams") shouldBe 0L
+    out(2).isNullAt(out(2).fieldIndex("familiarity")) shouldBe true
+  }
 }
