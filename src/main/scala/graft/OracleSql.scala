@@ -264,6 +264,51 @@ SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY d.doc_id"""
 
+  /** q93 twin: SymSpell deletion-neighborhood block join + exact
+    * levenshtein verify over the part-name vocabulary. */
+  val q93_fuzzy_pairs: String = """
+WITH w AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(p_name, ' '), t -> t <> '')) AS word
+    FROM part)
+  GROUP BY 1),
+v AS (
+  SELECT word, freq, word AS variant FROM w
+  UNION ALL
+  SELECT word, freq,
+    substr(word, 1, i-1) || substr(word, i+1, length(word)) AS variant
+  FROM w, unnest(range(1, length(word)+1)) AS t(i)),
+p AS (
+  SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+    a.freq AS freq_a, b.freq AS freq_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.word < b.word)
+SELECT word_a, word_b, CAST(freq_a AS BIGINT) AS freq_a,
+  CAST(freq_b AS BIGINT) AS freq_b
+FROM p WHERE levenshtein(word_a, word_b) = 1
+ORDER BY word_a, word_b"""
+
+  /** q92 twin: per-category TV-distance parts between the doc_id
+    * parity halves. Products stay in BIGINT (DuckDB count() is
+    * BIGINT; only sum() would widen to HUGEINT — cast). */
+  val q92_drift: String = """
+WITH a AS (
+  SELECT source AS k, count(*) AS n_base FROM documents
+  WHERE doc_id % 2 = 0 GROUP BY 1),
+b AS (
+  SELECT source AS k, count(*) AS n_in FROM documents
+  WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+    COALESCE(n_base, 0) AS n_base, COALESCE(n_in, 0) AS n_in
+  FROM a FULL JOIN b ON a.k = b.k),
+t AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS na, CAST(sum(n_in) AS BIGINT) AS nb
+  FROM j)
+SELECT k AS source, n_base, n_in,
+  abs(n_base * nb - n_in * na) AS abs_cross,
+  CAST(abs(n_base * nb - n_in * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS share_diff
+FROM j, t ORDER BY source"""
+
   /** q90 twin: char symbols + '</w>' per word type, adjacent pairs
     * weighted by word frequency. */
   val q90_bpe_pair_counts: String = toksCte + """
@@ -603,6 +648,31 @@ SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
 FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 ORDER BY s.vec_id"""
   }
+
+  /** q91: int8-quantized ANN twin. Quantization is floor(u·127 + 0.5)
+    * on the unit vector — floor(x + 0.5) is engine-neutral where
+    * round()'s half-way mode is not; scores are pure BIGINT
+    * arithmetic, so the compare is exact with no doubles at all. */
+  val q91_quantized_knn: String = s"""
+WITH n AS (
+  SELECT vec_id,
+    list_transform(range(1, len(embedding)+1),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+             / sqrt(${sqlDot("embedding", "embedding")}) * 127 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, n.vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(n.qv)+1), i -> n.qv[i] * q.qq[i])),
+      (a, v) -> a + v) AS score
+  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, score FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
 
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
@@ -1520,6 +1590,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q47_contamination" -> q47_contamination,
     "q48_ann_ivf_static" -> q48_ann_ivf_static,
     "q88_semantic_dedup" -> q88_semantic_dedup,
+    "q91_quantized_knn" -> q91_quantized_knn,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,
     "q50_frame_sample" -> q50_frame_sample,
@@ -1541,6 +1612,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q66_bigrams" -> q66_bigrams,
     "q89_bigram_familiarity" -> q89_bigram_familiarity,
     "q90_bpe_pair_counts" -> q90_bpe_pair_counts,
+    "q92_drift" -> q92_drift,
+    "q93_fuzzy_pairs" -> q93_fuzzy_pairs,
     "q67_incremental_rollup" -> q67_incremental_rollup,
     "q68_window_ranks" -> q68_window_ranks,
     "q69_cube" -> q69_cube)

@@ -356,6 +356,15 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Int8-quantized ANN: integer code-dot ranking — 4x smaller
+    // candidate scan; every output value is an exact integer.
+    "q91_quantized_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity.knnQuantized(emb,
+          emb.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs within LSH buckets.
     "q23_embed_neardup" -> ((s, dir) =>
       graft.similarity.Similarity
@@ -1011,6 +1020,22 @@ object SparkEntry {
     "q89_bigram_familiarity" -> ((s, dir) =>
       graft.text.TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+
+    // Fuzzy vocabulary self-join (SymSpell deletion blocking +
+    // levenshtein verify) over part-name words.
+    "q93_fuzzy_pairs" -> ((s, dir) =>
+      graft.etl.FuzzyMatch.typoPairs(Tables.part(s, dir), "p_name")
+        .orderBy(col("word_a"), col("word_b"))),
+
+    // Distribution drift monitor: exact-integer total-variation parts
+    // between two snapshots of the source column (parity split).
+    "q92_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.analytics.Profiling.categoricalDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "source")
+        .orderBy(col("source"))
+    }),
 
     // BPE training statistic: freq-weighted adjacent-symbol pairs in
     // the initial char state — iteration 1 of Bpe.trainBpe, the

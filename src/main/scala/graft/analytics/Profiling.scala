@@ -86,4 +86,40 @@ object Profiling {
         min(col("__lo")).as("lo"),
         min(col("__hi")).as("hi"))
   }
+
+  /** Categorical drift between two snapshots of a column (training
+    * corpus vs incoming batch, yesterday vs today): per-category share
+    * difference |aᵢ/Nₐ − bᵢ/N_b|, computed as the exact integer cross
+    * product |aᵢ·N_b − bᵢ·Nₐ| over the common denominator Nₐ·N_b with
+    * ONE final double division (the q62/q89 determinism pattern) —
+    * summed and halved this is total-variation distance, the ℓ¹ drift
+    * measure with none of PSI's per-category logs (which would break
+    * the bit-exact oracle and blow up on empty bins). Categories
+    * appearing on one side only surface with a zero count, not a
+    * dropped row. Cost: two count aggregates + a category-sized
+    * full-outer join; the totals frame is one row, broadcast back. */
+  def categoricalDrift(base: DataFrame, incoming: DataFrame,
+                       keyCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as(n))
+    val j = counts(base, "__a").join(counts(incoming, "__b"), Seq(keyCol), "full")
+      .select(col(keyCol),
+        coalesce(col("__a"), lit(0L)).as("n_base"),
+        coalesce(col("__b"), lit(0L)).as("n_in"))
+    val tot = j.agg(sum(col("n_base")).as("__na"), sum(col("n_in")).as("__nb"))
+    j.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n_base"), col("n_in"),
+        abs(col("n_base") * col("__nb") - col("n_in") * col("__na"))
+          .as("abs_cross"),
+        (abs(col("n_base") * col("__nb") - col("n_in") * col("__na"))
+          .cast("double") / (col("__na") * col("__nb")).cast("double"))
+          .as("share_diff"))
+  }
+
+  /** Scalar total-variation distance in [0, 1]: half the summed share
+    * differences. 0 = identical distributions, 1 = disjoint support. */
+  def driftScore(base: DataFrame, incoming: DataFrame,
+                 keyCol: String): Double =
+    categoricalDrift(base, incoming, keyCol)
+      .agg(sum(col("share_diff"))).collect()(0).getDouble(0) / 2.0
 }

@@ -381,6 +381,52 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         graft.core.Exact.exactAvg(col("__v").cast("double"), 6).as("mean_v"))
 
+  /** Int8 scalar quantization of a vector: unit-normalize, then map
+    * each component to `floor(u·127 + 0.5)` — engine-neutral by
+    * construction (both engines floor the same double; `round`'s
+    * half-way mode varies by engine/type, floor(x+0.5) doesn't). The
+    * codes are STORED as a float array: every value in [-127, 127] is
+    * exact in float, so the codegen'd [[graft.functions.FloatVectorDot]]
+    * computes the INTEGER code dot product exactly in double and the
+    * quantized path reuses the float hot loop instead of needing an
+    * int twin. `norm` must be a materialized column, not an inline
+    * fold — HOF lambdas re-evaluate child subtrees per element, which
+    * would turn O(d) into O(d²). */
+  def quantize(vec: Column, norm: Column): Column =
+    transform(vec, x =>
+      floor(x.cast("double") / norm * lit(127.0) + lit(0.5)).cast("float"))
+
+  /** ANN top-k over int8-quantized vectors — the memory-bandwidth
+    * scale path for similarity search: a float32 corpus scan at 100 TB
+    * is bandwidth-bound, and 4× smaller codes is 4× fewer bytes per
+    * candidate (FAISS's SQ8 storage layout, Johnson et al. 2017,
+    * arXiv:1702.08734). Ranking is by the integer code dot (a monotone
+    * proxy for cosine once both sides are unit-normalized), with ids
+    * breaking ties — the scores are exact integers, so unlike every
+    * float ANN variant the ENTIRE output is integer-deterministic and
+    * the oracle check is exact with no epsilon anywhere (q91). In a
+    * two-stage deployment, re-rank this candidate list with
+    * [[knnBruteForce]]'s exact cosine over k' ≫ k. */
+  def knnQuantized(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    def codes(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId), col(vecCol).as("__v"),
+          vecNorm(col(vecCol)).as("__n"))
+        .select(col(outId), quantize(col("__v"), col("__n")).as(s"__q$outId"))
+    val q = broadcast(codes(queries, "query_id"))
+    val scored = codes(corpus, idCol).crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score",
+        vecDot(col(s"__q$idCol"), col("__qquery_id")).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("score"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus by nearest centroid, then
     * inside each cluster drop every document that has a LOWER-id

@@ -66,4 +66,26 @@ class ProfilingSpec extends SparkSpec {
     val expected = 5050.0 - (1 to 5).sum - (96 to 100).sum + 5 * 5.95 + 5 * 95.05
     out.getDouble(7) shouldBe expected +- 1e-6
   }
+
+  test("categoricalDrift: TV distance is 0 for identical, 1 for disjoint") {
+    val a = Seq("x", "x", "y").toDF("k")
+    Profiling.driftScore(a, a, "k") shouldBe 0.0
+    val b = Seq("z", "z", "w").toDF("k")
+    Profiling.driftScore(a, b, "k") shouldBe 1.0
+  }
+
+  test("categoricalDrift reports one-sided categories with zero counts") {
+    val base = Seq("x", "x", "y", "y").toDF("k")    // x .5, y .5
+    val in = Seq("x", "x", "x", "z").toDF("k")      // x .75, z .25
+    val out = Profiling.categoricalDrift(base, in, "k")
+      .orderBy("k")
+      .select("k", "n_base", "n_in", "abs_cross", "share_diff")
+      .as[(String, Long, Long, Long, Double)].collect()
+    out shouldBe Array(
+      ("x", 2L, 3L, 4L, 0.25),   // |2*4 - 3*4| / 16
+      ("y", 2L, 0L, 8L, 0.5),
+      ("z", 0L, 1L, 4L, 0.25))
+    // TV = (0.25 + 0.5 + 0.25) / 2
+    Profiling.driftScore(base, in, "k") shouldBe 0.5
+  }
 }
