@@ -309,6 +309,36 @@ SELECT k AS source, n_base, n_in,
   CAST(abs(n_base * nb - n_in * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS share_diff
 FROM j, t ORDER BY source"""
 
+  /** q97 twin: k-anonymity / l-diversity audit per (event_type, day). */
+  val q97_k_anonymity: String = """
+SELECT event_type, CAST(ts AS DATE) AS event_date,
+  count(*) AS group_size,
+  count(DISTINCT user_id) AS n_sensitive,
+  count(*) < 50 AS k_risk,
+  count(DISTINCT user_id) < 20 AS l_risk
+FROM events
+GROUP BY 1, 2 ORDER BY event_type, event_date"""
+
+  /** q94 twin: two-sample KS over events.value parity halves — cumsum
+    * windows over pooled distinct values, integer cross products,
+    * deterministic argmax (gap desc, value asc). */
+  val q94_ks_drift: String = """
+WITH pooled AS (
+  SELECT value AS v,
+    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT v,
+    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+  FROM pooled),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pooled)
+SELECT v AS at_value, abs(cuma * nb - cumb * na) AS ks_parts,
+  na AS n_base, nb AS n_in,
+  CAST(abs(cuma * nb - cumb * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+FROM cum, t ORDER BY ks_parts DESC, v LIMIT 1"""
+
   /** q90 twin: char symbols + '</w>' per word type, adjacent pairs
     * weighted by word frequency. */
   val q90_bpe_pair_counts: String = toksCte + """
@@ -614,6 +644,37 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  /** q95 twin: recall@10 of the q22 LSH result against the q21 exact
+    * result, composed from the same CTE builders so the two sides are
+    * bit-identical to their standalone oracles. */
+  val q95_ann_recall: String = s"""
+WITH hp(m) AS (SELECT $hpMatrix),
+s AS (
+  SELECT vec_id, embedding,
+    $sqlKeyCols
+  FROM embeddings, hp),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+        ${(0 until hpBands).map(b => s"key$b").mkString(", ")}
+      FROM s WHERE vec_id < 10),
+bruteranked AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM (SELECT q.query_id, e.vec_id, ${sqlCosine("q.qv", "e.embedding")} AS cosine
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)),
+annranked AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM (SELECT q.query_id, c.vec_id, ${sqlCosine("q.qv", "c.embedding")} AS cosine
+        FROM s c JOIN q ON ${sqlAnyBand("c", "q")} AND c.vec_id <> q.query_id)),
+truth AS (SELECT query_id, neighbor_id FROM bruteranked WHERE rank <= 10),
+ann AS (SELECT query_id, neighbor_id FROM annranked WHERE rank <= 10)
+SELECT t.query_id,
+  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+  CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+FROM truth t LEFT JOIN ann a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY 1 ORDER BY t.query_id"""
+
   /** q88: SemDeDup twin — q48's fixed-centroid assignment CTE, then a
     * within-cell self-join marks every vec with a lower-id cosine
     * near-dup as dropped. Same fold-order dot/norm as the Spark side,
@@ -881,6 +942,35 @@ SELECT sym_a, sym_b, n_days,
           sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy))
   END AS corr
 FROM agg WHERE n_days >= 2 ORDER BY sym_a, sym_b"""
+
+  /** q96 twin: per-symbol least-squares trend — q62's determinism
+    * recipe (decimal-quantized y held as scaled int64, exact integer
+    * sums via the VARCHAR double-cast, identical final trees). */
+  val q96_ols_trend: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+q AS (
+  SELECT symbol,
+    CAST(date_diff('day', DATE '1970-01-01', date) AS BIGINT) AS x,
+    CAST(CAST(ROUND(CAST(close_price AS DECIMAL(28,10)), 6) AS DECIMAL(18,6))
+         * 1000000 AS BIGINT) AS y6
+  FROM daily),
+agg AS (
+  SELECT symbol, count(*) AS n_days,
+    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(y6) AS VARCHAR) AS DOUBLE) AS sy6,
+    CAST(CAST(sum(x * y6) AS VARCHAR) AS DOUBLE) AS sxy6
+  FROM q GROUP BY 1)
+SELECT symbol, n_days,
+  ((CAST(n_days AS DOUBLE) * sxy6 - sx * sy6) /
+   (CAST(n_days AS DOUBLE) * sxx - sx * sx)) / 1e6 AS slope,
+  (((sy6 - ((CAST(n_days AS DOUBLE) * sxy6 - sx * sy6) /
+            (CAST(n_days AS DOUBLE) * sxx - sx * sx)) * sx)
+    / CAST(n_days AS DOUBLE)) / 1e6) AS intercept
+FROM agg
+WHERE n_days >= 2 AND (CAST(n_days AS DOUBLE) * sxx - sx * sx) <> 0
+ORDER BY symbol"""
 
   /** The bloom pre-filter is semantically invisible: the oracle is the
     * plain semi join. */
@@ -1591,6 +1681,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q48_ann_ivf_static" -> q48_ann_ivf_static,
     "q88_semantic_dedup" -> q88_semantic_dedup,
     "q91_quantized_knn" -> q91_quantized_knn,
+    "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,
     "q50_frame_sample" -> q50_frame_sample,
@@ -1614,6 +1705,9 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q90_bpe_pair_counts" -> q90_bpe_pair_counts,
     "q92_drift" -> q92_drift,
     "q93_fuzzy_pairs" -> q93_fuzzy_pairs,
+    "q94_ks_drift" -> q94_ks_drift,
+    "q96_ols_trend" -> q96_ols_trend,
+    "q97_k_anonymity" -> q97_k_anonymity,
     "q67_incremental_rollup" -> q67_incremental_rollup,
     "q68_window_ranks" -> q68_window_ranks,
     "q69_cube" -> q69_cube)

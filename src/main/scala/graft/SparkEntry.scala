@@ -365,6 +365,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Index-quality eval: per-query recall@10 of sign-LSH ANN vs the
+    // exact cosine top-10 (integer hits, one final division).
+    "q95_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      graft.similarity.Similarity.recallAtK(
+          graft.similarity.Similarity.knnLsh(emb, queries, k = 10),
+          graft.similarity.Similarity.knnBruteForce(emb, queries, k = 10),
+          k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // Embedding-cosine near-dup pairs within LSH buckets.
     "q23_embed_neardup" -> ((s, dir) =>
       graft.similarity.Similarity
@@ -477,6 +489,14 @@ object SparkEntry {
       graft.analytics.Correlation.pairwiseCorr(
         graft.analytics.Correlation.dailyReturns(daily))
         .orderBy(col("sym_a"), col("sym_b"))
+    }),
+
+    // Per-symbol OLS trend line over daily closes (exact integer
+    // sums, identical final double trees — the q62 recipe).
+    "q96_ols_trend" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Correlation.olsTrend(daily).orderBy(col("symbol"))
     }),
 
     // Bloom-pre-filtered semi join — exact semi-join semantics, the
@@ -1035,6 +1055,25 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "source")
         .orderBy(col("source"))
+    }),
+
+    // Privacy audit: k-anonymity group sizes + l-diversity of user_id
+    // per (event_type, day) quasi-identifier combination.
+    "q97_k_anonymity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      graft.quality.Validators.kAnonymityAudit(ev,
+          Seq("event_type", "event_date"), "user_id", k = 50, l = 20)
+        .orderBy(col("event_type"), col("event_date"))
+    }),
+
+    // Numeric drift: exact-integer two-sample KS statistic between
+    // the event_id parity halves of events.value.
+    "q94_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.analytics.Profiling.ksDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "value")
     }),
 
     // BPE training statistic: freq-weighted adjacent-symbol pairs in

@@ -79,4 +79,37 @@ object Correlation {
             (sqrt(varx) * sqrt(vary)))
           .as("corr"))
   }
+
+  /** Per-group OLS trend line (least-squares close-vs-time slope and
+    * intercept per symbol) — the "is this series drifting" analytic
+    * that pairs with [[pairwiseCorr]]: one hash aggregate, output
+    * bounded by the symbol universe.
+    *
+    * Determinism follows the q62 recipe exactly: x is integer days
+    * since epoch; y is the close quantized once to DECIMAL(18,6) and
+    * then held as the SCALED integer y·10⁶, so every sum (Σx, Σx²,
+    * Σy₆, Σxy₆) is exact integer arithmetic on both engines (the xy₆
+    * products fit int64; their sums are decimal/hugeint-widened). The
+    * slope/intercept of the scaled series evaluate in doubles in an
+    * identical expression tree, and two final ÷10⁶ un-scale them. */
+  def olsTrend(daily: DataFrame, minDays: Int = 2): DataFrame = {
+    val q = daily.select(col("symbol"),
+      datediff(col("date"), lit("1970-01-01")).cast("long").as("__x"),
+      (round(col("close_price").cast("decimal(28,10)"), 6)
+        .cast("decimal(18,6)") * lit(1000000)).cast("long").as("__y6"))
+    val agg = q.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("__x")).cast("double").as("__sx"),
+      sum(col("__x") * col("__x")).cast("double").as("__sxx"),
+      sum(col("__y6").cast("decimal(38,0)")).cast("double").as("__sy6"),
+      sum((col("__x") * col("__y6")).cast("decimal(38,0)")).cast("double")
+        .as("__sxy6"))
+    val n = col("n_days").cast("double")
+    val denom = n * col("__sxx") - col("__sx") * col("__sx")
+    val slope6 = (n * col("__sxy6") - col("__sx") * col("__sy6")) / denom
+    agg.filter(col("n_days") >= minDays && denom =!= 0.0)
+      .select(col("symbol"), col("n_days"),
+        (slope6 / 1e6).as("slope"),
+        (((col("__sy6") - slope6 * col("__sx")) / n) / 1e6).as("intercept"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic distribution profiling — the "what does this column look
@@ -122,4 +123,43 @@ object Profiling {
                  keyCol: String): Double =
     categoricalDrift(base, incoming, keyCol)
       .agg(sum(col("share_diff"))).collect()(0).getDouble(0) / 2.0
+
+  /** Numeric drift — [[categoricalDrift]]'s continuous sibling: the
+    * two-sample Kolmogorov–Smirnov statistic max|F̂ₐ(v) − F̂_b(v)|,
+    * computed as the exact integer max |cumAᵥ·N_b − cumBᵥ·Nₐ| over the
+    * pooled DISTINCT values with one final division. One row out:
+    * the statistic, and the value where the gap peaks (ties: the
+    * smallest such value) — the natural "where did the distribution
+    * move" diagnostic. NULLs are excluded (they belong to the
+    * categorical monitor).
+    *
+    * The cumulative counts need a full-order window; it runs over the
+    * distinct-value frame (already aggregated, |values| rows — fine
+    * into the millions), not the corpus. Beyond that, swap in a
+    * two-pass range-partitioned cumsum (per-range totals, then
+    * offsets) — the statistic is unchanged. */
+  def ksDrift(base: DataFrame, incoming: DataFrame,
+              valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val pooled = base.filter(v.isNotNull).select(v.as("v"), lit(1L).as("__a"), lit(0L).as("__b"))
+      .unionAll(incoming.filter(v.isNotNull).select(v.as("v"), lit(0L).as("__a"), lit(1L).as("__b")))
+      .groupBy(col("v"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pooled.select(col("v"),
+      sum(col("__ca")).over(w).as("__cuma"),
+      sum(col("__cb")).over(w).as("__cumb"))
+    val tot = pooled.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"),
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")).as("__gap"),
+        col("__na"), col("__nb"))
+      .orderBy(col("__gap").desc, col("v"))
+      .limit(1)
+      .select(col("v").as("at_value"), col("__gap").as("ks_parts"),
+        col("__na").as("n_base"), col("__nb").as("n_in"),
+        (col("__gap").cast("double") / (col("__na") * col("__nb")).cast("double"))
+          .as("ks"))
+  }
 }

@@ -218,4 +218,25 @@ object Validators {
     val r = df.agg(probes.head, probes.tail: _*).collect()(0)
     declared.keys.map(c => c -> r.getLong(r.fieldIndex(c))).toMap
   }
+
+  /** Privacy-risk audit over a release candidate (Sweeney's
+    * k-anonymity + Machanavajjhala's l-diversity): for every
+    * quasi-identifier combination, the group size (re-identification
+    * risk: a group smaller than k pins an individual to ≤ k-1 others)
+    * and the number of distinct sensitive values (attribute-disclosure
+    * risk: a group with < l values leaks the attribute even when the
+    * individual stays anonymous). Every combination is reported with
+    * both verdicts — the release gate downstream filters or
+    * generalizes; the audit itself never hides a group. One hash
+    * aggregate; output is bounded by the quasi-identifier domain. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1 && l >= 1,
+      "need quasi columns and positive k, l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_risk", col("group_size") < k)
+      .withColumn("l_risk", col("n_sensitive") < l)
+  }
 }

@@ -427,6 +427,26 @@ object Similarity {
         col("rank"), col("score"))
   }
 
+  /** Index-quality evaluation as a first-class operator: per-query
+    * recall@k of an approximate top-k result against the exact one —
+    * the number every ANN deployment watches when tuning
+    * nlist/nprobe/bits/bands. Both inputs are (query_id, neighbor_id,
+    * ...) top-k frames (e.g. [[knnLsh]] vs [[knnBruteForce]]). Hits
+    * are integers and recall is hits/k — one final division, so the
+    * whole evaluation is oracle-exact. Queries with zero hits
+    * surface with recall 0, not a dropped row. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hit = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("__hit"))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hit, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus by nearest centroid, then
     * inside each cluster drop every document that has a LOWER-id

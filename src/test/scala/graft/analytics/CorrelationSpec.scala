@@ -65,4 +65,25 @@ class CorrelationSpec extends SparkSpec {
     }
     m.length should be > 0
   }
+
+  test("olsTrend recovers an exact linear series' slope and intercept") {
+    // A: close = 10 + 2*(day offset) — slope 2/day; B: constant 5.
+    val out = Correlation.olsTrend(series(
+        ("A", 1, 10.0), ("A", 2, 12.0), ("A", 3, 14.0),
+        ("B", 1, 5.0), ("B", 2, 5.0)))
+      .orderBy("symbol")
+      .as[(String, Long, Double, Double)].collect()
+    val x0 = day(1).toLocalDate.toEpochDay.toDouble
+    out(0)._1 shouldBe "A"
+    out(0)._2 shouldBe 3L
+    out(0)._3 shouldBe 2.0 +- 1e-9
+    out(0)._4 shouldBe (10.0 - 2.0 * x0) +- 1e-6
+    out(1)._1 shouldBe "B"
+    out(1)._3 shouldBe 0.0 +- 1e-9
+    out(1)._4 shouldBe 5.0 +- 1e-6
+  }
+
+  test("olsTrend drops single-day and zero-variance-x groups") {
+    Correlation.olsTrend(series(("C", 1, 7.0))).collect() shouldBe empty
+  }
 }

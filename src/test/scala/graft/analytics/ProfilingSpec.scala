@@ -88,4 +88,19 @@ class ProfilingSpec extends SparkSpec {
     // TV = (0.25 + 0.5 + 0.25) / 2
     Profiling.driftScore(base, in, "k") shouldBe 0.5
   }
+
+  test("ksDrift finds the max CDF gap and where it peaks") {
+    val base = Seq(1.0, 2.0, 3.0).toDF("v")      // F_a steps 1/3 each
+    val in = Seq(3.0, 4.0).toDF("v")             // F_b starts at 3
+    val out = Profiling.ksDrift(base, in, "v")
+      .select("at_value", "ks_parts", "n_base", "n_in", "ks")
+      .as[(Double, Long, Long, Long, Double)].collect()
+    // gap peaks after v=2: |F_a - F_b| = |2/3 - 0| -> parts |2*2-0*3|=4
+    out shouldBe Array((2.0, 4L, 3L, 2L, 4.0 / 6.0))
+  }
+
+  test("ksDrift is 0 for identical samples") {
+    val a = Seq(1.0, 2.0, 2.0, 5.0).toDF("v")
+    Profiling.ksDrift(a, a, "v").select("ks").as[Double].collect()(0) shouldBe 0.0
+  }
 }

@@ -112,4 +112,21 @@ class ValidatorsSpec extends SparkSpec {
     val out = Validators.crossSourceInconsistencies(d, maxPctDiff = 5.0).collect()
     out.map(_.getAs[String]("symbol")).toSeq shouldBe Seq("A")
   }
+
+  test("kAnonymityAudit flags small groups and low sensitive diversity") {
+    import spark.implicits._
+    val d = Seq(
+      // ("NY", "M"): 3 rows, 3 distinct incomes -> safe at k=3, l=2
+      ("NY", "M", 10), ("NY", "M", 20), ("NY", "M", 30),
+      // ("SF", "F"): 2 rows -> k_risk; 1 distinct income -> l_risk
+      ("SF", "F", 50), ("SF", "F", 50))
+      .toDF("city", "gender", "income")
+    val out = Validators.kAnonymityAudit(d, Seq("city", "gender"),
+        "income", k = 3, l = 2)
+      .orderBy("city")
+      .as[(String, String, Long, Long, Boolean, Boolean)].collect()
+    out shouldBe Array(
+      ("NY", "M", 3L, 3L, false, false),
+      ("SF", "F", 2L, 1L, true, true))
+  }
 }

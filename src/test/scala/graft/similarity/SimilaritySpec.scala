@@ -268,6 +268,17 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.7
   }
 
+  test("recallAtK counts hits per query, keeping zero-hit queries") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 11L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, truth, k = 2)
+      .orderBy("query_id").as[(Long, Long, Double)].collect()
+    out shouldBe Array((1L, 1L, 0.5), (2L, 0L, 0.0))
+  }
+
   test("semanticDedup drops lower-id near-dups within a cluster only") {
     val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
     val d = vecs(
