@@ -309,6 +309,37 @@ SELECT k AS source, n_base, n_in,
   CAST(abs(n_base * nb - n_in * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS share_diff
 FROM j, t ORDER BY source"""
 
+  /** q98 twin: per-column ANALYZE stats; min/max computed natively
+    * then rendered (integer/date/string renderings are engine-stable;
+    * doubles are deliberately excluded). */
+  val q98_table_stats: String = """
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date FROM events)
+SELECT * FROM (
+  SELECT 'event_date' AS column_name, count(event_date) AS n_non_null,
+    CAST(sum(CASE WHEN event_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+    count(DISTINCT event_date) AS n_distinct,
+    CAST(min(event_date) AS VARCHAR) AS min_str, CAST(max(event_date) AS VARCHAR) AS max_str
+  FROM e
+  UNION ALL
+  SELECT 'event_id', count(event_id),
+    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    count(DISTINCT event_id),
+    CAST(min(event_id) AS VARCHAR), CAST(max(event_id) AS VARCHAR)
+  FROM e
+  UNION ALL
+  SELECT 'event_type', count(event_type),
+    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    count(DISTINCT event_type),
+    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+  FROM e
+  UNION ALL
+  SELECT 'user_id', count(user_id),
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    count(DISTINCT user_id),
+    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+  FROM e)
+ORDER BY column_name"""
+
   /** q97 twin: k-anonymity / l-diversity audit per (event_type, day). */
   val q97_k_anonymity: String = """
 SELECT event_type, CAST(ts AS DATE) AS event_date,
@@ -1708,6 +1739,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q94_ks_drift" -> q94_ks_drift,
     "q96_ols_trend" -> q96_ols_trend,
     "q97_k_anonymity" -> q97_k_anonymity,
+    "q98_table_stats" -> q98_table_stats,
     "q67_incremental_rollup" -> q67_incremental_rollup,
     "q68_window_ranks" -> q68_window_ranks,
     "q69_cube" -> q69_cube)

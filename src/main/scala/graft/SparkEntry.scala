@@ -1057,6 +1057,14 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ANALYZE-style per-column statistics over events (engine-stable
+    // column types only: integers, strings, timestamps-as-dates).
+    "q98_table_stats" -> ((s, dir) =>
+      graft.analytics.Profiling.tableStats(
+          Tables.events(s, dir).withColumn("event_date", to_date(col("ts"))),
+          Seq("event_id", "user_id", "event_type", "event_date"))
+        .orderBy(col("column_name"))),
+
     // Privacy audit: k-anonymity group sizes + l-diversity of user_id
     // per (event_type, day) quasi-identifier combination.
     "q97_k_anonymity" -> ((s, dir) => {

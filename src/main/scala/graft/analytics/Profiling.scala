@@ -124,6 +124,36 @@ object Profiling {
     categoricalDrift(base, incoming, keyCol)
       .agg(sum(col("share_diff"))).collect()(0).getDouble(0) / 2.0
 
+  /** ANALYZE-style table statistics — the per-column profile a
+    * cost-based optimizer (and every data-quality dashboard) feeds
+    * on: non-null count, null count, exact distinct count, and
+    * min/max (computed on the NATIVE type, rendered as strings so one
+    * schema fits every column type). One logical scan; the multiple
+    * exact count-distincts expand the scan |cols| ways — at 100 TB
+    * swap `countDistinct` for `approx_count_distinct` (same plan
+    * shape, one pass, ±2%) or run ndv on a hash sample; min/max/counts
+    * stay exact either way. Restrict `cols` to types whose string
+    * rendering is engine-stable when oracle-checking (integers,
+    * strings, dates — not doubles). */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"__n_$c").as("n_non_null"),
+      col(s"__nn_$c").as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_str"),
+      col(s"__max_$c").as("max_str"))): _*)
+    wide.select(explode(entries).as("s")).select(col("s.*"))
+  }
+
   /** Numeric drift — [[categoricalDrift]]'s continuous sibling: the
     * two-sample Kolmogorov–Smirnov statistic max|F̂ₐ(v) − F̂_b(v)|,
     * computed as the exact integer max |cumAᵥ·N_b − cumBᵥ·Nₐ| over the

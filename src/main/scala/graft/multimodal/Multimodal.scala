@@ -28,6 +28,48 @@ object Multimodal {
     hex(substring(bin, 1, 8)).as("header_hex"),
     md5(bin).as("content_md5"))
 
+  /** Big-endian unsigned integer from `len` bytes at 1-based `pos` —
+    * binary substring → hex → base-16 conv, all codegen'd built-ins. */
+  private def beUInt(bin: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
+
+  /** Little-endian: per-byte reads recombined with shift weights. */
+  private def leUInt(bin: Column, pos: Int, len: Int): Column =
+    (0 until len).map(i => beUInt(bin, pos + i, 1) * lit(1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** REAL container-header parse for PNG: signature check + IHDR
+    * width/height/bit-depth/color-type (big-endian, fixed offsets per
+    * the PNG spec §11.2.2). This is the typed-metadata extraction a
+    * media ingest runs on every object — pure codegen'd projection
+    * over the first 26 bytes, no decode libs, no UDF; only PIXEL
+    * decoding stays stubbed ([[stubDecode]]). Non-PNG bytes surface
+    * as is_png = false with NULL fields, not an error. */
+  def pngHeader(bin: Column): Column = {
+    val sig = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
+    struct(
+      sig.as("is_png"),
+      when(sig, beUInt(bin, 17, 4)).as("width"),
+      when(sig, beUInt(bin, 21, 4)).as("height"),
+      when(sig, beUInt(bin, 25, 1)).as("bit_depth"),
+      when(sig, beUInt(bin, 26, 1)).as("color_type"))
+  }
+
+  /** REAL container-header parse for canonical WAV (RIFF/WAVE with
+    * "fmt " as first chunk — the layout every encoder writes):
+    * channels / sample rate / bits per sample at their fixed RIFF
+    * offsets, little-endian. Same no-libs pure-projection contract as
+    * [[pngHeader]]. */
+  def wavHeader(bin: Column): Column = {
+    val sig = hex(substring(bin, 1, 4)) === "52494646" &&
+      hex(substring(bin, 9, 8)) === "57415645666D7420"
+    struct(
+      sig.as("is_wav"),
+      when(sig, leUInt(bin, 23, 2)).as("channels"),
+      when(sig, leUInt(bin, 25, 4)).as("sample_rate"),
+      when(sig, leUInt(bin, 35, 2)).as("bits_per_sample"))
+  }
+
   /** STUBBED decode: deterministic fake dimensions from the content
     * hash (md5-derived 56-bit int). A real implementation would parse
     * the container header; the pipeline shape is identical. */

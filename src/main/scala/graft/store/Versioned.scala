@@ -181,13 +181,15 @@ object Versioned {
     * hive metastore's partition enumeration lives with. Above
     * `spark.sql.sources.parallelPartitionDiscovery.threshold` (32)
     * Spark distributes the listing as a job, so wall-clock scales with
-    * partitions/parallelism. Measured (round 8, local[4], warm FS):
-    * ~3-5 s at 10^3 dirs, of which most is fixed job overhead —
-    * extrapolating the per-dir cost gives ~10-30 s at 10^4, the edge
-    * of interactive; construction itself is footer-free (schema comes
-    * from the persisted JSON). Beyond ~10^5 partitions the right fix
-    * is a coarser partitioning, not a smarter reader. VersionedSpec
-    * pins the 10^3 steady-state case. */
+    * partitions/parallelism. Measured (round 8, local[4], warm FS,
+    * `VersionedProbe`): ~3-5 s at 10^3 dirs; 27.5 s at 10^4 dirs with
+    * this explicit-schema path (the old inference path took 54.5 s on
+    * the same table — the persisted-schema read also halves plan
+    * construction). Linear in dirs as predicted, the edge of
+    * interactive at 10^4; construction itself is footer-free (schema
+    * comes from the persisted JSON). Beyond ~10^5 partitions the
+    * right fix is a coarser partitioning, not a smarter reader.
+    * VersionedSpec pins the 10^3 steady-state case. */
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val manifest = readManifest(spark, table, v)
     require(manifest.nonEmpty, s"version $v is empty")

@@ -108,6 +108,35 @@ object Streaming {
     upsertSink(stream, tablePath, keys, checkpointDir,
       partitionCol, partitionExpr).start()
 
+  /** Streaming distribution-drift monitor: every micro-batch's
+    * categorical distribution of `keyCol` is scored against a STATIC
+    * baseline (the training corpus, yesterday's snapshot) with
+    * [[graft.analytics.Profiling.categoricalDrift]] — the same
+    * batch operator, reused inside foreachBatch: the monitoring logic
+    * is written and tested ONCE and the stream gets it verbatim. Each
+    * batch appends its per-category drift rows (tagged with batch id
+    * and an ingest timestamp) to `outPath`; an alerting query tails
+    * that table for TV spikes. Baseline is re-read per batch from its
+    * path — swap the file to rotate the baseline without restarting
+    * the stream; at minute-level triggers the re-read is noise, and a
+    * category-sized table broadcasts. Empty batches write nothing. */
+  def driftMonitorSink(stream: DataFrame, baselinePath: String,
+                       keyCol: String, outPath: String,
+                       checkpointDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val baseline = batch.sparkSession.read.parquet(baselinePath)
+          graft.analytics.Profiling.categoricalDrift(baseline, batch, keyCol)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("scored_at", current_timestamp())
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+
   /** Watermarked stream-stream inner join: each left event (e.g. a
     * view) matched to the same user's right events (e.g. purchases)
     * that follow within `withinMinutes` — the streaming attribution

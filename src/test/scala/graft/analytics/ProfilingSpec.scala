@@ -99,6 +99,17 @@ class ProfilingSpec extends SparkSpec {
     out shouldBe Array((2.0, 4L, 3L, 2L, 4.0 / 6.0))
   }
 
+  test("tableStats profiles each column in one pass") {
+    val d = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (3L, Some("b")))
+      .toDF("id", "s")
+    val out = Profiling.tableStats(d, Seq("id", "s"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+    out shouldBe Array(
+      ("id", 4L, 0L, 3L, Some("1"), Some("3")),
+      ("s", 3L, 1L, 2L, Some("a"), Some("b")))
+  }
+
   test("ksDrift is 0 for identical samples") {
     val a = Seq(1.0, 2.0, 2.0, 5.0).toDF("v")
     Profiling.ksDrift(a, a, "v").select("ks").as[Double].collect()(0) shouldBe 0.0

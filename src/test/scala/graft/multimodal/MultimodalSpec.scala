@@ -78,4 +78,38 @@ class MultimodalSpec extends SparkSpec {
     val jm = java.security.MessageDigest.getInstance("MD5")
     hs.head shouldBe jm.digest(bytes600.take(256)).map(b => f"$b%02x").mkString
   }
+
+  private def be(v: Long, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte)
+  private def le(v: Long, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  test("pngHeader parses a real IHDR; rejects non-PNG bytes") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      be(13, 4) ++ "IHDR".getBytes ++
+      be(1920, 4) ++ be(1080, 4) ++ Array[Byte](8, 6) // depth 8, RGBA
+    val out = media(1L -> png, 2L -> bytes600)
+      .select(col("id"), Multimodal.pngHeader(col("media")).as("h"))
+      .select("id", "h.is_png", "h.width", "h.height", "h.bit_depth", "h.color_type")
+      .orderBy("id").collect()
+    out(0).getBoolean(1) shouldBe true
+    out(0).getLong(2) shouldBe 1920L
+    out(0).getLong(3) shouldBe 1080L
+    out(0).getLong(4) shouldBe 8L
+    out(0).getLong(5) shouldBe 6L
+    out(1).getBoolean(1) shouldBe false
+    out(1).isNullAt(2) shouldBe true
+  }
+
+  test("wavHeader parses a canonical RIFF fmt chunk") {
+    val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++      // PCM
+      le(2, 2) ++ le(44100, 4) ++                      // stereo, 44.1k
+      le(176400, 4) ++ le(4, 2) ++ le(16, 2)           // rates, 16-bit
+    val out = media(1L -> wav)
+      .select(Multimodal.wavHeader(col("media")).as("h"))
+      .select("h.is_wav", "h.channels", "h.sample_rate", "h.bits_per_sample")
+      .as[(Boolean, Long, Long, Long)].head()
+    out shouldBe ((true, 2L, 44100L, 16L))
+  }
 }

@@ -227,4 +227,30 @@ class StreamingSpec extends SparkSpec {
         .toSet shouldBe day0Before
     } finally q.stop()
   }
+
+  test("driftMonitorSink scores each micro-batch against the static baseline") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val baseline = tmp("drift-baseline")
+    val out = tmp("drift-out")
+    // baseline: 50/50 click/view
+    Seq(ev(900, 0, "click"), ev(901, 1, "view")).toDF()
+      .write.mode("overwrite").parquet(baseline)
+    val q = Streaming.driftMonitorSink(ms.toDF(), baseline,
+        "event_type", out, tmp("drift-ckpt")).start()
+    try {
+      // batch 0 matches the baseline; batch 1 is all-click
+      ms.addData(ev(1, 2, "click"), ev(2, 3, "view"))
+      q.processAllAvailable()
+      ms.addData(ev(3, 4, "click"), ev(4, 5, "click"))
+      q.processAllAvailable()
+      val r = spark.read.parquet(out)
+        .select("batch_id", "event_type", "share_diff")
+        .as[(Long, String, Double)].collect()
+      val tv = r.groupBy(_._1).view
+        .mapValues(_.map(_._3).sum / 2.0).toMap
+      tv(0L) shouldBe 0.0
+      tv(1L) shouldBe 0.5 // |1-.5|/2 + |0-.5|/2
+    } finally q.stop()
+  }
 }

@@ -3,10 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
 
-/** Dev-only: isolate readVersion construction cost at 1000 partitions.
-  * `sbt "Test/runMain graft.tools.VersionedProbe"`. */
+/** Dev-only: isolate readVersion construction cost at N partitions
+  * (default 1000). `sbt "Test/runMain graft.tools.VersionedProbe [N]"`. */
 object VersionedProbe {
   def main(args: Array[String]): Unit = {
+    val nParts = args.headOption.map(_.toInt).getOrElse(1000)
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
@@ -16,8 +17,8 @@ object VersionedProbe {
 
     def build(tag: String): String = {
       val t = java.nio.file.Files.createTempDirectory(s"vprobe$tag").toString + "/t"
-      val wide = spark.range(0, 1000).selectExpr(
-        "id", "CAST(id AS DOUBLE) AS v", "format_string('p%04d', id) AS part")
+      val wide = spark.range(0, nParts).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "format_string('p%05d', id) AS part")
       val tw0 = System.nanoTime()
       graft.store.Versioned.commit(spark, t, wide, "part", Nil)
       println(f"[$tag] commit: ${(System.nanoTime() - tw0) / 1e9}%.1f s")
