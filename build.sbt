@@ -45,4 +45,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // each): tiny-output aggregates showed 3-10x timing jitter. The box
   // has 128 GiB; 20g removes the pressure without risking the host.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // ~100 queries x 3 repeats of whole-stage codegen in ONE JVM blow
+  // through the default 240 MB JIT code cache; once it fills, the JIT
+  // stops compiling and late queries run partially interpreted (the
+  // round-8 diagnosis of 2-4x inflation that moved between queries
+  // across rounds: q45/q46 in r7, q82/q67 in r8). Room to never flush,
+  // plus a larger Spark generated-class cache so repeats of the same
+  // plan reuse their classes instead of recompiling.
+  "-XX:ReservedCodeCacheSize=2g",
+  "-Dspark.sql.codegen.cache.maxEntries=2000",
 )

@@ -46,14 +46,30 @@ object Bench {
     require(names.nonEmpty, s"no queries match args ${args.mkString(",")}")
     run(all.head) // untimed warmup
 
-    val results = names.map { name =>
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        run(name)
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times
+    // Sampling plan: (repeats-1) BACK-TO-BACK runs per query, then one
+    // final PHASE-SEPARATED round over the whole registry. Rationale
+    // (round-8 measurements): a transient JVM phase (GC pressure, JIT
+    // deopt, code-cache sweep) lasts seconds and parks on whichever
+    // queries run inside it — back-to-back-only repeats put ALL of a
+    // query's samples inside the same phase, so even the min was
+    // poisoned (q82: 4.4 s back-to-back, min == median, vs 1.1 s
+    // isolated). But FULLY round-robin sampling is worse: cycling ~100
+    // queries between repeats churns the bounded codegen-class cache,
+    // so every sample pays whole-stage recompilation and the registry
+    // total inflates ~20% across the board. The hybrid keeps the tight
+    // warm-cache min for healthy queries and lets the separated sample
+    // (taken far away in time, almost surely outside the phase) rescue
+    // a poisoned one via the min.
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    def sample(name: String): Unit = {
+      val t0 = System.nanoTime()
+      run(name)
+      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    for (name <- names; _ <- 1 until repeats) sample(name)
+    for (name <- names) sample(name)
+    val results = names.map(name => name -> (times(name): Seq[Double]))
     // A future name collision on the short key (e.g. q53_funnel vs
     // q53_retention) would silently emit duplicate JSON keys in the
     // adjudicated line and drop a measurement — fail loudly instead.
