@@ -340,6 +340,103 @@ SELECT * FROM (
   FROM e)
 ORDER BY column_name"""
 
+  /** q99 twin: per-doc top-5 TF-IDF with the floor-rational
+    * idf_e6 = (10⁶·N) // df — pure BIGINT scoring on both engines
+    * (`//` = DuckDB integer division = Spark DIV). */
+  val q99_tfidf: String = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+           t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+    t.tf * ((1000000 * n.n_docs) // d.df) AS score_e6
+  FROM tf t JOIN df d USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, score_e6, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+    ORDER BY score_e6 DESC, term) AS INTEGER) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY doc_id, rank"""
+
+  /** q100 twin: rolling 20-day price-volume correlation. The q62
+    * determinism recipe in window form — close held as the scaled
+    * integer close·10⁴ in DECIMAL(19,0) (hugeint-backed: 19,0 × 19,0
+    * products would overflow int64-backed DECIMAL(18)), exact decimal
+    * frame sums, decimal→double via VARCHAR (DuckDB's direct cast can
+    * double-round), identical final double tree. */
+  val q100_rolling_corr: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price, min(volume) AS volume
+  FROM merged GROUP BY symbol, date),
+q AS (
+  SELECT symbol, date,
+    CAST(CAST(ROUND(CAST(close_price AS DECIMAL(28,10)), 4) AS DECIMAL(18,4))
+         * 10000 AS DECIMAL(19,0)) AS x,
+    CAST(volume AS DECIMAL(19,0)) AS v
+  FROM daily),
+w AS (
+  SELECT symbol, date,
+    count(*) OVER fr AS n,
+    CAST(CAST(sum(x) OVER fr AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(v) OVER fr AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(x * x) OVER fr AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(v * v) OVER fr AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(x * v) OVER fr AS VARCHAR) AS DOUBLE) AS sxy
+  FROM q
+  WINDOW fr AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT symbol, date,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+  END AS pv_corr
+FROM w WHERE n = 20 ORDER BY symbol, date"""
+
+  /** q101 twin: q21's exact brute-force scan with the hard-negative
+    * band filter (cosine strictly below the SemDeDup 0.4 threshold)
+    * applied before the per-query top-k. */
+  val q101_hard_negatives: String = s"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id, ${sqlCosine("q.qv", "e.embedding")} AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored WHERE cosine < 0.4)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** q102 twin: per-symbol median/MAD robust outlier fence on daily
+    * close — quantile_cont matches Spark's exact `percentile`
+    * interpolation bit-for-bit (the q38-proven parity); the 3·MAD
+    * strict-> verdicts evaluate in identical double trees. */
+  val q102_mad_outliers: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+med AS (
+  SELECT symbol, quantile_cont(close_price, 0.5) AS med FROM daily GROUP BY symbol),
+dev AS (
+  SELECT d.symbol, abs(CAST(d.close_price AS DOUBLE) - m.med) AS dv, m.med
+  FROM daily d JOIN med m USING (symbol)),
+stats AS (
+  SELECT symbol, count(*) AS n, min(med) AS med, quantile_cont(dv, 0.5) AS mad
+  FROM dev GROUP BY symbol)
+SELECT s.symbol, CAST(s.n AS BIGINT) AS n, s.med, s.mad,
+  CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM stats s LEFT JOIN (
+  SELECT d.symbol, count(*) AS n_outliers
+  FROM dev d JOIN stats t USING (symbol)
+  WHERE d.dv > 3.0 * t.mad GROUP BY d.symbol) o USING (symbol)
+ORDER BY s.symbol"""
+
+
   /** q97 twin: k-anonymity / l-diversity audit per (event_type, day). */
   val q97_k_anonymity: String = """
 SELECT event_type, CAST(ts AS DATE) AS event_date,
@@ -739,6 +836,44 @@ dropped AS (
 SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
 FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 ORDER BY s.vec_id"""
+  }
+
+  /** q103 twin: q88's fixed-centroid assignment CTE carrying the label
+    * column, then the per-cell contingency summary + purity. */
+  val q103_cluster_purity: String = {
+    val cvals = (0 until 8).map { j =>
+      val c = graft.similarity.Similarity.hyperplane(j, hpDim)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        .max(java.lang.Double.MIN_VALUE)
+      s"($j, [${c.map(x => s"${x.toInt}.0").mkString(",")}], $cn)"
+    }.mkString(",\n  ")
+    def dotCv(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * cv[i])), (acc,v) -> acc + v)"
+    s"""
+WITH cm(cell, cv, cn) AS (SELECT * FROM (VALUES
+  $cvals) v(cell, cv, cn)),
+a AS (
+  SELECT vec_id, label, cell,
+    (-(${dotCv("embedding")})) / (sqrt(${sqlDot("embedding", "embedding")}) * cn) AS d
+  FROM embeddings CROSS JOIN cm),
+assign AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a)
+  WHERE rn = 1),
+cont AS (SELECT cell, label, count(*) AS n FROM assign GROUP BY 1, 2),
+top AS (
+  SELECT cell, label, n,
+    row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn
+  FROM cont)
+SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs,
+  CAST(count(*) AS BIGINT) AS n_labels,
+  max(CASE WHEN rn = 1 THEN label END) AS top_label,
+  CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_n,
+  CAST(max(CASE WHEN rn = 1 THEN n END) AS DOUBLE)
+    / CAST(sum(n) AS DOUBLE) AS purity
+FROM top GROUP BY cell ORDER BY cell"""
   }
 
   /** q91: int8-quantized ANN twin. Quantization is floor(u·127 + 0.5)
@@ -1740,6 +1875,11 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q96_ols_trend" -> q96_ols_trend,
     "q97_k_anonymity" -> q97_k_anonymity,
     "q98_table_stats" -> q98_table_stats,
+    "q99_tfidf" -> q99_tfidf,
+    "q100_rolling_corr" -> q100_rolling_corr,
+    "q101_hard_negatives" -> q101_hard_negatives,
+    "q102_mad_outliers" -> q102_mad_outliers,
+    "q103_cluster_purity" -> q103_cluster_purity,
     "q67_incremental_rollup" -> q67_incremental_rollup,
     "q68_window_ranks" -> q68_window_ranks,
     "q69_cube" -> q69_cube)

@@ -1065,6 +1065,50 @@ object SparkEntry {
           Seq("event_id", "user_id", "event_type", "event_date"))
         .orderBy(col("column_name"))),
 
+    // Per-doc top-5 TF-IDF terms with the floor-rational idf_e6 score
+    // (pure BIGINT — engines can't disagree on a transcendental).
+    "q99_tfidf" -> ((s, dir) =>
+      graft.text.TextAnalysis.tfIdfTopK(Tables.documents(s, dir), k = 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // Rolling 20-day price-volume Pearson correlation per symbol —
+    // five exact decimal frame sums in ONE window pass.
+    "q100_rolling_corr" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"),
+          min(col("volume")).as("volume"))
+      graft.analytics.Correlation.rollingPriceVolumeCorr(daily, 20)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
+    // Hard-negative mining: per query, top-10 by cosine BELOW the
+    // semantic-dedup threshold (informative but not near-dup).
+    "q101_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity.hardNegatives(
+          emb, emb.filter(col("vec_id") < 10), k = 10, maxCos = 0.4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Robust outlier audit: per-symbol median/MAD fence on daily
+    // close, counting rows beyond 3 MADs.
+    "q102_mad_outliers" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Profiling.madOutliers(daily, "symbol", "close_price")
+        .orderBy(col("symbol"))
+    }),
+
+    // Clustering-quality audit: fixed-centroid cells vs the reference
+    // label column — per-cell contingency summary + purity.
+    "q103_cluster_purity" -> ((s, dir) => {
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      graft.similarity.Similarity.clusterLabelAudit(
+          Tables.embeddings(s, dir), cents)
+        .orderBy(col("cell"))
+    }),
+
     // Privacy audit: k-anonymity group sizes + l-diversity of user_id
     // per (event_type, day) quasi-identifier combination.
     "q97_k_anonymity" -> ((s, dir) => {

@@ -112,4 +112,51 @@ object Correlation {
         (slope6 / 1e6).as("slope"),
         (((col("__sy6") - slope6 * col("__sx")) / n) / 1e6).as("intercept"))
   }
+
+  /** Trailing-window price–volume correlation per symbol — the rolling
+    * Pearson correlation of close vs traded volume over the last
+    * `windowDays` rows, the "is volume confirming the move" indicator
+    * (and the general rolling-correlation primitive: any two measures
+    * on one keyed series).
+    *
+    * One window pass per symbol: the five frame sums the correlation
+    * needs all share a single (symbol, date) sort, so Spark computes
+    * them in one WindowExec — no self-join, no second shuffle, output
+    * one row per input row with a full frame. At 100 TB the cost is
+    * the one sort-within-symbol the series already needs.
+    *
+    * Determinism is the q62 recipe in window form: close is quantized
+    * once to DECIMAL(18,4) and held as the scaled integer close·10⁴;
+    * volume is integral already. Both are widened to DECIMAL(19,0)
+    * BEFORE multiplying (products reach ~10¹⁸ — int64-backed decimal
+    * products would overflow; 19,0×19,0 → 38,0 is hugeint-backed on
+    * any engine), every frame sum is exact decimal arithmetic, and the
+    * correlation evaluates in doubles in an identical expression tree
+    * on both engines. */
+  def rollingPriceVolumeCorr(daily: DataFrame,
+                             windowDays: Int = 20): DataFrame = {
+    val x = (round(col("close_price").cast("decimal(28,10)"), 4)
+      .cast("decimal(18,4)") * lit(10000)).cast("decimal(19,0)")
+    val v = col("volume").cast("decimal(19,0)")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    def s(c: Column) = sum(c).over(w).cast("double")
+    val agged = daily
+      .select(col("symbol"), col("date"), x.as("__x"), v.as("__v"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", s(col("__x")))
+      .withColumn("__sy", s(col("__v")))
+      .withColumn("__sxx", s(col("__x") * col("__x")))
+      .withColumn("__syy", s(col("__v") * col("__v")))
+      .withColumn("__sxy", s(col("__x") * col("__v")))
+    val n = col("__n").cast("double")
+    val varx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vary = n * col("__syy") - col("__sy") * col("__sy")
+    agged.filter(col("__n") === windowDays)
+      .select(col("symbol"), col("date"),
+        when(varx > 0 && vary > 0,
+          (n * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(varx) * sqrt(vary)))
+          .as("pv_corr"))
+  }
 }

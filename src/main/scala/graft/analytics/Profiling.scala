@@ -88,6 +88,44 @@ object Profiling {
         min(col("__hi")).as("hi"))
   }
 
+  /** Robust per-group outlier audit via MAD (median absolute
+    * deviation): per group — row count, median, MAD, and how many rows
+    * sit more than `k` MADs from the median. The robust twin of
+    * z-score outlier detection: one corrupted ingest day shifts a
+    * mean/stddev fence (masking itself) but not the median/MAD fence,
+    * which is why quality gates on raw feeds use this form.
+    *
+    * Two exact-percentile passes (median of the values, then median of
+    * the absolute deviations — the second is inherently a second pass:
+    * deviations don't exist until the median does), each a per-group
+    * `percentile` over the shuffled group, plus a broadcast of the
+    * one-row-per-group median frame back onto the rows. Output is
+    * bounded by the group universe. At 100 TB swap both percentiles
+    * for [[approxPercentiles]]'s sketch (same shape, bounded buffers);
+    * the exact form here is what makes the operator oracle-checkable.
+    *
+    * Determinism: percentile interpolation is bit-identical to
+    * DuckDB's quantile_cont (the q38-proven parity); deviations and
+    * the k·MAD fence evaluate in identical double trees, so the strict
+    * `>` verdicts agree bitwise. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    val stats = dev.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+        expr("percentile(__dev, 0.5)").as("mad"))
+    val outs = dev.join(broadcast(stats.select(col(groupCol), col("mad"))),
+        groupCol)
+      .filter(col("__dev") > lit(k) * col("mad"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_outliers"))
+    stats.join(outs, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("med"), col("mad"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
+
   /** Categorical drift between two snapshots of a column (training
     * corpus vs incoming batch, yesterday vs today): per-category share
     * difference |aᵢ/Nₐ − bᵢ/N_b|, computed as the exact integer cross

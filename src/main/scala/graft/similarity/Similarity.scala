@@ -46,21 +46,54 @@ object Similarity {
     * once with no shuffle of the corpus side — the only shuffle is the
     * per-query top-k window. */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKByCosine(bruteScored(corpus, queries, idCol, vecCol), k, idCol)
+
+  /** Every (corpus, query) pair with its exact cosine — the shared
+    * scan behind [[knnBruteForce]] and [[hardNegatives]]: broadcast
+    * queries, corpus streams once, no corpus shuffle. */
+  private def bruteScored(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), vecNorm(col(vecCol)).as("__qnorm")))
-    val c = corpus.select(col(idCol), col(vecCol),
-      vecNorm(col(vecCol)).as("__cnorm"))
-    val scored = c.crossJoin(q)
+    corpus.select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__cnorm"))
+      .crossJoin(q)
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine",
         vecDot(col("__qv"), col(vecCol)) / (col("__qnorm") * col("__cnorm")))
+  }
+
+  /** Per-query top-k of a scored pair frame (the one shuffle: the
+    * per-query row_number window, executed as WindowGroupLimit). */
+  private def topKByCosine(scored: DataFrame, k: Int,
+                           idCol: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k highest-cosine corpus vectors strictly BELOW `maxCos` —
+    * close enough to be informative negatives, far enough to not be
+    * latent positives. The default ceiling is the [[semanticDedup]]
+    * near-dup threshold, so "negative" means exactly "what dedup would
+    * not have removed".
+    *
+    * Same contract as [[knnBruteForce]] (exact cosine, broadcast
+    * queries, corpus streams once, per-query WindowGroupLimit top-k);
+    * the band filter drops candidates before the window shuffle, so it
+    * only shrinks the work. At 100 TB swap the all-pairs scan for LSH
+    * or IVF candidate generation ([[knnLsh]] / [[searchIvfIndex]]) and
+    * keep the same band filter + top-k tail. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    maxCos: Double = 0.4, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    topKByCosine(
+      bruteScored(corpus, queries, idCol, vecCol)
+        .filter(col("cosine") < lit(maxCos)),
+      k, idCol)
 
   /** Bits per LSH band: each band buckets the corpus into 2^bits
     * cells, so per-band self-join work is Σ|bucket|² ≈ n²/2^bits.
@@ -380,6 +413,41 @@ object Similarity {
       .groupBy(col(groupCol), col("dim"))
       .agg(count(lit(1)).as("n"),
         graft.core.Exact.exactAvg(col("__v").cast("double"), 6).as("mean_v"))
+
+  /** Clustering-quality audit against a labeled reference: assign each
+    * vector to its nearest centroid (pure literal projection, zero
+    * shuffle — the [[nearestCell]] contract), then per cell report the
+    * cluster/label contingency summary — size, number of distinct
+    * labels present, the majority label and its count, and purity
+    * (majority fraction). Σ purity·n / N over the output is the
+    * standard corpus-level purity score; emitting per-cell rows keeps
+    * the operator's output auditable (WHICH cells are mixed) instead
+    * of one opaque scalar.
+    *
+    * The whole reduction is two bounded hash aggregates — (cell,
+    * label) pairs, then cells — so output and shuffle are bounded by
+    * nlist·|labels| at any corpus size. Purity's division is the only
+    * double op, computed from two exact BIGINTs in an identical tree
+    * on both engines. */
+  def clusterLabelAudit(vecs: DataFrame, cents: Array[Array[Float]],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val assigned = vecs.select(col(idCol), col(labelCol),
+      nearestCell(col(vecCol), vecNorm(col(vecCol)), cents).as("cell"))
+    val cont = assigned.groupBy(col("cell"), col(labelCol))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("n").desc, col(labelCol))
+    cont.withColumn("__rn", row_number().over(w))
+      .groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        max(when(col("__rn") === 1, col(labelCol))).as("top_label"),
+        max(when(col("__rn") === 1, col("n"))).as("top_n"))
+      .withColumn("purity",
+        col("top_n").cast("double") / col("n_vecs").cast("double"))
+  }
 
   /** Int8 scalar quantization of a vector: unit-normalize, then map
     * each component to `floor(u·127 + 0.5)` — engine-neutral by

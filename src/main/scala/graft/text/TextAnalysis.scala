@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines over the
@@ -92,6 +93,45 @@ object TextAnalysis {
   /** Top-k tokens by count (deterministic tie-break on the token). */
   def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
     tokenStats(docs).orderBy(col("occurrences").desc, col("token")).limit(k)
+
+  /** Per-document top-k TF-IDF terms — the classic "what is this
+    * document about" keyword extraction, used for topic-aware curation
+    * and mixture audits over a training corpus.
+    *
+    * Determinism-first scoring: the textbook idf = ln(N/df) is
+    * transcendental and engines disagree in the last ulp, so the score
+    * is the floor-rational `idf_e6 = (1_000_000 · N) DIV df` scaled by
+    * tf — pure BIGINT arithmetic, bit-identical on any engine. ln only
+    * reshapes the idf curve monotonically, so within a document the
+    * induced ranking matches ln-idf except where the e6 floor
+    * collapses near-equal N/df ratios; the (score desc, term asc)
+    * tie-break pins those deterministically.
+    *
+    * Shape at 100 TB: text is scanned once; explode → hash-agg on
+    * (doc, term) with map-side combine; df is a second hash-agg on
+    * term (bounded by the vocabulary); the scalar N reaches every row
+    * via a broadcast 1×1 cross join; top-k per doc is a row_number
+    * window the optimizer executes as WindowGroupLimit (per-partition
+    * partial top-k before the doc shuffle). Everything after the first
+    * explode moves counts, never text. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val tf = withTokens(docs, textCol)
+      .select(col(idCol), explode(col("tokens")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("__n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e6").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_e6", col("tf") * expr("(1000000 * __n_docs) DIV df"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score_e6"), col("rank"))
+  }
 
   /** Corpus bigram vocabulary: adjacent-token pairs with corpus count
     * and document frequency. The pair list is the token array zipped

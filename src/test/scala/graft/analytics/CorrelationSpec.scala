@@ -66,6 +66,36 @@ class CorrelationSpec extends SparkSpec {
     m.length should be > 0
   }
 
+  test("rollingPriceVolumeCorr: +1 on linear volume, -1 mirrored, full frames only") {
+    val vSchema = StructType(schema.fields :+
+      StructField("volume", LongType, nullable = false))
+    // up: volume moves linearly WITH close -> corr +1 in every frame;
+    // dn: volume moves linearly AGAINST close -> corr -1.
+    val closes = Seq(100.0, 110.0, 99.0, 120.0, 108.0, 131.0)
+    val rows =
+      closes.zipWithIndex.map { case (c, i) =>
+        Row("up", day(i + 1), c, (c * 100).toLong) } ++
+      closes.zipWithIndex.map { case (c, i) =>
+        Row("dn", day(i + 1), c, (30000 - c * 100).toLong) }
+    val out = Correlation.rollingPriceVolumeCorr(df(vSchema, rows: _*), 3)
+      .as[(String, java.sql.Date, Double)].collect()
+    // 6 rows per symbol, window 3 -> 4 full frames each
+    out.count(_._1 == "up") shouldBe 4
+    out.count(_._1 == "dn") shouldBe 4
+    out.filter(_._1 == "up").foreach(_._3 shouldBe 1.0 +- 1e-9)
+    out.filter(_._1 == "dn").foreach(_._3 shouldBe -1.0 +- 1e-9)
+  }
+
+  test("rollingPriceVolumeCorr: zero-variance frame yields NULL") {
+    val vSchema = StructType(schema.fields :+
+      StructField("volume", LongType, nullable = false))
+    val rows = (1 to 4).map(i => Row("flat", day(i), 50.0, (i * 1000).toLong))
+    val out = Correlation.rollingPriceVolumeCorr(df(vSchema, rows: _*), 3)
+      .collect()
+    out.length shouldBe 2
+    out.foreach(r => r.isNullAt(2) shouldBe true)
+  }
+
   test("olsTrend recovers an exact linear series' slope and intercept") {
     // A: close = 10 + 2*(day offset) — slope 2/day; B: constant 5.
     val out = Correlation.olsTrend(series(

@@ -33,6 +33,21 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: hand-computed median/MAD fence; masking-resistant") {
+    import spark.implicits._
+    // group a: median 3, deviations [2,1,0,1,97], MAD 1, fence 3 -> the
+    // 100 is the only row beyond it. A mean/stddev fence would be
+    // dragged to ~43 by the same outlier (the masking this resists).
+    // group b: constant series -> MAD 0, strict > keeps outliers at 0.
+    val d = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map("a" -> _) ++
+      Seq(7.0, 7.0, 7.0).map("b" -> _)).toDF("g", "v")
+    val out = Profiling.madOutliers(d, "g", "v", k = 3.0)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    out("a") shouldBe (("a", 5L, 3.0, 1.0, 1L))
+    out("b") shouldBe (("b", 3L, 7.0, 0.0, 0L))
+  }
+
   test("histogram bins partition the value range; counts sum to rows") {
     val h = Profiling.histogram(lineitem, "l_quantity", binWidth = 10.0)
       .collect()

@@ -29,6 +29,44 @@ class SimilaritySpec extends SparkSpec {
     out((1L, 3L)) shouldBe 0.0 +- 1e-12
   }
 
+  test("hardNegatives equals knnBruteForce when the ceiling is above 1") {
+    val d = vecs((0L to 7L).map(i =>
+      i -> Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat, 0f, 0f)): _*)
+    val q = d.filter(col("vec_id") < 2)
+    val all = Similarity.knnBruteForce(d, q, k = 4).collect().toSeq
+    val hn = Similarity.hardNegatives(d, q, k = 4, maxCos = 2.0).collect().toSeq
+    hn shouldBe all
+  }
+
+  test("hardNegatives: every cosine below the ceiling, ranks contiguous") {
+    val d = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.99f, 0.14f, 0f, 0f),  // near-dup of 0 (cos ~ .99)
+      2L -> Seq(0.5f, 0.866f, 0f, 0f),  // cos .5
+      3L -> Seq(0f, 1f, 0f, 0f),        // cos 0
+      4L -> Seq(-0.7f, 0.7f, 0f, 0f))   // cos < 0
+    val out = Similarity.hardNegatives(d, d.filter(col("vec_id") === 0L),
+        k = 10, maxCos = 0.9)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    out.map(_._2).toSeq shouldBe Seq(2L, 3L, 4L) // 1L excluded: too close
+    out.map(_._3).toSeq shouldBe Seq(1, 2, 3)
+    out.map(_._4).forall(_ < 0.9) shouldBe true
+  }
+
+  test("clusterLabelAudit: contingency summary and purity per cell") {
+    val labeled = StructType(schema.fields :+
+      StructField("label", IntegerType, nullable = false))
+    val d = df(labeled,
+      Row(0L, Seq(1f, 0f, 0f, 0f), 10), Row(1L, Seq(0.9f, 0.1f, 0f, 0f), 10),
+      Row(2L, Seq(0.95f, 0f, 0.1f, 0f), 10), Row(3L, Seq(0.9f, 0f, 0f, 0.1f), 20),
+      Row(4L, Seq(0f, 1f, 0f, 0f), 20), Row(5L, Seq(0f, 0.9f, 0.1f, 0f), 20))
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val out = Similarity.clusterLabelAudit(d, cents)
+      .orderBy("cell").as[(Int, Long, Long, Int, Long, Double)].collect()
+    out(0) shouldBe ((0, 4L, 2L, 10, 3L, 0.75)) // cell 0: 3×10 + 1×20
+    out(1) shouldBe ((1, 2L, 1L, 20, 2L, 1.0))  // cell 1: pure label 20
+  }
+
   test("knnBruteForce returns k nearest, self excluded, rank ordered") {
     val d = vecs(
       0L -> Seq(1f, 0f, 0f, 0f),

@@ -11,6 +11,32 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("tfIdfTopK: floor-rational scores, per-doc ranks, rare terms beat common") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "durian")
+    // N=3; df: apple 1, banana 2, cherry 1, durian 1
+    // idf_e6: apple/cherry/durian (3e6)//1 = 3000000; banana 1500000
+    val out = TextAnalysis.tfIdfTopK(d, k = 5)
+      .as[(Long, String, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    out((1L, "apple")) shouldBe ((1L, "apple", 2L, 1L, 6000000L, 1))
+    out((1L, "banana")) shouldBe ((1L, "banana", 1L, 2L, 1500000L, 2))
+    out((2L, "cherry"))._5 shouldBe 3000000L
+    out((2L, "cherry"))._6 shouldBe 1   // rare cherry outranks common banana
+    out((2L, "banana"))._6 shouldBe 2
+    out((3L, "durian")) shouldBe ((3L, "durian", 1L, 1L, 3000000L, 1))
+  }
+
+  test("tfIdfTopK: k truncates and ranks stay contiguous from 1") {
+    val d = docs(1L -> "a b c d e f g h")
+    val out = TextAnalysis.tfIdfTopK(d, k = 3).collect()
+    out.length shouldBe 3
+    out.map(_.getAs[Int]("rank")).sorted.toSeq shouldBe Seq(1, 2, 3)
+  }
+
   test("piiScan counts pattern families; piiRedact replaces with placeholders") {
     import spark.implicits._
     val d = docs(
