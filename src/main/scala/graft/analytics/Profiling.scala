@@ -99,21 +99,26 @@ object Profiling {
     * the absolute deviations — the second is inherently a second pass:
     * deviations don't exist until the median does), each a per-group
     * `percentile` over the shuffled group, plus a broadcast of the
-    * one-row-per-group median frame back onto the rows. Output is
-    * bounded by the group universe. At 100 TB swap both percentiles
-    * for [[approxPercentiles]]'s sketch (same shape, bounded buffers);
-    * the exact form here is what makes the operator oracle-checkable.
+    * one-row-per-group median frame back onto the rows. The deviation
+    * frame feeds BOTH the MAD aggregate and the fence count, and Spark
+    * cannot share a subplan across them, so `materialize` (default on)
+    * localCheckpoints it — one write instead of recomputing the input
+    * scan + median join twice. Output is bounded by the group
+    * universe. At 100 TB swap both percentiles for
+    * [[approxPercentiles]]'s sketch (same shape, bounded buffers); the
+    * exact form here is what makes the operator oracle-checkable.
     *
     * Determinism: percentile interpolation is bit-identical to
     * DuckDB's quantile_cont (the q38-proven parity); deviations and
     * the k·MAD fence evaluate in identical double trees, so the strict
     * `>` verdicts agree bitwise. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                  k: Double = 3.0): DataFrame = {
+                  k: Double = 3.0, materialize: Boolean = true): DataFrame = {
     val med = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val dev = df.join(broadcast(med), groupCol)
+    val devRaw = df.join(broadcast(med), groupCol)
       .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    val dev = if (materialize) devRaw.localCheckpoint() else devRaw
     val stats = dev.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
         expr("percentile(__dev, 0.5)").as("mad"))

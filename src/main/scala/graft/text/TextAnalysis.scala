@@ -107,19 +107,26 @@ object TextAnalysis {
     * collapses near-equal N/df ratios; the (score desc, term asc)
     * tie-break pins those deterministically.
     *
-    * Shape at 100 TB: text is scanned once; explode → hash-agg on
-    * (doc, term) with map-side combine; df is a second hash-agg on
-    * term (bounded by the vocabulary); the scalar N reaches every row
-    * via a broadcast 1×1 cross join; top-k per doc is a row_number
-    * window the optimizer executes as WindowGroupLimit (per-partition
-    * partial top-k before the doc shuffle). Everything after the first
-    * explode moves counts, never text. */
+    * Shape at 100 TB: text is scanned and tokenized ONCE — the (doc,
+    * term, tf) frame is localCheckpoint-materialized (`materialize`,
+    * default on, the pairwiseCorr pattern) because Spark cannot share
+    * a subplan across the tf⋈df join, and without it BOTH sides would
+    * re-tokenize the corpus; df is then a hash-agg over the
+    * materialized counts (bounded by the vocabulary). The scalar N
+    * reaches every row via a broadcast 1×1 cross join (computed from a
+    * column-pruned id-only scan of `docs`, NOT from tf — token-less
+    * docs still count toward N); top-k per doc is a row_number window
+    * the optimizer executes as WindowGroupLimit (per-partition partial
+    * top-k before the doc shuffle). Everything after the first explode
+    * moves counts, never text. */
   def tfIdfTopK(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val tf = withTokens(docs, textCol)
+                textCol: String = "text",
+                materialize: Boolean = true): DataFrame = {
+    val tfRaw = withTokens(docs, textCol)
       .select(col(idCol), explode(col("tokens")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    val tf = if (materialize) tfRaw.localCheckpoint() else tfRaw
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("__n_docs"))
     val w = Window.partitionBy(col(idCol))
