@@ -413,6 +413,23 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q104 twin: the heavy-hitter CONTRACT is exact counts above the
+    * phi·n threshold — the Misra-Gries pass only bounds Spark-side
+    * memory, so the oracle is the plain exact form (the q63 bloom
+    * pattern: the sketch must be semantically invisible). 0.005e0
+    * forces a DOUBLE literal (strtod), matching Spark's lit(0.005). */
+  val q104_heavy_hitters: String = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         t -> t <> '')) AS value
+  FROM documents),
+n AS (SELECT count(*) AS nn FROM tok),
+cnts AS (SELECT value, count(*) AS cnt FROM tok GROUP BY 1)
+SELECT value, cnt, CAST(cnt AS DOUBLE) / CAST(nn AS DOUBLE) AS share
+FROM cnts CROSS JOIN n
+WHERE CAST(cnt AS DOUBLE) > 0.005e0 * CAST(nn AS DOUBLE)
+ORDER BY cnt DESC, value"""
+
   /** q102 twin: per-symbol median/MAD robust outlier fence on daily
     * close — quantile_cont matches Spark's exact `percentile`
     * interpolation bit-for-bit (the q38-proven parity); the 3·MAD
@@ -1877,6 +1894,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q98_table_stats" -> q98_table_stats,
     "q99_tfidf" -> q99_tfidf,
     "q100_rolling_corr" -> q100_rolling_corr,
+    "q104_heavy_hitters" -> q104_heavy_hitters,
     "q101_hard_negatives" -> q101_hard_negatives,
     "q102_mad_outliers" -> q102_mad_outliers,
     "q103_cluster_purity" -> q103_cluster_purity,

@@ -1099,6 +1099,17 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Exact heavy hitters over the token stream: Misra-Gries
+    // candidates (bounded pass-1 state) + exact recount, so the
+    // output is deterministic under any partitioning.
+    "q104_heavy_hitters" -> ((s, dir) => {
+      val toks = graft.text.TextAnalysis
+        .withTokens(Tables.documents(s, dir))
+        .select(explode(col("tokens")).as("token"))
+      graft.etl.Skew.heavyHitters(toks, "token", phi = 0.005)
+        .orderBy(col("cnt").desc, col("value"))
+    }),
+
     // Clustering-quality audit: fixed-centroid cells vs the reference
     // label column — per-cell contingency summary + purity.
     "q103_cluster_purity" -> ((s, dir) => {

@@ -119,11 +119,13 @@ object Correlation {
     * (and the general rolling-correlation primitive: any two measures
     * on one keyed series).
     *
-    * One window pass per symbol: the five frame sums the correlation
-    * needs all share a single (symbol, date) sort, so Spark computes
-    * them in one WindowExec — no self-join, no second shuffle, output
-    * one row per input row with a full frame. At 100 TB the cost is
-    * the one sort-within-symbol the series already needs.
+    * The five frame sums the correlation needs all share a single
+    * (symbol, date) sort — no self-join, no second shuffle, output one
+    * row per input row with a full frame — and each is computed O(1)
+    * per row as a difference of running sums rather than O(windowDays)
+    * per row by frame re-aggregation (see the inline note; exactness
+    * makes the two forms bit-identical). At 100 TB the cost is the one
+    * sort-within-symbol the series already needs.
     *
     * Determinism is the q62 recipe in window form: close is quantized
     * once to DECIMAL(18,4) and held as the scaled integer close·10⁴;
@@ -138,21 +140,39 @@ object Correlation {
     val x = (round(col("close_price").cast("decimal(28,10)"), 4)
       .cast("decimal(18,4)") * lit(10000)).cast("decimal(19,0)")
     val v = col("volume").cast("decimal(19,0)")
-    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
-      .rowsBetween(-(windowDays - 1), Window.currentRow)
-    def s(c: Column) = sum(c).over(w).cast("double")
+    // Sliding-frame sums are O(rows × windowDays): Spark re-aggregates
+    // every bounded ROWS frame from scratch. Because the sums are
+    // EXACT decimals, each frame sum is instead the difference of two
+    // RUNNING sums (run − lag(run, windowDays)) — bit-identical values
+    // (no rounding anywhere at scale 0), O(rows), and the running
+    // frame is Spark's optimized unbounded-preceding path. All six
+    // aggregates share one select each so the CollapseWindow rule
+    // keeps them in single WindowExecs (chained withColumn would
+    // interleave Projects and stack six). One sort, two O(n) window
+    // passes (running sums, then the offset lags over the same order).
+    val wRun = Window.partitionBy(col("symbol")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOrd = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    def frame(run: String) =
+      (col(run) - coalesce(lag(col(run), windowDays).over(wOrd),
+        lit(0).cast("decimal(19,0)"))).cast("double")
     val agged = daily
       .select(col("symbol"), col("date"), x.as("__x"), v.as("__v"))
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__sx", s(col("__x")))
-      .withColumn("__sy", s(col("__v")))
-      .withColumn("__sxx", s(col("__x") * col("__x")))
-      .withColumn("__syy", s(col("__v") * col("__v")))
-      .withColumn("__sxy", s(col("__x") * col("__v")))
-    val n = col("__n").cast("double")
+      .select(col("symbol"), col("date"),
+        row_number().over(wOrd).as("__rn"),
+        sum(col("__x")).over(wRun).as("__rx"),
+        sum(col("__v")).over(wRun).as("__rv"),
+        sum(col("__x") * col("__x")).over(wRun).as("__rxx"),
+        sum(col("__v") * col("__v")).over(wRun).as("__ryy"),
+        sum(col("__x") * col("__v")).over(wRun).as("__rxy"))
+      .select(col("symbol"), col("date"), col("__rn"),
+        frame("__rx").as("__sx"), frame("__rv").as("__sy"),
+        frame("__rxx").as("__sxx"), frame("__ryy").as("__syy"),
+        frame("__rxy").as("__sxy"))
+    val n = lit(windowDays).cast("double")
     val varx = n * col("__sxx") - col("__sx") * col("__sx")
     val vary = n * col("__syy") - col("__sy") * col("__sy")
-    agged.filter(col("__n") === windowDays)
+    agged.filter(col("__rn") >= windowDays)
       .select(col("symbol"), col("date"),
         when(varx > 0 && vary > 0,
           (n * col("__sxy") - col("__sx") * col("__sy")) /

@@ -99,11 +99,14 @@ object Profiling {
     * the absolute deviations — the second is inherently a second pass:
     * deviations don't exist until the median does), each a per-group
     * `percentile` over the shuffled group, plus a broadcast of the
-    * one-row-per-group median frame back onto the rows. The deviation
-    * frame feeds BOTH the MAD aggregate and the fence count, and Spark
-    * cannot share a subplan across them, so `materialize` (default on)
-    * localCheckpoints it — one write instead of recomputing the input
-    * scan + median join twice. Output is bounded by the group
+    * one-row-per-group median frame back onto the rows. The input
+    * feeds THREE consumers (median, MAD, fence count) and Spark cannot
+    * share a subplan across them, so `materialize` (default on)
+    * localCheckpoints the input once — every later pass re-reads the
+    * checkpoint instead of recomputing the upstream pipeline (for a
+    * raw-table input this knob is a no-op cost-wise; for a derived
+    * frame it is the difference between one upstream pass and
+    * three). Output is bounded by the group
     * universe. At 100 TB swap both percentiles for
     * [[approxPercentiles]]'s sketch (same shape, bounded buffers); the
     * exact form here is what makes the operator oracle-checkable.
@@ -114,11 +117,11 @@ object Profiling {
     * `>` verdicts agree bitwise. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0, materialize: Boolean = true): DataFrame = {
-    val med = df.groupBy(col(groupCol))
+    val base = if (materialize) df.localCheckpoint() else df
+    val med = base.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val devRaw = df.join(broadcast(med), groupCol)
+    val dev = base.join(broadcast(med), groupCol)
       .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
-    val dev = if (materialize) devRaw.localCheckpoint() else devRaw
     val stats = dev.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
         expr("percentile(__dev, 0.5)").as("mad"))

@@ -54,4 +54,68 @@ object Skew {
         min(col("__min")).as(s"min_$valueCol"),
         max(col("__max")).as(s"max_$valueCol"))
   }
+
+  /** EXACT heavy hitters in two bounded-memory passes: every non-null
+    * value of `valueCol` occurring in MORE than `phi`·n rows, with its
+    * exact count and share. This is the hot-key diagnosis that feeds
+    * [[saltedJoin]]/[[saltedStats]] (run it on a join key; salt the
+    * keys it returns), and the vocabulary-head / power-user report as
+    * an operator.
+    *
+    * Pass 1 summarizes each partition with k = ⌈1/phi⌉ Misra–Gries
+    * counters. The union of partition summaries is a COMPLETE
+    * candidate set: if freq(x) > n/k then by pigeonhole
+    * freq_p(x) > n_p/k in at least one partition p, and Misra–Gries
+    * guarantees any such value survives that partition's summary. With
+    * k = ⌈1/phi⌉, n/k ≤ phi·n, so no true heavy hitter is ever
+    * missed. Pass 2 broadcast-semi-joins the tiny candidate frame
+    * (≤ partitions·k values) back onto the data and counts EXACTLY —
+    * the sketch only bounds pass-1 state (k counters per task, vs a
+    * full hash aggregate whose map is unbounded under adversarial
+    * cardinality); it can neither drop a true heavy hitter nor distort
+    * a count, so the output is deterministic under ANY partitioning
+    * and oracle-checkable (q104).
+    *
+    * The > threshold and the share are the only doubles — both exact
+    * BIGINTs divided/compared in identical trees on both engines. */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, "phi must be in (0,1)")
+    val k = math.ceil(1.0 / phi).toInt
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("value"))
+    val cands = vals.as(org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions(it => misraGries(it, k))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("value").distinct()
+    val n = vals.agg(count(lit(1)).as("__n"))
+    vals.join(broadcast(cands), "value")
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt").cast("double") > lit(phi) * col("__n").cast("double"))
+      .select(col("value"), col("cnt"),
+        (col("cnt").cast("double") / col("__n").cast("double")).as("share"))
+  }
+
+  /** Misra–Gries k-counter summary of one partition — the classic
+    * streaming frequent-items pass, inherently sequential (the one
+    * shape where mapPartitions beats an expression). Emits the
+    * surviving values. The decrement-all step removes k+1 units of
+    * total count per trigger, so it fires ≤ n/(k+1) times — O(n)
+    * amortized, O(k) state. */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { v =>
+      counters.get(v) match {
+        case Some(c) => counters(v) = c + 1
+        case None if counters.size < k => counters(v) = 1L
+        case None =>
+          // snapshot the keys: structural mutation mid-iteration over
+          // a mutable map is undefined
+          counters.keys.toArray.foreach { key =>
+            val c = counters(key)
+            if (c == 1L) counters.remove(key) else counters(key) = c - 1
+          }
+      }
+    }
+    counters.keysIterator
+  }
 }

@@ -39,6 +39,45 @@ class SkewSpec extends SparkSpec {
     spread should be > 4L // 90 rows across 8 salts: all buckets in practice
   }
 
+  test("heavyHitters equals the exact filter under any partitioning") {
+    import spark.implicits._
+    // zipf-ish stream: value i appears ~600/i times; phi=0.05 over
+    // n≈1470 puts the threshold at ~73.5 -> hitters are 1..8 exactly
+    val rows = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"v$i"))
+    val n = rows.size
+    val exact = rows.groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2.toDouble > 0.05 * n)
+      .toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val d = rows.toDF("t").repartition(parts)
+      val out = Skew.heavyHitters(d, "t", phi = 0.05)
+        .as[(String, Long, Double)].collect()
+      out.map(r => r._1 -> r._2).toMap shouldBe exact
+      out.foreach(r => r._3 shouldBe r._2.toDouble / n +- 1e-15)
+    }
+  }
+
+  test("heavyHitters: false candidates are removed by the exact recount") {
+    import spark.implicits._
+    // k = ceil(1/0.4) = 3 counters: in a single partition every value
+    // can survive the sketch, but only "a" (3/7 > 0.4·7=2.8 rows ->
+    // 3 > 2.8) crosses the exact threshold.
+    val d = Seq("a", "b", "a", "c", "a", "b", "c").toDF("t").coalesce(1)
+    val out = Skew.heavyHitters(d, "t", phi = 0.4)
+      .as[(String, Long, Double)].collect()
+    out.map(_._1).toSeq shouldBe Seq("a")
+    out.head._2 shouldBe 3L
+  }
+
+  test("heavyHitters ignores nulls and empty input") {
+    import spark.implicits._
+    val d = Seq(Some("x"), None, Some("x"), None).toDF("t")
+    val out = Skew.heavyHitters(d, "t", phi = 0.5).collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("x") // 2/2 non-null > 0.5·2? 2 > 1 yes
+    Skew.heavyHitters(d.filter(col("t").isNull), "t", phi = 0.5)
+      .collect() shouldBe empty
+  }
+
   test("saltedStats equals the direct aggregation") {
     val direct = fact.groupBy(col("k")).agg(
       sum(col("v").cast(DecimalType(38, 4))).cast("double").as("sum_v"),
