@@ -137,6 +137,29 @@ object Streaming {
         ()
       }
 
+  /** Streaming hot-key monitor: [[graft.etl.Skew.heavyHitters]]
+    * applied per micro-batch via foreachBatch — the same
+    * exact-two-pass operator the batch pipeline uses (E90), applied to
+    * streams unchanged (the [[driftMonitorSink]] pattern). Per-batch
+    * hitters append with the batch id, giving the "which keys are hot
+    * RIGHT NOW" feed that decides when to re-salt a downstream join.
+    * Per-batch (not cross-batch) frequency is the point: skew
+    * mitigation reacts to current traffic, not history. */
+  def heavyHitterSink(stream: DataFrame, keyCol: String, phi: Double,
+                      outPath: String,
+                      checkpointDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.etl.Skew.heavyHitters(batch, keyCol, phi)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+
   /** Watermarked stream-stream inner join: each left event (e.g. a
     * view) matched to the same user's right events (e.g. purchases)
     * that follow within `withinMinutes` — the streaming attribution

@@ -45,6 +45,28 @@ class EtlPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: heavyHitters equals the exact filter for any stream, phi, partitioning") {
+    val gen = for {
+      // zipf-flavored: small ids drawn much more often, so some runs
+      // have hitters and some don't
+      vals <- Gen.listOfN(120, Gen.frequency(
+        6 -> Gen.const("a"), 3 -> Gen.const("b"), 2 -> Gen.const("c"),
+        1 -> Gen.choose(0, 30).map(i => s"t$i")))
+      phi <- Gen.oneOf(0.02, 0.1, 0.3, 0.6)
+      parts <- Gen.oneOf(1, 3, 13)
+    } yield (vals, phi, parts)
+    check("heavyHitters", Prop.forAll(gen) { case (vals, phi, parts) =>
+      val n = vals.size
+      val expect = vals.groupBy(identity).view
+        .mapValues(_.size.toLong).filter(_._2.toDouble > phi * n).toMap
+      val got = Skew.heavyHitters(
+          vals.toDF("v").repartition(parts), "v", phi)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> r._2).toMap
+      got == expect
+    })
+  }
+
   test("property: diffByKey(df, df) is all-unchanged; statuses partition the key universe") {
     val gen = for {
       before <- Gen.listOfN(12, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 5)))

@@ -253,4 +253,25 @@ class StreamingSpec extends SparkSpec {
       tv(1L) shouldBe 0.5 // |1-.5|/2 + |0-.5|/2
     } finally q.stop()
   }
+
+  test("heavyHitterSink reports per-batch hot keys matching the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val out = tmp("hh-out")
+    val q = Streaming.heavyHitterSink(ms.toDF(), "event_type", phi = 0.4,
+        out, tmp("hh-ckpt")).start()
+    try {
+      // batch 0: click 3/4 (> 1.6 rows) is hot, view 1/4 is not
+      ms.addData(ev(1, 0, "click"), ev(2, 1, "click"),
+        ev(3, 2, "click"), ev(4, 3, "view"))
+      q.processAllAvailable()
+      // batch 1: 2/2 view — per-batch frequency, history forgotten
+      ms.addData(ev(5, 4, "view"), ev(6, 5, "view"))
+      q.processAllAvailable()
+      val r = spark.read.parquet(out)
+        .select("batch_id", "value", "cnt")
+        .as[(Long, String, Long)].collect().toSet
+      r shouldBe Set((0L, "click", 3L), (1L, "view", 2L))
+    } finally q.stop()
+  }
 }

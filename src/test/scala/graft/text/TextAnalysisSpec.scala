@@ -37,6 +37,37 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_.getAs[Int]("rank")).sorted.toSeq shouldBe Seq(1, 2, 3)
   }
 
+  test("property: tfIdfTopK equals a brute-force reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val word = Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val doc = Gen.choose(1, 12).flatMap(Gen.listOfN(_, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(1, 8).flatMap(Gen.listOfN(_, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.tfIdfTopK(d, k = 3)
+        .as[(Long, String, Long, Long, Long, Int)].collect()
+        .map(r => (r._1, r._6) -> (r._2, r._3, r._4, r._5)).toMap
+      // brute reference in plain Scala
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      val n = texts.size.toLong
+      val dfreq = toks.values.flatMap(_.distinct).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val expect = toks.flatMap { case (id, ws) =>
+        ws.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .map { case (w, tf) => (w, tf, dfreq(w), tf * (1000000L * n / dfreq(w))) }
+          .sortBy { case (w, _, _, s) => (-s, w) }
+          .take(3).zipWithIndex
+          .map { case ((w, tf, df_, s), i) => (id, i + 1) -> ((w, tf, df_, s)) }
+      }
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"tfIdfTopK property: $res")
+  }
+
   test("piiScan counts pattern families; piiRedact replaces with placeholders") {
     import spark.implicits._
     val d = docs(
