@@ -1772,6 +1772,12 @@ FROM st ORDER BY symbol, date"""
     * read AFTER v2's commit = the untouched pre-upsert contents. */
   val q80_timetravel_current: String = q08_upsert
 
+  /** q105 reads v1 and v2 through the versioned store and diffs them;
+    * the logical before/after frames are exactly q54's target/after
+    * construction, so the oracle is the same SQL (the q80→q08
+    * pattern: the versioned READ must be semantically invisible). */
+  val q105_version_diff: String = q54_snapshot_diff
+
   val q81_timetravel_past: String = barsCte + s"""
 SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'
 ORDER BY row_id"""
@@ -1895,6 +1901,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q99_tfidf" -> q99_tfidf,
     "q100_rolling_corr" -> q100_rolling_corr,
     "q104_heavy_hitters" -> q104_heavy_hitters,
+    "q105_version_diff" -> q105_version_diff,
     "q101_hard_negatives" -> q101_hard_negatives,
     "q102_mad_outliers" -> q102_mad_outliers,
     "q103_cluster_purity" -> q103_cluster_purity,

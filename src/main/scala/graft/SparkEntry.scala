@@ -1099,6 +1099,20 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Time-travel diff: "what changed between table versions" — the
+    // keyed snapshot diff (q54's operator) run THROUGH the versioned
+    // store's read path, v1 vs v2 of the q80/q81 two-commit fixture.
+    // Same oracle as q54: the versioned reads must reproduce the
+    // logical before/after frames exactly.
+    "q105_version_diff" -> ((s, dir) => {
+      val (table, cols) = versionedFixture(s, dir)
+      def v(n: Int) = graft.store.Versioned.readVersion(s, table, n)
+        .select(cols.map(col): _*)
+      graft.etl.Merge.diffByKey(v(1), v(2), Schemas.mergeKey)
+        .groupBy(col("diff_status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("diff_status"))
+    }),
+
     // Exact heavy hitters over the token stream: Misra-Gries
     // candidates (bounded pass-1 state) + exact recount, so the
     // output is deterministic under any partitioning.
