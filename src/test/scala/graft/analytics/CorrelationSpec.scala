@@ -86,6 +86,21 @@ class CorrelationSpec extends SparkSpec {
     out.filter(_._1 == "dn").foreach(_._3 shouldBe -1.0 +- 1e-9)
   }
 
+  test("rollingPriceVolumeCorr plan: one shuffle, two collapsed window passes") {
+    val vSchema = StructType(schema.fields :+
+      StructField("volume", LongType, nullable = false))
+    val d = df(vSchema, (1 to 5).map(i =>
+      Row("s", day(i), 10.0 + i, (i * 100).toLong)): _*)
+    val plan = Correlation.rollingPriceVolumeCorr(d, 3)
+      .queryExecution.executedPlan.toString
+    // the six aggregates must collapse into the running-sum WindowExec
+    // plus the offset/row_number pass — NOT one WindowExec per
+    // withColumn (the 6-stack this spec guards against), and the
+    // whole thing costs a single symbol shuffle
+    plan.linesIterator.count(_.contains("+- Window ")) shouldBe 2
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
   test("rollingPriceVolumeCorr: zero-variance frame yields NULL") {
     val vSchema = StructType(schema.fields :+
       StructField("volume", LongType, nullable = false))

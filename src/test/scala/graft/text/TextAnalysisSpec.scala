@@ -37,6 +37,22 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_.getAs[Int]("rank")).sorted.toSeq shouldBe Seq(1, 2, 3)
   }
 
+  test("tfIdfTopK plan: WindowGroupLimit top-k, text tokenized once") {
+    val d = docs(1L -> "a b c", 2L -> "b c d")
+    def explodes(materialize: Boolean) = TextAnalysis
+      .tfIdfTopK(d, k = 2, materialize = materialize)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Generate explode"))
+    // rank<=k must compile to the pre-shuffle partial top-k
+    TextAnalysis.tfIdfTopK(d, k = 2).queryExecution.executedPlan
+      .toString should include("WindowGroupLimit")
+    // without materialization the tf⋈df join re-tokenizes the corpus
+    // on both sides; the checkpoint collapses every explode out of the
+    // final plan (tokenization ran exactly once, in the checkpoint job)
+    explodes(materialize = false) should be >= 2
+    explodes(materialize = true) shouldBe 0
+  }
+
   test("property: tfIdfTopK equals a brute-force reference on random corpora") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
