@@ -242,11 +242,19 @@ object Dedup {
     * and mirrored in the oracle. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                    maxDocFreq: Long = 100, idCol: String = "doc_id",
-                   textCol: String = "text", n: Int = 3): DataFrame = {
+                   textCol: String = "text", n: Int = 3,
+                   materialize: Boolean = true): DataFrame = {
     // Distinct (doc, shingle) postings via one shuffle; per-doc set
     // sizes are a 1-row-per-doc side table, broadcast back onto the
     // pair aggregate instead of riding through the self-join.
-    val posting = explodedShingleHashes(docs, idCol, textCol, n).distinct()
+    // The posting frame feeds FOUR consumers (sizes, the df cap, both
+    // self-join sides) and Spark cannot share a subplan across them —
+    // unmaterialized, the corpus is tokenized/shingled/distinct'd four
+    // times. localCheckpoint (default on) pays one posting-sized write
+    // instead; postings are hashes, never text, so the write is the
+    // cheap side of that trade at any corpus size.
+    val postingRaw = explodedShingleHashes(docs, idCol, textCol, n).distinct()
+    val posting = if (materialize) postingRaw.localCheckpoint() else postingRaw
     val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = posting.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
