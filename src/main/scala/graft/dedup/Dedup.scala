@@ -156,8 +156,18 @@ object Dedup {
     * generation is linear in matches, not O(n²). */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
-                   n: Int = 3): DataFrame = {
-    val bands = bandedSignatures(minhashSignatures(docs, idCol, textCol, n))
+                   n: Int = 3, materialize: Boolean = true): DataFrame = {
+    // Both self-join sides consume the banded signatures; without
+    // materialization the corpus is tokenized, shingled, and
+    // min-hashed twice. The signatures are 128 B/doc — the cheapest
+    // possible thing to localCheckpoint against a petabyte re-read
+    // (the same economics that make the PERSISTED index pay,
+    // writeSignatureIndex below). On the 500-doc harness corpus the
+    // checkpoint write is a ~10% wash (pairwiseCorr's documented
+    // trade); the knob exists for tests, the default serves the
+    // design point.
+    val bandsRaw = bandedSignatures(minhashSignatures(docs, idCol, textCol, n))
+    val bands = if (materialize) bandsRaw.localCheckpoint() else bandsRaw
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
