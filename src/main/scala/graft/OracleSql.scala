@@ -1778,6 +1778,11 @@ FROM st ORDER BY symbol, date"""
     * pattern: the versioned READ must be semantically invisible). */
   val q105_version_diff: String = q54_snapshot_diff
 
+  /** q106 vacuums the two-commit table down to v2 and reads it:
+    * retention must be semantically invisible to retained versions, so
+    * the oracle is again the logical upsert (the q80→q08 pattern). */
+  val q106_vacuum_read: String = q08_upsert
+
   val q81_timetravel_past: String = barsCte + s"""
 SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'
 ORDER BY row_id"""
@@ -1902,6 +1907,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q100_rolling_corr" -> q100_rolling_corr,
     "q104_heavy_hitters" -> q104_heavy_hitters,
     "q105_version_diff" -> q105_version_diff,
+    "q106_vacuum_read" -> q106_vacuum_read,
     "q101_hard_negatives" -> q101_hard_negatives,
     "q102_mad_outliers" -> q102_mad_outliers,
     "q103_cluster_purity" -> q103_cluster_purity,

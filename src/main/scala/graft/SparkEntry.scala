@@ -106,9 +106,10 @@ object SparkEntry {
       fixtureCache.getOrElseUpdate((name, dir), build).asInstanceOf[T]
     }
 
-  private def buildVersionedFixture(s: SparkSession, dir: String): (String, Seq[String]) = {
+  private def buildVersionedFixture(s: SparkSession, dir: String,
+                                    tablePath: String = null): (String, Seq[String]) = {
     import graft.store.Versioned
-    val table = scratch("bars_versioned", dir)
+    val table = if (tablePath != null) tablePath else scratch("bars_versioned", dir)
     val p = new org.apache.hadoop.fs.Path(table)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -1111,6 +1112,29 @@ object SparkEntry {
       graft.etl.Merge.diffByKey(v(1), v(2), Schemas.mergeKey)
         .groupBy(col("diff_status")).agg(count(lit(1)).as("n"))
         .orderBy(col("diff_status"))
+    }),
+
+    // Storage retention: the q80 two-commit fixture rebuilt in its own
+    // table, then VACUUMED down to the newest version before the read.
+    // Vacuum must be semantically invisible to retained versions —
+    // expiring v1's manifest and reclaiming the data leaves v2 moved
+    // past cannot change a byte of what v2 returns, so the oracle is
+    // exactly q80's (the logical upsert). The fixture asserts the
+    // reclaim actually happened (expired version + deleted leaves),
+    // so a vacuum that silently no-ops fails the build, not just the
+    // spec.
+    "q106_vacuum_read" -> ((s, dir) => {
+      val (table, cols) = fixture[(String, Seq[String])]("vacuum_table", dir) {
+        val (t, c) = buildVersionedFixture(s, dir,
+          scratch("bars_versioned_vacuum", dir))
+        val stats = graft.store.Versioned.vacuum(s, t, keepVersions = 1)
+        require(stats.expired == Seq(1) && stats.deletedLeafDirs > 0,
+          s"vacuum fixture expected to reclaim v1, got $stats")
+        (t, c)
+      }
+      graft.store.Versioned.readVersion(s, table, 2)
+        .select(cols.map(col): _*)
+        .orderBy(col("row_id"), col("close"))
     }),
 
     // Exact heavy hitters over the token stream: Misra-Gries

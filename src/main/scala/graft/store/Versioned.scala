@@ -190,6 +190,78 @@ object Versioned {
     * comes from the persisted JSON). Beyond ~10^5 partitions the
     * right fix is a coarser partitioning, not a smarter reader.
     * VersionedSpec pins the 10^3 steady-state case. */
+  /** What [[vacuum]] did: which versions survive, which manifests were
+    * expired, and how many unreferenced `<part>/__dv=<k>` leaf
+    * directories were deleted. */
+  final case class VacuumStats(retained: Seq[Int], expired: Seq[Int],
+                               deletedLeafDirs: Int)
+
+  /** Retention: keep the newest `keepVersions` table versions and
+    * delete everything else — expired manifests (+ their schema
+    * files) and every `data/<part>/__dv=<k>` leaf directory no
+    * retained manifest references. Because a commit rewrites only
+    * touched partitions, an old data version stays live as long as ANY
+    * retained manifest still points at it, so vacuum never breaks a
+    * retained version: the reclaimable set is exactly the leaves all
+    * retained manifests have moved past. Orphan leaves from crashed
+    * commits (data written, manifest never published) are unreferenced
+    * by construction and are collected too — the store is
+    * single-writer (see the class doc), so at vacuum time an
+    * unreferenced leaf is garbage, never an in-flight commit.
+    *
+    * Cost: O(partitions × live data versions) driver-side listing —
+    * the same partition-enumeration bound [[readVersion]]'s plan
+    * construction and every hive metastore lives with. Deletes are
+    * O(reclaimed leaves). Beyond ~10^5 partitions the listing should
+    * ride a distributed job (the parallelPartitionDiscovery precedent);
+    * at that scale the right fix is a coarser partitioning. */
+  def vacuum(spark: SparkSession, table: String,
+             keepVersions: Int): VacuumStats = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val f = fs(spark, table)
+    val mDir = new Path(s"$table/_manifests")
+    if (!f.exists(mDir)) return VacuumStats(Nil, Nil, 0)
+    val versions = f.listStatus(mDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .sorted.toSeq
+    val retained = versions.takeRight(keepVersions)
+    val expired = versions.dropRight(keepVersions)
+    // Union of (partition dir, data version) pairs any retained
+    // manifest still points at — manifest-sized, driver-safe.
+    val referenced: Set[(String, Int)] = retained
+      .flatMap(v => readManifest(spark, table, v).map {
+        case (part, dv) => (part, dv) }).toSet
+    val dataDir = new Path(s"$table/data")
+    var deleted = 0
+    if (f.exists(dataDir)) {
+      for (partStatus <- f.listStatus(dataDir)
+           if partStatus.isDirectory && partStatus.getPath.getName.contains("=")) {
+        val partName = partStatus.getPath.getName
+        val leaves = f.listStatus(partStatus.getPath).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("__dv="))
+        for (leaf <- leaves) {
+          val dv = leaf.getPath.getName.stripPrefix("__dv=").toInt
+          if (!referenced.contains((partName, dv))) {
+            f.delete(leaf.getPath, true)
+            deleted += 1
+          }
+        }
+        // A partition every retained manifest has dropped (or that was
+        // only ever orphan data) ends up empty — remove the husk so
+        // future partition listings don't pay for it.
+        if (f.listStatus(partStatus.getPath).isEmpty)
+          f.delete(partStatus.getPath, false)
+      }
+    }
+    for (v <- expired) {
+      f.delete(manifestPath(table, v), false)
+      val sp = schemaPath(table, v)
+      if (f.exists(sp)) f.delete(sp, false)
+    }
+    VacuumStats(retained, expired, deleted)
+  }
+
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val manifest = readManifest(spark, table, v)
     require(manifest.nonEmpty, s"version $v is empty")

@@ -175,4 +175,54 @@ class VersionedSpec extends SparkSpec {
     assertSameRows(Versioned.readVersion(spark, t, 2),
       rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (9L, 9.0, "b")))
   }
+
+  test("vacuum reclaims only leaves no retained manifest references") {
+    val t = freshTable()
+    // v1: partitions a+b. v2: MERGE touching only b. v3: touching only a.
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    Versioned.commit(spark, t, rows((4L, 40.0, "b")), "part", Seq("id")) shouldBe 2
+    Versioned.commit(spark, t, rows((1L, 10.0, "a")), "part", Seq("id")) shouldBe 3
+    val v2Expected = rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 40.0, "b"))
+    val v3Expected = rows((1L, 10.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 40.0, "b"))
+
+    val stats = Versioned.vacuum(spark, t, keepVersions = 2)
+    stats.retained shouldBe Seq(2, 3)
+    stats.expired shouldBe Seq(1)
+    // Referenced by v2/v3: (a,1) — v2 never rewrote a — (b,2), (a,3).
+    // Reclaimable is exactly (b,1).
+    stats.deletedLeafDirs shouldBe 1
+    new java.io.File(s"$t/data/part=b/__dv=1").exists() shouldBe false
+    new java.io.File(s"$t/data/part=a/__dv=1").exists() shouldBe true
+
+    // Retained versions are untouched; the expired one is gone.
+    assertSameRows(Versioned.readVersion(spark, t, 3), v3Expected)
+    assertSameRows(Versioned.readVersion(spark, t, 2), v2Expected)
+    Versioned.currentVersion(spark, t) shouldBe 3
+    an[IllegalArgumentException] should be thrownBy
+      Versioned.readVersion(spark, t, 1)
+    new java.io.File(s"$t/_manifests/v1.json").exists() shouldBe false
+    new java.io.File(s"$t/_manifests/schema_v1.json").exists() shouldBe false
+    // commits keep working after a vacuum (numbering continues)
+    Versioned.commit(spark, t, rows((5L, 5.0, "b")), "part", Seq("id")) shouldBe 4
+  }
+
+  test("vacuum keeping every version deletes nothing but crashed-commit orphans") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil)
+    Versioned.commit(spark, t, rows((4L, 40.0, "b")), "part", Seq("id"))
+    // orphan: data written by a crashed commit, manifest never published
+    rows((9L, 9.0, "a")).drop("part").write.parquet(s"$t/data/part=a/__dv=9")
+    // a partition dir that ONLY ever held orphan data
+    rows((8L, 8.0, "c")).drop("part").write.parquet(s"$t/data/part=c/__dv=9")
+
+    val stats = Versioned.vacuum(spark, t, keepVersions = 10)
+    stats.retained shouldBe Seq(1, 2)
+    stats.expired shouldBe empty
+    stats.deletedLeafDirs shouldBe 2
+    new java.io.File(s"$t/data/part=a/__dv=9").exists() shouldBe false
+    new java.io.File(s"$t/data/part=c").exists() shouldBe false // empty husk removed
+    assertSameRows(Versioned.readVersion(spark, t, 1), d1)
+    assertSameRows(Versioned.readVersion(spark, t, 2),
+      rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 40.0, "b")))
+  }
 }
