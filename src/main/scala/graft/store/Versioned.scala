@@ -135,6 +135,18 @@ object Versioned {
     val merged = if (prev > 0 && keys.nonEmpty) {
       val touchedPrev = readVersion(spark, table, prev)
         .filter(col(partitionCol).cast("string").isInCollection(touched))
+      // A MERGE commit aligns the staging frame to the previous
+      // version's schema; a column the target doesn't have would be
+      // silently DROPPED by the alignment select, so reject it loudly.
+      // Additive schema evolution goes through whole-partition commits
+      // (keys = Nil): the new version's persisted schema carries the
+      // new column and untouched partitions' older files read it back
+      // as NULL (VersionedSpec pins this).
+      val unknown = df.columns.filterNot(touchedPrev.columns.toSet)
+      require(unknown.isEmpty,
+        s"MERGE commit would drop columns not in the target schema: " +
+          s"${unknown.mkString(", ")}; evolve the schema with a " +
+          "whole-partition commit (keys = Nil) first")
       Upsert.upsert(touchedPrev, df.select(touchedPrev.columns.map(col): _*), keys)
     } else df
     // ONE dynamic-partition job writes every touched partition:

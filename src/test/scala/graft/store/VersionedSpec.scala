@@ -225,4 +225,40 @@ class VersionedSpec extends SparkSpec {
     assertSameRows(Versioned.readVersion(spark, t, 2),
       rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 40.0, "b")))
   }
+
+  test("additive schema evolution: new column via whole-partition commit; old files read NULL") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    // v2 rewrites only partition b, carrying a NEW nullable column w.
+    // The per-version persisted schema makes this work: v2's schema
+    // has w, so partition a's v1 files (no w in the footer) come back
+    // with w = NULL; v1 read with v1's schema never sees w at all.
+    val evolved = df(schema.add(StructField("w", StringType, nullable = true)),
+      Row(3L, 33.0, "b", "tag3"), Row(5L, 55.0, "b", "tag5"))
+      .select("id", "v", "w", "part") // schema cols need not trail the partition col
+    Versioned.commit(spark, t, evolved, "part", Nil) shouldBe 2
+
+    val v2 = Versioned.readVersion(spark, t, 2)
+    v2.schema.fieldNames should contain("w")
+    v2.filter(col("part") === "a").select("w")
+      .collect().map(_.isNullAt(0)) shouldBe Array(true, true)
+    v2.filter(col("part") === "b").orderBy("id").select("id", "w")
+      .collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((3L, "tag3"), (5L, "tag5"))
+    // time travel: v1 keeps its own (pre-evolution) schema
+    Versioned.readVersion(spark, t, 1).schema.fieldNames should not contain "w"
+    assertSameRows(Versioned.readVersion(spark, t, 1), d1)
+  }
+
+  test("a MERGE commit with a column the target lacks aborts instead of dropping it") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil)
+    val staging = df(schema.add(StructField("w", StringType, nullable = true)),
+      Row(3L, 30.0, "b", "tag"))
+    val e = the[IllegalArgumentException] thrownBy
+      Versioned.commit(spark, t, staging, "part", keys = Seq("id"))
+    e.getMessage should include("w")
+    // the failed commit published nothing
+    Versioned.currentVersion(spark, t) shouldBe 1
+  }
 }
