@@ -226,6 +226,48 @@ class VersionedSpec extends SparkSpec {
       rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 40.0, "b")))
   }
 
+  test("vacuum invariance over a seeded random commit history") {
+    // 6 commits over 4 partitions, seeded-random mix of whole-partition
+    // replacements and MERGEs; capture every version's contents, then
+    // vacuum progressively tighter and assert retained versions are
+    // bit-for-bit what they were pre-vacuum — the retention contract on
+    // an arbitrary history, not a hand-picked one.
+    val rnd = new scala.util.Random(8)
+    val parts = Vector("a", "b", "c", "d")
+    val t = freshTable()
+    var nextId = 100L
+    for (_ <- 1 to 6) {
+      val touched = rnd.shuffle(parts).take(1 + rnd.nextInt(3))
+      val batch = rows(touched.flatMap { p =>
+        (1 to (1 + rnd.nextInt(2))).map { _ =>
+          nextId += 1
+          // ids collide across commits within a partition often enough
+          // to exercise the MERGE update path (reuse a low id half the time)
+          val id = if (rnd.nextBoolean()) nextId else 1L + rnd.nextInt(4)
+          (id, id * 1.0 + rnd.nextInt(10), p)
+        }
+      }.distinctBy(_._1): _*) // upsert keys must be unique within a batch
+      val keys = if (rnd.nextBoolean()) Seq("id") else Nil
+      Versioned.commit(spark, t, batch, "part", keys)
+    }
+    val current = Versioned.currentVersion(spark, t)
+    current shouldBe 6
+    val snapshots = (1 to current).map(v =>
+      v -> Versioned.readVersion(spark, t, v).orderBy("part", "id", "v")
+        .collect().toSeq).toMap
+
+    for (keep <- Seq(4, 2, 1)) {
+      val stats = Versioned.vacuum(spark, t, keep)
+      val retained = (current - keep + 1) to current
+      stats.retained shouldBe retained
+      for (v <- retained)
+        Versioned.readVersion(spark, t, v).orderBy("part", "id", "v")
+          .collect().toSeq shouldBe snapshots(v)
+      for (v <- 1 until retained.head)
+        new java.io.File(s"$t/_manifests/v$v.json").exists() shouldBe false
+    }
+  }
+
   test("additive schema evolution: new column via whole-partition commit; old files read NULL") {
     val t = freshTable()
     Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
