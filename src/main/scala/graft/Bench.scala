@@ -17,6 +17,22 @@ import org.apache.spark.sql.SparkSession
   *    regression, which makes cross-round adjudication possible;
   *  - failures propagate: a crashed query crashes the bench (rc != 0)
   *    instead of being silently timed as success.
+  *
+  * Cross-round adjudication caveat, measured (round 8): two
+  * back-to-back full-registry runs at identical settings produced
+  * q62_corr_matrix = 69.2 s (min AND median — every sample poisoned)
+  * and then 2.07 s, with the slow run showing zero full GCs, zero
+  * codecache-full events, healthy 30 ms young pauses, and ~12 other
+  * queries inflated in one contiguous window of the schedule. That
+  * profile — a multi-minute whole-process slowdown unexplained by any
+  * JVM counter, vanishing on rerun — is host-level interference (the
+  * box is virtualized; CPU steal is invisible in-process), the same
+  * class as round 7's q45/q46 6x swings on untouched code. Treat any
+  * cross-round swing as noise unless it reproduces in a second run;
+  * min-vs-median disagreement flags within-run jitter, but a
+  * whole-run phase can poison every sample of one query, so the only
+  * reliable signal for "this query regressed" is two consecutive
+  * rounds agreeing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
