@@ -1843,6 +1843,9 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q87_index_append" -> q85_incremental_neardup,
     // the persisted-index search contract IS the static-centroid IVF
     "q86_ivf_index_search" -> q48_ann_ivf_static,
+    // append is semantically invisible: index(half)+append(half) must
+    // answer exactly like index(all), which answers like q48's CTE
+    "q107_ivf_append" -> q48_ann_ivf_static,
     "q18_minhash_neardup" -> q18_minhash_neardup,
     "q19_jaccard_pairs" -> q19_jaccard_pairs,
     "q20_simhash_neardup" -> q20_simhash_neardup,

@@ -347,6 +347,35 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF index MAINTENANCE: index built on half the corpus, the
+    // other half APPENDED (cell assignment via the index's frozen
+    // centroids, dynamic partition append — history never read or
+    // rewritten). The search result must be indistinguishable from an
+    // index built on the full corpus, so the oracle is exactly q86's
+    // (which is q48's): append is semantically invisible.
+    "q107_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      val idxPath = fixture("ivf_index_app", dir) {
+        val p = scratch("ivf_index_app", dir)
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // append-mode target must start empty: wipe any previous
+        // process's index before the build+append pair
+        if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        graft.similarity.Similarity.writeIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), p, centroids = Some(cents))
+        graft.similarity.Similarity.appendIvfIndex(s, p,
+          emb.filter(col("vec_id") % 2 === 1))
+        p
+      }
+      graft.similarity.Similarity.searchIvfIndex(s, idxPath,
+          emb.filter(col("vec_id") < 10), k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SemDeDup: cluster by fixed centroids, drop lower-id cosine
     // near-dups within each cluster; full per-row keep/drop audit.
     "q88_semantic_dedup" -> ((s, dir) => {

