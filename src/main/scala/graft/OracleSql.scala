@@ -572,6 +572,20 @@ xs AS (
 
   /** Cleanup twin: identical explicit character classes on both
     * engines (\\s differs between Java and RE2 — never used). */
+  /** q108: Unicode NFC normalization audit — normalization is
+    * implementation-stable by the Unicode stabilization policy, so
+    * DuckDB's nfc_normalize and the JVM Normalizer must agree byte
+    * for byte (md5 compared). */
+  val q108_nfc_normalize: String = """
+WITH c AS (
+  SELECT doc_id, text, nfc_normalize(text) AS nfc FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_raw,
+  CAST(length(nfc) AS BIGINT) AS n_chars_nfc,
+  md5(nfc) AS nfc_md5,
+  (nfc <> text) AS changed
+FROM c ORDER BY doc_id"""
+
   val q51_text_clean: String = """
 WITH c AS (
   SELECT doc_id, text,
@@ -1883,6 +1897,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q49_bucketed_join" -> q34_salted_join,
     "q50_frame_sample" -> q50_frame_sample,
     "q51_text_clean" -> q51_text_clean,
+    "q108_nfc_normalize" -> q108_nfc_normalize,
     "q52_repetition" -> q52_repetition,
     "q53_funnel" -> q53_funnel,
     "q54_snapshot_diff" -> q54_snapshot_diff,

@@ -264,6 +264,14 @@ object SparkEntry {
       graft.text.TextAnalysis.cleanReport(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Unicode NFC audit through the native codegen'd nfc_normalize
+    // expression — canonical composition before hashing/dedup, so
+    // composed and decomposed spellings of the same text can never
+    // land in different dedup buckets.
+    "q108_nfc_normalize" -> ((s, dir) =>
+      graft.text.TextAnalysis.nfcReport(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // Exact content dedup: one survivor per distinct text, keyed on the
     // 16-byte content hash (shuffle key is the hash, not the document).
     "q17_content_dedup" -> ((s, dir) =>

@@ -283,5 +283,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVectorBandKeys(children.head, i(children(1), "bands"),
           i(children(2), "bits"), i(children(3), "dim"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "nfc_normalize takes 1 argument")
+        NfcNormalize(children.head)
+      }))
   }
 }

@@ -51,6 +51,25 @@ object TextAnalysis {
         md5(col("__clean").cast("binary")).as("clean_md5"),
         (col("__clean") =!= col("__raw")).as("changed"))
 
+  /** Unicode NFC normalization audit — the canonical-composition pass
+    * that must run BEFORE hashing/dedup/shingling: "é" composed and
+    * "e"+U+0301 decomposed are byte-different, so without it visually
+    * identical documents land in different dedup buckets and inflate
+    * the vocabulary. Runs through the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (pure projection, one
+    * static call per row, already-NFC text returned without copying);
+    * Unicode normalization stability across implementations is what
+    * makes the DuckDB `nfc_normalize` oracle legitimate. */
+  def nfcReport(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), col(textCol).as("__raw"),
+        graft.functions.StringFunctions.nfcNormalize(col(textCol)).as("__nfc"))
+      .select(col(idCol),
+        length(col("__raw")).cast("long").as("n_chars_raw"),
+        length(col("__nfc")).cast("long").as("n_chars_nfc"),
+        md5(col("__nfc").cast("binary")).as("nfc_md5"),
+        (col("__nfc") =!= col("__raw")).as("changed"))
+
   /** Conservative PII detector patterns: no lookarounds or engine-
     * specific classes, so Java (Spark) and RE2 (DuckDB, and most scan
     * engines) match identically. Deliberately high-precision shapes —
