@@ -23,26 +23,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * is returned as-is when nothing would change.
   */
 object NfcStringUtil {
-  def normalize(s: UTF8String): UTF8String = {
+  def normalize(s: UTF8String, form: Normalizer.Form): UTF8String = {
     val str = s.toString
-    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
-    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+    if (Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(Normalizer.normalize(str, form))
   }
 }
 
-/** Unicode NFC normalization as a native codegen'd expression — the
-  * canonical-composition pass every corpus pipeline runs before
-  * hashing/dedup/shingling, since visually identical strings with
-  * different codepoint sequences ("é" composed vs "e"+U+0301) would
-  * otherwise land in different dedup buckets and inflate vocabulary.
-  * Spark has no built-in for this (regexp/translate can't express
-  * canonical composition); the JVM's `java.text.Normalizer` is the
-  * public, standards-fixed implementation, and Unicode normalization
-  * is stable across implementations by the standard's stabilization
+/** Unicode normalization as a native codegen'd expression. NFC (the
+  * default) is the canonical-composition pass every corpus pipeline
+  * runs before hashing/dedup/shingling, since visually identical
+  * strings with different codepoint sequences ("é" composed vs
+  * "e"+U+0301) would otherwise land in different dedup buckets and
+  * inflate vocabulary. NFKC additionally folds compatibility forms
+  * (ligatures "ﬁ"→"fi", full-width "Ａ"→"A", superscripts) — the
+  * aggressive fold most tokenizer preprocessing applies before BPE.
+  * Spark has no built-in for either (regexp/translate can't express
+  * composition); the JVM's `java.text.Normalizer` is the public,
+  * standards-fixed implementation, and Unicode normalization is
+  * stable across implementations by the standard's stabilization
   * policy — which is what makes a cross-engine oracle (DuckDB
-  * `nfc_normalize`) legitimate.
+  * `nfc_normalize`) legitimate for the NFC path.
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class UnicodeNormalize(child: Expression, form: String = "NFC")
+    extends UnaryExpression {
+
+  require(UnicodeNormalize.forms.contains(form),
+    s"form must be one of ${UnicodeNormalize.forms.keys.mkString(", ")}, got $form")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
@@ -52,21 +59,31 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = child.dataType
 
-  override def prettyName: String = "nfc_normalize"
+  override def prettyName: String = s"${form.toLowerCase(java.util.Locale.ROOT)}_normalize"
 
   override protected def nullSafeEval(v: Any): Any =
-    NfcStringUtil.normalize(v.asInstanceOf[UTF8String])
+    NfcStringUtil.normalize(v.asInstanceOf[UTF8String], UnicodeNormalize.forms(form))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NfcStringUtil.normalize($c)")
+    defineCodeGen(ctx, ev, c =>
+      // `form` is constructor-validated against the enum names, so the
+      // static field reference below always resolves
+      s"graft.functions.NfcStringUtil.normalize($c, java.text.Normalizer.Form.$form)")
 
-  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val forms: Map[String, Normalizer.Form] = Map(
+    "NFC" -> Normalizer.Form.NFC, "NFD" -> Normalizer.Form.NFD,
+    "NFKC" -> Normalizer.Form.NFKC, "NFKD" -> Normalizer.Form.NFKD)
 }
 
 object StringFunctions {
 
   val nfcFnName = "graft_nfc_normalize"
+  val nfkcFnName = "graft_nfkc_normalize"
 
   private[functions] def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -74,7 +91,14 @@ object StringFunctions {
       registry.createOrReplaceTempFunction(nfcFnName,
         { children: Seq[Expression] =>
           require(children.size == 1, s"$nfcFnName takes 1 argument")
-          NfcNormalize(children.head)
+          UnicodeNormalize(children.head)
+        },
+        "built-in")
+    if (!registry.functionExists(FunctionIdentifier(nfkcFnName)))
+      registry.createOrReplaceTempFunction(nfkcFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$nfkcFnName takes 1 argument")
+          UnicodeNormalize(children.head, "NFKC")
         },
         "built-in")
   }
@@ -85,5 +109,14 @@ object StringFunctions {
   def nfcNormalize(c: Column): Column = {
     ensureRegistered()
     call_function(nfcFnName, c)
+  }
+
+  /** Compatibility fold (NFKC) — tokenizer-prep normalization: folds
+    * ligatures, full-width forms, and other compatibility variants on
+    * top of canonical composition. No DuckDB twin exists, so this path
+    * is spec-verified (StringExpressionsSpec) rather than oracled. */
+  def nfkcNormalize(c: Column): Column = {
+    ensureRegistered()
+    call_function(nfkcFnName, c)
   }
 }

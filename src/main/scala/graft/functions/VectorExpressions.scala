@@ -285,10 +285,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
-      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfc_normalize"),
       { children: Seq[Expression] =>
         require(children.size == 1, "nfc_normalize takes 1 argument")
-        NfcNormalize(children.head)
+        UnicodeNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfkc_normalize"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "nfkc_normalize takes 1 argument")
+        UnicodeNormalize(children.head, "NFKC")
       }))
   }
 }

@@ -59,6 +59,22 @@ class StringExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("nfkc_normalize folds compatibility forms that NFC preserves") {
+    // ligature U+FB01, full-width U+FF21, superscript two U+00B2 —
+    // all NFC-stable but NFKC-folded (the tokenizer-prep distinction)
+    val lig = "\ufb01le"; val wide = "\uff21BC"; val sup = "x\u00b2"
+    val d = df(schema, Row(1L, lig), Row(2L, wide), Row(3L, sup),
+      Row(4L, decomposed))
+    val out = d.select(col("id"),
+        StringFunctions.nfcNormalize(col("s")).as("nfc"),
+        StringFunctions.nfkcNormalize(col("s")).as("nfkc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    out(1L) shouldBe (lig, "file")     // NFC keeps the ligature, NFKC folds
+    out(2L) shouldBe (wide, "ABC")
+    out(3L) shouldBe (sup, "x2")
+    out(4L) shouldBe (composed, composed) // canonical cases agree
+  }
+
   test("nfc_normalize is callable from SQL once registered") {
     StringFunctions.nfcNormalize(lit("x")) // forces temp-function registration
     spark.sql(s"SELECT graft_nfc_normalize('$decomposed') AS n")
