@@ -143,14 +143,20 @@ object Profiling {
     * measure with none of PSI's per-category logs (which would break
     * the bit-exact oracle and blow up on empty bins). Categories
     * appearing on one side only surface with a zero count, not a
-    * dropped row. Cost: two count aggregates + a category-sized
-    * full-outer join; the totals frame is one row, broadcast back. */
+    * dropped row; a NULL category is a category like any other — the
+    * outer join is NULL-SAFE (`<=>`), so null-in-base and
+    * null-in-incoming meet in ONE row instead of two phantom
+    * one-sided rows inflating the drift score. Cost: two count
+    * aggregates + a category-sized full-outer join; the totals frame
+    * is one row, broadcast back. */
   def categoricalDrift(base: DataFrame, incoming: DataFrame,
                        keyCol: String): DataFrame = {
-    def counts(df: DataFrame, n: String) =
-      df.groupBy(col(keyCol)).agg(count(lit(1)).as(n))
-    val j = counts(base, "__a").join(counts(incoming, "__b"), Seq(keyCol), "full")
-      .select(col(keyCol),
+    def counts(df: DataFrame, k: String, n: String) =
+      df.groupBy(col(keyCol).as(k)).agg(count(lit(1)).as(n))
+    val j = counts(base, "__ka", "__a")
+      .join(counts(incoming, "__kb", "__b"),
+        col("__ka") <=> col("__kb"), "full")
+      .select(coalesce(col("__ka"), col("__kb")).as(keyCol),
         coalesce(col("__a"), lit(0L)).as("n_base"),
         coalesce(col("__b"), lit(0L)).as("n_in"))
     val tot = j.agg(sum(col("n_base")).as("__na"), sum(col("n_in")).as("__nb"))

@@ -44,9 +44,15 @@ object Multimodal {
     * media ingest runs on every object — pure codegen'd projection
     * over the first 26 bytes, no decode libs, no UDF; only PIXEL
     * decoding stays stubbed ([[stubDecode]]). Non-PNG bytes surface
-    * as is_png = false with NULL fields, not an error. */
+    * as is_png = false with NULL fields, not an error. The guard
+    * checks signature AND that the first chunk really is IHDR (the
+    * spec mandates it; a truncated or non-conforming blob carrying
+    * only the 8-byte signature must not yield garbage field reads)
+    * AND that all 26 header bytes are present. */
   def pngHeader(bin: Column): Column = {
-    val sig = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
+    val sig = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(bin, 13, 4)) === "49484452" && // "IHDR" chunk type
+      length(bin) >= 26
     struct(
       sig.as("is_png"),
       when(sig, beUInt(bin, 17, 4)).as("width"),

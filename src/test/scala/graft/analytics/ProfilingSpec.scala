@@ -104,6 +104,22 @@ class ProfilingSpec extends SparkSpec {
     Profiling.driftScore(base, in, "k") shouldBe 0.5
   }
 
+  test("categoricalDrift treats NULL as one category on both sides") {
+    // null appears in BOTH snapshots: the null-safe join must meet
+    // them in ONE row (share .5 vs .5, zero drift), not two phantom
+    // one-sided rows that would each contribute 0.5 to the score.
+    val base = Seq(Some("x"), None, None, Some("x")).toDF("k")
+    val in = Seq(None, Some("x")).toDF("k")
+    val out = Profiling.categoricalDrift(base, in, "k")
+      .select("k", "n_base", "n_in", "share_diff")
+      .as[(Option[String], Long, Long, Double)].collect()
+      .sortBy(_._1)
+    out shouldBe Array(
+      (None, 2L, 1L, 0.0),
+      (Some("x"), 2L, 1L, 0.0))
+    Profiling.driftScore(base, in, "k") shouldBe 0.0
+  }
+
   test("ksDrift finds the max CDF gap and where it peaks") {
     val base = Seq(1.0, 2.0, 3.0).toDF("v")      // F_a steps 1/3 each
     val in = Seq(3.0, 4.0).toDF("v")             // F_b starts at 3

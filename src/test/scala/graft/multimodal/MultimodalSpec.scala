@@ -101,6 +101,23 @@ class MultimodalSpec extends SparkSpec {
     out(1).isNullAt(2) shouldBe true
   }
 
+  test("pngHeader rejects a signature-only or non-IHDR-first blob") {
+    val sigOnly = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    // right signature, wrong first chunk type (spec violation)
+    val wrongChunk = sigOnly ++ be(13, 4) ++ "IDAT".getBytes ++
+      be(1920, 4) ++ be(1080, 4) ++ Array[Byte](8, 6)
+    // signature + IHDR magic but truncated before the field bytes
+    val truncated = sigOnly ++ be(13, 4) ++ "IHDR".getBytes
+    val out = media(1L -> sigOnly, 2L -> wrongChunk, 3L -> truncated)
+      .select(col("id"), Multimodal.pngHeader(col("media")).as("h"))
+      .select("id", "h.is_png", "h.width")
+      .orderBy("id").collect()
+    out.foreach { r =>
+      r.getBoolean(1) shouldBe false
+      r.isNullAt(2) shouldBe true
+    }
+  }
+
   test("wavHeader parses a canonical RIFF fmt chunk") {
     val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++
       "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++      // PCM
