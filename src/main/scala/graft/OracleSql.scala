@@ -501,6 +501,47 @@ p AS (
 SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS cnt
 FROM p GROUP BY 1, 2 ORDER BY cnt DESC, sym_a, sym_b LIMIT 200"""
 
+  /** Fixed merge list for q110: the data-independent half of BPE.
+    * Training is a loop no SQL oracle can replay, but ENCODING under a
+    * known merge list is — so the production encoder
+    * ([[graft.text.Bpe.rankEncode]] behind
+    * [[graft.text.Bpe.encodeTokenCounts]]) gets a full hash check
+    * here, the q48-vs-q41 split applied to tokenization. The list is
+    * deliberately adversarial: chained merges (t,h)→(th,e</w>),
+    * end-of-word merges, a self-pair (l,l), and an entry ((b,c)) whose
+    * rank precedes one ((a,b)) that could feed it — exercising the
+    * in-learned-order semantics both sides must share. */
+  val bpeStaticMerges: Seq[(String, String)] = Seq(
+    "e" -> "</w>", "t" -> "h", "th" -> "e</w>", "s" -> "</w>",
+    "d" -> "</w>", "i" -> "n", "a" -> "n", "an" -> "d</w>",
+    "e" -> "r", "er" -> "</w>", "o" -> "n", "r" -> "e",
+    "a" -> "t", "e" -> "n", "o" -> "r", "t" -> "</w>",
+    "l" -> "l", "o" -> "u", "in" -> "g", "y" -> "</w>",
+    "b" -> "c", "a" -> "b")
+
+  /** q110 twin: BPE encoding as string rewriting. A word's symbol
+    * state is rendered with a '|' terminator after every symbol
+    * ("l|o|w|</w>|"), so one in-order greedy left-to-right merge pass
+    * for (a,b) is EXACTLY SQL `replace(s, 'a|b|', 'ab|')`: the
+    * trailing terminator keeps a symbol from matching a prefix of a
+    * longer one, non-overlapping left-to-right replacement is the
+    * no-remerge rule ("a|a|a|" under (a,a) becomes "aa|a|"), and the
+    * replacement re-emits the terminator so back-to-back occurrences
+    * chain. Token count = terminators remaining. '|' never appears in
+    * symbols ([a-z0-9] and '</w>'). */
+  val q110_bpe_encode_static: String = {
+    val enc = bpeStaticMerges.foldLeft(
+      """regexp_replace(word, '(.)', '\1|', 'g') || '</w>|'""") {
+      case (e, (a, b)) => s"replace($e, '$a|$b|', '$a$b|')"
+    }
+    toksCte + s"""
+, w AS (SELECT doc_id, unnest(tokens) AS word FROM toks),
+enc AS (SELECT doc_id, $enc AS s FROM w)
+SELECT doc_id,
+  CAST(sum(length(s) - length(replace(s, '|', ''))) AS BIGINT) AS n_bpe_tokens
+FROM enc GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val q15_doc_profile: String = toksCte + """
 , base AS (
   SELECT doc_id,
@@ -1915,6 +1956,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q66_bigrams" -> q66_bigrams,
     "q89_bigram_familiarity" -> q89_bigram_familiarity,
     "q90_bpe_pair_counts" -> q90_bpe_pair_counts,
+    "q110_bpe_encode_static" -> q110_bpe_encode_static,
     "q92_drift" -> q92_drift,
     "q93_fuzzy_pairs" -> q93_fuzzy_pairs,
     "q94_ks_drift" -> q94_ks_drift,

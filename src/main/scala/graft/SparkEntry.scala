@@ -1220,11 +1220,37 @@ object SparkEntry {
 
     // BPE training statistic: freq-weighted adjacent-symbol pairs in
     // the initial char state — iteration 1 of Bpe.trainBpe, the
-    // SQL-expressible slice of the loop (BpeSpec pins the rest).
+    // SQL-expressible slice of the loop. The timed region is exactly
+    // what the name says: pair counts, not the train loop (that is
+    // q109's job).
     "q90_bpe_pair_counts" -> ((s, dir) =>
       graft.text.Bpe.pairCounts(graft.text.Bpe.initialSymbols(
           graft.text.Bpe.wordCounts(Tables.documents(s, dir))))
         .orderBy(col("cnt").desc, col("sym_a"), col("sym_b")).limit(200)),
+
+    // FULL BPE train + encode: one distributed word-type count, the
+    // 256-merge delta loop on the driver, then per-doc token counts
+    // under the trained list via the rank encoder. The merge loop is
+    // not SQL-expressible (no oracle — rows-only check): BpeSpec pins
+    // the trainer against a naive full-recount reference and the
+    // encoder against in-order replay; q110 hash-checks the encoder
+    // end-to-end under a fixed list. Timed region = everything,
+    // including the loop — the cost a "train a tokenizer" user pays.
+    "q109_bpe_train_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.Bpe.trainBpe(docs, numMerges = 256)
+      graft.text.Bpe.encodeTokenCounts(docs, merges).orderBy(col("doc_id"))
+    }),
+
+    // Production BPE encoder under a FIXED merge list — the
+    // q48-vs-q41 split applied to tokenization: training stays
+    // spec-pinned (q109), encoding gets a full DuckDB hash check
+    // (the oracle rewrites each word with one string replace per
+    // merge, in learned order — see OracleSql.q110_bpe_encode_static).
+    "q110_bpe_encode_static" -> ((s, dir) =>
+      graft.text.Bpe.encodeTokenCounts(Tables.documents(s, dir),
+          graft.OracleSql.bpeStaticMerges)
+        .orderBy(col("doc_id"))),
 
     // Small-file compaction: fragment a partitioned table (8 writers
     // per lang dir), compact to ~1 file per partition, read back —

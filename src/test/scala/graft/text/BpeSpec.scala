@@ -57,4 +57,96 @@ class BpeSpec extends SparkSpec {
     pc(("l", "o")) shouldBe 7L   // low 5 + lower 2
     pc(("t", "</w>")) shouldBe 9L
   }
+
+  /** Naive reference trainer: recount every pair from scratch each
+    * iteration — obviously correct, quadratically slow. Pins the
+    * incremental-delta loop in [[Bpe.trainFromTypes]]. */
+  private def naiveTrain(types: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var state = types.map { case (w, f) =>
+      (w.split("").toList :+ Bpe.EndOfWord, f)
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val counts = state.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(_ -> f)
+      }.groupBy(_._1).map { case (p, l) => p -> l.map(_._2).sum }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        state = state.map { case (s, f) => (Bpe.mergeOnce(s, best._1, best._2), f) }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  test("trainFromTypes matches a naive full-recount trainer on random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val types = (1 to (5 + rnd.nextInt(20))).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, l) => w -> l.map(_._2).sum }.toSeq
+      val n = 3 + rnd.nextInt(15)
+      withClue(s"trial $trial types=$types merges=$n: ") {
+        Bpe.trainFromTypes(types, n) shouldBe naiveTrain(types, n)
+      }
+    }
+  }
+
+  test("rankEncode equals applyMerges replay on random merge lists") {
+    val rnd = new scala.util.Random(7)
+    // trained lists (realistic chains) AND fully arbitrary lists (the
+    // watermark equivalence holds for ANY list, including pairs whose
+    // parts never co-occur and duplicate pairs)
+    for (trial <- 1 to 30) {
+      val types = (1 to 12).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        w -> (1L + rnd.nextInt(5))
+      }
+      val trained = Bpe.trainFromTypes(
+        types.groupBy(_._1).map { case (w, l) => w -> l.map(_._2).sum }.toSeq, 10)
+      val arbitrary = (1 to 8).map { _ =>
+        def sym() = (1 to (1 + rnd.nextInt(2))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (sym(), if (rnd.nextBoolean()) sym() else Bpe.EndOfWord)
+      }
+      for (merges <- Seq(trained, arbitrary, trained ++ arbitrary)) {
+        val ranks = Bpe.mergeRanks(merges)
+        for (_ <- 1 to 10) {
+          val w = (1 to (1 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+          withClue(s"trial $trial word=$w merges=$merges: ") {
+            Bpe.rankEncode(w, ranks) shouldBe Bpe.applyMerges(w, merges)
+          }
+        }
+      }
+    }
+  }
+
+  test("a pathological megasymbol word costs heap, never stack") {
+    // a 50k-char [a-z0-9]+ run (hash/base64 blob) in one document:
+    // head-recursive merging would StackOverflow an executor here.
+    val blob = "a" * 50000
+    val merges = Seq(("a", "a"), ("aa", "aa"))
+    // greedy no-remerge: 50000 a's -> 25000 aa's -> 12500 aaaa's, +</w>
+    Bpe.applyMerges(blob, merges).length shouldBe 12501
+    Bpe.rankEncode(blob, Bpe.mergeRanks(merges)).length shouldBe 12501
+    Bpe.trainFromTypes(Seq(blob -> 3L), 2) shouldBe merges
+  }
+
+  test("encodeTokenCounts cost is independent of merge-list length") {
+    // not a wall-clock assertion (jitter): a 50k-entry merge list in
+    // which only 5 entries ever apply must still encode correctly —
+    // the rank map makes inapplicable entries free.
+    val real = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+    val padding = (1 to 50000).map(i => (s"zz$i", s"qq$i"))
+    val out = Bpe.encodeTokenCounts(docs(1L -> "low widest", 2L -> "lowest"),
+        real ++ padding)
+      .orderBy("doc_id").collect()
+    out(0).getLong(1) shouldBe 6L
+    out(1).getLong(1) shouldBe 2L
+  }
 }
