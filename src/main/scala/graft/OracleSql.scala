@@ -973,6 +973,57 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q111: composed IVF+SQ8 twin — q48's fixed-centroid assignment
+    * and probe CTEs (full-precision coarse quantizer) feeding q91's
+    * int8 quantization and pure-BIGINT integer-dot scoring, restricted
+    * to each query's 3 probed cells. Each corpus row has exactly one
+    * cell and a query's probe list holds distinct cells, so the
+    * cell equi-join scores every candidate once. */
+  val q111_ivf_sq8_search: String = {
+    val cvals = (0 until 8).map { j =>
+      val c = graft.similarity.Similarity.hyperplane(j, hpDim)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        .max(java.lang.Double.MIN_VALUE)
+      s"($j, [${c.map(x => s"${x.toInt}.0").mkString(",")}], $cn)"
+    }.mkString(",\n  ")
+    def dotCv(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * cv[i])), (acc,v) -> acc + v)"
+    def sq8(e: String) =
+      s"list_transform(range(1, len($e)+1), " +
+        s"i -> CAST(floor(CAST($e[i] AS DOUBLE) " +
+        s"/ sqrt(${sqlDot(e, e)}) * 127 + 0.5) AS BIGINT))"
+    s"""
+WITH cm(cell, cv, cn) AS (SELECT * FROM (VALUES
+  $cvals) v(cell, cv, cn)),
+a AS (
+  SELECT vec_id, embedding, cell,
+    (-(${dotCv("embedding")})) / (sqrt(${sqlDot("embedding", "embedding")}) * cn) AS d
+  FROM embeddings CROSS JOIN cm),
+codes AS (
+  SELECT vec_id, cell, ${sq8("embedding")} AS qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a)
+  WHERE rn = 1),
+qcodes AS (
+  SELECT vec_id AS query_id, cell, ${sq8("embedding")} AS qq FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a WHERE vec_id < 10)
+  WHERE rn <= 3),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(c.qv)+1), i -> c.qv[i] * q.qq[i])),
+      (acc, v) -> acc + v) AS score
+  FROM codes c JOIN qcodes q ON c.cell = q.cell AND c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, score FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -1933,6 +1984,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q48_ann_ivf_static" -> q48_ann_ivf_static,
     "q88_semantic_dedup" -> q88_semantic_dedup,
     "q91_quantized_knn" -> q91_quantized_knn,
+    "q111_ivf_sq8_search" -> q111_ivf_sq8_search,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -384,6 +384,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Composed IVF+SQ8 index: cell partitioning bounds WHICH rows a
+    // search reads (directory pruning, as q86), int8 codes bound the
+    // BYTES per row (4x smaller) — the production FAISS "IVFx,SQ8"
+    // shape. Fixed centroids make the whole path SQL-expressible;
+    // scoring is the q91 pure-BIGINT integer-dot contract, so the
+    // oracle compare is exact with no epsilon. Timed work = the
+    // pruned quantized SEARCH (index build is the fixture).
+    "q111_ivf_sq8_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      val idxPath = fixture("ivf_sq8_index", dir) {
+        val p = scratch("ivf_sq8_index", dir)
+        graft.similarity.Similarity.writeIvfIndexQuantized(emb, p,
+          centroids = Some(cents))
+        p
+      }
+      graft.similarity.Similarity.searchIvfIndexQuantized(s, idxPath,
+          emb.filter(col("vec_id") < 10), k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SemDeDup: cluster by fixed centroids, drop lower-id cosine
     // near-dups within each cluster; full per-row keep/drop audit.
     "q88_semantic_dedup" -> ((s, dir) => {

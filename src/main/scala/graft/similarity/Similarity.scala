@@ -395,6 +395,96 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  // ------------------------------------------------- IVF + SQ8 (composed)
+
+  /** Persist an IVF index with SQ8-QUANTIZED codes — the composition
+    * every production ANN deployment runs (FAISS `IVFx,SQ8`, Johnson
+    * et al. 2017, arXiv:1702.08734): cell partitioning bounds WHICH
+    * rows a search reads (`nprobe/nlist` of the corpus, directory
+    * pruning as in [[writeIvfIndex]]), int8 codes bound the BYTES per
+    * row read (4× smaller than float32) — the two savings multiply.
+    * Layout: `path/centroids` as in [[writeIvfIndex]];
+    * `path/rows` = (id, codes) partitioned by cell, where codes is
+    * [[quantize]]'s int-valued float array (exact in float, so the
+    * codegen'd float dot computes the integer score exactly — see
+    * [[knnQuantized]]). Cell assignment uses the FULL-PRECISION
+    * vector (the coarse quantizer is full-precision in FAISS too);
+    * only the residual scan is quantized. */
+  def writeIvfIndexQuantized(corpus: DataFrame, path: String, nlist: Int = 8,
+                             iters: Int = 2, idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             centroids: Option[Array[Array[Float]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, nlist, iters, idCol, vecCol))
+    cents.toSeq.zipWithIndex.map { case (c, j) => (j, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__n"))
+      .select(col(idCol), quantize(col(vecCol), col("__n")).as("codes"),
+        nearestCell(col(vecCol), col("__n"), cents).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/rows")
+  }
+
+  /** Append a batch into a quantized IVF index — same maintenance
+    * contract as [[appendIvfIndex]]: assignment under the index's own
+    * frozen centroids, dynamic-partition APPEND into the `cell=`
+    * layout, history never read or rewritten (search-after-append ≡
+    * search-over-union, asserted in SimilaritySpec). */
+  def appendIvfIndexQuantized(spark: org.apache.spark.sql.SparkSession,
+                              path: String, batch: DataFrame,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    batch
+      .select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__n"))
+      .select(col(idCol), quantize(col(vecCol), col("__n")).as("codes"),
+        nearestCell(col(vecCol), col("__n"), cents).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/rows")
+  }
+
+  /** Search a quantized IVF index: full-precision probe selection
+    * (as [[searchIvfIndex]] — static partition filter, only the
+    * probed cells' files are read), then ranking by the exact integer
+    * code dot against the quantized query (the [[knnQuantized]]
+    * score contract: pure-BIGINT output, oracle-exact with no
+    * epsilon). With `nprobe = nlist` this equals [[knnQuantized]] row
+    * for row; with `nprobe < nlist` it reads `nprobe/nlist` of a
+    * store that is already 4× smaller than the float index — in a
+    * two-stage deployment, re-rank the survivors with exact cosine
+    * over the float corpus at k' ≫ k. */
+  def searchIvfIndexQuantized(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame, k: Int = 10,
+                              nprobe: Int = 3, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        vecNorm(col(vecCol)).as("__qnorm"))
+      .select(col("query_id"), quantize(col("__qv"), col("__qnorm")).as("__qcodes"),
+        explode(probedCells(col("__qv"), col("__qnorm"), cents, nprobe)).as("__probe"))
+      .select(col("query_id"), col("__qcodes"), col("__probe.cell").as("cell"))
+    // distinct probed cells: bounded by nlist, never by |queries|
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val rows = spark.read.parquet(s"$path/rows")
+      .filter(col("cell").isInCollection(probed))
+    val scored = rows.join(broadcast(q), "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", vecDot(col("codes"), col("__qcodes")).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("score"))
+  }
+
   /** Embedding-cosine near-dup pairs: candidates share at least one
     * LSH band (equi-join on (band, key), first-matching-band dedup),
     * verified by exact cosine ≥ threshold. Per-band self-join work is

@@ -334,6 +334,90 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.7
   }
 
+  test("searchIvfIndexQuantized with full probe equals knnQuantized row for row") {
+    // nprobe = nlist: every cell probed, so the composed index must
+    // reproduce the flat quantized scan EXACTLY (same integer scores,
+    // same ranks) — which also transfers q91's measured recall ≥ 0.7
+    // vs exact brute force to the composed index at full coverage.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Array.tabulate(8)(p => Similarity.hyperplane(p, 64))
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8").toString + "/idx"
+    Similarity.writeIvfIndexQuantized(emb, path, centroids = Some(cents))
+    val queries = emb.filter(col("vec_id") < 5)
+    assertSameRows(
+      Similarity.searchIvfIndexQuantized(spark, path, queries, k = 10, nprobe = 8),
+      Similarity.knnQuantized(emb, queries, k = 10))
+  }
+
+  test("quantized IVF recall at nprobe=3 beats the probe-fraction floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Array.tabulate(8)(p => Similarity.hyperplane(p, 64))
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8").toString + "/idx"
+    Similarity.writeIvfIndexQuantized(emb, path, centroids = Some(cents))
+    val queries = emb.filter(col("vec_id") < 5)
+    // truth = the flat quantized baseline (full coverage, same scores):
+    // what pruning alone costs. Hyperplane cells are data-blind, so the
+    // floor is the probe fraction 3/8; measured recall is well above.
+    val truth = Similarity.knnQuantized(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pruned = Similarity
+      .searchIvfIndexQuantized(spark, path, queries, k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (truth intersect pruned).size.toDouble / truth.size should be >= 0.375
+  }
+
+  test("appendIvfIndexQuantized: search after append equals search over union") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Array.tabulate(8)(p => Similarity.hyperplane(p, 64))
+    val inc = java.nio.file.Files.createTempDirectory("ivfsq8").toString + "/idx"
+    Similarity.writeIvfIndexQuantized(emb.filter(col("vec_id") % 2 === 0),
+      inc, centroids = Some(cents))
+    Similarity.appendIvfIndexQuantized(spark, inc,
+      emb.filter(col("vec_id") % 2 === 1))
+    val full = java.nio.file.Files.createTempDirectory("ivfsq8").toString + "/idx"
+    Similarity.writeIvfIndexQuantized(emb, full, centroids = Some(cents))
+    val queries = emb.filter(col("vec_id") < 5)
+    assertSameRows(
+      Similarity.searchIvfIndexQuantized(spark, inc, queries, k = 10, nprobe = 3),
+      Similarity.searchIvfIndexQuantized(spark, full, queries, k = 10, nprobe = 3))
+  }
+
+  test("searchIvfIndexQuantized scans only the probed cells' partition files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Array.tabulate(8)(p => Similarity.hyperplane(p, 64))
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8").toString + "/idx"
+    Similarity.writeIvfIndexQuantized(emb, path, centroids = Some(cents))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = emb.filter(col("vec_id") === 0L)
+      val out = Similarity.searchIvfIndexQuantized(spark, path, one, k = 10, nprobe = 2)
+      out.collect()
+      val probed = one.select(explode(Similarity.probedCells(col("embedding"),
+          Similarity.norm(col("embedding")), cents, 2)).as("p"))
+        .select(col("p.cell")).distinct().as[Int].collect().toSet
+      probed.size should be <= 2
+      val cellDirs = new java.io.File(s"$path/rows").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+      cellDirs.length shouldBe 8
+      def parquetFiles(d: java.io.File): Int =
+        d.listFiles().count(_.getName.endsWith(".parquet"))
+      val probedFiles = cellDirs
+        .filter(d => probed.contains(d.getName.stripPrefix("cell=").toInt))
+        .map(parquetFiles).sum
+      val allFiles = cellDirs.map(parquetFiles).sum
+      // the codes-store scan must read exactly the probed cells' files
+      val rowScan = out.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.schema.fieldNames.contains("codes") => s
+      }
+      rowScan should have size 1
+      rowScan.head.metrics("numFiles").value shouldBe probedFiles
+      probedFiles should be < allFiles
+      rowScan.head.toString should include regex "PartitionFilters: \\[.*cell.*\\]"
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("recallAtK counts hits per query, keeping zero-hit queries") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
