@@ -33,13 +33,55 @@ import graft.etl.Upsert
   * the same bound hive metastores live with); a commit's IO is the
   * touched partitions only (the [[graft.etl.Upsert.upsertPartitioned]]
   * cost model); reads prune to the manifest's file list and recover
-  * the partition column via basePath. Writers are single-process (the
-  * reference's loader model) — manifest publication is the atomic
-  * commit point, so a crash mid-write leaves the previous version
-  * intact (data dirs without a manifest pointer are garbage, never
-  * corruption).
+  * the partition column via basePath.
+  *
+  * == Concurrency: optimistic, never a lost update ==
+  *
+  * A real lakehouse table gets CONCURRENT committers, so commits are
+  * optimistic-concurrency transactions (the Delta/Iceberg protocol
+  * shape, here in its minimal form):
+  *
+  *  1. '''claim''' a writer-unique data-version token `k` by atomic
+  *     create-no-overwrite of `_manifests/dv<k>.claim` — two writers
+  *     can therefore never write into the same `__dv=<k>` leaves, so
+  *     in-flight data never collides (data versions are DECOUPLED
+  *     from manifest versions; nothing ever required them equal);
+  *  2. write data under `__dv=<k>` and the data schema to
+  *     `_manifests/schema_dv<k>.json` — both writer-exclusive by the
+  *     claim;
+  *  3. '''publish''' manifest `v(current+1)` by atomic
+  *     create-no-overwrite — the one and only commit point. Losing
+  *     the race means some other writer published that version first:
+  *     re-read the WINNER's manifest, recompute the merge against it
+  *     (the staged merge was computed against a stale base), and
+  *     retry; after `maxRetries` rebases, abort with
+  *     [[ConcurrentCommitException]] — the published chain is
+  *     untouched either way, so the outcome is always "both commits
+  *     survive, serialized" or "one aborts cleanly", never a lost
+  *     update (VersionedSpec races two real committers).
+  *
+  * A crash at any point leaves the previous version intact: claimed
+  * tokens, data dirs and schema files without a manifest pointer are
+  * garbage collected by [[vacuum]], never corruption. Vacuum itself
+  * must not run concurrently with writers (it would collect a live
+  * claim's data as orphans) — retention is an exclusive maintenance
+  * window, the standard lakehouse contract.
   */
+/** A commit lost the manifest race `maxRetries + 1` times. The
+  * published version chain is untouched; the aborted attempt's data
+  * is unreferenced garbage for [[Versioned.vacuum]]. */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 object Versioned {
+
+  /** Reserved manifest key recording which data version the commit
+    * that published this manifest wrote — NOT a partition entry.
+    * Schema resolution needs it: under interleaved commits the
+    * largest dv in a manifest can belong to an EARLIER version (a
+    * rebased writer publishes later with a smaller token), and the
+    * correct read schema is always the committing writer's. */
+  private[store] val CommitDvKey = "__commit_dv"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,8 +89,66 @@ object Versioned {
   private def manifestPath(table: String, v: Int) =
     new Path(s"$table/_manifests/v$v.json")
 
+  /** Legacy (pre-concurrency) schema location, keyed by manifest
+    * version — still read as a fallback. */
   private def schemaPath(table: String, v: Int) =
     new Path(s"$table/_manifests/schema_v$v.json")
+
+  /** Schema of the data files a claimed data version wrote — keyed by
+    * the writer-unique token, so racing writers never clobber each
+    * other's schema the way a version-keyed file would. */
+  private def schemaDvPath(table: String, dv: Int) =
+    new Path(s"$table/_manifests/schema_dv$dv.json")
+
+  private[store] def claimPath(table: String, dv: Int) =
+    new Path(s"$table/_manifests/dv$dv.claim")
+
+  /** Atomic create-no-overwrite — the CAS primitive under both the
+    * claim and the publish. Hadoop's LocalFileSystem implements
+    * `create(p, overwrite = false)` as check-then-create (not
+    * atomic), so the local scheme goes through NIO `CREATE_NEW`
+    * (O_EXCL — atomic on POSIX); remote filesystems use the
+    * documented atomic `create(path, false)` contract. Returns false
+    * iff the path already existed. */
+  private[store] def tryCreateExclusive(f: org.apache.hadoop.fs.FileSystem,
+                                        p: Path, bytes: Array[Byte]): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(nio.getParent)
+        val out = java.nio.file.Files.newOutputStream(nio,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exist") => false
+      }
+    }
+
+  /** Claim the next free data-version token at or above `start` —
+    * after this returns, `__dv=<k>` and `schema_dv<k>` belong to this
+    * writer alone. Probes are contiguous, so uncontended sequential
+    * commits get 1, 2, 3… (the layout VersionedSpec pins). */
+  private def claimDataVersion(f: org.apache.hadoop.fs.FileSystem,
+                               table: String, start: Int): Int = {
+    var k = start
+    while (!tryCreateExclusive(f, claimPath(table, k), Array.emptyByteArray)) {
+      k += 1
+      require(k - start < 1000000, s"claim probe runaway at $table (dv $k)")
+    }
+    k
+  }
 
   /** Latest committed version, 0 if none. */
   def currentVersion(spark: SparkSession, table: String): Int = {
@@ -101,29 +201,23 @@ object Versioned {
     parseManifest(new String(bytes, StandardCharsets.UTF_8))
   }
 
-  private def writeManifest(spark: SparkSession, table: String, v: Int,
-                            m: Map[String, Int]): Unit = {
-    val p = manifestPath(table, v)
-    val f = fs(spark, table)
-    require(!f.exists(p), s"version $v already committed")
-    val out = f.create(p, false)
-    try out.write(renderManifest(m).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
   /** Commit `df` as the next table version, rewriting ONLY the
     * `partitionCol` partitions present in `df`. MERGE semantics per
     * touched partition against the previous version on `keys` (pass
     * `keys = Nil` for whole-partition replacement). Returns the new
-    * version number. */
+    * version number.
+    *
+    * Safe under concurrent committers (see the class doc): losing the
+    * publish race rebases on the winner's version and retries; after
+    * `maxRetries` rebases it throws [[ConcurrentCommitException]]
+    * with the published chain untouched. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-             partitionCol: String, keys: Seq[String]): Int = {
-    val prev = currentVersion(spark, table)
-    val next = prev + 1
-    val prevManifest =
-      if (prev == 0) Map.empty[String, Int] else readManifest(spark, table, prev)
+             partitionCol: String, keys: Seq[String],
+             maxRetries: Int = 5): Int = {
+    val f = fs(spark, table)
     // touched logical partitions: a tiny distinct (partition universe
-    // scale), collected to name the rewrite dirs
+    // scale), collected to name the rewrite dirs. Computed once —
+    // rebasing changes the merge BASE, never df's partitions.
     val touchedRaw = df.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0))
     // Validate BEFORE sorting (null poisons String ordering) and before
@@ -132,55 +226,90 @@ object Versioned {
       s"versioned tables require non-null, non-empty '$partitionCol' partition values")
     val touched = touchedRaw.sorted
     val touchedDirs = touched.map(pv => partitionDirName(partitionCol, pv))
-    val merged = if (prev > 0 && keys.nonEmpty) {
-      val touchedPrev = readVersion(spark, table, prev)
-        .filter(col(partitionCol).cast("string").isInCollection(touched))
-      // A MERGE commit aligns the staging frame to the previous
-      // version's schema; a column the target doesn't have would be
-      // silently DROPPED by the alignment select, so reject it loudly.
-      // Additive schema evolution goes through whole-partition commits
-      // (keys = Nil): the new version's persisted schema carries the
-      // new column and untouched partitions' older files read it back
-      // as NULL (VersionedSpec pins this).
-      val unknown = df.columns.filterNot(touchedPrev.columns.toSet)
-      require(unknown.isEmpty,
-        s"MERGE commit would drop columns not in the target schema: " +
-          s"${unknown.mkString(", ")}; evolve the schema with a " +
-          "whole-partition commit (keys = Nil) first")
-      Upsert.upsert(touchedPrev, df.select(touchedPrev.columns.map(col): _*), keys)
-    } else df
-    // ONE dynamic-partition job writes every touched partition:
-    // partitionBy(partitionCol, __dv) lays files out exactly as
-    // data/<part>=<v>/__dv=<next>/part-*.parquet. Dynamic overwrite
-    // touches only the (partition, __dv=next) leaves present in the
-    // DataFrame — other versions' directories are untouched, and a
-    // retried crashed commit (same `next`, no manifest yet) replaces
-    // its own partial leaves instead of appending duplicates. A
-    // per-partition write loop here would run one Spark job —
-    // re-executing the whole merge plan — per partition (~hundreds of
-    // sequential jobs for a month-partitioned table).
-    merged
-      .withColumn(partitionCol, col(partitionCol).cast("string"))
-      .withColumn("__dv", lit(next))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol, "__dv")
-      .parquet(s"$table/data")
-    // Persist the DATA-FILE schema (non-partition columns) next to the
-    // manifest BEFORE publication: readers then reconstruct the full
-    // read schema from driver-side JSON — zero parquet-footer reads at
-    // plan construction, and the partition column type is pinned
-    // rather than re-inferred per read.
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      merged.schema.filterNot(f => f.name == partitionCol))
-    val sf = fs(spark, table)
-    val out = sf.create(schemaPath(table, next), true) // overwrite: a
-    // retried crashed commit replaces its own partial schema file
-    try out.write(dataSchema.json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val manifest = prevManifest ++ touchedDirs.map(_ -> next)
-    writeManifest(spark, table, next, manifest)
-    next
+    var dv = 0 // claimed on the first attempt, REUSED on rebase (still
+               // writer-unique; the rewrite dynamically overwrites its
+               // own leaves with the recomputed merge)
+    var attempt = 0
+    while (true) {
+      val prev = currentVersion(spark, table)
+      val next = prev + 1
+      val prevManifest =
+        if (prev == 0) Map.empty[String, Int]
+        else readManifest(spark, table, prev) - CommitDvKey
+      if (dv == 0) {
+        // First free token above every version and every token any
+        // manifest references (legacy tables used dv == version and
+        // have no claim files) and every outstanding claim.
+        val mDir = new Path(s"$table/_manifests")
+        val claimed =
+          if (!f.exists(mDir)) Seq.empty[Int]
+          else f.listStatus(mDir).map(_.getPath.getName).toSeq
+            .collect { case n if n.startsWith("dv") && n.endsWith(".claim") =>
+              n.stripPrefix("dv").stripSuffix(".claim").toInt }
+        val start = ((prev +: prevManifest.values.toSeq) ++ claimed).max + 1
+        dv = claimDataVersion(f, table, start)
+      }
+      val merged = if (prev > 0 && keys.nonEmpty) {
+        val touchedPrev = readVersion(spark, table, prev)
+          .filter(col(partitionCol).cast("string").isInCollection(touched))
+        // A MERGE commit aligns the staging frame to the previous
+        // version's schema; a column the target doesn't have would be
+        // silently DROPPED by the alignment select, so reject it loudly.
+        // Additive schema evolution goes through whole-partition commits
+        // (keys = Nil): the new version's persisted schema carries the
+        // new column and untouched partitions' older files read it back
+        // as NULL (VersionedSpec pins this).
+        val unknown = df.columns.filterNot(touchedPrev.columns.toSet)
+        require(unknown.isEmpty,
+          s"MERGE commit would drop columns not in the target schema: " +
+            s"${unknown.mkString(", ")}; evolve the schema with a " +
+            "whole-partition commit (keys = Nil) first")
+        Upsert.upsert(touchedPrev, df.select(touchedPrev.columns.map(col): _*), keys)
+      } else df
+      // ONE dynamic-partition job writes every touched partition:
+      // partitionBy(partitionCol, __dv) lays files out exactly as
+      // data/<part>=<v>/__dv=<dv>/part-*.parquet. Dynamic overwrite
+      // touches only the (partition, __dv=dv) leaves present in the
+      // DataFrame — other versions' directories are untouched, and a
+      // retried or rebased commit (same claimed dv, no manifest yet)
+      // replaces its own partial leaves instead of appending
+      // duplicates. A per-partition write loop here would run one
+      // Spark job — re-executing the whole merge plan — per partition
+      // (~hundreds of sequential jobs for a month-partitioned table).
+      merged
+        .withColumn(partitionCol, col(partitionCol).cast("string"))
+        .withColumn("__dv", lit(dv))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol, "__dv")
+        .parquet(s"$table/data")
+      // Persist the DATA-FILE schema (non-partition columns) next to
+      // the manifest BEFORE publication: readers then reconstruct the
+      // full read schema from driver-side JSON — zero parquet-footer
+      // reads at plan construction, and the partition column type is
+      // pinned rather than re-inferred per read. Keyed by the claimed
+      // token (writer-exclusive), overwrite for crashed/rebased
+      // re-runs of the same claim.
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        merged.schema.filterNot(f => f.name == partitionCol))
+      val out = f.create(schemaDvPath(table, dv), true)
+      try out.write(dataSchema.json.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // THE commit point: atomic create-no-overwrite of the manifest.
+      val manifest = prevManifest ++ touchedDirs.map(_ -> dv) +
+        (CommitDvKey -> dv)
+      if (tryCreateExclusive(f, manifestPath(table, next),
+          renderManifest(manifest).getBytes(StandardCharsets.UTF_8)))
+        return next
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new ConcurrentCommitException(
+          s"lost the manifest race for $table v$next $attempt times; " +
+            s"aborting — published versions are untouched, claimed data " +
+            s"version $dv is unreferenced garbage for vacuum")
+      // else: rebase on the winner's version and retry
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read table contents as of version `v` — exactly the files that
@@ -217,9 +346,10 @@ object Versioned {
     * retained version: the reclaimable set is exactly the leaves all
     * retained manifests have moved past. Orphan leaves from crashed
     * commits (data written, manifest never published) are unreferenced
-    * by construction and are collected too — the store is
-    * single-writer (see the class doc), so at vacuum time an
-    * unreferenced leaf is garbage, never an in-flight commit.
+    * by construction and are collected too, along with their claim
+    * tokens and schema files — vacuum runs in an exclusive maintenance
+    * window (no concurrent writers; see the class doc), so at vacuum
+    * time an unreferenced leaf is garbage, never an in-flight commit.
     *
     * Cost: O(partitions × live data versions) driver-side listing —
     * the same partition-enumeration bound [[readVersion]]'s plan
@@ -241,9 +371,15 @@ object Versioned {
     val expired = versions.dropRight(keepVersions)
     // Union of (partition dir, data version) pairs any retained
     // manifest still points at — manifest-sized, driver-safe.
-    val referenced: Set[(String, Int)] = retained
-      .flatMap(v => readManifest(spark, table, v).map {
-        case (part, dv) => (part, dv) }).toSet
+    val retainedManifests = retained.map(v => readManifest(spark, table, v))
+    val referenced: Set[(String, Int)] = retainedManifests
+      .flatMap(m => (m - CommitDvKey).map { case (part, dv) => (part, dv) })
+      .toSet
+    // Data versions any retained manifest references or committed —
+    // their claim + schema bookkeeping stays; everything else (expired
+    // or crashed/aborted commits) is reclaimed below.
+    val referencedDvs: Set[Int] =
+      referenced.map(_._2) ++ retainedManifests.flatMap(_.get(CommitDvKey))
     val dataDir = new Path(s"$table/data")
     var deleted = 0
     if (f.exists(dataDir)) {
@@ -271,11 +407,22 @@ object Versioned {
       val sp = schemaPath(table, v)
       if (f.exists(sp)) f.delete(sp, false)
     }
+    // Token bookkeeping for data versions nothing retained points at:
+    // expired history and crashed/aborted commits alike.
+    for (s <- f.listStatus(mDir); n = s.getPath.getName) {
+      val orphanClaim = n.startsWith("dv") && n.endsWith(".claim") &&
+        !referencedDvs.contains(n.stripPrefix("dv").stripSuffix(".claim").toInt)
+      val orphanSchema = n.startsWith("schema_dv") && n.endsWith(".json") &&
+        !referencedDvs.contains(n.stripPrefix("schema_dv").stripSuffix(".json").toInt)
+      if (orphanClaim || orphanSchema) f.delete(s.getPath, false)
+    }
     VacuumStats(retained, expired, deleted)
   }
 
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
-    val manifest = readManifest(spark, table, v)
+    val raw = readManifest(spark, table, v)
+    val commitDv = raw.get(CommitDvKey)
+    val manifest = raw - CommitDvKey
     require(manifest.nonEmpty, s"version $v is empty")
     val sorted = manifest.toSeq.sortBy(_._1)
     val dirs = sorted.map { case (part, dv) => s"$table/data/$part/__dv=$dv" }
@@ -293,11 +440,16 @@ object Versioned {
     // Side benefit: construction does zero parquet-footer IO.
     val partCol = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(sorted.head._1.takeWhile(_ != '='))
-    val sp = schemaPath(table, v)
     val f = fs(spark, table)
-    val dataSchema =
-      if (f.exists(sp)) {
-        val in = f.open(sp)
+    // Schema source, newest convention first: the committing writer's
+    // token-keyed file (exact under interleaved commits — see
+    // CommitDvKey), then the legacy version-keyed file, then one leaf
+    // footer (pre-schema-persistence tables).
+    val sp = (commitDv.map(schemaDvPath(table, _)).toSeq :+
+        schemaPath(table, v)).find(f.exists)
+    val dataSchema = sp match {
+      case Some(p) =>
+        val in = f.open(p)
         val bytes = try {
           val out = new java.io.ByteArrayOutputStream()
           org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
@@ -306,7 +458,8 @@ object Versioned {
         org.apache.spark.sql.types.DataType
           .fromJson(new String(bytes, StandardCharsets.UTF_8))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-      } else spark.read.parquet(dirs.head).schema
+      case None => spark.read.parquet(dirs.head).schema
+    }
     val full = dataSchema
       .add(StructField(partCol, StringType, nullable = false))
       .add(StructField("__dv", IntegerType, nullable = false))

@@ -303,4 +303,171 @@ class VersionedSpec extends SparkSpec {
     // the failed commit published nothing
     Versioned.currentVersion(spark, t) shouldBe 1
   }
+
+  test("tryCreateExclusive is a CAS: exactly one of two racing writers wins") {
+    val t = freshTable()
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$t/_manifests/v1.json")
+    // serial: first create wins, second loses, content is the winner's
+    Versioned.tryCreateExclusive(f, p, "AA".getBytes) shouldBe true
+    Versioned.tryCreateExclusive(f, p, "BB".getBytes) shouldBe false
+    scala.io.Source.fromFile(s"$t/_manifests/v1.json").mkString shouldBe "AA"
+    // concurrent: 8 threads on one fresh path — exactly one winner
+    val p2 = new org.apache.hadoop.fs.Path(s"$t/_manifests/v2.json")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wins = Await.result(Future.sequence((1 to 8).map(i => Future {
+      Versioned.tryCreateExclusive(f, p2, s"W$i".getBytes)
+    })), 30.seconds)
+    wins.count(identity) shouldBe 1
+  }
+
+  test("a commit that lost the publish race rebases on the winner and retries") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    // Simulate a concurrent winner publishing v2 between this writer's
+    // base read and its publish: hand-publish a v2 manifest that
+    // re-points partition a at a new data version 7, with the data
+    // staged the way a real MERGE commit stages it — the WHOLE merged
+    // partition (id 1 updated, id 2 carried over), not a fragment.
+    rows((1L, 100.0, "a"), (2L, 2.0, "a")).drop("part").write
+      .parquet(s"$t/data/part=a/__dv=7")
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Versioned.tryCreateExclusive(f, Versioned.claimPath(t,7),
+      Array.emptyByteArray) shouldBe true
+    val winner = Map("part=a" -> 7, "part=b" -> 1, Versioned.CommitDvKey -> 7)
+    // schema for dv 7 = v1's data schema (copy dv1's schema file)
+    val v1Schema = scala.io.Source.fromFile(s"$t/_manifests/schema_dv1.json").mkString
+    Versioned.tryCreateExclusive(f,
+      new org.apache.hadoop.fs.Path(s"$t/_manifests/schema_dv7.json"),
+      v1Schema.getBytes) shouldBe true
+    Versioned.tryCreateExclusive(f,
+      new org.apache.hadoop.fs.Path(s"$t/_manifests/v2.json"),
+      Versioned.renderManifest(winner).getBytes) shouldBe true
+    // This writer MERGEs partition b from what it thinks is the top.
+    // commit() must see v2 as current and publish v3 ON TOP of the
+    // winner's state — the winner's a=100 update must survive.
+    Versioned.commit(spark, t, rows((3L, 30.0, "b")), "part", Seq("id")) shouldBe 3
+    assertSameRows(Versioned.readVersion(spark, t, 3),
+      rows((1L, 100.0, "a"), (2L, 2.0, "a"), (3L, 30.0, "b")))
+    // and its data landed under a token above the winner's (8, not 2)
+    new java.io.File(s"$t/data/part=b/__dv=8").exists() shouldBe true
+  }
+
+  test("two concurrent committers: both survive, serialized — never a lost update") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    for (round <- 1 to 3) {
+      val t = freshTable()
+      Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+      // two writers MERGE disjoint keys into DIFFERENT partitions from
+      // the same base, concurrently; whatever the interleaving, the
+      // final version must contain both updates
+      val fa = Future {
+        Versioned.commit(spark, t, rows((1L, 111.0, "a")), "part", Seq("id"))
+      }
+      val fb = Future {
+        Versioned.commit(spark, t, rows((3L, 333.0, "b")), "part", Seq("id"))
+      }
+      val versions = Await.result(Future.sequence(Seq(fa, fb)), 5.minutes)
+      withClue(s"round $round versions=$versions: ") {
+        versions.toSet shouldBe Set(2, 3)
+        Versioned.currentVersion(spark, t) shouldBe 3
+        assertSameRows(Versioned.readVersion(spark, t, 3),
+          rows((1L, 111.0, "a"), (2L, 2.0, "a"), (3L, 333.0, "b")))
+      }
+    }
+  }
+
+  test("a commit that keeps losing the race aborts cleanly with the chain untouched") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    // Exhaustion needs a winner that keeps publishing BETWEEN this
+    // writer's base read and its CAS — only a real racing publisher
+    // does that (a pre-built wall of versions doesn't: commit() reads
+    // currentVersion fresh each attempt and would just top it). So:
+    // a thread publishes copies of v1 in a tight loop while the
+    // commit runs with maxRetries = 1. The interleaving decides the
+    // outcome, and BOTH legal outcomes are asserted exactly: the
+    // commit either wins some version (its merge visible there) or
+    // aborts with ConcurrentCommitException leaving every published
+    // version untouched. No third outcome, no lost update.
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = Versioned.readManifest(spark, t, 1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wall = Future {
+      var v = 1
+      while (!stop.get && v < 300) {
+        val cur = Versioned.currentVersion(spark, t)
+        Versioned.tryCreateExclusive(f,
+          new org.apache.hadoop.fs.Path(s"$t/_manifests/v${cur + 1}.json"),
+          Versioned.renderManifest(v1).getBytes)
+        v = cur
+        Thread.sleep(1)
+      }
+    }
+    val outcome = try {
+      Right(Versioned.commit(spark, t, rows((3L, 30.0, "b")), "part",
+        Seq("id"), maxRetries = 1))
+    } catch {
+      case e: ConcurrentCommitException => Left(e)
+    } finally {
+      stop.set(true)
+      Await.result(wall, 1.minute)
+    }
+    outcome match {
+      case Right(v) =>
+        // the commit won some version; its merge must be intact there
+        val got = Versioned.readVersion(spark, t, v)
+          .filter(col("id") === 3L).select("v").as[Double].collect()
+        got shouldBe Array(30.0)
+      case Left(e) =>
+        e.getMessage should include("vacuum")
+        // aborted: every published version is a copy of v1's content —
+        // the aborted writer changed nothing visible
+        val cur = Versioned.currentVersion(spark, t)
+        Versioned.readVersion(spark, t, cur)
+          .filter(col("id") === 3L).select("v").as[Double].collect()
+          .toSeq shouldBe Seq(3.0)
+    }
+  }
+
+  test("vacuum collects aborted-commit claims and schemas; commits continue after") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    Versioned.commit(spark, t, rows((4L, 40.0, "b")), "part", Seq("id")) shouldBe 2
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed/aborted commit left a claim + schema + data, no manifest
+    Versioned.tryCreateExclusive(f, Versioned.claimPath(t,9),
+      Array.emptyByteArray) shouldBe true
+    val v1Schema = scala.io.Source.fromFile(s"$t/_manifests/schema_dv1.json").mkString
+    Versioned.tryCreateExclusive(f,
+      new org.apache.hadoop.fs.Path(s"$t/_manifests/schema_dv9.json"),
+      v1Schema.getBytes) shouldBe true
+    rows((9L, 9.0, "a")).drop("part").write.parquet(s"$t/data/part=a/__dv=9")
+
+    val stats = Versioned.vacuum(spark, t, keepVersions = 10)
+    stats.deletedLeafDirs shouldBe 1
+    new java.io.File(s"$t/_manifests/dv9.claim").exists() shouldBe false
+    new java.io.File(s"$t/_manifests/schema_dv9.json").exists() shouldBe false
+    // live commits' bookkeeping survives
+    new java.io.File(s"$t/_manifests/dv1.claim").exists() shouldBe true
+    new java.io.File(s"$t/_manifests/schema_dv2.json").exists() shouldBe true
+    assertSameRows(Versioned.readVersion(spark, t, 2),
+      rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 40.0, "b")))
+    // the reclaimed token is reusable: next commit claims above current
+    Versioned.commit(spark, t, rows((5L, 5.0, "b")), "part", Seq("id")) shouldBe 3
+    assertSameRows(Versioned.readVersion(spark, t, 3),
+      rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 40.0, "b"),
+        (5L, 5.0, "b")))
+  }
 }
