@@ -1893,6 +1893,30 @@ FROM st ORDER BY symbol, date"""
 SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'
 ORDER BY row_id"""
 
+  /** q112: the logical DELETE over the upsert result — q08's merged
+    * view (its target/staging CTEs verbatim) minus the tombstoned
+    * slice (days 1-10 of Q4-1998). The versioned delete commit must be
+    * semantically exactly SQL DELETE. */
+  val q112_delete_commit: String = barsCte + s"""
+, target AS (SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'),
+staging AS (
+  SELECT row_id, date, symbol, data_source, open, high, low, close + 1.0 AS close,
+         volume, processed_at, daily_change_pct, daily_volatility
+  FROM merged WHERE date >= DATE '1998-06-01' AND date < DATE '1999-01-01'),
+after AS (
+  SELECT * FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM staging s
+    WHERE s.date = t.date AND s.symbol = t.symbol AND s.data_source = t.data_source)
+  UNION ALL
+  SELECT * FROM staging)
+SELECT $mergedCols FROM after
+WHERE NOT (date >= DATE '1998-09-01' AND day(date) <= 10)
+ORDER BY row_id, close"""
+
+  /** q113: v2 read AFTER v3's delete — the delete is invisible to
+    * earlier snapshots, so the oracle is the plain upsert (q80's). */
+  val q113_delete_timetravel: String = q08_upsert
+
   /** P7 twin: DuckDB strftime renders the same "yyyy-MM-dd" text Spark's
     * date_format emits for any proleptic-Gregorian date. */
   val q82_date_to_string: String = barsCte + """
@@ -1940,6 +1964,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q79_ema_macd" -> q79_ema_macd,
     "q80_timetravel_current" -> q80_timetravel_current,
     "q81_timetravel_past" -> q81_timetravel_past,
+    "q112_delete_commit" -> q112_delete_commit,
+    "q113_delete_timetravel" -> q113_delete_timetravel,
     "q82_date_to_string" -> q82_date_to_string,
     "q83_ingest_roundtrip" -> q83_ingest_roundtrip,
     "q84_leakage_split" -> q84_leakage_split,

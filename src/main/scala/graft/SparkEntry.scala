@@ -126,6 +126,26 @@ object SparkEntry {
     (table, merged.columns.filter(_ != "month").toSeq)
   }
 
+  /** q112/q113's three-commit fixture: the q80/q81 two-commit table
+    * plus a v3 DELETE commit tombstoning days 1-10 of Q4-1998 — a
+    * deterministic, SQL-expressible, partition-bounded (4 months)
+    * removal. Built once per sf dir; both entries read versions of
+    * the same table, which is exactly the time-travel-across-delete
+    * contract. */
+  private def deleteFixture(s: SparkSession, dir: String): (String, Seq[String]) =
+    fixture[(String, Seq[String])]("delete_table", dir) {
+      val (t, c) = buildVersionedFixture(s, dir,
+        scratch("bars_versioned_delete", dir))
+      val tomb = graft.store.Versioned.readVersion(s, t, 2)
+        .filter(col("date") >= lit("1998-09-01").cast("date") &&
+          dayofmonth(col("date")) <= 10)
+        .select((Schemas.mergeKey :+ "month").map(col): _*)
+      val v3 = graft.store.Versioned.deleteCommit(s, t, tomb, "month",
+        Schemas.mergeKey)
+      require(v3 == 3, s"delete fixture expected v3, got $v3")
+      (t, c)
+    }
+
   /** Per-sf scratch dir under the repo's build tree for queries that
     * exercise sinks (q26–q28): sf-tagged so verify/bench runs at
     * different scale factors never collide. */
@@ -1000,6 +1020,28 @@ object SparkEntry {
       graft.store.Versioned.readVersion(s, table, 1)
         .select(cols.map(col): _*)
         .orderBy(col("row_id"))
+    }),
+
+    // Row-level DELETE as a versioned commit (the MERGE model's third
+    // verb, GDPR-style): v1 = target, v2 = MERGE, v3 = deleteCommit of
+    // a deterministic tombstone set (early-month rows of Q4-1998,
+    // partition-bounded to those 4 months). Reading v3 must equal the
+    // oracle's logical DELETE over the upsert result.
+    "q112_delete_commit" -> ((s, dir) => {
+      val (table, cols) = deleteFixture(s, dir)
+      graft.store.Versioned.readVersion(s, table, 3)
+        .select(cols.map(col): _*)
+        .orderBy(col("row_id"), col("close"))
+    }),
+
+    // Time travel ACROSS a delete: v2 read AFTER v3's delete commit
+    // must still carry the deleted rows (q80's oracle — the delete is
+    // invisible to earlier snapshots, exactly the q80/q81 pattern).
+    "q113_delete_timetravel" -> ((s, dir) => {
+      val (table, cols) = deleteFixture(s, dir)
+      graft.store.Versioned.readVersion(s, table, 2)
+        .select(cols.map(col): _*)
+        .orderBy(col("row_id"), col("close"))
     }),
 
     // P7: date→string at the text-sink boundary (reference

@@ -201,6 +201,12 @@ object Versioned {
     parseManifest(new String(bytes, StandardCharsets.UTF_8))
   }
 
+  /** What a staged attempt will publish: the full new content of the
+    * touched partitions, plus the touched partition dirs that ended up
+    * EMPTY and must leave the manifest (delete commits can empty or
+    * drop a partition; merge/replace commits never do). */
+  private final case class Staged(content: DataFrame, dropDirs: Seq[String])
+
   /** Commit `df` as the next table version, rewriting ONLY the
     * `partitionCol` partitions present in `df`. MERGE semantics per
     * touched partition against the previous version on `keys` (pass
@@ -214,17 +220,99 @@ object Versioned {
   def commit(spark: SparkSession, table: String, df: DataFrame,
              partitionCol: String, keys: Seq[String],
              maxRetries: Int = 5): Int = {
-    val f = fs(spark, table)
-    // touched logical partitions: a tiny distinct (partition universe
-    // scale), collected to name the rewrite dirs. Computed once —
-    // rebasing changes the merge BASE, never df's partitions.
-    val touchedRaw = df.select(col(partitionCol).cast("string")).distinct()
+    val touched = touchedPartitions(df, partitionCol)
+    commitStaged(spark, table, partitionCol, touched, maxRetries) { prev =>
+      val merged = if (prev > 0 && keys.nonEmpty) {
+        val touchedPrev = readVersion(spark, table, prev)
+          .filter(col(partitionCol).cast("string").isInCollection(touched))
+        // A MERGE commit aligns the staging frame to the previous
+        // version's schema; a column the target doesn't have would be
+        // silently DROPPED by the alignment select, so reject it loudly.
+        // Additive schema evolution goes through whole-partition commits
+        // (keys = Nil): the new version's persisted schema carries the
+        // new column and untouched partitions' older files read it back
+        // as NULL (VersionedSpec pins this).
+        val unknown = df.columns.filterNot(touchedPrev.columns.toSet)
+        require(unknown.isEmpty,
+          s"MERGE commit would drop columns not in the target schema: " +
+            s"${unknown.mkString(", ")}; evolve the schema with a " +
+            "whole-partition commit (keys = Nil) first")
+        Upsert.upsert(touchedPrev, df.select(touchedPrev.columns.map(col): _*), keys)
+      } else df
+      Staged(merged, Nil)
+    }
+  }
+
+  /** Row-level DELETE as a first-class versioned commit — the third
+    * verb of the MERGE model (GDPR-style removal): every
+    * (`keys`, partition) tuple present in `tombstones` is removed
+    * from the next version. Partition-bounded by construction: only
+    * the `partitionCol` values in `tombstones` are rewritten (each as
+    * prev-rows anti-join tombstones), every other partition's files
+    * are untouched manifest pointers — and time travel to pre-delete
+    * versions keeps reading the old files (q112/q113 pin both
+    * halves). A tombstone deletes in ITS OWN partition only; to erase
+    * a key everywhere, tombstone every partition it lives in.
+    *
+    * `keys = Nil` drops the touched partitions WHOLE (partition-level
+    * retention): their entries leave the manifest, and a version that
+    * deletes every partition reads back as the empty-version error. A
+    * partition whose rows are all deleted likewise leaves the
+    * manifest rather than pointing at a dir the write never created.
+    *
+    * Same optimistic-concurrency contract as [[commit]]. NOTE: the
+    * physical bytes of deleted rows remain in OLD versions' files (the
+    * point of time travel) until [[vacuum]] expires those versions —
+    * a compliance erasure is deleteCommit + vacuum. */
+  def deleteCommit(spark: SparkSession, table: String, tombstones: DataFrame,
+                   partitionCol: String, keys: Seq[String],
+                   maxRetries: Int = 5): Int = {
+    val touched = touchedPartitions(tombstones, partitionCol)
+    require(touched.nonEmpty, "no tombstones: nothing to delete")
+    val touchedDirs = touched.map(pv => partitionDirName(partitionCol, pv))
+    commitStaged(spark, table, partitionCol, touched, maxRetries) { prev =>
+      require(prev > 0, "cannot delete from an empty versioned table")
+      val touchedPrev = readVersion(spark, table, prev)
+        .filter(col(partitionCol).cast("string").isInCollection(touched))
+      if (keys.isEmpty) Staged(touchedPrev.limit(0), touchedDirs)
+      else {
+        val missing = (keys :+ partitionCol).filterNot(tombstones.columns.toSet)
+        require(missing.isEmpty,
+          s"tombstones lack columns: ${missing.mkString(", ")}")
+        val tomb = tombstones.select(
+          keys.map(col) :+ col(partitionCol).cast("string").as(partitionCol): _*)
+        val remaining = touchedPrev.join(tomb, keys :+ partitionCol, "left_anti")
+        // partitions the delete emptied: manifest entries to drop, not
+        // dangling pointers. Bounded by |touched| — a tiny collect.
+        val survivors = remaining
+          .select(col(partitionCol)).distinct().collect()
+          .map(r => partitionDirName(partitionCol, r.getString(0))).toSet
+        Staged(remaining, touchedDirs.filterNot(survivors))
+      }
+    }
+  }
+
+  /** Touched logical partitions of a staging/tombstone frame: a tiny
+    * distinct (partition-universe scale), validated BEFORE sorting
+    * (null poisons String ordering) and before any data is written,
+    * so a bad partition value aborts with zero IO. */
+  private def touchedPartitions(df: DataFrame, partitionCol: String): Seq[String] = {
+    val raw = df.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0))
-    // Validate BEFORE sorting (null poisons String ordering) and before
-    // any data is written, so a bad partition value aborts with zero IO.
-    require(touchedRaw.forall(v => v != null && v.nonEmpty),
+    require(raw.forall(v => v != null && v.nonEmpty),
       s"versioned tables require non-null, non-empty '$partitionCol' partition values")
-    val touched = touchedRaw.sorted
+    raw.sorted.toSeq
+  }
+
+  /** The optimistic-concurrency commit loop shared by [[commit]] and
+    * [[deleteCommit]]: claim a data-version token, stage content
+    * against the current version, publish by CAS, rebase on loss.
+    * `stage` runs per attempt with the base version — rebasing
+    * recomputes it against the winner. */
+  private def commitStaged(spark: SparkSession, table: String,
+                           partitionCol: String, touched: Seq[String],
+                           maxRetries: Int)(stage: Int => Staged): Int = {
+    val f = fs(spark, table)
     val touchedDirs = touched.map(pv => partitionDirName(partitionCol, pv))
     var dv = 0 // claimed on the first attempt, REUSED on rebase (still
                // writer-unique; the rewrite dynamically overwrites its
@@ -249,23 +337,7 @@ object Versioned {
         val start = ((prev +: prevManifest.values.toSeq) ++ claimed).max + 1
         dv = claimDataVersion(f, table, start)
       }
-      val merged = if (prev > 0 && keys.nonEmpty) {
-        val touchedPrev = readVersion(spark, table, prev)
-          .filter(col(partitionCol).cast("string").isInCollection(touched))
-        // A MERGE commit aligns the staging frame to the previous
-        // version's schema; a column the target doesn't have would be
-        // silently DROPPED by the alignment select, so reject it loudly.
-        // Additive schema evolution goes through whole-partition commits
-        // (keys = Nil): the new version's persisted schema carries the
-        // new column and untouched partitions' older files read it back
-        // as NULL (VersionedSpec pins this).
-        val unknown = df.columns.filterNot(touchedPrev.columns.toSet)
-        require(unknown.isEmpty,
-          s"MERGE commit would drop columns not in the target schema: " +
-            s"${unknown.mkString(", ")}; evolve the schema with a " +
-            "whole-partition commit (keys = Nil) first")
-        Upsert.upsert(touchedPrev, df.select(touchedPrev.columns.map(col): _*), keys)
-      } else df
+      val Staged(merged, dropDirs) = stage(prev)
       // ONE dynamic-partition job writes every touched partition:
       // partitionBy(partitionCol, __dv) lays files out exactly as
       // data/<part>=<v>/__dv=<dv>/part-*.parquet. Dynamic overwrite
@@ -296,7 +368,8 @@ object Versioned {
       try out.write(dataSchema.json.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       // THE commit point: atomic create-no-overwrite of the manifest.
-      val manifest = prevManifest ++ touchedDirs.map(_ -> dv) +
+      val manifest = (prevManifest -- dropDirs) ++
+        touchedDirs.filterNot(dropDirs.toSet).map(_ -> dv) +
         (CommitDvKey -> dv)
       if (tryCreateExclusive(f, manifestPath(table, next),
           renderManifest(manifest).getBytes(StandardCharsets.UTF_8)))

@@ -304,6 +304,61 @@ class VersionedSpec extends SparkSpec {
     Versioned.currentVersion(spark, t) shouldBe 1
   }
 
+  test("deleteCommit removes tombstoned keys in their partition only; time travel intact") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    // tombstone id 1 in partition a AND id 1 in partition b — but the
+    // table has id 1 only in a; id 3 (in b) is NOT tombstoned, and a
+    // same-key row in an untouched partition must survive untouched
+    val tomb = rows((1L, 0.0, "a")).select("id", "part")
+    Versioned.deleteCommit(spark, t, tomb, "part", Seq("id")) shouldBe 2
+    assertSameRows(Versioned.readVersion(spark, t, 2),
+      rows((2L, 2.0, "a"), (3L, 3.0, "b")))
+    // pre-delete version reads the deleted row (the point of snapshots)
+    assertSameRows(Versioned.readVersion(spark, t, 1), d1)
+    // partition b was never rewritten: v2's manifest still points at dv1
+    (Versioned.readManifest(spark, t, 2) - Versioned.CommitDvKey) shouldBe
+      Map("part=a" -> 2, "part=b" -> 1)
+  }
+
+  test("a delete that empties a partition drops it from the manifest") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    // partition b holds only id 3 — tombstoning it empties b entirely
+    val tomb = rows((3L, 0.0, "b"), (1L, 0.0, "a")).select("id", "part")
+    Versioned.deleteCommit(spark, t, tomb, "part", Seq("id")) shouldBe 2
+    val v2 = Versioned.readVersion(spark, t, 2)
+    assertSameRows(v2, rows((2L, 2.0, "a")))
+    (Versioned.readManifest(spark, t, 2) - Versioned.CommitDvKey) shouldBe
+      Map("part=a" -> 2) // no dangling pointer to an empty b dir
+    assertSameRows(Versioned.readVersion(spark, t, 1), d1)
+  }
+
+  test("deleteCommit with keys = Nil drops touched partitions whole") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    val tomb = rows((0L, 0.0, "a")).select("part")
+    Versioned.deleteCommit(spark, t, tomb, "part", keys = Nil) shouldBe 2
+    assertSameRows(Versioned.readVersion(spark, t, 2), rows((3L, 3.0, "b")))
+    assertSameRows(Versioned.readVersion(spark, t, 1), d1)
+    // vacuum to v2 only: partition a's data version 1 is unreferenced
+    val stats = Versioned.vacuum(spark, t, keepVersions = 1)
+    stats.deletedLeafDirs shouldBe 1
+    new java.io.File(s"$t/data/part=a").exists() shouldBe false
+    assertSameRows(Versioned.readVersion(spark, t, 2), rows((3L, 3.0, "b")))
+  }
+
+  test("deleteCommit validates tombstones and empty-table targets") {
+    val t = freshTable()
+    an[IllegalArgumentException] should be thrownBy
+      Versioned.deleteCommit(spark, t, d1.select("id", "part"), "part", Seq("id"))
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    an[IllegalArgumentException] should be thrownBy
+      Versioned.deleteCommit(spark, t, d1.select("id", "part"), "part",
+        Seq("id", "v")) // tombstones lack column v
+    Versioned.currentVersion(spark, t) shouldBe 1
+  }
+
   test("tryCreateExclusive is a CAS: exactly one of two racing writers wins") {
     val t = freshTable()
     val f = new org.apache.hadoop.fs.Path(t)
