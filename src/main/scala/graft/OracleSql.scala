@@ -1024,6 +1024,31 @@ SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  /** q114 twin: the pixel stats from FIRST PRINCIPLES — the fixture's
+    * generating formula over (doc_id, x, y), never touching a PNG
+    * byte. The Spark side gets the same numbers only by correctly
+    * walking chunks, concatenating IDATs, inflating zlib, and
+    * inverting all five scanline filters; any decode bug breaks the
+    * BIGINT hash. Luma uses the 299/587/114 integer weights (x1000). */
+  val q114_png_decode_stats: String = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+    (7 * doc_id + 13 * x + 31 * y) % 256 AS r,
+    (11 * doc_id + 17 * x + 5 * y) % 256 AS g,
+    (3 * doc_id + 29 * x + 23 * y) % 256 AS b
+  FROM d, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y))
+SELECT doc_id,
+  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+  CAST(count(*) AS BIGINT) AS n_pixels,
+  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+  CAST(sum(b) AS BIGINT) AS sum_b,
+  CAST(sum(299 * r + 587 * g + 114 * b) AS BIGINT) AS sum_luma1000,
+  CASE WHEN sum(r) >= sum(g) AND sum(r) >= sum(b) THEN 'r'
+       WHEN sum(g) >= sum(b) THEN 'g' ELSE 'b' END AS dominant
+FROM px GROUP BY doc_id ORDER BY doc_id"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2011,6 +2036,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q88_semantic_dedup" -> q88_semantic_dedup,
     "q91_quantized_knn" -> q91_quantized_knn,
     "q111_ivf_sq8_search" -> q111_ivf_sq8_search,
+    "q114_png_decode_stats" -> q114_png_decode_stats,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

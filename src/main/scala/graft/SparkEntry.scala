@@ -626,6 +626,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL PNG pixel decode end-to-end: per doc, synthesize a small
+    // RGB8 PNG whose pixels follow a pure integer formula of
+    // (doc_id, x, y), with every scanline filter type (0-4) and
+    // multi-IDAT chunking exercised — then decode it with the native
+    // inflate+unfilter expression and emit exact integer pixel sums.
+    // The oracle computes the SAME sums from the formula alone (no
+    // PNG anywhere), so hash equality proves the decode path itself.
+    // Timed region = encode + decode + stats, as named.
+    "q114_png_decode_stats" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (3 + id % 6).toInt
+          val h = (2 + id % 5).toInt
+          id -> graft.multimodal.Png.encodeRgb(w, h,
+            (x, y) => (((7 * id + 13 * x + 31 * y) % 256).toInt,
+              ((11 * id + 17 * x + 5 * y) % 256).toInt,
+              ((3 * id + 29 * x + 23 * y) % 256).toInt),
+            filterForRow = y => ((y + id) % 5).toInt,
+            idatChunkSize = 64)
+        }
+        .toDF("doc_id", "png")
+      pngs.select(col("doc_id"),
+          graft.multimodal.Multimodal.pngPixelStats(col("png")).as("s"))
+        .select(col("doc_id"), col("s.width").as("width"),
+          col("s.height").as("height"), col("s.n_pixels").as("n_pixels"),
+          col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+          col("s.sum_b").as("sum_b"),
+          col("s.sum_luma1000").as("sum_luma1000"),
+          col("s.dominant").as("dominant"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling over media bytes: every 4th 128-byte frame,
     // hashed — the 1-in-N decimation shape of a video/audio pipeline.
     "q50_frame_sample" -> ((s, dir) => {

@@ -1,0 +1,217 @@
+package graft.functions
+
+import java.util.zip.Inflater
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared eval path for [[PngPixelStats]] — a plain object so the
+  * generated Java calls it through a static forwarder (the
+  * [[NfcStringUtil]] pattern): one call per row inside whole-stage
+  * codegen, no boxing beyond the result row.
+  *
+  * REAL pixel decode (RFC 2083 / PNG spec, `java.util.zip.Inflater`
+  * as the zlib): chunk walk → IDAT concatenation → inflate →
+  * per-scanline unfilter (all five filter types) → integer pixel
+  * sums. Supported layout is 8-bit truecolor RGB, non-interlaced —
+  * the layout [[graft.multimodal.Png.encodeRgb]] writes and the
+  * overwhelmingly common case; anything else (palette, alpha, 16-bit,
+  * Adam7, malformed, truncated, oversized) degrades to
+  * `decoded = false` with NULL stats, never an error and never a
+  * garbage read.
+  *
+  * Output stats are pure integers (sums, not means; luma scaled by
+  * 1000 via the 299/587/114 integer weights), so the q114 oracle
+  * compares exact BIGINTs: DuckDB derives the same sums from the
+  * fixture's pixel FORMULA while Spark derives them by decoding real
+  * deflate+filtered bytes — hash equality proves the whole
+  * inflate/unfilter path, not just the plumbing. */
+object PngPixelUtil {
+
+  /** Pixel-count ceiling: 2^24 px = 48 MB of raw RGB per image —
+    * above this an adversarial IHDR would balloon executor memory, so
+    * the decode declines (decoded = false) rather than trusting the
+    * header. */
+  val MaxPixels: Long = 1L << 24
+
+  private val NotDecoded: InternalRow = {
+    val r = new GenericInternalRow(9)
+    r.update(0, false)
+    r // fields 1-8 stay null
+  }
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  def stats(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 8) return NotDecoded
+    if ((bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' ||
+        bytes(3) != 'G' || bytes(4) != '\r' || bytes(5) != '\n' ||
+        bytes(6) != 0x1a || bytes(7) != '\n') return NotDecoded
+
+    // chunk walk: IHDR fields + concatenated IDAT payload, stop at IEND
+    var pos = 8
+    var w = -1L; var h = -1L
+    var bitDepth = -1; var colorType = -1
+    var compression = -1; var filterMethod = -1; var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= bytes.length) {
+      val len = be32(bytes, pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return NotDecoded
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return NotDecoded
+          w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
+          bitDepth = bytes(pos + 16) & 0xff; colorType = bytes(pos + 17) & 0xff
+          compression = bytes(pos + 18) & 0xff
+          filterMethod = bytes(pos + 19) & 0xff
+          interlace = bytes(pos + 20) & 0xff
+        case "IDAT" => idat.write(bytes, pos + 8, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len.toInt
+    }
+    if (w <= 0 || h <= 0 || w * h > MaxPixels) return NotDecoded
+    if (bitDepth != 8 || colorType != 2 || compression != 0 ||
+        filterMethod != 0 || interlace != 0) return NotDecoded
+
+    // inflate the scanline stream: h rows of (1 filter byte + 3w pixels)
+    val stride = 3 * w.toInt
+    val expected = h.toInt * (1 + stride)
+    val raw = new Array[Byte](expected)
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    val got = try {
+      var off = 0
+      while (off < expected && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, expected - off)
+        if (n == 0 && inflater.needsInput()) return NotDecoded // truncated
+        off += n
+      }
+      off
+    } catch {
+      case _: java.util.zip.DataFormatException => return NotDecoded
+    } finally inflater.end()
+    if (got != expected) return NotDecoded
+
+    // unfilter in place, accumulating integer sums
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    val cur = new Array[Int](stride)
+    val above = new Array[Int](stride)
+    var y = 0
+    var o = 0
+    while (y < h) {
+      val ft = raw(o) & 0xff; o += 1
+      if (ft > 4) return NotDecoded
+      var i = 0
+      while (i < stride) {
+        val x = raw(o) & 0xff
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = if (y > 0) above(i) else 0
+        val c = if (i >= 3 && y > 0) above(i - 3) else 0
+        cur(i) = (ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+        }) & 0xff
+        o += 1; i += 1
+      }
+      i = 0
+      while (i < stride) {
+        sumR += cur(i); sumG += cur(i + 1); sumB += cur(i + 2)
+        i += 3
+      }
+      System.arraycopy(cur, 0, above, 0, stride)
+      y += 1
+    }
+    val dominant = // max channel by sum, ties break r > g > b
+      if (sumR >= sumG && sumR >= sumB) "r" else if (sumG >= sumB) "g" else "b"
+    val luma = 299L * sumR + 587L * sumG + 114L * sumB
+    val row = new GenericInternalRow(9)
+    row.update(0, true)
+    row.update(1, w); row.update(2, h); row.update(3, w * h)
+    row.update(4, sumR); row.update(5, sumG); row.update(6, sumB)
+    row.update(7, luma)
+    row.update(8, UTF8String.fromString(dominant))
+    row
+  }
+}
+
+/** PNG pixel statistics as a native codegen'd expression — the
+  * per-image content-stats rung of the multimodal pipeline
+  * ([[graft.multimodal.Multimodal]]'s header parses stay pure
+  * projections; this is the one step that genuinely needs imperative
+  * decode). Bytes never shuffle: the expression runs in the scan-side
+  * projection and only the 9-field integer stats row leaves it. */
+case class PngPixelStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = PngPixelStats.schema
+
+  override def prettyName: String = "png_pixel_stats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PngPixelUtil.stats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PngPixelUtil.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PngPixelStats =
+    copy(child = newChild)
+}
+
+object PngPixelStats {
+  val schema: StructType = StructType(Seq(
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", LongType), StructField("height", LongType),
+    StructField("n_pixels", LongType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType), StructField("sum_luma1000", LongType),
+    StructField("dominant", StringType)))
+}
+
+object PngFunctions {
+
+  val fnName = "graft_png_pixel_stats"
+
+  private[functions] def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(fnName)))
+      registry.createOrReplaceTempFunction(fnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$fnName takes 1 argument")
+          PngPixelStats(children.head)
+        },
+        "built-in")
+  }
+
+  def pngPixelStats(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(fnName, c)
+  }
+}

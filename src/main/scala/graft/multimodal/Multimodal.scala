@@ -5,21 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for LLM training-data pipelines: media
   * (image/audio/video) as opaque `binary` columns with typed metadata,
-  * deterministic feature stubs, and fixed-size chunking (the batch
-  * shape a frame-sampler or patch-encoder consumes).
+  * real container-header parses, REAL PNG pixel decode for RGB8
+  * ([[pngPixelStats]] — zlib inflate + per-scanline unfilter as a
+  * native expression), and fixed-size chunking (the batch shape a
+  * frame-sampler or patch-encoder consumes).
   *
-  * The DECODE step is a STUB by design: no image/audio codecs exist in
-  * this environment, so `stubDecode` derives plausible, deterministic
-  * dimensions from the content hash. Everything around it — schemas,
-  * chunk layout, hashing, the single narrow projection — is the real
-  * distributed plumbing and is oracle-checked/unit-tested. Swap
-  * `stubDecode` for a codec-backed implementation and nothing else
-  * changes.
+  * General codec DECODE (JPEG, video, audio samples) stays a STUB:
+  * no codec libs exist in this environment, so `stubDecode` derives
+  * plausible, deterministic dimensions from the content hash.
+  * Everything around it — schemas, chunk layout, hashing, the single
+  * narrow projection — is the real distributed plumbing and is
+  * oracle-checked/unit-tested; PNG shows the full path with a real
+  * format (container walk → inflate → unfilter → stats) end-to-end.
   *
   * All functions are codegen'd built-ins over binary — no UDFs, no
   * python workers, no per-row JVM object churn beyond the buffers.
   */
 object Multimodal {
+
+  /** REAL pixel decode for 8-bit RGB PNGs: IDAT inflate + unfilter →
+    * exact integer pixel stats (see [[graft.functions.PngPixelUtil]]);
+    * non-PNG or unsupported layouts yield decoded = false, never an
+    * error. Runs scan-side — the bytes never shuffle, only the stats
+    * row leaves the projection. */
+  def pngPixelStats(bin: Column): Column =
+    graft.functions.PngFunctions.pngPixelStats(bin)
 
   /** Byte length + head bytes + content hash: the metadata every media
     * ingest keeps before any decode. */

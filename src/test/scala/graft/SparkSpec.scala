@@ -29,6 +29,17 @@ trait SparkSpec extends AnyFunSuite with Matchers {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))), schema)
 
+  /** Run `f` with SQL confs temporarily set (restored after) — for
+    * interpreted-vs-codegen equivalence tests. */
+  protected def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Order-insensitive frame compare on fully-collected rows. */
   def assertSameRows(actual: DataFrame, expected: DataFrame): Unit = {
     actual.columns.sorted shouldBe expected.columns.sorted

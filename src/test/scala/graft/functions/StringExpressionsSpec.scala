@@ -81,12 +81,4 @@ class StringExpressionsSpec extends SparkSpec {
       .as[String].collect() shouldBe Array(composed)
   }
 
-  private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
-    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 }

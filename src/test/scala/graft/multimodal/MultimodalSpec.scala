@@ -118,6 +118,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def pngStats(blobs: (Long, Array[Byte])*) =
+    media(blobs: _*)
+      .select(col("id"), Multimodal.pngPixelStats(col("media")).as("s"))
+      .select(col("id"), col("s.decoded"), col("s.width"), col("s.height"),
+        col("s.sum_r"), col("s.sum_g"), col("s.sum_b"),
+        col("s.sum_luma1000"), col("s.dominant"))
+      .orderBy("id")
+
+  test("pngPixelStats decodes a hand-computed 2x2 image under every filter type") {
+    // pixels: (0,0)=(10,20,30) (1,0)=(40,50,60) (0,1)=(70,80,90) (1,1)=(200,10,0)
+    val px = Map((0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60),
+      (0, 1) -> (70, 80, 90), (1, 1) -> (200, 10, 0))
+    val sumR = 10 + 40 + 70 + 200; val sumG = 20 + 50 + 80 + 10
+    val sumB = 30 + 60 + 90 + 0
+    val luma = 299L * sumR + 587L * sumG + 114L * sumB
+    // the same image encoded with each filter type on every row must
+    // decode identically — pinning all five unfilter paths one by one
+    for (ft <- 0 to 4) {
+      val png = Png.encodeRgb(2, 2, (x, y) => px((x, y)), filterForRow = _ => ft)
+      val out = pngStats(1L -> png).collect().head
+      withClue(s"filter $ft: ") {
+        out.getBoolean(1) shouldBe true
+        (out.getLong(2), out.getLong(3)) shouldBe ((2L, 2L))
+        (out.getLong(4), out.getLong(5), out.getLong(6)) shouldBe
+          ((sumR.toLong, sumG.toLong, sumB.toLong))
+        out.getLong(7) shouldBe luma
+        out.getString(8) shouldBe "r"
+      }
+    }
+  }
+
+  test("pngPixelStats handles multi-IDAT streams and mixed filters") {
+    val png = Png.encodeRgb(7, 11,
+      (x, y) => ((x * 37 + y) % 256, (y * 53 + x) % 256, (x * y) % 256),
+      filterForRow = _ % 5, idatChunkSize = 16) // many tiny IDAT chunks
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until 11; x <- 0 until 7) {
+      sr += (x * 37 + y) % 256; sg += (y * 53 + x) % 256; sb += (x * y) % 256
+    }
+    val out = pngStats(1L -> png).collect().head
+    out.getBoolean(1) shouldBe true
+    (out.getLong(4), out.getLong(5), out.getLong(6)) shouldBe ((sr, sg, sb))
+  }
+
+  test("pngPixelStats declines unsupported or corrupt blobs, never errors") {
+    val good = Png.encodeRgb(3, 3, (x, y) => (x, y, x + y))
+    val truncated = good.take(good.length - 20)  // IEND + IDAT tail gone
+    val corruptZlib = good.clone()
+    corruptZlib(50) = (corruptZlib(50) ^ 0x55).toByte // flip inside IDAT
+    val notPng = bytes600
+    // oversized IHDR claim: flip width to 2^25 (over the pixel ceiling)
+    val huge = good.clone()
+    huge(16) = 0x02; huge(17) = 0x00; huge(18) = 0x00; huge(19) = 0x00
+    val out = pngStats(1L -> truncated, 2L -> corruptZlib, 3L -> notPng,
+        4L -> huge, 5L -> good)
+      .collect()
+    out.map(_.getBoolean(1)).toSeq shouldBe Seq(false, false, false, false, true)
+    out.take(4).foreach(r => r.isNullAt(4) shouldBe true)
+  }
+
+  test("pngPixelStats: interpreted and codegen paths agree") {
+    val d = media((1L to 20L).map(i =>
+      i -> Png.encodeRgb((1 + i % 5).toInt, (1 + i % 4).toInt,
+        (x, y) => (((i * 7 + x) % 256).toInt, ((i * 11 + y) % 256).toInt,
+          ((x + y) % 256).toInt),
+        filterForRow = y => ((y + i) % 5).toInt)): _*)
+    def run(): Seq[(Long, Long, Long, Long)] = d
+      .select(col("id"), Multimodal.pngPixelStats(col("media")).as("s"))
+      .select(col("id"), col("s.sum_r"), col("s.sum_g"), col("s.sum_b"))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    val codegen = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+    // and both agree with a direct driver-side eval of the shared util
+    val direct = d.select(col("id"), col("media")).collect().map { r =>
+      val s = graft.functions.PngPixelUtil.stats(r.getAs[Array[Byte]](1))
+      (r.getLong(0), s.getLong(4), s.getLong(5), s.getLong(6))
+    }.toSeq.sortBy(_._1)
+    codegen shouldBe direct
+  }
+
   test("wavHeader parses a canonical RIFF fmt chunk") {
     val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++
       "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++      // PCM
