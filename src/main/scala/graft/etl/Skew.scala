@@ -77,17 +77,25 @@ object Skew {
     * and oracle-checkable (q104).
     *
     * The > threshold and the share are the only doubles — both exact
-    * BIGINTs divided/compared in identical trees on both engines. */
+    * BIGINTs divided/compared in identical trees on both engines.
+    *
+    * The `value` column keeps the key's NATIVE type (the Misra–Gries
+    * pass runs on a stringified shadow — the one typed-encoder-free
+    * shape — but the exact recount groups the original column), so
+    * the report joins directly onto the join key it diagnoses — the
+    * downstream [[saltedJoin]] needs no cast on either side (SkewSpec
+    * salts a bigint-keyed join straight off the report). */
   def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
     require(phi > 0 && phi < 1, "phi must be in (0,1)")
     val k = math.ceil(1.0 / phi).toInt
     val vals = df.filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("string").as("value"))
-    val cands = vals.as(org.apache.spark.sql.Encoders.STRING)
+      .select(col(valueCol).as("value"))
+    val cands = vals.select(col("value").cast("string").as("__s"))
+      .as(org.apache.spark.sql.Encoders.STRING)
       .mapPartitions(it => misraGries(it, k))(org.apache.spark.sql.Encoders.STRING)
-      .toDF("value").distinct()
+      .toDF("__s").distinct()
     val n = vals.agg(count(lit(1)).as("__n"))
-    vals.join(broadcast(cands), "value")
+    vals.join(broadcast(cands), col("value").cast("string") === col("__s"))
       .groupBy("value").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(n))
       .filter(col("cnt").cast("double") > lit(phi) * col("__n").cast("double"))

@@ -69,6 +69,27 @@ class SkewSpec extends SparkSpec {
     out.head._2 shouldBe 3L
   }
 
+  test("heavyHitters keeps the key's native type; the report salts a join directly") {
+    import spark.implicits._
+    // skewed bigint join key: uid 7 dominates
+    val left = ((1 to 400).map(_ => 7L) ++ (1L to 100L)).zipWithIndex
+      .map { case (uid, i) => (uid, i.toLong) }.toDF("uid", "row_id")
+    val right = (1L to 100L).map(u => (u, s"dim$u")).toDF("uid", "attr")
+    val report = Skew.heavyHitters(left, "uid", phi = 0.5)
+    // NATIVE type preserved: bigint in, bigint out — no caller-side cast
+    report.schema("value").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    // 400 extra + 1 from the 1..100 range = 401 of n = 500 rows
+    report.as[(Long, Long, Double)].collect().toSeq shouldBe
+      Seq((7L, 401L, 401.0 / 500.0))
+    // the diagnosed-hot slice, selected by a TYPED equi-join onto the
+    // report, goes through saltedJoin; results must equal the plain join
+    val hot = left.join(report.select(col("value").as("uid")), Seq("uid"), "left_semi")
+    assertSameRows(
+      Skew.saltedJoin(hot, right, Seq("uid"), col("row_id"), buckets = 4),
+      hot.join(right, Seq("uid")))
+  }
+
   test("heavyHitters ignores nulls and empty input") {
     import spark.implicits._
     val d = Seq(Some("x"), None, Some("x"), None).toDF("t")
