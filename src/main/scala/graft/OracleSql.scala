@@ -1922,7 +1922,7 @@ ORDER BY row_id"""
     * view (its target/staging CTEs verbatim) minus the tombstoned
     * slice (days 1-10 of Q4-1998). The versioned delete commit must be
     * semantically exactly SQL DELETE. */
-  val q112_delete_commit: String = barsCte + s"""
+  val q112_delete_read: String = barsCte + s"""
 , target AS (SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'),
 staging AS (
   SELECT row_id, date, symbol, data_source, open, high, low, close + 1.0 AS close,
@@ -1989,7 +1989,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q79_ema_macd" -> q79_ema_macd,
     "q80_timetravel_current" -> q80_timetravel_current,
     "q81_timetravel_past" -> q81_timetravel_past,
-    "q112_delete_commit" -> q112_delete_commit,
+    "q112_delete_read" -> q112_delete_read,
     "q113_delete_timetravel" -> q113_delete_timetravel,
     "q82_date_to_string" -> q82_date_to_string,
     "q83_ingest_roundtrip" -> q83_ingest_roundtrip,

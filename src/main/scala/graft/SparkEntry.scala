@@ -334,7 +334,9 @@ object SparkEntry {
     // re-rank. The k-means training loop is not SQL-expressible, so
     // this entry carries no oracle (rows-only check); exactness of the
     // re-rank and recall vs q21's brute force are asserted in
-    // SimilaritySpec.
+    // SimilaritySpec. Timed region = the WHOLE knnIvf call: centroid
+    // training (2 Lloyd passes) + assignment + probe + re-rank — the
+    // cold-start cost; q48/q86 time the pre-trained paths.
     "q41_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.similarity.Similarity
@@ -380,7 +382,11 @@ object SparkEntry {
     // centroids, dynamic partition append — history never read or
     // rewritten). The search result must be indistinguishable from an
     // index built on the full corpus, so the oracle is exactly q86's
-    // (which is q48's): append is semantically invisible.
+    // (which is q48's): append is semantically invisible. Timed
+    // region = the SEARCH over the appended index (build+append are
+    // the build-once fixture — append is not idempotent across bench
+    // repeats); the adjudicated property is the appended index's
+    // answer, not append IO.
     "q107_ivf_append" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = Array.tabulate(8)(p =>
@@ -1060,8 +1066,12 @@ object SparkEntry {
     // verb, GDPR-style): v1 = target, v2 = MERGE, v3 = deleteCommit of
     // a deterministic tombstone set (early-month rows of Q4-1998,
     // partition-bounded to those 4 months). Reading v3 must equal the
-    // oracle's logical DELETE over the upsert result.
-    "q112_delete_commit" -> ((s, dir) => {
+    // oracle's logical DELETE over the upsert result. Timed region =
+    // the post-delete READ (the delete commit is the build-once
+    // fixture — deleteCommit is not idempotent, so re-running it per
+    // bench repeat would grow the version chain); the commit path's
+    // cost rides q43's upsert twin and VersionedSpec.
+    "q112_delete_read" -> ((s, dir) => {
       val (table, cols) = deleteFixture(s, dir)
       graft.store.Versioned.readVersion(s, table, 3)
         .select(cols.map(col): _*)
@@ -1415,7 +1425,10 @@ object SparkEntry {
     // >= 250 batch against the appended index. The appended index must
     // answer exactly like one built over the union, so q85's oracle
     // (cross-boundary pairs at the 250 boundary) adjudicates the
-    // append path.
+    // append path. Timed region = the dedup QUERY against the
+    // appended index (build+append are the build-once fixture —
+    // append is not idempotent across bench repeats); what the entry
+    // adjudicates is the appended index's ANSWER, not append IO.
     "q87_index_append" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val idxPath = fixture("minhash_index_app", dir) {
