@@ -81,7 +81,7 @@ object Versioned {
     * largest dv in a manifest can belong to an EARLIER version (a
     * rebased writer publishes later with a smaller token), and the
     * correct read schema is always the committing writer's. */
-  private[store] val CommitDvKey = "__commit_dv"
+  private[graft] val CommitDvKey = "__commit_dv"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -35,7 +35,8 @@ object VersionedProbe {
     // Table A: first read via the NEW explicit-schema path, step by step
     val ta = build("A")
     val manifest = timed("readManifest") {
-      graft.store.Versioned.readManifest(spark, ta, 1) }
+      graft.store.Versioned.readManifest(spark, ta, 1) -
+        graft.store.Versioned.CommitDvKey }
     val dirs = manifest.toSeq.sortBy(_._1)
       .map { case (part, dv) => s"$ta/data/$part/__dv=$dv" }
     val fileSchema = timed("schema-probe (1 dir)") {
@@ -51,7 +52,8 @@ object VersionedProbe {
     // Table B: first read via the OLD inference path
     val tb = build("B")
     val manifestB = timed("readManifest") {
-      graft.store.Versioned.readManifest(spark, tb, 1) }
+      graft.store.Versioned.readManifest(spark, tb, 1) -
+        graft.store.Versioned.CommitDvKey }
     val dirsB = manifestB.toSeq.sortBy(_._1)
       .map { case (part, dv) => s"$tb/data/$part/__dv=$dv" }
     val dfb = timed("big read w/ inference") {
