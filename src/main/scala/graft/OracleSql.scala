@@ -1049,6 +1049,45 @@ SELECT doc_id,
        WHEN sum(g) >= sum(b) THEN 'g' ELSE 'b' END AS dominant
 FROM px GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q115 twin: WAV PCM16 sample stats from FIRST PRINCIPLES — the
+    * fixture's generating formula over (doc_id, interleaved sample
+    * index), never touching a RIFF byte. The Spark side gets the same
+    * numbers only by correctly walking chunks (including the injected
+    * odd-length ancillary chunk and its pad byte), validating `fmt `,
+    * and decoding little-endian int16 samples; any decode bug breaks
+    * the BIGINT hash. Zero crossings counted over channel 0 (sample
+    * indices ≡ 0 mod channels) as strict sign flips. */
+  val q115_wav_decode_stats: String = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 37 AS nf,
+         8000 + 100 * (doc_id % 4) AS sr
+  FROM documents),
+s AS (
+  SELECT doc_id, ch, nf, sr, i,
+    ((7919 * doc_id + 104729 * i + 1299721 * i * i) % 65536) - 32768 AS v
+  FROM d, unnest(range(0, ch * nf)) AS t(i)),
+agg AS (
+  SELECT doc_id,
+    CAST(max(ch) AS BIGINT) AS channels,
+    CAST(max(sr) AS BIGINT) AS sample_rate,
+    CAST(max(nf) AS BIGINT) AS n_frames,
+    CAST(sum(v) AS BIGINT) AS sum_all,
+    CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+    CAST(min(v) AS BIGINT) AS min_s,
+    CAST(max(v) AS BIGINT) AS max_s
+  FROM s GROUP BY doc_id),
+c0 AS (
+  SELECT doc_id, v,
+    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s WHERE i % ch = 0),
+zc AS (
+  SELECT doc_id,
+    CAST(count(*) FILTER (WHERE pv IS NOT NULL AND (v < 0) != (pv < 0))
+         AS BIGINT) AS zero_cross0
+  FROM c0 GROUP BY doc_id)
+SELECT agg.*, zc.zero_cross0
+FROM agg JOIN zc USING (doc_id) ORDER BY doc_id"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2037,6 +2076,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q91_quantized_knn" -> q91_quantized_knn,
     "q111_ivf_sq8_search" -> q111_ivf_sq8_search,
     "q114_png_decode_stats" -> q114_png_decode_stats,
+    "q115_wav_decode_stats" -> q115_wav_decode_stats,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -666,6 +666,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL WAV PCM16 sample decode end-to-end: per doc, synthesize a
+    // canonical RIFF/WAVE blob whose interleaved samples follow a pure
+    // integer formula of (doc_id, sample index), with mono/stereo
+    // alternating and an odd-length ancillary LIST chunk injected on
+    // every third doc (exercising the RIFF pad-byte walk) — then
+    // decode with the native expression and emit exact integer sample
+    // stats. The oracle computes the SAME numbers from the formula
+    // alone (no RIFF anywhere), so hash equality proves the chunk walk
+    // + LE16 decode. Timed region = encode + decode + stats, as named.
+    "q115_wav_decode_stats" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val ch = (1 + id % 2).toInt
+          val nf = (50 + id % 37).toInt
+          val anc = if (id % 3 == 0)
+            Seq("LIST" -> Array.tabulate[Byte]((id % 5).toInt * 2 + 1)(
+              i => (i + 1).toByte))
+          else Nil
+          id -> graft.multimodal.Wav.encodePcm16(
+            ch, (8000 + 100 * (id % 4)).toInt, nf,
+            (f, c) => {
+              val i = f.toLong * ch + c
+              (((7919L * id + 104729L * i + 1299721L * i * i) % 65536L)
+                - 32768L).toInt
+            },
+            ancillary = anc)
+        }
+        .toDF("doc_id", "wav")
+      wavs.select(col("doc_id"),
+          graft.multimodal.Multimodal.wavPcmStats(col("wav")).as("s"))
+        .select(col("doc_id"),
+          col("s.channels").as("channels"),
+          col("s.sample_rate").as("sample_rate"),
+          col("s.n_frames").as("n_frames"),
+          col("s.sum_all").as("sum_all"), col("s.sum_abs").as("sum_abs"),
+          col("s.min_s").as("min_s"), col("s.max_s").as("max_s"),
+          col("s.zero_cross0").as("zero_cross0"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling over media bytes: every 4th 128-byte frame,
     // hashed — the 1-in-N decimation shape of a video/audio pipeline.
     "q50_frame_sample" -> ((s, dir) => {

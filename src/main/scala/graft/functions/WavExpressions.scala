@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Shared eval path for [[WavPcmStats]] — static-forwarder object so
+  * whole-stage codegen emits one call per row (the [[PngPixelUtil]]
+  * pattern). REAL audio sample decode for canonical PCM16 WAV
+  * (RIFF/WAVE): chunk walk (word-aligned, ancillary chunks skipped) →
+  * `fmt ` validation → little-endian int16 reads over the `data`
+  * payload → exact integer sample stats. The per-channel-0
+  * zero-crossing count is the classic cheap audio feature (silence /
+  * tone / speech discrimination) a training-data audio pipeline runs
+  * before any model-based scoring.
+  *
+  * Anything non-canonical — float or compressed formats, bit depths
+  * other than 16, inconsistent block alignment, truncated data,
+  * missing or out-of-order chunks, adversarial sizes — degrades to
+  * `decoded = false` with NULL stats: never an error, never a garbage
+  * read. Output stats are pure integers so the q115 oracle compares
+  * exact BIGINTs: DuckDB derives the same numbers from the fixture's
+  * sample FORMULA while Spark decodes real RIFF bytes — hash equality
+  * proves the walk + sample decode, not just the plumbing. */
+object WavPcmUtil {
+
+  /** Sample-count ceiling: 2^24 samples = 32 MB of PCM16 per blob —
+    * above this an adversarial header would balloon executor memory,
+    * so the decode declines rather than trusting the size field. */
+  val MaxSamples: Long = 1L << 24
+
+  private val NotDecoded: InternalRow = {
+    val r = new GenericInternalRow(9)
+    r.update(0, false)
+    r // fields 1-8 stay null
+  }
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  def stats(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 12) return NotDecoded
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+        bytes(10) != 'V' || bytes(11) != 'E') return NotDecoded
+
+    // chunk walk: fmt fields + data location; fmt must precede data
+    // (the spec's ordering); unknown chunks (LIST, fact, cue …) are
+    // skipped with RIFF's odd-length pad byte honored.
+    var pos = 12
+    var haveFmt = false
+    var audioFormat = -1; var channels = -1; var bits = -1
+    var sampleRate = -1L; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1L
+    while (dataOff < 0 && pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = le32(bytes, pos + 4)
+      if (pos + 8 + len > bytes.length) return NotDecoded // truncated
+      id match {
+        case "fmt " =>
+          if (len < 16) return NotDecoded
+          audioFormat = le16(bytes, pos + 8)
+          channels = le16(bytes, pos + 10)
+          sampleRate = le32(bytes, pos + 12)
+          blockAlign = le16(bytes, pos + 20)
+          bits = le16(bytes, pos + 22)
+          haveFmt = true
+        case "data" =>
+          if (!haveFmt) return NotDecoded
+          dataOff = pos + 8; dataLen = len
+        case _ => // ancillary chunk: skip
+      }
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (dataOff < 0) return NotDecoded
+    if (audioFormat != 1 || bits != 16) return NotDecoded // PCM16 only
+    if (channels < 1 || channels > 8) return NotDecoded
+    if (blockAlign != channels * 2) return NotDecoded
+    if (dataLen % blockAlign != 0) return NotDecoded
+    val nSamples = dataLen / 2
+    if (nSamples > MaxSamples) return NotDecoded
+    val nFrames = dataLen / blockAlign
+
+    var sum = 0L; var sumAbs = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var zc = 0L
+    var prev0 = 0; var havePrev0 = false
+    val n = nSamples.toInt
+    var i = 0
+    while (i < n) {
+      val v = le16(bytes, dataOff + 2 * i).toShort.toInt
+      sum += v; sumAbs += math.abs(v)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (i % channels == 0) { // channel 0: zero-crossing count
+        if (havePrev0 && ((v < 0) != (prev0 < 0))) zc += 1
+        prev0 = v; havePrev0 = true
+      }
+      i += 1
+    }
+    val row = new GenericInternalRow(9)
+    row.update(0, true)
+    row.update(1, channels.toLong)
+    row.update(2, sampleRate)
+    row.update(3, nFrames)
+    if (n > 0) { // empty data: stats NULL, counts 0
+      row.update(4, sum); row.update(5, sumAbs)
+      row.update(6, mn); row.update(7, mx)
+    } else {
+      row.update(4, 0L); row.update(5, 0L)
+    }
+    row.update(8, zc)
+    row
+  }
+}
+
+/** PCM16 WAV sample statistics as a native codegen'd expression — the
+  * audio rung of the multimodal pipeline, same contract as
+  * [[PngPixelStats]]: runs in the scan-side projection, the media
+  * bytes never shuffle, only the 9-field integer stats row leaves. */
+case class WavPcmStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = WavPcmStats.schema
+
+  override def prettyName: String = "wav_pcm_stats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WavPcmUtil.stats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WavPcmUtil.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
+}
+
+object WavPcmStats {
+  val schema: StructType = StructType(Seq(
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("channels", LongType), StructField("sample_rate", LongType),
+    StructField("n_frames", LongType),
+    StructField("sum_all", LongType), StructField("sum_abs", LongType),
+    StructField("min_s", LongType), StructField("max_s", LongType),
+    StructField("zero_cross0", LongType)))
+}
+
+object WavFunctions {
+
+  val fnName = "graft_wav_pcm_stats"
+
+  private[functions] def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(fnName)))
+      registry.createOrReplaceTempFunction(fnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$fnName takes 1 argument")
+          WavPcmStats(children.head)
+        },
+        "built-in")
+  }
+
+  def wavPcmStats(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(fnName, c)
+  }
+}

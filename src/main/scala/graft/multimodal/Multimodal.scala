@@ -31,6 +31,15 @@ object Multimodal {
   def pngPixelStats(bin: Column): Column =
     graft.functions.PngFunctions.pngPixelStats(bin)
 
+  /** REAL audio sample decode for canonical PCM16 WAV: RIFF chunk walk
+    * + little-endian int16 sample reads → exact integer stats incl.
+    * the channel-0 zero-crossing count (see
+    * [[graft.functions.WavPcmUtil]]); non-WAV or non-PCM16 blobs yield
+    * decoded = false, never an error. Scan-side like [[pngPixelStats]]:
+    * the audio bytes never shuffle. */
+  def wavPcmStats(bin: Column): Column =
+    graft.functions.WavFunctions.wavPcmStats(bin)
+
   /** Byte length + head bytes + content hash: the metadata every media
     * ingest keeps before any decode. */
   def mediaMeta(bin: Column): Column = struct(
