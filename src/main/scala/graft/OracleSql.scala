@@ -1088,6 +1088,61 @@ zc AS (
 SELECT agg.*, zc.zero_cross0
 FROM agg JOIN zc USING (doc_id) ORDER BY doc_id"""
 
+  /** q116 twin: rebuild the same formula-synthesized raw URLs, then
+    * apply the canonicalization SPEC (RFC-3986-safe normalizations:
+    * lowercase scheme/host, drop default port / fragment / tracking
+    * params / trailing slashes) from first principles in SQL — any
+    * divergence in the Spark operator's regex pipeline breaks the
+    * hash. Registered domain = last two host labels (documented
+    * approximation; production uses the public-suffix list). */
+  val q116_url_canonicalize: String = """
+WITH u AS (
+  SELECT doc_id,
+    (['HTTP','https','HtTpS'])[CAST(doc_id % 3 + 1 AS INT)] || '://' ||
+    CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+    'Sub' || CAST(doc_id % 4 AS VARCHAR) ||
+    '.ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.CoM' ||
+    ([':443', ':80', ':8080', ''])[CAST(doc_id % 4 + 1 AS INT)] ||
+    CASE WHEN doc_id % 11 = 0 THEN '/' ELSE
+      '/Dir' || CAST(doc_id % 5 AS VARCHAR) ||
+      '/pg' || CAST(doc_id % 13 AS VARCHAR) ||
+      CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END END ||
+    CASE WHEN doc_id % 10 = 0 THEN '?utm_source=feed'
+         ELSE '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+              '&utm_campaign=x&q=' || CAST(doc_id % 9 AS VARCHAR) END ||
+    CASE WHEN doc_id % 2 = 0 THEN '#Sec' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host,
+    regexp_extract(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    COALESCE(array_to_string(list_filter(
+      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')), '&'), '') AS kq
+  FROM u),
+canon AS (
+  SELECT doc_id, url,
+    scheme || '://' || host ||
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+           OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END ||
+    regexp_replace(path, '/+$', '') ||
+    CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url,
+    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+  FROM parts)
+SELECT doc_id, url, canon_url, domain,
+  CAST(row_number() OVER (PARTITION BY domain ORDER BY canon_url, doc_id)
+       AS INTEGER) AS domain_rank,
+  CAST(CASE WHEN row_number() OVER (PARTITION BY domain
+              ORDER BY canon_url, doc_id) <= 40
+       THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM canon ORDER BY doc_id"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2077,6 +2132,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q111_ivf_sq8_search" -> q111_ivf_sq8_search,
     "q114_png_decode_stats" -> q114_png_decode_stats,
     "q115_wav_decode_stats" -> q115_wav_decode_stats,
+    "q116_url_canonicalize" -> q116_url_canonicalize,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -292,6 +292,44 @@ object SparkEntry {
       graft.text.TextAnalysis.nfcReport(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // URL canonicalization + registered domain + per-domain quota rank
+    // (the crawl-hygiene pass before URL dedup; C4 dedupes by URL,
+    // RefinedWeb caps per-domain). Raw URLs are synthesized from a
+    // pure doc_id formula exercising every rule: mixed-case scheme and
+    // host, default vs explicit vs absent ports (incl. http:443 which
+    // must be KEPT), root and trailing-slash paths, tracking-only
+    // query strings, fragments. The oracle rebuilds the same raw URLs
+    // and applies the same RFC-3986-safe spec from first principles.
+    "q116_url_canonicalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val urls = Tables.documents(s, dir).selectExpr("doc_id", """
+        concat(
+          element_at(array('HTTP','https','HtTpS'), cast(doc_id % 3 + 1 as int)),
+          '://',
+          CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+          'Sub', cast(doc_id % 4 as string),
+          '.ExAmple', cast(doc_id % 7 as string), '.CoM',
+          element_at(array(':443', ':80', ':8080', ''), cast(doc_id % 4 + 1 as int)),
+          CASE WHEN doc_id % 11 = 0 THEN '/' ELSE
+            concat('/Dir', cast(doc_id % 5 as string),
+                   '/pg', cast(doc_id % 13 as string),
+                   CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) END,
+          CASE WHEN doc_id % 10 = 0 THEN '?utm_source=feed'
+               ELSE concat('?utm_source=feed&id=', cast(doc_id as string),
+                           '&utm_campaign=x&q=', cast(doc_id % 9 as string)) END,
+          CASE WHEN doc_id % 2 = 0
+               THEN concat('#Sec', cast(doc_id % 3 as string)) ELSE '' END
+        ) AS url""")
+      val w = Window.partitionBy(col("domain"))
+        .orderBy(col("canon_url"), col("doc_id"))
+      urls.select(col("doc_id"), col("url"),
+          graft.text.Urls.canonicalizeUrl(col("url")).as("canon_url"),
+          graft.text.Urls.registeredDomain(col("url")).as("domain"))
+        .withColumn("domain_rank", row_number().over(w))
+        .withColumn("kept", (col("domain_rank") <= 40).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact content dedup: one survivor per distinct text, keyed on the
     // 16-byte content hash (shuffle key is the hash, not the document).
     "q17_content_dedup" -> ((s, dir) =>
