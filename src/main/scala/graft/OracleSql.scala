@@ -1143,6 +1143,40 @@ SELECT doc_id, url, canon_url, domain,
        THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM canon ORDER BY doc_id"""
 
+  /** q117 twin: rebuild the same formula-synthesized line lists, then
+    * apply the document-frequency threshold from first principles —
+    * lines in ≥ 3 distinct docs are chrome and go; df=2 'pair' lines
+    * and unique content stay; a doc whose every line was chrome
+    * surfaces with kept_lines=0 and clean_text='' (never dropped). */
+  val q117_boilerplate_lines: String = """
+WITH parts AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN ['== site header =='] ELSE []::VARCHAR[] END ||
+    CASE WHEN doc_id % 3 = 0 THEN ['nav menu home'] ELSE []::VARCHAR[] END ||
+    list_transform(range(0, doc_id % 4 + 1),
+      j -> 'content ' || CAST(doc_id AS VARCHAR) || ' line ' || CAST(j AS VARCHAR)) ||
+    ['pair ' || CAST(doc_id // 2 AS VARCHAR)] ||
+    CASE WHEN doc_id % 2 = 1 THEN ['copyright footer'] ELSE []::VARCHAR[] END AS ls
+  FROM documents),
+lines AS (
+  SELECT doc_id, i, ls[CAST(i AS INT)] AS line
+  FROM parts, unnest(range(1, len(ls) + 1)) AS t(i)),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.i, l.line FROM lines l
+  JOIN freq f USING (line) WHERE f.df < 3),
+rebuilt AS (
+  SELECT doc_id, count(*) AS kept_lines,
+         string_agg(line, chr(10) ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT p.doc_id,
+  CAST(len(p.ls) AS BIGINT) AS n_lines,
+  CAST(COALESCE(r.kept_lines, 0) AS BIGINT) AS kept_lines,
+  COALESCE(r.clean_text, '') AS clean_text
+FROM parts p LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY p.doc_id"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2133,6 +2167,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q114_png_decode_stats" -> q114_png_decode_stats,
     "q115_wav_decode_stats" -> q115_wav_decode_stats,
     "q116_url_canonicalize" -> q116_url_canonicalize,
+    "q117_boilerplate_lines" -> q117_boilerplate_lines,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -330,6 +330,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-doc line-level boilerplate removal (the CCNet/RefinedWeb
+    // shared-line filter): lines appearing in >= 3 distinct docs are
+    // template chrome and get stripped; rarer shared lines (the
+    // 'pair k' lines, df=2) and unique content must survive. The
+    // fixture synthesizes line-structured docs from a doc_id formula
+    // (header/nav/footer boilerplate + unique content lines); the
+    // oracle rebuilds the same lines and applies the df-threshold spec
+    // from first principles, incl. all-chrome docs collapsing to ''.
+    "q117_boilerplate_lines" -> ((s, dir) => {
+      val id = col("doc_id")
+      val empty = array().cast("array<string>")
+      val docs = Tables.documents(s, dir).select(id,
+        concat_ws("\n", concat(
+          when(id % 2 === 0, array(lit("== site header =="))).otherwise(empty),
+          when(id % 3 === 0, array(lit("nav menu home"))).otherwise(empty),
+          transform(sequence(lit(0), (id % 4).cast("int")),
+            j => concat(lit("content "), id.cast("string"),
+              lit(" line "), j.cast("string"))),
+          array(concat(lit("pair "), expr("div(doc_id, 2)").cast("string"))),
+          when(id % 2 === 1, array(lit("copyright footer"))).otherwise(empty)
+        )).as("text"))
+      graft.text.Boilerplate.removeCommonLines(docs, "doc_id", "text",
+          minDocs = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact content dedup: one survivor per distinct text, keyed on the
     // 16-byte content hash (shuffle key is the hash, not the document).
     "q17_content_dedup" -> ((s, dir) =>
