@@ -1177,6 +1177,54 @@ SELECT p.doc_id,
 FROM parts p LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY p.doc_id"""
 
+  /** q118 twin: q84's recursive-closure component labels, then the
+    * quality argmax from first principles — max length per cluster,
+    * min doc_id among the maxima, every doc audited (unpaired docs
+    * are their own kept singleton cluster). */
+  val q118_keep_best_neardup: String = s"""
+WITH RECURSIVE
+p AS ($q18_minhash_neardup),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+conn(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN e ON c.b = e.a WHERE e.b <> c.a),
+lab AS (SELECT a AS doc_id, least(a, min(b)) AS label FROM conn GROUP BY a),
+sc AS (
+  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster,
+         CAST(length(d.text) AS BIGINT) AS score
+  FROM documents d LEFT JOIN lab l USING (doc_id)),
+mx AS (SELECT cluster, max(score) AS mx FROM sc GROUP BY cluster),
+keepid AS (
+  SELECT s.cluster, min(s.doc_id) AS keep_id
+  FROM sc s JOIN mx m USING (cluster) WHERE s.score = m.mx
+  GROUP BY s.cluster)
+SELECT s.doc_id, s.cluster, s.score, s.doc_id = k.keep_id AS kept
+FROM sc s JOIN keepid k USING (cluster)
+ORDER BY s.doc_id"""
+
+  /** q119 twin: identical chunk-start formula (last start =
+    * stride·⌈max(0,n−window)/stride⌉, so no contained tails), 1-based
+    * list slicing on the same whitespace tokens. */
+  val q119_chunk_windows: String = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '),
+      t -> t <> '') AS ts
+  FROM documents),
+sized AS (
+  SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+starts AS (
+  SELECT doc_id, ts, n, i AS chunk_idx, CAST(i * 30 AS BIGINT) AS start_token
+  FROM sized,
+    unnest(range(0, (greatest(n - 40, 0) + 29) // 30 + 1)) AS t(i))
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start_token,
+  CAST(len(ts[CAST(start_token + 1 AS INT):CAST(least(start_token + 40, n) AS INT)]) AS BIGINT)
+    AS n_tokens,
+  array_to_string(ts[CAST(start_token + 1 AS INT):CAST(least(start_token + 40, n) AS INT)], ' ')
+    AS chunk_text
+FROM starts ORDER BY doc_id, chunk_idx"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2168,6 +2216,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q115_wav_decode_stats" -> q115_wav_decode_stats,
     "q116_url_canonicalize" -> q116_url_canonicalize,
     "q117_boilerplate_lines" -> q117_boilerplate_lines,
+    "q118_keep_best_neardup" -> q118_keep_best_neardup,
+    "q119_chunk_windows" -> q119_chunk_windows,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -356,6 +356,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-aware near-dup survivor selection: per cluster keep the
+    // highest-score doc (score = text length — prefer the untruncated
+    // copy), ties to the smallest id; keep-first would throw away the
+    // clean copy whenever the mutilated one was crawled earlier. Full
+    // per-row audit; deterministic argmax (max + null-safe filter +
+    // min-id), never max_by.
+    "q118_keep_best_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.dedup.Dedup.minhashPairs(docs, threshold = 0.5)
+      graft.dedup.Dedup.keepBestAudit(docs, pairs,
+          length(col("text")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Context-window chunking: overlapping 40-token windows, stride 30
+    // (10-token overlap) — the prep step for docs longer than the
+    // model context. Zero-shuffle scan-side explode; the last chunk
+    // may be short but is never contained in its predecessor.
+    "q119_chunk_windows" -> ((s, dir) =>
+      graft.text.Chunking.chunkTokens(Tables.documents(s, dir),
+          "doc_id", "text", window = 40, stride = 30)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Exact content dedup: one survivor per distinct text, keyed on the
     // 16-byte content hash (shuffle key is the hash, not the document).
     "q17_content_dedup" -> ((s, dir) =>

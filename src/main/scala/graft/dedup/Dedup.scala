@@ -342,6 +342,56 @@ object Dedup {
     docs.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE survivor selection: per near-dup cluster keep the
+    * highest-`score` document (ties → smallest id) instead of
+    * [[dropNearDups]]'s smallest-id-wins. This is what production
+    * pipelines actually run — near-duplicates differ in truncation,
+    * boilerplate, and OCR noise, and keep-first throws away the clean
+    * copy whenever the mutilated one was crawled earlier (RefinedWeb
+    * arXiv:2306.01116 keeps by quality signals; `score` is typically
+    * [[graft.text.TextAnalysis.qualityScore]] or plain text length).
+    *
+    * Returns a full per-row audit (idCol, cluster, score, kept) —
+    * every doc surfaces with its verdict, unpaired docs as their own
+    * kept singleton cluster (the E73 audit contract).
+    *
+    * Scale: cluster labels and both argmax aggregations run only over
+    * docs that participate in a pair — bounded by the near-dup set,
+    * tiny vs the corpus — so the two joins back onto the scored
+    * corpus are AQE-broadcastable; the corpus itself is scanned once
+    * for the score projection. The argmax is deterministic under any
+    * partitioning: a max-score aggregate, then a NULL-SAFE equality
+    * filter (`<=>` — an all-NULL-score cluster degrades to keep-first
+    * rather than keeping nobody) and a min-id tiebreak — never
+    * `max_by`, whose tie choice is partitioning-dependent. */
+  def keepBestAudit(docs: DataFrame, pairs: DataFrame, score: Column,
+                    idCol: String = "doc_id"): DataFrame = {
+    val labels = componentLabels(pairs).withColumnRenamed("node", idCol)
+    val scored = docs.select(col(idCol), score.as("score"))
+    val paired = scored.join(labels, Seq(idCol), "inner")
+    val best = paired
+      .groupBy(col("label")).agg(max(col("score")).as("__mx"))
+      .join(paired, Seq("label"))
+      .filter(col("score") <=> col("__mx"))
+      .groupBy(col("label")).agg(min(col(idCol)).as("__keep"))
+      .withColumnRenamed("label", "cluster")
+    scored.join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+      .drop("label")
+      .join(best, Seq("cluster"), "left")
+      .select(col(idCol), col("cluster"), col("score"),
+        coalesce(col(idCol) === col("__keep"), lit(true)).as("kept"))
+  }
+
+  /** Filtering form of [[keepBestAudit]]: the full `docs` rows, minus
+    * every near-duplicate that lost its cluster's quality vote. */
+  def dropNearDupsKeepBest(docs: DataFrame, pairs: DataFrame,
+                           score: Column, idCol: String = "doc_id"): DataFrame = {
+    val losers = keepBestAudit(docs, pairs, score, idCol)
+      .filter(!col("kept")).select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Leakage-safe train/eval split: every near-dup CLUSTER lands
     * atomically on one side, so no eval doc has a near-duplicate in
     * train (the leakage a doc-level hash split silently allows — a

@@ -114,6 +114,32 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 5L, 9L)
   }
 
+  test("keepBestAudit: highest score survives, min-id tiebreak, unpaired kept") {
+    import spark.implicits._
+    // cluster {1,2,3}: 3 has the longest text -> 3 survives (not min id 1);
+    // cluster {5,6}: equal scores -> min id 5 by tiebreak; 9 unpaired -> kept.
+    val d = docs(1L -> "aa", 2L -> "a", 3L -> "aaaa", 5L -> "bb", 6L -> "cc",
+      9L -> "z")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val audit = Dedup.keepBestAudit(d, pairs, expr("length(text)").cast("long"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    audit shouldBe Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 1L, false), (3L, 1L, 4L, true),
+      (5L, 5L, 2L, true), (6L, 5L, 2L, false), (9L, 9L, 1L, true))
+    Dedup.dropNearDupsKeepBest(d, pairs, expr("length(text)").cast("long"))
+      .select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(3L, 5L, 9L)
+  }
+
+  test("keepBestAudit: all-NULL-score cluster degrades to keep-first") {
+    import spark.implicits._
+    val d = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val audit = Dedup.keepBestAudit(d, pairs, expr("length(text)").cast("long"))
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    audit shouldBe Seq((1L, true), (2L, false))
+  }
+
   test("leakageSafeSplit: near-dup clusters land atomically on one side") {
     import spark.implicits._
     val d = docs(
