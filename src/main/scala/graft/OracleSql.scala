@@ -1225,6 +1225,56 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start_token,
     AS chunk_text
 FROM starts ORDER BY doc_id, chunk_idx"""
 
+  /** q120 twin: the same synthesized pages, the same regex cascade
+    * (RE2-safe on both engines — inline (?is) flags, lazy
+    * quantifiers, no backreferences), run step by step in DuckDB; the
+    * link's canonical form derived from the URL formula alone. */
+  val q120_html_extract: String = """
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' </title>' ||
+    '<style>p {color: red}</style><script>var x = 1 < 2;</script></head>' || chr(10) ||
+    '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+    '<p>' || text || '</p>' || chr(10) ||
+    '<a href="HTTP://Example.com:80/doc/' || CAST(doc_id AS VARCHAR) ||
+    '?utm_source=feed&page=2#frag">next</a>' ||
+    CASE WHEN doc_id % 3 = 0
+      THEN '<div>footer &amp; legal &lt;fine print&gt;&nbsp;ok</div>'
+      ELSE '' END ||
+    '</body></html>' AS html
+  FROM documents),
+noscript AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+    '(?s)<!--.*?-->', ' ', 'g') AS s
+  FROM h),
+stripped AS (
+  SELECT doc_id, regexp_replace(regexp_replace(s,
+    '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>', chr(10), 'g'),
+    '(?s)<[^>]+>', ' ', 'g') AS s
+  FROM noscript),
+decoded AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(s,
+    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+    '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&#(\d+);', ' ', 'g'),
+    '&amp;', '&', 'g') AS s
+  FROM stripped),
+collapsed AS (
+  SELECT doc_id, regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(s,
+    '[ \t\x0B\f\r]+', ' ', 'g'),
+    ' ?\n ?', chr(10), 'g'), '\n{2,}', chr(10), 'g'), ' '),
+    '^\n+|\n+$', '', 'g') AS clean_text
+  FROM decoded)
+SELECT c.doc_id,
+  'Doc ' || CAST(c.doc_id AS VARCHAR) AS title,
+  c.clean_text,
+  CAST(1 AS BIGINT) AS n_links,
+  'http://example.com/doc/' || CAST(c.doc_id AS VARCHAR) || '?page=2'
+    AS first_link_canon
+FROM collapsed c ORDER BY c.doc_id"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2218,6 +2268,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q117_boilerplate_lines" -> q117_boilerplate_lines,
     "q118_keep_best_neardup" -> q118_keep_best_neardup,
     "q119_chunk_windows" -> q119_chunk_windows,
+    "q120_html_extract" -> q120_html_extract,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -379,6 +379,35 @@ object SparkEntry {
           "doc_id", "text", window = 40, stride = 30)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // HTML -> text extraction over formula-synthesized pages (title +
+    // style/script subtrees + the doc's own prose + a tracking-param
+    // link + an entity-bearing footer on every third doc). The oracle
+    // runs the IDENTICAL regex cascade in DuckDB over the same pages;
+    // the link's canonical form it derives from the URL formula alone.
+    "q120_html_extract" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = concat(
+        lit("<html><head><title>Doc "), id, lit(" </title>"),
+        lit("<style>p {color: red}</style><script>var x = 1 < 2;</script></head>\n"),
+        lit("<body><h1>Doc "), id, lit("</h1>\n<p>"), col("text"), lit("</p>\n"),
+        lit("<a href=\"HTTP://Example.com:80/doc/"), id,
+        lit("?utm_source=feed&page=2#frag\">next</a>"),
+        when(id % 3 === 0,
+          lit("<div>footer &amp; legal &lt;fine print&gt;&nbsp;ok</div>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      Tables.documents(s, dir).select(id, page.as("html"))
+        .select(id,
+          graft.text.Html.extractTitle(col("html")).as("title"),
+          graft.text.Html.extractText(col("html")).as("clean_text"),
+          size(graft.text.Html.extractLinks(col("html"))).cast("long")
+            .as("n_links"),
+          graft.text.Urls.canonicalizeUrl(
+            element_at(graft.text.Html.extractLinks(col("html")), 1))
+            .as("first_link_canon"))
+        .orderBy(id)
+    }),
+
     // Exact content dedup: one survivor per distinct text, keyed on the
     // 16-byte content hash (shuffle key is the hash, not the document).
     "q17_content_dedup" -> ((s, dir) =>
