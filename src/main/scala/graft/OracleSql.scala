@@ -1275,6 +1275,41 @@ SELECT c.doc_id,
     AS first_link_canon
 FROM collapsed c ORDER BY c.doc_id"""
 
+  /** q121 twin: the dHash spec from first principles on the pixel
+    * FORMULA (no PNG anywhere) — 9×8 luma1000 cell grid with floor
+    * bounds, exact rational mean compare via quotient-then-remainder
+    * (the Spark expression's overflow-safe form), per-bit diff count
+    * as Hamming distance, exhaustive pairs (the oracle need not
+    * band-block). */
+  val q121_image_neardup: String = """
+WITH imgs AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS m
+              FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT doc_id,
+    y * 8 // 10 AS gr, x * 9 // 12 AS gc,
+    299 * ((37*g + (3 + g)*x + (5 + g%3)*y +
+            CASE WHEN x = 0 AND y = 0 THEN m ELSE 0 END) % 256)
+    + 587 * ((91*g + (7 + 2*g)*x + (2 + g%2)*y) % 256)
+    + 114 * ((53*g + (1 + g%3)*x + (11 + g)*y) % 256) AS luma
+  FROM imgs, unnest(range(0, 12)) AS tx(x), unnest(range(0, 10)) AS ty(y)),
+cells AS (
+  SELECT doc_id, gr, gc, sum(luma) AS s, count(*) AS cnt
+  FROM px GROUP BY doc_id, gr, gc),
+bits AS (
+  SELECT l.doc_id, l.gr, l.gc AS c,
+    (l.s // l.cnt > r.s // r.cnt OR
+     (l.s // l.cnt = r.s // r.cnt AND
+      (l.s % l.cnt) * r.cnt > (r.s % r.cnt) * l.cnt)) AS bit
+  FROM cells l JOIN cells r
+    ON l.doc_id = r.doc_id AND l.gr = r.gr AND r.gc = l.gc + 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+FROM bits a JOIN bits b
+  ON a.gr = b.gr AND a.c = b.c AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+ORDER BY doc_a, doc_b"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2269,6 +2304,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q118_keep_best_neardup" -> q118_keep_best_neardup,
     "q119_chunk_windows" -> q119_chunk_windows,
     "q120_html_extract" -> q120_html_extract,
+    "q121_image_neardup" -> q121_image_neardup,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -782,6 +782,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // IMAGE near-dup pairs via perceptual dHash: 100 formula-generated
+    // 12x10 RGB8 PNGs in 20 groups of 5 (group members differ only in
+    // one pixel's red channel — every raw byte stream differs, so
+    // content-hash dedup is blind, but the 9x8 luma grid barely moves);
+    // 16-bit band blocking + exact bit_count(xor) <= 3. The oracle
+    // recomputes grid/bits/hamming from the pixel formula alone —
+    // hash equality proves decode + grid + banding end-to-end.
+    "q121_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 100)
+        .map { id =>
+          val g = id / 5; val m = id % 5
+          id -> graft.multimodal.Png.encodeRgb(12, 10,
+            (x, y) => {
+              // slopes depend on g itself (not g mod small-k), so every
+              // group's luma field is distinct — cross-group hashes land
+              // far apart and the pair list is the within-group truth
+              val r = (37 * g + (3 + g) * x + (5 + g % 3) * y +
+                (if (x == 0 && y == 0) m else 0L)) % 256
+              val gc = (91 * g + (7 + 2 * g) * x + (2 + g % 2) * y) % 256
+              val b = (53 * g + (1 + g % 3) * x + (11 + g) * y) % 256
+              (r.toInt, gc.toInt, b.toInt)
+            },
+            filterForRow = y => ((y + id) % 5).toInt,
+            idatChunkSize = 64)
+        }
+        .toDF("doc_id", "png")
+      graft.multimodal.Multimodal.imageNearDups(pngs, "doc_id", "png",
+          maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // REAL WAV PCM16 sample decode end-to-end: per doc, synthesize a
     // canonical RIFF/WAVE blob whose interleaved samples follow a pure
     // integer formula of (doc_id, sample index), with mono/stereo

@@ -58,11 +58,20 @@ object PngPixelUtil {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  def stats(bytes: Array[Byte]): InternalRow = {
-    if (bytes == null || bytes.length < 8) return NotDecoded
+  /** Decoded 8-bit RGB image: `pix` holds 3·w·h unfiltered bytes in
+    * scanline order. Null result = undecodable (any reason). */
+  private[functions] final class DecodedRgb(
+      val w: Int, val h: Int, val pix: Array[Byte])
+
+  /** The full RFC-2083 decode path shared by [[stats]] and [[dhash]]:
+    * signature → chunk walk → IDAT inflate → per-scanline unfilter.
+    * Returns null for anything that is not a well-formed 8-bit
+    * truecolor non-interlaced PNG within the pixel ceiling. */
+  private[functions] def decodeRgb(bytes: Array[Byte]): DecodedRgb = {
+    if (bytes == null || bytes.length < 8) return null
     if ((bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' ||
         bytes(3) != 'G' || bytes(4) != '\r' || bytes(5) != '\n' ||
-        bytes(6) != 0x1a || bytes(7) != '\n') return NotDecoded
+        bytes(6) != 0x1a || bytes(7) != '\n') return null
 
     // chunk walk: IHDR fields + concatenated IDAT payload, stop at IEND
     var pos = 8
@@ -73,11 +82,11 @@ object PngPixelUtil {
     var sawEnd = false
     while (!sawEnd && pos + 12 <= bytes.length) {
       val len = be32(bytes, pos)
-      if (len < 0 || pos + 12 + len > bytes.length) return NotDecoded
+      if (len < 0 || pos + 12 + len > bytes.length) return null
       val typ = new String(bytes, pos + 4, 4, "US-ASCII")
       typ match {
         case "IHDR" =>
-          if (len != 13) return NotDecoded
+          if (len != 13) return null
           w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
           bitDepth = bytes(pos + 16) & 0xff; colorType = bytes(pos + 17) & 0xff
           compression = bytes(pos + 18) & 0xff
@@ -89,9 +98,9 @@ object PngPixelUtil {
       }
       pos += 12 + len.toInt
     }
-    if (w <= 0 || h <= 0 || w * h > MaxPixels) return NotDecoded
+    if (w <= 0 || h <= 0 || w * h > MaxPixels) return null
     if (bitDepth != 8 || colorType != 2 || compression != 0 ||
-        filterMethod != 0 || interlace != 0) return NotDecoded
+        filterMethod != 0 || interlace != 0) return null
 
     // inflate the scanline stream: h rows of (1 filter byte + 3w pixels)
     val stride = 3 * w.toInt
@@ -103,24 +112,24 @@ object PngPixelUtil {
       var off = 0
       while (off < expected && !inflater.finished()) {
         val n = inflater.inflate(raw, off, expected - off)
-        if (n == 0 && inflater.needsInput()) return NotDecoded // truncated
+        if (n == 0 && inflater.needsInput()) return null // truncated
         off += n
       }
       off
     } catch {
-      case _: java.util.zip.DataFormatException => return NotDecoded
+      case _: java.util.zip.DataFormatException => return null
     } finally inflater.end()
-    if (got != expected) return NotDecoded
+    if (got != expected) return null
 
-    // unfilter in place, accumulating integer sums
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    // unfilter into the packed pixel array
+    val pix = new Array[Byte](h.toInt * stride)
     val cur = new Array[Int](stride)
     val above = new Array[Int](stride)
     var y = 0
     var o = 0
     while (y < h) {
       val ft = raw(o) & 0xff; o += 1
-      if (ft > 4) return NotDecoded
+      if (ft > 4) return null
       var i = 0
       while (i < stride) {
         val x = raw(o) & 0xff
@@ -134,25 +143,105 @@ object PngPixelUtil {
           case 3 => x + (a + b) / 2
           case 4 => x + paeth(a, b, c)
         }) & 0xff
+        pix(y.toInt * stride + i) = cur(i).toByte
         o += 1; i += 1
-      }
-      i = 0
-      while (i < stride) {
-        sumR += cur(i); sumG += cur(i + 1); sumB += cur(i + 2)
-        i += 3
       }
       System.arraycopy(cur, 0, above, 0, stride)
       y += 1
+    }
+    new DecodedRgb(w.toInt, h.toInt, pix)
+  }
+
+  def stats(bytes: Array[Byte]): InternalRow = {
+    val d = decodeRgb(bytes)
+    if (d == null) return NotDecoded
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var i = 0
+    while (i < d.pix.length) {
+      sumR += d.pix(i) & 0xff; sumG += d.pix(i + 1) & 0xff
+      sumB += d.pix(i + 2) & 0xff
+      i += 3
     }
     val dominant = // max channel by sum, ties break r > g > b
       if (sumR >= sumG && sumR >= sumB) "r" else if (sumG >= sumB) "g" else "b"
     val luma = 299L * sumR + 587L * sumG + 114L * sumB
     val row = new GenericInternalRow(9)
     row.update(0, true)
-    row.update(1, w); row.update(2, h); row.update(3, w * h)
+    row.update(1, d.w.toLong); row.update(2, d.h.toLong)
+    row.update(3, d.w.toLong * d.h)
     row.update(4, sumR); row.update(5, sumG); row.update(6, sumB)
     row.update(7, luma)
     row.update(8, UTF8String.fromString(dominant))
+    row
+  }
+
+  /** dHash grid: 8 rows × 9 columns of integer luma1000 cell sums. */
+  private val GridRows = 8
+  private val GridCols = 9
+
+  private val NoDhash: InternalRow = {
+    val r = new GenericInternalRow(2)
+    r.update(0, false)
+    r
+  }
+
+  /** Difference hash (dHash) — THE standard perceptual image
+    * fingerprint for near-duplicate detection: downscale to a 9×8
+    * luma grid, emit one bit per horizontally-adjacent cell pair
+    * (left > right), 64 bits total. Resilient to re-encoding, small
+    * edits, and brightness shifts that change every raw byte (so
+    * content-hash dedup misses them) while distinct images land far
+    * apart in Hamming space.
+    *
+    * Exact-integer spec (shared with the DuckDB oracle): cell (r, c)
+    * covers pixel rows [r·h/8, (r+1)·h/8) × cols [c·w/9, (c+1)·w/9)
+    * (floor bounds — cells cover the image exactly, sizes differ by
+    * ±1); cell value = SUM of luma1000 = 299R+587G+114B over the
+    * cell; bit(r, c) = left cell mean > right cell mean, compared
+    * EXACTLY as rationals via quotient-then-remainder (naive
+    * cross-multiplication sums·cnts can exceed 2⁶³ at the pixel
+    * ceiling; remainders are < cnt ≤ 2²⁴ so the remainder
+    * cross-product is < 2⁴⁸ — always safe); bit index r·8+c,
+    * LSB-first.
+    * Images narrower than 9 or shorter than 8 px have empty cells —
+    * declined (decoded = false) rather than hashed degenerately. */
+  def dhash(bytes: Array[Byte]): InternalRow = {
+    val d = decodeRgb(bytes)
+    if (d == null || d.w < GridCols || d.h < GridRows) return NoDhash
+    val sums = new Array[Long](GridRows * GridCols)
+    val cnts = new Array[Long](GridRows * GridCols)
+    var y = 0
+    while (y < d.h) {
+      val gr = y * GridRows / d.h
+      var x = 0
+      while (x < d.w) {
+        val gc = x * GridCols / d.w
+        val o = (y * d.w + x) * 3
+        val luma = 299L * (d.pix(o) & 0xff) + 587L * (d.pix(o + 1) & 0xff) +
+          114L * (d.pix(o + 2) & 0xff)
+        sums(gr * GridCols + gc) += luma
+        cnts(gr * GridCols + gc) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < GridRows) {
+      var c = 0
+      while (c < GridCols - 1) {
+        val l = r * GridCols + c
+        val ql = sums(l) / cnts(l); val rl = sums(l) % cnts(l)
+        val qr = sums(l + 1) / cnts(l + 1); val rr = sums(l + 1) % cnts(l + 1)
+        if (ql > qr || (ql == qr && rl * cnts(l + 1) > rr * cnts(l)))
+          hash |= 1L << (r * (GridCols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    val row = new GenericInternalRow(2)
+    row.update(0, true)
+    row.update(1, hash)
     row
   }
 }
@@ -195,9 +284,42 @@ object PngPixelStats {
     StructField("dominant", StringType)))
 }
 
+/** Perceptual difference-hash of a PNG blob — see
+  * [[PngPixelUtil.dhash]] for the exact-integer spec. Same scan-side
+  * contract as [[PngPixelStats]]: media bytes never shuffle, only the
+  * (decoded, 64-bit hash) struct leaves the projection. */
+case class PngDhash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = PngDhash.schema
+
+  override def prettyName: String = "png_dhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PngPixelUtil.dhash(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PngPixelUtil.dhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PngDhash =
+    copy(child = newChild)
+}
+
+object PngDhash {
+  val schema: StructType = StructType(Seq(
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("dhash", LongType)))
+}
+
 object PngFunctions {
 
   val fnName = "graft_png_pixel_stats"
+  val dhashFnName = "graft_png_dhash"
 
   private[functions] def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -208,10 +330,22 @@ object PngFunctions {
           PngPixelStats(children.head)
         },
         "built-in")
+    if (!registry.functionExists(FunctionIdentifier(dhashFnName)))
+      registry.createOrReplaceTempFunction(dhashFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$dhashFnName takes 1 argument")
+          PngDhash(children.head)
+        },
+        "built-in")
   }
 
   def pngPixelStats(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(fnName, c)
+  }
+
+  def pngDhash(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(dhashFnName, c)
   }
 }

@@ -40,6 +40,56 @@ object Multimodal {
   def wavPcmStats(bin: Column): Column =
     graft.functions.WavFunctions.wavPcmStats(bin)
 
+  /** Perceptual difference-hash (dHash) of an RGB8 PNG: decode → 9×8
+    * integer-luma grid → 64 adjacent-mean comparison bits (exact
+    * rational compare — see [[graft.functions.PngPixelUtil.dhash]]).
+    * The image fingerprint that survives re-encoding and small edits
+    * which change every raw byte (where content-hash dedup goes
+    * blind); scan-side, bytes never shuffle. */
+  def pngDhash(bin: Column): Column =
+    graft.functions.PngFunctions.pngDhash(bin)
+
+  /** IMAGE near-duplicate pairs — visual dedup for a multimodal
+    * corpus: dHash each image at the scan, then find all pairs within
+    * `maxHamming` bits via 16-bit band blocking (the
+    * [[graft.dedup.Dedup.simhashPairs]] shape on a 64-bit hash):
+    * two hashes within 3 bits MUST agree on one of the 4 bands by
+    * pigeonhole, so the candidate join is an equi-join on (band, key)
+    * — never all-pairs — and the exact `bit_count(xor)` filter keeps
+    * the band trick semantically invisible. Undecodable images drop
+    * out (they cannot be visually compared; content-hash dedup still
+    * covers them byte-exactly).
+    *
+    * Scale: candidate count is bounded by band-bucket collisions of
+    * 16-bit keys over visually-random hashes — near-uniform outside
+    * true near-dups; the 8-byte hash is all that shuffles. */
+  def imageNearDups(images: DataFrame, idCol: String = "doc_id",
+                    binCol: String = "png", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (4x16-bit banding guarantees recall only to 3), got $maxHamming")
+    val hashes = images
+      .select(col(idCol), pngDhash(col(binCol)).as("d"))
+      .filter(col("d.decoded"))
+      .select(col(idCol), col("d.dhash").as("dhash"))
+    val byteStructs = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("dhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)
+    val bands = hashes
+      .select(col(idCol), col("dhash"), explode(byteStructs).as("bk"))
+      .select(col(idCol), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Byte length + head bytes + content hash: the metadata every media
     * ingest keeps before any decode. */
   def mediaMeta(bin: Column): Column = struct(

@@ -201,6 +201,84 @@ class MultimodalSpec extends SparkSpec {
     codegen shouldBe direct
   }
 
+  test("pngDhash: hand-computed 9x8 gradient — one pixel per cell") {
+    // gray value decreasing in x: every left cell mean > right -> all
+    // 64 bits set -> hash is the all-ones Long (-1); increasing -> 0.
+    val dec = Png.encodeRgb(9, 8, (x, _) => (90 - x * 10, 90 - x * 10, 90 - x * 10))
+    val inc = Png.encodeRgb(9, 8, (x, _) => (x * 10, x * 10, x * 10))
+    val out = media(1L -> dec, 2L -> inc)
+      .select(col("id"), Multimodal.pngDhash(col("media")).as("d"))
+      .select(col("id"), col("d.decoded"), col("d.dhash"))
+      .orderBy("id").as[(Long, Boolean, Long)].collect().toSeq
+    out shouldBe Seq((1L, true, -1L), (2L, true, 0L))
+  }
+
+  test("pngDhash declines images narrower/shorter than the grid and non-PNGs") {
+    val narrow = Png.encodeRgb(8, 8, (x, y) => (x, y, x + y)) // w < 9
+    val short = Png.encodeRgb(9, 7, (x, y) => (x, y, x + y))  // h < 8
+    val ok = Png.encodeRgb(9, 8, (x, y) => (x, y, x + y))
+    val out = media(1L -> narrow, 2L -> short, 3L -> bytes600, 4L -> ok)
+      .select(col("id"), Multimodal.pngDhash(col("media")).as("d"))
+      .select(col("id"), col("d.decoded"), col("d.dhash"))
+      .orderBy("id").as[(Long, Boolean, Option[Long])].collect().toSeq
+    out.map(r => (r._1, r._2)) shouldBe
+      Seq((1L, false), (2L, false), (3L, false), (4L, true))
+    out.filter(!_._2).foreach(_._3 shouldBe None)
+  }
+
+  test("pngDhash is brightness-edit tolerant where content hashing is blind") {
+    // 36x32: cells are 4x4 px. A one-pixel +1 edit changes the encoded
+    // bytes (and thus any content hash) but no cell mean by enough to
+    // flip a comparison against a slope-10 gradient.
+    def grad(bump: Int) = Png.encodeRgb(36, 32, (x, y) =>
+      { val v = (350 - x * 10 + y) % 256
+        (if (x == 0 && y == 0) (v + bump) % 256 else v, v, v) })
+    val a = grad(0); val b = grad(1)
+    a.toSeq should not equal b.toSeq // byte-level dedup sees two blobs
+    val hashes = media(1L -> a, 2L -> b)
+      .select(Multimodal.pngDhash(col("media")).getField("dhash"))
+      .as[Long].collect()
+    java.lang.Long.bitCount(hashes(0) ^ hashes(1)) should be <= 2
+  }
+
+  test("imageNearDups: banded pairs match, inverted gradient excluded, undecodable dropped") {
+    def gray(f: (Int, Int) => Int) =
+      Png.encodeRgb(36, 32, (x, y) => { val v = f(x, y); (v, v, v) })
+    val base = gray((x, y) => (350 - x * 10 + y) % 256)
+    val nearA = gray((x, y) =>
+      { val v = (350 - x * 10 + y) % 256; if (x == 0 && y == 0) (v + 1) % 256 else v })
+    val inverted = gray((x, y) => (x * 10 + y) % 256)
+    val tiny = Png.encodeRgb(4, 4, (x, y) => (x, y, 0)) // undecodable for dhash
+    val pairs = Multimodal.imageNearDups(
+        media(1L -> base, 2L -> base, 3L -> nearA, 4L -> inverted, 5L -> tiny),
+        idCol = "id", binCol = "media", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    pairs.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 shouldBe 0L
+    pairs.foreach(_._3 should be <= 3L)
+  }
+
+  test("pngDhash: interpreted and codegen paths agree") {
+    val d = media((1L to 15L).map(i =>
+      i -> Png.encodeRgb((9 + i % 4).toInt, (8 + i % 3).toInt,
+        (x, y) => (((i * 7 + x * 13) % 256).toInt, ((i * 11 + y * 3) % 256).toInt,
+          ((x * y + i) % 256).toInt),
+        filterForRow = y => ((y + i) % 5).toInt)): _*)
+    def run(): Seq[(Long, Long)] = d
+      .select(col("id"), Multimodal.pngDhash(col("media")).getField("dhash").as("h"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val codegen = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+    val direct = d.select(col("id"), col("media")).collect().map { r =>
+      val s = graft.functions.PngPixelUtil.dhash(r.getAs[Array[Byte]](1))
+      (r.getLong(0), s.getLong(1))
+    }.toSeq.sortBy(_._1)
+    codegen shouldBe direct
+  }
+
   test("wavHeader parses a canonical RIFF fmt chunk") {
     val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++
       "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++      // PCM
