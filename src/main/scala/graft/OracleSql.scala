@@ -1310,6 +1310,37 @@ GROUP BY a.doc_id, b.doc_id
 HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
 ORDER BY doc_a, doc_b"""
 
+  /** q122 twin: the audio-fingerprint spec from first principles on
+    * the channel-0 sample FORMULA (no RIFF anywhere) — 65 floor-bound
+    * segments of mean |amplitude|, exact rational compare, per-bit
+    * diff count as Hamming, exhaustive pairs. */
+  val q122_audio_neardup: String = """
+WITH clips AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS m,
+                      130 + doc_id // 5 AS n0
+               FROM documents WHERE doc_id < 100),
+samp AS (
+  SELECT doc_id, f * 65 // n0 AS seg,
+    abs(((3 + g)*f*f + 7*f + 41*g) % 201
+        - 100 + CASE WHEN f = 0 THEN m ELSE 0 END) AS e
+  FROM clips, unnest(range(0, n0)) AS tf(f)),
+segs AS (
+  SELECT doc_id, seg, sum(e) AS s, count(*) AS cnt
+  FROM samp GROUP BY doc_id, seg),
+bits AS (
+  SELECT l.doc_id, l.seg AS i,
+    (l.s // l.cnt > r.s // r.cnt OR
+     (l.s // l.cnt = r.s // r.cnt AND
+      (l.s % l.cnt) * r.cnt > (r.s % r.cnt) * l.cnt)) AS bit
+  FROM segs l JOIN segs r
+    ON l.doc_id = r.doc_id AND r.seg = l.seg + 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+FROM bits a JOIN bits b
+  ON a.i = b.i AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+ORDER BY doc_a, doc_b"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2305,6 +2336,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q119_chunk_windows" -> q119_chunk_windows,
     "q120_html_extract" -> q120_html_extract,
     "q121_image_neardup" -> q121_image_neardup,
+    "q122_audio_neardup" -> q122_audio_neardup,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -816,6 +816,35 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // AUDIO near-dup pairs via the gain-invariant energy-envelope
+    // fingerprint: 100 formula-generated PCM16 clips in 20 groups of 5
+    // (members differ in one sample AND alternate mono/stereo — the
+    // channel-0 envelope is the identity, so byte layout is irrelevant
+    // and content hashing is blind); banded join + bit_count(xor) <= 3.
+    // The oracle recomputes segments/bits/hamming from the sample
+    // formula alone.
+    "q122_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 100)
+        .map { id =>
+          val g = id / 5; val m = id % 5
+          val n0 = (130 + g).toInt
+          val ch = (1 + m % 2).toInt
+          id -> graft.multimodal.Wav.encodePcm16(ch, 8000, n0,
+            (f, c) =>
+              if (c == 0)
+                (((3 + g) * f * f + 7 * f + 41 * g) % 201 - 100 +
+                  (if (f == 0) m else 0L)).toInt
+              else (f * 13 + 5) % 199 - 99) // junk channel, never read
+        }
+        .toDF("doc_id", "wav")
+      graft.multimodal.Multimodal.audioNearDups(wavs, "doc_id", "wav",
+          maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // REAL WAV PCM16 sample decode end-to-end: per doc, synthesize a
     // canonical RIFF/WAVE blob whose interleaved samples follow a pure
     // integer formula of (doc_id, sample index), with mono/stereo

@@ -48,15 +48,22 @@ object WavPcmUtil {
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
-  def stats(bytes: Array[Byte]): InternalRow = {
-    if (bytes == null || bytes.length < 12) return NotDecoded
+  /** Located canonical PCM16 payload: where the interleaved samples
+    * live and how to read them. Null result = undecodable. */
+  private[functions] final class Located(
+      val channels: Int, val sampleRate: Long, val dataOff: Int,
+      val nSamples: Int, val nFrames: Long)
+
+  /** The RIFF walk + `fmt `/layout validation shared by [[stats]] and
+    * [[fingerprint]]: fmt must precede data, unknown chunks skipped
+    * with RIFF's odd-length pad byte honored, PCM16 only, sizes
+    * bounded. */
+  private[functions] def locate(bytes: Array[Byte]): Located = {
+    if (bytes == null || bytes.length < 12) return null
     if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
         bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
-        bytes(10) != 'V' || bytes(11) != 'E') return NotDecoded
+        bytes(10) != 'V' || bytes(11) != 'E') return null
 
-    // chunk walk: fmt fields + data location; fmt must precede data
-    // (the spec's ordering); unknown chunks (LIST, fact, cue …) are
-    // skipped with RIFF's odd-length pad byte honored.
     var pos = 12
     var haveFmt = false
     var audioFormat = -1; var channels = -1; var bits = -1
@@ -65,10 +72,10 @@ object WavPcmUtil {
     while (dataOff < 0 && pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = le32(bytes, pos + 4)
-      if (pos + 8 + len > bytes.length) return NotDecoded // truncated
+      if (pos + 8 + len > bytes.length) return null // truncated
       id match {
         case "fmt " =>
-          if (len < 16) return NotDecoded
+          if (len < 16) return null
           audioFormat = le16(bytes, pos + 8)
           channels = le16(bytes, pos + 10)
           sampleRate = le32(bytes, pos + 12)
@@ -76,26 +83,37 @@ object WavPcmUtil {
           bits = le16(bytes, pos + 22)
           haveFmt = true
         case "data" =>
-          if (!haveFmt) return NotDecoded
+          if (!haveFmt) return null
           dataOff = pos + 8; dataLen = len
         case _ => // ancillary chunk: skip
       }
       pos += 8 + len.toInt + (len.toInt & 1)
     }
-    if (dataOff < 0) return NotDecoded
-    if (audioFormat != 1 || bits != 16) return NotDecoded // PCM16 only
-    if (channels < 1 || channels > 8) return NotDecoded
-    if (blockAlign != channels * 2) return NotDecoded
-    if (dataLen % blockAlign != 0) return NotDecoded
+    if (dataOff < 0) return null
+    if (audioFormat != 1 || bits != 16) return null // PCM16 only
+    if (channels < 1 || channels > 8) return null
+    if (blockAlign != channels * 2) return null
+    if (dataLen % blockAlign != 0) return null
     val nSamples = dataLen / 2
-    if (nSamples > MaxSamples) return NotDecoded
-    val nFrames = dataLen / blockAlign
+    if (nSamples > MaxSamples) return null
+    new Located(channels, sampleRate, dataOff, nSamples.toInt,
+      dataLen / blockAlign)
+  }
+
+  def stats(bytes: Array[Byte]): InternalRow = {
+    val loc = locate(bytes)
+    if (loc == null) return NotDecoded
+    val channels = loc.channels
+    val dataOff = loc.dataOff
+    val nSamples = loc.nSamples
+    val nFrames = loc.nFrames
+    val sampleRate = loc.sampleRate
 
     var sum = 0L; var sumAbs = 0L
     var mn = Long.MaxValue; var mx = Long.MinValue
     var zc = 0L
     var prev0 = 0; var havePrev0 = false
-    val n = nSamples.toInt
+    val n = nSamples
     var i = 0
     while (i < n) {
       val v = le16(bytes, dataOff + 2 * i).toShort.toInt
@@ -120,6 +138,55 @@ object WavPcmUtil {
       row.update(4, 0L); row.update(5, 0L)
     }
     row.update(8, zc)
+    row
+  }
+
+  private val Segments = 65 // 64 adjacent-energy comparison bits
+
+  private val NoFingerprint: InternalRow = {
+    val r = new GenericInternalRow(2)
+    r.update(0, false)
+    r
+  }
+
+  /** Perceptual audio fingerprint — the energy-envelope analogue of
+    * [[PngPixelUtil.dhash]]: channel 0's samples are split into 65
+    * equal segments (floor bounds, sizes ±1) and each of the 64 bits
+    * records whether segment i's mean |amplitude| exceeds segment
+    * i+1's, compared EXACTLY as rationals via quotient-then-remainder
+    * (sum·cnt can reach 2⁶³ at the ceiling; remainders are < cnt so
+    * the remainder cross-product stays < 2⁴⁸). GAIN-INVARIANT under
+    * exact positive scaling (both means scale together) — the
+    * loudness-normalized re-encode that changes every byte keeps its
+    * fingerprint, which is exactly what content hashing cannot do.
+    * Clips with fewer than 65 channel-0 samples are declined
+    * (decoded = false) rather than hashed degenerately. */
+  def fingerprint(bytes: Array[Byte]): InternalRow = {
+    val loc = locate(bytes)
+    if (loc == null || loc.nFrames < Segments) return NoFingerprint
+    val n0 = loc.nFrames.toInt // channel-0 samples = frames
+    val sums = new Array[Long](Segments)
+    val cnts = new Array[Long](Segments)
+    var i = 0
+    while (i < n0) {
+      val seg = (i.toLong * Segments / n0).toInt
+      val v = le16(bytes, loc.dataOff + 2 * i * loc.channels).toShort.toInt
+      sums(seg) += math.abs(v)
+      cnts(seg) += 1L
+      i += 1
+    }
+    var hash = 0L
+    var s = 0
+    while (s < Segments - 1) {
+      val ql = sums(s) / cnts(s); val rl = sums(s) % cnts(s)
+      val qr = sums(s + 1) / cnts(s + 1); val rr = sums(s + 1) % cnts(s + 1)
+      if (ql > qr || (ql == qr && rl * cnts(s + 1) > rr * cnts(s)))
+        hash |= 1L << s
+      s += 1
+    }
+    val row = new GenericInternalRow(2)
+    row.update(0, true)
+    row.update(1, hash)
     row
   }
 }
@@ -160,9 +227,41 @@ object WavPcmStats {
     StructField("zero_cross0", LongType)))
 }
 
+/** Perceptual audio fingerprint of a PCM16 WAV blob — see
+  * [[WavPcmUtil.fingerprint]] for the exact-integer spec. Scan-side
+  * like [[WavPcmStats]]: only (decoded, 64-bit hash) leaves. */
+case class WavFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = WavFingerprint.schema
+
+  override def prettyName: String = "wav_fingerprint"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WavPcmUtil.fingerprint(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WavPcmUtil.fingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WavFingerprint =
+    copy(child = newChild)
+}
+
+object WavFingerprint {
+  val schema: StructType = StructType(Seq(
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("fingerprint", LongType)))
+}
+
 object WavFunctions {
 
   val fnName = "graft_wav_pcm_stats"
+  val fingerprintFnName = "graft_wav_fingerprint"
 
   private[functions] def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -173,10 +272,22 @@ object WavFunctions {
           WavPcmStats(children.head)
         },
         "built-in")
+    if (!registry.functionExists(FunctionIdentifier(fingerprintFnName)))
+      registry.createOrReplaceTempFunction(fingerprintFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$fingerprintFnName takes 1 argument")
+          WavFingerprint(children.head)
+        },
+        "built-in")
   }
 
   def wavPcmStats(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(fnName, c)
+  }
+
+  def wavFingerprint(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(fingerprintFnName, c)
   }
 }

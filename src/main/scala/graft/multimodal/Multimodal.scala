@@ -40,6 +40,13 @@ object Multimodal {
   def wavPcmStats(bin: Column): Column =
     graft.functions.WavFunctions.wavPcmStats(bin)
 
+  /** Perceptual audio fingerprint of a PCM16 WAV: 65-segment energy
+    * envelope → 64 adjacent-mean comparison bits, gain-invariant
+    * (see [[graft.functions.WavPcmUtil.fingerprint]]); scan-side,
+    * audio bytes never shuffle. */
+  def wavFingerprint(bin: Column): Column =
+    graft.functions.WavFunctions.wavFingerprint(bin)
+
   /** Perceptual difference-hash (dHash) of an RGB8 PNG: decode → 9×8
     * integer-luma grid → 64 adjacent-mean comparison bits (exact
     * rational compare — see [[graft.functions.PngPixelUtil.dhash]]).
@@ -64,25 +71,47 @@ object Multimodal {
     * 16-bit keys over visually-random hashes — near-uniform outside
     * true near-dups; the 8-byte hash is all that shuffles. */
   def imageNearDups(images: DataFrame, idCol: String = "doc_id",
-                    binCol: String = "png", maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be in [0, 3] (4x16-bit banding guarantees recall only to 3), got $maxHamming")
-    val hashes = images
+                    binCol: String = "png", maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(images
       .select(col(idCol), pngDhash(col(binCol)).as("d"))
       .filter(col("d.decoded"))
-      .select(col(idCol), col("d.dhash").as("dhash"))
+      .select(col(idCol), col("d.dhash").as("h64")), idCol, maxHamming)
+
+  /** AUDIO near-duplicate pairs — the same visual-dedup shape over
+    * [[wavFingerprint]]'s gain-invariant energy envelope: catches the
+    * re-encoded / loudness-normalized copy whose every byte differs.
+    * Undecodable or sub-65-sample clips drop out. */
+  def audioNearDups(clips: DataFrame, idCol: String = "doc_id",
+                    binCol: String = "wav", maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(clips
+      .select(col(idCol), wavFingerprint(col(binCol)).as("d"))
+      .filter(col("d.decoded"))
+      .select(col(idCol), col("d.fingerprint").as("h64")), idCol, maxHamming)
+
+  /** All id pairs whose 64-bit hashes are within `maxHamming` bits:
+    * 16-bit band blocking — two hashes ≤ 3 bits apart MUST share one
+    * of the 4 bands by pigeonhole, so candidates come from an
+    * equi-join on (band, key), never all-pairs — then the exact
+    * `bit_count(xor)` filter makes the banding semantically
+    * invisible. Candidate volume is bounded by 16-bit band-key
+    * collisions, near-uniform for perceptually-random hashes; only
+    * the 8-byte hash shuffles. Input: (idCol, h64). */
+  private def bandedHammingPairs(hashes: DataFrame, idCol: String,
+                                 maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (4x16-bit banding guarantees recall only to 3), got $maxHamming")
     val byteStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("dhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)
+        shiftright(col("h64"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)
     val bands = hashes
-      .select(col(idCol), col("dhash"), explode(byteStructs).as("bk"))
-      .select(col(idCol), col("dhash"),
+      .select(col(idCol), col("h64"), explode(byteStructs).as("bk"))
+      .select(col(idCol), col("h64"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        col("a.h64").as("ha"), col("b.h64").as("hb"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))

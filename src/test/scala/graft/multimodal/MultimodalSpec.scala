@@ -279,6 +279,64 @@ class MultimodalSpec extends SparkSpec {
     codegen shouldBe direct
   }
 
+  test("wavFingerprint: hand-computed 65-sample ramp — one sample per segment") {
+    // |amplitude| strictly decreasing -> every bit set -> all-ones
+    // Long; strictly increasing -> 0. One sample per segment.
+    val dec = Wav.encodePcm16(1, 8000, 65, (f, _) => 6500 - f * 100)
+    val inc = Wav.encodePcm16(1, 8000, 65, (f, _) => f * 100)
+    val short = Wav.encodePcm16(1, 8000, 64, (f, _) => f) // < 65 samples
+    val out = media(1L -> dec, 2L -> inc, 3L -> short, 4L -> bytes600)
+      .select(col("id"), Multimodal.wavFingerprint(col("media")).as("d"))
+      .select(col("id"), col("d.decoded"), col("d.fingerprint"))
+      .orderBy("id").as[(Long, Boolean, Option[Long])].collect().toSeq
+    out shouldBe Seq((1L, true, Some(-1L)), (2L, true, Some(0L)),
+      (3L, false, None), (4L, false, None))
+  }
+
+  test("wavFingerprint is gain-invariant and channel-0-scoped") {
+    def clip(gain: Int, ch: Int) = Wav.encodePcm16(ch, 8000, 130,
+      (f, c) => if (c == 0) ((f * f * 3 + 7 * f) % 201 - 100) * gain
+                else (f * 13 + 5) % 199 - 99)
+    val quiet = clip(1, 1); val loud = clip(3, 2) // 3x gain AND stereo junk
+    quiet.toSeq should not equal loud.toSeq
+    val fps = media(1L -> quiet, 2L -> loud)
+      .select(Multimodal.wavFingerprint(col("media")).getField("fingerprint"))
+      .as[Long].collect()
+    fps(0) shouldBe fps(1)
+  }
+
+  test("audioNearDups: perturbed copy paired, distinct envelope excluded") {
+    def clip(bump: Int, slope: Int) = Wav.encodePcm16(1, 8000, 130,
+      (f, _) => (slope * f * f + 7 * f) % 201 - 100 + (if (f == 0) bump else 0))
+    val pairs = Multimodal.audioNearDups(
+        media(1L -> clip(0, 3), 2L -> clip(1, 3), 3L -> clip(0, 11)),
+        idCol = "id", binCol = "media", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    pairs.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L))
+    pairs.head._3 should be <= 3L
+  }
+
+  test("wavFingerprint: interpreted and codegen paths agree") {
+    val d = media((1L to 15L).map(i =>
+      i -> Wav.encodePcm16((1 + i % 2).toInt, 8000, (70 + i * 7).toInt,
+        (f, c) => (((i * 31 + f * f * (2 + i % 5) + c * 997) % 4001) - 2000).toInt)): _*)
+    def run(): Seq[(Long, Boolean, Option[Long])] = d
+      .select(col("id"), Multimodal.wavFingerprint(col("media")).as("s"))
+      .select(col("id"), col("s.decoded"), col("s.fingerprint"))
+      .orderBy("id").as[(Long, Boolean, Option[Long])].collect().toSeq
+    val codegen = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+    val direct = d.select(col("id"), col("media")).collect().map { r =>
+      val s = graft.functions.WavPcmUtil.fingerprint(r.getAs[Array[Byte]](1))
+      (r.getLong(0), s.getBoolean(0),
+        if (s.isNullAt(1)) None else Some(s.getLong(1)))
+    }.toSeq.sortBy(_._1)
+    codegen shouldBe direct
+  }
+
   test("wavHeader parses a canonical RIFF fmt chunk") {
     val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++
       "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++      // PCM
