@@ -1310,6 +1310,67 @@ GROUP BY a.doc_id, b.doc_id
 HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
 ORDER BY doc_a, doc_b"""
 
+  /** q123 twin: identical \x{...} code-point-range patterns (Java
+    * regex and RE2 share the syntax), identical fixed-order dominance
+    * CASE chain, exact integer permille. */
+  val q123_script_detect: String = """
+WITH mixed AS (
+  SELECT doc_id, text || ' ' ||
+    repeat((['', 'привет мир ', 'αβγδε ζ ', 'مرحبا بالعالم ',
+             '你好世界 ', '안녕하세요 '])[CAST(doc_id % 6 + 1 AS INT)],
+           CAST(doc_id % 3 * 40 AS INT)) AS t
+  FROM documents),
+counted AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+    CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+    CAST(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+    CAST(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+    CAST(len(regexp_extract_all(t, '[\x{0590}-\x{05FF}]')) AS BIGINT) AS n_hebrew,
+    CAST(len(regexp_extract_all(t, '[\x{0900}-\x{097F}]')) AS BIGINT) AS n_devanagari,
+    CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+    CAST(len(regexp_extract_all(t, '[\x{AC00}-\x{D7AF}]')) AS BIGINT) AS n_hangul,
+    CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}]')) AS BIGINT) AS n_kana
+  FROM mixed),
+dom AS (
+  SELECT *,
+    n_latin + n_cyrillic + n_greek + n_arabic + n_hebrew + n_devanagari
+      + n_cjk + n_hangul + n_kana AS n_scripted,
+    CASE
+      WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_greek
+        AND n_latin >= n_arabic AND n_latin >= n_hebrew
+        AND n_latin >= n_devanagari AND n_latin >= n_cjk
+        AND n_latin >= n_hangul AND n_latin >= n_kana THEN 'latin'
+      WHEN n_cyrillic > 0 AND n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+        AND n_cyrillic >= n_hebrew AND n_cyrillic >= n_devanagari
+        AND n_cyrillic >= n_cjk AND n_cyrillic >= n_hangul
+        AND n_cyrillic >= n_kana THEN 'cyrillic'
+      WHEN n_greek > 0 AND n_greek >= n_arabic AND n_greek >= n_hebrew
+        AND n_greek >= n_devanagari AND n_greek >= n_cjk
+        AND n_greek >= n_hangul AND n_greek >= n_kana THEN 'greek'
+      WHEN n_arabic > 0 AND n_arabic >= n_hebrew AND n_arabic >= n_devanagari
+        AND n_arabic >= n_cjk AND n_arabic >= n_hangul
+        AND n_arabic >= n_kana THEN 'arabic'
+      WHEN n_hebrew > 0 AND n_hebrew >= n_devanagari AND n_hebrew >= n_cjk
+        AND n_hebrew >= n_hangul AND n_hebrew >= n_kana THEN 'hebrew'
+      WHEN n_devanagari > 0 AND n_devanagari >= n_cjk
+        AND n_devanagari >= n_hangul AND n_devanagari >= n_kana THEN 'devanagari'
+      WHEN n_cjk > 0 AND n_cjk >= n_hangul AND n_cjk >= n_kana THEN 'cjk'
+      WHEN n_hangul > 0 AND n_hangul >= n_kana THEN 'hangul'
+      WHEN n_kana > 0 THEN 'kana'
+      ELSE 'none' END AS dominant
+  FROM counted)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+  n_devanagari, n_cjk, n_hangul, n_kana, n_scripted, dominant,
+  CASE WHEN dominant = 'none' THEN NULL ELSE
+    (CASE dominant
+       WHEN 'latin' THEN n_latin WHEN 'cyrillic' THEN n_cyrillic
+       WHEN 'greek' THEN n_greek WHEN 'arabic' THEN n_arabic
+       WHEN 'hebrew' THEN n_hebrew WHEN 'devanagari' THEN n_devanagari
+       WHEN 'cjk' THEN n_cjk WHEN 'hangul' THEN n_hangul
+       ELSE n_kana END * 1000) // n_scripted END AS dom_permille
+FROM dom ORDER BY doc_id"""
+
   /** q122 twin: the audio-fingerprint spec from first principles on
     * the channel-0 sample FORMULA (no RIFF anywhere) — 65 floor-bound
     * segments of mean |amplitude|, exact rational compare, per-bit
@@ -2337,6 +2398,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q120_html_extract" -> q120_html_extract,
     "q121_image_neardup" -> q121_image_neardup,
     "q122_audio_neardup" -> q122_audio_neardup,
+    "q123_script_detect" -> q123_script_detect,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

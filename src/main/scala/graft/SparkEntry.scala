@@ -816,6 +816,22 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Unicode script detection over mixed-script synthesized text:
+    // each doc's English prose plus 0/40/80 repeats of a per-doc
+    // foreign-script snippet — dominance flips to the snippet script
+    // for snippet-heavy docs. Same \x{...} patterns run in DuckDB.
+    "q123_script_detect" -> ((s, dir) => {
+      val id = col("doc_id")
+      val mixed = Tables.documents(s, dir)
+        .withColumn("__snip", element_at(array(lit(""),
+          lit("привет мир "), lit("αβγδε ζ "), lit("مرحبا بالعالم "),
+          lit("你好世界 "), lit("안녕하세요 ")), (id % 6 + 1).cast("int")))
+        .withColumn("__reps", (id % 3 * 40).cast("int"))
+        .select(id, concat(col("text"), lit(" "),
+          expr("repeat(__snip, __reps)")).as("text"))
+      graft.text.Scripts.scriptProfile(mixed).orderBy(id)
+    }),
+
     // AUDIO near-dup pairs via the gain-invariant energy-envelope
     // fingerprint: 100 formula-generated PCM16 clips in 20 groups of 5
     // (members differ in one sample AND alternate mono/stereo — the
