@@ -1402,6 +1402,49 @@ GROUP BY a.doc_id, b.doc_id
 HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
 ORDER BY doc_a, doc_b"""
 
+  /** q124 twin: the same 3 PageRank iterations unrolled as chained
+    * CTEs, entirely in BIGINT micro-units — `//` floor-div at the
+    * out-degree split and the 85/100 damping multiply, exact integer
+    * sums, so partition order can't perturb a single bit. Dangling
+    * mass leaks by spec (no redistribution term). base =
+    * (1e12 * 15) // 100 = 150000000000. */
+  val q124_pagerank: String = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_units FROM nodes),
+i1 AS (SELECT e.dst AS node, sum(r.rank_units // o.out_degree) AS in_mass
+       FROM e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+         150000000000 + (85 * COALESCE(i.in_mass, 0)) // 100 AS rank_units
+       FROM nodes n LEFT JOIN i1 i USING (node)),
+i2 AS (SELECT e.dst AS node, sum(r.rank_units // o.out_degree) AS in_mass
+       FROM e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+         150000000000 + (85 * COALESCE(i.in_mass, 0)) // 100 AS rank_units
+       FROM nodes n LEFT JOIN i2 i USING (node)),
+i3 AS (SELECT e.dst AS node, sum(r.rank_units // o.out_degree) AS in_mass
+       FROM e JOIN r2 r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+       GROUP BY e.dst),
+r3 AS (SELECT n.node,
+         150000000000 + (85 * COALESCE(i.in_mass, 0)) // 100 AS rank_units
+       FROM nodes n LEFT JOIN i3 i USING (node))
+SELECT n.node, CAST(COALESCE(o.out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(r.rank_units AS BIGINT) AS rank_units
+FROM nodes n LEFT JOIN outdeg o USING (node) JOIN r3 r USING (node)
+ORDER BY n.node"""
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2399,6 +2442,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q121_image_neardup" -> q121_image_neardup,
     "q122_audio_neardup" -> q122_audio_neardup,
     "q123_script_detect" -> q123_script_detect,
+    "q124_pagerank" -> q124_pagerank,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -832,6 +832,24 @@ object SparkEntry {
       graft.text.Scripts.scriptProfile(mixed).orderBy(id)
     }),
 
+    // Domain link-graph PageRank in exact fixed-point arithmetic: two
+    // formula-synthesized domain edges per doc (src universe d0..d22,
+    // dst universe d0..d28, so d23..d28 are dangling receivers), 3
+    // damped iterations entirely in BIGINT micro-units — floor at the
+    // out-degree split and the 85/100 damping multiply is part of the
+    // spec, so the DuckDB twin unrolling the same 3 iterations must
+    // hash-match bit-for-bit. No float enters the plan anywhere.
+    "q124_pagerank" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst"))
+      graft.graph.LinkGraph.pagerank(e1.unionAll(e2), "src", "dst",
+          iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // AUDIO near-dup pairs via the gain-invariant energy-envelope
     // fingerprint: 100 formula-generated PCM16 clips in 20 groups of 5
     // (members differ in one sample AND alternate mono/stereo — the

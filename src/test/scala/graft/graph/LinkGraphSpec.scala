@@ -1,0 +1,86 @@
+package graft.graph
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", StringType), StructField("dst", StringType)))
+
+  private def edges(pairs: (String, String)*) =
+    df(edgeSchema, pairs.map(p => Row(p._1, p._2)): _*)
+
+  // Small unit keeps the hand arithmetic readable: 1.0 = 1000 units.
+  private val U = 1000L
+
+  test("one iteration matches hand-computed fixed-point arithmetic") {
+    // a -> b, a -> c, b -> c; c dangling.
+    val ranked = LinkGraph.pagerank(
+      edges("a" -> "b", "a" -> "c", "b" -> "c"),
+      "src", "dst", iterations = 1, unit = U)
+      .orderBy("node").collect()
+
+    // base = (1000 * 15) div 100 = 150
+    // contribs: a splits 1000 over 2 -> 500 each; b sends 1000 to c.
+    // a: in 0      -> 150 + (85*0)    div 100 = 150
+    // b: in 500    -> 150 + (85*500)  div 100 = 150 + 425  = 575
+    // c: in 1500   -> 150 + (85*1500) div 100 = 150 + 1275 = 1425
+    ranked.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("a", 2L, 150L), ("b", 1L, 575L), ("c", 0L, 1425L))
+  }
+
+  test("second iteration compounds exactly (floor at every step)") {
+    val ranked = LinkGraph.pagerank(
+      edges("a" -> "b", "a" -> "c", "b" -> "c"),
+      "src", "dst", iterations = 2, unit = U)
+      .orderBy("node").collect()
+
+    // From (a,b,c) = (150, 575, 1425):
+    // a splits 150 over 2 -> 75 each; b sends 575 to c.
+    // a: 150 + 0 = 150
+    // b: 150 + (85*75)  div 100 = 150 + 63  = 213
+    // c: 150 + (85*650) div 100 = 150 + 552 = 702
+    ranked.map(r => (r.getString(0), r.getLong(2))).toSeq shouldBe
+      Seq(("a", 150L), ("b", 213L), ("c", 702L))
+  }
+
+  test("multi-edges deduplicate and self-loops drop") {
+    val ranked = LinkGraph.pagerank(
+      edges("a" -> "b", "a" -> "b", "a" -> "a", "b" -> "c", "b" -> "c"),
+      "src", "dst", iterations = 1, unit = U)
+      .orderBy("node").collect()
+    // Effective graph: a->b, b->c. a out_degree 1 (self-loop gone).
+    ranked.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("a", 1L, 150L), ("b", 1L, 1000L), ("c", 0L, 1000L))
+  }
+
+  test("result is invariant under input partitioning") {
+    val pairs = (0 until 200).map(i => (s"d${i % 23}", s"d${(3 * i + 1) % 29}"))
+    val base = edges(pairs: _*)
+    val r1 = LinkGraph.pagerank(base.repartition(1), "src", "dst", 3)
+    val r7 = LinkGraph.pagerank(base.repartition(7, col("dst")), "src", "dst", 3)
+    assertSameRows(r1, r7)
+  }
+
+  test("mass never exceeds n*unit (leak-only spec) and stays positive") {
+    val pairs = (0 until 200).map(i => (s"d${i % 23}", s"d${(3 * i + 1) % 29}"))
+    val r = LinkGraph.pagerank(edges(pairs: _*), "src", "dst", 4, unit = U)
+    val n = r.count()
+    val agg = r.agg(sum("rank_units"), min("rank_units")).head()
+    agg.getLong(0) should be <= n * U
+    // Every node keeps at least the teleport base.
+    agg.getLong(1) should be >= (U * 15) / 100
+  }
+
+  test("materialize hook is applied per iteration") {
+    var calls = 0
+    LinkGraph.pagerank(edges("a" -> "b"), "src", "dst", iterations = 3,
+      unit = U, materialize = { d => calls += 1; d }).collect()
+    calls shouldBe 3
+  }
+}
