@@ -15,8 +15,11 @@ import org.apache.spark.sql.SparkSession
   *    sequential queries in one JVM) AND the MEDIAN (steady-state) —
   *    a query whose min and median disagree wildly is jitter, not a
   *    regression, which makes cross-round adjudication possible;
-  *  - failures propagate: a crashed query crashes the bench (rc != 0)
-  *    instead of being silently timed as success.
+  *  - failures are LOUD but not fatal: a crashed query is recorded in
+  *    the emitted JSON (`"failed":["name",…]`, timing omitted) and the
+  *    process exits nonzero AFTER printing — rounds 10/11 lost all
+  *    timing signal for 122 healthy queries because one analysis
+  *    error aborted the whole run before any JSON was emitted.
   *
   * Cross-round adjudication caveat, measured (round 8): two
   * back-to-back full-registry runs at identical settings produced
@@ -60,7 +63,22 @@ object Bench {
       if (args.isEmpty) all
       else all.filter(n => args.contains(n) || args.contains(n.takeWhile(_ != '_')))
     require(names.nonEmpty, s"no queries match args ${args.mkString(",")}")
-    run(all.head) // untimed warmup
+    // One query failing must not zero the timing signal for the other
+    // ~120 (the round-10/11 blackout): every execution is wrapped, the
+    // first failure per query is recorded (name -> exception summary),
+    // and the failed set is carried into the emitted JSON.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def tryRun(name: String): Boolean =
+      try { run(name); true }
+      catch {
+        case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"
+            System.err.println(s"[bench] FAILED $name: ${failed(name)}")
+          }
+          false
+      }
+    tryRun(all.head) // untimed warmup
 
     // Sampling plan: (repeats-1) BACK-TO-BACK runs per query, then one
     // final PHASE-SEPARATED round over the whole registry. Rationale
@@ -78,14 +96,15 @@ object Bench {
     // a poisoned one via the min.
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    def sample(name: String): Unit = {
+    def sample(name: String): Unit = if (!failed.contains(name)) {
       val t0 = System.nanoTime()
-      run(name)
-      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      if (tryRun(name))
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      else times.remove(name) // mid-run failure poisons earlier samples too
     }
     for (name <- names; _ <- 1 until repeats) sample(name)
     for (name <- names) sample(name)
-    val results = names.map(name => name -> (times(name): Seq[Double]))
+    val results = names.filter(times(_).nonEmpty).map(name => name -> (times(name): Seq[Double]))
     // A future name collision on the short key (e.g. q53_funnel vs
     // q53_retention) would silently emit duplicate JSON keys in the
     // adjudicated line and drop a measurement — fail loudly instead.
@@ -118,8 +137,14 @@ object Bench {
     // per-query MIN (the plan's cost) and the per-query MEDIAN (what a
     // steady-state run sees) — a query whose min and median disagree
     // by 5x is jitter, not a regression (the round-7 q45/q46 lesson).
-    println(s"""{"metric":"queries_by_name","queries":${render(short = false, _.min)}}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.keys.map(k => "\"" + k.takeWhile(_ != '_') + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"queries_by_name","queries":${render(short = false, _.min)},"failures":${failed.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }.mkString("{", ",", "}")}}""")
     println(s"""{"metric":"queries_median_by_name","queries":${render(short = false, median)}}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"median_total":${fmt(totalMedian)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":${render(short = true, _.min)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"median_total":${fmt(totalMedian)},"unit":"sec","n":${results.size},"sf":"$sfDir"$failedJson,"queries":${render(short = true, _.min)}}""")
+    // Exit nonzero AFTER the metric lines so a failure is loud in the
+    // driver's rc without erasing the timings of healthy queries.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

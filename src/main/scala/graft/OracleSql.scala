@@ -1408,7 +1408,9 @@ ORDER BY doc_a, doc_b"""
     * sums, so partition order can't perturb a single bit. Dangling
     * mass leaks by spec (no redistribution term). base =
     * (1e12 * 15) // 100 = 150000000000. */
-  val q124_pagerank: String = """
+  /** Shared CTE prefix for q124/q125: edges → nodes → outdeg → 3
+    * exact integer PageRank iterations (r3 = final ranks). */
+  private val pagerankCtes: String = """
 WITH e AS (
   SELECT DISTINCT src, dst FROM (
     SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
@@ -1439,11 +1441,30 @@ i3 AS (SELECT e.dst AS node, sum(r.rank_units // o.out_degree) AS in_mass
        GROUP BY e.dst),
 r3 AS (SELECT n.node,
          150000000000 + (85 * COALESCE(i.in_mass, 0)) // 100 AS rank_units
-       FROM nodes n LEFT JOIN i3 i USING (node))
-SELECT n.node, CAST(COALESCE(o.out_degree, 0) AS BIGINT) AS out_degree,
-       CAST(r.rank_units AS BIGINT) AS rank_units
-FROM nodes n LEFT JOIN outdeg o USING (node) JOIN r3 r USING (node)
-ORDER BY n.node"""
+       FROM nodes n LEFT JOIN i3 i USING (node)),
+ranked AS (
+  SELECT n.node, CAST(COALESCE(o.out_degree, 0) AS BIGINT) AS out_degree,
+         CAST(r.rank_units AS BIGINT) AS rank_units
+  FROM nodes n LEFT JOIN outdeg o USING (node) JOIN r3 r USING (node))"""
+
+  val q124_pagerank: String = pagerankCtes + """
+SELECT node, out_degree, rank_units FROM ranked ORDER BY node"""
+
+  /** q125 twin: the q124 ranks normalized as an exact rational —
+    * share_num/share_den = rank_units / (n·unit) — plus integer
+    * permilles against ideal and retained mass, multiply-before-
+    * floor-div exactly like the Spark side. DuckDB count/sum yield
+    * HUGEINT — cast back to BIGINT to match Spark's longs. */
+  val q125_pagerank_norm: String = pagerankCtes + """,
+tot AS (
+  SELECT CAST(count(*) * 1000000000000 AS BIGINT) AS share_den,
+         CAST(sum(rank_units) AS BIGINT) AS retained_units
+  FROM ranked)
+SELECT node, out_degree, rank_units AS share_num, share_den,
+  CAST((rank_units * 1000) // share_den AS BIGINT) AS share_permille,
+  retained_units,
+  CAST((rank_units * 1000) // retained_units AS BIGINT) AS retained_permille
+FROM ranked, tot ORDER BY node"""
 
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
@@ -2443,6 +2464,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q122_audio_neardup" -> q122_audio_neardup,
     "q123_script_detect" -> q123_script_detect,
     "q124_pagerank" -> q124_pagerank,
+    "q125_pagerank_norm" -> q125_pagerank_norm,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

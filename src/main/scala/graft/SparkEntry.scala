@@ -850,6 +850,22 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Normalized centrality over the q124 graph: exact-rational mass
+    // share (share_num/share_den = rank_units / n*unit) + integer
+    // permilles vs ideal AND retained mass (their gap is the leak
+    // audit). One broadcast 1-row totals join — no window, no collect.
+    "q125_pagerank_norm" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst"))
+      graft.graph.LinkGraph.normalizedRank(
+          graft.graph.LinkGraph.pagerank(e1.unionAll(e2), "src", "dst",
+            iterations = 3))
+        .orderBy(col("node"))
+    }),
+
     // AUDIO near-dup pairs via the gain-invariant energy-envelope
     // fingerprint: 100 formula-generated PCM16 clips in 20 groups of 5
     // (members differ in one sample AND alternate mono/stereo — the

@@ -21,16 +21,28 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    * TimestampType (microseconds) refuses outright. Read nanos as
-    * long and truncate to micros — the same truncation DuckDB's
-    * epoch_us applies, so both engines see identical instants. */
+  /** The events table's `ts` physical type has drifted across harness
+    * generations, so normalize every variant to TimestampType here —
+    * downstream operators (sessionize's unix_micros, the range join)
+    * assume it:
+    *  - TIMESTAMP(NANOS) parquet: Spark's TimestampType (micros)
+    *    refuses it outright; read nanos as long and truncate to
+    *    micros — the same truncation DuckDB's epoch_us applies, so
+    *    both engines see identical instants;
+    *  - timezone-less timestamp[us] parquet: Spark 4 reads it as
+    *    TIMESTAMP_NTZ; cast to TimestampType, an identity instant
+    *    under the pinned UTC session zone (oracle hashes unchanged);
+    *  - plain TIMESTAMP: passes through untouched. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

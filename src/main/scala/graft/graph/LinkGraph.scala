@@ -109,4 +109,32 @@ object LinkGraph {
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         col("rank_units"))
   }
+
+  /** Normalized centrality over [[pagerank]]'s output: each node's
+    * share of probability mass as an EXACT rational pair
+    * (`share_num`/`share_den` = rank_units / n·unit) plus integer
+    * permille projections against both the IDEAL mass n·unit and the
+    * RETAINED mass Σ rank_units. The two denominators differ by
+    * exactly the documented dangling/floor leak, so their gap doubles
+    * as the leak audit; no floats anywhere, so the result is
+    * bit-identical under any partitioning, like [[pagerank]] itself.
+    *
+    * Scale shape: no window, no collect — the totals are one 1-row
+    * aggregate broadcast-joined to every row (the repo's standard
+    * exact-total pattern), linear in nodes. Exactness bound:
+    * multiply-before-divide needs rank_units·1000 < 2^63, i.e.
+    * n·unit ≤ 9.2e15 — beyond ~9e3 nodes at the default unit, pass
+    * the smaller `unit` the pagerank parameter exists for. */
+  def normalizedRank(ranked: DataFrame, unit: Long = DefaultUnit): DataFrame = {
+    val totals = ranked.agg(
+      (count(lit(1)) * lit(unit)).as("share_den"),
+      sum(col("rank_units")).as("retained_units"))
+    ranked.crossJoin(broadcast(totals))
+      .select(col("node"), col("out_degree"),
+        col("rank_units").as("share_num"),
+        col("share_den"),
+        expr("(rank_units * 1000) div share_den").as("share_permille"),
+        col("retained_units"),
+        expr("(rank_units * 1000) div retained_units").as("retained_permille"))
+  }
 }

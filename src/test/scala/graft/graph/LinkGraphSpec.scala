@@ -83,4 +83,41 @@ class LinkGraphSpec extends SparkSpec {
       unit = U, materialize = { d => calls += 1; d }).collect()
     calls shouldBe 3
   }
+
+  test("normalizedRank: exact rational share + permilles vs ideal and retained mass") {
+    // From the 1-iteration fixture: ranks (a,b,c) = (150, 575, 1425),
+    // n = 3 so share_den = 3000; retained = 2150 (leak = 850).
+    val norm = LinkGraph.normalizedRank(
+      LinkGraph.pagerank(edges("a" -> "b", "a" -> "c", "b" -> "c"),
+        "src", "dst", iterations = 1, unit = U), unit = U)
+      .orderBy("node").collect()
+    norm.map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))).toSeq shouldBe Seq(
+      // (node, share_num, share_den, share_permille, retained_units, retained_permille)
+      ("a", 150L, 3000L, 50L, 2150L, 69L),    // 150000 div 2150 = 69
+      ("b", 575L, 3000L, 191L, 2150L, 267L),  // 575000 div 3000 = 191
+      ("c", 1425L, 3000L, 475L, 2150L, 662L)) // floor, never round
+  }
+
+  test("deep iteration via localCheckpoint: exact fixed point, bounded lineage, pure-plan parity") {
+    // The scaladoc's advice for dozens of iterations, as tested
+    // behavior: 25 checkpointed iterations must (a) agree with the
+    // pure-plan result (the hook is semantically invisible), (b) reach
+    // the integer fixed point (iteration 26 changes nothing — floor
+    // arithmetic converges exactly, no epsilon), and (c) keep the
+    // final plan shallower than even a 2-iteration pure plan, proving
+    // lineage is actually cut rather than accumulated.
+    val pairs = (0 until 120).map(i => (s"d${i % 17}", s"d${(5 * i + 3) % 19}"))
+    val base = edges(pairs: _*)
+    def cut(iters: Int) = LinkGraph.pagerank(base, "src", "dst",
+      iterations = iters, unit = U, materialize = _.localCheckpoint())
+
+    assertSameRows(cut(6), LinkGraph.pagerank(base, "src", "dst", 6, unit = U))
+    val r25 = cut(25)
+    assertSameRows(r25, cut(26))
+    def planLines(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    planLines(r25) should be < planLines(
+      LinkGraph.pagerank(base, "src", "dst", 2, unit = U))
+  }
 }
