@@ -99,6 +99,19 @@ class LinkGraphSpec extends SparkSpec {
       ("c", 1425L, 3000L, 475L, 2150L, 662L)) // floor, never round
   }
 
+  test("normalizedRank plan: totals arrive by broadcast, rank rows never shuffle for the total") {
+    // The totals frame is one row; it must reach every rank row as a
+    // broadcast (nested-loop, there is no join key), never by
+    // repartitioning the rank side. A shuffle here would be the
+    // classic scalar-total scalability bug at a billion nodes.
+    val r = LinkGraph.normalizedRank(
+      LinkGraph.pagerank(edges("a" -> "b", "b" -> "c"), "src", "dst", 1, unit = U),
+      unit = U)
+    r.collect() // force planning through AQE to the executed plan
+    val plan = r.queryExecution.executedPlan.toString
+    plan should include ("BroadcastNestedLoopJoin")
+  }
+
   test("deep iteration via localCheckpoint: exact fixed point, bounded lineage, pure-plan parity") {
     // The scaladoc's advice for dozens of iterations, as tested
     // behavior: 25 checkpointed iterations must (a) agree with the
