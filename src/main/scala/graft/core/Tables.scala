@@ -44,6 +44,38 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  /** Same drift policy as [[events]] for the other two tables our
+    * operators hold type assumptions about (the events NTZ outage cost
+    * two rounds; these arms close the remaining instances of that
+    * failure class at the reader, where drift belongs):
+    *  - documents: integral id/count columns (doc_id, n_chars) are
+    *    widened to LongType if a regeneration narrows them to int32 —
+    *    query outputs stay BIGINT, matching every oracle;
+    *  - embeddings: the embedding column must be array<float> — the
+    *    native vector expressions (vec_dot's checkInputDataTypes)
+    *    reject array<double> outright, exactly like unix_micros
+    *    rejected NTZ. Casts are identity on the current testdata. */
+  def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val raw = table(spark, sfDir, "documents")
+    Seq("doc_id", "n_chars").foldLeft(raw) { (d, c) =>
+      val narrowed = d.schema.fieldNames.contains(c) && (d.schema(c).dataType match {
+        case IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+      if (narrowed) d.withColumn(c, col(c).cast(LongType)) else d
+    }
+  }
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = table(spark, sfDir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case _: ArrayType =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case _ => raw
+    }
+  }
 }

@@ -66,6 +66,32 @@ class TablesSpec extends SparkSpec {
     instantsOf(d) shouldBe micros.sorted
   }
 
+  test("documents: int32-narrowed id/count columns widen back to long") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tables").toString
+    Seq((1, "alpha beta", "en", "web", 10), (2, "gamma", "en", "web", 5))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = Tables.documents(spark, dir)
+    d.schema("doc_id").dataType shouldBe LongType
+    d.schema("n_chars").dataType shouldBe LongType
+    d.select(sum(col("doc_id"))).head.getLong(0) shouldBe 3L
+  }
+
+  test("embeddings: array<double> drift is cast back to array<float> (vec_dot's required type)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tables").toString
+    Seq((1L, Array(0.25, 0.5), 0), (2L, Array(1.0, -0.5), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = Tables.embeddings(spark, dir)
+    e.schema("embedding").dataType shouldBe ArrayType(FloatType, containsNull = true)
+    // The native expression that rejected the drifted type must now analyze.
+    val dot = e.select(graft.functions.VectorFunctions.vecDot(
+      col("embedding"), col("embedding")).as("d")).orderBy(col("d"))
+    dot.count() shouldBe 2L
+  }
+
   test("sessionize analyzes against every ts variant (the q24/q45 regression)") {
     // The outage mode was an ANALYSIS failure (unix_micros rejects
     // TIMESTAMP_NTZ), so resolving the plan is the assertion that
