@@ -1466,6 +1466,32 @@ SELECT node, out_degree, rank_units AS share_num, share_den,
   CAST((rank_units * 1000) // retained_units AS BIGINT) AS retained_permille
 FROM ranked, tot ORDER BY node"""
 
+  /** q126 twin: the IDENTICAL redaction cascade, generated from the
+    * same [[graft.text.TextAnalysis.piiPatterns]] table the Spark
+    * operator folds over (same name-sorted order, same `(?i)` inline
+    * flag — RE2 and Java agree on both), with DuckDB's 'g' flag
+    * supplying Java's replace-all default. md5 over the full redacted
+    * text makes the whole rewrite the compared value. */
+  val q126_pii_redact: String = {
+    val pats = graft.text.TextAnalysis.piiPatterns.toSeq.sortBy(_._1)
+    val synth = "text || ' Contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'"
+    val red = pats.foldLeft("synth") { case (c, (name, pat)) =>
+      s"regexp_replace($c, '(?i)$pat', '<$name>', 'g')"
+    }
+    val counts = pats.map { case (_, pat) =>
+      s"len(regexp_extract_all(lower(synth), '$pat'))"
+    }.mkString(" + ")
+    s"""
+WITH s AS (SELECT doc_id, $synth AS synth FROM documents),
+r AS (SELECT doc_id, CAST($counts AS BIGINT) AS n_matches, $red AS red FROM s)
+SELECT doc_id, n_matches,
+  CAST(length(red) AS BIGINT) AS redacted_chars,
+  md5(red) AS redacted_md5
+FROM r ORDER BY doc_id"""
+  }
+
   val q23_embed_neardup: String = s"""
 WITH hp(m) AS (SELECT $hpMatrix),
 s AS (
@@ -2465,6 +2491,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q123_script_detect" -> q123_script_detect,
     "q124_pagerank" -> q124_pagerank,
     "q125_pagerank_norm" -> q125_pagerank_norm,
+    "q126_pii_redact" -> q126_pii_redact,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -866,6 +866,31 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // PII REDACTION (the act half of q58's scan): every doc gets a
+    // formula-synthesized contact footer (email + phone + ip), the
+    // shared pattern-table cascade rewrites it, and the oracle applies
+    // the IDENTICAL cascade in DuckDB — md5 equality over the full
+    // redacted text proves the rewrite, not just the counts. Pure
+    // codegen'd projection; the text never shuffles.
+    "q126_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat(col("text"),
+        lit(" Contact user"), id.cast("string"), lit("@example.com tel 555-867-"),
+        lpad((id % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (id % 256).cast("string"), lit(".77"))
+      val nMatches = graft.text.TextAnalysis.piiPatterns.toSeq.sortBy(_._1)
+        .map { case (_, pat) => regexp_count(lower(col("__synth")), lit(pat)).cast("long") }
+        .reduce(_ + _)
+      Tables.documents(s, dir)
+        .select(id, synth.as("__synth"))
+        .select(id, nMatches.as("n_matches"),
+          graft.text.TextAnalysis.piiRedact(col("__synth")).as("__red"))
+        .select(id, col("n_matches"),
+          length(col("__red")).cast("long").as("redacted_chars"),
+          md5(col("__red").cast("binary")).as("redacted_md5"))
+        .orderBy(id)
+    }),
+
     // AUDIO near-dup pairs via the gain-invariant energy-envelope
     // fingerprint: 100 formula-generated PCM16 clips in 20 groups of 5
     // (members differ in one sample AND alternate mono/stereo — the
