@@ -1466,6 +1466,29 @@ SELECT node, out_degree, rank_units AS share_num, share_den,
   CAST((rank_units * 1000) // retained_units AS BIGINT) AS retained_permille
 FROM ranked, tot ORDER BY node"""
 
+  /** q127 twin: purged walk-forward folds from the same closed-form
+    * integer arithmetic — block = (di·k)//span, start_f = ⌈f·span/k⌉
+    * via the (f·span + k−1)//k identity, end_f = start_(f+1) − 1 —
+    * over the shared merged-bars CTE. k=5, embargo=10 days. */
+  val q127_purged_folds: String = barsCte + """
+, bounds AS (SELECT min(date) AS dmin, max(date) AS dmax FROM merged),
+rows_ AS (
+  SELECT m.symbol, m.date,
+    date_diff('day', b.dmin, m.date) AS di,
+    date_diff('day', b.dmin, b.dmax) + 1 AS span
+  FROM merged m, bounds b),
+r AS (
+  SELECT f.fold, rows_.*,
+    CASE WHEN (di * 5) // span = f.fold THEN 'test'
+         WHEN di >= (f.fold * span + 4) // 5 - 10
+          AND di <= ((f.fold + 1) * span + 4) // 5 - 1 + 10 THEN 'purged'
+         ELSE 'train' END AS role
+  FROM rows_ CROSS JOIN range(5) f(fold))
+SELECT fold, role, count(*) AS n_rows,
+  count(DISTINCT symbol) AS n_symbols,
+  min(date) AS d_min, max(date) AS d_max
+FROM r GROUP BY fold, role ORDER BY fold, role"""
+
   /** q126 twin: the IDENTICAL redaction cascade, generated from the
     * same [[graft.text.TextAnalysis.piiPatterns]] table the Spark
     * operator folds over (same name-sorted order, same `(?i)` inline
@@ -2492,6 +2515,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q124_pagerank" -> q124_pagerank,
     "q125_pagerank_norm" -> q125_pagerank_norm,
     "q126_pii_redact" -> q126_pii_redact,
+    "q127_purged_folds" -> q127_purged_folds,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -866,6 +866,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Purged walk-forward 5-fold split with a 10-day embargo over the
+    // merged bar table — per (fold, role) audit: row/symbol counts and
+    // date extent. The time-axis leakage guard (purged CV) next to
+    // q84's content-axis one; fold membership is closed-form integer
+    // arithmetic the oracle re-derives independently.
+    "q127_purged_folds" -> ((s, dir) =>
+      graft.etl.Sampling.purgedTimeFolds(mergedBars(s, dir), "date",
+          k = 5, embargoDays = 10)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("symbol")).as("n_symbols"),
+          min(col("date")).as("d_min"),
+          max(col("date")).as("d_max"))
+        .orderBy(col("fold"), col("role"))),
+
     // PII REDACTION (the act half of q58's scan): every doc gets a
     // formula-synthesized contact footer (email + phone + ip), the
     // shared pattern-table cascade rewrites it, and the oracle applies

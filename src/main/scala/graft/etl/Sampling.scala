@@ -110,6 +110,49 @@ object Sampling {
     stratifiedRateSample(df, stratumCol, keyCol, permyriad, defaultPermyriad = 0)
   }
 
+  /** Purged walk-forward K-fold assignment for time-ordered rows —
+    * the "purged cross-validation" split of financial ML (López de
+    * Prado, *Advances in Financial Machine Learning*, 2018, ch. 7):
+    * the corpus date range is cut into K contiguous day blocks; for
+    * fold f the block is TEST, and otherwise-train rows within
+    * `embargoDays` of the block's edges are PURGED — the rows whose
+    * rolling features / forward labels straddle the boundary and
+    * would leak test information into training under a plain K-fold
+    * (the time-axis twin of [[graft.dedup.Dedup.leakageSafeSplit]]'s
+    * content-axis guarantee).
+    *
+    * Exactness: a row's block is pure integer arithmetic —
+    * `(dayIndex·k) div span` with dayIndex = datediff(date, corpus
+    * min) — and block boundaries use the matching closed forms
+    * `start_f = ⌈f·span/k⌉`, `end_f = start_(f+1) − 1`, so fold
+    * membership is a pure function of the data (partitioning-proof)
+    * and a SQL oracle re-derives it from the same formulas.
+    *
+    * Scale shape: one 1-row min/max aggregate broadcast back (the
+    * standard exact-total pattern), then a single projection +
+    * `explode` over the k folds. The k× expansion is the operator's
+    * contract (every row has a role in every fold); audit callers
+    * aggregate immediately, so only (fold, role) keys shuffle. */
+  def purgedTimeFolds(df: DataFrame, dateCol: String, k: Int,
+                      embargoDays: Int): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    require(embargoDays >= 0, "embargo must be >= 0")
+    val bounds = df.agg(min(col(dateCol)).as("__dmin"), max(col(dateCol)).as("__dmax"))
+    df.crossJoin(org.apache.spark.sql.functions.broadcast(bounds))
+      .withColumn("__span", (datediff(col("__dmax"), col("__dmin")) + 1).cast("long"))
+      .withColumn("__di", datediff(col(dateCol), col("__dmin")).cast("long"))
+      .withColumn("fold", explode(sequence(lit(0L), lit((k - 1).toLong))))
+      .withColumn("__blk", expr(s"(__di * $k) div __span"))
+      .withColumn("__sf", expr(s"(fold * __span + ${k - 1}) div $k"))
+      .withColumn("__ef", expr(s"((fold + 1) * __span + ${k - 1}) div $k - 1"))
+      .withColumn("role",
+        when(col("__blk") === col("fold"), lit("test"))
+          .when(col("__di") >= col("__sf") - embargoDays &&
+                col("__di") <= col("__ef") + embargoDays, lit("purged"))
+          .otherwise(lit("train")))
+      .drop("__dmin", "__dmax", "__span", "__di", "__blk", "__sf", "__ef")
+  }
+
   /** Per-stratum keep RATES in permyriad (1/10000): a row survives iff
     * `hash(key) % 10000 < rate(stratum)` — the up/down-sampling mixer
     * of a training-data pipeline (keep 25% of English, all of a rare

@@ -109,4 +109,36 @@ class SamplingSpec extends SparkSpec {
     kept.select("lang").distinct().as[String].collect() shouldBe Array("en")
     kept.count() shouldBe 100L // en is the anchor: kept whole
   }
+
+  test("purgedTimeFolds: hand-computed blocks, embargo purge, partitioning-proof") {
+    // 10 consecutive days, k=2, embargo=1: span=10, block 0 = days
+    // 0-4, block 1 = days 5-9. Fold 0 purges day 5 (adjacent to its
+    // test block); fold 1 purges day 4.
+    val rows = (0 until 10).map(i => (i.toLong, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(i).toString)))
+    val d = rows.toDF("i", "date")
+    val out = Sampling.purgedTimeFolds(d, "date", k = 2, embargoDays = 1)
+      .select(col("fold"), col("i"), col("role"))
+      .as[(Long, Long, String)].collect().toSet
+    def expectRole(f: Long, i: Long): String =
+      if (f == 0) { if (i <= 4) "test" else if (i == 5) "purged" else "train" }
+      else { if (i >= 5) "test" else if (i == 4) "purged" else "train" }
+    out shouldBe (for (f <- 0L to 1L; i <- 0L to 9L)
+      yield (f, i, expectRole(f, i))).toSet
+    // pure function of values: any partitioning, same assignment
+    val again = Sampling.purgedTimeFolds(d.repartition(7), "date", 2, 1)
+      .select(col("fold"), col("i"), col("role"))
+      .as[(Long, Long, String)].collect().toSet
+    again shouldBe out
+  }
+
+  test("purgedTimeFolds: every row is test in exactly one fold; embargo 0 purges nothing") {
+    val rows = (0 until 37).map(i => (i.toLong, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2021, 3, 2).plusDays(i * 3).toString)))
+    val out = Sampling.purgedTimeFolds(rows.toDF("i", "date"), "date",
+      k = 5, embargoDays = 0)
+    out.filter(col("role") === "test").groupBy("i").count()
+      .filter(col("count") =!= 1).count() shouldBe 0L
+    out.filter(col("role") === "purged").count() shouldBe 0L
+  }
 }
