@@ -1466,6 +1466,64 @@ SELECT node, out_degree, rank_units AS share_num, share_den,
   CAST((rank_units * 1000) // retained_units AS BIGINT) AS retained_permille
 FROM ranked, tot ORDER BY node"""
 
+  /** q129 twin: the identical counts-of-counts Gini derivation —
+    * gini_num = Σ v·m·(2L+m) − n·total with L = cumulative m over
+    * ascending count value v, exclusive. All BIGINT, `//` floor div. */
+  val q129_domain_gini: String = """
+WITH d AS (
+  SELECT 'd' || CAST((doc_id * doc_id) % 41 AS VARCHAR) AS domain FROM documents),
+c AS (SELECT domain, count(*) AS c FROM d GROUP BY domain),
+bv AS (SELECT c, count(*) AS m FROM c GROUP BY c),
+lv AS (
+  SELECT c, m,
+    COALESCE(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS L
+  FROM bv),
+agg AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(c * m) AS BIGINT) AS t,
+    CAST(sum(c * m * (2 * L + m)) AS BIGINT) AS a,
+    CAST(max(c) AS BIGINT) AS cmax
+  FROM lv)
+SELECT n AS n_groups, t AS total_rows,
+  a - n * t AS gini_num, n * t AS gini_den,
+  ((a - n * t) * 1000) // (n * t) AS gini_permille,
+  (cmax * 1000) // t AS top_share_permille
+FROM agg"""
+
+  /** q128 twin: the SAME code-line detector regex (generated from
+    * [[graft.text.TextAnalysis.codeLinePattern]] — every alternation
+    * branch consumes the full line, so Java's leftmost-first and
+    * RE2's leftmost-longest count identically) over the same
+    * synthesized prose+code mix. */
+  val q128_code_detect: String = {
+    val pat = graft.text.TextAnalysis.codeLinePattern
+    val i = "CAST(doc_id AS VARCHAR)"
+    val footer = s"chr(10) || 'def load_' || $i || '(x):' || chr(10) || " +
+      s"'    return x + ' || $i || chr(10) || 'const n' || $i || ' = ' || $i || " +
+      s"';' || chr(10) || 'if (n' || $i || ' > 0) ' || chr(123) || chr(10) || " +
+      s"'    emit(n' || $i || ');' || chr(10) || chr(125)"
+    s"""
+WITH s AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 = 0 THEN $footer ELSE '' END AS t
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE len(regexp_extract_all(t, chr(10))) + 1 END AS n_lines,
+    len(regexp_extract_all(t, '$pat')) AS n_code_lines
+  FROM s),
+p2 AS (
+  SELECT doc_id, n_lines, n_code_lines,
+    CASE WHEN n_lines > 0 THEN (n_code_lines * 1000) // n_lines END AS code_permille
+  FROM p)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_code_lines AS BIGINT) AS n_code_lines,
+  CAST(code_permille AS BIGINT) AS code_permille,
+  COALESCE(code_permille >= 500, FALSE) AS is_code
+FROM p2 ORDER BY doc_id"""
+  }
+
   /** q127 twin: purged walk-forward folds from the same closed-form
     * integer arithmetic — block = (di·k)//span, start_f = ⌈f·span/k⌉
     * via the (f·span + k−1)//k identity, end_f = start_(f+1) − 1 —
@@ -2516,6 +2574,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q125_pagerank_norm" -> q125_pagerank_norm,
     "q126_pii_redact" -> q126_pii_redact,
     "q127_purged_folds" -> q127_purged_folds,
+    "q128_code_detect" -> q128_code_detect,
+    "q129_domain_gini" -> q129_domain_gini,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

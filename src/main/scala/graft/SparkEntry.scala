@@ -866,6 +866,38 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Domain-concentration audit: exact integer Gini + top-share over
+    // a quadratic-residue domain assignment (doc_id² mod 41 — ~21
+    // domains with built-in 2:1 skew, deterministic in both engines).
+    // One row out; the oracle re-derives the same rational from a
+    // counts-of-counts cumulative sum.
+    "q129_domain_gini" -> ((s, dir) => {
+      val id = col("doc_id")
+      graft.analytics.Profiling.concentration(
+        Tables.documents(s, dir)
+          .select(concat(lit("d"), ((id * id) % 41).cast("string")).as("domain")),
+        "domain")
+    }),
+
+    // Code-vs-prose routing profile: every third doc gets a
+    // formula-synthesized code footer (keyword heads, indents,
+    // brace/semicolon endings); the line-anchored detector pattern is
+    // SHARED with the oracle, which re-counts lines and code lines
+    // with the identical RE2-safe regex. Pure scan-side projection.
+    "q128_code_detect" -> ((s, dir) => {
+      val id = col("doc_id")
+      val i = id.cast("string")
+      val footer = concat(
+        lit("\ndef load_"), i, lit("(x):\n    return x + "), i,
+        lit("\nconst n"), i, lit(" = "), i,
+        lit(";\nif (n"), i, lit(" > 0) {\n    emit(n"), i, lit(");\n}"))
+      val synth = concat(col("text"),
+        when(id % 3 === 0, footer).otherwise(lit("")))
+      graft.text.TextAnalysis.codeProfile(
+          Tables.documents(s, dir).select(id, synth.as("text")))
+        .orderBy(id)
+    }),
+
     // Purged walk-forward 5-fold split with a 10-day embargo over the
     // merged bar table — per (fold, role) audit: row/symbol counts and
     // date extent. The time-axis leakage guard (purged CV) next to

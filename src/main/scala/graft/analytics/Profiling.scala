@@ -220,6 +220,47 @@ object Profiling {
     * into the millions), not the corpus. Beyond that, swap in a
     * two-pass range-partitioned cumsum (per-range totals, then
     * offsets) — the statistic is unchanged. */
+  /** Domain-concentration audit — EXACT integer Gini over per-group
+    * row counts, the curation-health metric behind per-domain share
+    * caps (a corpus where three domains hold half the documents needs
+    * capping before training; RefinedWeb-style preps monitor exactly
+    * this). Returns ONE row: group/total counts, the Gini coefficient
+    * as an exact rational (gini_num/gini_den) plus its integer
+    * permille, and the largest group's share in permille.
+    *
+    * Exactness without a global rank: the ascending-sort Gini
+    * Σ(2i−n−1)·c_i collapses, for each distinct count VALUE v with
+    * multiplicity m and L groups strictly smaller, to v·m·(2L+m−n) —
+    * so gini_num = Σ v·m·(2L+m) − n·total, needing only a cumulative
+    * sum over the counts-of-counts table. Ties need no tiebreak: the
+    * coefficient sum over equal counts is order-invariant, which is
+    * what makes the result partitioning-proof and oracle-exact.
+    *
+    * Scale shape: one shuffle for the group counts, then the window
+    * runs over DISTINCT count values only (bounded by the largest
+    * group's size, not by the number of groups — the [[ksDrift]]
+    * pattern), and everything reduces to a 1-row aggregate. */
+  def concentration(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    val byVal = counts.groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("__L", coalesce(sum(col("__m")).over(w), lit(0L)))
+      .agg(
+        sum(col("__m")).as("__n"),
+        sum(col("__c") * col("__m")).as("__t"),
+        sum(col("__c") * col("__m") * (lit(2) * col("__L") + col("__m"))).as("__a"),
+        max(col("__c")).as("__cmax"))
+      .select(
+        col("__n").as("n_groups"),
+        col("__t").as("total_rows"),
+        (col("__a") - col("__n") * col("__t")).as("gini_num"),
+        (col("__n") * col("__t")).as("gini_den"),
+        expr("((__a - __n * __t) * 1000) div (__n * __t)").as("gini_permille"),
+        expr("(__cmax * 1000) div __t").as("top_share_permille"))
+  }
+
   def ksDrift(base: DataFrame, incoming: DataFrame,
               valueCol: String): DataFrame = {
     val v = col(valueCol)

@@ -324,4 +324,35 @@ object TextAnalysis {
       .select(col(langCol), languageId(col("tokens")).as("predicted_lang"))
       .groupBy(col(langCol), col("predicted_lang"))
       .agg(count(lit(1)).as("docs"))
+
+  /** Code-line detector pattern — the prose-vs-code ROUTING signal a
+    * mixed crawl runs before language-specific processing (code goes
+    * to different tokenization/quality rules than prose; StarCoder/
+    * RedPajama-style preps route on exactly such heuristics). A line
+    * is code-ish when it has a keyword head (`def`/`class`/`import`/
+    * …, or `if`/`for`/`while` followed by `(`), a 4-space/tab indent,
+    * or a `;`/`{`/`}` line ending. One `(?m)`-anchored alternation
+    * whose every branch consumes the FULL line, so "number of
+    * matches" equals "number of code lines" under BOTH Java's
+    * leftmost-first and RE2's leftmost-longest alternation — the
+    * property that lets DuckDB run the identical pattern. */
+  val codeLinePattern: String =
+    "(?m)^(?:[ \\t]*(?:(?:def|class|import|from|return|function|var|val|let|const)\\b" +
+      "|(?:if|for|while)[ \\t]*\\().*|(?:    |\\t).*|.*[;{}][ \\t]*)$"
+
+  /** Per-doc code-likeness profile: total lines, code-ish lines, and
+    * the exact integer permille. Pure codegen'd projection (two
+    * `regexp_count`s) — the text never shuffles. */
+  def codeProfile(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nLines = when(length(t) === 0, lit(0L))
+      .otherwise(regexp_count(t, lit("\n")) + 1).cast("long")
+    val nCode = regexp_count(t, lit(codeLinePattern)).cast("long")
+    docs.select(col(idCol), nLines.as("n_lines"), nCode.as("n_code_lines"))
+      .withColumn("code_permille",
+        when(col("n_lines") > 0,
+          expr("(n_code_lines * 1000) div n_lines")).cast("long"))
+      .withColumn("is_code", coalesce(col("code_permille") >= 500, lit(false)))
+  }
 }

@@ -145,4 +145,21 @@ class ProfilingSpec extends SparkSpec {
     val a = Seq(1.0, 2.0, 2.0, 5.0).toDF("v")
     Profiling.ksDrift(a, a, "v").select("ks").as[Double].collect()(0) shouldBe 0.0
   }
+
+  test("concentration: hand-computed exact Gini, uniform gives zero, invariant to partitioning") {
+    // groups a:1, b:3 -> sorted coefficients (2i-n-1) = (-1, +1):
+    // num = -1*1 + 1*3 = 2, den = n*total = 8, Gini = 0.25.
+    val d = Seq("a", "b", "b", "b").toDF("g")
+    val r = Profiling.concentration(d, "g")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    r shouldBe ((2L, 4L, 2L, 8L, 250L, 750L))
+    // equal counts -> exact zero, no float residue
+    val u = Seq("a", "a", "b", "b", "c", "c").toDF("g")
+    Profiling.concentration(u, "g")
+      .select("gini_num", "gini_permille").as[(Long, Long)].head() shouldBe ((0L, 0L))
+    // pure function of values
+    val big = (1L to 500L).map(i => s"g${(i * i) % 23}").toDF("g")
+    Profiling.concentration(big, "g").collect() shouldBe
+      Profiling.concentration(big.repartition(7), "g").collect()
+  }
 }

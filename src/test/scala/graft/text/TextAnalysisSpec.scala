@@ -101,6 +101,23 @@ class TextAnalysisSpec extends SparkSpec {
     red shouldBe "contact <email> or <phone> today"
   }
 
+  test("codeProfile: keyword heads, indents, brace/semicolon endings count once per line") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "def f(x):\n    return x\nplain prose line\nalso prose",
+      2L -> "just one prose line",
+      3L -> "n = 1;\nif (n) {\n\temit(n);\n}")
+    val out = TextAnalysis.codeProfile(d)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 4 lines; "def f(x):" (keyword) + "    return x" (indent,
+    // keyword — counted ONCE) = 2 code lines -> 500 permille.
+    out(1L) shouldBe ((1L, 4L, 2L, 500L, true))
+    out(2L) shouldBe ((2L, 1L, 0L, 0L, false))
+    // doc 3: every line is code (; { tab-indent }) -> 1000 permille.
+    out(3L) shouldBe ((3L, 4L, 4L, 1000L, true))
+  }
+
   test("cleanText: control chars to space, runs collapsed, edges trimmed") {
     import spark.implicits._
     val d = docs(
