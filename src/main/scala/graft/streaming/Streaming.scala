@@ -63,6 +63,29 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked gap-session aggregation — the streaming twin of
+    * [[graft.events.EventAnalytics.sessionize]], on Spark's native
+    * `session_window` (merging state store windows, closed and
+    * emitted once the watermark passes a session's end — bounded
+    * state, the scale path for billions of users).
+    *
+    * Boundary semantics vs the batch operator, part of the contract:
+    * `session_window` extends a session to [first, last + gap) and an
+    * event at EXACTLY last + gap starts a NEW session (half-open),
+    * while batch `sessionize` keeps an event at exactly the gap in
+    * the SAME session (`> gapUs` starts new). Fixtures and any
+    * cross-check must avoid exact-gap arrivals or assert the
+    * difference; real event streams hit the tie with probability ~0,
+    * and each side is self-consistent and deterministic. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.exactSum(col("value"), 6).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** foreachBatch MERGE sink: every micro-batch is upserted into the
     * date-partitioned parquet table at `tablePath` on `keys`
     * (late/duplicate rows update in place — the reference's K7 for

@@ -254,6 +254,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window sessions match the batch sessionize on a tie-free stream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // user 1: minutes 10, 25 (gap 15 < 30: same session), then 90
+    // (gap 65: new session); user 2 one event. No exact-gap arrivals,
+    // so the half-open session_window boundary agrees with batch.
+    val events = Seq(
+      ev(1, 10, value = 1.5), ev(2, 25, value = 2.5), ev(3, 90, value = 4.0),
+      Ev(4, new Timestamp(base + 40 * 60000L), 2L, "view", 8.0, "{}"))
+    val q = Streaming.sessionStats(ms.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sw_out")
+      .option("checkpointLocation", tmp("sw-ckpt")).outputMode("complete")
+      .start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sw_out")
+        .select("user_id", "session_start", "n_events", "total_value")
+      val batch = EventAnalytics.sessionize(events.toDF(), gapMinutes = 30)
+        .select(col("user_id"), col("session_start"),
+          col("n_events"), col("total_value"))
+      assertSameRows(streamed, batch)
+      // session extent: [first event, last event + gap) half-open
+      val ends = spark.table("sw_out")
+        .select("session_start", "session_end")
+        .as[(Timestamp, Timestamp)].collect().toSet
+      ends should contain ((new Timestamp(base + 10 * 60000L),
+        new Timestamp(base + 55 * 60000L))) // 25min last event + 30min gap
+    } finally q.stop()
+  }
+
   test("heavyHitterSink reports per-batch hot keys matching the batch operator") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
