@@ -1466,6 +1466,54 @@ SELECT node, out_degree, rank_units AS share_num, share_den,
   CAST((rank_units * 1000) // retained_units AS BIGINT) AS retained_permille
 FROM ranked, tot ORDER BY node"""
 
+  /** q130 twin: TrustRank = the q124 iteration with the teleport base
+    * restricted to the seed set (numeric suffix % 3 = 0) and a
+    * seeds-only start vector; same BIGINT floor arithmetic. */
+  val q130_trustrank: String = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+flagged AS (
+  SELECT node, CAST(substr(node, 2) AS INTEGER) % 3 = 0 AS is_seed FROM nodes),
+r0 AS (SELECT node, is_seed,
+         CASE WHEN is_seed THEN CAST(1000000000000 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS rank_units
+       FROM flagged),
+i1 AS (SELECT e.dst AS node, sum(r.rank_units // o.out_degree) AS in_mass
+       FROM e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+       GROUP BY e.dst),
+r1 AS (SELECT f.node, f.is_seed,
+         CASE WHEN f.is_seed THEN 150000000000 ELSE 0 END
+           + (85 * COALESCE(i.in_mass, 0)) // 100 AS rank_units
+       FROM flagged f LEFT JOIN i1 i USING (node)),
+i2 AS (SELECT e.dst AS node, sum(r.rank_units // o.out_degree) AS in_mass
+       FROM e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+       GROUP BY e.dst),
+r2 AS (SELECT f.node, f.is_seed,
+         CASE WHEN f.is_seed THEN 150000000000 ELSE 0 END
+           + (85 * COALESCE(i.in_mass, 0)) // 100 AS rank_units
+       FROM flagged f LEFT JOIN i2 i USING (node)),
+i3 AS (SELECT e.dst AS node, sum(r.rank_units // o.out_degree) AS in_mass
+       FROM e JOIN r2 r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+       GROUP BY e.dst),
+r3 AS (SELECT f.node, f.is_seed,
+         CASE WHEN f.is_seed THEN 150000000000 ELSE 0 END
+           + (85 * COALESCE(i.in_mass, 0)) // 100 AS rank_units
+       FROM flagged f LEFT JOIN i3 i USING (node))
+SELECT n.node, CAST(COALESCE(o.out_degree, 0) AS BIGINT) AS out_degree,
+       r.is_seed, CAST(r.rank_units AS BIGINT) AS rank_units
+FROM nodes n LEFT JOIN outdeg o USING (node) JOIN r3 r USING (node)
+ORDER BY n.node"""
+
   /** q129 twin: the identical counts-of-counts Gini derivation —
     * gini_num = Σ v·m·(2L+m) − n·total with L = cumulative m over
     * ascending count value v, exclusive. All BIGINT, `//` floor div. */
@@ -2576,6 +2624,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q127_purged_folds" -> q127_purged_folds,
     "q128_code_detect" -> q128_code_detect,
     "q129_domain_gini" -> q129_domain_gini,
+    "q130_trustrank" -> q130_trustrank,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -866,6 +866,25 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // TrustRank over the q124 graph: teleport mass lands only on the
+    // seed domains (numeric part % 3 == 0), so trust decays with link
+    // distance from the seed set — same exact integer iteration as
+    // q124, different start/base vectors. The oracle unrolls the same
+    // three seeded iterations.
+    "q130_trustrank" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst"))
+      val edges = e1.unionAll(e2)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(expr("cast(substring(node, 2, 10) as int) % 3 = 0"))
+      graft.graph.LinkGraph.trustRank(edges, seeds, iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // Domain-concentration audit: exact integer Gini + top-share over
     // a quadratic-residue domain assignment (doc_id² mod 41 — ~21
     // domains with built-in 2:1 skew, deterministic in both engines).

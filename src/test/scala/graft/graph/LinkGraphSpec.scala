@@ -84,6 +84,33 @@ class LinkGraphSpec extends SparkSpec {
     calls shouldBe 3
   }
 
+  test("trustRank: teleport only to seeds, trust decays along links, unreachable stays 0") {
+    import spark.implicits._
+    // a -> b -> c, seed = {a}. Start: a=1000, b=0, c=0.
+    // iter 1: a: base 150 + 0;           b: 0 + 85% of 1000 = 850; c: 0
+    // iter 2: a: 150; b: 0 + 85% of 150 = 127; c: 85% of 850 = 722
+    val seeds = Seq("a").toDF("node")
+    val r = LinkGraph.trustRank(edges("a" -> "b", "b" -> "c"), seeds,
+      iterations = 2, unit = U).orderBy("node").collect()
+    r.map(x => (x.getString(0), x.getBoolean(2), x.getLong(3))).toSeq shouldBe
+      Seq(("a", true, 150L), ("b", false, 127L), ("c", false, 722L))
+    // a node with no path from any seed holds exactly zero trust
+    val iso = LinkGraph.trustRank(edges("a" -> "b", "x" -> "y"), seeds,
+      iterations = 3, unit = U).orderBy("node").collect()
+    iso.filter(x => Set("x", "y")(x.getString(0)))
+      .map(_.getLong(3)).toSeq shouldBe Seq(0L, 0L)
+  }
+
+  test("trustRank is invariant under input partitioning") {
+    import spark.implicits._
+    val pairs = (0 until 200).map(i => (s"d${i % 23}", s"d${(3 * i + 1) % 29}"))
+    val base = edges(pairs: _*)
+    val seeds = (0 until 29 by 3).map(i => s"d$i").toDF("node")
+    val r1 = LinkGraph.trustRank(base.repartition(1), seeds, iterations = 3)
+    val r7 = LinkGraph.trustRank(base.repartition(7, col("dst")), seeds, iterations = 3)
+    assertSameRows(r1, r7)
+  }
+
   test("normalizedRank: exact rational share + permilles vs ideal and retained mass") {
     // From the 1-iteration fixture: ranks (a,b,c) = (150, 575, 1425),
     // n = 3 so share_den = 3000; retained = 2150 (leak = 850).
