@@ -1466,6 +1466,25 @@ SELECT node, out_degree, rank_units AS share_num, share_den,
   CAST((rank_units * 1000) // retained_units AS BIGINT) AS retained_permille
 FROM ranked, tot ORDER BY node"""
 
+  /** q131 twin: connected components by a STRUCTURALLY DIFFERENT
+    * algorithm — WITH RECURSIVE transitive closure over the
+    * symmetrized edge set, label = least(node, min reachable node) —
+    * agreeing with Spark's iterative min-label propagation makes this
+    * a genuine cross-check rather than an echo. Lexicographic string
+    * min is identical in both engines (ASCII). */
+  val q131_components: String = """
+WITH RECURSIVE p AS (
+  SELECT DISTINCT 'd' || CAST(doc_id % 56 AS VARCHAR) AS a,
+                  'd' || CAST(doc_id % 56 + 4 AS VARCHAR) AS b
+  FROM documents),
+e AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+SELECT s AS node, least(s, min(d)) AS label
+FROM reach GROUP BY s ORDER BY node"""
+
   /** q130 twin: TrustRank = the q124 iteration with the teleport base
     * restricted to the seed set (numeric suffix % 3 = 0) and a
     * seeds-only start vector; same BIGINT floor arithmetic. */
@@ -2625,6 +2644,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q128_code_detect" -> q128_code_detect,
     "q129_domain_gini" -> q129_domain_gini,
     "q130_trustrank" -> q130_trustrank,
+    "q131_components" -> q131_components,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

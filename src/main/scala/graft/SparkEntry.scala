@@ -866,6 +866,23 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Connected components, gated directly (the union-find backbone
+    // every near-dup removal rides): 4 disjoint 15-edge chains by
+    // residue class — min-label propagation needs the full 14-hop
+    // diameter to converge, and the DuckDB twin computes the same
+    // labels via a WITH RECURSIVE transitive closure (structurally
+    // independent algorithm, same answer — a real cross-check, not an
+    // echo).
+    "q131_components" -> ((s, dir) => {
+      val id = col("doc_id")
+      val x = id % 56
+      graft.dedup.Dedup.componentLabels(
+          Tables.documents(s, dir).select(
+            concat(lit("d"), x.cast("string")).as("doc_a"),
+            concat(lit("d"), (x + 4).cast("string")).as("doc_b")))
+        .orderBy(col("node"))
+    }),
+
     // TrustRank over the q124 graph: teleport mass lands only on the
     // seed domains (numeric part % 3 == 0), so trust decays with link
     // distance from the seed set — same exact integer iteration as
