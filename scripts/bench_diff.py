@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Join two BENCH_r*.json artifacts and print per-query ratio outliers.
+
+Usage: scripts/bench_diff.py OLD_BENCH.json NEW_BENCH.json [--top N]
+
+Each BENCH artifact stores the driver-captured stdout tail; the final
+'{"metric":"total",...}' line is always complete and carries the
+per-query MIN timings under short keys ("q59"). The cross-round signal
+(Bench.scala's own methodology) is the ratio of each query's min
+against the REGISTRY MEDIAN shift: host-level interference moves the
+whole registry uniformly (round 12 measured a 1.88x uniform shift vs
+round 9), so only queries well above that uniform factor are
+regression candidates — and even those need two consecutive rounds
+agreeing before they count.
+"""
+import json
+import statistics
+import sys
+
+
+def load_queries(path: str) -> dict:
+    with open(path) as f:
+        doc = json.load(f)
+    tail = doc.get("tail", "")
+    total_line = None
+    for line in tail.splitlines():
+        if line.startswith('{"metric":"total"'):
+            total_line = line
+    if total_line is None:
+        sys.exit(f"{path}: no complete total line in tail (rc={doc.get('rc')})")
+    parsed = json.loads(total_line)
+    return parsed["queries"]
+
+
+def main() -> None:
+    top = 10
+    argv = sys.argv[1:]
+    if "--top" in argv:
+        i = argv.index("--top")
+        top = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if len(argv) != 2:
+        sys.exit(__doc__)
+    args = argv
+    old, new = load_queries(args[0]), load_queries(args[1])
+    common = sorted(set(old) & set(new))
+    if not common:
+        sys.exit("no common queries")
+    ratios = {q: new[q] / old[q] for q in common if old[q] > 0}
+    med = statistics.median(ratios.values())
+    print(f"common={len(common)}  only_old={sorted(set(old)-set(new))}  "
+          f"only_new={sorted(set(new)-set(old))}")
+    print(f"registry median shift: {med:.2f}x  "
+          f"(uniform host factor; outliers are ratios well above this)")
+    print(f"{'query':<8}{'old_s':>8}{'new_s':>8}{'ratio':>7}{'vs_med':>7}")
+    flagged = sorted(ratios, key=ratios.get, reverse=True)[:top]
+    for q in flagged:
+        rel = ratios[q] / med
+        mark = "  <-- OUTLIER" if rel > 1.25 and new[q] - old[q] > 0.3 else ""
+        print(f"{q:<8}{old[q]:>8.3f}{new[q]:>8.3f}{ratios[q]:>6.2f}x"
+              f"{rel:>6.2f}x{mark}")
+
+
+if __name__ == "__main__":
+    main()

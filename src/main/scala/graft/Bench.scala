@@ -71,6 +71,10 @@ object Bench {
     def tryRun(name: String): Boolean =
       try { run(name); true }
       catch {
+        // Fatal VM errors (OOM, code-cache exhaustion) leave the JVM in
+        // a state where every subsequent timing is unreliable — rethrow
+        // instead of benching past them.
+        case e: VirtualMachineError => throw e
         case e: Throwable =>
           if (!failed.contains(name)) {
             failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"
@@ -78,7 +82,10 @@ object Bench {
           }
           false
       }
-    tryRun(all.head) // untimed warmup
+    // Warm up with a query that is actually IN this run: warming with
+    // all.head would, on an arg-restricted probe run, record a failure
+    // for a query the caller never asked about and force exit(1).
+    tryRun(names.head) // untimed warmup
 
     // Sampling plan: (repeats-1) BACK-TO-BACK runs per query, then one
     // final PHASE-SEPARATED round over the whole registry. Rationale
@@ -140,7 +147,13 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.keys.map(k => "\"" + k.takeWhile(_ != '_') + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"queries_by_name","queries":${render(short = false, _.min)},"failures":${failed.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }.mkString("{", ",", "}")}}""")
+    // Failure messages can carry any character the exception chose —
+    // escape backslash/quote and strip the rest of the control range
+    // (a raw tab or CR inside a JSON string is invalid and would make
+    // the driver fail to parse the metrics line).
+    def jsonStr(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ') + "\""
+    println(s"""{"metric":"queries_by_name","queries":${render(short = false, _.min)},"failures":${failed.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }.mkString("{", ",", "}")}}""")
     println(s"""{"metric":"queries_median_by_name","queries":${render(short = false, median)}}""")
     println(s"""{"metric":"total","value":${fmt(total)},"median_total":${fmt(totalMedian)},"unit":"sec","n":${results.size},"sf":"$sfDir"$failedJson,"queries":${render(short = true, _.min)}}""")
     // Exit nonzero AFTER the metric lines so a failure is loud in the
