@@ -69,14 +69,15 @@ object Streaming {
     * emitted once the watermark passes a session's end — bounded
     * state, the scale path for billions of users).
     *
-    * Boundary semantics vs the batch operator, part of the contract:
-    * `session_window` extends a session to [first, last + gap) and an
-    * event at EXACTLY last + gap starts a NEW session (half-open),
-    * while batch `sessionize` keeps an event at exactly the gap in
-    * the SAME session (`> gapUs` starts new). Fixtures and any
-    * cross-check must avoid exact-gap arrivals or assert the
-    * difference; real event streams hit the tie with probability ~0,
-    * and each side is self-consistent and deterministic. */
+    * Boundary semantics vs the batch operator, pinned by spec: each
+    * event opens a window [t, t + gap) and windows MERGE when one
+    * starts at-or-before another's end — so an event at EXACTLY
+    * last + gap lands touching the open session's end and EXTENDS it,
+    * the same `<= gap`-stays decision batch `sessionize` makes
+    * (`> gapUs` starts new). Round 12 documented the opposite
+    * (half-open exclusion of the exact-gap event); the tie spec in
+    * StreamingSpec falsified that — the operators agree on ties, and
+    * the session extent is [first, last + gap). */
   def sessionStats(events: DataFrame, gap: String = "30 minutes",
                    watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
@@ -194,19 +195,45 @@ object Streaming {
     * tests: the same join on static frames. */
   def attributionJoin(left: DataFrame, right: DataFrame,
                       withinMinutes: Int,
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour"): DataFrame =
+    enrichJoin(left, right, "user_id",
+      lowerMinutes = 0, upperMinutes = withinMinutes, watermark)
+
+  /** Watermarked stream-stream interval join, general form: each left
+    * event matched to right events sharing `key` whose event time lies
+    * in `[l_ts + lowerMinutes, l_ts + upperMinutes]` — signed bounds,
+    * so an impression stream can enrich a click stream with events
+    * BEFORE the click (`lowerMinutes = -10, upperMinutes = 0`) as well
+    * as after. The streaming twin of the batch interval join
+    * ([[graft.events.RangeJoin]] / [[graft.events.AsofJoin]] family).
+    *
+    * State bound, which is the whole point: both inputs carry
+    * watermarks and the join predicate constrains the event-time
+    * distance, so Spark derives a per-side state retention horizon
+    * (watermark + the bound's width) and EVICTS older rows from the
+    * join state store — an unbounded-state stream-stream join is
+    * refused at analysis time, and this shape is the one Spark
+    * accepts. At 100 TB/day the state held per executor is
+    * O(key-rate x (watermark + bound)), independent of stream length;
+    * the spec asserts eviction via the query's stateOperators metrics,
+    * not just output correctness. */
+  def enrichJoin(left: DataFrame, right: DataFrame, key: String,
+                 lowerMinutes: Int, upperMinutes: Int,
+                 watermark: String = "1 hour"): DataFrame = {
+    require(lowerMinutes <= upperMinutes,
+      s"empty interval: [$lowerMinutes, $upperMinutes] minutes")
     val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
-        col("user_id"), col("event_type").as("l_type"))
+        col(key), col("event_type").as("l_type"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
-        col("user_id"), col("event_type").as("r_type"),
+        col(key), col("event_type").as("r_type"),
         col("value").as("r_value"))
       .withWatermark("r_ts", watermark)
     l.join(r,
-      l("user_id") === r("user_id") &&
-        col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
-      .select(l("user_id"), col("l_id"), col("l_ts"), col("r_id"),
+      l(key) === r(key) &&
+        col("r_ts") >= col("l_ts") + expr(s"INTERVAL $lowerMinutes MINUTES") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $upperMinutes MINUTES"))
+      .select(l(key), col("l_id"), col("l_ts"), col("r_id"),
         col("r_ts"), col("r_value"))
   }
 }

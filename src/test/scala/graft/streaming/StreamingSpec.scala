@@ -147,6 +147,111 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichJoin with signed bounds matches the batch twin (lookback interval)") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Ev]
+    // impressions within [-30, 0] minutes of a click: lookback
+    // enrichment, the bound shape attributionJoin cannot express
+    val joined = Streaming.enrichJoin(
+      clicks.toDF(), imps.toDF(), "user_id",
+      lowerMinutes = -30, upperMinutes = 0)
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .option("checkpointLocation", tmp("enrich-ckpt")).outputMode("append")
+      .start()
+    val cRows = Seq(ev(1, 50, "click"), ev(2, 200, "click"))
+    val iRows = Seq(ev(10, 25, "imp", 5.0),  // 25m before click 1: match
+      ev(11, 55, "imp", 7.0),                // after click 1: no match
+      ev(12, 175, "imp", 9.0))               // 25m before click 2: match
+    try {
+      imps.addData(iRows.head); clicks.addData(cRows.head)
+      q.processAllAvailable()
+      imps.addData(iRows(1), iRows(2)); clicks.addData(cRows(1))
+      q.processAllAvailable()
+      // advance both watermarks so every in-bound match is emitted
+      clicks.addData(ev(98, 1000, "click")); imps.addData(ev(99, 1000, "imp"))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      streamed shouldBe Set((1L, 10L), (2L, 12L), (98L, 99L))
+      // batch twin: the same code path on static frames
+      val batch = Streaming.enrichJoin(cRows.toDF(), iRows.toDF(), "user_id",
+        lowerMinutes = -30, upperMinutes = 0)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      batch shouldBe Set((1L, 10L), (2L, 12L))
+    } finally q.stop()
+  }
+
+  test("enrichJoin state is watermark-bounded: join state rows are evicted") {
+    implicit val ctx = spark.sqlContext
+    val lhs = MemoryStream[Ev]
+    val rhs = MemoryStream[Ev]
+    val q = Streaming.enrichJoin(lhs.toDF(), rhs.toDF(), "user_id",
+        lowerMinutes = 0, upperMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("evict_out")
+      .option("checkpointLocation", tmp("evict-ckpt")).outputMode("append")
+      .start()
+    def stateRows: Long =
+      q.recentProgress.reverseIterator
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    def removedRows: Long =
+      q.recentProgress.iterator
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    try {
+      // 6 rows per side land in join state (watermark still behind them)
+      lhs.addData((1 to 6).map(i => ev(i, 10 + i)): _*)
+      rhs.addData((1 to 6).map(i => ev(100 + i, 10 + i)): _*)
+      q.processAllAvailable()
+      val peak = stateRows
+      peak should be >= 12L
+      // advance both watermarks far past every buffered row, twice:
+      // the watermark computed at the END of one batch drives state
+      // eviction in the NEXT batch
+      lhs.addData(ev(98, 1000)); rhs.addData(ev(99, 1000))
+      q.processAllAvailable()
+      lhs.addData(ev(96, 1001)); rhs.addData(ev(97, 1001))
+      q.processAllAvailable()
+      // every pre-sentinel row is gone from state despite MORE input
+      // having arrived — retention is horizon-bounded, not append-only
+      stateRows should be < peak
+      stateRows should be <= 4L // at most the two sentinel pairs
+      removedRows should be >= 12L
+    } finally q.stop()
+  }
+
+  test("session_window tie at exactly last+gap extends the session, agreeing with batch") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // minute 10 then minute 40 with a 30-minute gap: the second event
+    // lands at EXACTLY first.last + gap. Round 12's scaladoc claimed
+    // session_window excludes it half-open-style (new session); this
+    // spec FALSIFIED that claim: the event's window [40, 70) starts
+    // touching the open session's end [10, 40) and session merging
+    // joins them — the same `<= gap`-stays decision batch sessionize
+    // makes. The operators agree even on the tie; this pins it.
+    val events = Seq(ev(1, 10, value = 1.0), ev(2, 40, value = 2.0))
+    val q = Streaming.sessionStats(ms.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("tie_out")
+      .option("checkpointLocation", tmp("tie-ckpt")).outputMode("complete")
+      .start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tie_out")
+        .select("session_start", "session_end", "n_events", "total_value")
+        .as[(Timestamp, Timestamp, Long, Double)].collect().toSet
+      streamed shouldBe Set((
+        new Timestamp(base + 10 * 60000L),
+        new Timestamp(base + 70 * 60000L), // last event 40m + 30m gap
+        2L, 3.0))
+      val batch = EventAnalytics.sessionize(events.toDF(), gapMinutes = 30)
+        .select("session_start", "n_events")
+        .as[(Timestamp, Long)].collect().toSet
+      batch shouldBe Set((new Timestamp(base + 10 * 60000L), 2L))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert: an empty first micro-batch creates no table") {
     import org.apache.spark.sql.streaming.Trigger
     val landing = tmp("empty-landing")
@@ -258,8 +363,8 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
     // user 1: minutes 10, 25 (gap 15 < 30: same session), then 90
-    // (gap 65: new session); user 2 one event. No exact-gap arrivals,
-    // so the half-open session_window boundary agrees with batch.
+    // (gap 65: new session); user 2 one event. The exact-gap tie case
+    // has its own spec below (streaming and batch agree there too).
     val events = Seq(
       ev(1, 10, value = 1.5), ev(2, 25, value = 2.5), ev(3, 90, value = 4.0),
       Ev(4, new Timestamp(base + 40 * 60000L), 2L, "view", 8.0, "{}"))
