@@ -17,16 +17,45 @@ import org.apache.spark.sql.functions._
   */
 object Store {
 
+  /** Parquet bloom-filter write options for high-cardinality point
+    * lookups. Partition pruning + the in-file cluster sort cover RANGE
+    * predicates; a point lookup on a key the file is NOT sorted by
+    * (doc_id inside a date partition, symbol inside a month) still
+    * reads every row group whose min/max straddles the value — at 100
+    * TB that is most of them. A bloom filter per row group answers
+    * "definitely absent" for ~1 byte/distinct value and lets the
+    * reader skip the group without touching its pages; `ndv` sizes the
+    * filter for the expected distinct values PER ROW GROUP (oversizing
+    * wastes footer bytes, undersizing inflates the false-positive
+    * rate toward useless). Dictionary encoding is disabled for bloom
+    * columns: a dictionary-encoded column already gets exact
+    * dictionary-based row-group skipping, and the keys bloom filters
+    * exist for (doc ids, URLs — high cardinality) overflow dictionary
+    * pages at real row-group sizes anyway; disabling makes the
+    * fixture honest about the 100 TB shape. */
+  def bloomFilterOptions(cols: Seq[String],
+                         ndv: Long = 100000L): Map[String, String] =
+    cols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString,
+      s"parquet.enable.dictionary#$c" -> "false")).toMap
+
   /** K5/K8 layout: repartition on the partition key so each partition
     * directory is written by one task (no small-file explosion: tasks ×
     * partitions files otherwise), then sort within tasks on
     * (partition, cluster...) so every parquet file is internally
-    * ordered on the cluster key. */
+    * ordered on the cluster key. `bloomCols` adds per-row-group bloom
+    * filters (see [[bloomFilterOptions]]) for point-lookup keys the
+    * sort order doesn't serve. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
-                       clusterCols: Seq[String]): Unit =
+                       clusterCols: Seq[String],
+                       bloomCols: Seq[String] = Nil,
+                       bloomNdv: Long = 100000L): Unit =
     df.repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      .write.mode("overwrite")
+      .options(bloomFilterOptions(bloomCols, bloomNdv))
+      .partitionBy(partitionCol).parquet(path)
 
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

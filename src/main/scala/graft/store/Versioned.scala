@@ -219,9 +219,11 @@ object Versioned {
     * with the published chain untouched. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
              partitionCol: String, keys: Seq[String],
-             maxRetries: Int = 5): Int = {
+             maxRetries: Int = 5,
+             writeOptions: Map[String, String] = Map.empty): Int = {
     val touched = touchedPartitions(df, partitionCol)
-    commitStaged(spark, table, partitionCol, touched, maxRetries) { prev =>
+    commitStaged(spark, table, partitionCol, touched, maxRetries,
+        writeOptions) { prev =>
       val merged = if (prev > 0 && keys.nonEmpty) {
         val touchedPrev = readVersion(spark, table, prev)
           .filter(col(partitionCol).cast("string").isInCollection(touched))
@@ -270,7 +272,8 @@ object Versioned {
     val touched = touchedPartitions(tombstones, partitionCol)
     require(touched.nonEmpty, "no tombstones: nothing to delete")
     val touchedDirs = touched.map(pv => partitionDirName(partitionCol, pv))
-    commitStaged(spark, table, partitionCol, touched, maxRetries) { prev =>
+    commitStaged(spark, table, partitionCol, touched, maxRetries,
+        Map.empty) { prev =>
       require(prev > 0, "cannot delete from an empty versioned table")
       val touchedPrev = readVersion(spark, table, prev)
         .filter(col(partitionCol).cast("string").isInCollection(touched))
@@ -309,9 +312,16 @@ object Versioned {
     * against the current version, publish by CAS, rebase on loss.
     * `stage` runs per attempt with the base version — rebasing
     * recomputes it against the winner. */
+  /** `writeOptions` reach the parquet writer of the staged-slice data
+    * files (e.g. [[Store.bloomFilterOptions]] for point-lookup keys);
+    * they shape file internals only — manifests, schema JSON, and the
+    * CAS protocol are untouched, and versions written with different
+    * options coexist (options are a per-file footer concern). */
   private def commitStaged(spark: SparkSession, table: String,
                            partitionCol: String, touched: Seq[String],
-                           maxRetries: Int)(stage: Int => Staged): Int = {
+                           maxRetries: Int,
+                           writeOptions: Map[String, String])
+                          (stage: Int => Staged): Int = {
     val f = fs(spark, table)
     val touchedDirs = touched.map(pv => partitionDirName(partitionCol, pv))
     var dv = 0 // claimed on the first attempt, REUSED on rebase (still
@@ -353,6 +363,7 @@ object Versioned {
         .withColumn("__dv", lit(dv))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .options(writeOptions)
         .partitionBy(partitionCol, "__dv")
         .parquet(s"$table/data")
       // Persist the DATA-FILE schema (non-partition columns) next to

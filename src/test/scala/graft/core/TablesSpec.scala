@@ -92,6 +92,30 @@ class TablesSpec extends SparkSpec {
     dot.count() shouldBe 2L
   }
 
+  test("lineitem/orders physical schemas are pinned (regeneration fails here, loudly)") {
+    // The bar tables have no reader-side normalization policy: they're
+    // oracle-symmetric, so drift breaks loudly — but as ~90 cryptic
+    // hash mismatches. This case names the breakage instead: if a
+    // testdata regeneration changes any column's physical type, the
+    // failing assertion says WHICH column of WHICH table moved, and
+    // the fix is a new normalization arm in Tables (the events
+    // precedent), not 90 oracle edits.
+    val sfDir = "/root/testdata/sf0.001"
+    def typeMap(d: DataFrame): Map[String, DataType] =
+      d.schema.fields.map(f => f.name -> f.dataType).toMap
+    typeMap(Tables.lineitem(spark, sfDir)) shouldBe Map(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType)
+    typeMap(Tables.orders(spark, sfDir)) shouldBe Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType)
+  }
+
   test("sessionize analyzes against every ts variant (the q24/q45 regression)") {
     // The outage mode was an ANALYSIS failure (unix_micros rejects
     // TIMESTAMP_NTZ), so resolving the plan is the assertion that

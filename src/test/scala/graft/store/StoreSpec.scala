@@ -87,6 +87,69 @@ class StoreSpec extends SparkSpec {
     spark.sql("DROP TABLE bars_bucketed_r")
   }
 
+  test("bloom filters skip row groups on point lookups that min/max stats cannot") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val path = tmp("bloom")
+    val n = 20000L
+    // Scattered high-cardinality key (a permutation of 0..n-1, stride
+    // coprime to n): every row group's — and every page's — min/max
+    // straddles nearly the full key range, so stats and column-index
+    // skipping are useless for a point lookup. This is the 100 TB
+    // doc_id-inside-a-date-partition shape the bloom filter exists for.
+    val d = spark.range(n).select(
+      (col("id") * 7919 % n).as("doc_id"),
+      lit("2024-01").as("month"),
+      col("id").as("payload"))
+    d.coalesce(1).write.mode("overwrite")
+      .options(Store.bloomFilterOptions(Seq("doc_id"), ndv = 4000))
+      .option("parquet.block.size", (64 * 1024).toString) // many row groups
+      .partitionBy("month").parquet(path)
+
+    // Footer half: the filter is physically present per row group, and
+    // for a point probe most groups answer "definitely absent".
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pDir = new HPath(s"$path/month=2024-01")
+    val file = pDir.getFileSystem(conf).listStatus(pDir)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val probe = 12345L
+    val (mayContain, excluded) = try {
+      val groups = reader.getRowGroups.asScala.toSeq
+      groups.size should be >= 3
+      val verdicts = groups.map { rg =>
+        val cd = rg.getColumns.asScala.find(_.getPath.toDotString == "doc_id").get
+        val bloom = reader.getBloomFilterDataReader(rg).readBloomFilter(cd)
+        bloom should not be null
+        bloom.findHash(bloom.hash(probe))
+      }
+      (verdicts.count(identity), verdicts.count(!_))
+    } finally reader.close()
+    mayContain should be >= 1 // the value exists exactly once
+    excluded should be >= 1   // and most groups can prove they lack it
+
+    // Scan half: the reader acts on the filter — the same point lookup
+    // reads fewer rows with bloom filtering than without, while stats
+    // alone (bloom read-path disabled) cannot skip any row group.
+    def scannedRows(bloomRead: Boolean): Long = {
+      val q = spark.read
+        .option("parquet.filter.bloom.enabled", bloomRead.toString)
+        .parquet(path).filter(col("doc_id") === probe)
+      q.collect().length shouldBe 1
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      q.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .head.metrics("numOutputRows").value
+    }
+    val withBloom = scannedRows(bloomRead = true)
+    val without = scannedRows(bloomRead = false)
+    withBloom should be < without
+    withBloom should be <= n / 2  // most row groups skipped
+    without should be >= (n * 9) / 10 // stats skipped ~nothing
+  }
+
   test("createTable registers a partitioned catalog table (K8) and the view runs (K9)") {
     val path = tmp("ddl")
     val d = bars(("2024-01-05", "A", 10.0), ("2024-01-05", "A", 12.0),

@@ -525,4 +525,25 @@ class VersionedSpec extends SparkSpec {
       rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 40.0, "b"),
         (5L, 5.0, "b")))
   }
+
+  test("commit writeOptions reach the data files: bloom filters in the footer") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil,
+      writeOptions = Store.bloomFilterOptions(Seq("id"), ndv = 100)) shouldBe 1
+    assertSameRows(Versioned.readVersion(spark, t, 1), d1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new HPath(s"$t/data/part=a/__dv=1")
+    val file = dir.getFileSystem(conf).listStatus(dir)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val rg = reader.getRowGroups.asScala.head
+      val cd = rg.getColumns.asScala.find(_.getPath.toDotString == "id").get
+      reader.getBloomFilterDataReader(rg).readBloomFilter(cd) should not be null
+    } finally reader.close()
+  }
 }
