@@ -1557,6 +1557,105 @@ SELECT n AS n_groups, t AS total_rows,
   (cmax * 1000) // t AS top_share_permille
 FROM agg"""
 
+  /** q132 twin: the composed curation pass — q116's host/domain
+    * extraction (first-principles regexes, not an echo of the Spark
+    * operator), a per-domain row_number cap ordered by quality
+    * (n_chars DESC, doc_id), and q129's counts-of-counts Gini CTE
+    * applied to the corpus before and after the cap. */
+  val q132_quota_cap_audit: String = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+    (['HTTP','https','HtTpS'])[CAST(doc_id % 3 + 1 AS INT)] || '://' ||
+    CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+    'Sub' || CAST(doc_id % 4 AS VARCHAR) ||
+    '.ExAmple' || CAST((doc_id * doc_id) % 7 AS VARCHAR) || '.CoM' ||
+    ([':443', ':80', ':8080', ''])[CAST(doc_id % 4 + 1 AS INT)] ||
+    '/p' || CAST(doc_id % 13 AS VARCHAR) AS url
+  FROM documents),
+doms AS (
+  SELECT doc_id, n_chars,
+    regexp_extract(lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)),
+      '([^.]+\.[^.]+)$', 1) AS domain
+  FROM u),
+capped AS (
+  SELECT domain FROM (
+    SELECT domain, row_number() OVER (PARTITION BY domain
+      ORDER BY n_chars DESC, doc_id) AS rn
+    FROM doms)
+  WHERE rn <= 100),
+cb AS (SELECT domain, count(*) AS c FROM doms GROUP BY domain),
+bvb AS (SELECT c, count(*) AS m FROM cb GROUP BY c),
+lvb AS (
+  SELECT c, m,
+    COALESCE(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS L
+  FROM bvb),
+ab AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(c * m) AS BIGINT) AS t,
+    CAST(sum(c * m * (2 * L + m)) AS BIGINT) AS a,
+    CAST(max(c) AS BIGINT) AS cmax
+  FROM lvb),
+ca AS (SELECT domain, count(*) AS c FROM capped GROUP BY domain),
+bva AS (SELECT c, count(*) AS m FROM ca GROUP BY c),
+lva AS (
+  SELECT c, m,
+    COALESCE(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS L
+  FROM bva),
+aa AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(c * m) AS BIGINT) AS t,
+    CAST(sum(c * m * (2 * L + m)) AS BIGINT) AS a,
+    CAST(max(c) AS BIGINT) AS cmax
+  FROM lva)
+SELECT 'before' AS phase, n AS n_groups, t AS total_rows,
+  a - n * t AS gini_num, n * t AS gini_den,
+  ((a - n * t) * 1000) // (n * t) AS gini_permille,
+  (cmax * 1000) // t AS top_share_permille
+FROM ab
+UNION ALL
+SELECT 'after', n, t, a - n * t, n * t,
+  ((a - n * t) * 1000) // (n * t), (cmax * 1000) // t
+FROM aa
+ORDER BY phase"""
+
+  /** q133 twin: harmonic centrality by a structurally different
+    * derivation — a recursive CTE enumerates bounded directed WALKS
+    * (dedup'd by exact (node, from, d) triple, length ≤ 4, never
+    * returning to the start node), MIN(d) per pair recovers the
+    * shortest-path distance, and the same floor(1e6/d) micro-unit
+    * sum must match Spark's BFS-frontier accumulation bit for bit. */
+  val q133_harmonic: String = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+-- DISTINCT spelled explicitly: under WITH RECURSIVE, DuckDB 1.0 does
+-- NOT deduplicate a plain UNION in a non-self-referencing CTE (q131's
+-- oracle never noticed because its downstream GROUP BY absorbs dupes).
+nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+paths(node, frm, d) AS (
+  SELECT dst, src, 1 FROM e
+  UNION
+  SELECT p.node, e.src, p.d + 1
+  FROM paths p JOIN e ON e.dst = p.frm
+  WHERE p.d < 4 AND e.src <> p.node),
+mind AS (SELECT node, frm, min(d) AS md FROM paths GROUP BY node, frm),
+h AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS reached,
+    CAST(sum(1000000 // md) AS BIGINT) AS harmonic_units
+  FROM mind GROUP BY node)
+SELECT n.node, COALESCE(h.reached, 0) AS reached,
+  COALESCE(h.harmonic_units, 0) AS harmonic_units
+FROM nodes n LEFT JOIN h USING (node) ORDER BY node"""
+
   /** q128 twin: the SAME code-line detector regex (generated from
     * [[graft.text.TextAnalysis.codeLinePattern]] — every alternation
     * branch consumes the full line, so Java's leftmost-first and
@@ -2645,6 +2744,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q129_domain_gini" -> q129_domain_gini,
     "q130_trustrank" -> q130_trustrank,
     "q131_components" -> q131_components,
+    "q132_quota_cap_audit" -> q132_quota_cap_audit,
+    "q133_harmonic" -> q133_harmonic,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -867,7 +867,8 @@ object SparkEntry {
     }),
 
     // Connected components, gated directly (the union-find backbone
-    // every near-dup removal rides): 4 disjoint 15-edge chains by
+    // every near-dup removal rides): 4 disjoint 14-edge (15-node)
+    // chains by
     // residue class — min-label propagation needs the full 14-hop
     // diameter to converge, and the DuckDB twin computes the same
     // labels via a WITH RECURSIVE transitive closure (structurally
@@ -880,6 +881,56 @@ object SparkEntry {
           Tables.documents(s, dir).select(
             concat(lit("d"), x.cast("string")).as("doc_a"),
             concat(lit("d"), (x + 4).cast("string")).as("doc_b")))
+        .orderBy(col("node"))
+    }),
+
+    // The curation pass COMPOSED end-to-end: raw URL → registered
+    // domain (the q116 canonicalizer), per-domain cap at the k
+    // highest-quality docs (q60's WindowGroupLimit quota, quality =
+    // n_chars), concentration re-audit (q129's exact Gini) before vs
+    // after — the RefinedWeb-style "cap dominant domains, verify the
+    // skew dropped" loop as ONE oracled query. The squared domain
+    // index gives 4 domains at ~72/142/143/143 docs so the cap
+    // (k=100) binds on three and spares one: both audits are
+    // non-degenerate. Two rows out (phase before/after).
+    "q132_quota_cap_audit" -> ((s, dir) => {
+      val urls = Tables.documents(s, dir).selectExpr("doc_id", "n_chars", """
+        concat(
+          element_at(array('HTTP','https','HtTpS'), cast(doc_id % 3 + 1 as int)),
+          '://',
+          CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+          'Sub', cast(doc_id % 4 as string),
+          '.ExAmple', cast((doc_id * doc_id) % 7 as string), '.CoM',
+          element_at(array(':443', ':80', ':8080', ''), cast(doc_id % 4 + 1 as int)),
+          '/p', cast(doc_id % 13 as string)
+        ) AS url""")
+      val domains = urls.select(col("doc_id"), col("n_chars"),
+        graft.text.Urls.registeredDomain(col("url")).as("domain"))
+      val capped = graft.etl.Sampling.quotaPerGroup(domains, Seq("domain"),
+        Seq(col("n_chars").desc, col("doc_id")), k = 100)
+      graft.analytics.Profiling.concentration(domains, "domain")
+          .withColumn("phase", lit("before"))
+        .unionByName(
+          graft.analytics.Profiling.concentration(capped, "domain")
+            .withColumn("phase", lit("after")))
+        .orderBy(col("phase"))
+    }),
+
+    // Harmonic centrality over the q124 link graph — the other
+    // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
+    // u reaching v within radius 4, exact BIGINT micro-units (BFS
+    // level = min distance). The DuckDB twin enumerates bounded
+    // walks with a recursive CTE and takes MIN(d) per pair — a
+    // structurally different shortest-path derivation agreeing bit
+    // for bit.
+    "q133_harmonic" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst"))
+      graft.graph.LinkGraph.harmonicCentrality(
+          e1.unionAll(e2), "src", "dst", maxDepth = 4)
         .orderBy(col("node"))
     }),
 

@@ -173,6 +173,98 @@ object LinkGraph {
         col("is_seed"), col("rank_units"))
   }
 
+  /** Harmonic centrality (the OTHER CommonCrawl ranking, used for its
+    * published host-level rank alongside PageRank): H(v) = Σ 1/d(u,v)
+    * over nodes u with a directed path to v, here EXACT within a
+    * bounded radius — contributions are integer micro-units
+    * floor(`scale`/d) summed in BIGINT, so like [[pagerank]] the
+    * result is bit-identical under any partitioning and any engine
+    * (1/d as a double would sum in partition order). Unreachable and
+    * beyond-radius pairs contribute zero, which is the standard
+    * harmonic treatment of disconnection (the reason CommonCrawl
+    * prefers it over closeness).
+    *
+    * Algorithm: BFS frontier propagation on (node, from) pairs —
+    * depth-d frontier = (depth-(d-1) frontier ⋈ edges), anti-joined
+    * against every shallower pair so each pair contributes at its
+    * SHORTEST distance only (BFS level = min distance, the invariant
+    * the spec pins); per depth the new pairs collapse immediately
+    * into a per-node count · floor(scale/d) partial sum — the pair
+    * set is never materialized beyond the frontier itself.
+    *
+    * Scale shape: each depth is one hash join + one anti-join + one
+    * partial agg, all keyed on node ids, nothing collected. The
+    * honest caveat, documented not hidden: the frontier holds
+    * REACHABLE-PAIR state — O(Σ_v |ball(v, maxDepth)|), fine for
+    * bounded radius over sparse link graphs (the diameter-bounded
+    * neighborhoods a domain graph has), quadratic on a dense giant
+    * component at full depth. Web-scale full-radius harmonic
+    * centrality uses HyperBall-style HLL counters per node (Boldi &
+    * Vigna 2013) — approximate by construction and therefore not
+    * hash-oracle-able; this operator is the exact bounded-radius
+    * form that CAN be gated, and the one curation pipelines run on
+    * domain-level graphs (|nodes| = domains, not pages).
+    *
+    * Unlike [[pagerank]] (linear plan growth, pure plan fine at small
+    * iteration counts), the BFS recursion REFERENCES ITSELF TWICE per
+    * depth — `visited` feeds both the anti-join and the next union —
+    * so an unmaterialized plan doubles in size every level (measured:
+    * ~9 s at radius 4 on a 29-node graph, pure plan-compile cost).
+    * `materialize` therefore defaults to `localCheckpoint()`: each
+    * frontier/visited is computed once and the lineage cut, the same
+    * frontier-checkpoint discipline every iterative graph engine uses
+    * (pass `identity` only for plan-inspection tests).
+    *
+    * Returns (node, reached, harmonic_units): in-ball size and the
+    * micro-unit harmonic sum after radius `maxDepth`. */
+  def harmonicCentrality(edges: DataFrame, src: String, dst: String,
+                         maxDepth: Int = 4,
+                         scale: Long = 1000000L,
+                         materialize: DataFrame => DataFrame =
+                           _.localCheckpoint())
+      : DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+
+    // (node, from) = "a shortest path from `from` reaches `node`";
+    // depth 1 is the reversed edge list itself.
+    var visited = e.select(col("dst").as("node"), col("src").as("from"))
+    var frontier = visited
+    // depth-1 partial: every in-neighbor contributes floor(scale/1)
+    var scores = frontier.groupBy("node")
+      .agg((count(lit(1)) * lit(scale / 1)).as("partial"))
+    for (d <- 2 to maxDepth) {
+      // extend every known shortest path one edge backward: a path
+      // from `w` to `node` plus an edge u→w is a path from u of
+      // length d — kept only if (node, u) was not reached shallower.
+      val extended = frontier
+        .join(e.withColumnRenamed("dst", "from"), "from")
+        .select(col("node"), col("src").as("from"))
+        .where(col("from") =!= col("node"))
+        .distinct()
+      frontier = materialize(
+        extended.join(visited, Seq("node", "from"), "left_anti"))
+      visited = materialize(visited.union(frontier))
+      scores = scores.union(
+        frontier.groupBy("node")
+          .agg((count(lit(1)) * lit(scale / d)).as("partial")))
+    }
+
+    nodes.join(
+        visited.groupBy("node").agg(count(lit(1)).as("reached")),
+        Seq("node"), "left")
+      .join(scores.groupBy("node").agg(sum(col("partial")).as("harmonic_units")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("reached"), lit(0L)).as("reached"),
+        coalesce(col("harmonic_units"), lit(0L)).as("harmonic_units"))
+  }
+
   /** Normalized centrality over [[pagerank]]'s output: each node's
     * share of probability mass as an EXACT rational pair
     * (`share_num`/`share_den` = rank_units / n·unit) plus integer

@@ -160,4 +160,54 @@ class LinkGraphSpec extends SparkSpec {
     planLines(r25) should be < planLines(
       LinkGraph.pagerank(base, "src", "dst", 2, unit = U))
   }
+
+  test("harmonicCentrality: hand-computed micro-unit sums on a chain + fork") {
+    // a -> b -> c, d -> c: distances into c are b:1, a:2, d:1.
+    val r = LinkGraph.harmonicCentrality(
+      edges("a" -> "b", "b" -> "c", "d" -> "c"), "src", "dst", maxDepth = 4)
+      .orderBy("node").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    // H(c) = 1/1 (b) + 1/2 (a) + 1/1 (d) = 2,500,000 micro-units
+    r shouldBe Seq(
+      ("a", 0L, 0L),
+      ("b", 1L, 1000000L),
+      ("c", 3L, 2500000L),
+      ("d", 0L, 0L))
+  }
+
+  test("harmonicCentrality: BFS level is the MIN distance when paths tie and diverge") {
+    // two routes a->c: direct (d=1) and via b (d=2) — the pair must
+    // contribute once, at the shorter distance.
+    val r = LinkGraph.harmonicCentrality(
+      edges("a" -> "b", "b" -> "c", "a" -> "c"), "src", "dst", maxDepth = 4)
+      .orderBy("node").collect()
+      .map(x => (x.getString(0), x.getLong(2))).toSeq
+    // H(c) = b:1/1 + a:1/1 (NOT 1/2) = 2,000,000
+    r shouldBe Seq(("a", 0L), ("b", 1000000L), ("c", 2000000L))
+  }
+
+  test("harmonicCentrality: radius bounds contributions; cycles do not loop mass") {
+    // ring a -> b -> c -> a at radius 1: only direct in-neighbors.
+    val ring = edges("a" -> "b", "b" -> "c", "c" -> "a")
+    val r1 = LinkGraph.harmonicCentrality(ring, "src", "dst", maxDepth = 1)
+      .orderBy("node").collect().map(x => (x.getString(0), x.getLong(2))).toSeq
+    r1 shouldBe Seq(("a", 1000000L), ("b", 1000000L), ("c", 1000000L))
+    // radius 2 adds the 2-hop neighbor; the 3-hop walk back to self
+    // is excluded (no self pairs), so mass never circulates.
+    val r2 = LinkGraph.harmonicCentrality(ring, "src", "dst", maxDepth = 2)
+      .orderBy("node").collect().map(x => (x.getString(0), x.getLong(2))).toSeq
+    r2 shouldBe Seq(("a", 1500000L), ("b", 1500000L), ("c", 1500000L))
+    val r5 = LinkGraph.harmonicCentrality(ring, "src", "dst", maxDepth = 5)
+      .orderBy("node").collect().map(x => (x.getString(0), x.getLong(2))).toSeq
+    r5 shouldBe r2 // the whole ring is within radius 2; deeper adds nothing
+  }
+
+  test("harmonicCentrality is invariant under input partitioning") {
+    val pairs = (0 until 120).map(i => (s"d${i % 17}", s"d${(5 * i + 3) % 19}"))
+    val base = edges(pairs: _*)
+    val a = LinkGraph.harmonicCentrality(base, "src", "dst", maxDepth = 3)
+    val b = LinkGraph.harmonicCentrality(base.repartition(7), "src", "dst",
+      maxDepth = 3)
+    assertSameRows(a, b)
+  }
 }
