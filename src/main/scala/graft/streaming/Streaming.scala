@@ -219,7 +219,8 @@ object Streaming {
     * not just output correctness. */
   def enrichJoin(left: DataFrame, right: DataFrame, key: String,
                  lowerMinutes: Int, upperMinutes: Int,
-                 watermark: String = "1 hour"): DataFrame = {
+                 watermark: String = "1 hour",
+                 joinType: String = "inner"): DataFrame = {
     require(lowerMinutes <= upperMinutes,
       s"empty interval: [$lowerMinutes, $upperMinutes] minutes")
     val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
@@ -232,10 +233,26 @@ object Streaming {
     l.join(r,
       l(key) === r(key) &&
         col("r_ts") >= col("l_ts") + expr(s"INTERVAL $lowerMinutes MINUTES") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $upperMinutes MINUTES"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $upperMinutes MINUTES"),
+      joinType)
       .select(l(key), col("l_id"), col("l_ts"), col("r_id"),
         col("r_ts"), col("r_value"))
   }
+
+  /** [[enrichJoin]] keeping unmatched left events: the audit shape —
+    * "every click, WITH its impression if one exists" — where the
+    * inner join would silently drop the unattributed majority. A left
+    * event can only be declared unmatched once the right-side
+    * watermark has passed its whole interval (a match might still
+    * arrive until then), so null-padded rows emit with watermark
+    * delay — the same deferral the session timeout spec pins, and the
+    * reason outer results trail inner ones in event time. State bound
+    * is identical to the inner form. */
+  def enrichJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                          lowerMinutes: Int, upperMinutes: Int,
+                          watermark: String = "1 hour"): DataFrame =
+    enrichJoin(left, right, key, lowerMinutes, upperMinutes, watermark,
+      joinType = "left_outer")
 }
 
 /** Typed rows for the stateful session operator. */

@@ -150,6 +150,38 @@ class StoreSpec extends SparkSpec {
     without should be >= (n * 9) / 10 // stats skipped ~nothing
   }
 
+  test("sorted layout gets page-level skipping via the parquet column index") {
+    // The other half of the layout contract: the in-file cluster sort
+    // doesn't just enable row-group min/max skipping — parquet's
+    // column index (page-level min/max, written by default) lets the
+    // reader select individual PAGES inside a surviving row group.
+    // Fixture is one 20k-row row group (so row-group stats alone can
+    // skip nothing) at 4 KiB pages; a point lookup on the sorted key
+    // must read only the pages containing it.
+    val path = tmp("colindex")
+    spark.range(20000)
+      .select(col("id").as("symbol_id"), lit("2024-01").as("month"),
+        col("id").as("payload"))
+      .coalesce(1).sortWithinPartitions("symbol_id")
+      .write.mode("overwrite")
+      .option("parquet.page.size", (4 * 1024).toString)
+      .partitionBy("month").parquet(path)
+    def scannedRows(colIndex: Boolean): Long = {
+      val q = spark.read
+        .option("parquet.filter.columnindex.enabled", colIndex.toString)
+        .parquet(path).filter(col("symbol_id") === 12345L)
+      q.collect().length shouldBe 1
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      q.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .head.metrics("numOutputRows").value
+    }
+    val withIndex = scannedRows(colIndex = true)
+    val without = scannedRows(colIndex = false)
+    without shouldBe 20000L          // one row group: stats skip nothing
+    withIndex should be < without / 10 // pages, not the whole group
+  }
+
   test("createTable registers a partitioned catalog table (K8) and the view runs (K9)") {
     val path = tmp("ddl")
     val d = bars(("2024-01-05", "A", 10.0), ("2024-01-05", "A", 12.0),

@@ -182,6 +182,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichJoinLeftOuter emits unmatched lefts null-padded after the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Ev]
+    val q = Streaming.enrichJoinLeftOuter(
+        clicks.toDF(), imps.toDF(), "user_id",
+        lowerMinutes = 0, upperMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("louter_out")
+      .option("checkpointLocation", tmp("louter-ckpt")).outputMode("append")
+      .start()
+    // click 2 is a DIFFERENT user with no impressions: never matched
+    val click2 = Ev(2, new Timestamp(base + 12 * 60000L), 2L, "click", 1.0, "{}")
+    try {
+      // click 1 gets a match; click 2 never will
+      clicks.addData(ev(1, 10, "click"), click2)
+      imps.addData(ev(10, 20, "imp", 5.0))
+      q.processAllAvailable()
+      // matched row emits promptly, unmatched is still HELD: a match
+      // could arrive until the right watermark passes 12m + 30m bound
+      spark.table("louter_out").select("l_id").as[Long].collect()
+        .toSet shouldBe Set(1L)
+      // push both watermarks far past every open interval; the
+      // watermark computed at one batch's end acts in the next
+      clicks.addData(ev(98, 1000, "click")); imps.addData(ev(99, 1000, "imp"))
+      q.processAllAvailable()
+      clicks.addData(ev(96, 1001, "click")); imps.addData(ev(97, 1001, "imp"))
+      q.processAllAvailable()
+      val rows = spark.table("louter_out")
+        .select("l_id", "r_id").as[(Long, Option[Long])].collect().toSet
+      rows should contain ((1L, Some(10L)))  // matched, r columns real
+      rows should contain ((2L, None))       // unmatched, null-padded
+      // batch twin: the same code path on static frames agrees
+      val batch = Streaming.enrichJoinLeftOuter(
+        Seq(ev(1, 10, "click"), click2).toDF(),
+        Seq(ev(10, 20, "imp", 5.0)).toDF(),
+        "user_id", 0, 30)
+        .select("l_id", "r_id").as[(Long, Option[Long])].collect().toSet
+      batch shouldBe Set((1L, Some(10L)), (2L, None))
+    } finally q.stop()
+  }
+
   test("enrichJoin state is watermark-bounded: join state rows are evicted") {
     implicit val ctx = spark.sqlContext
     val lhs = MemoryStream[Ev]
