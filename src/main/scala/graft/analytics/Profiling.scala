@@ -206,6 +206,38 @@ object Profiling {
     wide.select(explode(entries).as("s")).select(col("s.*"))
   }
 
+  /** [[tableStats]]' 100 TB form — the swap its scaladoc prescribes,
+    * as tested code rather than advice: `approx_count_distinct` (HLL,
+    * default rsd 5%) in place of the exact distinct counts. The
+    * difference is not just precision: multiple exact countDistincts
+    * make Catalyst EXPAND the scan |cols| ways (every input row
+    * duplicated once per counted column — the dominant cost of q98's
+    * plan), while HLL sketches are plain partial aggregates, so the
+    * approx form is ONE un-expanded pass whatever |cols| is. The spec
+    * asserts exactly that plan difference (Expand present vs absent)
+    * plus the documented error bound vs the exact operator; counts,
+    * min/max stay exact either way. Approximate ⇒ not hash-oracle-able
+    * (the E23 precedent): suite-verified, no q-entry. */
+  def tableStatsApprox(df: DataFrame, cols: Seq[String],
+                       rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+      approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"__n_$c").as("n_non_null"),
+      col(s"__nn_$c").as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_str"),
+      col(s"__max_$c").as("max_str"))): _*)
+    wide.select(explode(entries).as("s")).select(col("s.*"))
+  }
+
   /** Numeric drift — [[categoricalDrift]]'s continuous sibling: the
     * two-sample Kolmogorov–Smirnov statistic max|F̂ₐ(v) − F̂_b(v)|,
     * computed as the exact integer max |cumAᵥ·N_b − cumBᵥ·Nₐ| over the

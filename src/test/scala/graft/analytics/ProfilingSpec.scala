@@ -141,6 +141,30 @@ class ProfilingSpec extends SparkSpec {
       ("s", 3L, 1L, 2L, Some("a"), Some("b")))
   }
 
+  test("tableStatsApprox: same shape within HLL error, and NO Expand in the plan") {
+    // exact counts/min/max identical; distinct within the documented
+    // rsd (5% default; 3-sigma margin on a small domain is generous)
+    val d = spark.range(10000).select(
+      col("id"), (col("id") % 100).cast("string").as("s"))
+    val exact = Profiling.tableStats(d, Seq("id", "s")).orderBy("column_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+    val approx = Profiling.tableStatsApprox(d, Seq("id", "s")).orderBy("column_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+    approx.map(_._1).toSeq shouldBe exact.map(_._1).toSeq
+    approx.zip(exact).foreach { case (a, e) =>
+      a._2 shouldBe e._2 // n_non_null exact
+      a._3 shouldBe e._3 // n_null exact
+      a._5 shouldBe e._5; a._6 shouldBe e._6 // min/max exact
+      math.abs(a._4 - e._4).toDouble / e._4 should be < 0.15
+    }
+    // THE point of the swap: multiple exact countDistincts expand the
+    // scan |cols| ways; the HLL form is one un-expanded pass.
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    hasExpand(Profiling.tableStats(d, Seq("id", "s"))) shouldBe true
+    hasExpand(Profiling.tableStatsApprox(d, Seq("id", "s"))) shouldBe false
+  }
+
   test("ksDrift is 0 for identical samples") {
     val a = Seq(1.0, 2.0, 2.0, 5.0).toDF("v")
     Profiling.ksDrift(a, a, "v").select("ks").as[Double].collect()(0) shouldBe 0.0
