@@ -19,9 +19,16 @@ import sys
 
 
 def load_queries(path: str) -> dict:
+    """Accepts a driver BENCH_r*.json artifact (stdout tail under
+    "tail") or a raw file of bench stdout lines."""
     with open(path) as f:
-        doc = json.load(f)
-    tail = doc.get("tail", "")
+        text = f.read()
+    try:
+        doc = json.loads(text)
+        tail = doc.get("tail", "")
+    except json.JSONDecodeError:
+        doc = {"rc": None}
+        tail = text
     total_line = None
     for line in tail.splitlines():
         if line.startswith('{"metric":"total"'):
