@@ -1656,6 +1656,35 @@ SELECT n.node, COALESCE(h.reached, 0) AS reached,
   COALESCE(h.harmonic_units, 0) AS harmonic_units
 FROM nodes n LEFT JOIN h USING (node) ORDER BY node"""
 
+  /** q134 twin: degrees + reciprocated-edge counts over the shared
+    * q124 edge fixture — plain aggregations and one pair self-join. */
+  val q134_graph_audit: String = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+outd AS (SELECT src AS node, count(*) AS c FROM e GROUP BY 1),
+ind AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY 1),
+recip AS (
+  SELECT a.src AS node, count(*) AS c
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+  GROUP BY 1)
+SELECT n.node,
+  CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+  CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree,
+  CAST(COALESCE(r.c, 0) AS BIGINT) AS reciprocal_edges
+FROM nodes n LEFT JOIN outd o USING (node)
+  LEFT JOIN ind i USING (node) LEFT JOIN recip r USING (node)
+ORDER BY node"""
+
   /** q128 twin: the SAME code-line detector regex (generated from
     * [[graft.text.TextAnalysis.codeLinePattern]] — every alternation
     * branch consumes the full line, so Java's leftmost-first and
@@ -2746,6 +2775,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q131_components" -> q131_components,
     "q132_quota_cap_audit" -> q132_quota_cap_audit,
     "q133_harmonic" -> q133_harmonic,
+    "q134_graph_audit" -> q134_graph_audit,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

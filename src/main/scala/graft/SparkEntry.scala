@@ -916,6 +916,19 @@ object SparkEntry {
         .orderBy(col("phase"))
     }),
 
+    // Degree/reciprocity audit over the q124 link graph — the
+    // link-farm signature check (reciprocated edges) next to the
+    // degree distribution; one self-join on the edge pair.
+    "q134_graph_audit" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst"))
+      graft.graph.LinkGraph.graphAudit(e1.unionAll(e2), "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // Harmonic centrality over the q124 link graph — the other
     // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
     // u reaching v within radius 4, exact BIGINT micro-units (BFS

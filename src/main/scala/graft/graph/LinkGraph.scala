@@ -265,6 +265,45 @@ object LinkGraph {
         coalesce(col("harmonic_units"), lit(0L)).as("harmonic_units"))
   }
 
+  /** Link-graph structure audit — the degree/reciprocity health
+    * check run before trusting any centrality score: per node, out-
+    * and in-degree plus the count of RECIPROCATED out-edges (v→w with
+    * w→v also present). High reciprocity concentrated in a
+    * neighborhood is the classic link-farm / spam-ring signature
+    * (TrustRank's motivating pattern), and the degree distribution is
+    * the first thing to audit when a crawl's frontier goes weird.
+    *
+    * Scale shape: two partial-agg shuffles for the degrees and ONE
+    * hash self-join on the (src, dst) pair for reciprocity — the
+    * reversed side is the same deduplicated edge frame re-keyed, so
+    * the join is linear in |edges| with no fan-out (edge pairs are
+    * unique after dedup). All keys are node ids / id pairs; nothing
+    * is collected. */
+  def graphAudit(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val outd = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val ind = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    val recip = e
+      .join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("reciprocal_edges"))
+    nodes.join(outd, Seq("node"), "left")
+      .join(ind, Seq("node"), "left")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("reciprocal_edges"), lit(0L)).as("reciprocal_edges"))
+  }
+
   /** Normalized centrality over [[pagerank]]'s output: each node's
     * share of probability mass as an EXACT rational pair
     * (`share_num`/`share_den` = rank_units / n·unit) plus integer

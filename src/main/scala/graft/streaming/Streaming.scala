@@ -235,8 +235,11 @@ object Streaming {
         col("r_ts") >= col("l_ts") + expr(s"INTERVAL $lowerMinutes MINUTES") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $upperMinutes MINUTES"),
       joinType)
-      .select(l(key), col("l_id"), col("l_ts"), col("r_id"),
-        col("r_ts"), col("r_value"))
+      // coalesce: under full_outer an unmatched RIGHT has no l(key);
+      // for inner/left_outer the left side is always present and the
+      // coalesce is an identity projection.
+      .select(coalesce(l(key), r(key)).as(key), col("l_id"), col("l_ts"),
+        col("r_id"), col("r_ts"), col("r_value"))
   }
 
   /** [[enrichJoin]] keeping unmatched left events: the audit shape —
@@ -253,6 +256,17 @@ object Streaming {
                           watermark: String = "1 hour"): DataFrame =
     enrichJoin(left, right, key, lowerMinutes, upperMinutes, watermark,
       joinType = "left_outer")
+
+  /** Both-sides audit: unmatched LEFTS and unmatched RIGHTS survive
+    * null-padded — the reconciliation shape ("every click and every
+    * impression, matched where possible") that catches loss on either
+    * feed. Same watermark-deferred null emission as the left-outer
+    * form, on both sides. */
+  def enrichJoinFullOuter(left: DataFrame, right: DataFrame, key: String,
+                          lowerMinutes: Int, upperMinutes: Int,
+                          watermark: String = "1 hour"): DataFrame =
+    enrichJoin(left, right, key, lowerMinutes, upperMinutes, watermark,
+      joinType = "full_outer")
 }
 
 /** Typed rows for the stateful session operator. */

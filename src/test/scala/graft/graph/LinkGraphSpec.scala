@@ -202,6 +202,24 @@ class LinkGraphSpec extends SparkSpec {
     r5 shouldBe r2 // the whole ring is within radius 2; deeper adds nothing
   }
 
+  test("graphAudit: hand-computed degrees and reciprocated edges") {
+    // a<->b reciprocated; a->c one-way; c->b one-way; d isolated-ish
+    // (only an out-edge to a). Multi-edge a->b duplicated to prove
+    // dedup happens before counting.
+    val r = LinkGraph.graphAudit(
+      edges("a" -> "b", "a" -> "b", "b" -> "a", "a" -> "c",
+        "c" -> "b", "d" -> "a"),
+      "src", "dst")
+      .orderBy("node").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    r shouldBe Seq(
+      ("a", 2L, 2L, 1L),  // out: b,c; in: b,d; reciprocal: a->b
+      ("b", 1L, 2L, 1L),  // out: a; in: a,c; reciprocal: b->a
+      ("c", 1L, 1L, 0L),
+      ("d", 1L, 0L, 0L))
+  }
+
   test("harmonicCentrality is invariant under input partitioning") {
     val pairs = (0 until 120).map(i => (s"d${i % 17}", s"d${(5 * i + 3) % 19}"))
     val base = edges(pairs: _*)

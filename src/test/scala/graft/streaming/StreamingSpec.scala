@@ -223,6 +223,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichJoinFullOuter keeps unmatched rows of BOTH sides with their keys") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Ev]
+    val q = Streaming.enrichJoinFullOuter(
+        clicks.toDF(), imps.toDF(), "user_id",
+        lowerMinutes = 0, upperMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("fouter_out")
+      .option("checkpointLocation", tmp("fouter-ckpt")).outputMode("append")
+      .start()
+    // user 1: matched pair; user 2: click only; user 3: imp only
+    val click2 = Ev(2, new Timestamp(base + 12 * 60000L), 2L, "click", 1.0, "{}")
+    val imp3 = Ev(11, new Timestamp(base + 15 * 60000L), 3L, "imp", 7.0, "{}")
+    try {
+      clicks.addData(ev(1, 10, "click"), click2)
+      imps.addData(ev(10, 20, "imp", 5.0), imp3)
+      q.processAllAvailable()
+      clicks.addData(ev(98, 1000, "click")); imps.addData(ev(99, 1000, "imp"))
+      q.processAllAvailable()
+      clicks.addData(ev(96, 1001, "click")); imps.addData(ev(97, 1001, "imp"))
+      q.processAllAvailable()
+      val rows = spark.table("fouter_out")
+        .select("user_id", "l_id", "r_id")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      rows should contain ((1L, Some(1L), Some(10L))) // matched
+      rows should contain ((2L, Some(2L), None))      // left-only, key kept
+      rows should contain ((3L, None, Some(11L)))     // right-only, key kept
+      // batch twin agrees on the same static frames
+      val batch = Streaming.enrichJoinFullOuter(
+        Seq(ev(1, 10, "click"), click2).toDF(),
+        Seq(ev(10, 20, "imp", 5.0), imp3).toDF(), "user_id", 0, 30)
+        .select("user_id", "l_id", "r_id")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      batch shouldBe Set(
+        (1L, Some(1L), Some(10L)), (2L, Some(2L), None), (3L, None, Some(11L)))
+    } finally q.stop()
+  }
+
   test("enrichJoin state is watermark-bounded: join state rows are evicted") {
     implicit val ctx = spark.sqlContext
     val lhs = MemoryStream[Ev]
