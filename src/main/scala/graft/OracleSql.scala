@@ -2776,6 +2776,9 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q132_quota_cap_audit" -> q132_quota_cap_audit,
     "q133_harmonic" -> q133_harmonic,
     "q134_graph_audit" -> q134_graph_audit,
+    // lossless columnar round-trip: the result contract IS the q27
+    // aggregate over the original frame
+    "q135_orc_roundtrip" -> q27_csv_roundtrip,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -633,6 +633,27 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // ORC sink + extension-dispatched scan round-trip — the other
+    // columnar format (Hive/Trino estates). Binary columnar round-trip
+    // is lossless by construction, so the result contract IS q27's
+    // aggregate over the original frame (the q49->q34 oracle-reuse
+    // precedent).
+    "q135_orc_roundtrip" -> ((s, dir) => {
+      val path = scratch("bars_orc", dir) + ".orc"
+      val t = transformedBars(s, dir)
+      graft.io.Sources.writeOrc(t, path)
+      graft.io.Sources.read(s, path, Some(t.schema))
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.exactSum(col("close"), 2).as("sum_close"),
+          Exact.exactSum(col("daily_change_pct"), 4).as("sum_change"),
+          sum(col("volume")).as("sum_volume"),
+          count(when(col("open").isNull, 1)).as("null_open"),
+          min(col("date")).as("first_date"),
+          max(col("date")).as("last_date"))
+        .orderBy(col("symbol"))
+    }),
+
     // S5/K2: JSON-lines sink + scan round-trip.
     "q28_json_roundtrip" -> ((s, dir) => {
       val path = scratch("bars", dir) + ".json"

@@ -36,6 +36,7 @@ object Sources {
       case Some("json") | Some("jsonl") =>
         base.option("timestampFormat", TsFormat).json(path)
       case Some("parquet") => base.parquet(path)
+      case Some("orc") => base.orc(path)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported file format: ${other.getOrElse("<none>")} ($path)")
@@ -55,4 +56,11 @@ object Sources {
   /** K3: parquet. */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** ORC — the other columnar format large warehouses standardize on
+    * (Hive/Trino estates); Spark bundles native vectorized ORC. Same
+    * lossless native-type round-trip contract as parquet (micros
+    * timestamps, binary doubles — no text formatting involved). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

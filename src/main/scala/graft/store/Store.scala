@@ -46,14 +46,23 @@ object Store {
     * (partition, cluster...) so every parquet file is internally
     * ordered on the cluster key. `bloomCols` adds per-row-group bloom
     * filters (see [[bloomFilterOptions]]) for point-lookup keys the
-    * sort order doesn't serve. */
+    * sort order doesn't serve.
+    *
+    * The codec defaults to zstd rather than Spark's snappy: at 100 TB
+    * the ~25-35% size reduction is real money and network time, zstd
+    * decompression speed is in snappy's class on modern CPUs, and the
+    * in-file cluster sort feeds the codec long runs of similar values
+    * (sorted columns compress best) — the spec asserts the size win
+    * on this exact layout rather than citing folklore. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
                        clusterCols: Seq[String],
                        bloomCols: Seq[String] = Nil,
-                       bloomNdv: Long = 100000L): Unit =
+                       bloomNdv: Long = 100000L,
+                       codec: String = "zstd"): Unit =
     df.repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
       .write.mode("overwrite")
+      .option("compression", codec)
       .options(bloomFilterOptions(bloomCols, bloomNdv))
       .partitionBy(partitionCol).parquet(path)
 

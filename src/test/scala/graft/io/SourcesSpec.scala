@@ -50,6 +50,13 @@ class SourcesSpec extends SparkSpec {
     assertSameRows(Sources.read(spark, path, Some(schema)), d)
   }
 
+  test("ORC round-trip is lossless") {
+    val d = df(schema, fixture: _*)
+    val path = tmp("orc")
+    Sources.writeOrc(d, path)
+    assertSameRows(Sources.read(spark, path, Some(schema)), d)
+  }
+
   test("extension dispatch rejects unknown formats") {
     an[IllegalArgumentException] should be thrownBy
       Sources.read(spark, "/tmp/whatever.xlsx")

@@ -150,6 +150,29 @@ class StoreSpec extends SparkSpec {
     without should be >= (n * 9) / 10 // stats skipped ~nothing
   }
 
+  test("zstd default beats snappy on the cluster-sorted layout, losslessly") {
+    // The size claim behind the codec default, measured on this exact
+    // layout (sorted columns hand the codec long similar-value runs).
+    import org.apache.spark.sql.functions.rand
+    val d = spark.range(30000).select(
+      (col("id") % 25).cast("string").as("symbol"),
+      lit("2024-01").as("month"),
+      (rand(42) * 1000).as("close"),
+      col("id").as("volume"))
+    def dirSize(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val zstdPath = tmp("codec-zstd"); val snappyPath = tmp("codec-snappy")
+    Store.writePartitioned(d, zstdPath, "month", Seq("symbol"))
+    Store.writePartitioned(d, snappyPath, "month", Seq("symbol"), codec = "snappy")
+    val (z, s) = (dirSize(zstdPath), dirSize(snappyPath))
+    z should be < s
+    assertSameRows(spark.read.parquet(zstdPath), spark.read.parquet(snappyPath))
+  }
+
   test("sorted layout gets page-level skipping via the parquet column index") {
     // The other half of the layout contract: the in-file cluster sort
     // doesn't just enable row-group min/max skipping — parquet's
