@@ -1685,6 +1685,16 @@ FROM nodes n LEFT JOIN outd o USING (node)
   LEFT JOIN ind i USING (node) LEFT JOIN recip r USING (node)
 ORDER BY node"""
 
+  /** q136 twin: the quarantine split derived from the fixture FORMULA
+    * (every 7th doc_id writes a broken line), not by parsing the file
+    * — the Spark side must recover exactly this partition of the feed
+    * through its permissive read. */
+  val q136_malformed_quarantine: String = """
+SELECT category, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN '__malformed' ELSE lang END AS category
+  FROM documents)
+GROUP BY category ORDER BY category"""
+
   /** q128 twin: the SAME code-line detector regex (generated from
     * [[graft.text.TextAnalysis.codeLinePattern]] — every alternation
     * branch consumes the full line, so Java's leftmost-first and
@@ -2779,6 +2789,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     // lossless columnar round-trip: the result contract IS the q27
     // aggregate over the original frame
     "q135_orc_roundtrip" -> q27_csv_roundtrip,
+    "q136_malformed_quarantine" -> q136_malformed_quarantine,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

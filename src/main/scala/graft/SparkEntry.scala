@@ -654,6 +654,31 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Malformed-record quarantine: a JSONL feed where every 7th line
+    // is broken must parse the rest against the schema and count the
+    // bad lines into quarantine — never crash, never silently drop.
+    // The oracle derives both halves from the documents formula (the
+    // fixture is a pure function of doc_id), not by parsing the file.
+    "q136_malformed_quarantine" -> ((s, dir) => {
+      val path = scratch("feed", dir) + "_lines"
+      val docs = Tables.documents(s, dir)
+      docs.select(when(col("doc_id") % 7 === 0,
+            concat(lit("{broken json line "), col("doc_id").cast("string")))
+          .otherwise(concat(
+            lit("""{"doc_id": """), col("doc_id").cast("string"),
+            lit(""", "lang": """"), col("lang"), lit(""""}""")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType)
+      graft.io.Sources.readJsonQuarantine(s, path, schema)
+        .select(when(col("_malformed").isNotNull, lit("__malformed"))
+          .otherwise(col("lang")).as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as("n"))
+        .orderBy(col("category"))
+    }),
+
     // S5/K2: JSON-lines sink + scan round-trip.
     "q28_json_roundtrip" -> ((s, dir) => {
       val path = scratch("bars", dir) + ".json"

@@ -57,6 +57,27 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Permissive JSON-lines ingest with malformed-record QUARANTINE —
+    * the hygiene layer a crawl/API feed needs: a bad line must neither
+    * kill the job (FAILFAST) nor vanish silently (DROPMALFORMED);
+    * it lands null-typed with its RAW TEXT preserved in `_malformed`
+    * for replay/debugging, and good rows parse against the explicit
+    * schema as usual. Wraps Spark's PERMISSIVE mode +
+    * columnNameOfCorruptRecord; the quarantine column is appended to
+    * the caller's schema here so callers keep declaring only their
+    * data columns. (Spark refuses plans referencing ONLY the corrupt
+    * column over raw JSON — callers projecting just the quarantine
+    * should select a data column alongside, as the q136 split does.) */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+                         schema: StructType,
+                         quarantineCol: String = "_malformed"): DataFrame =
+    spark.read
+      .schema(schema.add(quarantineCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", quarantineCol)
+      .option("timestampFormat", TsFormat)
+      .json(path)
+
   /** ORC — the other columnar format large warehouses standardize on
     * (Hive/Trino estates); Spark bundles native vectorized ORC. Same
     * lossless native-type round-trip contract as parquet (micros

@@ -57,6 +57,29 @@ class SourcesSpec extends SparkSpec {
     assertSameRows(Sources.read(spark, path, Some(schema)), d)
   }
 
+  test("readJsonQuarantine: bad lines survive with raw text, good lines parse") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-io").resolve("feed").toString
+    import spark.implicits._
+    Seq(
+      """{"date": "2024-01-05", "symbol": "A"}""",
+      """this is not json at all""",
+      """{"date": "2024-01-06", "symbol": "B"}""",
+      """{"date": BROKEN""").toDF("value").coalesce(1)
+      .write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("date", StringType), StructField("symbol", StringType)))
+    val r = Sources.readJsonQuarantine(spark, dir, schema)
+      .select("symbol", "_malformed").collect()
+    r.length shouldBe 4
+    // good rows parse, quarantine null
+    r.filter(_.isNullAt(1)).map(_.getString(0)).sorted.toSeq shouldBe Seq("A", "B")
+    // bad rows: data null, RAW line preserved verbatim for replay
+    r.filterNot(_.isNullAt(1)).map(_.getString(1)).sorted.toSeq shouldBe
+      Seq("this is not json at all", """{"date": BROKEN""")
+    r.filterNot(_.isNullAt(1)).forall(_.isNullAt(0)) shouldBe true
+  }
+
   test("extension dispatch rejects unknown formats") {
     an[IllegalArgumentException] should be thrownBy
       Sources.read(spark, "/tmp/whatever.xlsx")

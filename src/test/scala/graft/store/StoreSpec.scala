@@ -205,6 +205,28 @@ class StoreSpec extends SparkSpec {
     withIndex should be < without / 10 // pages, not the whole group
   }
 
+  test("ANALYZE TABLE feeds row counts to the CBO (catalog stats wiring)") {
+    // The reference's BigQuery tables get statistics for free; the
+    // parquet-catalog equivalent is ANALYZE TABLE. Before: the
+    // optimizer sees only a file-size estimate (no row count). After:
+    // the catalog carries an exact rowCount the CBO can plan joins
+    // and aggregates with.
+    val path = tmp("analyze")
+    val d = bars(("2024-01-05", "A", 1.0), ("2024-01-06", "B", 2.0),
+      ("2024-02-05", "C", 3.0))
+    Store.writePartitioned(d, path, "month", Seq("symbol", "date"))
+    Store.createTable(spark, "bars_analyze_test", path)
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      def rowCount: Option[BigInt] =
+        spark.table("bars_analyze_test")
+          .queryExecution.optimizedPlan.stats.rowCount
+      rowCount shouldBe None
+      spark.sql("ANALYZE TABLE bars_analyze_test COMPUTE STATISTICS")
+      rowCount shouldBe Some(BigInt(3))
+    }
+    spark.sql("DROP TABLE bars_analyze_test")
+  }
+
   test("createTable registers a partitioned catalog table (K8) and the view runs (K9)") {
     val path = tmp("ddl")
     val d = bars(("2024-01-05", "A", 10.0), ("2024-01-05", "A", 12.0),
