@@ -161,6 +161,54 @@ object Versioned {
       .foldLeft(0)(math.max)
   }
 
+  /** One row of the commit log — see [[history]]. */
+  final case class Commit(version: Int, committedAtMs: Long,
+                          nPartitions: Int, partitions: Seq[String])
+
+  /** DESCRIBE HISTORY for the versioned table: every published
+    * version, its publish instant, and the logical partitions its
+    * manifest references — newest first. The publish instant is the
+    * manifest file's modification time: the manifest IS the atomic
+    * publish (CAS create), so its mtime is exactly when the version
+    * became visible. Metadata-only (one directory listing + one small
+    * read per version), no data files touched — at any table size
+    * this is O(versions). Clock caveat, stated not hidden: mtimes
+    * come from the filesystem and a badly skewed writer clock shifts
+    * [[readAsOf]]'s mapping; version numbers stay the source of
+    * truth for exact audits. */
+  def history(spark: SparkSession, table: String): Seq[Commit] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/_manifests")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".json") &&
+          n.stripPrefix("v").stripSuffix(".json").forall(_.isDigit)
+      }
+      .map { st =>
+        val v = st.getPath.getName.stripPrefix("v").stripSuffix(".json").toInt
+        val parts = (readManifest(spark, table, v) - CommitDvKey).keys.toSeq.sorted
+        Commit(v, st.getModificationTime, parts.size, parts)
+      }
+      .sortBy(-_.version)
+  }
+
+  /** Timestamp time travel: read the newest version PUBLISHED at or
+    * before `asOfMs` (epoch millis) — the "what did the table say
+    * when the training job started" query, resolved through
+    * [[history]]'s manifest mtimes. Throws if the table has no
+    * version that old (reading a table before its first commit has no
+    * meaningful answer). Version-number travel ([[readVersion]])
+    * remains the exact, clock-independent form. */
+  def readAsOf(spark: SparkSession, table: String, asOfMs: Long): DataFrame = {
+    val candidates = history(spark, table).filter(_.committedAtMs <= asOfMs)
+    require(candidates.nonEmpty,
+      s"no version of $table existed at epoch-ms $asOfMs " +
+        s"(earliest: ${history(spark, table).lastOption.map(_.committedAtMs)})")
+    readVersion(spark, table, candidates.head.version)
+  }
+
   /** Partition-dir name for a logical partition value — the SAME
     * Hive-escaping `partitionBy` applies when laying out directories
     * (space survives; '=', '%', ':', '/', quotes, control chars →

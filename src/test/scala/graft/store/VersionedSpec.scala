@@ -526,6 +526,29 @@ class VersionedSpec extends SparkSpec {
         (5L, 5.0, "b")))
   }
 
+  test("history lists published versions; readAsOf time-travels by publish instant") {
+    val t = freshTable()
+    Versioned.commit(spark, t, d1, "part", Nil) shouldBe 1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(150) // distinct manifest mtimes (local fs is ms-precise)
+    Versioned.commit(spark, t, rows((3L, 30.0, "b")), "part", Seq("id")) shouldBe 2
+    val h = Versioned.history(spark, t)
+    h.map(_.version) shouldBe Seq(2, 1) // newest first
+    // v1 and v2 both reference partitions a and b (v2's manifest
+    // carries pointers for untouched partitions too — that's the
+    // design: a version is a complete view)
+    h.foreach(_.partitions shouldBe Seq("part=a", "part=b"))
+    h.head.committedAtMs should be > h.last.committedAtMs
+    // between the publishes: v1's world
+    assertSameRows(Versioned.readAsOf(spark, t, afterV1), d1)
+    // now: v2's world (id 3 updated)
+    assertSameRows(Versioned.readAsOf(spark, t, System.currentTimeMillis()),
+      rows((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 30.0, "b")))
+    // before the first commit: no meaningful answer
+    an[IllegalArgumentException] should be thrownBy
+      Versioned.readAsOf(spark, t, 1000L)
+  }
+
   test("commit writeOptions reach the data files: bloom filters in the footer") {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
