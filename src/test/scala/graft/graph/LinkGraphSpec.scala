@@ -202,6 +202,42 @@ class LinkGraphSpec extends SparkSpec {
     r5 shouldBe r2 // the whole ring is within radius 2; deeper adds nothing
   }
 
+  test("property: harmonicCentrality matches Floyd-Warshall on random digraphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val SCALE = 1000000L
+    val DEPTH = 3
+    def reference(n: Int, edges: Set[(Int, Int)]): Map[String, (Long, Long)] = {
+      val INF = Int.MaxValue / 2
+      val d = Array.tabulate(n, n)((i, j) =>
+        if (i == j) 0 else if (edges((i, j))) 1 else INF)
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+      // node universe = nodes touching an edge (operator's contract)
+      val live = (0 until n).filter(v => edges.exists(e => e._1 == v || e._2 == v))
+      live.map { v =>
+        val ds = live.filter(u => u != v && d(u)(v) <= DEPTH).map(u => d(u)(v))
+        s"n$v" -> (ds.size.toLong, ds.map(SCALE / _).sum)
+      }.toMap
+    }
+    val graphs = for {
+      n <- Gen.choose(2, 8)
+      pairs = for { i <- 0 until n; j <- 0 until n if i != j } yield (i, j)
+      es <- Gen.someOf(pairs)
+    } yield (n, es.toSet)
+    val prop = Prop.forAll(graphs) { case (n, es) =>
+      es.isEmpty || {
+        val got = LinkGraph.harmonicCentrality(
+          edges(es.toSeq.map(e => (s"n${e._1}", s"n${e._2}")): _*),
+          "src", "dst", maxDepth = DEPTH, materialize = identity)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        got == reference(n, es)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"harmonic vs Floyd-Warshall: $res")
+  }
+
   test("graphAudit: hand-computed degrees and reciprocated edges") {
     // a<->b reciprocated; a->c one-way; c->b one-way; d isolated-ish
     // (only an out-edge to a). Multi-edge a->b duplicated to prove

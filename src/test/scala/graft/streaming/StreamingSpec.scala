@@ -261,6 +261,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: enrichJoin matches a naive interval filter-join on random events") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEvents = for {
+      n <- Gen.choose(0, 12)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 120L)))
+    } yield rows.zipWithIndex.map { case ((u, m), i) =>
+      Ev(i.toLong, new Timestamp(base + m * 60000L), u, "e", 1.0, "{}") }
+    val cases = for {
+      l <- genEvents; r <- genEvents
+      lo <- Gen.choose(-30, 10); width <- Gen.choose(0, 40)
+    } yield (l, r.map(e => e.copy(event_id = e.event_id + 100)), lo, lo + width)
+    val prop = Prop.forAll(cases) { case (ls, rs, lo, hi) =>
+      val naive = (for {
+        l <- ls; r <- rs
+        if l.user_id == r.user_id
+        if r.ts.getTime >= l.ts.getTime + lo * 60000L
+        if r.ts.getTime <= l.ts.getTime + hi * 60000L
+      } yield (l.event_id, r.event_id)).toSet
+      val got = Streaming.enrichJoin(ls.toDF(), rs.toDF(), "user_id", lo, hi)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      got == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"enrichJoin vs naive: $res")
+  }
+
   test("enrichJoin state is watermark-bounded: join state rows are evicted") {
     implicit val ctx = spark.sqlContext
     val lhs = MemoryStream[Ev]
