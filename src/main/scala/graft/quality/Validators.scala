@@ -239,4 +239,35 @@ object Validators {
       .withColumn("k_risk", col("group_size") < k)
       .withColumn("l_risk", col("n_sensitive") < l)
   }
+
+  /** ZERO-extra-pass quality metrics via Spark's Observation API: the
+    * validator `df.agg(...)` probes above each cost one dedicated job
+    * over the data — correct for a gate that must run BEFORE the
+    * write, but a pipeline that is writing the data anyway shouldn't
+    * scan 100 TB twice for row/null counts. `observed` piggybacks the
+    * probes on whatever action the caller was about to run: metrics
+    * accumulate inside the SAME tasks that execute the write (an
+    * `observe` node in the plan, no second scan, no extra shuffle)
+    * and are read from the returned Observation after the action
+    * completes. Returns (instrumented df, observation); call
+    * `observation.get` once the caller's action has run.
+    *
+    * The metric set mirrors the gate probes: row count, per-column
+    * null counts, and min/max of `minMaxCol` if given. Aggregate-only
+    * by the API's contract (observe rejects non-aggregate
+    * expressions); distinct counts are NOT available this way — HLL
+    * (`approx_count_distinct`) is the observable substitute and the
+    * exact form stays with the dedicated validators. */
+  def observed(df: DataFrame, name: String, nullCols: Seq[String],
+               minMaxCol: Option[String] = None)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics: Seq[Column] =
+      Seq(count(lit(1)).as("row_count")) ++
+        nullCols.map(c => count(when(col(c).isNull, 1)).as(s"null_$c")) ++
+        minMaxCol.toSeq.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          approx_count_distinct(col(c)).as(s"approx_distinct_$c")))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }
