@@ -53,16 +53,26 @@ object Store {
     * decompression speed is in snappy's class on modern CPUs, and the
     * in-file cluster sort feeds the codec long runs of similar values
     * (sorted columns compress best) — the spec asserts the size win
-    * on this exact layout rather than citing folklore. */
+    * on this exact layout rather than citing folklore.
+    *
+    * `maxRecordsPerFile` (0 = unlimited) bounds the other end of the
+    * small-file problem: one task per partition directory means a
+    * giant partition becomes ONE giant file — unsplittable-ish for
+    * downstream range assignment and painful to replicate. The writer
+    * rolls to a new file at the record cap, sequentially, so each
+    * rolled file is still internally sorted on the cluster key
+    * (row-group skipping intact). */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
                        clusterCols: Seq[String],
                        bloomCols: Seq[String] = Nil,
                        bloomNdv: Long = 100000L,
-                       codec: String = "zstd"): Unit =
+                       codec: String = "zstd",
+                       maxRecordsPerFile: Long = 0L): Unit =
     df.repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
       .write.mode("overwrite")
       .option("compression", codec)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .options(bloomFilterOptions(bloomCols, bloomNdv))
       .partitionBy(partitionCol).parquet(path)
 

@@ -132,6 +132,22 @@ object Streaming {
     upsertSink(stream, tablePath, keys, checkpointDir,
       partitionCol, partitionExpr).start()
 
+  /** Streaming twin of [[graft.quality.Validators.observed]]: quality
+    * metrics (row count, per-column null counts) accumulate inside
+    * each micro-batch's own tasks via an `observe` node — no
+    * foreachBatch detour, no second pass, no state — and surface per
+    * batch in `StreamingQueryProgress.observedMetrics(name)`. This is
+    * the always-on feed a stream monitor tails (alert when null rates
+    * spike), complementing [[driftMonitorSink]]'s heavier
+    * distribution scoring. */
+  def observedQuality(stream: DataFrame, name: String,
+                      nullCols: Seq[String]): DataFrame = {
+    val metrics: Seq[Column] =
+      Seq(count(lit(1)).as("row_count")) ++
+        nullCols.map(c => count(when(col(c).isNull, 1)).as(s"null_$c"))
+    stream.observe(name, metrics.head, metrics.tail: _*)
+  }
+
   /** Streaming distribution-drift monitor: every micro-batch's
     * categorical distribution of `keyCol` is scored against a STATIC
     * baseline (the training corpus, yesterday's snapshot) with

@@ -150,6 +150,26 @@ class StoreSpec extends SparkSpec {
     without should be >= (n * 9) / 10 // stats skipped ~nothing
   }
 
+  test("maxRecordsPerFile rolls a giant partition into sorted bounded files") {
+    val path = tmp("maxrec")
+    val d = spark.range(20000).select(
+      (col("id") % 25).cast("string").as("symbol"),
+      lit("2024-01").as("month"),
+      col("id").as("volume"))
+    Store.writePartitioned(d, path, "month", Seq("symbol"),
+      maxRecordsPerFile = 5000L)
+    val dir = new java.io.File(s"$path/month=2024-01")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    files.length shouldBe 4 // 20000 / 5000, rolled sequentially
+    // each rolled file is still internally sorted on the cluster key
+    files.foreach { f =>
+      val syms = spark.read.parquet(f.getPath).select("symbol")
+        .collect().map(_.getString(0)).toSeq
+      syms shouldBe syms.sorted
+    }
+    spark.read.parquet(path).count() shouldBe 20000L
+  }
+
   test("zstd default beats snappy on the cluster-sorted layout, losslessly") {
     // The size claim behind the codec default, measured on this exact
     // layout (sorted columns hand the codec long similar-value runs).

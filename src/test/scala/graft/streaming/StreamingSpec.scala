@@ -438,6 +438,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observedQuality surfaces per-micro-batch metrics in the query progress") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.observedQuality(ms.toDF(), "feed_quality", Seq("props"))
+      .writeStream.format("memory").queryName("obs_out")
+      .option("checkpointLocation", tmp("obs-ckpt")).outputMode("append")
+      .start()
+    try {
+      ms.addData(ev(1, 0), ev(2, 1),
+        Ev(3, new Timestamp(base + 2 * 60000L), 1L, "click", 1.0, null))
+      q.processAllAvailable()
+      ms.addData(ev(4, 3))
+      q.processAllAvailable()
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("feed_quality")))
+        .map(r => (r.getAs[Long]("row_count"), r.getAs[Long]("null_props")))
+        .filter(_._1 > 0)
+      // batch 0: 3 rows, 1 null props; batch 1: 1 row, 0 nulls
+      observed shouldBe Seq((3L, 1L), (1L, 0L))
+    } finally q.stop()
+  }
+
   test("driftMonitorSink scores each micro-batch against the static baseline") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
