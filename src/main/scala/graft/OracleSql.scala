@@ -1685,6 +1685,46 @@ FROM nodes n LEFT JOIN outd o USING (node)
   LEFT JOIN ind i USING (node) LEFT JOIN recip r USING (node)
 ORDER BY node"""
 
+  /** q137 twin: the same k-gram postings / df cap / diagonal
+    * gaps-and-islands construction from first principles — DuckDB's
+    * 1-based list slice l[i+1:i+5] is exactly Spark's
+    * slice(toks, i+1, 5), and both engines' \s+ split and md5 agree
+    * on identical input strings. */
+  val q137_shared_spans: String = """
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 3
+         THEN text || ' shared span alpha beta gamma delta epsilon zeta eta theta iota kappa'
+         ELSE text END AS t
+  FROM documents),
+tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS l FROM s),
+post AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(l[i+1:i+5], ' ')) AS g
+  FROM tok, unnest(range(0, len(l) - 4)) AS u(i)
+  WHERE len(l) >= 5),
+capped AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM post GROUP BY g)
+  WHERE df <= 64),
+kept AS (SELECT p.* FROM post p JOIN capped USING (g)),
+pr AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+    a.pos - b.pos AS diag
+  FROM kept a JOIN kept b USING (g)
+  WHERE a.doc_id < b.doc_id),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+  FROM pr),
+r2 AS (
+  SELECT doc_a, doc_b, count(*) AS run
+  FROM runs GROUP BY doc_a, doc_b, diag, island)
+SELECT doc_a, doc_b,
+  CAST(max(run) + 4 AS BIGINT) AS max_span_tokens,
+  CAST(sum(run) AS BIGINT) AS n_shared_grams
+FROM r2 GROUP BY doc_a, doc_b
+HAVING max(run) + 4 >= 8
+ORDER BY doc_a, doc_b"""
+
   /** q136 twin: the quarantine split derived from the fixture FORMULA
     * (every 7th doc_id writes a broken line), not by parsing the file
     * — the Spark side must recover exactly this partition of the feed
@@ -2790,6 +2830,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     // aggregate over the original frame
     "q135_orc_roundtrip" -> q27_csv_roundtrip,
     "q136_malformed_quarantine" -> q136_malformed_quarantine,
+    "q137_shared_spans" -> q137_shared_spans,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -975,6 +975,22 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Exact shared-span detection (the Lee et al. substring-dedup
+    // verbatim axis): a constant 12-token paragraph appended to every
+    // 25th doc must surface as max_span_tokens = 12 between exactly
+    // those doc pairs — invisible to whole-doc Jaccard, which is the
+    // point. k=5 grams, df-capped join, diagonal-run windows.
+    "q137_shared_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 25 === 3,
+            concat(col("text"), lit(" shared span alpha beta gamma delta " +
+              "epsilon zeta eta theta iota kappa")))
+          .otherwise(col("text")).as("text"))
+      graft.dedup.SpanDedup.sharedSpans(docs, k = 5, minSpanTokens = 8,
+          maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Harmonic centrality over the q124 link graph — the other
     // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
     // u reaching v within radius 4, exact BIGINT micro-units (BFS
