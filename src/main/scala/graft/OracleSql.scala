@@ -1725,6 +1725,60 @@ FROM r2 GROUP BY doc_a, doc_b
 HAVING max(run) + 4 >= 8
 ORDER BY doc_a, doc_b"""
 
+  /** q138 twin: q137's construction carried through to spans in
+    * VICTIM coordinates (doc_b = the later doc; keep-first policy),
+    * NOT EXISTS anti-filter over token positions, ordered string_agg
+    * reassembly, md5 compare; a fully-excised doc reads back as
+    * md5('') via the universe left join. */
+  val q138_span_removal: String = """
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 3
+         THEN text || ' shared span alpha beta gamma delta epsilon zeta eta theta iota kappa'
+         ELSE text END AS t
+  FROM documents),
+tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS l FROM s),
+post AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(l[i+1:i+5], ' ')) AS g
+  FROM tok, unnest(range(0, len(l) - 4)) AS u(i)
+  WHERE len(l) >= 5),
+capped AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM post GROUP BY g)
+  WHERE df <= 64),
+kept AS (SELECT p.* FROM post p JOIN capped USING (g)),
+pr AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+    a.pos - b.pos AS diag
+  FROM kept a JOIN kept b USING (g)
+  WHERE a.doc_id < b.doc_id),
+runs AS (
+  SELECT doc_a, doc_b, diag, pa,
+    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+  FROM pr),
+r2 AS (
+  SELECT doc_a, doc_b, diag, island, count(*) AS run, min(pa) AS start_a
+  FROM runs GROUP BY doc_a, doc_b, diag, island),
+spans AS (
+  SELECT doc_b AS doc_id, start_a - diag AS s0,
+         start_a - diag + run + 3 AS e0
+  FROM r2 WHERE run + 4 >= 8),
+tpos AS (
+  SELECT doc_id, i AS pos, l[i+1] AS tok
+  FROM tok, unnest(range(0, len(l))) AS u(i)),
+surv AS (
+  SELECT t.* FROM tpos t
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s0 AND t.pos <= sp.e0)),
+rebuilt AS (
+  SELECT doc_id, count(*) AS kept_n,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM surv GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+  CAST(len(t.l) - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+  md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id"""
+
   /** q136 twin: the quarantine split derived from the fixture FORMULA
     * (every 7th doc_id writes a broken line), not by parsing the file
     * — the Spark side must recover exactly this partition of the feed
@@ -2831,6 +2885,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q135_orc_roundtrip" -> q27_csv_roundtrip,
     "q136_malformed_quarantine" -> q136_malformed_quarantine,
     "q137_shared_spans" -> q137_shared_spans,
+    "q138_span_removal" -> q138_span_removal,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -991,6 +991,22 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The span-REMOVAL half of q137 (keep-first curation): every
+    // injected doc except the first loses the pasted paragraph; text
+    // is compared via md5 (the q126 redaction precedent).
+    "q138_span_removal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 25 === 3,
+            concat(col("text"), lit(" shared span alpha beta gamma delta " +
+              "epsilon zeta eta theta iota kappa")))
+          .otherwise(col("text")).as("text"))
+      graft.dedup.SpanDedup.removeSharedSpans(docs, k = 5, minSpanTokens = 8,
+          maxDf = 64)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Harmonic centrality over the q124 link graph — the other
     // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
     // u reaching v within radius 4, exact BIGINT micro-units (BFS

@@ -48,6 +48,41 @@ class SpanDedupSpec extends SparkSpec {
       .count() shouldBe 3L
   }
 
+  test("removeSharedSpans: the later doc loses the span, the first keeps it") {
+    val span = "one two three four five six seven eight"
+    val d = docs(
+      1L -> s"intro words here $span and a tail",
+      2L -> s"totally different opening $span closing remarks now")
+    val out = SpanDedup.removeSharedSpans(d, k = 3, minSpanTokens = 5, maxDf = 10)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 14L, 0L, s"intro words here $span and a tail"), // keep-first
+      (2L, 14L, 8L, "totally different opening closing remarks now"))
+  }
+
+  test("removeSharedSpans: a full duplicate survives as an empty row, never vanishes") {
+    val text = "alpha beta gamma delta epsilon"
+    val d = docs(1L -> text, 2L -> text)
+    val out = SpanDedup.removeSharedSpans(d, k = 3, minSpanTokens = 5, maxDf = 10)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    out shouldBe Seq((1L, 5L, 0L, text), (2L, 5L, 5L, ""))
+  }
+
+  test("removeSharedSpans: a doc victimized by two pairs loses the union of spans") {
+    val x = "one two three four five"
+    val y = "six seven eight nine ten"
+    val d = docs(
+      1L -> s"zz yy $x ww",
+      2L -> s"qq $y rr",
+      3L -> s"$x bridge words $y")
+    val out = SpanDedup.removeSharedSpans(d, k = 3, minSpanTokens = 5, maxDf = 10)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 8L, 0L, s"zz yy $x ww"),
+      (2L, 7L, 0L, s"qq $y rr"),
+      (3L, 12L, 10L, "bridge words"))
+  }
+
   test("result is invariant under input partitioning") {
     val span = "alpha beta gamma delta epsilon zeta"
     val base = docs(
