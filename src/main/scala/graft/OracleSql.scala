@@ -1779,6 +1779,35 @@ SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
 FROM tok t LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY doc_id"""
 
+  /** q139 twin: the α = 1/2 temperature-mix audit re-derived from
+    * first principles — corrected floor(sqrt(double)) recovers the
+    * exact isqrt weight, the anchor argmax uses the same single IEEE
+    * double division as the q75 mixture, rates are exact integer
+    * permyriads, survivors come from the shared md5 hash filter. */
+  val q139_temperature_mix: String = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+w0 AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+       FROM c),
+w AS (SELECT lang, n,
+        s0 - CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END
+           + CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END AS wgt
+      FROM w0),
+a AS (SELECT n AS an, wgt AS aw FROM w
+      ORDER BY CAST(wgt AS DOUBLE) / n DESC, lang LIMIT 1),
+r AS (SELECT lang, n, wgt,
+        CAST((10000 * wgt * an) // (n * aw) AS BIGINT) AS rate
+      FROM w CROSS JOIN a),
+k AS (SELECT d.lang, count(*) AS n_after
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+              % 10000 < rate
+      GROUP BY d.lang)
+SELECT r.lang, CAST(n AS BIGINT) AS n_before, CAST(wgt AS BIGINT) AS weight,
+  rate AS rate_permyriad, CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after
+FROM r LEFT JOIN k USING (lang)
+ORDER BY lang"""
+
   /** q136 twin: the quarantine split derived from the fixture FORMULA
     * (every 7th doc_id writes a broken line), not by parsing the file
     * — the Spark side must recover exactly this partition of the feed
@@ -2886,6 +2915,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q136_malformed_quarantine" -> q136_malformed_quarantine,
     "q137_shared_spans" -> q137_shared_spans,
     "q138_span_removal" -> q138_span_removal,
+    "q139_temperature_mix" -> q139_temperature_mix,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -1007,6 +1007,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-smoothed mixture at α = 1/2, the exact-integer
+    // temperature (weight = isqrt(count), XLM-R-style exponentiated
+    // smoothing): en (218 docs at sf0.01) is downsampled hard, the
+    // rarest language is kept whole, rates are pure BigInt permyriads.
+    // Audit row per language: n_before, isqrt weight, rate, n_after.
+    "q139_temperature_mix" -> ((s, dir) =>
+      graft.etl.Sampling.temperatureMixAudit(
+          Tables.documents(s, dir), "lang", "doc_id")
+        .orderBy(col("lang"))),
+
     // Harmonic centrality over the q124 link graph — the other
     // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
     // u reaching v within radius 4, exact BIGINT micro-units (BFS

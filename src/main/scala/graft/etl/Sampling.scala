@@ -110,6 +110,80 @@ object Sampling {
     stratifiedRateSample(df, stratumCol, keyCol, permyriad, defaultPermyriad = 0)
   }
 
+  /** Temperature-smoothed mixture with α = 1/2, EXACT — the published
+    * smoothing for multilingual/multi-domain sampling (p_s ∝ n_s^α,
+    * the exponentiated-count rule of multilingual BERT and XLM-R,
+    * arXiv:1911.02116 §5.1; α between 0.3 and 0.7 in practice):
+    * dominant strata are downsampled toward the smoothed share, rare
+    * strata are kept whole, and NOTHING is duplicated. α = 1/2 is the
+    * one temperature where the smoothed weight is exactly computable
+    * in integers — weight_s = isqrt(n_s) (`BigInteger.sqrt`, floor
+    * square root) — so the keep rates are pure BigInt arithmetic and a
+    * SQL oracle re-derives them from a corrected floor(sqrt(double)):
+    * reproducibility the float `pow(n, 0.3)` form cannot offer.
+    *
+    * Rates follow the [[mixToTarget]] anchor pattern: the stratum with
+    * max weight/count (≈ the rarest; one IEEE double division per
+    * stratum, identical across engines, ties to the smaller name) is
+    * kept whole, every other stratum keeps
+    * `floor(10000 · w_s · n_A / (n_s · w_A))` permyriad of its rows
+    * via the deterministic hash filter — so membership is a pure
+    * function of the data, nested under rate increases, and stable as
+    * unrelated rows arrive. Scale shape: one tiny per-stratum count
+    * aggregate to the driver (strata are a config-sized set), then a
+    * single projection + filter on the data path — no shuffle. Rows
+    * with a NULL stratum are dropped (rate 0), like [[mixToTarget]]'s
+    * target filter. */
+  def temperatureMixSqrt(df: DataFrame, stratumCol: String,
+                         keyCol: String): DataFrame =
+    stratifiedRateSample(df, stratumCol, keyCol,
+      temperatureRatesSqrt(stratumCounts(df, stratumCol)),
+      defaultPermyriad = 0)
+
+  /** Per-stratum audit of [[temperatureMixSqrt]] — the mixture report
+    * a curation run logs: stratum, n_before, the isqrt weight, the
+    * exact keep rate, and n_after actually surviving the hash filter.
+    * Shape: two stratum-keyed partial aggregates + a literal-table
+    * join; nothing beyond the strata set is collected. */
+  def temperatureMixAudit(df: DataFrame, stratumCol: String,
+                          keyCol: String): DataFrame = {
+    val counts = stratumCounts(df, stratumCol)
+    val rates = temperatureRatesSqrt(counts)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateTable = counts.keys.toSeq.sorted.map { s =>
+      (s, counts(s), isqrt(counts(s)), rates(s).toLong)
+    }.toDF(stratumCol, "n_before", "weight", "rate_permyriad")
+    val after = temperatureMixSqrt(df, stratumCol, keyCol)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n_after"))
+    rateTable.join(after, Seq(stratumCol), "left")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+  }
+
+  /** Floor integer square root, exact for any non-negative Long. */
+  def isqrt(n: Long): Long = {
+    require(n >= 0, "isqrt of a negative count")
+    BigInt(n).bigInteger.sqrt().longValueExact()
+  }
+
+  private def stratumCounts(df: DataFrame, stratumCol: String): Map[String, Long] =
+    df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The exact α = 1/2 rate table: anchor A = argmax isqrt(n)/n kept
+    * whole, others at floor(10000 · isqrt(n_s) · n_A / (n_s · isqrt(n_A))). */
+  def temperatureRatesSqrt(counts: Map[String, Long]): Map[String, Int] = {
+    require(counts.nonEmpty, "no stratum present in the data")
+    val weights = counts.map { case (s, n) => s -> isqrt(n) }
+    val (aS, aW) = counts.keys.toSeq.sorted
+      .map(s => (s, weights(s)))
+      .sortBy { case (s, w) => (-(w.toDouble / counts(s)), s) }.head
+    counts.map { case (s, n) =>
+      s -> (BigInt(10000) * weights(s) * counts(aS) / (BigInt(n) * aW)).toInt
+    }
+  }
+
   /** Purged walk-forward K-fold assignment for time-ordered rows —
     * the "purged cross-validation" split of financial ML (López de
     * Prado, *Advances in Financial Machine Learning*, 2018, ch. 7):

@@ -110,6 +110,53 @@ class SamplingSpec extends SparkSpec {
     kept.count() shouldBe 100L // en is the anchor: kept whole
   }
 
+  test("isqrt is the exact floor square root, including perfect-square edges") {
+    Sampling.isqrt(0L) shouldBe 0L
+    Sampling.isqrt(1L) shouldBe 1L
+    Sampling.isqrt(2L) shouldBe 1L
+    Sampling.isqrt(3L) shouldBe 1L
+    Sampling.isqrt(4L) shouldBe 2L
+    Sampling.isqrt(35L) shouldBe 5L
+    Sampling.isqrt(36L) shouldBe 6L
+    Sampling.isqrt(Long.MaxValue) shouldBe 3037000499L // floor(sqrt(2^63-1))
+  }
+
+  test("temperatureRatesSqrt: hand-computed α=1/2 rates, rarest stratum anchored") {
+    // counts 100/25/4 -> weights 10/5/2; w/n = .1/.2/.5 -> anchor fr.
+    // en: floor(10000*10*4/(100*2)) = 2000; de: floor(10000*5*4/(25*2)) = 4000.
+    Sampling.temperatureRatesSqrt(Map("en" -> 100L, "de" -> 25L, "fr" -> 4L)) shouldBe
+      Map("en" -> 2000, "de" -> 4000, "fr" -> 10000)
+    // single stratum: trivially kept whole
+    Sampling.temperatureRatesSqrt(Map("en" -> 7L)) shouldBe Map("en" -> 10000)
+    // uniform counts: everything is an anchor-rate 10000 (no-op mix)
+    Sampling.temperatureRatesSqrt(Map("a" -> 50L, "b" -> 50L)) shouldBe
+      Map("a" -> 10000, "b" -> 10000)
+  }
+
+  test("temperatureMixSqrt flattens the skew; audit counts match the survivors") {
+    // 240 en / 45 de / 15 fr: en keep-share must drop well below de/fr's.
+    val skewed = (1L to 300L).map(i =>
+      (i, if (i <= 240) "en" else if (i <= 285) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val audit = Sampling.temperatureMixAudit(skewed, "lang", "doc_id")
+      .select("lang", "n_before", "weight", "rate_permyriad", "n_after")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    audit("en")._3 shouldBe 15L // isqrt(240)
+    audit("fr")._4 shouldBe 10000L // rarest language anchored, kept whole
+    audit("fr")._5 shouldBe 15L
+    audit("en")._4 should be < audit("de")._4 // heavier stratum, lower rate
+    // audit's n_after is exactly the operator's survivor count per stratum
+    val mixed = Sampling.temperatureMixSqrt(skewed, "lang", "doc_id")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    audit.values.foreach { case (l, _, _, _, after) =>
+      mixed.getOrElse(l, 0L) shouldBe after
+    }
+    // downsample-only and deterministic under repartitioning
+    val again = Sampling.temperatureMixSqrt(skewed.repartition(7), "lang", "doc_id")
+    assertSameRows(Sampling.temperatureMixSqrt(skewed, "lang", "doc_id"), again)
+  }
+
   test("purgedTimeFolds: hand-computed blocks, embargo purge, partitioning-proof") {
     // 10 consecutive days, k=2, embargo=1: span=10, block 0 = days
     // 0-4, block 1 = days 5-9. Fold 0 purges day 5 (adjacent to its
