@@ -1808,6 +1808,27 @@ SELECT r.lang, CAST(n AS BIGINT) AS n_before, CAST(wgt AS BIGINT) AS weight,
 FROM r LEFT JOIN k USING (lang)
 ORDER BY lang"""
 
+  /** q140 twin: the SCD2 starts+lead construction in DuckDB window
+    * SQL — run starts where the null-safe lag differs (or row 1),
+    * lead(ts) over the starts closes each interval, NULL close =
+    * current row. Ties on ts order by the attribute value in both
+    * engines. */
+  val q140_scd2_dimension: String = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+    row_number() OVER w AS rn,
+    lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+st AS (
+  SELECT user_id, event_type, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
+  FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+SELECT user_id, event_type, valid_from, valid_to,
+  valid_to IS NULL AS is_current
+FROM st
+ORDER BY user_id, valid_from, event_type"""
+
   /** q136 twin: the quarantine split derived from the fixture FORMULA
     * (every 7th doc_id writes a broken line), not by parsing the file
     * — the Spark side must recover exactly this partition of the feed
@@ -2916,6 +2937,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q137_shared_spans" -> q137_shared_spans,
     "q138_span_removal" -> q138_span_removal,
     "q139_temperature_mix" -> q139_temperature_mix,
+    "q140_scd2_dimension" -> q140_scd2_dimension,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -1017,6 +1017,16 @@ object SparkEntry {
           Tables.documents(s, dir), "lang", "doc_id")
         .orderBy(col("lang"))),
 
+    // SCD2 dimension build over the events change feed: each user's
+    // event_type runs become validity intervals [valid_from,
+    // valid_to), consecutive duplicates collapsed, open interval =
+    // current. Two window passes on ONE exchange (spec-asserted); the
+    // oracle runs the same starts+lead construction in DuckDB.
+    "q140_scd2_dimension" -> ((s, dir) =>
+      graft.etl.Scd.scd2(Tables.events(s, dir),
+          Seq("user_id"), Seq("event_type"), "ts")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
+
     // Harmonic centrality over the q124 link graph — the other
     // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
     // u reaching v within radius 4, exact BIGINT micro-units (BFS
