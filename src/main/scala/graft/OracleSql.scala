@@ -1829,6 +1829,40 @@ SELECT user_id, event_type, valid_from, valid_to,
 FROM st
 ORDER BY user_id, valid_from, event_type"""
 
+  /** q141 twin: both snapshot sides rebuilt from the documents
+    * formulas, full-outer joined, per-column IS DISTINCT FROM tests in
+    * the same sorted column order (lang, n_chars, source, text) the
+    * Spark side uses. */
+  val q141_snapshot_diff: String = """
+WITH newd AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 3 THEN text || '!' ELSE text END AS text,
+    lang, source, n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 50 = 0),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+    o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new,
+    list_filter([
+      CASE WHEN o.lang IS DISTINCT FROM n.lang THEN 'lang' END,
+      CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END,
+      CASE WHEN o.source IS DISTINCT FROM n.source THEN 'source' END,
+      CASE WHEN o.text IS DISTINCT FROM n.text THEN 'text' END],
+      x -> x IS NOT NULL) AS ch
+  FROM documents o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+  CASE WHEN NOT in_old THEN 'added'
+       WHEN NOT in_new THEN 'removed'
+       WHEN len(ch) > 0 THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  CASE WHEN in_old AND in_new
+       -- array_to_string([]) is NULL in DuckDB 1.0, not ''
+       THEN COALESCE(array_to_string(ch, ','), '') ELSE '' END
+    AS changed_cols
+FROM j ORDER BY doc_id"""
+
   /** q136 twin: the quarantine split derived from the fixture FORMULA
     * (every 7th doc_id writes a broken line), not by parsing the file
     * — the Spark side must recover exactly this partition of the feed
@@ -2938,6 +2972,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q138_span_removal" -> q138_span_removal,
     "q139_temperature_mix" -> q139_temperature_mix,
     "q140_scd2_dimension" -> q140_scd2_dimension,
+    "q141_snapshot_diff" -> q141_snapshot_diff,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -1027,6 +1027,23 @@ object SparkEntry {
           Seq("user_id"), Seq("event_type"), "ts")
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
 
+    // Snapshot diff between two corpus versions (the governance audit
+    // before retraining): new = documents minus every 13th doc, every
+    // (10k+3)rd doc's text edited, every 50th re-added under a new id
+    // — the diff must name exactly the removed/changed/added rows and
+    // the columns that moved. One full-outer join on the key.
+    "q141_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newDocs = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit("!")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.store.Diff.diff(docs, newDocs, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Harmonic centrality over the q124 link graph — the other
     // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
     // u reaching v within radius 4, exact BIGINT micro-units (BFS
