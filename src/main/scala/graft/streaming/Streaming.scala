@@ -283,6 +283,31 @@ object Streaming {
                           watermark: String = "1 hour"): DataFrame =
     enrichJoin(left, right, key, lowerMinutes, upperMinutes, watermark,
       joinType = "full_outer")
+
+  /** Stream-STATIC enrichment — the most common join a streaming
+    * pipeline runs (event stream × dimension metadata), and the one
+    * join form that is STATELESS: the static side is planned into
+    * every micro-batch like any batch relation, so there is no
+    * watermark, no state store, nothing to evict — the spec asserts
+    * the query progress carries ZERO stateOperators, which is why
+    * this shape scales without any of the interval machinery above
+    * and should be preferred whenever the right side isn't itself a
+    * stream. LEFT join: enrichment must not drop unmatched events
+    * (the inner form silently loses every event missing dimension
+    * coverage — usually the rows an audit most wants to see).
+    *
+    * `hintBroadcast` (default true) marks the dimension for broadcast
+    * — right for the config-sized lookup tables this form usually
+    * meets; pass false for a large dimension and let the per-batch
+    * planner pick a shuffle join. Point-in-time correctness: a raw
+    * dimension read gives "current value as of the batch", which
+    * leaks future attributes into replayed history — join an SCD2
+    * dimension ([[graft.etl.Scd]]) restricted with `snapshotAt`, or
+    * use the stream-stream interval form, when training-data
+    * correctness matters. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, key: String,
+                   hintBroadcast: Boolean = true): DataFrame =
+    stream.join(if (hintBroadcast) broadcast(dim) else dim, Seq(key), "left")
 }
 
 /** Typed rows for the stateful session operator. */

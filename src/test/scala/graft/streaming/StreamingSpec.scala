@@ -537,4 +537,36 @@ class StreamingSpec extends SparkSpec {
       r shouldBe Set((0L, "click", 3L), (1L, "view", 2L))
     } finally q.stop()
   }
+
+  test("enrichStatic: stateless dimension join, unmatched events kept, broadcast plan") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val events = Seq(
+      ev(1, 1).copy(user_id = 1L), ev(2, 2).copy(user_id = 2L),
+      ev(3, 3).copy(user_id = 9L)) // no dimension coverage: must survive
+    val ms = MemoryStream[Ev]
+    val q = Streaming.enrichStatic(ms.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("static_out")
+      .option("checkpointLocation", tmp("static-ckpt")).outputMode("append")
+      .start()
+    try {
+      ms.addData(events.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(events.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("static_out")
+        .select("event_id", "user_id", "segment")
+      val batch = Streaming.enrichStatic(events.toDF(), dim, "user_id")
+        .select("event_id", "user_id", "segment")
+      assertSameRows(streamed, batch)
+      streamed.filter(col("segment").isNull).select("event_id")
+        .as[Long].collect() shouldBe Array(3L)
+      // THE point of the form: no state operator exists — nothing
+      // buffered, nothing to watermark, nothing to evict
+      q.recentProgress.flatMap(_.stateOperators) shouldBe empty
+      // and the batch twin plans the dimension as a broadcast join
+      batch.queryExecution.executedPlan.toString should
+        include("BroadcastHashJoin")
+    } finally q.stop()
+  }
 }
