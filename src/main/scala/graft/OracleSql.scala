@@ -1863,6 +1863,69 @@ SELECT doc_id,
     AS changed_cols
 FROM j ORDER BY doc_id"""
 
+  /** q142 twin: the composed curation pipeline re-derived stage by
+    * stage — q73's rule gate, keep-first dedup on the text key,
+    * q139's exact α=1/2 temperature rates computed over the
+    * POST-DEDUP survivors (the composition contract this query
+    * exists to pin), q74's salted shard/order hashes. */
+  val q142_curation_pipeline: String = {
+    import graft.text.QualityRules._
+    val stopList = allStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    toksCte + s"""
+, feats AS (
+  SELECT doc_id,
+    CAST(len(tokens) AS BIGINT) AS n_tokens,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(tokens, t -> CAST(length(t) AS BIGINT))), (a,x) -> a + x)
+      AS sum_len,
+    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
+    CAST(len(list_filter(tokens, t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT)
+      AS n_digit,
+    CAST(len(list_filter(tokens, t -> list_contains($stopList, t))) AS BIGINT)
+      AS n_stop
+  FROM toks WHERE len(tokens) > 0),
+keepers AS (
+  SELECT doc_id FROM feats
+  WHERE n_tokens >= $minTokens AND n_tokens <= $maxTokens
+    AND CAST(sum_len AS DOUBLE) / n_tokens >= $minAvgLen
+    AND CAST(sum_len AS DOUBLE) / n_tokens <= $maxAvgLen
+    AND CAST(n_digit AS DOUBLE) / n_tokens <= $maxDigitRatio
+    AND CAST(n_uniq AS DOUBLE) / n_tokens >= $minUniqueRatio
+    AND n_stop >= $minStopHits),
+gated AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+ded AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM gated)
+  WHERE rn = 1),
+c AS (SELECT lang, count(*) AS n FROM ded WHERE lang IS NOT NULL GROUP BY lang),
+w0 AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+       FROM c),
+w AS (SELECT lang, n,
+        s0 - CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END
+           + CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END AS wgt
+      FROM w0),
+a AS (SELECT n AS an, wgt AS aw FROM w
+      ORDER BY CAST(wgt AS DOUBLE) / n DESC, lang LIMIT 1),
+r AS (SELECT lang, CAST((10000 * wgt * an) // (n * aw) AS BIGINT) AS rate
+      FROM w CROSS JOIN a),
+mixed AS (
+  SELECT d.doc_id, d.lang FROM ded d JOIN r USING (lang)
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+          % 10000 < rate),
+h AS (
+  SELECT doc_id, lang,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 8
+      AS INTEGER) AS shard,
+    CAST(('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+      AS oh
+  FROM mixed)
+SELECT doc_id, lang, shard,
+  row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS pos
+FROM h ORDER BY doc_id"""
+  }
+
   /** q136 twin: the quarantine split derived from the fixture FORMULA
     * (every 7th doc_id writes a broken line), not by parsing the file
     * — the Spark side must recover exactly this partition of the feed
@@ -2973,6 +3036,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q139_temperature_mix" -> q139_temperature_mix,
     "q140_scd2_dimension" -> q140_scd2_dimension,
     "q141_snapshot_diff" -> q141_snapshot_diff,
+    "q142_curation_pipeline" -> q142_curation_pipeline,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -1044,6 +1044,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The WHOLE curation loop composed end-to-end as one declarative
+    // plan — quality gate (q73's Gopher-style rules) → exact
+    // keep-first text dedup (A2's policy on the text key) →
+    // temperature mix at α=1/2 (q139) → deterministic training shards
+    // (q74) — the four-stage pass a real corpus takes before a
+    // training run, each stage already oracled alone; this entry
+    // oracles their COMPOSITION (stage boundaries are where silent
+    // contract drift hides, e.g. the mix re-deriving counts from the
+    // post-dedup survivors, not the raw corpus).
+    "q142_curation_pipeline" -> ((s, dir) => {
+      val gated = graft.text.QualityRules.applyRules(Tables.documents(s, dir))
+      val deduped = graft.etl.Merge.dedupKeepFirst(gated,
+        Seq("text"), Seq(col("doc_id")))
+      val mixed = graft.etl.Sampling.temperatureMixSqrt(deduped, "lang", "doc_id")
+      graft.etl.Sampling.trainShards(mixed, "doc_id", 8)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Harmonic centrality over the q124 link graph — the other
     // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
     // u reaching v within radius 4, exact BIGINT micro-units (BFS

@@ -43,7 +43,9 @@ object Merge {
     * full-outer shuffle join on the key; value comparison is per-column
     * null-safe equality (`<=>`), so NULL→NULL counts as unchanged and
     * NULL→value as changed. Keys must be non-null (the usual key
-    * contract). */
+    * contract). [[graft.store.Diff.diff]] is the column-level
+    * deepening (names WHICH columns changed, rolls up per column) —
+    * this form stays the cheap status partition. */
   def diffByKey(before: DataFrame, after: DataFrame,
                 keys: Seq[String]): DataFrame = {
     val nonKey = after.columns.filterNot(keys.contains).toSeq

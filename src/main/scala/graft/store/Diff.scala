@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * frames — the reference's upsert counters (loaders.py:246-258
   * report inserted/replaced totals) are this operator's 1-row
   * shadow; the per-row, per-column form is what a data-lineage
-  * review actually reads.
+  * review actually reads. [[graft.etl.Merge.diffByKey]] is the
+  * status-only form of this audit (one label per key, oracled against
+  * the upsert path); this operator deepens it to name WHICH columns
+  * moved and to roll the answer up per column — use diffByKey when a
+  * status partition is enough, this when the review needs blame.
   *
   * Shape at scale: ONE full-outer shuffle join on the key — linear,
   * unavoidable, and the only exchange; column comparison is

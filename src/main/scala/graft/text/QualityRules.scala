@@ -65,12 +65,31 @@ object QualityRules {
           col("rep_ok") && col("stop_ok"))
   }
 
-  /** The filter itself: survivors of [[ruleReport]], original columns. */
+  /** The filter itself: [[ruleReport]]'s survivors with their original
+    * columns — as a SINGLE-SCAN filter, not a join. The rules are pure
+    * per-row predicates, so self-joining the corpus against its own
+    * report (the obvious composition) would read the table twice and
+    * ship verdicts through a join for nothing; here the token array
+    * materializes once behind a projection and the combined verdict is
+    * one codegen'd filter — at 100 TB that halves the IO of the gate.
+    * Semantics identical to `ruleReport.filter($"keep")`: an
+    * empty-token doc fails `len_ok` either way (`idCol` retained for
+    * signature stability; the row-level form doesn't need it). */
   def applyRules(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val verdicts = ruleReport(docs, idCol, textCol)
-      .select(col("doc_id").as("__qr_id"), col("keep"))
-    docs.join(verdicts, docs(idCol) === col("__qr_id"), "inner")
-      .filter(col("keep")).drop("__qr_id", "keep")
+    val t = col("__toks")
+    val nTok = size(t).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    val sumLen = aggregate(transform(t, length(_)), lit(0L), (a, x) => a + x)
+    val nDigit = size(filter(t, _.rlike("^[0-9]+$"))).cast("long")
+    val nStop = size(filter(t, _.isInCollection(allStopwords))).cast("long")
+    val avgLen = sumLen.cast("double") / nTok.cast("double")
+    val keep = nTok >= minTokens && nTok <= maxTokens &&
+      avgLen >= minAvgLen && avgLen <= maxAvgLen &&
+      nDigit.cast("double") / nTok.cast("double") <= maxDigitRatio &&
+      nUniq.cast("double") / nTok.cast("double") >= minUniqueRatio &&
+      nStop >= minStopHits
+    docs.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .filter(keep).drop("__toks")
   }
 }
