@@ -1926,6 +1926,22 @@ SELECT doc_id, lang, shard,
 FROM h ORDER BY doc_id"""
   }
 
+  /** q143 twin: consecutive event-type pairs per user via the same
+    * (ts, event_id)-ordered lead, integer-floor permille over the
+    * from-type window. */
+  val q143_transitions: String = """
+WITH s AS (
+  SELECT event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+p AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+  CAST((n * 1000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+    AS share_permille
+FROM p ORDER BY from_type, to_type"""
+
   /** q136 twin: the quarantine split derived from the fixture FORMULA
     * (every 7th doc_id writes a broken line), not by parsing the file
     * — the Spark side must recover exactly this partition of the feed
@@ -3037,6 +3053,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q140_scd2_dimension" -> q140_scd2_dimension,
     "q141_snapshot_diff" -> q141_snapshot_diff,
     "q142_curation_pipeline" -> q142_curation_pipeline,
+    "q143_transitions" -> q143_transitions,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -1063,6 +1063,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // First-order Markov transitions over each user's event sequence
+    // — the behavioral profile next to q53's funnel and q55's cohort
+    // matrix; exact integer permille shares per from-type.
+    "q143_transitions" -> ((s, dir) =>
+      graft.events.EventAnalytics.transitionMatrix(Tables.events(s, dir))
+        .orderBy(col("from_type"), col("to_type"))),
+
     // Harmonic centrality over the q124 link graph — the other
     // published CommonCrawl ranking: Σ floor(1e6 / d(u,v)) over nodes
     // u reaching v within radius 4, exact BIGINT micro-units (BFS

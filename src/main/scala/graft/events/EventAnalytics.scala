@@ -96,4 +96,33 @@ object EventAnalytics {
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the behavioral fingerprint behind funnel design and
+    * bot screening (scripted traffic shows near-deterministic rows;
+    * organic traffic spreads). Consecutive (from → to) event-type
+    * pairs per user, counted, with each row's share of its from-type
+    * in exact integer permille (floor; the same engine-neutral
+    * arithmetic as the concentration audit).
+    *
+    * Shape: one user-keyed window (lead over (ts, event_id) — the id
+    * tiebreak makes equal-timestamp sequences deterministic under any
+    * partitioning), one partial-agg shuffle on the pair, and a window
+    * over from_type for the share — the last runs over the TYPE
+    * matrix (bounded by distinct types squared), never the events. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("__tot", sum(col("n_transitions")).over(byFrom))
+      // integer `div`, not float division + floor: exact at any count
+      .withColumn("share_permille", expr("(n_transitions * 1000) div __tot"))
+      .drop("__tot")
+  }
 }

@@ -68,4 +68,33 @@ class EventAnalyticsSpec extends SparkSpec {
     d.select(EventAnalytics.propLong(org.apache.spark.sql.functions.col("props"), "zz"))
       .as[Option[Long]].head() shouldBe None
   }
+
+  test("transitionMatrix: hand-counted pairs, exact permille shares, per-user sequences") {
+    val d = df(schema,
+      // user 1: a b a c a b  -> a->b:2 a->c:1 b->a:1 c->a:1
+      ev(1, 1, 1, "a"), ev(2, 2, 1, "b"), ev(3, 3, 1, "a"),
+      ev(4, 4, 1, "c"), ev(5, 5, 1, "a"), ev(6, 6, 1, "b"),
+      // user 2: b b  -> b->b:1 (sequences never cross users)
+      ev(7, 1, 2, "b"), ev(8, 2, 2, "b"))
+    val out = EventAnalytics.transitionMatrix(d)
+      .as[(String, String, Long, Long)].collect().toSet
+    out shouldBe Set(
+      ("a", "b", 2L, 666L), // floor(2000/3)
+      ("a", "c", 1L, 333L),
+      ("b", "a", 1L, 500L),
+      ("b", "b", 1L, 500L),
+      ("c", "a", 1L, 1000L))
+  }
+
+  test("transitionMatrix: timestamp ties break on event_id; partitioning-invariant") {
+    val tied = df(schema,
+      ev(2, 5, 1, "y"), ev(1, 5, 1, "x"), ev(3, 6, 1, "z"))
+    val out = EventAnalytics.transitionMatrix(tied)
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    out shouldBe Set(("x", "y"), ("y", "z")) // id order, not row order
+    val d = df(schema, (1 to 40).map(i =>
+      ev(i.toLong, i.toLong, i % 3L, if (i % 2 == 0) "a" else "b")): _*)
+    assertSameRows(EventAnalytics.transitionMatrix(d),
+      EventAnalytics.transitionMatrix(d.repartition(7)))
+  }
 }
