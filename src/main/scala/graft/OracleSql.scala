@@ -1450,6 +1450,13 @@ ranked AS (
   val q124_pagerank: String = pagerankCtes + """
 SELECT node, out_degree, rank_units FROM ranked ORDER BY node"""
 
+  /** q144 twin IS the q124 twin: the composed crawl→harvest→rank
+    * pipeline encodes the q124 edge formulas in page hrefs, so its
+    * output must be bit-identical to the direct edge construction —
+    * reusing the oracle verbatim is the point (the q49→q34
+    * precedent), pinning the harvest stage against the known graph. */
+  val q144_crawl_rank: String = q124_pagerank
+
   /** q125 twin: the q124 ranks normalized as an exact rational —
     * share_num/share_den = rank_units / (n·unit) — plus integer
     * permilles against ideal and retained mass, multiply-before-
@@ -3054,6 +3061,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q141_snapshot_diff" -> q141_snapshot_diff,
     "q142_curation_pipeline" -> q142_curation_pipeline,
     "q143_transitions" -> q143_transitions,
+    "q144_crawl_rank" -> q144_crawl_rank,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

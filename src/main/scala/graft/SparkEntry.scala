@@ -896,6 +896,33 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // The crawl→graph→rank pipeline COMPOSED (CommonCrawl's actual
+    // shape): synthesized pages whose hrefs ENCODE the q124 edge
+    // formulas → E104's href harvest → edge list (src = the page's
+    // host node, dst parsed from each link) → the same exact-integer
+    // PageRank. The output must be BIT-IDENTICAL to q124's direct
+    // edge construction — the stage boundary this pins is "harvest
+    // yields exactly the intended frontier" (a harvest bug that
+    // dropped or duplicated one href changes rank_units everywhere) —
+    // so the oracle IS the q124 twin, reused verbatim.
+    "q144_crawl_rank" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = concat(
+        lit("<html><head><title>d"), (id % 23).cast("string"),
+        lit("</title><script>var x = 1 < 2;</script></head><body>"),
+        lit("<a href=\"https://w.example/d"), ((id * 3 + 1) % 29).cast("string"),
+        lit("\">a</a> <a href=\"https://w.example/d"), ((id * 5 + 2) % 29).cast("string"),
+        lit("\">b</a></body></html>"))
+      val pages = Tables.documents(s, dir).select(
+        concat(lit("d"), (id % 23).cast("string")).as("src"), page.as("html"))
+      val edges = pages.select(col("src"),
+          explode(graft.text.Html.extractLinks(col("html"))).as("url"))
+        .select(col("src"),
+          regexp_extract(col("url"), "/(d[0-9]+)$", 1).as("dst"))
+      graft.graph.LinkGraph.pagerank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // Normalized centrality over the q124 graph: exact-rational mass
     // share (share_num/share_den = rank_units / n*unit) + integer
     // permilles vs ideal AND retained mass (their gap is the leak
