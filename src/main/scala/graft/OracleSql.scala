@@ -1457,6 +1457,19 @@ SELECT node, out_degree, rank_units FROM ranked ORDER BY node"""
     * precedent), pinning the harvest stage against the known graph. */
   val q144_crawl_rank: String = q124_pagerank
 
+  /** q145 twin: SQL-standard ntile + tied rank + integer-floor
+    * permille — both engines implement the identical window
+    * semantics, which is the parity the query gates. */
+  val q145_quantile_features: String = """
+SELECT doc_id, lang, n_chars,
+  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
+    AS bucket,
+  CAST(CASE WHEN count(*) OVER (PARTITION BY lang) = 1 THEN 0
+       ELSE ((rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1) * 1000)
+            // (count(*) OVER (PARTITION BY lang) - 1) END AS BIGINT)
+    AS rank_permille
+FROM documents ORDER BY doc_id"""
+
   /** q125 twin: the q124 ranks normalized as an exact rational —
     * share_num/share_den = rank_units / (n·unit) — plus integer
     * permilles against ideal and retained mass, multiply-before-
@@ -3062,6 +3075,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q142_curation_pipeline" -> q142_curation_pipeline,
     "q143_transitions" -> q143_transitions,
     "q144_crawl_rank" -> q144_crawl_rank,
+    "q145_quantile_features" -> q145_quantile_features,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

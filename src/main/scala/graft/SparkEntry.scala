@@ -896,6 +896,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Equal-frequency quantile features per language: k-quantile
+    // bucket (ntile, tie-broken on doc_id) + exact integer quantile
+    // normalization (tied values share a rank). The two rank
+    // transforms of a feature pipeline in one window pass pair.
+    "q145_quantile_features" -> ((s, dir) =>
+      graft.analytics.Profiling.quantileFeatures(
+          Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", k = 10, tieCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("bucket").cast("long").as("bucket"), col("rank_permille"))
+        .orderBy(col("doc_id"))),
+
     // The crawl→graph→rank pipeline COMPOSED (CommonCrawl's actual
     // shape): synthesized pages whose hrefs ENCODE the q124 edge
     // formulas → E104's href harvest → edge list (src = the page's

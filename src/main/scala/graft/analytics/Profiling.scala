@@ -33,6 +33,37 @@ object Profiling {
     }.drop("__ps")
   }
 
+  /** Equal-frequency quantile features — the two rank transforms a
+    * feature pipeline derives together: `bucket` = the row's
+    * k-quantile bin (`ntile(k)`, SQL-standard floor/ceil sizing — the
+    * first `n mod k` buckets carry one extra row) and `rank_permille`
+    * = the value's exact normalized rank in `[0, 1000]` (quantile
+    * normalization; TIED values share a rank — equal inputs must map
+    * to equal features — while ntile's total order carries `tieCol`
+    * so bucket assignment stays deterministic under any partitioning;
+    * a single-row group normalizes to 0).
+    *
+    * Shape: one exchange on the group, two window passes over the
+    * same partitioning (the ntile order is (value, tie); the rank
+    * order (value) is its prefix — no second exchange, one cheap
+    * re-sort), integer `div` arithmetic end to end. Window frames run
+    * per GROUP — use a config-sized grouping (symbol, lang); a global
+    * rank at corpus scale belongs to approxPercentiles above. */
+  def quantileFeatures(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int, tieCol: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val byGroup = Window.partitionBy(col(groupCol))
+    val total = byGroup.orderBy(col(valueCol), col(tieCol))
+    val valueOnly = byGroup.orderBy(col(valueCol))
+    df.withColumn("bucket", ntile(k).over(total))
+      .withColumn("__rk", rank().over(valueOnly))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .withColumn("rank_permille",
+        when(col("__n") === 1, lit(0L))
+          .otherwise(expr("((__rk - 1) * 1000) div (__n - 1)")))
+      .drop("__rk", "__n")
+  }
+
   /** Fixed-width histogram of a numeric column: per bin — row count,
     * observed min/max. Bin i covers [minVal + i·width, minVal +
     * (i+1)·width); values below `minVal` land in negative bins (the

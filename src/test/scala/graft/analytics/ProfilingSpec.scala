@@ -186,4 +186,35 @@ class ProfilingSpec extends SparkSpec {
     Profiling.concentration(big, "g").collect() shouldBe
       Profiling.concentration(big.repartition(7), "g").collect()
   }
+
+  test("quantileFeatures: hand-computed buckets and permilles, ties share a rank") {
+    val d = Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 20L), (4L, "g", 30L),
+      (9L, "solo", 5L)).toDF("id", "grp", "v")
+    val out = Profiling.quantileFeatures(d, "grp", "v", k = 2, tieCol = "id")
+      .select("id", "bucket", "rank_permille")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, 1, 0L),     // rank 1 of 4 -> 0
+      (2L, 1, 333L),   // tied rank 2 -> floor(1000/3)
+      (3L, 2, 333L),   // same value, SAME permille, ntile split by id
+      (4L, 2, 1000L),  // rank 4 -> 1000
+      (9L, 1, 0L))     // single-row group normalizes to 0
+  }
+
+  test("quantileFeatures: buckets are equal-frequency (±1) and partitioning-invariant") {
+    val d = (1L to 103L).map(i => (i, "g", (i * 37) % 101)).toDF("id", "grp", "v")
+    val out = Profiling.quantileFeatures(d, "grp", "v", k = 10, tieCol = "id")
+    val sizes = out.groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    sizes.keys.toSeq.sorted shouldBe (1 to 10)
+    sizes.values.max - sizes.values.min should be <= 1L
+    // SQL-standard sizing: the first n mod k buckets carry the extra row
+    sizes(1) shouldBe 11L
+    sizes(10) shouldBe 10L
+    assertSameRows(out,
+      Profiling.quantileFeatures(d.repartition(7), "grp", "v", 10, "id"))
+    // one exchange: the value-only rank window reuses the (value, tie)
+    // sort's partitioning
+    out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
 }
