@@ -1457,6 +1457,28 @@ SELECT node, out_degree, rank_units FROM ranked ORDER BY node"""
     * precedent), pinning the harvest stage against the known graph. */
   val q144_crawl_rank: String = q124_pagerank
 
+  /** q146 twin: the datasheet aggregate from the shared tokenizer
+    * formula, exact distinct md5, and the same integer-floor permille
+    * share. */
+  val q146_dataset_card: String = """
+WITH b AS (
+  SELECT source, lang,
+    len(list_filter(string_split(regexp_replace(lower(text),
+      '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')) AS ntok,
+    length(text) AS nch, md5(text) AS h
+  FROM documents),
+g AS (
+  SELECT source, lang, count(*) AS n_docs,
+    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+    CAST(sum(nch) AS BIGINT) AS n_chars,
+    count(DISTINCT h) AS n_distinct_texts
+  FROM b GROUP BY source, lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
+  CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+  CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
+FROM g CROSS JOIN t ORDER BY source, lang"""
+
   /** q145 twin: SQL-standard ntile + tied rank + integer-floor
     * permille — both engines implement the identical window
     * semantics, which is the parity the query gates. */
@@ -3076,6 +3098,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q143_transitions" -> q143_transitions,
     "q144_crawl_rank" -> q144_crawl_rank,
     "q145_quantile_features" -> q145_quantile_features,
+    "q146_dataset_card" -> q146_dataset_card,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

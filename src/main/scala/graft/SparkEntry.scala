@@ -908,6 +908,14 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // Corpus datasheet per (source, lang): docs/tokens/chars mass,
+    // exact distinct-text count, integer-permille corpus share — the
+    // release card every LLM data paper tabulates.
+    "q146_dataset_card" -> ((s, dir) =>
+      graft.text.TextAnalysis.corpusCard(
+          Tables.documents(s, dir), Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))),
+
     // The crawl→graph→rank pipeline COMPOSED (CommonCrawl's actual
     // shape): synthesized pages whose hrefs ENCODE the q124 edge
     // formulas → E104's href harvest → edge list (src = the page's

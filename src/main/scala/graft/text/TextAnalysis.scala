@@ -243,6 +243,29 @@ object TextAnalysis {
       whitespaceTokenCount(col(textCol)).as("n_ws_tokens"),
       bpeTokenCount(col(textCol)).as("n_bpe_tokens"))
 
+  /** Corpus datasheet — the per-(source, lang, …) card a dataset
+    * release publishes (Datasheets for Datasets, arXiv:1803.09010,
+    * and every LLM data paper's Table 1): document/token/char mass,
+    * distinct-text count (the exact-dup headroom: n_docs −
+    * n_distinct_texts is what E27's dedup would remove), and each
+    * cell's integer-permille share of the corpus. One grouped
+    * aggregate — the single `count(distinct md5)` keeps the two-phase
+    * hash-agg plan (Catalyst's Expand blowup needs ≥2 distinct aggs,
+    * the E118 lesson) — plus a 1-row broadcast totals join. */
+  def corpusCard(docs: DataFrame, groupCols: Seq[String],
+                 textCol: String = "text"): DataFrame = {
+    require(groupCols.nonEmpty, "need grouping columns")
+    val g = docs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(whitespaceTokenCount(col(textCol))).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"),
+      count_distinct(md5(col(textCol))).as("n_distinct_texts"))
+    val totals = g.agg(sum(col("n_docs")).as("__total"))
+    g.crossJoin(broadcast(totals))
+      .withColumn("docs_permille", expr("(n_docs * 1000) div __total"))
+      .drop("__total")
+  }
+
   // --- per-document profile -------------------------------------------------
 
   /** Minimal multilingual stopword lists (public-knowledge closed-class

@@ -216,4 +216,26 @@ class TextAnalysisSpec extends SparkSpec {
     out(2).getAs[Long]("n_bigrams") shouldBe 0L
     out(2).isNullAt(out(2).fieldIndex("familiarity")) shouldBe true
   }
+
+  test("corpusCard: hand-computed datasheet cells; no Expand for the single distinct") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "srcA", "en", "one two three"),
+      (2L, "srcA", "en", "one two three"), // exact dup: distinct = 2, docs = 3
+      (3L, "srcA", "en", "four five"),
+      (4L, "srcB", "fr", "un deux trois quatre")
+    ).toDF("doc_id", "source", "lang", "text")
+    val card = TextAnalysis.corpusCard(d, Seq("source", "lang"))
+    val rows = card
+      .select("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "n_distinct_texts", "docs_permille")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    rows shouldBe Seq(
+      ("srcA", "en", 3L, 8L, 35L, 2L, 750L),
+      ("srcB", "fr", 1L, 4L, 20L, 1L, 250L))
+    // a single count(distinct) must keep the two-phase hash-agg plan:
+    // Catalyst's Expand blowup appears only at >= 2 distinct aggs
+    card.queryExecution.executedPlan.toString should not include "Expand"
+  }
 }
