@@ -1479,6 +1479,28 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
   CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
 FROM g CROSS JOIN t ORDER BY source, lang"""
 
+  /** q147 twin: the same vowel-group / sentence-run / tokenizer
+    * counts and the identical integer micro-unit Flesch arithmetic.
+    * NOTE 'The' after the synthesized break still tokenizes to 'the'
+    * (lowercasing), so word counts are unchanged by the rewrite. */
+  val q147_readability: String = """
+WITH s AS (
+  SELECT doc_id, regexp_replace(text, ' the ', '. The ', 'g') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(regexp_replace(lower(t),
+      '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS n_words,
+    greatest(CAST(1 AS BIGINT),
+      CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT)) AS n_sentences,
+    CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables
+  FROM s)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  206835000 - 1015 * ((n_words * 1000) // n_sentences)
+            - 84600 * ((n_syllables * 1000) // n_words) AS flesch_micro
+FROM m WHERE n_words > 0 ORDER BY doc_id"""
+
   /** q145 twin: SQL-standard ntile + tied rank + integer-floor
     * permille — both engines implement the identical window
     * semantics, which is the parity the query gates. */
@@ -3099,6 +3121,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q144_crawl_rank" -> q144_crawl_rank,
     "q145_quantile_features" -> q145_quantile_features,
     "q146_dataset_card" -> q146_dataset_card,
+    "q147_readability" -> q147_readability,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -908,6 +908,16 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // Exact-integer Flesch reading ease per doc — sentence structure
+    // synthesized by a shared formula (every ' the ' becomes a
+    // sentence break) so the words-per-sentence term is non-trivial
+    // on the unpunctuated corpus.
+    "q147_readability" -> ((s, dir) =>
+      graft.text.TextAnalysis.readability(
+          Tables.documents(s, dir).select(col("doc_id"),
+            regexp_replace(col("text"), " the ", ". The ").as("text")))
+        .orderBy(col("doc_id"))),
+
     // Corpus datasheet per (source, lang): docs/tokens/chars mass,
     // exact distinct-text count, integer-permille corpus share — the
     // release card every LLM data paper tabulates.

@@ -266,6 +266,38 @@ object TextAnalysis {
       .drop("__total")
   }
 
+  /** Readability score — Flesch reading ease (Flesch 1948, the
+    * standard document-difficulty prior next to the quality-rule
+    * gate) in EXACT integer micro-units: score_micro = 206_835_000 −
+    * 1015·(words-per-sentence in milli) − 84_600·(syllables-per-word
+    * in milli), every ratio an integer `div` — bit-identical across
+    * engines where the float form would drift. Heuristics, stated:
+    * syllables = vowel-group runs `[aeiouy]+` (a run never crosses a
+    * word boundary, so counting on the whole text equals the per-word
+    * sum; vowelless tokens contribute 0, no per-word floor);
+    * sentences = `[.!?]+` runs, floored at 1 so an unpunctuated doc
+    * reads as one sentence; words = the shared tokenizer. Wordless
+    * docs are dropped (the ruleReport contract). Pure scan-side
+    * projection — no shuffle, text never leaves the scan. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col("__rtoks")
+    val nWords = size(t).cast("long")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val nSyll = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col(idCol).as("doc_id"), col(textCol),
+        tokens(col(textCol)).as("__rtoks"))
+      .filter(size(t) > 0)
+      .select(col("doc_id"),
+        nWords.as("n_words"), nSent.as("n_sentences"), nSyll.as("n_syllables"))
+      .withColumn("flesch_micro",
+        lit(206835000L) -
+          lit(1015L) * expr("(n_words * 1000) div n_sentences") -
+          lit(84600L) * expr("(n_syllables * 1000) div n_words"))
+  }
+
   // --- per-document profile -------------------------------------------------
 
   /** Minimal multilingual stopword lists (public-knowledge closed-class

@@ -238,4 +238,22 @@ class TextAnalysisSpec extends SparkSpec {
     // Catalyst's Expand blowup appears only at >= 2 distinct aggs
     card.queryExecution.executedPlan.toString should not include "Expand"
   }
+
+  test("readability: hand-computed Flesch micro-units, floors and edge docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllables
+      (2L, "no punctuation here at all"), // sentences floored at 1
+      (3L, ""),                           // wordless: dropped
+      (4L, "zzz pfft")                    // vowelless: 0 syllables, still scored
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 6L, 2L, 6L,
+      206835000L - 1015L * 3000L - 84600L * 1000L)) // = 119190000
+    out(2L)._3 shouldBe 1L
+    out(4L) shouldBe ((4L, 2L, 1L, 0L, 206835000L - 1015L * 2000L))
+    out.contains(3L) shouldBe false
+  }
 }
