@@ -1479,6 +1479,30 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
   CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
 FROM g CROSS JOIN t ORDER BY source, lang"""
 
+  /** q148 twin: the q24 session CTEs carried to ordered string_agg
+    * paths, counted, top-20 by (count desc, path) — the same
+    * deterministic boundary cut. */
+  val q148_session_paths: String = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM m),
+p AS (
+  SELECT user_id, sess,
+    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, sess)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20"""
+
   /** q147 twin: the same vowel-group / sentence-run / tokenizer
     * counts and the identical integer micro-unit Flesch arithmetic.
     * NOTE 'The' after the synthesized break still tokenizes to 'the'
@@ -3122,6 +3146,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q145_quantile_features" -> q145_quantile_features,
     "q146_dataset_card" -> q146_dataset_card,
     "q147_readability" -> q147_readability,
+    "q148_session_paths" -> q148_session_paths,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

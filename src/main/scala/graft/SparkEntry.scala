@@ -908,6 +908,13 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // Top-20 session journeys over the events stream: the sessionized
+    // "most common paths" report (ordered event-type sequences per
+    // session, counted across sessions; deterministic k-boundary).
+    "q148_session_paths" -> ((s, dir) =>
+      graft.events.EventAnalytics.sessionPaths(
+        Tables.events(s, dir), gapMinutes = 30, k = 20)),
+
     // Exact-integer Flesch reading ease per doc — sentence structure
     // synthesized by a shared formula (every ' the ' becomes a
     // sentence break) so the words-per-sentence term is non-trivial

@@ -52,6 +52,49 @@ object EventAnalytics {
         countDistinct(col("event_type")).as("distinct_types"))
   }
 
+  /** Top-k session journeys — the "most common paths" report product
+    * analytics asks of sessionized traffic: each session's ordered
+    * event-type sequence joined into a path string, counted across
+    * sessions, top k by frequency. Reuses [[sessionize]]'s exact
+    * session assignment (same gap/tie semantics, window-for-window).
+    *
+    * Determinism notes: the path is a FRAMED ordered window
+    * `collect_list` (ordered by (ts, event_id) over the whole session
+    * frame — a groupBy `collect_list` has no order contract), one row
+    * per session survives via row_number, and the final top-k orders
+    * by (count desc, path) so the k-boundary cut is reproducible.
+    * Scale: the two windows and the session reduce share the user
+    * shuffle; the path aggregate shuffles path strings (bounded by
+    * sessions, not events); top-k is TakeOrderedAndProject — no
+    * global sort materializes. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                   k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(w)
+    val isNew = when(prev.isNull || (us - prev) > gapUs, 1).otherwise(0)
+    val tagged = events
+      .withColumn("__new", isNew)
+      .withColumn("__sess",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessW = Window.partitionBy(col("user_id"), col("__sess"))
+      .orderBy(col("ts"), col("event_id"))
+    val framed = sessW.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    tagged
+      .withColumn("__path",
+        concat_ws(">", collect_list(col("event_type")).over(framed)))
+      .withColumn("__rn", row_number().over(sessW))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Tumbling event-time windows (batch form of the streaming windowed
     * aggregation): per (window, event_type) — event count, distinct
     * users, exact value sum, and the sum of the JSON `k` property. */

@@ -86,6 +86,26 @@ class EventAnalyticsSpec extends SparkSpec {
       ("c", "a", 1L, 1000L))
   }
 
+  test("sessionPaths: ordered per-session journeys counted, gap splits, top-k stable") {
+    val d = df(schema,
+      ev(1, 0, 1, "a"), ev(2, 5, 1, "b"),    // user 1, session 1: a>b
+      ev(3, 60, 1, "a"), ev(4, 65, 1, "b"),  // user 1, session 2 (40m gap): a>b
+      ev(5, 0, 2, "a"), ev(6, 1, 2, "b"),    // user 2: a>b
+      ev(7, 0, 3, "c"))                      // user 3: c
+    val out = EventAnalytics.sessionPaths(d, gapMinutes = 30, k = 10)
+      .as[(String, Long)].collect().toSeq
+    out shouldBe Seq(("a>b", 3L), ("c", 1L))
+    // k cuts deterministically: top-1 keeps the most frequent path
+    EventAnalytics.sessionPaths(d, 30, 1).as[(String, Long)].collect()
+      .toSeq shouldBe Seq(("a>b", 3L))
+    // order inside the path comes from (ts, event_id), not row order
+    val tied = df(schema, ev(2, 5, 9, "y"), ev(1, 5, 9, "x"))
+    EventAnalytics.sessionPaths(tied, 30, 5).as[(String, Long)]
+      .collect().toSeq shouldBe Seq(("x>y", 1L))
+    assertSameRows(EventAnalytics.sessionPaths(d, 30, 10),
+      EventAnalytics.sessionPaths(d.repartition(7), 30, 10))
+  }
+
   test("transitionMatrix: timestamp ties break on event_id; partitioning-invariant") {
     val tied = df(schema,
       ev(2, 5, 1, "y"), ev(1, 5, 1, "x"), ev(3, 6, 1, "z"))
