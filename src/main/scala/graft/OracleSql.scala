@@ -1479,6 +1479,25 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
   CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
 FROM g CROSS JOIN t ORDER BY source, lang"""
 
+  /** q149 twin: the same whole+fractional copy arithmetic — factor
+    * div 10000 plus one iff the 'up:'-salted md5 hash clears the
+    * fractional part — expanded per row via range() unnest (range(0)
+    * is empty, so zero-copy rows vanish exactly like Spark's explode
+    * of an empty array). */
+  val q149_upsample_mix: String = """
+WITH f(lang, factor) AS (VALUES ('en', 5000), ('es', 15000), ('fr', 25000)),
+b AS (
+  SELECT d.doc_id, d.lang,
+    COALESCE(f.factor, 10000) AS factor,
+    CASE WHEN CAST(('0x' || substr(md5('up:' || CAST(d.doc_id AS VARCHAR)), 1, 14))
+              AS BIGINT) % 10000 < COALESCE(f.factor, 10000) % 10000
+         THEN 1 ELSE 0 END AS extra
+  FROM documents d LEFT JOIN f USING (lang)),
+c AS (SELECT doc_id, lang, factor // 10000 + extra AS copies FROM b)
+SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy
+FROM c, unnest(range(copies)) AS u(c)
+ORDER BY doc_id, copy"""
+
   /** q148 twin: the q24 session CTEs carried to ordered string_agg
     * paths, counted, top-20 by (count desc, path) — the same
     * deterministic boundary cut. */
@@ -3147,6 +3166,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q146_dataset_card" -> q146_dataset_card,
     "q147_readability" -> q147_readability,
     "q148_session_paths" -> q148_session_paths,
+    "q149_upsample_mix" -> q149_upsample_mix,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -908,6 +908,17 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // Per-stratum epochs reweighting (the mixture's upsampling half):
+    // en halved, es 1.5 epochs, fr 2.5 epochs — whole copies exact,
+    // fractional copies chosen by the salted hash; audit rows carry
+    // the copy index.
+    "q149_upsample_mix" -> ((s, dir) =>
+      graft.etl.Sampling.upsampleToFactor(
+          Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 5000, "es" -> 15000, "fr" -> 25000))
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))),
+
     // Top-20 session journeys over the events stream: the sessionized
     // "most common paths" report (ordered event-type sequences per
     // session, counted across sessions; deterministic k-boundary).

@@ -227,6 +227,44 @@ object Sampling {
       .drop("__dmin", "__dmax", "__span", "__di", "__blk", "__sf", "__ef")
   }
 
+  /** General per-stratum REWEIGHTING in permyriad — the epochs mixer
+    * of a training-data pipeline, covering both directions where
+    * [[stratifiedRateSample]] only downsamples: factor 2_500 keeps a
+    * quarter of the stratum, 10_000 passes it through, 25_000 repeats
+    * every row twice and half the rows (hash-chosen) a third time —
+    * i.e. fractional epochs, the way rare high-quality sources are
+    * oversampled into a mixture (every LLM data recipe's
+    * "epochs-per-source" table). Deterministic: copies = factor div
+    * 10000 plus one more iff an INDEPENDENTLY salted key hash clears
+    * the fractional part (the salt decorrelates the extra-copy choice
+    * from the downsampling filter's hash), so the output is a pure
+    * function of the data, and raising a factor only ADDS copies
+    * (nested mixes, the reproducible-reweighting property). Each copy
+    * carries its index (`copy` 0..n-1) so downstream shards can salt
+    * on it. One projection + explode, no shuffle; the blow-up is the
+    * caller's contract. */
+  def upsampleToFactor(df: DataFrame, stratumCol: String, keyCol: String,
+                       permyriadFactor: Map[String, Int],
+                       defaultPermyriad: Int = 10000): DataFrame = {
+    require((defaultPermyriad +: permyriadFactor.values.toSeq).forall(_ >= 0),
+      "factors must be >= 0")
+    val factor = permyriadFactor.toSeq.sortBy(_._1).foldRight(
+      lit(defaultPermyriad): Column) { case ((s, r), acc) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    val extra = when(
+      keyHash(concat(lit("up:"), col(keyCol).cast("string"))) % 10000 <
+        col("__factor") % 10000L,
+      1L).otherwise(0L)
+    df.withColumn("__factor", factor.cast("long"))
+      .withColumn("__copies", expr("__factor div 10000") + extra)
+      .withColumn("copy",
+        explode(when(col("__copies") > 0,
+            sequence(lit(0L), col("__copies") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__copies", "__factor")
+  }
+
   /** Per-stratum keep RATES in permyriad (1/10000): a row survives iff
     * `hash(key) % 10000 < rate(stratum)` — the up/down-sampling mixer
     * of a training-data pipeline (keep 25% of English, all of a rare

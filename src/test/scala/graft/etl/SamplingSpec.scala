@@ -72,6 +72,39 @@ class SamplingSpec extends SparkSpec {
     half.subsetOf(more) shouldBe true
   }
 
+  test("upsampleToFactor: whole epochs exact, fractional epochs hash-chosen, nested") {
+    val out = Sampling.upsampleToFactor(docs, "lang", "doc_id",
+      Map("en" -> 20000, "de" -> 25000, "fr" -> 5000))
+      .select("doc_id", "lang", "copy").as[(Long, String, Long)].collect()
+    // en: exactly 2 copies of each of the 100 rows, copy ids 0 and 1
+    out.count(_._2 == "en") shouldBe 200
+    out.filter(_._2 == "en").map(_._3).toSet shouldBe Set(0L, 1L)
+    // de: 2.5 epochs -> between 2x and 3x, every row at least twice
+    val de = out.filter(_._2 == "de")
+    de.size should (be > 220 and be < 280)
+    de.groupBy(_._1).values.foreach(_.size should be >= 2)
+    // fr: half epoch -> subset, copy 0 only
+    val fr = out.filter(_._2 == "fr")
+    fr.size should (be > 25 and be < 75)
+    fr.map(_._3).toSet shouldBe Set(0L)
+    // factor 0 strata vanish
+    Sampling.upsampleToFactor(docs, "lang", "doc_id",
+      Map("en" -> 0), defaultPermyriad = 0).count() shouldBe 0L
+    // nested: raising a factor only ADDS (doc_id, copy) pairs
+    val low = Sampling.upsampleToFactor(docs, "lang", "doc_id",
+      Map("de" -> 12500), defaultPermyriad = 0)
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    val high = Sampling.upsampleToFactor(docs, "lang", "doc_id",
+      Map("de" -> 17500), defaultPermyriad = 0)
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    low.subsetOf(high) shouldBe true
+    // pure function of values
+    assertSameRows(
+      Sampling.upsampleToFactor(docs, "lang", "doc_id", Map("de" -> 25000)),
+      Sampling.upsampleToFactor(docs.repartition(7), "lang", "doc_id",
+        Map("de" -> 25000)))
+  }
+
   test("trainShards: partitioning-invariant assignment, dense per-shard positions") {
     val a = Sampling.trainShards(docs, "doc_id", 8)
       .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().sortBy(_._1)
