@@ -1479,6 +1479,25 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
   CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
 FROM g CROSS JOIN t ORDER BY source, lang"""
 
+  /** q150 twin — deliberately a DIFFERENT algorithm: where Spark
+    * fills via an ordered ignore-nulls window, DuckDB resolves each
+    * spine day to the latest observation at-or-before it with an
+    * ASOF LEFT JOIN; a plain equi-join supplies the is_filled flag.
+    * Same answer from two constructions = a real cross-check. */
+  val q150_gap_fill: String = barsCte + """,
+daily AS (
+  SELECT symbol, date, min(close) AS close FROM merged GROUP BY symbol, date),
+bounds AS (SELECT symbol, min(date) AS d0, max(date) AS d1 FROM daily GROUP BY symbol),
+spine AS (
+  SELECT symbol, CAST(u.d AS DATE) AS date
+  FROM bounds, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d))
+SELECT s.symbol, s.date, a.close AS close, e.close IS NULL AS is_filled
+FROM spine s
+ASOF LEFT JOIN daily a ON s.symbol = a.symbol AND s.date >= a.date
+LEFT JOIN daily e ON e.symbol = s.symbol AND e.date = s.date
+ORDER BY s.symbol, s.date"""
+
   /** q149 twin: the same whole+fractional copy arithmetic — factor
     * div 10000 plus one iff the 'up:'-salted md5 hash clears the
     * fractional part — expanded per row via range() unnest (range(0)
@@ -3167,6 +3186,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q147_readability" -> q147_readability,
     "q148_session_paths" -> q148_session_paths,
     "q149_upsample_mix" -> q149_upsample_mix,
+    "q150_gap_fill" -> q150_gap_fill,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

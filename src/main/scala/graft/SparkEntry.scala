@@ -908,6 +908,18 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // Calendar gap-fill with forward-fill (LOCF) over per-symbol
+    // daily closes: dense calendar, carried values flagged. Oracle
+    // derives the same fill via DuckDB ASOF JOIN — a structurally
+    // different route.
+    "q150_gap_fill" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close"))
+      StockAnalytics.fillDailyForward(daily)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // Per-stratum epochs reweighting (the mixture's upsampling half):
     // en halved, es 1.5 epochs, fr 2.5 epochs — whole copies exact,
     // fractional copies chosen by the salted hash; audit rows carry

@@ -187,6 +187,39 @@ object StockAnalytics {
         col("close"), col("volume"), col("n_days"))
   }
 
+  /** Calendar gap-fill with forward-fill (LOCF — last observation
+    * carried forward), the resampling dual of [[resampleWeekly]]: a
+    * daily series with holes (market holidays, missed scrapes)
+    * becomes a DENSE calendar per symbol — every day between the
+    * symbol's first and last observation — with missing days taking
+    * the latest prior value and flagged `is_filled` (the flag is the
+    * honesty bit: downstream must be able to weight real vs carried
+    * observations). The first spine day is an observation by
+    * construction, so no leading NULL survives.
+    *
+    * Shape: one tiny per-symbol bounds aggregate exploded into the
+    * date spine (`sequence(d0, d1, 1 day)` — codegen'd, rows =
+    * symbols × span), one left join back on (symbol, date), one
+    * per-symbol ordered window for `last(value, ignoreNulls)`.
+    * The oracle twin deliberately derives the same answer by a
+    * STRUCTURALLY different route (DuckDB ASOF JOIN) — a real
+    * cross-check on the fill semantics, not an echo. */
+  def fillDailyForward(daily: DataFrame, symbolCol: String = "symbol",
+                       dateCol: String = "date",
+                       valueCol: String = "close"): DataFrame = {
+    val spine = daily.groupBy(col(symbolCol))
+      .agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
+      .select(col(symbolCol),
+        explode(expr("sequence(__d0, __d1, interval 1 day)")).as(dateCol))
+    val w = Window.partitionBy(col(symbolCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(daily.select(col(symbolCol), col(dateCol), col(valueCol)),
+        Seq(symbolCol, dateCol), "left")
+      .withColumn("is_filled", col(valueCol).isNull)
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** Time-window filter helper (P15, reference `queries.py:46,83-84`):
     * `date >= anchor - n days`, optional symbol IN list. `anchor`
     * defaults to current_date; oracle runs pass a literal. */

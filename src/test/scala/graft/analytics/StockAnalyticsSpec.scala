@@ -123,4 +123,26 @@ class StockAnalyticsSpec extends SparkSpec {
       anchor = lit("2024-01-10").cast("date"), symbols = Seq("A"))
     out.collect().map(_.getAs[Double]("close")).toSeq shouldBe Seq(2.0)
   }
+
+  test("fillDailyForward: dense calendar, carried values flagged, spans per symbol") {
+    import spark.implicits._
+    val daily = Seq(
+      ("A", "2024-01-01", 10.0), ("A", "2024-01-04", 40.0), // gap: 02, 03
+      ("B", "2024-02-01", 7.0)                              // single day
+    ).toDF("symbol", "d", "close")
+      .select(col("symbol"), col("d").cast("date").as("date"), col("close"))
+    val out = StockAnalytics.fillDailyForward(daily)
+      .select(col("symbol"), col("date").cast("string"), col("close"),
+        col("is_filled"))
+      .as[(String, String, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+    out shouldBe Array(
+      ("A", "2024-01-01", 10.0, false),
+      ("A", "2024-01-02", 10.0, true),
+      ("A", "2024-01-03", 10.0, true),
+      ("A", "2024-01-04", 40.0, false),
+      ("B", "2024-02-01", 7.0, false))
+    // the spine never reaches outside a symbol's own observed span,
+    // and fills never cross symbols
+    out.count(_._1 == "B") shouldBe 1
+  }
 }
