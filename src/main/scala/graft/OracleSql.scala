@@ -1479,6 +1479,25 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
   CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
 FROM g CROSS JOIN t ORDER BY source, lang"""
 
+  /** q151 twin: the same (quality desc, tie) prefix sum and the
+    * first-crossing-kept boundary rule. */
+  val q151_token_budget: String = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(len(list_filter(string_split(regexp_replace(lower(text),
+      '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY lang
+      ORDER BY n_chars DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM d)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+  cum_tokens - n_tokens < 5000 AS kept
+FROM c ORDER BY doc_id"""
+
   /** q150 twin — deliberately a DIFFERENT algorithm: where Spark
     * fills via an ordered ignore-nulls window, DuckDB resolves each
     * spine day to the latest observation at-or-before it with an
@@ -3187,6 +3206,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q148_session_paths" -> q148_session_paths,
     "q149_upsample_mix" -> q149_upsample_mix,
     "q150_gap_fill" -> q150_gap_fill,
+    "q151_token_budget" -> q151_token_budget,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -908,6 +908,20 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // Token-budget fill per language: best docs (by n_chars, doc_id
+    // tiebreak) until 5000 tokens; first-crossing doc kept; full
+    // audit emitted (cumulative tokens + kept flag per doc).
+    "q151_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        graft.text.TextAnalysis.whitespaceTokenCount(col("text")).as("n_tokens"))
+      graft.etl.Sampling.tokenBudgetFill(docs, "lang", "n_tokens",
+          budget = 5000L, quality = Seq(col("n_chars").desc), tieCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Calendar gap-fill with forward-fill (LOCF) over per-symbol
     // daily closes: dense calendar, carried values flagged. Oracle
     // derives the same fill via DuckDB ASOF JOIN — a structurally

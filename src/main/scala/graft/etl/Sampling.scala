@@ -160,6 +160,31 @@ object Sampling {
       .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
   }
 
+  /** Token-budget fill — the budgeted-curation primitive ("fill a
+    * 1B-token budget with the best documents"): per group, documents
+    * are taken in descending quality order until the token budget is
+    * exhausted; the document that CROSSES the boundary is kept (its
+    * cumulative count before adding it was still under budget —
+    * "first crossing kept", stated and oracled, so budgets are
+    * slightly overshot rather than silently undershot). Emits the
+    * full audit (cumulative tokens, kept flag) rather than just the
+    * survivors — the drop set is reviewable.
+    *
+    * One window per group ordered (quality desc, tie): the running
+    * sum is a framed prefix aggregate, no collect, no second pass;
+    * ties need the unique tiebreak or the boundary document is
+    * partition-order-dependent (the quotaPerGroup contract). */
+  def tokenBudgetFill(df: DataFrame, groupCol: String, tokensCol: String,
+                      budget: Long, quality: Seq[Column],
+                      tieCol: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((quality :+ col(tieCol)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("kept", col("cum_tokens") - col(tokensCol) < budget)
+  }
+
   /** Floor integer square root, exact for any non-negative Long. */
   def isqrt(n: Long): Long = {
     require(n >= 0, "isqrt of a negative count")

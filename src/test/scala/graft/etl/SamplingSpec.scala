@@ -105,6 +105,27 @@ class SamplingSpec extends SparkSpec {
         Map("de" -> 25000)))
   }
 
+  test("tokenBudgetFill: first-crossing kept, rest dropped, audit complete") {
+    val d = Seq(
+      (1L, "en", 40L, 3L), (2L, "en", 30L, 4L), (3L, "en", 20L, 5L),
+      (4L, "fr", 100L, 9L)
+    ).toDF("doc_id", "lang", "quality", "n_tokens")
+    // en by quality desc: doc1 (cum 3) -> doc2 (cum 7, crosses 6: kept,
+    // cum_before 3 < 6) -> doc3 (cum 12, cum_before 7 >= 6: dropped)
+    val out = Sampling.tokenBudgetFill(d, "lang", "n_tokens",
+        budget = 6L, quality = Seq(col("quality").desc), tieCol = "doc_id")
+      .select("doc_id", "cum_tokens", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, 3L, true), (2L, 7L, true), (3L, 12L, false), (4L, 9L, true))
+    // partitioning-proof
+    assertSameRows(
+      Sampling.tokenBudgetFill(d, "lang", "n_tokens", 6L,
+        Seq(col("quality").desc), "doc_id"),
+      Sampling.tokenBudgetFill(d.repartition(5), "lang", "n_tokens", 6L,
+        Seq(col("quality").desc), "doc_id"))
+  }
+
   test("trainShards: partitioning-invariant assignment, dense per-shard positions") {
     val a = Sampling.trainShards(docs, "doc_id", 8)
       .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().sortBy(_._1)
