@@ -1479,6 +1479,38 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
   CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
 FROM g CROSS JOIN t ORDER BY source, lang"""
 
+  /** q152 twin: the same sequential earliest-qualifying-event CTEs —
+    * step i+1's instant is the min event strictly after step i's and
+    * within the timeout. */
+  val q152_funnel_steps: String = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+    AND epoch_us(e.ts) <= s1.t + 43200000000
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+    AND epoch_us(e.ts) <= s2.t + 43200000000
+  GROUP BY e.user_id),
+c AS (
+  SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,
+    (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+SELECT step_index, step, CAST(n_users AS BIGINT) AS n_users,
+  CAST(CASE WHEN (SELECT n_users FROM c WHERE step_index = 1) = 0 THEN 0
+       ELSE (n_users * 1000) // (SELECT n_users FROM c WHERE step_index = 1)
+       END AS BIGINT) AS conversion_permille
+FROM c ORDER BY step_index"""
+
   /** q151 twin: the same (quality desc, tie) prefix sum and the
     * first-crossing-kept boundary rule. */
   val q151_token_budget: String = """
@@ -3207,6 +3239,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q149_upsample_mix" -> q149_upsample_mix,
     "q150_gap_fill" -> q150_gap_fill,
     "q151_token_budget" -> q151_token_budget,
+    "q152_funnel_steps" -> q152_funnel_steps,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

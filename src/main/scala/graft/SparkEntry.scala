@@ -908,6 +908,14 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // Ordered 3-step funnel with a 12-hour per-step timeout:
+    // view → click → purchase, earliest-entry semantics, exact
+    // permille conversion vs step 1.
+    "q152_funnel_steps" -> ((s, dir) =>
+      graft.events.EventAnalytics.funnelSteps(Tables.events(s, dir),
+          Seq("view", "click", "purchase"), withinMinutes = 720)
+        .orderBy(col("step_index"))),
+
     // Token-budget fill per language: best docs (by n_chars, doc_id
     // tiebreak) until 5000 tokens; first-crossing doc kept; full
     // audit emitted (cumulative tokens + kept flag per doc).

@@ -52,6 +52,50 @@ object EventAnalytics {
         countDistinct(col("event_type")).as("distinct_types"))
   }
 
+  /** Ordered k-step funnel with a per-step timeout — the general form
+    * of [[funnel]]'s fixed view→purchase pair: a user completes step
+    * i+1 only with an event of that type STRICTLY AFTER their step-i
+    * completion and within `withinMinutes` of it; each step's
+    * completion instant is the EARLIEST qualifying event (the
+    * canonical funnel semantics — earliest-entry, no re-entry).
+    * Output: one row per step with the user count and exact
+    * integer-permille conversion vs step 1.
+    *
+    * Shape: k−1 sequential (filter → join-on-user → min-aggregate)
+    * rounds — each join is user-keyed against an already-aggregated
+    * one-row-per-user frame, so volume never exceeds users after the
+    * first aggregate; no windows over raw events, no collect. The
+    * sequential dependency is inherent to funnel semantics (step i+1
+    * needs step i's instant); k is config-sized. */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+                  withinMinutes: Int): DataFrame = {
+    require(steps.size >= 2, "need at least 2 steps")
+    require(withinMinutes > 0, "timeout must be positive")
+    val winUs = withinMinutes * 60L * 1000000L
+    val us = unix_micros(col("ts"))
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(us).as("__t"))
+    val reached = steps.drop(1).scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .select(col("user_id"), us.as("__e"))
+        .join(prev.select(col("user_id"), col("__t")), Seq("user_id"))
+        .filter(col("__e") > col("__t") && col("__e") <= col("__t") + winUs)
+        .groupBy(col("user_id")).agg(min(col("__e")).as("__t"))
+    }
+    val stepCounts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_index"), lit(steps(i)).as("step"),
+          col("n_users"))
+    }
+    // fully declarative: the k 1-row aggregates union, and the step-1
+    // count broadcasts back for the exact permille — nothing collected
+    stepCounts.reduce(_.unionByName(_))
+      .crossJoin(broadcast(stepCounts.head.select(col("n_users").as("__base"))))
+      .withColumn("conversion_permille",
+        expr("CASE WHEN __base = 0 THEN 0 ELSE (n_users * 1000) div __base END"))
+      .drop("__base")
+  }
+
   /** Top-k session journeys — the "most common paths" report product
     * analytics asks of sessionized traffic: each session's ordered
     * event-type sequence joined into a path string, counted across

@@ -86,6 +86,33 @@ class EventAnalyticsSpec extends SparkSpec {
       ("c", "a", 1L, 1000L))
   }
 
+  test("funnelSteps: strict order, per-step timeout, earliest-entry semantics") {
+    val d = df(schema,
+      // user 1 completes all three in order within timeouts
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+      // user 2: click BEFORE view — step 2 never completes
+      ev(4, 0, 2, "click"), ev(5, 10, 2, "view"),
+      // user 3: click too late (40m > 30m timeout)
+      ev(6, 0, 3, "view"), ev(7, 40, 3, "click"),
+      // user 4: two views; the EARLIEST starts the clock, so the
+      // click at 35m is outside the first view's window
+      ev(8, 0, 4, "view"), ev(9, 20, 4, "view"), ev(10, 35, 4, "click"),
+      // user 5: purchase with no view at all
+      ev(11, 0, 5, "purchase"))
+    val out = EventAnalytics.funnelSteps(d,
+        Seq("view", "click", "purchase"), withinMinutes = 30)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, "view", 4L, 1000L),     // users 1-4
+      (2L, "click", 1L, 250L),     // only user 1
+      (3L, "purchase", 1L, 250L))
+    // same-instant events do NOT chain (strictly-after contract)
+    val tied = df(schema, ev(1, 5, 9, "view"), ev(2, 5, 9, "click"))
+    EventAnalytics.funnelSteps(tied, Seq("view", "click"), 30)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      .map(_._3).toSeq shouldBe Seq(1L, 0L)
+  }
+
   test("sessionPaths: ordered per-session journeys counted, gap splits, top-k stable") {
     val d = df(schema,
       ev(1, 0, 1, "a"), ev(2, 5, 1, "b"),    // user 1, session 1: a>b
