@@ -1479,6 +1479,23 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
   CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
 FROM g CROSS JOIN t ORDER BY source, lang"""
 
+  /** q153 twin: the q66 positioned-bigram construction + unigram
+    * counts + the same integer Dice and (dice desc, w1, w2) cut. */
+  val q153_collocations: String = toksCte + """
+, pos AS (
+  SELECT doc_id, unnest(tokens) AS t, generate_subscripts(tokens, 1) AS p
+  FROM toks),
+bi AS (
+  SELECT a.t AS w1, b.t AS w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY t)
+SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+  CAST((2 * c_ab * 1000000) // (ua.c + ub.c) AS BIGINT) AS dice_e6
+FROM bi JOIN uni ua ON bi.w1 = ua.token
+        JOIN uni ub ON bi.w2 = ub.token
+ORDER BY dice_e6 DESC, w1, w2 LIMIT 50"""
+
   /** q152 twin: the same sequential earliest-qualifying-event CTEs —
     * step i+1's instant is the min event strictly after step i's and
     * within the timeout. */
@@ -3240,6 +3257,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q150_gap_fill" -> q150_gap_fill,
     "q151_token_budget" -> q151_token_budget,
     "q152_funnel_steps" -> q152_funnel_steps,
+    "q153_collocations" -> q153_collocations,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

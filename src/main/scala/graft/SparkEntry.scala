@@ -908,6 +908,13 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // Collocation mining: top-50 adjacent token pairs by exact
+    // integer Dice association (min count 5) — the phrase-detection
+    // pass of word2vec-style preprocessing.
+    "q153_collocations" -> ((s, dir) =>
+      graft.text.TextAnalysis.collocations(
+        Tables.documents(s, dir), minCount = 5, k = 50)),
+
     // Ordered 3-step funnel with a 12-hour per-step timeout:
     // view → click → purchase, earliest-entry semantics, exact
     // permille conversion vs step 1.

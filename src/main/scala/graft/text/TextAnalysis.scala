@@ -186,6 +186,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col(idCol)).as("doc_freq"))
 
+  /** Collocation mining — statistically associated token pairs (the
+    * phrase-detection pass of word2vec-style preprocessing, Mikolov
+    * et al. 2013 §4: "new york" is a unit, "the cat" is chance): per
+    * adjacent pair, the EXACT integer-scaled Dice coefficient
+    * dice_e6 = (2·c_ab·10⁶) div (c_a + c_b) — chosen over PMI/lift
+    * because Dice's arithmetic stays inside BIGINT at any corpus
+    * scale (a lift numerator carries total_tokens² and overflows
+    * 2⁶³ near 10⁵ tokens, and log-PMI is float), while ranking the
+    * same top phrases. `minCount` prunes the hapax noise floor that
+    * dominates any association measure.
+    *
+    * Shape: one bigram aggregate + one token aggregate + two keyed
+    * joins of the bigram frame against the (smaller) unigram counts;
+    * top-k is TakeOrderedAndProject. All counts exact. */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+                   k: Int = 100, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need positive minCount and k")
+    val bi = docBigrams(docs, idCol, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val uni = withTokens(docs, textCol)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    bi.join(uni.select(col("token").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .withColumn("dice_e6", expr("(2 * c_ab * 1000000) div (c_a + c_b)"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("dice_e6"))
+      .orderBy(col("dice_e6").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Top-k bigrams (deterministic tie-break on the bigram text). */
   def topBigrams(docs: DataFrame, k: Int = 200): DataFrame =
     bigramStats(docs).orderBy(col("occurrences").desc, col("bigram")).limit(k)

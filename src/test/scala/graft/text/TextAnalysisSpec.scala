@@ -239,6 +239,30 @@ class TextAnalysisSpec extends SparkSpec {
     card.queryExecution.executedPlan.toString should not include "Expand"
   }
 
+  test("collocations: hand-computed Dice, minCount prunes, phrase beats chance pair") {
+    import spark.implicits._
+    // "new york" always together (5x); "the cat" co-occurs twice but
+    // both words are frequent elsewhere -> lower Dice.
+    val d = Seq(
+      (1L, "new york new york new york new york new york"),
+      (2L, "the cat and the dog and the cat and the bird")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(d, minCount = 2, k = 10)
+      .select("w1", "w2", "c_ab", "dice_e6")
+      .as[(String, String, Long, Long)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    // new: 5, york: 5, new->york 5x: dice = 2*5*1e6 div 10 = 1_000_000
+    byPair(("new", "york"))._4 shouldBe 1000000L
+    // york->new occurs 4x (between repetitions): 2*4e6 div 10
+    byPair(("york", "new"))._4 shouldBe 800000L
+    // the: 4, cat: 2, the->cat 2x: 2*2e6 div 6 = 666_666
+    byPair(("the", "cat"))._4 shouldBe 666666L
+    // minCount prunes: "the dog" (1x) absent
+    byPair.contains(("the", "dog")) shouldBe false
+    // ranking: the perfect phrase outranks the chance pair
+    out.head._1 -> out.head._2 shouldBe ("new" -> "york")
+  }
+
   test("readability: hand-computed Flesch micro-units, floors and edge docs") {
     import spark.implicits._
     val d = Seq(
