@@ -1479,6 +1479,39 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars,
   CAST((n_docs * 1000) // total AS BIGINT) AS docs_permille
 FROM g CROSS JOIN t ORDER BY source, lang"""
 
+  /** q154 twin: the q62 rets CTE, the equal-weight market mean with
+    * the same quantization chain (VARCHAR-detour decimal→double, one
+    * IEEE division, cast+round — the q62-documented DuckDB traps
+    * apply here too), and the identical final double β tree. */
+  val q154_market_beta: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+rets AS (
+  SELECT symbol, date,
+    CAST(ROUND(CAST((close_price - prev) / prev * 100 AS DECIMAL(28,10)), 6)
+         AS DECIMAL(18,6)) AS ret
+  FROM (SELECT symbol, date, close_price,
+          lag(close_price) OVER (PARTITION BY symbol ORDER BY date) AS prev
+        FROM daily)
+  WHERE prev IS NOT NULL AND prev <> 0),
+mkt AS (
+  SELECT date,
+    CAST(ROUND(CAST(CAST(CAST(sum(ret) AS VARCHAR) AS DOUBLE) / count(*)
+                    AS DECIMAL(28,10)), 6) AS DECIMAL(18,6)) AS rm
+  FROM rets GROUP BY date),
+agg AS (
+  SELECT r.symbol, count(*) AS n_days,
+    CAST(CAST(sum(r.ret) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(m.rm) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(m.rm AS DECIMAL(24,6)) * CAST(m.rm AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(CAST(r.ret AS DECIMAL(24,6)) * CAST(m.rm AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM rets r JOIN mkt m USING (date) GROUP BY r.symbol)
+SELECT symbol, CAST(n_days AS BIGINT) AS n_days,
+  CASE WHEN (CAST(n_days AS DOUBLE) * syy - sy * sy) > 0
+       THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n_days AS DOUBLE) * syy - sy * sy) END AS beta
+FROM agg WHERE n_days >= 2 ORDER BY symbol"""
+
   /** q153 twin: the q66 positioned-bigram construction + unigram
     * counts + the same integer Dice and (dice desc, w1, w2) cut. */
   val q153_collocations: String = toksCte + """
@@ -3258,6 +3291,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q151_token_budget" -> q151_token_budget,
     "q152_funnel_steps" -> q152_funnel_steps,
     "q153_collocations" -> q153_collocations,
+    "q154_market_beta" -> q154_market_beta,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

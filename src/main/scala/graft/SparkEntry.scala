@@ -908,6 +908,16 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"), col("rank_permille"))
         .orderBy(col("doc_id"))),
 
+    // CAPM beta per symbol vs the equal-weight market return — the
+    // index regression; market frame replaces q62's pair join.
+    "q154_market_beta" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Correlation.marketBeta(
+          graft.analytics.Correlation.dailyReturns(daily))
+        .orderBy(col("symbol"))
+    }),
+
     // Collocation mining: top-50 adjacent token pairs by exact
     // integer Dice association (min count 5) — the phrase-detection
     // pass of word2vec-style preprocessing.

@@ -80,6 +80,41 @@ object Correlation {
           .as("corr"))
   }
 
+  /** CAPM market beta per symbol against the EQUAL-WEIGHT market
+    * return (the index regression behind factor models: β > 1 moves
+    * more than the market, β < 0 hedges it). r_m per date = mean of
+    * that day's symbol returns, quantized to DECIMAL(18,6) exactly
+    * like the returns themselves (exact decimal sum → correctly
+    * rounded double → ONE IEEE division by the day's symbol count →
+    * the q01 cast+round), so the joined series is engine-exact; the
+    * per-symbol β then follows the q62 determinism recipe
+    * (exact decimal sums, identical final double expression tree).
+    *
+    * Shape: one per-date aggregate (rows = dates) broadcast back
+    * onto the returns, one per-symbol aggregate — output bounded by
+    * the symbol universe; no self-join (the market frame replaces
+    * q62's quadratic pair join). */
+  def marketBeta(returns: DataFrame, minDays: Int = 2): DataFrame = {
+    val market = returns.groupBy(col("date"))
+      .agg(sum(col("ret")).cast("double").as("__s"), count(lit(1)).as("__n"))
+      .select(col("date"),
+        round((col("__s") / col("__n")).cast("decimal(28,10)"), 6)
+          .cast("decimal(18,6)").as("rm"))
+    val agg = returns.join(broadcast(market), Seq("date"))
+      .groupBy(col("symbol")).agg(
+        count(lit(1)).as("n_days"),
+        sum(col("ret")).cast("double").as("__sx"),
+        sum(col("rm")).cast("double").as("__sy"),
+        sum(col("rm") * col("rm")).cast("double").as("__syy"),
+        sum(col("ret") * col("rm")).cast("double").as("__sxy"))
+    val n = col("n_days").cast("double")
+    val varm = n * col("__syy") - col("__sy") * col("__sy")
+    agg.filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"),
+        when(varm > 0,
+          (n * col("__sxy") - col("__sx") * col("__sy")) / varm).as("beta"))
+  }
+
   /** Per-group OLS trend line (least-squares close-vs-time slope and
     * intercept per symbol) — the "is this series drifting" analytic
     * that pairs with [[pairwiseCorr]]: one hash aggregate, output

@@ -131,4 +131,24 @@ class CorrelationSpec extends SparkSpec {
   test("olsTrend drops single-day and zero-variance-x groups") {
     Correlation.olsTrend(series(("C", 1, 7.0))).collect() shouldBe empty
   }
+
+  test("marketBeta: a symbol moving at 2x the market has beta 2; flat symbol beta 0") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    val rets = Seq(
+      ("A", d(1), "2.0"), ("A", d(2), "4.0"), ("A", d(3), "6.0"),
+      ("B", d(1), "0.0"), ("B", d(2), "0.0"), ("B", d(3), "0.0")
+    ).toDF("symbol", "date", "r")
+      .select(col("symbol"), col("date"), col("r").cast("decimal(18,6)").as("ret"))
+    // equal-weight market: (1, 2, 3); A = 2*m exactly -> beta 2
+    val out = Correlation.marketBeta(rets)
+      .select("symbol", "n_days", "beta")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    out shouldBe Array(("A", 3L, 2.0), ("B", 3L, 0.0))
+    // degenerate market (zero variance) yields NULL beta, not a crash
+    val flat = Seq(("A", d(1), "1.0"), ("A", d(2), "1.0"),
+      ("B", d(1), "1.0"), ("B", d(2), "1.0")).toDF("symbol", "date", "r")
+      .select(col("symbol"), col("date"), col("r").cast("decimal(18,6)").as("ret"))
+    Correlation.marketBeta(flat).select("beta")
+      .collect().foreach(_.isNullAt(0) shouldBe true)
+  }
 }
