@@ -1450,6 +1450,63 @@ ranked AS (
   val q124_pagerank: String = pagerankCtes + """
 SELECT node, out_degree, rank_units FROM ranked ORDER BY node"""
 
+  /** q155 twin: HITS over the q124 fixture graph — two full
+    * (authority, hub) rounds unrolled as four matvec CTEs, each
+    * followed by the exact L1 rescale `v·(n·unit) div Σv` with the
+    * same floor semantics (`//` over non-negative BIGINTs ≡ Spark's
+    * `div`). The matvec lands on the full node frame (COALESCE 0)
+    * BEFORE the rescale so both engines count the same n. */
+  val q155_hits: String = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+mass AS (SELECT CAST(count(*) * 1000000 AS BIGINT) AS m FROM nodes),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
+a1r AS (SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(h.v) AS v
+          FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst) s USING (node)),
+a1 AS (SELECT node, CAST((v * (SELECT m FROM mass))
+         // (SELECT sum(v) FROM a1r) AS BIGINT) AS v FROM a1r),
+h1r AS (SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.src AS node, sum(a.v) AS v
+          FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src) s USING (node)),
+h1 AS (SELECT node, CAST((v * (SELECT m FROM mass))
+         // (SELECT sum(v) FROM h1r) AS BIGINT) AS v FROM h1r),
+a2r AS (SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(h.v) AS v
+          FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst) s USING (node)),
+a2 AS (SELECT node, CAST((v * (SELECT m FROM mass))
+         // (SELECT sum(v) FROM a2r) AS BIGINT) AS v FROM a2r),
+h2r AS (SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.src AS node, sum(a.v) AS v
+          FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src) s USING (node)),
+h2 AS (SELECT node, CAST((v * (SELECT m FROM mass))
+         // (SELECT sum(v) FROM h2r) AS BIGINT) AS v FROM h2r),
+outdeg AS (SELECT src AS node, count(*) AS c FROM e GROUP BY 1),
+indeg AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY 1)
+SELECT n.node,
+  CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+  CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree,
+  h2.v AS hub_units, a2.v AS auth_units
+FROM nodes n
+LEFT JOIN outdeg o USING (node)
+LEFT JOIN indeg i USING (node)
+JOIN h2 USING (node)
+JOIN a2 USING (node)
+ORDER BY node"""
+
   /** q144 twin IS the q124 twin: the composed crawl→harvest→rank
     * pipeline encodes the q124 edge formulas in page hrefs, so its
     * output must be bit-identical to the direct edge construction —
@@ -3292,6 +3349,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q152_funnel_steps" -> q152_funnel_steps,
     "q153_collocations" -> q153_collocations,
     "q154_market_beta" -> q154_market_beta,
+    "q155_hits" -> q155_hits,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -896,6 +896,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs & authorities over the q124 fixture graph: two full
+    // exact-integer (authority, hub) power-iteration rounds with L1
+    // renormalization to n·unit each matvec — the oracle unrolls the
+    // identical four matvec+rescale steps CTE by CTE.
+    "q155_hits" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst"))
+      graft.graph.LinkGraph.hits(e1.unionAll(e2), "src", "dst",
+          iterations = 2)
+        .orderBy(col("node"))
+    }),
+
     // Equal-frequency quantile features per language: k-quantile
     // bucket (ntile, tie-broken on doc_id) + exact integer quantile
     // normalization (tied values share a rank). The two rank

@@ -84,6 +84,61 @@ class LinkGraphSpec extends SparkSpec {
     calls shouldBe 3
   }
 
+  test("hits: one round matches hand-computed matvec + L1 rescale") {
+    // a -> b, a -> c, b -> c; n = 3, mass M = 3000.
+    // h0 = (1000, 1000, 1000).
+    // a_raw: a 0, b 1000, c 2000; sum 3000 -> rescale identity.
+    // h_raw: a a1(b)+a1(c)=3000, b a1(c)=2000, c 0; sum 5000
+    //   -> h1 = v*3000//5000 = (1800, 1200, 0).
+    val r = LinkGraph.hits(edges("a" -> "b", "a" -> "c", "b" -> "c"),
+      "src", "dst", iterations = 1, unit = U).orderBy("node").collect()
+    r.map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSeq shouldBe Seq(
+      ("a", 2L, 0L, 1800L, 0L),
+      ("b", 1L, 1L, 1200L, 1000L),
+      ("c", 0L, 2L, 0L, 2000L))
+  }
+
+  test("hits: second round compounds exactly, floor at every rescale") {
+    // From h1 = (1800, 1200, 0):
+    // a_raw: b 1800, c 3000; sum 4800 -> a2 = (0, 1125, 1875).
+    // h_raw: a 3000, b 1875, c 0; sum 4875
+    //   -> h2 = (3000*3000//4875, 1875*3000//4875, 0) = (1846, 1153, 0).
+    val r = LinkGraph.hits(edges("a" -> "b", "a" -> "c", "b" -> "c"),
+      "src", "dst", iterations = 2, unit = U).orderBy("node").collect()
+    r.map(x => (x.getString(0), x.getLong(3), x.getLong(4))).toSeq shouldBe
+      Seq(("a", 1846L, 0L), ("b", 1153L, 1125L), ("c", 0L, 1875L))
+  }
+
+  test("hits: multi-edges deduplicate, self-loops drop, L1 mass within floor slack") {
+    val pairs = (0 until 200).map(i => (s"d${i % 23}", s"d${(3 * i + 1) % 29}")) ++
+      Seq(("d1", "d1"), ("d0", "d4"), ("d0", "d4"))
+    val r = LinkGraph.hits(edges(pairs: _*), "src", "dst",
+      iterations = 3, unit = U)
+    val n = r.count()
+    // Each rescale floors per node: total mass lands in (n*U - n, n*U].
+    val agg = r.agg(sum("hub_units"), sum("auth_units")).head()
+    agg.getLong(0) should be <= n * U
+    agg.getLong(0) should be > n * U - n
+    agg.getLong(1) should be <= n * U
+    agg.getLong(1) should be > n * U - n
+  }
+
+  test("hits is invariant under input partitioning") {
+    val pairs = (0 until 200).map(i => (s"d${i % 23}", s"d${(3 * i + 1) % 29}"))
+    val base = edges(pairs: _*)
+    val r1 = LinkGraph.hits(base.repartition(1), "src", "dst", 2)
+    val r7 = LinkGraph.hits(base.repartition(7, col("dst")), "src", "dst", 2)
+    assertSameRows(r1, r7)
+  }
+
+  test("hits: materialize hook is applied per half-iteration") {
+    var calls = 0
+    LinkGraph.hits(edges("a" -> "b"), "src", "dst", iterations = 2,
+      unit = U, materialize = { d => calls += 1; d }).collect()
+    calls shouldBe 4
+  }
+
   test("trustRank: teleport only to seeds, trust decays along links, unreachable stays 0") {
     import spark.implicits._
     // a -> b -> c, seed = {a}. Start: a=1000, b=0, c=0.
