@@ -1569,6 +1569,26 @@ SELECT symbol, CAST(n_days AS BIGINT) AS n_days,
             / (CAST(n_days AS DOUBLE) * syy - sy * sy) END AS beta
 FROM agg WHERE n_days >= 2 ORDER BY symbol"""
 
+  /** q156 twin — deliberately a DIFFERENT algorithm: the operator
+    * stitches positional postings with k−1 relational joins; the twin
+    * slides a window over each doc's token LIST and compares
+    * `list_slice` against the phrase literal (1-based positions, and
+    * overlapping occurrences count in both constructions). Same
+    * answer from an index plan and a scan plan. */
+  val q156_phrase_search: String = toksCte + """
+, pos AS (
+  -- start positions 1 .. len-k+1; range() is end-exclusive, so the
+  -- bound is len - k + 2 = len(tokens) at k = 2
+  SELECT doc_id, tokens,
+    unnest(range(1, greatest(1, len(tokens)))) AS p
+  FROM toks),
+m AS (
+  SELECT doc_id, p FROM pos
+  WHERE list_slice(tokens, p, p + 1) = ['table', 'table'])
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(min(p) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id"""
+
   /** q153 twin: the q66 positioned-bigram construction + unigram
     * counts + the same integer Dice and (dice desc, w1, w2) cut. */
   val q153_collocations: String = toksCte + """
@@ -3350,6 +3370,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q153_collocations" -> q153_collocations,
     "q154_market_beta" -> q154_market_beta,
     "q155_hits" -> q155_hits,
+    "q156_phrase_search" -> q156_phrase_search,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

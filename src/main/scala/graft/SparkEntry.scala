@@ -911,6 +911,15 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Exact phrase search via positional-postings joins; the phrase
+    // is deliberately periodic ("table table") so overlapping
+    // occurrences exercise the counting contract, and the oracle is
+    // a structurally different list-slice scan.
+    "q156_phrase_search" -> ((s, dir) =>
+      graft.text.TextAnalysis.phraseSearch(
+          Tables.documents(s, dir), "table table")
+        .orderBy(col("doc_id"))),
+
     // Equal-frequency quantile features per language: k-quantile
     // bucket (ntile, tie-broken on doc_id) + exact integer quantile
     // normalization (tied values share a rank). The two rank

@@ -256,6 +256,51 @@ object TextAnalysis {
           .as("familiarity"))
   }
 
+  /** Exact phrase search over the shared tokenizer's token stream —
+    * the positional-index primitive behind benchmark-canary lookup
+    * ("which training docs contain this exact eval question?"),
+    * boilerplate-by-phrase audits, and quote attribution. A phrase
+    * match at position p means token(p) = w1, token(p+1) = w2, …:
+    * token-boundary exact, case/punctuation-insensitive by the
+    * tokenizer's contract, and OVERLAPPING occurrences all count
+    * (a periodic phrase like "a a" occurs twice in "a a a" — the
+    * non-overlapping `replace`-count shortcut undercounts these,
+    * which is why the spec pins it).
+    *
+    * Shape — relational positional-postings join, the inverted-index
+    * plan (Zobel & Moffat, ACM CS 2006 §4's phrase evaluation): one
+    * posexplode projects (doc, pos, token) postings, immediately
+    * filtered to the PHRASE VOCABULARY (the scale governor: postings
+    * volume is the corpus frequency of the phrase's words, not the
+    * corpus; the filter sits scan-side, and the doc text itself never
+    * shuffles — only (doc, pos) pairs do). Then k−1 equi-joins on
+    * (doc, pos − offset) stitch adjacent words; AQE broadcasts
+    * whichever side a rare word has already shrunk. At 100 TB the
+    * postings frame is what you'd persist as the phrase index and
+    * share across queries (the E-series signature-index precedent).
+    *
+    * Returns (idCol, n_matches, first_pos) for matching docs only;
+    * positions are 1-based (the oracle's list convention). */
+  def phraseSearch(docs: DataFrame, phrase: String,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val words = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "phrase must contain at least one token")
+    val postings = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .where(col("token").isin(words.distinct: _*))
+    // Word i must sit at start + i: re-key its postings to the start
+    // position so every stitch is a plain (doc, pos) equi-join.
+    def at(i: Int): DataFrame =
+      postings.where(col("token") === words(i))
+        .select(col(idCol), (col("pos") - i).as("pos"))
+    val starts = words.indices.drop(1)
+      .foldLeft(at(0))((acc, i) => acc.join(at(i), Seq(idCol, "pos")))
+    starts.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+  }
+
   /** GPT-2-style pre-tokenizer approximation: contractions, space-
     * prefixed letter runs, digit runs, punctuation runs. Same RE2-safe
     * alternation in both engines, so counts are oracle-checkable.

@@ -280,4 +280,54 @@ class TextAnalysisSpec extends SparkSpec {
     out(4L) shouldBe ((4L, 2L, 1L, 0L, 206835000L - 1015L * 2000L))
     out.contains(3L) shouldBe false
   }
+
+  test("phraseSearch: token-boundary matches, 1-based first_pos, non-matches absent") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "the quick fox saw the quick dog",  // 2 matches, first at 1
+      2L -> "The QUICK! brown",                 // tokenizer case/punct fold -> 1
+      3L -> "quick the",                        // reversed: no match
+      4L -> "thequick runs",                    // no token boundary: no match
+      5L -> "the slowquick")                    // second word mismatch
+    val out = TextAnalysis.phraseSearch(d, "the quick")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 2L, 1L))
+    out(2L) shouldBe ((2L, 1L, 1L))
+    out.keySet shouldBe Set(1L, 2L)
+  }
+
+  test("phraseSearch: overlapping occurrences of a periodic phrase all count") {
+    import spark.implicits._
+    // "a a a" contains "a a" at positions 1 AND 2 — the replace-count
+    // shortcut would report 1; the postings join must report 2.
+    val d = docs(1L -> "a a a", 2L -> "b a a a a b")
+    val out = TextAnalysis.phraseSearch(d, "a a")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 2L, 1L))
+    out(2L) shouldBe ((2L, 3L, 2L))
+    // Period-3 phrase over the same stream.
+    val tri = TextAnalysis.phraseSearch(d, "a a a")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    tri(1L) shouldBe ((1L, 1L, 1L))
+    tri(2L) shouldBe ((2L, 2L, 2L))
+  }
+
+  test("phraseSearch: single-word phrase degenerates to token occurrence counts") {
+    import spark.implicits._
+    val d = docs(1L -> "x y x z x", 2L -> "y z")
+    val out = TextAnalysis.phraseSearch(d, "x")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 3L, 1L))
+    out.keySet shouldBe Set(1L)
+  }
+
+  test("phraseSearch: result is invariant under input partitioning") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 7 == 0) "pad table table pad table table" else "table pad table"))
+    val d = rows.toDF("doc_id", "text")
+    val r1 = TextAnalysis.phraseSearch(d.repartition(1), "table table")
+    val r9 = TextAnalysis.phraseSearch(d.repartition(9, col("doc_id")), "table table")
+    assertSameRows(r1, r9)
+  }
 }
