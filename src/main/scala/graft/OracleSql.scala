@@ -1589,6 +1589,25 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
   CAST(min(p) AS BIGINT) AS first_pos
 FROM m GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q157 twin: the q19 postings/df-cap construction with the
+    * directional self-join (`<>`, both orders) and the exact floor
+    * permille against the CONTAINED side's full shingle count. */
+  val q157_containment_pairs: String = shinglesCte + """
+, ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, len(ss) AS n_sh, unnest(ss) AS shingle FROM ds),
+rare AS (SELECT shingle FROM posting GROUP BY shingle HAVING count(*) <= 100),
+f AS (SELECT p.* FROM posting p JOIN rare USING (shingle)),
+common AS (
+  SELECT a.doc_id AS contained, b.doc_id AS container,
+         a.n_sh AS n_contained, count(*) AS common
+  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3)
+SELECT contained, container, CAST(common AS BIGINT) AS common,
+  CAST(n_contained AS BIGINT) AS n_contained,
+  CAST((common * 1000) // n_contained AS BIGINT) AS containment_permille
+FROM common WHERE (common * 1000) // n_contained >= 600
+ORDER BY contained, container"""
+
   /** q153 twin: the q66 positioned-bigram construction + unigram
     * counts + the same integer Dice and (dice desc, w1, w2) cut. */
   val q153_collocations: String = toksCte + """
@@ -3371,6 +3390,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q154_market_beta" -> q154_market_beta,
     "q155_hits" -> q155_hits,
     "q156_phrase_search" -> q156_phrase_search,
+    "q157_containment_pairs" -> q157_containment_pairs,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

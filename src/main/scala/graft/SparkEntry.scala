@@ -920,6 +920,14 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Asymmetric containment pairs: exact integer permille, both
+    // directions surface independently (the sub-document capture
+    // Jaccard misses — a short doc 900 permille inside a longer one).
+    "q157_containment_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.containmentPairs(
+          Tables.documents(s, dir), minPermille = 600)
+        .orderBy(col("contained"), col("container"))),
+
     // Equal-frequency quantile features per language: k-quantile
     // bucket (ntile, tie-broken on doc_id) + exact integer quantile
     // normalization (tied values share a rank). The two rank

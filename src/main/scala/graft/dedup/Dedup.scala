@@ -286,6 +286,52 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs — the sub-document capture
+    * detector Jaccard structurally misses: a 40-token quote fully
+    * pasted inside a 4000-token page has Jaccard ≈ 0.01 (union is the
+    * big doc) but containment 1.0 from the quote's side. Containment
+    * C(a→b) = |S(a) ∩ S(b)| / |S(a)| (Broder's resemblance/containment
+    * split, SEQUENCES 1997) is what excerpt/wrapper/quote audits and
+    * keep-the-superset dedup policies actually need; emitted as an
+    * EXACT integer permille (floor div — engines can't disagree),
+    * both directions of a pair surfacing independently.
+    *
+    * Shape: identical plan skeleton to [[jaccardPairs]] (one distinct
+    * postings frame feeding sizes, the df cap, and both self-join
+    * sides — localCheckpoint'd for the same four-consumer reason),
+    * except the self-join keeps BOTH orders (`=!=`, not `<`) since
+    * the measure is directional — candidate volume is 2× q19's, same
+    * Σ df² governor. The df cap makes `common` a LOWER bound when a
+    * hot shingle is dropped while `n_contained` counts the full set:
+    * capped containment under-reports, never inflates — the safe
+    * direction for a removal gate (the q19 governor contract).
+    *
+    * Returns (contained, container, common, n_contained,
+    * containment_permille ≥ minPermille). */
+  def containmentPairs(docs: DataFrame, minPermille: Long = 600,
+                       maxDocFreq: Long = 100, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 3,
+                       materialize: Boolean = true): DataFrame = {
+    val postingRaw = explodedShingleHashes(docs, idCol, textCol, n).distinct()
+    val posting = if (materialize) postingRaw.localCheckpoint() else postingRaw
+    val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_contained"))
+    val rare = posting.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .select("shingle")
+    val filtered = posting.join(rare, "shingle")
+    filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "contained")), "contained")
+      .withColumn("containment_permille",
+        expr("(common * 1000) div n_contained"))
+      .filter(col("containment_permille") >= minPermille)
+      .select("contained", "container", "common", "n_contained",
+        "containment_permille")
+  }
+
   /** Connected components over a near-dup pair graph via iterative
     * min-label propagation: every node adopts the smallest label among
     * itself and its neighbours until fixpoint. Converges in

@@ -81,6 +81,43 @@ class DedupSpec extends SparkSpec {
     j shouldBe (27.0 / 29.0) +- 1e-12
   }
 
+  test("containmentPairs: subset doc fully contained, asymmetric permilles exact") {
+    // doc 1 = 6 tokens -> 4 shingles, all present in doc 2 (10 tokens,
+    // 8 shingles): C(1->2) = 4/4 = 1000, C(2->1) = 4/8 = 500.
+    val d = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f g h i j",
+      3L -> "p q r s t u v")
+    val both = Dedup.containmentPairs(d, minPermille = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    both((1L, 2L)) shouldBe ((4L, 4L, 1000L))
+    both((2L, 1L)) shouldBe ((4L, 8L, 500L))
+    both.keySet shouldBe Set((1L, 2L), (2L, 1L))
+    // Tighter gate keeps only the direction Jaccard would miss.
+    val tight = Dedup.containmentPairs(d, minPermille = 600).collect()
+    tight.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+  }
+
+  test("containmentPairs: df cap drops hot shingles and only under-reports") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f g h i j")
+    // Every shared shingle has df = 2 > 1: capped out, no candidates.
+    Dedup.containmentPairs(d, minPermille = 0, maxDocFreq = 1)
+      .collect() shouldBe empty
+  }
+
+  test("containmentPairs is invariant under input partitioning") {
+    val rows = (0L until 60L).map { i =>
+      val words = (0 to 12).map(j => s"w${(i * 7 + j) % 40}").mkString(" ")
+      i -> (if (i % 5 == 0) words + " w0 w1 w2" else words)
+    }
+    val d = docs(rows: _*)
+    val r1 = Dedup.containmentPairs(d.repartition(1), minPermille = 300)
+    val r9 = Dedup.containmentPairs(d.repartition(9, col("doc_id")),
+      minPermille = 300)
+    assertSameRows(r1, r9)
+  }
+
   test("simhash of identical docs is equal; hamming 0 pair found") {
     val d = docs(
       1L -> "spark scala parquet shuffle partition broadcast join agg window sort",
