@@ -1608,6 +1608,41 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q158 twin: the q62 rets CTE, the same lag pairing, and the q62
+    * conversion traps (widen-before-multiply, VARCHAR-detour
+    * decimal→double) with the identical final double ρ tree. */
+  val q158_autocorr: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+rets AS (
+  SELECT symbol, date,
+    CAST(ROUND(CAST((close_price - prev) / prev * 100 AS DECIMAL(28,10)), 6)
+         AS DECIMAL(18,6)) AS ret
+  FROM (SELECT symbol, date, close_price,
+          lag(close_price) OVER (PARTITION BY symbol ORDER BY date) AS prev
+        FROM daily)
+  WHERE prev IS NOT NULL AND prev <> 0),
+p AS (
+  SELECT symbol, ret,
+    lag(ret, 1) OVER (PARTITION BY symbol ORDER BY date) AS prev
+  FROM rets),
+agg AS (
+  SELECT symbol, count(*) AS n_pairs,
+    CAST(CAST(sum(ret) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(prev) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(ret AS DECIMAL(24,6)) * CAST(ret AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(prev AS DECIMAL(24,6)) * CAST(prev AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(CAST(ret AS DECIMAL(24,6)) * CAST(prev AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM p WHERE prev IS NOT NULL GROUP BY symbol)
+SELECT symbol, CAST(n_pairs AS BIGINT) AS n_pairs,
+  CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
+    THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+         (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+          sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+  END AS autocorr
+FROM agg WHERE n_pairs >= 2 ORDER BY symbol"""
+
   /** q153 twin: the q66 positioned-bigram construction + unigram
     * counts + the same integer Dice and (dice desc, w1, w2) cut. */
   val q153_collocations: String = toksCte + """
@@ -3391,6 +3426,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q155_hits" -> q155_hits,
     "q156_phrase_search" -> q156_phrase_search,
     "q157_containment_pairs" -> q157_containment_pairs,
+    "q158_autocorr" -> q158_autocorr,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

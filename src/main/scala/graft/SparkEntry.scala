@@ -950,6 +950,17 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Lag-1 return autocorrelation per symbol: the serial-dependence
+    // probe (bid-ask bounce vs stale pricing), exact decimal sums
+    // with the q62 double-tree finish.
+    "q158_autocorr" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Correlation.returnAutocorr(
+          graft.analytics.Correlation.dailyReturns(daily))
+        .orderBy(col("symbol"))
+    }),
+
     // Collocation mining: top-50 adjacent token pairs by exact
     // integer Dice association (min count 5) — the phrase-detection
     // pass of word2vec-style preprocessing.

@@ -115,6 +115,49 @@ object Correlation {
           (n * col("__sxy") - col("__sx") * col("__sy")) / varm).as("beta"))
   }
 
+  /** Lag-k autocorrelation of daily returns per symbol — the serial-
+    * dependence probe behind momentum/mean-reversion screens and the
+    * classic efficient-market sanity stat (lag-1 return ACF ≈ 0 for a
+    * liquid series; a strong negative value flags bid-ask bounce, a
+    * strong positive one flags stale pricing). ρ_k = Pearson
+    * correlation of (ret_t, ret_{t−k}) over CONSECUTIVE return
+    * observations (lag counts observations, not calendar days —
+    * standard ACF practice on irregular trading calendars; holiday
+    * gaps ride through).
+    *
+    * Determinism is the q62 recipe: returns arrive DECIMAL(18,6)
+    * quantized once in [[dailyReturns]]; the lag pairing is one
+    * window lead on the (symbol, date) ordering the returns frame
+    * already has (same partitioning — zero extra Exchanges); all six
+    * sums are exact decimal aggregates, and ρ evaluates in doubles in
+    * an identical expression tree on both engines. One per-symbol
+    * hash aggregate; output bounded by the symbol universe; no
+    * self-join (the lag replaces q62's pair join). */
+  def returnAutocorr(returns: DataFrame, lagDays: Int = 1,
+                     minDays: Int = 2): DataFrame = {
+    require(lagDays >= 1, "lagDays must be >= 1")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val paired = returns
+      .withColumn("__prev", lag(col("ret"), lagDays).over(w))
+      .filter(col("__prev").isNotNull)
+    val agg = paired.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("ret")).cast("double").as("__sx"),
+      sum(col("__prev")).cast("double").as("__sy"),
+      sum(col("ret") * col("ret")).cast("double").as("__sxx"),
+      sum(col("__prev") * col("__prev")).cast("double").as("__syy"),
+      sum(col("ret") * col("__prev")).cast("double").as("__sxy"))
+    val n = col("n_pairs").cast("double")
+    val varx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vary = n * col("__syy") - col("__sy") * col("__sy")
+    agg.filter(col("n_pairs") >= minDays)
+      .select(col("symbol"), col("n_pairs"),
+        when(varx > 0 && vary > 0,
+          (n * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(varx) * sqrt(vary)))
+          .as("autocorr"))
+  }
+
   /** Per-group OLS trend line (least-squares close-vs-time slope and
     * intercept per symbol) — the "is this series drifting" analytic
     * that pairs with [[pairwiseCorr]]: one hash aggregate, output

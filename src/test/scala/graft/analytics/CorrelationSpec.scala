@@ -151,4 +151,46 @@ class CorrelationSpec extends SparkSpec {
     Correlation.marketBeta(flat).select("beta")
       .collect().foreach(_.isNullAt(0) shouldBe true)
   }
+
+  test("returnAutocorr: alternating returns -1, linear drift +1, lag-2 flips sign back") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    def rets(rows: (String, Int, String)*) =
+      rows.map { case (s, i, r) => (s, d(i), r) }.toDF("symbol", "date", "r")
+        .select(col("symbol"), col("date"),
+          col("r").cast("decimal(18,6)").as("ret"))
+    // A: +10/-10 alternation -> lag-1 pairs are y = -x exactly -> -1.
+    // B: returns 1,2,3,4 -> lag-1 pairs y = x - 1 -> +1.
+    val r = rets(
+      ("A", 1, "10"), ("A", 2, "-10"), ("A", 3, "10"), ("A", 4, "-10"), ("A", 5, "10"),
+      ("B", 1, "1"), ("B", 2, "2"), ("B", 3, "3"), ("B", 4, "4"))
+    val out = Correlation.returnAutocorr(r)
+      .select("symbol", "n_pairs", "autocorr")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    // A's sums are perfect squares -> exactly -1; B rounds once in
+    // sqrt(6)*sqrt(6) (the num/(sqrt*sqrt) tree both engines share).
+    out.map(o => (o._1, o._2)).toSeq shouldBe Seq(("A", 4L), ("B", 3L))
+    out(0)._3 shouldBe -1.0
+    out(1)._3 shouldBe 1.0 +- 1e-12
+    // Same alternation at lag 2: pairs are y = x -> +1.
+    val two = rets(
+      ("A", 1, "10"), ("A", 2, "-10"), ("A", 3, "10"),
+      ("A", 4, "-10"), ("A", 5, "10"), ("A", 6, "-10"))
+    Correlation.returnAutocorr(two, lagDays = 2)
+      .select("n_pairs", "autocorr")
+      .as[(Long, Double)].collect().toSeq shouldBe Seq((4L, 1.0))
+  }
+
+  test("returnAutocorr: zero-variance NULL, short series dropped by minDays") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    val r = Seq(
+      ("C", d(1), "5"), ("C", d(2), "5"), ("C", d(3), "5"),
+      ("S", d(1), "1"), ("S", d(2), "2")
+    ).toDF("symbol", "date", "r")
+      .select(col("symbol"), col("date"),
+        col("r").cast("decimal(18,6)").as("ret"))
+    val out = Correlation.returnAutocorr(r).collect()
+    // S has only 1 lag pair: filtered. C survives with NULL rho.
+    out.map(_.getString(0)).toSeq shouldBe Seq("C")
+    out.head.isNullAt(2) shouldBe true
+  }
 }
