@@ -1608,6 +1608,54 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q159 twin of [[graft.analytics.Segmentation.rfm]]: the same
+    * one-quantization cents chain (round→DECIMAL(18,2)→×100→BIGINT
+    * per ROW, then integer sum), the corpus-max-date anchor, and the
+    * identical value-function band — (5·cum_lt) floor-div n + 1 over
+    * DISTINCT values only, so ties share a band on both engines
+    * regardless of row order. */
+  val q159_rfm: String = """
+WITH per AS (
+  SELECT o_custkey AS customer,
+    max(CAST(o_orderdate AS DATE)) AS last_d,
+    count(*) AS frequency,
+    sum(CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,10)), 2)
+              AS DECIMAL(18,2)) * 100 AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY 1),
+base AS (
+  SELECT customer,
+    date_diff('day', last_d, (SELECT max(last_d) FROM per)) AS recency_days,
+    frequency, monetary_cents, monetary_cents // 10000 AS mband
+  FROM per),
+rb AS (
+  SELECT v, (5 * COALESCE(sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+    // (SELECT count(*) FROM base) + 1 AS band
+  FROM (SELECT recency_days AS v, count(*) AS c FROM base GROUP BY 1)),
+fb AS (
+  SELECT v, (5 * COALESCE(sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+    // (SELECT count(*) FROM base) + 1 AS band
+  FROM (SELECT frequency AS v, count(*) AS c FROM base GROUP BY 1)),
+mb AS (
+  SELECT v, (5 * COALESCE(sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+    // (SELECT count(*) FROM base) + 1 AS band
+  FROM (SELECT mband AS v, count(*) AS c FROM base GROUP BY 1))
+SELECT b.customer,
+  CAST(b.recency_days AS BIGINT) AS recency_days,
+  CAST(b.frequency AS BIGINT) AS frequency,
+  CAST(b.monetary_cents AS BIGINT) AS monetary_cents,
+  CAST(6 - r.band AS INTEGER) AS r_score,
+  CAST(f.band AS INTEGER) AS f_score,
+  CAST(m.band AS INTEGER) AS m_score,
+  CAST((6 - r.band) * 100 + f.band * 10 + m.band AS INTEGER) AS rfm_cell
+FROM base b
+JOIN rb r ON b.recency_days = r.v
+JOIN fb f ON b.frequency = f.v
+JOIN mb m ON b.mband = m.v
+ORDER BY b.customer"""
+
   /** q158 twin: the q62 rets CTE, the same lag pairing, and the q62
     * conversion traps (widen-before-multiply, VARCHAR-detour
     * decimal→double) with the identical final double ρ tree. */
@@ -3427,6 +3475,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q156_phrase_search" -> q156_phrase_search,
     "q157_containment_pairs" -> q157_containment_pairs,
     "q158_autocorr" -> q158_autocorr,
+    "q159_rfm" -> q159_rfm,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,13 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // RFM customer segmentation over orders: exact integer cents,
+    // deterministic value-function quantile bands (ties share, no
+    // ntile row-order dependence), 3-digit cell with 5 = best.
+    "q159_rfm" -> ((s, dir) =>
+      graft.analytics.Segmentation.rfm(Tables.orders(s, dir))
+        .orderBy(col("customer"))),
+
     // Asymmetric containment pairs: exact integer permille, both
     // directions surface independently (the sub-document capture
     // Jaccard misses — a short doc 900 permille inside a longer one).
