@@ -1608,6 +1608,47 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q160 twin of [[graft.events.EventAnalytics.attribution]]: the
+    * same strict-lookback join in exact epoch micros, the identical
+    * floor-div split with the (ts desc, id desc) remainder carrier,
+    * and the `(none)` mass-conservation row. */
+  val q160_attribution: String = """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+         epoch_us(ts) AS touch_us
+  FROM events WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT c.conv_id, t.touch_id, t.touch_type, t.touch_us
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+  WHERE t.touch_us < c.conv_us AND t.touch_us >= c.conv_us - 86400000000),
+w AS (
+  SELECT conv_id, touch_type,
+    count(*) OVER (PARTITION BY conv_id) AS n,
+    row_number() OVER (PARTITION BY conv_id
+                       ORDER BY touch_us DESC, touch_id DESC) AS rn
+  FROM j),
+cr AS (
+  SELECT conv_id, touch_type,
+    (1000 // n) + CASE WHEN rn = 1 THEN 1000 - n * (1000 // n) ELSE 0 END
+      AS credit
+  FROM w),
+att AS (
+  SELECT touch_type, count(DISTINCT conv_id) AS n_conversions,
+    sum(credit) AS credit_permille
+  FROM cr GROUP BY 1),
+una AS (
+  SELECT '(none)' AS touch_type, count(*) AS n_conversions,
+    count(*) * 1000 AS credit_permille
+  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM cr))
+SELECT touch_type, CAST(n_conversions AS BIGINT) AS n_conversions,
+  CAST(credit_permille AS BIGINT) AS credit_permille
+FROM (SELECT * FROM att UNION ALL
+      SELECT * FROM una WHERE n_conversions > 0)
+ORDER BY touch_type"""
+
   /** q159 twin of [[graft.analytics.Segmentation.rfm]]: the same
     * one-quantization cents chain (round→DECIMAL(18,2)→×100→BIGINT
     * per ROW, then integer sum), the corpus-max-date anchor, and the
@@ -3476,6 +3517,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q157_containment_pairs" -> q157_containment_pairs,
     "q158_autocorr" -> q158_autocorr,
     "q159_rfm" -> q159_rfm,
+    "q160_attribution" -> q160_attribution,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

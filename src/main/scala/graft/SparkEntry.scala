@@ -920,6 +920,14 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Multi-touch attribution: each purchase splits exactly 1000
+    // permille over the user's view/click touches in a 24 h strict
+    // lookback; remainder to the last touch; untouched conversions
+    // surface as "(none)" — credit mass conserved by construction.
+    "q160_attribution" -> ((s, dir) =>
+      graft.events.EventAnalytics.attribution(Tables.events(s, dir))
+        .orderBy(col("touch_type"))),
+
     // RFM customer segmentation over orders: exact integer cents,
     // deterministic value-function quantile bands (ties share, no
     // ntile row-order dependence), 3-digit cell with 5 = best.

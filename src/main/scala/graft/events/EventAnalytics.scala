@@ -212,4 +212,66 @@ object EventAnalytics {
       .withColumn("share_permille", expr("(n_transitions * 1000) div __tot"))
       .drop("__tot")
   }
+
+  /** Multi-touch conversion attribution — the marketing-analytics
+    * credit split: each conversion distributes exactly 1000 permille
+    * of credit equally over the user's touch events in the strict
+    * lookback window `[conv_ts − lookback, conv_ts)`; the integer
+    * remainder goes to the LAST touch (classic last-touch bias,
+    * stated): credit = 1000 div n per touch, + (1000 mod n) for the
+    * touch latest by (ts, event_id). Conversions with no touch in
+    * window surface as the `(none)` row with their full 1000 — total
+    * credit is conserved at 1000 × conversions by construction (the
+    * audit invariant the spec pins).
+    *
+    * Determinism: the remainder-carrying touch is picked by a
+    * row_number ordered (ts desc, event_id desc) — exact microsecond
+    * integers, unique ids — so equal-timestamp touches resolve the
+    * same way on any engine and partitioning.
+    *
+    * Scale shape: ONE user-keyed equi-join (conversions × touches)
+    * whose range predicate caps per-pair volume at the user's touch
+    * count inside the lookback window — per-user activity in a
+    * bounded time span, the same governor as sessionize; the
+    * per-conversion window is bounded by the same quantity; the final
+    * aggregate is keyed on touch_type (output bounded by the type
+    * universe). Nothing is collected. */
+  def attribution(events: DataFrame, convType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("view", "click"),
+                  lookbackMinutes: Int = 1440): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(lookbackMinutes > 0, "lookback must be positive")
+    val lookUs = lookbackMinutes * 60L * 1000000L
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("__conv_id"),
+        unix_micros(col("ts")).as("__conv_us"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("__touch_id"),
+        col("event_type").as("touch_type"),
+        unix_micros(col("ts")).as("__touch_us"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("__touch_us") < col("__conv_us") &&
+        col("__touch_us") >= col("__conv_us") - lookUs)
+    val perConv = Window.partitionBy(col("__conv_id"))
+    val lastFirst = Window.partitionBy(col("__conv_id"))
+      .orderBy(col("__touch_us").desc, col("__touch_id").desc)
+    val credited = joined
+      .withColumn("__n", count(lit(1)).over(perConv))
+      .withColumn("__rn", row_number().over(lastFirst))
+      .withColumn("credit_permille",
+        expr("1000 div __n") +
+          when(col("__rn") === 1, expr("1000 - __n * (1000 div __n)"))
+            .otherwise(lit(0L)))
+    val attributed = credited.groupBy(col("touch_type"))
+      .agg(countDistinct(col("__conv_id")).as("n_conversions"),
+        sum(col("credit_permille")).as("credit_permille"))
+    val unattributed = conv
+      .join(credited.select(col("__conv_id")).distinct(),
+        Seq("__conv_id"), "left_anti")
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("(none)").as("touch_type"), col("n_conversions"),
+        (col("n_conversions") * 1000L).as("credit_permille"))
+    attributed.unionByName(unattributed)
+      .filter(col("n_conversions") > 0)
+  }
 }

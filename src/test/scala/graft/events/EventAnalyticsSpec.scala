@@ -144,4 +144,45 @@ class EventAnalyticsSpec extends SparkSpec {
     assertSameRows(EventAnalytics.transitionMatrix(d),
       EventAnalytics.transitionMatrix(d.repartition(7)))
   }
+
+  test("attribution: equal split, last-touch remainder, strict window, (none) mass") {
+    val d = df(schema,
+      // user 1: purchase@100, touches view@40 click@50 view@99.
+      // 1000 div 3 = 333 each, remainder 1 to the LAST (view@99).
+      ev(1, 40, 1, "view"), ev(2, 50, 1, "click"), ev(3, 99, 1, "view"),
+      ev(10, 100, 1, "purchase"),
+      // user 2: purchase with no touches at all
+      ev(20, 200, 2, "purchase"),
+      // user 3: touch exactly AT the conversion instant — excluded
+      ev(31, 300, 3, "view"), ev(30, 300, 3, "purchase"),
+      // user 4: touch outside the 60-minute lookback (430 < 500-60)
+      ev(41, 430, 4, "view"), ev(40, 500, 4, "purchase"))
+    val out = EventAnalytics.attribution(d, lookbackMinutes = 60)
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Long]("credit_permille")))
+      .toMap
+    // view@40 sits exactly on the lookback boundary (100-60) — included
+    out("view") shouldBe (1L, 667L)
+    out("click") shouldBe (1L, 333L)
+    out("(none)") shouldBe (3L, 3000L)
+    // the audit invariant: total credit == 1000 x conversions
+    out.values.map(_._2).sum shouldBe 4000L
+  }
+
+  test("attribution: timestamp-tied last touches resolve by event_id; invariant") {
+    val d = df(schema,
+      // two touches tied at minute 95: ids 2 (click) and 3 (view) —
+      // the remainder goes to id 3
+      ev(1, 90, 1, "view"), ev(2, 95, 1, "click"), ev(3, 95, 1, "view"),
+      ev(10, 100, 1, "purchase"))
+    val out = EventAnalytics.attribution(d)
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        r.getAs[Long]("credit_permille")).toMap
+    out("view") shouldBe 667L
+    out("click") shouldBe 333L
+    val big = df(schema, (1 to 60).map(i => ev(i.toLong, i.toLong, i % 4L,
+      if (i % 5 == 0) "purchase" else if (i % 2 == 0) "view" else "click")): _*)
+    assertSameRows(EventAnalytics.attribution(big, lookbackMinutes = 20),
+      EventAnalytics.attribution(big.repartition(7), lookbackMinutes = 20))
+  }
 }
