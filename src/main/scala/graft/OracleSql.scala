@@ -1608,6 +1608,39 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q161 twin of [[graft.text.Vocab.heapsCurve]]: same bucket rank
+    * arithmetic, same min-doc first-appearance identity, cumulative
+    * window over the 10 checkpoints only. */
+  val q161_heaps_curve: String = toksCte + """
+, b AS (
+  SELECT lang, doc_id, len(tokens) AS n_tokens,
+    ((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) * 10)
+      // (count(*) OVER (PARTITION BY lang)) + 1 AS bucket
+  FROM toks),
+fd AS (
+  SELECT lang, token, min(doc_id) AS doc_id
+  FROM (SELECT lang, doc_id, unnest(tokens) AS token FROM toks)
+  GROUP BY 1, 2),
+nt AS (
+  SELECT f.lang, b.bucket, count(*) AS new_types
+  FROM fd f JOIN b ON f.lang = b.lang AND f.doc_id = b.doc_id
+  GROUP BY 1, 2),
+pb AS (
+  SELECT lang, bucket, count(*) AS n_docs, sum(n_tokens) AS n_toks
+  FROM b GROUP BY 1, 2),
+pbn AS (
+  SELECT pb.lang, pb.bucket, pb.n_docs, pb.n_toks,
+    COALESCE(nt.new_types, 0) AS new_types
+  FROM pb LEFT JOIN nt ON pb.lang = nt.lang AND pb.bucket = nt.bucket)
+SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+  CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+  CAST(sum(n_toks) OVER w AS BIGINT) AS cum_tokens,
+  CAST(sum(new_types) OVER w AS BIGINT) AS cum_types
+FROM pbn
+WINDOW w AS (PARTITION BY lang ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY lang, bucket"""
+
   /** q160 twin of [[graft.events.EventAnalytics.attribution]]: the
     * same strict-lookback join in exact epoch micros, the identical
     * floor-div split with the (ts desc, id desc) remainder carrier,
@@ -3518,6 +3551,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q158_autocorr" -> q158_autocorr,
     "q159_rfm" -> q159_rfm,
     "q160_attribution" -> q160_attribution,
+    "q161_heaps_curve" -> q161_heaps_curve,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,13 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Heaps'-law vocabulary-growth curve: per language, 10 doc-order
+    // checkpoints of cumulative docs/tokens/distinct types — exact
+    // via the first-appearance (min doc_id) identity.
+    "q161_heaps_curve" -> ((s, dir) =>
+      graft.text.Vocab.heapsCurve(Tables.documents(s, dir), k = 10)
+        .orderBy(col("lang"), col("bucket"))),
+
     // Multi-touch attribution: each purchase splits exactly 1000
     // permille over the user's view/click touches in a 24 h strict
     // lookback; remainder to the last touch; untouched conversions

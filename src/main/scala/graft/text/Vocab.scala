@@ -82,4 +82,60 @@ object Vocab {
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978; Baeza-Yates &
+    * Ribeiro-Neto §6.5) per group: K checkpoints along the
+    * doc_id-ordered corpus prefix, each reporting cumulative docs,
+    * token instances, and DISTINCT types seen so far — the curve
+    * whose flattening says "more of the same corpus buys no new
+    * vocabulary" (tokenizer sizing, crawl-source saturation audits).
+    * All exact integers: a type counts toward checkpoint b iff its
+    * first-appearance doc (min doc_id) falls at or before b's last
+    * doc — no per-prefix distinct scans, the cumulative-distinct
+    * identity does the work.
+    *
+    * Scale shape: checkpoint assignment is one per-group window rank
+    * over docs (unique doc_id ⇒ deterministic; the quantileFeatures
+    * per-group-sort cost, parallel across groups); first appearances
+    * are one (group, token) min-aggregate over the exploded corpus
+    * (map-side combinable, output Zipf-bounded); the only other
+    * shuffles are two (group, bucket) aggregates and the final
+    * cumulative window, which ranges over K CHECKPOINTS per group —
+    * never the corpus. */
+  def heapsCurve(docs: DataFrame, k: Int = 20, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 groupCol: String = "lang"): DataFrame = {
+    require(k >= 1, "need at least one checkpoint")
+    val toks = TextAnalysis.withTokens(docs, textCol)
+      .select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        col("tokens"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("grp"))
+    val bucketed = toks
+      .select(col("grp"), col("doc_id"), size(col("tokens")).as("n_tokens"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("bucket",
+        (expr(s"((__rn - 1) * $k) div __n") + 1).cast("int"))
+    val firstDoc = toks
+      .select(col("grp"), col("doc_id"), explode(col("tokens")).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val newTypes = firstDoc
+      .join(bucketed.select(col("grp"), col("doc_id"), col("bucket")),
+        Seq("grp", "doc_id"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("__new_types"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("__docs"), sum(col("n_tokens")).as("__toks"))
+      .join(newTypes, Seq("grp", "bucket"), "left")
+      .na.fill(0L, Seq("__new_types"))
+      .withColumn("cum_docs", sum(col("__docs")).over(wCum))
+      .withColumn("cum_tokens", sum(col("__toks")).over(wCum))
+      .withColumn("cum_types", sum(col("__new_types")).over(wCum))
+      .select(col("grp").as(groupCol), col("bucket"),
+        col("cum_docs"), col("cum_tokens"), col("cum_types"))
+  }
 }

@@ -53,4 +53,52 @@ class VocabSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
   }
+
+  private val langSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  test("heapsCurve: cumulative types via first appearance, per group, exact") {
+    // en docs in doc_id order: "a b", "a c", "a a", "d" ⇒ with k=2
+    // buckets {1,2},{3,4}: cum after b1 = (2 docs, 4 toks, 3 types),
+    // after b2 = (4 docs, 7 toks, 4 types — only d is new)
+    val d = df(langSchema,
+      Row(1L, "en", "a b"), Row(2L, "en", "a c"),
+      Row(3L, "en", "a a"), Row(4L, "en", "d"),
+      Row(5L, "fr", "x x y"), Row(6L, "fr", "x"))
+    val out = Vocab.heapsCurve(d, k = 2).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("bucket")) ->
+        (r.getAs[Long]("cum_docs"), r.getAs[Long]("cum_tokens"),
+         r.getAs[Long]("cum_types"))).toMap
+    out(("en", 1)) shouldBe ((2L, 4L, 3L))
+    out(("en", 2)) shouldBe ((4L, 7L, 4L))
+    out(("fr", 1)) shouldBe ((1L, 3L, 2L))
+    out(("fr", 2)) shouldBe ((2L, 4L, 2L)) // x repeats: no new type
+  }
+
+  test("heapsCurve: final checkpoint equals the corpus totals; invariant") {
+    val d = df(langSchema, (1 to 30).map(i =>
+      Row(i.toLong, "en", s"w${i % 7} w${i % 3} common")): _*)
+    val out = Vocab.heapsCurve(d, k = 5).filter($"bucket" === 5).collect().head
+    out.getAs[Long]("cum_docs") shouldBe 30L
+    out.getAs[Long]("cum_tokens") shouldBe 90L
+    out.getAs[Long]("cum_types") shouldBe 8L // w0..w6 + common
+    assertSameRows(Vocab.heapsCurve(d, k = 5),
+      Vocab.heapsCurve(d.repartition(7), k = 5))
+  }
+
+  test("heapsCurve: cum_types is monotone and never exceeds cum_tokens") {
+    val d = df(langSchema, (1 to 20).map(i =>
+      Row(i.toLong, if (i % 2 == 0) "en" else "fr", s"t$i t${i / 2}")): _*)
+    val rows = Vocab.heapsCurve(d, k = 4)
+      .orderBy($"lang", $"bucket").collect()
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { g =>
+      val types = g.map(_.getAs[Long]("cum_types"))
+      types.toSeq shouldBe types.sorted.toSeq
+      g.foreach { r =>
+        r.getAs[Long]("cum_types") should be <= r.getAs[Long]("cum_tokens")
+      }
+    }
+  }
 }
