@@ -1608,6 +1608,55 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q162 twin of [[graft.graph.LinkGraph.labelPropagation]]: the
+    * q155 fixture edges undirected, then 4 synchronous rounds each
+    * unrolled as a count CTE + a (count desc, label) row_number pick
+    * — the same adoption rule, tie to the smallest label. */
+  val q162_label_prop: String = """
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+e AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+       FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+l1 AS (SELECT node, label FROM (
+  SELECT node, label,
+    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+  FROM c1) WHERE rn = 1),
+c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+       FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+l2 AS (SELECT node, label FROM (
+  SELECT node, label,
+    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+  FROM c2) WHERE rn = 1),
+c3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+       FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+l3 AS (SELECT node, label FROM (
+  SELECT node, label,
+    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+  FROM c3) WHERE rn = 1),
+c4 AS (SELECT e.dst AS node, l.label, count(*) AS c
+       FROM e JOIN l3 l ON e.src = l.node GROUP BY 1, 2),
+l4 AS (SELECT node, label FROM (
+  SELECT node, label,
+    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+  FROM c4) WHERE rn = 1),
+sizes AS (SELECT label AS community, count(*) AS community_size
+          FROM l4 GROUP BY 1)
+SELECT l.node, l.label AS community,
+  CAST(s.community_size AS BIGINT) AS community_size
+FROM l4 l JOIN sizes s ON l.label = s.community
+ORDER BY l.node"""
+
   /** q161 twin of [[graft.text.Vocab.heapsCurve]]: same bucket rank
     * arithmetic, same min-doc first-appearance identity, cumulative
     * window over the 10 checkpoints only. */
@@ -3552,6 +3601,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q159_rfm" -> q159_rfm,
     "q160_attribution" -> q160_attribution,
     "q161_heaps_curve" -> q161_heaps_curve,
+    "q162_label_prop" -> q162_label_prop,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,20 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Label-propagation communities over the undirected q124 fixture
+    // graph: 4 synchronous rounds, most-frequent neighbor label,
+    // ties to the smallest — deterministic variant of Raghavan LPA.
+    "q162_label_prop" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst"))
+      graft.graph.LinkGraph.labelPropagation(e1.unionAll(e2), "src", "dst",
+          iterations = 4)
+        .orderBy(col("node"))
+    }),
+
     // Heaps'-law vocabulary-growth curve: per language, 10 doc-order
     // checkpoints of cumulative docs/tokens/distinct types — exact
     // via the first-appearance (min doc_id) identity.

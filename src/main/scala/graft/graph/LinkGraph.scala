@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality over an edge list — the crawl-prioritization
@@ -402,6 +403,63 @@ object LinkGraph {
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"),
         coalesce(col("reciprocal_edges"), lit(0L)).as("reciprocal_edges"))
+  }
+
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara, Phys. Rev. E 76, 2007) — the near-linear community
+    * detector next to connected components: where components ask "is
+    * there ANY path", LPA asks "where does the DENSITY sit", so a
+    * sparse bridge between two tight clusters yields two communities
+    * where components yield one (the spec pins exactly that graph).
+    * Runs on the UNDIRECTED closure of the edge list (links are
+    * affinity here, not endorsement — the paper's setting).
+    *
+    * Determinism (the published algorithm is randomized; this is the
+    * deterministic variant): SYNCHRONOUS updates (every round reads
+    * only the previous round's labels — no update-order dependence),
+    * initial label = the node's own id, each round every node adopts
+    * the most frequent neighbor label with ties broken to the
+    * SMALLEST label. Fixed iteration count, not convergence polling:
+    * synchronous LPA can 2-cycle on bipartite structure (documented
+    * here), and a fixed horizon keeps the output a pure function of
+    * (edges, iterations) on any engine. Isolated nodes never appear
+    * (the node universe comes from edges), so every node has ≥1
+    * neighbor and the adoption aggregate covers the whole frame.
+    *
+    * Scale shape: per round, ONE labels⋈edges hash join + one
+    * (node, label) partial-agg shuffle + one per-node window whose
+    * frame is the node's DISTINCT neighbor labels (bounded by
+    * degree); community sizes are one more keyed agg. Nothing is
+    * collected; `materialize` is the lineage-cut hook for deep runs,
+    * exactly as in [[pagerank]]. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       iterations: Int = 4,
+                       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val dir = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // undirected: every node appears on the src side
+    val nodes = und.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val byVotes = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label"))
+      labels = materialize(
+        und.join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__rn", row_number().over(byVotes))
+          .filter(col("__rn") === 1)
+          .select(col("node"), col("label")))
+    }
+    val sizes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.select(col("node"), col("label").as("community"))
+      .join(sizes, "community")
+      .select(col("node"), col("community"), col("community_size"))
   }
 
   /** Normalized centrality over [[pagerank]]'s output: each node's

@@ -319,4 +319,45 @@ class LinkGraphSpec extends SparkSpec {
       maxDepth = 3)
     assertSameRows(a, b)
   }
+
+  test("labelPropagation: two cliques over a bridge split where components merge") {
+    // K4 on a1..a4, K4 on b1..b4, one bridge a1-b1: ONE connected
+    // component, but density pulls LPA into TWO communities.
+    def clique(ns: Seq[String]) =
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val as = Seq("a1", "a2", "a3", "a4"); val bs = Seq("b1", "b2", "b3", "b4")
+    val g = edges(clique(as) ++ clique(bs) :+ ("a1" -> "b1"): _*)
+    val out = LinkGraph.labelPropagation(g, "src", "dst", iterations = 4)
+      .collect().map(r => r.getAs[String]("node") ->
+        (r.getAs[String]("community"), r.getAs[Long]("community_size"))).toMap
+    as.foreach(n => out(n) shouldBe ("a1", 4L))
+    bs.foreach(n => out(n) shouldBe ("b1", 4L))
+  }
+
+  test("labelPropagation: synchronous 2-cycle on a single edge; tie to min label") {
+    // one edge a-b: synchronous LPA oscillates with period 2 — after
+    // an EVEN number of rounds each node is back to its own label
+    // (the documented bipartite 2-cycle).
+    val out = LinkGraph.labelPropagation(edges("a" -> "b"), "src", "dst",
+        iterations = 4)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[String]("community")).toMap
+    out shouldBe Map("a" -> "a", "b" -> "b")
+    // star center: all leaves tie at count 1 -> smallest leaf label
+    val star = LinkGraph.labelPropagation(
+        edges("c" -> "z", "c" -> "y", "c" -> "x"), "src", "dst",
+        iterations = 1)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[String]("community")).toMap
+    star("c") shouldBe "x"
+  }
+
+  test("labelPropagation is invariant under input partitioning") {
+    val pairs = (0 until 150).map(i => (s"n${i % 13}", s"n${(7 * i + 2) % 17}"))
+    val base = edges(pairs: _*)
+    assertSameRows(
+      LinkGraph.labelPropagation(base, "src", "dst", iterations = 4),
+      LinkGraph.labelPropagation(base.repartition(7), "src", "dst",
+        iterations = 4))
+  }
 }
