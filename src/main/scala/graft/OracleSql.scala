@@ -1608,6 +1608,27 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q163 twin of [[graft.analytics.Profiling.cubeReport]]: GROUP BY
+    * CUBE with the shared lang-MSB GROUPING bitmask. */
+  val q163_cube_report: String = """
+SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(n_chars) AS BIGINT) AS total_value
+FROM documents GROUP BY CUBE(lang, source)
+ORDER BY gid, lang, source"""
+
+  /** q164 twin of [[graft.analytics.Profiling.pivotMatrix]]:
+    * deliberately the OTHER construction — conditional CASE sums per
+    * lang instead of a pivot — same cross-tab from both plans. */
+  val q164_pivot_matrix: String = """
+SELECT source,
+  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source"""
+
   /** q162 twin of [[graft.graph.LinkGraph.labelPropagation]]: the
     * q155 fixture edges undirected, then 4 synchronous rounds each
     * unrolled as a count CTE + a (count desc, label) row_number pick
@@ -3602,6 +3623,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q160_attribution" -> q160_attribution,
     "q161_heaps_curve" -> q161_heaps_curve,
     "q162_label_prop" -> q162_label_prop,
+    "q163_cube_report" -> q163_cube_report,
+    "q164_pivot_matrix" -> q164_pivot_matrix,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

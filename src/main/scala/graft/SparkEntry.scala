@@ -920,6 +920,22 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // OLAP CUBE over (lang, source): per-cell, both marginals, and
+    // the grand total in one Expand scan; grouping_id() separates
+    // subtotal NULLs from data NULLs.
+    "q163_cube_report" -> ((s, dir) =>
+      graft.analytics.Profiling.cubeReport(
+          Tables.documents(s, dir), "lang", "source", "n_chars")
+        .orderBy(col("gid"), col("lang"), col("source"))),
+
+    // Cross-tab doc counts: source rows x the explicit lang universe
+    // (declarative pivot — no driver-side distinct collect).
+    "q164_pivot_matrix" -> ((s, dir) =>
+      graft.analytics.Profiling.pivotMatrix(
+          Tables.documents(s, dir), "source", "lang",
+          Seq("de", "en", "es", "fr", "zh"))
+        .orderBy(col("source"))),
+
     // Label-propagation communities over the undirected q124 fixture
     // graph: 4 synchronous rounds, most-frequent neighbor label,
     // ties to the smallest — deterministic variant of Raghavan LPA.

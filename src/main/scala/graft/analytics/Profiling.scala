@@ -348,4 +348,39 @@ object Profiling {
         (col("__gap").cast("double") / (col("__na") * col("__nb")).cast("double"))
           .as("ks"))
   }
+
+  /** OLAP CUBE report over two dimensions — the subtotal/grand-total
+    * rollup every BI summary ships (per-cell, per-dim marginals, and
+    * the grand total in ONE grouped aggregate): Catalyst's Expand
+    * computes all four grouping sets in a single scan, vs four
+    * separate aggregates + union. `grouping_id()` (lang-MSB bitmask,
+    * the SQL-standard encoding both engines share) disambiguates a
+    * rolled-up NULL from a data NULL. Output is bounded by
+    * |d1|×|d2| + |d1| + |d2| + 1 — dimension products, never rows;
+    * the single-scan Expand multiplies the SHUFFLED row count by the
+    * number of grouping sets (4), which map-side partial aggregation
+    * collapses before the exchange. */
+  def cubeReport(rows: DataFrame, d1: String, d2: String,
+                 valueCol: String): DataFrame =
+    rows.cube(col(d1), col(d2))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+        sum(col(valueCol)).as("total_value"))
+
+  /** Wide pivot matrix with an EXPLICIT column universe — the
+    * cross-tab report. The explicit `colValues` list is the scale
+    * contract: Spark's implicit pivot first runs a driver-side
+    * collect of the distinct column values; passing the universe
+    * keeps the whole plan declarative (one grouped aggregate with
+    * one conditional-count column per value) and fixes the output
+    * schema so downstream code doesn't chase data-dependent columns.
+    * Absent cells are 0, not NULL (`na.fill` — the CASE-sum
+    * convention the SQL twin uses natively). */
+  def pivotMatrix(rows: DataFrame, rowDim: String, colDim: String,
+                  colValues: Seq[String]): DataFrame = {
+    require(colValues.nonEmpty, "need an explicit column universe")
+    rows.groupBy(col(rowDim))
+      .pivot(colDim, colValues)
+      .agg(count(lit(1)))
+      .na.fill(0L, colValues)
+  }
 }

@@ -217,4 +217,46 @@ class ProfilingSpec extends SparkSpec {
     out.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
   }
+
+  test("cubeReport: all four grouping sets from one scan, gid disambiguates") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val d = df(schema,
+      Row("en", "s1", 10L), Row("en", "s2", 20L), Row("fr", "s1", 5L))
+    val out = Profiling.cubeReport(d, "lang", "source", "n_chars")
+      .collect().map(r => (Option(r.getAs[String]("lang")),
+        Option(r.getAs[String]("source")), r.getAs[Long]("gid")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("total_value"))).toMap
+    out((Some("en"), Some("s1"), 0L)) shouldBe ((1L, 10L))
+    out((Some("en"), None, 1L)) shouldBe ((2L, 30L))      // lang marginal
+    out((None, Some("s1"), 2L)) shouldBe ((2L, 15L))      // source marginal
+    out((None, None, 3L)) shouldBe ((3L, 35L))            // grand total
+    out should have size 8 // 3 cells + 2 langs + 2 sources + 1 total
+    // single scan: the cube is one Expand, not four unioned aggregates
+    val plan = Profiling.cubeReport(d, "lang", "source", "n_chars")
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.count(_.contains("Expand")) shouldBe 1
+    plan should not include "Union"
+  }
+
+  test("pivotMatrix: explicit universe fixes schema; absent cells are 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("lang", StringType)))
+    val d = df(schema, Row("s1", "en"), Row("s1", "en"), Row("s1", "fr"),
+      Row("s2", "en"))
+    val out = Profiling.pivotMatrix(d, "source", "lang",
+      Seq("en", "fr", "zh"))
+    out.columns.toSeq shouldBe Seq("source", "en", "fr", "zh")
+    val m = out.collect().map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("en"), r.getAs[Long]("fr"), r.getAs[Long]("zh"))).toMap
+    m("s1") shouldBe ((2L, 1L, 0L))
+    m("s2") shouldBe ((1L, 0L, 0L)) // fr, zh absent -> 0, never NULL
+    assertSameRows(out, Profiling.pivotMatrix(d.repartition(5), "source",
+      "lang", Seq("en", "fr", "zh")))
+  }
 }
