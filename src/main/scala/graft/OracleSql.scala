@@ -1608,6 +1608,35 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q165 twin of [[graft.graph.LinkGraph.coCitation]]: same capped
+    * edge set on both numerator and denominator, same unordered
+    * self-join and floor-div Jaccard. */
+  val q165_cocitation: String = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 89 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 97 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 89 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+keep AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 100),
+f AS (SELECT e.src, e.dst FROM e JOIN keep USING (src)),
+pairs AS (
+  SELECT a.dst AS node_a, b.dst AS node_b, count(*) AS common
+  FROM f a JOIN f b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+indeg AS (SELECT dst, count(*) AS ind FROM f GROUP BY 1)
+SELECT p.node_a, p.node_b, CAST(p.common AS BIGINT) AS common,
+  CAST((p.common * 1000) // (ia.ind + ib.ind - p.common) AS BIGINT)
+    AS jaccard_permille
+FROM pairs p
+JOIN indeg ia ON p.node_a = ia.dst
+JOIN indeg ib ON p.node_b = ib.dst
+ORDER BY p.node_a, p.node_b"""
+
   /** q163 twin of [[graft.analytics.Profiling.cubeReport]]: GROUP BY
     * CUBE with the shared lang-MSB GROUPING bitmask. */
   val q163_cube_report: String = """
@@ -3625,6 +3654,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q162_label_prop" -> q162_label_prop,
     "q163_cube_report" -> q163_cube_report,
     "q164_pivot_matrix" -> q164_pivot_matrix,
+    "q165_cocitation" -> q165_cocitation,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

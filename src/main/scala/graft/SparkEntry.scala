@@ -920,6 +920,22 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Co-citation similarity: unordered node pairs sharing >= 2
+    // citers, exact in-neighbor Jaccard permille from the same
+    // capped edge set. Sparser moduli than q124 (97 citers, 89
+    // cited) — the q124 graph is near-complete and co-citation
+    // degenerates on it.
+    "q165_cocitation" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 97).as("src"), dom((id * 3 + 1) % 89).as("dst"))
+      val e2 = docs.select(dom(id % 97).as("src"), dom((id * 5 + 2) % 89).as("dst"))
+      graft.graph.LinkGraph.coCitation(e1.unionAll(e2), "src", "dst",
+          maxOutDegree = 100, minCommon = 2)
+        .orderBy(col("node_a"), col("node_b"))
+    }),
+
     // OLAP CUBE over (lang, source): per-cell, both marginals, and
     // the grand total in one Expand scan; grouping_id() separates
     // subtotal NULLs from data NULLs.

@@ -462,6 +462,55 @@ object LinkGraph {
       .select(col("node"), col("community"), col("community_size"))
   }
 
+  /** Co-citation similarity (Small, JASIS 1973) — "related pages"
+    * from link structure alone: two nodes are similar when the same
+    * third pages link to BOTH (the recommendation/related-domain
+    * primitive next to content similarity; co-citation needs no text
+    * and finds topical kinship content hashes can't). Per unordered
+    * pair: the common in-neighbor count and the exact integer Jaccard
+    * permille over the two in-neighbor sets.
+    *
+    * Scale governor — the same Σ df² argument as the shingle postings
+    * plans: the self-join fans out quadratically in each CITER's
+    * out-degree, so citers above `maxOutDegree` are dropped BEFORE
+    * the join (a page linking to everything co-cites everything and
+    * carries no signal — the df-cap of link analysis). The in-degree
+    * denominators are computed from the SAME capped edge set, so the
+    * Jaccard stays internally consistent (a capped citer vanishes
+    * from numerator and denominator together — the ratio never
+    * inflates). Unordered pairs surface once (`dst_a < dst_b`).
+    *
+    * Shape: one out-degree aggregate + semi-join filter, ONE
+    * citer-keyed self-join, one pair aggregate, two broadcast-scale
+    * in-degree joins. Nothing collected. */
+  def coCitation(edges: DataFrame, src: String, dst: String,
+                 maxOutDegree: Long = 100L,
+                 minCommon: Long = 2L): DataFrame = {
+    require(maxOutDegree >= 2, "cap below 2 kills every pair")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__od"))
+      .filter(col("__od") <= maxOutDegree)
+      .select(col("src"))
+    val f = e.join(keep, "src")
+    val pairs = f.select(col("src"), col("dst").as("node_a"))
+      .join(f.select(col("src"), col("dst").as("node_b")), "src")
+      .filter(col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val indeg = f.groupBy(col("dst")).agg(count(lit(1)).as("__in"))
+    pairs
+      .join(indeg.select(col("dst").as("node_a"), col("__in").as("__ina")),
+        "node_a")
+      .join(indeg.select(col("dst").as("node_b"), col("__in").as("__inb")),
+        "node_b")
+      .select(col("node_a"), col("node_b"), col("common"),
+        expr("(common * 1000) div (__ina + __inb - common)")
+          .as("jaccard_permille"))
+  }
+
   /** Normalized centrality over [[pagerank]]'s output: each node's
     * share of probability mass as an EXACT rational pair
     * (`share_num`/`share_den` = rank_units / n·unit) plus integer

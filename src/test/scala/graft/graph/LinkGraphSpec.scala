@@ -352,6 +352,39 @@ class LinkGraphSpec extends SparkSpec {
     star("c") shouldBe "x"
   }
 
+  test("coCitation: hand-computed common citers and Jaccard permille") {
+    // citers x,y both link a and b; z links only a.
+    // in(a) = {x,y,z} = 3, in(b) = {x,y} = 2, common = 2
+    // jaccard = 2*1000 div (3+2-2) = 666
+    val g = edges("x" -> "a", "x" -> "b", "y" -> "a", "y" -> "b",
+      "z" -> "a")
+    val out = LinkGraph.coCitation(g, "src", "dst", minCommon = 2)
+      .collect().map(r => (r.getAs[String]("node_a"), r.getAs[String]("node_b")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("jaccard_permille"))).toMap
+    out shouldBe Map(("a", "b") -> ((2L, 666L)))
+  }
+
+  test("coCitation: capped citers vanish from numerator AND denominator") {
+    // hub h links a,b,c (out-degree 3 > cap 2) -> dropped entirely;
+    // x,y link a,b. Without the cap: common(a,b)=3, in(a)=3.
+    // With cap 2: common=2, in(a)=in(b)=2, jaccard = 1000.
+    val g = edges("h" -> "a", "h" -> "b", "h" -> "c",
+      "x" -> "a", "x" -> "b", "y" -> "a", "y" -> "b")
+    val out = LinkGraph.coCitation(g, "src", "dst", maxOutDegree = 2,
+        minCommon = 2)
+      .collect().map(r => (r.getAs[String]("node_a"), r.getAs[String]("node_b")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("jaccard_permille"))).toMap
+    out shouldBe Map(("a", "b") -> ((2L, 1000L))) // never inflated past 1000
+  }
+
+  test("coCitation is invariant under input partitioning") {
+    val pairs = (0 until 200).map(i => (s"c${i % 31}", s"p${(3 * i + 1) % 23}"))
+    val base = edges(pairs: _*)
+    assertSameRows(
+      LinkGraph.coCitation(base, "src", "dst", minCommon = 2),
+      LinkGraph.coCitation(base.repartition(7), "src", "dst", minCommon = 2))
+  }
+
   test("labelPropagation is invariant under input partitioning") {
     val pairs = (0 until 150).map(i => (s"n${i % 13}", s"n${(7 * i + 2) % 17}"))
     val base = edges(pairs: _*)
