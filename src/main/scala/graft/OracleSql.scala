@@ -1608,6 +1608,46 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q166 twin of [[graft.events.EventAnalytics.associationRules]]:
+    * the q24 session CTEs, distinct (session, type) items, the same
+    * ordered-pair self-join and floor-div permille triple. */
+  val q166_assoc_rules: String = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM m),
+items AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS sid,
+    event_type
+  FROM s),
+n AS (SELECT count(DISTINCT sid) AS n FROM items),
+ic AS (SELECT event_type, count(*) AS s FROM items GROUP BY 1),
+co AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+    count(*) AS support_sessions
+  FROM items a JOIN items b ON a.sid = b.sid AND a.event_type <> b.event_type
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT co.antecedent, co.consequent,
+  CAST(co.support_sessions AS BIGINT) AS support_sessions,
+  CAST((co.support_sessions * 1000) // (SELECT n FROM n) AS BIGINT)
+    AS support_permille,
+  CAST((co.support_sessions * 1000) // ia.s AS BIGINT)
+    AS confidence_permille,
+  CAST((co.support_sessions * (SELECT n FROM n) * 1000) // (ia.s * ib.s)
+    AS BIGINT) AS lift_permille
+FROM co
+JOIN ic ia ON co.antecedent = ia.event_type
+JOIN ic ib ON co.consequent = ib.event_type
+ORDER BY co.antecedent, co.consequent"""
+
   /** q165 twin of [[graft.graph.LinkGraph.coCitation]]: same capped
     * edge set on both numerator and denominator, same unordered
     * self-join and floor-div Jaccard. */
@@ -3655,6 +3695,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q163_cube_report" -> q163_cube_report,
     "q164_pivot_matrix" -> q164_pivot_matrix,
     "q165_cocitation" -> q165_cocitation,
+    "q166_assoc_rules" -> q166_assoc_rules,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,12 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Session-basket association rules: support/confidence/lift in
+    // exact integer permille over distinct event types per session.
+    "q166_assoc_rules" -> ((s, dir) =>
+      graft.events.EventAnalytics.associationRules(Tables.events(s, dir))
+        .orderBy(col("antecedent"), col("consequent"))),
+
     // Co-citation similarity: unordered node pairs sharing >= 2
     // citers, exact in-neighbor Jaccard permille from the same
     // capped edge set. Sparser moduli than q124 (97 citers, 89

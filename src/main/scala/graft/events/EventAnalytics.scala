@@ -213,6 +213,68 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Market-basket association rules over sessionized traffic
+    * (Agrawal, Imieliński & Swami, SIGMOD 1993 — the support /
+    * confidence / lift triple): baskets are sessions ([[sessionize]]'s
+    * exact gap/tie semantics, window-for-window), items are the
+    * DISTINCT event types inside each, and every ordered type pair
+    * (a → b) is a rule. Where [[transitionMatrix]] sees only ADJACENT
+    * events and [[funnelSteps]] a fixed order, this asks the orderless
+    * question "sessions that contain a also contain b" — the
+    * recommender/bundling primitive.
+    *
+    * All metrics exact integer permille: support = s(ab)·1000 div n,
+    * confidence = s(ab)·1000 div s(a), lift = s(ab)·n·1000 div
+    * (s(a)·s(b)) (>1000 = positive association). Exactness bound for
+    * the lift numerator: s(ab)·n·1000 < 2^63 ⇒ n ≲ 3e7 sessions with
+    * s(ab) ≤ n — beyond that, pre-divide at permille cost (stated
+    * rather than silently floated).
+    *
+    * Scale shape: the session assignment rides ONE user-keyed window
+    * (sessionize's exchange); items dedup to ≤ |types| rows per
+    * session BEFORE the self-join, so the join fans out by
+    * types-per-session² — bounded by the TYPE UNIVERSE squared per
+    * session, never events²; the item-frequency side is
+    * type-bounded and broadcast; totals are the 1-row broadcast
+    * pattern. */
+  def associationRules(events: DataFrame, gapMinutes: Int = 30,
+                       minSupport: Long = 2L): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(w)
+    val isNew = when(prev.isNull || (us - prev) > gapUs, 1).otherwise(0)
+    val items = events
+      .withColumn("__new", isNew)
+      .withColumn("__seq",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(concat_ws("#", col("user_id"), col("__seq")).as("__sid"),
+        col("event_type"))
+      .distinct()
+    val totals = items.agg(countDistinct(col("__sid")).as("__n"))
+    val itemCounts = items.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__s"))
+    val co = items.select(col("__sid"), col("event_type").as("antecedent"))
+      .join(items.select(col("__sid"), col("event_type").as("consequent")),
+        "__sid")
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("support_sessions"))
+      .filter(col("support_sessions") >= minSupport)
+    co
+      .join(broadcast(itemCounts.select(col("event_type").as("antecedent"),
+        col("__s").as("__sa"))), "antecedent")
+      .join(broadcast(itemCounts.select(col("event_type").as("consequent"),
+        col("__s").as("__sb"))), "consequent")
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("support_sessions"),
+        expr("(support_sessions * 1000) div __n").as("support_permille"),
+        expr("(support_sessions * 1000) div __sa").as("confidence_permille"),
+        expr("(support_sessions * __n * 1000) div (__sa * __sb)")
+          .as("lift_permille"))
+  }
+
   /** Multi-touch conversion attribution — the marketing-analytics
     * credit split: each conversion distributes exactly 1000 permille
     * of credit equally over the user's touch events in the strict

@@ -169,6 +169,45 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("associationRules: hand-computed support/confidence/lift; session baskets") {
+    // 4 sessions (users 1-4, one each): {a,b}, {a,b}, {a}, {b,c}
+    // s(a)=3, s(b)=3, s(c)=1, s(ab)=2, n=4
+    val d = df(schema,
+      ev(1, 0, 1, "a"), ev(2, 1, 1, "b"),
+      ev(3, 0, 2, "a"), ev(4, 1, 2, "b"), ev(5, 2, 2, "a"), // dup a dedups
+      ev(6, 0, 3, "a"),
+      ev(7, 0, 4, "b"), ev(8, 1, 4, "c"))
+    val out = EventAnalytics.associationRules(d, minSupport = 1)
+      .collect().map(r => (r.getAs[String]("antecedent"),
+        r.getAs[String]("consequent")) ->
+        (r.getAs[Long]("support_sessions"), r.getAs[Long]("support_permille"),
+         r.getAs[Long]("confidence_permille"), r.getAs[Long]("lift_permille")))
+      .toMap
+    // a->b: support 2/4=500pm, conf 2/3=666pm, lift 2*4*1000/(3*3)=888pm
+    out(("a", "b")) shouldBe ((2L, 500L, 666L, 888L))
+    out(("b", "a")) shouldBe ((2L, 500L, 666L, 888L))
+    // b->c: conf 1/3=333pm, lift 1*4*1000/(3*1)=1333pm (positive assoc)
+    out(("b", "c")) shouldBe ((1L, 250L, 333L, 1333L))
+    out(("c", "b")) shouldBe ((1L, 250L, 1000L, 1333L))
+    out.keySet should not contain (("a", "c")) // never co-occur
+  }
+
+  test("associationRules: a session gap splits the basket; invariance") {
+    // same user, 40-minute gap: {a} and {b} are SEPARATE baskets
+    val d = df(schema,
+      ev(1, 0, 1, "a"), ev(2, 50, 1, "b"),
+      ev(3, 0, 2, "a"), ev(4, 1, 2, "b"))
+    val out = EventAnalytics.associationRules(d, minSupport = 1)
+      .collect().map(r => (r.getAs[String]("antecedent"),
+        r.getAs[String]("consequent")) -> r.getAs[Long]("support_sessions"))
+      .toMap
+    out(("a", "b")) shouldBe 1L // only user 2's single session
+    val big = df(schema, (1 to 60).map(i => ev(i.toLong, i.toLong, i % 5L,
+      s"t${i % 3}")): _*)
+    assertSameRows(EventAnalytics.associationRules(big, minSupport = 1),
+      EventAnalytics.associationRules(big.repartition(7), minSupport = 1))
+  }
+
   test("attribution: timestamp-tied last touches resolve by event_id; invariant") {
     val d = df(schema,
       // two touches tied at minute 95: ids 2 (click) and 3 (view) —
