@@ -1608,6 +1608,31 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q167 twin of [[graft.text.TextAnalysis.bm25Search]]: identical
+    * cleared-denominator rational arithmetic; floor-log2 idf read off
+    * the same bit-length (`length(bin(v)) - 1`) both engines share. */
+  val q167_bm25_search: String = toksCte + """
+, d AS (SELECT doc_id, tokens, len(tokens) AS dl FROM toks),
+tot AS (SELECT count(*) AS n, sum(dl) AS l FROM d),
+tf AS (
+  SELECT doc_id, dl, token, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(tokens) AS token FROM d)
+  WHERE token IN ('spark', 'window', 'merge')
+  GROUP BY 1, 2, 3),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT t.doc_id,
+    (length(bin(greatest(1,
+        (2 * (SELECT n FROM tot) - 2 * f.df + 1) // (2 * f.df + 1)))) - 1)
+      * 22 * ((SELECT l FROM tot) // (SELECT n FROM tot)) * t.tf * 1000
+      // (10 * ((SELECT l FROM tot) // (SELECT n FROM tot)) * t.tf
+         + 3 * ((SELECT l FROM tot) // (SELECT n FROM tot)) + 9 * t.dl)
+      AS score
+  FROM tf t JOIN dfq f USING (token))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+  CAST(sum(score) AS BIGINT) AS bm25_units
+FROM sc GROUP BY 1 ORDER BY bm25_units DESC, doc_id LIMIT 50"""
+
   /** q166 twin of [[graft.events.EventAnalytics.associationRules]]:
     * the q24 session CTEs, distinct (session, type) items, the same
     * ordered-pair self-join and floor-div permille triple. */
@@ -3696,6 +3721,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q164_pivot_matrix" -> q164_pivot_matrix,
     "q165_cocitation" -> q165_cocitation,
     "q166_assoc_rules" -> q166_assoc_rules,
+    "q167_bm25_search" -> q167_bm25_search,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,13 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Exact-integer BM25 retrieval: rational k1=6/5 b=3/4, floor-log2
+    // Robertson idf via bit length — top-50 docs for a 3-term query.
+    "q167_bm25_search" -> ((s, dir) =>
+      graft.text.TextAnalysis.bm25Search(Tables.documents(s, dir),
+          Seq("spark", "window", "merge"), k = 50)
+        .orderBy(col("bm25_units").desc, col("doc_id"))),
+
     // Session-basket association rules: support/confidence/lift in
     // exact integer permille over distinct event types per session.
     "q166_assoc_rules" -> ((s, dir) =>

@@ -301,6 +301,60 @@ object TextAnalysis {
         (min(col("pos")) + 1).cast("long").as("first_pos"))
   }
 
+  /** BM25 keyword retrieval (Robertson & Zaragoza, FnTIR 2009) in an
+    * EXACT-integer variant — the ranking baseline behind every
+    * training-corpus search/canary/contamination probe, made
+    * bit-identical across engines by replacing the two float knobs
+    * with stated rationals and the log-idf with a floor quantization:
+    *  - k1 = 6/5, b = 3/4 (the textbook defaults as exact rationals);
+    *    with integer avgdl A = L div N (floor, stated) the per-term
+    *    score clears denominators to
+    *    idf · (22·A·tf·1000) div (10·A·tf + 3·A + 9·dl);
+    *  - idf = floor(log2((2N − 2df + 1) div (2df + 1))), clamped ≥ 0
+    *    — the Robertson idf ratio kept rational, its log2 floor read
+    *    off the integer's bit length (`length(bin(v)) − 1`, identical
+    *    on both engines), so common terms (df ≳ N/3) contribute 0
+    *    exactly where real BM25 goes ≈ 0.
+    * Numbers fit 2^63 at ANY corpus size: every factor (idf ≤ 63,
+    * A, tf, dl bounded by document length) is corpus-size-free.
+    *
+    * Scale shape: postings are filtered to the QUERY vocabulary
+    * before anything shuffles (the phraseSearch governor — volume is
+    * the query terms' corpus frequency, text never moves); df per
+    * term and the (N, L) totals are query-bounded/1-row broadcasts;
+    * the score aggregate is doc-keyed; top-k is
+    * TakeOrderedAndProject. */
+  def bm25Search(docs: DataFrame, query: Seq[String], k: Int = 20,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = query.flatMap(_.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "query must contain at least one token")
+    val toked = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    val totals = toked.agg(count(lit(1)).as("__N"), sum(col("dl")).as("__L"))
+    val tf = toked
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("token"))
+      .where(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("__A", expr("__L div __N"))
+      .withColumn("__ratio",
+        expr("greatest(1L, (2*__N - 2*__df + 1) div (2*__df + 1))"))
+      .withColumn("__idf", (length(bin(col("__ratio"))) - 1).cast("long"))
+      .withColumn("__score",
+        expr("(__idf * 22 * __A * tf * 1000) div (10 * __A * tf + 3 * __A + 9 * dl)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("__score")).as("bm25_units"))
+      .orderBy(col("bm25_units").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** GPT-2-style pre-tokenizer approximation: contractions, space-
     * prefixed letter runs, digit runs, punctuation runs. Same RE2-safe
     * alternation in both engines, so counts are oracle-checkable.

@@ -330,4 +330,37 @@ class TextAnalysisSpec extends SparkSpec {
     val r9 = TextAnalysis.phraseSearch(d.repartition(9, col("doc_id")), "table table")
     assertSameRows(r1, r9)
   }
+
+  test("bm25Search: hand-computed integer score; common terms contribute 0") {
+    // 10 docs, dl=3 each: N=10, L=30, A=3. 'rare' df=1:
+    // ratio=(20-2+1) div 3 = 6, idf=floor(log2 6)=2,
+    // score = 2*22*3*1*1000 div (10*3*1 + 3*3 + 9*3) = 132000 div 66 = 2000.
+    // 'word' df=10: ratio=(20-20+1) div 21 = 0 -> clamp 1 -> idf 0.
+    val d = docs((1L -> "rare word word") +:
+      (2L to 10L).map(i => i -> "word pad pad"): _*)
+    val out = TextAnalysis.bm25Search(d, Seq("rare", "word"), k = 3).collect()
+    out.head.getAs[Long]("doc_id") shouldBe 1L
+    out.head.getAs[Long]("n_terms_hit") shouldBe 2L
+    out.head.getAs[Long]("bm25_units") shouldBe 2000L
+    // remaining docs hit only the idf-0 term: 0 units, doc_id order
+    out.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L, 2L, 3L)
+    out.drop(1).foreach(_.getAs[Long]("bm25_units") shouldBe 0L)
+  }
+
+  test("bm25Search: tf saturates sublinearly (the k1 contract)") {
+    // doubling tf must score LESS than double: tf=2 gives
+    // 2*22*3*2*1000 div (60+9+27) = 264000 div 96 = 2750 < 2*2000.
+    val d = docs((1L -> "rare rare word") +:
+      (2L to 10L).map(i => i -> "word pad pad"): _*)
+    val out = TextAnalysis.bm25Search(d, Seq("rare"), k = 1).collect()
+    out.head.getAs[Long]("bm25_units") shouldBe 2750L
+  }
+
+  test("bm25Search is invariant under input partitioning") {
+    val d = docs((0L until 100L).map(i =>
+      i -> (if (i % 9 == 0) "needle mark word" else "word pad mark")): _*)
+    assertSameRows(
+      TextAnalysis.bm25Search(d, Seq("needle", "mark"), k = 20),
+      TextAnalysis.bm25Search(d.repartition(7), Seq("needle", "mark"), k = 20))
+  }
 }
