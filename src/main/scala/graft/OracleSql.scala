@@ -1608,6 +1608,61 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q169 twin of [[graft.events.EventAnalytics.cadenceProfile]]:
+    * identical (ts, event_id) gap lag, the same stated rank
+    * conventions (lower median, ceil quartiles), same floor-div
+    * regularity clamp. */
+  val q169_cadence: String = """
+WITH e AS (SELECT event_id, ts, user_id, epoch_us(ts) AS us FROM events),
+g AS (
+  SELECT user_id, event_id,
+    us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM e),
+f AS (SELECT user_id, event_id, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT user_id, gap,
+    row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rk,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM f),
+a AS (
+  SELECT user_id, max(n) AS n_gaps, min(gap) AS min_gap_us,
+    max(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS median_gap_us,
+    max(CASE WHEN rk = (n + 3) // 4 THEN gap END) AS p25_gap_us,
+    max(CASE WHEN rk = (3 * n + 3) // 4 THEN gap END) AS p75_gap_us
+  FROM r GROUP BY 1 HAVING max(n) >= 3)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+  CAST(min_gap_us AS BIGINT) AS min_gap_us,
+  CAST(median_gap_us AS BIGINT) AS median_gap_us,
+  CAST(p25_gap_us AS BIGINT) AS p25_gap_us,
+  CAST(p75_gap_us AS BIGINT) AS p75_gap_us,
+  CAST(p75_gap_us - p25_gap_us AS BIGINT) AS iqr_us,
+  CAST(CASE WHEN median_gap_us > 0
+    THEN 1000 - least(1000,
+      ((p75_gap_us - p25_gap_us) * 1000) // median_gap_us)
+    ELSE 1000 END AS BIGINT) AS regularity_permille
+FROM a ORDER BY user_id"""
+
+  /** q168 twin of [[graft.events.EventAnalytics.decayedCounts]]: the
+    * same whole-half-life quantization and power-of-two floor
+    * division (`<<` + `//` ≡ Spark's shiftleft + div on these
+    * non-negative operands). */
+  val q168_decayed_counts: String = """
+WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+w AS (
+  SELECT event_type,
+    1000000 // (1 << CAST(least((
+      (SELECT anchor FROM a) - epoch_us(ts)) // 604800000000, 62)
+      AS INTEGER)) AS wt
+  FROM events),
+g AS (
+  SELECT event_type, count(*) AS n_events, sum(wt) AS decayed_units
+  FROM w GROUP BY 1)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+  CAST(decayed_units AS BIGINT) AS decayed_units,
+  CAST((decayed_units * 1000) // (n_events * 1000000) AS BIGINT)
+    AS freshness_permille
+FROM g ORDER BY event_type"""
+
   /** q167 twin of [[graft.text.TextAnalysis.bm25Search]]: identical
     * cleared-denominator rational arithmetic; floor-log2 idf read off
     * the same bit-length (`length(bin(v)) - 1`) both engines share. */
@@ -3722,6 +3777,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q165_cocitation" -> q165_cocitation,
     "q166_assoc_rules" -> q166_assoc_rules,
     "q167_bm25_search" -> q167_bm25_search,
+    "q168_decayed_counts" -> q168_decayed_counts,
+    "q169_cadence" -> q169_cadence,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,19 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Inter-arrival cadence profile: exact order-statistic gaps per
+    // user; regularity_permille near 1000 = scripted-timer traffic.
+    "q169_cadence" -> ((s, dir) =>
+      graft.events.EventAnalytics.cadenceProfile(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // Half-life-decayed popularity: 7-day half-life, exact power-of-2
+    // step decay in micro-units anchored at the corpus max timestamp.
+    "q168_decayed_counts" -> ((s, dir) =>
+      graft.events.EventAnalytics.decayedCounts(Tables.events(s, dir),
+          halfLifeDays = 7)
+        .orderBy(col("event_type"))),
+
     // Exact-integer BM25 retrieval: rational k1=6/5 b=3/4, floor-log2
     // Robertson idf via bit length — top-50 docs for a 3-term query.
     "q167_bm25_search" -> ((s, dir) =>

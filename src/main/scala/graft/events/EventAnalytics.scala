@@ -213,6 +213,87 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Inter-arrival cadence profile — the bot fingerprint next to the
+    * transition matrix: scripted traffic fires on a timer, so its
+    * inter-event gaps are NEAR-CONSTANT (tiny IQR relative to the
+    * median) while humans are bursty. Per user: gap count, min, and
+    * exact ORDER-STATISTIC gaps in microseconds — lower median
+    * (rank (n+1) div 2), p25 (rank (n+3) div 4 = ceil(n/4)), p75
+    * (rank (3n+3) div 4) — rank conventions stated, all integers, no
+    * interpolation, so the profile is bit-identical on any engine.
+    * `regularity_permille` = 1000 − min(1000, iqr·1000 div median):
+    * 1000 = metronome (flag it), → 0 = bursty human.
+    *
+    * Shape: the gap lag and the rank row_number are two windows on
+    * the SAME user-keyed (ts, event_id) ordering — one exchange; the
+    * order-statistic picks are three conditional aggregates over the
+    * ranked gaps; output bounded by users. */
+  def cadenceProfile(events: DataFrame, minGaps: Long = 3L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val gaps = events
+      .withColumn("__gap", us - lag(us, 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val ranked = gaps
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("__gap"), col("event_id"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    ranked.groupBy(col("user_id"))
+      .agg(
+        max(col("__n")).as("n_gaps"),
+        min(col("__gap")).as("min_gap_us"),
+        max(when(col("__rk") === expr("(__n + 1) div 2"), col("__gap")))
+          .as("median_gap_us"),
+        max(when(col("__rk") === expr("(__n + 3) div 4"), col("__gap")))
+          .as("p25_gap_us"),
+        max(when(col("__rk") === expr("(3 * __n + 3) div 4"), col("__gap")))
+          .as("p75_gap_us"))
+      .filter(col("n_gaps") >= minGaps)
+      .withColumn("iqr_us", col("p75_gap_us") - col("p25_gap_us"))
+      .withColumn("regularity_permille",
+        when(col("median_gap_us") > 0,
+          lit(1000L) - least(lit(1000L),
+            expr("(iqr_us * 1000) div median_gap_us")))
+          .otherwise(lit(1000L)))
+  }
+
+  /** Half-life-decayed activity counts — the freshness-weighted
+    * popularity every trending/ranking surface needs ("what is hot
+    * NOW, not what was hot all year"), in EXACT integers: the decay
+    * factor is quantized to whole half-lives, so each event's weight
+    * is `unit div 2^age_halflives` — a floor division by a power of
+    * two, bit-identical on any engine, rather than the float
+    * `exp(-λ·age)` whose last ulp differs across libm builds. The
+    * quantization (step decay, not smooth) is the stated deviation;
+    * within a half-life every event weighs the same. The anchor is
+    * the corpus max timestamp (1-row broadcast), so the result is a
+    * pure function of the data. `freshness_permille` =
+    * decayed·1000 div (n·unit) compresses the profile to "how recent
+    * is this type's activity" (1000 = all within one half-life).
+    *
+    * Shape: one scan-side projection (age → shift → weight, all
+    * codegen'd), one type-keyed aggregate, the 1-row anchor
+    * broadcast. Shifts clamp at 62 half-lives (weight 0 beyond —
+    * 2^63 territory, stated). */
+  def decayedCounts(events: DataFrame, halfLifeDays: Int = 7,
+                    unit: Long = 1000000L): DataFrame = {
+    require(halfLifeDays > 0, "half-life must be positive")
+    require(unit > 0, "unit must be positive")
+    val hlUs = halfLifeDays * 86400L * 1000000L
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("__anchor"))
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("__us"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("__age",
+        least(expr(s"(__anchor - __us) div ${hlUs}L"), lit(62L)).cast("int"))
+      .withColumn("__w", expr(s"${unit}L div shiftleft(1L, __age)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).as("decayed_units"))
+      .withColumn("freshness_permille",
+        expr(s"(decayed_units * 1000) div (n_events * ${unit}L)"))
+  }
+
   /** Market-basket association rules over sessionized traffic
     * (Agrawal, Imieliński & Swami, SIGMOD 1993 — the support /
     * confidence / lift triple): baskets are sessions ([[sessionize]]'s

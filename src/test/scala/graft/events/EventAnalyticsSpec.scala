@@ -169,6 +169,74 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("cadenceProfile: metronome user scores 1000, bursty user 0, short drops") {
+    val d = df(schema,
+      // user 1: perfect 10-minute timer -> iqr 0 -> regularity 1000
+      ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1), ev(4, 30, 1),
+      // user 2: gaps 1m, 10m, 100m -> median 600e6, iqr clamps -> 0
+      ev(5, 0, 2), ev(6, 1, 2), ev(7, 11, 2), ev(8, 111, 2),
+      // user 3: one gap only -> below minGaps, excluded
+      ev(9, 0, 3), ev(10, 5, 3))
+    val out = EventAnalytics.cadenceProfile(d, minGaps = 3)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L).getAs[Long]("median_gap_us") shouldBe 600000000L
+    out(1L).getAs[Long]("iqr_us") shouldBe 0L
+    out(1L).getAs[Long]("regularity_permille") shouldBe 1000L
+    out(2L).getAs[Long]("p25_gap_us") shouldBe 60000000L
+    out(2L).getAs[Long]("median_gap_us") shouldBe 600000000L
+    out(2L).getAs[Long]("p75_gap_us") shouldBe 6000000000L
+    out(2L).getAs[Long]("regularity_permille") shouldBe 0L
+  }
+
+  test("cadenceProfile: rank conventions on even counts; invariance") {
+    // 5 events -> 4 gaps: 1m, 2m, 3m, 10m (minutes 0,1,3,6,16)
+    // median rank (4+1) div 2 = 2 -> 2m; p25 rank (4+3) div 4 = 1 -> 1m;
+    // p75 rank (12+3) div 4 = 3 -> 3m; iqr = 2m
+    val d = df(schema,
+      ev(1, 0, 1), ev(2, 1, 1), ev(3, 3, 1), ev(4, 6, 1), ev(5, 16, 1))
+    val out = EventAnalytics.cadenceProfile(d, minGaps = 3).collect().head
+    out.getAs[Long]("median_gap_us") shouldBe 120000000L
+    out.getAs[Long]("p25_gap_us") shouldBe 60000000L
+    out.getAs[Long]("p75_gap_us") shouldBe 180000000L
+    // regularity = 1000 - (120e6 * 1000) div 120e6 = 0
+    out.getAs[Long]("regularity_permille") shouldBe 0L
+    val big = df(schema, (1 to 60).map(i =>
+      ev(i.toLong, (i * i % 97).toLong, i % 4L)): _*)
+    assertSameRows(EventAnalytics.cadenceProfile(big, minGaps = 2),
+      EventAnalytics.cadenceProfile(big.repartition(7), minGaps = 2))
+  }
+
+  test("decayedCounts: whole-half-life power-of-2 weights, anchored at max ts") {
+    // half-life 1 day = 1440 minutes. Anchor = minute 4320 (day 3).
+    // ages in whole half-lives: 0d->3, 1d->2, 2d->1, 3d->0
+    // weights: 125000, 250000, 500000, 1000000
+    val d = df(schema,
+      ev(1, 0, 1, "a"), ev(2, 1440, 1, "a"),
+      ev(3, 2880, 1, "a"), ev(4, 4320, 1, "a"),
+      ev(5, 4320, 2, "b"))
+    val out = EventAnalytics.decayedCounts(d, halfLifeDays = 1)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("decayed_units"),
+         r.getAs[Long]("freshness_permille"))).toMap
+    out("a") shouldBe ((4L, 1875000L, 468L)) // 1875000*1000 div 4000000
+    out("b") shouldBe ((1L, 1000000L, 1000L)) // all within one half-life
+  }
+
+  test("decayedCounts: ancient events clamp to zero weight; invariance") {
+    // 63+ half-lives at 1-day half-life: weight = 1000000 div 2^62 = 0
+    val d = df(schema,
+      ev(1, 0, 1, "a"), ev(2, 100L * 1440L, 1, "a"))
+    val out = EventAnalytics.decayedCounts(d, halfLifeDays = 1)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("decayed_units")).toMap
+    out("a") shouldBe 1000000L // only the anchor event survives
+    val big = df(schema, (1 to 50).map(i =>
+      ev(i.toLong, i * 700L, i % 3L, s"t${i % 4}")): _*)
+    assertSameRows(EventAnalytics.decayedCounts(big, halfLifeDays = 1),
+      EventAnalytics.decayedCounts(big.repartition(7), halfLifeDays = 1))
+  }
+
   test("associationRules: hand-computed support/confidence/lift; session baskets") {
     // 4 sessions (users 1-4, one each): {a,b}, {a,b}, {a}, {b,c}
     // s(a)=3, s(b)=3, s(c)=1, s(ab)=2, n=4
