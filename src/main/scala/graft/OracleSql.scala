@@ -1608,6 +1608,47 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q171 twin of [[graft.events.EventAnalytics.seasonalNaiveBacktest]]:
+    * same daily pre-aggregate, same (type, day = prior + 7) join and
+    * integer error rollup. */
+  val q171_seasonal_naive: String = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS actual
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.actual, f.actual AS forecast
+  FROM d a JOIN d f ON a.event_type = f.event_type AND a.day = f.day + 7)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+  CAST(sum(abs(actual - forecast)) AS BIGINT) AS total_abs_err,
+  CAST(sum(actual - forecast) AS BIGINT) AS total_bias,
+  CAST(sum(actual) AS BIGINT) AS total_actual,
+  CAST((sum(abs(actual - forecast)) * 1000) // count(*) AS BIGINT)
+    AS mae_milli,
+  CAST((sum(abs(actual - forecast)) * 1000) // sum(actual) AS BIGINT)
+    AS wape_permille
+FROM j GROUP BY 1 ORDER BY event_type"""
+
+  /** q170 twin of [[graft.analytics.Profiling.lorenzCurve]]: the q129
+    * domain formula, the same counts-of-counts frame and cumulative
+    * window over distinct size values only. */
+  val q170_lorenz: String = """
+WITH c AS (
+  SELECT 'd' || CAST((doc_id * doc_id) % 41 AS VARCHAR) AS domain,
+    count(*) AS size
+  FROM documents GROUP BY 1),
+bv AS (SELECT size, count(*) AS n_groups FROM c GROUP BY 1),
+t AS (SELECT sum(n_groups) AS ng, sum(size * n_groups) AS nr FROM bv)
+SELECT size, CAST(n_groups AS BIGINT) AS n_groups,
+  CAST(sum(n_groups) OVER w AS BIGINT) AS cum_groups,
+  CAST(sum(size * n_groups) OVER w AS BIGINT) AS cum_rows,
+  CAST((sum(n_groups) OVER w * 1000) // (SELECT ng FROM t) AS BIGINT)
+    AS cum_groups_permille,
+  CAST((sum(size * n_groups) OVER w * 1000) // (SELECT nr FROM t) AS BIGINT)
+    AS cum_rows_permille
+FROM bv
+WINDOW w AS (ORDER BY size ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY size"""
+
   /** q169 twin of [[graft.events.EventAnalytics.cadenceProfile]]:
     * identical (ts, event_id) gap lag, the same stated rank
     * conventions (lower median, ceil quartiles), same floor-div
@@ -3779,6 +3820,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q167_bm25_search" -> q167_bm25_search,
     "q168_decayed_counts" -> q168_decayed_counts,
     "q169_cadence" -> q169_cadence,
+    "q170_lorenz" -> q170_lorenz,
+    "q171_seasonal_naive" -> q171_seasonal_naive,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

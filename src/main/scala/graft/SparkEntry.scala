@@ -920,6 +920,25 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Seasonal-naive backtest: forecast = same weekday last week,
+    // exact MAE/bias/WAPE per event type over the scored days.
+    "q171_seasonal_naive" -> ((s, dir) =>
+      graft.events.EventAnalytics.seasonalNaiveBacktest(
+          Tables.events(s, dir), seasonDays = 7)
+        .orderBy(col("event_type"))),
+
+    // Exact discrete Lorenz curve over the q129 synthetic domains:
+    // one point per distinct size value, cumulative permille shares.
+    "q170_lorenz" -> ((s, dir) => {
+      val id = col("doc_id")
+      graft.analytics.Profiling.lorenzCurve(
+          Tables.documents(s, dir)
+            .select(concat(lit("d"), ((id * id) % 41).cast("string"))
+              .as("domain")),
+          "domain")
+        .orderBy(col("size"))
+    }),
+
     // Inter-arrival cadence profile: exact order-statistic gaps per
     // user; regularity_permille near 1000 = scripted-timer traffic.
     "q169_cadence" -> ((s, dir) =>

@@ -324,6 +324,32 @@ object Profiling {
         expr("(__cmax * 1000) div __t").as("top_share_permille"))
   }
 
+  /** Exact discrete Lorenz curve over group sizes — the CURVE behind
+    * [[concentration]]'s Gini scalar (the audit plots it; the Gini is
+    * twice the area above it): one point per DISTINCT group-size
+    * value, ascending, with cumulative group and row shares in exact
+    * integer permille. Same counts-of-counts identity and the same
+    * scale argument: every window here ranges over distinct SIZE
+    * VALUES (bounded by the largest group), never over groups or
+    * rows. Reading the tail: cum_rows_permille at the last few points
+    * is "the top k size-classes hold X permille of the corpus". */
+  def lorenzCurve(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("size"))
+    val byVal = counts.groupBy(col("size")).agg(count(lit(1)).as("n_groups"))
+    val w = Window.orderBy(col("size"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byVal.agg(sum(col("n_groups")).as("__ng"),
+      sum(col("size") * col("n_groups")).as("__nr"))
+    byVal
+      .withColumn("cum_groups", sum(col("n_groups")).over(w))
+      .withColumn("cum_rows", sum(col("size") * col("n_groups")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("size"), col("n_groups"), col("cum_groups"),
+        col("cum_rows"),
+        expr("(cum_groups * 1000) div __ng").as("cum_groups_permille"),
+        expr("(cum_rows * 1000) div __nr").as("cum_rows_permille"))
+  }
+
   def ksDrift(base: DataFrame, incoming: DataFrame,
               valueCol: String): DataFrame = {
     val v = col(valueCol)

@@ -213,6 +213,40 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every capacity /
+    * anomaly forecast must beat (Hyndman & Athanasopoulos, fpp3 §5.2:
+    * "forecast = the value one season ago"), scored over the
+    * history: daily counts per type, forecast(d) = actual(d −
+    * season), and the exact error rollup — total absolute error,
+    * signed bias, MAE in milli-events, and WAPE permille (the
+    * scale-free one to alert on). Only days WITH a season-prior
+    * observation are scored (inner join, stated — no zero-filled
+    * phantom errors); all integers, no floats.
+    *
+    * Shape: one (type, day) pre-aggregate — the join and everything
+    * after runs on type×day rows, never events; the self-join is
+    * keyed on (type, shifted day). */
+  def seasonalNaiveBacktest(events: DataFrame,
+                            seasonDays: Int = 7): DataFrame = {
+    require(seasonDays > 0, "season must be positive")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).as("actual"))
+    val lagged = daily.select(col("event_type"),
+      date_add(col("__day"), seasonDays).as("__day"),
+      col("actual").as("forecast"))
+    daily.join(lagged, Seq("event_type", "__day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(abs(col("actual") - col("forecast"))).as("total_abs_err"),
+        sum(col("actual") - col("forecast")).as("total_bias"),
+        sum(col("actual")).as("total_actual"))
+      .withColumn("mae_milli",
+        expr("(total_abs_err * 1000) div n_days_scored"))
+      .withColumn("wape_permille",
+        expr("(total_abs_err * 1000) div total_actual"))
+  }
+
   /** Inter-arrival cadence profile — the bot fingerprint next to the
     * transition matrix: scripted traffic fires on a timer, so its
     * inter-event gaps are NEAR-CONSTANT (tiny IQR relative to the

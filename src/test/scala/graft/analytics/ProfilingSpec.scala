@@ -242,6 +242,29 @@ class ProfilingSpec extends SparkSpec {
     plan should not include "Union"
   }
 
+  test("lorenzCurve: cumulative shares per distinct size, exact permille") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", StringType)))
+    // sizes: a=1, b=1, c=2, d=4 -> points at 1, 2, 4; ng=4, nr=8
+    val d = df(schema, (Seq("a", "b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).map(Row(_)): _*)
+    val out = Profiling.lorenzCurve(d, "g").collect()
+      .map(r => r.getAs[Long]("size") ->
+        (r.getAs[Long]("cum_groups"), r.getAs[Long]("cum_rows"),
+         r.getAs[Long]("cum_groups_permille"), r.getAs[Long]("cum_rows_permille")))
+      .toMap
+    out(1L) shouldBe ((2L, 2L, 500L, 250L))
+    out(2L) shouldBe ((3L, 4L, 750L, 500L))
+    out(4L) shouldBe ((4L, 8L, 1000L, 1000L))
+    // uniform distribution: one point, both shares 1000 (the diagonal)
+    val u = df(schema, Seq("x", "x", "y", "y").map(Row(_)): _*)
+    val up = Profiling.lorenzCurve(u, "g").collect()
+    up should have length 1
+    up.head.getAs[Long]("cum_groups_permille") shouldBe 1000L
+    up.head.getAs[Long]("cum_rows_permille") shouldBe 1000L
+  }
+
   test("pivotMatrix: explicit universe fixes schema; absent cells are 0") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

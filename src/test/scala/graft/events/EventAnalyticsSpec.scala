@@ -169,6 +169,35 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("seasonalNaiveBacktest: exact MAE/bias/WAPE; unscored days dropped") {
+    // daily counts via one event per count unit, minutes spread out.
+    // days 1..7 have 1,2,3,4,5,6,7 events; day 8 has 10; day 9 has 20.
+    // scored: day8 (forecast day1=1, err 9), day9 (forecast day2=2, err 18)
+    def burst(day: Int, n: Int, base: Int) =
+      (0 until n).map(i => ev((base + i).toLong, day * 1440L + i, 1, "a"))
+    val rows = (1 to 7).flatMap(d => burst(d, d, d * 100)) ++
+      burst(8, 10, 900) ++ burst(9, 20, 1000)
+    val out = EventAnalytics.seasonalNaiveBacktest(df(schema, rows: _*),
+        seasonDays = 7)
+      .collect().head
+    out.getAs[Long]("n_days_scored") shouldBe 2L
+    out.getAs[Long]("total_abs_err") shouldBe 27L
+    out.getAs[Long]("total_bias") shouldBe 27L
+    out.getAs[Long]("total_actual") shouldBe 30L
+    out.getAs[Long]("mae_milli") shouldBe 13500L
+    out.getAs[Long]("wape_permille") shouldBe 900L
+  }
+
+  test("seasonalNaiveBacktest: per-type isolation and partitioning invariance") {
+    val rows = (1 to 40).map(i =>
+      ev(i.toLong, ((i / 2) % 10) * 1440L + i, 1, if (i % 2 == 0) "a" else "b"))
+    val d = df(schema, rows: _*)
+    val a = EventAnalytics.seasonalNaiveBacktest(d)
+    val b = EventAnalytics.seasonalNaiveBacktest(d.repartition(7))
+    assertSameRows(a, b)
+    a.collect().map(_.getAs[String]("event_type")).toSet shouldBe Set("a", "b")
+  }
+
   test("cadenceProfile: metronome user scores 1000, bursty user 0, short drops") {
     val d = df(schema,
       // user 1: perfect 10-minute timer -> iqr 0 -> regularity 1000
