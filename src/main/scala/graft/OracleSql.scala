@@ -1608,6 +1608,34 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q172 twin of [[graft.graph.LinkGraph.kCore]]: the undirected
+    * closure then three peel rounds unrolled — degree filter + both
+    * endpoint prunes per round, identical cascade semantics. */
+  val q172_kcore: String = """
+WITH e0d AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'p' || CAST(doc_id % 211 AS VARCHAR)
+    FROM documents WHERE doc_id % 7 = 0)
+  WHERE src <> dst),
+e0 AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0d UNION ALL SELECT dst, src FROM e0d)),
+k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+e1 AS (SELECT e.src, e.dst FROM e0 e
+       JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+e2 AS (SELECT e.src, e.dst FROM e1 e
+       JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
+e3 AS (SELECT e.src, e.dst FROM e2 e
+       JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM e3 GROUP BY 1 ORDER BY node"""
+
   /** q171 twin of [[graft.events.EventAnalytics.seasonalNaiveBacktest]]:
     * same daily pre-aggregate, same (type, day = prior + 7) join and
     * integer error rollup. */
@@ -3822,6 +3850,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q169_cadence" -> q169_cadence,
     "q170_lorenz" -> q170_lorenz,
     "q171_seasonal_naive" -> q171_seasonal_naive,
+    "q172_kcore" -> q172_kcore,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

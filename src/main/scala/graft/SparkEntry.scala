@@ -920,6 +920,22 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // 3-core by iterative peeling over a core+periphery fixture: the
+    // dense q124 core plus a sparse 'p' fringe (every 7th doc) that
+    // peels away at sf0.01; 3 unrolled prune rounds.
+    "q172_kcore" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(p: String, e: Column) = concat(lit(p), e.cast("string"))
+      val core = docs.select(dom("d", id % 23).as("src"),
+        dom("d", (id * 3 + 1) % 29).as("dst"))
+      val fringe = docs.filter(id % 7 === 0)
+        .select(dom("d", id % 23).as("src"), dom("p", id % 211).as("dst"))
+      graft.graph.LinkGraph.kCore(core.unionAll(fringe), "src", "dst",
+          k = 3, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     // Seasonal-naive backtest: forecast = same weekday last week,
     // exact MAE/bias/WAPE per event type over the scored days.
     "q171_seasonal_naive" -> ((s, dir) =>

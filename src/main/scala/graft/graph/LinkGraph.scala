@@ -462,6 +462,52 @@ object LinkGraph {
       .select(col("node"), col("community"), col("community_size"))
   }
 
+  /** k-core decomposition by iterative pruning (Seidman, Social
+    * Networks 1983; the standard peeling algorithm) — the cohesion
+    * filter next to components/LPA: the k-core is the maximal
+    * subgraph where EVERY node keeps ≥ k neighbors inside it, the
+    * "dense kernel" crawl prioritization and spam-farm analysis both
+    * read (a link farm's core survives high k; organic periphery
+    * peels away). Undirected closure; each round recomputes degrees
+    * over the SURVIVING subgraph and drops nodes below k — degrees
+    * cascade, which is why one degree filter is not enough and the
+    * fixed point is the spec.
+    *
+    * Fixed `rounds` horizon, not convergence polling — the output is
+    * a pure function of (edges, k, rounds) on any engine; peeling
+    * converges when a round removes nothing, and each round removes
+    * ≥ 1 node until convergence, so rounds ≥ the peel depth of the
+    * graph guarantees the true k-core (the spec pins a cascade that
+    * needs every round it is given). Returns survivors as
+    * (node, core_degree).
+    *
+    * Shape per round: one degree partial-agg + TWO semi-join prunes
+    * (src side, dst side) — all keyed on node; `materialize` is the
+    * lineage-cut hook, as in [[pagerank]], and matters more here
+    * because the edge frame itself iterates. */
+  def kCore(edges: DataFrame, src: String, dst: String,
+            k: Int = 3, rounds: Int = 3,
+            materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val dir = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+    var e = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("src"))
+      e = materialize(
+        e.join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select(col("src"), col("dst")))
+    }
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Co-citation similarity (Small, JASIS 1973) — "related pages"
     * from link structure alone: two nodes are similar when the same
     * third pages link to BOTH (the recommendation/related-domain

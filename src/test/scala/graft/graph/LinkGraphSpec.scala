@@ -352,6 +352,41 @@ class LinkGraphSpec extends SparkSpec {
     star("c") shouldBe "x"
   }
 
+  test("kCore: peeling cascades — one degree filter is NOT enough") {
+    // path a-b-c-d-e with k=2: every interior node has degree 2, but
+    // peeling the endpoints drops b and d to degree 1, then c to 0 —
+    // the 2-core is EMPTY, and it takes all three rounds to get there.
+    val path = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    LinkGraph.kCore(path, "src", "dst", k = 2, rounds = 3)
+      .count() shouldBe 0L
+    // after only ONE round, b-c-d still look like a path: not empty —
+    // pinning that the cascade, not the first filter, is the operator
+    LinkGraph.kCore(path, "src", "dst", k = 2, rounds = 1)
+      .count() should be > 0L
+    // a triangle IS its own 2-core: stable at any horizon
+    val tri = edges("x" -> "y", "y" -> "z", "z" -> "x")
+    val out = LinkGraph.kCore(tri, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[Long]("core_degree")).toMap
+    out shouldBe Map("x" -> 2L, "y" -> 2L, "z" -> 2L)
+  }
+
+  test("kCore: core survives, pendant fringe peels; invariance") {
+    // K4 core with a pendant chain hanging off a1
+    def clique(ns: Seq[String]) =
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val g = edges(clique(Seq("a1", "a2", "a3", "a4")) ++
+      Seq("a1" -> "t1", "t1" -> "t2"): _*)
+    val out = LinkGraph.kCore(g, "src", "dst", k = 3, rounds = 3)
+      .collect().map(_.getAs[String]("node")).toSet
+    out shouldBe Set("a1", "a2", "a3", "a4")
+    val pairs = (0 until 150).map(i => (s"n${i % 19}", s"n${(5 * i + 2) % 23}"))
+    val base = edges(pairs: _*)
+    assertSameRows(
+      LinkGraph.kCore(base, "src", "dst", k = 4, rounds = 3),
+      LinkGraph.kCore(base.repartition(7), "src", "dst", k = 4, rounds = 3))
+  }
+
   test("coCitation: hand-computed common citers and Jaccard permille") {
     // citers x,y both link a and b; z links only a.
     // in(a) = {x,y,z} = 3, in(b) = {x,y} = 2, common = 2
