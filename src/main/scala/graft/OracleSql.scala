@@ -1608,6 +1608,30 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q173 twin of [[graft.text.TextAnalysis.encodingAudit]]: the same
+    * seeded corruption (chr() for the non-printable halves), the same
+    * explicit alternation and RE2 \x{} C1 class. */
+  val q173_encoding_audit: String = """
+WITH seeded AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0 THEN ' Ã©â€™' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN 'Â ' || chr(133) ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN chr(65533) || chr(65533) ELSE '' END
+    AS text
+  FROM documents),
+a AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, chr(65533))) AS n_replacement,
+    len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|â€™|â€œ|Â ')) AS n_mojibake,
+    len(regexp_extract_all(text, '[\x{0080}-\x{009F}]')) AS n_c1_controls
+  FROM seeded)
+SELECT doc_id, CAST(n_replacement AS BIGINT) AS n_replacement,
+  CAST(n_mojibake AS BIGINT) AS n_mojibake,
+  CAST(n_c1_controls AS BIGINT) AS n_c1_controls,
+  (n_replacement + n_mojibake + n_c1_controls > 0) AS suspect
+FROM a WHERE n_replacement + n_mojibake + n_c1_controls > 0
+ORDER BY doc_id"""
+
   /** q172 twin of [[graft.graph.LinkGraph.kCore]]: the undirected
     * closure then three peel rounds unrolled — degree filter + both
     * endpoint prunes per round, identical cascade semantics. */
@@ -3851,6 +3875,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q170_lorenz" -> q170_lorenz,
     "q171_seasonal_naive" -> q171_seasonal_naive,
     "q172_kcore" -> q172_kcore,
+    "q173_encoding_audit" -> q173_encoding_audit,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,20 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Encoding-artifact audit over deterministically seeded mojibake
+    // (every 7th/11th/13th doc gets cp1252-, latin1-, and U+FFFD-
+    // class corruption); suspects only, all three counters exact.
+    "q173_encoding_audit" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" Ã©â€™")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("Â ")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("��")).otherwise(lit(""))))
+      graft.text.TextAnalysis.encodingAudit(seeded)
+        .filter(col("suspect"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 3-core by iterative peeling over a core+periphery fixture: the
     // dense q124 core plus a sparse 'p' fringe (every 7th doc) that
     // peels away at sf0.01; 3 unrolled prune rounds.

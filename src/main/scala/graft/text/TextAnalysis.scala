@@ -301,6 +301,34 @@ object TextAnalysis {
         (min(col("pos")) + 1).cast("long").as("first_pos"))
   }
 
+  /** Encoding-artifact audit — the mojibake detector every web-crawl
+    * cleanup runs before training (double-decoded UTF-8 is the most
+    * common corruption in CommonCrawl-lineage corpora): per doc,
+    * counts of (a) U+FFFD replacement characters (the decoder already
+    * gave up), (b) classic UTF-8-read-as-cp1252 sequences (Ã©, â€™
+    * and friends — a fixed explicit alternation, no locale-dependent
+    * classes), (c) C1 control characters U+0080–U+009F (the
+    * UTF-8-read-as-latin1 residue — never legitimate in text). All
+    * three are codegen'd regexp counts over the scan — text never
+    * shuffles; `suspect` = any hit. False-positive note: genuine
+    * French/Portuguese text can contain 'Ã ' pairs — the alternation
+    * sticks to sequences (Ã + specific continuation) that are
+    * overwhelmingly artifacts, and the audit REPORTS, it never
+    * deletes. */
+  def encodingAudit(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit("�"), lit(0)))
+        .cast("long").as("n_replacement"),
+      size(regexp_extract_all(col(textCol),
+          lit("Ã©|Ã¨|Ã¼|â€™|â€œ|Â "), lit(0)))
+        .cast("long").as("n_mojibake"),
+      size(regexp_extract_all(col(textCol),
+          lit("[\\x{0080}-\\x{009F}]"), lit(0)))
+        .cast("long").as("n_c1_controls"))
+      .withColumn("suspect",
+        col("n_replacement") + col("n_mojibake") + col("n_c1_controls") > 0)
+
   /** BM25 keyword retrieval (Robertson & Zaragoza, FnTIR 2009) in an
     * EXACT-integer variant — the ranking baseline behind every
     * training-corpus search/canary/contamination probe, made

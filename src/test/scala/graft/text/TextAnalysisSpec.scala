@@ -331,6 +331,22 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(r1, r9)
   }
 
+  test("encodingAudit: counts each artifact class; clean text is clean") {
+    val d = docs(
+      1L -> "perfectly clean ascii text",
+      2L -> "broken � twice � here",
+      3L -> "cafÃ© and â€™quotedâ€™",   // Ã© + â€™ ×2
+      4L -> "nel\u0085and del\u009Fresidue")
+    val out = TextAnalysis.encodingAudit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_replacement"), r.getAs[Long]("n_mojibake"),
+         r.getAs[Long]("n_c1_controls"), r.getAs[Boolean]("suspect"))).toMap
+    out(1L) shouldBe ((0L, 0L, 0L, false))
+    out(2L) shouldBe ((2L, 0L, 0L, true))
+    out(3L) shouldBe ((0L, 3L, 0L, true))
+    out(4L) shouldBe ((0L, 0L, 2L, true))
+  }
+
   test("bm25Search: hand-computed integer score; common terms contribute 0") {
     // 10 docs, dl=3 each: N=10, L=30, A=3. 'rare' df=1:
     // ratio=(20-2+1) div 3 = 6, idf=floor(log2 6)=2,
