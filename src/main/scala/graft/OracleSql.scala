@@ -1608,6 +1608,36 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q174 twin of [[graft.analytics.Indicators.candlestickScreen]]:
+    * the barsCte, the same per-day source dedup, lag, and
+    * multiply-never-divide rational comparisons. */
+  val q174_candlesticks: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, open, high, low, close FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, date
+      ORDER BY data_source, row_id) AS rn
+    FROM merged WHERE open IS NOT NULL)
+  WHERE rn = 1),
+lagged AS (
+  SELECT symbol, date, open, high, low, close,
+    lag(open) OVER (PARTITION BY symbol ORDER BY date) AS po,
+    lag(close) OVER (PARTITION BY symbol ORDER BY date) AS pc
+  FROM daily),
+flags AS (
+  SELECT symbol, date,
+    (high - low > 0 AND abs(close - open) * 10 <= high - low) AS doji,
+    (high - low > 0
+     AND least(open, close) - low >= abs(close - open) * 2
+     AND high - greatest(open, close) <= abs(close - open)) AS hammer,
+    (pc IS NOT NULL AND pc < po AND close - open > 0
+     AND open <= pc AND close >= po) AS bullish_engulf,
+    (pc IS NOT NULL AND pc > po AND close - open < 0
+     AND open >= pc AND close <= po) AS bearish_engulf
+  FROM lagged)
+SELECT * FROM flags
+WHERE doji OR hammer OR bullish_engulf OR bearish_engulf
+ORDER BY symbol, date"""
+
   /** q173 twin of [[graft.text.TextAnalysis.encodingAudit]]: the same
     * seeded corruption (chr() for the non-printable halves), the same
     * explicit alternation and RE2 \x{} C1 class. */
@@ -3876,6 +3906,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q171_seasonal_naive" -> q171_seasonal_naive,
     "q172_kcore" -> q172_kcore,
     "q173_encoding_audit" -> q173_encoding_audit,
+    "q174_candlesticks" -> q174_candlesticks,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

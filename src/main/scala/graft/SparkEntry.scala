@@ -920,6 +920,24 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Candlestick pattern screen on per-day OHLC (alpha_vantage row
+    // preferred on multi-source days): doji / hammer / engulfing
+    // flags from exact rational comparisons; matches only.
+    "q174_candlesticks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol"), col("date"))
+        .orderBy(col("data_source"), col("row_id"))
+      val daily = mergedBars(s, dir)
+        .filter(col("open").isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("symbol", "date", "open", "high", "low", "close")
+      graft.analytics.Indicators.candlestickScreen(daily)
+        .filter(col("doji") || col("hammer") ||
+          col("bullish_engulf") || col("bearish_engulf"))
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // Encoding-artifact audit over deterministically seeded mojibake
     // (every 7th/11th/13th doc gets cp1252-, latin1-, and U+FFFD-
     // class corruption); suspects only, all three counters exact.

@@ -140,4 +140,43 @@ object Indicators {
       }
       .toDF()
   }
+
+  /** Candlestick pattern screen (Nison, *Japanese Candlestick
+    * Charting Techniques* 1991) — the OHLC-shape complement to the
+    * numeric indicators: per (symbol, day) flags for doji (body ≤
+    * 1/10 of range), hammer (lower shadow ≥ 2×body, upper ≤ body),
+    * and bullish/bearish engulfing (today's body straddles
+    * yesterday's, opposite sign). Thresholds are exact rational
+    * comparisons on the bar doubles (|body|·10 ≤ range etc. —
+    * multiply, never divide, so no float rounding enters a
+    * BOOLEAN), which the q01 chain keeps integer-valued — pattern
+    * flags are bit-stable cross-engine.
+    *
+    * Input contract: ONE row per (symbol, date) with open, high,
+    * low, close (pre-dedup multi-source days first — the caller
+    * picks the source, the screen doesn't guess).
+    *
+    * Shape: one symbol-keyed window (the lag for engulfing) riding
+    * the same (symbol, date) ordering as every other indicator; all
+    * flags are codegen'd comparisons. */
+  def candlestickScreen(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val body = col("close") - col("open")
+    val range = col("high") - col("low")
+    val upper = col("high") - greatest(col("open"), col("close"))
+    val lower = least(col("open"), col("close")) - col("low")
+    daily
+      .withColumn("__po", lag(col("open"), 1).over(w))
+      .withColumn("__pc", lag(col("close"), 1).over(w))
+      .select(col("symbol"), col("date"),
+        (range > 0 && abs(body) * 10 <= range).as("doji"),
+        (range > 0 && lower >= abs(body) * 2 && upper <= abs(body))
+          .as("hammer"),
+        (col("__pc").isNotNull && col("__pc") < col("__po") &&
+          body > 0 && col("open") <= col("__pc") &&
+          col("close") >= col("__po")).as("bullish_engulf"),
+        (col("__pc").isNotNull && col("__pc") > col("__po") &&
+          body < 0 && col("open") >= col("__pc") &&
+          col("close") <= col("__po")).as("bearish_engulf"))
+  }
 }

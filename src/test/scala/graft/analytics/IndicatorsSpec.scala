@@ -99,4 +99,42 @@ class IndicatorsSpec extends SparkSpec {
     // B's series must not leak A's state: B starts at its own seed
     a.filter(_._1 == "B").head._3 shouldBe 199.0
   }
+
+  private val ohlcSchema = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("open", DoubleType, nullable = false),
+    StructField("high", DoubleType, nullable = false),
+    StructField("low", DoubleType, nullable = false),
+    StructField("close", DoubleType, nullable = false)))
+
+  test("candlestickScreen: doji, hammer, and both engulfing flags by hand") {
+    val d = df(ohlcSchema,
+      // day1: down candle (105 -> 100)
+      Row("A", day(1), 105.0, 106.0, 99.0, 100.0),
+      // day2: bullish engulfing of day1 (99 -> 106 straddles 100-105)
+      Row("A", day(2), 99.0, 107.0, 98.0, 106.0),
+      // day3: bearish engulfing of day2 (107 -> 98 straddles 99-106)
+      Row("A", day(3), 107.0, 108.0, 97.0, 98.0),
+      // day4: doji — body 1 vs range 20
+      Row("A", day(4), 100.0, 110.0, 90.0, 101.0),
+      // day5: hammer — lower 10 >= 2*body 4, upper 1 <= body 2
+      Row("A", day(5), 100.0, 103.0, 90.0, 102.0))
+    val out = Indicators.candlestickScreen(d).collect()
+      .map(r => r.getAs[java.sql.Date]("date").toString ->
+        (r.getAs[Boolean]("doji"), r.getAs[Boolean]("hammer"),
+         r.getAs[Boolean]("bullish_engulf"), r.getAs[Boolean]("bearish_engulf")))
+      .toMap
+    out("2024-01-01") shouldBe ((false, false, false, false)) // no prior day
+    out("2024-01-02") shouldBe ((false, false, true, false))
+    out("2024-01-03") shouldBe ((false, false, false, true))
+    out("2024-01-04")._1 shouldBe true
+    out("2024-01-05")._2 shouldBe true
+    // engulfing never fires across symbols: first day of B is clean
+    val b = df(ohlcSchema,
+      Row("A", day(1), 105.0, 106.0, 99.0, 100.0),
+      Row("B", day(2), 99.0, 107.0, 98.0, 106.0))
+    Indicators.candlestickScreen(b).collect()
+      .foreach(r => r.getAs[Boolean]("bullish_engulf") shouldBe false)
+  }
 }
