@@ -1608,6 +1608,39 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q175 twin: the q174 CTEs joined with a gain/loss frame whose
+    * weakness test is the exact comparison Σgain < Σloss
+    * (≡ RSI₁₄ < 50) on the same per-day source-deduped bars. */
+  val q175_reversal_screen: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, open, high, low, close FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, date
+      ORDER BY data_source, row_id) AS rn
+    FROM merged WHERE open IS NOT NULL)
+  WHERE rn = 1),
+lagged AS (
+  SELECT symbol, date, open, high, low, close,
+    lag(open) OVER w AS po, lag(close) OVER w AS pc,
+    close - lag(close) OVER w AS diff,
+    row_number() OVER w AS n
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY date)),
+rsi AS (
+  SELECT symbol, date,
+    sum(CASE WHEN diff > 0 THEN diff ELSE 0.0 END) OVER w14 AS sg,
+    sum(CASE WHEN diff < 0 THEN -diff ELSE 0.0 END) OVER w14 AS sl,
+    n
+  FROM lagged
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+flags AS (
+  SELECT symbol, date,
+    (high - low > 0 AND abs(close - open) * 10 <= high - low) AS doji
+  FROM lagged)
+SELECT f.symbol, f.date, f.doji
+FROM flags f JOIN rsi r ON f.symbol = r.symbol AND f.date = r.date
+WHERE f.doji AND r.n >= 15 AND r.sg < r.sl
+ORDER BY f.symbol, f.date"""
+
   /** q174 twin of [[graft.analytics.Indicators.candlestickScreen]]:
     * the barsCte, the same per-day source dedup, lag, and
     * multiply-never-divide rational comparisons. */
@@ -3907,6 +3940,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q172_kcore" -> q172_kcore,
     "q173_encoding_audit" -> q173_encoding_audit,
     "q174_candlesticks" -> q174_candlesticks,
+    "q175_reversal_screen" -> q175_reversal_screen,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,41 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Indecision-at-weakness screen COMPOSED: q174's doji flag ×
+    // RSI₁₄ < 50 expressed exactly as Σgain < Σloss (multiply/compare,
+    // never divide — a float division can't flip the boolean) on the
+    // same per-day source-deduped bars. (Hammer/engulfing never fire
+    // on the synthetic bars — close ≥ open by construction — so doji
+    // is the live pattern; the stricter flags stay in q174.)
+    "q175_reversal_screen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window.partitionBy(col("symbol"), col("date"))
+        .orderBy(col("data_source"), col("row_id"))
+      val daily = mergedBars(s, dir)
+        .filter(col("open").isNotNull)
+        .withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") === 1)
+        .select("symbol", "date", "open", "high", "low", "close")
+      val candles = graft.analytics.Indicators.candlestickScreen(daily)
+      val ws = Window.partitionBy(col("symbol")).orderBy(col("date"))
+      val w14 = ws.rowsBetween(-13, Window.currentRow)
+      val oversold = daily
+        .withColumn("__diff", col("close") - lag(col("close"), 1).over(ws))
+        .withColumn("__gain",
+          when(col("__diff") > 0, col("__diff")).otherwise(lit(0.0)))
+        .withColumn("__loss",
+          when(col("__diff") < 0, -col("__diff")).otherwise(lit(0.0)))
+        .withColumn("__n", row_number().over(ws))
+        .withColumn("__sg", sum(col("__gain")).over(w14))
+        .withColumn("__sl", sum(col("__loss")).over(w14))
+        .select(col("symbol"), col("date"),
+          (col("__n") >= 15 && col("__sg") < col("__sl")).as("weak"))
+      candles.join(oversold, Seq("symbol", "date"))
+        .filter(col("doji") && col("weak"))
+        .select("symbol", "date", "doji")
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // Candlestick pattern screen on per-day OHLC (alpha_vantage row
     // preferred on multi-source days): doji / hammer / engulfing
     // flags from exact rational comparisons; matches only.
