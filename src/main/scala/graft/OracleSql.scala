@@ -1608,6 +1608,44 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q176 twin of [[graft.quality.Validators.referentialAudit]]: the
+    * same cents quantization and ±1-cent tolerance, anti-joins via
+    * NOT EXISTS. */
+  val q176_fk_audit: String = """
+WITH p AS (
+  SELECT o_orderkey AS k,
+    CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,10)), 2)
+      AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+  FROM orders),
+c AS (
+  SELECT l_orderkey AS k,
+    CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(28,10)), 2)
+      AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+  FROM lineitem),
+orphans AS (SELECT count(*) AS v FROM c
+            WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.k = c.k)),
+childless AS (SELECT count(*) AS v FROM p
+              WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.k = p.k)),
+matched AS (SELECT p.k, p.pc, s.sumc
+            FROM p JOIN (SELECT k, sum(cc) AS sumc FROM c GROUP BY 1) s
+            ON p.k = s.k),
+recon AS (SELECT count(*) AS v FROM matched WHERE abs(pc - sumc) > 1),
+rep AS (
+  SELECT 'orphan_children' AS check_name,
+    (SELECT count(*) FROM c) AS n_checked, (SELECT v FROM orphans) AS n_violations
+  UNION ALL
+  SELECT 'childless_parents',
+    (SELECT count(*) FROM p), (SELECT v FROM childless)
+  UNION ALL
+  SELECT 'amount_reconciliation',
+    (SELECT count(*) FROM matched), (SELECT v FROM recon))
+SELECT check_name AS "check", CAST(n_checked AS BIGINT) AS n_checked,
+  CAST(n_violations AS BIGINT) AS n_violations,
+  CAST(CASE WHEN n_checked = 0 THEN 0
+    ELSE (n_violations * 1000) // n_checked END AS BIGINT)
+    AS violation_permille
+FROM rep ORDER BY check_name"""
+
   /** q175 twin: the q174 CTEs joined with a gain/loss frame whose
     * weakness test is the exact comparison Σgain < Σloss
     * (≡ RSI₁₄ < 50) on the same per-day source-deduped bars. */
@@ -3941,6 +3979,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q173_encoding_audit" -> q173_encoding_audit,
     "q174_candlesticks" -> q174_candlesticks,
     "q175_reversal_screen" -> q175_reversal_screen,
+    "q176_fk_audit" -> q176_fk_audit,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,14 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Referential + reconciliation audit orders↔lineitem: orphan
+    // lines, childless orders, and header-vs-line cents mismatches.
+    "q176_fk_audit" -> ((s, dir) =>
+      graft.quality.Validators.referentialAudit(
+          Tables.orders(s, dir), Tables.lineitem(s, dir),
+          "o_orderkey", "l_orderkey", "o_totalprice", "l_extendedprice")
+        .orderBy(col("check"))),
+
     // Indecision-at-weakness screen COMPOSED: q174's doji flag ×
     // RSI₁₄ < 50 expressed exactly as Σgain < Σloss (multiply/compare,
     // never divide — a float division can't flip the boolean) on the

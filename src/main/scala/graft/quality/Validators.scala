@@ -270,4 +270,48 @@ object Validators {
           approx_count_distinct(col(c)).as(s"approx_distinct_$c")))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Referential-integrity + amount-reconciliation audit between a
+    * parent and a child table — the FK checks a warehouse runs after
+    * every load (dbt's relationship tests, Kimball's "orphan fact"
+    * audit): (a) orphan children (FK with no parent — breaks every
+    * parent-side join silently), (b) childless parents (headers with
+    * no lines — usually a partial load), (c) header amounts not equal
+    * to the sum of line amounts. Money compares in EXACT integer
+    * cents (one DECIMAL(18,2) quantization per value, integer sums —
+    * a double Σ would make the violation COUNT depend on accumulation
+    * order), tolerance ±1 cent stated.
+    *
+    * Output: one row per check — (check, n_checked, n_violations,
+    * violation_permille). Shape: two anti-joins + one grouped
+    * equi-join, all keyed on the FK; three 1-row aggregates unioned.
+    * Nothing collected. */
+  def referentialAudit(parent: DataFrame, child: DataFrame,
+                       parentKey: String, childKey: String,
+                       parentAmount: String, childAmount: String): DataFrame = {
+    def cents(c: Column) =
+      (round(c.cast("decimal(28,10)"), 2).cast("decimal(18,2)") * 100)
+        .cast("long")
+    val p = parent.select(col(parentKey).as("__k"),
+      cents(col(parentAmount)).as("__pc"))
+    val c = child.select(col(childKey).as("__k"),
+      cents(col(childAmount)).as("__cc"))
+    def report(name: String, checked: DataFrame, bad: DataFrame) =
+      checked.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(bad.agg(count(lit(1)).as("n_violations")))
+        .select(lit(name).as("check"), col("n_checked"), col("n_violations"),
+          expr("CASE WHEN n_checked = 0 THEN 0 " +
+            "ELSE (n_violations * 1000) div n_checked END")
+            .as("violation_permille"))
+    val orphans = c.join(p.select("__k").distinct(), Seq("__k"), "left_anti")
+    val childless = p.join(c.select("__k").distinct(), Seq("__k"), "left_anti")
+    val recon = p.join(
+        c.groupBy(col("__k")).agg(sum(col("__cc")).as("__sum")),
+        Seq("__k"))
+      .filter(abs(col("__pc") - col("__sum")) > 1)
+    report("orphan_children", c, orphans)
+      .unionByName(report("childless_parents", p, childless))
+      .unionByName(report("amount_reconciliation",
+        p.join(c.select("__k").distinct(), Seq("__k")), recon))
+  }
 }

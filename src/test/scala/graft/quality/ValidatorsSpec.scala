@@ -149,4 +149,31 @@ class ValidatorsSpec extends SparkSpec {
     // and the written data is untouched by the instrumentation
     spark.read.parquet(out).count() shouldBe 4L
   }
+
+  test("referentialAudit: orphans, childless parents, cents reconciliation") {
+    val pSchema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("amount", DoubleType, nullable = false)))
+    val cSchema = StructType(Seq(
+      StructField("fk", LongType, nullable = false),
+      StructField("amount", DoubleType, nullable = false)))
+    val parent = df(pSchema,
+      Row(1L, 10.0),   // reconciles exactly (6 + 4)
+      Row(2L, 5.0),    // child sums to 5.01 — within the 1-cent tolerance
+      Row(3L, 7.0),    // childless
+      Row(4L, 20.0))   // child sums to 10.00 — VIOLATION
+    val child = df(cSchema,
+      Row(1L, 6.0), Row(1L, 4.0),
+      Row(2L, 5.01),
+      Row(4L, 10.0),
+      Row(9L, 1.0))    // orphan
+    val out = Validators.referentialAudit(parent, child,
+        "pk", "fk", "amount", "amount")
+      .collect().map(r => r.getAs[String]("check") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+         r.getAs[Long]("violation_permille"))).toMap
+    out("orphan_children") shouldBe ((5L, 1L, 200L))
+    out("childless_parents") shouldBe ((4L, 1L, 250L))
+    out("amount_reconciliation") shouldBe ((3L, 1L, 333L))
+  }
 }
