@@ -1608,6 +1608,52 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q178 twin of [[graft.events.EventAnalytics.levelShift]]: same
+    * observation frames and cross-multiplied threshold. */
+  val q178_level_shift: String = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, day,
+    row_number() OVER win AS rn,
+    sum(n) OVER (win ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rt,
+    sum(n) OVER (win ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS pt
+  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type, day,
+  CAST(rt AS BIGINT) AS recent_total,
+  CAST(pt AS BIGINT) AS prev_total,
+  CAST((abs(rt - pt) * 1000) // pt AS BIGINT) AS change_permille
+FROM w
+WHERE rn >= 14 AND pt > 0 AND abs(rt - pt) * 1000 > 80 * pt
+ORDER BY event_type, day"""
+
+  /** q177 twin of [[graft.text.TextAnalysis.kwic]]: the q156 postings
+    * construction then inclusive 1-based list_slice windows — the
+    * same clamps Spark's (start, length) slice applies. */
+  val q177_kwic: String = toksCte + """
+, posting AS (
+  SELECT doc_id, p - 1 AS pos, t FROM (
+    SELECT doc_id, unnest(tokens) AS t,
+           generate_subscripts(tokens, 1) AS p
+    FROM toks)
+  WHERE t = 'table'),
+starts AS (
+  SELECT a.doc_id, a.pos
+  FROM posting a JOIN posting b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+ctx AS (
+  SELECT s.doc_id, s.pos + 1 AS pos,
+    COALESCE(array_to_string(list_slice(t.tokens,
+      greatest(s.pos + 1 - 2, 1), s.pos), ' '), '') AS before,
+    COALESCE(array_to_string(list_slice(t.tokens,
+      s.pos + 1, s.pos + 2), ' '), '') AS match,
+    COALESCE(array_to_string(list_slice(t.tokens,
+      s.pos + 3, s.pos + 4), ' '), '') AS after
+  FROM starts s JOIN toks t ON s.doc_id = t.doc_id)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, before, "match", after
+FROM ctx ORDER BY doc_id, pos"""
+
   /** q176 twin of [[graft.quality.Validators.referentialAudit]]: the
     * same cents quantization and ±1-cent tolerance, anti-joins via
     * NOT EXISTS. */
@@ -3980,6 +4026,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q174_candlesticks" -> q174_candlesticks,
     "q175_reversal_screen" -> q175_reversal_screen,
     "q176_fk_audit" -> q176_fk_audit,
+    "q177_kwic" -> q177_kwic,
+    "q178_level_shift" -> q178_level_shift,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,21 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Two-window level-shift monitor: 7-observation frames, flag
+    // days where volume moved > 8% of the prior level (exact
+    // cross-multiplied test; 20 alarm days at sf0.01).
+    "q178_level_shift" -> ((s, dir) =>
+      graft.events.EventAnalytics.levelShift(Tables.events(s, dir),
+          window = 7, thresholdPermille = 80L)
+        .orderBy(col("event_type"), col("day"))),
+
+    // KWIC concordance for the q156 phrase: every overlapping
+    // occurrence with 2 tokens of context either side.
+    "q177_kwic" -> ((s, dir) =>
+      graft.text.TextAnalysis.kwic(Tables.documents(s, dir),
+          "table table", window = 2)
+        .orderBy(col("doc_id"), col("pos"))),
+
     // Referential + reconciliation audit orders↔lineitem: orphan
     // lines, childless orders, and header-vs-line cents mismatches.
     "q176_fk_audit" -> ((s, dir) =>

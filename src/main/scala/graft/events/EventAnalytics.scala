@@ -213,6 +213,43 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Two-window level-shift detector — the volume-monitoring alarm
+    * next to the drift monitors: per (type, day), compare the last
+    * `window` OBSERVATIONS' total against the `window` before
+    * (observation frames, not calendar — the autocorr convention,
+    * stated: a gap day simply doesn't contribute a row) and flag
+    * days where the change exceeds `thresholdPermille` of the prior
+    * level. The test is cross-multiplied — |recent − prev|·1000 >
+    * threshold·prev — exact integers, no division, no floats.
+    * Catches what KS/TV drift (value-distribution) miss: the VOLUME
+    * cliff (a source going dark, a bot wave arriving).
+    *
+    * Shape: one (type, day) pre-aggregate, then ONE type-keyed
+    * window carrying both frame sums and the row counter — three
+    * window columns, one exchange, output bounded by type×day. */
+  def levelShift(events: DataFrame, window: Int = 7,
+                 thresholdPermille: Long = 500L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val recent = w.rowsBetween(-(window - 1), Window.currentRow)
+    val prev = w.rowsBetween(-(2 * window - 1), -window)
+    daily
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("recent_total", sum(col("n")).over(recent))
+      .withColumn("prev_total", sum(col("n")).over(prev))
+      .filter(col("__rn") >= 2 * window && col("prev_total") > 0)
+      .withColumn("change_permille",
+        expr("(abs(recent_total - prev_total) * 1000) div prev_total"))
+      .filter(
+        abs(col("recent_total") - col("prev_total")) * 1000 >
+          lit(thresholdPermille) * col("prev_total"))
+      .select(col("event_type"), col("day"), col("recent_total"),
+        col("prev_total"), col("change_permille"))
+  }
+
   /** Seasonal-naive forecast backtest — the baseline every capacity /
     * anomaly forecast must beat (Hyndman & Athanasopoulos, fpp3 §5.2:
     * "forecast = the value one season ago"), scored over the

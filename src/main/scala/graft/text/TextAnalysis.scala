@@ -383,6 +383,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** KWIC concordance (Keyword In Context — Luhn 1960, the original
+    * IR display primitive): every exact occurrence of `phrase` with
+    * `window` tokens of context either side — what an annotator or a
+    * contamination review actually READS after a q156 hit tells them
+    * a document matches. Same positional-postings plan as
+    * [[phraseSearch]] (postings filtered to the phrase vocabulary —
+    * the scale governor — then k−1 (doc, pos−i) equi-joins); the
+    * context slice then rides ONE doc-keyed join back to the token
+    * arrays (tokens materialized once behind the join, never inside
+    * a re-evaluating lambda). Overlapping occurrences each get their
+    * own row, like phraseSearch counts them.
+    *
+    * Output: (doc_id, pos — 1-based first token of the match,
+    * before, match, after) — strings rebuilt with single spaces (the
+    * tokenizer's canonical form, stated). */
+  def kwic(docs: DataFrame, phrase: String, window: Int = 3,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    val words = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "phrase must contain at least one token")
+    val len = words.size
+    val toked = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__toks"))
+    val postings = toked
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "token")))
+      .where(col("token").isin(words.distinct: _*))
+    def at(i: Int): DataFrame =
+      postings.where(col("token") === words(i))
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    val starts = words.indices.drop(1)
+      .foldLeft(at(0))((acc, i) => acc.join(at(i), Seq("doc_id", "pos")))
+    starts
+      .join(toked, "doc_id")
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        concat_ws(" ", slice(col("__toks"),
+          greatest(col("pos") - window + 1, lit(1)),
+          least(col("pos"), lit(window)))).as("before"),
+        concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(len)))
+          .as("match"),
+        concat_ws(" ", slice(col("__toks"), col("pos") + 1 + len,
+          lit(window))).as("after"))
+  }
+
   /** GPT-2-style pre-tokenizer approximation: contractions, space-
     * prefixed letter runs, digit runs, punctuation runs. Same RE2-safe
     * alternation in both engines, so counts are oracle-checkable.

@@ -169,6 +169,34 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("levelShift: flags the cliff day, exact permille, warmup excluded") {
+    // window 2: days 1-4 have 10 events/day, days 5-6 have 25 —
+    // day 5: recent {10,25}=35 vs prev {10,10}=20 -> +750 permille
+    // day 6: recent {25,25}=50 vs prev {10,10}=20 -> +1500 permille
+    def burst(day: Int, n: Int, base: Int) =
+      (0 until n).map(i => ev((base + i).toLong, day * 1440L + i, 1, "a"))
+    val rows = (1 to 4).flatMap(d => burst(d, 10, d * 100)) ++
+      burst(5, 25, 900) ++ burst(6, 25, 2000)
+    val out = EventAnalytics.levelShift(df(schema, rows: _*), window = 2,
+        thresholdPermille = 500L)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("recent_total"), r.getAs[Long]("prev_total"),
+         r.getAs[Long]("change_permille"))).toMap
+    out.keySet shouldBe Set("1970-01-06", "1970-01-07") // days 5, 6 (epoch+d)
+    out("1970-01-06") shouldBe ((35L, 20L, 750L))
+    out("1970-01-07") shouldBe ((50L, 20L, 1500L))
+    // steady series never alarms, and partitioning doesn't matter
+    val steady = df(schema, (1 to 8).flatMap(d =>
+      burst(d, 10, d * 100)): _*)
+    EventAnalytics.levelShift(steady, window = 2).count() shouldBe 0L
+    val big = df(schema, (1 to 200).map(i =>
+      ev(i.toLong, (i % 20) * 1440L + i, 1, s"t${i % 2}")): _*)
+    assertSameRows(
+      EventAnalytics.levelShift(big, window = 3, thresholdPermille = 100),
+      EventAnalytics.levelShift(big.repartition(7), window = 3,
+        thresholdPermille = 100))
+  }
+
   test("seasonalNaiveBacktest: exact MAE/bias/WAPE; unscored days dropped") {
     // daily counts via one event per count unit, minutes spread out.
     // days 1..7 have 1,2,3,4,5,6,7 events; day 8 has 10; day 9 has 20.

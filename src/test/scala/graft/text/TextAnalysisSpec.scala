@@ -331,6 +331,21 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(r1, r9)
   }
 
+  test("kwic: context windows clamp at edges; overlapping hits each get a row") {
+    val d = docs(
+      1L -> "alpha beta table table gamma delta",
+      2L -> "table table table")   // period-1 overlap: starts at 1 and 2
+    val out = TextAnalysis.kwic(d, "table table", window = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")) ->
+        (r.getAs[String]("before"), r.getAs[String]("match"),
+         r.getAs[String]("after"))).toMap
+    out((1L, 3)) shouldBe (("alpha beta", "table table", "gamma delta"))
+    // doc 2: both overlapping starts; edges clamp to empty context
+    out((2L, 1)) shouldBe (("", "table table", "table"))
+    out((2L, 2)) shouldBe (("table", "table table", ""))
+    out should have size 3
+  }
+
   test("encodingAudit: counts each artifact class; clean text is clean") {
     val d = docs(
       1L -> "perfectly clean ascii text",
