@@ -1608,6 +1608,38 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q179 twin of [[graft.etl.Sampling.rendezvousShard]]: the q61
+    * md5-prefix hash over key#shard, argmax via (w desc, shard desc)
+    * row_number — the sort_array-desc struct order. */
+  val q179_rendezvous: String = """
+WITH c8 AS (
+  SELECT doc_id, s,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+      || CAST(s AS VARCHAR)), 1, 14)) AS BIGINT) AS w
+  FROM documents, range(0, 8) t(s)),
+a8 AS (
+  SELECT doc_id, s AS shard FROM (
+    SELECT doc_id, s,
+      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+    FROM c8) WHERE rn = 1),
+c9 AS (
+  SELECT doc_id, s,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+      || CAST(s AS VARCHAR)), 1, 14)) AS BIGINT) AS w
+  FROM documents, range(0, 9) t(s)),
+a9 AS (
+  SELECT doc_id, s AS shard9 FROM (
+    SELECT doc_id, s,
+      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+    FROM c9) WHERE rn = 1)
+SELECT CAST(a8.shard AS INTEGER) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN a8.shard <> a9.shard9 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moved,
+  CAST((sum(CASE WHEN a8.shard <> a9.shard9 THEN 1 ELSE 0 END) * 1000)
+    // count(*) AS BIGINT) AS moved_permille
+FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+GROUP BY a8.shard ORDER BY a8.shard"""
+
   /** q178 twin of [[graft.events.EventAnalytics.levelShift]]: same
     * observation frames and cross-multiplied threshold. */
   val q178_level_shift: String = """
@@ -4028,6 +4060,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q176_fk_audit" -> q176_fk_audit,
     "q177_kwic" -> q177_kwic,
     "q178_level_shift" -> q178_level_shift,
+    "q179_rendezvous" -> q179_rendezvous,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

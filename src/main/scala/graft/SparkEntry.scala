@@ -920,6 +920,23 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Rendezvous-shard audit: 8-shard HRW assignment per doc, plus
+    // the minimal-remap property made visible — per shard, how many
+    // docs MOVE when a 9th shard joins (all moves go to shard 8).
+    "q179_rendezvous" -> ((s, dir) => {
+      val a = graft.etl.Sampling.rendezvousShard(
+        graft.etl.Sampling.rendezvousShard(
+          Tables.documents(s, dir).select("doc_id"),
+          "doc_id", 8, "shard"),
+        "doc_id", 9, "shard9")
+      a.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard") =!= col("shard9"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .withColumn("moved_permille", expr("(n_moved * 1000) div n_docs"))
+        .orderBy(col("shard"))
+    }),
+
     // Two-window level-shift monitor: 7-observation frames, flag
     // days where volume moved > 8% of the prior level (exact
     // cross-multiplied test; 20 alarm days at sf0.01).

@@ -28,6 +28,35 @@ object Sampling {
     df.filter(keyHash(col(keyCol)) % rate === 0)
   }
 
+  /** Rendezvous / highest-random-weight shard assignment (Thaler &
+    * Ravishankar, ToN 1998; the router behind consistent bucket
+    * placement without a ring): shard(key) = argmax over shards of
+    * hash(key # shard). The property `hash mod n` lacks and 100 TB
+    * re-layouts care about: adding shard n+1 remaps ONLY the keys the
+    * new shard now wins — an expected 1/(n+1) of them — and every
+    * moved key moves TO the new shard; `mod` remaps ~n/(n+1) of
+    * everything (the spec pins both facts). Same [[keyHash]] md5
+    * convention as the samplers, so assignment is engine-portable.
+    *
+    * Shape: a PURE scalar projection — the n candidate (weight,
+    * shard) structs are built inline and the argmax is
+    * `sort_array desc [1]` (struct ordering: weight first; a 56-bit
+    * hash tie is ~impossible, and the struct order still breaks it
+    * deterministically toward the larger shard — stated). No explode,
+    * no window, no shuffle; n md5s per row. */
+  def rendezvousShard(df: DataFrame, keyCol: String, nShards: Int,
+                      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val candidates = array((0 until nShards).map { s =>
+      struct(
+        keyHash(concat(col(keyCol).cast("string"), lit("#"), lit(s.toString)))
+          .as("w"),
+        lit(s).as("shard"))
+    }: _*)
+    df.withColumn(outCol,
+      element_at(sort_array(candidates, asc = false), 1)("shard"))
+  }
+
   /** Stratified fixed-size sample: `k` rows per stratum, chosen by
     * hash order (deterministic, uniform within the stratum; ties on
     * the full key). One shuffle on the stratum column. */

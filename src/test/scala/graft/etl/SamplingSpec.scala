@@ -242,4 +242,33 @@ class SamplingSpec extends SparkSpec {
       .filter(col("count") =!= 1).count() shouldBe 0L
     out.filter(col("role") === "purged").count() shouldBe 0L
   }
+
+  test("rendezvousShard: minimal remap — every moved key goes TO the new shard") {
+    val keys = (1L to 2000L).toDF("doc_id")
+    val both = Sampling.rendezvousShard(
+      Sampling.rendezvousShard(keys, "doc_id", 8, "s8"), "doc_id", 9, "s9")
+    val moved = both.filter(col("s8") =!= col("s9"))
+    // the HRW contract: a key moves ONLY because the new shard wins it
+    moved.filter(col("s9") =!= 8).count() shouldBe 0L
+    // expected remap fraction 1/9 of 2000 ≈ 222; loose band
+    val m = moved.count()
+    m should (be > 100L and be < 400L)
+    // mod-sharding remaps an order of magnitude more of the universe
+    val modMoved = keys
+      .withColumn("m8", Sampling.keyHash(col("doc_id")) % 8)
+      .withColumn("m9", Sampling.keyHash(col("doc_id")) % 9)
+      .filter(col("m8") =!= col("m9")).count()
+    modMoved should be > 1500L // ~8/9 of keys
+  }
+
+  test("rendezvousShard: range, rough balance, partitioning invariance") {
+    val keys = (1L to 2000L).toDF("doc_id")
+    val a = Sampling.rendezvousShard(keys, "doc_id", 8)
+    val counts = a.groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+    counts.keySet shouldBe (0 until 8).toSet
+    counts.values.foreach(_ should (be > 150L and be < 350L)) // 250 expected
+    assertSameRows(a, Sampling.rendezvousShard(keys.repartition(7),
+      "doc_id", 8))
+  }
 }
