@@ -1608,6 +1608,21 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q180 twin of [[graft.events.EventAnalytics.newVsReturning]]:
+    * identical dedup-then-min-then-join construction. */
+  val q180_new_returning: String = """
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY 1)
+SELECT a.day, CAST(count(*) AS BIGINT) AS n_active,
+  CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(count(*) - sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_returning,
+  CAST((sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) * 1000)
+    // count(*) AS BIGINT) AS new_permille
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY a.day ORDER BY a.day"""
+
   /** q179 twin of [[graft.etl.Sampling.rendezvousShard]]: the q61
     * md5-prefix hash over key#shard, argmax via (w desc, shard desc)
     * row_number — the sort_array-desc struct order. */
@@ -4061,6 +4076,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q177_kwic" -> q177_kwic,
     "q178_level_shift" -> q178_level_shift,
     "q179_rendezvous" -> q179_rendezvous,
+    "q180_new_returning" -> q180_new_returning,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

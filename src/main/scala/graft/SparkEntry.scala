@@ -920,6 +920,12 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // New-vs-returning daily actives: first-ever-day split with
+    // exact permille share — the growth-accounting dashboard row.
+    "q180_new_returning" -> ((s, dir) =>
+      graft.events.EventAnalytics.newVsReturning(Tables.events(s, dir))
+        .orderBy(col("day"))),
+
     // Rendezvous-shard audit: 8-shard HRW assignment per doc, plus
     // the minimal-remap property made visible — per shard, how many
     // docs MOVE when a 9th shard joins (all moves go to shard 8).

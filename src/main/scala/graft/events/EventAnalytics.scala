@@ -213,6 +213,31 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** New-vs-returning daily actives — the growth-accounting split
+    * every product dashboard leads with (and the single-day slice of
+    * the cohort matrix E-q55 renders over offsets): per day, distinct
+    * active users split into first-ever-seen ("new") and returning,
+    * with the exact permille share. A user is new exactly ONCE — on
+    * their min activity day (stated; no windowed re-acquisition).
+    *
+    * Shape: (user, day) dedup BEFORE anything else (the q55 lesson —
+    * the join input is users×active-days, never raw events), one
+    * per-user min aggregate, one user-keyed join, one per-day
+    * aggregate. Output bounded by days. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("__first"))
+    activity.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("__first"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("new_permille", expr("(n_new * 1000) div n_active"))
+  }
+
   /** Two-window level-shift detector — the volume-monitoring alarm
     * next to the drift monitors: per (type, day), compare the last
     * `window` OBSERVATIONS' total against the `window` before

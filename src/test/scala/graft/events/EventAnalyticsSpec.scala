@@ -169,6 +169,25 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("newVsReturning: first-day split, multi-event days dedup, exact permille") {
+    val d = df(schema,
+      // day 1: users 1, 2 (user 1 twice — dedups to one active)
+      ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 2),
+      // day 2: user 1 returns, user 3 is new
+      ev(4, 1440, 1), ev(5, 1450, 3),
+      // day 3: all three return
+      ev(6, 2880, 1), ev(7, 2890, 2), ev(8, 2900, 3))
+    val out = EventAnalytics.newVsReturning(d)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+         r.getAs[Long]("n_returning"), r.getAs[Long]("new_permille"))).toMap
+    out("1970-01-01") shouldBe ((2L, 2L, 0L, 1000L))
+    out("1970-01-02") shouldBe ((2L, 1L, 1L, 500L))
+    out("1970-01-03") shouldBe ((3L, 0L, 3L, 0L))
+    assertSameRows(EventAnalytics.newVsReturning(d),
+      EventAnalytics.newVsReturning(d.repartition(7)))
+  }
+
   test("levelShift: flags the cliff day, exact permille, warmup excluded") {
     // window 2: days 1-4 have 10 events/day, days 5-6 have 25 —
     // day 5: recent {10,25}=35 vs prev {10,10}=20 -> +750 permille
