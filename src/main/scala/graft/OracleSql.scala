@@ -1608,6 +1608,44 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q181 twin of [[graft.graph.LinkGraph.triangleStats]]:
+    * deliberately the NAIVE construction — undirected pairs a<b and
+    * the 3-way a<b<c join — a different algorithm that must land on
+    * the same triangles the degree-oriented wedge plan finds. */
+  val q181_triangles: String = """
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 89 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 97 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 89 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+p AS (SELECT src, dst FROM und WHERE src < dst),
+tri AS (
+  SELECT x.src AS a, x.dst AS b, y.dst AS c
+  FROM p x
+  JOIN p y ON y.src = x.dst
+  JOIN p z ON z.src = x.src AND z.dst = y.dst),
+pn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL
+    SELECT c FROM tri)
+  GROUP BY 1)
+SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+  CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+  CAST(CASE WHEN d.deg < 2 THEN 0
+    ELSE (COALESCE(pn.triangles, 0) * 2000) // (d.deg * (d.deg - 1)) END
+    AS BIGINT) AS clustering_permille
+FROM deg d LEFT JOIN pn ON d.node = pn.node
+ORDER BY d.node"""
+
   /** q180 twin of [[graft.events.EventAnalytics.newVsReturning]]:
     * identical dedup-then-min-then-join construction. */
   val q180_new_returning: String = """
@@ -4077,6 +4115,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q178_level_shift" -> q178_level_shift,
     "q179_rendezvous" -> q179_rendezvous,
     "q180_new_returning" -> q180_new_returning,
+    "q181_triangles" -> q181_triangles,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

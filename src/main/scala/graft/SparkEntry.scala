@@ -920,6 +920,19 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Triangle count + local clustering via degree-ordered wedges
+    // over the sparse q165 fixture graph; the DuckDB twin is the
+    // naive a<b<c 3-way join — two algorithms, one answer.
+    "q181_triangles" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 97).as("src"), dom((id * 3 + 1) % 89).as("dst"))
+      val e2 = docs.select(dom(id % 97).as("src"), dom((id * 5 + 2) % 89).as("dst"))
+      graft.graph.LinkGraph.triangleStats(e1.unionAll(e2), "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // New-vs-returning daily actives: first-ever-day split with
     // exact permille share — the growth-accounting dashboard row.
     "q180_new_returning" -> ((s, dir) =>

@@ -508,6 +508,69 @@ object LinkGraph {
       .agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Exact triangle count + local clustering coefficient via
+    * degree-ordered edge orientation (Schank & Wagner, WEA 2005; the
+    * algorithm behind every big-graph triangle benchmark) — the
+    * cohesion microstructure next to k-core's macrostructure: a link
+    * farm shows HIGH clustering (everyone links everyone), a star
+    * spammer ZERO. Each undirected edge is oriented toward its
+    * higher-(degree, id) endpoint, so every wedge enumeration fans
+    * out only over a node's HIGHER-ordered out-neighbors —
+    * out-degrees are bounded by O(√m) and a celebrity hub's
+    * quadratic wedge explosion never happens (the published bound,
+    * and the reason this beats the naive 3-way join at scale). Each
+    * triangle is found exactly once, at its order-minimal corner.
+    * No global rank is materialized — the (deg, node) order is
+    * compared inline in the join conditions, so nothing needs a
+    * single-partition window.
+    *
+    * Returns (node, degree, triangles, clustering_permille) with
+    * clustering = 2000·T div (d·(d−1)) — exact floor permille of
+    * Watts–Strogatz local clustering; degree-1 nodes report 0.
+    *
+    * Shape: one degree aggregate, two degree-attach joins, ONE
+    * wedge self-join (the √m-bounded one), one closing equi-join,
+    * one explode + count. All keyed; nothing collected. */
+  def triangleStats(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val dir = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = und.filter(col("src") < col("dst"))
+      .join(deg.select(col("node").as("src"), col("deg").as("__ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("__dd")), "dst")
+    val srcFirst = col("__ds") < col("__dd") ||
+      (col("__ds") === col("__dd") && col("src") < col("dst"))
+    // oriented: u -> v where u precedes v in the (deg, node) order
+    val oriented = pairs.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("v"),
+      when(srcFirst, col("__dd")).otherwise(col("__ds")).as("__dv"))
+    val lo = oriented.select(col("u"), col("v").as("__v1"),
+      col("__dv").as("__d1"))
+    val hi = oriented.select(col("u"), col("v").as("__v2"),
+      col("__dv").as("__d2"))
+    val wedges = lo.join(hi, "u")
+      .filter(col("__d1") < col("__d2") ||
+        (col("__d1") === col("__d2") && col("__v1") < col("__v2")))
+    val tri = wedges.join(
+      oriented.select(col("u").as("__v1"), col("v").as("__v2")),
+      Seq("__v1", "__v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("__v1"), col("__v2"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        expr("CASE WHEN deg < 2 THEN 0 " +
+          "ELSE (coalesce(triangles, 0L) * 2000) div (deg * (deg - 1)) END")
+          .as("clustering_permille"))
+  }
+
   /** Co-citation similarity (Small, JASIS 1973) — "related pages"
     * from link structure alone: two nodes are similar when the same
     * third pages link to BOTH (the recommendation/related-domain

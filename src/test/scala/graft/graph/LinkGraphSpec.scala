@@ -352,6 +352,54 @@ class LinkGraphSpec extends SparkSpec {
     star("c") shouldBe "x"
   }
 
+  test("triangleStats: hand counts, K4 full clustering, stars have none") {
+    // triangle a-b-c with pendant d on a
+    val g = edges("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d")
+    val out = LinkGraph.triangleStats(g, "src", "dst").collect()
+      .map(r => r.getAs[String]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+         r.getAs[Long]("clustering_permille"))).toMap
+    out("a") shouldBe ((3L, 1L, 333L))
+    out("b") shouldBe ((2L, 1L, 1000L))
+    out("c") shouldBe ((2L, 1L, 1000L))
+    out("d") shouldBe ((1L, 0L, 0L))
+    // K4: 4 triangles total, 3 through each node, clustering 1000
+    def clique(ns: Seq[String]) =
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val k4 = LinkGraph.triangleStats(
+        edges(clique(Seq("w", "x", "y", "z")): _*), "src", "dst")
+      .collect()
+    k4.foreach { r =>
+      r.getAs[Long]("triangles") shouldBe 3L
+      r.getAs[Long]("clustering_permille") shouldBe 1000L
+    }
+    // star: the farm signature's opposite — zero clustering everywhere
+    val star = LinkGraph.triangleStats(
+      edges("h" -> "s1", "h" -> "s2", "h" -> "s3"), "src", "dst").collect()
+    star.foreach(_.getAs[Long]("triangles") shouldBe 0L)
+  }
+
+  test("triangleStats matches a brute-force triple scan; invariance") {
+    val pairs = (0 until 160).map(i => (s"n${i % 13}", s"n${(7 * i + 3) % 17}"))
+    val base = edges(pairs: _*)
+    val got = LinkGraph.triangleStats(base, "src", "dst").collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("triangles")).toMap
+    // brute force on the undirected closure
+    val und = pairs.flatMap(p => Seq(p, p.swap)).filter(p => p._1 != p._2).toSet
+    val nodes = und.map(_._1).toSeq.sorted
+    val brute = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if und.contains((nodes(i), nodes(j)))
+      k <- j + 1 until nodes.size
+      if und.contains((nodes(j), nodes(k))) && und.contains((nodes(i), nodes(k)))
+    } Seq(nodes(i), nodes(j), nodes(k)).foreach(n => brute(n) += 1)
+    nodes.foreach(n => got(n) shouldBe brute(n))
+    assertSameRows(LinkGraph.triangleStats(base, "src", "dst"),
+      LinkGraph.triangleStats(base.repartition(7), "src", "dst"))
+  }
+
   test("kCore: peeling cascades — one degree filter is NOT enough") {
     // path a-b-c-d-e with k=2: every interior node has degree 2, but
     // peeling the endpoints drops b and d to degree 1, then c to 0 —
