@@ -1608,6 +1608,48 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q182 twin of [[graft.graph.LinkGraph.pagerankWeighted]]: the
+    * q124 unroll with additive multiplicity weights and the
+    * (rank·w) // ΣW_out proportional split. */
+  val q182_weighted_pagerank: String = """
+WITH e AS (
+  SELECT src, dst, sum(w) AS w FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst,
+           (doc_id % 4) + 1 AS w
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR),
+           (doc_id % 4) + 1
+    FROM documents)
+  WHERE src <> dst GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outw AS (SELECT src AS node, sum(w) AS out_weight FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_units FROM nodes),
+i1 AS (SELECT e.dst AS node, sum((r.rank_units * e.w) // o.out_weight) AS m
+       FROM e JOIN r0 r ON e.src = r.node JOIN outw o ON e.src = o.node
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+         150000000000 + (85 * COALESCE(i.m, 0)) // 100 AS rank_units
+       FROM nodes n LEFT JOIN i1 i USING (node)),
+i2 AS (SELECT e.dst AS node, sum((r.rank_units * e.w) // o.out_weight) AS m
+       FROM e JOIN r1 r ON e.src = r.node JOIN outw o ON e.src = o.node
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+         150000000000 + (85 * COALESCE(i.m, 0)) // 100 AS rank_units
+       FROM nodes n LEFT JOIN i2 i USING (node)),
+i3 AS (SELECT e.dst AS node, sum((r.rank_units * e.w) // o.out_weight) AS m
+       FROM e JOIN r2 r ON e.src = r.node JOIN outw o ON e.src = o.node
+       GROUP BY e.dst),
+r3 AS (SELECT n.node,
+         150000000000 + (85 * COALESCE(i.m, 0)) // 100 AS rank_units
+       FROM nodes n LEFT JOIN i3 i USING (node))
+SELECT n.node, CAST(COALESCE(o.out_weight, 0) AS BIGINT) AS out_weight,
+  CAST(r.rank_units AS BIGINT) AS rank_units
+FROM nodes n LEFT JOIN outw o USING (node) JOIN r3 r USING (node)
+ORDER BY n.node"""
+
   /** q181 twin of [[graft.graph.LinkGraph.triangleStats]]:
     * deliberately the NAIVE construction — undirected pairs a<b and
     * the 3-way a<b<c join — a different algorithm that must land on
@@ -4116,6 +4158,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q179_rendezvous" -> q179_rendezvous,
     "q180_new_returning" -> q180_new_returning,
     "q181_triangles" -> q181_triangles,
+    "q182_weighted_pagerank" -> q182_weighted_pagerank,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

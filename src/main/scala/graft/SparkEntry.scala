@@ -920,6 +920,23 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Weighted PageRank over the q124 graph with multiplicity
+    // weights ((doc_id % 4) + 1, parallel edges summed): rank splits
+    // proportionally to weight, exact BIGINT floor arithmetic.
+    "q182_weighted_pagerank" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val wcol = ((id % 4) + 1).cast("long").as("w")
+      val e1 = docs.select(dom(id % 23).as("src"),
+        dom((id * 3 + 1) % 29).as("dst"), wcol)
+      val e2 = docs.select(dom(id % 23).as("src"),
+        dom((id * 5 + 2) % 29).as("dst"), wcol)
+      graft.graph.LinkGraph.pagerankWeighted(e1.unionAll(e2),
+          "src", "dst", "w", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // Triangle count + local clustering via degree-ordered wedges
     // over the sparse q165 fixture graph; the DuckDB twin is the
     // naive a<b<c 3-way join — two algorithms, one answer.

@@ -462,6 +462,60 @@ object LinkGraph {
       .select(col("node"), col("community"), col("community_size"))
   }
 
+  /** Weighted PageRank — [[pagerank]] with edge weights (anchor-count
+    * or link-multiplicity weights are the standard web-graph refinement:
+    * a page linking somewhere 50 times endorses it more than once):
+    * each node's rank splits over out-edges PROPORTIONALLY to weight,
+    * contrib = (rank·w) div ΣW_out — still pure BIGINT floor
+    * arithmetic, bit-identical on any engine/partitioning. Parallel
+    * edges merge ADDITIVELY at ingest (one grouped sum — the
+    * multiplicity IS the weight); self-loops drop as in the
+    * unweighted form. Exactness bound: rank·maxW < 2^63 — with the
+    * default unit that is maxW ≲ 9e5 at a 10k-node mass; pass a
+    * smaller `unit` for heavier weights (same escape hatch as
+    * pagerank's).
+    *
+    * Iteration shape identical to [[pagerank]]: two hash joins + one
+    * partial-agg shuffle per step, nothing collected, `materialize`
+    * lineage-cut hook. Returns (node, out_weight, rank_units). */
+  def pagerankWeighted(edges: DataFrame, src: String, dst: String,
+                       weight: String, iterations: Int = 3,
+                       unit: Long = DefaultUnit,
+                       dampNum: Long = 85, dampDen: Long = 100,
+                       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    val e = edges
+      .select(col(src).as("src"), col(dst).as("dst"),
+        col(weight).cast("long").as("w"))
+      .where(col("src") =!= col("dst") && col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val outw = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("out_weight"))
+    val base = (unit * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("rank_units", lit(unit))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.join(outw, "node").withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(rank_units * w) div out_weight").as("contrib"))
+      val inMass = contribs.groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      ranks = materialize(
+        nodes.join(inMass, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
+              .as("rank_units")))
+    }
+    nodes.join(outw, Seq("node"), "left")
+      .join(ranks, "node")
+      .select(col("node"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        col("rank_units"))
+  }
+
   /** k-core decomposition by iterative pruning (Seidman, Social
     * Networks 1983; the standard peeling algorithm) — the cohesion
     * filter next to components/LPA: the k-core is the maximal

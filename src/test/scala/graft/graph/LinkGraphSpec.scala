@@ -352,6 +352,34 @@ class LinkGraphSpec extends SparkSpec {
     star("c") shouldBe "x"
   }
 
+  test("pagerankWeighted: proportional split by hand; uniform weights ≡ pagerank") {
+    val wSchema = StructType(Seq(StructField("src", StringType),
+      StructField("dst", StringType), StructField("w", LongType)))
+    // a->b weight 3, a->c weight 1: a's 1000 units split 750/250
+    // b: 150 + (85*750) div 100 = 787;  c: 150 + (85*250) div 100 = 362
+    val g = df(wSchema, Row("a", "b", 3L), Row("a", "c", 1L))
+    val out = LinkGraph.pagerankWeighted(g, "src", "dst", "w",
+        iterations = 1, unit = U)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[Long]("rank_units")).toMap
+    out shouldBe Map("a" -> 150L, "b" -> 787L, "c" -> 362L)
+    // parallel edges merge additively: two w=1 a->b edges == one w=2
+    val par = df(wSchema, Row("a", "b", 1L), Row("a", "b", 1L),
+      Row("a", "c", 2L))
+    val mrg = df(wSchema, Row("a", "b", 2L), Row("a", "c", 2L))
+    assertSameRows(
+      LinkGraph.pagerankWeighted(par, "src", "dst", "w", 2, U),
+      LinkGraph.pagerankWeighted(mrg, "src", "dst", "w", 2, U))
+    // uniform weights degenerate to the unweighted operator
+    val pairs = (0 until 80).map(i => (s"n${i % 11}", s"n${(3 * i + 1) % 13}"))
+    val uw = df(wSchema, pairs.map(p => Row(p._1, p._2, 7L)): _*)
+    val a = LinkGraph.pagerankWeighted(uw, "src", "dst", "w", 3, U)
+      .select("node", "rank_units")
+    val b = LinkGraph.pagerank(edges(pairs: _*), "src", "dst", 3, U)
+      .select("node", "rank_units")
+    assertSameRows(a, b)
+  }
+
   test("triangleStats: hand counts, K4 full clustering, stars have none") {
     // triangle a-b-c with pendant d on a
     val g = edges("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d")
