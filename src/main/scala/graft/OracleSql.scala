@@ -1608,6 +1608,25 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q183 twin of [[graft.events.EventAnalytics.hourlyEnvelope]]:
+    * same pre-aggregate, same ceil-rank picks. */
+  val q183_hourly_envelope: String = """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(extract(hour FROM ts) AS INTEGER) AS hod, count(*) AS n
+  FROM events GROUP BY 1, 2, 3),
+r AS (
+  SELECT event_type, hod, n,
+    row_number() OVER (PARTITION BY event_type, hod ORDER BY n, day) AS rk,
+    count(*) OVER (PARTITION BY event_type, hod) AS nd
+  FROM c)
+SELECT event_type, hod,
+  CAST(max(nd) AS BIGINT) AS n_days,
+  CAST(max(CASE WHEN rk = (nd + 9) // 10 THEN n END) AS BIGINT) AS p10,
+  CAST(max(CASE WHEN rk = (nd + 1) // 2 THEN n END) AS BIGINT) AS p50,
+  CAST(max(CASE WHEN rk = (9 * nd + 9) // 10 THEN n END) AS BIGINT) AS p90
+FROM r GROUP BY 1, 2 ORDER BY event_type, hod"""
+
   /** q182 twin of [[graft.graph.LinkGraph.pagerankWeighted]]: the
     * q124 unroll with additive multiplicity weights and the
     * (rank·w) // ΣW_out proportional split. */
@@ -4159,6 +4178,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q180_new_returning" -> q180_new_returning,
     "q181_triangles" -> q181_triangles,
     "q182_weighted_pagerank" -> q182_weighted_pagerank,
+    "q183_hourly_envelope" -> q183_hourly_envelope,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,12 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Hour-of-day volume envelope: exact p10/p50/p90 of per-day
+    // counts at each (type, hour) — the rhythm band to page against.
+    "q183_hourly_envelope" -> ((s, dir) =>
+      graft.events.EventAnalytics.hourlyEnvelope(Tables.events(s, dir))
+        .orderBy(col("event_type"), col("hod"))),
+
     // Weighted PageRank over the q124 graph with multiplicity
     // weights ((doc_id % 4) + 1, parallel edges summed): rank splits
     // proportionally to weight, exact BIGINT floor arithmetic.

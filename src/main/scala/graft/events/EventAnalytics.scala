@@ -213,6 +213,38 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Hour-of-day volume envelope — the daily-rhythm band an ops
+    * dashboard draws and pages against ("is 3 AM traffic inside its
+    * usual band?"): per (type, hour 0–23), exact ORDER-STATISTIC
+    * p10/p50/p90 of the per-day counts observed at that hour, using
+    * the cadence-profile rank conventions (ceil ranks, stated, zero
+    * interpolation — bit-identical cross-engine). Hours with no
+    * events on some day contribute no observation for that day (the
+    * level-shift observation convention, stated).
+    *
+    * Shape: one (type, day, hour) pre-aggregate, then a rank window
+    * per (type, hour) over DAYS (bounded by the observation span),
+    * and conditional-aggregate picks; output ≤ types×24. */
+  def hourlyEnvelope(events: DataFrame): DataFrame = {
+    val cnt = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val part = Window.partitionBy(col("event_type"), col("hod"))
+    val w = part.orderBy(col("n"), col("__day"))
+    cnt
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(max(col("__n")).as("n_days"),
+        max(when(col("__rk") === expr("(__n + 9) div 10"), col("n")))
+          .as("p10"),
+        max(when(col("__rk") === expr("(__n + 1) div 2"), col("n")))
+          .as("p50"),
+        max(when(col("__rk") === expr("(9 * __n + 9) div 10"), col("n")))
+          .as("p90"))
+  }
+
   /** New-vs-returning daily actives — the growth-accounting split
     * every product dashboard leads with (and the single-day slice of
     * the cohort matrix E-q55 renders over offsets): per day, distinct

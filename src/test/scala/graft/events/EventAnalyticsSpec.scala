@@ -169,6 +169,25 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("hourlyEnvelope: exact rank picks per (type, hour); sparse days drop") {
+    // hour 0 of days 1..10 gets 1..10 events of type a:
+    // ranks over {1..10}: p10 rank (10+9)div10=1 -> 1;
+    // p50 rank (10+1)div2=5 -> 5; p90 rank (90+9)div10=9 -> 9
+    def at(day: Int, minute: Long, id: Long, n: Int) =
+      (0 until n).map(i => ev(id + i, day * 1440L + minute, 1, "a"))
+    val rows = (1 to 10).flatMap(d => at(d, 0, d * 100L, d)) ++
+      // hour 5 observed on only one day -> all three picks = that value
+      at(3, 5 * 60L, 5000L, 4)
+    val out = EventAnalytics.hourlyEnvelope(df(schema, rows: _*))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Int]("hod")) ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("p10"), r.getAs[Long]("p50"),
+         r.getAs[Long]("p90"))).toMap
+    out(("a", 0)) shouldBe ((10L, 1L, 5L, 9L))
+    out(("a", 5)) shouldBe ((1L, 4L, 4L, 4L))
+    assertSameRows(EventAnalytics.hourlyEnvelope(df(schema, rows: _*)),
+      EventAnalytics.hourlyEnvelope(df(schema, rows: _*).repartition(7)))
+  }
+
   test("newVsReturning: first-day split, multi-event days dedup, exact permille") {
     val d = df(schema,
       // day 1: users 1, 2 (user 1 twice — dedups to one active)
