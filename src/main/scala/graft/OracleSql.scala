@@ -1608,6 +1608,15 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q184 twin of [[graft.etl.Upsert.mergeAggregates]]: deliberately
+    * the FULL recompute — one grouped aggregate over all events —
+    * which the incremental stored⊕delta path must equal exactly. */
+  val q184_ivm_merge: String = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, day"""
+
   /** q183 twin of [[graft.events.EventAnalytics.hourlyEnvelope]]:
     * same pre-aggregate, same ceil-rank picks. */
   val q183_hourly_envelope: String = """
@@ -4179,6 +4188,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q181_triangles" -> q181_triangles,
     "q182_weighted_pagerank" -> q182_weighted_pagerank,
     "q183_hourly_envelope" -> q183_hourly_envelope,
+    "q184_ivm_merge" -> q184_ivm_merge,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,25 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Incremental aggregate maintenance: the stored day<=20 rollup
+    // merged with the day>20 delta partial — the oracle is the FULL
+    // recompute, so the hash compare proves agg(T∪Δ)=combine(...).
+    "q184_ivm_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value"))
+      def part(d: DataFrame) = d.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,6)")).as("__sum"))
+      val stored = part(ev.filter(dayofmonth(col("day")) <= 20))
+      val delta = part(ev.filter(dayofmonth(col("day")) > 20))
+      graft.etl.Upsert.mergeAggregates(stored, delta,
+          Seq("event_type", "day"), Seq("n_events", "__sum"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("__sum").cast("double").as("total_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Hour-of-day volume envelope: exact p10/p50/p90 of per-day
     // counts at each (type, hour) — the rhythm band to page against.
     "q183_hourly_envelope" -> ((s, dir) =>

@@ -104,6 +104,32 @@ object Upsert {
     commitFromTmp(spark, tablePath, tmpPath, partitionCol)
   }
 
+  /** Incremental aggregate maintenance for insert-only streams — the
+    * IVM identity behind every rollup table that is NOT recomputed
+    * nightly: for additive aggregates (counts, sums), merging a
+    * delta's PARTIAL aggregate into the stored rollup equals the full
+    * recompute — `agg(T ∪ Δ) = combine(agg(T), agg(Δ))` — and the
+    * merge touches |stored keys| + |delta keys| rows, never the fact
+    * table. That identity IS the oracle: the q-entry's DuckDB twin is
+    * the full recompute, so the hash compare proves the incremental
+    * path exact (keep sums as DECIMAL partials until the final cast —
+    * a double partial would break associativity).
+    *
+    * Insert-only contract stated: deletes/updates would need
+    * retractions (counts can decrement but min/max cannot
+    * un-shrink); route those through the MERGE upsert instead.
+    *
+    * Shape: one unionByName of two ALREADY-AGGREGATED frames + one
+    * keyed re-aggregate — at most 2 rows per key enter the shuffle. */
+  def mergeAggregates(stored: DataFrame, delta: DataFrame,
+                      keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && sumCols.nonEmpty, "need keys and sum columns")
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    stored.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   private def tmpFor(tablePath: String): String = s"$tablePath.__upsert_tmp"
 
   /** Staged dynamic-partition-overwrite commit, shared with

@@ -93,4 +93,22 @@ class UpsertSpec extends SparkSpec {
       Upsert.upsertPartitioned(spark, s"$dir/flat",
         frame((1L, "2024-01-01", 2.0)), Seq("id"), "date")
   }
+
+  test("mergeAggregates: incremental merge equals full recompute exactly") {
+    import spark.implicits._
+    val facts = (1 to 200).map(i =>
+      (s"k${i % 7}", i.toLong, (i % 13) * 0.25)).toDF("key", "seq", "v")
+    def agg(d: org.apache.spark.sql.DataFrame) = d.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,6)")).as("s"))
+    val stored = agg(facts.filter(col("seq") <= 120))
+    val delta = agg(facts.filter(col("seq") > 120))
+    val merged = Upsert.mergeAggregates(stored, delta, Seq("key"), Seq("n", "s"))
+    assertSameRows(merged, agg(facts))
+    // delta-only and stored-only keys both survive the merge
+    val onlyNew = agg(Seq(("fresh", 1L, 2.0)).toDF("key", "seq", "v"))
+    val m2 = Upsert.mergeAggregates(stored, onlyNew, Seq("key"), Seq("n", "s"))
+    m2.filter(col("key") === "fresh").count() shouldBe 1L
+    m2.count() shouldBe stored.count() + 1
+  }
 }
