@@ -1608,6 +1608,51 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q185 twin of [[graft.events.EventAnalytics.conversionLatency]]:
+    * same conditional firsts, ceil-rank picks per cohort. */
+  val q185_conversion_latency: String = """
+WITH per AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+  FROM events GROUP BY 1),
+conv AS (
+  SELECT user_id, CAST(make_timestamp(fv) AS DATE) AS cohort_day,
+    fp - fv AS lat
+  FROM per WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv),
+r AS (
+  SELECT cohort_day, lat,
+    row_number() OVER (PARTITION BY cohort_day ORDER BY lat, user_id) AS rk,
+    count(*) OVER (PARTITION BY cohort_day) AS n
+  FROM conv)
+SELECT cohort_day, CAST(max(n) AS BIGINT) AS n_converted,
+  CAST(max(CASE WHEN rk = (n + 3) // 4 THEN lat END) AS BIGINT)
+    AS p25_latency_us,
+  CAST(max(CASE WHEN rk = (n + 1) // 2 THEN lat END) AS BIGINT)
+    AS p50_latency_us,
+  CAST(max(CASE WHEN rk = (3 * n + 3) // 4 THEN lat END) AS BIGINT)
+    AS p75_latency_us
+FROM r GROUP BY 1 ORDER BY cohort_day"""
+
+  /** q186 twin of [[graft.events.EventAnalytics.stickiness]]: the
+    * same explode identity via range(), the same trailing cut. */
+  val q186_stickiness: String = """
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY 1),
+wau AS (
+  SELECT day + CAST(off AS INTEGER) AS day, count(DISTINCT user_id) AS wau
+  FROM a, range(0, 7) t(off)
+  GROUP BY 1),
+cut AS (
+  SELECT w.day, w.wau FROM wau w
+  WHERE w.day <= (SELECT max(day) FROM a))
+SELECT c.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+  CAST(c.wau AS BIGINT) AS wau,
+  CAST((COALESCE(d.dau, 0) * 1000) // c.wau AS BIGINT)
+    AS stickiness_permille
+FROM cut c LEFT JOIN dau d ON c.day = d.day
+ORDER BY c.day"""
+
   /** q184 twin of [[graft.etl.Upsert.mergeAggregates]]: deliberately
     * the FULL recompute — one grouped aggregate over all events —
     * which the incremental stored⊕delta path must equal exactly. */
@@ -4189,6 +4234,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q182_weighted_pagerank" -> q182_weighted_pagerank,
     "q183_hourly_envelope" -> q183_hourly_envelope,
     "q184_ivm_merge" -> q184_ivm_merge,
+    "q185_conversion_latency" -> q185_conversion_latency,
+    "q186_stickiness" -> q186_stickiness,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,18 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Conversion-latency cohorts: exact p25/p50/p75 first-view to
+    // first-purchase latency per first-view-day cohort.
+    "q185_conversion_latency" -> ((s, dir) =>
+      graft.events.EventAnalytics.conversionLatency(Tables.events(s, dir))
+        .orderBy(col("cohort_day"))),
+
+    // DAU/WAU stickiness via the explode identity (sliding distinct
+    // doesn't decompose); exact permille ratio per day.
+    "q186_stickiness" -> ((s, dir) =>
+      graft.events.EventAnalytics.stickiness(Tables.events(s, dir))
+        .orderBy(col("day"))),
+
     // Incremental aggregate maintenance: the stored day<=20 rollup
     // merged with the day>20 delta partial — the oracle is the FULL
     // recompute, so the hash compare proves agg(T∪Δ)=combine(...).

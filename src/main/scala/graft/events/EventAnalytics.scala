@@ -213,6 +213,79 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Conversion-latency cohort profile — "how long from first view
+    * to first purchase", the funnel's missing time axis: per
+    * first-view-DAY cohort, exact order-statistic p25/p50/p75 of the
+    * per-user latency in µs (ceil-rank conventions, the cadence
+    * pattern — zero interpolation) over users who converted (first
+    * purchase at-or-after first view, the q53 contract). Cohorting
+    * by day is also the scale decision: the rank windows partition
+    * by cohort, never a single global frame.
+    *
+    * Shape: one user-keyed conditional aggregate (first view/first
+    * purchase), then per-cohort rank windows over USERS. */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val per = events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", us)).as("__fv"),
+        min(when(col("event_type") === "purchase", us)).as("__fp"))
+      .filter(col("__fv").isNotNull && col("__fp").isNotNull &&
+        col("__fp") >= col("__fv"))
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("__fv"))).as("cohort_day"),
+        (col("__fp") - col("__fv")).as("__lat"))
+    val part = Window.partitionBy(col("cohort_day"))
+    val w = part.orderBy(col("__lat"), col("user_id"))
+    per
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .groupBy(col("cohort_day"))
+      .agg(max(col("__n")).as("n_converted"),
+        max(when(col("__rk") === expr("(__n + 3) div 4"), col("__lat")))
+          .as("p25_latency_us"),
+        max(when(col("__rk") === expr("(__n + 1) div 2"), col("__lat")))
+          .as("p50_latency_us"),
+        max(when(col("__rk") === expr("(3 * __n + 3) div 4"), col("__lat")))
+          .as("p75_latency_us"))
+  }
+
+  /** DAU/WAU stickiness — the engagement ratio every growth report
+    * tracks ("what share of this week's users showed up today"): per
+    * day, distinct daily actives, distinct trailing-7-day actives,
+    * and the exact permille ratio. Sliding DISTINCT does not
+    * decompose into frame sums, so WAU is computed by the explode
+    * identity: each (user, day) activity contributes itself to the 7
+    * windows ending on day..day+6 — volume is 7× the DEDUPED
+    * activity frame (users×active-days, never raw events), then one
+    * distinct count per window day. Days with zero DAU but nonzero
+    * WAU still surface (left join from the WAU spine, stated).
+    *
+    * Shape: (user, day) dedup, a codegen'd 7-element explode, two
+    * keyed distinct aggregates, one day-keyed join. */
+  def stickiness(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must be >= 1")
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("__day")).distinct()
+    val dau = activity.groupBy(col("__day").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = activity
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"),
+        col("__day"))
+      .select(col("user_id"), date_add(col("__day"), col("__off")).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      // the first windowDays-1 spine days are partial windows; the
+      // trailing extension beyond the last activity day is dropped
+      .crossJoin(broadcast(activity.agg(max(col("__day")).as("__last"))))
+      .filter(col("day") <= col("__last"))
+      .select(col("day"), col("wau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau"),
+        expr("(coalesce(dau, 0L) * 1000) div wau").as("stickiness_permille"))
+  }
+
   /** Hour-of-day volume envelope — the daily-rhythm band an ops
     * dashboard draws and pages against ("is 3 AM traffic inside its
     * usual band?"): per (type, hour 0–23), exact ORDER-STATISTIC

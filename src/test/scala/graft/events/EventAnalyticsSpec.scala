@@ -169,6 +169,46 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("conversionLatency: cohorts by first-view day, exact quartiles, non-converters drop") {
+    val d = df(schema,
+      // cohort day 0: three converters with latencies 10m, 20m, 30m
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "purchase"),
+      ev(3, 5, 2, "view"), ev(4, 25, 2, "purchase"),
+      ev(5, 8, 3, "view"), ev(6, 38, 3, "purchase"),
+      // purchase BEFORE view: not a conversion
+      ev(7, 50, 4, "purchase"), ev(8, 60, 4, "view"),
+      // view only: not a conversion
+      ev(9, 70, 5, "view"))
+    val out = EventAnalytics.conversionLatency(d).collect()
+    out should have length 1
+    val r = out.head
+    r.getAs[Long]("n_converted") shouldBe 3L
+    // ranks over {600e6, 1200e6, 1800e6}: p25 rk1, p50 rk2, p75 rk3
+    r.getAs[Long]("p25_latency_us") shouldBe 600000000L
+    r.getAs[Long]("p50_latency_us") shouldBe 1200000000L
+    r.getAs[Long]("p75_latency_us") shouldBe 1800000000L
+  }
+
+  test("stickiness: DAU/WAU by the explode identity; hand-checked window") {
+    // user 1 active days 1,2,3; user 2 active day 3 only (window 2)
+    val d = df(schema,
+      ev(1, 1440, 1), ev(2, 2880, 1), ev(3, 4320, 1),
+      ev(4, 4320, 2))
+    val out = EventAnalytics.stickiness(d, windowDays = 2)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+         r.getAs[Long]("stickiness_permille"))).toMap
+    // day2: dau 1, wau(days1-2) 1 -> 1000
+    out("1970-01-02") shouldBe ((1L, 1L, 1000L))
+    out("1970-01-03") shouldBe ((1L, 1L, 1000L))
+    // day4: dau 2 (users 1,2), wau(days3-4) 2 -> 1000
+    out("1970-01-04") shouldBe ((2L, 2L, 1000L))
+    // no spine day beyond the last activity day
+    out.keySet.max shouldBe "1970-01-04"
+    assertSameRows(EventAnalytics.stickiness(d, 2),
+      EventAnalytics.stickiness(d.repartition(5), 2))
+  }
+
   test("hourlyEnvelope: exact rank picks per (type, hour); sparse days drop") {
     // hour 0 of days 1..10 gets 1..10 events of type a:
     // ranks over {1..10}: p10 rank (10+9)div10=1 -> 1;
