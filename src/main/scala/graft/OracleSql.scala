@@ -1608,6 +1608,17 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q187 twin of [[graft.similarity.Similarity.embeddingHygiene]]:
+    * the shared left-to-right float dot (sqlDot) and the same
+    * micro-unit flag arithmetic. */
+  val q187_embedding_hygiene: String = s"""
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+  CAST(len(list_filter(embedding, x -> x = 0)) AS BIGINT) AS n_zero,
+  sqrt(${sqlDot("embedding", "embedding")}) AS norm,
+  (abs(sqrt(${sqlDot("embedding", "embedding")}) - 1.0) * 1e6 <= 1000.0)
+    AS is_unit
+FROM embeddings ORDER BY vec_id"""
+
   /** q185 twin of [[graft.events.EventAnalytics.conversionLatency]]:
     * same conditional firsts, ceil-rank picks per cohort. */
   val q185_conversion_latency: String = """
@@ -4236,6 +4247,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q184_ivm_merge" -> q184_ivm_merge,
     "q185_conversion_latency" -> q185_conversion_latency,
     "q186_stickiness" -> q186_stickiness,
+    "q187_embedding_hygiene" -> q187_embedding_hygiene,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,13 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Embedding hygiene audit: dim / zero components / norm through
+    // the same native dot the search paths use; is_unit at 1e-3.
+    "q187_embedding_hygiene" -> ((s, dir) =>
+      graft.similarity.Similarity.embeddingHygiene(
+          Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
+
     // Conversion-latency cohorts: exact p25/p50/p75 first-view to
     // first-purchase latency per first-view-day cohort.
     "q185_conversion_latency" -> ((s, dir) =>

@@ -664,4 +664,26 @@ object Similarity {
       .select(col(idCol), col("__cell").as("cell"),
         col("__dropped").isNull.as("kept"))
   }
+
+  /** Embedding hygiene audit — the vector-column health check an
+    * index build runs FIRST (a zero vector poisons cosine with
+    * NaN/div-0; a non-unit vector silently reweights every dot
+    * product; a dimension mismatch breaks the kernel): per vector,
+    * dimension, zero-component count, the norm (through the SAME
+    * native dot expression the search paths use — the audit measures
+    * what the index will see), and an `is_unit` flag at
+    * `tolMicro` micro-units of 1.0. Pure scan-side projection —
+    * vectors never shuffle; the only lambda (the zero count) reads
+    * an aliased column, not a recomputed subtree. */
+  def embeddingHygiene(emb: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       tolMicro: Long = 1000L): DataFrame =
+    emb.select(col(idCol), col(vecCol).as("__v"))
+      .select(col(idCol),
+        size(col("__v")).cast("long").as("dim"),
+        size(filter(col("__v"), x => x === lit(0.0f))).cast("long")
+          .as("n_zero"),
+        vecNorm(col("__v")).as("norm"))
+      .withColumn("is_unit",
+        abs(col("norm") - lit(1.0)) * 1e6 <= lit(tolMicro.toDouble))
 }

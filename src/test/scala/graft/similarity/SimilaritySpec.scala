@@ -444,4 +444,27 @@ class SimilaritySpec extends SparkSpec {
       (1L, 0, true), (2L, 0, false), (3L, 1, true),
       (4L, 0, true), (5L, 1, false), (6L, 1, true))
   }
+
+  test("embeddingHygiene: zero vectors, unit flags, zero-component counts") {
+    val d = vecs(
+      1L -> Seq(1f, 0f, 0f, 0f),      // unit basis: norm 1 exactly
+      2L -> Seq(0f, 0f, 0f, 0f),      // all-zero: the cosine poisoner
+      3L -> Seq(0.6f, 0.8f, 0f, 0f),  // unit within float rounding
+      4L -> Seq(1f, 1f, 0f, 0f))      // norm sqrt(2): NOT unit
+    val out = Similarity.embeddingHygiene(d)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("dim"), r.getAs[Long]("n_zero"),
+         r.getAs[Double]("norm"), r.getAs[Boolean]("is_unit"))).toMap
+    out(1L)._1 shouldBe 4L
+    out(1L)._2 shouldBe 3L
+    out(1L)._3 shouldBe 1.0
+    out(1L)._4 shouldBe true
+    out(2L)._2 shouldBe 4L
+    out(2L)._3 shouldBe 0.0
+    out(2L)._4 shouldBe false
+    out(3L)._4 shouldBe true
+    out(4L)._4 shouldBe false
+    assertSameRows(Similarity.embeddingHygiene(d),
+      Similarity.embeddingHygiene(d.repartition(3)))
+  }
 }
