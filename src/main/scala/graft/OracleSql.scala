@@ -1608,6 +1608,57 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q188 twin: the q123 family counts + fixed-order dominance over
+    * the RAW text, rolled up per declared lang against the expected
+    * script. */
+  val q188_lang_script: String = """
+WITH counted AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+    CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+    CAST(len(regexp_extract_all(text, '[\x{0590}-\x{05FF}]')) AS BIGINT) AS n_hebrew,
+    CAST(len(regexp_extract_all(text, '[\x{0900}-\x{097F}]')) AS BIGINT) AS n_devanagari,
+    CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+    CAST(len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) AS BIGINT) AS n_hangul,
+    CAST(len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) AS BIGINT) AS n_kana
+  FROM documents),
+dom AS (
+  SELECT doc_id, lang,
+    CASE
+      WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_greek
+        AND n_latin >= n_arabic AND n_latin >= n_hebrew
+        AND n_latin >= n_devanagari AND n_latin >= n_cjk
+        AND n_latin >= n_hangul AND n_latin >= n_kana THEN 'latin'
+      WHEN n_cyrillic > 0 AND n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+        AND n_cyrillic >= n_hebrew AND n_cyrillic >= n_devanagari
+        AND n_cyrillic >= n_cjk AND n_cyrillic >= n_hangul
+        AND n_cyrillic >= n_kana THEN 'cyrillic'
+      WHEN n_greek > 0 AND n_greek >= n_arabic AND n_greek >= n_hebrew
+        AND n_greek >= n_devanagari AND n_greek >= n_cjk
+        AND n_greek >= n_hangul AND n_greek >= n_kana THEN 'greek'
+      WHEN n_arabic > 0 AND n_arabic >= n_hebrew AND n_arabic >= n_devanagari
+        AND n_arabic >= n_cjk AND n_arabic >= n_hangul
+        AND n_arabic >= n_kana THEN 'arabic'
+      WHEN n_hebrew > 0 AND n_hebrew >= n_devanagari AND n_hebrew >= n_cjk
+        AND n_hebrew >= n_hangul AND n_hebrew >= n_kana THEN 'hebrew'
+      WHEN n_devanagari > 0 AND n_devanagari >= n_cjk
+        AND n_devanagari >= n_hangul AND n_devanagari >= n_kana THEN 'devanagari'
+      WHEN n_cjk > 0 AND n_cjk >= n_hangul AND n_cjk >= n_kana THEN 'cjk'
+      WHEN n_hangul > 0 AND n_hangul >= n_kana THEN 'hangul'
+      WHEN n_kana > 0 THEN 'kana'
+      ELSE 'none' END AS dominant
+  FROM counted)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN dominant <>
+    (CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+  CAST((sum(CASE WHEN dominant <>
+    (CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END)
+    THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS mismatch_permille
+FROM dom GROUP BY 1 ORDER BY lang"""
+
   /** q187 twin of [[graft.similarity.Similarity.embeddingHygiene]]:
     * the shared left-to-right float dot (sqlDot) and the same
     * micro-unit flag arithmetic. */
@@ -4248,6 +4299,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q185_conversion_latency" -> q185_conversion_latency,
     "q186_stickiness" -> q186_stickiness,
     "q187_embedding_hygiene" -> q187_embedding_hygiene,
+    "q188_lang_script" -> q188_lang_script,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,26 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Metadata-vs-content consistency: declared lang vs E-q123's
+    // dominant script (zh should be cjk, the rest latin); the
+    // synthetic corpus is ASCII throughout, so the zh rows surface
+    // at 1000 permille mismatch — exactly what the audit is for.
+    "q188_lang_script" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prof = graft.text.Scripts.scriptProfile(docs)
+        .select(col("doc_id"), col("dominant"))
+      docs.select(col("doc_id"), col("lang")).join(prof, "doc_id")
+        .withColumn("__exp",
+          when(col("lang") === "zh", lit("cjk")).otherwise(lit("latin")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dominant") =!= col("__exp"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+        .withColumn("mismatch_permille",
+          expr("(n_mismatch * 1000) div n_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // Embedding hygiene audit: dim / zero components / norm through
     // the same native dot the search paths use; is_unit at 1e-3.
     "q187_embedding_hygiene" -> ((s, dir) =>
