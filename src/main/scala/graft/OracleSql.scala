@@ -1608,6 +1608,53 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q189 twin of [[graft.analytics.StockAnalytics.tradingGaps]]:
+    * same lag-diff gap runs, zero-gap symbols via conditional
+    * aggregates. */
+  val q189_trading_gaps: String = barsCte + """
+, d AS (SELECT DISTINCT symbol, date FROM merged),
+g AS (
+  SELECT symbol, date,
+    date - lag(date) OVER (PARTITION BY symbol ORDER BY date) - 1 AS gap
+  FROM d)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+  CAST(max(date) - min(date) + 1 AS BIGINT) AS span_days,
+  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+  CAST(COALESCE(sum(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+    AS missing_days,
+  CAST(COALESCE(max(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+    AS longest_gap_days
+FROM g GROUP BY 1 ORDER BY symbol"""
+
+  /** q190 twin of [[graft.analytics.StockAnalytics.ltvCurve]]: the
+    * q159 cents chain, integer month indices, per-cohort cumulative
+    * window over offsets. */
+  val q190_ltv_curve: String = """
+WITH o AS (
+  SELECT o_custkey AS customer, CAST(o_orderdate AS DATE) AS d,
+    CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,10)), 2)
+      AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT customer, min(d) AS fd FROM o GROUP BY 1),
+j AS (
+  SELECT o.customer, strftime(f.fd, '%Y-%m') AS cohort_month,
+    (year(o.d) * 12 + month(o.d)) - (year(f.fd) * 12 + month(f.fd))
+      AS month_offset,
+    o.cents
+  FROM o JOIN f USING (customer)),
+a AS (
+  SELECT cohort_month, CAST(month_offset AS INTEGER) AS month_offset,
+    count(DISTINCT customer) AS n_active, sum(cents) AS revenue_cents
+  FROM j GROUP BY 1, 2)
+SELECT cohort_month, month_offset,
+  CAST(n_active AS BIGINT) AS n_active,
+  CAST(revenue_cents AS BIGINT) AS revenue_cents,
+  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_month
+    ORDER BY month_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_revenue_cents
+FROM a ORDER BY cohort_month, month_offset"""
+
   /** q188 twin: the q123 family counts + fixed-order dominance over
     * the RAW text, rolled up per declared lang against the expected
     * script. */
@@ -4300,6 +4347,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q186_stickiness" -> q186_stickiness,
     "q187_embedding_hygiene" -> q187_embedding_hygiene,
     "q188_lang_script" -> q188_lang_script,
+    "q189_trading_gaps" -> q189_trading_gaps,
+    "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join
     "q49_bucketed_join" -> q34_salted_join,

@@ -920,6 +920,19 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Trading-gap report: per symbol, calendar gaps between
+    // consecutive observed days — count, total missing, longest run.
+    "q189_trading_gaps" -> ((s, dir) =>
+      graft.analytics.StockAnalytics.tradingGaps(
+          mergedBars(s, dir).select("symbol", "date").distinct())
+        .orderBy(col("symbol"))),
+
+    // Customer-cohort LTV curve: per first-order-month cohort and
+    // month offset, actives + exact cents revenue + cumulative LTV.
+    "q190_ltv_curve" -> ((s, dir) =>
+      graft.analytics.StockAnalytics.ltvCurve(Tables.orders(s, dir))
+        .orderBy(col("cohort_month"), col("month_offset"))),
+
     // Metadata-vs-content consistency: declared lang vs E-q123's
     // dominant script (zh should be cjk, the rest latin); the
     // synthetic corpus is ASCII throughout, so the zh rows surface

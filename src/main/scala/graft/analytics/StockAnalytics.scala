@@ -220,6 +220,70 @@ object StockAnalytics {
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Trading-gap report — the data-completeness complement of
+    * [[fillDailyForward]]: where the fill PATCHES holes, this one
+    * REPORTS them (the ingest-monitoring view: "which symbols have
+    * missing days, how many, and how bad was the worst outage").
+    * Per symbol: observation count, span days, gap count (runs of ≥1
+    * missing calendar day between consecutive observations), total
+    * missing days, and the longest run — all exact integer date
+    * arithmetic. Zero-gap symbols report zeros (left semantics via
+    * conditional aggregates, not a join).
+    *
+    * Shape: ONE symbol-keyed lag window + one per-symbol aggregate.
+    * Weekend/holiday caveat stated: against a trading calendar,
+    * join a calendar table first — this reports CALENDAR gaps. */
+  def tradingGaps(daily: DataFrame, symbolCol: String = "symbol",
+                  dateCol: String = "date"): DataFrame = {
+    val w = Window.partitionBy(col(symbolCol)).orderBy(col(dateCol))
+    daily.select(col(symbolCol), col(dateCol))
+      .withColumn("__gap",
+        datediff(col(dateCol), lag(col(dateCol), 1).over(w)) - 1)
+      .groupBy(col(symbolCol))
+      .agg(count(lit(1)).as("n_days"),
+        (datediff(max(col(dateCol)), min(col(dateCol))) + 1).cast("long")
+          .as("span_days"),
+        sum(when(col("__gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(sum(when(col("__gap") > 0, col("__gap"))), lit(0L))
+          .cast("long").as("missing_days"),
+        coalesce(max(when(col("__gap") > 0, col("__gap"))), lit(0L))
+          .cast("long").as("longest_gap_days"))
+  }
+
+  /** Customer-cohort LTV curve — the revenue-expansion table next to
+    * activity retention (q55): per first-order-MONTH cohort and
+    * month offset, active customers, exact period revenue in integer
+    * cents (the q159 one-quantization chain), and the cumulative
+    * lifetime value the curve plots. Month arithmetic is exact
+    * integer year×12+month differences — no interval/float dates.
+    *
+    * Shape: one per-customer min aggregate, one customer-keyed join,
+    * one (cohort, offset) aggregate, and a cumulative window over
+    * OFFSETS within a cohort (bounded by the corpus month span). */
+  def ltvCurve(orders: DataFrame, custCol: String = "o_custkey",
+               dateCol: String = "o_orderdate",
+               priceCol: String = "o_totalprice"): DataFrame = {
+    val cents = (round(col(priceCol).cast("decimal(28,10)"), 2)
+      .cast("decimal(18,2)") * 100).cast("long")
+    def monthIdx(c: Column) = year(c) * 12 + (month(c) - 1)
+    val o = orders.select(col(custCol).as("customer"),
+      to_date(col(dateCol)).as("__d"), cents.as("__cents"))
+    val first = o.groupBy(col("customer"))
+      .agg(min(col("__d")).as("__f"))
+      .select(col("customer"), monthIdx(col("__f")).as("__m0"),
+        date_format(col("__f"), "yyyy-MM").as("cohort_month"))
+    val w = Window.partitionBy(col("cohort_month")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(first, "customer")
+      .withColumn("month_offset",
+        (monthIdx(col("__d")) - col("__m0")).cast("int"))
+      .groupBy(col("cohort_month"), col("month_offset"))
+      .agg(countDistinct(col("customer")).as("n_active"),
+        sum(col("__cents")).as("revenue_cents"))
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(w))
+  }
+
   /** Time-window filter helper (P15, reference `queries.py:46,83-84`):
     * `date >= anchor - n days`, optional symbol IN list. `anchor`
     * defaults to current_date; oracle runs pass a literal. */

@@ -145,4 +145,47 @@ class StockAnalyticsSpec extends SparkSpec {
     // and fills never cross symbols
     out.count(_._1 == "B") shouldBe 1
   }
+
+  test("tradingGaps: gap runs, totals, longest; zero-gap symbols report zeros") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("symbol", StringType),
+      StructField("date", DateType)))
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    val d = df(schema,
+      // A observed 1,2,5,6,10: gaps of 2 (3-4) and 3 (7-9)
+      Row("A", day(1)), Row("A", day(2)), Row("A", day(5)),
+      Row("A", day(6)), Row("A", day(10)),
+      // B continuous: no gaps
+      Row("B", day(1)), Row("B", day(2)), Row("B", day(3)))
+    val out = StockAnalytics.tradingGaps(d).collect()
+      .map(r => r.getAs[String]("symbol") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("span_days"),
+         r.getAs[Long]("n_gaps"), r.getAs[Long]("missing_days"),
+         r.getAs[Long]("longest_gap_days"))).toMap
+    out("A") shouldBe ((5L, 10L, 2L, 5L, 3L))
+    out("B") shouldBe ((3L, 3L, 0L, 0L, 0L))
+  }
+
+  test("ltvCurve: cohort offsets, exact cents, cumulative curve") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("o_custkey", LongType),
+      StructField("o_orderdate", DateType),
+      StructField("o_totalprice", DoubleType)))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = df(schema,
+      Row(1L, d("2024-01-15"), 10.0), Row(1L, d("2024-02-02"), 5.0),
+      Row(1L, d("2024-04-20"), 2.5),
+      Row(2L, d("2024-02-10"), 100.0))
+    val out = StockAnalytics.ltvCurve(orders).collect()
+      .map(r => (r.getAs[String]("cohort_month"), r.getAs[Int]("month_offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("revenue_cents"),
+         r.getAs[Long]("cum_revenue_cents"))).toMap
+    out(("2024-01", 0)) shouldBe ((1L, 1000L, 1000L))
+    out(("2024-01", 1)) shouldBe ((1L, 500L, 1500L))
+    out(("2024-01", 3)) shouldBe ((1L, 250L, 1750L))
+    out(("2024-02", 0)) shouldBe ((1L, 10000L, 10000L))
+    out.keySet should not contain (("2024-01", 2)) // no order that month
+  }
 }
