@@ -1608,6 +1608,66 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q191 twin of [[graft.analytics.Profiling.benfordAudit]]: the
+    * same decimal-string leading digit and the same precomputed
+    * permille table. */
+  val q191_benford: String = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(abs(o_totalprice) AS DECIMAL(28,6))
+      AS VARCHAR), 1, 1) AS INTEGER) AS digit, count(*) AS n
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1
+  GROUP BY 1),
+t AS (SELECT sum(n) AS t FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  CAST((n * 1000) // (SELECT t FROM t) AS BIGINT) AS observed_permille,
+  CAST(([301, 176, 125, 97, 79, 67, 58, 51, 46])[digit] AS BIGINT)
+    AS benford_permille
+FROM c ORDER BY digit"""
+
+  /** q192 twin of [[graft.events.EventAnalytics.peakConcurrency]]:
+    * the q24 session CTEs, the same midnight split / clamp / ±1
+    * sweep with the starts-first tie order. */
+  val q192_peak_concurrency: String = """
+WITH e AS (
+  SELECT event_id, ts, user_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+  FROM m),
+sess AS (
+  SELECT CAST(user_id AS VARCHAR) || '#' || CAST(seq AS VARCHAR) AS sid,
+    min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY 1),
+perday AS (
+  SELECT sid, CAST(d.day AS DATE) AS day,
+    greatest(epoch_us(session_start),
+      epoch_us(CAST(CAST(d.day AS DATE) AS TIMESTAMP))) AS ps,
+    least(epoch_us(session_end),
+      epoch_us(CAST(CAST(d.day AS DATE) + 1 AS TIMESTAMP)) - 1) AS pe
+  FROM sess, LATERAL unnest(generate_series(
+    CAST(session_start AS DATE), CAST(session_end AS DATE),
+    INTERVAL 1 DAY)) AS d(day)),
+pts AS (
+  SELECT day, ps AS pts, 1 AS delta, sid FROM perday
+  UNION ALL
+  SELECT day, pe, -1, sid FROM perday),
+run AS (
+  SELECT day, sum(delta) OVER (PARTITION BY day
+    ORDER BY pts, delta DESC, sid
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+  FROM pts)
+SELECT r.day, CAST(max(r.open) AS BIGINT) AS peak_concurrency,
+  (SELECT CAST(count(DISTINCT sid) AS BIGINT) FROM perday p
+   WHERE p.day = r.day) AS n_sessions
+FROM run r GROUP BY r.day ORDER BY r.day"""
+
   /** q189 twin of [[graft.analytics.StockAnalytics.tradingGaps]]:
     * same lag-diff gap runs, zero-gap symbols via conditional
     * aggregates. */
@@ -4348,6 +4408,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q187_embedding_hygiene" -> q187_embedding_hygiene,
     "q188_lang_script" -> q188_lang_script,
     "q189_trading_gaps" -> q189_trading_gaps,
+    "q191_benford" -> q191_benford,
+    "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,
     // the bucketed-join result contract IS the plain join

@@ -920,6 +920,19 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Benford first-digit audit on order totals: observed permille
+    // vs the precomputed Benford table, exact decimal-string digits.
+    "q191_benford" -> ((s, dir) =>
+      graft.analytics.Profiling.benfordAudit(
+          Tables.orders(s, dir), "o_totalprice")
+        .orderBy(col("digit"))),
+
+    // Peak session concurrency per day: the ±1 sweep, midnight-split
+    // so the window partitions by day; starts-before-ends tie order.
+    "q192_peak_concurrency" -> ((s, dir) =>
+      graft.events.EventAnalytics.peakConcurrency(Tables.events(s, dir))
+        .orderBy(col("day"))),
+
     // Trading-gap report: per symbol, calendar gaps between
     // consecutive observed days — count, total missing, longest run.
     "q189_trading_gaps" -> ((s, dir) =>

@@ -375,6 +375,43 @@ object Profiling {
           .as("ks"))
   }
 
+  /** Benford first-digit audit (Benford 1938; Nigrini's fraud
+    * screen) — naturally-grown monetary/size data concentrates on
+    * low leading digits (digit 1 ≈ 30.1%), while fabricated or
+    * truncated data flattens; the audit REPORTS the observed
+    * distribution next to the expected permille so a reviewer (or a
+    * threshold downstream) reads the skew directly. Exact integers
+    * only: the leading digit comes from the DECIMAL string form of
+    * the absolute value (no log10 floats — a float log at a power of
+    * ten could round to the wrong digit); the expected column is the
+    * PRECOMPUTED integer-permille Benford table (301, 176, 125, 97,
+    * 79, 67, 58, 51, 46 — stated constants, not computed logs).
+    * Zero/null values carry no leading digit and are excluded
+    * (reported via n_excluded in the caller's hands; stated).
+    *
+    * Shape: one scan-side digit projection + one 9-row aggregate +
+    * the 1-row total broadcast. */
+  def benfordAudit(rows: DataFrame, valueCol: String): DataFrame = {
+    val benford = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val expected = benford.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (pm, i)) =>
+        when(col("digit") === (i + 1), lit(pm)).otherwise(acc)
+      }
+    val digit = substring(
+      abs(col(valueCol)).cast("decimal(28,6)").cast("string"), 1, 1)
+      .cast("int")
+    val counts = rows
+      .filter(col(valueCol).isNotNull && abs(col(valueCol)) >= 1)
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000) div __t").as("observed_permille"),
+        expected.as("benford_permille"))
+  }
+
   /** OLAP CUBE report over two dimensions — the subtotal/grand-total
     * rollup every BI summary ships (per-cell, per-dim marginals, and
     * the grand total in ONE grouped aggregate): Catalyst's Expand

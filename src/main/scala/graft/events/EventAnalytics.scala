@@ -213,6 +213,47 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Peak session concurrency per day — the capacity question ("how
+    * many sessions were open AT ONCE at the worst moment?") answered
+    * by the classic ±1 sweep: each session contributes a +1 at its
+    * (clamped) start and a −1 at its end, a running sum over the
+    * day's points, and the day's max. Sessions spanning midnight are
+    * SPLIT at day boundaries first (a codegen'd day-sequence explode
+    * bounded by the session's span), so the sweep window partitions
+    * by DAY — never one global point stream. Boundary semantics
+    * stated: intervals are inclusive, and ties at the same
+    * microsecond order starts before ends (a back-to-back handoff
+    * counts both open), then by session id — fully deterministic.
+    *
+    * Shape: sessionize's window, one explode, one union, ONE
+    * day-partitioned sweep window, one per-day aggregate. */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sess = sessionize(events, gapMinutes)
+      .select(concat_ws("#", col("user_id"), col("session_seq")).as("__sid"),
+        col("session_start"), col("session_end"))
+    val perDay = sess
+      .withColumn("day", explode(expr(
+        "sequence(to_date(session_start), to_date(session_end), interval 1 day)")))
+      .select(col("__sid"), col("day"),
+        greatest(unix_micros(col("session_start")),
+          unix_micros(col("day").cast("timestamp"))).as("__s"),
+        least(unix_micros(col("session_end")),
+          unix_micros(date_add(col("day"), 1).cast("timestamp")) - 1)
+          .as("__e"))
+    val points = perDay
+      .select(col("day"), col("__s").as("__ts"), lit(1L).as("__d"), col("__sid"))
+      .unionByName(perDay.select(col("day"), col("__e").as("__ts"),
+        lit(-1L).as("__d"), col("__sid")))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("__ts"), col("__d").desc, col("__sid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .withColumn("__open", sum(col("__d")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("__open")).as("peak_concurrency"),
+        (countDistinct(col("__sid"))).as("n_sessions"))
+  }
+
   /** Conversion-latency cohort profile — "how long from first view
     * to first purchase", the funnel's missing time axis: per
     * first-view-DAY cohort, exact order-statistic p25/p50/p75 of the

@@ -242,6 +242,22 @@ class ProfilingSpec extends SparkSpec {
     plan should not include "Union"
   }
 
+  test("benfordAudit: decimal-string digits, exclusions, expected table") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", DoubleType, nullable = true)))
+    val d = df(schema, Row(1.5), Row(19.0), Row(100.0), Row(2.5), Row(9000.0),
+      Row(0.5), Row(null), Row(-12.0)) // 0.5 and null excluded; -12 -> digit 1
+    val out = Profiling.benfordAudit(d, "v").collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("observed_permille"),
+         r.getAs[Long]("benford_permille"))).toMap
+    out(1) shouldBe ((4L, 666L, 301L))
+    out(2) shouldBe ((1L, 166L, 176L))
+    out(9) shouldBe ((1L, 166L, 46L))
+    out.keySet shouldBe Set(1, 2, 9)
+  }
+
   test("lorenzCurve: cumulative shares per distinct size, exact permille") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

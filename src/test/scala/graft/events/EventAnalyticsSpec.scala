@@ -169,6 +169,29 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("peakConcurrency: overlap sweep, midnight split, handoff counts both") {
+    val d = df(schema,
+      // day 1: u1 session 10-20, u2 15-25 (overlap -> peak 2), u3 30-40
+      ev(1, 10, 1), ev(2, 20, 1),
+      ev(3, 15, 2), ev(4, 25, 2),
+      ev(5, 30, 3), ev(6, 40, 3),
+      // u4 session spans midnight: 23:50 day1 -> 00:10 day2
+      ev(7, 1430, 4), ev(8, 1450, 4))
+    val out = EventAnalytics.peakConcurrency(d)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("peak_concurrency"), r.getAs[Long]("n_sessions"))).toMap
+    out("1970-01-01") shouldBe ((2L, 4L)) // u1-u3 + u4's day-1 slice
+    out("1970-01-02") shouldBe ((1L, 1L)) // u4's day-2 slice
+    // a session ending exactly when another starts: both open at t
+    val handoff = df(schema,
+      ev(10, 0, 7), ev(11, 10, 7),
+      ev(12, 10, 8), ev(13, 20, 8))
+    EventAnalytics.peakConcurrency(handoff).collect()
+      .head.getAs[Long]("peak_concurrency") shouldBe 2L
+    assertSameRows(EventAnalytics.peakConcurrency(d),
+      EventAnalytics.peakConcurrency(d.repartition(7)))
+  }
+
   test("conversionLatency: cohorts by first-view day, exact quartiles, non-converters drop") {
     val d = df(schema,
       // cohort day 0: three converters with latencies 10m, 20m, 30m
