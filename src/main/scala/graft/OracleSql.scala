@@ -1608,6 +1608,28 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q193 twin of [[graft.events.EventAnalytics.burstAudit]]: the
+    * same exact-micros RANGE frame and earliest-peak pick. */
+  val q193_burst_audit: String = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS burst
+  FROM events),
+m AS (SELECT user_id, max(burst) AS mx FROM c GROUP BY 1)
+SELECT c.user_id, CAST(m.mx AS BIGINT) AS max_burst,
+  CAST(min(CASE WHEN c.burst = m.mx THEN c.us END) AS BIGINT) AS peak_at_us,
+  (m.mx > 4) AS over_limit
+FROM c JOIN m USING (user_id)
+GROUP BY c.user_id, m.mx ORDER BY c.user_id"""
+
+  /** q194 twin of [[graft.analytics.Profiling.fdViolations]]. */
+  val q194_fd_violations: String = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_dependents
+FROM documents GROUP BY 1 HAVING count(DISTINCT lang) > 1
+ORDER BY source"""
+
   /** q191 twin of [[graft.analytics.Profiling.benfordAudit]]: the
     * same decimal-string leading digit and the same precomputed
     * permille table. */
@@ -4409,6 +4431,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q188_lang_script" -> q188_lang_script,
     "q189_trading_gaps" -> q189_trading_gaps,
     "q191_benford" -> q191_benford,
+    "q193_burst_audit" -> q193_burst_audit,
+    "q194_fd_violations" -> q194_fd_violations,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -920,6 +920,21 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Rate-limit burst audit: per user the max trailing-60-min burst
+    // via a RANGE frame (fixed buckets miss straddling bursts),
+    // earliest peak instant, over-limit flag at 4.
+    "q193_burst_audit" -> ((s, dir) =>
+      graft.events.EventAnalytics.burstAudit(Tables.events(s, dir),
+          windowMinutes = 60, limit = 4L)
+        .orderBy(col("user_id"))),
+
+    // FD violation report: witnesses that source does NOT determine
+    // lang in the corpus (every source carries several languages).
+    "q194_fd_violations" -> ((s, dir) =>
+      graft.analytics.Profiling.fdViolations(
+          Tables.documents(s, dir), "source", "lang")
+        .orderBy(col("source"))),
+
     // Benford first-digit audit on order totals: observed permille
     // vs the precomputed Benford table, exact decimal-string digits.
     "q191_benford" -> ((s, dir) =>

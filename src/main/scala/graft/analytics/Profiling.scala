@@ -375,6 +375,22 @@ object Profiling {
           .as("ks"))
   }
 
+  /** Functional-dependency violation report — the profiling question
+    * schema inference and dbt-style tests both ask ("does A determine
+    * B in this data?"): every determinant value with MORE than one
+    * distinct dependent is a witness that the FD fails, returned with
+    * its row count and dependent cardinality so the reviewer sees how
+    * badly (2 dependents on 3 rows = a typo; 5 on 10k = not an FD at
+    * all). An empty result IS the assertion that A → B holds. One
+    * keyed aggregate with a single count(distinct) — the two-phase
+    * hash-agg plan, no Expand (the q146 lesson). */
+  def fdViolations(rows: DataFrame, determinant: String,
+                   dependent: String): DataFrame =
+    rows.groupBy(col(determinant))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(dependent)).as("n_dependents"))
+      .filter(col("n_dependents") > 1)
+
   /** Benford first-digit audit (Benford 1938; Nigrini's fraud
     * screen) — naturally-grown monetary/size data concentrates on
     * low leading digits (digit 1 ≈ 30.1%), while fabricated or

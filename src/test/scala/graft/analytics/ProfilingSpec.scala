@@ -242,6 +242,22 @@ class ProfilingSpec extends SparkSpec {
     plan should not include "Union"
   }
 
+  test("fdViolations: witnesses only; empty result asserts the FD holds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType)))
+    val d = df(schema, Row("x", "1"), Row("x", "1"), Row("x", "2"),
+      Row("y", "3"), Row("y", "3"))
+    val out = Profiling.fdViolations(d, "a", "b").collect()
+      .map(r => r.getAs[String]("a") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_dependents"))).toMap
+    out shouldBe Map("x" -> ((3L, 2L))) // y determines b: not a witness
+    // a true FD produces the empty frame — the assertion form
+    Profiling.fdViolations(d.filter(col("a") === "y"), "a", "b")
+      .count() shouldBe 0L
+  }
+
   test("benfordAudit: decimal-string digits, exclusions, expected table") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -169,6 +169,24 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("burstAudit: RANGE frame catches straddling bursts fixed buckets miss") {
+    // user 1: events at minutes 50, 55, 65, 70 — a 4-event burst
+    // inside [50, 70] that straddles the 0-60/60-120 hour buckets;
+    // any tumbling-bucket count sees at most 2.
+    val d = df(schema,
+      ev(1, 50, 1), ev(2, 55, 1), ev(3, 65, 1), ev(4, 70, 1),
+      // user 2: two events 2 hours apart — never more than 1 in window
+      ev(5, 0, 2), ev(6, 120, 2))
+    val out = EventAnalytics.burstAudit(d, windowMinutes = 60, limit = 3)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("max_burst"), r.getAs[Long]("peak_at_us"),
+         r.getAs[Boolean]("over_limit"))).toMap
+    out(1L) shouldBe ((4L, 70L * 60000000L, true)) // peak when the 4th lands
+    out(2L) shouldBe ((1L, 0L, false)) // earliest instant of the max burst
+    assertSameRows(EventAnalytics.burstAudit(d, 60, 3),
+      EventAnalytics.burstAudit(d.repartition(5), 60, 3))
+  }
+
   test("peakConcurrency: overlap sweep, midnight split, handoff counts both") {
     val d = df(schema,
       // day 1: u1 session 10-20, u2 15-25 (overlap -> peak 2), u3 30-40
