@@ -1608,6 +1608,40 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q195 twin of [[graft.events.EventAnalytics.longestStreaks]]:
+    * the same rn-difference islands and min-struct tie pick. */
+  val q195_streaks: String = """
+WITH r AS (
+  SELECT user_id, event_type, event_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS i
+  FROM events),
+isl AS (
+  SELECT user_id, event_type, i, count(*) AS len,
+    min(event_id) AS start_id
+  FROM r GROUP BY 1, 2, 3),
+mx AS (SELECT user_id, max(len) AS mx FROM isl GROUP BY 1),
+pick AS (
+  SELECT isl.user_id, isl.event_type, isl.len, isl.start_id
+  FROM isl JOIN mx ON isl.user_id = mx.user_id AND isl.len = mx.mx)
+SELECT i.user_id, CAST(count(*) AS BIGINT) AS n_runs,
+  CAST(max(i.len) AS BIGINT) AS longest_streak,
+  (SELECT p.event_type FROM pick p WHERE p.user_id = i.user_id
+   ORDER BY p.start_id LIMIT 1) AS streak_type
+FROM isl i GROUP BY i.user_id ORDER BY i.user_id"""
+
+  /** q196 twin of [[graft.text.TextAnalysis.prefixDuplication]]. */
+  val q196_prefix_dups: String = toksCte + """
+, p AS (
+  SELECT doc_id,
+    array_to_string(list_slice(tokens, 1, 5), ' ') AS prefix
+  FROM toks)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM p WHERE prefix <> ''
+GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix"""
+
   /** q193 twin of [[graft.events.EventAnalytics.burstAudit]]: the
     * same exact-micros RANGE frame and earliest-peak pick. */
   val q193_burst_audit: String = """
@@ -4433,6 +4467,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q191_benford" -> q191_benford,
     "q193_burst_audit" -> q193_burst_audit,
     "q194_fd_violations" -> q194_fd_violations,
+    "q195_streaks" -> q195_streaks,
+    "q196_prefix_dups" -> q196_prefix_dups,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -920,6 +920,19 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Longest same-type streak per user: the gaps-and-islands
+    // rn-difference identity; bot-signature read when inverted.
+    "q195_streaks" -> ((s, dir) =>
+      graft.events.EventAnalytics.longestStreaks(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // Prefix-duplication audit: docs sharing an identical 5-token
+    // opening, with counts and the earliest witness.
+    "q196_prefix_dups" -> ((s, dir) =>
+      graft.text.TextAnalysis.prefixDuplication(Tables.documents(s, dir),
+          k = 5, minDocs = 2)
+        .orderBy(col("prefix"))),
+
     // Rate-limit burst audit: per user the max trailing-60-min burst
     // via a RANGE frame (fixed buckets miss straddling bursts),
     // earliest peak instant, over-limit flag at 4.

@@ -213,6 +213,40 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Longest same-type streak per user — the gaps-and-islands
+    * pattern (the one classic SQL idiom the registry hadn't
+    * exercised): islands are maximal runs of consecutive identical
+    * event types in the user's (ts, event_id) order, found by the
+    * rn − rn_by_type difference (constant exactly within a run — the
+    * textbook identity); per user the longest run, its type, and the
+    * run count. Reads as gamification streaks or, inverted, as a bot
+    * signature (a 500-long 'click' run is not a person).
+    * Deterministic: both row_numbers share the same unique total
+    * order; the longest-run tie breaks by (type, island start id)
+    * via the min-struct pick.
+    *
+    * Shape: TWO row_numbers riding ONE user-keyed ordering (one
+    * window pass), one (user, type, island) aggregate, one per-user
+    * min-struct aggregate. */
+  def longestStreaks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wt = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val islands = events
+      .withColumn("__i", row_number().over(w) - row_number().over(wt))
+      .groupBy(col("user_id"), col("event_type"), col("__i"))
+      .agg(count(lit(1)).as("__len"), min(col("event_id")).as("__start"))
+    islands
+      .withColumn("__mx",
+        max(col("__len")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("__len")).as("longest_streak"),
+        min(when(col("__len") === col("__mx"),
+          struct(col("__start"), col("event_type"))))
+          .getField("event_type").as("streak_type"))
+  }
+
   /** Rate-limit burst audit — the abuse/quota screen ("who exceeded
     * N requests in ANY sliding window?") answered exactly, not by
     * fixed buckets: for every event, the count of the same user's

@@ -383,6 +383,30 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Prefix-duplication audit — the boilerplate-HEADER detector
+    * line-level boilerplate removal misses when the shared text is
+    * the opening k tokens with varying bodies (mirror banners,
+    * scraped-template intros, license headers): documents sharing an
+    * identical k-token prefix grouped with counts and the earliest
+    * witness doc. Deliberately EXACT and positional (the LSH paths
+    * answer whole-document similarity; this asks a sharper, cheaper
+    * question). Docs with fewer than k tokens use their full token
+    * list (stated); empty-token docs drop. One scan-side slice
+    * projection + one prefix-keyed aggregate — prefixes shuffle,
+    * text never does. */
+  def prefixDuplication(docs: DataFrame, k: Int = 5, minDocs: Long = 2L,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(k >= 1, "prefix length must be >= 1")
+    withTokens(docs, textCol)
+      .select(col(idCol).as("doc_id"),
+        concat_ws(" ", slice(col("tokens"), 1, k)).as("prefix"))
+      .filter(col("prefix") =!= "")
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** KWIC concordance (Keyword In Context — Luhn 1960, the original
     * IR display primitive): every exact occurrence of `phrase` with
     * `window` tokens of context either side — what an annotator or a

@@ -169,6 +169,24 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("longestStreaks: islands by the rn-difference identity, ties to earliest") {
+    val d = df(schema,
+      // user 1: a a b a a a b -> runs: a(2) b(1) a(3) b(1); longest a=3
+      ev(1, 1, 1, "a"), ev(2, 2, 1, "a"), ev(3, 3, 1, "b"),
+      ev(4, 4, 1, "a"), ev(5, 5, 1, "a"), ev(6, 6, 1, "a"),
+      ev(7, 7, 1, "b"),
+      // user 2: x y -> two runs of 1, tie -> earliest (x)
+      ev(8, 1, 2, "x"), ev(9, 2, 2, "y"))
+    val out = EventAnalytics.longestStreaks(d)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_runs"), r.getAs[Long]("longest_streak"),
+         r.getAs[String]("streak_type"))).toMap
+    out(1L) shouldBe ((4L, 3L, "a"))
+    out(2L) shouldBe ((2L, 1L, "x"))
+    assertSameRows(EventAnalytics.longestStreaks(d),
+      EventAnalytics.longestStreaks(d.repartition(5)))
+  }
+
   test("burstAudit: RANGE frame catches straddling bursts fixed buckets miss") {
     // user 1: events at minutes 50, 55, 65, 70 — a 4-event burst
     // inside [50, 70] that straddles the 0-60/60-120 hour buckets;

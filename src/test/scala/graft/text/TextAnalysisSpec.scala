@@ -331,6 +331,21 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(r1, r9)
   }
 
+  test("prefixDuplication: shared openings grouped; short docs use full prefix") {
+    val d = docs(
+      1L -> "terms of service apply here body one",
+      2L -> "terms of service apply here completely different",
+      3L -> "unique opening line never repeats",
+      4L -> "short doc",        // < k tokens: full list is the prefix
+      5L -> "short doc")
+    val out = TextAnalysis.prefixDuplication(d, k = 5, minDocs = 2)
+      .collect().map(r => r.getAs[String]("prefix") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"))).toMap
+    out("terms of service apply here") shouldBe ((2L, 1L))
+    out("short doc") shouldBe ((2L, 4L))
+    out should have size 2
+  }
+
   test("kwic: context windows clamp at edges; overlapping hits each get a row") {
     val d = docs(
       1L -> "alpha beta table table gamma delta",
