@@ -1608,6 +1608,74 @@ SELECT contained, container, CAST(common AS BIGINT) AS common,
 FROM common WHERE (common * 1000) // n_contained >= 600
 ORDER BY contained, container"""
 
+  /** q197 twin of [[graft.graph.LinkGraph.seedReach]]: the q165
+    * edges, three unrolled one-hop expansions with distinct unions. */
+  val q197_seed_reach: String = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 89 AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 97 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 89 AS VARCHAR)
+    FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+  SELECT node FROM (VALUES ('d0'), ('d1'), ('d2')) s(node)
+  WHERE node IN (SELECT node FROM nodes)),
+r1 AS (SELECT node FROM r0 UNION
+       SELECT e.dst FROM e JOIN r0 ON e.src = r0.node),
+r2 AS (SELECT node FROM r1 UNION
+       SELECT e.dst FROM e JOIN r1 ON e.src = r1.node),
+r3 AS (SELECT node FROM r2 UNION
+       SELECT e.dst FROM e JOIN r2 ON e.src = r2.node),
+c AS (
+  SELECT 0 AS hop, count(*) AS n_reachable FROM r0 UNION ALL
+  SELECT 1, count(*) FROM r1 UNION ALL
+  SELECT 2, count(*) FROM r2 UNION ALL
+  SELECT 3, count(*) FROM r3)
+SELECT CAST(hop AS INTEGER) AS hop,
+  CAST(n_reachable AS BIGINT) AS n_reachable,
+  CAST((n_reachable * 1000) // (SELECT n FROM n) AS BIGINT)
+    AS share_permille
+FROM c ORDER BY hop"""
+
+  /** q198 twin of [[graft.events.EventAnalytics.entryExit]]: the q24
+    * session CTEs + arg-min/max by (us, event_id). */
+  val q198_entry_exit: String = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+  FROM m),
+rw AS (
+  SELECT user_id, seq, event_type,
+    row_number() OVER (PARTITION BY user_id, seq
+                       ORDER BY us, event_id) AS a,
+    row_number() OVER (PARTITION BY user_id, seq
+                       ORDER BY us DESC, event_id DESC) AS z,
+    count(*) OVER (PARTITION BY user_id, seq) AS n
+  FROM s),
+sess AS (
+  SELECT user_id, seq,
+    max(CASE WHEN a = 1 THEN event_type END) AS entry_type,
+    max(CASE WHEN z = 1 THEN event_type END) AS exit_type,
+    max(n) AS n
+  FROM rw GROUP BY 1, 2)
+SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM sess GROUP BY 1, 2 ORDER BY entry_type, exit_type"""
+
   /** q195 twin of [[graft.events.EventAnalytics.longestStreaks]]:
     * the same rn-difference islands and min-struct tie pick. */
   val q195_streaks: String = """
@@ -4469,6 +4537,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q194_fd_violations" -> q194_fd_violations,
     "q195_streaks" -> q195_streaks,
     "q196_prefix_dups" -> q196_prefix_dups,
+    "q197_seed_reach" -> q197_seed_reach,
+    "q198_entry_exit" -> q198_entry_exit,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

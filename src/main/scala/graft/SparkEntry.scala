@@ -920,6 +920,28 @@ object SparkEntry {
           Tables.documents(s, dir), "table table")
         .orderBy(col("doc_id"))),
 
+    // Seed-reachability frontier growth over the sparse q165 graph:
+    // distinct nodes within 0..3 hops of the d0/d1/d2 seeds, share
+    // of the universe per hop — monotone by construction.
+    "q197_seed_reach" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 97).as("src"), dom((id * 3 + 1) % 89).as("dst"))
+      val e2 = docs.select(dom(id % 97).as("src"), dom((id * 5 + 2) % 89).as("dst"))
+      val seeds = docs.sparkSession.range(3)
+        .select(concat(lit("d"), col("id").cast("string")).as("node"))
+      graft.graph.LinkGraph.seedReach(e1.unionAll(e2), seeds,
+          maxHops = 3)
+        .orderBy(col("hop"))
+    }),
+
+    // Session entry/exit report: first/last event type per session,
+    // pair counts + the bounce diagonal.
+    "q198_entry_exit" -> ((s, dir) =>
+      graft.events.EventAnalytics.entryExit(Tables.events(s, dir))
+        .orderBy(col("entry_type"), col("exit_type"))),
+
     // Longest same-type streak per user: the gaps-and-islands
     // rn-difference identity; bot-signature read when inverted.
     "q195_streaks" -> ((s, dir) =>

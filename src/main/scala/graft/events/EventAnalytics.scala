@@ -213,6 +213,40 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Session entry/exit report — the landing/exit-page table of web
+    * analytics, over event types: per (entry_type, exit_type) pair,
+    * session count and the single-event-session count (entry ≡ exit
+    * — the bounce diagonal). Entry/exit are the FIRST/LAST events of
+    * each session by the exact (ts, event_id) order ([[sessionize]]'s
+    * tie rule, window-for-window), picked with min/max over a
+    * (us, event_id, type) struct — no extra window pass beyond the
+    * session assignment.
+    *
+    * Shape: the sessionize window + one (user, session) aggregate +
+    * one pair aggregate bounded by the type universe squared. */
+  def entryExit(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(w)
+    val isNew = when(prev.isNull || (us - prev) > gapUs, 1).otherwise(0)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("__seq",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__seq"))
+      .agg(
+        min(struct(us.as("u"), col("event_id").as("i"),
+          col("event_type").as("t"))).getField("t").as("entry_type"),
+        max(struct(us.as("u"), col("event_id").as("i"),
+          col("event_type").as("t"))).getField("t").as("exit_type"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+  }
+
   /** Longest same-type streak per user — the gaps-and-islands
     * pattern (the one classic SQL idiom the registry hadn't
     * exercised): islands are maximal runs of consecutive identical

@@ -462,6 +462,52 @@ object LinkGraph {
       .select(col("node"), col("community"), col("community_size"))
   }
 
+  /** Seed-reachability frontier growth — the crawl-planning question
+    * ("how much of the graph do k hops from our seeds cover?") and
+    * TrustRank's set-valued shadow: per hop 0..maxHops, the count of
+    * DISTINCT nodes reachable from the seed set within that many
+    * directed hops, plus the share of the node universe in exact
+    * permille. Hop h's set is hop h−1's plus one edge expansion —
+    * monotone by construction (spec-pinned), so the curve's plateau
+    * IS the reachable component boundary.
+    *
+    * Shape: per hop ONE frontier⋈edges hash join + a distinct union
+    * (node-keyed); the reachable set is carried as a frame, nothing
+    * collected; hop count is the bounded driver loop (the pagerank
+    * iteration pattern). `materialize` is the lineage-cut hook. */
+  def seedReach(edges: DataFrame, seeds: DataFrame,
+                src: String = "src", dst: String = "dst",
+                seedCol: String = "node", maxHops: Int = 3,
+                materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val total = nodes.agg(count(lit(1)).as("__n"))
+    // seeds restricted to the node universe: an off-graph seed
+    // reaches nothing and shouldn't inflate hop 0
+    var reach = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, "node")
+    val rows = (0 to maxHops).map { h =>
+      if (h > 0) {
+        reach = materialize(
+          reach.unionByName(
+            e.join(reach.withColumnRenamed("node", "src"), "src")
+              .select(col("dst").as("node")))
+            .distinct())
+      }
+      reach.agg(count(lit(1)).as("n_reachable"))
+        .select(lit(h).as("hop"), col("n_reachable"))
+    }
+    rows.reduce(_.unionByName(_))
+      .crossJoin(broadcast(total))
+      .withColumn("share_permille", expr("(n_reachable * 1000) div __n"))
+      .drop("__n")
+  }
+
   /** Weighted PageRank — [[pagerank]] with edge weights (anchor-count
     * or link-multiplicity weights are the standard web-graph refinement:
     * a page linking somewhere 50 times endorses it more than once):

@@ -169,6 +169,25 @@ class EventAnalyticsSpec extends SparkSpec {
     out.values.map(_._2).sum shouldBe 4000L
   }
 
+  test("entryExit: first/last per session, bounce diagonal, gap split") {
+    val d = df(schema,
+      // u1 one session a..c
+      ev(1, 0, 1, "a"), ev(2, 5, 1, "b"), ev(3, 10, 1, "c"),
+      // u1 second session after a 40-min gap: single event = bounce
+      ev(4, 60, 1, "x"),
+      // u2: ties at minute 0 resolve by event_id: entry a (id 5), exit b (id 6)
+      ev(5, 0, 2, "a"), ev(6, 0, 2, "b"))
+    val out = EventAnalytics.entryExit(d)
+      .collect().map(r => (r.getAs[String]("entry_type"),
+        r.getAs[String]("exit_type")) ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounces"))).toMap
+    out(("a", "c")) shouldBe ((1L, 0L))
+    out(("x", "x")) shouldBe ((1L, 1L))
+    out(("a", "b")) shouldBe ((1L, 0L))
+    assertSameRows(EventAnalytics.entryExit(d),
+      EventAnalytics.entryExit(d.repartition(5)))
+  }
+
   test("longestStreaks: islands by the rn-difference identity, ties to earliest") {
     val d = df(schema,
       // user 1: a a b a a a b -> runs: a(2) b(1) a(3) b(1); longest a=3

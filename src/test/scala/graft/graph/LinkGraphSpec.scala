@@ -352,6 +352,25 @@ class LinkGraphSpec extends SparkSpec {
     star("c") shouldBe "x"
   }
 
+  test("seedReach: monotone frontier growth on a path; off-graph seeds ignored") {
+    val g = edges("a" -> "b", "b" -> "c", "c" -> "d")
+    val seedSchema = StructType(Seq(StructField("node", StringType)))
+    val seeds = df(seedSchema, Row("a"), Row("ghost")) // ghost: not in graph
+    val out = LinkGraph.seedReach(g, seeds, maxHops = 3)
+      .collect().map(r => r.getAs[Int]("hop") ->
+        (r.getAs[Long]("n_reachable"), r.getAs[Long]("share_permille"))).toMap
+    out(0) shouldBe ((1L, 250L))
+    out(1) shouldBe ((2L, 500L))
+    out(2) shouldBe ((3L, 750L))
+    out(3) shouldBe ((4L, 1000L))
+    // plateau past the component boundary: b's component ends at d
+    val plateau = LinkGraph.seedReach(g, df(seedSchema, Row("c")), maxHops = 3)
+      .collect().map(r => r.getAs[Int]("hop") -> r.getAs[Long]("n_reachable"))
+      .toMap
+    plateau(1) shouldBe 2L
+    plateau(3) shouldBe 2L // monotone AND flat after exhaustion
+  }
+
   test("pagerankWeighted: proportional split by hand; uniform weights ≡ pagerank") {
     val wSchema = StructType(Seq(StructField("src", StringType),
       StructField("dst", StringType), StructField("w", LongType)))
