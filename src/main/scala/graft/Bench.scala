@@ -119,26 +119,36 @@ object Bench {
       "bench short keys (prefix before first '_') must be unique")
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     // The driver snapshots only the LAST 2000 chars of stdout and
-    // json-parses the final line. A full-name per-query map is ~2.9 kB
-    // — it can never fit — so the adjudicated line uses short keys
-    // ("q53" = q53_funnel: the prefix before the first '_', unique by
-    // construction), which keeps the whole line ~1.3 kB: total AND
-    // every query land inside the tail. The full-name map is printed
-    // on the PREVIOUS line for human cross-reference (its head may be
-    // truncated; the short-key line is the contract). Printed AFTER
-    // spark.stop() so no late executor/log line can land after them;
-    // build.sbt sets Global/showSuccess := false so sbt's "[success]
-    // Total time" epilogue cannot displace the metric line either.
-    // Locale.ROOT pins the decimal separator: f"$v%.3f" under a
-    // comma-decimal locale (de_DE) would emit "1,234" — invalid JSON.
+    // json-parses the final line. At 198 queries even the short-key
+    // per-query map is ~3.5 kB — it can never fit, and through round
+    // 13 it was the FINAL line, so the tail cut it mid-line and the
+    // official artifact lost per-query detail AND the parseable
+    // summary (BENCH_r13.json parsed:null). The contract is now
+    // ordered so the final bytes are always complete: all per-query
+    // detail lines (full-name min, full-name median, short-key min —
+    // their heads may fall outside the tail; the committed
+    // scripts/bench_local_r*.jsonl carries them in full) print FIRST,
+    // and the LAST line is a guaranteed-small (~500 B) closing
+    // summary: total, median_total, n, failures, and a top-10
+    // min-time digest under the driver-expected "queries" key. 10
+    // entries * ~30 B + fixed fields stays far inside 2000 B even
+    // with every failure name listed. Printed AFTER spark.stop() so
+    // no late executor/log line can land after them; build.sbt sets
+    // Global/showSuccess := false so sbt's "[success] Total time"
+    // epilogue cannot displace the metric line either. Locale.ROOT
+    // pins the decimal separator: f"$v%.3f" under a comma-decimal
+    // locale (de_DE) would emit "1,234" — invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def render(short: Boolean, stat: Seq[Double] => Double): String =
-      results.map { case (k, ts) =>
+    def render(entries: Seq[(String, Seq[Double])], short: Boolean, stat: Seq[Double] => Double): String =
+      entries.map { case (k, ts) =>
         "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + fmt(stat(ts))
       }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val totalMedian = results.map(r => median(r._2)).sum
+    // Top-10 digest: the heaviest queries by min-time, the ones whose
+    // cross-round movement actually matters for adjudication.
+    val top10 = results.sortBy(-_._2.min).take(10)
     spark.stop()
     // Two full-name lines for humans and cross-round adjudication: the
     // per-query MIN (the plan's cost) and the per-query MEDIAN (what a
@@ -153,9 +163,10 @@ object Bench {
     // the driver fail to parse the metrics line).
     def jsonStr(v: String): String =
       "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ') + "\""
-    println(s"""{"metric":"queries_by_name","queries":${render(short = false, _.min)},"failures":${failed.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }.mkString("{", ",", "}")}}""")
-    println(s"""{"metric":"queries_median_by_name","queries":${render(short = false, median)}}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"median_total":${fmt(totalMedian)},"unit":"sec","n":${results.size},"sf":"$sfDir"$failedJson,"queries":${render(short = true, _.min)}}""")
+    println(s"""{"metric":"queries_by_name","queries":${render(results, short = false, _.min)},"failures":${failed.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }.mkString("{", ",", "}")}}""")
+    println(s"""{"metric":"queries_median_by_name","queries":${render(results, short = false, median)}}""")
+    println(s"""{"metric":"queries_min_short","queries":${render(results, short = true, _.min)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"median_total":${fmt(totalMedian)},"unit":"sec","n":${results.size},"sf":"$sfDir"$failedJson,"queries":${render(top10, short = true, _.min)},"detail":"top-10 min digest; full per-query maps on the 3 preceding lines"}""")
     // Exit nonzero AFTER the metric lines so a failure is loud in the
     // driver's rc without erasing the timings of healthy queries.
     if (failed.nonEmpty) sys.exit(1)

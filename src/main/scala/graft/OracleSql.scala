@@ -2378,12 +2378,18 @@ FROM a ORDER BY user_id"""
   /** q168 twin of [[graft.events.EventAnalytics.decayedCounts]]: the
     * same whole-half-life quantization and power-of-two floor
     * division (`<<` + `//` ≡ Spark's shiftleft + div on these
-    * non-negative operands). */
+    * non-negative operands). The shift base is widened to BIGINT:
+    * DuckDB's bare `1` is a 32-bit INTEGER, so `1 << 31` throws Out
+    * of Range and the documented 62-half-life clamp would be
+    * unreachable on any events history spanning >= 31 half-lives
+    * (~217 days at the 7-day default) — the Spark side shifts 1L and
+    * is fine to 62, so without the cast the twins diverge exactly
+    * when the clamp starts to matter. */
   val q168_decayed_counts: String = """
 WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
 w AS (
   SELECT event_type,
-    1000000 // (1 << CAST(least((
+    1000000 // (CAST(1 AS BIGINT) << CAST(least((
       (SELECT anchor FROM a) - epoch_us(ts)) // 604800000000, 62)
       AS INTEGER)) AS wt
   FROM events),
