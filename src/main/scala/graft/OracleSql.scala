@@ -1643,6 +1643,48 @@ SELECT CAST(hop AS INTEGER) AS hop,
     AS share_permille
 FROM c ORDER BY hop"""
 
+  /** q199 twin of [[graft.graph.LinkGraph.stronglyConnected]] by a
+    * STRUCTURALLY DIFFERENT algorithm (the q131 cross-check
+    * discipline): WITH RECURSIVE transitive closure over the directed
+    * edge set, mutual-reachability pairs (a reaches b AND b reaches
+    * a), scc label = least(node, min mutual partner), sizes counted
+    * per label. The Spark side never materializes reachability pairs
+    * (coloring + capture + peel); agreement here is therefore a real
+    * cross-check, not an echo. Lexicographic string min is identical
+    * in both engines (ASCII). */
+  val q199_scc: String = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 12 AS VARCHAR) AS src,
+           'd' || CAST((doc_id % 12 + 1) % 12 AS VARCHAR) AS dst FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 8 + 12 AS VARCHAR),
+           'd' || CAST((doc_id + 1) % 8 + 12 AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT CASE doc_id % 6 WHEN 0 THEN 'd0' WHEN 1 THEN 'd13' WHEN 2 THEN 'd20'
+                           WHEN 3 THEN 'd21' WHEN 4 THEN 'd21' ELSE 'd23' END,
+           CASE doc_id % 6 WHEN 0 THEN 'd12' WHEN 1 THEN 'd20' WHEN 2 THEN 'd21'
+                           WHEN 3 THEN 'd22' WHEN 4 THEN 'd23' ELSE 'd24' END
+    FROM documents
+    UNION ALL
+    SELECT 'd24', 'd23' FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+reach(s, d) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src),
+mutual AS (
+  SELECT a.s AS node, a.d AS other
+  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+lab AS (
+  SELECT n.node, least(n.node, coalesce(min(m.other), n.node)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON n.node = m.node
+  GROUP BY n.node),
+sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
+SELECT l.node, l.scc, CAST(sz.scc_size AS BIGINT) AS scc_size
+FROM lab l JOIN sz USING (scc) ORDER BY l.node"""
+
   /** q198 twin of [[graft.events.EventAnalytics.entryExit]]: the q24
     * session CTEs + arg-min/max by (us, event_id). */
   val q198_entry_exit: String = """
@@ -4545,6 +4587,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q196_prefix_dups" -> q196_prefix_dups,
     "q197_seed_reach" -> q197_seed_reach,
     "q198_entry_exit" -> q198_entry_exit,
+    "q199_scc" -> q199_scc,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -942,6 +942,37 @@ object SparkEntry {
       graft.events.EventAnalytics.entryExit(Tables.events(s, dir))
         .orderBy(col("entry_type"), col("exit_type"))),
 
+    // Strongly connected components over a directed fixture with
+    // nontrivial SCC structure: a 12-cycle and an 8-cycle joined by
+    // one-way bridges into a singleton chain ending in a 2-cycle —
+    // six SCCs of sizes 12/8/1/1/1/2. The condensation chain forces
+    // FIVE peel rounds (each round's coloring floods the whole
+    // remaining graph with the same min label, so exactly one SCC is
+    // captured per level), exercising the full forward-color /
+    // backward-capture / peel loop. The DuckDB twin computes the same
+    // labels from a WITH RECURSIVE transitive closure + mutual-
+    // reachability predicate — structurally independent algorithm,
+    // same answer.
+    "q199_scc" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val x = id % 6
+      val ringA = docs.select(dom(id % 12).as("src"),
+        dom((id % 12 + 1) % 12).as("dst"))
+      val ringB = docs.select(dom(id % 8 + 12).as("src"),
+        dom((id + 1) % 8 + 12).as("dst"))
+      val bridges = docs.select(
+        when(x === 0, "d0").when(x === 1, "d13").when(x === 2, "d20")
+          .when(x === 3, "d21").when(x === 4, "d21").otherwise("d23").as("src"),
+        when(x === 0, "d12").when(x === 1, "d20").when(x === 2, "d21")
+          .when(x === 3, "d22").when(x === 4, "d23").otherwise("d24").as("dst"))
+      val back = docs.select(lit("d24").as("src"), lit("d23").as("dst"))
+      graft.graph.LinkGraph.stronglyConnected(
+          ringA.unionAll(ringB).unionAll(bridges).unionAll(back), "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // Longest same-type streak per user: the gaps-and-islands
     // rn-difference identity; bot-signature read when inverted.
     "q195_streaks" -> ((s, dir) =>

@@ -720,6 +720,133 @@ object LinkGraph {
           .as("jaccard_permille"))
   }
 
+  /** Strongly connected components — the DIRECTED complement to the
+    * undirected component family ([[graft.dedup.Dedup.componentLabels]]
+    * / E27) and to [[labelPropagation]]'s density communities: nodes u
+    * and v share an SCC iff each reaches the other, which is what
+    * link-ring/spam-cycle analysis actually asks (a link FARM is a
+    * directed cycle; an undirected component can't tell a farm from a
+    * chain of one-way endorsements).
+    *
+    * Algorithm: iterative forward-coloring + backward reachability
+    * within color — the distributed SCC decomposition of Orzan's
+    * coloring/heads-off scheme (Orzan 2004; the FW-BW family of
+    * Fleischer, Hendrickson & Pınar 2000). Per outer round, over the
+    * still-unassigned subgraph:
+    *
+    *  1. COLOR: propagate c(v) = min(id over ancestors(v) ∪ {v})
+    *     forward along edges to fixpoint (min-label propagation, the
+    *     q131 loop shape). Roots are nodes with c(v) = v.
+    *  2. CAPTURE: within each color class, propagate backward from
+    *     the root: every node of color r with a directed path to r
+    *     THROUGH color-r nodes is exactly SCC(r). (Why staying inside
+    *     the color is sound: on any v→…→r path every waypoint w has r
+    *     as an ancestor — r reaches v reaches w — so c(w) ≤ r; and a
+    *     smaller ancestor u < r of w would, via w→…→r, be an ancestor
+    *     of r, contradicting c(r) = r. Hence c(w) = r.)
+    *  3. PEEL: remove the captured SCCs; iterate. Every round
+    *     assigns at least each color's root, so the loop strictly
+    *     shrinks; the number of rounds is bounded by the longest
+    *     min-id-decreasing chain in the SCC condensation DAG (small
+    *     for real link graphs — the q131 "gate at the diameter"
+    *     argument, applied per level).
+    *
+    * Both inner loops run TO CONVERGENCE with a loud failure cap
+    * (the componentLabels contract: silently-wrong labels are never
+    * an option), and convergence checks ride the same
+    * carried-`__old` trick (no second join re-running the round).
+    *
+    * Scale shape: every step is a node-keyed hash join + partial agg
+    * (coloring), or an edge⋈frontier join + distinct union (capture)
+    * — nothing collected, no all-pairs reachability materialized
+    * (the path-doubling alternative is O(n²) pair state and is
+    * exactly what this construction avoids); localCheckpoint cuts
+    * lineage each step since the frames iterate on themselves.
+    *
+    * Returns (node, scc, scc_size): scc = min member id, the
+    * canonical label the DuckDB oracle re-derives from a WITH
+    * RECURSIVE transitive closure + mutual-reachability predicate —
+    * a structurally independent algorithm, so agreement is a real
+    * cross-check (the q131 precedent). */
+  def stronglyConnected(edges: DataFrame, src: String, dst: String,
+                        maxPropIters: Int = 25,
+                        maxRounds: Int = 12): DataFrame = {
+    val e0 = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    var nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var e = e0.localCheckpoint()
+    val labelType = nodes.schema("node").dataType
+    var assigned: DataFrame = null
+    var round = 0
+    while (!nodes.isEmpty && round < maxRounds) {
+      // -- 1. forward min-label coloring to fixpoint ----------------
+      var colors = nodes.withColumn("color", col("node")).localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxPropIters) {
+        val inbound = e
+          .join(colors.select(col("node").as("src"), col("color")), "src")
+          .select(col("dst").as("node"), col("color"),
+            lit(null).cast(labelType).as("__old"))
+        val next = colors
+          .select(col("node"), col("color"), col("color").as("__old"))
+          .union(inbound)
+          .groupBy("node").agg(min("color").as("color"), max("__old").as("__old"))
+          .localCheckpoint()
+        converged = next.filter(col("color") =!= col("__old")).isEmpty
+        colors = next.select("node", "color")
+        i += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"stronglyConnected coloring did not converge in $maxPropIters " +
+          "iterations (ancestor-chain length exceeds the cap); labels " +
+          "would be silently wrong — raise maxPropIters")
+      // -- 2. backward capture within color classes -----------------
+      // only same-color edges can sit on a capture path (proof in the
+      // scaladoc), so restrict once and iterate on the small frame
+      val ec = e
+        .join(colors.select(col("node").as("src"), col("color").as("__cs")), "src")
+        .join(colors.select(col("node").as("dst"), col("color").as("__cd")), "dst")
+        .filter(col("__cs") === col("__cd"))
+        .select(col("src"), col("dst")).localCheckpoint()
+      var captured = colors.filter(col("node") === col("color"))
+        .select(col("node"), col("color").as("scc")).localCheckpoint()
+      converged = false
+      i = 0
+      while (!converged && i < maxPropIters) {
+        val extended = ec
+          .join(captured.select(col("node").as("dst"), col("scc")), "dst")
+          .select(col("src").as("node"), col("scc"))
+          .distinct()
+        val fresh = extended.join(captured, Seq("node"), "left_anti")
+          .localCheckpoint()
+        converged = fresh.isEmpty
+        if (!converged) captured = captured.union(fresh).localCheckpoint()
+        i += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"stronglyConnected capture did not converge in $maxPropIters " +
+          "iterations; raise maxPropIters")
+      // -- 3. peel ---------------------------------------------------
+      assigned = if (assigned == null) captured else assigned.union(captured)
+      nodes = nodes.join(captured.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      e = e.join(captured.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(captured.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint()
+      round += 1
+    }
+    if (!nodes.isEmpty) throw new IllegalStateException(
+      s"stronglyConnected did not assign every node in $maxRounds rounds " +
+        "(SCC-condensation chain exceeds the cap); raise maxRounds")
+    val sizes = assigned.groupBy(col("scc")).agg(count(lit(1)).as("scc_size"))
+    assigned.join(sizes, "scc")
+      .select(col("node"), col("scc"), col("scc_size"))
+  }
+
   /** Normalized centrality over [[pagerank]]'s output: each node's
     * share of probability mass as an EXACT rational pair
     * (`share_num`/`share_den` = rank_units / n·unit) plus integer

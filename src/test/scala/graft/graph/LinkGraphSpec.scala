@@ -523,4 +523,98 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.labelPropagation(base.repartition(7), "src", "dst",
         iterations = 4))
   }
+
+  // --- strongly connected components -------------------------------
+
+  // two directed cycles joined by a ONE-WAY bridge, plus a tail: the
+  // graph where undirected components collapse everything to one blob
+  // but the directed answer keeps them apart.
+  private def sccFixture = edges(
+    "a1" -> "a2", "a2" -> "a3", "a3" -> "a1", // 3-cycle {a1,a2,a3}
+    "a1" -> "b1",                             // one-way bridge
+    "b1" -> "b2", "b2" -> "b1",               // 2-cycle {b1,b2}
+    "b2" -> "c1")                             // singleton tail {c1}
+
+  test("stronglyConnected: cycles stay separate across one-way bridges") {
+    val out = LinkGraph.stronglyConnected(sccFixture, "src", "dst")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    out shouldBe Map(
+      "a1" -> (("a1", 3L)), "a2" -> (("a1", 3L)), "a3" -> (("a1", 3L)),
+      "b1" -> (("b1", 2L)), "b2" -> (("b1", 2L)),
+      "c1" -> (("c1", 1L)))
+    // the undirected component family would merge ALL of these
+    graft.dedup.Dedup.componentLabels(
+        sccFixture.withColumnRenamed("src", "doc_a")
+          .withColumnRenamed("dst", "doc_b"))
+      .select("label").distinct().count() shouldBe 1L
+  }
+
+  test("stronglyConnected: condensation chain needs every peel round it is given") {
+    // chain of three 2-cycles x -> y -> z: colors flood the whole
+    // graph with x1's label each round, so exactly one SCC peels per
+    // round — 3 rounds required, 2 must fail LOUDLY (never silently
+    // mislabel: the componentLabels contract).
+    val chain = edges(
+      "x1" -> "x2", "x2" -> "x1", "x1" -> "y1",
+      "y1" -> "y2", "y2" -> "y1", "y1" -> "z1",
+      "z1" -> "z2", "z2" -> "z1")
+    val out = LinkGraph.stronglyConnected(chain, "src", "dst", maxRounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    out shouldBe Map("x1" -> "x1", "x2" -> "x1", "y1" -> "y1",
+      "y2" -> "y1", "z1" -> "z1", "z2" -> "z1")
+    an[IllegalStateException] should be thrownBy
+      LinkGraph.stronglyConnected(chain, "src", "dst", maxRounds = 2)
+  }
+
+  test("stronglyConnected: coloring cap binds at the ancestor-chain length") {
+    // a directed 6-path: min-label flooding needs 5 propagation steps
+    // (+1 to observe the fixpoint); a cap of 3 must throw, not
+    // mislabel (the q131 convergence-at-diameter case, directed form)
+    val path = edges("p1" -> "p2", "p2" -> "p3", "p3" -> "p4",
+      "p4" -> "p5", "p5" -> "p6")
+    an[IllegalStateException] should be thrownBy
+      LinkGraph.stronglyConnected(path, "src", "dst", maxPropIters = 3)
+    // with room to converge every node is its own singleton SCC
+    LinkGraph.stronglyConnected(path, "src", "dst")
+      .filter(col("scc_size") === 1).count() shouldBe 6L
+  }
+
+  test("stronglyConnected matches brute-force mutual reachability on random digraphs") {
+    val rnd = new scala.util.Random(14)
+    for (_ <- 1 to 5) {
+      val n = 8
+      val pairs = (0 until 16).map(_ =>
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(p => p._1 != p._2).distinct
+      if (pairs.nonEmpty) {
+        // Floyd-Warshall closure on the small universe
+        val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        val idx = ids.zipWithIndex.toMap
+        val m = ids.length
+        val r = Array.fill(m, m)(false)
+        pairs.foreach(p => r(idx(p._1))(idx(p._2)) = true)
+        for (k <- 0 until m; i <- 0 until m; j <- 0 until m)
+          if (r(i)(k) && r(k)(j)) r(i)(j) = true
+        val expected = ids.map { v =>
+          val i = idx(v)
+          val members = ids.filter(w => w == v ||
+            (r(i)(idx(w)) && r(idx(w))(i)))
+          v -> ((members.min, members.size.toLong))
+        }.toMap
+        val out = LinkGraph.stronglyConnected(edges(pairs: _*), "src", "dst")
+          .collect()
+          .map(row => row.getString(0) -> ((row.getString(1), row.getLong(2))))
+          .toMap
+        out shouldBe expected
+      }
+    }
+  }
+
+  test("stronglyConnected is invariant under input partitioning") {
+    val base = sccFixture
+    assertSameRows(
+      LinkGraph.stronglyConnected(base, "src", "dst"),
+      LinkGraph.stronglyConnected(base.repartition(7), "src", "dst"))
+  }
 }
