@@ -1685,6 +1685,26 @@ sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
 SELECT l.node, l.scc, CAST(sz.scc_size AS BIGINT) AS scc_size
 FROM lab l JOIN sz USING (scc) ORDER BY l.node"""
 
+  /** q200 twin of [[graft.functions.JpegHeaderUtil.meta]] over the
+    * [[graft.multimodal.Jpeg.encodeHeader]] fixtures: every field
+    * derived from the fixture's PARAMETER FORMULAS alone — no JPEG
+    * bytes anywhere in the oracle — so hash equality proves Spark's
+    * marker-segment walk end to end (the q114/q115 discipline).
+    * n_segments = JFIF APP0 (when doc_id % 4 <> 0) + COM (when
+    * doc_id % 11 <> 0) + (1 + doc_id % 2) DQTs + SOF + DHT + SOS. */
+  val q200_jpeg_meta: String = """
+SELECT doc_id, true AS decoded, doc_id % 3 = 0 AS progressive,
+  CAST(8 AS BIGINT) AS precision_bits,
+  CAST(16 + doc_id % 9 AS BIGINT) AS width,
+  CAST(8 + doc_id % 7 AS BIGINT) AS height,
+  CAST((16 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_components,
+  CAST((CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END)
+     + 1 + doc_id % 2 + 3 AS BIGINT) AS n_segments,
+  doc_id % 4 <> 0 AS has_jfif
+FROM documents ORDER BY doc_id"""
+
   /** q198 twin of [[graft.events.EventAnalytics.entryExit]]: the q24
     * session CTEs + arg-min/max by (us, event_id). */
   val q198_entry_exit: String = """
@@ -4588,6 +4608,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q197_seed_reach" -> q197_seed_reach,
     "q198_entry_exit" -> q198_entry_exit,
     "q199_scc" -> q199_scc,
+    "q200_jpeg_meta" -> q200_jpeg_meta,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,41 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // REAL JPEG header parse end-to-end (the q114/q115 fixture
+    // pattern): per doc, synthesize a structurally valid JFIF stream
+    // whose dimensions, SOF variant, component count, and segment
+    // roster are pure functions of doc_id, then walk the marker
+    // segments with the native expression. The oracle computes every
+    // expected field from the PARAMETER FORMULAS alone (no JPEG
+    // anywhere), so hash equality proves the big-endian segment walk
+    // itself. Timed region = encode + parse, as named.
+    "q200_jpeg_meta" -> ((s, dir) => {
+      import s.implicits._
+      val jpegs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          id -> graft.multimodal.Jpeg.encodeHeader(
+            w = (16 + id % 9).toInt, h = (8 + id % 7).toInt,
+            components = if (id % 5 == 0) 1 else 3,
+            progressive = id % 3 == 0,
+            withJfif = id % 4 != 0,
+            nDqt = (1 + id % 2).toInt,
+            commentLen = (id % 11).toInt)
+        }
+        .toDF("doc_id", "jpeg")
+      jpegs.select(col("doc_id"),
+          graft.multimodal.Multimodal.jpegMeta(col("jpeg")).as("m"))
+        .select(col("doc_id"), col("m.decoded").as("decoded"),
+          col("m.progressive").as("progressive"),
+          col("m.precision_bits").as("precision_bits"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.n_pixels").as("n_pixels"),
+          col("m.n_components").as("n_components"),
+          col("m.n_segments").as("n_segments"),
+          col("m.has_jfif").as("has_jfif"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Longest same-type streak per user: the gaps-and-islands
     // rn-difference identity; bot-signature read when inverted.
     "q195_streaks" -> ((s, dir) =>

@@ -40,6 +40,18 @@ object Multimodal {
   def wavPcmStats(bin: Column): Column =
     graft.functions.WavFunctions.wavPcmStats(bin)
 
+  /** JPEG header metadata via the real ITU-T T.81 marker-segment
+    * walk: JFIF presence, SOF0/SOF2 frame header (precision,
+    * dimensions, components), progressive flag, segment count (see
+    * [[graft.functions.JpegHeaderUtil]]). Header-only by design —
+    * dimensions and structural validity are what a curation pipeline
+    * filters on before paying for an entropy decode; malformed or
+    * unsupported-variant blobs yield decoded = false, never an
+    * error. Scan-side like [[pngPixelStats]]: the bytes never
+    * shuffle. */
+  def jpegMeta(bin: Column): Column =
+    graft.functions.JpegFunctions.jpegMeta(bin)
+
   /** Perceptual audio fingerprint of a PCM16 WAV: 65-segment energy
     * envelope → 64 adjacent-mean comparison bits, gain-invariant
     * (see [[graft.functions.WavPcmUtil.fingerprint]]); scan-side,

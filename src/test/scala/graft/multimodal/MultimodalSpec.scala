@@ -348,4 +348,96 @@ class MultimodalSpec extends SparkSpec {
       .as[(Boolean, Long, Long, Long)].head()
     out shouldBe ((true, 2L, 44100L, 16L))
   }
+
+  // --- JPEG header walk --------------------------------------------
+
+  private def jpegRow(b: Array[Byte]) = media(1L -> b)
+    .select(Multimodal.jpegMeta(col("media")).as("m"))
+
+  private def jpegDecoded(b: Array[Byte]): Boolean =
+    jpegRow(b).select("m.decoded").as[Boolean].head()
+
+  test("jpegMeta parses a baseline JFIF: dims, components, segment roster") {
+    val b = Jpeg.encodeHeader(w = 640, h = 480, components = 3,
+      progressive = false, withJfif = true, nDqt = 2, commentLen = 5)
+    val m = jpegRow(b).select("m.decoded", "m.progressive",
+        "m.precision_bits", "m.width", "m.height", "m.n_pixels",
+        "m.n_components", "m.n_segments", "m.has_jfif")
+      .as[(Boolean, Boolean, Long, Long, Long, Long, Long, Long, Boolean)]
+      .head()
+    // segments: APP0 + COM + 2 DQT + SOF + DHT + SOS = 7
+    m shouldBe ((true, false, 8L, 640L, 480L, 307200L, 3L, 7L, true))
+  }
+
+  test("jpegMeta: progressive grayscale without JFIF") {
+    val b = Jpeg.encodeHeader(w = 31, h = 17, components = 1,
+      progressive = true, withJfif = false, nDqt = 1, commentLen = 0)
+    val m = jpegRow(b).select("m.decoded", "m.progressive",
+        "m.n_components", "m.n_segments", "m.has_jfif")
+      .as[(Boolean, Boolean, Long, Long, Boolean)].head()
+    m shouldBe ((true, true, 1L, 4L, false)) // DQT + SOF + DHT + SOS
+  }
+
+  test("jpegMeta corruption cases all degrade to decoded=false, never throw") {
+    val good = Jpeg.encodeHeader(w = 32, h = 16)
+    val sofAt = { // locate the SOF0 marker for surgical corruption
+      val i = good.indices.find(i =>
+        (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+      i
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "empty" -> Array.emptyByteArray,
+      "not a jpeg" -> "plain text".getBytes("US-ASCII"),
+      "signature only" -> good.take(2),
+      "truncated mid-segment" -> good.take(sofAt + 4),
+      "lost marker sync" -> { val b = good.clone(); b(sofAt) = 0x00; b },
+      "EOI before SOF" -> (good.take(2) ++ Array(0xff.toByte, 0xd9.toByte)),
+      "RST before SOS" ->
+        (good.take(2) ++ Array(0xff.toByte, 0xd0.toByte) ++ good.drop(2)),
+      "zero width" -> { val b = good.clone()
+        b(sofAt + 7) = 0; b(sofAt + 8) = 0; b },
+      "unsupported SOF (lossless C3)" -> { val b = good.clone()
+        b(sofAt + 1) = 0xc3.toByte; b },
+      "oversized dims (adversarial header)" -> { val b = good.clone()
+        b(sofAt + 5) = 0xff.toByte; b(sofAt + 6) = 0xff.toByte
+        b(sofAt + 7) = 0xff.toByte; b(sofAt + 8) = 0xff.toByte; b },
+      "segment length overruns stream" -> { val b = good.clone()
+        b(sofAt + 2) = 0x7f.toByte; b },
+      "double SOF" -> { val sof = good.slice(sofAt, sofAt + 2 +
+        (((good(sofAt + 2) & 0xff) << 8) | (good(sofAt + 3) & 0xff)))
+        good.take(sofAt) ++ sof ++ good.drop(sofAt) })
+    for ((name, b) <- cases)
+      withClue(name) { jpegDecoded(b) shouldBe false }
+    jpegDecoded(good) shouldBe true // the surgery baseline is valid
+  }
+
+  test("jpegMeta tolerates FF fill bytes before a marker (T.81 B.1.1.2)") {
+    val good = Jpeg.encodeHeader(w = 20, h = 10)
+    val padded = good.take(2) ++ Array.fill(3)(0xff.toByte) ++ good.drop(2)
+    val m = jpegRow(padded).select("m.decoded", "m.width", "m.height")
+      .as[(Boolean, Long, Long)].head()
+    m shouldBe ((true, 20L, 10L))
+  }
+
+  test("jpegMeta: interpreted and codegen paths agree") {
+    val d = media((1L to 20L).map(i =>
+      i -> Jpeg.encodeHeader(w = (10 + i % 7).toInt, h = (5 + i % 5).toInt,
+        components = if (i % 4 == 0) 1 else 3,
+        progressive = i % 2 == 0, withJfif = i % 3 != 0,
+        nDqt = (i % 3).toInt, commentLen = (i % 6).toInt)): _*)
+    def run(): Seq[(Long, Long, Long, Long)] = d
+      .select(col("id"), Multimodal.jpegMeta(col("media")).as("m"))
+      .select(col("id"), col("m.width"), col("m.height"), col("m.n_segments"))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    val codegen = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+    val direct = d.select(col("id"), col("media")).collect().map { r =>
+      val m = graft.functions.JpegHeaderUtil.meta(r.getAs[Array[Byte]](1))
+      (r.getLong(0), m.getLong(3), m.getLong(4), m.getLong(7))
+    }.toSeq.sortBy(_._1)
+    codegen shouldBe direct
+  }
 }
