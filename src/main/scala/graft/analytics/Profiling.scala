@@ -64,6 +64,51 @@ object Profiling {
       .drop("__rk", "__n")
   }
 
+  /** GLOBAL approximate-quantile bucket transform — the corpus-scale
+    * complement to [[quantileFeatures]]'s per-group exact ranks: that
+    * operator's ntile/rank windows run per GROUP and would need a
+    * single-partition global sort for a corpus-wide transform (the
+    * exact thing that cannot exist at 100 TB); this one computes the
+    * k−1 global cutpoints with `percentile_approx`'s bounded
+    * KLL/GK-style sketch (one partial-agg pass, per-partition state
+    * bounded by `accuracy`, never the data) and assigns each row its
+    * bucket by comparing against the broadcast cutpoints — a second
+    * scan-side pass with zero shuffles of the data itself.
+    *
+    * Bucket semantics: bucket(v) = 1 + |{cutpoints c : v > c}| —
+    * ties land LOW (a value equal to a cutpoint joins the lower
+    * bucket), and equal values always share a bucket (the
+    * quantile-normalization invariant [[quantileFeatures]] pins for
+    * rank_permille; global ntile cannot guarantee it, a documented
+    * semantic difference, not a defect). The comparisons unroll to k−1
+    * codegen'd scalar `when`s (no higher-order-function lambda on the
+    * hot path — interpreted per row); k is config-sized.
+    *
+    * Error contract (why there is no DuckDB oracle — the E23/
+    * tableStatsApprox precedent): the sketch guarantees each cutpoint
+    * sits within rank error n/accuracy of the exact quantile, so a
+    * row's bucket can differ from the exact-sort bucket only if its
+    * rank lies within n/accuracy of a boundary — the suite asserts
+    * exactly that bound against an exact ntile on harness data, plus
+    * the no-global-sort plan shape. NULL values pass through with
+    * bucket NULL (they have no rank). */
+  def globalQuantileBuckets(df: DataFrame, valueCol: String, k: Int,
+                            accuracy: Int = 10000): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(accuracy >= k, "accuracy below k makes every bucket boundary noise")
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val cuts = df.filter(col(valueCol).isNotNull)
+      .agg(percentile_approx(col(valueCol), array(probs.map(lit): _*),
+        lit(accuracy)).as("__cuts"))
+    val bucket = (0 until k - 1).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col(valueCol) > col("__cuts").getItem(i), 1L).otherwise(0L)
+    }
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col(valueCol).isNull, lit(null).cast("long")).otherwise(bucket))
+      .drop("__cuts")
+  }
+
   /** Fixed-width histogram of a numeric column: per bin — row count,
     * observed min/max. Bin i covers [minVal + i·width, minVal +
     * (i+1)·width); values below `minVal` land in negative bins (the

@@ -314,4 +314,68 @@ class ProfilingSpec extends SparkSpec {
     assertSameRows(out, Profiling.pivotMatrix(d.repartition(5), "source",
       "lang", Seq("en", "fr", "zh")))
   }
+
+  // --- global approximate quantile buckets -------------------------
+
+  test("globalQuantileBuckets: near-equal bucket sizes within the rank-error bound") {
+    // 1000 distinct values, k=10, accuracy=10000: sketch rank error
+    // floor(n/accuracy) = 0 rows -> cutpoints are exact order
+    // statistics and every bucket holds 100 +- 1 (the +-1 is the
+    // ties-low boundary convention, not sketch error)
+    val d = scala.util.Random.shuffle((1 to 1000).toList)
+      .map(_.toDouble).toDF("v").repartition(4)
+    val out = Profiling.globalQuantileBuckets(d, "v", k = 10)
+    val sizes = out.groupBy("bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.keySet shouldBe (1L to 10L).toSet
+    sizes.values.sum shouldBe 1000L
+    all(sizes.values) should (be >= 99L and be <= 101L)
+    // monotone: a larger value never lands in a smaller bucket
+    val byV = out.select("v", "bucket").as[(Double, Long)]
+      .collect().sortBy(_._1).map(_._2)
+    byV.sliding(2).foreach(p => p(0) should be <= p(1))
+  }
+
+  test("globalQuantileBuckets: equal values always share a bucket; ties land low") {
+    // 3 fat ties spanning every boundary of k=4: quantile
+    // normalization's invariant — equal inputs, equal features
+    val d = (List.fill(500)(1.0) ::: List.fill(300)(2.0) :::
+      List.fill(200)(3.0)).toDF("v").repartition(3)
+    val got = Profiling.globalQuantileBuckets(d, "v", k = 4)
+      .groupBy("v").agg(countDistinct("bucket").as("nb"), min("bucket").as("b"))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    all(got.values.map(_._1)) shouldBe 1L // one bucket per value
+    // v=1.0 covers quantiles .25/.5 -> cutpoints c1=c2=1.0; ties land
+    // LOW so the 1.0s take bucket 1, 2.0s sit above c3=2.0 -> ties-low
+    // again, 3.0s above every cutpoint
+    got(1.0)._2 shouldBe 1L
+    got(2.0)._2 should (be >= 2L and be <= 3L)
+    got(3.0)._2 shouldBe 4L
+  }
+
+  test("globalQuantileBuckets: NULLs pass through with NULL bucket") {
+    val d = Seq(Some(1.0), None, Some(2.0), Some(3.0), None).toDF("v")
+    val out = Profiling.globalQuantileBuckets(d, "v", k = 2).collect()
+    out.length shouldBe 5
+    out.count(_.isNullAt(1)) shouldBe 2
+    out.filter(!_.isNullAt(0)).foreach(r => r.isNullAt(1) shouldBe false)
+  }
+
+  test("globalQuantileBuckets plan: bounded sketch aggregate, NO global sort") {
+    val d = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Profiling.globalQuantileBuckets(d, "v", k = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the 100 TB contract: the only aggregation is the bounded-state
+    // percentile sketch, the cutpoints come back as a broadcast, and
+    // NOTHING sorts — vs the exact global-ntile alternative, whose
+    // window pass needs a single-partition sort of the entire corpus
+    plan should include("ObjectHashAggregate")
+    plan should not include "Sort ["
+    val exactNtile = d.withColumn("bucket",
+      ntile(5).over(org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+    exactNtile.collect()
+    exactNtile.queryExecution.executedPlan.toString should
+      include("SinglePartition")
+  }
 }
