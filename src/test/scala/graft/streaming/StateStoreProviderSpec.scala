@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.events.EventAnalytics
+
+/** The stateful streaming operators under BOTH state store providers.
+  *
+  * The default HDFSBackedStateStoreProvider keeps every state map
+  * on-heap — the one piece of the streaming stack that cannot survive
+  * 100 TB/day state (executor heap bounds total state). Spark's
+  * production answer is RocksDBStateStoreProvider (state off-heap on
+  * local disk, bounded memory, incremental checkpointing) — a config
+  * swap, IF the operators only touch state through the documented
+  * APIs. This suite pins exactly that: the stream-stream interval
+  * join (E114), the windowed aggregation (E24), watermark dedup, and
+  * the flatMapGroupsWithState sessionizer run green under BOTH
+  * providers with identical results and watermark-bounded eviction,
+  * and each run ASSERTS which provider actually served it from the
+  * query progress's state-operator custom metrics (rocksdb* keys vs
+  * the HDFS provider's loadedMapCache* keys) — the conf alone proves
+  * nothing if a typo silently falls back to the default. */
+class StateStoreProviderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def ev(id: Long, minute: Long, typ: String = "click",
+                 value: Double = 1.0, user: Long = 1L): Ev =
+    Ev(id, new Timestamp(base + minute * 60000L), user, typ, value, "{}")
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-ssp-$name").toString
+
+  private val providers = Seq(
+    "HDFSBacked" -> ("org.apache.spark.sql.execution.streaming.state." +
+      "HDFSBackedStateStoreProvider"),
+    "RocksDB" -> ("org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"))
+
+  /** Metric-key prefix that only the named provider emits. */
+  private def signature(short: String): String =
+    if (short == "RocksDB") "rocksdb" else "loadedMapCache"
+
+  private def assertProvider(q: org.apache.spark.sql.streaming.StreamingQuery,
+                             short: String): Unit = {
+    val keys = q.recentProgress.toSeq.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+    withClue(s"state metrics $keys under $short: ") {
+      keys.exists(_.startsWith(signature(short))) shouldBe true
+      // and none of the OTHER provider's signature keys
+      val other = signature(if (short == "RocksDB") "HDFSBacked" else "RocksDB")
+      keys.exists(_.startsWith(other)) shouldBe false
+    }
+  }
+
+  for ((short, cls) <- providers) {
+
+    test(s"windowed aggregation matches the batch twin under $short") {
+      withSQLConf("spark.sql.streaming.stateStore.providerClass" -> cls) {
+        implicit val ctx = spark.sqlContext
+        val ms = MemoryStream[Ev]
+        val events = Seq(ev(1, 10, "view", 1.5), ev(2, 50, "view", 2.5),
+          ev(3, 70, "view", 4.0), ev(4, 75, "click", 8.0))
+        val q = Streaming.windowedStats(ms.toDF(), "1 hour", "1 hour")
+          .writeStream.format("memory").queryName(s"ssp_win_$short")
+          .option("checkpointLocation", tmp(s"win-$short"))
+          .outputMode("complete").start()
+        try {
+          ms.addData(events: _*)
+          q.processAllAvailable()
+          assertSameRows(
+            spark.table(s"ssp_win_$short"),
+            EventAnalytics.windowedStats(events.toDF(), "1 hour")
+              .select("window_start", "event_type", "n_events", "total_value"))
+          assertProvider(q, short)
+        } finally q.stop()
+      }
+    }
+
+    test(s"enrichJoin state eviction is watermark-bounded under $short") {
+      withSQLConf("spark.sql.streaming.stateStore.providerClass" -> cls) {
+        implicit val ctx = spark.sqlContext
+        val lhs = MemoryStream[Ev]
+        val rhs = MemoryStream[Ev]
+        val q = Streaming.enrichJoin(lhs.toDF(), rhs.toDF(), "user_id",
+            lowerMinutes = 0, upperMinutes = 30, watermark = "10 minutes")
+          .writeStream.format("memory").queryName(s"ssp_evict_$short")
+          .option("checkpointLocation", tmp(s"evict-$short"))
+          .outputMode("append").start()
+        def stateRows: Long =
+          q.recentProgress.reverseIterator
+            .find(_.stateOperators.nonEmpty)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        try {
+          lhs.addData((1 to 6).map(i => ev(i, 10 + i)): _*)
+          rhs.addData((1 to 6).map(i => ev(100 + i, 10 + i)): _*)
+          q.processAllAvailable()
+          val peak = stateRows
+          peak should be >= 12L
+          // watermark computed at one batch's END evicts in the NEXT
+          lhs.addData(ev(98, 1000)); rhs.addData(ev(99, 1000))
+          q.processAllAvailable()
+          lhs.addData(ev(96, 1001)); rhs.addData(ev(97, 1001))
+          q.processAllAvailable()
+          stateRows should be < peak
+          stateRows should be <= 4L
+          // every in-bound pair was emitted: same user, minutes 11-16
+          // on both sides, bound [0, 30] -> rhs j matches lhs i iff
+          // j >= i: 6+5+4+3+2+1 = 21 pairs
+          val got = spark.table(s"ssp_evict_$short")
+            .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+          got.count(p => p._1 <= 6) shouldBe 21
+          assertProvider(q, short)
+        } finally q.stop()
+      }
+    }
+
+    test(s"dedup-within-watermark and session timeout work under $short") {
+      withSQLConf("spark.sql.streaming.stateStore.providerClass" -> cls) {
+        implicit val ctx = spark.sqlContext
+        // watermark dedup
+        val ms = MemoryStream[Ev]
+        val q = Streaming.dedupWithinWatermark(ms.toDF(), "1 hour")
+          .writeStream.format("memory").queryName(s"ssp_dedup_$short")
+          .option("checkpointLocation", tmp(s"dedup-$short"))
+          .outputMode("append").start()
+        try {
+          ms.addData(ev(1, 0), ev(2, 1))
+          q.processAllAvailable()
+          ms.addData(ev(2, 2), ev(3, 3)) // re-delivery within watermark
+          q.processAllAvailable()
+          spark.table(s"ssp_dedup_$short").select("event_id")
+            .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+          assertProvider(q, short)
+        } finally q.stop()
+        // flatMapGroupsWithState sessionizer: gap close + timeout close
+        val ms2 = MemoryStream[Ev]
+        val q2 = StatefulSessions.sessionize(ms2.toDF(), gapMinutes = 30,
+            watermark = "10 minutes")
+          .writeStream.format("memory").queryName(s"ssp_sess_$short")
+          .option("checkpointLocation", tmp(s"sess-$short"))
+          .outputMode("append").start()
+        try {
+          ms2.addData(ev(1, 10), ev(2, 20, value = 2.0))
+          q2.processAllAvailable()
+          ms2.addData(ev(3, 100)) // gap > 30m: first session closes
+          q2.processAllAvailable()
+          spark.table(s"ssp_sess_$short")
+            .select("user_id", "n_events", "total_value")
+            .as[(Long, Long, Double)].collect().toSeq shouldBe
+            Seq((1L, 2L, 3.0))
+          // watermark far past the open session: the tail times out
+          ms2.addData(ev(99, 200, user = 2L))
+          q2.processAllAvailable()
+          ms2.addData(ev(100, 201, user = 2L))
+          q2.processAllAvailable()
+          val users = spark.table(s"ssp_sess_$short").select("user_id")
+            .as[Long].collect()
+          users.count(_ == 1L) shouldBe 2 // both user-1 sessions out
+          assertProvider(q2, short)
+        } finally q2.stop()
+      }
+    }
+  }
+}
