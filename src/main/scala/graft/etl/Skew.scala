@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
   * a hot key whose rows must still co-locate for a downstream
   * aggregation, or a shuffled join where one key dominates a reducer.
   *
+  * The division of labor is spec-pinned, not folklore: SkewSpec
+  * builds a skewed join where AQE's OptimizeSkewedJoin actually
+  * FIRES (asserted from the finalized adaptive plan, with a
+  * skewJoin-disabled control) — for a plain skewed equi-join AQE is
+  * the first line of defense and [[saltedJoin]] is not needed. What
+  * AQE cannot do, and these helpers exist for: AGGREGATION skew (a
+  * groupBy hot key still funnels every row of the key to one
+  * reducer — AQE splits join partitions, never an aggregation key:
+  * [[saltedStats]]' two-phase split is the fix), and joins whose
+  * output must stay co-partitioned for a downstream aggregation
+  * (AQE's split replicates the matching partition and destroys the
+  * co-partitioning a later stage would reuse — [[saltedJoin]] keeps
+  * the partitioning under explicit control).
+  *
   * Semantics contract: salting NEVER changes results — it only
   * re-partitions work. Both helpers are verified against unsalted
   * plans in the suite and against the SQL oracle (q34).

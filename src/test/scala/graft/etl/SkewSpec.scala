@@ -110,6 +110,52 @@ class SkewSpec extends SparkSpec {
       direct)
   }
 
+  test("AQE OptimizeSkewedJoin fires on the skewed sort-merge join (plan assert)") {
+    import spark.implicits._
+    // THE boundary this suite documents: Skew.saltedJoin exists for
+    // the cases AQE does NOT reach — aggregation skew (a groupBy hot
+    // key still funnels every row of the key to one reducer; AQE
+    // splits JOIN partitions, it cannot split an aggregation key:
+    // that is saltedStats' two-phase territory) and joins whose
+    // output must stay co-partitioned for a downstream aggregation
+    // (AQE's split replicates the other side and destroys the
+    // co-partitioning the later stage would reuse). For a plain
+    // skewed equi-join, AQE IS the first line of defense — this spec
+    // pins that it actually fires, runtime-asserted from the
+    // adaptive plan, on thresholds scaled to fixture size.
+    val hot = (1 to 40000).map(i => ("hot", i.toLong,
+      s"payload-${i * 2654435761L}%-${(i * 40503L) % 99991}"))
+    val rest = (1 to 50).map(i => (s"k${i % 5}", i.toLong, s"p$i"))
+    val left = (hot ++ rest).toDF("k", "row_id", "payload")
+    val right = ("hot" +: (0 until 5).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "attr")
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = left.join(right, Seq("k"))
+      // collect() (not count(), which builds its own query execution)
+      // so the plan inspected below is the one that actually ran
+      joined.collect().length shouldBe 40050
+      // the finalized adaptive plan marks the rewritten join — the
+      // hot partition was split into advisory-sized reader chunks
+      // with the matching right partition replicated per chunk
+      joined.queryExecution.executedPlan.toString should include("skew=true")
+      // and without AQE's rewrite the same plan is a plain SMJ — the
+      // control that proves the assert above is the optimization, not
+      // a string that was always there
+      withSQLConf("spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        val plain = left.join(right, Seq("k"))
+        plain.collect().length shouldBe 40050
+        plain.queryExecution.executedPlan.toString should not include "skew=true"
+      }
+    }
+  }
+
   test("approximate distinct counts stay within tolerance of exact") {
     val bars = graft.SparkEntry.mergedBars(spark, "/root/testdata/sf0.001")
     val approx = graft.analytics.StockAnalytics.qualityMetricsApprox(bars)
