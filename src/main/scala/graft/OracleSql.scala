@@ -1685,6 +1685,44 @@ sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
 SELECT l.node, l.scc, CAST(sz.scc_size AS BIGINT) AS scc_size
 FROM lab l JOIN sz USING (scc) ORDER BY l.node"""
 
+  /** q201 twin of [[graft.graph.LinkGraph.condensation]]: the q199
+    * closure-derived SCC labels joined onto both edge endpoints,
+    * crossing edges grouped per ordered label pair. */
+  val q201_condensation: String = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 12 AS VARCHAR) AS src,
+           'd' || CAST((doc_id % 12 + 1) % 12 AS VARCHAR) AS dst FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 8 + 12 AS VARCHAR),
+           'd' || CAST((doc_id + 1) % 8 + 12 AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT CASE doc_id % 6 WHEN 0 THEN 'd0' WHEN 1 THEN 'd13' WHEN 2 THEN 'd20'
+                           WHEN 3 THEN 'd21' WHEN 4 THEN 'd21' ELSE 'd23' END,
+           CASE doc_id % 6 WHEN 0 THEN 'd12' WHEN 1 THEN 'd20' WHEN 2 THEN 'd21'
+                           WHEN 3 THEN 'd22' WHEN 4 THEN 'd23' ELSE 'd24' END
+    FROM documents
+    UNION ALL
+    SELECT 'd24', 'd23' FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+reach(s, d) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src),
+mutual AS (
+  SELECT a.s AS node, a.d AS other
+  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+lab AS (
+  SELECT n.node, least(n.node, coalesce(min(m.other), n.node)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON n.node = m.node
+  GROUP BY n.node)
+SELECT ls.scc AS scc_src, ld.scc AS scc_dst,
+  CAST(count(*) AS BIGINT) AS n_edges
+FROM e JOIN lab ls ON e.src = ls.node JOIN lab ld ON e.dst = ld.node
+WHERE ls.scc <> ld.scc
+GROUP BY 1, 2 ORDER BY scc_src, scc_dst"""
+
   /** q200 twin of [[graft.functions.JpegHeaderUtil.meta]] over the
     * [[graft.multimodal.Jpeg.encodeHeader]] fixtures: every field
     * derived from the fixture's PARAMETER FORMULAS alone — no JPEG
@@ -4609,6 +4647,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q198_entry_exit" -> q198_entry_exit,
     "q199_scc" -> q199_scc,
     "q200_jpeg_meta" -> q200_jpeg_meta,
+    "q201_condensation" -> q201_condensation,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

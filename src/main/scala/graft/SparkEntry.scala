@@ -973,6 +973,32 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Condensation DAG over the q199 fixture: the five SCCs collapse
+    // to five nodes and only the one-way bridges survive as
+    // inter-component edges (intra-cycle edges vanish into their
+    // component) — the acyclic endorsement-flow view spam analysis
+    // reads. The DuckDB twin reuses the q199 closure labels and
+    // groups the crossing edges.
+    "q201_condensation" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val x = id % 6
+      val ringA = docs.select(dom(id % 12).as("src"),
+        dom((id % 12 + 1) % 12).as("dst"))
+      val ringB = docs.select(dom(id % 8 + 12).as("src"),
+        dom((id + 1) % 8 + 12).as("dst"))
+      val bridges = docs.select(
+        when(x === 0, "d0").when(x === 1, "d13").when(x === 2, "d20")
+          .when(x === 3, "d21").when(x === 4, "d21").otherwise("d23").as("src"),
+        when(x === 0, "d12").when(x === 1, "d20").when(x === 2, "d21")
+          .when(x === 3, "d22").when(x === 4, "d23").otherwise("d24").as("dst"))
+      val back = docs.select(lit("d24").as("src"), lit("d23").as("dst"))
+      graft.graph.LinkGraph.condensation(
+          ringA.unionAll(ringB).unionAll(bridges).unionAll(back), "src", "dst")
+        .orderBy(col("scc_src"), col("scc_dst"))
+    }),
+
     // REAL JPEG header parse end-to-end (the q114/q115 fixture
     // pattern): per doc, synthesize a structurally valid JFIF stream
     // whose dimensions, SOF variant, component count, and segment

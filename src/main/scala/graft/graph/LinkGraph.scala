@@ -847,6 +847,37 @@ object LinkGraph {
       .select(col("node"), col("scc"), col("scc_size"))
   }
 
+  /** Condensation DAG over [[stronglyConnected]]'s labels — the
+    * collapsed graph where every SCC becomes one node: per ordered
+    * label pair, the number of DISTINCT underlying edges crossing
+    * between the two components (intra-component edges vanish — they
+    * ARE the component). Acyclic BY THEOREM (any cycle among
+    * condensation nodes would merge its members into one SCC), which
+    * the spec verifies self-referentially: running
+    * [[stronglyConnected]] on the condensation must yield all
+    * singletons. This is the graph spam analysis actually reads —
+    * link FARMS collapse to single nodes and the remaining DAG is the
+    * endorsement flow between them — and the planning view for any
+    * "process components in dependency order" pipeline.
+    *
+    * Shape: the SCC labeling (see [[stronglyConnected]]'s bounds) +
+    * two node-keyed label joins onto the edge list + one pair
+    * aggregate. Nothing collected. */
+  def condensation(edges: DataFrame, src: String, dst: String,
+                   maxPropIters: Int = 25,
+                   maxRounds: Int = 12): DataFrame = {
+    val labels = stronglyConnected(edges, src, dst, maxPropIters, maxRounds)
+      .select(col("node"), col("scc"))
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    e.join(labels.select(col("node").as("src"), col("scc").as("scc_src")), "src")
+      .join(labels.select(col("node").as("dst"), col("scc").as("scc_dst")), "dst")
+      .filter(col("scc_src") =!= col("scc_dst"))
+      .groupBy(col("scc_src"), col("scc_dst"))
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
   /** Normalized centrality over [[pagerank]]'s output: each node's
     * share of probability mass as an EXACT rational pair
     * (`share_num`/`share_den` = rank_units / n·unit) plus integer

@@ -617,4 +617,25 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.stronglyConnected(base, "src", "dst"),
       LinkGraph.stronglyConnected(base.repartition(7), "src", "dst"))
   }
+
+  test("condensation: intra-SCC edges vanish, crossings count distinct edges") {
+    // add a SECOND distinct bridge edge a2 -> b2 so one condensation
+    // pair carries n_edges = 2
+    val g = sccFixture.unionByName(edges("a2" -> "b2"))
+    val out = LinkGraph.condensation(g, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    out shouldBe Map(
+      ("a1", "b1") -> 2L, // a1->b1 and a2->b2 both cross A->B
+      ("b1", "c1") -> 1L)
+  }
+
+  test("condensation is acyclic: its own SCCs are all singletons") {
+    // the theorem, checked self-referentially: a cycle among
+    // condensation nodes would have merged its members into one SCC
+    val cond = LinkGraph.condensation(sccFixture, "src", "dst")
+      .withColumnRenamed("scc_src", "src").withColumnRenamed("scc_dst", "dst")
+    LinkGraph.stronglyConnected(cond, "src", "dst")
+      .filter(col("scc_size") > 1).count() shouldBe 0L
+  }
 }
