@@ -1685,6 +1685,45 @@ sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
 SELECT l.node, l.scc, CAST(sz.scc_size AS BIGINT) AS scc_size
 FROM lab l JOIN sz USING (scc) ORDER BY l.node"""
 
+  /** q202 twin of [[graft.text.TextAnalysis.cardScan]]: identical
+    * fixture construction formulas, then an INDEPENDENT Luhn
+    * implementation — list_transform/list_sum over the reversed digit
+    * positions vs Spark's HOF aggregate — exact integers on both
+    * sides, so hash equality gates the checksum itself. */
+  val q202_card_scan: String = """
+WITH aug AS (
+  SELECT doc_id,
+    text || ' pay ' || c1 || ' ref 12345 card '
+      || substr(d16, 1, 4) || '-' || substr(d16, 5, 4) || '-'
+      || substr(d16, 9, 4) || '-' || substr(d16, 13, 4) AS text
+  FROM (
+    SELECT doc_id, text,
+      '4' || lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR), 14, '0')
+          || CAST(doc_id % 10 AS VARCHAR) AS c1,
+      '5' || lpad(CAST((doc_id * 48271) % 1000000000000000 AS VARCHAR),
+                  15, '0') AS d16
+    FROM documents)),
+cand AS (
+  SELECT doc_id,
+    regexp_replace(unnest(regexp_extract_all(text,
+      '[0-9][0-9 -]{11,20}[0-9]')), '[^0-9]', '', 'g') AS dgt
+  FROM aug),
+chk AS (
+  SELECT doc_id, dgt, len(dgt) BETWEEN 13 AND 16 AS ok,
+    CASE WHEN len(dgt) BETWEEN 13 AND 16 THEN
+      list_sum(list_transform(range(1, len(dgt) + 1), i ->
+        CASE WHEN i % 2 = 1 THEN CAST(substr(reverse(dgt), i, 1) AS INTEGER)
+             WHEN 2 * CAST(substr(reverse(dgt), i, 1) AS INTEGER) > 9
+             THEN 2 * CAST(substr(reverse(dgt), i, 1) AS INTEGER) - 9
+             ELSE 2 * CAST(substr(reverse(dgt), i, 1) AS INTEGER) END)) % 10 = 0
+    ELSE false END AS valid
+  FROM cand)
+SELECT doc_id,
+  CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_candidates,
+  CAST(count(CASE WHEN valid THEN 1 END) AS BIGINT) AS n_luhn_valid,
+  right(min(CASE WHEN valid THEN dgt END), 4) AS valid_last4
+FROM chk GROUP BY doc_id ORDER BY doc_id"""
+
   /** q201 twin of [[graft.graph.LinkGraph.condensation]]: the q199
     * closure-derived SCC labels joined onto both edge endpoints,
     * crossing edges grouped per ordered label pair. */
@@ -4648,6 +4687,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q199_scc" -> q199_scc,
     "q200_jpeg_meta" -> q200_jpeg_meta,
     "q201_condensation" -> q201_condensation,
+    "q202_card_scan" -> q202_card_scan,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

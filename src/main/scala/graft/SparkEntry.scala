@@ -973,6 +973,28 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Luhn-validated card scan: every doc's text is augmented with
+    // two formula-derived 16-digit runs (one bare, one dash-grouped)
+    // plus a too-short decoy; validity is data-dependent (the check
+    // digit comes from doc_id, not from Luhn), so BOTH engines must
+    // run the mod-10 checksum independently — Spark via a bounded
+    // HOF aggregate, DuckDB via list_transform/list_sum: different
+    // implementations, same exact integers (the q131 discipline).
+    "q202_card_scan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val id = col("doc_id").cast("long")
+      val c1 = concat(lit("4"),
+        lpad(((id * 7919L) % 100000000000000L).cast("string"), 14, "0"),
+        (id % 10).cast("string"))
+      val d16 = concat(lit("5"),
+        lpad(((id * 48271L) % 1000000000000000L).cast("string"), 15, "0"))
+      val c2 = concat(substring(d16, 1, 4), lit("-"), substring(d16, 5, 4),
+        lit("-"), substring(d16, 9, 4), lit("-"), substring(d16, 13, 4))
+      val aug = docs.withColumn("text",
+        concat(col("text"), lit(" pay "), c1, lit(" ref 12345 card "), c2))
+      graft.text.TextAnalysis.cardScan(aug).orderBy(col("doc_id"))
+    }),
+
     // Condensation DAG over the q199 fixture: the five SCCs collapse
     // to five nodes and only the one-way bridges survive as
     // inter-component edges (intra-cycle edges vanish into their

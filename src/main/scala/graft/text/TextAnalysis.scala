@@ -101,6 +101,55 @@ object TextAnalysis {
       regexp_replace(c, "(?i)" + pat, s"<$name>")
     }
 
+  /** Luhn-validated payment-card scan — the false-positive killer
+    * [[piiScan]]'s shape rules can't provide: a 16-digit order id and
+    * a card number look identical to a regex, but only the card
+    * passes the ISO/IEC 7812 Luhn mod-10 checksum (Peterson 1960 —
+    * the check DLP scanners gate on before flagging). Candidates are
+    * conservative digit runs (optional space/dash separators, no
+    * lookarounds — Java and RE2 match identically), normalized to
+    * bare digits, length-gated to the PAN range 13–16, then
+    * Luhn-checked in EXACT integer arithmetic: from the right, odd
+    * positions count as-is, even positions doubled with 9 subtracted
+    * above 9, valid iff the sum ≡ 0 (mod 10).
+    *
+    * The checksum is the one higher-order-function lambda in the text
+    * layer — deliberately: it runs per CANDIDATE (≤16 elements,
+    * scarce), not per token, and the reversed digit string it reads
+    * is materialized behind its own projection first (the measured
+    * HOF re-evaluation trap). The report keeps only the LAST 4 digits
+    * of the lexicographically-first valid match — the audit needs
+    * evidence, not the PAN itself.
+    *
+    * Returns one row per doc: (idCol, n_candidates, n_luhn_valid,
+    * valid_last4 — NULL when nothing validates). */
+  def cardScan(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val cand = docs.select(col(idCol),
+        explode_outer(regexp_extract_all(col(textCol),
+          lit("[0-9][0-9 -]{11,20}[0-9]"), lit(0))).as("__cand"))
+      .select(col(idCol),
+        regexp_replace(col("__cand"), "[^0-9]", "").as("__dgt"))
+      .withColumn("__ok",
+        length(col("__dgt")).between(13, 16))
+      // the lambda below reads __rev up to 16 times per row: aliased
+      // into its own projection so it is computed once, not 16 times
+      .withColumn("__rev", when(col("__ok"), reverse(col("__dgt"))))
+      .withColumn("__valid", col("__ok") && expr(
+        """aggregate(sequence(1, length(__rev)), 0, (acc, i) -> acc +
+          |  CASE WHEN i % 2 = 1 THEN CAST(substring(__rev, i, 1) AS INT)
+          |       WHEN 2 * CAST(substring(__rev, i, 1) AS INT) > 9
+          |       THEN 2 * CAST(substring(__rev, i, 1) AS INT) - 9
+          |       ELSE 2 * CAST(substring(__rev, i, 1) AS INT) END)
+          |% 10 = 0""".stripMargin))
+    cand.groupBy(col(idCol))
+      .agg(
+        count(when(col("__ok"), 1)).as("n_candidates"),
+        count(when(col("__valid"), 1)).as("n_luhn_valid"),
+        expr("right(min(CASE WHEN __valid THEN __dgt END), 4)")
+          .as("valid_last4"))
+  }
+
   /** Corpus-level token statistics: total occurrences + document
     * frequency per token. One explode + one shuffle on token. */
   def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -409,4 +409,31 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25Search(d, Seq("needle", "mark"), k = 20),
       TextAnalysis.bm25Search(d.repartition(7), Seq("needle", "mark"), k = 20))
   }
+
+  test("cardScan: Luhn separates real PANs from same-shape digit runs") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "pay 4111111111111111 now",          // valid Visa test PAN
+      2L -> "order 4111111111111112 shipped",    // same shape, bad checksum
+      3L -> "card 4111-1111-1111-1111 on file",  // separators normalized
+      4L -> "ids 411111111111 and 123",          // 12 digits: below PAN range
+      5L -> "alt 5500005555555559 or 4111111111111112", // one of two valid
+      6L -> "no digits here at all")
+    val out = TextAnalysis.cardScan(d)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out(1L) shouldBe ((1L, 1L, Some("1111")))
+    out(2L) shouldBe ((1L, 0L, None))   // candidate counted, checksum fails
+    out(3L) shouldBe ((1L, 1L, Some("1111")))
+    out(4L) shouldBe ((0L, 0L, None))   // too short: never a candidate
+    out(5L) shouldBe ((2L, 1L, Some("5559")))
+    out(6L) shouldBe ((0L, 0L, None))   // explode_outer keeps the doc
+  }
+
+  test("cardScan is invariant under input partitioning") {
+    val d = docs((1L to 40L).map(i =>
+      i -> s"ref 4111111111111${111 + i} and text"): _*)
+    assertSameRows(TextAnalysis.cardScan(d),
+      TextAnalysis.cardScan(d.repartition(7)))
+  }
 }
