@@ -1685,6 +1685,21 @@ sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
 SELECT l.node, l.scc, CAST(sz.scc_size AS BIGINT) AS scc_size
 FROM lab l JOIN sz USING (scc) ORDER BY l.node"""
 
+  /** q203 twin of [[graft.analytics.Profiling.robustScale]]:
+    * quantile_cont ≡ Spark's percentile (the q38-proven
+    * interpolation parity); the subtraction/division evaluate in
+    * identical double trees (the q94/q96 determinism precedent). */
+  val q203_robust_scale: String = """
+WITH f AS (SELECT l_returnflag AS g, l_quantity AS v FROM lineitem),
+b AS (
+  SELECT g, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS med,
+    quantile_cont(v, 0.75) AS q3
+  FROM f GROUP BY g)
+SELECT f.g AS l_returnflag, f.v AS l_quantity, b.med AS med,
+  b.q3 - b.q1 AS iqr,
+  CASE WHEN b.q3 - b.q1 > 0 THEN (f.v - b.med) / (b.q3 - b.q1) END AS scaled
+FROM f JOIN b USING (g) ORDER BY 1, 2"""
+
   /** q202 twin of [[graft.text.TextAnalysis.cardScan]]: identical
     * fixture construction formulas, then an INDEPENDENT Luhn
     * implementation — list_transform/list_sum over the reversed digit
@@ -4688,6 +4703,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q200_jpeg_meta" -> q200_jpeg_meta,
     "q201_condensation" -> q201_condensation,
     "q202_card_scan" -> q202_card_scan,
+    "q203_robust_scale" -> q203_robust_scale,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,14 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Robust median/IQR scaling of lineitem quantities per return
+    // flag: exact frequency-weighted percentiles (the q38-parity
+    // path) broadcast back onto every row; zero-IQR degrades to NULL.
+    "q203_robust_scale" -> ((s, dir) =>
+      graft.analytics.Profiling.robustScale(
+          Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag"), col("l_quantity"))),
+
     // Luhn-validated card scan: every doc's text is augmented with
     // two formula-derived 16-digit runs (one bare, one dash-grouped)
     // plus a too-short decoy; validity is data-dependent (the check

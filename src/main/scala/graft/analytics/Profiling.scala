@@ -164,6 +164,40 @@ object Profiling {
         min(col("__hi")).as("hi"))
   }
 
+  /** Robust per-row scaling transform — (v − median) / IQR per group,
+    * the outlier-resistant normalization feature pipelines prefer
+    * over z-scores on raw feeds (one corrupted ingest day shifts a
+    * mean/stddev scale and masks itself; the median/IQR scale barely
+    * moves — the [[madOutliers]] argument, as a TRANSFORM instead of
+    * an audit). Returns every input row with its group median, IQR,
+    * and scaled value; a zero-IQR group (over half the mass on one
+    * value) yields NULL scaled — stated, never a division blow-up.
+    *
+    * Shape: the q77 frequency-weighted exact-percentile pre-aggregate
+    * (buffer ∝ value DOMAIN, not rows) produces a one-row-per-group
+    * bounds frame, broadcast back onto the rows — one scan + one
+    * config-sized-group aggregate, no window over the data. Exact
+    * percentile (the q38 DuckDB-parity path) keeps it
+    * oracle-checkable; at 100 TB with high-cardinality value domains
+    * swap the bounds for [[approxPercentiles]]' sketch — same plan
+    * shape, same join. */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val bounds = df.groupBy(col(groupCol), v)
+      .agg(count(lit(1)).as("__freq"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array(0.25, 0.5, 0.75), __freq)")
+        .as("__ps"))
+      .select(col(groupCol), col("__ps")(0).as("__q1"),
+        col("__ps")(1).as("med"), col("__ps")(2).as("__q3"))
+    df.join(broadcast(bounds), groupCol)
+      .select(col(groupCol), v, col("med"),
+        (col("__q3") - col("__q1")).as("iqr"),
+        when(col("__q3") - col("__q1") > 0,
+          (v.cast("double") - col("med")) / (col("__q3") - col("__q1")))
+          .as("scaled"))
+  }
+
   /** Robust per-group outlier audit via MAD (median absolute
     * deviation): per group — row count, median, MAD, and how many rows
     * sit more than `k` MADs from the median. The robust twin of

@@ -315,6 +315,28 @@ class ProfilingSpec extends SparkSpec {
       "lang", Seq("en", "fr", "zh")))
   }
 
+  test("robustScale: hand medians/IQR, zero-IQR degrades to NULL scaled") {
+    val d = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 7.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val out = Profiling.robustScale(d, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // group a: med 3, q1 2, q3 4 -> iqr 2; scaled(5) = 1.0
+    out(("a", 5.0)) shouldBe ((3.0, 2.0, Some(1.0)))
+    out(("a", 1.0)) shouldBe ((3.0, 2.0, Some(-1.0)))
+    out(("a", 3.0)) shouldBe ((3.0, 2.0, Some(0.0)))
+    // group b: constant -> iqr 0 -> NULL, never a division blow-up
+    out(("b", 7.0)) shouldBe ((7.0, 0.0, None))
+  }
+
+  test("robustScale is invariant under input partitioning") {
+    val d = (1 to 200).map(i => (s"g${i % 3}", (i % 37).toDouble)).toDF("g", "v")
+    assertSameRows(Profiling.robustScale(d, "g", "v"),
+      Profiling.robustScale(d.repartition(7), "g", "v"))
+  }
+
   // --- global approximate quantile buckets -------------------------
 
   test("globalQuantileBuckets: near-equal bucket sizes within the rank-error bound") {
