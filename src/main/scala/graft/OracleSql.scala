@@ -1685,6 +1685,47 @@ sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
 SELECT l.node, l.scc, CAST(sz.scc_size AS BIGINT) AS scc_size
 FROM lab l JOIN sz USING (scc) ORDER BY l.node"""
 
+  /** q204 twin of [[graft.text.Scripts.spoofScan]]: identical
+    * fixture salting, the same three script classes per token
+    * (Java regex and RE2 share the `[\x{...}-\x{...}]` syntax), the
+    * same stated confusable class and translate table. Scala `\`u
+    * escapes in this source compile to real UTF-8 chars in the SQL
+    * literal, which DuckDB reads natively. */
+  val q204_spoof_scan: String = """
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' pаypal' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' micrοsoft' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' СТОП' ELSE '' END
+    AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM aug),
+m AS (
+  SELECT doc_id, tok,
+    (CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(tok, '[\x{0400}-\x{04FF}]') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(tok, '[\x{0370}-\x{03FF}]') THEN 1 ELSE 0 END)
+      >= 2 AS mixed
+  FROM toks),
+agg AS (
+  SELECT doc_id, count(tok) AS n_tokens,
+    count(CASE WHEN mixed THEN 1 END) AS n_mixed_tokens,
+    min(CASE WHEN mixed THEN tok END) AS first_mixed_token
+  FROM m GROUP BY doc_id)
+SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+  CAST(a.n_mixed_tokens AS BIGINT) AS n_mixed_tokens,
+  a.first_mixed_token,
+  CAST(len(regexp_extract_all(g.text,
+    '[аеорсухіѕјονАВЕКМНОРСТХ]'))
+    AS BIGINT) AS n_confusable_chars,
+  translate(g.text,
+    'аеорсухіѕјονАВЕКМНОРСТХ',
+    'aeopcyxisjovABEKMHOPCTX') <> g.text AS skeleton_changed,
+  a.n_mixed_tokens > 0 AS spoof
+FROM agg a JOIN aug g ON a.doc_id = g.doc_id
+ORDER BY a.doc_id"""
+
   /** q203 twin of [[graft.analytics.Profiling.robustScale]]:
     * quantile_cont ≡ Spark's percentile (the q38-proven
     * interpolation parity); the subtraction/division evaluate in
@@ -4704,6 +4745,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q201_condensation" -> q201_condensation,
     "q202_card_scan" -> q202_card_scan,
     "q203_robust_scale" -> q203_robust_scale,
+    "q204_spoof_scan" -> q204_spoof_scan,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Mixed-script homoglyph spoof scan: the ASCII corpus is salted
+    // with three planted shapes — a Latin+Cyrillic token (spoof), a
+    // Latin+Greek token (spoof), and a PURE-Cyrillic word (confusable
+    // chars but NOT mixed-script: the negative that separates spoof
+    // detection from foreign-text detection). Both engines run the
+    // same \x{...} ranges (Java regex = RE2 here) and the same stated
+    // skeleton translate table.
+    "q204_spoof_scan" -> ((s, dir) => {
+      val id = col("doc_id")
+      val aug = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          when(id % 3 === 0, lit(" pаypal")).otherwise(lit("")),
+          when(id % 5 === 0, lit(" micrοsoft")).otherwise(lit("")),
+          when(id % 7 === 0, lit(" СТОП"))
+            .otherwise(lit(""))))
+      graft.text.Scripts.spoofScan(aug).orderBy(col("doc_id"))
+    }),
+
     // Robust median/IQR scaling of lineitem quantities per return
     // flag: exact frequency-weighted percentiles (the q38-parity
     // path) broadcast back onto every row; zero-IQR degrades to NULL.

@@ -34,6 +34,60 @@ object Scripts {
     "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
     "kana" -> "[\\x{3040}-\\x{30FF}]")
 
+  /** Confusable homoglyph table — the common Cyrillic/Greek letters
+    * that render identically to Latin (the UTS #39 confusables data,
+    * restricted to the high-frequency single-char mappings a spoof
+    * actually uses): lowercase а е о р с у х і ѕ ј + Greek ο ν, and
+    * uppercase А В Е К М Н О Р С Т Х. `skeletonFrom(i)` maps to
+    * `skeletonTo(i)`. A STATED table, not a heuristic — auditable
+    * like [[TextAnalysis.piiPatterns]]. */
+  val skeletonFrom: String =
+    "\u0430\u0435\u043e\u0440\u0441\u0443\u0445\u0456\u0455\u0458" + // Cyrillic lower
+      "\u03bf\u03bd" + // Greek omicron, nu
+      "\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425" // Cyrillic upper
+  val skeletonTo: String = "aeopcyxisj" + "ov" + "ABEKMHOPCTX"
+
+  /** Mixed-script homoglyph spoof scan (UTS #39's restriction-level
+    * idea as a corpus operator) — the phishing/SEO-spam signature
+    * script totals miss: "p[Cyrillic а]ypal" is 86% Latin and looks
+    * clean to [[scriptProfile]], but no legitimate word mixes Latin
+    * and Cyrillic INSIDE one token. Per doc: token count, tokens
+    * mixing ≥2 of {Latin, Cyrillic, Greek}, the first such token
+    * (min — deterministic evidence), confusable-char count, whether
+    * the skeleton fold ([[skeletonFrom]]→[[skeletonTo]] `translate`)
+    * changes the text, and the spoof flag.
+    *
+    * Shape: whitespace tokens via `regexp_extract_all` (identical in
+    * Java regex and RE2), ONE explode + doc-keyed aggregate (the
+    * codegen-friendly path — no per-token lambda), scan-side
+    * `regexp_count`/`translate` for the char-level columns; the text
+    * never shuffles, only tokens do. */
+  def spoofScan(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val scripts = Seq("[A-Za-z]", "[\\x{0400}-\\x{04FF}]",
+      "[\\x{0370}-\\x{03FF}]")
+    val tok = docs.select(col(idCol),
+        explode_outer(regexp_extract_all(col(textCol), lit("[^ ]+"), lit(0)))
+          .as("__tok"))
+      .withColumn("__mixed",
+        scripts.map(p => when(col("__tok").rlike(p), 1).otherwise(0))
+          .reduce(_ + _) >= 2)
+    val perDoc = tok.groupBy(col(idCol)).agg(
+      count(col("__tok")).as("n_tokens"),
+      count(when(col("__mixed"), 1)).as("n_mixed_tokens"),
+      min(when(col("__mixed"), col("__tok"))).as("first_mixed_token"))
+    docs.select(col(idCol),
+        regexp_count(col(textCol), lit(s"[$skeletonFrom]")).cast("long")
+          .as("n_confusable_chars"),
+        (translate(col(textCol), skeletonFrom, skeletonTo) =!= col(textCol))
+          .as("skeleton_changed"))
+      .join(perDoc, idCol)
+      .select(col(idCol), col("n_tokens"), col("n_mixed_tokens"),
+        col("first_mixed_token"), col("n_confusable_chars"),
+        col("skeleton_changed"),
+        (col("n_mixed_tokens") > 0).as("spoof"))
+  }
+
   /** Per-doc script profile: one `n_<family>` count per family,
     * `n_scripted` (their sum), `dominant`, and `dom_permille`
     * (dominant count ×1000 / n_scripted, NULL when no counted

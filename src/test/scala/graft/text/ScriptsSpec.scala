@@ -38,4 +38,34 @@ class ScriptsSpec extends SparkSpec {
   test("accented Latin counts as latin") {
     profile("café naïve") shouldBe ((9L, "latin", Some(1000L)))
   }
+
+  test("spoofScan: homoglyph token flagged, pure foreign script is NOT a spoof") {
+    val d = Seq(
+      1L -> "pay pаypal now",      // Cyrillic а inside a Latin token
+      2L -> "go micrοsoft site",   // Greek omicron inside Latin
+      3L -> "СТОП sign here", // pure-Cyrillic word: not mixed
+      4L -> "plain ascii text").toDF("doc_id", "text")
+    val out = Scripts.spoofScan(d)
+      .select("doc_id", "n_tokens", "n_mixed_tokens", "first_mixed_token",
+        "n_confusable_chars", "skeleton_changed", "spoof")
+      .as[(Long, Long, Long, Option[String], Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    out(1L) shouldBe ((3L, 1L, Some("pаypal"), 1L, true, true))
+    out(2L) shouldBe ((3L, 1L, Some("micrοsoft"), 1L, true, true))
+    // СТОП: С/Т/О are confusables (П is not), skeleton changes, but the
+    // token is single-script — foreign text, not a spoof
+    out(3L) shouldBe ((3L, 0L, None, 3L, true, false))
+    out(4L) shouldBe ((3L, 0L, None, 0L, false, false))
+  }
+
+  test("spoofScan skeleton fold maps every confusable to its Latin twin") {
+    // the full table round-trips: a string of every FROM char folds to
+    // exactly the TO string, and the fold is idempotent
+    val d = Seq(1L -> Scripts.skeletonFrom).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{col, translate}
+    val folded = d.select(translate(col("text"),
+      Scripts.skeletonFrom, Scripts.skeletonTo).as("f")).as[String].head()
+    folded shouldBe Scripts.skeletonTo
+    Scripts.skeletonFrom.length shouldBe Scripts.skeletonTo.length
+  }
 }
