@@ -1685,6 +1685,34 @@ sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
 SELECT l.node, l.scc, CAST(sz.scc_size AS BIGINT) AS scc_size
 FROM lab l JOIN sz USING (scc) ORDER BY l.node"""
 
+  /** q205 twin of [[graft.etl.Cdc.applyCdc]]: the same synthesized
+    * log; winners via row_number over (version, op, payload) DESC —
+    * the ordering Spark's struct max encodes — then anti-join +
+    * union, tombstones excluded. */
+  val q205_cdc_apply: String = """
+WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+lg AS (
+  SELECT o_orderkey, CAST(2 AS BIGINT) AS version, 'U' AS op, o_custkey,
+    o_totalprice + 100.0 AS o_totalprice
+  FROM t WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', o_custkey, o_totalprice
+  FROM t WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 1, 'I', o_custkey, 1.0
+  FROM t WHERE o_orderkey % 13 = 0),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+    ORDER BY version DESC, op DESC, o_custkey DESC, o_totalprice DESC) AS rn
+  FROM lg),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT t.o_orderkey, t.o_custkey, t.o_totalprice
+FROM t LEFT JOIN win ON t.o_orderkey = win.o_orderkey
+WHERE win.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM win WHERE op <> 'D'
+ORDER BY o_orderkey"""
+
   /** q204 twin of [[graft.text.Scripts.spoofScan]]: identical
     * fixture salting, the same three script classes per token
     * (Java regex and RE2 share the `[\x{...}-\x{...}]` syntax), the
@@ -4746,6 +4774,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q202_card_scan" -> q202_card_scan,
     "q203_robust_scale" -> q203_robust_scale,
     "q204_spoof_scan" -> q204_spoof_scan,
+    "q205_cdc_apply" -> q205_cdc_apply,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

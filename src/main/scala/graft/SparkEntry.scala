@@ -973,6 +973,30 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // CDC apply over orders: a synthesized change log with updates
+    // (version 2), delete tombstones (version 3 — overriding the
+    // update wherever key % 77 == 0: the multi-op-per-key case), and
+    // inserts under fresh keys; last-writer-wins by the
+    // (version, op, payload) struct max, tombstones delete. The twin
+    // picks winners with a row_number over the same DESC field order.
+    "q205_cdc_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val upd = o.filter(k % 7 === 0).select(k,
+        lit(2L).as("version"), lit("U").as("op"), col("o_custkey"),
+        (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+      val del = o.filter(k % 11 === 0).select(k,
+        lit(3L).as("version"), lit("D").as("op"), col("o_custkey"),
+        col("o_totalprice"))
+      val ins = o.filter(k % 13 === 0).select((k + 10000000L).as("o_orderkey"),
+        lit(1L).as("version"), lit("I").as("op"), col("o_custkey"),
+        lit(1.0).as("o_totalprice"))
+      graft.etl.Cdc.applyCdc(o, upd.unionByName(del).unionByName(ins),
+          Seq("o_orderkey"), "version")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Mixed-script homoglyph spoof scan: the ASCII corpus is salted
     // with three planted shapes — a Latin+Cyrillic token (spoof), a
     // Latin+Greek token (spoof), and a PURE-Cyrillic word (confusable
