@@ -1685,6 +1685,53 @@ sz AS (SELECT scc, count(*) AS scc_size FROM lab GROUP BY scc)
 SELECT l.node, l.scc, CAST(sz.scc_size AS BIGINT) AS scc_size
 FROM lab l JOIN sz USING (scc) ORDER BY l.node"""
 
+  /** q206 twin of [[graft.similarity.Similarity.knnPq]] with the
+    * static codebook: DuckDB re-derives the SQ8 quantization (the
+    * q91 sq8 form), slices the first 16 rows into the 8 subspace
+    * codebooks, re-encodes every corpus row by argmin (tie → lowest
+    * codebook index ≡ ORDER BY d, c), rebuilds each query's LUT, and
+    * sums the 8 looked-up BIGINT cells per pair. All integers — the
+    * group-by SUM over 8 BIGINTs is order-free, so the compare is
+    * exact with no epsilon. */
+  val q206_pq_adc: String = s"""
+WITH n AS (
+  SELECT vec_id,
+    list_transform(range(1, len(embedding)+1),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+             / sqrt(${sqlDot("embedding", "embedding")}) * 127 + 0.5)
+           AS BIGINT)) AS qv
+  FROM embeddings),
+js AS (SELECT unnest(range(0, 8)) AS j),
+cb AS (
+  SELECT js.j AS j, n.vec_id AS c,
+    list_slice(n.qv, js.j * 8 + 1, js.j * 8 + 8) AS cv
+  FROM n CROSS JOIN js WHERE n.vec_id < 16),
+sub AS (
+  SELECT n.vec_id, js.j, list_slice(n.qv, js.j * 8 + 1, js.j * 8 + 8) AS sv
+  FROM n CROSS JOIN js),
+dist AS (
+  SELECT s.vec_id, s.j, c.c,
+    list_sum(list_transform(range(1, 9),
+      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+  FROM sub s JOIN cb c ON s.j = c.j),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM dist) WHERE rn = 1),
+qlut AS (SELECT vec_id AS query_id, j, c, d FROM dist WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, x.vec_id, CAST(sum(q.d) AS BIGINT) AS score
+  FROM codes x JOIN qlut q ON x.j = q.j AND x.c = q.c
+  WHERE x.vec_id <> q.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id)
+      AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, score FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** q205 twin of [[graft.etl.Cdc.applyCdc]]: the same synthesized
     * log; winners via row_number over (version, op, payload) DESC —
     * the ordering Spark's struct max encodes — then anti-join +
@@ -4775,6 +4822,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q203_robust_scale" -> q203_robust_scale,
     "q204_spoof_scan" -> q204_spoof_scan,
     "q205_cdc_apply" -> q205_cdc_apply,
+    "q206_pq_adc" -> q206_pq_adc,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

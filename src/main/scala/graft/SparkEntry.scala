@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // PQ-ADC search with the static (oracle-checkable) codebook: the
+    // first 16 quantized rows define 8 subspace codebooks, corpus
+    // rows become 8 codebook indices, each query one 8x16 BIGINT
+    // lookup table, score = 8 lookups — all exact integers, so the
+    // DuckDB twin recomputes codebooks/codes/LUTs from the same rows
+    // and must hash-match with no epsilon (the q91 discipline).
+    "q206_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity.knnPq(emb,
+          emb.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // CDC apply over orders: a synthesized change log with updates
     // (version 2), delete tombstones (version 3 — overriding the
     // update wherever key % 77 == 0: the multi-op-per-key case), and

@@ -607,6 +607,83 @@ object Similarity {
         col("rank"), col("score"))
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Static PQ codebook (the q48 "static" discipline that makes the
+    * operator oracle-checkable): the codebook for subspace j is the
+    * j-th quantized subvector of the `ksub` SMALLEST-id corpus rows —
+    * a pure function of the data, no training iterations, which the
+    * DuckDB twin recomputes from the same rows. Returned flat as
+    * `(j·ksub + c)·ds + i` for [[graft.functions.PqUtil]]. Real
+    * deployments train per-subspace k-means instead (the
+    * [[trainCentroids]] analogue); the ADC machinery is identical
+    * either way, and THAT is what q206 gates. Driver-side collect is
+    * ksub rows — config-sized, the frozen-centroid contract. */
+  def pqStaticCodebook(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Array[Int] = {
+    val rows = corpus
+      .select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__n"))
+      .select(col(idCol), quantize(col(vecCol), col("__n")).as("__q"))
+      .orderBy(col(idCol)).limit(ksub)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("__q").map(_.toInt).toArray)
+    require(rows.length == ksub, s"corpus has fewer than $ksub rows")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val ds = dim / m
+    val cb = new Array[Int](m * ksub * ds)
+    for (j <- 0 until m; c <- 0 until ksub; i <- 0 until ds)
+      cb((j * ksub + c) * ds + i) = rows(c)(j * ds + i)
+    cb
+  }
+
+  /** PQ-ADC ANN top-k (Jégou et al. 2011) — the third compression
+    * rung after SQ8 (4×) and IVF (partition pruning): corpus vectors
+    * become `m` codebook indices (64-dim float32 → 8 bytes at the
+    * defaults: 32× smaller), each query precomputes one m·ksub
+    * lookup table, and scoring a candidate is m ARRAY LOOKUPS instead
+    * of a d-element dot — the asymmetric distance computation that
+    * makes billion-scale scans bandwidth-feasible. Runs over the
+    * SQ8-quantized domain so every distance is an exact BIGINT
+    * (see [[graft.functions.PqUtil]]): ranking is integer-
+    * deterministic, ties break to the lower id, and the oracle check
+    * is exact with no epsilon — the knnQuantized discipline.
+    *
+    * Scale shape: encode is scan-side (vectors never shuffle; only
+    * m-int code rows leave), the query LUT frame is broadcast, and
+    * the ranking window partitions by query. Being a DISTANCE
+    * estimate, rank ascends. Compose with the IVF cell layout for
+    * partition pruning on top (the writeIvfIndexQuantized pattern);
+    * re-rank survivors with exact cosine at k' ≫ k in a two-stage
+    * deployment. */
+  def knnPq(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+            m: Int = 8, ksub: Int = 16,
+            codebook: Option[Array[Int]] = None,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.PqFunctions._
+    val cb = codebook.getOrElse(pqStaticCodebook(corpus, m, ksub, idCol, vecCol))
+    require(cb.length % (m * ksub) == 0, "codebook shape mismatch")
+    val ds = cb.length / (m * ksub)
+    def quantized(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId), col(vecCol).as("__v"),
+          vecNorm(col(vecCol)).as("__n"))
+        .select(col(outId), quantize(col("__v"), col("__n")).as("__q"))
+    val codes = quantized(corpus, idCol)
+      .select(col(idCol), pqEncode(col("__q"), cb, m, ksub, ds).as("__codes"))
+    val luts = broadcast(quantized(queries, "query_id")
+      .select(col("query_id"), pqLut(col("__q"), cb, m, ksub, ds).as("__lut")))
+    val scored = codes.crossJoin(luts)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", pqScore(col("__lut"), col("__codes"), ksub))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("score"))
+  }
+
   /** Index-quality evaluation as a first-class operator: per-query
     * recall@k of an approximate top-k result against the exact one —
     * the number every ANN deployment watches when tuning

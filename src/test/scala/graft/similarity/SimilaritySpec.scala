@@ -467,4 +467,67 @@ class SimilaritySpec extends SparkSpec {
     assertSameRows(Similarity.embeddingHygiene(d),
       Similarity.embeddingHygiene(d.repartition(3)))
   }
+
+  // --- product quantization ----------------------------------------
+
+  // 12 vectors, dim 16, distinct subvectors by construction
+  private def pqFixture = vecs((0L until 12L).map(i =>
+    i -> (0 until 16).map(p =>
+      (((i * 7 + p * 3 + i * p) % 13).toFloat - 6.0f))): _*)
+
+  /** Driver-side SQ8 replica of [[Similarity.quantize]]: identical
+    * double ops, so the ints must match the Spark expression. */
+  private def sq8(v: Seq[Float]): Array[Long] = {
+    var n2 = 0.0
+    v.foreach(x => n2 += x.toDouble * x.toDouble)
+    val n = math.sqrt(n2)
+    v.map(x => math.floor(x.toDouble / n * 127.0 + 0.5).toLong).toArray
+  }
+
+  test("knnPq with m=1 and a full codebook reproduces exact quantized L2 ranking") {
+    val d = pqFixture
+    val out = Similarity.knnPq(d, d.filter(col("vec_id") < 3), k = 5,
+        m = 1, ksub = 12)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+      .toMap
+    val qv = (0L until 12L).map(i => i ->
+      sq8((0 until 16).map(p => (((i * 7 + p * 3 + i * p) % 13).toFloat - 6.0f)))).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (q <- 0L until 3L) {
+      val expected = (0L until 12L).filter(_ != q)
+        .map(x => (x, l2(qv(q), qv(x))))
+        .sortBy { case (id, s) => (s, id) }.take(5)
+      out(q) shouldBe expected
+    }
+  }
+
+  test("pqStaticCodebook: each codebook row encodes to its own index") {
+    val d = pqFixture
+    val cb = Similarity.pqStaticCodebook(d, m = 2, ksub = 4)
+    cb.length shouldBe 2 * 4 * 8
+    // encoding the c-th codebook source row yields code c in every
+    // subspace (self-distance 0; fixture subvectors are distinct)
+    val codes = Similarity.knnPq(d, d.filter(col("vec_id") < 1), k = 1,
+      m = 2, ksub = 4) // force the same path; codes checked via PqUtil
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val qv = (0L until 4L).map(i =>
+      sq8((0 until 16).map(p => (((i * 7 + p * 3 + i * p) % 13).toFloat - 6.0f))))
+    for (c <- 0 until 4) {
+      val arr = new GenericArrayData(qv(c).map(_.toFloat))
+      val enc = graft.functions.PqUtil.encode(arr, cb, 2, 4, 8)
+      enc.toIntArray().toSeq shouldBe Seq(c, c)
+    }
+    codes.collect().length shouldBe 1
+  }
+
+  test("knnPq is invariant under input partitioning") {
+    val d = pqFixture
+    assertSameRows(
+      Similarity.knnPq(d, d.filter(col("vec_id") < 2), k = 4, m = 2, ksub = 4),
+      Similarity.knnPq(d.repartition(5), d.filter(col("vec_id") < 2),
+        k = 4, m = 2, ksub = 4))
+  }
 }
