@@ -1732,6 +1732,81 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q207: composed IVF+PQ twin — q111's fixed-centroid coarse
+    * assignment and 3-cell probe CTEs (full-precision cosine, the
+    * FAISS coarse quantizer) feeding q206's static-codebook PQ
+    * encode/LUT scoring, restricted to candidates sharing a probed
+    * cell. Every number BIGINT; rank ascends (distance). */
+  val q207_ivf_pq_search: String = {
+    val cvals = (0 until 8).map { j =>
+      val c = graft.similarity.Similarity.hyperplane(j, hpDim)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        .max(java.lang.Double.MIN_VALUE)
+      s"($j, [${c.map(x => s"${x.toInt}.0").mkString(",")}], $cn)"
+    }.mkString(",\n  ")
+    def dotCv(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * cv[i])), (acc,v) -> acc + v)"
+    s"""
+WITH cm(cell, cv, cn) AS (SELECT * FROM (VALUES
+  $cvals) v(cell, cv, cn)),
+a AS (
+  SELECT vec_id, embedding, cell,
+    (-(${dotCv("embedding")})) / (sqrt(${sqlDot("embedding", "embedding")}) * cn) AS d
+  FROM embeddings CROSS JOIN cm),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM a)
+  WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a WHERE vec_id < 10)
+  WHERE rn <= 3),
+n AS (
+  SELECT vec_id,
+    list_transform(range(1, len(embedding)+1),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+             / sqrt(${sqlDot("embedding", "embedding")}) * 127 + 0.5)
+           AS BIGINT)) AS qv
+  FROM embeddings),
+js AS (SELECT unnest(range(0, 8)) AS j),
+cb AS (
+  SELECT js.j AS j, n.vec_id AS c,
+    list_slice(n.qv, js.j * 8 + 1, js.j * 8 + 8) AS cv
+  FROM n CROSS JOIN js WHERE n.vec_id < 16),
+sub AS (
+  SELECT n.vec_id, js.j, list_slice(n.qv, js.j * 8 + 1, js.j * 8 + 8) AS sv
+  FROM n CROSS JOIN js),
+dist AS (
+  SELECT s.vec_id, s.j, c.c,
+    list_sum(list_transform(range(1, 9),
+      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+  FROM sub s JOIN cb c ON s.j = c.j),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM dist) WHERE rn = 1),
+qlut AS (SELECT vec_id AS query_id, j, c, d FROM dist WHERE vec_id < 10),
+cand AS (
+  SELECT p.query_id, g.vec_id FROM probe p JOIN asg g ON p.cell = g.cell
+  WHERE g.vec_id <> p.query_id),
+scored AS (
+  SELECT cd.query_id, cd.vec_id, CAST(sum(q.d) AS BIGINT) AS score
+  FROM cand cd JOIN codes x ON x.vec_id = cd.vec_id
+    JOIN qlut q ON q.query_id = cd.query_id AND q.j = x.j AND q.c = x.c
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id)
+      AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, score FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   /** q205 twin of [[graft.etl.Cdc.applyCdc]]: the same synthesized
     * log; winners via row_number over (version, op, payload) DESC —
     * the ordering Spark's struct max encodes — then anti-join +
@@ -4823,6 +4898,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q204_spoof_scan" -> q204_spoof_scan,
     "q205_cdc_apply" -> q205_cdc_apply,
     "q206_pq_adc" -> q206_pq_adc,
+    "q207_ivf_pq_search" -> q207_ivf_pq_search,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,26 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Composed IVF+PQ index (FAISS "IVF8,PQ8"): fixed hyperplane
+    // coarse centroids, PQ codes in the cell-partitioned layout,
+    // 3-cell probe + per-query LUT scoring — partition pruning and
+    // 32x code compression multiplying, all exact BIGINTs. The twin
+    // composes the q111 coarse CTEs with the q206 PQ machinery.
+    "q207_ivf_pq_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      val idxPath = fixture("ivf_pq_index", dir) {
+        val p = scratch("ivf_pq_index", dir)
+        graft.similarity.Similarity.writeIvfIndexPq(emb, p,
+          centroids = Some(cents))
+        p
+      }
+      graft.similarity.Similarity.searchIvfIndexPq(s, idxPath,
+          emb.filter(col("vec_id") < 10), k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PQ-ADC search with the static (oracle-checkable) codebook: the
     // first 16 quantized rows define 8 subspace codebooks, corpus
     // rows become 8 codebook indices, each query one 8x16 BIGINT

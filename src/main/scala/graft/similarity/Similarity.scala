@@ -684,6 +684,110 @@ object Similarity {
         col("rank"), col("score"))
   }
 
+  /** Persist an IVF index with PQ codes — FAISS's `IVFx,PQy` (Jégou
+    * et al. 2011 §V; Johnson et al. 2017), the composition behind
+    * virtually every billion-scale ANN deployment: IVF cell
+    * partitioning bounds WHICH rows a search reads (nprobe/nlist of
+    * the corpus, directory pruning as in [[writeIvfIndex]]), PQ codes
+    * bound the BYTES per row to m ints (32× under float32, 4× under
+    * SQ8) — the two savings multiply, and the per-candidate cost
+    * drops to m LUT lookups. Layout: `path/centroids` as in
+    * [[writeIvfIndex]]; `path/codebook` = one row (flat cb, m, ksub,
+    * ds) so the index is self-describing; `path/rows` = (id, codes)
+    * partitioned by cell. Coarse assignment is full-precision (as in
+    * FAISS); codes live in the SQ8-quantized domain for exactness
+    * (see [[knnPq]]). */
+  def writeIvfIndexPq(corpus: DataFrame, path: String, nlist: Int = 8,
+                      iters: Int = 2, m: Int = 8, ksub: Int = 16,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      centroids: Option[Array[Array[Float]]] = None,
+                      codebook: Option[Array[Int]] = None): Unit = {
+    import graft.functions.PqFunctions._
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, nlist, iters, idCol, vecCol))
+    val cb = codebook.getOrElse(pqStaticCodebook(corpus, m, ksub, idCol, vecCol))
+    val ds = cb.length / (m * ksub)
+    cents.toSeq.zipWithIndex.map { case (c, j) => (j, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((cb.toSeq, m, ksub, ds)).toDF("cb", "m", "ksub", "ds")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    corpus
+      .select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__n"))
+      .select(col(idCol),
+        pqEncode(quantize(col(vecCol), col("__n")), cb, m, ksub, ds).as("codes"),
+        nearestCell(col(vecCol), col("__n"), cents).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/rows")
+  }
+
+  /** Append a batch into a PQ index — the [[appendIvfIndex]]
+    * maintenance contract: assignment and encoding under the index's
+    * own frozen centroids/codebook, dynamic-partition APPEND, history
+    * never read or rewritten. */
+  def appendIvfIndexPq(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    import graft.functions.PqFunctions._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    val meta = spark.read.parquet(s"$path/codebook").collect().head
+    val cb = meta.getAs[scala.collection.Seq[Int]]("cb").toArray
+    val (m, ksub, ds) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
+      meta.getAs[Int]("ds"))
+    batch
+      .select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__n"))
+      .select(col(idCol),
+        pqEncode(quantize(col(vecCol), col("__n")), cb, m, ksub, ds).as("codes"),
+        nearestCell(col(vecCol), col("__n"), cents).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/rows")
+  }
+
+  /** Search a PQ index: full-precision probe selection (static
+    * partition filter — only the probed cells' files are read, and
+    * those files hold m-int codes, not vectors), per-query LUT
+    * broadcast, candidates scored by m BIGINT lookups
+    * ([[graft.functions.PqUtil.score]]). Exact-integer output, rank
+    * ascending (a distance), ties to the lower id — the knnPq
+    * contract behind partition pruning. */
+  def searchIvfIndexPq(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, k: Int = 10,
+                       nprobe: Int = 3, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.PqFunctions._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    val meta = spark.read.parquet(s"$path/codebook").collect().head
+    val cb = meta.getAs[scala.collection.Seq[Int]]("cb").toArray
+    val (m, ksub, ds) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
+      meta.getAs[Int]("ds"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        vecNorm(col(vecCol)).as("__qnorm"))
+      .select(col("query_id"),
+        pqLut(quantize(col("__qv"), col("__qnorm")), cb, m, ksub, ds)
+          .as("__lut"),
+        explode(probedCells(col("__qv"), col("__qnorm"), cents, nprobe))
+          .as("__probe"))
+      .select(col("query_id"), col("__lut"), col("__probe.cell").as("cell"))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val rows = spark.read.parquet(s"$path/rows")
+      .filter(col("cell").isInCollection(probed))
+    val scored = rows.join(broadcast(q), "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", pqScore(col("__lut"), col("codes"), ksub))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("score"))
+  }
+
   /** Index-quality evaluation as a first-class operator: per-query
     * recall@k of an approximate top-k result against the exact one —
     * the number every ANN deployment watches when tuning

@@ -530,4 +530,33 @@ class SimilaritySpec extends SparkSpec {
       Similarity.knnPq(d.repartition(5), d.filter(col("vec_id") < 2),
         k = 4, m = 2, ksub = 4))
   }
+
+  test("searchIvfIndexPq at full probe equals knnPq; append maintains the index") {
+    val d = pqFixture
+    val queries = d.filter(col("vec_id") < 2)
+    val cents = Array.tabulate(4)(p => Similarity.hyperplane(p, 16))
+    val cb = Similarity.pqStaticCodebook(d, m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq").toString + "/idx"
+    Similarity.writeIvfIndexPq(d, path, nlist = 4, m = 2, ksub = 4,
+      centroids = Some(cents), codebook = Some(cb))
+    // nprobe = nlist: no pruning -> must equal the plain PQ-ADC scan
+    assertSameRows(
+      Similarity.searchIvfIndexPq(spark, path, queries, k = 4, nprobe = 4),
+      Similarity.knnPq(d, queries, k = 4, m = 2, ksub = 4,
+        codebook = Some(cb)))
+    // append under the frozen centroids/codebook: search-after-append
+    // equals a fresh index over the union (history never rewritten)
+    val batch = vecs((100L until 104L).map(i =>
+      i -> (0 until 16).map(p =>
+        (((i * 5 + p * 7 + i * p) % 11).toFloat - 5.0f))): _*)
+    Similarity.appendIvfIndexPq(spark, path, batch)
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq2").toString + "/idx"
+    Similarity.writeIvfIndexPq(d.unionByName(batch), path2, nlist = 4,
+      m = 2, ksub = 4, centroids = Some(cents), codebook = Some(cb))
+    assertSameRows(
+      Similarity.searchIvfIndexPq(spark, path, queries, k = 4, nprobe = 2),
+      Similarity.searchIvfIndexPq(spark, path2, queries, k = 4, nprobe = 2))
+  }
 }
