@@ -1732,6 +1732,23 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q208 twin of [[graft.analytics.Profiling.qqTable]]: the same
+    * decile probe literals into quantile_cont's list form (the q38
+    * interpolation parity), differences in identical double trees. */
+  val q208_qq_table: String = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS a
+  FROM lineitem WHERE l_partkey % 2 = 0),
+c AS (
+  SELECT quantile_cont(l_extendedprice,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS a
+  FROM lineitem WHERE l_partkey % 2 = 1),
+i AS (SELECT unnest(range(1, 10)) AS i)
+SELECT CAST((i * 1000) // 10 AS BIGINT) AS p_permille,
+  b.a[i] AS q_base, c.a[i] AS q_in, c.a[i] - b.a[i] AS qq_diff
+FROM i, b, c ORDER BY p_permille"""
+
   /** q207: composed IVF+PQ twin — q111's fixed-centroid coarse
     * assignment and 3-cell probe CTEs (full-precision cosine, the
     * FAISS coarse quantizer) feeding q206's static-codebook PQ
@@ -4899,6 +4916,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q205_cdc_apply" -> q205_cdc_apply,
     "q206_pq_adc" -> q206_pq_adc,
     "q207_ivf_pq_search" -> q207_ivf_pq_search,
+    "q208_qq_table" -> q208_qq_table,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // QQ table: extended-price distribution of even vs odd partkeys
+    // at the 9 decile probes — the full drift curve next to q94's
+    // max-gap KS statistic; exact percentiles, quantile_cont parity.
+    "q208_qq_table" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.analytics.Profiling.qqTable(
+          li.filter(col("l_partkey") % 2 === 0),
+          li.filter(col("l_partkey") % 2 === 1),
+          "l_extendedprice", k = 10)
+        .orderBy(col("p_permille"))
+    }),
+
     // Composed IVF+PQ index (FAISS "IVF8,PQ8"): fixed hyperplane
     // coarse centroids, PQ codes in the cell-partitioned layout,
     // 3-cell probe + per-query LUT scoring — partition pruning and

@@ -454,6 +454,35 @@ object Profiling {
           .as("ks"))
   }
 
+  /** Quantile–quantile comparison table — [[ksDrift]] reports the MAX
+    * EDF gap; this reports the CURVE a distribution review actually
+    * reads (where in the distribution did the shift happen — tails,
+    * median, everywhere): at the k−1 evenly spaced probe levels
+    * i/k, the exact percentile of both sides and the difference.
+    * Exact `percentile` keeps it oracle-checkable (the q38
+    * quantile_cont parity); the output is k−1 rows regardless of
+    * data size. At 100 TB swap both sides to [[approxPercentiles]]'
+    * sketch — identical shape. NULLs excluded (they belong to the
+    * categorical monitor). */
+  def qqTable(base: DataFrame, incoming: DataFrame, valueCol: String,
+              k: Int = 10): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val arr = s"array(${probs.mkString(", ")})"
+    val v = col(valueCol)
+    val pb = base.filter(v.isNotNull)
+      .agg(expr(s"percentile($valueCol, $arr)").as("__pb"))
+    val pi = incoming.filter(v.isNotNull)
+      .agg(expr(s"percentile($valueCol, $arr)").as("__pi"))
+    pb.crossJoin(pi)
+      .select(posexplode(col("__pb")).as(Seq("__i", "q_base")), col("__pi"))
+      .select(
+        expr(s"CAST(((__i + 1) * 1000) div $k AS BIGINT)").as("p_permille"),
+        col("q_base"),
+        element_at(col("__pi"), col("__i").cast("int") + 1).as("q_in"))
+      .withColumn("qq_diff", col("q_in") - col("q_base"))
+  }
+
   /** Functional-dependency violation report — the profiling question
     * schema inference and dbt-style tests both ask ("does A determine
     * B in this data?"): every determinant value with MORE than one

@@ -315,6 +315,18 @@ class ProfilingSpec extends SparkSpec {
       "lang", Seq("en", "fr", "zh")))
   }
 
+  test("qqTable: identical sides are flat zero; a location shift shows at every probe") {
+    val base = (1 to 200).map(_.toDouble).toDF("v")
+    val same = Profiling.qqTable(base, base, "v", k = 4).collect()
+    same.map(_.getLong(0)).sorted.toSeq shouldBe Seq(250L, 500L, 750L)
+    all(same.map(_.getDouble(3))) shouldBe 0.0
+    // incoming = base + 7: every quantile moves by exactly 7
+    val shifted = (1 to 200).map(i => i.toDouble + 7.0).toDF("v")
+    val qq = Profiling.qqTable(base, shifted, "v", k = 4).collect()
+    all(qq.map(_.getDouble(3))) shouldBe 7.0
+    qq.foreach(r => r.getDouble(2) shouldBe r.getDouble(1) + 7.0)
+  }
+
   test("robustScale: hand medians/IQR, zero-IQR degrades to NULL scaled") {
     val d = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
