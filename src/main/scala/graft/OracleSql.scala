@@ -1732,6 +1732,33 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q209 twin of [[graft.etl.Sampling.bootstrapStats]]: the same
+    * md5 row-replicate hash (the established keyHash twin), the same
+    * STATED Poisson(1) cumulative constants, the same exact decimal
+    * sums — DuckDB replays the identical resamples. */
+  val q209_bootstrap: String = {
+    val cum = graft.etl.Sampling.PoissonCum
+    val weightCase = cum.zipWithIndex
+      .map { case (t, w) => s"WHEN u < $t THEN $w" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+    s"""
+WITH t AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+    AS rk, l_quantity
+  FROM lineitem),
+r AS (SELECT rk, l_quantity, unnest(range(0, 20)) AS replicate FROM t),
+u AS (
+  SELECT replicate, l_quantity,
+    CAST(('0x' || substr(md5(rk || '|' || CAST(replicate AS VARCHAR)), 1, 14))
+      AS BIGINT) % 1000000000 AS u
+  FROM r),
+w AS (SELECT replicate, l_quantity, $weightCase AS w FROM u)
+SELECT CAST(replicate AS INTEGER) AS replicate,
+  CAST(sum(w) AS BIGINT) AS n_resampled,
+  CAST(sum(CAST(l_quantity * w AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM w GROUP BY replicate ORDER BY replicate"""
+  }
+
   /** q208 twin of [[graft.analytics.Profiling.qqTable]]: the same
     * decile probe literals into quantile_cont's list form (the q38
     * interpolation parity), differences in identical double trees. */
@@ -4917,6 +4944,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q206_pq_adc" -> q206_pq_adc,
     "q207_ivf_pq_search" -> q207_ivf_pq_search,
     "q208_qq_table" -> q208_qq_table,
+    "q209_bootstrap" -> q209_bootstrap,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Hash-Poisson bootstrap: 20 deterministic resamples of the
+    // lineitem quantity sum — per-row Poisson(1) multiplicities from
+    // a hash of (row key, replicate), stated cumulative thresholds,
+    // exact decimal sums. The replicate spread IS the statistic's
+    // sampling distribution; DuckDB replays the identical resamples.
+    "q209_bootstrap" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).withColumn("__rk",
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      graft.etl.Sampling.bootstrapStats(li, "__rk", "l_quantity",
+          replicates = 20)
+        .orderBy(col("replicate"))
+    }),
+
     // QQ table: extended-price distribution of even vs odd partkeys
     // at the 9 decile probes — the full drift curve next to q94's
     // max-gap KS statistic; exact percentiles, quantile_cont parity.

@@ -339,4 +339,50 @@ object Sampling {
     }
     df.filter(keyHash(col(keyCol)) % 10000 < rate)
   }
+
+  /** Cumulative Poisson(1) distribution at 1e-9 resolution — STATED
+    * integer constants (the Benford-table discipline: precomputed,
+    * not engine-computed — `exp(-1)` in two libms can differ in the
+    * last ulp and flip a threshold). `u < PoissonCum(w)` first holds
+    * at weight w; u past the last threshold (p ≈ 1.1e-6) caps at 9. */
+  val PoissonCum: Seq[Long] = Seq(367879441L, 735758882L, 919698602L,
+    981011843L, 996340153L, 999405815L, 999916758L, 999989750L, 999998874L)
+
+  /** Hash-Poisson bootstrap — error bars for a statistic at corpus
+    * scale without ever materializing a resample: the classic "n out
+    * of n with replacement" bootstrap is equivalent (as n grows) to
+    * giving each row an independent Poisson(1) multiplicity per
+    * replicate (the streaming/online bootstrap of Oza & Russell 2001;
+    * the same device scales Kleiner et al.'s bag of little
+    * bootstraps), and a hash of (row key, replicate id) makes those
+    * multiplicities DETERMINISTIC — reproducible across runs,
+    * partitionings, and engines, which is what lets DuckDB replay the
+    * identical resamples (q209) where a `rand()` bootstrap could
+    * never be gated.
+    *
+    * Returns one row per replicate: resampled row count (Σ weights)
+    * and the weighted value sum (exact decimal — order-free). The
+    * spread across replicates IS the sampling distribution of the
+    * statistic; the caller reads percentiles off it for a CI. Shape:
+    * one `replicates`-way row explode + one bounded aggregate — no
+    * shuffle of the data beyond the final |replicates|-row combine,
+    * map-side partials do the work. */
+  def bootstrapStats(df: DataFrame, keyCol: String, valueCol: String,
+                     replicates: Int = 20, sumScale: Int = 4): DataFrame = {
+    require(replicates >= 1, "need at least one replicate")
+    val rep = df.select(col(keyCol).cast("string").as("__k"), col(valueCol))
+      .select(col("__k"), col(valueCol),
+        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+    val u = keyHash(concat_ws("|", col("__k"), col("replicate").cast("string"))) %
+      1000000000L
+    val weight = PoissonCum.zipWithIndex.reverse
+      .foldLeft(lit(9): Column) { case (acc, (t, w)) =>
+        when(u < t, lit(w.toLong)).otherwise(acc)
+      }
+    rep.withColumn("__w", weight)
+      .groupBy(col("replicate"))
+      .agg(sum(col("__w")).as("n_resampled"),
+        graft.core.Exact.exactSum(col(valueCol) * col("__w"), sumScale)
+          .as("sum_value"))
+  }
 }

@@ -271,4 +271,35 @@ class SamplingSpec extends SparkSpec {
     assertSameRows(a, Sampling.rendezvousShard(keys.repartition(7),
       "doc_id", 8))
   }
+
+  test("bootstrapStats: mean weight ~1, replicates vary, fully deterministic") {
+    import spark.implicits._
+    val d = (1 to 1000).map(i => (s"k$i", 2.0)).toDF("k", "v")
+    val out = Sampling.bootstrapStats(d, "k", "v", replicates = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    out.length shouldBe 10
+    // Poisson(1) multiplicities: total resampled mass ~ rows*replicates
+    val total = out.map(_._2).sum
+    total.toDouble shouldBe 10000.0 +- 500.0
+    // the resample actually varies (weights are not all 1)
+    out.map(_._2).distinct.length should be > 1
+    // weighted sum is exactly weight * constant value
+    out.foreach { case (_, n, s) => s shouldBe n * 2.0 }
+    // determinism: same replicates under any partitioning
+    assertSameRows(
+      Sampling.bootstrapStats(d, "k", "v", replicates = 10),
+      Sampling.bootstrapStats(d.repartition(7), "k", "v", replicates = 10))
+  }
+
+  test("bootstrapStats spread brackets the true statistic") {
+    import spark.implicits._
+    // values 1..400: true sum 80200; the replicate sums should spread
+    // AROUND it (a resample CI must cover the point estimate here)
+    val d = (1 to 400).map(i => (s"r$i", i.toDouble)).toDF("k", "v")
+    val sums = Sampling.bootstrapStats(d, "k", "v", replicates = 20)
+      .select("sum_value").as[Double].collect()
+    val trueSum = (1 to 400).map(_.toDouble).sum
+    sums.min should be < trueSum
+    sums.max should be > trueSum
+  }
 }
