@@ -1743,19 +1743,17 @@ WHERE rank <= 10 ORDER BY query_id, rank"""
       .mkString("CASE ", " ", " ELSE 9 END")
     s"""
 WITH t AS (
-  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
-    AS rk, l_quantity
-  FROM lineitem),
-r AS (SELECT rk, l_quantity, unnest(range(0, 20)) AS replicate FROM t),
+  SELECT CAST(o_orderkey AS VARCHAR) AS rk, o_totalprice FROM orders),
+r AS (SELECT rk, o_totalprice, unnest(range(0, 20)) AS replicate FROM t),
 u AS (
-  SELECT replicate, l_quantity,
+  SELECT replicate, o_totalprice,
     CAST(('0x' || substr(md5(rk || '|' || CAST(replicate AS VARCHAR)), 1, 14))
       AS BIGINT) % 1000000000 AS u
   FROM r),
-w AS (SELECT replicate, l_quantity, $weightCase AS w FROM u)
+w AS (SELECT replicate, o_totalprice, $weightCase AS w FROM u)
 SELECT CAST(replicate AS INTEGER) AS replicate,
   CAST(sum(w) AS BIGINT) AS n_resampled,
-  CAST(sum(CAST(l_quantity * w AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+  CAST(sum(CAST(o_totalprice * w AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
 FROM w GROUP BY replicate ORDER BY replicate"""
   }
 
@@ -1974,8 +1972,8 @@ SELECT doc_id,
   right(min(CASE WHEN valid THEN dgt END), 4) AS valid_last4
 FROM chk GROUP BY doc_id ORDER BY doc_id"""
 
-  /** q201 twin of [[graft.graph.LinkGraph.condensation]]: the q199
-    * closure-derived SCC labels joined onto both edge endpoints,
+  /** q201 twin of [[graft.graph.LinkGraph.condensation]]: the
+    * recursive-closure SCC labels joined onto both edge endpoints,
     * crossing edges grouped per ordered label pair. */
   val q201_condensation: String = """
 WITH RECURSIVE e AS (
@@ -1986,13 +1984,9 @@ WITH RECURSIVE e AS (
     SELECT 'd' || CAST(doc_id % 8 + 12 AS VARCHAR),
            'd' || CAST((doc_id + 1) % 8 + 12 AS VARCHAR) FROM documents
     UNION ALL
-    SELECT CASE doc_id % 6 WHEN 0 THEN 'd0' WHEN 1 THEN 'd13' WHEN 2 THEN 'd20'
-                           WHEN 3 THEN 'd21' WHEN 4 THEN 'd21' ELSE 'd23' END,
-           CASE doc_id % 6 WHEN 0 THEN 'd12' WHEN 1 THEN 'd20' WHEN 2 THEN 'd21'
-                           WHEN 3 THEN 'd22' WHEN 4 THEN 'd23' ELSE 'd24' END
-    FROM documents
-    UNION ALL
-    SELECT 'd24', 'd23' FROM documents)
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'd0' ELSE 'd3' END,
+           CASE WHEN doc_id % 2 = 0 THEN 'd12' ELSE 'd15' END
+    FROM documents)
   WHERE src <> dst),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 reach(s, d) AS (

@@ -751,17 +751,26 @@ object LinkGraph {
     *     for real link graphs — the q131 "gate at the diameter"
     *     argument, applied per level).
     *
-    * Both inner loops run TO CONVERGENCE with a loud failure cap
+    * Both inner loops are the SAME primitive — min-label propagation
+    * to fixpoint WITH POINTER DOUBLING (each step relaxes over edges
+    * AND over label-of-label, so a length-d chain converges in
+    * O(log d) rounds, not O(d) — the hash-to-min acceleration of
+    * Rastogi et al., ICDE 2013, applied to the directed ancestor/
+    * descendant min) — run TO CONVERGENCE with a loud failure cap
     * (the componentLabels contract: silently-wrong labels are never
-    * an option), and convergence checks ride the same
-    * carried-`__old` trick (no second join re-running the round).
+    * an option); convergence checks ride the carried-`__old` trick
+    * (no second join re-running the round). Capture reduces to the
+    * same primitive by a small theorem: a color-class root is the
+    * MINIMUM id in its class (a smaller class member would be its own
+    * ancestor below the root, contradicting the root's minimality),
+    * so "v reaches the root within its class" ⟺ the within-class
+    * DESCENDANT-min of v equals its color.
     *
-    * Scale shape: every step is a node-keyed hash join + partial agg
-    * (coloring), or an edge⋈frontier join + distinct union (capture)
-    * — nothing collected, no all-pairs reachability materialized
-    * (the path-doubling alternative is O(n²) pair state and is
-    * exactly what this construction avoids); localCheckpoint cuts
-    * lineage each step since the frames iterate on themselves.
+    * Scale shape: every step is two node-keyed hash joins + one
+    * partial agg — nothing collected, no all-pairs reachability
+    * materialized (the pair-doubling alternative is O(n²) pair state
+    * and is exactly what this construction avoids); localCheckpoint
+    * cuts lineage each step since the frames iterate on themselves.
     *
     * Returns (node, scc, scc_size): scc = min member id, the
     * canonical label the DuckDB oracle re-derives from a WITH
@@ -779,57 +788,63 @@ object LinkGraph {
       .distinct().localCheckpoint()
     var e = e0.localCheckpoint()
     val labelType = nodes.schema("node").dataType
-    var assigned: DataFrame = null
-    var round = 0
-    while (!nodes.isEmpty && round < maxRounds) {
-      // -- 1. forward min-label coloring to fixpoint ----------------
-      var colors = nodes.withColumn("color", col("node")).localCheckpoint()
+
+    /** Min-label fixpoint with pointer doubling: label(v) starts at v
+      * and relaxes per round over (a) `rel` edges — label(s) flows
+      * s→d — and (b) the label AT the current label's node. Fixpoint
+      * = min id over `rel`-ancestors ∪ {v}. Throws past the cap. */
+    def minLabelFixpoint(universe: DataFrame, rel: DataFrame,
+                         what: String): DataFrame = {
+      var labels = universe.withColumn("label", col("node")).localCheckpoint()
       var converged = false
       var i = 0
       while (!converged && i < maxPropIters) {
-        val inbound = e
-          .join(colors.select(col("node").as("src"), col("color")), "src")
-          .select(col("dst").as("node"), col("color"),
+        val viaEdges = rel
+          .join(labels.select(col("node").as("s"), col("label")), "s")
+          .select(col("d").as("node"), col("label"),
             lit(null).cast(labelType).as("__old"))
-        val next = colors
-          .select(col("node"), col("color"), col("color").as("__old"))
-          .union(inbound)
-          .groupBy("node").agg(min("color").as("color"), max("__old").as("__old"))
+        val viaJump = labels.select(col("node"), col("label").as("__ptr"))
+          .join(labels.select(col("node").as("__ptr"),
+            col("label").as("__jl")), "__ptr")
+          .select(col("node"), col("__jl").as("label"),
+            lit(null).cast(labelType).as("__old"))
+        val next = labels
+          .select(col("node"), col("label"), col("label").as("__old"))
+          .union(viaEdges).union(viaJump)
+          .groupBy("node")
+          .agg(min("label").as("label"), max("__old").as("__old"))
           .localCheckpoint()
-        converged = next.filter(col("color") =!= col("__old")).isEmpty
-        colors = next.select("node", "color")
+        converged = next.filter(col("label") =!= col("__old")).isEmpty
+        labels = next.select("node", "label")
         i += 1
       }
       if (!converged) throw new IllegalStateException(
-        s"stronglyConnected coloring did not converge in $maxPropIters " +
-          "iterations (ancestor-chain length exceeds the cap); labels " +
+        s"stronglyConnected $what did not converge in $maxPropIters " +
+          "iterations (even doubled, the chain exceeds the cap); labels " +
           "would be silently wrong — raise maxPropIters")
-      // -- 2. backward capture within color classes -----------------
-      // only same-color edges can sit on a capture path (proof in the
-      // scaladoc), so restrict once and iterate on the small frame
+      labels
+    }
+
+    var assigned: DataFrame = null
+    var round = 0
+    while (!nodes.isEmpty && round < maxRounds) {
+      // -- 1. forward coloring: color = min ancestor-or-self --------
+      val colors = minLabelFixpoint(nodes,
+        e.select(col("src").as("s"), col("dst").as("d")), "coloring")
+        .withColumnRenamed("label", "color").localCheckpoint()
+      // -- 2. capture: within-class descendant-min == color ---------
+      // only same-color edges can sit on a capture path (scaladoc
+      // proof), so restrict once; descendant-min propagates BACKWARD
       val ec = e
         .join(colors.select(col("node").as("src"), col("color").as("__cs")), "src")
         .join(colors.select(col("node").as("dst"), col("color").as("__cd")), "dst")
         .filter(col("__cs") === col("__cd"))
         .select(col("src"), col("dst")).localCheckpoint()
-      var captured = colors.filter(col("node") === col("color"))
+      val dmin = minLabelFixpoint(nodes,
+        ec.select(col("dst").as("s"), col("src").as("d")), "capture")
+      val captured = dmin.join(colors, "node")
+        .filter(col("label") === col("color"))
         .select(col("node"), col("color").as("scc")).localCheckpoint()
-      converged = false
-      i = 0
-      while (!converged && i < maxPropIters) {
-        val extended = ec
-          .join(captured.select(col("node").as("dst"), col("scc")), "dst")
-          .select(col("src").as("node"), col("scc"))
-          .distinct()
-        val fresh = extended.join(captured, Seq("node"), "left_anti")
-          .localCheckpoint()
-        converged = fresh.isEmpty
-        if (!converged) captured = captured.union(fresh).localCheckpoint()
-        i += 1
-      }
-      if (!converged) throw new IllegalStateException(
-        s"stronglyConnected capture did not converge in $maxPropIters " +
-          "iterations; raise maxPropIters")
       // -- 3. peel ---------------------------------------------------
       assigned = if (assigned == null) captured else assigned.union(captured)
       nodes = nodes.join(captured.select("node"), Seq("node"), "left_anti")
