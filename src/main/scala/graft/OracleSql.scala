@@ -1732,6 +1732,32 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q210 twin of [[graft.etl.GoldenRecord.goldenRecords]]: per field
+    * a row_number over (version DESC, value DESC) on the non-null
+    * rows — the ordering Spark's max(struct(version, value))
+    * encodes — left-joined so an all-null field stays NULL. */
+  val q210_golden_record: String = """
+WITH r AS (
+  SELECT o_custkey AS e, o_orderkey AS v,
+    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus END AS status,
+    o_orderpriority AS prio
+  FROM orders),
+s AS (
+  SELECT e, status FROM (
+    SELECT e, status,
+      row_number() OVER (PARTITION BY e ORDER BY v DESC, status DESC) AS rn
+    FROM r WHERE status IS NOT NULL) WHERE rn = 1),
+p AS (
+  SELECT e, prio FROM (
+    SELECT e, prio,
+      row_number() OVER (PARTITION BY e ORDER BY v DESC, prio DESC) AS rn
+    FROM r WHERE prio IS NOT NULL) WHERE rn = 1),
+n AS (SELECT e, count(*) AS n_rows FROM r GROUP BY e)
+SELECT n.e AS o_custkey, s.status AS o_orderstatus,
+  p.prio AS o_orderpriority, CAST(n.n_rows AS BIGINT) AS n_rows
+FROM n LEFT JOIN s ON n.e = s.e LEFT JOIN p ON n.e = p.e
+ORDER BY o_custkey"""
+
   /** q209 twin of [[graft.etl.Sampling.bootstrapStats]]: the same
     * md5 row-replicate hash (the established keyHash twin), the same
     * STATED Poisson(1) cumulative constants, the same exact decimal
@@ -4939,6 +4965,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q207_ivf_pq_search" -> q207_ivf_pq_search,
     "q208_qq_table" -> q208_qq_table,
     "q209_bootstrap" -> q209_bootstrap,
+    "q210_golden_record" -> q210_golden_record,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

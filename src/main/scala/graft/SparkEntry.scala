@@ -973,6 +973,23 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Golden-record survivorship per customer over their orders:
+    // status is nulled on every third order, so the surviving status
+    // and priority come from DIFFERENT source orders wherever the
+    // latest order lost its status — the per-field independence that
+    // separates survivorship from last-writer-wins. The twin picks
+    // each field by row_number over (version DESC, value DESC).
+    "q210_golden_record" -> ((s, dir) => {
+      val r = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderkey") % 3 =!= 0, col("o_orderstatus"))
+          .as("o_orderstatus"),
+        col("o_orderpriority"))
+      graft.etl.GoldenRecord.goldenRecords(r, "o_custkey", "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Hash-Poisson bootstrap: 20 deterministic resamples of the
     // orders total-price sum — per-row Poisson(1) multiplicities from
     // a hash of (row key, replicate), stated cumulative thresholds,

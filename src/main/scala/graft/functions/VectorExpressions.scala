@@ -297,5 +297,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "nfkc_normalize takes 1 argument")
         UnicodeNormalize(children.head, "NFKC")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("png_pixel_stats"),
+      new ExpressionInfo(classOf[PngPixelStats].getName, "png_pixel_stats"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "png_pixel_stats takes 1 argument")
+        PngPixelStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("png_dhash"),
+      new ExpressionInfo(classOf[PngDhash].getName, "png_dhash"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "png_dhash takes 1 argument")
+        PngDhash(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jpeg_meta"),
+      new ExpressionInfo(classOf[JpegMeta].getName, "jpeg_meta"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "jpeg_meta takes 1 argument")
+        JpegMeta(children.head)
+      }))
   }
 }
