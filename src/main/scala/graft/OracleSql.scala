@@ -1732,6 +1732,43 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q211 twin of [[graft.graph.LinkGraph.stationary]] over the q143
+    * transition matrix: the same three power-iteration steps unrolled
+    * (the q124 discipline) — floor at the proportional split,
+    * dangling mass retained, self-loops kept. */
+  val q211_stationary: String = {
+    val steps = (1 to 3).map { k =>
+      val prev = s"pi${k - 1}"
+      s"""i$k AS (
+  SELECT p.dst AS node, sum(($prev.m * p.w) // ow.out_w) AS im
+  FROM p JOIN $prev ON p.src = $prev.node JOIN ow ON p.src = ow.node
+  GROUP BY 1),
+pi$k AS (
+  SELECT n.node,
+    COALESCE(i$k.im, 0)
+      + CASE WHEN ow.node IS NULL THEN $prev.m ELSE 0 END AS m
+  FROM nodes n JOIN $prev ON n.node = $prev.node
+  LEFT JOIN ow ON n.node = ow.node
+  LEFT JOIN i$k ON n.node = i$k.node)"""
+    }.mkString(",\n")
+    s"""
+WITH s AS (
+  SELECT event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+p AS (
+  SELECT event_type AS src, nxt AS dst, count(*) AS w
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM p UNION SELECT dst FROM p),
+ow AS (SELECT src AS node, sum(w) AS out_w FROM p GROUP BY 1),
+pi0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS m FROM nodes),
+$steps
+SELECT n.node, CAST(COALESCE(ow.out_w, 0) AS BIGINT) AS out_weight,
+  CAST(pi3.m AS BIGINT) AS mass_units
+FROM nodes n LEFT JOIN ow ON n.node = ow.node JOIN pi3 ON n.node = pi3.node
+ORDER BY n.node"""
+  }
+
   /** q210 twin of [[graft.etl.GoldenRecord.goldenRecords]]: per field
     * a row_number over (version DESC, value DESC) on the non-null
     * rows — the ordering Spark's max(struct(version, value))
@@ -4966,6 +5003,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q208_qq_table" -> q208_qq_table,
     "q209_bootstrap" -> q209_bootstrap,
     "q210_golden_record" -> q210_golden_record,
+    "q211_stationary" -> q211_stationary,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,17 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Markov mass evolution over the observed event-type transition
+    // chain (q143's matrix): 3 exact-integer power-iteration steps
+    // from a uniform start — the equilibrium read of the event flow;
+    // self-transitions kept, dangling states absorb. The twin unrolls
+    // the same three steps off the same transition CTE.
+    "q211_stationary" -> ((s, dir) =>
+      graft.graph.LinkGraph.stationary(
+          graft.events.EventAnalytics.transitionMatrix(Tables.events(s, dir)),
+          "from_type", "to_type", "n_transitions", iterations = 3)
+        .orderBy(col("node"))),
+
     // Golden-record survivorship per customer over their orders:
     // status is nulled on every third order, so the surviving status
     // and priority come from DIFFERENT source orders wherever the

@@ -862,6 +862,67 @@ object LinkGraph {
       .select(col("node"), col("scc"), col("scc_size"))
   }
 
+  /** Markov-chain mass evolution over an empirical weighted digraph —
+    * "where does the flow settle": start uniform, repeatedly push each
+    * node's mass along its out-edges proportionally to weight (the
+    * power-iteration step toward the chain's stationary distribution,
+    * here over the OBSERVED transition matrix — e.g.
+    * [[graft.events.EventAnalytics.transitionMatrix]]'s counts — the
+    * equilibrium read of an event flow that the per-step
+    * share_permille table can't show). Differences from
+    * [[pagerankWeighted]] are exactly the chain semantics: NO teleport
+    * (damping 1), SELF-LOOPS KEPT (click→click is a real transition;
+    * pagerank drops them as endorsement noise), and DANGLING nodes
+    * RETAIN their mass (absorbing-state semantics — mass flows in and
+    * never leaves, so absorbing states visibly accumulate).
+    *
+    * Same exactness contract as the rest of the family: BIGINT
+    * micro-units, floor at the proportional split (the remainder
+    * leak is part of the spec), bit-identical under any partitioning.
+    * Exactness bound: mass·maxW < 2^63 (the pagerankWeighted bound).
+    * Fixed `iterations` horizon — a periodic chain has no limit to
+    * poll for; the output is a pure function of (edges, iterations).
+    *
+    * Iteration shape identical to [[pagerank]]: two hash joins + one
+    * partial-agg shuffle per step, nothing collected, `materialize`
+    * lineage-cut hook. Returns (node, out_weight, mass_units). */
+  def stationary(edges: DataFrame, src: String, dst: String, weight: String,
+                 iterations: Int = 3, unit: Long = DefaultUnit,
+                 materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(src).as("src"), col(dst).as("dst"),
+        col(weight).cast("long").as("w"))
+      .where(col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val outw = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("out_w"))
+    var pi = nodes.withColumn("mass_units", lit(unit))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(pi.join(outw, "node").withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(mass_units * w) div out_w").as("contrib"))
+      val inMass = contribs.groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      pi = materialize(
+        nodes
+          .join(pi.withColumnRenamed("mass_units", "__prev"), "node")
+          .join(outw, Seq("node"), "left")
+          .join(inMass, Seq("node"), "left")
+          .select(col("node"),
+            (coalesce(col("in_mass"), lit(0L)) +
+              when(col("out_w").isNull, col("__prev")).otherwise(lit(0L)))
+              .as("mass_units")))
+    }
+    nodes.join(outw, Seq("node"), "left")
+      .join(pi, "node")
+      .select(col("node"),
+        coalesce(col("out_w"), lit(0L)).as("out_weight"),
+        col("mass_units"))
+  }
+
   /** Condensation DAG over [[stronglyConnected]]'s labels — the
     * collapsed graph where every SCC becomes one node: per ordered
     * label pair, the number of DISTINCT underlying edges crossing

@@ -618,6 +618,51 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.stronglyConnected(base.repartition(7), "src", "dst"))
   }
 
+  private val wSchema = StructType(Seq(
+    StructField("src", StringType), StructField("dst", StringType),
+    StructField("w", LongType)))
+
+  private def wEdges(rows: (String, String, Long)*) =
+    df(wSchema, rows.map(r => Row(r._1, r._2, r._3)): _*)
+
+  test("stationary: uniform 2-cycle is a fixed point; absorbing state accumulates") {
+    // symmetric 2-cycle: the uniform start IS stationary
+    val cyc = LinkGraph.stationary(
+        wEdges(("a", "b", 1L), ("b", "a", 1L)),
+        "src", "dst", "w", iterations = 3, unit = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    cyc shouldBe Map("a" -> 1000L, "b" -> 1000L)
+    // a -> b only: b is absorbing and ends with ALL the mass
+    val abs = LinkGraph.stationary(wEdges(("a", "b", 5L)),
+        "src", "dst", "w", iterations = 2, unit = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    abs("a") shouldBe ((5L, 0L))
+    abs("b") shouldBe ((0L, 2000L)) // retained + inflow, conserved
+  }
+
+  test("stationary: proportional split with floor, self-loops carry mass") {
+    // a: 3/4 of its mass to b, 1/4 back to itself (self-loop kept)
+    val out = LinkGraph.stationary(
+        wEdges(("a", "b", 3L), ("a", "a", 1L), ("b", "a", 1L)),
+        "src", "dst", "w", iterations = 1, unit = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // a: self 1000/4=250 + from b 1000; b: 3*1000/4=750
+    out shouldBe Map("a" -> 1250L, "b" -> 750L)
+  }
+
+  test("stationary is invariant under input partitioning and conserves mass up to floor") {
+    val e = wEdges((0 until 40).map(i =>
+      (s"n${i % 7}", s"n${(3 * i + 1) % 7}", (i % 5 + 1).toLong)): _*)
+    val a = LinkGraph.stationary(e, "src", "dst", "w", iterations = 4)
+    assertSameRows(a,
+      LinkGraph.stationary(e.repartition(5), "src", "dst", "w", iterations = 4))
+    val total = a.agg(org.apache.spark.sql.functions.sum("mass_units"))
+      .collect().head.getLong(0)
+    val n = a.count()
+    total should be <= n * LinkGraph.DefaultUnit
+    total should be > (n * LinkGraph.DefaultUnit * 99) / 100 // floor leak only
+  }
+
   test("condensation: intra-SCC edges vanish, crossings count distinct edges") {
     // add a SECOND distinct bridge edge a2 -> b2 so one condensation
     // pair carries n_edges = 2
