@@ -1732,6 +1732,20 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q212 twin of [[graft.dedup.Dedup.noveltyScores]]: the shared
+    * shingle CTEs, one min-per-shingle, one grouped compare. */
+  val q212_novelty: String = shinglesCte + """
+, ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
+f AS (SELECT shingle, min(doc_id) AS first_doc FROM posting GROUP BY 1)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(CASE WHEN p.doc_id = f.first_doc THEN 1 END) AS BIGINT)
+    AS n_novel,
+  CAST((count(CASE WHEN p.doc_id = f.first_doc THEN 1 END) * 1000)
+    // count(*) AS BIGINT) AS novelty_permille
+FROM posting p JOIN f USING (shingle)
+GROUP BY p.doc_id ORDER BY p.doc_id"""
+
   /** q211 twin of [[graft.graph.LinkGraph.stationary]] over the q143
     * transition matrix: the same three power-iteration steps unrolled
     * (the q124 discipline) — floor at the proportional split,
@@ -5004,6 +5018,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q209_bootstrap" -> q209_bootstrap,
     "q210_golden_record" -> q210_golden_record,
     "q211_stationary" -> q211_stationary,
+    "q212_novelty" -> q212_novelty,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Shingle novelty per doc: the share of its distinct 3-gram
+    // shingles first seen AT this doc (min doc_id = ingestion-order
+    // proxy) — the freshness audit for corpus appends.
+    "q212_novelty" -> ((s, dir) =>
+      graft.dedup.Dedup.noveltyScores(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // Markov mass evolution over the observed event-type transition
     // chain (q143's matrix): 3 exact-integer power-iteration steps
     // from a uniform start — the equilibrium read of the event flow;

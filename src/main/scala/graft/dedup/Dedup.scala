@@ -493,6 +493,34 @@ object Dedup {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** First-occurrence novelty scoring — the dataset-freshness audit
+    * run when APPENDING to a corpus ("how much of this batch is
+    * genuinely new text?"): per doc, the fraction of its DISTINCT
+    * shingles whose first occurrence (minimum doc id across the
+    * corpus — the ingestion-order proxy, stated) is the doc itself.
+    * A mirror dump scores near zero; fresh content near one — the
+    * corpus-level counterpart of [[contaminationScores]]'s
+    * benchmark-overlap question, with the corpus itself as the
+    * reference.
+    *
+    * Scale shape: the standard distinct postings frame + ONE
+    * shingle-keyed min aggregate + one postings-sized join back —
+    * no self-join anywhere, so no df-cap is needed (the governor
+    * exists for pair enumeration; a per-shingle min is a plain agg).
+    * Docs too short to shingle are absent (the postings contract).
+    * Returns (doc_id, n_shingles, n_novel, novelty_permille). */
+  def noveltyScores(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val posting = explodedShingleHashes(docs, idCol, textCol, n).distinct()
+    val first = posting.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("__first"))
+    posting.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("doc_id") === col("__first"), 1)).as("n_novel"))
+      .withColumn("novelty_permille", expr("(n_novel * 1000) div n_shingles"))
+  }
+
   /** WITHIN-document repetition scoring (the Gopher/C4-style quality
     * rule: heavily self-repeating documents are low-quality or
     * machine-generated): per doc, total vs distinct word n-gram

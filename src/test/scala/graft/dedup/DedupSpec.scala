@@ -299,4 +299,31 @@ class DedupSpec extends SparkSpec {
     }
     pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length shouldBe pairs.length
   }
+
+  test("noveltyScores: a verbatim copy scores zero, fresh text scores full") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // first: all novel
+      (2L, "alpha beta gamma delta epsilon"),   // verbatim copy: 0
+      (3L, "zeta eta theta iota kappa"),        // disjoint: all novel
+      (4L, "alpha beta gamma lambda mu nu"))    // partial overlap
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out(1L) shouldBe ((3L, 3L, 1000L))
+    out(2L) shouldBe ((3L, 0L, 0L))      // every shingle first seen at doc 1
+    out(3L) shouldBe ((3L, 3L, 1000L))
+    // doc 4: shares only "alpha beta gamma" with doc 1; its other
+    // three shingles are new -> 3/4 novel
+    out(4L) shouldBe ((4L, 3L, 750L))
+  }
+
+  test("noveltyScores is invariant under input partitioning") {
+    import spark.implicits._
+    val d = (1 to 60).map(i =>
+      (i.toLong, s"w${i % 9} w${(i + 1) % 9} w${(i + 2) % 9} w${(i * 3) % 9} tail$i"))
+      .toDF("doc_id", "text")
+    assertSameRows(Dedup.noveltyScores(d), Dedup.noveltyScores(d.repartition(7)))
+  }
 }
