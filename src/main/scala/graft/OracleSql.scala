@@ -1732,6 +1732,37 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q213 twin of [[graft.events.AsofJoin]]'s three directions:
+    * DuckDB's native ASOF LEFT JOIN run backward (c.tsu >= b.tsu) and
+    * forward (c.tsu <= b.tsu), then nearest as a CASE on exact integer
+    * micro distances with ties to the backward row — the same tie rule
+    * the Spark side states. Right side deduped to min event_id per
+    * (user, time) in both engines so "the" match is well defined. */
+  val q213_asof_directions: String = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events),
+clicks AS (
+  SELECT user_id, tsu, event_id FROM ev WHERE event_type = 'click'),
+buys AS (
+  SELECT user_id, tsu, min(event_id) AS buy_id FROM ev
+  WHERE event_type = 'purchase' GROUP BY 1, 2),
+back AS (
+  SELECT c.user_id, c.tsu, c.event_id, b.buy_id AS back_id,
+    b.tsu AS back_ts
+  FROM clicks c ASOF LEFT JOIN buys b
+    ON c.user_id = b.user_id AND c.tsu >= b.tsu),
+fwd AS (
+  SELECT c.event_id, b.buy_id AS fwd_id, b.tsu AS fwd_ts
+  FROM clicks c ASOF LEFT JOIN buys b
+    ON c.user_id = b.user_id AND c.tsu <= b.tsu)
+SELECT k.user_id, k.event_id, k.back_id, f.fwd_id,
+  CASE WHEN f.fwd_id IS NULL THEN k.back_id
+       WHEN k.back_id IS NULL THEN f.fwd_id
+       WHEN k.tsu - k.back_ts <= f.fwd_ts - k.tsu THEN k.back_id
+       ELSE f.fwd_id END AS near_id
+FROM back k JOIN fwd f USING (event_id)
+ORDER BY event_id"""
+
   /** q212 twin of [[graft.dedup.Dedup.noveltyScores]]: the shared
     * shingle CTEs, one min-per-shingle, one grouped compare. */
   val q212_novelty: String = shinglesCte + """
@@ -5019,6 +5050,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q210_golden_record" -> q210_golden_record,
     "q211_stationary" -> q211_stationary,
     "q212_novelty" -> q212_novelty,
+    "q213_asof_directions" -> q213_asof_directions,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,36 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // As-of joins in all three directions over one fixture: for each
+    // click, the latest purchase at-or-before (backward), the
+    // earliest at-or-after (forward), and the closer of the two with
+    // ties to the past (nearest) — per user, on an exact integer
+    // micros time axis (a double-seconds distance could flip a
+    // near-tie; micros < 2^53 are exact). Right-side (user, ts) ties
+    // are resolved to the min event id first (the AsofJoin contract).
+    // The twin uses DuckDB's native ASOF JOIN both ways + a CASE.
+    "q213_asof_directions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("tsu", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(min(col("event_id")).as("buy_id"))
+      val back = graft.events.AsofJoin.asof(
+          clicks, buys, Seq("user_id"), "tsu", Seq("buy_id"))
+        .withColumnRenamed("asof_buy_id", "back_id")
+      val fwd = graft.events.AsofJoin.asofForward(
+          back, buys, Seq("user_id"), "tsu", Seq("buy_id"))
+        .withColumnRenamed("asof_buy_id", "fwd_id")
+      graft.events.AsofJoin.asofNearest(
+          fwd, buys, Seq("user_id"), "tsu", Seq("buy_id"))
+        .withColumnRenamed("asof_buy_id", "near_id")
+        .select(col("user_id"), col("event_id"),
+          col("back_id"), col("fwd_id"), col("near_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Shingle novelty per doc: the share of its distinct 3-gram
     // shingles first seen AT this doc (min doc_id = ingestion-order
     // proxy) — the freshness audit for corpus appends.

@@ -58,4 +58,80 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
+
+  /** FORWARD as-of: for every left row, the EARLIEST right row with
+    * `right.time >= left.time` in the same key group — the mirror of
+    * [[asof]] (next-quote-after-order, next-deploy-after-alert). Same
+    * single-shuffle union plan, with the running frame flipped to
+    * (currentRow, unboundedFollowing) and the tie order flipped so a
+    * right row at exactly left.time is inside the frame (inclusive). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  timeCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 = left, 1 = right: at equal times the left row sorts
+    // first, so the simultaneous right row is in its following frame.
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(timeCol).as(timeCol)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
+      .withColumn("__side", lit(1))
+    val taggedLeft = left.withColumn("__side", lit(0))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned.withColumn("__asof",
+      first(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
+  /** NEAREST as-of: the closer of the backward and forward matches,
+    * ties to the BACKWARD row (stated — at equal distance the past is
+    * the safer default: it was observable at left.time). Both
+    * directions ride ONE union, one shuffle, one sort: the backward
+    * frame and the forward frame are two window expressions over the
+    * SAME partitioning and order, so Catalyst plans a single exchange
+    * + sort (the [[asof]] cost, not twice it). `timeCol` must be
+    * castable to double for the distance compare (timestamp/numeric —
+    * stated; pure dates should go through a timestamp cast first). */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  timeCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // One ordering serves both frames: right=0 sorts before left=1 at
+    // equal times, so the backward frame sees simultaneous right rows
+    // (inclusive <=) while the forward frame — starting AT the left
+    // row — excludes them. That asymmetry is harmless by
+    // construction: a simultaneous row has distance 0, backward finds
+    // it, and the tie rule prefers backward anyway.
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(timeCol).as(timeCol)) :+
+        struct((rightCols.map(col) :+
+          col(timeCol).cast("double").as("__rt")): _*).as("__r"): _*)
+      .withColumn("__side", lit(0))
+    val taggedLeft = left.withColumn("__side", lit(1))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    // ordering (time, __side): right rows sort BEFORE the left row at
+    // equal times. Backward frame includes them (inclusive <=)...
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__side"))
+    val back = last(col("__r"), ignoreNulls = true)
+      .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // ...and the forward frame STARTS at the current (left) row, so a
+    // simultaneous right row is NOT in it — correct: it already
+    // matched backward, and at equal distance backward wins anyway.
+    val fwd = first(col("__r"), ignoreNulls = true)
+      .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val lt = col(timeCol).cast("double")
+    val pick = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(lt - col("__b.__rt") <= col("__f.__rt") - lt, col("__b"))
+      .otherwise(col("__f"))
+    unioned
+      .withColumn("__b", back).withColumn("__f", fwd)
+      .filter(col("__side") === 1)
+      .withColumn("__asof", pick)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
 }
