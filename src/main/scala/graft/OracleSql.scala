@@ -1732,6 +1732,44 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q214 twin of [[graft.dedup.Dedup.tfidfCosinePairs]]: identical
+    * integer pipeline — e2 floor idf, BIGINT weights, HUGEINT squared
+    * products (DuckDB BIGINT·BIGINT errors on overflow, so the casts
+    * are load-bearing), `//` ≡ Spark's `div` on nonnegatives. Norms
+    * over ALL terms, pair join only over df ≤ 100 terms. */
+  val q214_tfidf_cosine: String = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+wtd AS (
+  SELECT tf.doc_id, tf.term,
+    tf.tf * ((100 * nd.n_docs) // dfreq.df) AS w, dfreq.df
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+norms AS (
+  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS norm2
+  FROM wtd GROUP BY 1),
+rare AS (SELECT * FROM wtd WHERE df <= 100),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(count(*) AS BIGINT) AS n_common,
+    sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+  CAST((d.dot * d.dot * 1000000) // (na.norm2 * nb.norm2) AS BIGINT)
+    AS cos2_ppm
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+WHERE (d.dot * d.dot * 1000000) // (na.norm2 * nb.norm2) >= 40000
+ORDER BY doc_a, doc_b"""
+
   /** q213 twin of [[graft.events.AsofJoin]]'s three directions:
     * DuckDB's native ASOF LEFT JOIN run backward (c.tsu >= b.tsu) and
     * forward (c.tsu <= b.tsu), then nearest as a CASE on exact integer
@@ -5051,6 +5089,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q211_stationary" -> q211_stationary,
     "q212_novelty" -> q212_novelty,
     "q213_asof_directions" -> q213_asof_directions,
+    "q214_tfidf_cosine" -> q214_tfidf_cosine,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

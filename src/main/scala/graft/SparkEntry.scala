@@ -973,6 +973,15 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // TF-IDF cosine document pairs: term-weighted topical near-dups
+    // (rare shared vocabulary counts, stopwords don't) at cos >= 0.2
+    // — exact integer cos^2 ppm with the floor-rational e2 idf; the
+    // twin replays identical BIGINT/HUGEINT arithmetic.
+    "q214_tfidf_cosine" -> ((s, dir) =>
+      graft.dedup.Dedup.tfidfCosinePairs(
+          Tables.documents(s, dir), minCos2Ppm = 40000L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // As-of joins in all three directions over one fixture: for each
     // click, the latest purchase at-or-before (backward), the
     // earliest at-or-after (forward), and the closer of the two with

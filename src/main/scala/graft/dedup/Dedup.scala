@@ -521,6 +521,77 @@ object Dedup {
       .withColumn("novelty_permille", expr("(n_novel * 1000) div n_shingles"))
   }
 
+  /** TF-IDF cosine document-pair similarity — the TERM-WEIGHTED member
+    * of the pair-join family: [[jaccardPairs]] treats every shingle
+    * equally (set overlap), [[graft.similarity.Similarity]] needs an
+    * embedding; tf·idf cosine is the classic sparse-vector middle
+    * ground (Salton's vector space model) that finds topical
+    * near-dups sharing RARE vocabulary even when common words differ.
+    *
+    * Determinism: the transcendental ln-idf is replaced by the
+    * floor-rational `idf_e2 = (100·N) DIV df` (the [[
+    * graft.text.TextAnalysis.tfIdfTopK]] discipline, e2 not e6 so the
+    * squared products stay small); weights `w = tf·idf_e2` are exact
+    * BIGINTs and the emitted score is `cos²` in ppm — `cos2_ppm =
+    * (dot² · 10⁶) div (‖a‖²·‖b‖²)` — a pure integer function of the
+    * row multiset. cos² is strictly monotone in cos for nonnegative
+    * weights, so thresholding on it IS thresholding on cosine
+    * (minCos2Ppm 250_000 ≡ cos ≥ 0.5) without any engine sqrt.
+    *
+    * Exactness bound: per-doc ‖w‖² < 10¹⁵ (any bounded-length doc —
+    * ‖w‖² ≈ Σ(tf·idf_e2)²); Cauchy–Schwarz then bounds every dot ≤
+    * 10¹⁵, so dot²·10⁶ ≤ 10³⁶ and ‖a‖²·‖b‖² ≤ 10³⁰ — inside both
+    * Spark DECIMAL(38,0) and DuckDB HUGEINT, no silent wrap.
+    *
+    * Shape at 100 TB: the [[jaccardPairs]] skeleton — the weighted
+    * postings frame is localCheckpoint-materialized (it feeds norms
+    * + both self-join sides; unmaterialized the corpus tokenizes
+    * three times), pair enumeration runs ONLY over terms with
+    * `df ≤ maxDocFreq` (the Σ df² governor — stopwords never join),
+    * norms are computed over ALL terms and broadcast back, so a
+    * capped dot UNDER-reports cosine, never inflates — the safe
+    * direction for a dedup gate (the [[containmentPairs]] contract).
+    * After the first explode only (doc, term-hash-sized) counts move.
+    *
+    * Returns (doc_a < doc_b, n_common, cos2_ppm ≥ minCos2Ppm). */
+  def tfidfCosinePairs(docs: DataFrame, minCos2Ppm: Long = 250000L,
+                       maxDocFreq: Long = 100, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       materialize: Boolean = true): DataFrame = {
+    val tfRaw = TextAnalysis.withTokens(docs, textCol)
+      .select(col(idCol).as("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(countDistinct(col(idCol)).as("__n_docs"))
+    val dfreq = tfRaw.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weightedRaw = tfRaw.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf") * expr("(100 * __n_docs) DIV df"))
+      .select(col("doc_id"), col("term"), col("w"), col("df"))
+    val weighted =
+      if (materialize) weightedRaw.localCheckpoint() else weightedRaw
+    val sq = (c: Column) => (c.cast("decimal(19,0)") * c).as("w2")
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sum(sq(col("w"))).cast("decimal(38,0)").as("norm2"))
+    val rare = weighted.filter(col("df") <= maxDocFreq)
+    val dots = rare.as("a").join(rare.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("a.w").cast("decimal(19,0)") * col("b.w"))
+          .cast("decimal(38,0)").as("dot"))
+    dots
+      .join(broadcast(norms.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "norm2" -> "na2"))), "doc_a")
+      .join(broadcast(norms.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "norm2" -> "nb2"))), "doc_b")
+      .withColumn("cos2_ppm",
+        expr("CAST((dot * dot * 1000000) div (na2 * nb2) AS BIGINT)"))
+      .filter(col("cos2_ppm") >= minCos2Ppm)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("cos2_ppm"))
+  }
+
   /** WITHIN-document repetition scoring (the Gopher/C4-style quality
     * rule: heavily self-repeating documents are low-quality or
     * machine-generated): per doc, total vs distinct word n-gram

@@ -300,6 +300,58 @@ class DedupSpec extends SparkSpec {
     pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length shouldBe pairs.length
   }
 
+  test("tfidfCosinePairs: verbatim copy scores ppm 1000000; tf scaling keeps cosine 1") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta",                              // copy
+      3L -> "alpha alpha beta beta gamma gamma delta delta",       // 2x tf
+      4L -> "zeta eta theta iota")                                 // disjoint
+    val out = Dedup.tfidfCosinePairs(d, minCos2Ppm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    out((1L, 2L)) shouldBe 1000000L          // identical vectors
+    out((1L, 3L)) shouldBe 1000000L          // cos(v, 2v) = 1 exactly
+    out.keySet should not contain ((1L, 4L)) // no shared terms -> no pair
+  }
+
+  test("tfidfCosinePairs: rare shared vocabulary outscores common-word overlap") {
+    // docs 1-2 share only the corpus-wide word; 3-4 share a df=2 word
+    val d = docs(
+      1L -> "common rare1 x1 y1",
+      2L -> "common rare2 x2 y2",
+      3L -> "common sharedrare a1 b1",
+      4L -> "common sharedrare a2 b2",
+      5L -> "common filler f1 f2",
+      6L -> "common filler2 g1 g2")
+    val out = Dedup.tfidfCosinePairs(d, minCos2Ppm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    out((3L, 4L)) should be > out((1L, 2L))
+  }
+
+  test("tfidfCosinePairs: df-capped terms drop out of the dot but stay in norms") {
+    // "hot" is in all 4 docs; with maxDocFreq=3 it can't generate
+    // pairs, and 1-2's only other shared term drives a DAMPED score
+    // (norms still include hot) — under-report, never inflate.
+    val d = docs(
+      1L -> "hot link p q",
+      2L -> "hot link r s",
+      3L -> "hot m n o",
+      4L -> "hot u v w")
+    val capped = Dedup.tfidfCosinePairs(d, minCos2Ppm = 0L, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val full = Dedup.tfidfCosinePairs(d, minCos2Ppm = 0L, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    capped((1L, 2L)) should be < full((1L, 2L))
+    capped.keySet should not contain ((3L, 4L)) // only shared term was capped
+  }
+
+  test("tfidfCosinePairs is invariant under input partitioning") {
+    val d = docs((1 to 40).map(i =>
+      i.toLong -> s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 11} rare$i"): _*)
+    assertSameRows(
+      Dedup.tfidfCosinePairs(d, minCos2Ppm = 0L),
+      Dedup.tfidfCosinePairs(d.repartition(7), minCos2Ppm = 0L))
+  }
+
   test("noveltyScores: a verbatim copy scores zero, fresh text scores full") {
     import spark.implicits._
     val d = Seq(
