@@ -1732,6 +1732,28 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q215 twin of [[graft.text.TextAnalysis.featureHash]]: the shared
+    * md5 token hash, index = h mod 64, sign from bit (h div 64) mod 2,
+    * signed counts per cell, implicit and cancelled zeros dropped. */
+  val q215_feature_hash: String = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '')) AS term
+  FROM documents),
+h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(term), 1, 14)) AS BIGINT) % 1000000007 AS h
+  FROM tok),
+s AS (
+  SELECT doc_id, CAST(h % 64 AS INTEGER) AS feature_idx,
+    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM h)
+SELECT doc_id, feature_idx, CAST(sum(sgn) AS BIGINT) AS value
+FROM s GROUP BY 1, 2 HAVING sum(sgn) <> 0
+ORDER BY doc_id, feature_idx"""
+
   /** q214 twin of [[graft.dedup.Dedup.tfidfCosinePairs]]: identical
     * integer pipeline — e2 floor idf, BIGINT weights, HUGEINT squared
     * products (DuckDB BIGINT·BIGINT errors on overflow, so the casts
@@ -5090,6 +5112,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q212_novelty" -> q212_novelty,
     "q213_asof_directions" -> q213_asof_directions,
     "q214_tfidf_cosine" -> q214_tfidf_cosine,
+    "q215_feature_hash" -> q215_feature_hash,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Feature-hashing vectorizer: signed hashing-trick sparse vectors
+    // (64 cells) per document — no vocabulary, no df pass, no
+    // broadcast dict; the twin replays the md5 index/sign arithmetic.
+    "q215_feature_hash" -> ((s, dir) =>
+      graft.text.TextAnalysis.featureHash(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("feature_idx"))),
+
     // TF-IDF cosine document pairs: term-weighted topical near-dups
     // (rare shared vocabulary counts, stopwords don't) at cos >= 0.2
     // — exact integer cos^2 ppm with the floor-rational e2 idf; the

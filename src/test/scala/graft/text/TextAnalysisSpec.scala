@@ -11,6 +11,46 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("featureHash: indices inside [0, dim), linear in token counts, mass bounded") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon alpha beta gamma delta epsilon")
+    val out = TextAnalysis.featureHash(d, dim = 8)
+      .as[(Long, Int, Long)].collect()
+    all(out.map(_._2)) should (be >= 0 and be < 8)
+    val v1 = out.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
+    val v2 = out.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+    v2 shouldBe v1.map { case (i, v) => i -> v * 2 } // doubled text = 2x vector
+    v1.values.map(math.abs).sum should be <= 5L       // <= one unit per token
+    all(out.map(_._3)) should not be 0L
+  }
+
+  test("featureHash matches a driver-side replay of the hash arithmetic") {
+    import spark.implicits._
+    val words = Seq("red", "green", "blue", "cyan", "red")
+    val d = docs(1L -> words.mkString(" "))
+    // replay: md5 first-14-hex mod P, idx = h mod dim, sign bit (h div dim) % 2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16) % 1000000007L
+    }
+    val expect = words.map(h).groupBy(x => (x % 16).toInt)
+      .view.mapValues(_.map(x => if ((x / 16) % 2 == 0) 1L else -1L).sum)
+      .toMap.filter(_._2 != 0L)
+    val out = TextAnalysis.featureHash(d, dim = 16)
+      .as[(Long, Int, Long)].collect().map(r => r._2 -> r._3).toMap
+    out shouldBe expect
+  }
+
+  test("featureHash is invariant under input partitioning") {
+    val d = docs((1 to 50).map(i =>
+      i.toLong -> s"tok${i % 13} tok${(i * 5) % 13} filler$i common"): _*)
+    assertSameRows(TextAnalysis.featureHash(d),
+      TextAnalysis.featureHash(d.repartition(7)))
+  }
+
   test("tfIdfTopK: floor-rational scores, per-doc ranks, rare terms beat common") {
     import spark.implicits._
     val d = docs(
