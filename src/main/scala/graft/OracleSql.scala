@@ -1732,6 +1732,33 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q216 twin of [[graft.functions.WavPcmUtil.frameFeatures]]: the
+    * q115 sample formula over channel-0 indices (i ≡ 0 mod ch),
+    * windowed into 16-sample frames — energy Σv², strict sign flips
+    * WITHIN a frame (lag partitioned by frame), peak |v|. Never
+    * touches a RIFF byte; Spark must decode real bytes to match. */
+  val q216_wav_frame_features: String = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 37 AS nf
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST((i // ch) // 16 AS INTEGER) AS frame_idx,
+    i // ch AS p,
+    ((7919 * doc_id + 104729 * i + 1299721 * i * i) % 65536) - 32768 AS v
+  FROM d, unnest(range(0, ch * nf)) AS t(i)
+  WHERE i % ch = 0),
+w AS (
+  SELECT doc_id, frame_idx, v,
+    lag(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY p) AS pv
+  FROM s)
+SELECT doc_id, frame_idx,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(v * v) AS BIGINT) AS energy,
+  CAST(count(*) FILTER (WHERE pv IS NOT NULL AND (v < 0) != (pv < 0))
+    AS BIGINT) AS zero_crossings,
+  CAST(max(abs(v)) AS BIGINT) AS peak
+FROM w GROUP BY 1, 2 ORDER BY doc_id, frame_idx"""
+
   /** q215 twin of [[graft.text.TextAnalysis.featureHash]]: the shared
     * md5 token hash, index = h mod 64, sign from bit (h div 64) mod 2,
     * signed counts per cell, implicit and cancelled zeros dropped. */
@@ -5113,6 +5140,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q213_asof_directions" -> q213_asof_directions,
     "q214_tfidf_cosine" -> q214_tfidf_cosine,
     "q215_feature_hash" -> q215_feature_hash,
+    "q216_wav_frame_features" -> q216_wav_frame_features,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

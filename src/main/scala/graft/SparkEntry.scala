@@ -973,6 +973,43 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Per-frame audio features over REAL RIFF bytes (the q115 fixture
+    // discipline): encode formula-synthesized PCM16, decode with the
+    // native expression, explode 16-sample channel-0 frames to
+    // (energy, zero_crossings, peak) rows. The oracle re-derives every
+    // number from the sample formula alone — hash equality proves the
+    // chunk walk, the channel-0 stride, and the frame windowing.
+    "q216_wav_frame_features" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val ch = (1 + id % 2).toInt
+          val nf = (50 + id % 37).toInt
+          val anc = if (id % 3 == 0)
+            Seq("LIST" -> Array.tabulate[Byte]((id % 5).toInt * 2 + 1)(
+              i => (i + 1).toByte))
+          else Nil
+          id -> graft.multimodal.Wav.encodePcm16(
+            ch, (8000 + 100 * (id % 4)).toInt, nf,
+            (f, c) => {
+              val i = f.toLong * ch + c
+              (((7919L * id + 104729L * i + 1299721L * i * i) % 65536L)
+                - 32768L).toInt
+            },
+            ancillary = anc)
+        }
+        .toDF("doc_id", "wav")
+      wavs.select(col("doc_id"),
+          explode(graft.multimodal.Multimodal.wavFrameFeatures(
+            col("wav"), 16)).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.n").as("n"), col("f.energy").as("energy"),
+          col("f.zero_crossings").as("zero_crossings"),
+          col("f.peak").as("peak"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Feature-hashing vectorizer: signed hashing-trick sparse vectors
     // (64 cells) per document — no vocabulary, no df pass, no
     // broadcast dict; the twin replays the md5 index/sign arithmetic.

@@ -141,6 +141,51 @@ object WavPcmUtil {
     row
   }
 
+  /** Per-frame channel-0 features over fixed `frameSize`-sample
+    * windows — the exact-integer front end of voice-activity
+    * detection / silence trimming / segmentation (energy gates and
+    * ZCR thresholds are the classic pre-model audio curation pass):
+    * per frame Σv² (energy), strict sign flips BETWEEN samples of the
+    * SAME frame (zero_crossings), and max |v| (peak). The last
+    * partial frame is kept with its true `n` — trailing audio is
+    * data, not padding. Undecodable blob or frameSize < 1 → null;
+    * decodable-but-empty data → empty array. Energy bound: v² ≤ 2³⁰
+    * and ≤ 2²⁴ samples/frame keep Σv² < 2⁵⁴ — no wrap. */
+  def frameFeatures(bytes: Array[Byte], frameSize: Int): Any = {
+    if (frameSize < 1) return null
+    val loc = locate(bytes)
+    if (loc == null) return null
+    val n0 = loc.nFrames.toInt // channel-0 samples
+    val nOut = (n0 + frameSize - 1) / frameSize
+    val out = new Array[Any](nOut)
+    var f = 0
+    while (f < nOut) {
+      val start = f * frameSize
+      val end = math.min(start + frameSize, n0)
+      var energy = 0L; var zc = 0L; var peak = 0L
+      var prev = 0; var havePrev = false
+      var i = start
+      while (i < end) {
+        val v = le16(bytes, loc.dataOff + 2 * i * loc.channels).toShort.toInt
+        energy += v.toLong * v
+        val a = math.abs(v).toLong
+        if (a > peak) peak = a
+        if (havePrev && ((v < 0) != (prev < 0))) zc += 1
+        prev = v; havePrev = true
+        i += 1
+      }
+      val row = new GenericInternalRow(5)
+      row.update(0, f)
+      row.update(1, (end - start).toLong)
+      row.update(2, energy)
+      row.update(3, zc)
+      row.update(4, peak)
+      out(f) = row
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private val Segments = 65 // 64 adjacent-energy comparison bits
 
   private val NoFingerprint: InternalRow = {
@@ -258,10 +303,65 @@ object WavFingerprint {
     StructField("fingerprint", LongType)))
 }
 
+/** Per-frame audio features of a PCM16 WAV blob — see
+  * [[WavPcmUtil.frameFeatures]]. Scan-side like [[WavPcmStats]]: the
+  * media bytes never shuffle, only ≤ ⌈samples/frameSize⌉ five-integer
+  * structs leave the projection (explode them INTO the shuffle only
+  * when the query needs per-frame rows). */
+case class WavFrameFeatures(child: Expression, frame: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = frame
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, frame.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = WavFrameFeatures.schema
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "wav_frame_features"
+
+  override protected def nullSafeEval(v: Any, f: Any): Any =
+    WavPcmUtil.frameFeatures(v.asInstanceOf[Array[Byte]],
+      f.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, f) => {
+      val tmp = ctx.freshName("frames")
+      s"""
+         |Object $tmp = graft.functions.WavPcmUtil.frameFeatures($c, $f);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WavFrameFeatures =
+    copy(child = newLeft, frame = newRight)
+}
+
+object WavFrameFeatures {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false))),
+    containsNull = false)
+}
+
 object WavFunctions {
 
   val fnName = "graft_wav_pcm_stats"
   val fingerprintFnName = "graft_wav_fingerprint"
+  val frameFeaturesFnName = "graft_wav_frame_features"
 
   private[functions] def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -279,6 +379,13 @@ object WavFunctions {
           WavFingerprint(children.head)
         },
         "built-in")
+    if (!registry.functionExists(FunctionIdentifier(frameFeaturesFnName)))
+      registry.createOrReplaceTempFunction(frameFeaturesFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 2, s"$frameFeaturesFnName takes 2 arguments")
+          WavFrameFeatures(children.head, children(1))
+        },
+        "built-in")
   }
 
   def wavPcmStats(c: Column): Column = {
@@ -289,5 +396,11 @@ object WavFunctions {
   def wavFingerprint(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(fingerprintFnName, c)
+  }
+
+  def wavFrameFeatures(c: Column, frameSize: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(frameFeaturesFnName, c,
+      org.apache.spark.sql.functions.lit(frameSize))
   }
 }

@@ -59,6 +59,14 @@ object Multimodal {
   def wavFingerprint(bin: Column): Column =
     graft.functions.WavFunctions.wavFingerprint(bin)
 
+  /** Per-frame channel-0 audio features (energy Σv², zero crossings,
+    * peak |v|) over fixed-size sample windows — the exact-integer
+    * VAD / silence-trim / segmentation front end (see
+    * [[graft.functions.WavPcmUtil.frameFeatures]]). Scan-side: only
+    * the five-integer frame structs leave; explode downstream. */
+  def wavFrameFeatures(bin: Column, frameSize: Int): Column =
+    graft.functions.WavFunctions.wavFrameFeatures(bin, frameSize)
+
   /** Perceptual difference-hash (dHash) of an RGB8 PNG: decode → 9×8
     * integer-luma grid → 64 adjacent-mean comparison bits (exact
     * rational compare — see [[graft.functions.PngPixelUtil.dhash]]).

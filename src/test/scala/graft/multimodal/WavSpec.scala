@@ -131,6 +131,70 @@ class WavSpec extends SparkSpec {
     wavStats(1L -> huge).collect().head.getBoolean(1) shouldBe false
   }
 
+  test("frameFeatures: hand-computed mono frames; boundary flips don't count") {
+    // samples: 100 -200 300 0 | -1 50 -50 25 | 7 -7   (frameSize 4)
+    // the 0 → -1 flip straddles the frame-0/frame-1 boundary — must
+    // NOT appear in either frame's count
+    val s = Array(100, -200, 300, 0, -1, 50, -50, 25, 7, -7)
+    val wav = Wav.encodePcm16(1, 8000, 10, (f, _) => s(f))
+    val out = media(1L -> wav)
+      .select(explode(Multimodal.wavFrameFeatures(col("media"), 4)).as("f"))
+      .select(col("f.frame_idx"), col("f.n"), col("f.energy"),
+        col("f.zero_crossings"), col("f.peak"))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.toSeq shouldBe Seq(
+      (0, 4L, 140000L, 2L, 300L),
+      (1, 4L, 5626L, 3L, 50L),
+      (2, 2L, 98L, 1L, 7L))
+  }
+
+  test("frameFeatures: stereo uses channel 0 only; last partial frame kept") {
+    val s = Array(Array(10, -10), Array(-20, 5), Array(30, -40))
+    val wav = Wav.encodePcm16(2, 16000, 3, (f, c) => s(f)(c))
+    val out = media(1L -> wav)
+      .select(explode(Multimodal.wavFrameFeatures(col("media"), 2)).as("f"))
+      .select(col("f.frame_idx"), col("f.n"), col("f.energy"),
+        col("f.zero_crossings"), col("f.peak"))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.toSeq shouldBe Seq(
+      (0, 2L, 500L, 1L, 20L),   // ch0: 10, -20 (ch1 ignored)
+      (1, 1L, 900L, 0L, 30L))
+  }
+
+  test("frameFeatures: declines garbage and bad frame size; empty data = empty array") {
+    val good = Wav.encodePcm16(1, 8000, 0, (_, _) => 0)
+    val rows = media(
+      1L -> "not a wav at all".getBytes("US-ASCII"),
+      2L -> good)
+      .select(col("id"),
+        Multimodal.wavFrameFeatures(col("media"), 4).as("f"),
+        Multimodal.wavFrameFeatures(col("media"), 0).as("bad"))
+      .orderBy("id").collect()
+    rows(0).isNullAt(1) shouldBe true          // garbage -> null
+    rows(1).getSeq[Row](1) shouldBe Seq.empty  // empty data -> []
+    rows(0).isNullAt(2) shouldBe true          // frameSize < 1 -> null
+    rows(1).isNullAt(2) shouldBe true
+  }
+
+  test("frameFeatures: interpreted and codegen paths agree") {
+    val d = media((1L to 12L).map { i =>
+      val ch = (1 + i % 2).toInt
+      i -> Wav.encodePcm16(ch, 8000, (20 + i % 7).toInt,
+        (f, c) => ((i * 7919 + (f * ch + c) * 104729) % 65536 - 32768).toInt)
+    }: _*)
+    def run(): Seq[(Long, Int, Long, Long)] = d
+      .select(col("id"),
+        explode(Multimodal.wavFrameFeatures(col("media"), 8)).as("f"))
+      .select(col("id"), col("f.frame_idx"), col("f.energy"),
+        col("f.zero_crossings"))
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val codegen = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+  }
+
   test("interpreted and codegen paths agree, and match direct eval") {
     val d = media((1L to 20L).map { i =>
       val ch = (1 + i % 3).toInt
