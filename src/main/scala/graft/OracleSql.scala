@@ -1732,6 +1732,35 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q217 twin of [[graft.events.EventAnalytics.mergeIntervals]]:
+    * identical gaps-and-islands windows (running max-end over strictly
+    * preceding ROWS, flag, running sum) on the same micros axis;
+    * island ordinal cast back from DuckDB's HUGEINT sum. */
+  val q217_merge_intervals: String = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+    epoch_us(ts) + (60 + event_id % 240) * 1000000 AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv),
+fl AS (
+  SELECT user_id, s, e,
+    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+  FROM m),
+isl AS (
+  SELECT user_id, s, e,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+  min(s) AS island_start, max(e) AS island_end,
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  max(e) - min(s) AS covered
+FROM isl GROUP BY 1, 2 ORDER BY user_id, island"""
+
   /** q216 twin of [[graft.functions.WavPcmUtil.frameFeatures]]: the
     * q115 sample formula over channel-0 indices (i ≡ 0 mod ch),
     * windowed into 16-sample frames — energy Σv², strict sign flips
@@ -5141,6 +5170,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q214_tfidf_cosine" -> q214_tfidf_cosine,
     "q215_feature_hash" -> q215_feature_hash,
     "q216_wav_frame_features" -> q216_wav_frame_features,
+    "q217_merge_intervals" -> q217_merge_intervals,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Interval-union islands per user: each event opens a 60..299 s
+    // window (duration keyed on event_id for determinism); merge
+    // overlapping/touching windows into maximal islands with covered
+    // time — the uptime/SLA primitive on an exact micros axis.
+    "q217_merge_intervals" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            (lit(60L) + col("event_id") % 240) * 1000000L).as("e"))
+      graft.events.EventAnalytics.mergeIntervals(iv, Seq("user_id"), "s", "e")
+        .orderBy(col("user_id"), col("island"))
+    }),
+
     // Per-frame audio features over REAL RIFF bytes (the q115 fixture
     // discipline): encode formula-synthesized PCM16, decode with the
     // native expression, explode 16-sample channel-0 frames to

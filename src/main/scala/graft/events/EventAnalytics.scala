@@ -327,6 +327,47 @@ object EventAnalytics {
     *
     * Shape: sessionize's window, one explode, one union, ONE
     * day-partitioned sweep window, one per-day aggregate. */
+  /** Merge overlapping-or-touching intervals per key into maximal
+    * islands — the uptime/SLA/coverage primitive (union of monitoring
+    * windows, total covered time, outage islands) and the interval
+    * complement of [[sessionize]]'s point-gap logic: here inputs have
+    * EXTENT, and an interval that starts inside (or exactly at the
+    * end of) the running union extends it. Touching merges (start ==
+    * running max end) — a handoff has no gap; stated.
+    *
+    * Classic gaps-and-islands, one pass: running `max(end)` over rows
+    * strictly before the current (ROWS frame), a new island wherever
+    * start exceeds it, island ordinal = running sum of the flag. BOTH
+    * windows share one (keys, (start, end)) partitioning+sort, so
+    * Catalyst plans a single exchange + in-partition sort for any
+    * number of intervals per key; the closing per-island aggregate
+    * moves only island-count rows. Deterministic under ties: equal
+    * (start, end) rows are interchangeable — whichever physically
+    * sorts first opens the island, the aggregate output is identical.
+    *
+    * Time axis must be integral (micros — the as-of convention);
+    * `covered = island_end − island_start` stays exact. Returns
+    * (keys…, island ordinal from 1, island_start, island_end,
+    * n_intervals, covered). */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startCol: String,
+                     endCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(keys.map(col) :+ col("island"): _*)
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("covered", col("island_end") - col("island_start"))
+  }
+
   def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val sess = sessionize(events, gapMinutes)
       .select(concat_ws("#", col("user_id"), col("session_seq")).as("__sid"),

@@ -22,6 +22,32 @@ class EventAnalyticsSpec extends SparkSpec {
                  value: Double = 1.0, props: String = """{"k": 1}""") =
     Row(id, new Timestamp(minute * 60000L), user, typ, value, props)
 
+  test("mergeIntervals: overlap and touch merge, gaps split, containment absorbs") {
+    val iv = Seq(
+      (1L, 0L, 10L),    // island 1: [0,10]
+      (1L, 5L, 20L),    //   overlaps -> extends to 20
+      (1L, 12L, 15L),   //   CONTAINED in running union -> absorbed
+      (1L, 20L, 30L),   //   touches (start == max end) -> merges
+      (1L, 40L, 50L),   // island 2 after a gap
+      (2L, 0L, 5L))     // other key: own island
+      .toDF("user_id", "s", "e")
+    val out = EventAnalytics.mergeIntervals(iv, Seq("user_id"), "s", "e")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 0L, 30L, 4L, 30L),
+      (1L, 2L, 40L, 50L, 1L, 10L),
+      (2L, 1L, 0L, 5L, 1L, 5L))
+  }
+
+  test("mergeIntervals is invariant under input partitioning") {
+    val iv = (1 to 100).map { i =>
+      (i % 5L, i.toLong * 7 % 60, i.toLong * 7 % 60 + 3 + i % 11)
+    }.toDF("user_id", "s", "e")
+    assertSameRows(
+      EventAnalytics.mergeIntervals(iv, Seq("user_id"), "s", "e"),
+      EventAnalytics.mergeIntervals(iv.repartition(7), Seq("user_id"), "s", "e"))
+  }
+
   test("sessionize splits on gaps > 30 minutes, per user") {
     val d = df(schema,
       ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1), // session 1: 0-20
