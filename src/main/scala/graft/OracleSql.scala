@@ -1732,6 +1732,38 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q218 twin of [[graft.graph.LinkGraph.linkPrediction]]: same
+    * symmetrize→degree→cap→wedge-join→anti-join pipeline; NOT EXISTS
+    * instead of left_anti, `//` ≡ `div` on nonnegatives. */
+  val q218_link_prediction: String = """
+WITH e0 AS (
+  SELECT 'n' || CAST(doc_id % 211 AS VARCHAR) AS u,
+         'n' || CAST((doc_id * 3 + 1) % 211 AS VARCHAR) AS v
+  FROM documents
+  UNION ALL
+  SELECT 'n' || CAST((doc_id * 5 + 2) % 211 AS VARCHAR),
+         'n' || CAST((doc_id * 7 + 3) % 211 AS VARCHAR)
+  FROM documents),
+d0 AS (SELECT u, v FROM e0 WHERE u <> v),
+und AS (
+  SELECT DISTINCT u, v FROM
+    (SELECT u, v FROM d0 UNION ALL SELECT v AS u, u AS v FROM d0)),
+deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+mid AS (
+  SELECT und.u AS z, und.v, deg.deg
+  FROM und JOIN deg USING (u) WHERE deg.deg <= 100),
+pairs AS (
+  SELECT a.v AS node_a, b.v AS node_b,
+    CAST(count(*) AS BIGINT) AS common,
+    CAST(sum(1000000 // a.deg) AS BIGINT) AS ra_e6
+  FROM mid a JOIN mid b ON a.z = b.z AND a.v < b.v
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT node_a, node_b, common, ra_e6
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM und WHERE und.u = p.node_a AND und.v = p.node_b)
+ORDER BY node_a, node_b"""
+
   /** q217 twin of [[graft.events.EventAnalytics.mergeIntervals]]:
     * identical gaps-and-islands windows (running max-end over strictly
     * preceding ROWS, flag, running sum) on the same micros axis;
@@ -5171,6 +5203,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q215_feature_hash" -> q215_feature_hash,
     "q216_wav_frame_features" -> q216_wav_frame_features,
     "q217_merge_intervals" -> q217_merge_intervals,
+    "q218_link_prediction" -> q218_link_prediction,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

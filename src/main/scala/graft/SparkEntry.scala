@@ -973,6 +973,23 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Resource-allocation link prediction over a synthetic modular
+    // graph (sparser than q165's: 211 nodes, mean degree ~9): score
+    // NON-adjacent 2-hop pairs by sum over common neighbors of
+    // 10^6 div deg — exact, no transcendentals, hubs capped.
+    "q218_link_prediction" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("n"), e.cast("string"))
+      val e1 = docs.select(dom(id % 211).as("src"),
+        dom((id * 3 + 1) % 211).as("dst"))
+      val e2 = docs.select(dom((id * 5 + 2) % 211).as("src"),
+        dom((id * 7 + 3) % 211).as("dst"))
+      graft.graph.LinkGraph.linkPrediction(e1.unionAll(e2), "src", "dst",
+          maxDegree = 100, minCommon = 2)
+        .orderBy(col("node_a"), col("node_b"))
+    }),
+
     // Interval-union islands per user: each event opens a 60..299 s
     // window (duration keyed on event_id for determinism); merge
     // overlapping/touching windows into maximal islands with covered

@@ -720,6 +720,54 @@ object LinkGraph {
           .as("jaccard_permille"))
   }
 
+  /** Link prediction by resource allocation (Zhou, Lü & Zhang, Eur.
+    * Phys. J. B 2009) — the MISSING-edge complement to [[coCitation]]'s
+    * existing-similarity: score non-adjacent pairs by their common
+    * neighbors, each neighbor z contributing 1/deg(z) (a low-degree
+    * mutual friend is strong evidence; a hub is none). RA is the
+    * member of the common-neighbor family (CN, Adamic–Adar, RA) that
+    * is EXACT without transcendentals: `ra_e6 = Σ_z (10⁶ DIV deg(z))`
+    * — Adamic–Adar's 1/ln deg would need a stated log table, RA needs
+    * only floor division, and the 2009 study found RA ≥ AA on
+    * accuracy anyway.
+    *
+    * Semantics: undirected (edges symmetrized + distinct'd, self
+    * loops dropped); candidates are 2-hop pairs NOT already adjacent
+    * (anti-join against the edge set — predicting what exists is the
+    * classic leakage bug); unordered pairs surface once.
+    *
+    * Scale governor: the wedge self-join fans out in Σ deg(z)², so
+    * middles above `maxDegree` are dropped BEFORE the join (the
+    * [[coCitation]] cap — a hub wedge carries ~0 score by the very
+    * 1/deg weighting that motivates RA, so the cap removes exactly
+    * the pairs RA itself calls noise; capped scores under-report,
+    * never inflate). Survivor middles have true deg ≤ cap, so the
+    * attached degree IS the true degree — numerator and weight stay
+    * consistent. One degree aggregate, one middle-keyed self-join,
+    * one pair aggregate, one anti-join. Nothing collected. */
+  def linkPrediction(edges: DataFrame, src: String, dst: String,
+                     maxDegree: Long = 100L,
+                     minCommon: Long = 2L): DataFrame = {
+    require(maxDegree >= 2, "cap below 2 kills every wedge")
+    val dir0 = edges.select(col(src).as("u"), col(dst).as("v"))
+      .where(col("u") =!= col("v"))
+    val und = dir0.unionAll(dir0.select(col("v").as("u"), col("u").as("v")))
+      .distinct() // both directions present once: deg(u) = count over u
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val mid = und.join(deg.filter(col("deg") <= maxDegree), "u")
+      .select(col("u").as("z"), col("v"), col("deg"))
+    val pairs = mid.select(col("z"), col("v").as("node_a"), col("deg"))
+      .join(mid.select(col("z"), col("v").as("node_b")), "z")
+      .filter(col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div deg")).as("ra_e6"))
+      .filter(col("common") >= minCommon)
+    pairs.join(und.select(col("u").as("node_a"), col("v").as("node_b")),
+        Seq("node_a", "node_b"), "left_anti")
+      .select(col("node_a"), col("node_b"), col("common"), col("ra_e6"))
+  }
+
   /** Strongly connected components — the DIRECTED complement to the
     * undirected component family ([[graft.dedup.Dedup.componentLabels]]
     * / E27) and to [[labelPropagation]]'s density communities: nodes u

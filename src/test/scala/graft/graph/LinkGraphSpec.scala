@@ -675,6 +675,45 @@ class LinkGraphSpec extends SparkSpec {
       ("b1", "c1") -> 1L)
   }
 
+  test("linkPrediction: 4-cycle diagonals score exactly, existing edges never surface") {
+    // a-b-c-d-a (undirected square, given in one direction each):
+    // diagonals (a,c) and (b,d) have two common neighbors of degree 2
+    // -> ra_e6 = 2 * (10^6 div 2) = 1000000; the four existing edges
+    // are 2-hop pairs too (via the cycle) but must be anti-joined out
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    val out = LinkGraph.linkPrediction(e, "src", "dst", minCommon = 2)
+      .as[(String, String, Long, Long)].collect().sorted
+    out.toSeq shouldBe Seq(("a", "c", 2L, 1000000L), ("b", "d", 2L, 1000000L))
+  }
+
+  test("linkPrediction: low-degree mutual neighbors outweigh hubs; cap drops hub wedges") {
+    // x-m-y with deg(m)=2, plus p-h-q where h is also linked to 4
+    // others (deg(h)=6): RA scores (x,y) three times (p,q)
+    val e = edges("x" -> "m", "m" -> "y",
+      "p" -> "h", "h" -> "q",
+      "h" -> "f1", "h" -> "f2", "h" -> "f3", "h" -> "f4")
+    val all = LinkGraph.linkPrediction(e, "src", "dst", minCommon = 1)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    all(("x", "y")) shouldBe 500000L  // 10^6 div 2
+    all(("p", "q")) shouldBe 166666L  // 10^6 div 6
+    // capping at deg <= 5 removes every wedge through h but keeps m's
+    val capped = LinkGraph.linkPrediction(e, "src", "dst",
+        maxDegree = 5, minCommon = 1)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    capped should contain(("x", "y"))
+    capped.exists(p => p._1 == "p" || p._2 == "q") shouldBe false
+  }
+
+  test("linkPrediction is invariant under input partitioning") {
+    val e = edges((1 to 80).map(i =>
+      s"n${i % 13}" -> s"n${(i * 5 + 2) % 13}"): _*)
+    assertSameRows(
+      LinkGraph.linkPrediction(e, "src", "dst", minCommon = 1),
+      LinkGraph.linkPrediction(e.repartition(7), "src", "dst", minCommon = 1))
+  }
+
   test("condensation is acyclic: its own SCCs are all singletons") {
     // the theorem, checked self-referentially: a cycle among
     // condensation nodes would have merged its members into one SCC
