@@ -1732,6 +1732,32 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q219 twin of [[graft.graph.LinkGraph.propagateFeatures]]: two
+    * unrolled hop CTEs, each an edge⋈previous join + floor-mean per
+    * dst; hop 2 averages only in-neighbors that HAVE an h1 (the
+    * non-null count semantics). */
+  val q219_feature_propagation: String = """
+WITH e0 AS (
+  SELECT DISTINCT 'n' || CAST(doc_id % 211 AS VARCHAR) AS src,
+         'n' || CAST((doc_id * 3 + 1) % 211 AS VARCHAR) AS dst
+  FROM documents),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+f AS (
+  SELECT 'n' || CAST(doc_id % 211 AS VARCHAR) AS node,
+    CAST(sum(n_chars) AS BIGINT) AS f0
+  FROM documents GROUP BY 1),
+h1 AS (
+  SELECT e.dst AS node,
+    CAST(sum(f.f0) // count(*) AS BIGINT) AS h1
+  FROM e JOIN f ON e.src = f.node GROUP BY 1),
+h2 AS (
+  SELECT e.dst AS node,
+    CAST(sum(h.h1) // count(*) AS BIGINT) AS h2
+  FROM e JOIN h1 h ON e.src = h.node GROUP BY 1)
+SELECT f.node, f.f0, h1.h1, h2.h2
+FROM f LEFT JOIN h1 USING (node) LEFT JOIN h2 USING (node)
+ORDER BY f.node"""
+
   /** q218 twin of [[graft.graph.LinkGraph.linkPrediction]]: same
     * symmetrize→degree→cap→wedge-join→anti-join pipeline; NOT EXISTS
     * instead of left_anti, `//` ≡ `div` on nonnegatives. */
@@ -5204,6 +5230,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q216_wav_frame_features" -> q216_wav_frame_features,
     "q217_merge_intervals" -> q217_merge_intervals,
     "q218_link_prediction" -> q218_link_prediction,
+    "q219_feature_propagation" -> q219_feature_propagation,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,22 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Graph feature propagation: per-node char mass floor-mean-
+    // smoothed along the link graph for 2 hops — the impute/smooth
+    // primitive for per-doc signals; NULL where no in-neighbors.
+    "q219_feature_propagation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("n"), e.cast("string"))
+      val id = col("doc_id")
+      val e = docs.select(dom(id % 211).as("src"),
+        dom((id * 3 + 1) % 211).as("dst"))
+      val feats = docs.groupBy(dom(id % 211).as("node"))
+        .agg(sum(col("n_chars")).as("f"))
+      graft.graph.LinkGraph.propagateFeatures(e, feats,
+          "src", "dst", "node", "f", hops = 2)
+        .orderBy(col("node"))
+    }),
+
     // Resource-allocation link prediction over a synthetic modular
     // graph (sparser than q165's: 211 nodes, mean degree ~9): score
     // NON-adjacent 2-hop pairs by sum over common neighbors of

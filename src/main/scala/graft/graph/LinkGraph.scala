@@ -720,6 +720,48 @@ object LinkGraph {
           .as("jaccard_permille"))
   }
 
+  /** Graph feature propagation — the GraphSAGE-mean / label-smoothing
+    * precursor as an exact batch operator: per hop k, every node's
+    * `h_k` is the FLOOR-mean of its in-neighbors' `h_(k-1)` (h_0 = its
+    * own feature), the attribute analogue of [[pagerank]]'s mass flow.
+    * What it's for in a curation pipeline: impute/smooth a per-doc
+    * signal (quality score, token count, spam probability) across the
+    * link structure — a page linked only by long documents probably
+    * isn't a stub, whatever its own length says.
+    *
+    * Exactness: `sum DIV count` per node per hop — pure integers, no
+    * damping constant, no drift. Nodes with no in-neighbors get NULL
+    * at hop 1 (nothing to average — visible, not fabricated) and drop
+    * out of hop k+1's numerator AND denominator together (count is
+    * over non-null contributions), so a null never poisons a mean.
+    *
+    * Shape per hop: one (edge ⋈ previous-hop) hash join + one
+    * dst-keyed partial aggregate — identical cost to a pagerank step,
+    * nothing collected; hops bounded (≤ 5 — deep propagation
+    * oversmoothes anyway, the GNN literature's own finding). Output:
+    * (node, f0, h1 … h_hops). */
+  def propagateFeatures(edges: DataFrame, feats: DataFrame,
+                        src: String, dst: String, node: String,
+                        featCol: String, hops: Int = 2): DataFrame = {
+    require(hops >= 1 && hops <= 5, "hops must be in [1, 5]")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val base = feats.select(col(node).as("node"),
+      col(featCol).cast("long").as("f0"))
+    var out = base
+    var cur = base.select(col("node"), col("f0").as("h"))
+    for (k <- 1 to hops) {
+      val hk = e.join(cur.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("h")).as("__s"), count(col("h")).as("__c"))
+        .select(col("dst").as("node"),
+          when(col("__c") > 0, expr("__s div __c")).as(s"h$k"))
+      out = out.join(hk, Seq("node"), "left")
+      cur = out.select(col("node"), col(s"h$k").as("h"))
+    }
+    out
+  }
+
   /** Link prediction by resource allocation (Zhou, Lü & Zhang, Eur.
     * Phys. J. B 2009) — the MISSING-edge complement to [[coCitation]]'s
     * existing-similarity: score non-adjacent pairs by their common

@@ -714,6 +714,32 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.linkPrediction(e.repartition(7), "src", "dst", minCommon = 1))
   }
 
+  test("propagateFeatures: chain floor-means hop by hop; sources stay NULL") {
+    import spark.implicits._
+    val e = edges("a" -> "b", "b" -> "c", "x" -> "c")
+    val f = Seq(("a", 10L), ("b", 20L), ("c", 30L), ("x", 15L))
+      .toDF("node", "f")
+    val out = LinkGraph.propagateFeatures(e, f, "src", "dst", "node", "f")
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out("a") shouldBe ((10L, None, None))       // no in-neighbors: NULL, not 0
+    out("x") shouldBe ((15L, None, None))
+    out("b") shouldBe ((20L, Some(10L), None))  // h2: a has no h1 -> NULL
+    // h1(c) = floor((20 + 15) / 2) = 17; h2(c) = mean of h1 over
+    // in-neighbors WITH h1 = h1(b) alone = 10 (x's NULL doesn't poison)
+    out("c") shouldBe ((30L, Some(17L), Some(10L)))
+  }
+
+  test("propagateFeatures is invariant under input partitioning") {
+    import spark.implicits._
+    val e = edges((1 to 80).map(i => s"n${i % 17}" -> s"n${(i * 3 + 1) % 17}"): _*)
+    val f = (0 until 17).map(i => (s"n$i", i * 7L + 3)).toDF("node", "f")
+    assertSameRows(
+      LinkGraph.propagateFeatures(e, f, "src", "dst", "node", "f"),
+      LinkGraph.propagateFeatures(e.repartition(7), f.repartition(5),
+        "src", "dst", "node", "f"))
+  }
+
   test("condensation is acyclic: its own SCCs are all singletons") {
     // the theorem, checked self-referentially: a cycle among
     // condensation nodes would have merged its members into one SCC
