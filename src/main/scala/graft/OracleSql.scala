@@ -1732,6 +1732,27 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q220 twin of [[graft.etl.Impute.imputeMedian]]: same lower-median
+    * selection (row_number at (n+1)//2 over the non-null subset —
+    * tie order among equal values can't change the VALUE picked),
+    * same left-join fill + flag. */
+  val q220_impute_median: String = """
+WITH d AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS n_chars
+  FROM documents),
+nn AS (
+  SELECT lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+    count(*) OVER (PARTITION BY lang) AS cnt
+  FROM d WHERE n_chars IS NOT NULL),
+med AS (SELECT lang, n_chars AS m FROM nn WHERE rn = (cnt + 1) // 2)
+SELECT d.doc_id, d.lang, d.n_chars,
+  coalesce(d.n_chars, med.m) AS n_chars_filled,
+  (d.n_chars IS NULL AND med.m IS NOT NULL) AS was_imputed
+FROM d LEFT JOIN med USING (lang)
+ORDER BY d.doc_id"""
+
   /** q219 twin of [[graft.graph.LinkGraph.propagateFeatures]]: two
     * unrolled hop CTEs, each an edge⋈previous join + floor-mean per
     * dst; hop 2 averages only in-neighbors that HAVE an h1 (the
@@ -5231,6 +5252,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q217_merge_intervals" -> q217_merge_intervals,
     "q218_link_prediction" -> q218_link_prediction,
     "q219_feature_propagation" -> q219_feature_propagation,
+    "q220_impute_median" -> q220_impute_median,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Group-wise lower-median imputation: every 5th doc's n_chars is
+    // nulled, then filled from its language's exact lower median;
+    // imputed rows flagged, all-null groups stay null (visible).
+    "q220_impute_median" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 5 =!= 0, col("n_chars")).as("n_chars"))
+      graft.etl.Impute.imputeMedian(d, Seq("lang"), "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_chars_filled"), col("was_imputed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Graph feature propagation: per-node char mass floor-mean-
     // smoothed along the link graph for 2 hops — the impute/smooth
     // primitive for per-doc signals; NULL where no in-neighbors.
