@@ -1732,6 +1732,36 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q221 twin of [[graft.analytics.Profiling.fdDiscovery]]: the six
+    * ordered pairs as UNION ALL rows over shared distinct counts
+    * (unordered pair counts reused — distinct(a,b) = distinct(b,a)). */
+  val q221_fd_discovery: String = """
+WITH d AS (
+  SELECT month(o_orderdate) AS m, quarter(o_orderdate) AS q,
+    o_orderstatus AS st
+  FROM orders),
+s AS (
+  SELECT
+    (SELECT count(DISTINCT m) FROM d) AS dm,
+    (SELECT count(DISTINCT q) FROM d) AS dq,
+    (SELECT count(DISTINCT st) FROM d) AS dst,
+    (SELECT count(*) FROM (SELECT DISTINCT m, q FROM d
+       WHERE m IS NOT NULL AND q IS NOT NULL)) AS pmq,
+    (SELECT count(*) FROM (SELECT DISTINCT m, st FROM d
+       WHERE m IS NOT NULL AND st IS NOT NULL)) AS pms,
+    (SELECT count(*) FROM (SELECT DISTINCT q, st FROM d
+       WHERE q IS NOT NULL AND st IS NOT NULL)) AS pqs)
+SELECT determinant, dependent, n_det, n_pairs, n_pairs = n_det AS holds
+FROM (
+  SELECT 'order_month' AS determinant, 'order_quarter' AS dependent,
+    dm AS n_det, pmq AS n_pairs FROM s
+  UNION ALL SELECT 'order_month', 'status', dm, pms FROM s
+  UNION ALL SELECT 'order_quarter', 'order_month', dq, pmq FROM s
+  UNION ALL SELECT 'order_quarter', 'status', dq, pqs FROM s
+  UNION ALL SELECT 'status', 'order_month', dst, pms FROM s
+  UNION ALL SELECT 'status', 'order_quarter', dst, pqs FROM s)
+ORDER BY determinant, dependent"""
+
   /** q220 twin of [[graft.etl.Impute.imputeMedian]]: same lower-median
     * selection (row_number at (n+1)//2 over the non-null subset —
     * tie order among equal values can't change the VALUE picked),
@@ -5253,6 +5283,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q218_link_prediction" -> q218_link_prediction,
     "q219_feature_propagation" -> q219_feature_propagation,
     "q220_impute_median" -> q220_impute_median,
+    "q221_fd_discovery" -> q221_fd_discovery,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

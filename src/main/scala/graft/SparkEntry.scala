@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Pairwise FD discovery over (month, quarter, status) of orders:
+    // month -> quarter must HOLD (calendar fact), quarter -> month and
+    // every status pair must fail — counted, not sampled.
+    "q221_fd_discovery" -> ((s, dir) => {
+      val d = Tables.orders(s, dir).select(
+        month(col("o_orderdate")).as("order_month"),
+        quarter(col("o_orderdate")).as("order_quarter"),
+        col("o_orderstatus").as("status"))
+      graft.analytics.Profiling.fdDiscovery(d,
+          Seq("order_month", "order_quarter", "status"))
+        .orderBy(col("determinant"), col("dependent"))
+    }),
+
     // Group-wise lower-median imputation: every 5th doc's n_chars is
     // nulled, then filled from its language's exact lower median;
     // imputed rows flagged, all-null groups stay null (visible).

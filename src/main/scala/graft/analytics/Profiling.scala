@@ -297,6 +297,40 @@ object Profiling {
     * stay exact either way. Restrict `cols` to types whose string
     * rendering is engine-stable when oracle-checking (integers,
     * strings, dates — not doubles). */
+  /** Pairwise functional-dependency DISCOVERY over a stated column
+    * list — the profiling complement to E183's single-FD violation
+    * report: E183 checks the dependency you assert; this finds the
+    * ones that hold. A → B holds on the observed data iff every A
+    * value maps to one B value, i.e. `countDistinct(A, B) ==
+    * countDistinct(A)` — counted, not sampled, so the verdict is a
+    * fact about the table (on THIS data; discovery never proves a
+    * constraint, it proposes one — stated). Rows with a NULL in
+    * either column are excluded from that pair's counts (SQL distinct
+    * tuple semantics; a null determines nothing).
+    *
+    * Shape: ONE aggregate computes all k + k·(k−1) distinct counts in
+    * a single logical scan (Catalyst plans multi-distinct via Expand:
+    * the scan is read once and fanned ~k² ways — the stated governor
+    * is that `cols` is a PROFILING list, tens of columns, not a
+    * schema dump; cost grows k²·rows pre-combine, map-side partials
+    * bound the shuffle). The one-row result is then unpivoted
+    * driver-free via stack(). Returns (determinant, dependent,
+    * n_det, n_pairs, holds) per ordered pair. */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate column in list")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val aggs = cols.map(c => countDistinct(col(c)).as(s"__d_$c")) ++
+      pairs.map { case (a, b) =>
+        countDistinct(col(a), col(b)).as(s"__p_${a}__$b") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', __d_$a, __p_${a}__$b" }.mkString(", ")
+    one.select(expr(
+        s"stack(${pairs.size}, $stacked) AS (determinant, dependent, n_det, n_pairs)"))
+      .withColumn("holds", col("n_pairs") === col("n_det"))
+  }
+
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val aggs = cols.flatMap { c => Seq(

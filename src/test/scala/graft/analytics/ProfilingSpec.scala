@@ -10,6 +10,35 @@ class ProfilingSpec extends SparkSpec {
   private def lineitem = spark.read
     .parquet("/root/testdata/sf0.001/lineitem.parquet")
 
+  test("fdDiscovery: derived column holds, inverse fails, counts exact") {
+    // b = a % 2 -> a determines b; b can't determine a (2 values, 6 keys)
+    val d = (1 to 60).map(i => (i % 6, i % 6 % 2, s"t${i % 3}"))
+      .toDF("a", "b", "t")
+    val out = Profiling.fdDiscovery(d, Seq("a", "b", "t"))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    out.size shouldBe 6
+    out(("a", "b")) shouldBe ((6L, 6L, true))
+    out(("b", "a")) shouldBe ((2L, 6L, false))
+    out(("a", "t")) shouldBe ((6L, 6L, true))   // i%6 -> i%3 (divisor)
+    out(("t", "a")) shouldBe ((3L, 6L, false))
+    out(("b", "t")) shouldBe ((2L, 6L, false))  // parity can't fix i%3
+    out(("t", "b")) shouldBe ((3L, 6L, false))
+  }
+
+  test("fdDiscovery: rows with NULL in either column are excluded from that pair") {
+    val d = Seq(
+      (Some(1), Some(10)), (Some(1), None), (Some(2), Some(20)),
+      (None, Some(30)))
+      .toDF("a", "b")
+    val out = Profiling.fdDiscovery(d, Seq("a", "b"))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // pair counts see only (1,10) and (2,20); n_det counts all non-null a
+    out(("a", "b")) shouldBe ((2L, 2L, true))
+    out(("b", "a")) shouldBe ((3L, 2L, false)) // 3 distinct b, 2 full pairs
+  }
+
   test("approx percentiles land within the rank-error band of the exact ones") {
     val ps = Seq(0.5, 0.9, 0.95)
     val eps = 0.02 // looser than the sketch's 1/accuracy guarantee
