@@ -604,6 +604,22 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => (acc * FpBase + h) % FpMod)
 
+  /** Compressibility quality scores — deflate-ratio permille per doc
+    * (see [[graft.functions.DeflateUtil]]): LOW ratio = templated /
+    * machine-repeated text, ≈1000 = high-entropy. Complements the
+    * shingle-window E40 repetition score with LONG-RANGE repetition
+    * the fixed-n window can't see. Scan-side native expression, one
+    * projection, no shuffle; spec-verified (no cross-engine deflate
+    * constant exists — the E23 precedent). Empty docs → NULL ratio. */
+  def compressibilityScores(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        graft.functions.CompressFunctions.deflateLen(col(textCol))
+          .as("deflate_bytes"))
+      .withColumn("ratio_permille",
+        when(col("n_bytes") > 0, expr("(deflate_bytes * 1000) div n_bytes")))
+
   /** Feature-hashing vectorizer (the "hashing trick", Weinberger et
     * al., ICML 2009): each token lands in `feature_idx = h mod dim`
     * with a sign ξ ∈ {±1} drawn from an independent bit of the same

@@ -11,6 +11,41 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("compressibilityScores: repetition collapses, varied text doesn't; empty is NULL") {
+    import spark.implicits._
+    val rep = "lorem ipsum dolor sit amet " * 200             // pure template
+    val varied = (1 to 200).map(i =>
+      s"w${i * 7919 % 9973}x${i * i % 911}").mkString(" ")    // high variety
+    val d = docs(1L -> rep, 2L -> varied, 3L -> "")
+    val out = TextAnalysis.compressibilityScores(d)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    out(1L)._4.get should be < 50L                 // template: < 5% of raw
+    out(2L)._4.get should be > (out(1L)._4.get * 5)
+    out(3L)._2 shouldBe 0L
+    out(3L)._4 shouldBe None                       // no fabricated ratio
+    // long-range repetition the shingle window can't see: half+half copy
+    val half = varied.take(varied.length / 2)
+    val doubled = TextAnalysis.compressibilityScores(docs(9L -> (half + half)))
+      .as[(Long, Long, Long, Option[Long])].head()
+    val single = TextAnalysis.compressibilityScores(docs(8L -> half))
+      .as[(Long, Long, Long, Option[Long])].head()
+    doubled._3.toDouble should be < (single._3 * 1.2) // 2nd half ~ free
+  }
+
+  test("compressibilityScores is deterministic across partitionings and codegen modes") {
+    val d = docs((1 to 40).map(i =>
+      i.toLong -> s"payload ${i % 5} ${"z" * (i % 17)} tail$i"): _*)
+    assertSameRows(TextAnalysis.compressibilityScores(d),
+      TextAnalysis.compressibilityScores(d.repartition(7)))
+    val base = TextAnalysis.compressibilityScores(d).collect().toSeq.sortBy(_.getLong(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      TextAnalysis.compressibilityScores(d).collect().toSeq
+        .sortBy(_.getLong(0)) shouldBe base
+    }
+  }
+
   test("featureHash: indices inside [0, dim), linear in token counts, mass bounded") {
     import spark.implicits._
     val d = docs(
