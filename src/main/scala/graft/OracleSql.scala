@@ -1732,6 +1732,35 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q222 twin of [[graft.quality.Validators.kAnonymize]]: the four
+    * ladder levels as CTEs, the minimal-satisfying-level CASE, and
+    * the chosen level's classes filtered from the union. */
+  val q222_k_anonymize: String = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+    CAST(c_acctbal * 100 AS BIGINT) + 100000 AS bal_c
+  FROM customer),
+l0 AS (SELECT nk AS nation_g, bal_c // 10000 AS bal_g,
+  CAST(count(*) AS BIGINT) AS group_size FROM c GROUP BY 1, 2),
+l1 AS (SELECT nk AS nation_g, bal_c // 200000 AS bal_g,
+  CAST(count(*) AS BIGINT) AS group_size FROM c GROUP BY 1, 2),
+l2 AS (SELECT nk // 5 AS nation_g, bal_c // 500000 AS bal_g,
+  CAST(count(*) AS BIGINT) AS group_size FROM c GROUP BY 1, 2),
+l3 AS (SELECT CAST(0 AS BIGINT) AS nation_g, CAST(0 AS BIGINT) AS bal_g,
+  CAST(count(*) AS BIGINT) AS group_size FROM c),
+ch AS (SELECT CASE
+  WHEN (SELECT min(group_size) FROM l0) >= 10 THEN 0
+  WHEN (SELECT min(group_size) FROM l1) >= 10 THEN 1
+  WHEN (SELECT min(group_size) FROM l2) >= 10 THEN 2
+  ELSE 3 END AS lvl),
+alll AS (
+  SELECT 0 AS lv, * FROM l0 UNION ALL SELECT 1, * FROM l1
+  UNION ALL SELECT 2, * FROM l2 UNION ALL SELECT 3, * FROM l3)
+SELECT nation_g, bal_g, group_size,
+  CAST(lv AS INTEGER) AS level, group_size >= 10 AS meets_k
+FROM alll, ch WHERE alll.lv = ch.lvl
+ORDER BY nation_g, bal_g"""
+
   /** q221 twin of [[graft.analytics.Profiling.fdDiscovery]]: the six
     * ordered pairs as UNION ALL rows over shared distinct counts
     * (unordered pair counts reused — distinct(a,b) = distinct(b,a)). */
@@ -5284,6 +5313,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q219_feature_propagation" -> q219_feature_propagation,
     "q220_impute_median" -> q220_impute_median,
     "q221_fd_discovery" -> q221_fd_discovery,
+    "q222_k_anonymize" -> q222_k_anonymize,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,26 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // K-anonymization ladder over customers: (nation, $100 balance
+    // band) -> ($2000 band) -> (nation-group, $5000 band) -> full
+    // suppression; minimal level with every class >= 10 wins. Balance
+    // shifted to nonnegative integer cents so div == // on both
+    // engines (floor vs truncation diverge on negatives).
+    "q222_k_anonymize" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal_c", (col("c_acctbal") * 100).cast("long") + 100000L)
+      val nk = col("c_nationkey").cast("long")
+      val levels = Seq(
+        Seq(nk, expr("bal_c div 10000")),
+        Seq(nk, expr("bal_c div 200000")),
+        Seq(expr("CAST(c_nationkey AS BIGINT) div 5"),
+          expr("bal_c div 500000")),
+        Seq(lit(0L), lit(0L)))
+      graft.quality.Validators.kAnonymize(c, levels,
+          Seq("nation_g", "bal_g"), k = 10)
+        .orderBy(col("nation_g"), col("bal_g"))
+    }),
+
     // Pairwise FD discovery over (month, quarter, status) of orders:
     // month -> quarter must HOLD (calendar fact), quarter -> month and
     // every status pair must fail — counted, not sampled.

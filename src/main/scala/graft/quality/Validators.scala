@@ -240,6 +240,47 @@ object Validators {
       .withColumn("l_risk", col("n_sensitive") < l)
   }
 
+  /** K-anonymization by generalization ladder — the RELEASE
+    * counterpart to [[kAnonymityAudit]]'s report: the audit says
+    * which groups re-identify; this operator picks the MINIMAL
+    * generalization level (from a stated ladder of coarsening
+    * expressions — exact values → bands → coarse bands → full
+    * suppression, Sweeney's domain-generalization hierarchy) at which
+    * EVERY equivalence class reaches size ≥ k, and emits the classes
+    * at that level. Minimality is the utility contract: generalizing
+    * past the first satisfying level destroys information k-anonymity
+    * never asked for. If even the coarsest level fails, the coarsest
+    * is emitted with its residual classes flagged `meets_k = false`
+    * (the release gate's decision to suppress them stays visible,
+    * never silent).
+    *
+    * Shape: one hash aggregate per ladder level (levels are a stated
+    * config list — 3-5 rungs, not data-driven) and one driver-side
+    * min per level (the Sampling.scala config-sized-collect
+    * precedent: L scalars, never data). Class output is bounded by
+    * the quasi-identifier domain at the chosen level. */
+  def kAnonymize(df: DataFrame, levels: Seq[Seq[Column]],
+                 names: Seq[String], k: Long): DataFrame = {
+    require(levels.nonEmpty, "need at least one generalization level")
+    require(levels.forall(_.size == names.size),
+      "every level must generalize every quasi-identifier")
+    require(k >= 1, "k must be positive")
+    def classes(l: Int) = df
+      .groupBy(levels(l).zip(names).map { case (c, n) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("group_size"))
+    val minAt = levels.indices.map { l =>
+      val r = classes(l).agg(min(col("group_size"))).collect()(0)
+      if (r.isNullAt(0)) Long.MaxValue else r.getLong(0) // empty input: trivially safe
+    }
+    val chosen = minAt.indexWhere(_ >= k) match {
+      case -1 => levels.size - 1
+      case i => i
+    }
+    classes(chosen)
+      .withColumn("level", lit(chosen))
+      .withColumn("meets_k", col("group_size") >= k)
+  }
+
   /** ZERO-extra-pass quality metrics via Spark's Observation API: the
     * validator `df.agg(...)` probes above each cost one dedicated job
     * over the data — correct for a gate that must run BEFORE the

@@ -130,6 +130,33 @@ class ValidatorsSpec extends SparkSpec {
       ("SF", "F", 2L, 1L, true, true))
   }
 
+  test("kAnonymize picks the MINIMAL satisfying ladder level") {
+    import spark.implicits._
+    // age exact: singleton groups; age div 10: all groups of 4+
+    val d = (1 to 20).map(i => (i % 5) * 10 + i % 3).toDF("age")
+    val levels = Seq(Seq(col("age").cast("long")),
+      Seq(expr("CAST(age AS BIGINT) div 10")),
+      Seq(lit(0L)))
+    val out = Validators.kAnonymize(d, levels, Seq("age_g"), k = 4)
+      .as[(Long, Long, Int, Boolean)].collect().sorted
+    all(out.map(_._3)) shouldBe 1          // level 1, not 2: minimality
+    all(out.map(_._4)) shouldBe true
+    out.map(_._2).sum shouldBe 20L         // every row in some class
+    // a stricter k the ladder CAN satisfy only at full suppression
+    val full = Validators.kAnonymize(d, levels, Seq("age_g"), k = 15)
+      .as[(Long, Long, Int, Boolean)].collect()
+    full.toSeq shouldBe Seq((0L, 20L, 2, true))
+  }
+
+  test("kAnonymize: unsatisfiable k emits the coarsest level with residuals flagged") {
+    import spark.implicits._
+    val d = Seq(1L, 2L).toDF("v")
+    val levels = Seq(Seq(col("v")), Seq(lit(0L)))
+    val out = Validators.kAnonymize(d, levels, Seq("g"), k = 99)
+      .as[(Long, Long, Int, Boolean)].collect()
+    out.toSeq shouldBe Seq((0L, 2L, 1, false)) // visible, not silently dropped
+  }
+
   test("observed: quality metrics ride the caller's action, no second scan") {
     import java.nio.file.Files
     import spark.implicits._
