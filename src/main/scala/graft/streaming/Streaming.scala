@@ -124,6 +124,68 @@ object Streaming {
         ()
       }
 
+  /** Idempotent APPEND sink — exactly-once for KEYLESS streams, the
+    * complement to [[upsertSink]] (whose idempotence rides on MERGE
+    * keys; an append-only fact stream has none). The mechanism is a
+    * per-batch commit ledger with write-ahead ordering:
+    *
+    *   1. data lands in `tablePath/batch=<id>/` with OVERWRITE — a
+    *      crashed half-write of the same batch is clobbered whole by
+    *      the engine's replay of that epoch, never appended twice;
+    *   2. only then is the zero-byte marker `_ledger/<id>` created —
+    *      the marker IS the commit point;
+    *   3. a re-delivered batch finds its marker and writes NOTHING
+    *      (post-crash replay of the last epoch is the normal case,
+    *      not an error);
+    *   4. readers go through [[readCommitted]], which lists the
+    *      ledger and reads exactly the committed batch dirs — a
+    *      half-written uncommitted dir is invisible.
+    *
+    * Scale: the ledger is one tiny file per micro-batch (a listing of
+    * it is minutes-cadence metadata, not data); each batch touches
+    * only its own dir, so batch cost is batch-sized forever. Batch
+    * dirs are the compaction units for E54 when they accumulate. */
+  def appendBatch(batch: DataFrame, batchId: Long, tablePath: String): Boolean = {
+    val spark = batch.sparkSession
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(tablePath, s"_ledger/$batchId")
+    if (fs.exists(marker)) return false
+    batch.write.mode("overwrite")
+      .parquet(new Path(tablePath, s"batch=$batchId").toString)
+    fs.mkdirs(marker.getParent)
+    fs.createNewFile(marker)
+    true
+  }
+
+  /** Read exactly the committed batches of an [[appendBatch]] table.
+    * Batch dirs are enumerated FROM THE LEDGER (not globbed), so
+    * uncommitted half-writes never surface. */
+  def readCommitted(spark: SparkSession, tablePath: String): DataFrame = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(tablePath, "_ledger")
+    val ids =
+      if (!fs.exists(ledger)) Array.empty[String]
+      else fs.listStatus(ledger).map(_.getPath.getName)
+    if (ids.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(
+        ids.map(id => new Path(tablePath, s"batch=$id").toString).toSeq: _*)
+  }
+
+  /** [[appendBatch]] wired as a foreachBatch sink. */
+  def idempotentAppendSink(stream: DataFrame, tablePath: String,
+                           checkpointDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, tablePath)
+        ()
+      }
+
   def startUpsertStream(stream: DataFrame, tablePath: String,
                         keys: Seq[String], checkpointDir: String,
                         partitionCol: String = "event_date",

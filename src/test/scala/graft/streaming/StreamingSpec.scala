@@ -27,6 +27,50 @@ class StreamingSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft-stream-$name").toString
 
+  test("appendBatch: a re-delivered batchId is a no-op, even with different data") {
+    val path = tmp("idem") + "/t"
+    Streaming.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L, path) shouldBe true
+    Streaming.appendBatch(Seq((3L, "c")).toDF("id", "v"), 1L, path) shouldBe true
+    // crash-replay of epoch 1 re-delivers (possibly differing) rows:
+    // the ledger marker makes it a no-op — exactly-once, not at-least-once
+    Streaming.appendBatch(Seq((99L, "X"), (98L, "Y")).toDF("id", "v"),
+      1L, path) shouldBe false
+    val rows = Streaming.readCommitted(spark, path)
+      .as[(Long, String)].collect().sorted
+    rows.toSeq shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
+  }
+
+  test("readCommitted: an uncommitted half-written batch dir is invisible") {
+    val path = tmp("idem2") + "/t"
+    Streaming.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0L, path) shouldBe true
+    // simulate a crash AFTER the data write, BEFORE the marker commit
+    Seq((666L, "torn")).toDF("id", "v")
+      .write.parquet(s"$path/batch=7")
+    Streaming.readCommitted(spark, path)
+      .as[(Long, String)].collect().toSeq shouldBe Seq((1L, "a"))
+    // the engine replays epoch 7: the overwrite clobbers the torn dir
+    // whole and THEN commits — the replacement, not a double, surfaces
+    Streaming.appendBatch(Seq((7L, "g")).toDF("id", "v"), 7L, path) shouldBe true
+    Streaming.readCommitted(spark, path)
+      .as[(Long, String)].collect().sorted.toSeq shouldBe
+        Seq((1L, "a"), (7L, "g"))
+  }
+
+  test("idempotentAppendSink end-to-end: stream rows land exactly once") {
+    val path = tmp("idem3") + "/t"
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(ev(1, 10), ev(2, 20))
+    val q = Streaming.idempotentAppendSink(in.toDF(), path, tmp("idem3-ck")).start()
+    try {
+      q.processAllAvailable()
+      in.addData(ev(3, 30))
+      q.processAllAvailable()
+    } finally q.stop()
+    Streaming.readCommitted(spark, path)
+      .select("event_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("dropDuplicatesWithinWatermark drops re-delivered event_ids") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
