@@ -1732,6 +1732,38 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q224 twin of [[graft.analytics.Profiling.weightedMedian]]: the
+    * identical crossing-row windows; DuckDB window sums are HUGEINT,
+    * cast back at the edge. */
+  val q224_weighted_median: String = """
+WITH d AS (
+  SELECT o_orderpriority AS pri,
+    CAST(o_totalprice * 100 AS BIGINT) AS v,
+    o_orderkey % 7 + 1 AS w
+  FROM orders),
+c AS (
+  SELECT pri, v, w,
+    sum(w) OVER (PARTITION BY pri ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(w) OVER (PARTITION BY pri) AS tw,
+    count(*) OVER (PARTITION BY pri) AS n
+  FROM d)
+SELECT pri, v AS w_median, CAST(tw AS BIGINT) AS total_weight,
+  CAST(n AS BIGINT) AS n_rows
+FROM c
+WHERE cw >= (tw + 1) // 2 AND cw - w < (tw + 1) // 2
+ORDER BY pri"""
+
+  /** q223 twin of [[graft.store.ZoneMap.prunedScan]]: the plain
+    * filtered aggregate over the ORIGINAL table — file pruning is
+    * physical only, so the contract is the unpruned result (the q49
+    * discipline). */
+  val q223_zone_map_scan: String = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000
+GROUP BY 1 ORDER BY 1"""
+
   /** q222 twin of [[graft.quality.Validators.kAnonymize]]: the four
     * ladder levels as CTEs, the minimal-satisfying-level CASE, and
     * the chosen level's classes filtered from the union. */
@@ -5314,6 +5346,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q220_impute_median" -> q220_impute_median,
     "q221_fd_discovery" -> q221_fd_discovery,
     "q222_k_anonymize" -> q222_k_anonymize,
+    "q223_zone_map_scan" -> q223_zone_map_scan,
+    "q224_weighted_median" -> q224_weighted_median,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,39 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Weighted lower median of order value (exact cents) per priority
+    // class, weights keyed on the order key — the crossing-row
+    // selection on exact integer cumulative weights.
+    "q224_weighted_median" -> ((s, dir) => {
+      val d = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("pri"),
+        (col("o_totalprice") * 100).cast("long").as("v"),
+        (col("o_orderkey") % 7 + 1).as("w"))
+      graft.analytics.Profiling.weightedMedian(d, Seq("pri"), "v", "w")
+        .orderBy(col("pri"))
+    }),
+
+    // Zone-map pruned range scan: lineitem range-clustered into 8
+    // files, per-file min/max manifest, scan of an orderkey range
+    // planned over only the overlapping files. The result contract
+    // IS the plain filtered scan (q49 discipline); the file-subset
+    // claim is ZoneMapSpec's metric assert.
+    "q223_zone_map_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-zonemap").toString + "/t"
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tmp)
+      graft.store.ZoneMap.writeZoneMap(s, tmp, Seq("l_orderkey"))
+      graft.store.ZoneMap.prunedScan(s, tmp, "l_orderkey",
+          lit(1000L), lit(5000L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // K-anonymization ladder over customers: (nation, $100 balance
     // band) -> ($2000 band) -> (nation-group, $5000 band) -> full
     // suppression; minimal level with every class >= 10 wins. Balance

@@ -297,6 +297,38 @@ object Profiling {
     * stay exact either way. Restrict `cols` to types whose string
     * rendering is engine-stable when oracle-checking (integers,
     * strings, dates — not doubles). */
+  /** Per-group WEIGHTED lower median — the center of a weighted
+    * distribution (docs weighted by quality/epochs, trades by size)
+    * where the plain median ([[graft.etl.Impute.imputeMedian]]'s
+    * selector) would let a million near-zero-weight rows outvote the
+    * mass. Lower weighted median: the value at which running weight
+    * first reaches `(W+1) DIV 2` — an observed value, exact integers
+    * throughout.
+    *
+    * Selection is the CROSSING ROW: `cum − w < threshold ≤ cum` —
+    * exactly one row per group satisfies it (cum is strictly
+    * increasing; weights ≤ 0 are filtered, stated), and under
+    * equal-value ties the crossing lands inside the tied block
+    * whatever their internal order, so the emitted VALUE is a pure
+    * function of the row multiset. One window pass (running +
+    * total + count share a partitioning), one filter — no second
+    * aggregate, no join. */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                     weightCol: String): DataFrame = {
+    val wRun = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    df.filter(col(valueCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__cw", sum(col(weightCol)).over(wRun))
+      .withColumn("__tw", sum(col(weightCol)).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__th", expr("(__tw + 1) div 2"))
+      .filter(col("__cw") >= col("__th") &&
+        (col("__cw") - col(weightCol)) < col("__th"))
+      .select(keys.map(col) :+ col(valueCol).as("w_median") :+
+        col("__tw").as("total_weight") :+ col("__n").as("n_rows"): _*)
+  }
+
   /** Pairwise functional-dependency DISCOVERY over a stated column
     * list — the profiling complement to E183's single-FD violation
     * report: E183 checks the dependency you assert; this finds the

@@ -10,6 +10,37 @@ class ProfilingSpec extends SparkSpec {
   private def lineitem = spark.read
     .parquet("/root/testdata/sf0.001/lineitem.parquet")
 
+  test("weightedMedian: weight mass decides, not row counts") {
+    import spark.implicits._
+    // five rows of value 1 at weight 1 vs one row of value 100 at
+    // weight 50: the plain median says 1, the weighted median 100
+    val d = ((1 to 5).map(_ => ("g", 1L, 1L)) :+ (("g", 100L, 50L)))
+      .toDF("g", "v", "w")
+    val out = Profiling.weightedMedian(d, Seq("g"), "v", "w")
+      .as[(String, Long, Long, Long)].collect()
+    out.toSeq shouldBe Seq(("g", 100L, 55L, 6L))
+  }
+
+  test("weightedMedian: unit weights reduce to the lower median; crossing is exact") {
+    import spark.implicits._
+    val d = Seq(("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 1L), ("a", 40L, 1L),
+      ("b", 5L, 2L), ("b", 7L, 2L), ("b", 9L, 1L))
+      .toDF("g", "v", "w")
+    val out = Profiling.weightedMedian(d, Seq("g"), "v", "w")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    out("a") shouldBe (("a", 20L, 4L, 4L))  // (4+1) div 2 = 2 -> 2nd value
+    out("b") shouldBe (("b", 7L, 5L, 3L))   // th 3: cum 2 -> 4 crosses at 7
+  }
+
+  test("weightedMedian is invariant under input partitioning (with value ties)") {
+    import spark.implicits._
+    val d = (1 to 120).map(i => (s"g${i % 3}", i % 10L, i % 4L + 1))
+      .toDF("g", "v", "w")
+    assertSameRows(Profiling.weightedMedian(d, Seq("g"), "v", "w"),
+      Profiling.weightedMedian(d.repartition(7), Seq("g"), "v", "w"))
+  }
+
   test("fdDiscovery: derived column holds, inverse fails, counts exact") {
     // b = a % 2 -> a determines b; b can't determine a (2 values, 6 keys)
     val d = (1 to 60).map(i => (i % 6, i % 6 % 2, s"t${i % 3}"))
