@@ -1732,6 +1732,45 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q225 twin of [[graft.dedup.Dedup.contentChunks]]: the rolling
+    * hash recomputed POSITIONALLY (eight lag terms with the stated
+    * 31^j coefficients — max Σ < 4e12, BIGINT-safe) instead of
+    * rolled; boundaries where h % 64 = 0 at i ≥ 7, EOF end forced,
+    * gaps-and-islands to (start, len), md5 over the same ASCII
+    * bytes. */
+  val q225_content_chunks: String = """
+WITH ch AS (
+  SELECT doc_id, i,
+    CAST(ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT) AS b
+  FROM documents, unnest(range(0, length(text))) AS t(i)),
+h AS (
+  SELECT doc_id, i,
+    (lag(b, 7) OVER w * 27512614111 + lag(b, 6) OVER w * 887503681 +
+     lag(b, 5) OVER w * 28629151 + lag(b, 4) OVER w * 923521 +
+     lag(b, 3) OVER w * 29791 + lag(b, 2) OVER w * 961 +
+     lag(b, 1) OVER w * 31 + b) % 1000000007 AS hh
+  FROM ch
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+ends AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, CAST(i AS INTEGER) AS e FROM h
+    WHERE i >= 7 AND hh % 64 = 0
+    UNION ALL
+    SELECT doc_id, CAST(length(text) - 1 AS INTEGER) AS e FROM documents
+    WHERE length(text) > 0)),
+chnk AS (
+  SELECT doc_id, e,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS s,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+      AS INTEGER) AS chunk_idx
+  FROM ends)
+SELECT c.doc_id, c.chunk_idx, CAST(c.s AS INTEGER) AS start,
+  CAST(c.e - c.s + 1 AS INTEGER) AS len,
+  md5(substr(d.text, CAST(c.s + 1 AS INTEGER),
+    CAST(c.e - c.s + 1 AS INTEGER))) AS chunk_md5
+FROM chnk c JOIN documents d USING (doc_id)
+ORDER BY doc_id, chunk_idx"""
+
   /** q224 twin of [[graft.analytics.Profiling.weightedMedian]]: the
     * identical crossing-row windows; DuckDB window sums are HUGEINT,
     * cast back at the edge. */
@@ -5348,6 +5387,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q222_k_anonymize" -> q222_k_anonymize,
     "q223_zone_map_scan" -> q223_zone_map_scan,
     "q224_weighted_median" -> q224_weighted_median,
+    "q225_content_chunks" -> q225_content_chunks,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

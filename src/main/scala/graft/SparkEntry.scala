@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Content-defined chunking (LBFS boundaries, window 8 / base 31 /
+    // mod 1e9+7 / divisor 64): insertion-robust chunk-hash table per
+    // doc; the twin recomputes the rolling hash positionally via lag.
+    "q225_content_chunks" -> ((s, dir) =>
+      graft.dedup.Dedup.contentChunks(Tables.documents(s, dir), divisor = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Weighted lower median of order value (exact cents) per priority
     // class, weights keyed on the order key — the crossing-row
     // selection on exact integer cumulative weights.

@@ -521,6 +521,31 @@ object Dedup {
       .withColumn("novelty_permille", expr("(n_novel * 1000) div n_shingles"))
   }
 
+  /** Content-defined chunking (LBFS/rsync boundaries — see
+    * [[graft.functions.ContentChunkUtil]]) exploded to a chunk-hash
+    * table: (doc, chunk_idx, start, len, chunk_md5). The
+    * insertion-robust complement to E59's FIXED-size chunk dedup:
+    * one inserted byte shifts every fixed chunk's offset (nothing
+    * matches afterwards) but re-aligns content-defined boundaries
+    * within one hash window — cross-corpus chunk-hash matching then
+    * still finds everything past the edit. Downstream: group by
+    * chunk_md5 for sub-document dedup, or diff two corpus versions
+    * chunk-wise (the backup-dedup pattern). Scan-side expression +
+    * one explode; ASCII contract stated (byte == char keeps SQL
+    * substr and byte windows aligned). */
+  def contentChunks(docs: DataFrame, divisor: Int = 64,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.ContentChunkFunctions.contentChunks(
+          col(textCol), divisor)).as("c"),
+        col(textCol))
+      .select(col(idCol),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        md5(col(textCol).substr(col("c.start") + 1, col("c.len"))
+          .cast("binary")).as("chunk_md5"))
+
   /** TF-IDF cosine document-pair similarity — the TERM-WEIGHTED member
     * of the pair-join family: [[jaccardPairs]] treats every shingle
     * equally (set overlap), [[graft.similarity.Similarity]] needs an

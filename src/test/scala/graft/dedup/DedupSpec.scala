@@ -300,6 +300,55 @@ class DedupSpec extends SparkSpec {
     pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length shouldBe pairs.length
   }
 
+  test("contentChunks tile each doc exactly: contiguous starts, lens sum to length") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"word$i item${i * 7}").mkString(" ")
+    val d = docs(1L -> text, 2L -> "tiny", 3L -> "")
+    val out = Dedup.contentChunks(d, divisor = 16)
+      .as[(Long, Int, Int, Int, String)].collect()
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    c1.head._3 shouldBe 0
+    c1.map(_._4).sum shouldBe text.length
+    c1.sliding(2).foreach { case Array(a, b) => b._3 shouldBe (a._3 + a._4); case _ => }
+    c1.length should be > 1                       // divisor 16 => ~16B chunks
+    out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq shouldBe
+      Seq((0, 0, 4))                              // sub-window doc: one chunk
+    out.filter(_._1 == 3L) shouldBe empty         // empty doc: no chunks
+  }
+
+  test("contentChunks: a front insertion re-aligns — fixed-size chunking can't") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok${i * 31 % 97}x${i}").mkString(" ")
+    val d = docs(1L -> base, 2L -> ("Z" + base))
+    val out = Dedup.contentChunks(d, divisor = 16)
+      .as[(Long, Int, Int, Int, String)].collect()
+    val h1 = out.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = out.filter(_._1 == 2L).map(_._5).toSet
+    // all boundaries past the first window survive the shift: only the
+    // head chunk (and at most one neighbor) differs
+    (h1 intersect h2).size should be >= (h1.size - 2)
+    (h1 intersect h2).size should be >= 2 // and the overlap is real
+  }
+
+  test("contentChunks is invariant under partitioning and matches a direct-formula replay") {
+    import spark.implicits._
+    val d = docs((1 to 30).map(i => i.toLong -> s"payload $i ${"ab" * (i % 9)}"): _*)
+    assertSameRows(Dedup.contentChunks(d), Dedup.contentChunks(d.repartition(7)))
+    // driver-side positional replay of the rolling hash on one doc
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val bytes = text.getBytes("US-ASCII").map(_ & 0xff)
+    val pow = Array.iterate(1L, 8)(_ * 31L)
+    val ends = (7 until bytes.length).filter { i =>
+      val h = (0 to 7).map(j => bytes(i - j) * pow(j)).sum % 1000000007L
+      h % 64 == 0
+    } :+ (bytes.length - 1)
+    val expect = ends.distinct.sorted
+    val got = Dedup.contentChunks(docs(9L -> text), divisor = 64)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._2)
+      .map(r => r._3 + r._4 - 1).toSeq
+    got shouldBe expect
+  }
+
   test("tfidfCosinePairs: verbatim copy scores ppm 1000000; tf scaling keeps cosine 1") {
     val d = docs(
       1L -> "alpha beta gamma delta",
