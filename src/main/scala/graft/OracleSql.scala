@@ -1732,6 +1732,44 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q226 twin of [[graft.dedup.Dedup.nearDupEval]]: the q18 banded
+    * candidates and a 0.5-threshold copy of the q19 exact machinery,
+    * full-outer-joined on the pair key, folded to the one-row P/R
+    * report with permille floor divisions. */
+  val q226_neardup_eval: String = {
+    val exact05 = shinglesCte + """
+, ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, len(ss) AS n_sh, unnest(ss) AS shingle FROM ds),
+rare AS (SELECT shingle FROM posting GROUP BY shingle HAVING count(*) <= 100),
+f AS (SELECT p.* FROM posting p JOIN rare USING (shingle)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS common
+  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b,
+    CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
+  FROM common)
+WHERE jaccard >= 0.5"""
+    s"""
+WITH est AS ($q18_minhash_neardup),
+ex AS ($exact05),
+j AS (
+  SELECT (e.doc_a IS NOT NULL) AS in_e, (x.doc_a IS NOT NULL) AS in_x
+  FROM est e FULL OUTER JOIN ex x
+    ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b),
+agg AS (
+  SELECT CAST(count(CASE WHEN in_e THEN 1 END) AS BIGINT) AS n_est,
+    CAST(count(CASE WHEN in_x THEN 1 END) AS BIGINT) AS n_exact,
+    CAST(count(CASE WHEN in_e AND in_x THEN 1 END) AS BIGINT) AS tp
+  FROM j)
+SELECT n_est, n_exact, tp, n_est - tp AS fp, n_exact - tp AS fn,
+  CASE WHEN n_est > 0 THEN (tp * 1000) // n_est END AS precision_permille,
+  CASE WHEN n_exact > 0 THEN (tp * 1000) // n_exact END AS recall_permille
+FROM agg"""
+  }
+
   /** q225 twin of [[graft.dedup.Dedup.contentChunks]]: the rolling
     * hash recomputed POSITIONALLY (eight lag terms with the stated
     * 31^j coefficients — max Σ < 4e12, BIGINT-safe) instead of
@@ -5388,6 +5426,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q223_zone_map_scan" -> q223_zone_map_scan,
     "q224_weighted_median" -> q224_weighted_median,
     "q225_content_chunks" -> q225_content_chunks,
+    "q226_neardup_eval" -> q226_neardup_eval,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,14 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Near-dup LSH quality report: precision/recall of the banded
+    // minhash candidates vs the exact capped Jaccard pairs at 0.5 —
+    // the measurement that justifies the band/row config before a
+    // corpus-scale dedup trusts it.
+    "q226_neardup_eval" -> ((s, dir) =>
+      graft.dedup.Dedup.nearDupEval(Tables.documents(s, dir),
+        threshold = 0.5)),
+
     // Content-defined chunking (LBFS boundaries, window 8 / base 31 /
     // mod 1e9+7 / divisor 64): insertion-robust chunk-hash table per
     // doc; the twin recomputes the rolling hash positionally via lag.

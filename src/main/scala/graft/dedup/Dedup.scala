@@ -521,6 +521,40 @@ object Dedup {
       .withColumn("novelty_permille", expr("(n_novel * 1000) div n_shingles"))
   }
 
+  /** Near-dup index-quality evaluation — the TEXT twin of the ANN
+    * recall@k audit (E80): precision/recall of [[minhashPairs]]'s
+    * banded candidates against [[jaccardPairs]]'s exact pairs at the
+    * SAME threshold, as exact integer permilles. This is the
+    * measurement that justifies (or indicts) the LSH band/row
+    * configuration before anyone trusts a 100 TB dedup run to it:
+    * recall says what the bands miss, precision what the signature
+    * estimate hallucinates past the threshold.
+    *
+    * Ground truth is the df-capped exact join (the deployed
+    * system's own governor — stated: this evaluates the system as
+    * built, hot-shingle truncation included). Diagnostics shape, not
+    * production: both pipelines scan the corpus (run on a sample at
+    * scale); the final report is ONE row via a pair-keyed full outer
+    * join + one aggregate. */
+  def nearDupEval(docs: DataFrame, threshold: Double = 0.5,
+                  maxDocFreq: Long = 100): DataFrame = {
+    val est = minhashPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
+    val exact = jaccardPairs(docs, threshold, maxDocFreq)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__x"))
+    est.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("__e")).as("n_est"),
+        count(col("__x")).as("n_exact"),
+        count(when(col("__e").isNotNull && col("__x").isNotNull, 1)).as("tp"))
+      .select(col("n_est"), col("n_exact"), col("tp"),
+        (col("n_est") - col("tp")).as("fp"),
+        (col("n_exact") - col("tp")).as("fn"),
+        when(col("n_est") > 0, expr("(tp * 1000) div n_est"))
+          .as("precision_permille"),
+        when(col("n_exact") > 0, expr("(tp * 1000) div n_exact"))
+          .as("recall_permille"))
+  }
+
   /** Content-defined chunking (LBFS/rsync boundaries — see
     * [[graft.functions.ContentChunkUtil]]) exploded to a chunk-hash
     * table: (doc, chunk_idx, start, len, chunk_md5). The

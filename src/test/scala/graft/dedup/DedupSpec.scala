@@ -300,6 +300,35 @@ class DedupSpec extends SparkSpec {
     pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length shouldBe pairs.length
   }
 
+  test("nearDupEval: identical-heavy fixture gives full recall; counts reconcile") {
+    val d = docs(
+      1L -> "a b c d e f g h i j k l m n o p",
+      2L -> "a b c d e f g h i j k l m n o p",   // exact dup of 1
+      3L -> "a b c d e f g h i j k l m n o q",   // near dup
+      4L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0")     // unrelated
+    val r = Dedup.nearDupEval(d, threshold = 0.5).collect().head
+    val (nEst, nExact, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    nExact should be >= 1L           // the exact dup pair is ground truth
+    tp + fp shouldBe nEst            // identities hold by construction
+    tp + fn shouldBe nExact
+    // identical docs share ALL signatures, so banding cannot miss the
+    // (1,2) pair: tp >= 1 always; the J=0.75 near-dups MAY fall under
+    // the 16-hash estimate threshold — that loss is exactly what the
+    // report exists to measure, so only bound it
+    tp should be >= 1L
+    fn should be <= 2L
+    r.getLong(6) should be >= 333L   // recall_permille, >= 1 of <= 3 truths
+  }
+
+  test("nearDupEval: no pairs at all yields a zero report with NULL ratios") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "zeta eta theta iota")
+    val r = Dedup.nearDupEval(d, threshold = 0.5).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((0L, 0L, 0L))
+    r.isNullAt(5) shouldBe true
+    r.isNullAt(6) shouldBe true
+  }
+
   test("contentChunks tile each doc exactly: contiguous starts, lens sum to length") {
     import spark.implicits._
     val text = (1 to 40).map(i => s"word$i item${i * 7}").mkString(" ")
