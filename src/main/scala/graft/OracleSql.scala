@@ -1732,6 +1732,48 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q227 twin of [[graft.text.Urls.urlPolicy]]: same regex splits,
+    * same label-boundary suffix + path-prefix match, winner by
+    * row_number over (specificity DESC, rule_id) ≡ the struct-max. */
+  val q227_url_policy: String = """
+WITH u AS (
+  SELECT doc_id,
+    'https://sub' || CAST(doc_id % 4 AS VARCHAR) || '.example' ||
+    CAST(doc_id % 7 AS VARCHAR) || '.com/dir' ||
+    CAST(doc_id % 5 AS VARCHAR) || '/pg' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1))
+      AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS pth
+  FROM u),
+r(rule_id, action, domain_suffix, path_prefix) AS (
+  VALUES (1, 'deny', 'example2.com', ''),
+    (2, 'allow', 'example2.com', '/dir1'),
+    (3, 'deny', 'sub1.example3.com', ''),
+    (4, 'deny', '', '/dir4'),
+    (5, 'allow', 'example5.com', '/dir4')),
+m AS (
+  SELECT p.doc_id, r.rule_id, r.action,
+    length(r.domain_suffix) + length(r.path_prefix) AS spec
+  FROM p JOIN r ON
+    (r.domain_suffix = '' OR p.host = r.domain_suffix
+      OR ends_with(p.host, '.' || r.domain_suffix))
+    AND (r.path_prefix = '' OR starts_with(p.pth, r.path_prefix))),
+w AS (
+  SELECT doc_id, rule_id, action,
+    row_number() OVER (PARTITION BY doc_id
+      ORDER BY spec DESC, rule_id) AS rn
+  FROM m)
+SELECT p.doc_id, p.url,
+  CAST(w.rule_id AS BIGINT) AS rule_id, w.action,
+  CASE WHEN w.rule_id IS NULL THEN true
+       ELSE w.action = 'allow' END AS kept
+FROM p LEFT JOIN (SELECT * FROM w WHERE rn = 1) w ON w.doc_id = p.doc_id
+ORDER BY p.doc_id"""
+
   /** q226 twin of [[graft.dedup.Dedup.nearDupEval]]: the q18 banded
     * candidates and a 0.5-threshold copy of the q19 exact machinery,
     * full-outer-joined on the pair key, folded to the one-row P/R
@@ -5427,6 +5469,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q224_weighted_median" -> q224_weighted_median,
     "q225_content_chunks" -> q225_content_chunks,
     "q226_neardup_eval" -> q226_neardup_eval,
+    "q227_url_policy" -> q227_url_policy,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,26 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Crawl URL policy: allow/deny rules with label-boundary domain
+    // suffixes and path prefixes, most-specific-wins with a carve-out
+    // allow inside a domain-wide deny — the pre-fetch gate.
+    "q227_url_policy" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val urls = Tables.documents(s, dir).select(id,
+        concat(lit("https://sub"), (id % 4).cast("string"),
+          lit(".example"), (id % 7).cast("string"), lit(".com/dir"),
+          (id % 5).cast("string"), lit("/pg"), id.cast("string")).as("url"))
+      val rules = Seq(
+        (1L, "deny", "example2.com", ""),
+        (2L, "allow", "example2.com", "/dir1"),
+        (3L, "deny", "sub1.example3.com", ""),
+        (4L, "deny", "", "/dir4"),
+        (5L, "allow", "example5.com", "/dir4"))
+        .toDF("rule_id", "action", "domain_suffix", "path_prefix")
+      graft.text.Urls.urlPolicy(urls, rules).orderBy(col("doc_id"))
+    }),
+
     // Near-dup LSH quality report: precision/recall of the banded
     // minhash candidates vs the exact capped Jaccard pairs at 0.5 —
     // the measurement that justifies the band/row config before a

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and domain extraction — the crawl-hygiene
@@ -58,6 +58,53 @@ object Urls {
       when(keptQuery === "", "").otherwise(concat(lit("?"), keptQuery))
     when(scheme === "", u)
       .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+
+  /** Crawl-policy engine — the allow/deny rule evaluation every crawl
+    * curation pass runs before fetching or keeping a URL (robots-file
+    * policies, licensing deny-lists, partner allow-lists). Rules are
+    * a CONFIG table (rule_id, action ∈ allow|deny, domain_suffix,
+    * path_prefix): a rule matches when the host ends at a LABEL
+    * boundary with `domain_suffix` (empty = every host — "evil.com"
+    * must not match "notevil.com", hence the boundary) and the path
+    * starts with `path_prefix` (empty = every path). The winner is
+    * the MOST SPECIFIC match — longest suffix+prefix, ties to the
+    * lowest rule_id — so a domain-wide deny with a path carve-out
+    * allow behaves like every firewall admin expects; unmatched URLs
+    * fall to `defaultAllow`.
+    *
+    * Determinism: winner via ONE `max(struct(specificity, −rule_id,
+    * …))` aggregate (the applyCdc struct-max discipline — pure
+    * function of the match set under any partitioning). Scale shape:
+    * rules are config-sized and BROADCAST; the join is a broadcast
+    * nested loop by construction (suffix match isn't an equi-key —
+    * stated), so cost is rows × rules with zero shuffle of the URL
+    * side; the verdict aggregate groups on the caller's key. */
+  def urlPolicy(urls: DataFrame, rules: DataFrame, idCol: String = "doc_id",
+                urlCol: String = "url",
+                defaultAllow: Boolean = true): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val path = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val u = urls.select(col(idCol), col(urlCol))
+      .withColumn("__host", host).withColumn("__path", path)
+    val cond =
+      (col("domain_suffix") === "" || col("__host") === col("domain_suffix") ||
+        col("__host").endsWith(concat(lit("."), col("domain_suffix")))) &&
+      (col("path_prefix") === "" ||
+        col("__path").startsWith(col("path_prefix")))
+    val win = max(when(col("rule_id").isNotNull, struct(
+      (length(col("domain_suffix")) + length(col("path_prefix"))).as("spec"),
+      (-col("rule_id")).as("nid"),
+      col("rule_id").as("rid"), col("action").as("act")))).as("__w")
+    u.join(broadcast(rules), cond, "left")
+      .groupBy(col(idCol), col(urlCol))
+      .agg(win)
+      .select(col(idCol), col(urlCol),
+        col("__w.rid").as("rule_id"), col("__w.act").as("action"),
+        when(col("__w").isNull, lit(defaultAllow))
+          .otherwise(col("__w.act") === "allow").as("kept"))
   }
 
   /** Registered domain as the last two host labels (`a.b.c.com` →

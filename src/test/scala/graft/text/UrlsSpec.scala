@@ -63,6 +63,50 @@ class UrlsSpec extends SparkSpec {
       Seq("example.com", "example.com", "")
   }
 
+  private def policyRules = Seq(
+    (1L, "deny", "evil.com", ""),
+    (2L, "allow", "evil.com", "/ok"),
+    (3L, "deny", "", "/spam"))
+    .toDF("rule_id", "action", "domain_suffix", "path_prefix")
+
+  test("urlPolicy: carve-out allow beats domain deny; label boundary holds") {
+    val urls = Seq(
+      (1L, "https://a.evil.com/bad/x"),    // rule 1: denied
+      (2L, "https://a.evil.com/ok/x"),     // rule 2 more specific: allowed
+      (3L, "https://notevil.com/bad"),     // suffix must NOT match mid-label
+      (4L, "https://good.com/spam/x"),     // global path deny
+      (5L, "https://good.com/fine"))       // no match: default allow
+      .toDF("doc_id", "url")
+    val out = Urls.urlPolicy(urls, policyRules)
+      .as[(Long, String, Option[Long], Option[String], Boolean)]
+      .collect().map(r => r._1 -> ((r._3, r._5))).toMap
+    out(1L) shouldBe ((Some(1L), false))
+    out(2L) shouldBe ((Some(2L), true))
+    out(3L) shouldBe ((None, true))
+    out(4L) shouldBe ((Some(3L), false))
+    out(5L) shouldBe ((None, true))
+  }
+
+  test("urlPolicy: equal specificity ties to the lowest rule_id; defaultAllow=false flips unmatched") {
+    val rules = Seq(
+      (7L, "deny", "x.com", ""), (4L, "allow", "y.com", "/ab"),
+      (9L, "deny", "", "/abcde")) // same spec (5) as rule 4's 5... (4+2=6) adjust
+      .toDF("rule_id", "action", "domain_suffix", "path_prefix")
+    val tieRules = Seq(
+      (8L, "deny", "t.com", "/p"), (2L, "allow", "t.com", "/p"))
+      .toDF("rule_id", "action", "domain_suffix", "path_prefix")
+    val out = Urls.urlPolicy(
+        Seq((1L, "https://t.com/p/z")).toDF("doc_id", "url"), tieRules)
+      .as[(Long, String, Option[Long], Option[String], Boolean)].collect()
+    out.head._3 shouldBe Some(2L) // lowest rule_id wins the tie
+    out.head._5 shouldBe true
+    val strict = Urls.urlPolicy(
+        Seq((1L, "https://unknown.org/q")).toDF("doc_id", "url"),
+        rules, defaultAllow = false)
+      .as[(Long, String, Option[Long], Option[String], Boolean)].collect()
+    strict.head._5 shouldBe false
+  }
+
   test("canonical form is idempotent") {
     val urls = Seq(
       "HTTPS://WWW.ExAmple.COM:443/Dir/pg/?utm_source=f&id=3&q=2#Sec1",
