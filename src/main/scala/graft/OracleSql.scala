@@ -1732,6 +1732,29 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q228 twin of [[graft.etl.Packing.lengthBatches]]: the plain
+    * global row_number (fine at oracle scale — the Spark side's
+    * offset+local construction must emit the identical ordinal). */
+  val q228_length_batches: String = """
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+    (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch_id
+  FROM d)
+SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_cells,
+  CASE WHEN max(n_tokens) > 0 THEN
+    CAST((sum(n_tokens) * 1000) // (count(*) * max(n_tokens)) AS BIGINT)
+  END AS efficiency_permille
+FROM r GROUP BY 1 ORDER BY 1"""
+
   /** q227 twin of [[graft.text.Urls.urlPolicy]]: same regex splits,
     * same label-boundary suffix + path-prefix match, winner by
     * row_number over (specificity DESC, rule_id) ≡ the struct-max. */
@@ -5470,6 +5493,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q225_content_chunks" -> q225_content_chunks,
     "q226_neardup_eval" -> q226_neardup_eval,
     "q227_url_policy" -> q227_url_policy,
+    "q228_length_batches" -> q228_length_batches,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,17 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Length-bucketed inference batches of 32 docs by token count —
+    // each batch pads to its own max; built on the distributed exact
+    // global row index (no single-partition window).
+    "q228_length_batches" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      graft.etl.Packing.lengthBatches(d, batchSize = 32)
+        .orderBy(col("batch_id"))
+    }),
+
     // Crawl URL policy: allow/deny rules with label-boundary domain
     // suffixes and path prefixes, most-specific-wins with a carve-out
     // allow inside a domain-wide deny — the pre-fetch gate.

@@ -68,6 +68,70 @@ object Packing {
   }
 
   /** Pack-level summary: documents per pack, fill, padding waste. */
+  /** EXACT global row ordinal (1-based, by `orderCols`) WITHOUT the
+    * single-partition window — the distributed primitive a naive
+    * `row_number().over(Window.orderBy(...))` pretends to be (Spark
+    * executes that by moving ALL data to one partition; the WARN in
+    * the logs is the 100 TB job that never finishes). Three steps,
+    * all distributed: range-repartition on the order key (so
+    * partition i's rows all precede partition i+1's), per-partition
+    * local ranks (an ordinary partitioned window), and per-partition
+    * row counts — a #partitions-sized frame — cumulated into offsets
+    * and joined back by partition id. `global = offset + local`.
+    *
+    * Determinism: range boundaries come from sampling and may vary
+    * run to run, but the emitted ordinal is a pure function of the
+    * TOTAL order — whichever partition a row lands in, offset+local
+    * is its global rank (orderCols must be a total order: include a
+    * unique tiebreaker, stated & required). */
+  def globalRowIndex(df: DataFrame, orderCols: Seq[String],
+                     indexCol: String = "row_idx"): DataFrame = {
+    val ranged = df.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lrn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)))
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__pid"))
+          .rowsBetween(Window0.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(indexCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  private val Window0 = org.apache.spark.sql.expressions.Window
+
+  /** Length-bucketed inference batches — the padding-efficiency prep
+    * every batched-inference/serving pass runs: sort by token count
+    * (unique-keyed), slice into consecutive groups of `batchSize`, so
+    * each batch pads to its own max instead of the corpus max.
+    * Built on [[globalRowIndex]] (the naive global row_number is the
+    * single-partition trap it exists to avoid). Returns the per-batch
+    * report: sizes, bounds, pad cells, exact efficiency permille
+    * Σlen·1000 div (rows·max). */
+  def lengthBatches(docs: DataFrame, batchSize: Int,
+                    idCol: String = "doc_id",
+                    lenCol: String = "n_tokens"): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    globalRowIndex(docs.select(col(idCol), col(lenCol)),
+        Seq(lenCol, idCol))
+      .withColumn("batch_id", expr(s"(row_idx - 1) div $batchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(lenCol)).as("min_tokens"),
+        max(col(lenCol)).as("max_tokens"),
+        sum(col(lenCol)).as("sum_tokens"))
+      .withColumn("pad_cells",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("efficiency_permille",
+        when(col("max_tokens") > 0,
+          expr("(sum_tokens * 1000) div (n_docs * max_tokens)")))
+  }
+
   def packStats(packed: DataFrame, capacity: Long): DataFrame =
     packed.groupBy(col("shard"), col("pack_seq"))
       .agg(count(lit(1)).as("n_docs"),

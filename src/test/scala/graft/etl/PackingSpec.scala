@@ -55,6 +55,39 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("globalRowIndex equals the naive global row_number, distributed") {
+    val d = (1 to 500).map(i => (i.toLong, (i * 37 % 101).toLong))
+      .toDF("doc_id", "len").repartition(13)
+    val got = Packing.globalRowIndex(d, Seq("len", "doc_id"))
+      .select("doc_id", "row_idx").as[(Long, Long)].collect().toMap
+    val naive = d.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("len"), col("doc_id"))))
+      .select("doc_id", "rn").as[(Long, Int)].collect().toMap
+    got.size shouldBe 500
+    got.foreach { case (id, idx) => idx shouldBe naive(id).toLong }
+  }
+
+  test("globalRowIndex is invariant under input partitioning") {
+    val d = (1 to 200).map(i => (i.toLong, (i * 7 % 31).toLong))
+      .toDF("doc_id", "len")
+    assertSameRows(
+      Packing.globalRowIndex(d, Seq("len", "doc_id")),
+      Packing.globalRowIndex(d.repartition(7), Seq("len", "doc_id")))
+  }
+
+  test("lengthBatches: consecutive slices of the length order, exact padding math") {
+    val d = Seq((10L, 5L), (11L, 1L), (12L, 3L), (13L, 4L), (14L, 2L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.lengthBatches(d, batchSize = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1)
+    out.toSeq shouldBe Seq(
+      (0L, 2L, 1L, 2L, 3L, 1L, Some(750L)),  // lens 1,2: pad 2*2-3=1
+      (1L, 2L, 3L, 4L, 7L, 1L, Some(875L)),  // lens 3,4
+      (2L, 1L, 5L, 5L, 5L, 0L, Some(1000L))) // tail batch: its own max
+  }
+
   test("no pack exceeds capacity unless it holds a single oversized doc") {
     val base = (1L to 500L).map(i => (s"s${i % 5}", i, 50L + (i * 131) % 3000))
     val packed = Packing.packGreedy(docs(base: _*), "shard", "doc_id", "size", 2048L)
