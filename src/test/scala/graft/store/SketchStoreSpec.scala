@@ -1,0 +1,60 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** E23-precedent spec: approximate operators are pinned by error
+  * bounds against exact ground truth plus the algebraic properties
+  * (mergeability, incrementality) that justify storing sketches. */
+class SketchStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(n: Int, users: Int, offset: Int = 0) =
+    (1 to n).map { i =>
+      (s"t${i % 3}", (i * 31 % users + offset).toLong)
+    }.toDF("etype", "user_id")
+
+  private def tmp() = Files.createTempDirectory("graft-sketch").toString + "/s"
+
+  test("rolled-up estimates track exact distincts within HLL error") {
+    val d = events(5000, 800)
+    val path = tmp()
+    SketchStore.writeDistinctSketches(d, Seq("etype"), "user_id", path)
+    val est = SketchStore.distinctCounts(spark, path, Seq("etype"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    val exact = d.groupBy("etype").agg(countDistinct("user_id").as("x"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, x) =>
+      math.abs(est(k) - x) / x.toDouble should be < 0.05
+    }
+    // grand total WITHOUT regrouping the raw data: union of sketches
+    val total = SketchStore.distinctCounts(spark, path, Nil)
+      .as[(Double, Long)].collect().head
+    val exactTotal = d.agg(countDistinct("user_id")).as[Long].head()
+    math.abs(total._1 - exactTotal) / exactTotal.toDouble should be < 0.05
+    total._2 shouldBe 5000L
+  }
+
+  test("append + union-at-read equals a fresh sketch over the union") {
+    val a = events(2000, 300)          // users 0..299
+    val b = events(2000, 300, 600)     // users 600..899: disjoint
+    val inc = tmp(); val fresh = tmp()
+    SketchStore.writeDistinctSketches(a, Seq("etype"), "user_id", inc)
+    SketchStore.appendDistinctSketches(b, Seq("etype"), "user_id", inc)
+    SketchStore.writeDistinctSketches(a.unionByName(b),
+      Seq("etype"), "user_id", fresh)
+    val i = SketchStore.distinctCounts(spark, inc, Seq("etype"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val f = SketchStore.distinctCounts(spark, fresh, Seq("etype"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // HLL union over the lattice: incrementally-built == fresh, exactly
+    i.keySet shouldBe f.keySet
+    i.foreach { case (k, (_, est, n)) =>
+      est shouldBe f(k)._2
+      n shouldBe f(k)._3
+    }
+  }
+}
