@@ -1732,6 +1732,97 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Per-query BM25 top-k subquery for the q229 twin — the q167
+    * integer arithmetic with the term list parameterized. */
+  private def bm25Sub(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""(
+WITH tk2 AS (
+  SELECT doc_id,
+    list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '') AS tokens
+  FROM documents),
+d AS (SELECT doc_id, tokens, len(tokens) AS dl FROM tk2),
+tot AS (SELECT count(*) AS n, sum(dl) AS l FROM d),
+tf AS (
+  SELECT doc_id, dl, token, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(tokens) AS token FROM d)
+  WHERE token IN ($inList) GROUP BY 1, 2, 3),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT t.doc_id,
+    (length(bin(greatest(1,
+        (2 * (SELECT n FROM tot) - 2 * f.df + 1) // (2 * f.df + 1)))) - 1)
+      * 22 * ((SELECT l FROM tot) // (SELECT n FROM tot)) * t.tf * 1000
+      // (10 * ((SELECT l FROM tot) // (SELECT n FROM tot)) * t.tf
+         + 3 * ((SELECT l FROM tot) // (SELECT n FROM tot)) + 9 * t.dl)
+      AS score
+  FROM tf t JOIN dfq f USING (token))
+SELECT doc_id, sum(score) AS u FROM sc GROUP BY 1
+ORDER BY u DESC, doc_id LIMIT $k)"""
+  }
+
+  /** q229 twin of [[graft.analytics.Ranking.rankingMetrics]]: three
+    * parameterized q167 BM25 subqueries, per-query ranks, the
+    * all-terms truth sets, and the exact-rational metric algebra. */
+  val q229_ranking_metrics: String = s"""
+WITH tk AS (
+  SELECT doc_id,
+    list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '') AS tokens
+  FROM documents),
+res AS (
+  SELECT 'qa' AS query_id, doc_id,
+    CAST(row_number() OVER (ORDER BY u DESC, doc_id) AS BIGINT) AS rank
+  FROM ${bm25Sub(Seq("hash", "join"), 20)}
+  UNION ALL
+  SELECT 'qb', doc_id,
+    CAST(row_number() OVER (ORDER BY u DESC, doc_id) AS BIGINT)
+  FROM ${bm25Sub(Seq("vector", "scan"), 20)}
+  UNION ALL
+  SELECT 'qc', doc_id,
+    CAST(row_number() OVER (ORDER BY u DESC, doc_id) AS BIGINT)
+  FROM ${bm25Sub(Seq("slow", "merge", "batch"), 20)}),
+tr AS (
+  SELECT 'qa' AS query_id, doc_id FROM tk
+  WHERE list_contains(tokens, 'hash') AND list_contains(tokens, 'join')
+  UNION ALL
+  SELECT 'qb', doc_id FROM tk
+  WHERE list_contains(tokens, 'vector') AND list_contains(tokens, 'scan')
+  UNION ALL
+  SELECT 'qc', doc_id FROM tk
+  WHERE list_contains(tokens, 'slow') AND list_contains(tokens, 'merge')
+    AND list_contains(tokens, 'batch')),
+trd AS (SELECT DISTINCT query_id, doc_id FROM tr),
+nrel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+  FROM trd GROUP BY 1),
+j AS (
+  SELECT r.query_id, r.rank, (t.doc_id IS NOT NULL) AS rel
+  FROM res r LEFT JOIN trd t
+    ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+per AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_results,
+    min(CASE WHEN rel THEN rank END) AS first_rel_rank,
+    CAST(count(CASE WHEN rel AND rank <= 10 THEN 1 END) AS BIGINT)
+      AS hits_at_k
+  FROM j GROUP BY 1)
+SELECT coalesce(p.query_id, n.query_id) AS query_id,
+  coalesce(p.n_results, 0) AS n_results,
+  coalesce(n.n_relevant, 0) AS n_relevant,
+  p.first_rel_rank,
+  CASE WHEN p.first_rel_rank IS NOT NULL
+    THEN 1000000 // p.first_rel_rank END AS rr_e6,
+  coalesce(p.hits_at_k, 0) AS hits_at_k,
+  (coalesce(p.hits_at_k, 0) * 1000) // 10 AS precision_at_k_permille,
+  CASE WHEN n.n_relevant > 0
+    THEN (coalesce(p.hits_at_k, 0) * 1000) // n.n_relevant END
+    AS recall_at_k_permille
+FROM per p FULL OUTER JOIN nrel n ON p.query_id = n.query_id
+ORDER BY query_id"""
+
   /** q228 twin of [[graft.etl.Packing.lengthBatches]]: the plain
     * global row_number (fine at oracle scale — the Spark side's
     * offset+local construction must emit the identical ordinal). */
@@ -5494,6 +5585,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q226_neardup_eval" -> q226_neardup_eval,
     "q227_url_policy" -> q227_url_policy,
     "q228_length_batches" -> q228_length_batches,
+    "q229_ranking_metrics" -> q229_ranking_metrics,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

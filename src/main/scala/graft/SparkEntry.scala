@@ -973,6 +973,33 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // IR ranking metrics over three BM25 runs: MRR / P@10 / R@10 as
+    // exact rationals, truth = docs containing ALL query terms (a
+    // deterministic relevance set); rank ties pinned by doc_id.
+    "q229_ranking_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val qs = Seq("qa" -> Seq("hash", "join"), "qb" -> Seq("vector", "scan"),
+        "qc" -> Seq("slow", "merge", "batch"))
+      val results = qs.map { case (qid, terms) =>
+        graft.text.TextAnalysis.bm25Search(docs, terms, k = 20)
+          .withColumn("query_id", lit(qid))
+      }.reduce(_.unionByName(_))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("bm25_units").desc, col("doc_id"))).cast("long"))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val toks = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("tk"))
+      val truth = qs.map { case (qid, terms) =>
+        toks.filter(terms.map(t => array_contains(col("tk"), t))
+            .reduce(_ && _))
+          .select(lit(qid).as("query_id"), col("doc_id"))
+      }.reduce(_.unionByName(_))
+      graft.analytics.Ranking.rankingMetrics(results, truth, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // Length-bucketed inference batches of 32 docs by token count —
     // each batch pads to its own max; built on the distributed exact
     // global row index (no single-partition window).
