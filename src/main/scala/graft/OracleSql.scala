@@ -1732,6 +1732,49 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** d-prefix SQ8 top-k subquery for the q230 twin: q91's pipeline
+    * over the re-normalized `embedding[1:d]` slice. */
+  private def knnQuantSub(d: Int, k: Int, nq: Int): String = s"""(
+WITH t AS (SELECT vec_id, embedding[1:$d] AS emb FROM embeddings),
+n AS (
+  SELECT vec_id,
+    list_transform(range(1, len(emb)+1),
+      i -> CAST(floor(CAST(emb[i] AS DOUBLE)
+             / sqrt(${sqlDot("emb", "emb")}) * 127 + 0.5) AS BIGINT)) AS qv
+  FROM t),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM n WHERE vec_id < $nq),
+scored AS (
+  SELECT q.query_id, n.vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(n.qv)+1), i -> n.qv[i] * q.qq[i])),
+      (a, v) -> a + v) AS score
+  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, vec_id) AS rnk
+    FROM scored)
+  WHERE rnk <= $k)
+SELECT query_id, neighbor_id FROM ranked)"""
+
+  /** q230 twin of [[graft.similarity.Similarity.truncationRecallCurve]]:
+    * four prefix rungs, each LEFT JOINed against the full-dim truth,
+    * folded to (dim, n_truth, hits, recall_permille). */
+  val q230_truncation_recall: String = {
+    val exact = knnQuantSub(64, 10, 5)
+    Seq(64, 32, 16, 8).map { d =>
+      s"""SELECT $d AS dim,
+  CAST(count(*) AS BIGINT) AS n_truth,
+  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+  CASE WHEN count(*) > 0 THEN
+    (CAST(count(a.neighbor_id) AS BIGINT) * 1000) // count(*) END
+    AS recall_permille
+FROM $exact e LEFT JOIN ${knnQuantSub(d, 10, 5)} a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY dim DESC"
+  }
+
   /** Per-query BM25 top-k subquery for the q229 twin — the q167
     * integer arithmetic with the term list parameterized. */
   private def bm25Sub(terms: Seq[String], k: Int): String = {
@@ -5586,6 +5629,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q227_url_policy" -> q227_url_policy,
     "q228_length_batches" -> q228_length_batches,
     "q229_ranking_metrics" -> q229_ranking_metrics,
+    "q230_truncation_recall" -> q230_truncation_recall,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

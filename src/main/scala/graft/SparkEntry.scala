@@ -973,6 +973,17 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Matryoshka truncation recall: SQ8 top-10 over re-normalized
+    // 64/32/16/8-dim prefixes vs the full-dim top-10 — the
+    // dimension-budget curve, exactly oracle-checkable (integer
+    // dots, id tie-breaks).
+    "q230_truncation_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity.truncationRecallCurve(
+          emb, emb.filter(col("vec_id") < 5), Seq(64, 32, 16, 8), k = 10)
+        .orderBy(col("dim").desc)
+    }),
+
     // IR ranking metrics over three BM25 runs: MRR / P@10 / R@10 as
     // exact rationals, truth = docs containing ALL query terms (a
     // deterministic relevance set); rank ties pinned by doc_id.

@@ -808,6 +808,43 @@ object Similarity {
         (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Matryoshka truncation-recall curve — the dimension-budget eval
+    * for prefix-truncatable embeddings (Kusupati et al. 2022,
+    * arXiv:2205.13147): for each dim in a stated ladder, run the
+    * SQ8 top-k over the RE-NORMALIZED d-prefix of every vector and
+    * measure recall against the full-dimension top-k. The curve says
+    * how many dims the ANN tier can drop before recall pays — the
+    * knob that multiplies with IVF pruning and PQ codes (E198) at
+    * 100 TB, since candidate bytes scale linearly in d.
+    *
+    * Fully integer-deterministic (the [[knnQuantized]] contract —
+    * integer code dots, id tie-breaks), so unlike every float ANN
+    * eval the whole curve is exactly oracle-checkable. Renormalizing
+    * per prefix is the matryoshka protocol (a truncated unit vector
+    * isn't unit). Diagnostics shape: each rung is a brute-force pass
+    * (run on a sample at scale, or swap in the IVF path per rung —
+    * the recall@k join is rung-agnostic). */
+  def truncationRecallCurve(corpus: DataFrame, queries: DataFrame,
+                            dims: Seq[Int], k: Int = 10,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    val exact = knnQuantized(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    dims.map { d =>
+      val tc = corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val tq = queries.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val approx = knnQuantized(tc, tq, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+        .select(lit(d).as("dim"), col("n_truth"), col("hits"),
+          when(col("n_truth") > 0, expr("(hits * 1000) div n_truth"))
+            .as("recall_permille"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus by nearest centroid, then
     * inside each cluster drop every document that has a LOWER-id

@@ -531,6 +531,28 @@ class SimilaritySpec extends SparkSpec {
         k = 4, m = 2, ksub = 4))
   }
 
+  test("truncationRecallCurve: full-dim rung is exact identity; prefixes lose, never gain") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.truncationRecallCurve(
+        emb, emb.filter(col("vec_id") < 4), Seq(64, 16, 4), k = 5)
+      .as[(Int, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    out(64)._4 shouldBe Some(1000L)   // identical ranking => perfect recall
+    out.values.foreach(_._2 shouldBe 20L) // n_truth = 4 queries x k=5
+    out(4)._4.get should be <= out(64)._4.get
+    out(16)._4.get should be <= 1000L
+  }
+
+  test("truncationRecallCurve is invariant under input partitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assertSameRows(
+      Similarity.truncationRecallCurve(emb, emb.filter(col("vec_id") < 3),
+        Seq(32, 8), k = 4),
+      Similarity.truncationRecallCurve(emb.repartition(7),
+        emb.filter(col("vec_id") < 3), Seq(32, 8), k = 4))
+  }
+
   test("searchIvfIndexPq at full probe equals knnPq; append maintains the index") {
     val d = pqFixture
     val queries = d.filter(col("vec_id") < 2)
