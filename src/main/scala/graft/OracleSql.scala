@@ -1732,6 +1732,27 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q231 twin of [[graft.dedup.Dedup.incrementalComponents]]: the
+    * CONTRACT is full recomputation over the union of both edge
+    * batches — recursive symmetric closure, label = least reachable
+    * node (the q118 machinery). */
+  val q231_incremental_components: String = """
+WITH RECURSIVE
+e0 AS (
+  SELECT doc_id % 211 AS a, 211 + doc_id % 13 AS b FROM documents
+  UNION ALL
+  SELECT doc_id % 211, 224 + doc_id % 7 FROM documents),
+e AS (SELECT a, b FROM (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)),
+n AS (SELECT DISTINCT a AS node FROM e),
+conn(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN e ON c.b = e.a WHERE e.b <> c.a),
+lab AS (SELECT a AS node, least(a, min(b)) AS label FROM conn GROUP BY a)
+SELECT n.node, coalesce(l.label, n.node) AS label
+FROM n LEFT JOIN lab l USING (node)
+ORDER BY n.node"""
+
   /** d-prefix SQ8 top-k subquery for the q230 twin: q91's pipeline
     * over the re-normalized `embedding[1:d]` slice. */
   private def knnQuantSub(d: Int, k: Int, nq: Int): String = s"""(
@@ -5630,6 +5651,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q228_length_batches" -> q228_length_batches,
     "q229_ranking_metrics" -> q229_ranking_metrics,
     "q230_truncation_recall" -> q230_truncation_recall,
+    "q231_incremental_components" -> q231_incremental_components,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

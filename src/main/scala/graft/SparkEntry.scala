@@ -973,6 +973,26 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Incremental component maintenance: label the first edge batch,
+    // then merge in the second via the star-reduced graph — result
+    // must equal full recomputation over the union (the contract the
+    // recursive-CTE oracle checks).
+    "q231_incremental_components" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      // hub-bipartite layers keep the diameter tiny (the q131
+      // convergence discipline): batch 1 partitions 211 leaf nodes
+      // into 13 hub components; batch 2's second hub layer merges
+      // them and introduces 7 brand-new hub nodes
+      val e1 = docs.select((id % 211).as("doc_a"),
+        (lit(211) + id % 13).as("doc_b"))
+      val e2 = docs.select((id % 211).as("doc_a"),
+        (lit(224) + id % 7).as("doc_b"))
+      val prev = graft.dedup.Dedup.componentLabels(e1)
+      graft.dedup.Dedup.incrementalComponents(prev, e2)
+        .orderBy(col("node"))
+    }),
+
     // Matryoshka truncation recall: SQ8 top-10 over re-normalized
     // 64/32/16/8-dim prefixes vs the full-dim top-10 — the
     // dimension-budget curve, exactly oracle-checkable (integer

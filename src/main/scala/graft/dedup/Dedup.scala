@@ -376,6 +376,43 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected-component maintenance — the append-path
+    * complement to [[componentLabels]], the same way E71/E72 make
+    * minhash incremental: a new batch of near-dup edges must not
+    * recompute components over years of corpus. The union-find batch
+    * merge: (1) components TOUCHED by the batch are identified via
+    * their labels; (2) a REDUCED graph is built from the new edges
+    * plus one star edge (member → label) per affected member — stars
+    * preserve exactly the old connectivity, so relabeling the reduced
+    * graph computes the correct merged min-labels; (3) untouched
+    * components pass through by anti-join, never re-read.
+    *
+    * Work is ∝ batch size + affected-component membership — NOT
+    * corpus size; label stability (min node id, [[componentLabels]]'s
+    * contract) means unaffected labels are bit-identical, so the
+    * CONTRACT is full recomputation over the edge union — which is
+    * exactly what the oracle checks (the q49 discipline). Iterations
+    * bound the reduced graph's diameter, which star-compression keeps
+    * ≈ batch diameter + 2. */
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame,
+                            aCol: String = "doc_a", bCol: String = "doc_b",
+                            maxIterations: Int = 20): DataFrame = {
+    val ne = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val touched = ne.select(col("a").as("node"))
+      .union(ne.select(col("b").as("node"))).distinct()
+    val prev = prevLabels.select(col("node"), col("label"))
+    val touchedLabels = prev.join(touched, "node")
+      .select(col("label")).distinct()
+    val affected = prev.join(touchedLabels, "label")
+    val starEdges = affected.filter(col("node") =!= col("label"))
+      .select(col("node").as("a"), col("label").as("b"))
+    val relabeled = componentLabels(
+      ne.unionByName(starEdges), "a", "b", maxIterations)
+    val untouched = prev.join(affected.select(col("node")),
+      Seq("node"), "left_anti")
+    untouched.unionByName(relabeled)
+  }
+
   /** Near-dup REMOVAL (the operator a training-data pipeline actually
     * runs): given candidate pairs, drop every doc whose component
     * contains a smaller doc_id — one canonical survivor per near-dup

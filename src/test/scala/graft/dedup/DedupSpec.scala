@@ -300,6 +300,30 @@ class DedupSpec extends SparkSpec {
     pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length shouldBe pairs.length
   }
 
+  test("incrementalComponents: batch edge merges components; untouched survive verbatim") {
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val prev = Dedup.componentLabels(e1)
+    val batch = Seq((2L, 5L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = Dedup.incrementalComponents(prev, batch)
+      .as[(Long, Long)].collect().toMap
+    out(1L) shouldBe 1L; out(2L) shouldBe 1L  // {1,2} u {5,6} merged
+    out(5L) shouldBe 1L; out(6L) shouldBe 1L  //   under the global min
+    out(8L) shouldBe 8L; out(9L) shouldBe 8L  // untouched component
+    out(20L) shouldBe 20L; out(21L) shouldBe 20L // brand-new nodes labeled
+    out.size shouldBe 8
+  }
+
+  test("incrementalComponents equals full recomputation over the edge union") {
+    import spark.implicits._
+    val all = (1 to 120).map(i => ((i * 7 % 40).toLong, (i * 11 % 40).toLong))
+    val (h1, h2) = all.splitAt(60)
+    val prev = Dedup.componentLabels(h1.toDF("doc_a", "doc_b"))
+    assertSameRows(
+      Dedup.incrementalComponents(prev, h2.toDF("doc_a", "doc_b")),
+      Dedup.componentLabels(all.toDF("doc_a", "doc_b")))
+  }
+
   test("nearDupEval: identical-heavy fixture gives full recall; counts reconcile") {
     val d = docs(
       1L -> "a b c d e f g h i j k l m n o p",
