@@ -1732,6 +1732,49 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q232 twin of [[graft.etl.Sampling.randomizationTest]]: identical
+    * md5 reassignment, HUGEINT cross-product compares, +1-corrected
+    * floor-division p. */
+  val q232_randomization_test: String = """
+WITH d AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k,
+    (c_mktsegment = 'BUILDING') AS isa,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer),
+t AS (
+  SELECT count(CASE WHEN isa THEN 1 END) AS na,
+    count(CASE WHEN NOT isa THEN 1 END) AS nb,
+    CAST(sum(CASE WHEN isa THEN v ELSE 0 END) AS HUGEINT) AS sa,
+    CAST(sum(CASE WHEN NOT isa THEN v ELSE 0 END) AS HUGEINT) AS sb
+  FROM d),
+a AS (
+  SELECT rep,
+    (CAST(('0x' || substr(md5(k || '|' || CAST(rep AS VARCHAR)), 1, 14))
+       AS BIGINT) % (t.na + t.nb)) < t.na AS assa,
+    v
+  FROM d, unnest(range(1, 101)) AS s(rep), t),
+p AS (
+  SELECT rep,
+    count(CASE WHEN assa THEN 1 END) AS nar,
+    count(CASE WHEN NOT assa THEN 1 END) AS nbr,
+    CAST(sum(CASE WHEN assa THEN v ELSE 0 END) AS HUGEINT) AS sar,
+    CAST(sum(CASE WHEN NOT assa THEN v ELSE 0 END) AS HUGEINT) AS sbr
+  FROM a GROUP BY 1),
+e AS (
+  SELECT p.rep,
+    (abs(p.sar * p.nbr - p.sbr * p.nar) * (t.na * t.nb)) >=
+    (abs(t.sa * t.nb - t.sb * t.na) * (p.nar * p.nbr)) AS extreme
+  FROM p, t),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+    CAST(count(CASE WHEN extreme THEN 1 END) AS BIGINT) AS n_extreme
+  FROM e)
+SELECT t.na, t.nb,
+  CAST(abs(t.sa * t.nb - t.sb * t.na) AS BIGINT) AS obs_num,
+  s.n_replicates, s.n_extreme,
+  ((s.n_extreme + 1) * 1000) // (s.n_replicates + 1) AS p_permille
+FROM s, t"""
+
   /** q231 twin of [[graft.dedup.Dedup.incrementalComponents]]: the
     * CONTRACT is full recomputation over the union of both edge
     * batches — recursive symmetric closure, label = least reachable
@@ -2035,7 +2078,7 @@ ORDER BY doc_id, chunk_idx"""
   val q224_weighted_median: String = """
 WITH d AS (
   SELECT o_orderpriority AS pri,
-    CAST(o_totalprice * 100 AS BIGINT) AS v,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
     o_orderkey % 7 + 1 AS w
   FROM orders),
 c AS (
@@ -2067,7 +2110,7 @@ GROUP BY 1 ORDER BY 1"""
   val q222_k_anonymize: String = """
 WITH c AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nk,
-    CAST(c_acctbal * 100 AS BIGINT) + 100000 AS bal_c
+    CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS bal_c
   FROM customer),
 l0 AS (SELECT nk AS nation_g, bal_c // 10000 AS bal_g,
   CAST(count(*) AS BIGINT) AS group_size FROM c GROUP BY 1, 2),
@@ -5652,6 +5695,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q229_ranking_metrics" -> q229_ranking_metrics,
     "q230_truncation_recall" -> q230_truncation_recall,
     "q231_incremental_components" -> q231_incremental_components,
+    "q232_randomization_test" -> q232_randomization_test,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

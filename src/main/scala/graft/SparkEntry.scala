@@ -973,6 +973,17 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Randomization test: is BUILDING-segment account balance
+    // different from the rest beyond chance relabeling? 100
+    // hash-deterministic relabelings, cross-product mean compare,
+    // +1-corrected p — every replicate replayed exactly by the twin.
+    "q232_randomization_test" -> ((s, dir) =>
+      graft.etl.Sampling.randomizationTest(
+        Tables.customer(s, dir)
+          .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long")),
+        "c_custkey", "c_mktsegment", "bal_c", groupA = "BUILDING",
+        replicates = 100)),
+
     // Incremental component maintenance: label the first edge batch,
     // then merge in the second via the star-reduced graph — result
     // must equal full recomputation over the union (the contract the
@@ -1083,7 +1094,7 @@ object SparkEntry {
     "q224_weighted_median" -> ((s, dir) => {
       val d = Tables.orders(s, dir).select(
         col("o_orderpriority").as("pri"),
-        (col("o_totalprice") * 100).cast("long").as("v"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
         (col("o_orderkey") % 7 + 1).as("w"))
       graft.analytics.Profiling.weightedMedian(d, Seq("pri"), "v", "w")
         .orderBy(col("pri"))
@@ -1117,7 +1128,7 @@ object SparkEntry {
     // engines (floor vs truncation diverge on negatives).
     "q222_k_anonymize" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-        .withColumn("bal_c", (col("c_acctbal") * 100).cast("long") + 100000L)
+        .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long") + 100000L)
       val nk = col("c_nationkey").cast("long")
       val levels = Seq(
         Seq(nk, expr("bal_c div 10000")),

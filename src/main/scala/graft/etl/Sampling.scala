@@ -367,6 +367,70 @@ object Sampling {
     * one `replicates`-way row explode + one bounded aggregate — no
     * shuffle of the data beyond the final |replicates|-row combine,
     * map-side partials do the work. */
+  /** Deterministic randomization test — the SIGNIFICANCE complement
+    * to [[bootstrapStats]]'s error bars: is the observed A-vs-B mean
+    * difference bigger than chance relabeling would produce? Each
+    * replicate reassigns every row to A with probability n_A/n
+    * via the md5 key-hash (the bootstrap's determinism device — the
+    * "random" relabelings are a pure function of keys and replicate
+    * ids, identical across runs, partitionings and engines), and the
+    * p-value is the share of replicates at least as extreme, with
+    * the standard +1 correction (Phipson & Smyth 2010: a permutation
+    * p of zero is never valid).
+    *
+    * Exactness: mean differences are compared as CROSS PRODUCTS —
+    * |s_A·n_B − s_B·n_A| on a shared denominator-free scale (the E77
+    * drift discipline), DECIMAL(38,0)/HUGEINT intermediates, no
+    * float division anywhere; a degenerate replicate (one side
+    * empty) counts as extreme — conservative, stated.
+    *
+    * Shape: one totals aggregate, one rows×replicates explode + one
+    * replicate-keyed aggregate (map-side partials collapse to R rows
+    * per partition), one R-row fold. Replicates are the stated cost
+    * knob. */
+  def randomizationTest(df: DataFrame, keyCol: String, groupCol: String,
+                        valueCol: String, groupA: String,
+                        replicates: Int = 100): DataFrame = {
+    require(replicates >= 1, "need at least one replicate")
+    val base = df.select(col(keyCol).cast("string").as("__k"),
+      (col(groupCol) === groupA).as("__isA"),
+      col(valueCol).cast("long").as("__v"))
+    val totals = base.agg(
+      count(when(col("__isA"), 1)).as("na"),
+      count(when(!col("__isA"), 1)).as("nb"),
+      sum(when(col("__isA"), col("__v")).otherwise(0L))
+        .cast("decimal(38,0)").as("sa"),
+      sum(when(!col("__isA"), col("__v")).otherwise(0L))
+        .cast("decimal(38,0)").as("sb"))
+    val perRep = base
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(1), lit(replicates))).as("replicate"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__assignA",
+        keyHash(concat_ws("|", col("__k"), col("replicate").cast("string")))
+          % (col("na") + col("nb")) < col("na"))
+      .groupBy(col("replicate"))
+      .agg(count(when(col("__assignA"), 1)).as("nar"),
+        count(when(!col("__assignA"), 1)).as("nbr"),
+        sum(when(col("__assignA"), col("__v")).otherwise(0L))
+          .cast("decimal(38,0)").as("sar"),
+        sum(when(!col("__assignA"), col("__v")).otherwise(0L))
+          .cast("decimal(38,0)").as("sbr"))
+    perRep.crossJoin(broadcast(totals))
+      .withColumn("__extreme",
+        abs(col("sar") * col("nbr") - col("sbr") * col("nar")) *
+          (col("na") * col("nb")) >=
+        abs(col("sa") * col("nb") - col("sb") * col("na")) *
+          (col("nar") * col("nbr")))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        first(abs(col("sa") * col("nb") - col("sb") * col("na")))
+          .cast("long").as("obs_num"),
+        count(lit(1)).as("n_replicates"),
+        count(when(col("__extreme"), 1)).as("n_extreme"))
+      .withColumn("p_permille",
+        expr("((n_extreme + 1) * 1000) div (n_replicates + 1)"))
+  }
+
   def bootstrapStats(df: DataFrame, keyCol: String, valueCol: String,
                      replicates: Int = 20, sumScale: Int = 4): DataFrame = {
     require(replicates >= 1, "need at least one replicate")

@@ -272,6 +272,38 @@ class SamplingSpec extends SparkSpec {
       "doc_id", 8))
   }
 
+  test("randomizationTest: a huge real shift is significant, a null shift is not") {
+    val shifted = ((1 to 40).map(i => (i.toLong, "A", 1000L + i)) ++
+      (1 to 40).map(i => (1000L + i, "B", i.toLong)))
+      .toDF("k", "g", "v")
+    val sig = Sampling.randomizationTest(shifted, "k", "g", "v", "A",
+      replicates = 100).collect().head
+    sig.getLong(0) shouldBe 40L
+    sig.getLong(1) shouldBe 40L
+    // A sits ~1000 above B: chance relabelings essentially never match it
+    sig.getLong(5) should be < 100L // p_permille
+    // identical values in both groups: observed diff 0, EVERY replicate
+    // is at least as extreme, p = 1000 exactly with the +1 correction
+    val nul = ((1 to 30).map(i => (i.toLong, "A", 7L)) ++
+      (1 to 30).map(i => (100L + i, "B", 7L)))
+      .toDF("k", "g", "v")
+    val p0 = Sampling.randomizationTest(nul, "k", "g", "v", "A",
+      replicates = 50).collect().head
+    p0.getLong(2) shouldBe 0L      // obs_num
+    p0.getLong(4) shouldBe 50L     // every replicate extreme
+    p0.getLong(5) shouldBe 1000L
+  }
+
+  test("randomizationTest is deterministic under input partitioning") {
+    val d = (1 to 80).map(i =>
+      (i.toLong, if (i % 4 == 0) "A" else "B", (i * 13 % 50).toLong))
+      .toDF("k", "g", "v")
+    assertSameRows(
+      Sampling.randomizationTest(d, "k", "g", "v", "A", replicates = 40),
+      Sampling.randomizationTest(d.repartition(7), "k", "g", "v", "A",
+        replicates = 40))
+  }
+
   test("bootstrapStats: mean weight ~1, replicates vary, fully deterministic") {
     import spark.implicits._
     val d = (1 to 1000).map(i => (s"k$i", 2.0)).toDF("k", "v")
