@@ -1732,6 +1732,38 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q233 twin of [[graft.events.EventAnalytics.intervalIntersection]]:
+    * the same boundary sweep — only the physically-last row of a
+    * timestamp tie group carries a nonzero segment, so the tie order
+    * inside the running sums cannot reach the output. */
+  val q233_interval_intersection: String = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+ia AS (
+  SELECT user_id, tsu AS s, tsu + 3600000000 AS e FROM ev
+  WHERE event_type = 'click'),
+ib AS (
+  SELECT user_id, tsu AS s, tsu + 7200000000 AS e FROM ev
+  WHERE event_type = 'view'),
+dl AS (
+  SELECT user_id, s AS t, 1 AS da, 0 AS db FROM ia
+  UNION ALL SELECT user_id, e, -1, 0 FROM ia
+  UNION ALL SELECT user_id, s, 0, 1 FROM ib
+  UNION ALL SELECT user_id, e, 0, -1 FROM ib),
+c AS (
+  SELECT user_id, t,
+    sum(da) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+    sum(db) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+    lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+  FROM dl)
+SELECT user_id, CAST(sum(nt - t) AS BIGINT) AS overlap,
+  CAST(count(*) AS BIGINT) AS n_segments
+FROM c
+WHERE nt IS NOT NULL AND ca > 0 AND cb > 0 AND nt > t
+GROUP BY 1 ORDER BY 1"""
+
   /** q232 twin of [[graft.etl.Sampling.randomizationTest]]: identical
     * md5 reassignment, HUGEINT cross-product compares, +1-corrected
     * floor-division p. */
@@ -5696,6 +5728,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q230_truncation_recall" -> q230_truncation_recall,
     "q231_incremental_components" -> q231_incremental_components,
     "q232_randomization_test" -> q232_randomization_test,
+    "q233_interval_intersection" -> q233_interval_intersection,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

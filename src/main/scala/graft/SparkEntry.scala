@@ -973,6 +973,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Interval intersection per user: co-presence time between click
+    // windows (1 h) and view windows (2 h) — one boundary sweep,
+    // no pair explosion, closed-open exact micros.
+    "q233_interval_intersection" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+      val ia = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu").as("s"),
+          (col("tsu") + 3600000000L).as("e"))
+      val ib = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsu").as("s"),
+          (col("tsu") + 7200000000L).as("e"))
+      graft.events.EventAnalytics.intervalIntersection(
+          ia, ib, Seq("user_id"), "s", "e")
+        .orderBy(col("user_id"))
+    }),
+
     // Randomization test: is BUILDING-segment account balance
     // different from the rest beyond chance relabeling? 100
     // hash-deterministic relabelings, cross-product mean compare,

@@ -368,6 +368,49 @@ object EventAnalytics {
       .withColumn("covered", col("island_end") - col("island_start"))
   }
 
+  /** Per-key intersection TIME of two interval sets — the co-presence
+    * measure ([[mergeIntervals]] gives one set's union; this asks how
+    * long BOTH channels were active: session × campaign exposure,
+    * monitor-A × monitor-B uptime, user × feature-flag windows).
+    * Exact on the integral micros axis.
+    *
+    * One boundary sweep, no pair join: each interval contributes
+    * (+1 at start, −1 at end+1-exclusive… here closed-open [s, e))
+    * deltas tagged by side; a running sum per side over the merged
+    * boundary stream gives both active counts, and every segment
+    * between consecutive boundaries with BOTH counts positive adds
+    * its length. An interval-PAIR join (the E35 range-join shape)
+    * explodes in overlap density — k overlapping intervals on each
+    * side is k² pairs but only ~2k boundaries; the sweep is the
+    * at-scale form. Tie order between deltas at one timestamp is
+    * irrelevant: the segment between equal timestamps has zero
+    * length (closed-open semantics keep touching intervals from
+    * fabricating overlap — stated).
+    *
+    * Returns (keys…, overlap, n_segments) per key with any overlap. */
+  def intervalIntersection(a: DataFrame, b: DataFrame, keys: Seq[String],
+                           startCol: String, endCol: String): DataFrame = {
+    def deltas(df: DataFrame, side: String) = df
+      .select(keys.map(col) :+ col(startCol).as("__t") :+
+        lit(1L).as(s"__d$side") :+ lit(0L).as(s"__d${other(side)}"): _*)
+      .unionByName(df.select(keys.map(col) :+ col(endCol).as("__t") :+
+        lit(-1L).as(s"__d$side") :+ lit(0L).as(s"__d${other(side)}"): _*))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+    deltas(a, "a").unionByName(deltas(b, "b"))
+      .withColumn("__ca", sum(col("__da")).over(w))
+      .withColumn("__cb", sum(col("__db")).over(w))
+      .withColumn("__next", lead(col("__t"), 1).over(wLead))
+      .filter(col("__next").isNotNull &&
+        col("__ca") > 0 && col("__cb") > 0 && col("__next") > col("__t"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__next") - col("__t")).as("overlap"),
+        count(lit(1)).as("n_segments"))
+  }
+
+  private def other(side: String): String = if (side == "a") "b" else "a"
+
   def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val sess = sessionize(events, gapMinutes)
       .select(concat_ws("#", col("user_id"), col("session_seq")).as("__sid"),

@@ -39,6 +39,41 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 1L, 0L, 5L, 1L, 5L))
   }
 
+  test("intervalIntersection: hand-computed overlap; touching intervals contribute zero") {
+    val ia = Seq((1L, 0L, 10L), (1L, 20L, 30L), (2L, 0L, 5L))
+      .toDF("user_id", "s", "e")
+    val ib = Seq(
+      (1L, 5L, 25L),   // overlaps [5,10) with A1 and [20,25) with A2
+      (2L, 5L, 9L))    // TOUCHES A's [0,5) at 5: closed-open => zero
+      .toDF("user_id", "s", "e")
+    val out = EventAnalytics.intervalIntersection(
+        ia, ib, Seq("user_id"), "s", "e")
+      .as[(Long, Long, Long)].collect().sorted
+    out.toSeq shouldBe Seq((1L, 10L, 2L)) // 5 + 5 over two segments
+  }
+
+  test("intervalIntersection: overlapping same-side intervals don't double-count") {
+    // two A intervals covering [0,10) and [5,15): B [0,20) overlap is
+    // the UNION's 15, not 10+15
+    val ia = Seq((1L, 0L, 10L), (1L, 5L, 15L)).toDF("user_id", "s", "e")
+    val ib = Seq((1L, 0L, 20L)).toDF("user_id", "s", "e")
+    val out = EventAnalytics.intervalIntersection(
+        ia, ib, Seq("user_id"), "s", "e")
+      .as[(Long, Long, Long)].collect()
+    out.head._2 shouldBe 15L
+  }
+
+  test("intervalIntersection is invariant under input partitioning") {
+    val ia = (1 to 60).map(i => (i % 4L, i * 3L % 50, i * 3L % 50 + 7))
+      .toDF("user_id", "s", "e")
+    val ib = (1 to 60).map(i => (i % 4L, i * 7L % 50, i * 7L % 50 + 5))
+      .toDF("user_id", "s", "e")
+    assertSameRows(
+      EventAnalytics.intervalIntersection(ia, ib, Seq("user_id"), "s", "e"),
+      EventAnalytics.intervalIntersection(ia.repartition(7),
+        ib.repartition(5), Seq("user_id"), "s", "e"))
+  }
+
   test("mergeIntervals is invariant under input partitioning") {
     val iv = (1 to 100).map { i =>
       (i % 5L, i.toLong * 7 % 60, i.toLong * 7 % 60 + 3 + i % 11)
