@@ -175,6 +175,64 @@ object Streaming {
         ids.map(id => new Path(tablePath, s"batch=$id").toString).toSeq: _*)
   }
 
+  /** Streaming CDC apply — [[graft.etl.Cdc.applyCdc]] per micro-batch
+    * onto a parquet target: the lakehouse apply-changes stream,
+    * completing the sink matrix (K7-MERGE [[upsertSink]] for
+    * keyed upserts, [[idempotentAppendSink]] for keyless appends,
+    * THIS for full change logs with deletes and many-ops-per-key).
+    * Exactly-once rides on the same two pillars as upsertSink:
+    * checkpointed replay + an IDEMPOTENT apply (applyCdc's
+    * struct-max winner per key is a pure function of the log rows,
+    * so re-applying a replayed batch on top of its own result is a
+    * no-op — the winner beats-or-equals the applied row's version).
+    * First batch with no target yet: upsert ops create the table,
+    * tombstones on a non-existent table are no-ops by definition.
+    *
+    * Cost per batch: applyCdc's winner aggregate over the BATCH +
+    * one anti-join against the target — at 100 TB the target side
+    * of that anti-join wants the partition-bounded Upsert path;
+    * this sink states the whole-table rewrite as the simple form
+    * and defers partition pruning to upsertSink's machinery. */
+  def cdcSink(stream: DataFrame, tablePath: String, keys: Seq[String],
+              versionCol: String, checkpointDir: String,
+              opCol: String = "op"): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcBatch(batch, tablePath, keys, versionCol, opCol)
+        ()
+      }
+
+  /** One CDC micro-batch applied to the parquet table at `tablePath`
+    * (factored out so the spec drives replay semantics directly). */
+  def applyCdcBatch(batch: DataFrame, tablePath: String, keys: Seq[String],
+                    versionCol: String, opCol: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (!fs.exists(new Path(tablePath))) {
+        // no target yet: winners among upserts ARE the table. The
+        // empty target is built from a FRESH schema, not from the
+        // batch's plan — deriving it from `batch` would alias the
+        // apply's anti-join to its own winners (ambiguous refs).
+        val targetSchema = StructType(batch.schema
+          .filterNot(f => f.name == opCol || f.name == versionCol))
+        graft.etl.Cdc.applyCdc(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], targetSchema),
+          batch, keys, versionCol, opCol)
+      } else {
+        val target = spark.read.parquet(tablePath)
+        graft.etl.Cdc.applyCdc(target, batch, keys, versionCol, opCol)
+      }
+    // materialize BEFORE overwrite: the plan reads the path it rewrites
+    val rows = next.localCheckpoint(true)
+    rows.write.mode("overwrite").parquet(tablePath)
+  }
+
   /** [[appendBatch]] wired as a foreachBatch sink. */
   def idempotentAppendSink(stream: DataFrame, tablePath: String,
                            checkpointDir: String): DataStreamWriter[Row] =
