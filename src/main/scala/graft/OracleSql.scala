@@ -1732,6 +1732,38 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q234 twin of [[graft.quality.Expectations.runExpectations]]: the
+    * six rule counts as one aggregate + UNION ALL unpivot. DuckDB
+    * regexp_matches is unanchored-match like Spark RLIKE. */
+  val q234_expectations: String = """
+WITH a AS (
+  SELECT
+    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_unique,
+    CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS cust_not_null,
+    CAST(count(CASE WHEN o_totalprice < 1000.0 THEN 1 END) AS BIGINT) AS price_floor,
+    CAST(count(CASE WHEN o_totalprice < 0.0 THEN 1 END) AS BIGINT) AS price_positive,
+    CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+      AND CAST(o_orderstatus AS VARCHAR) NOT IN ('O', 'F', 'P') THEN 1 END)
+      AS BIGINT) AS status_domain,
+    CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+      AND NOT regexp_matches(CAST(o_orderpriority AS VARCHAR), '^[1-3]-')
+      THEN 1 END) AS BIGINT) AS priority_format
+  FROM orders)
+SELECT rule, kind, "column", n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 'pk_unique' AS rule, 'unique' AS kind, 'o_orderkey' AS "column",
+    pk_unique AS n_violations FROM a
+  UNION ALL SELECT 'cust_not_null', 'not_null', 'o_custkey',
+    cust_not_null FROM a
+  UNION ALL SELECT 'price_floor', 'min', 'o_totalprice', price_floor FROM a
+  UNION ALL SELECT 'price_positive', 'min', 'o_totalprice',
+    price_positive FROM a
+  UNION ALL SELECT 'status_domain', 'accepted_values', 'o_orderstatus',
+    status_domain FROM a
+  UNION ALL SELECT 'priority_format', 'rlike', 'o_orderpriority',
+    priority_format FROM a)
+ORDER BY rule"""
+
   /** q233 twin of [[graft.events.EventAnalytics.intervalIntersection]]:
     * the same boundary sweep — only the physically-last row of a
     * timestamp tie group carries a nonzero segment, so the tie order
@@ -5729,6 +5761,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q231_incremental_components" -> q231_incremental_components,
     "q232_randomization_test" -> q232_randomization_test,
     "q233_interval_intersection" -> q233_interval_intersection,
+    "q234_expectations" -> q234_expectations,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

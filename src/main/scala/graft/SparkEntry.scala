@@ -973,6 +973,23 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Config-driven expectations over orders: six contract rules in
+    // one scan — two engineered to fail (price floor, priority regex)
+    // so both verdict polarities are exercised.
+    "q234_expectations" -> ((s, dir) => {
+      import graft.quality.Expectations.Expectation
+      graft.quality.Expectations.runExpectations(Tables.orders(s, dir), Seq(
+          Expectation("pk_unique", "unique", "o_orderkey"),
+          Expectation("cust_not_null", "not_null", "o_custkey"),
+          Expectation("price_floor", "min", "o_totalprice", "1000.0"),
+          Expectation("price_positive", "min", "o_totalprice", "0.0"),
+          Expectation("status_domain", "accepted_values",
+            "o_orderstatus", "O,F,P"),
+          Expectation("priority_format", "rlike",
+            "o_orderpriority", "^[1-3]-")))
+        .orderBy(col("rule"))
+    }),
+
     // Interval intersection per user: co-presence time between click
     // windows (1 h) and view windows (2 h) — one boundary sweep,
     // no pair explosion, closed-open exact micros.
