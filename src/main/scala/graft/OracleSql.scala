@@ -1732,6 +1732,36 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, score FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q235 twin: the q227 policy, q212 novelty, and q228 batching
+    * twins chained verbatim as subqueries — composition reuses the
+    * proven parts (the E131 composed-pipeline discipline). */
+  // lazy: composes q227/q212 whose vals are defined later in the file
+  lazy val q235_curation_to_batches: String = s"""
+WITH kept AS (
+  SELECT doc_id FROM ($q227_url_policy) WHERE kept),
+novel AS (
+  SELECT doc_id FROM ($q212_novelty) WHERE novelty_permille >= 500),
+d AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM kept)
+    AND doc_id IN (SELECT doc_id FROM novel)),
+r AS (
+  SELECT doc_id, n_tokens,
+    (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 16 AS batch_id
+  FROM d)
+SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_cells,
+  CASE WHEN max(n_tokens) > 0 THEN
+    CAST((sum(n_tokens) * 1000) // (count(*) * max(n_tokens)) AS BIGINT)
+  END AS efficiency_permille
+FROM r GROUP BY 1 ORDER BY 1"""
+
   /** q234 twin of [[graft.quality.Expectations.runExpectations]]: the
     * six rule counts as one aggregate + UNION ALL unpivot. DuckDB
     * regexp_matches is unanchored-match like Spark RLIKE. */
@@ -5762,6 +5792,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q232_randomization_test" -> q232_randomization_test,
     "q233_interval_intersection" -> q233_interval_intersection,
     "q234_expectations" -> q234_expectations,
+    "q235_curation_to_batches" -> q235_curation_to_batches,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,37 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED curation-to-serving pipeline over this round's
+    // operators: URL policy gate (E222) -> corpus novelty filter
+    // (E204, >= 500 permille) -> length-bucketed inference batches
+    // (E224). The oracle chains the three twins verbatim.
+    "q235_curation_to_batches" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val urls = docs.select(id,
+        concat(lit("https://sub"), (id % 4).cast("string"),
+          lit(".example"), (id % 7).cast("string"), lit(".com/dir"),
+          (id % 5).cast("string"), lit("/pg"), id.cast("string")).as("url"))
+      val rules = Seq(
+        (1L, "deny", "example2.com", ""),
+        (2L, "allow", "example2.com", "/dir1"),
+        (3L, "deny", "sub1.example3.com", ""),
+        (4L, "deny", "", "/dir4"),
+        (5L, "allow", "example5.com", "/dir4"))
+        .toDF("rule_id", "action", "domain_suffix", "path_prefix")
+      val kept = graft.text.Urls.urlPolicy(urls, rules)
+        .filter(col("kept")).select(col("doc_id"))
+      val novel = graft.dedup.Dedup.noveltyScores(docs)
+        .filter(col("novelty_permille") >= 500).select(col("doc_id"))
+      val survivors = docs.join(kept, "doc_id").join(novel, "doc_id")
+        .select(col("doc_id"),
+          size(graft.text.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+      graft.etl.Packing.lengthBatches(survivors, batchSize = 16)
+        .orderBy(col("batch_id"))
+    }),
+
     // Config-driven expectations over orders: six contract rules in
     // one scan — two engineered to fail (price floor, priority regex)
     // so both verdict polarities are exercised.
