@@ -1762,6 +1762,39 @@ SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
   END AS efficiency_permille
 FROM r GROUP BY 1 ORDER BY 1"""
 
+  /** q236 twin of [[graft.dedup.Dedup.prefixFilterPairs]]: the same
+    * rarest-first prefix selection (df then shingle hash — a total
+    * order both engines replay), the same integer-permille size gate
+    * and threshold, and a candidate-bounded full-postings verify. */
+  val q236_prefix_filter_pairs: String = shinglesCte + """
+, ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
+dfs AS (SELECT shingle, count(*) AS df FROM posting GROUP BY 1),
+rk AS (
+  SELECT p.doc_id, p.shingle,
+    count(*) OVER (PARTITION BY p.doc_id) AS n_sh,
+    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.shingle) AS rnk
+  FROM posting p JOIN dfs d USING (shingle)),
+pre AS (
+  SELECT doc_id, n_sh, shingle FROM rk
+  WHERE rnk <= n_sh - (700*n_sh + 999)//1000 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.n_sh AS n_a, b.n_sh AS n_b
+  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    AND b.n_sh*1000 >= a.n_sh*700 AND a.n_sh*1000 >= b.n_sh*700),
+cm AS (
+  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS common
+  FROM cand c
+    JOIN posting pa ON pa.doc_id = c.doc_a
+    JOIN posting pb ON pb.doc_id = c.doc_b AND pb.shingle = pa.shingle
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common, n_a, n_b,
+  (common*1000)//(n_a + n_b - common) AS jaccard_permille
+FROM cm
+WHERE common*1000 >= 700*(n_a + n_b - common)
+ORDER BY doc_a, doc_b"""
+
   /** q234 twin of [[graft.quality.Expectations.runExpectations]]: the
     * six rule counts as one aggregate + UNION ALL unpivot. DuckDB
     * regexp_matches is unanchored-match like Spark RLIKE. */
@@ -5793,6 +5826,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q233_interval_intersection" -> q233_interval_intersection,
     "q234_expectations" -> q234_expectations,
     "q235_curation_to_batches" -> q235_curation_to_batches,
+    "q236_prefix_filter_pairs" -> q236_prefix_filter_pairs,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

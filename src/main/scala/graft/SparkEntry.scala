@@ -973,6 +973,15 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Prefix-filtered EXACT set-similarity self-join (All-Pairs /
+    // PPJoin): rarest-first prefixes generate candidates losslessly,
+    // full postings verify — the exact complement to q19's df-cap
+    // governor, with the threshold as integer permille.
+    "q236_prefix_filter_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.prefixFilterPairs(Tables.documents(s, dir),
+          tauPermille = 700)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // COMPOSED curation-to-serving pipeline over this round's
     // operators: URL policy gate (E222) -> corpus novelty filter
     // (E204, >= 500 permille) -> length-bucketed inference batches

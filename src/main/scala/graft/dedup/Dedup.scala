@@ -773,4 +773,78 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Prefix-filtered EXACT set-similarity self-join (the All-Pairs /
+    * PPJoin principle: Bayardo et al. WWW 2007, Xiao et al. WWW 2008)
+    * — the LOSSLESS complement to [[jaccardPairs]]'s df-cap governor.
+    *
+    * The df cap bounds candidate volume by *dropping* hot shingles,
+    * which makes `common` a lower bound (capped Jaccard under-reports
+    * near the threshold). Prefix filtering bounds candidate volume
+    * with NO loss: order each doc's shingles by ascending global
+    * document frequency (rarest first, shingle hash as tie-break — a
+    * total order both engines replay), keep only the first
+    * `L = n − ⌈τ·n⌉ + 1` as the doc's *prefix*, and join prefixes on
+    * the shingle. Soundness is the prefix-filter lemma: two sets with
+    * Jaccard ≥ τ must share at least one element inside both prefixes
+    * of that length, so no qualifying pair is missed; every candidate
+    * is then verified with an exact intersection count over the FULL
+    * postings. The size filter τ·max(nₐ,n_b) ≤ min(nₐ,n_b) (in exact
+    * permille integers) prunes impossible pairs inside the same join.
+    *
+    * Scale shape: the candidate join hits only prefix postings —
+    * Σ over shingles of prefix-df², and rarest-first ordering drives
+    * prefix-df toward 1 for discriminative shingles (hot shingles
+    * rank last and rarely enter any prefix), where the unfiltered
+    * postings join is Σ df². Verification is candidate-bounded: two
+    * hash joins keyed on doc id then (doc, shingle), never all-pairs.
+    * The postings frame feeds four consumers (df table, ranked
+    * prefixes, both verify sides) — localCheckpoint'd for the same
+    * subplan-sharing reason as [[jaccardPairs]]. Threshold and output
+    * are exact integer permille: `common·1000 ≥ τ‰·(nₐ+n_b−common)`
+    * floor-div — engines cannot disagree on a double near the cut.
+    *
+    * Reference anchor: exact near-dup joins next to the reference's
+    * keep-first dedup (merge_sources.py:31); same query surface as
+    * q19 but exact at the threshold. */
+  def prefixFilterPairs(docs: DataFrame, tauPermille: Long = 800,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 3, materialize: Boolean = true): DataFrame = {
+    require(tauPermille > 0 && tauPermille <= 1000,
+      s"tauPermille must be in (0, 1000], got $tauPermille")
+    val postingRaw = explodedShingleHashes(docs, idCol, textCol, n).distinct()
+    val posting = if (materialize) postingRaw.localCheckpoint() else postingRaw
+    val dfs = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = posting.join(dfs, "shingle")
+      .withColumn("n_sh", count(lit(1)).over(w))
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("df"), col("shingle"))))
+    // L = n − ⌈τn/1000⌉ + 1 with ⌈·⌉ as (τn+999) floor-div 1000 —
+    // exact integers throughout (both operands nonnegative, so Spark
+    // `div` and DuckDB `//` agree).
+    val prefix = ranked.filter(col("rnk") <=
+        col("n_sh") - expr(s"($tauPermille * n_sh + 999) div 1000") + 1)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_sh") * 1000 >= col("a.n_sh") * tauPermille &&
+          col("a.n_sh") * 1000 >= col("b.n_sh") * tauPermille)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .distinct()
+    val pa = posting.select(col("doc_id").as("doc_a"), col("shingle"))
+    val pb = posting.select(col("doc_id").as("doc_b"), col("shingle"))
+    cand.join(pa, "doc_a")
+      .join(pb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * 1000 >=
+        lit(tauPermille) * (col("n_a") + col("n_b") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"),
+        col("n_b"),
+        expr("(common * 1000) div (n_a + n_b - common)")
+          .as("jaccard_permille"))
+  }
 }

@@ -480,4 +480,73 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assertSameRows(Dedup.noveltyScores(d), Dedup.noveltyScores(d.repartition(7)))
   }
+
+  test("prefixFilterPairs: exact boundary — J = 0.8 kept, J below dropped") {
+    import spark.implicits._
+    // 11 tokens -> 9 shingles; changing only the LAST token alters
+    // only the last shingle: common 8, union 10, J = 0.800 exactly.
+    // Changing token 10 alters two shingles: common 7, union 11,
+    // J = 7/11 = 0.636..., below the cut.
+    val base = (1 to 11).map(i => s"w$i").mkString(" ")
+    val lastTok = ((1 to 10).map(i => s"w$i") :+ "xx").mkString(" ")
+    val tok10 = ((1 to 9).map(i => s"w$i") ++ Seq("yy", "w11")).mkString(" ")
+    val d = docs(1L -> base, 2L -> lastTok, 3L -> tok10)
+    val out = Dedup.prefixFilterPairs(d, tauPermille = 800)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard_permille")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    out shouldBe Set((1L, 2L, 8L, 9L, 9L, 800L))
+    // Looser threshold admits the 7-common pairs too: docs 3 differs
+    // from 1 in shingles 8-9 and from 2 in shingles 8-9, so both of
+    // those pairs sit at 7/11 = 636 permille.
+    val loose = Dedup.prefixFilterPairs(d, tauPermille = 600)
+      .select("doc_a", "doc_b", "jaccard_permille")
+      .as[(Long, Long, Long)].collect().toSet
+    loose shouldBe Set((1L, 2L, 800L), (1L, 3L, 636L), (2L, 3L, 636L))
+  }
+
+  test("prefixFilterPairs agrees with uncapped jaccardPairs pair-for-pair") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "the quick brown fox jumps over the lazy dog near the river edge",
+      3L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      4L -> "completely different words about distributed spark engines here today",
+      5L -> "completely different words about distributed spark engines here tonight",
+      6L -> "unrelated short text")
+    val exact = Dedup.jaccardPairs(d, threshold = 0.7,
+        maxDocFreq = Long.MaxValue)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 1000).cast("long").as("jp"))
+      .as[(Long, Long, Long)].collect().toSet
+    val pf = Dedup.prefixFilterPairs(d, tauPermille = 700)
+      .select("doc_a", "doc_b", "jaccard_permille")
+      .as[(Long, Long, Long)].collect().toSet
+    pf shouldBe exact
+    pf.map(p => (p._1, p._2)) should contain ((1L, 3L)) // identical pair
+  }
+
+  test("prefixFilterPairs: size filter alone cannot drop a qualifying pair") {
+    import spark.implicits._
+    // A doc and a copy with one appended sentence: sizes 9 vs 12,
+    // common 9, union 12, J = 750 — the permille size gate
+    // (12*1000 >= 9*750 and 9*1000 >= 12*750) must admit it.
+    val a = (1 to 11).map(i => s"t$i").mkString(" ")
+    val b = a + " extra words three"
+    val out = Dedup.prefixFilterPairs(docs(1L -> a, 2L -> b),
+        tauPermille = 750)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard_permille")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    out shouldBe Set((1L, 2L, 9L, 9L, 12L, 750L))
+  }
+
+  test("prefixFilterPairs is invariant under input partitioning") {
+    import spark.implicits._
+    val d = (1 to 40).map(i =>
+      (i.toLong, (0 to 10).map(j => s"w${(i / 4) * 3 + j}").mkString(" ") +
+        (if (i % 4 == 0) " zz" + i else "")))
+      .toDF("doc_id", "text")
+    assertSameRows(
+      Dedup.prefixFilterPairs(d, tauPermille = 700),
+      Dedup.prefixFilterPairs(d.repartition(7), tauPermille = 700))
+  }
 }
