@@ -1795,6 +1795,105 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q238 twin of [[graft.etl.FuzzyMatch.snmPairs]]: both passes'
+    * row_number orders replayed exactly — (key, name, rec_id) is a
+    * total order, so rank ties cannot exist — then the same offset
+    * window join, pair normalization, and (unbounded, equivalent on
+    * kept rows) levenshtein verify. */
+  val q238_snm_linkage: String = """
+WITH recs AS (
+  SELECT p_partkey * 2 AS rec_id, p_name AS name FROM part
+  UNION ALL
+  SELECT p_partkey * 2 + 1, substr(p_name, 1, 7) || 'q' || substr(p_name, 9)
+  FROM part WHERE p_partkey % 5 = 0),
+p1 AS (
+  SELECT rec_id, name,
+    row_number() OVER (ORDER BY name, name, rec_id) AS rnk
+  FROM recs),
+p2 AS (
+  SELECT rec_id, name,
+    row_number() OVER (ORDER BY reverse(name), name, rec_id) AS rnk
+  FROM recs),
+c1 AS (
+  SELECT a.rec_id AS id_a, a.name AS nm_a, b.rec_id AS id_b, b.name AS nm_b
+  FROM p1 a, unnest(range(1, 4)) AS s(off)
+  JOIN p1 b ON b.rnk = a.rnk + s.off),
+c2 AS (
+  SELECT a.rec_id AS id_a, a.name AS nm_a, b.rec_id AS id_b, b.name AS nm_b
+  FROM p2 a, unnest(range(1, 4)) AS s(off)
+  JOIN p2 b ON b.rnk = a.rnk + s.off),
+cand AS (
+  SELECT DISTINCT
+    CASE WHEN id_a < id_b THEN id_a ELSE id_b END AS rec_a,
+    CASE WHEN id_a < id_b THEN id_b ELSE id_a END AS rec_b,
+    CASE WHEN id_a < id_b THEN nm_a ELSE nm_b END AS name_a,
+    CASE WHEN id_a < id_b THEN nm_b ELSE nm_a END AS name_b
+  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+  WHERE id_a <> id_b)
+SELECT rec_a, rec_b, name_a, name_b,
+  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 2
+ORDER BY rec_a, rec_b"""
+
+  /** q239 twin of [[graft.text.Urls.politenessSchedule]]: the same
+    * registered-domain extraction regexes, the same total order
+    * (priority DESC, doc_id) under the per-domain window. */
+  val q239_crawl_schedule: String = """
+WITH u AS (
+  SELECT doc_id,
+    'https://sub' || CAST(doc_id % 4 AS VARCHAR) || '.example' ||
+      CAST(doc_id % 7 AS VARCHAR) || '.com/pg' || CAST(doc_id AS VARCHAR)
+      AS url,
+    doc_id % 13 AS priority
+  FROM documents),
+d AS (
+  SELECT doc_id, url, priority,
+    regexp_extract(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)),
+      '([^.]+\.[^.]+)$', 1) AS domain
+  FROM u),
+r AS (
+  SELECT doc_id, url, domain,
+    row_number() OVER (PARTITION BY domain
+      ORDER BY priority DESC, doc_id) AS queue_pos
+  FROM d)
+SELECT doc_id, url, domain, CAST(queue_pos AS BIGINT) AS queue_pos,
+  CAST((queue_pos - 1) * 1500 AS BIGINT) AS fetch_offset_ms
+FROM r WHERE queue_pos <= 50
+ORDER BY domain, queue_pos"""
+
+  /** q237 twin of [[graft.store.SketchStore.cmsSketch]]/`cmsEstimate`:
+    * the counter grid rebuilt from the same md5 bucket function (the
+    * q232 '0x'||md5-substr idiom); the half/half merge on the Spark
+    * side provably equals this single build (counter addition). */
+  val q237_cms_estimates: String = """
+WITH d AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+cms AS (
+  SELECT s.r,
+    CAST(('0x' || substr(md5(k || '|' || CAST(s.r AS VARCHAR)), 1, 14))
+      AS BIGINT) % 64 AS c,
+    count(*) AS cnt
+  FROM d, unnest(range(0, 4)) AS s(r)
+  GROUP BY 1, 2),
+exact AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_count
+  FROM orders GROUP BY 1
+  ORDER BY exact_count DESC, o_custkey LIMIT 20),
+probe AS (
+  SELECT e.o_custkey, e.exact_count, s.r,
+    CAST(('0x' || substr(md5(CAST(e.o_custkey AS VARCHAR) || '|' ||
+      CAST(s.r AS VARCHAR)), 1, 14)) AS BIGINT) % 64 AS c
+  FROM exact e, unnest(range(0, 4)) AS s(r)),
+est AS (
+  SELECT p.o_custkey, p.exact_count,
+    min(coalesce(cms.cnt, 0)) AS est_count
+  FROM probe p LEFT JOIN cms ON cms.r = p.r AND cms.c = p.c
+  GROUP BY 1, 2)
+SELECT o_custkey, exact_count, CAST(est_count AS BIGINT) AS est_count,
+  CAST(est_count - exact_count AS BIGINT) AS overcount
+FROM est ORDER BY o_custkey"""
+
   /** q234 twin of [[graft.quality.Expectations.runExpectations]]: the
     * six rule counts as one aggregate + UNION ALL unpivot. DuckDB
     * regexp_matches is unanchored-match like Spark RLIKE. */
@@ -5827,6 +5926,9 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q234_expectations" -> q234_expectations,
     "q235_curation_to_batches" -> q235_curation_to_batches,
     "q236_prefix_filter_pairs" -> q236_prefix_filter_pairs,
+    "q237_cms_estimates" -> q237_cms_estimates,
+    "q238_snm_linkage" -> q238_snm_linkage,
+    "q239_crawl_schedule" -> q239_crawl_schedule,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,60 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Multi-pass sorted-neighborhood linkage over a part catalog with
+    // injected char-8 typos: the forward name pass and the reversed-
+    // name pass union their windows; bounded-levenshtein verify.
+    "q238_snm_linkage" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val orig = p.select((col("p_partkey") * 2).as("rec_id"),
+        col("p_name").as("name"))
+      val twins = p.filter(col("p_partkey") % 5 === 0)
+        .select((col("p_partkey") * 2 + 1).as("rec_id"),
+          expr("concat(substr(p_name, 1, 7), 'q', substr(p_name, 9))")
+            .as("name"))
+      graft.etl.FuzzyMatch.snmPairs(orig.unionAll(twins), "rec_id",
+          "name", Seq(col("name"), reverse(col("name"))),
+          window = 4, maxDist = 2)
+        .orderBy(col("rec_a"), col("rec_b"))
+    }),
+
+    // Politeness-constrained crawl schedule: per-domain serialized
+    // fetch offsets in priority order, domain quota capped.
+    "q239_crawl_schedule" -> ((s, dir) => {
+      val id = col("doc_id")
+      val urls = Tables.documents(s, dir).select(id,
+        concat(lit("https://sub"), (id % 4).cast("string"),
+          lit(".example"), (id % 7).cast("string"), lit(".com/pg"),
+          id.cast("string")).as("url"),
+        (id % 13).as("priority"))
+      graft.text.Urls.politenessSchedule(urls, "priority",
+          delayMs = 1500, maxPerDomain = 50)
+        .orderBy(col("domain"), col("queue_pos"))
+    }),
+
+    // Count-min sketch: build over each input half, MERGE (counter
+    // addition — the mergeability the sketch store relies on), then
+    // point-estimate the 20 hottest customer keys against exact
+    // counts. md5-derived counters: both engines replay the grid.
+    "q237_cms_estimates" -> ((s, dir) => {
+      import graft.store.SketchStore
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val sk = SketchStore.cmsMerge(
+        SketchStore.cmsSketch(o.filter(col("o_custkey") % 2 === 0),
+          "o_custkey", depth = 4, width = 64),
+        SketchStore.cmsSketch(o.filter(col("o_custkey") % 2 === 1),
+          "o_custkey", depth = 4, width = 64))
+      val exact = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("o_custkey")).limit(20)
+      SketchStore.cmsEstimate(sk, exact.select("o_custkey"),
+          "o_custkey", depth = 4, width = 64)
+        .join(exact, "o_custkey")
+        .select(col("o_custkey"), col("exact_count"), col("est_count"),
+          (col("est_count") - col("exact_count")).as("overcount"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Prefix-filtered EXACT set-similarity self-join (All-Pairs /
     // PPJoin): rarest-first prefixes generate candidates losslessly,
     // full postings verify — the exact complement to q19's df-cap

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches as a STORED pre-aggregate — the
@@ -58,4 +58,57 @@ object SketchStore {
     if (rollupCols.isEmpty) s.agg(aggs.head, aggs.tail: _*)
     else s.groupBy(rollupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ---- Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) ----
+  //
+  // The FREQUENCY complement to the HLL distinct store: "how often
+  // did key k occur" over an arbitrary union of stored batches,
+  // answered from depth×width counters instead of a rescan. Like
+  // distinct counts, per-key frequencies don't pre-aggregate across
+  // batches unless the key survives as a group — the sketch's
+  // fixed-size counter grid does: merge IS elementwise addition, so
+  // the sketch of a union is the sum of the sketches. Guarantees:
+  // est ≥ true always (counters only ever add), and
+  // est ≤ true + (e/width)·N with probability 1 − e^(−depth).
+  //
+  // Unlike the HLL binary, every counter is a pure function of md5 —
+  // both engines replay the build and the point queries exactly, so
+  // this sketch IS hash-oracle-able (q237), not just spec-bounded.
+
+  /** Row-`r` counter column for `key`: md5-derived (engine-neutral,
+    * [[graft.etl.Sampling.keyHash]]'s 56-bit idiom), nonnegative. */
+  def cmsBucket(key: Column, row: Column, width: Int): Column =
+    graft.etl.Sampling.keyHash(
+      concat_ws("|", key.cast("string"), row.cast("string"))) % width
+
+  /** Build: one row per touched (r, c) counter — at most depth×width
+    * rows regardless of input size. One explode (×depth) feeding one
+    * hash aggregate with map-side combine; counters, never keys,
+    * cross the shuffle. */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+                width: Int = 256): DataFrame =
+    df.select(col(keyCol).cast("string").as("__k"))
+      .select(col("__k"),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .select(col("r"), cmsBucket(col("__k"), col("r"), width).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+
+  /** Merge any number of sketch frames built with the SAME
+    * (depth, width): elementwise counter addition. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for `keys` (a frame with `keyCol`): min over the
+    * depth rows of the addressed counters, 0 for never-touched
+    * buckets. The sketch side is ≤ depth×width rows — broadcast onto
+    * the keys; the probe never shuffles the sketch. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame =
+    keys.select(col(keyCol),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("c", cmsBucket(col(keyCol), col("r"), width))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
 }

@@ -116,4 +116,42 @@ object Urls {
     val host = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
   }
+
+  /** Politeness-constrained crawl schedule — the frontier ordering
+    * every crawler needs between [[urlPolicy]] (what MAY be fetched)
+    * and the fetcher (what IS fetched, when): fetches against one
+    * registered domain are serialized `delayMs` apart in priority
+    * order, and each domain is capped at `maxPerDomain` URLs per
+    * scheduling cycle (the crawl-quota fairness knob — one giant host
+    * cannot monopolize a cycle no matter how many high-priority URLs
+    * it holds).
+    *
+    * Emits (id, url, domain, queue_pos, fetch_offset_ms): queue_pos
+    * is the 1-based position in the domain's serialized queue under
+    * the total order (priority DESC, id) — ties cannot reorder across
+    * runs or engines — and fetch_offset_ms = (queue_pos−1)·delayMs is
+    * the earliest start relative to the cycle open. Scale shape: one
+    * shuffle on the domain key plus a per-domain window; a pathological
+    * hot domain funnels its URLs to one task, but the cap means only
+    * the top `maxPerDomain` survive — pre-ranking with a per-partition
+    * partial top-k (the E44 quota-sample trick) bounds that task's
+    * input when a single domain dominates the frontier; at the default
+    * cap the window state is trivially small. */
+  def politenessSchedule(urls: DataFrame, priorityCol: String,
+                         delayMs: Long, maxPerDomain: Int = 50,
+                         idCol: String = "doc_id",
+                         urlCol: String = "url"): DataFrame = {
+    require(delayMs >= 0, s"delayMs must be nonnegative, got $delayMs")
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col(priorityCol).desc, col(idCol))
+    urls
+      .withColumn("domain", registeredDomain(col(urlCol)))
+      .withColumn("queue_pos", row_number().over(w).cast("long"))
+      .filter(col("queue_pos") <= maxPerDomain)
+      .withColumn("fetch_offset_ms", (col("queue_pos") - 1) * delayMs)
+      .select(col(idCol), col(urlCol), col("domain"), col("queue_pos"),
+        col("fetch_offset_ms"))
+  }
 }

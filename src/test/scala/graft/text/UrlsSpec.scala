@@ -115,4 +115,45 @@ class UrlsSpec extends SparkSpec {
     val once = canon(urls: _*)
     canon(once: _*) shouldBe once
   }
+
+  private def frontier(rows: (Long, String, Long)*) =
+    rows.toDF("doc_id", "url", "priority")
+
+  test("politenessSchedule: per-domain serialization in priority order, subdomains share a queue") {
+    val out = Urls.politenessSchedule(frontier(
+        (1L, "https://a.site.com/x", 5L),
+        (2L, "https://b.site.com/y", 9L),   // same registered domain
+        (3L, "https://other.org/z", 1L)),
+      "priority", delayMs = 1000)
+      .select("doc_id", "domain", "queue_pos", "fetch_offset_ms")
+      .as[(Long, String, Long, Long)].collect().toSet
+    out shouldBe Set(
+      (2L, "site.com", 1L, 0L),     // higher priority fetches first
+      (1L, "site.com", 2L, 1000L),  // serialized 1 delay later
+      (3L, "other.org", 1L, 0L))    // other domain starts immediately
+  }
+
+  test("politenessSchedule: domain cap drops the queue tail; ties break by id") {
+    val rows = (1L to 6L).map(i => (i, s"https://hot.com/$i", 7L)) :+
+      ((9L, "https://cold.com/a", 7L))
+    val out = Urls.politenessSchedule(frontier(rows: _*),
+        "priority", delayMs = 500, maxPerDomain = 4)
+      .select("doc_id", "domain", "queue_pos")
+      .as[(Long, String, Long)].collect().toSet
+    // equal priorities: doc_id ascending is the deterministic order
+    out shouldBe Set(
+      (1L, "hot.com", 1L), (2L, "hot.com", 2L),
+      (3L, "hot.com", 3L), (4L, "hot.com", 4L),
+      (9L, "cold.com", 1L))
+  }
+
+  test("politenessSchedule is invariant under input partitioning") {
+    val rows = (1L to 40L).map(i =>
+      (i, s"https://d${i % 5}.example.com/p$i", i % 7))
+    val d = frontier(rows: _*)
+    assertSameRows(
+      Urls.politenessSchedule(d, "priority", delayMs = 100, maxPerDomain = 6),
+      Urls.politenessSchedule(d.repartition(7), "priority",
+        delayMs = 100, maxPerDomain = 6))
+  }
 }
