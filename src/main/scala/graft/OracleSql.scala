@@ -1795,6 +1795,46 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q240 twin of [[graft.analytics.StockAnalytics.fillDailyInterpolate]]:
+    * the q150 spine, both-direction IGNORE NULLS windows, and the
+    * explicit floor identity `(n − ((n % d + d) % d)) // d` — DuckDB's
+    * `//` truncates toward zero on negatives EXACTLY like Spark `div`
+    * (verified: `-7 // 2 = -3`), so BOTH engines need their
+    * nonnegative-mod shift for a falling-price gap. `close` is
+    * integral by construction (FLOOR(l_extendedprice)), so the BIGINT
+    * cast is exact on both engines. */
+  val q240_interp_fill: String = barsCte + """,
+daily AS (
+  SELECT symbol, date, CAST(min(close) AS BIGINT) AS close_i
+  FROM merged GROUP BY symbol, date),
+bounds AS (SELECT symbol, min(date) AS d0, max(date) AS d1 FROM daily GROUP BY symbol),
+spine AS (
+  SELECT symbol, CAST(u.d AS DATE) AS date
+  FROM bounds, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)),
+j AS (
+  SELECT s.symbol, s.date, d.close_i,
+    last_value(d.close_i IGNORE NULLS) OVER (PARTITION BY s.symbol
+      ORDER BY s.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN d.close_i IS NOT NULL THEN s.date END IGNORE NULLS)
+      OVER (PARTITION BY s.symbol ORDER BY s.date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(d.close_i IGNORE NULLS) OVER (PARTITION BY s.symbol
+      ORDER BY s.date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN d.close_i IS NOT NULL THEN s.date END IGNORE NULLS)
+      OVER (PARTITION BY s.symbol ORDER BY s.date
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM spine s LEFT JOIN daily d USING (symbol, date)),
+k AS (
+  SELECT symbol, date, close_i, pv,
+    (nv - pv) * (date - pd) AS n, nd - pd AS dd
+  FROM j)
+SELECT symbol, date,
+  CASE WHEN close_i IS NOT NULL THEN close_i
+       ELSE pv + (n - ((n % dd + dd) % dd)) // dd END AS close_i,
+  close_i IS NULL AS is_interp
+FROM k ORDER BY symbol, date"""
+
   /** q238 twin of [[graft.etl.FuzzyMatch.snmPairs]]: both passes'
     * row_number orders replayed exactly — (key, name, rec_id) is a
     * total order, so rank ties cannot exist — then the same offset
@@ -5929,6 +5969,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q237_cms_estimates" -> q237_cms_estimates,
     "q238_snm_linkage" -> q238_snm_linkage,
     "q239_crawl_schedule" -> q239_crawl_schedule,
+    "q240_interp_fill" -> q240_interp_fill,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

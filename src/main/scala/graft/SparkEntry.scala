@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Linear-interpolation gap fill on integral price units — the
+    // level-tracking complement to q150's forward step fill, exact
+    // floor arithmetic on both engines (falling prices floor, never
+    // truncate toward zero).
+    "q240_interp_fill" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).cast("long").as("close_i"))
+      StockAnalytics.fillDailyInterpolate(daily)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // Multi-pass sorted-neighborhood linkage over a part catalog with
     // injected char-8 typos: the forward name pass and the reversed-
     // name pass union their windows; bounded-levenshtein verify.

@@ -220,6 +220,55 @@ object StockAnalytics {
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Linear-interpolation gap fill — the level-tracking complement to
+    * [[fillDailyForward]]'s step fill: a missing day between two
+    * observations takes the straight-line value between them instead
+    * of repeating the left edge (the pandas `interpolate('linear')`
+    * contract, as [[fillDailyForward]] is `ffill`). Operates on an
+    * INTEGER value column (cents / integral price units) so the
+    * interpolated point is exact floor arithmetic — engines cannot
+    * disagree on a double near a half — via the floor-division
+    * identity `(n − pmod(n, d)) div d` (Spark `div` truncates toward
+    * zero, so raw `div` on a negative numerator — a falling price —
+    * would round the wrong way; pmod ≥ 0 restores floor semantics,
+    * matching DuckDB's floor `//`).
+    *
+    * Every spine day strictly between two observations has both
+    * brackets (the spine is bounded by each symbol's min/max observed
+    * date), so no edge NULLs arise. Shape: the [[fillDailyForward]]
+    * spine + ONE ordered window pass per direction (last-non-null
+    * value/date backward, first-non-null forward) — four window
+    * columns over the same (symbol, date) sort, one shuffle. */
+  def fillDailyInterpolate(daily: DataFrame, symbolCol: String = "symbol",
+                           dateCol: String = "date",
+                           valueCol: String = "close_i"): DataFrame = {
+    val spine = daily.groupBy(col(symbolCol))
+      .agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
+      .select(col(symbolCol),
+        explode(expr("sequence(__d0, __d1, interval 1 day)")).as(dateCol))
+    val wP = Window.partitionBy(col(symbolCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col(symbolCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val numer = s"(__nv - __pv) * datediff($dateCol, __pd)"
+    val denom = s"datediff(__nd, __pd)"
+    spine
+      .join(daily.select(col(symbolCol), col(dateCol), col(valueCol)),
+        Seq(symbolCol, dateCol), "left")
+      .withColumn("is_interp", col(valueCol).isNull)
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(wP))
+      .withColumn("__pd", last(when(col(valueCol).isNotNull, col(dateCol)),
+        ignoreNulls = true).over(wP))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(wN))
+      .withColumn("__nd", first(when(col(valueCol).isNotNull, col(dateCol)),
+        ignoreNulls = true).over(wN))
+      .withColumn(valueCol,
+        when(!col("is_interp"), col(valueCol))
+          .otherwise(expr(
+            s"__pv + ($numer - pmod($numer, $denom)) div $denom")))
+      .select(col(symbolCol), col(dateCol), col(valueCol), col("is_interp"))
+  }
+
   /** Trading-gap report — the data-completeness complement of
     * [[fillDailyForward]]: where the fill PATCHES holes, this one
     * REPORTS them (the ingest-monitoring view: "which symbols have

@@ -146,6 +146,53 @@ class StockAnalyticsSpec extends SparkSpec {
     out.count(_._1 == "B") shouldBe 1
   }
 
+  test("fillDailyInterpolate: rising gap takes straight-line integer values") {
+    import spark.implicits._
+    val daily = Seq(
+      ("A", "2024-01-01", 100L), ("A", "2024-01-04", 130L), // gap: 02, 03
+      ("B", "2024-02-01", 7L))
+      .toDF("symbol", "d", "close_i")
+      .select(col("symbol"), col("d").cast("date").as("date"), col("close_i"))
+    val out = StockAnalytics.fillDailyInterpolate(daily)
+      .select(col("symbol"), col("date").cast("string"), col("close_i"),
+        col("is_interp"))
+      .as[(String, String, Long, Boolean)].collect().sortBy(r => (r._1, r._2))
+    out shouldBe Array(
+      ("A", "2024-01-01", 100L, false),
+      ("A", "2024-01-02", 110L, true),
+      ("A", "2024-01-03", 120L, true),
+      ("A", "2024-01-04", 130L, false),
+      ("B", "2024-02-01", 7L, false))
+  }
+
+  test("fillDailyInterpolate: falling non-divisible gap floors (never truncates toward zero)") {
+    import spark.implicits._
+    // 100 -> 95 over 3 days: offsets -5/3 and -10/3 must FLOOR to
+    // -2 and -4 (98, 96); truncation toward zero would give 99, 97 —
+    // the Spark-div-vs-DuckDB-floor divergence this operator guards.
+    val daily = Seq(("A", "2024-01-01", 100L), ("A", "2024-01-04", 95L))
+      .toDF("symbol", "d", "close_i")
+      .select(col("symbol"), col("d").cast("date").as("date"), col("close_i"))
+    val out = StockAnalytics.fillDailyInterpolate(daily)
+      .select(col("date").cast("string"), col("close_i"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    out shouldBe Array(
+      ("2024-01-01", 100L), ("2024-01-02", 98L),
+      ("2024-01-03", 96L), ("2024-01-04", 95L))
+  }
+
+  test("fillDailyInterpolate is invariant under input partitioning") {
+    import spark.implicits._
+    val daily = (1 to 60).filter(i => i % 3 != 0).map(i =>
+      (s"S${i % 4}", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i / 4)), (i * 37 % 500).toLong))
+      .toDF("symbol", "date", "close_i")
+      .groupBy("symbol", "date").agg(min("close_i").as("close_i"))
+    assertSameRows(
+      StockAnalytics.fillDailyInterpolate(daily),
+      StockAnalytics.fillDailyInterpolate(daily.repartition(7)))
+  }
+
   test("tradingGaps: gap runs, totals, longest; zero-gap symbols report zeros") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
