@@ -1795,6 +1795,55 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q241 twin of [[graft.quality.Agreement.cohenKappa]]: the same
+    * confusion cells, marginal products over the shared label domain,
+    * and the nonneg-mod floor identity for a possibly-negative kappa
+    * (positive here; the identity keeps the trees structurally
+    * equal). */
+  val q241_kappa: String = """
+WITH d AS (
+  SELECT event_type AS a,
+    CASE WHEN user_id % 11 = 0 THEN 'click' ELSE event_type END AS b
+  FROM events WHERE event_type IS NOT NULL),
+cells AS (SELECT a, b, count(*) AS n FROM d GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_items,
+    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cells),
+rc AS (
+  SELECT CAST(coalesce(sum(ra.na * rb.nb), 0) AS BIGINT) AS rc
+  FROM ra JOIN rb ON ra.a = rb.b)
+SELECT t.n_items, t.n_agree,
+  (1000 * t.n_agree) // t.n_items AS agree_permille,
+  (1000 * rc.rc) // (t.n_items * t.n_items) AS pe_permille,
+  CASE WHEN t.n_items * t.n_items - rc.rc <> 0 THEN
+    (1000 * (t.n_items * t.n_agree - rc.rc)
+     - ((1000 * (t.n_items * t.n_agree - rc.rc))
+          % (t.n_items * t.n_items - rc.rc)
+        + (t.n_items * t.n_items - rc.rc))
+       % (t.n_items * t.n_items - rc.rc))
+    // (t.n_items * t.n_items - rc.rc)
+  END AS kappa_permille
+FROM t, rc"""
+
+  /** q242 twin of [[graft.etl.Encoding.looEncode]]: category stats
+    * joined back, own target excluded, nonnegative floor division. */
+  val q242_loo_encoding: String = """
+WITH d AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS segment,
+    CAST(round(o.o_totalprice * 100) AS BIGINT) AS target_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+s AS (
+  SELECT segment, CAST(sum(target_cents) AS BIGINT) AS st,
+    CAST(count(target_cents) AS BIGINT) AS n
+  FROM d GROUP BY 1)
+SELECT d.o_orderkey, d.segment, d.target_cents,
+  CASE WHEN s.n > 1 THEN (s.st - d.target_cents) // (s.n - 1) END
+    AS loo_target_cents
+FROM d JOIN s USING (segment) ORDER BY d.o_orderkey"""
+
   /** q240 twin of [[graft.analytics.StockAnalytics.fillDailyInterpolate]]:
     * the q150 spine, both-direction IGNORE NULLS windows, and the
     * explicit floor identity `(n − ((n % d + d) % d)) // d` — DuckDB's
@@ -5970,6 +6019,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q238_snm_linkage" -> q238_snm_linkage,
     "q239_crawl_schedule" -> q239_crawl_schedule,
     "q240_interp_fill" -> q240_interp_fill,
+    "q241_kappa" -> q241_kappa,
+    "q242_loo_encoding" -> q242_loo_encoding,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,28 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Cohen's kappa over a doubly-labeled events table: rater B
+    // biased toward 'click' on user_id % 11 rows — chance-corrected
+    // agreement as exact integer permille.
+    "q241_kappa" -> ((s, dir) => {
+      val rated = Tables.events(s, dir).select(
+        col("event_type").as("rater_a"),
+        when(col("user_id") % 11 === 0, lit("click"))
+          .otherwise(col("event_type")).as("rater_b"))
+      graft.quality.Agreement.cohenKappa(rated, "rater_a", "rater_b")
+    }),
+
+    // Leave-one-out target encoding of market segment against order
+    // value cents — leakage-safe mean encoding, exact floor integers.
+    "q242_loo_encoding" -> ((s, dir) => {
+      val d = Tables.orders(s, dir).join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+          round(col("o_totalprice") * 100).cast("long").as("target_cents"))
+      graft.etl.Encoding.looEncode(d, "segment", "target_cents")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Linear-interpolation gap fill on integral price units — the
     // level-tracking complement to q150's forward step fill, exact
     // floor arithmetic on both engines (falling prices floor, never

@@ -1,0 +1,70 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement — the label-quality gate for human- or
+  * model-labeled training data (reference anchor: the validators'
+  * scalar-probe contract, validate.py:41 — this is the same
+  * one-row-report shape over a doubly-labeled table).
+  *
+  * Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960) corrects raw
+  * agreement for the agreement two raters would reach by chance given
+  * their own label marginals: κ = (p_o − p_e) / (1 − p_e) with
+  * p_o = Σ diag / N and p_e = Σ rowᵢ·colᵢ / N². Raw agreement alone
+  * rewards raters who both spam the majority label; κ is the standard
+  * "is the labeling pipeline actually consistent" number reviewers
+  * ask for before a labeled set ships.
+  *
+  * Everything is EXACT integer arithmetic: the confusion matrix and
+  * marginals are counts, and κ is emitted as a floor permille of the
+  * integer identity κ‰ = ⌊1000·(N·agree − Σrc) / (N² − Σrc)⌋ using
+  * the nonneg-mod floor identity on both engines (κ is NEGATIVE when
+  * raters agree less than chance — a plain truncating `div` would
+  * round toward zero there; see the q240 trap). N ≤ 3·10⁹ keeps
+  * N² inside a long.
+  *
+  * Shape: one hash aggregate over (a, b) cells — output bounded by
+  * the label-domain square, never the corpus — then marginal products
+  * on the tiny cell table. Null-labeled items are excluded (stated:
+  * an unlabeled item is a coverage problem, not a disagreement).
+  * Fleiss' generalization for >2 raters reuses the same per-item
+  * count shape and is left to a follow-up operator. */
+object Agreement {
+
+  /** One row: (n_items, n_agree, agree_permille, pe_permille,
+    * kappa_permille — NULL when p_e = 1, the degenerate
+    * single-label-both-raters case where κ is undefined). */
+  def cohenKappa(df: DataFrame, raterACol: String,
+                 raterBCol: String): DataFrame = {
+    val cells = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).cast("string").as("__a"),
+        col(raterBCol).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    val rowsM = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val colsM = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+    val totals = cells.agg(
+      sum(col("__n")).as("n_items"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .as("n_agree"))
+    // Σ rowᵢ·colᵢ over the shared label domain; labels one rater
+    // never used contribute 0 and drop out of the inner join.
+    val rc = rowsM.join(colsM, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__rc"))
+    totals.crossJoin(broadcast(rc)) // two 1-row frames
+      .withColumn("agree_permille",
+        expr("(1000 * n_agree) div n_items"))
+      .withColumn("pe_permille",
+        expr("(1000 * __rc) div (n_items * n_items)"))
+      .withColumn("kappa_permille", expr(
+        """CASE WHEN n_items * n_items - __rc <> 0 THEN
+          |  (1000 * (n_items * n_agree - __rc)
+          |   - pmod(1000 * (n_items * n_agree - __rc),
+          |          n_items * n_items - __rc))
+          |  div (n_items * n_items - __rc)
+          |END""".stripMargin))
+      .select("n_items", "n_agree", "agree_permille", "pe_permille",
+        "kappa_permille")
+  }
+}
