@@ -1795,6 +1795,75 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q243 twin of [[graft.analytics.Profiling.quantileNormalize]]:
+    * the same (value, date) rank order, ceil-div nearest-rank-above
+    * lookup, and nonneg-mod floor mean. */
+  val q243_quantile_norm: String = barsCte + """,
+daily AS (
+  SELECT symbol, date, CAST(min(close) AS BIGINT) AS close_i
+  FROM merged GROUP BY 1, 2),
+ranked AS (
+  SELECT symbol, date, close_i,
+    CAST(row_number() OVER (PARTITION BY symbol ORDER BY close_i, date)
+      AS BIGINT) AS i
+  FROM daily),
+sizes AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+pr AS (
+  SELECT r.symbol, r.date, r.close_i, h.symbol AS hg,
+    (r.i * h.n + s.n - 1) // s.n AS j
+  FROM ranked r JOIN sizes s USING (symbol) CROSS JOIN sizes h),
+lk AS (
+  SELECT p.symbol, p.date, p.close_i, rh.close_i AS vh
+  FROM pr p JOIN ranked rh ON rh.symbol = p.hg AND rh.i = p.j),
+ag AS (
+  SELECT symbol, date, close_i,
+    CAST(sum(vh) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS g
+  FROM lk GROUP BY 1, 2, 3)
+SELECT symbol, date, close_i,
+  (sv - ((sv % g + g) % g)) // g AS qn_close_i
+FROM ag ORDER BY symbol, date"""
+
+  /** q244 twin of [[graft.analytics.Profiling.candidateKeys]]:
+    * row()-forced distinct tuples (bare count(DISTINCT c) would SKIP
+    * nulls where the key semantics count them), unpivot, minimality
+    * self-joins. */
+  val q244_candidate_keys: String = """
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(DISTINCT row(o_orderkey)) AS BIGINT) AS k1,
+    CAST(count(DISTINCT row(o_custkey)) AS BIGINT) AS k2,
+    CAST(count(DISTINCT row(o_orderdate)) AS BIGINT) AS k3,
+    CAST(count(DISTINCT row(o_orderstatus)) AS BIGINT) AS k4,
+    CAST(count(DISTINCT row(o_orderkey, o_custkey)) AS BIGINT) AS k12,
+    CAST(count(DISTINCT row(o_orderkey, o_orderdate)) AS BIGINT) AS k13,
+    CAST(count(DISTINCT row(o_orderkey, o_orderstatus)) AS BIGINT) AS k14,
+    CAST(count(DISTINCT row(o_custkey, o_orderdate)) AS BIGINT) AS k23,
+    CAST(count(DISTINCT row(o_custkey, o_orderstatus)) AS BIGINT) AS k24,
+    CAST(count(DISTINCT row(o_orderdate, o_orderstatus)) AS BIGINT) AS k34
+  FROM orders),
+f AS (
+  SELECT 'o_orderkey' AS col_a, CAST(NULL AS VARCHAR) AS col_b,
+    1 AS arity, k1 AS n_distinct, n_rows FROM a
+  UNION ALL SELECT 'o_custkey', NULL, 1, k2, n_rows FROM a
+  UNION ALL SELECT 'o_orderdate', NULL, 1, k3, n_rows FROM a
+  UNION ALL SELECT 'o_orderstatus', NULL, 1, k4, n_rows FROM a
+  UNION ALL SELECT 'o_orderkey', 'o_custkey', 2, k12, n_rows FROM a
+  UNION ALL SELECT 'o_orderkey', 'o_orderdate', 2, k13, n_rows FROM a
+  UNION ALL SELECT 'o_orderkey', 'o_orderstatus', 2, k14, n_rows FROM a
+  UNION ALL SELECT 'o_custkey', 'o_orderdate', 2, k23, n_rows FROM a
+  UNION ALL SELECT 'o_custkey', 'o_orderstatus', 2, k24, n_rows FROM a
+  UNION ALL SELECT 'o_orderdate', 'o_orderstatus', 2, k34, n_rows FROM a),
+u AS (SELECT *, n_distinct = n_rows AS is_unique FROM f),
+su AS (SELECT col_a AS c, is_unique AS uu FROM u WHERE arity = 1)
+SELECT u.col_a, u.col_b, u.arity, u.n_distinct, u.n_rows, u.is_unique,
+  (u.is_unique AND (u.arity = 1 OR
+    (NOT coalesce(sa.uu, false) AND NOT coalesce(sb.uu, false))))
+    AS is_minimal
+FROM u
+LEFT JOIN su sa ON u.col_a = sa.c
+LEFT JOIN su sb ON u.col_b = sb.c
+ORDER BY u.arity, u.col_a, coalesce(u.col_b, '')"""
+
   /** q241 twin of [[graft.quality.Agreement.cohenKappa]]: the same
     * confusion cells, marginal products over the shared label domain,
     * and the nonneg-mod floor identity for a possibly-negative kappa
@@ -6021,6 +6090,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q240_interp_fill" -> q240_interp_fill,
     "q241_kappa" -> q241_kappa,
     "q242_loo_encoding" -> q242_loo_encoding,
+    "q243_quantile_norm" -> q243_quantile_norm,
+    "q244_candidate_keys" -> q244_candidate_keys,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

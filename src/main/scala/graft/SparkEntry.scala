@@ -973,6 +973,26 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Quantile normalization of daily closes across the 25-symbol
+    // panel: every symbol forced onto the cross-panel reference
+    // distribution, exact floor-mean of order statistics.
+    "q243_quantile_norm" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).cast("long").as("close_i"))
+      graft.analytics.Profiling.quantileNormalize(daily, "symbol",
+          "date", "close_i")
+        .orderBy(col("symbol"), col("date"))
+    }),
+
+    // Candidate-key discovery over four order columns: single and
+    // pair uniqueness plus the minimality verdict an index advisor
+    // consumes.
+    "q244_candidate_keys" -> ((s, dir) =>
+      graft.analytics.Profiling.candidateKeys(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"))
+        .orderBy(col("arity"), col("col_a"), coalesce(col("col_b"), lit("")))),
+
     // Cohen's kappa over a doubly-labeled events table: rater B
     // biased toward 'click' on user_id % 11 rows — chance-corrected
     // agreement as exact integer permille.

@@ -363,6 +363,113 @@ object Profiling {
       .withColumn("holds", col("n_pairs") === col("n_det"))
   }
 
+  /** Quantile normalization across a panel of groups (Bolstad et al.,
+    * Bioinformatics 2003 — the microarray classic, now the standard
+    * "force every source onto one reference distribution" feature
+    * transform): each value is replaced by the cross-group mean of
+    * the order statistics at its rank fraction, so after the
+    * transform every group's sorted values follow the SAME reference
+    * distribution while each row keeps its within-group rank. The
+    * batch-effect killer for multi-source feature columns where
+    * per-group z-scores ([[robustScale]]) fix location/scale but not
+    * shape.
+    *
+    * Unequal group sizes use the nearest-rank-above lookup
+    * j = ⌈i·n_h / n_g⌉ (exact integer ceil-div; equal sizes reduce to
+    * the classic same-rank mean). All arithmetic is exact: integral
+    * values in, floor-mean of G order statistics out — no float near
+    * a boundary on either engine. Ties take ranks by (value, id) —
+    * a total order, stated, so both engines agree.
+    *
+    * Shape: one rank window per group, a G-row size table broadcast
+    * CROSS onto the ranked rows (n·G intermediate — G is the panel
+    * width, small by the operator's own definition: a batch of
+    * sources/arrays, not a cardinality), one hash join on (group,
+    * rank) to fetch the order statistics, one aggregate back to one
+    * row per input row. Nothing collects; skew bounded by group
+    * sizes. */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("__i", row_number().over(w).cast("long"))
+    val sizes = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+    val hs = sizes.select(col(groupCol).as("__hg"), col("__n").as("__hn"))
+    val lookup = ranked.select(col(groupCol).as("__hg"),
+      col("__i").as("__j"), col(valueCol).as("__vh"))
+    ranked.join(sizes, groupCol)
+      .crossJoin(broadcast(hs))
+      .withColumn("__j", expr("(__i * __hn + __n - 1) div __n"))
+      .join(lookup, Seq("__hg", "__j"))
+      .groupBy(col(groupCol), col(idCol), col(valueCol))
+      .agg(sum(col("__vh")).as("__s"), count(lit(1)).as("__g"))
+      // floor-mean via the nonneg-mod identity: negative values sum
+      // negative, and truncating div would round the wrong way there
+      .withColumn(s"qn_$valueCol",
+        expr("(__s - pmod(__s, __g)) div __g"))
+      .drop("__s", "__g")
+  }
+
+  /** Candidate-key discovery up to arity 2 — the UNIQUENESS
+    * complement to [[fdDiscovery]]'s implication profiling (together
+    * they are the profiling pair every schema-inference tool ships:
+    * FDs say what a column determines, keys say what identifies a
+    * row). For every single column and unordered column pair from the
+    * stated profiling list: distinct count vs row count → `is_unique`,
+    * and `is_minimal` = unique with NO unique proper subset (a pair
+    * containing a unique column is a key, but a redundant one — the
+    * minimality verdict is what an index/PK advisor consumes).
+    *
+    * Shape: the [[fdDiscovery]] contract — ONE aggregate computes all
+    * k + k(k−1)/2 distinct counts (Catalyst Expand governor stated
+    * there applies), stack() unpivots, and minimality is two
+    * self-joins on the TINY unpivoted frame (≤ k(k+1)/2 rows), never
+    * the data. Distinct-tuple semantics: a row with a NULL in the
+    * combo still counts as a value (SQL `count(DISTINCT (a,b))` row
+    * semantics on both engines — a nullable column can still be part
+    * of a key candidate here; strict PK nullability is a separate
+    * not_null expectation, E232). */
+  def candidateKeys(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate column in list")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("__rows")) ++
+      cols.map(c => countDistinct(struct(col(c))).as(s"__k_$c")) ++
+      pairs.map { case (a, b) =>
+        countDistinct(struct(col(a), col(b))).as(s"__k_${a}__$b") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = (cols.map(c =>
+        s"'$c', CAST(NULL AS STRING), 1, __k_$c") ++
+      pairs.map { case (a, b) => s"'$a', '$b', 2, __k_${a}__$b" })
+      .mkString(", ")
+    val n = cols.size + pairs.size
+    val flat = one.select(col("__rows"), expr(
+        s"stack($n, $stacked) AS (col_a, col_b, arity, n_distinct)"))
+      .select(col("col_a"), col("col_b"), col("arity"),
+        col("n_distinct"), col("__rows").as("n_rows"),
+        (col("n_distinct") === col("__rows")).as("is_unique"))
+    val singles = flat.filter(col("arity") === 1)
+      .select(col("col_a").as("__c"), col("is_unique").as("__u"))
+    flat
+      .join(broadcast(singles.withColumnsRenamed(
+        Map("__c" -> "__ca", "__u" -> "__ua"))),
+        col("col_a") === col("__ca"), "left")
+      .join(broadcast(singles.withColumnsRenamed(
+        Map("__c" -> "__cb", "__u" -> "__ub"))),
+        col("col_b") === col("__cb"), "left")
+      .withColumn("is_minimal", col("is_unique") &&
+        (col("arity") === 1 ||
+          (!coalesce(col("__ua"), lit(false)) &&
+            !coalesce(col("__ub"), lit(false)))))
+      .select("col_a", "col_b", "arity", "n_distinct", "n_rows",
+        "is_unique", "is_minimal")
+  }
+
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val aggs = cols.flatMap { c => Seq(

@@ -472,4 +472,68 @@ class ProfilingSpec extends SparkSpec {
     exactNtile.queryExecution.executedPlan.toString should
       include("SinglePartition")
   }
+
+  test("quantileNormalize: equal sizes take the floor-mean of same-rank order stats") {
+    import spark.implicits._
+    val d = Seq(("A", 1L, 2L), ("A", 2L, 4L), ("A", 3L, 6L),
+        ("B", 4L, 1L), ("B", 5L, 2L), ("B", 6L, 3L))
+      .toDF("g", "id", "v")
+    val out = Profiling.quantileNormalize(d, "g", "id", "v")
+      .select("id", "qn_v").as[(Long, Long)].collect().toMap
+    // rank means: (2+1)/2=1, (4+2)/2=3, (6+3)/2=4 (floor 4.5)
+    out shouldBe Map(1L -> 1L, 2L -> 3L, 3L -> 4L,
+      4L -> 1L, 5L -> 3L, 6L -> 4L)
+    // the contract: after QN both groups carry the SAME multiset
+    val byG = Profiling.quantileNormalize(d, "g", "id", "v")
+      .select("g", "qn_v").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    byG("A") shouldBe byG("B")
+  }
+
+  test("quantileNormalize: unequal sizes use the nearest-rank-above lookup") {
+    import spark.implicits._
+    val d = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("A", 3L, 30L),
+        ("A", 4L, 40L), ("B", 5L, 100L), ("B", 6L, 200L))
+      .toDF("g", "id", "v")
+    val out = Profiling.quantileNormalize(d, "g", "id", "v")
+      .select("id", "qn_v").as[(Long, Long)].collect().toMap
+    // A ranks 1..4 look up B at ceil(i*2/4) = 1,1,2,2 -> 100,100,200,200
+    // B ranks 1..2 look up A at ceil(i*4/2) = 2,4 -> 20,40
+    out shouldBe Map(
+      1L -> 55L, 2L -> 60L, 3L -> 115L, 4L -> 120L,
+      5L -> 60L, 6L -> 120L)
+  }
+
+  test("quantileNormalize is invariant under input partitioning") {
+    import spark.implicits._
+    val d = (1 to 90).map(i => (s"g${i % 3}", i.toLong, (i * 37 % 101).toLong))
+      .toDF("g", "id", "v")
+    assertSameRows(
+      Profiling.quantileNormalize(d, "g", "id", "v"),
+      Profiling.quantileNormalize(d.repartition(7), "g", "id", "v"))
+  }
+
+  test("candidateKeys: uniqueness and minimality verdicts; nulls count as values") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 10L))
+      .toDF("id", "cat", "v")
+    val out = Profiling.candidateKeys(d, Seq("id", "cat", "v"))
+      .select("col_a", "col_b", "n_distinct", "is_unique", "is_minimal")
+      .as[(String, Option[String], Long, Boolean, Boolean)]
+      .collect().map(r => (r._1, r._2.getOrElse("-")) -> ((r._3, r._4, r._5)))
+      .toMap
+    out(("id", "-")) shouldBe ((3L, true, true))
+    out(("cat", "-")) shouldBe ((2L, false, false))
+    out(("v", "-")) shouldBe ((2L, false, false))
+    out(("id", "cat")) shouldBe ((3L, true, false)) // redundant: id alone
+    out(("id", "v")) shouldBe ((3L, true, false))
+    out(("cat", "v")) shouldBe ((3L, true, true))   // the minimal pair key
+    // nulls are key-relevant values, not skipped rows
+    val withNull = Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("id", "c")
+    val nd = Profiling.candidateKeys(withNull, Seq("id", "c"))
+      .filter(col("col_a") === "c" && col("arity") === 1)
+      .select("n_distinct").as[Long].head()
+    nd shouldBe 2L
+  }
 }
