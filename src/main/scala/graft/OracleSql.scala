@@ -1795,6 +1795,49 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q245 twin of [[graft.multimodal.Multimodal.silenceTrim]]: the
+    * q216 synthetic PCM replayed from its formula (channel-0 samples,
+    * 16-sample frames, Σv² energies), then the same conditional
+    * bounds aggregate. */
+  val q245_silence_trim: String = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 37 AS nf
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST((i // ch) // 16 AS BIGINT) AS fi,
+    ((7919 * doc_id + 104729 * i + 1299721 * i * i) % 65536) - 32768 AS v
+  FROM d, unnest(range(0, ch * nf)) AS t(i)
+  WHERE i % ch = 0),
+fr AS (
+  SELECT doc_id, fi, CAST(sum(v * v) AS BIGINT) AS e
+  FROM s GROUP BY 1, 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+  min(CASE WHEN e >= 5500000000 THEN fi END) AS first_active,
+  max(CASE WHEN e >= 5500000000 THEN fi END) AS last_active,
+  CAST(sum(CASE WHEN e >= 5500000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_active,
+  coalesce(max(CASE WHEN e >= 5500000000 THEN fi END)
+    - min(CASE WHEN e >= 5500000000 THEN fi END) + 1, 0) AS keep_frames
+FROM fr GROUP BY 1 ORDER BY doc_id"""
+
+  /** q246 twin of [[graft.etl.Skew.joinCardinality]]: count tables,
+    * product join, 1-row total, (pairs DESC, key) top-30. */
+  val q246_join_cardinality: String = """
+WITH la AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS f_left
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+rb AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS f_right
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+pk AS (
+  SELECT la.key, la.f_left, rb.f_right, la.f_left * rb.f_right AS pairs
+  FROM la JOIN rb USING (key)),
+t AS (SELECT CAST(coalesce(sum(pairs), 0) AS BIGINT) AS total_pairs FROM pk)
+SELECT pk.key, pk.f_left, pk.f_right, pk.pairs, t.total_pairs,
+  (pk.pairs * 1000) // t.total_pairs AS share_permille
+FROM pk, t
+ORDER BY pk.pairs DESC, pk.key LIMIT 30"""
+
   /** q243 twin of [[graft.analytics.Profiling.quantileNormalize]]:
     * the same (value, date) rank order, ceil-div nearest-rank-above
     * lookup, and nonneg-mod floor mean. */
@@ -6092,6 +6135,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q242_loo_encoding" -> q242_loo_encoding,
     "q243_quantile_norm" -> q243_quantile_norm,
     "q244_candidate_keys" -> q244_candidate_keys,
+    "q245_silence_trim" -> q245_silence_trim,
+    "q246_join_cardinality" -> q246_join_cardinality,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,38 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Silence-trim boundaries over the q216 synthetic WAV corpus:
+    // per-clip first/last energetic frame and the keep region, from
+    // the scan-side exact-integer frame energies.
+    "q245_silence_trim" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val ch = (1 + id % 2).toInt
+          val nf = (50 + id % 37).toInt
+          id -> graft.multimodal.Wav.encodePcm16(
+            ch, (8000 + 100 * (id % 4)).toInt, nf,
+            (f, c) => {
+              val i = f.toLong * ch + c
+              (((7919L * id + 104729L * i + 1299721L * i * i) % 65536L)
+                - 32768L).toInt
+            })
+        }
+        .toDF("doc_id", "wav")
+      graft.multimodal.Multimodal.silenceTrim(wavs, "doc_id", "wav",
+          frameSize = 16, energyThreshold = 5500000000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact join-cardinality profile: price events.user_id x
+    // orders.o_custkey from the two count tables without running the
+    // join — the salted-join triage input.
+    "q246_join_cardinality" -> ((s, dir) =>
+      graft.etl.Skew.joinCardinality(
+        Tables.events(s, dir), "user_id",
+        Tables.orders(s, dir), "o_custkey", topK = 30)),
+
     // Quantile normalization of daily closes across the 25-symbol
     // panel: every symbol forced onto the cross-panel reference
     // distribution, exact floor-mean of order statistics.

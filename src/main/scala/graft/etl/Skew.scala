@@ -117,6 +117,46 @@ object Skew {
         (col("cnt").cast("double") / col("__n").cast("double")).as("share"))
   }
 
+  /** Exact equi-join cardinality profile WITHOUT executing the join —
+    * the "will this join explode" diagnosis that belongs next to
+    * [[heavyHitters]] (which finds hot keys on one side; this prices
+    * the product of both): |A ⋈ B| on key k contributes
+    * f_A(k)·f_B(k), so the total and the per-key contributions come
+    * from joining the two COUNT TABLES (bounded by key domains, never
+    * the data) — the planner's frequency-vector estimate made exact.
+    * Run it before a risky join: a single key carrying 40% of the
+    * output is the signal to route that key through [[saltedJoin]]
+    * or reconsider the join entirely.
+    *
+    * Emits the `topK` keys by pair contribution (ties broken by key
+    * string — deterministic) with both frequencies, the exact pair
+    * count, and each key's share of the total output in permille.
+    * NULL keys are excluded (SQL equi-joins never match them).
+    * Shape: one map-side-combined aggregate per side, a hash join of
+    * the two count tables, a 1-row total broadcast back. */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String,
+                      topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val la = left.filter(col(leftKey).isNotNull)
+      .select(col(leftKey).cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("f_left"))
+    val rb = right.filter(col(rightKey).isNotNull)
+      .select(col(rightKey).cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("f_right"))
+    val perKey = la.join(rb, "key")
+      .withColumn("pairs", col("f_left") * col("f_right"))
+    val total = perKey.agg(
+      coalesce(sum(col("pairs")), lit(0L)).as("total_pairs"))
+    perKey.crossJoin(broadcast(total))
+      .withColumn("share_permille",
+        expr("(pairs * 1000) div total_pairs"))
+      .orderBy(col("pairs").desc, col("key"))
+      .limit(topK)
+      .select("key", "f_left", "f_right", "pairs", "total_pairs",
+        "share_permille")
+  }
+
   /** Misra–Gries k-counter summary of one partition — the classic
     * streaming frequent-items pass, inherently sequential (the one
     * shape where mapPartitions beats an expression). Emits the

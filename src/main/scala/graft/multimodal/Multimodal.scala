@@ -67,6 +67,38 @@ object Multimodal {
   def wavFrameFeatures(bin: Column, frameSize: Int): Column =
     graft.functions.WavFunctions.wavFrameFeatures(bin, frameSize)
 
+  /** Silence-trim boundaries — the voice-activity gate composed on
+    * [[wavFrameFeatures]]' exact-integer energies (the canonical use
+    * its scaladoc names): frames with Σv² ≥ `energyThreshold` are
+    * active; per clip this reports total frames, the first/last
+    * active frame, the active count, and `keep_frames` =
+    * last−first+1 — the contiguous region a trim pass would keep
+    * (leading/trailing silence dropped, interior pauses preserved —
+    * the standard ASR-prep contract, NOT gap compression). All-silent
+    * clips report NULL bounds and keep 0, never a fabricated region.
+    *
+    * Shape: the frame structs (five integers each) are the ONLY
+    * thing that leaves the scan — media bytes never shuffle — then
+    * one conditional aggregate per clip. Threshold calibration is the
+    * caller's contract (energy scales with frameSize and loudness;
+    * pair with a [[wavFrameFeatures]] percentile probe to pick it). */
+  def silenceTrim(wavs: DataFrame, idCol: String, wavCol: String,
+                  frameSize: Int, energyThreshold: Long): DataFrame = {
+    val active = col("__e") >= energyThreshold
+    wavs.select(col(idCol),
+        explode(wavFrameFeatures(col(wavCol), frameSize)).as("__f"))
+      .select(col(idCol), col("__f.frame_idx").cast("long").as("__fi"),
+        col("__f.energy").as("__e"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        min(when(active, col("__fi"))).as("first_active"),
+        max(when(active, col("__fi"))).as("last_active"),
+        sum(when(active, 1L).otherwise(0L)).as("n_active"))
+      .withColumn("keep_frames",
+        coalesce(col("last_active") - col("first_active") + 1, lit(0L)))
+  }
+
   /** Perceptual difference-hash (dHash) of an RGB8 PNG: decode → 9×8
     * integer-luma grid → 64 adjacent-mean comparison bits (exact
     * rational compare — see [[graft.functions.PngPixelUtil.dhash]]).

@@ -170,4 +170,31 @@ class SkewSpec extends SparkSpec {
       math.abs(a - e) / e should be <= 0.05
     }
   }
+test("joinCardinality: per-key products, shares, top-k order, null exclusion") {
+    import spark.implicits._
+    val l = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val r = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq("z") ++
+      Seq(null.asInstanceOf[String])).toDF("j")
+    val out = Skew.joinCardinality(l, "k", r, "j", topK = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // a: 6*4=24, b: 2*3=6; c and z unmatched; nulls never match
+    out shouldBe Array(
+      ("a", 6L, 4L, 24L, 30L, 800L),
+      ("b", 2L, 3L, 6L, 30L, 200L))
+    // the profile PRICES the join it never ran: verify against reality
+    val real = l.join(r, l("k") === r("j")).count()
+    real shouldBe 30L
+  }
+
+  test("joinCardinality: topK truncates by contribution with key tie-break") {
+    import spark.implicits._
+    val l = (1 to 40).map(i => s"k${i % 8}").toDF("k")
+    val r = (1 to 24).map(i => s"k${i % 6}").toDF("k")
+    val out = Skew.joinCardinality(l, "k", r, "k", topK = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    out.length shouldBe 3
+    // all 6 shared keys contribute 5*4=20 each: tie-break is the key
+    out.map(_._1).toSeq shouldBe Seq("k0", "k1", "k2")
+  }
 }

@@ -440,4 +440,35 @@ class MultimodalSpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
     codegen shouldBe direct
   }
+test("silenceTrim: leading/trailing silence bounds, interior pause preserved") {
+    // 5 frames of 4 samples: silent, loud, silent, loud, silent
+    // energy(loud frame) = 4 * 1000^2 = 4,000,000; threshold 1,000,000
+    val clip = Wav.encodePcm16(1, 8000, 20, (f, _) =>
+      if ((f / 4) == 1 || (f / 4) == 3) 1000 else 0)
+    val out = Multimodal.silenceTrim(media(1L -> clip), "id", "media",
+        frameSize = 4, energyThreshold = 1000000L)
+      .select("n_frames", "first_active", "last_active", "n_active",
+        "keep_frames")
+      .as[(Long, Option[Long], Option[Long], Long, Long)].head()
+    out shouldBe ((5L, Some(1L), Some(3L), 2L, 3L))
+  }
+
+  test("silenceTrim: all-silent clip reports NULL bounds and keeps nothing") {
+    val quiet = Wav.encodePcm16(1, 8000, 12, (_, _) => 3)
+    val out = Multimodal.silenceTrim(media(7L -> quiet), "id", "media",
+        frameSize = 4, energyThreshold = 1000L)
+      .select("n_frames", "first_active", "last_active", "n_active",
+        "keep_frames")
+      .as[(Long, Option[Long], Option[Long], Long, Long)].head()
+    out shouldBe ((3L, None, None, 0L, 0L))
+  }
+
+  test("silenceTrim: ragged last frame is a frame; fully-loud clip keeps all") {
+    val loud = Wav.encodePcm16(1, 8000, 10, (_, _) => 2000) // 3 frames (4+4+2)
+    val out = Multimodal.silenceTrim(media(2L -> loud), "id", "media",
+        frameSize = 4, energyThreshold = 1000000L)
+      .select("n_frames", "first_active", "last_active", "keep_frames")
+      .as[(Long, Option[Long], Option[Long], Long)].head()
+    out shouldBe ((3L, Some(0L), Some(2L), 3L))
+  }
 }
