@@ -1795,6 +1795,50 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q247 twin of [[graft.events.EventAnalytics.survivalHazard]]:
+    * per-user tenure/censoring, week-domain aggregate, reverse
+    * running at-risk sum. */
+  val q247_survival_hazard: String = """
+WITH pu AS (
+  SELECT user_id, min(epoch_us(ts)) AS fu, max(epoch_us(ts)) AS lu
+  FROM events GROUP BY 1),
+hz AS (SELECT max(epoch_us(ts)) AS h FROM events),
+u AS (
+  SELECT (lu - fu) // 604800000000 AS tenure_w,
+    CASE WHEN lu < h - 604800000000 THEN 1 ELSE 0 END AS churned
+  FROM pu, hz),
+bw AS (
+  SELECT tenure_w, CAST(count(*) AS BIGINT) AS ending,
+    CAST(sum(churned) AS BIGINT) AS n_churned
+  FROM u GROUP BY 1),
+r AS (
+  SELECT tenure_w, n_churned,
+    CAST(sum(ending) OVER (ORDER BY tenure_w DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM bw)
+SELECT tenure_w, n_risk, n_churned,
+  (1000 * n_churned) // n_risk AS hazard_permille
+FROM r ORDER BY tenure_w"""
+
+  /** q248 twin of [[graft.etl.Sampling.matchedCohort]]: same banding
+    * (shifted nonneg cents — both engines' integer div agree), same
+    * (band, arm, id) rank order, same 1:1 join. */
+  val q248_matched_cohort: String = """
+WITH d AS (
+  SELECT c_custkey AS id, c_mktsegment = 'BUILDING' AS treated,
+    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000 AS band
+  FROM customer),
+rk AS (
+  SELECT id, treated, band,
+    CAST(row_number() OVER (PARTITION BY band, treated ORDER BY id)
+      AS BIGINT) AS pair_rank
+  FROM d),
+t AS (SELECT band, pair_rank, id AS treated_id FROM rk WHERE treated),
+c AS (SELECT band, pair_rank, id AS control_id FROM rk WHERE NOT treated)
+SELECT t.band, t.pair_rank, t.treated_id, c.control_id
+FROM t JOIN c USING (band, pair_rank)
+ORDER BY band, pair_rank"""
+
   /** q245 twin of [[graft.multimodal.Multimodal.silenceTrim]]: the
     * q216 synthetic PCM replayed from its formula (channel-0 samples,
     * 16-sample frames, Σv² energies), then the same conditional
@@ -6137,6 +6181,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q244_candidate_keys" -> q244_candidate_keys,
     "q245_silence_trim" -> q245_silence_trim,
     "q246_join_cardinality" -> q246_join_cardinality,
+    "q247_survival_hazard" -> q247_survival_hazard,
+    "q248_matched_cohort" -> q248_matched_cohort,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

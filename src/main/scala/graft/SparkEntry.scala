@@ -973,6 +973,26 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Discrete survival-hazard table over events: per tenure week the
+    // at-risk count, churn events (7-day-gap rule, right-censored
+    // tail), exact permille hazard.
+    "q247_survival_hazard" -> ((s, dir) =>
+      graft.events.EventAnalytics.survivalHazard(Tables.events(s, dir))
+        .orderBy(col("tenure_w"))),
+
+    // Matched-cohort construction: BUILDING-segment customers paired
+    // 1:1 with same-balance-band controls by deterministic rank.
+    "q248_matched_cohort" -> ((s, dir) => {
+      val d = Tables.customer(s, dir).select(
+          col("c_custkey").as("id"),
+          (col("c_mktsegment") === "BUILDING").as("treated"),
+          round(col("c_acctbal") * 100).cast("long").as("__bc"))
+        .withColumn("band", expr("(__bc + 100000) div 200000"))
+        .drop("__bc")
+      graft.etl.Sampling.matchedCohort(d, "id", "treated", "band")
+        .orderBy(col("band"), col("pair_rank"))
+    }),
+
     // Silence-trim boundaries over the q216 synthetic WAV corpus:
     // per-clip first/last energetic frame and the keep region, from
     // the scan-side exact-integer frame energies.

@@ -449,4 +449,37 @@ object Sampling {
         graft.core.Exact.exactSum(col(valueCol) * col("__w"), sumScale)
           .as("sum_value"))
   }
+
+  /** Matched-cohort construction — the observational-comparison prep
+    * that [[randomizationTest]] assumes away (a randomized assignment
+    * needs no matching; a FOUND treatment group does): pair each
+    * treated row 1:1 with a control row from the SAME stratum band
+    * (a score/propensity band, a demographic cell), so the compared
+    * groups share the band distribution by construction. Greedy
+    * rank-pairing inside each band: the i-th treated (by id) matches
+    * the i-th control (by id) — a deterministic total order, so runs
+    * and engines agree — and the excess side's tail goes unmatched
+    * (dropped, stated: padding controls in from other bands is
+    * exactly the bias matching exists to remove).
+    *
+    * Shape: one rank window per (band, arm) — partition-bounded, no
+    * global sort — and one (band, rank) equi-join; output is
+    * min(treated, control) rows per band. The banding expression is
+    * the caller's contract (integer bands from exact arithmetic —
+    * the [[graft.analytics.Profiling.quantileNormalize]] discipline —
+    * keep it engine-stable). */
+  def matchedCohort(df: DataFrame, idCol: String, treatedCol: String,
+                    bandCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bandCol), col(treatedCol)).orderBy(col(idCol))
+    val ranked = df.select(col(idCol), col(treatedCol), col(bandCol))
+      .withColumn("pair_rank", row_number().over(w).cast("long"))
+    val t = ranked.filter(col(treatedCol))
+      .select(col(bandCol), col("pair_rank"), col(idCol).as("treated_id"))
+    val c = ranked.filter(!col(treatedCol))
+      .select(col(bandCol), col("pair_rank"), col(idCol).as("control_id"))
+    t.join(c, Seq(bandCol, "pair_rank"))
+      .select(col(bandCol), col("pair_rank"), col("treated_id"),
+        col("control_id"))
+  }
 }

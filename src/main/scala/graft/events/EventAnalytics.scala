@@ -843,4 +843,52 @@ object EventAnalytics {
     attributed.unionByName(unattributed)
       .filter(col("n_conversions") > 0)
   }
+
+  /** Discrete survival-hazard table — the time-to-churn view the
+    * cohort family lacks: retention (E47) asks "how many came back in
+    * week k", LTV (E164) asks "what did they spend by week k"; this
+    * asks the actuarial question "GIVEN a user survived to tenure
+    * week w, what fraction churned there" — the discrete-time
+    * Kaplan–Meier hazard, the input to any churn model.
+    *
+    * Per user: tenure = ⌊(last − first) / week⌋ (exact nonneg integer
+    * div on micros); churned iff the last event is more than
+    * `churnGapDays` before the corpus horizon (later users are
+    * right-CENSORED: they count in the at-risk denominators up to
+    * their observed tenure but never as churn events — the
+    * distinction naive "users whose last week was w" churn tables get
+    * wrong). Per tenure week: n_risk = users with tenure ≥ w (reverse
+    * running sum), n_churned, and hazard‰ = ⌊1000·d_w / n_w⌋, all
+    * exact. The cumulative product survival CURVE is deliberately NOT
+    * emitted: a Π(1 − h_i) of floats is the one step engines can
+    * round differently — callers fold the exact hazard table instead.
+    *
+    * Shape: one per-user aggregate, a 1-row horizon broadcast, one
+    * aggregate to the WEEK domain (tens of rows), and the reverse
+    * cumulative window over that bounded domain — the single-task
+    * window state is the week table, never users. */
+  def survivalHazard(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts",
+                     churnGapDays: Int = 7): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val gapUs = churnGapDays * 86400L * 1000000L
+    val perUser = events.groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("__fu"),
+        max(unix_micros(col(tsCol))).as("__lu"))
+    val horizon = events.agg(max(unix_micros(col(tsCol))).as("__h"))
+    val users = perUser.crossJoin(broadcast(horizon))
+      .select(expr(s"(__lu - __fu) div $weekUs").as("tenure_w"),
+        when(col("__lu") < col("__h") - gapUs, 1L).otherwise(0L)
+          .as("__churned"))
+    val byWeek = users.groupBy(col("tenure_w"))
+      .agg(count(lit(1)).as("__ending"), sum(col("__churned")).as("n_churned"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tenure_w").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byWeek
+      .withColumn("n_risk", sum(col("__ending")).over(w))
+      .select(col("tenure_w"), col("n_risk"), col("n_churned"),
+        expr("(1000 * n_churned) div n_risk").as("hazard_permille"))
+  }
 }

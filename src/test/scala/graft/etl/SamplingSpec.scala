@@ -334,4 +334,24 @@ class SamplingSpec extends SparkSpec {
     sums.min should be < trueSum
     sums.max should be > trueSum
   }
+test("matchedCohort: 1:1 greedy rank pairing inside bands; tails unmatched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, true, 1L), (3L, true, 1L),                    // band 1 treated
+      (2L, false, 1L), (4L, false, 1L), (6L, false, 1L), // band 1 controls
+      (9L, true, 2L))                                    // band 2: no control
+      .toDF("id", "treated", "band")
+    val out = Sampling.matchedCohort(d, "id", "treated", "band")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    out shouldBe Set((1L, 1L, 1L, 2L), (1L, 2L, 3L, 4L))
+    // control 6 and treated 9 stay unmatched; no cross-band fills
+  }
+
+  test("matchedCohort is invariant under input partitioning") {
+    import spark.implicits._
+    val d = (1 to 150).map(i => (i.toLong, i % 3 == 0, (i % 5).toLong))
+      .toDF("id", "treated", "band")
+    assertSameRows(Sampling.matchedCohort(d, "id", "treated", "band"),
+      Sampling.matchedCohort(d.repartition(7), "id", "treated", "band"))
+  }
 }

@@ -566,4 +566,37 @@ class EventAnalyticsSpec extends SparkSpec {
     assertSameRows(EventAnalytics.attribution(big, lookbackMinutes = 20),
       EventAnalytics.attribution(big.repartition(7), lookbackMinutes = 20))
   }
+test("survivalHazard: tenure weeks, right-censoring, reverse at-risk sums") {
+    val day = 1440L // minutes
+    val d = df(schema,
+      ev(1, 0, 1), ev(2, 21 * day, 1),        // u1: tenure 3w, churned
+      ev(3, 0, 2),                            // u2: tenure 0w, churned
+      ev(4, 20 * day, 3), ev(5, 34 * day, 3)) // u3: tenure 2w, last event
+                                              // IS the horizon: censored
+    val out = EventAnalytics.survivalHazard(d)
+      .select("tenure_w", "n_risk", "n_churned", "hazard_permille")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (0L, 3L, 1L, 333L),  // everyone was at risk in week 0
+      (2L, 2L, 0L, 0L),    // u3 ends here censored: at risk, no event
+      (3L, 1L, 1L, 1000L))
+  }
+
+  test("survivalHazard: a user inside the churn gap is censored, not churned") {
+    val day = 1440L
+    val d = df(schema,
+      ev(1, 0, 1), ev(2, 10 * day, 1),  // horizon - last = 4d < 7d gap
+      ev(3, 0, 2), ev(4, 14 * day, 2))  // horizon row, censored too
+    val out = EventAnalytics.survivalHazard(d)
+      .select("tenure_w", "n_churned").as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 0L, 2L -> 0L)
+  }
+
+  test("survivalHazard is invariant under input partitioning") {
+    val rows = (1 to 200).map(i =>
+      ev(i.toLong, (i % 40).toLong * 1440L * 2L, (i % 23).toLong))
+    val d = df(schema, rows: _*)
+    assertSameRows(EventAnalytics.survivalHazard(d),
+      EventAnalytics.survivalHazard(d.repartition(7)))
+  }
 }
