@@ -1795,6 +1795,27 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q249 twin: the composed dedup decision record — the four proven
+    * family twins (q17 keep-first, q18 MinHash, q20 SimHash, q157
+    * directional containment) chained verbatim as subqueries, the
+    * E131/E233 composition discipline. */
+  lazy val q249_dedup_decisions: String = s"""
+WITH kept AS (SELECT doc_id FROM ($q17_content_dedup)),
+mh AS (SELECT DISTINCT doc_b FROM ($q18_minhash_neardup)),
+sh AS (SELECT DISTINCT doc_b FROM ($q20_simhash_neardup)),
+ct AS (SELECT DISTINCT contained AS doc_b FROM ($q157_containment_pairs)
+       WHERE contained > container)
+SELECT d.doc_id,
+  (d.doc_id NOT IN (SELECT doc_id FROM kept)) AS exact_dup,
+  (d.doc_id IN (SELECT doc_b FROM mh)) AS near_dup_lower,
+  (d.doc_id IN (SELECT doc_b FROM sh)) AS simhash_dup_lower,
+  (d.doc_id IN (SELECT doc_b FROM ct)) AS contained_in_lower,
+  ((d.doc_id IN (SELECT doc_id FROM kept))
+    AND d.doc_id NOT IN (SELECT doc_b FROM mh)
+    AND d.doc_id NOT IN (SELECT doc_b FROM sh)
+    AND d.doc_id NOT IN (SELECT doc_b FROM ct)) AS keep
+FROM documents d ORDER BY d.doc_id"""
+
   /** q247 twin of [[graft.events.EventAnalytics.survivalHazard]]:
     * per-user tenure/censoring, week-domain aggregate, reverse
     * running at-risk sum. */
@@ -6183,6 +6204,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q246_join_cardinality" -> q246_join_cardinality,
     "q247_survival_hazard" -> q247_survival_hazard,
     "q248_matched_cohort" -> q248_matched_cohort,
+    "q249_dedup_decisions" -> q249_dedup_decisions,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,40 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED dedup decision record: one explainable row per doc —
+    // which family flagged it (exact keep-first, MinHash, SimHash,
+    // directional containment) and the final keep verdict. The oracle
+    // chains the four proven twins; keep-first discipline throughout
+    // (only the higher id of a near-dup pair is dropped).
+    "q249_dedup_decisions" -> ((s, dir) => {
+      val full = Tables.documents(s, dir)
+      val docs = full.select(col("doc_id"))
+      val kept = graft.dedup.Dedup.dedupExact(full)
+        .select(col("doc_id"), lit(true).as("__kept"))
+      val mh = graft.dedup.Dedup.minhashPairs(full, threshold = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__mh", lit(true))
+      val sh = graft.dedup.Dedup.simhashPairs(full, maxHamming = 3)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__sh", lit(true))
+      val ct = graft.dedup.Dedup.containmentPairs(full, minPermille = 600)
+        .filter(col("contained") > col("container"))
+        .select(col("contained").as("doc_id")).distinct()
+        .withColumn("__ct", lit(true))
+      docs.join(kept, Seq("doc_id"), "left")
+        .join(mh, Seq("doc_id"), "left")
+        .join(sh, Seq("doc_id"), "left")
+        .join(ct, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("__kept").isNull.as("exact_dup"),
+          col("__mh").isNotNull.as("near_dup_lower"),
+          col("__sh").isNotNull.as("simhash_dup_lower"),
+          col("__ct").isNotNull.as("contained_in_lower"),
+          (col("__kept").isNotNull && col("__mh").isNull &&
+            col("__sh").isNull && col("__ct").isNull).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Discrete survival-hazard table over events: per tenure week the
     // at-risk count, churn events (7-day-gap rule, right-censored
     // tail), exact permille hazard.
