@@ -1795,6 +1795,22 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q250 twin of [[graft.functions.TopKByLong]]: the window
+    * row_number idiom the native aggregate replaces — same total
+    * order (value DESC, id ASC), same k cut. */
+  val q250_topk_native: String = """
+WITH d AS (
+  SELECT o_orderpriority,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, o_orderkey
+  FROM orders),
+r AS (
+  SELECT o_orderpriority, price_cents, o_orderkey,
+    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS rank
+  FROM d)
+SELECT o_orderpriority, rank, price_cents, o_orderkey
+FROM r WHERE rank <= 5 ORDER BY o_orderpriority, rank"""
+
   /** q249 twin: the composed dedup decision record — the four proven
     * family twins (q17 keep-first, q18 MinHash, q20 SimHash, q157
     * directional containment) chained verbatim as subqueries, the
@@ -6205,6 +6221,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q247_survival_hazard" -> q247_survival_hazard,
     "q248_matched_cohort" -> q248_matched_cohort,
     "q249_dedup_decisions" -> q249_dedup_decisions,
+    "q250_topk_native" -> q250_topk_native,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Native bounded top-k aggregate: top-5 orders by price per
+    // priority via the O(k)-state ObjectHashAggregate — the window
+    // row_number answer without sorting every row.
+    "q250_topk_native" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderkey"))
+      o.groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKFunctions.topKBy(
+          col("price_cents"), col("o_orderkey"), 5).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("s.v").as("price_cents"), col("s.id").as("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // COMPOSED dedup decision record: one explainable row per doc —
     // which family flagged it (exact keep-first, MinHash, SimHash,
     // directional containment) and the final keep verdict. The oracle
