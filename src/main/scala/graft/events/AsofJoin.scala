@@ -62,14 +62,19 @@ object AsofJoin {
   /** FORWARD as-of: for every left row, the EARLIEST right row with
     * `right.time >= left.time` in the same key group — the mirror of
     * [[asof]] (next-quote-after-order, next-deploy-after-alert). Same
-    * single-shuffle union plan, with the running frame flipped to
-    * (currentRow, unboundedFollowing) and the tie order flipped so a
-    * right row at exactly left.time is inside the frame (inclusive). */
+    * single-shuffle union plan, but the "earliest following" value is
+    * computed as the running `last(ignoreNulls)` under the REVERSED
+    * sort (time DESC, side DESC) — NOT `first()` over a
+    * (currentRow, unboundedFollowing) frame: Spark's shrinking-frame
+    * processor re-aggregates the frame remainder for every row, O(n²)
+    * per partition (the q240 finding), while the reversed growing
+    * frame is incremental O(n). Under the reversed order a
+    * simultaneous right row (side DESC: right before left) has
+    * already been seen when the left row is processed, preserving the
+    * inclusive `>=` tie rule exactly. */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   timeCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // side 0 = left, 1 = right: at equal times the left row sorts
-    // first, so the simultaneous right row is in its following frame.
     val taggedRight = right.select(
       (keys.map(col) :+ col(timeCol).as(timeCol)) :+
         struct(rightCols.map(col): _*).as("__r"): _*)
@@ -77,10 +82,10 @@ object AsofJoin {
     val taggedLeft = left.withColumn("__side", lit(0))
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(timeCol).desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__asof",
-      first(col("__r"), ignoreNulls = true).over(w))
+      last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 0)
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
@@ -89,12 +94,14 @@ object AsofJoin {
   /** NEAREST as-of: the closer of the backward and forward matches,
     * ties to the BACKWARD row (stated — at equal distance the past is
     * the safer default: it was observable at left.time). Both
-    * directions ride ONE union, one shuffle, one sort: the backward
-    * frame and the forward frame are two window expressions over the
-    * SAME partitioning and order, so Catalyst plans a single exchange
-    * + sort (the [[asof]] cost, not twice it). `timeCol` must be
-    * castable to double for the distance compare (timestamp/numeric —
-    * stated; pure dates should go through a timestamp cast first). */
+    * directions ride ONE union and ONE exchange; the forward value is
+    * the running last under the REVERSED sort (the [[asofForward]]
+    * O(n)-not-O(n²) rationale), so the plan carries two in-partition
+    * sorts (asc + desc) over the same shuffle — the linear trade the
+    * shrinking frame's quadratic re-aggregation is not. `timeCol`
+    * must be castable to double for the distance compare
+    * (timestamp/numeric — stated; pure dates should go through a
+    * timestamp cast first). */
   def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                   timeCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
@@ -117,11 +124,16 @@ object AsofJoin {
       .orderBy(col(timeCol), col("__side"))
     val back = last(col("__r"), ignoreNulls = true)
       .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    // ...and the forward frame STARTS at the current (left) row, so a
-    // simultaneous right row is NOT in it — correct: it already
+    // ...and the forward value is the running last under the REVERSED
+    // order. Tie check: (time DESC, __side DESC) puts the left row
+    // (side 1) BEFORE a simultaneous right row (side 0), so that right
+    // row is not yet seen at the left row — the exclusive forward
+    // semantics the old shrinking frame had, preserved: it already
     // matched backward, and at equal distance backward wins anyway.
-    val fwd = first(col("__r"), ignoreNulls = true)
-      .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val fwd = last(col("__r"), ignoreNulls = true)
+      .over(Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(timeCol).desc, col("__side").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val lt = col(timeCol).cast("double")
     val pick = when(col("__f").isNull, col("__b"))
       .when(col("__b").isNull, col("__f"))
