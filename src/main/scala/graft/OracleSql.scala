@@ -1795,6 +1795,44 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q251 twin of [[graft.text.Vocab.vocabTrend]]: same tokenizer
+    * (the shinglesCte idiom), same (cnt DESC, token) rank order,
+    * same prev-batch shift join. */
+  val q251_vocab_trend: String = """
+WITH toks AS (
+  SELECT doc_id % 4 + 1 AS batch,
+    unnest(list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '')) AS token
+  FROM documents),
+counts AS (
+  SELECT batch, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2),
+rk AS (
+  SELECT batch, token, cnt,
+    CAST(row_number() OVER (PARTITION BY batch ORDER BY cnt DESC, token)
+      AS BIGINT) AS rank
+  FROM counts),
+prev AS (SELECT batch + 1 AS batch, token, rank AS prev_rank FROM rk)
+SELECT r.batch, r.rank, r.token, r.cnt, p.prev_rank,
+  p.prev_rank - r.rank AS rank_delta, p.prev_rank IS NULL AS is_new
+FROM rk r LEFT JOIN prev p USING (batch, token)
+WHERE r.rank <= 15 ORDER BY r.batch, r.rank"""
+
+  /** q252 twin: the q136 category-count contract — corrupt rows are a
+    * pure function of doc_id, so the oracle needs no file replay.
+    * min_doc mirrors the Spark side's keep-all-columns-live probe;
+    * PERMISSIVE retains fields that DID parse on a malformed row
+    * (measured: the leading doc_id survives, only failing fields go
+    * null), so the quarantine group's min is a real id too. */
+  val q252_csv_quarantine: String = """
+SELECT category, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_doc
+FROM (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN '__malformed' ELSE lang END AS category,
+    doc_id
+  FROM documents)
+GROUP BY category ORDER BY category"""
+
   /** q250 twin of [[graft.functions.TopKByLong]]: the window
     * row_number idiom the native aggregate replaces — same total
     * order (value DESC, id ASC), same k cut. */
@@ -6222,6 +6260,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q248_matched_cohort" -> q248_matched_cohort,
     "q249_dedup_decisions" -> q249_dedup_decisions,
     "q250_topk_native" -> q250_topk_native,
+    "q251_vocab_trend" -> q251_vocab_trend,
+    "q252_csv_quarantine" -> q252_csv_quarantine,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,45 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Vocabulary trend across four crawl batches: top-15 tokens per
+    // batch with rank movement vs the previous batch and true
+    // new-entrant flags (absent from the prior vocabulary, not merely
+    // outside its top-k).
+    "q251_vocab_trend" -> ((s, dir) =>
+      graft.text.Vocab.vocabTrend(
+          Tables.documents(s, dir)
+            .withColumn("batch", col("doc_id") % 4 + 1),
+          "batch", k = 15)
+        .orderBy(col("batch"), col("rank"))),
+
+    // CSV malformed-row quarantine (the q136 JSON contract for
+    // delimited feeds): every 7th line gets extra fields, lands in
+    // quarantine with its raw text; the rest parse.
+    "q252_csv_quarantine" -> ((s, dir) => {
+      val path = scratch("csvfeed", dir) + "_lines"
+      val docs = Tables.documents(s, dir)
+      docs.select(when(col("doc_id") % 7 === 0,
+            concat(col("doc_id").cast("string"), lit(",x,extra,junk")))
+          .otherwise(concat(col("doc_id").cast("string"), lit(","),
+            col("lang")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType)
+      // the min(doc_id) probe keeps EVERY schema column live in the
+      // plan: under CSV column pruning, corruption is detected only
+      // among parsed columns (the Sources scaladoc caveat) — without
+      // it the arity overflow on the doc_id side goes unseen.
+      graft.io.Sources.readCsvQuarantine(s, path, schema)
+        .select(col("doc_id"),
+          when(col("_malformed").isNotNull, lit("__malformed"))
+            .otherwise(col("lang")).as("category"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("category"))
+    }),
+
     // Native bounded top-k aggregate: top-5 orders by price per
     // priority via the O(k)-state ObjectHashAggregate — the window
     // row_number answer without sorting every row.

@@ -84,4 +84,33 @@ object Sources {
     * timestamps, binary doubles — no text formatting involved). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** CSV twin of [[readJsonQuarantine]] — the same
+    * neither-kill-nor-drop contract for delimited feeds (the format
+    * partner exports actually send): rows whose parse fails against
+    * the explicit schema (wrong arity, bad cast) land null-typed with
+    * the RAW LINE preserved in the quarantine column; good rows parse
+    * as usual. PERMISSIVE + columnNameOfCorruptRecord under the hood;
+    * the caller declares only data columns. CSV semantics vs JSON,
+    * pinned in the spec: ANY arity mismatch — short row, long row —
+    * and any type-cast failure quarantines (Spark's CSV parser treats
+    * both as malformed), where JSON tolerates absent fields as nulls;
+    * feeds with legitimately-optional trailing fields belong in JSON
+    * or need a padded schema. PRUNING CAVEAT (measured, q252): under
+    * CSV column pruning the parser only parses the columns the plan
+    * reads, and corruption is only detected among THOSE — a query
+    * projecting one column out of five will miss arity/cast faults in
+    * the rest. A quarantine verdict that must reflect the whole row
+    * has to keep every schema column live in the plan (q252 does it
+    * with a min() probe on the otherwise-unused key). */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+                        schema: StructType,
+                        quarantineCol: String = "_malformed"): DataFrame =
+    spark.read
+      .schema(schema.add(quarantineCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", quarantineCol)
+      .option("header", "false")
+      .option("timestampFormat", TsFormat)
+      .csv(path)
 }

@@ -138,4 +138,38 @@ object Vocab {
       .select(col("grp").as(groupCol), col("bucket"),
         col("cum_docs"), col("cum_tokens"), col("cum_types"))
   }
+
+  /** Vocabulary trend between corpus snapshots — the drift view a
+    * crawl pipeline reviews between batches: per batch, the top-`k`
+    * tokens by count with their rank movement against the PREVIOUS
+    * batch (rank_delta > 0 = rising) and a new-entrant flag (token
+    * absent from the previous batch's vocabulary entirely — not
+    * merely outside its top-k, which would fake "new" every time a
+    * token crossed the cut). The between-snapshot complement to
+    * [[heapsCurve]]'s within-corpus growth and E48's frequency
+    * profile.
+    *
+    * Ranks use (count DESC, token) — a total order. Shape: one
+    * exploded count aggregate (map-side combinable, Zipf-bounded
+    * output), one rank window per batch over the COUNT table, a
+    * (token, prev-batch) self equi-join of that table, top-k filter.
+    * Nothing heavier than the vocabulary ever shuffles. */
+  def vocabTrend(docs: DataFrame, batchCol: String, k: Int = 20,
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = TextAnalysis.withTokens(docs, textCol)
+      .select(col(batchCol).as("batch"), explode(col("tokens")).as("token"))
+      .groupBy(col("batch"), col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.partitionBy(col("batch"))
+        .orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val prev = ranked.select((col("batch") + 1).as("batch"),
+      col("token"), col("rank").as("prev_rank"))
+    ranked.filter(col("rank") <= k)
+      .join(prev, Seq("batch", "token"), "left")
+      .select(col("batch"), col("rank"), col("token"), col("cnt"),
+        col("prev_rank"),
+        (col("prev_rank") - col("rank")).as("rank_delta"),
+        col("prev_rank").isNull.as("is_new"))
+  }
 }

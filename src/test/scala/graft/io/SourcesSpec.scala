@@ -96,4 +96,42 @@ class SourcesSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sources.read(spark, dir.resolve("noext").toString)
   }
+test("readCsvQuarantine: arity mismatches and cast failures quarantine with raw lines") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-io").resolve("csvfeed").toString
+    import spark.implicits._
+    Seq(
+      "1,alpha",           // good
+      "2,beta,EXTRA,MORE", // arity overflow -> quarantined
+      "notanumber,gamma",  // cast failure on bigint -> quarantined
+      "4"                  // short row: CSV arity mismatch -> quarantined
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("name", StringType)))
+    val r = Sources.readCsvQuarantine(spark, dir, schema)
+      .select("id", "name", "_malformed").collect()
+    r.length shouldBe 4
+    val good = r.filter(_.isNullAt(2))
+    good.map(x => (x.getLong(0), x.getString(1))).toSeq shouldBe
+      Seq((1L, "alpha"))
+    val bad = r.filterNot(_.isNullAt(2)).map(_.getString(2)).sorted.toSeq
+    bad shouldBe Seq("2,beta,EXTRA,MORE", "4", "notanumber,gamma")
+  }
+
+  test("readCsvQuarantine pruning caveat: corruption only among PARSED columns") {
+    val dir = Files.createTempDirectory("graft-io").resolve("csvprune").toString
+    import spark.implicits._
+    Seq("1,alpha", "notanumber,gamma").toDF("value").coalesce(1)
+      .write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("name", StringType)))
+    // project ONLY name + quarantine: the id cast failure is invisible
+    // to the pruned parse — the documented caveat, pinned
+    val pruned = Sources.readCsvQuarantine(spark, dir, schema)
+      .select("name", "_malformed").collect()
+    pruned.count(!_.isNullAt(1)) shouldBe 0
+    pruned.map(_.getString(0)).sorted.toSeq shouldBe Seq("alpha", "gamma")
+  }
 }

@@ -101,4 +101,47 @@ class VocabSpec extends SparkSpec {
       }
     }
   }
+test("vocabTrend: rank deltas against the previous batch; new entrants flagged") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "beta beta beta alpha gamma gamma delta"))
+      .toDF("batch", "text")
+    val out = Vocab.vocabTrend(d, "batch", k = 4)
+      .select("batch", "rank", "token", "cnt", "rank_delta", "is_new")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    // batch 1 ranks: alpha(3)=1, beta(2)=2, gamma(1)=3 — no previous
+    out.filter(_._1 == 1L).map(r => (r._2, r._3, r._5, r._6)) shouldBe
+      Set((1L, "alpha", None, true), (2L, "beta", None, true),
+        (3L, "gamma", None, true))
+    // batch 2: beta(3)=1 (+1), gamma(2)=2 (+1), alpha(1)=3 (-2),
+    // delta(1)=4 new (ties by token: alpha < delta)
+    out.filter(_._1 == 2L).map(r => (r._2, r._3, r._5, r._6)) shouldBe
+      Set((1L, "beta", Some(1L), false), (2L, "gamma", Some(1L), false),
+        (3L, "alpha", Some(-2L), false), (4L, "delta", None, true))
+  }
+
+  test("vocabTrend: crossing back INTO the top-k is movement, not novelty") {
+    import spark.implicits._
+    // batch 1: zz ranks 3 (outside k=2); batch 2: zz rises to rank 1
+    val d = Seq(
+      (1L, "aa aa aa bb bb zz"),
+      (2L, "zz zz zz aa aa bb"))
+      .toDF("batch", "text")
+    val out = Vocab.vocabTrend(d, "batch", k = 2)
+      .filter($"batch" === 2 && $"token" === "zz")
+      .select("rank", "prev_rank", "is_new")
+      .as[(Long, Option[Long], Boolean)].head()
+    out shouldBe ((1L, Some(3L), false)) // moved +2, NOT new
+  }
+
+  test("vocabTrend is invariant under input partitioning") {
+    import spark.implicits._
+    val d = (1 to 80).map(i =>
+      ((i % 4).toLong + 1, s"w${i % 11} w${(i * 3) % 11} w${(i * 7) % 13}"))
+      .toDF("batch", "text")
+    assertSameRows(Vocab.vocabTrend(d, "batch", k = 5),
+      Vocab.vocabTrend(d.repartition(7), "batch", k = 5))
+  }
 }
