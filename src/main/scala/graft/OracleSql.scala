@@ -1795,6 +1795,43 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q253 twin: the q140 SCD2 replay run twice — once on the on-time
+    * two-thirds, once on the full feed — snapshotted at the same
+    * instant and full-outer joined with the same verdict CASE. */
+  val q253_bitemporal_correction: String = """
+WITH ev AS (SELECT user_id, event_type, ts, event_id FROM events),
+b1 AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+o1 AS (
+  SELECT user_id, event_type, ts, row_number() OVER w AS rn,
+    lag(event_type) OVER w AS prev
+  FROM b1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+s1 AS (
+  SELECT user_id, event_type, ts AS vf,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS vt
+  FROM o1 WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+v1 AS (
+  SELECT user_id, event_type AS state_v1 FROM s1
+  WHERE vf <= TIMESTAMP '2024-01-04 00:00:00'
+    AND (vt IS NULL OR vt > TIMESTAMP '2024-01-04 00:00:00')),
+o2 AS (
+  SELECT user_id, event_type, ts, row_number() OVER w AS rn,
+    lag(event_type) OVER w AS prev
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+s2 AS (
+  SELECT user_id, event_type, ts AS vf,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS vt
+  FROM o2 WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+v2 AS (
+  SELECT user_id, event_type AS state_v2 FROM s2
+  WHERE vf <= TIMESTAMP '2024-01-04 00:00:00'
+    AND (vt IS NULL OR vt > TIMESTAMP '2024-01-04 00:00:00'))
+SELECT user_id, state_v1, state_v2,
+  CASE WHEN state_v1 IS NULL THEN 'late_arrival'
+       WHEN state_v1 = state_v2 THEN 'stable'
+       ELSE 'corrected' END AS verdict
+FROM v1 FULL OUTER JOIN v2 USING (user_id)
+ORDER BY user_id"""
+
   /** q251 twin of [[graft.text.Vocab.vocabTrend]]: same tokenizer
     * (the shinglesCte idiom), same (cnt DESC, token) rank order,
     * same prev-batch shift join. */
@@ -6262,6 +6299,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q250_topk_native" -> q250_topk_native,
     "q251_vocab_trend" -> q251_vocab_trend,
     "q252_csv_quarantine" -> q252_csv_quarantine,
+    "q253_bitemporal_correction" -> q253_bitemporal_correction,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

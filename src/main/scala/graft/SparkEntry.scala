@@ -973,6 +973,32 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED bitemporal correction audit: the SCD2 dimension built
+    // from an on-time feed (tx-version 1) vs after a late-arriving
+    // third of events lands (tx-version 2) — per user, the valid-time
+    // state at one instant under both knowledge versions, classified
+    // stable / corrected / late_arrival. The reason valid-time and
+    // transaction-time are separate axes, as one query.
+    "q253_bitemporal_correction" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+      val at = lit("2024-01-04 00:00:00").cast("timestamp")
+      def stateAt(src: DataFrame, name: String) =
+        graft.etl.Scd.snapshotAt(
+            graft.etl.Scd.scd2(src, Seq("user_id"), Seq("event_type"),
+              "ts"), at)
+          .select(col("user_id"), col("event_type").as(name))
+      val v1 = stateAt(ev.filter(col("event_id") % 3 =!= 0), "state_v1")
+      val v2 = stateAt(ev, "state_v2")
+      v1.join(v2, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("state_v1"), col("state_v2"),
+          when(col("state_v1").isNull, "late_arrival")
+            .when(col("state_v1") === col("state_v2"), "stable")
+            .otherwise("corrected").as("verdict"))
+        .orderBy(col("user_id"))
+    }),
+
     // Vocabulary trend across four crawl batches: top-15 tokens per
     // batch with rank movement vs the previous batch and true
     // new-entrant flags (absent from the prior vocabulary, not merely
