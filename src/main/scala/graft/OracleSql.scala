@@ -1795,6 +1795,28 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q254 twin of [[graft.events.EventAnalytics.sessionWindows]]: the
+    * q24 gaps-and-islands sweep with session_window's OUTPUT contract
+    * (w_end = last event + gap) and its measured strict-> boundary. */
+  val q254_session_window_native: String = """
+WITH e AS (
+  SELECT ts, user_id, value, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM m)
+SELECT user_id, min(ts) AS w_start,
+  max(ts) + INTERVAL 30 MINUTE AS w_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, seq ORDER BY user_id, w_start"""
+
   /** q253 twin: the q140 SCD2 replay run twice — once on the on-time
     * two-thirds, once on the full feed — snapshotted at the same
     * instant and full-outer joined with the same verdict CASE. */
@@ -6300,6 +6322,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q251_vocab_trend" -> q251_vocab_trend,
     "q252_csv_quarantine" -> q252_csv_quarantine,
     "q253_bitemporal_correction" -> q253_bitemporal_correction,
+    "q254_session_window_native" -> q254_session_window_native,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

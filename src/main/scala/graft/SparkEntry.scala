@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Native session_window aggregation — the engine primitive behind
+    // streaming session state, batch-proven; boundary (strict >)
+    // measured identical to q24's hand-rolled sweep.
+    "q254_session_window_native" -> ((s, dir) =>
+      graft.events.EventAnalytics.sessionWindows(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("w_start"))),
+
     // COMPOSED bitemporal correction audit: the SCD2 dimension built
     // from an on-time feed (tx-version 1) vs after a late-arriving
     // third of events lands (tx-version 2) — per user, the valid-time

@@ -52,6 +52,32 @@ object EventAnalytics {
         countDistinct(col("event_type")).as("distinct_types"))
   }
 
+  /** Session aggregation via Spark's NATIVE `session_window` — the
+    * engine primitive behind streaming session state, exercised in
+    * batch form next to [[sessionize]]'s hand-rolled gaps-and-islands.
+    * Boundary semantics PINNED by measurement, not assumed: an event
+    * at EXACTLY the gap after its predecessor MERGES — session_window
+    * treats a window touching the next event's start as overlapping
+    * (closed end), so the new-session condition is strict `>` on the
+    * gap, IDENTICAL to [[sessionize]]'s hand-rolled boundary (the
+    * spec pins the exact-gap case on both operators side by side).
+    * The emitted window end is session_window's contract: last event
+    * + gap, NOT the last event itself.
+    *
+    * Why it earns a place beside E31: this exact aggregate is what
+    * `withWatermark + session_window` runs INSIDE Structured
+    * Streaming with mergeable session state — proving the batch twin
+    * here is what makes the streaming form auditable (the E24
+    * batch-twin discipline). One shuffle on (user, merged window). */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.exactSum(col("value"), 6).as("total_value"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("n_events"), col("total_value"))
+
   /** Ordered k-step funnel with a per-step timeout — the general form
     * of [[funnel]]'s fixed view→purchase pair: a user completes step
     * i+1 only with an event of that type STRICTLY AFTER their step-i

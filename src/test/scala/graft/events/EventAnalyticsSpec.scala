@@ -599,4 +599,47 @@ test("survivalHazard: tenure weeks, right-censoring, reverse at-risk sums") {
     assertSameRows(EventAnalytics.survivalHazard(d),
       EventAnalytics.survivalHazard(d.repartition(7)))
   }
+test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >") {
+    // measured, then pinned: session_window treats a window touching
+    // the next start as overlapping, so both operators keep an
+    // exactly-gap-apart event in the same session
+    val d = df(schema,
+      ev(1, 0, 1), ev(2, 30, 1),   // exactly the 30-minute gap apart
+      ev(3, 45, 1))                // 15 min after the second
+    val native = EventAnalytics.sessionWindows(d, gapMinutes = 30)
+      .select("n_events").as[Long].collect().sorted.toSeq
+    native shouldBe Seq(3L)
+    val hand = EventAnalytics.sessionize(d, gapMinutes = 30)
+      .select("n_events").as[Long].collect().sorted.toSeq
+    hand shouldBe Seq(3L)
+    // one minute past the gap splits both
+    val d2 = df(schema, ev(1, 0, 1), ev(2, 31, 1))
+    EventAnalytics.sessionWindows(d2, gapMinutes = 30)
+      .count() shouldBe 2L
+  }
+
+  test("sessionWindows: window end is last event + gap; off-boundary data matches sessionize") {
+    val d = df(schema,
+      ev(1, 0, 1), ev(2, 10, 1), ev(3, 55, 1), // sessions: {0,10}, {55}
+      ev(4, 7, 2))
+    val out = EventAnalytics.sessionWindows(d, gapMinutes = 30)
+      .selectExpr("user_id", "CAST(w_start AS LONG)",
+        "CAST(w_end AS LONG)", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      (1L, 0L, 10 * 60 + 1800L, 2L),       // end = last + 30 min
+      (1L, 55 * 60, 55 * 60 + 1800L, 1L),
+      (2L, 7 * 60, 7 * 60 + 1800L, 1L))
+    val hand = EventAnalytics.sessionize(d, gapMinutes = 30)
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted.toSeq
+    hand shouldBe Seq((1L, 1L), (1L, 2L), (2L, 1L))
+  }
+
+  test("sessionWindows is invariant under input partitioning") {
+    val rows = (1 to 300).map(i =>
+      ev(i.toLong, (i * 17 % 500).toLong, (i % 9).toLong))
+    val d = df(schema, rows: _*)
+    assertSameRows(EventAnalytics.sessionWindows(d),
+      EventAnalytics.sessionWindows(d.repartition(7)))
+  }
 }
