@@ -649,4 +649,37 @@ class StreamingSpec extends SparkSpec {
         include("BroadcastHashJoin")
     } finally q.stop()
   }
+test("streaming session_window with watermark matches the batch sessionWindows twin") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // two users, interleaved sessions; a 31-minute gap splits u1
+    val events = Seq(
+      ev(1, 10, "view", 1.5), ev(2, 20, "view", 2.5),
+      ev(3, 52, "click", 4.0),              // 32 min after -> new session
+      Ev(4, new Timestamp(base + 15 * 60000L), 2L, "view", 8.0, "{}"),
+      // a far-future row advances the watermark past every session end
+      ev(9, 600, "view", 0.5))
+    val sessions = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Exact.exactSum(col("value"), 6).as("total_value"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("n_events"), col("total_value"))
+    val q = sessions.writeStream.format("memory").queryName("sess_nat_out")
+      .option("checkpointLocation", tmp("sessnat-ckpt")).outputMode("append")
+      .start()
+    try {
+      ms.addData(events.take(4): _*)
+      q.processAllAvailable()
+      ms.addData(events.last)
+      q.processAllAvailable()
+      // append mode emits only watermark-closed sessions: all but the
+      // far-future row's own session
+      val streamed = spark.table("sess_nat_out")
+      val batch = EventAnalytics.sessionWindows(events.take(4).toDF())
+      assertSameRows(streamed, batch)
+    } finally q.stop()
+  }
 }
