@@ -1795,6 +1795,32 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q255 twin: the composed ER pipeline — q238's proven SNM twin as
+    * the candidate generator, a recursive-CTE transitive closure for
+    * the components (the q131 discipline: structurally independent
+    * algorithm, same labels), arg_min survivorship. */
+  lazy val q255_er_pipeline: String = s"""
+WITH RECURSIVE pairs AS (
+  SELECT rec_a, rec_b FROM ($q238_snm_linkage) WHERE dist <= 1),
+recs AS (
+  SELECT p_partkey * 2 AS rec_id, p_name AS name FROM part
+  UNION ALL
+  SELECT p_partkey * 2 + 1, substr(p_name, 1, 7) || 'q' || substr(p_name, 9)
+  FROM part WHERE p_partkey % 5 = 0),
+e AS (SELECT rec_a AS s, rec_b AS d FROM pairs
+      UNION SELECT rec_b, rec_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+lbl AS (SELECT s AS node, least(s, min(d)) AS label FROM reach GROUP BY s),
+lab AS (
+  SELECT r.rec_id, r.name, coalesce(l.label, r.rec_id) AS entity_id
+  FROM recs r LEFT JOIN lbl l ON r.rec_id = l.node)
+SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+  arg_min(name, rec_id) AS canonical_name
+FROM lab GROUP BY entity_id ORDER BY entity_id"""
+
   /** q254 twin of [[graft.events.EventAnalytics.sessionWindows]]: the
     * q24 gaps-and-islands sweep with session_window's OUTPUT contract
     * (w_end = last event + gap) and its measured strict-> boundary. */
@@ -6323,6 +6349,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q252_csv_quarantine" -> q252_csv_quarantine,
     "q253_bitemporal_correction" -> q253_bitemporal_correction,
     "q254_session_window_native" -> q254_session_window_native,
+    "q255_er_pipeline" -> q255_er_pipeline,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,
