@@ -1795,6 +1795,42 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q256 twin of [[graft.etl.Sampling.signFlipTest]] over the q248
+    * matched pairs: identical md5 flip assignment per (pair key,
+    * replicate), exact integer sums, +1-corrected floor p. */
+  lazy val q256_paired_signflip: String = s"""
+WITH pr AS (
+  SELECT band, pair_rank, treated_id, control_id
+  FROM ($q248_matched_cohort)),
+c AS (
+  SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer),
+d AS (
+  SELECT CAST(p.band AS VARCHAR) || '_' || CAST(p.pair_rank AS VARCHAR)
+      AS k,
+    t.bal - cc.bal AS diff
+  FROM pr p
+    JOIN c t ON t.id = p.treated_id
+    JOIN c cc ON cc.id = p.control_id),
+obs AS (
+  SELECT CAST(sum(diff) AS BIGINT) AS sum_diff,
+    CAST(count(*) AS BIGINT) AS n_pairs
+  FROM d),
+r AS (
+  SELECT s.rep,
+    CAST(sum(CASE WHEN CAST(('0x' || substr(md5(k || '|' ||
+        CAST(s.rep AS VARCHAR)), 1, 14)) AS BIGINT) % 2 = 0
+      THEN diff ELSE -diff END) AS BIGINT) AS sr
+  FROM d, unnest(range(1, 101)) AS s(rep) GROUP BY 1),
+e AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+    CAST(sum(CASE WHEN abs(r.sr) >= abs(o.sum_diff) THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_extreme
+  FROM r, obs o)
+SELECT o.n_pairs, o.sum_diff, e.n_replicates, e.n_extreme,
+  (1000 * (e.n_extreme + 1)) // (e.n_replicates + 1) AS p_permille
+FROM obs o, e"""
+
   /** q255 twin: the composed ER pipeline — q238's proven SNM twin as
     * the candidate generator, a recursive-CTE transitive closure for
     * the components (the q131 discipline: structurally independent
@@ -6350,6 +6386,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q253_bitemporal_correction" -> q253_bitemporal_correction,
     "q254_session_window_native" -> q254_session_window_native,
     "q255_er_pipeline" -> q255_er_pipeline,
+    "q256_paired_signflip" -> q256_paired_signflip,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

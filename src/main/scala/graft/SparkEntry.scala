@@ -973,6 +973,29 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Paired sign-flip permutation test over the q248 matched cohort:
+    // is the BUILDING-vs-control balance gap within matched pairs
+    // beyond chance sign assignment? 100 hash-deterministic flip
+    // replicates, exact integers end to end.
+    "q256_paired_signflip" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        (col("c_mktsegment") === "BUILDING").as("treated"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val d = c.withColumn("band", expr("(bal_c + 100000) div 200000"))
+      val pairs = graft.etl.Sampling.matchedCohort(d, "id", "treated",
+        "band")
+      val vals = c.select(col("id"), col("bal_c"))
+      val diffs = pairs
+        .join(vals.withColumnsRenamed(
+          Map("id" -> "treated_id", "bal_c" -> "__tb")), "treated_id")
+        .join(vals.withColumnsRenamed(
+          Map("id" -> "control_id", "bal_c" -> "__cb")), "control_id")
+        .select(concat_ws("_", col("band"), col("pair_rank"))
+            .as("pair_key"),
+          (col("__tb") - col("__cb")).as("diff_cents"))
+      graft.etl.Sampling.signFlipTest(diffs, "pair_key", "diff_cents")
+    }),
+
     // COMPOSED entity-resolution pipeline: the q238 dirty catalog ->
     // multi-pass SNM candidate pairs -> connected components over the
     // match graph -> one surviving record per entity (min-id

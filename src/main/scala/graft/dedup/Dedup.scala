@@ -355,6 +355,20 @@ object Dedup {
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .select(col("dst").as("node"), col("label"),
           lit(null).cast(labelType).as("__old"))
+      // Pointer doubling (the E188 SCC inner-loop device, pulled down
+      // here after q255's sf0.1 chain components broke the
+      // linear-round bound): label(v) also relaxes to
+      // label(label(v)) — a label is itself a node id, so one
+      // labels⋈labels self-join halves the remaining distance to the
+      // component minimum every round. Convergence drops from
+      // O(diameter) rounds to O(log diameter): a 2^20-long chain
+      // converges inside the default cap where plain propagation
+      // needs a million rounds.
+      val viaJump = labels.select(col("node"), col("label").as("__ptr"))
+        .join(labels.select(col("node").as("__ptr"),
+          col("label").as("__jl")), "__ptr")
+        .select(col("node"), col("__jl").as("label"),
+          lit(null).cast(labelType).as("__old"))
       // The node's previous label rides through the aggregation (each
       // node contributes exactly one non-null __old), so the
       // convergence check is a filter over the checkpointed result —
@@ -363,6 +377,7 @@ object Dedup {
       val next = labels
         .select(col("node"), col("label"), col("label").as("__old"))
         .union(neighbourLabels)
+        .union(viaJump)
         .groupBy("node").agg(min("label").as("label"), max("__old").as("__old"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("__old")).isEmpty
@@ -371,8 +386,8 @@ object Dedup {
     }
     if (!converged) throw new IllegalStateException(
       s"componentLabels did not converge in $maxIterations rounds " +
-        "(component diameter exceeds maxIterations); labels would be " +
-        "silently wrong — raise maxIterations")
+        "(2^rounds exceeds any real component diameter under pointer " +
+        "doubling — this indicates a bug, not a data property)")
     labels
   }
 

@@ -450,6 +450,48 @@ object Sampling {
           .as("sum_value"))
   }
 
+  /** Paired sign-flip permutation test — the significance step after
+    * [[matchedCohort]], completing the observational trio (match →
+    * estimate → test) the way [[randomizationTest]] serves randomized
+    * A/B: under the paired null the treated/control labels WITHIN a
+    * pair are exchangeable, so each replicate flips every pair's
+    * difference sign by an md5 hash of (pair key, replicate) — the
+    * bootstrap/randomization determinism device: "random" flips are a
+    * pure function of keys, identical across runs, partitionings, and
+    * engines — and the p-value is the Phipson–Smyth +1-corrected
+    * share of replicates whose |Σ ±diff| reaches the observed |Σ
+    * diff|. Everything is exact integers (differences in cents, sums
+    * in longs, permille floor) — no float near the decision.
+    *
+    * Shape: one totals aggregate, one rows×R explode into an R-keyed
+    * aggregate (map-side combined), two 1-row broadcasts. R is
+    * config-sized; the explode is the documented cost, linear in
+    * pairs·R. */
+  def signFlipTest(pairs: DataFrame, keyCol: String, diffCol: String,
+                   replicates: Int = 100): DataFrame = {
+    require(replicates >= 1, "need at least one replicate")
+    val d = pairs.select(col(keyCol).cast("string").as("__k"),
+      col(diffCol).as("__d"))
+    val obs = d.agg(sum(col("__d")).as("sum_diff"),
+      count(lit(1)).as("n_pairs"))
+    val reps = d
+      .withColumn("rep", explode(sequence(lit(1), lit(replicates))))
+      .withColumn("__sign",
+        when(keyHash(concat_ws("|", col("__k"),
+          col("rep").cast("string"))) % 2 === 0, 1L).otherwise(-1L))
+      .groupBy(col("rep"))
+      .agg(sum(col("__sign") * col("__d")).as("__sr"))
+    val ext = reps.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_replicates"),
+        sum(when(abs(col("__sr")) >= abs(col("sum_diff")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+    obs.crossJoin(broadcast(ext))
+      .select(col("n_pairs"), col("sum_diff"), col("n_replicates"),
+        col("n_extreme"),
+        expr("(1000 * (n_extreme + 1)) div (n_replicates + 1)")
+          .as("p_permille"))
+  }
+
   /** Matched-cohort construction — the observational-comparison prep
     * that [[randomizationTest]] assumes away (a randomized assignment
     * needs no matching; a FOUND treatment group does): pair each

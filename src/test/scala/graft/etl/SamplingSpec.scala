@@ -354,4 +354,28 @@ test("matchedCohort: 1:1 greedy rank pairing inside bands; tails unmatched") {
     assertSameRows(Sampling.matchedCohort(d, "id", "treated", "band"),
       Sampling.matchedCohort(d.repartition(7), "id", "treated", "band"))
   }
+test("signFlipTest: a huge one-sided uplift is significant; symmetric noise is not") {
+    import spark.implicits._
+    val strong = (1 to 60).map(i => (i.toLong, 100L + i % 7))
+      .toDF("pair_id", "diff")
+    val s = Sampling.signFlipTest(strong, "pair_id", "diff")
+      .as[(Long, Long, Long, Long, Long)].head()
+    s._1 shouldBe 60L
+    s._5 should be < 100L     // p < 0.1: no flip pattern reaches +6k
+    // antisymmetric diffs: flipping is measure-preserving, p is large
+    val noise = (1 to 60).map(i =>
+      (i.toLong, if (i % 2 == 0) 50L else -50L)).toDF("pair_id", "diff")
+    val n = Sampling.signFlipTest(noise, "pair_id", "diff")
+      .as[(Long, Long, Long, Long, Long)].head()
+    n._2 shouldBe 0L          // observed sum is zero...
+    n._5 shouldBe 1000L       // ...every replicate is at least as extreme
+  }
+
+  test("signFlipTest is deterministic and partition-invariant") {
+    import spark.implicits._
+    val d = (1 to 80).map(i => (i.toLong, (i * 13 % 41) - 20L))
+      .toDF("pair_id", "diff")
+    assertSameRows(Sampling.signFlipTest(d, "pair_id", "diff"),
+      Sampling.signFlipTest(d.repartition(7), "pair_id", "diff"))
+  }
 }
