@@ -1795,6 +1795,67 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q257 twin of [[graft.analytics.Ranking.rocAuc]]: the same
+    * Mann–Whitney identity via a plain windowed prefix sum over
+    * distinct scores (DuckDB has no single-partition trap to dodge);
+    * HUGEINT accumulation cast back to BIGINT. */
+  val q257_roc_auc: String = """
+WITH s AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+    CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS score
+  FROM orders),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+    CAST(sum(y) AS BIGINT) AS p_s
+  FROM s GROUP BY 1),
+c AS (
+  SELECT n_s, p_s,
+    coalesce(sum(n_s) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_s
+  FROM g),
+t AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n,
+    CAST(sum(p_s) AS BIGINT) AS n_pos,
+    CAST(count(*) AS BIGINT) AS n_distinct_scores,
+    sum(CAST(p_s AS HUGEINT) * (2 * c_s + n_s + 1)) AS sum2r
+  FROM c)
+SELECT n, n_pos, n - n_pos AS n_neg, n_distinct_scores,
+  CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+    CAST((1000000 * (sum2r - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+      // (2 * CAST(n_pos AS HUGEINT) * (n - n_pos)) AS BIGINT)
+  END AS auc_e6
+FROM t"""
+
+  /** q258 twin of [[graft.analytics.Ranking.calibrationTable]]: the
+    * same md5 key-hash scorer and label draw, decile bins, floor
+    * integer permille/Brier. */
+  val q258_calibration: String = """
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|p'),
+      1, 14)) AS BIGINT) % 1001 AS p_permille,
+    c_custkey
+  FROM customer),
+s2 AS (
+  SELECT p_permille,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        || '|y'), 1, 14)) AS BIGINT) % 1000 < p_permille
+      THEN 1 ELSE 0 END AS y
+  FROM s),
+b AS (
+  SELECT least((p_permille * 10) // 1000, 9) AS bin, p_permille, y
+  FROM s2),
+agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos,
+    CAST(sum(p_permille) AS BIGINT) // count(*) AS conf_permille,
+    (CAST(sum(y) AS BIGINT) * 1000) // count(*) AS rate_permille,
+    CAST(sum((p_permille - 1000 * y) * (p_permille - 1000 * y))
+      AS BIGINT) // count(*) AS brier_e6
+  FROM b GROUP BY 1)
+SELECT bin, n, n_pos, conf_permille, rate_permille, brier_e6,
+  abs(conf_permille - rate_permille) AS gap_permille
+FROM agg ORDER BY bin"""
+
   /** q256 twin of [[graft.etl.Sampling.signFlipTest]] over the q248
     * matched pairs: identical md5 flip assignment per (pair key,
     * replicate), exact integer sums, +1-corrected floor p. */
@@ -6387,6 +6448,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q254_session_window_native" -> q254_session_window_native,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
+    "q257_roc_auc" -> q257_roc_auc,
+    "q258_calibration" -> q258_calibration,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

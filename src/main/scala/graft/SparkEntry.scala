@@ -973,6 +973,38 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Exact ROC-AUC via Mann-Whitney rank-sum on orders: score =
+    // total price in hundred-dollar buckets (ties on purpose — the
+    // average-rank path is the hard part), label = finished status.
+    // Distributed prefix-sum over DISTINCT scores, never a global
+    // row sort.
+    "q257_roc_auc" -> ((s, dir) => {
+      val scored = Tables.orders(s, dir).select(
+        (col("o_orderstatus") === "F").cast("long").as("y"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000")
+          .as("score"))
+      graft.analytics.Ranking.rocAuc(scored, "y", "score")
+    }),
+
+    // Calibration/reliability table over a synthetic PERFECTLY
+    // calibrated scorer (label drawn under the claimed probability by
+    // an independent key hash): claimed permille, empirical permille,
+    // gap, Brier contribution per decile bin — exact integers.
+    "q258_calibration" -> ((s, dir) => {
+      val scored = Tables.customer(s, dir).select(
+        (graft.etl.Sampling.keyHash(
+          concat(col("c_custkey").cast("string"), lit("|p"))) % 1001)
+          .as("p_permille"),
+        col("c_custkey"))
+        .withColumn("y",
+          (graft.etl.Sampling.keyHash(
+            concat(col("c_custkey").cast("string"), lit("|y"))) % 1000
+            < col("p_permille")).cast("long"))
+      graft.analytics.Ranking
+        .calibrationTable(scored, "y", "p_permille", nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // Paired sign-flip permutation test over the q248 matched cohort:
     // is the BUILDING-vs-control balance gap within matched pairs
     // beyond chance sign assignment? 100 hash-deterministic flip

@@ -55,4 +55,94 @@ object Ranking {
           expr("(coalesce(hits_at_k, 0L) * 1000) div n_relevant"))
           .as("recall_at_k_permille"))
   }
+
+  private val W = org.apache.spark.sql.expressions.Window
+
+  /** EXACT ROC-AUC via the Mann–Whitney rank-sum identity — the
+    * threshold-free binary-classifier metric next to [[
+    * rankingMetrics]]'s IR family: AUC = P(score⁺ > score⁻) + ½
+    * P(tie) = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) where R⁺ is the sum of
+    * average ranks of the positives. No ROC curve is materialized and
+    * no threshold sweep runs — the rank identity IS the area.
+    *
+    * Scale shape (the reason this isn't three lines): average ranks
+    * need the global sort order, and `rank().over(Window.orderBy)` is
+    * the single-partition trap. Instead: (1) one hash aggregate to
+    * per-DISTINCT-SCORE groups (n_s rows, p_s positives) — ties
+    * collapse here, so the sort that follows is over distinct scores,
+    * not rows; (2) the E223 globalRowIndex device generalized from
+    * prefix-COUNT to prefix-SUM: range-repartition by score,
+    * within-partition running sums, plus a broadcast #partitions-sized
+    * offset table → c_s = rows strictly below s, fully distributed;
+    * (3) each group contributes p_s·(2c_s + n_s + 1) to 2R⁺ (its
+    * positives share average rank c_s + (n_s+1)/2 — kept ×2 so
+    * everything stays integral). DECIMAL(38,0) accumulation: 2R⁺ is
+    * O(n²) and the ×10⁶ scaling would overflow BIGINT near 10⁹ rows.
+    *
+    * Returns one row: n, n_pos, n_neg, n_distinct_scores, auc_e6
+    * (floor micro-units; NULL when either class is empty — AUC is
+    * undefined, not 500000). */
+  def rocAuc(scored: DataFrame, labelCol: String,
+             scoreCol: String): DataFrame = {
+    val g = scored
+      .select(col(scoreCol).as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val ranged = g.repartitionByRange(col("__s"))
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__cl",
+      coalesce(sum(col("__n")).over(W.partitionBy(col("__pid"))
+        .orderBy(col("__s"))
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__n")).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(W.orderBy(col("__pid"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("__c", col("__off") + col("__cl"))
+      .agg(sum(col("__n")).as("n"), sum(col("__p")).as("n_pos"),
+        count(lit(1)).as("n_distinct_scores"),
+        sum(col("__p").cast("decimal(38,0)") *
+          (lit(2L) * col("__c") + col("__n") + lit(1L))).as("__sum2r"))
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        col("n_distinct_scores"),
+        expr("""CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+          CAST((CAST(1000000 AS DECIMAL(38,0)) *
+            (__sum2r - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)))
+            div (CAST(2 AS DECIMAL(38,0)) * n_pos * (n - n_pos))
+            AS BIGINT) END""").as("auc_e6"))
+  }
+
+  /** Calibration / reliability table — does a score MEAN what it says
+    * ("0.7" should come true 70% of the time), the property [[rocAuc]]
+    * deliberately ignores (AUC is rank-only: doubling every score
+    * changes calibration, not AUC). Input probabilities are integer
+    * permille (the repo's money-in-cents discipline for scores — the
+    * caller quantizes once, both engines agree forever). Per
+    * equal-width bin: n, positives, mean claimed confidence
+    * (floor permille), empirical rate (floor permille), |gap|, and the
+    * bin's Brier contribution mean (p − 1000y)² in e6 — all exact
+    * integers. One hash aggregate over nBins groups; nothing sorted,
+    * nothing collected. Bin 1000 permille clamps into the top bin
+    * (a closed upper edge, stated). */
+  def calibrationTable(scored: DataFrame, labelCol: String,
+                       probCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    scored
+      .select(col(probCol).cast("long").as("__p"),
+        col(labelCol).cast("long").as("__y"))
+      .withColumn("bin",
+        least(expr(s"(__p * $nBins) div 1000"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        expr("sum(__p) div count(1)").as("conf_permille"),
+        expr("(sum(__y) * 1000) div count(1)").as("rate_permille"),
+        expr("sum((__p - 1000 * __y) * (__p - 1000 * __y)) div count(1)")
+          .as("brier_e6"))
+      .withColumn("gap_permille",
+        abs(col("conf_permille") - col("rate_permille")))
+  }
 }

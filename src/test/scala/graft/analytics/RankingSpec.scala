@@ -45,4 +45,68 @@ class RankingSpec extends SparkSpec {
     r.getLong(6) shouldBe 1000L
     r.getLong(7) shouldBe 1000L
   }
+
+  test("rocAuc: perfect separation = 1e6; all-tied = exactly 500000") {
+    val perfect = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("y", "score")
+    val p = Ranking.rocAuc(perfect, "y", "score").collect().head
+    p.getLong(0) shouldBe 5L
+    p.getLong(1) shouldBe 2L
+    p.getLong(2) shouldBe 3L
+    p.getLong(3) shouldBe 5L
+    p.getLong(4) shouldBe 1000000L
+    val tied = Seq((0L, 7L), (0L, 7L), (1L, 7L), (1L, 7L)).toDF("y", "score")
+    val t = Ranking.rocAuc(tied, "y", "score").collect().head
+    t.getLong(3) shouldBe 1L
+    t.getLong(4) shouldBe 500000L      // ties count half, exactly
+  }
+
+  test("rocAuc: hand-computed mixed ties give floor(5/6 * 1e6)") {
+    // neg scores 1,2,2; pos 2,3: pairwise 1 + 0.5 + 0.5 + 3 of 6 -> 5/6
+    val d = Seq((0L, 1L), (0L, 2L), (0L, 2L), (1L, 2L), (1L, 3L))
+      .toDF("y", "score")
+    Ranking.rocAuc(d, "y", "score").collect().head.getLong(4) shouldBe 833333L
+  }
+
+  test("rocAuc: single-class input reports NULL, not 0.5") {
+    val d = Seq((1L, 1L), (1L, 2L)).toDF("y", "score")
+    Ranking.rocAuc(d, "y", "score").collect().head.isNullAt(4) shouldBe true
+  }
+
+  test("rocAuc is invariant under input partitioning") {
+    val d = (1 to 300).map(i => (((i * 7 % 13) % 2).toLong, (i * 31 % 47).toLong))
+      .toDF("y", "score")
+    assertSameRows(Ranking.rocAuc(d, "y", "score"),
+      Ranking.rocAuc(d.repartition(11), "y", "score"))
+  }
+
+  test("calibrationTable: hand bins, clamped top edge, exact Brier") {
+    val d = Seq((50L, 0L), (50L, 1L), (1000L, 1L)).toDF("p", "y")
+    val out = Ranking.calibrationTable(d, "y", "p")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val b0 = out(0L)
+    b0.getLong(1) shouldBe 2L          // n
+    b0.getLong(2) shouldBe 1L          // n_pos
+    b0.getLong(3) shouldBe 50L         // conf
+    b0.getLong(4) shouldBe 500L        // rate
+    b0.getLong(5) shouldBe 452500L     // (2500 + 902500)/2
+    b0.getLong(6) shouldBe 450L        // gap
+    out(9L).getLong(1) shouldBe 1L     // p=1000 lands in bin 9, not 10
+    out(9L).getLong(5) shouldBe 0L     // claimed certainty, correct
+  }
+
+  test("calibrationTable: overconfident scorer shows the gap AUC can't see") {
+    val d = (1 to 100).map(i => (900L, (i % 2).toLong)).toDF("p", "y")
+    val r = Ranking.calibrationTable(d, "y", "p").collect().head
+    r.getLong(3) shouldBe 900L
+    r.getLong(4) shouldBe 500L
+    r.getLong(6) shouldBe 400L
+  }
+
+  test("calibrationTable is invariant under input partitioning") {
+    val d = (1 to 200).map(i => ((i * 37 % 1001).toLong, (i % 3 % 2).toLong))
+      .toDF("p", "y")
+    assertSameRows(Ranking.calibrationTable(d, "y", "p"),
+      Ranking.calibrationTable(d.repartition(7), "y", "p"))
+  }
 }
