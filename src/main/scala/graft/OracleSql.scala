@@ -1795,6 +1795,24 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q259 twin of [[graft.graph.LinkGraph.seedDistances]]: bounded
+    * recursive walk enumeration + min per node — every walk within
+    * radius 30 is finite on the weight-≥3 fixture, so the closure
+    * terminates; min over walks IS the shortest path. Structurally
+    * independent of the frontier relaxation. */
+  val q259_seed_distances: String = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst, 3 + doc_id % 7 AS w
+  FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 7, 3 + (doc_id * 5 + 2) % 7 FROM documents),
+walk(node, d) AS (
+  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id % 100 = 0
+  UNION ALL
+  SELECT e.dst, walk.d + e.w FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.d + e.w <= 30)
+SELECT node, min(d) AS dist FROM walk GROUP BY 1 ORDER BY node"""
+
   /** q257 twin of [[graft.analytics.Ranking.rocAuc]]: the same
     * Mann–Whitney identity via a plain windowed prefix sum over
     * distinct scores (DuckDB has no single-partition trap to dodge);
@@ -6450,6 +6468,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,
     "q258_calibration" -> q258_calibration,
+    "q259_seed_distances" -> q259_seed_distances,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

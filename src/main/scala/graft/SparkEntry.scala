@@ -973,6 +973,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Bounded weighted seed-distance SSSP over a deterministic
+    // forward DAG on doc ids (two out-edges per node, weights 3..9),
+    // seeds every 100th node, radius 30: frontier Bellman-Ford vs a
+    // DuckDB recursive walk enumeration bounded by the same radius
+    // (structurally independent derivation, q131 discipline).
+    "q259_seed_distances" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val e1 = docs.select(id.as("src"), (id + 1).as("dst"),
+        (lit(3) + id % 7).as("w"))
+      val e2 = docs.select(id.as("src"), (id + 7).as("dst"),
+        (lit(3) + (id * 5 + 2) % 7).as("w"))
+      graft.graph.LinkGraph.seedDistances(e1.unionByName(e2),
+          docs.filter(id % 100 === 0).select(id.as("node")),
+          maxDist = 30L)
+        .orderBy(col("node"))
+    }),
+
     // Exact ROC-AUC via Mann-Whitney rank-sum on orders: score =
     // total price in hundred-dollar buckets (ties on purpose — the
     // average-rank path is the hard part), label = finished status.

@@ -508,6 +508,72 @@ object LinkGraph {
       .drop("__n")
   }
 
+  /** Bounded weighted single-source-SET shortest paths (`dist ≤
+    * maxDist` from the nearest seed) — the per-node metric
+    * [[seedReach]]'s coverage curve aggregates away, and the weighted
+    * complement to its hop counts: link-cost distance from a trusted
+    * (or spam) seed set is the classic graph-proximity quality prior
+    * (TrustRank's set framing with path cost instead of teleport
+    * mass). Weights are non-negative BIGINTs (exact arithmetic, the
+    * module's no-floats discipline).
+    *
+    * Algorithm: frontier (delta) Bellman–Ford — per round only the
+    * nodes IMPROVED last round join the edge list (frontier⋈edges →
+    * candidate dst distances → min-merge into the table), not the
+    * whole distance table; on real graphs the frontier collapses
+    * after a few rounds and late rounds are near-free. The distance
+    * bound is the termination governor on cyclic graphs AND the state
+    * bound at scale (web-scale "distance to seeds" is only ever used
+    * within a radius — the E117 bounded-radius stance): candidates
+    * beyond `maxDist` are pruned before the merge, so rounds ≤
+    * maxDist/min(w) regardless of cycles. Loud `maxRounds` cap (the
+    * componentLabels contract: throw, never silently-wrong output).
+    *
+    * Shape per round: one frontier⋈edges hash join + one node-keyed
+    * min-merge partial agg, both on the node key; localCheckpoint
+    * cuts the iterated lineage. Returns (node, dist), seeds at 0;
+    * unreachable-within-bound nodes are absent, not ∞. */
+  def seedDistances(edges: DataFrame, seeds: DataFrame,
+                    src: String = "src", dst: String = "dst",
+                    weight: String = "w", seedCol: String = "node",
+                    maxDist: Long = Long.MaxValue,
+                    maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+        col(weight).cast("long").as("__w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("__w")).as("__w"))
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val cand = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("__w")).as("dist"))
+        .filter(col("dist") <= maxDist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // improved = candidates strictly better than the current table
+      val improved = cand.join(
+          dist.withColumnsRenamed(Map("dist" -> "__old")), Seq("node"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint()
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist.unionByName(improved)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+        frontier = improved
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"seedDistances did not converge in $maxRounds rounds " +
+        "(frontier still improving); raise maxRounds or lower maxDist")
+    dist
+  }
+
   /** Weighted PageRank — [[pagerank]] with edge weights (anchor-count
     * or link-multiplicity weights are the standard web-graph refinement:
     * a page linking somewhere 50 times endorses it more than once):

@@ -748,4 +748,50 @@ class LinkGraphSpec extends SparkSpec {
     LinkGraph.stronglyConnected(cond, "src", "dst")
       .filter(col("scc_size") > 1).count() shouldBe 0L
   }
+
+  private def wedges(ts: (String, String, Long)*) = {
+    import spark.implicits._
+    ts.toDF("src", "dst", "w")
+  }
+
+  private def seedSet(ns: String*) = {
+    import spark.implicits._
+    ns.toDF("node")
+  }
+
+  test("seedDistances: two-hop shortcut beats the direct edge") {
+    val e = wedges(("A", "B", 10L), ("B", "C", 1L), ("A", "C", 100L))
+    val d = LinkGraph.seedDistances(e, seedSet("A"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d shouldBe Map("A" -> 0L, "B" -> 10L, "C" -> 11L)
+  }
+
+  test("seedDistances: cycles terminate under the distance bound; beyond-bound nodes are absent") {
+    val e = wedges(("A", "B", 1L), ("B", "A", 1L), ("B", "Z", 100L))
+    val d = LinkGraph.seedDistances(e, seedSet("A"), maxDist = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d shouldBe Map("A" -> 0L, "B" -> 1L)   // Z at 101 pruned, loop stops
+  }
+
+  test("seedDistances: nearest of MULTIPLE seeds wins; parallel edges take min weight") {
+    val e = wedges(("A", "M", 9L), ("B", "M", 4L), ("B", "M", 2L))
+    val d = LinkGraph.seedDistances(e, seedSet("A", "B"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d("M") shouldBe 2L
+  }
+
+  test("seedDistances: unconverged cap throws loudly rather than emit short distances") {
+    val e = wedges(("A", "B", 1L), ("B", "C", 1L), ("C", "D", 1L))
+    an[IllegalStateException] should be thrownBy
+      LinkGraph.seedDistances(e, seedSet("A"), maxRounds = 1)
+  }
+
+  test("seedDistances is invariant under input partitioning") {
+    val e = wedges((1 to 120).map(i =>
+      (s"n${i % 23}", s"n${(i * 5 + 2) % 23}", (i % 4 + 1).toLong)): _*)
+    val s = seedSet("n0", "n7")
+    assertSameRows(
+      LinkGraph.seedDistances(e, s, maxDist = 6L),
+      LinkGraph.seedDistances(e.repartition(7), s, maxDist = 6L))
+  }
 }
