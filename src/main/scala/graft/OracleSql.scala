@@ -1795,6 +1795,27 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q260 twin of [[graft.analytics.Profiling.exactQuantiles]]: the
+    * oracle sorts ROWS directly (row_number over the engine's own
+    * sort — structurally independent of the distinct-value
+    * prefix-sum path) and picks the value AT the ceil target rank;
+    * type-1 semantics make that the same smallest-value-reaching-rank
+    * the operator defines. */
+  val q260_exact_quantiles: String = """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+o AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+    CAST(count(*) OVER () AS BIGINT) AS n
+  FROM v),
+q(q_permille) AS (
+  SELECT * FROM (VALUES (10), (250), (500), (750), (990), (1000)))
+SELECT q.q_permille, o.cents AS value,
+  (q.q_permille * o.n + 999) // 1000 AS target_rank, o.n AS n
+FROM q JOIN o ON o.rn = (q.q_permille * o.n + 999) // 1000
+ORDER BY q.q_permille"""
+
   /** q259 twin of [[graft.graph.LinkGraph.seedDistances]]: bounded
     * recursive walk enumeration + min per node — every walk within
     * radius 30 is finite on the weight-≥3 fixture, so the closure
@@ -6469,6 +6490,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q257_roc_auc" -> q257_roc_auc,
     "q258_calibration" -> q258_calibration,
     "q259_seed_distances" -> q259_seed_distances,
+    "q260_exact_quantiles" -> q260_exact_quantiles,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // EXACT global quantiles of lineitem price cents at six levels,
+    // no global row sort: distinct-value hash agg -> distributed
+    // prefix sums -> config-sized explode + min per level. Oracle
+    // sorts rows directly (structurally independent derivation).
+    "q260_exact_quantiles" -> ((s, dir) => {
+      val v = Tables.lineitem(s, dir).select(
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.analytics.Profiling.exactQuantiles(v, "cents",
+          Seq(10, 250, 500, 750, 990, 1000))
+        .orderBy(col("q_permille"))
+    }),
+
     // Bounded weighted seed-distance SSSP over a deterministic
     // forward DAG on doc ids (two out-edges per node, weights 3..9),
     // seeds every 100th node, radius 30: frontier Bellman-Ford vs a

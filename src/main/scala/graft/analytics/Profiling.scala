@@ -109,6 +109,44 @@ object Profiling {
       .drop("__cuts")
   }
 
+  /** EXACT global quantiles WITHOUT a global row sort — the exact
+    * complement to [[globalQuantileBuckets]]' sketch (which trades
+    * rank error n/accuracy for one pass) and the global complement to
+    * [[quantileFeatures]]' per-group exact ranks: when the cutpoint
+    * must be a fact (billing tiers, SLO thresholds, contractual
+    * percentiles), "within rank error" isn't a spec. Type-1
+    * (discrete) semantics: the q-quantile is the smallest value whose
+    * inclusive cumulative count reaches ceil(q·n/1000) — an observed
+    * value, never an interpolation (exact-integer discipline).
+    *
+    * Shape: one hash aggregate to DISTINCT values (the sorted frame
+    * is distinct values, not rows), [[Distributed.prefixSums]] for
+    * the global cumulative counts, then a config-sized explode
+    * (values × |q|) collapsed by a map-side-combined min per level.
+    * Nothing is collected; no unpartitioned window anywhere.
+    * Returns (q_permille, value, target_rank, n); empty input →
+    * empty output (a quantile of nothing is not a row). */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qPermille: Seq[Int]): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "quantile levels must be permille in [1, 1000]")
+    val g = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    val cum = Distributed.prefixSums(g, "__v", Seq("__n"))
+    val tot = cum.agg(sum(col("__n")).as("__tot"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__v"), col("__n_cum"), col("__tot"),
+        explode(array(qPermille.distinct.sorted.map(lit): _*))
+          .as("q_permille"))
+      .withColumn("__target", expr("(q_permille * __tot + 999) div 1000"))
+      .filter(col("__n_cum") >= col("__target"))
+      .groupBy(col("q_permille"))
+      .agg(min(col("__v")).as("value"),
+        max(col("__target")).as("target_rank"),
+        max(col("__tot")).as("n"))
+  }
+
   /** Fixed-width histogram of a numeric column: per bin — row count,
     * observed min/max. Bin i covers [minVal + i·width, minVal +
     * (i+1)·width); values below `minVal` land in negative bins (the
@@ -609,11 +647,13 @@ object Profiling {
       .unionAll(incoming.filter(v.isNotNull).select(v.as("v"), lit(0L).as("__a"), lit(1L).as("__b")))
       .groupBy(col("v"))
       .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = pooled.select(col("v"),
-      sum(col("__ca")).over(w).as("__cuma"),
-      sum(col("__cb")).over(w).as("__cumb"))
+    // r14: global running sums via the distributed prefix device —
+    // the previous Window.orderBy form was the single-partition trap
+    // (fine over distinct values at sf0.1, not at a distinct-heavy
+    // 100 TB column)
+    val cum = Distributed.prefixSums(pooled, "v", Seq("__ca", "__cb"))
+      .select(col("v"), col("__ca_cum").as("__cuma"),
+        col("__cb_cum").as("__cumb"))
     val tot = pooled.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     cum.crossJoin(broadcast(tot))
       .select(col("v"),

@@ -56,8 +56,6 @@ object Ranking {
           .as("recall_at_k_permille"))
   }
 
-  private val W = org.apache.spark.sql.expressions.Window
-
   /** EXACT ROC-AUC via the Mann–Whitney rank-sum identity — the
     * threshold-free binary-classifier metric next to [[
     * rankingMetrics]]'s IR family: AUC = P(score⁺ > score⁻) + ½
@@ -70,10 +68,9 @@ object Ranking {
     * the single-partition trap. Instead: (1) one hash aggregate to
     * per-DISTINCT-SCORE groups (n_s rows, p_s positives) — ties
     * collapse here, so the sort that follows is over distinct scores,
-    * not rows; (2) the E223 globalRowIndex device generalized from
-    * prefix-COUNT to prefix-SUM: range-repartition by score,
-    * within-partition running sums, plus a broadcast #partitions-sized
-    * offset table → c_s = rows strictly below s, fully distributed;
+    * not rows; (2) [[Distributed.prefixSums]] (the E223 device
+    * generalized to prefix-SUM) yields c_s = rows strictly below s,
+    * fully distributed;
     * (3) each group contributes p_s·(2c_s + n_s + 1) to 2R⁺ (its
     * positives share average rank c_s + (n_s+1)/2 — kept ×2 so
     * everything stays integral). DECIMAL(38,0) accumulation: 2R⁺ is
@@ -89,20 +86,8 @@ object Ranking {
         col(labelCol).cast("long").as("__y"))
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
-    val ranged = g.repartitionByRange(col("__s"))
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__cl",
-      coalesce(sum(col("__n")).over(W.partitionBy(col("__pid"))
-        .orderBy(col("__s"))
-        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col("__n")).as("__c"))
-      .withColumn("__off",
-        coalesce(sum(col("__c")).over(W.orderBy(col("__pid"))
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), "__pid")
-      .withColumn("__c", col("__off") + col("__cl"))
+    Distributed.prefixSums(g, "__s", Seq("__n"))
+      .withColumn("__c", col("__n_cum") - col("__n"))
       .agg(sum(col("__n")).as("n"), sum(col("__p")).as("n_pos"),
         count(lit(1)).as("n_distinct_scores"),
         sum(col("__p").cast("decimal(38,0)") *

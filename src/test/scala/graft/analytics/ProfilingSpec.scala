@@ -536,4 +536,55 @@ class ProfilingSpec extends SparkSpec {
       .select("n_distinct").as[Long].head()
     nd shouldBe 2L
   }
+
+  test("prefixSums matches the single-partition window reference, multi-column") {
+    import spark.implicits._
+    val d = (1 to 200).map(i => ((i * 17 % 211).toLong, (i % 5).toLong, (i % 3).toLong))
+      .toDF("k", "a", "b")   // k unique: 17 coprime to 211
+    val ref = d.select(col("k"),
+      sum("a").over(org.apache.spark.sql.expressions.Window.orderBy("k")
+        .rowsBetween(Long.MinValue, 0)).as("a_cum"),
+      sum("b").over(org.apache.spark.sql.expressions.Window.orderBy("k")
+        .rowsBetween(Long.MinValue, 0)).as("b_cum"))
+    val got = Distributed.prefixSums(d.repartition(7), "k", Seq("a", "b"))
+      .select("k", "a_cum", "b_cum")
+    assertSameRows(got, ref)
+  }
+
+  test("exactQuantiles: hand medians, extremes, duplicates") {
+    import spark.implicits._
+    // odd n: median of 1..5 at rank ceil(0.5*5)=3 -> 3
+    val odd = Seq(5L, 1L, 3L, 2L, 4L).toDF("v")
+    val m = Profiling.exactQuantiles(odd, "v", Seq(500, 1000, 1))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    m(500) shouldBe 3L
+    m(1000) shouldBe 5L    // q=1000 -> max
+    m(1) shouldBe 1L       // tiny q -> min (rank ceil(5/1000)=1)
+    // even n: type-1 takes the LOWER middle (rank ceil(0.5*4)=2)
+    val even = Seq(10L, 20L, 30L, 40L).toDF("v")
+    Profiling.exactQuantiles(even, "v", Seq(500))
+      .collect().head.getLong(1) shouldBe 20L
+    // heavy duplicates: rank lands inside the run of 7s
+    val dup = (Seq.fill(8)(7L) ++ Seq(1L, 100L)).toDF("v")
+    Profiling.exactQuantiles(dup, "v", Seq(500))
+      .collect().head.getLong(1) shouldBe 7L
+  }
+
+  test("exactQuantiles: NULLs excluded; empty input yields no rows") {
+    import spark.implicits._
+    val d = Seq(Some(1L), None, Some(3L)).toDF("v")
+    val r = Profiling.exactQuantiles(d, "v", Seq(1000)).collect().head
+    r.getLong(1) shouldBe 3L
+    r.getLong(3) shouldBe 2L   // n counts non-null only
+    val empty = Seq.empty[Option[Long]].toDF("v")
+    Profiling.exactQuantiles(empty, "v", Seq(500)).count() shouldBe 0L
+  }
+
+  test("exactQuantiles is invariant under input partitioning") {
+    import spark.implicits._
+    val d = (1 to 500).map(i => (i * 31 % 97).toLong).toDF("v")
+    assertSameRows(
+      Profiling.exactQuantiles(d, "v", Seq(100, 500, 900)),
+      Profiling.exactQuantiles(d.repartition(13), "v", Seq(100, 500, 900)))
+  }
 }
