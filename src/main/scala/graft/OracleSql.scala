@@ -1795,6 +1795,23 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q261 twin of [[graft.spatial.Spatial.proximityJoin]]: brute
+    * force — the full 250k-pair cross join with the exact integer
+    * distance filter, no cells anywhere (structurally independent;
+    * feasible precisely because the oracle runs at fixture scale). */
+  val q261_proximity_join: String = """
+WITH p AS (
+  SELECT doc_id AS id,
+    doc_id * 7919 % 2000001 - 1000000 AS x,
+    (doc_id * 104729 + 12345) % 2000001 - 1000000 AS y
+  FROM documents)
+SELECT a.id AS a_id, b.id AS b_id,
+  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+  <= CAST(100000 AS BIGINT) * 100000
+ORDER BY a_id, b_id"""
+
   /** q260 twin of [[graft.analytics.Profiling.exactQuantiles]]: the
     * oracle sorts ROWS directly (row_number over the engine's own
     * sort — structurally independent of the distinct-value
@@ -6491,6 +6508,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q258_calibration" -> q258_calibration,
     "q259_seed_distances" -> q259_seed_distances,
     "q260_exact_quantiles" -> q260_exact_quantiles,
+    "q261_proximity_join" -> q261_proximity_join,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Grid-cell spatial proximity join (self-join form): 500
+    // deterministic pseudo-uniform points in a +-1e6 micro-unit
+    // square, all pairs within radius 1e5 — 9-key probe expansion +
+    // exact integer refine vs the oracle's brute-force quarter
+    // million cross pairs (structurally independent derivation).
+    "q261_proximity_join" -> ((s, dir) => {
+      val pts = Tables.documents(s, dir).select(
+        col("doc_id").as("id"),
+        (col("doc_id") * 7919 % 2000001 - 1000000).as("x_e6"),
+        ((col("doc_id") * 104729 + 12345) % 2000001 - 1000000).as("y_e6"))
+      graft.spatial.Spatial.proximityJoin(pts, pts, radius = 100000L)
+        .filter(col("a_id") < col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // EXACT global quantiles of lineitem price cents at six levels,
     // no global row sort: distinct-value hash agg -> distributed
     // prefix sums -> config-sized explode + min per level. Oracle
