@@ -1795,6 +1795,37 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q262 twin of [[graft.quality.Agreement.chiSquare]]: identical
+    * observed-cells-only identity and per-cell e6 floor, HUGEINT
+    * accumulation cast back to BIGINT. */
+  val q262_chi_square: String = """
+WITH cells AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+    CAST(o_orderpriority AS VARCHAR) AS b,
+    CAST(count(*) AS BIGINT) AS o
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+s AS (
+  SELECT CAST(max(t.nn) AS BIGINT) AS n,
+    CAST(count(DISTINCT x.a) AS BIGINT) AS n_a,
+    CAST(count(DISTINCT x.b) AS BIGINT) AS n_b,
+    sum((CAST(1000000 AS HUGEINT) * t.nn * x.o * x.o) // (ra.r * cb.c))
+      AS t
+  FROM cells x JOIN ra USING (a) JOIN cb USING (b), tot t),
+f AS (
+  SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+    CAST(t - CAST(1000000 AS HUGEINT) * n AS BIGINT) AS chi2_e6
+  FROM s)
+SELECT n, n_a, n_b, dof, chi2_e6,
+  CASE WHEN least(n_a - 1, n_b - 1) > 0 THEN
+    chi2_e6 // (1000 * n * least(n_a - 1, n_b - 1))
+  END AS v2_permille
+FROM f"""
+
   /** q261 twin of [[graft.spatial.Spatial.proximityJoin]]: brute
     * force — the full 250k-pair cross join with the exact integer
     * distance filter, no cells anywhere (structurally independent;
@@ -6509,6 +6540,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q259_seed_distances" -> q259_seed_distances,
     "q260_exact_quantiles" -> q260_exact_quantiles,
     "q261_proximity_join" -> q261_proximity_join,
+    "q262_chi_square" -> q262_chi_square,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

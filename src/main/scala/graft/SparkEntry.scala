@@ -973,6 +973,14 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Chi-square contingency association between order status and
+    // priority: exact integers via chi2 = N*sum(o^2/(r*c)) - N over
+    // OBSERVED cells only (empty cells cancel into -N), per-cell e6
+    // floor on both engines; Cramer's V^2 in permille.
+    "q262_chi_square" -> ((s, dir) =>
+      graft.quality.Agreement.chiSquare(Tables.orders(s, dir),
+        "o_orderstatus", "o_orderpriority")),
+
     // Grid-cell spatial proximity join (self-join form): 500
     // deterministic pseudo-uniform points in a +-1e6 micro-unit
     // square, all pairs within radius 1e5 — 9-key probe expansion +

@@ -67,4 +67,51 @@ object Agreement {
       .select("n_items", "n_agree", "agree_permille", "pe_permille",
         "kappa_permille")
   }
+
+  /** Chi-square contingency association — the INDEPENDENCE
+    * counterpart to [[cohenKappa]]'s agreement (kappa asks "do two
+    * raters say the SAME thing"; this asks "are two categorical
+    * columns related at all" — label×source leakage checks, segment×
+    * status dependence, stratification sanity). Exact integers via
+    * the identity χ² = Σcells (o−e)²/e = N·Σ o²/(rᵢ·cⱼ) − N: the
+    * second form touches ONLY observed cells (empty cells of the
+    * cross product contribute exactly their expectation and cancel
+    * into the −N term), so no |A|×|B| materialization ever happens —
+    * the aggregate is one pass over the observed cell table, itself
+    * bounded by the label-domain product, never the corpus.
+    *
+    * Emitted as χ²_e6 with a stated per-cell floor (both engines
+    * floor each cell's 10⁶·N·o² div (r·c) then sum — a DEFINED
+    * statistic, deterministic everywhere), plus Cramér's V² in floor
+    * permille (V needs a sqrt; V² is the exact rational — threshold
+    * on V² instead, monotone in V). DECIMAL(38,0) holds the per-cell
+    * product for N up to ~4·10¹⁰. NULL-in-either rows are excluded
+    * (stated). Returns one row: (n, n_a, n_b, dof, chi2_e6,
+    * v2_permille — NULL when either column is constant, where
+    * association is undefined). */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__N"))
+    cells.join(ra, "__a").join(cb, "__b")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__N")).as("n"),
+        countDistinct(col("__a")).as("n_a"),
+        countDistinct(col("__b")).as("n_b"),
+        sum(expr("""(CAST(1000000 AS DECIMAL(38,0)) * __N * __o * __o)
+          div (__ra * __cb)""")).as("__t"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        expr("CAST(__t - CAST(1000000 AS DECIMAL(38,0)) * n AS BIGINT)")
+          .as("chi2_e6"))
+      .withColumn("v2_permille", expr(
+        """CASE WHEN least(n_a - 1, n_b - 1) > 0 THEN
+          |  chi2_e6 div (1000 * n * least(n_a - 1, n_b - 1))
+          |END""".stripMargin))
+  }
 }

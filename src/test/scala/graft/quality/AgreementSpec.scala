@@ -54,4 +54,43 @@ class AgreementSpec extends SparkSpec {
       Agreement.cohenKappa(d, "rater_a", "rater_b"),
       Agreement.cohenKappa(d.repartition(7), "rater_a", "rater_b"))
   }
+
+  test("chiSquare: perfect dependence gives chi2 = N and V2 = 1; uniform independence gives 0") {
+    val dep = ((1 to 50).map(_ => ("x", "x")) ++ (1 to 50).map(_ => ("y", "y")))
+      .toDF("a", "b")
+    val r = Agreement.chiSquare(dep, "a", "b").collect().head
+    r.getLong(0) shouldBe 100L
+    r.getLong(4) shouldBe 100000000L   // chi2_e6 = N * 1e6
+    r.getLong(5) shouldBe 1000L        // V^2 = 1
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25 }
+      yield (a, b)).toDF("a", "b")
+    val i = Agreement.chiSquare(ind, "a", "b").collect().head
+    i.getLong(4) shouldBe 0L
+    i.getLong(5) shouldBe 0L
+  }
+
+  test("chiSquare: hand-computed 2x2 with per-cell e6 floors") {
+    // counts: (x,u)=10 (x,v)=20 (y,u)=30 (y,v)=40
+    val d = (Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(40)(("y", "v"))).toDF("a", "b")
+    val r = Agreement.chiSquare(d, "a", "b").collect().head
+    r.getLong(3) shouldBe 1L           // dof
+    r.getLong(4) shouldBe 793650L      // 8333333+22222222+32142857+38095238 - 1e8
+    r.getLong(5) shouldBe 7L
+  }
+
+  test("chiSquare: a constant column yields chi2 0 and NULL V2 (undefined, not 0)") {
+    val d = Seq(("x", "k"), ("y", "k"), ("y", "k")).toDF("a", "b")
+    val r = Agreement.chiSquare(d, "a", "b").collect().head
+    r.getLong(3) shouldBe 0L
+    r.getLong(4) shouldBe 0L
+    r.isNullAt(5) shouldBe true
+  }
+
+  test("chiSquare is invariant under input partitioning") {
+    val d = (1 to 300).map(i => (s"a${i % 5}", s"b${(i * 7 + i * i) % 4}"))
+      .toDF("a", "b")
+    assertSameRows(Agreement.chiSquare(d, "a", "b"),
+      Agreement.chiSquare(d.repartition(9), "a", "b"))
+  }
 }
