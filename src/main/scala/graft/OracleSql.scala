@@ -1795,6 +1795,39 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q263 twin of [[graft.analytics.Ranking.liftTable]]: plain
+    * row_number over the engine's own sort replaces the distributed
+    * row index; identical bucket cut and floor rationals. */
+  val q263_lift_table: String = """
+WITH s AS (
+  SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+  FROM customer),
+o AS (SELECT y, row_number() OVER (ORDER BY score DESC, id) AS rn FROM s),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+  FROM o),
+b AS (
+  SELECT ((o.rn - 1) * 10) // t.n AS bucket,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(o.y) AS BIGINT) AS n_pos,
+    max(t.n) AS n, max(t.p) AS p
+  FROM o, t GROUP BY 1),
+c AS (
+  SELECT bucket, n_rows, n_pos, n, p,
+    CAST(sum(n_rows) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_rows,
+    CAST(sum(n_pos) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_pos
+  FROM b)
+SELECT bucket, n_rows, n_pos, (n_pos * 1000) // n_rows AS rate_permille,
+  cum_rows, cum_pos,
+  CASE WHEN p > 0 THEN (cum_pos * 1000) // p END AS gain_permille,
+  CASE WHEN p > 0 THEN (cum_pos * n * 1000) // (cum_rows * p) END
+    AS lift_permille
+FROM c ORDER BY bucket"""
+
   /** q262 twin of [[graft.quality.Agreement.chiSquare]]: identical
     * observed-cells-only identity and per-cell e6 floor, HUGEINT
     * accumulation cast back to BIGINT. */
@@ -6541,6 +6574,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q260_exact_quantiles" -> q260_exact_quantiles,
     "q261_proximity_join" -> q261_proximity_join,
     "q262_chi_square" -> q262_chi_square,
+    "q263_lift_table" -> q263_lift_table,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

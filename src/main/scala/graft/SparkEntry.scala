@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Cumulative gains/lift table: customers cut into score deciles
+    // by balance cents (descending, custkey tiebreak via the
+    // distributed global row index), per-decile capture of BUILDING
+    // customers and exact permille lift vs the base rate.
+    "q263_lift_table" -> ((s, dir) => {
+      val scored = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("score"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("y"))
+      graft.analytics.Ranking.liftTable(scored, "y", "score", "id")
+        .orderBy(col("bucket"))
+    }),
+
     // Chi-square contingency association between order status and
     // priority: exact integers via chi2 = N*sum(o^2/(r*c)) - N over
     // OBSERVED cells only (empty cells cancel into -N), per-cell e6

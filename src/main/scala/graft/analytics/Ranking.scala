@@ -101,6 +101,54 @@ object Ranking {
             AS BIGINT) END""").as("auc_e6"))
   }
 
+  /** Cumulative gains / lift table — the targeting view between
+    * [[rocAuc]] (one rank-quality number) and [[calibrationTable]]
+    * (probability honesty): "if we act on the top k% by score, what
+    * share of all positives do we capture, and how much better than
+    * random is that" — the campaign-targeting / review-queue-sizing
+    * report. Rows are cut into `nBuckets` equal-size buckets by
+    * DESCENDING score (ties broken by the stated unique id — a total
+    * order, so both engines cut identically); per bucket: counts,
+    * positives, exact permille rate, cumulative gain (share of all
+    * positives captured so far) and cumulative lift vs the base rate,
+    * all floor-integer rationals: lift‰ = (cumPos·N·1000) div
+    * (cumRows·P).
+    *
+    * Shape: the global descending order comes from E223
+    * globalRowIndex (never a single-partition window over rows); the
+    * cumulative pass runs over the nBuckets-row aggregate, where an
+    * unpartitioned window is a constant-size frame, not a trap.
+    * Returns nBuckets rows (fewer when n < nBuckets). */
+  def liftTable(scored: DataFrame, labelCol: String, scoreCol: String,
+                idCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val base = scored.select(col(idCol).as("__id"),
+        col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
+      .withColumn("__sneg", -col("__s"))
+    val idx = graft.etl.Packing.globalRowIndex(base,
+      Seq("__sneg", "__id"))
+    val tot = idx.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val byBucket = idx.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"((row_idx - 1) * $nBuckets) div __n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"),
+        max(col("__n")).as("__n"), max(col("__p")).as("__p"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, 0)
+    byBucket
+      .withColumn("cum_rows", sum(col("n_rows")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        expr("(n_pos * 1000) div n_rows").as("rate_permille"),
+        col("cum_rows"), col("cum_pos"),
+        expr("CASE WHEN __p > 0 THEN (cum_pos * 1000) div __p END")
+          .as("gain_permille"),
+        expr("""CASE WHEN __p > 0 THEN
+          (cum_pos * __n * 1000) div (cum_rows * __p) END""")
+          .as("lift_permille"))
+  }
+
   /** Calibration / reliability table — does a score MEAN what it says
     * ("0.7" should come true 70% of the time), the property [[rocAuc]]
     * deliberately ignores (AUC is rank-only: doubling every score

@@ -103,6 +103,39 @@ class RankingSpec extends SparkSpec {
     r.getLong(6) shouldBe 400L
   }
 
+  test("liftTable: hand-computed quintiles — gains, rates, total lift lands at 1000") {
+    // scores 10..1 by id; positives at ranks 1,2,3 and 10
+    val d = (1 to 10).map(i =>
+      (i.toLong, (11 - i).toLong, if (i <= 3 || i == 10) 1L else 0L))
+      .toDF("id", "score", "y")
+    val out = Ranking.liftTable(d, "y", "score", "id", nBuckets = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(0L).getLong(2) shouldBe 2L        // top quintile: both positive
+    out(0L).getLong(3) shouldBe 1000L
+    out(0L).getLong(6) shouldBe 500L      // half of all positives captured
+    out(0L).getLong(7) shouldBe 2500L     // 2.5x the base rate
+    out(1L).getLong(6) shouldBe 750L
+    out(1L).getLong(7) shouldBe 1875L
+    out(4L).getLong(6) shouldBe 1000L     // everything captured at 100%
+    out(4L).getLong(7) shouldBe 1000L     // total lift is always 1.0
+  }
+
+  test("liftTable: no positives -> NULL gain and lift, not zero") {
+    val d = (1 to 10).map(i => (i.toLong, i.toLong, 0L)).toDF("id", "score", "y")
+    val r = Ranking.liftTable(d, "y", "score", "id", nBuckets = 2)
+      .collect().head
+    r.isNullAt(6) shouldBe true
+    r.isNullAt(7) shouldBe true
+  }
+
+  test("liftTable is invariant under input partitioning") {
+    val d = (1 to 137).map(i =>
+      (i.toLong, (i * 29 % 61).toLong, ((i * 13 % 7) % 2).toLong))
+      .toDF("id", "score", "y")
+    assertSameRows(Ranking.liftTable(d, "y", "score", "id"),
+      Ranking.liftTable(d.repartition(8), "y", "score", "id"))
+  }
+
   test("calibrationTable is invariant under input partitioning") {
     val d = (1 to 200).map(i => ((i * 37 % 1001).toLong, (i % 3 % 2).toLong))
       .toDF("p", "y")
