@@ -1795,6 +1795,56 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q264 twin: the composed frontier schedule — the q259-style
+    * bounded recursive walk for the trust gate, the whole q124
+    * PageRank twin nested as a subquery for the priority (the q131
+    * discipline: each stage's structurally independent derivation),
+    * and the q239 registered-domain + row_number schedule. */
+  lazy val q264_frontier_schedule: String = s"""
+WITH RECURSIVE te AS (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT 'd' || CAST(doc_id % 29 AS VARCHAR) AS src,
+      'd' || CAST((doc_id % 29 + 1) % 29 AS VARCHAR) AS dst,
+      doc_id % 29 % 3 + 1 AS w
+    FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 29 AS VARCHAR),
+      'd' || CAST((doc_id % 29 + 3) % 29 AS VARCHAR),
+      ((doc_id % 29) * 2 + 1) % 3 + 1
+    FROM documents)
+  WHERE src <> dst GROUP BY 1, 2),
+walk(node, d) AS (
+  SELECT DISTINCT 'd' || CAST((doc_id % 5) * 5 AS VARCHAR),
+    CAST(0 AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT te.dst, walk.d + te.w FROM walk JOIN te ON te.src = walk.node
+  WHERE walk.d + te.w <= 4),
+trust AS (SELECT node, min(d) AS dist FROM walk GROUP BY 1),
+pr AS (SELECT node, rank_units FROM ($q124_pagerank)),
+u AS (
+  SELECT doc_id,
+    'https://www.d' || CAST(doc_id % 29 AS VARCHAR) || 'hub.com/p' ||
+      CAST(doc_id AS VARCHAR) AS url,
+    'd' || CAST(doc_id % 29 AS VARCHAR) AS host
+  FROM documents),
+g AS (
+  SELECT u.doc_id, u.url, t.dist, pr.rank_units,
+    regexp_extract(
+      lower(regexp_extract(u.url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)),
+      '([^.]+\\.[^.]+)$$', 1) AS domain
+  FROM u JOIN trust t ON t.node = u.host JOIN pr ON pr.node = u.host),
+q AS (
+  SELECT doc_id, url, domain, dist, rank_units,
+    row_number() OVER (PARTITION BY domain
+      ORDER BY rank_units DESC, doc_id) AS queue_pos
+  FROM g)
+SELECT doc_id, url, domain, CAST(queue_pos AS BIGINT) AS queue_pos,
+  CAST((queue_pos - 1) * 1000 AS BIGINT) AS fetch_offset_ms,
+  dist, rank_units
+FROM q WHERE queue_pos <= 12
+ORDER BY domain, queue_pos"""
+
   /** q263 twin of [[graft.analytics.Ranking.liftTable]]: plain
     * row_number over the engine's own sort replaces the distributed
     * row index; identical bucket cut and floor rationals. */
@@ -6575,6 +6625,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q261_proximity_join" -> q261_proximity_join,
     "q262_chi_square" -> q262_chi_square,
     "q263_lift_table" -> q263_lift_table,
+    "q264_frontier_schedule" -> q264_frontier_schedule,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

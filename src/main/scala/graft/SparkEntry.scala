@@ -973,6 +973,52 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED crawl-frontier prioritization: the full "what do we
+    // fetch next" decision chaining three proven operators — E257
+    // seedDistances as the TRUST GATE (hosts within weighted cost 4
+    // of the seed set over the sparse curated-endorsement graph; the
+    // ring structure leaves genuinely un-trusted hosts, so the gate
+    // binds), E103 exact-integer PageRank over the full q124 link
+    // graph as the PRIORITY, and E238 politenessSchedule as the
+    // EMISSION (per-domain serialized offsets, quota-capped). Oracle
+    // chains the q259-style bounded walk + the q124 twin as a
+    // subquery + the q239 schedule twin.
+    "q264_frontier_schedule" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val id = col("doc_id")
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val j = id % 29
+      // sparse trust graph: ring +1 / +3 steps, weights 1..3
+      val t1 = docs.select(dom(j).as("src"), dom((j + 1) % 29).as("dst"),
+        (j % 3 + 1).as("w"))
+      val t2 = docs.select(dom(j).as("src"), dom((j + 3) % 29).as("dst"),
+        ((j * 2 + 1) % 3 + 1).as("w"))
+      val trust = graft.graph.LinkGraph.seedDistances(
+        t1.unionByName(t2).filter(col("src") =!= col("dst")),
+        docs.select(dom((id % 5) * 5).as("node")).distinct(),
+        maxDist = 4L)
+      // dense link graph (the q124 fixture) for priority
+      val e1 = docs.select(dom(id % 23).as("src"),
+        dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"),
+        dom((id * 5 + 2) % 29).as("dst"))
+      val rank = graft.graph.LinkGraph.pagerank(e1.unionAll(e2),
+        "src", "dst", iterations = 3)
+      val urls = docs.select(id.as("doc_id"), dom(j).as("host"),
+        concat(lit("https://www."), dom(j), lit("hub.com/p"),
+          id.cast("string")).as("url"))
+      val gated = urls
+        .join(trust.withColumnRenamed("node", "host"), "host")
+        .join(rank.select(col("node").as("host"), col("rank_units")),
+          "host")
+        .withColumn("priority", col("rank_units"))
+      graft.text.Urls.politenessSchedule(gated, "priority",
+          delayMs = 1000, maxPerDomain = 12)
+        .join(gated.select(col("doc_id"), col("dist"),
+          col("rank_units")), "doc_id")
+        .orderBy(col("domain"), col("queue_pos"))
+    }),
+
     // Cumulative gains/lift table: customers cut into score deciles
     // by balance cents (descending, custkey tiebreak via the
     // distributed global row index), per-decile capture of BUILDING
