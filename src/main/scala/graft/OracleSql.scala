@@ -1795,6 +1795,44 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q265 twin of [[graft.etl.Sampling.tokenBudgetMix]]: identical
+    * exact budget split, md5 hash order, first-crossing-kept
+    * boundary, permille fill. */
+  val q265_token_mix: String = """
+WITH w AS (
+  SELECT DISTINCT source,
+    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS weight
+  FROM documents),
+ws AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+b AS (
+  SELECT w.source, w.weight, (60000 * w.weight) // ws.wsum
+    AS budget_tokens
+  FROM w, ws),
+h AS (
+  SELECT source, doc_id, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+      AS BIGINT) AS hh
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_chars,
+    sum(n_chars) OVER (PARTITION BY source ORDER BY hh, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h),
+k AS (
+  SELECT c.source, c.n_chars,
+    CASE WHEN c.cum - c.n_chars < b.budget_tokens THEN 1 ELSE 0 END
+      AS kept
+  FROM c JOIN b USING (source)),
+agg AS (
+  SELECT source, CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+    CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+      AS tokens_kept
+  FROM k GROUP BY 1)
+SELECT b.source, b.weight, b.budget_tokens, a.n_docs_kept,
+  a.tokens_kept, (a.tokens_kept * 1000) // b.budget_tokens
+    AS fill_permille
+FROM b JOIN agg a USING (source) ORDER BY source"""
+
   /** q264 twin: the composed frontier schedule — the q259-style
     * bounded recursive walk for the trust gate, the whole q124
     * PageRank twin nested as a subquery for the priority (the q131
@@ -6626,6 +6664,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q262_chi_square" -> q262_chi_square,
     "q263_lift_table" -> q263_lift_table,
     "q264_frontier_schedule" -> q264_frontier_schedule,
+    "q265_token_mix" -> q265_token_mix,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

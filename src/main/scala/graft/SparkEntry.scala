@@ -973,6 +973,31 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Weighted token-budget data mix: 20 sources with weights 1..4
+    // (from the source number), a 60k-char total budget split exactly
+    // by weight, each source filled in deterministic hash order with
+    // the first-crossing-kept boundary; per-source audit with exact
+    // fill permille.
+    "q265_token_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+      graft.etl.Sampling.tokenBudgetMix(docs, "source", "n_chars",
+          weights, totalBudget = 60000L,
+          order = Seq(graft.etl.Sampling.keyHash(col("doc_id"))),
+          tieCol = "doc_id")
+        .groupBy(col("source"))
+        .agg(max(col("weight")).as("weight"),
+          max(col("budget_tokens")).as("budget_tokens"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L))
+            .as("tokens_kept"))
+        .withColumn("fill_permille",
+          expr("(tokens_kept * 1000) div budget_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // COMPOSED crawl-frontier prioritization: the full "what do we
     // fetch next" decision chaining three proven operators — E257
     // seedDistances as the TRUST GATE (hosts within weighted cost 4

@@ -214,6 +214,47 @@ object Sampling {
       .withColumn("kept", col("cum_tokens") - col(tokensCol) < budget)
   }
 
+  /** Weighted token-budget source mixing — the pretraining data-mix
+    * scheduler composing [[tokenBudgetFill]]'s per-group fill with
+    * WEIGHT-DRIVEN budget allocation (the "20% code, 30% web, 10%
+    * books" recipe every LLM data card states): given a weights table
+    * (source, weight) and a total token budget, each source gets
+    * budget_s = total·w_s div Σw (exact floor split from the ACTUAL
+    * weight sum — callers need not pre-normalize), then fills it in
+    * the caller's `order` (pass a [[keyHash]] column for an unbiased
+    * deterministic "shuffle", or quality columns for curated fill).
+    * Same boundary convention as tokenBudgetFill, stated: the
+    * document that CROSSES the budget is kept (budgets slightly
+    * overshoot, never silently undershoot). Emits every row with its
+    * (weight, budget_tokens, cum_tokens, kept) — the drop set is
+    * reviewable, and sources too small to fill their budget surface
+    * as under-filled, not silently absent.
+    *
+    * Shape: one broadcast of the config-sized weights×Σw table, one
+    * per-source window (partitioned — never the global-sort trap).
+    * Sources absent from the weights table are dropped (weight 0,
+    * stated). */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, tokensCol: String,
+                     weights: DataFrame, totalBudget: Long,
+                     order: Seq[Column], tieCol: String,
+                     weightCol: String = "weight"): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    val wsum = weights.agg(sum(col(weightCol)).as("__wsum"))
+    val b = weights.select(col(sourceCol),
+        col(weightCol).cast("long").as("weight"))
+      .crossJoin(broadcast(wsum))
+      .withColumn("budget_tokens",
+        expr(s"(${totalBudget}L * weight) div __wsum"))
+      .drop("__wsum")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy((order :+ col(tieCol)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(b), sourceCol)
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("kept",
+        col("cum_tokens") - col(tokensCol) < col("budget_tokens"))
+  }
+
   /** Floor integer square root, exact for any non-negative Long. */
   def isqrt(n: Long): Long = {
     require(n >= 0, "isqrt of a negative count")

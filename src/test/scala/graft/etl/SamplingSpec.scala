@@ -371,6 +371,44 @@ test("signFlipTest: a huge one-sided uplift is significant; symmetric noise is n
     n._5 shouldBe 1000L       // ...every replicate is at least as extreme
   }
 
+  test("tokenBudgetMix: exact weight split, first-crossing kept, unweighted source dropped") {
+    import spark.implicits._
+    val docs = ((1 to 4).map(i => ("A", i.toLong, 10L)) ++
+      (1 to 3).map(i => ("B", (i + 10).toLong, 10L)) ++
+      Seq(("C", 99L, 10L))).toDF("source", "id", "n_tokens")
+    val w = Seq(("A", 3L), ("B", 1L)).toDF("source", "weight")
+    val out = Sampling.tokenBudgetMix(docs, "source", "n_tokens", w,
+        totalBudget = 40L, order = Seq(col("id")), tieCol = "id")
+    out.filter(col("source") === "C").count() shouldBe 0L   // no weight, dropped
+    val kept = out.filter(col("kept"))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    kept("A") shouldBe ((3L, 30L))   // budget 30 filled exactly
+    kept("B") shouldBe ((1L, 10L))   // budget 10: first doc only
+  }
+
+  test("tokenBudgetMix: the crossing document is kept — overshoot, never silent undershoot") {
+    import spark.implicits._
+    val docs = (1 to 5).map(i => ("A", i.toLong, 10L)).toDF("source", "id", "n_tokens")
+    val w = Seq(("A", 1L)).toDF("source", "weight")
+    val kept = Sampling.tokenBudgetMix(docs, "source", "n_tokens", w,
+        totalBudget = 25L, order = Seq(col("id")), tieCol = "id")
+      .filter(col("kept"))
+    kept.count() shouldBe 3L                       // 10+10 < 25, third crosses
+    kept.agg(sum("n_tokens")).as[Long].head() shouldBe 30L
+  }
+
+  test("tokenBudgetMix is invariant under input partitioning") {
+    import spark.implicits._
+    val docs = (1 to 120).map(i =>
+      (s"s${i % 4}", i.toLong, (i % 17 + 5).toLong)).toDF("source", "id", "n_tokens")
+    val w = (0 to 3).map(i => (s"s$i", (i + 1).toLong)).toDF("source", "weight")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetMix(d, "source", "n_tokens", w, 800L,
+        Seq(Sampling.keyHash(col("id"))), "id")
+    assertSameRows(run(docs), run(docs.repartition(7)))
+  }
+
   test("signFlipTest is deterministic and partition-invariant") {
     import spark.implicits._
     val d = (1 to 80).map(i => (i.toLong, (i * 13 % 41) - 20L))
