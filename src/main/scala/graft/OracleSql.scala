@@ -1795,6 +1795,33 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q266 twin of [[graft.analytics.Hierarchy.subtreeRollup]]: a
+    * plain recursive-CTE ancestor closure (one level per step —
+    * structurally independent of the log-round path squaring) + the
+    * same measure join, aggregate, and parent-share arithmetic. */
+  val q266_subtree_rollup: String = """
+WITH RECURSIVE t AS (
+  SELECT doc_id AS node,
+    CASE WHEN doc_id = 0 THEN NULL ELSE (doc_id - 1) // 3 END AS parent,
+    n_chars AS own
+  FROM documents),
+cl(anc, des) AS (
+  SELECT node, node FROM t
+  UNION
+  SELECT cl.anc, t.node FROM cl JOIN t ON t.parent = cl.des),
+agg AS (
+  SELECT cl.anc AS node, CAST(count(*) AS BIGINT) AS subtree_count,
+    CAST(sum(t.own) AS BIGINT) AS subtree_total
+  FROM cl JOIN t ON t.node = cl.des GROUP BY 1)
+SELECT t.node, t.parent, CAST(t.own AS BIGINT) AS own,
+  a.subtree_count, a.subtree_total,
+  CASE WHEN p.subtree_total IS NOT NULL AND p.subtree_total <> 0 THEN
+    (a.subtree_total * 1000) // p.subtree_total
+  END AS share_of_parent_permille
+FROM t JOIN agg a USING (node)
+  LEFT JOIN agg p ON p.node = t.parent
+ORDER BY t.node"""
+
   /** q265 twin of [[graft.etl.Sampling.tokenBudgetMix]]: identical
     * exact budget split, md5 hash order, first-crossing-kept
     * boundary, permille fill. */
@@ -6665,6 +6692,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q263_lift_table" -> q263_lift_table,
     "q264_frontier_schedule" -> q264_frontier_schedule,
     "q265_token_mix" -> q265_token_mix,
+    "q266_subtree_rollup" -> q266_subtree_rollup,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

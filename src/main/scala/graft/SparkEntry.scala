@@ -973,6 +973,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Hierarchical subtree rollup over a ternary category forest on
+    // doc ids (parent = (i-1) div 3, depth ~6): per-node subtree
+    // char totals via log-round path squaring, exact share-of-parent
+    // permille. Oracle recomputes via a recursive-CTE closure.
+    "q266_subtree_rollup" -> ((s, dir) => {
+      val t = Tables.documents(s, dir).select(
+        col("doc_id").as("node"),
+        when(col("doc_id") === 0, lit(null).cast("long"))
+          .otherwise(expr("(doc_id - 1) div 3")).as("parent"),
+        col("n_chars"))
+      graft.analytics.Hierarchy.subtreeRollup(t, "node", "parent",
+          "n_chars")
+        .orderBy(col("node"))
+    }),
+
     // Weighted token-budget data mix: 20 sources with weights 1..4
     // (from the source number), a 60k-char total budget split exactly
     // by weight, each source filled in deterministic hash order with
