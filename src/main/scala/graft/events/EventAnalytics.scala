@@ -917,4 +917,36 @@ object EventAnalytics {
       .select(col("tenure_w"), col("n_risk"), col("n_churned"),
         expr("(1000 * n_churned) div n_risk").as("hazard_permille"))
   }
+
+  /** Cumulative-distinct growth curve — the "total users ever" line
+    * on every dashboard, which a per-bucket `countDistinct` cannot
+    * produce (distincts don't add across buckets — the E225 sketch
+    * store exists for the approximate rollup; this is the EXACT batch
+    * derivation): per time bucket, events, active keys, NEW keys
+    * (first appearance — each key charged to exactly one bucket via
+    * one min-bucket aggregate), and the running distinct total, which
+    * is simply the prefix sum of news (exactness by construction, no
+    * distinct-union ever re-evaluated).
+    *
+    * Shape: two key/bucket-keyed hash aggregates + [[
+    * graft.analytics.Distributed.prefixSums]] over buckets — the
+    * running total stays distributed even at hour-grain × years
+    * cardinality; nothing is collected. NULL keys/buckets excluded
+    * (stated). */
+  def cumulativeDistinct(df: DataFrame, keyCol: String,
+                         bucketCol: String): DataFrame = {
+    val e = df.filter(col(keyCol).isNotNull && col(bucketCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(bucketCol).as("__b"))
+    val perBucket = e.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__k")).as("n_active"))
+    val news = e.groupBy(col("__k")).agg(min(col("__b")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("n_new"))
+    val joined = perBucket.join(news, Seq("__b"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    graft.analytics.Distributed.prefixSums(joined, "__b", Seq("n_new"))
+      .select(col("__b").as(bucketCol), col("n_events"),
+        col("n_active"), col("n_new"),
+        col("n_new_cum").as("cum_distinct"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.events
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, countDistinct}
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -641,5 +642,33 @@ test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >"
     val d = df(schema, rows: _*)
     assertSameRows(EventAnalytics.sessionWindows(d),
       EventAnalytics.sessionWindows(d.repartition(7)))
+  }
+
+  test("cumulativeDistinct: news charged to first-seen bucket; running total is their prefix sum") {
+    import spark.implicits._
+    val d = Seq(("d1", "A"), ("d1", "A"), ("d1", "B"),
+      ("d2", "B"), ("d2", "C")).toDF("day", "u")
+    val out = EventAnalytics.cumulativeDistinct(d, "u", "day")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("d1").getLong(1) shouldBe 3L
+    out("d1").getLong(2) shouldBe 2L
+    out("d1").getLong(3) shouldBe 2L
+    out("d1").getLong(4) shouldBe 2L
+    out("d2").getLong(2) shouldBe 2L   // active: B and C
+    out("d2").getLong(3) shouldBe 1L   // but only C is NEW
+    out("d2").getLong(4) shouldBe 3L
+  }
+
+  test("cumulativeDistinct: final running total equals the global distinct count; nulls excluded") {
+    import spark.implicits._
+    val d = ((1 to 200).map(i => (s"d${i % 9}", Some((i * 13 % 37).toLong))) :+
+      ("d0", None)).toDF("day", "u")
+    val out = EventAnalytics.cumulativeDistinct(d, "u", "day")
+    val last = out.orderBy(col("day").desc).select("cum_distinct")
+      .as[Long].head()
+    last shouldBe d.filter(col("u").isNotNull)
+      .select(countDistinct("u")).as[Long].head()
+    assertSameRows(out,
+      EventAnalytics.cumulativeDistinct(d.repartition(7), "u", "day"))
   }
 }
