@@ -1795,6 +1795,29 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q267 twin of [[graft.events.EventAnalytics.cumulativeDistinct]]:
+    * same first-seen charging; the running total is a plain window
+    * prefix sum (DuckDB has no single-partition trap to dodge). */
+  val q267_cumulative_distinct: String = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+pb AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM e GROUP BY 1),
+f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1),
+j AS (
+  SELECT pb.day, pb.n_events, pb.n_active,
+    coalesce(nw.n_new, 0) AS n_new
+  FROM pb LEFT JOIN nw USING (day))
+SELECT day, n_events, n_active, n_new,
+  CAST(sum(n_new) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_distinct
+FROM j ORDER BY day"""
+
   /** q266 twin of [[graft.analytics.Hierarchy.subtreeRollup]]: a
     * plain recursive-CTE ancestor closure (one level per step —
     * structurally independent of the log-round path squaring) + the
@@ -6693,6 +6716,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q264_frontier_schedule" -> q264_frontier_schedule,
     "q265_token_mix" -> q265_token_mix,
     "q266_subtree_rollup" -> q266_subtree_rollup,
+    "q267_cumulative_distinct" -> q267_cumulative_distinct,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

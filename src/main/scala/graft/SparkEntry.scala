@@ -973,6 +973,15 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Cumulative-distinct user growth by day: new users charged to
+    // their first-seen day, running distinct total as the prefix sum
+    // of news (distincts don't add; first-seens do).
+    "q267_cumulative_distinct" -> ((s, dir) =>
+      graft.events.EventAnalytics.cumulativeDistinct(
+          Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+          "user_id", "day")
+        .orderBy(col("day"))),
+
     // Hierarchical subtree rollup over a ternary category forest on
     // doc ids (parent = (i-1) div 3, depth ~6): per-node subtree
     // char totals via log-round path squaring, exact share-of-parent

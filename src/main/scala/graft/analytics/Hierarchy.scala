@@ -40,19 +40,22 @@ object Hierarchy {
     val nodes = df.select(col(nodeCol).as("node"),
       col(parentCol).as("parent"),
       col(measureCol).cast("long").as("own"))
-    var p = nodes.filter(col("parent").isNotNull)
+    var p = graft.core.Iterate.barrier(nodes.filter(col("parent").isNotNull)
       .select(col("parent").as("anc"), col("node").as("des"))
-      .distinct().localCheckpoint()
+      .distinct())
     var size = p.count()
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       round += 1
-      val next = p.union(
+      // barrier, not plain localCheckpoint: p appears three times in
+      // this round's plan — the stats-feedback reset of
+      // [[graft.core.Iterate]] keeps estimate digits flat
+      val next = graft.core.Iterate.barrier(p.union(
           p.select(col("anc"), col("des").as("__mid"))
             .join(p.select(col("anc").as("__mid"), col("des")), "__mid")
             .select(col("anc"), col("des")))
-        .distinct().localCheckpoint()
+        .distinct())
       val nextSize = next.count()
       if (nextSize == size) done = true
       else { p = next; size = nextSize }

@@ -332,14 +332,41 @@ object Dedup {
         "containment_permille")
   }
 
-  /** Connected components over a near-dup pair graph via iterative
-    * min-label propagation: every node adopts the smallest label among
-    * itself and its neighbours until fixpoint. Converges in
-    * O(component diameter) rounds — near-dup components are tiny
-    * (pairs of clones, small clusters), so a handful of shuffles in
-    * practice; each round materializes via localCheckpoint so the
-    * plan does not grow with iterations. Returns (node, label) with
-    * label = min doc_id of the component. */
+  /** Connected components over a near-dup pair graph via accelerated
+    * min-label propagation. Three relaxations per round, each one
+    * hash join + a shared partial aggregate:
+    *
+    *  1. EDGES: label flows across each undirected edge (the plain
+    *     propagation — O(diameter) alone).
+    *  2. POINTER JUMP: label(v) also relaxes to label(label(v)) —
+    *     a label is itself a node id, so one labels⋈labels self-join
+    *     halves pointer-chain depth per round (the E188 device).
+    *  3. PARENT NOTIFY (hash-to-min's other half, Rastogi et al.
+    *     ICDE 2013): a node whose label DROPPED tells its FORMER
+    *     label the new minimum. Without this, jump-only propagation
+    *     degenerates at region merges: a stabilized region is a
+    *     depth-1 star (every pointer at the regional min), so a
+    *     smaller min arriving at the boundary floods at EDGE speed —
+    *     measured live on q255's sf0.1 match graph as a long
+    *     constant-trickle phase (183 changes/round for 7+ rounds,
+    *     >40 rounds total). With notify, the boundary node's old hub
+    *     hears the new min in one round and its whole star re-points
+    *     through jump the round after: 13 rounds on the same graph.
+    *     Sound for UNDIRECTED components because every label value
+    *     names a node of the same component (NOT valid for the
+    *     directed ancestor-min in [[graft.graph.LinkGraph]], where a
+    *     node's old and new labels need not reach one another).
+    *
+    * Monotone per node and bounded below, so the fixpoint exists; at
+    * fixpoint labels are edge-constant, hence component-constant, and
+    * the component min never disappears — labels = component min.
+    * Per-round materialization is [[graft.core.Iterate.barrier]], NOT
+    * plain localCheckpoint: the multi-branch union TRIPLES the
+    * inherited size-estimate digit count per round and by round ~12
+    * the driver stalls multiplying million-digit BigIntegers inside
+    * stats estimation (caught live on q255 at sf0.1; measured in
+    * Iterate's scaladoc). Returns (node, label = min id of the
+    * component). */
   def componentLabels(pairs: DataFrame, aCol: String = "doc_a",
                       bCol: String = "doc_b", maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -348,6 +375,8 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     val labelType = labels.schema("label").dataType
+    var notices = labels.filter(lit(false))
+      .select(col("node"), col("label")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -355,15 +384,6 @@ object Dedup {
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .select(col("dst").as("node"), col("label"),
           lit(null).cast(labelType).as("__old"))
-      // Pointer doubling (the E188 SCC inner-loop device, pulled down
-      // here after q255's sf0.1 chain components broke the
-      // linear-round bound): label(v) also relaxes to
-      // label(label(v)) — a label is itself a node id, so one
-      // labels⋈labels self-join halves the remaining distance to the
-      // component minimum every round. Convergence drops from
-      // O(diameter) rounds to O(log diameter): a 2^20-long chain
-      // converges inside the default cap where plain propagation
-      // needs a million rounds.
       val viaJump = labels.select(col("node"), col("label").as("__ptr"))
         .join(labels.select(col("node").as("__ptr"),
           col("label").as("__jl")), "__ptr")
@@ -371,23 +391,26 @@ object Dedup {
           lit(null).cast(labelType).as("__old"))
       // The node's previous label rides through the aggregation (each
       // node contributes exactly one non-null __old), so the
-      // convergence check is a filter over the checkpointed result —
-      // not a second join re-running the round's plan (which doubled
-      // the per-round job count and dominated q36's cost).
-      val next = labels
+      // convergence check AND the next round's parent notices are
+      // filters over the materialized result — no second join
+      // re-running the round's plan.
+      val next = graft.core.Iterate.barrier(labels
         .select(col("node"), col("label"), col("label").as("__old"))
         .union(neighbourLabels)
         .union(viaJump)
-        .groupBy("node").agg(min("label").as("label"), max("__old").as("__old"))
-        .localCheckpoint()
-      converged = next.filter(col("label") =!= col("__old")).isEmpty
+        .union(notices.select(col("node"), col("label"),
+          lit(null).cast(labelType).as("__old")))
+        .groupBy("node").agg(min("label").as("label"), max("__old").as("__old")))
+      val changed = next.filter(col("label") =!= col("__old"))
+      notices = changed.select(col("__old").as("node"), col("label"))
+      converged = changed.isEmpty
       labels = next.select("node", "label")
       i += 1
     }
     if (!converged) throw new IllegalStateException(
       s"componentLabels did not converge in $maxIterations rounds " +
-        "(2^rounds exceeds any real component diameter under pointer " +
-        "doubling — this indicates a bug, not a data property)")
+        "(far beyond any real component's need under jump + notify " +
+        "acceleration — this indicates a bug, not a data property)")
     labels
   }
 

@@ -214,7 +214,10 @@ object LinkGraph {
     * `materialize` therefore defaults to `localCheckpoint()`: each
     * frontier/visited is computed once and the lineage cut, the same
     * frontier-checkpoint discipline every iterative graph engine uses
-    * (pass `identity` only for plan-inspection tests).
+    * (pass `identity` only for plan-inspection tests). Round 14: the
+    * default is [[graft.core.Iterate.barrier]] — lineage cutting
+    * alone leaves the stats-estimate feedback compounding (see
+    * Iterate's scaladoc).
     *
     * Returns (node, reached, harmonic_units): in-ball size and the
     * micro-unit harmonic sum after radius `maxDepth`. */
@@ -222,7 +225,7 @@ object LinkGraph {
                          maxDepth: Int = 4,
                          scale: Long = 1000000L,
                          materialize: DataFrame => DataFrame =
-                           _.localCheckpoint())
+                           graft.core.Iterate.barrier)
       : DataFrame = {
     require(maxDepth >= 1, "maxDepth must be >= 1")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
@@ -555,16 +558,17 @@ object LinkGraph {
         .filter(col("dist") <= maxDist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       // improved = candidates strictly better than the current table
-      val improved = cand.join(
+      // barrier, not plain localCheckpoint: dist and frontier feed
+      // the next round — the stats-feedback reset of
+      // [[graft.core.Iterate]] keeps estimate digits flat
+      val improved = graft.core.Iterate.barrier(cand.join(
           dist.withColumnsRenamed(Map("dist" -> "__old")), Seq("node"), "left")
         .filter(col("__old").isNull || col("dist") < col("__old"))
-        .select(col("node"), col("dist"))
-        .localCheckpoint()
+        .select(col("node"), col("dist")))
       if (improved.isEmpty) done = true
       else {
-        dist = dist.unionByName(improved)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
+        dist = graft.core.Iterate.barrier(dist.unionByName(improved)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
         frontier = improved
       }
     }
@@ -964,12 +968,14 @@ object LinkGraph {
             col("label").as("__jl")), "__ptr")
           .select(col("node"), col("__jl").as("label"),
             lit(null).cast(labelType).as("__old"))
-        val next = labels
+        // barrier, not plain localCheckpoint: the stats-feedback
+        // reset (see graft.core.Iterate) — this union would triple
+        // estimate digits per round
+        val next = graft.core.Iterate.barrier(labels
           .select(col("node"), col("label"), col("label").as("__old"))
           .union(viaEdges).union(viaJump)
           .groupBy("node")
-          .agg(min("label").as("label"), max("__old").as("__old"))
-          .localCheckpoint()
+          .agg(min("label").as("label"), max("__old").as("__old")))
         converged = next.filter(col("label") =!= col("__old")).isEmpty
         labels = next.select("node", "label")
         i += 1
@@ -985,29 +991,29 @@ object LinkGraph {
     var round = 0
     while (!nodes.isEmpty && round < maxRounds) {
       // -- 1. forward coloring: color = min ancestor-or-self --------
-      val colors = minLabelFixpoint(nodes,
+      val colors = graft.core.Iterate.barrier(minLabelFixpoint(nodes,
         e.select(col("src").as("s"), col("dst").as("d")), "coloring")
-        .withColumnRenamed("label", "color").localCheckpoint()
+        .withColumnRenamed("label", "color"))
       // -- 2. capture: within-class descendant-min == color ---------
       // only same-color edges can sit on a capture path (scaladoc
       // proof), so restrict once; descendant-min propagates BACKWARD
-      val ec = e
+      val ec = graft.core.Iterate.barrier(e
         .join(colors.select(col("node").as("src"), col("color").as("__cs")), "src")
         .join(colors.select(col("node").as("dst"), col("color").as("__cd")), "dst")
         .filter(col("__cs") === col("__cd"))
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("src"), col("dst")))
       val dmin = minLabelFixpoint(nodes,
         ec.select(col("dst").as("s"), col("src").as("d")), "capture")
-      val captured = dmin.join(colors, "node")
+      val captured = graft.core.Iterate.barrier(dmin.join(colors, "node")
         .filter(col("label") === col("color"))
-        .select(col("node"), col("color").as("scc")).localCheckpoint()
+        .select(col("node"), col("color").as("scc")))
       // -- 3. peel ---------------------------------------------------
       assigned = if (assigned == null) captured else assigned.union(captured)
-      nodes = nodes.join(captured.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
-      e = e.join(captured.select(col("node").as("src")), Seq("src"), "left_anti")
-        .join(captured.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .localCheckpoint()
+      nodes = graft.core.Iterate.barrier(
+        nodes.join(captured.select("node"), Seq("node"), "left_anti"))
+      e = graft.core.Iterate.barrier(
+        e.join(captured.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(captured.select(col("node").as("dst")), Seq("dst"), "left_anti"))
       round += 1
     }
     if (!nodes.isEmpty) throw new IllegalStateException(
