@@ -127,6 +127,123 @@ case class TopKByLong(valueExpr: Expression, idExpr: Expression,
       kExpr = newChildren(2))
 }
 
+/** `graft_frequent_by(key, k)` — approximate heavy hitters in BOUNDED
+  * memory as a native aggregate: the Misra–Gries summary (Misra &
+  * Gries 1982; isomorphic to SpaceSaving, Metwally et al. 2005),
+  * merged with the Agarwal et al. "Mergeable Summaries" rule. The
+  * third member of the heavy-hitter family, each owning a regime:
+  * E21's exact heavyHitters shuffles every distinct key (exact, but
+  * state = distinct count); E235's count-min answers point queries
+  * but needs the CANDIDATES supplied; this finds the candidates
+  * itself in one pass with O(k) state per group — the genuinely
+  * streaming-shaped device.
+  *
+  * State: ≤ k (key, count) pairs. Update: increment if present;
+  * insert at 1 if room; else decrement ALL and drop zeros (the
+  * amortized-O(1) counter trade). Merge: sum summaries, then subtract
+  * the (k+1)-th largest count and drop non-positives. Guarantee
+  * (spec-pinned, the E23 approximate-operator precedent): for every
+  * key, true − n/(k+1) ≤ estimate ≤ true, and every key with
+  * frequency > n/(k+1) SURVIVES under any partitioning — the
+  * ESTIMATES may vary with merge order (inherent to MG), the
+  * guarantee never does. Emitted as array<struct<id,c>> sorted
+  * (c DESC, id ASC) for a deterministic display order of whatever
+  * survived. NULL keys skipped. */
+case class FrequentByLong(keyExpr: Expression, kExpr: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
+
+  @transient private lazy val k: Int =
+    kExpr.eval().asInstanceOf[Number].intValue
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (keyExpr.dataType, kExpr.dataType) match {
+      case (LongType, IntegerType) if kExpr.foldable =>
+        if (kExpr.eval().asInstanceOf[Number].intValue >= 1)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName needs k >= 1")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint key, foldable int k), got " +
+          s"(${keyExpr.dataType.simpleString}, ${kExpr.dataType.simpleString})")
+    }
+
+  override def children: Seq[Expression] = Seq(keyExpr, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_frequent_by"
+
+  override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] =
+    scala.collection.mutable.LongMap.empty
+
+  override def update(b: scala.collection.mutable.LongMap[Long],
+                      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
+    val kv = keyExpr.eval(input)
+    if (kv != null) {
+      val key = kv.asInstanceOf[Long]
+      if (b.contains(key)) b(key) += 1L
+      else if (b.size < k) b(key) = 1L
+      else {
+        // decrement-all: each surviving counter absorbs one deletion
+        val dead = ArrayBuffer.empty[Long]
+        b.foreachEntry { (id, c) =>
+          if (c <= 1L) dead += id else b(id) = c - 1L
+        }
+        dead.foreach(b.remove)
+      }
+    }
+    b
+  }
+
+  override def merge(b: scala.collection.mutable.LongMap[Long],
+                     o: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
+    o.foreachEntry { (id, c) => b(id) = b.getOrElse(id, 0L) + c }
+    if (b.size > k) {
+      val counts = b.values.toArray.sorted(Ordering[Long].reverse)
+      val d = counts(k) // (k+1)-th largest absorbs into every counter
+      val dead = ArrayBuffer.empty[Long]
+      b.foreachEntry { (id, c) =>
+        if (c - d <= 0L) dead += id else b(id) = c - d
+      }
+      dead.foreach(b.remove)
+    }
+    b
+  }
+
+  override def eval(b: scala.collection.mutable.LongMap[Long]): Any = {
+    val out = b.toSeq.sortBy { case (id, c) => (-c, id) }
+    new GenericArrayData(out.map { case (id, c) =>
+      InternalRow(id, c): Any
+    }.toArray)
+  }
+
+  override def serialize(b: scala.collection.mutable.LongMap[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * b.size)
+    bb.putInt(b.size)
+    b.foreachEntry { (id, c) => bb.putLong(id); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.LongMap[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < n) { b(bb.getLong) = bb.getLong; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FrequentByLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FrequentByLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FrequentByLong =
+    copy(keyExpr = newChildren(0), kExpr = newChildren(1))
+}
+
 object TopKFunctions {
 
   val fnName = "graft_top_k_by"
@@ -148,5 +265,26 @@ object TopKFunctions {
   def topKBy(value: Column, id: Column, k: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(fnName, value, id, lit(k))
+  }
+
+  val frequentFnName = "graft_frequent_by"
+
+  private[functions] def registerFrequent(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(frequentFnName)))
+      registry.createOrReplaceTempFunction(frequentFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 2, s"$frequentFnName takes 2 arguments")
+          FrequentByLong(children.head, children(1))
+        },
+        "built-in")
+  }
+
+  /** Per-group Misra–Gries frequent-item candidates with O(k) state —
+    * array<struct<id,c>>; every key with frequency > n/(k+1) is
+    * guaranteed present, estimates within n/(k+1) below truth. */
+  def frequentBy(key: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(registerFrequent)
+    call_function(frequentFnName, key, lit(k))
   }
 }

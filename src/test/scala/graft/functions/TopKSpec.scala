@@ -62,4 +62,54 @@ class TopKSpec extends SparkSpec {
     // input row — must be absent from the aggregate plan
     plan should not include "Sort ["
   }
+
+  private def mgRun(rows: Seq[Long], k: Int, parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    rows.toDF("key").repartition(parts)
+      .agg(TopKFunctions.frequentBy(col("key"), k).as("f"))
+      .selectExpr("explode(f) AS e").select("e.id", "e.c")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("frequentBy: skewed stream — the heavy key survives with the MG bound") {
+    // 500 copies of key 1 + 500 singletons; n = 1000, k = 10
+    val rows = Seq.fill(500)(1L) ++ (1000L to 1499L)
+    for (parts <- Seq(1, 7)) {
+      val est = mgRun(rows, k = 10, parts)
+      est.keySet should contain(1L)
+      est(1L) should be >= (500L - 1000L / 11L)   // true - n/(k+1)
+      est(1L) should be <= 500L                   // never overestimates
+    }
+  }
+
+  test("frequentBy: at most k distinct keys means exact counts") {
+    val rows = Seq.fill(7)(3L) ++ Seq.fill(4)(5L) ++ Seq(9L)
+    val est = mgRun(rows, k = 5, parts = 3)
+    est shouldBe Map(3L -> 7L, 5L -> 4L, 9L -> 1L)
+  }
+
+  test("frequentBy: every key above the n/(k+1) threshold is present under any partitioning") {
+    // three majors at 300/250/200 of n=1000, k=4 -> threshold 200
+    val rows = Seq.fill(300)(10L) ++ Seq.fill(250)(20L) ++
+      Seq.fill(200)(30L) ++ (5000L until 5250L)
+    for (parts <- Seq(1, 3, 13)) {
+      val est = mgRun(rows, k = 4, parts)
+      est.keySet should contain allOf (10L, 20L)  // strictly above n/5 = 200
+      est.foreach { case (key, c) =>
+        val truth = rows.count(_ == key).toLong
+        c should be <= truth
+        c should be >= truth - 1000L / 5L
+      }
+    }
+  }
+
+  test("frequentBy runs as ObjectHashAggregate without a sort") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 3, (i % 7).toLong)).toDF("g", "key")
+      .groupBy("g").agg(TopKFunctions.frequentBy(col("key"), 4).as("f"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("ObjectHashAggregate")
+    plan should not include "Sort ["
+  }
 }
