@@ -1795,6 +1795,20 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q268 twin of [[graft.analytics.Profiling.melt]]: the UNION ALL
+    * reshape (structurally independent of Spark's single Expand). */
+  val q268_melt_metrics: String = """
+WITH w AS (
+  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      AS qty_cents,
+    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+  FROM lineitem GROUP BY 1)
+SELECT flag, 'n_rows' AS metric, n_rows AS value FROM w
+UNION ALL SELECT flag, 'qty_cents', qty_cents FROM w
+UNION ALL SELECT flag, 'n_parts', n_parts FROM w
+ORDER BY flag, metric"""
+
   /** q267 twin of [[graft.events.EventAnalytics.cumulativeDistinct]]:
     * same first-seen charging; the running total is a plain window
     * prefix sum (DuckDB has no single-partition trap to dodge). */
@@ -6717,6 +6731,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q265_token_mix" -> q265_token_mix,
     "q266_subtree_rollup" -> q266_subtree_rollup,
     "q267_cumulative_distinct" -> q267_cumulative_distinct,
+    "q268_melt_metrics" -> q268_melt_metrics,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

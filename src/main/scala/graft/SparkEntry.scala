@@ -973,6 +973,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Wide->long melt of a per-flag metric report (pivot's inverse,
+    // one native Expand node): three metric columns become (flag,
+    // metric, value) rows; oracle is the plain UNION ALL reshape.
+    "q268_melt_metrics" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+            .as("qty_cents"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+      graft.analytics.Profiling.melt(wide, Seq("flag"),
+          Seq("n_rows", "qty_cents", "n_parts"))
+        .orderBy(col("flag"), col("metric"))
+    }),
+
     // Cumulative-distinct user growth by day: new users charged to
     // their first-seen day, running distinct total as the prefix sum
     // of news (distincts don't add; first-seens do).

@@ -783,4 +783,21 @@ object Profiling {
       .agg(count(lit(1)))
       .na.fill(0L, colValues)
   }
+
+  /** Wide→long reshape (melt) — [[pivotMatrix]]'s inverse and the
+    * metric-table normalizer (a per-column metrics report becomes
+    * (entity, metric, value) rows a generic monitor can consume).
+    * Delegates to Spark's native `unpivot` (a single Expand node:
+    * each input row fans to |valueCols| output rows in one pass —
+    * no join, no union of scans, the plan a hand-rolled stack() or
+    * N-way union would bloat). Value columns must share a common
+    * type; NULL cells are KEPT (verified — a missing metric is a
+    * fact a monitor wants, and the output is exactly \|valueCols\|
+    * rows per input row). */
+  def melt(rows: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "metric", valName: String = "value"): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    rows.unpivot(idCols.map(col).toArray,
+      valueCols.map(col).toArray, varName, valName)
+  }
 }

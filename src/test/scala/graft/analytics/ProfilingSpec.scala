@@ -580,6 +580,18 @@ class ProfilingSpec extends SparkSpec {
     Profiling.exactQuantiles(empty, "v", Seq(500)).count() shouldBe 0L
   }
 
+  test("melt: wide metrics become (id, metric, value) rows; NULL cells are kept") {
+    import spark.implicits._
+    val wide = Seq((1L, Some(10L), Some(20L)), (2L, None, Some(30L)))
+      .toDF("id", "a", "b")
+    val long = Profiling.melt(wide, Seq("id"), Seq("a", "b"))
+    long.count() shouldBe 4L    // 2 rows x 2 metrics, null cell included
+    long.filter(col("id") === 2L && col("metric") === "a")
+      .select("value").collect().head.isNullAt(0) shouldBe true
+    // single Expand, not a union of scans
+    long.queryExecution.optimizedPlan.toString should include("Expand")
+  }
+
   test("exactQuantiles is invariant under input partitioning") {
     import spark.implicits._
     val d = (1 to 500).map(i => (i * 31 % 97).toLong).toDF("v")
