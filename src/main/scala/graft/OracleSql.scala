@@ -1795,6 +1795,82 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q269 twin: the q236 prefix-filter pipeline re-parameterized at
+    * tau 500, the 700 cut as a filter over its floor permille
+    * (provably the same pair set), and TWO recursive-CTE closures
+    * for the per-cut components (the q131 discipline). */
+  lazy val q269_threshold_audit: String = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, substr(text, 1, (n_chars * 2) // 3)
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM corpus),
+sh AS (
+  SELECT doc_id, list_transform(range(1, len(tokens)-1),
+    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM toks WHERE len(tokens) >= 3),
+xs AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> CAST(('0x' || substr(md5(s),1,14)) AS BIGINT) % 1000000007) AS hs
+  FROM sh)
+, ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
+dfs AS (SELECT shingle, count(*) AS df FROM posting GROUP BY 1),
+rk AS (
+  SELECT p.doc_id, p.shingle,
+    count(*) OVER (PARTITION BY p.doc_id) AS n_sh,
+    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.shingle) AS rnk
+  FROM posting p JOIN dfs d USING (shingle)),
+pre AS (
+  SELECT doc_id, n_sh, shingle FROM rk
+  WHERE rnk <= n_sh - (500*n_sh + 999)//1000 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.n_sh AS n_a, b.n_sh AS n_b
+  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    AND b.n_sh*1000 >= a.n_sh*500 AND a.n_sh*1000 >= b.n_sh*500),
+cm AS (
+  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS common
+  FROM cand c
+    JOIN posting pa ON pa.doc_id = c.doc_a
+    JOIN posting pb ON pb.doc_id = c.doc_b AND pb.shingle = pa.shingle
+  GROUP BY 1, 2, 3, 4),
+p5 AS (
+  SELECT doc_a, doc_b, (common*1000)//(n_a + n_b - common) AS jac
+  FROM cm WHERE common*1000 >= 500*(n_a + n_b - common)),
+p7 AS (SELECT doc_a, doc_b FROM p5 WHERE jac >= 700),
+e5 AS (SELECT doc_a AS s, doc_b AS d FROM p5
+  UNION SELECT doc_b, doc_a FROM p5),
+e7 AS (SELECT doc_a AS s, doc_b AS d FROM p7
+  UNION SELECT doc_b, doc_a FROM p7),
+r5(s, d) AS (SELECT s, d FROM e5
+  UNION SELECT r5.s, e5.d FROM r5 JOIN e5 ON r5.d = e5.s),
+r7(s, d) AS (SELECT s, d FROM e7
+  UNION SELECT r7.s, e7.d FROM r7 JOIN e7 ON r7.d = e7.s),
+l5 AS (SELECT s AS node, least(s, min(d)) AS label FROM r5 GROUP BY s),
+l7 AS (SELECT s AS node, least(s, min(d)) AS label FROM r7 GROUP BY s),
+s5 AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM l5 GROUP BY 1),
+s7 AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM l7 GROUP BY 1)
+SELECT CAST(500 AS BIGINT) AS tau_permille,
+  CAST((SELECT count(*) FROM p5) AS BIGINT) AS n_pairs,
+  CAST(count(*) AS BIGINT) AS n_components,
+  CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes,
+  CAST(coalesce(max(sz), 0) AS BIGINT) AS max_component
+FROM s5
+UNION ALL
+SELECT CAST(700 AS BIGINT),
+  CAST((SELECT count(*) FROM p7) AS BIGINT),
+  CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(sz), 0) AS BIGINT),
+  CAST(coalesce(max(sz), 0) AS BIGINT)
+FROM s7
+ORDER BY tau_permille"""
+
   /** q268 twin of [[graft.analytics.Profiling.melt]]: the UNION ALL
     * reshape (structurally independent of Spark's single Expand). */
   val q268_melt_metrics: String = """
@@ -6732,6 +6808,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q266_subtree_rollup" -> q266_subtree_rollup,
     "q267_cumulative_distinct" -> q267_cumulative_distinct,
     "q268_melt_metrics" -> q268_melt_metrics,
+    "q269_threshold_audit" -> q269_threshold_audit,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

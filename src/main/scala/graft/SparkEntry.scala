@@ -973,6 +973,39 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED dedup threshold-sensitivity audit: the "what would a
+    // different cut do" review every curation run owes — exact
+    // Jaccard pairs generated ONCE at tau 500 (filtering its floor
+    // permille at >= 700 provably equals a 700 run: a >= 700u iff
+    // a div u >= 700 on positive integers), components at both cuts,
+    // per-cut pair/component/max-cluster stats side by side.
+    "q269_threshold_audit" -> ((s, dir) => {
+      // the natural corpus only has >=900-permille twins, so inject
+      // two-thirds-truncated copies (J ~ 2/3) to put real mass
+      // BETWEEN the two cuts — the audit must have something to show
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          expr("substr(text, 1, (n_chars * 2) div 3)").as("text")))
+      val base = graft.dedup.Dedup.prefixFilterPairs(
+          corpus, tauPermille = 500)
+        .select(col("doc_a"), col("doc_b"), col("jaccard_permille"))
+        .localCheckpoint()
+      def stats(tau: Long) = {
+        val pairs = base.filter(col("jaccard_permille") >= tau)
+        val sizes = graft.dedup.Dedup.componentLabels(pairs)
+          .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        pairs.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(sizes.agg(
+            count(lit(1)).as("n_components"),
+            coalesce(sum(col("sz")), lit(0L)).as("n_nodes"),
+            coalesce(max(col("sz")), lit(0L)).as("max_component"))))
+          .select(lit(tau).as("tau_permille"), col("n_pairs"),
+            col("n_components"), col("n_nodes"), col("max_component"))
+      }
+      stats(500L).unionByName(stats(700L)).orderBy(col("tau_permille"))
+    }),
+
     // Wide->long melt of a per-flag metric report (pivot's inverse,
     // one native Expand node): three metric columns become (flag,
     // metric, value) rows; oracle is the plain UNION ALL reshape.
