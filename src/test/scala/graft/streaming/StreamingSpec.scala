@@ -682,4 +682,43 @@ test("streaming session_window with watermark matches the batch sessionWindows t
       assertSameRows(streamed, batch)
     } finally q.stop()
   }
+
+  test("stateful aggregation survives a stop-and-restart from its checkpoint") {
+    // The crash-recovery contract a 100 TB/day stream lives on: a NEW
+    // query object resuming the SAME checkpointLocation restores the
+    // state store and source offsets, so a window whose rows STRADDLE
+    // the restart is counted as one window — nothing lost, nothing
+    // double-counted. (File source + parquet sink: the recoverable
+    // pair; the memory sink refuses checkpoint recovery outright.)
+    val srcDir = tmp("restart-src")
+    val outDir = tmp("restart-out")
+    val ckpt = tmp("restart-ckpt")
+    val schema = Seq.empty[Ev].toDF().schema
+    def startQuery() =
+      spark.readStream.schema(schema).json(srcDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .start()
+
+    Seq(ev(1, 1), ev(2, 2), ev(3, 3, "view")).toDF()
+      .coalesce(1).write.mode("append").json(srcDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // rows 4 and 5 land in the SAME 0-10 window as the pre-restart
+    // rows; the minute-40 pusher advances the watermark past it
+    Seq(ev(4, 5), ev(5, 6, "view"), ev(99, 40)).toDF()
+      .coalesce(1).write.mode("append").json(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val closed = spark.read.parquet(outDir)
+      .select(col("event_type"), col("n"))
+      .as[(String, Long)].collect().toMap
+    closed("click") shouldBe 3L   // 2 before the restart + 1 after
+    closed("view") shouldBe 2L    // 1 + 1, same window across restart
+  }
 }
