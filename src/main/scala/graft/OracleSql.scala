@@ -1795,6 +1795,23 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q270 twin of [[graft.analytics.Hierarchy.materializedPaths]]:
+    * one level per recursive step from the roots down — structurally
+    * independent of the log-round segment squaring. */
+  val q270_materialized_paths: String = """
+WITH RECURSIVE t AS (
+  SELECT doc_id AS node,
+    CASE WHEN doc_id = 0 THEN NULL ELSE (doc_id - 1) // 3 END AS parent
+  FROM documents),
+p(node, root, depth, path) AS (
+  SELECT node, node, CAST(0 AS BIGINT), '/' || CAST(node AS VARCHAR)
+  FROM t WHERE parent IS NULL
+  UNION ALL
+  SELECT t.node, p.root, p.depth + 1,
+    p.path || '/' || CAST(t.node AS VARCHAR)
+  FROM t JOIN p ON t.parent = p.node)
+SELECT node, root, depth, path FROM p ORDER BY node"""
+
   /** q269 twin: the q236 prefix-filter pipeline re-parameterized at
     * tau 500, the 700 cut as a filter over its floor permille
     * (provably the same pair set), and TWO recursive-CTE closures
@@ -6809,6 +6826,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q267_cumulative_distinct" -> q267_cumulative_distinct,
     "q268_melt_metrics" -> q268_melt_metrics,
     "q269_threshold_audit" -> q269_threshold_audit,
+    "q270_materialized_paths" -> q270_materialized_paths,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Materialized root-paths over the q266 ternary forest: per node
+    // its root, depth, and "/0/1/4"-style path via log-round segment
+    // squaring; oracle walks one level per recursive step.
+    "q270_materialized_paths" -> ((s, dir) => {
+      val t = Tables.documents(s, dir).select(
+        col("doc_id").as("node"),
+        when(col("doc_id") === 0, lit(null).cast("long"))
+          .otherwise(expr("(doc_id - 1) div 3")).as("parent"))
+      graft.analytics.Hierarchy.materializedPaths(t, "node", "parent")
+        .orderBy(col("node"))
+    }),
+
     // COMPOSED dedup threshold-sensitivity audit: the "what would a
     // different cut do" review every curation run owes — exact
     // Jaccard pairs generated ONCE at tau 500 (filtering its floor

@@ -84,4 +84,83 @@ object Hierarchy {
           (subtree_total * 1000) div __ptotal END""")
           .as("share_of_parent_permille"))
   }
+
+  /** Materialized root-paths — the flattened addressing scheme
+    * ("/0/4/13") every hierarchy UI, breadcrumb, and prefix query
+    * wants, and the other artifact of [[subtreeRollup]]'s closure:
+    * per node, its root, depth (root = 0), and the full
+    * slash-delimited path of ids from the root. A prefix LIKE over
+    * the path column answers "all descendants of X" with ZERO joins —
+    * the read-side payoff the build pass buys.
+    *
+    * Same squaring device, but on PARTIAL PATH segments: the state is
+    * (top, node, hops, path-from-top-to-node); squaring joins segment
+    * (a→b) to segment (b→c) concatenating paths — covered distance
+    * doubles per round, so depth d closes in ⌈log₂ d⌉ rounds. Only
+    * maximal segments survive to the end: a node's FULL path is the
+    * one whose top has no parent. Loud cap and cycle refusal as in
+    * [[subtreeRollup]], with one extra guard the path state makes
+    * NECESSARY: a cycle's segments would grow forever (hops
+    * proliferate, paths double per round — exponential state long
+    * before the round cap fires), so every round drops segments with
+    * hops ≥ node count — a simple path can't be that long, the filter
+    * is a no-op on any true hierarchy, and on a cycle the segment set
+    * saturates. Degenerate inputs are then caught by COVERAGE: a
+    * non-root node with no root-reaching segment sits on a cycle (or
+    * under a dangling parent id) — refused loudly, never silently
+    * dropped from the output. */
+  def materializedPaths(df: DataFrame, nodeCol: String,
+                        parentCol: String,
+                        maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val nodes = df.select(col(nodeCol).as("node"),
+      col(parentCol).as("parent"))
+    val nNodes = nodes.count()
+    // segments: top --(hops, path suffix "/n1/n2")--> node
+    var seg = graft.core.Iterate.barrier(
+      nodes.filter(col("parent").isNotNull)
+        .select(col("parent").as("top"), col("node"),
+          lit(1L).as("hops"),
+          concat(lit("/"), col("node").cast("string")).as("path"))
+        .distinct())
+    var size = seg.count()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val next = graft.core.Iterate.barrier(seg.union(
+          seg.select(col("top"), col("node").as("__mid"),
+              col("hops").as("__h1"), col("path").as("__p1"))
+            .join(seg.select(col("top").as("__mid"), col("node"),
+              col("hops").as("__h2"), col("path").as("__p2")), "__mid")
+            .select(col("top"), col("node"),
+              (col("__h1") + col("__h2")).as("hops"),
+              concat(col("__p1"), col("__p2")).as("path"))
+            .filter(col("hops") < nNodes))
+        .distinct())
+      val nextSize = next.count()
+      if (nextSize == size) done = true
+      else { seg = next; size = nextSize }
+    }
+    if (!done) throw new IllegalStateException(
+      s"materializedPaths closure still growing after $maxRounds " +
+        "squaring rounds (depth over 2^rounds); refusing partial paths")
+    val roots = nodes.filter(col("parent").isNull)
+      .select(col("node").as("top"))
+    // maximal segments = those whose top is a root; roots themselves
+    // are their own trivial path
+    val nonRoots = seg.join(roots, "top")
+      .select(col("node"), col("top").as("root"), col("hops").as("depth"),
+        concat(lit("/"), col("top").cast("string"), col("path"))
+          .as("path"))
+    val uncovered = nodes.filter(col("parent").isNotNull)
+      .join(nonRoots.select(col("node")), Seq("node"), "left_anti")
+    if (!uncovered.isEmpty) throw new IllegalStateException(
+      "materializedPaths: some non-root nodes reach no root — a cycle " +
+        "or a dangling parent id; refusing to emit partial paths")
+    val rootRows = roots.select(col("top").as("node"),
+      col("top").as("root"), lit(0L).as("depth"),
+      concat(lit("/"), col("top").cast("string")).as("path"))
+    nonRoots.unionByName(rootRows)
+  }
 }

@@ -51,6 +51,60 @@ class HierarchySpec extends SparkSpec {
       Hierarchy.subtreeRollup(t, "node", "parent", "m")
   }
 
+  test("materializedPaths: hand tree — roots, depths, slash paths") {
+    import spark.implicits._
+    val t = Seq((1L, None), (2L, Some(1L)), (4L, Some(2L)), (9L, None))
+      .toDF("node", "parent")
+    val out = Hierarchy.materializedPaths(t, "node", "parent")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getString(3) shouldBe "/1"
+    out(1L).getLong(2) shouldBe 0L
+    out(2L).getString(3) shouldBe "/1/2"
+    out(4L).getString(3) shouldBe "/1/2/4"
+    out(4L).getLong(1) shouldBe 1L          // root
+    out(4L).getLong(2) shouldBe 2L          // depth
+    out(9L).getString(3) shouldBe "/9"      // second root of the forest
+  }
+
+  test("materializedPaths: a prefix LIKE over the path IS the descendant query") {
+    import spark.implicits._
+    val t = tree((0 to 60).map(i =>
+      (i.toLong, if (i == 0) None else Some((i - 1L) / 3), 0L)): _*)
+      .select("node", "parent")
+    val paths = Hierarchy.materializedPaths(t, "node", "parent")
+    // descendants-of-1 via string prefix (1's path is /0/1)
+    val viaLike = paths.filter(col("path").startsWith("/0/1/") ||
+        col("path") === "/0/1")
+      .select("node").as[Long].collect().toSet
+    // ground truth by walking parents in scala
+    val parent = (0 to 60).map(i => i.toLong -> (if (i == 0) -1L else (i - 1L) / 3)).toMap
+    def under1(v: Long): Boolean =
+      v == 1L || (v != 0L && v != -1L && under1(parent(v)))
+    viaLike shouldBe (0L to 60L).filter(under1).toSet
+  }
+
+  test("materializedPaths: deep chain in log rounds; cycle refused") {
+    import spark.implicits._
+    val chain = ((0L, None) +: (1 to 12).map(i => (i.toLong, Some(i - 1L))))
+      .toDF("node", "parent")
+    val r = Hierarchy.materializedPaths(chain, "node", "parent", maxRounds = 6)
+      .filter(col("node") === 12L).collect().head
+    r.getLong(2) shouldBe 12L
+    r.getString(3) shouldBe (0 to 12).mkString("/", "/", "")
+    val cyc = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("node", "parent")
+    an[IllegalStateException] should be thrownBy
+      Hierarchy.materializedPaths(cyc, "node", "parent")
+  }
+
+  test("materializedPaths is invariant under input partitioning") {
+    import spark.implicits._
+    val t = (0 to 80).map(i =>
+      (i.toLong, if (i == 0) None else Some((i - 1L) / 2))).toDF("node", "parent")
+    assertSameRows(
+      Hierarchy.materializedPaths(t, "node", "parent"),
+      Hierarchy.materializedPaths(t.repartition(7), "node", "parent"))
+  }
+
   test("subtreeRollup is invariant under input partitioning") {
     val t = tree((0 to 120).map(i =>
       (i.toLong, if (i == 0) None else Some((i - 1L) / 4), (i % 13 + 1).toLong)): _*)
