@@ -1795,6 +1795,45 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q271 twin of [[graft.analytics.Hierarchy.allocateDown]]: the six
+    * child levels unrolled as chained CTEs (the pagerankCtes
+    * precedent), each replaying the identical largest-remainder
+    * arithmetic. */
+  lazy val q271_allocate_down: String = {
+    val levels = (1 to 6).map { k =>
+      s"""lv$k AS (
+  SELECT x.node, CAST($k AS BIGINT) AS depth,
+    x.base + CASE WHEN x.rnk <= x.leftover THEN 1 ELSE 0 END AS amount
+  FROM (
+    SELECT c.node,
+      (p.amount * c.w) // s.W AS base,
+      row_number() OVER (PARTITION BY c.parent
+        ORDER BY (p.amount * c.w) % s.W DESC, c.node) AS rnk,
+      p.amount - sum((p.amount * c.w) // s.W)
+        OVER (PARTITION BY c.parent) AS leftover
+    FROM t c
+      JOIN lv${k - 1} p ON c.parent = p.node
+      JOIN sib s ON s.parent = c.parent) x)"""
+    }.mkString(",\n")
+    val unions = (1 to 6).map(k =>
+      s"UNION ALL SELECT node, depth, CAST(amount AS BIGINT) FROM lv$k")
+      .mkString("\n")
+    s"""
+WITH t AS (
+  SELECT doc_id AS node,
+    CASE WHEN doc_id = 0 THEN NULL ELSE (doc_id - 1) // 3 END AS parent,
+    n_chars % 7 + 1 AS w
+  FROM documents),
+sib AS (SELECT parent, CAST(sum(w) AS BIGINT) AS W FROM t
+  WHERE parent IS NOT NULL GROUP BY 1),
+lv0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth,
+  CAST(1000000000 AS BIGINT) AS amount),
+$levels
+SELECT node, depth, CAST(amount AS BIGINT) AS amount FROM lv0
+$unions
+ORDER BY node"""
+  }
+
   /** q270 twin of [[graft.analytics.Hierarchy.materializedPaths]]:
     * one level per recursive step from the roots down — structurally
     * independent of the log-round segment squaring. */
@@ -6827,6 +6866,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q268_melt_metrics" -> q268_melt_metrics,
     "q269_threshold_audit" -> q269_threshold_audit,
     "q270_materialized_paths" -> q270_materialized_paths,
+    "q271_allocate_down" -> q271_allocate_down,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Exact top-down budget allocation through the ternary forest:
+    // 1e9 micro-units at the root split by n_chars-derived weights
+    // with largest-remainder rounding per sibling group — every level
+    // sums exactly to the root budget. Oracle unrolls the six levels
+    // (the pagerankCtes unrolling precedent).
+    "q271_allocate_down" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = docs.select(col("doc_id").as("node"),
+        when(col("doc_id") === 0, lit(null).cast("long"))
+          .otherwise(expr("(doc_id - 1) div 3")).as("parent"),
+        (col("n_chars") % 7 + 1).as("w"))
+      val roots = docs.filter(col("doc_id") === 0)
+        .select(col("doc_id").as("node"), lit(1000000000L).as("amount"))
+      graft.analytics.Hierarchy.allocateDown(t, roots,
+          "node", "parent", "w", "amount")
+        .orderBy(col("node"))
+    }),
+
     // Materialized root-paths over the q266 ternary forest: per node
     // its root, depth, and "/0/1/4"-style path via log-round segment
     // squaring; oracle walks one level per recursive step.

@@ -163,4 +163,75 @@ object Hierarchy {
       concat(lit("/"), col("top").cast("string")).as("path"))
     nonRoots.unionByName(rootRows)
   }
+
+  /** Exact top-down allocation — [[subtreeRollup]]'s inverse
+    * direction: a budget/cost/quota at the top spreads down the
+    * hierarchy proportionally to child weights, level by level, with
+    * LARGEST-REMAINDER rounding at every sibling group (Hamilton's
+    * method): base_i = (A·wᵢ) div ΣW, then the A − Σbase leftover
+    * units go to the children with the largest remainders (node-id
+    * tiebreak — a stated total order). The invariant that makes this
+    * an ACCOUNTING operator rather than a ratio report: every sibling
+    * group sums EXACTLY to its parent's amount — no floor dust lost,
+    * no unit invented, at any depth (spec-pinned: leaf sums replay
+    * the root budget to the unit).
+    *
+    * Iteration is one level per round (allocation is inherently
+    * level-sequential — a child's amount needs its parent's FINAL
+    * amount), each round one join + two partitioned windows, frontier
+    * = the just-allocated level ([[graft.core.Iterate.barrier]]
+    * per round). Depth is the round count — hierarchies are shallow
+    * (stated). Zero/negative weights refused loudly (a zero-weight
+    * sibling group cannot split anything); nodes not reachable from
+    * the seeded roots are absent from the output (seeding a subtree
+    * is a legitimate call), but a round cap throws rather than spin
+    * on a cyclic parent relation. Returns (node, depth, amount). */
+  def allocateDown(tree: DataFrame, amounts: DataFrame,
+                   nodeCol: String, parentCol: String, weightCol: String,
+                   amountCol: String, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val t = tree.select(col(nodeCol).as("node"),
+      col(parentCol).as("parent"),
+      col(weightCol).cast("long").as("__w")).localCheckpoint()
+    if (!t.filter(col("parent").isNotNull && col("__w") <= 0).isEmpty)
+      throw new IllegalArgumentException(
+        "allocateDown: non-positive child weight — largest-remainder " +
+          "allocation needs strictly positive sibling weights")
+    var frontier = amounts.select(col(nodeCol).as("node"),
+        col(amountCol).cast("long").as("amount"))
+      .withColumn("depth", lit(0L)).localCheckpoint()
+    var result = frontier
+    var round = 0
+    var done = false
+    val wSib = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("parent"))
+    while (!done && round < maxRounds) {
+      round += 1
+      val kids = t.join(frontier.select(col("node").as("parent"),
+        col("amount").as("__pa"), col("depth").as("__pd")), "parent")
+      if (kids.isEmpty) done = true
+      else {
+        val alloc = graft.core.Iterate.barrier(kids
+          .withColumn("__sw", sum(col("__w")).over(wSib))
+          .withColumn("__base", expr("(__pa * __w) div __sw"))
+          .withColumn("__rem", expr("(__pa * __w) % __sw"))
+          .withColumn("__leftover",
+            col("__pa") - sum(col("__base")).over(wSib))
+          .withColumn("__rnk", row_number().over(
+            wSib.orderBy(col("__rem").desc, col("node"))))
+          .select(col("node"),
+            (col("__pd") + 1L).as("depth"),
+            (col("__base") +
+              when(col("__rnk") <= col("__leftover"), 1L).otherwise(0L))
+              .as("amount"))
+          .select(col("node"), col("amount"), col("depth")))
+        frontier = alloc
+        result = result.unionByName(alloc)
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"allocateDown still descending after $maxRounds rounds " +
+        "(depth over the cap, or a cyclic parent relation)")
+    result.select(col("node"), col("depth"), col("amount"))
+  }
 }

@@ -105,6 +105,52 @@ class HierarchySpec extends SparkSpec {
       Hierarchy.materializedPaths(t.repartition(7), "node", "parent"))
   }
 
+  test("allocateDown: hand split — equal thirds of 100 give 34/33/33 by node tiebreak") {
+    import spark.implicits._
+    val t = Seq((1L, None, 0L), (2L, Some(1L), 1L), (3L, Some(1L), 1L),
+      (4L, Some(1L), 1L)).toDF("node", "parent", "w")
+    val amounts = Seq((1L, 100L)).toDF("node", "amount")
+    val out = Hierarchy.allocateDown(t, amounts, "node", "parent", "w", "amount")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out(1L) shouldBe 100L
+    out(2L) shouldBe 34L   // equal remainders: smallest node takes the unit
+    out(3L) shouldBe 33L
+    out(4L) shouldBe 33L
+  }
+
+  test("allocateDown: every level sums exactly to the root budget — no dust, no invention") {
+    import spark.implicits._
+    val t = tree((0 to 120).map(i =>
+      (i.toLong, if (i == 0) None else Some((i - 1L) / 3),
+        (i * 13 % 7 + 1).toLong)): _*)
+      .toDF("node", "parent", "w")
+    val amounts = Seq((0L, 999983L)).toDF("node", "amount")  // prime: rounding everywhere
+    val out = Hierarchy.allocateDown(t, amounts, "node", "parent", "w", "amount")
+    val perLevel = out.groupBy("depth").agg(sum("amount").as("s"))
+      .select("s").as[Long].collect().toSet
+    perLevel shouldBe Set(999983L)
+  }
+
+  test("allocateDown: a non-positive weight is refused loudly") {
+    import spark.implicits._
+    val t = Seq((1L, None, 0L), (2L, Some(1L), 0L)).toDF("node", "parent", "w")
+    val amounts = Seq((1L, 10L)).toDF("node", "amount")
+    an[IllegalArgumentException] should be thrownBy
+      Hierarchy.allocateDown(t, amounts, "node", "parent", "w", "amount")
+  }
+
+  test("allocateDown is invariant under input partitioning") {
+    import spark.implicits._
+    val t = (0 to 80).map(i =>
+      (i.toLong, if (i == 0) None else Some((i - 1L) / 4),
+        (i * 31 % 5 + 1).toLong)).toDF("node", "parent", "w")
+    val amounts = Seq((0L, 123457L)).toDF("node", "amount")
+    assertSameRows(
+      Hierarchy.allocateDown(t, amounts, "node", "parent", "w", "amount"),
+      Hierarchy.allocateDown(t.repartition(9), amounts, "node", "parent",
+        "w", "amount"))
+  }
+
   test("subtreeRollup is invariant under input partitioning") {
     val t = tree((0 to 120).map(i =>
       (i.toLong, if (i == 0) None else Some((i - 1L) / 4), (i % 13 + 1).toLong)): _*)
