@@ -1795,6 +1795,42 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q272 twin of [[graft.analytics.Indicators.cusumAlarms]]: the
+    * same floor-mean center, floor-half-MAD allowance, and
+    * prefix-sum/running-extrema identity in DuckDB windows; HUGEINT
+    * sums ride through and the emitted statistics cast back to
+    * BIGINT. */
+  val q272_cusum_alarms: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+c AS (
+  SELECT symbol, date, CAST(round(close_price * 100) AS BIGINT) AS c FROM daily),
+mu AS (
+  SELECT symbol, sum(c) // count(*) AS mu FROM c GROUP BY symbol),
+kt AS (
+  SELECT c.symbol, mu.mu, sum(abs(c - mu)) // (2 * count(*)) AS k
+  FROM c JOIN mu ON c.symbol = mu.symbol GROUP BY c.symbol, mu.mu),
+p AS (
+  SELECT c.symbol, c.date, kt.k,
+    sum(c - mu - k) OVER (PARTITION BY c.symbol ORDER BY c.date
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_hi,
+    sum(c - mu + k) OVER (PARTITION BY c.symbol ORDER BY c.date
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_lo
+  FROM c JOIN kt ON c.symbol = kt.symbol),
+s AS (
+  SELECT symbol, date, k,
+    p_hi - LEAST(0, min(p_hi) OVER (PARTITION BY symbol ORDER BY date
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_hi,
+    GREATEST(0, max(p_lo) OVER (PARTITION BY symbol ORDER BY date
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p_lo AS s_lo
+  FROM p)
+SELECT symbol, date, CAST(s_hi AS BIGINT) AS cusum_hi,
+  CAST(s_lo AS BIGINT) AS cusum_lo, CAST(k * 5 AS BIGINT) AS threshold,
+  CASE WHEN s_hi > k * 5 AND s_lo > k * 5 THEN 'both'
+       WHEN s_hi > k * 5 THEN 'hi' ELSE 'lo' END AS side
+FROM s WHERE s_hi > k * 5 OR s_lo > k * 5
+ORDER BY symbol, date"""
+
   /** q271 twin of [[graft.analytics.Hierarchy.allocateDown]]: the six
     * child levels unrolled as chained CTEs (the pagerankCtes
     * precedent), each replaying the identical largest-remainder
@@ -6867,6 +6903,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q269_threshold_audit" -> q269_threshold_audit,
     "q270_materialized_paths" -> q270_materialized_paths,
     "q271_allocate_down" -> q271_allocate_down,
+    "q272_cusum_alarms" -> q272_cusum_alarms,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

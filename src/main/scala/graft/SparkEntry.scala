@@ -973,6 +973,16 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Tabular CUSUM change-point alarms per symbol: exact-integer
+    // Page 1954 one-sided pair via the prefix-sum/running-extrema
+    // identity — two windows, no sequential fold.
+    "q272_cusum_alarms" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Indicators.cusumAlarms(daily)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // Exact top-down budget allocation through the ternary forest:
     // 1e9 micro-units at the root split by n_chars-derived weights
     // with largest-remainder rounding per sibling group — every level

@@ -179,4 +179,68 @@ object Indicators {
           body < 0 && col("open") >= col("__pc") &&
           col("close") <= col("__po")).as("bearish_engulf"))
   }
+
+  /** Tabular CUSUM drift alarms (Page, *Biometrika* 1954) — the
+    * sequential change-point screen the rolling indicators can't
+    * give: a moving average DILUTES a persistent small shift while
+    * the cumulative sum ACCUMULATES it, so CUSUM flags a 0.5σ drift
+    * long before any fixed window shows it. Per series the classic
+    * pair of one-sided statistics
+    * `S⁺_t = max(0, S⁺_{t−1} + x_t − μ − k)` and
+    * `S⁻_t = max(0, S⁻_{t−1} − x_t + μ − k)` with alarm when either
+    * exceeds h.
+    *
+    * The recurrence LOOKS sequential (the emaMacd escalation), but
+    * max(0, ·) folds admit the classic prefix identity
+    * `S⁺_t = P_t − min(0, min_{j≤t} P_j)` over the plain prefix sums
+    * P of the deviations — so the whole statistic is two running
+    * windows, no mapPartitions, no state.
+    *
+    * Exact integers end to end (engine-identical): prices in cents;
+    * center μ = the per-series FLOOR mean (Σc div n, stated);
+    * allowance k = half the floor mean absolute deviation
+    * (Σ|c−μ| div 2n — the σ/2 convention with MAD standing in for σ,
+    * exact where σ is not); threshold h = hFactor·k (default 5,
+    * ~Montgomery's h=5σ with the same stand-in). A constant series
+    * has k = 0 and every deviation 0, so S stays 0 and the STRICT
+    * `> h` never fires — degenerate series are silent, not alarming.
+    *
+    * Shape: two bounded per-series aggregates (μ then k — the second
+    * pass re-scans only the daily frame, already one row per
+    * series-day) broadcast back, then ONE window pass computing both
+    * prefix sums and both running extrema on the same (symbol, date)
+    * sort — zero extra exchanges. At 100 TB: parallelism = series
+    * count, each series sorted once within its partition; overflow
+    * headroom = |prefix| ≤ n·max|dev| (~2³³ at a century of cents),
+    * far inside BIGINT. */
+  def cusumAlarms(daily: DataFrame, hFactor: Int = 5): DataFrame = {
+    require(hFactor >= 1, "hFactor must be >= 1")
+    val cents = daily.select(col("symbol"), col("date"),
+      expr("CAST(round(close_price * 100) AS BIGINT)").as("__c"))
+    val mu = cents.groupBy(col("symbol")).agg(
+      expr("sum(__c) div count(1)").as("__mu"))
+    val k = cents.join(broadcast(mu), Seq("symbol"))
+      .groupBy(col("symbol"), col("__mu")).agg(
+        expr("sum(abs(__c - __mu)) div (2 * count(1))").as("__k"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = cents.join(broadcast(k), Seq("symbol"))
+      .withColumn("__p_hi",
+        sum(col("__c") - col("__mu") - col("__k")).over(w))
+      .withColumn("__p_lo",
+        sum(col("__c") - col("__mu") + col("__k")).over(w))
+    staged
+      .withColumn("__s_hi",
+        col("__p_hi") - least(lit(0L), min(col("__p_hi")).over(w)))
+      .withColumn("__s_lo",
+        greatest(lit(0L), max(col("__p_lo")).over(w)) - col("__p_lo"))
+      .withColumn("__h", col("__k") * hFactor)
+      .filter(col("__s_hi") > col("__h") || col("__s_lo") > col("__h"))
+      .select(col("symbol"), col("date"),
+        col("__s_hi").as("cusum_hi"), col("__s_lo").as("cusum_lo"),
+        col("__h").as("threshold"),
+        when(col("__s_hi") > col("__h") && col("__s_lo") > col("__h"),
+          "both").when(col("__s_hi") > col("__h"), "hi")
+          .otherwise("lo").as("side"))
+  }
 }

@@ -137,4 +137,71 @@ class IndicatorsSpec extends SparkSpec {
     Indicators.candlestickScreen(b).collect()
       .foreach(r => r.getAs[Boolean]("bullish_engulf") shouldBe false)
   }
+
+  private def cusumFixture(closes: Seq[Double], sym: String = "A") =
+    df(schema, closes.zipWithIndex.map { case (c, i) =>
+      Row(sym, day(i + 1), c, 10L) }: _*)
+
+  /** Direct sequential CUSUM fold in cents — the recurrence the
+    * window identity must reproduce bit-for-bit. */
+  private def cusumByHand(closes: Seq[Double], hFactor: Long = 5L)
+      : Seq[(Int, Long, Long, Long, String)] = {
+    val c = closes.map(x => math.round(x * 100))
+    val n = c.size
+    val mu = Math.floorDiv(c.sum, n.toLong)
+    val k = Math.floorDiv(c.map(x => math.abs(x - mu)).sum, 2L * n)
+    val h = hFactor * k
+    var sHi = 0L; var sLo = 0L
+    c.zipWithIndex.flatMap { case (x, i) =>
+      sHi = math.max(0L, sHi + x - mu - k)
+      sLo = math.max(0L, sLo - x + mu - k)
+      val side = if (sHi > h && sLo > h) "both"
+        else if (sHi > h) "hi" else "lo"
+      if (sHi > h || sLo > h) Some((i + 1, sHi, sLo, h, side)) else None
+    }
+  }
+
+  private def cusumRows(closes: Seq[Double]) =
+    Indicators.cusumAlarms(cusumFixture(closes)).orderBy("date").collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toLocalDate.getDayOfMonth,
+        r.getAs[Long]("cusum_hi"), r.getAs[Long]("cusum_lo"),
+        r.getAs[Long]("threshold"), r.getAs[String]("side"))).toSeq
+
+  test("cusumAlarms matches the sequential fold on a level-shift series") {
+    // 12 flat days at 100, then 13 days at 104: with the
+    // retrospective global mean as center, the pre-shift segment
+    // drifts LOW and the post-shift segment HIGH — both must appear
+    val closes = Seq.fill(12)(100.0) ++ Seq.fill(13)(104.0)
+    val expected = cusumByHand(closes)
+    expected should not be empty
+    expected.map(_._5).toSet shouldBe Set("lo", "hi")
+    cusumRows(closes) shouldBe expected
+  }
+
+  test("cusumAlarms matches the fold on a downward shift") {
+    val closes = Seq.fill(12)(100.0) ++ Seq.fill(13)(96.0)
+    val expected = cusumByHand(closes)
+    expected should not be empty
+    cusumRows(closes) shouldBe expected
+  }
+
+  test("cusumAlarms is silent on constant and on centered-noise series") {
+    Indicators.cusumAlarms(cusumFixture(Seq.fill(20)(100.0)))
+      .count() shouldBe 0L
+    // symmetric +/-1 alternation: k = floor(MAD/2) absorbs each step
+    val alt = (1 to 24).map(i => if (i % 2 == 0) 101.0 else 99.0)
+    cusumByHand(alt) shouldBe empty
+    Indicators.cusumAlarms(cusumFixture(alt)).count() shouldBe 0L
+  }
+
+  test("cusumAlarms is invariant under input partitioning and isolates symbols") {
+    val closes = Seq.fill(12)(100.0) ++ Seq.fill(13)(104.0)
+    val two = cusumFixture(closes).unionByName(
+      cusumFixture(Seq.fill(25)(100.0), sym = "Z"))
+    val a = Indicators.cusumAlarms(two).orderBy("symbol", "date").collect()
+    val b = Indicators.cusumAlarms(two.repartition(7))
+      .orderBy("symbol", "date").collect()
+    a should contain theSameElementsInOrderAs b
+    a.map(_.getAs[String]("symbol")).toSet shouldBe Set("A")
+  }
 }
