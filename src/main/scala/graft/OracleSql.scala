@@ -1795,6 +1795,39 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q273 twin of [[graft.analytics.Correlation.spearmanCorr]]: the
+    * same doubled average ranks (2·rank + ties − 1, integer), exact
+    * integer sums cast to double, identical final ρ tree. */
+  val q273_spearman: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price, min(volume) AS volume
+  FROM merged GROUP BY symbol, date),
+v AS (
+  SELECT symbol, CAST(round(close_price * 100) AS BIGINT) AS x, volume AS y
+  FROM daily WHERE close_price IS NOT NULL AND volume IS NOT NULL),
+r AS (
+  SELECT symbol,
+    2 * rank() OVER (PARTITION BY symbol ORDER BY x)
+      + count(*) OVER (PARTITION BY symbol, x) - 1 AS rx2,
+    2 * rank() OVER (PARTITION BY symbol ORDER BY y)
+      + count(*) OVER (PARTITION BY symbol, y) - 1 AS ry2
+  FROM v),
+a AS (
+  SELECT symbol, count(*) AS n_rows,
+    CAST(sum(rx2) AS DOUBLE) AS sx, CAST(sum(ry2) AS DOUBLE) AS sy,
+    CAST(sum(rx2 * rx2) AS DOUBLE) AS sxx,
+    CAST(sum(ry2 * ry2) AS DOUBLE) AS syy,
+    CAST(sum(rx2 * ry2) AS DOUBLE) AS sxy
+  FROM r GROUP BY symbol)
+SELECT symbol, CAST(n_rows AS BIGINT) AS n_rows,
+  CASE WHEN (CAST(n_rows AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n_rows AS DOUBLE) * syy - sy * sy) > 0
+    THEN (CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+         (sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx) *
+          sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy))
+  END AS spearman
+FROM a WHERE n_rows >= 2 ORDER BY symbol"""
+
   /** q272 twin of [[graft.analytics.Indicators.cusumAlarms]]: the
     * same floor-mean center, floor-half-MAD allowance, and
     * prefix-sum/running-extrema identity in DuckDB windows; HUGEINT
@@ -6904,6 +6937,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q270_materialized_paths" -> q270_materialized_paths,
     "q271_allocate_down" -> q271_allocate_down,
     "q272_cusum_alarms" -> q272_cusum_alarms,
+    "q273_spearman" -> q273_spearman,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,20 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Spearman rank correlation of close vs volume per symbol:
+    // tie-correct average ranks held as doubled integers, exact
+    // integer sums, the q62 double-tree finish.
+    "q273_spearman" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"),
+          min(col("volume")).as("volume"))
+        .withColumn("close_cents",
+          expr("CAST(round(close_price * 100) AS BIGINT)"))
+      graft.analytics.Correlation.spearmanCorr(daily,
+          "symbol", "close_cents", "volume")
+        .orderBy(col("symbol"))
+    }),
+
     // Tabular CUSUM change-point alarms per symbol: exact-integer
     // Page 1954 one-sided pair via the prefix-sum/running-extrema
     // identity — two windows, no sequential fold.

@@ -257,4 +257,56 @@ object Correlation {
             (sqrt(varx) * sqrt(vary)))
           .as("pv_corr"))
   }
+
+  /** Spearman rank correlation per group (Spearman 1904) — the
+    * monotone-association complement to the Pearson family above:
+    * rank-based, so one fat-tailed outlier day (exactly what price ×
+    * volume data serves) cannot swamp the statistic the way it swamps
+    * every product-moment sum, and any monotone nonlinear relation
+    * scores |ρ| → 1 where Pearson under-reads it.
+    *
+    * ρ_s = Pearson over the AVERAGE ranks (the tie-correct
+    * definition, not the 6Σd² shortcut, which is valid only tie-free).
+    * Exactness device: the average rank of a tie group,
+    * rank + (ties−1)/2, is a half-integer — so the operator ranks on
+    * the DOUBLED rank 2·rank(x) + ties(x) − 1, an INTEGER, keeping
+    * every sum exact (the constant 2× scaling on both variables
+    * cancels in the correlation). Sums of doubled-rank products are
+    * ≤ 4n³ per group — inside int64 to n ~ 10⁶ rows/group and exactly
+    * representable in the final doubles far beyond that; the ρ itself
+    * evaluates in the identical q62 double tree on both engines.
+    *
+    * Shape: two rank windows (one per variable) + one tie-count
+    * window each, all partitioned by the group key, then one hash
+    * aggregate — no self-join; output bounded by the group universe.
+    * At 100 TB parallelism = group count, each group sorted twice
+    * (once per variable's rank order). */
+  def spearmanCorr(rows: DataFrame, groupCol: String, xCol: String,
+                   yCol: String, minRows: Int = 2): DataFrame = {
+    val g = col(groupCol)
+    def doubledRank(c: String) =
+      (rank().over(Window.partitionBy(g).orderBy(col(c))) * 2 +
+        count(lit(1)).over(Window.partitionBy(g, col(c))) - 1)
+        .cast("long")
+    val ranked = rows
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__rx2", doubledRank(xCol))
+      .withColumn("__ry2", doubledRank(yCol))
+    val agg = ranked.groupBy(g).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("__rx2")).cast("double").as("__sx"),
+      sum(col("__ry2")).cast("double").as("__sy"),
+      sum(col("__rx2") * col("__rx2")).cast("double").as("__sxx"),
+      sum(col("__ry2") * col("__ry2")).cast("double").as("__syy"),
+      sum(col("__rx2") * col("__ry2")).cast("double").as("__sxy"))
+    val n = col("n_rows").cast("double")
+    val varx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vary = n * col("__syy") - col("__sy") * col("__sy")
+    agg.filter(col("n_rows") >= minRows)
+      .select(g, col("n_rows"),
+        when(varx > 0 && vary > 0,
+          (n * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(varx) * sqrt(vary)))
+          .as("spearman"))
+  }
 }

@@ -193,4 +193,64 @@ class CorrelationSpec extends SparkSpec {
     out.map(_.getString(0)).toSeq shouldBe Seq("C")
     out.head.isNullAt(2) shouldBe true
   }
+
+  private val xySchema = StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("x", LongType, nullable = true),
+    StructField("y", LongType, nullable = true)))
+
+  private def xy(rows: (String, java.lang.Long, java.lang.Long)*) =
+    df(xySchema, rows.map { case (g, a, b) => Row(g, a, b) }: _*)
+
+  test("spearmanCorr: monotone nonlinear relations score exactly +-1") {
+    // y = x^3 is wildly non-linear but perfectly monotone
+    val up = (1L to 8L).map(i => ("U", Long.box(i), Long.box(i * i * i)))
+    val dn = (1L to 8L).map(i => ("D", Long.box(i), Long.box(-i * i * i)))
+    val out = Correlation.spearmanCorr(xy(up ++ dn: _*), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("spearman")).toMap
+    out("U") shouldBe 1.0
+    out("D") shouldBe -1.0
+  }
+
+  test("spearmanCorr: tie-correct average ranks match the hand value") {
+    // x = [1,2,2,3], y = [1,1,2,2]: average ranks (1, 2.5, 2.5, 4) and
+    // (1.5, 1.5, 3.5, 3.5) -> rho = 48 / (sqrt(72)*sqrt(64)) = sqrt(2)/2
+    val out = Correlation.spearmanCorr(
+      xy(("G", 1L, 1L), ("G", 2L, 1L), ("G", 2L, 2L), ("G", 3L, 2L)),
+      "g", "x", "y").collect().head
+    out.getAs[Long]("n_rows") shouldBe 4L
+    out.getAs[Double]("spearman") shouldBe
+      (48.0 / (math.sqrt(72.0) * math.sqrt(64.0)))
+  }
+
+  test("spearmanCorr shrugs off the outlier that saturates Pearson") {
+    // monotone data with one catastrophic y outlier stays rho = 1
+    val rows = (1L to 9L).map(i => ("G", Long.box(i), Long.box(i * 10))) :+
+      (("G", Long.box(10L), Long.box(99999999L)))
+    Correlation.spearmanCorr(xy(rows: _*), "g", "x", "y")
+      .collect().head.getAs[Double]("spearman") shouldBe 1.0
+  }
+
+  test("spearmanCorr: null rows drop, constant variable yields NULL, minRows gates") {
+    val out = Correlation.spearmanCorr(
+      xy(("C", 1L, 5L), ("C", 2L, 5L), ("C", 3L, 5L),   // constant y
+        ("N", 1L, 1L), ("N", null, 9L), ("N", 2L, 2L), // null x drops
+        ("S", 7L, 7L)),                                 // single row
+      "g", "x", "y").collect()
+    val bySym = out.map(r => r.getString(0) -> r).toMap
+    bySym.keySet shouldBe Set("C", "N")
+    bySym("C").isNullAt(bySym("C").fieldIndex("spearman")) shouldBe true
+    bySym("N").getAs[Long]("n_rows") shouldBe 2L
+    bySym("N").getAs[Double]("spearman") shouldBe 1.0
+  }
+
+  test("spearmanCorr is invariant under input partitioning") {
+    val rows = (1L to 30L).map(i =>
+      ("G", Long.box(i * 7919 % 31), Long.box(i * 104729 % 37)))
+    val a = Correlation.spearmanCorr(xy(rows: _*), "g", "x", "y").collect()
+    val b = Correlation.spearmanCorr(xy(rows: _*).repartition(7),
+      "g", "x", "y").collect()
+    a.map(_.getAs[Double]("spearman")).head shouldBe
+      b.map(_.getAs[Double]("spearman")).head
+  }
 }
