@@ -1795,6 +1795,36 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q274 twin of [[graft.analytics.Correlation.mannKendall]]: the
+    * same 60-row recency window, pairwise sign sum, and nonneg-mod
+    * floor-quantized pairwise slopes with the lower-median pick. */
+  val q274_mann_kendall: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+c AS (
+  SELECT symbol, CAST(round(close_price * 100) AS BIGINT) AS x,
+    CAST(date - DATE '1970-01-01' AS BIGINT) AS t,
+    row_number() OVER (PARTITION BY symbol ORDER BY date DESC) AS rd
+  FROM daily),
+r AS (SELECT * FROM c WHERE rd <= 60),
+p AS (
+  SELECT a.symbol,
+    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+    ((b.x - a.x) * 1000000
+      - (((b.x - a.x) * 1000000) % (b.t - a.t) + (b.t - a.t)) % (b.t - a.t))
+      // (b.t - a.t) AS slope6
+  FROM r a JOIN r b ON a.symbol = b.symbol AND a.t < b.t),
+rk AS (
+  SELECT symbol, sgn, slope6,
+    row_number() OVER (PARTITION BY symbol ORDER BY slope6) AS rnk,
+    count(*) OVER (PARTITION BY symbol) AS np
+  FROM p)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(sgn) AS BIGINT) AS s_stat,
+  CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+  CAST(max(CASE WHEN rnk = (np + 1) // 2 THEN slope6 END) AS BIGINT) AS sen_slope_e6
+FROM rk GROUP BY symbol ORDER BY symbol"""
+
   /** q273 twin of [[graft.analytics.Correlation.spearmanCorr]]: the
     * same doubled average ranks (2·rank + ties − 1, integer), exact
     * integer sums cast to double, identical final ρ tree. */
@@ -6938,6 +6968,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q271_allocate_down" -> q271_allocate_down,
     "q272_cusum_alarms" -> q272_cusum_alarms,
     "q273_spearman" -> q273_spearman,
+    "q274_mann_kendall" -> q274_mann_kendall,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

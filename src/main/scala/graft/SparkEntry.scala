@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Mann-Kendall trend S + Theil-Sen slope over each symbol's last
+    // 60 sessions: exact pairwise signs and floor-quantized pairwise
+    // slopes inside the stated K^2/2 window governor; lower-median
+    // Sen slope in micro-cents/day.
+    "q274_mann_kendall" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+        .withColumn("close_cents",
+          expr("CAST(round(close_price * 100) AS BIGINT)"))
+      graft.analytics.Correlation.mannKendall(daily, "close_cents")
+        .orderBy(col("symbol"))
+    }),
+
     // Spearman rank correlation of close vs volume per symbol:
     // tie-correct average ranks held as doubled integers, exact
     // integer sums, the q62 double-tree finish.

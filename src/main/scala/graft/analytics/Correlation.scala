@@ -281,6 +281,63 @@ object Correlation {
     * aggregate — no self-join; output bounded by the group universe.
     * At 100 TB parallelism = group count, each group sorted twice
     * (once per variable's rank order). */
+  /** Mann–Kendall trend test + Theil–Sen slope per series (Mann 1945,
+    * Kendall 1975; Theil 1950, Sen 1968) — the nonparametric "is this
+    * series drifting" screen next to [[olsTrend]]'s least squares: no
+    * normality assumption, outlier-immune, and the Sen slope is the
+    * median of pairwise slopes, so a flash-crash day moves it not at
+    * all where it drags the OLS line.
+    *
+    * Both statistics are definitionally PAIRWISE, so the operator's
+    * stated governor is `windowRows`: only the most recent K
+    * observations per series enter (the trend screen's natural
+    * framing — "is it drifting NOW"), giving an exact K(K−1)/2 pair
+    * bound per series regardless of history length. At 100 TB the
+    * pair volume is series_count · K²/2 with K a config constant —
+    * flat per series, shuffle-partitioned by series key.
+    *
+    * Exact integers end to end: S = Σ sign(x_j − x_i) over j>i pairs
+    * (BIGINT); tie pairs counted; the Sen slope in micro-units/day as
+    * the LOWER MEDIAN (rank ⌈p/2⌉ — a deterministic VALUE even when
+    * row_number splits equal slopes arbitrarily) of the per-pair
+    * FLOOR-quantized slope (Δx·10⁶ floor-div Δdays via the nonneg-mod
+    * identity — `div` truncates toward zero and would round negative
+    * slopes the wrong way). */
+  def mannKendall(daily: DataFrame, valueCol: String,
+                  windowRows: Int = 60): DataFrame = {
+    require(windowRows >= 2, "windowRows must be >= 2")
+    val wDesc = Window.partitionBy(col("symbol")).orderBy(col("date").desc)
+    val recent = daily
+      .withColumn("__rd", row_number().over(wDesc))
+      .filter(col("__rd") <= windowRows)
+      .select(col("symbol"),
+        datediff(col("date"), lit("1970-01-01")).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .localCheckpoint()
+    val a = recent.select(col("symbol"), col("__t").as("__ta"),
+      col("__x").as("__xa"))
+    val b = recent.select(col("symbol"), col("__t").as("__tb"),
+      col("__x").as("__xb"))
+    val pairs = a.join(b, Seq("symbol")).filter(col("__ta") < col("__tb"))
+      .select(col("symbol"),
+        when(col("__xb") > col("__xa"), 1L)
+          .when(col("__xb") < col("__xa"), -1L).otherwise(0L).as("__sgn"),
+        expr("""CAST(((__xb - __xa) * 1000000L
+                 - pmod((__xb - __xa) * 1000000L, __tb - __ta))
+                div (__tb - __ta) AS BIGINT)""").as("__slope6"))
+    val wSlope = Window.partitionBy(col("symbol")).orderBy(col("__slope6"))
+    val wAll = Window.partitionBy(col("symbol"))
+    val ranked = pairs
+      .withColumn("__rnk", row_number().over(wSlope))
+      .withColumn("__np", count(lit(1)).over(wAll))
+    ranked.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__sgn")).as("s_stat"),
+      sum(when(col("__sgn") === 0L, 1L).otherwise(0L)).as("n_ties"),
+      max(when(col("__rnk") === expr("(__np + 1) div 2"), col("__slope6")))
+        .as("sen_slope_e6"))
+  }
+
   def spearmanCorr(rows: DataFrame, groupCol: String, xCol: String,
                    yCol: String, minRows: Int = 2): DataFrame = {
     val g = col(groupCol)

@@ -244,6 +244,63 @@ class CorrelationSpec extends SparkSpec {
     bySym("N").getAs[Double]("spearman") shouldBe 1.0
   }
 
+  private val mkSchema = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  private def mk(rows: (String, Int, Long)*) =
+    df(mkSchema, rows.map { case (s, i, x) =>
+      Row(s, new java.sql.Date((i - 1) * 86400000L), x) }: _*)
+
+  test("mannKendall: monotone series hit the exact S extremes and slope") {
+    // +100/day for 10 days: S = 45, slope6 = 100e6 exactly; mirror -
+    val rows = (1 to 10).map(i => ("U", i, 100L * i)) ++
+      (1 to 10).map(i => ("D", i, -100L * i))
+    val out = Correlation.mannKendall(mk(rows: _*), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("U").getAs[Long]("n_pairs") shouldBe 45L
+    out("U").getAs[Long]("s_stat") shouldBe 45L
+    out("U").getAs[Long]("n_ties") shouldBe 0L
+    out("U").getAs[Long]("sen_slope_e6") shouldBe 100000000L
+    out("D").getAs[Long]("s_stat") shouldBe -45L
+    out("D").getAs[Long]("sen_slope_e6") shouldBe -100000000L
+  }
+
+  test("mannKendall: hand case with a tie pair and the lower-median pick") {
+    // (t,x) = (1,0),(2,10),(4,10): slopes {1e7, floor(1e7/3), 0},
+    // S = 2, one tie, lower median = 3333333
+    val out = Correlation.mannKendall(
+      mk(("G", 1, 0L), ("G", 2, 10L), ("G", 4, 10L)), "v").collect().head
+    out.getAs[Long]("n_pairs") shouldBe 3L
+    out.getAs[Long]("s_stat") shouldBe 2L
+    out.getAs[Long]("n_ties") shouldBe 1L
+    out.getAs[Long]("sen_slope_e6") shouldBe 3333333L
+  }
+
+  test("mannKendall floors negative slopes toward -inf, not zero") {
+    // Δx = -7 over Δt = 3 days: -7e6/3 = -2333333.33 -> -2333334
+    Correlation.mannKendall(mk(("G", 1, 0L), ("G", 4, -7L)), "v")
+      .collect().head.getAs[Long]("sen_slope_e6") shouldBe -2333334L
+  }
+
+  test("mannKendall: the windowRows governor caps pairs at K(K-1)/2") {
+    // 100 days but K = 60: only the last 60 enter -> 1770 pairs; the
+    // early falling segment is outside the window, so S stays maximal
+    val rows = (1 to 40).map(i => ("G", i, 1000L - i)) ++
+      (41 to 100).map(i => ("G", i, 1000L + i))
+    val out = Correlation.mannKendall(mk(rows: _*), "v", windowRows = 60)
+      .collect().head
+    out.getAs[Long]("n_pairs") shouldBe 1770L
+    out.getAs[Long]("s_stat") shouldBe 1770L
+    // constant series: all ties, S = 0, slope 0
+    val flat = Correlation.mannKendall(
+      mk((1 to 8).map(i => ("F", i, 5L)): _*), "v").collect().head
+    flat.getAs[Long]("s_stat") shouldBe 0L
+    flat.getAs[Long]("n_ties") shouldBe 28L
+    flat.getAs[Long]("sen_slope_e6") shouldBe 0L
+  }
+
   test("spearmanCorr is invariant under input partitioning") {
     val rows = (1L to 30L).map(i =>
       ("G", Long.box(i * 7919 % 31), Long.box(i * 104729 % 37)))
