@@ -1795,6 +1795,24 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q275 twin of [[graft.analytics.Ranking.skyline]]: brute-force
+    * NOT EXISTS dominance over all pairs — structurally independent
+    * of the sorted-axis factorization, feasible at oracle scale. */
+  val q275_skyline: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price, min(volume) AS volume
+  FROM merged GROUP BY symbol, date),
+pts AS (
+  SELECT symbol, date, volume,
+    CAST(round(close_price * 100) AS BIGINT) AS close_cents
+  FROM daily)
+SELECT symbol, date, volume, close_cents FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.volume >= p.volume AND q.close_cents >= p.close_cents
+    AND (q.volume > p.volume OR q.close_cents > p.close_cents))
+ORDER BY volume, close_cents, symbol, date"""
+
   /** q274 twin of [[graft.analytics.Correlation.mannKendall]]: the
     * same 60-row recency window, pairwise sign sum, and nonneg-mod
     * floor-quantized pairwise slopes with the lower-median pick. */
@@ -6969,6 +6987,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q272_cusum_alarms" -> q272_cusum_alarms,
     "q273_spearman" -> q273_spearman,
     "q274_mann_kendall" -> q274_mann_kendall,
+    "q275_skyline" -> q275_skyline,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // 2-D Pareto skyline of symbol-days maximizing (volume, close):
+    // dominance factorized along the sorted distinct-volume axis —
+    // one aggregate + one distributed exclusive prefix max + one join
+    // back, vs the oracle's brute-force NOT EXISTS over all pairs.
+    "q275_skyline" -> ((s, dir) => {
+      val pts = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"),
+          min(col("volume")).as("volume"))
+        .select(col("symbol"), col("date"), col("volume"),
+          expr("CAST(round(close_price * 100) AS BIGINT)").as("close_cents"))
+      graft.analytics.Ranking.skyline(pts, "volume", "close_cents")
+        .orderBy(col("volume"), col("close_cents"), col("symbol"),
+          col("date"))
+    }),
+
     // Mann-Kendall trend S + Theil-Sen slope over each symbol's last
     // 60 sessions: exact pairwise signs and floor-quantized pairwise
     // slopes inside the stated K^2/2 window governor; lower-median

@@ -58,4 +58,35 @@ object Distributed {
     withCums.drop("__pid" +: sumCols.flatMap(c =>
       Seq(s"__loc_$c", s"__off_$c")): _*)
   }
+
+  /** Appends the EXCLUSIVE global running max of `valCol` ordered by
+    * `orderCol` as `outCol` — NULL where no strictly-preceding row
+    * exists. Same device as [[prefixSums]] (range repartition + local
+    * window + partition-total offsets), with the one twist maxes
+    * force: an exclusive max cannot be recovered from an inclusive
+    * one (`cum − own` has no max analogue), so the LOCAL window is
+    * itself exclusive (frame ends at −1) and the offset table carries
+    * the running max of whole-partition maxima over strictly
+    * preceding partitions. `orderCol` must be unique per row (same
+    * contract as prefixSums — callers pass distinct keys). */
+  def exclusivePrefixMax(df: DataFrame, orderCol: String, valCol: String,
+                         outCol: String): DataFrame = {
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(max(col(valCol)).as("__pmax"))
+      .select(col("__pid"), max(col("__pmax")).over(wOff).as("__offmax"))
+    ranged
+      .withColumn("__locmax", max(col(valCol)).over(wLoc))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(outCol,
+        when(col("__locmax").isNull, col("__offmax"))
+          .when(col("__offmax").isNull, col("__locmax"))
+          .otherwise(greatest(col("__locmax"), col("__offmax"))))
+      .drop("__pid", "__locmax", "__offmax")
+  }
 }

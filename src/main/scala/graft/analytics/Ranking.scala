@@ -178,4 +178,38 @@ object Ranking {
       .withColumn("gap_permille",
         abs(col("conf_permille") - col("rate_permille")))
   }
+
+  /** 2-D Pareto frontier / skyline (Börzsönyi, Kossmann & Stocker,
+    * ICDE 2001) — the rows no other row beats on BOTH axes: the
+    * multi-criteria shortlist behind "best docs by quality AND
+    * freshness", "cheapest AND fastest supplier", hyperparameter
+    * fronts. Row b is dominated iff some a has a.x ≥ b.x ∧ a.y ≥ b.y
+    * with at least one strict; the skyline is everything undominated.
+    *
+    * The textbook test is the all-pairs NOT EXISTS — quadratic and
+    * unshippable. In 2-D dominance factorizes along one sorted axis:
+    * with gmax(x) = max y at that exact x and M(x) = max y over all
+    * STRICTLY GREATER x, row (x, y) is dominated iff M(x) ≥ y (a
+    * better-x point matches y) or gmax(x) > y (an equal-x point beats
+    * y). So the whole operator is one distinct-x aggregate, one
+    * exclusive prefix max over the sorted distinct-x table
+    * ([[Distributed.exclusivePrefixMax]] — range-partitioned, never a
+    * single-partition window), and one join back. Exact-duplicate
+    * points dominate each other in neither direction and both
+    * survive — the standard skyline convention, spec-pinned.
+    *
+    * Scale: the sorted object is DISTINCT x values (not rows); the
+    * join back is a hash join on x, broadcastable when the frontier
+    * input is a pre-aggregated frame. Maximization on both axes —
+    * negate a column to minimize it (stated, not parameterized). */
+  def skyline(rows: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val gm = rows.groupBy(col(xCol)).agg(max(col(yCol)).as("__gmax"))
+      .withColumn("__negx", col(xCol) * lit(-1L))
+    val withM = Distributed.exclusivePrefixMax(gm, "__negx", "__gmax", "__m")
+      .select(col(xCol), col("__gmax"), col("__m"))
+    rows.join(withM, Seq(xCol))
+      .filter((col("__m").isNull || col("__m") < col(yCol)) &&
+        !(col("__gmax") > col(yCol)))
+      .drop("__gmax", "__m")
+  }
 }

@@ -142,4 +142,56 @@ class RankingSpec extends SparkSpec {
     assertSameRows(Ranking.calibrationTable(d, "y", "p"),
       Ranking.calibrationTable(d.repartition(7), "y", "p"))
   }
+
+  private def bruteSkyline(pts: Seq[(Long, Long)]): Set[(Long, Long)] =
+    pts.filterNot { case (x, y) => pts.exists { case (a, b) =>
+      a >= x && b >= y && (a > x || b > y) } }.toSet
+
+  test("skyline: hand staircase with equal-x and equal-y ties") {
+    // frontier (1,9),(3,7),(5,5); (3,6) loses to (3,7); (2,7) to (3,7)
+    val pts = Seq((1L, 9L), (3L, 7L), (5L, 5L), (3L, 6L), (2L, 7L),
+      (4L, 4L), (1L, 1L))
+    val out = Ranking.skyline(pts.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    out shouldBe Set((1L, 9L), (3L, 7L), (5L, 5L))
+    out shouldBe bruteSkyline(pts)
+  }
+
+  test("skyline: exact duplicate points both survive (neither dominates)") {
+    val pts = Seq((2L, 2L), (2L, 2L), (1L, 3L))
+    val out = Ranking.skyline(pts.toDF("x", "y"), "x", "y").collect()
+    out.count(r => r.getAs[Long]("x") == 2L) shouldBe 2
+    out.length shouldBe 3
+  }
+
+  test("skyline matches brute force on pseudo-random points, any partitioning") {
+    val pts = (1 to 400).map(i =>
+      ((i * 7919 % 101).toLong, (i * 104729 % 97).toLong))
+    val expected = bruteSkyline(pts)
+    val out = Ranking.skyline(pts.toDF("x", "y").repartition(13), "x", "y")
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    out shouldBe expected
+    // extra payload columns ride through untouched
+    val withPayload = pts.zipWithIndex.map { case ((x, y), i) =>
+      (x, y, s"row$i") }.toDF("x", "y", "tag")
+    Ranking.skyline(withPayload, "x", "y")
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet shouldBe expected
+  }
+
+  test("exclusivePrefixMax matches the single-partition window reference") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = (1 to 300).map(i => ((i * 37 % 1009).toLong, (i * 53 % 211).toLong))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).max) }.toSeq
+      .toDF("k", "v")
+    val ref = d.withColumn("m",
+        max(col("v")).over(Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .collect().map(r => r.getAs[Long]("k") ->
+        Option(r.get(r.fieldIndex("m")))).toMap
+    val got = Distributed.exclusivePrefixMax(d.repartition(11), "k", "v", "m")
+      .collect().map(r => r.getAs[Long]("k") ->
+        Option(r.get(r.fieldIndex("m")))).toMap
+    got shouldBe ref
+  }
 }
