@@ -1795,6 +1795,23 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q276 twin of [[graft.events.EventAnalytics.frequentTrigrams]]:
+    * the same two leads on the (ts, event_id) order and the dual
+    * support cut. */
+  val q276_frequent_trigrams: String = """
+WITH g AS (
+  SELECT user_id, event_type AS step1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+  FROM events)
+SELECT step1, step2, step3,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM g WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+HAVING count(*) >= 5 AND count(DISTINCT user_id) >= 2
+ORDER BY step1, step2, step3"""
+
   /** q275 twin of [[graft.analytics.Ranking.skyline]]: brute-force
     * NOT EXISTS dominance over all pairs — structurally independent
     * of the sorted-axis factorization, feasible at oracle scale. */
@@ -6988,6 +7005,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q273_spearman" -> q273_spearman,
     "q274_mann_kendall" -> q274_mann_kendall,
     "q275_skyline" -> q275_skyline,
+    "q276_frequent_trigrams" -> q276_frequent_trigrams,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,14 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Frequent contiguous event-type trigrams per user sequence:
+    // two window leads + one type^3-bounded aggregate with dual
+    // support cuts (total occurrences + distinct users).
+    "q276_frequent_trigrams" -> ((s, dir) =>
+      graft.events.EventAnalytics.frequentTrigrams(
+          Tables.events(s, dir), minCount = 5L, minUsers = 2L)
+        .orderBy(col("step1"), col("step2"), col("step3"))),
+
     // 2-D Pareto skyline of symbol-days maximizing (volume, close):
     // dominance factorized along the sorted distinct-volume axis —
     // one aggregate + one distributed exclusive prefix max + one join

@@ -671,4 +671,50 @@ test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >"
     assertSameRows(out,
       EventAnalytics.cumulativeDistinct(d.repartition(7), "u", "day"))
   }
+
+  test("frequentTrigrams: hand counts, overlap, and the dual support cut") {
+    // user 1 loops view,click x3 -> trigrams v,c,v (x2) and c,v,c (x2)
+    // user 2 repeats the same loop once more; user 3 is pure noise
+    val u1 = Seq("view", "click", "view", "click", "view", "click")
+      .zipWithIndex.map { case (t, i) => ev(10 + i, i, 1L, t) }
+    val u2 = Seq("view", "click", "view", "click")
+      .zipWithIndex.map { case (t, i) => ev(20 + i, i, 2L, t) }
+    val u3 = Seq("purchase", "refund", "purchase")
+      .zipWithIndex.map { case (t, i) => ev(30 + i, i, 3L, t) }
+    val out = EventAnalytics.frequentTrigrams(
+        df(schema, u1 ++ u2 ++ u3: _*), minCount = 3L, minUsers = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_users"))).toSet
+    // v,c,v: u1 has 2, u2 has 1 -> 3 occ / 2 users (passes);
+    // c,v,c: u1 has 2, u2 has 1 -> 3 occ / 2 users (passes);
+    // p,r,p: 1 occ / 1 user (fails both cuts)
+    out shouldBe Set(
+      ("view", "click", "view", 3L, 2L),
+      ("click", "view", "click", 3L, 2L))
+  }
+
+  test("frequentTrigrams: minUsers alone can veto a high-count motif") {
+    // one bot user replays a motif 10 times; minUsers = 2 kills it
+    val bot = (0 until 12).map(i =>
+      ev(100 + i, i, 9L, Seq("a", "b", "c")(i % 3)))
+    EventAnalytics.frequentTrigrams(df(schema, bot: _*),
+      minCount = 3L, minUsers = 2L).count() shouldBe 0L
+    EventAnalytics.frequentTrigrams(df(schema, bot: _*),
+      minCount = 3L, minUsers = 1L).count() should be > 0L
+  }
+
+  test("frequentTrigrams: equal-timestamp events order by event_id; partition-invariant") {
+    // all at minute 0 -- only the event_id tiebreak sequences them
+    val rows = Seq(ev(3, 0, 1L, "c"), ev(1, 0, 1L, "a"), ev(2, 0, 1L, "b"),
+      ev(13, 0, 2L, "c"), ev(11, 0, 2L, "a"), ev(12, 0, 2L, "b"))
+    val out = EventAnalytics.frequentTrigrams(df(schema, rows: _*),
+      minCount = 2L, minUsers = 2L).collect()
+    out.length shouldBe 1
+    (out.head.getString(0), out.head.getString(1), out.head.getString(2)) shouldBe
+      (("a", "b", "c"))
+    val again = EventAnalytics.frequentTrigrams(
+      df(schema, rows: _*).repartition(5), minCount = 2L, minUsers = 2L)
+      .collect()
+    again.map(_.toSeq).toSet shouldBe out.map(_.toSeq).toSet
+  }
 }
