@@ -1795,6 +1795,44 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q277 twin of [[graft.spatial.Spatial.dbscan]] by structurally
+    * different machinery: brute-force neighbor pairs (no grid) and a
+    * recursive-CTE transitive closure over core-core edges (no
+    * fixpoint labeling), with the same component-min cluster labels
+    * and min-label border tie rule. */
+  val q277_dbscan: String = """
+WITH RECURSIVE p AS (
+  SELECT doc_id AS id,
+    doc_id * 7919 % 2000001 - 1000000 AS x,
+    (doc_id * 104729 + 12345) % 2000001 - 1000000 AS y
+  FROM documents),
+e AS (
+  SELECT a.id AS a, b.id AS b FROM p a JOIN p b
+  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+     <= CAST(150000 AS BIGINT) * 150000),
+core AS (SELECT a AS id FROM e GROUP BY a HAVING count(*) >= 8),
+ce AS (
+  SELECT e.a, e.b FROM e
+  JOIN core ca ON e.a = ca.id JOIN core cb ON e.b = cb.id),
+reach(s, d) AS (
+  SELECT a, b FROM ce
+  UNION
+  SELECT r.s, ce.b FROM reach r JOIN ce ON r.d = ce.a),
+lab AS (
+  SELECT c.id AS node, least(c.id, min(r.d)) AS cluster
+  FROM core c LEFT JOIN reach r ON r.s = c.id GROUP BY c.id),
+border AS (
+  SELECT e.a AS id, min(l.cluster) AS cluster
+  FROM e JOIN lab l ON e.b = l.node
+  WHERE e.a NOT IN (SELECT id FROM core)
+  GROUP BY e.a)
+SELECT p.id,
+  CASE WHEN l.node IS NOT NULL THEN 'core'
+       WHEN bo.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+  CAST(COALESCE(l.cluster, bo.cluster) AS BIGINT) AS cluster
+FROM p LEFT JOIN lab l ON p.id = l.node LEFT JOIN border bo ON p.id = bo.id
+ORDER BY p.id"""
+
   /** q276 twin of [[graft.events.EventAnalytics.frequentTrigrams]]:
     * the same two leads on the (ts, event_id) order and the dual
     * support cut. */
@@ -7006,6 +7044,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q274_mann_kendall" -> q274_mann_kendall,
     "q275_skyline" -> q275_skyline,
     "q276_frequent_trigrams" -> q276_frequent_trigrams,
+    "q277_dbscan" -> q277_dbscan,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,20 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // DBSCAN over the q261 deterministic point field: grid-join
+    // neighbor counts, core/border/noise verdicts, clusters as
+    // components of the core-core adjacency (component-min labels,
+    // min-label border tie rule) vs the oracle's brute-force pairs +
+    // recursive-CTE closure.
+    "q277_dbscan" -> ((s, dir) => {
+      val pts = Tables.documents(s, dir).select(
+        col("doc_id").as("id"),
+        (col("doc_id") * 7919 % 2000001 - 1000000).as("x_e6"),
+        ((col("doc_id") * 104729 + 12345) % 2000001 - 1000000).as("y_e6"))
+      graft.spatial.Spatial.dbscan(pts, eps = 150000L, minPts = 8)
+        .orderBy(col("id"))
+    }),
+
     // Frequent contiguous event-type trigrams per user sequence:
     // two window leads + one type^3-bounded aggregate with dual
     // support cuts (total occurrences + distinct users).

@@ -71,4 +71,65 @@ object Spatial {
       .filter(col("dist2") <= lit(radius) * lit(radius))
       .select(col("a_id"), col("b_id"), col("dist2"))
   }
+
+  /** DBSCAN density clustering (Ester, Kriegel, Sander & Xu, KDD
+    * 1996), exact, composed from the engine's own primitives: the
+    * shape-agnostic clusterer k-means can't be (no k to pick, clusters
+    * of any shape, NOISE is a first-class verdict — exactly what
+    * geo-scatter, embedding-projection and fraud-burst data need).
+    *
+    * Exact Ester semantics, each piece distributed:
+    *   - neighbor = squared integer distance ≤ eps² via
+    *     [[proximityJoin]] (grid cells — never all pairs); the self
+    *     pair arises exactly once, so the per-point pair count IS the
+    *     |N_eps(p)| that includes p (the paper's counting).
+    *   - core ⇔ |N_eps| ≥ minPts.
+    *   - clusters = connected components of the core-core adjacency,
+    *     via [[graft.dedup.Dedup.componentLabels]] (hash-to-min with
+    *     parent notify — converges at ~log diameter); core self-loops
+    *     ride along so an ISOLATED core keeps a singleton cluster.
+    *     Labels are component-min ids — deterministic.
+    *   - border = non-core with ≥1 core neighbor, assigned the MIN
+    *     core-neighbor cluster label (the paper leaves multi-cluster
+    *     borders arbitrary; min is this operator's stated tie rule —
+    *     deterministic under any partitioning).
+    *   - noise = the rest (cluster NULL).
+    *
+    * Scale: one grid join (9·N + N shuffle rows), one pair-keyed
+    * count, the components fixpoint on CORE-core edges only (noise
+    * and borders never enter the iteration), one join back. Dense
+    * data is the stated hazard: a cell with ≫minPts points emits
+    * quadratic in-cell pairs — eps should be chosen so cells hold
+    * O(minPts) points, which is also when DBSCAN's OUTPUT is
+    * meaningful. */
+  def dbscan(points: DataFrame, eps: Long, minPts: Int,
+             idCol: String = "id", xCol: String = "x_e6",
+             yCol: String = "y_e6"): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    val pts = points.select(col(idCol).as("id"),
+        col(xCol).cast("long").as("x_e6"), col(yCol).cast("long").as("y_e6"))
+      .localCheckpoint()
+    val pairs = proximityJoin(pts, pts, eps,
+      probeId = "id", buildId = "id").localCheckpoint()
+    val core = pairs.groupBy(col("a_id").as("id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minPts).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a_id")), Seq("a_id"))
+      .join(core.select(col("id").as("b_id")), Seq("b_id"))
+      .filter(col("a_id") <= col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+    val labels = graft.dedup.Dedup.componentLabels(coreEdges)
+    val borderLab = pairs
+      .join(labels.select(col("node").as("b_id"), col("label")), Seq("b_id"))
+      .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_anti")
+      .groupBy(col("a_id").as("id")).agg(min(col("label")).as("cluster"))
+    val assigned = labels
+      .select(col("node").as("id"), col("label").as("cluster"),
+        lit("core").as("role"))
+      .unionByName(borderLab.withColumn("role", lit("border")))
+    pts.join(assigned, Seq("id"), "left")
+      .select(col("id"), coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster"))
+  }
 }

@@ -65,4 +65,88 @@ class SpatialSpec extends SparkSpec {
       Spatial.proximityJoin(field, field, 200L),
       Spatial.proximityJoin(field.repartition(7), field.repartition(5), 200L))
   }
+
+  /** Reference DBSCAN: literal Ester 1996 semantics, quadratic. */
+  private def bruteDbscan(ps: Seq[(Long, Long, Long)], eps: Long,
+                          minPts: Int): Map[Long, (String, Option[Long])] = {
+    def near(a: (Long, Long, Long), b: (Long, Long, Long)) = {
+      val dx = a._2 - b._2; val dy = a._3 - b._3
+      dx * dx + dy * dy <= eps * eps
+    }
+    val core = ps.filter(p => ps.count(q => near(p, q)) >= minPts)
+      .map(_._1).toSet
+    // components over core-core adjacency by fixpoint min-label
+    var lab = core.map(c => c -> c).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (a <- ps if core(a._1); b <- ps if core(b._1) && near(a, b)) {
+        val m = math.min(lab(a._1), lab(b._1))
+        if (lab(a._1) != m) { lab += a._1 -> m; changed = true }
+        if (lab(b._1) != m) { lab += b._1 -> m; changed = true }
+      }
+    }
+    ps.map { p =>
+      if (core(p._1)) p._1 -> (("core", Some(lab(p._1))))
+      else {
+        val coreNbrs = ps.filter(q => core(q._1) && near(p, q))
+        if (coreNbrs.nonEmpty)
+          p._1 -> (("border", Some(coreNbrs.map(q => lab(q._1)).min)))
+        else p._1 -> (("noise", None))
+      }
+    }.toMap
+  }
+
+  private def runDbscan(ps: Seq[(Long, Long, Long)], eps: Long, minPts: Int) =
+    Spatial.dbscan(pts(ps: _*), eps, minPts).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+
+  test("dbscan: hand line cluster — middle core, ends border, far point noise") {
+    val ps = Seq((1L, 0L, 0L), (2L, 10L, 0L), (3L, 20L, 0L),
+      (9L, 1000L, 1000L))
+    val out = runDbscan(ps, eps = 15L, minPts = 3)
+    out(2L) shouldBe (("core", Some(2L)))      // its own component min
+    out(1L) shouldBe (("border", Some(2L)))
+    out(3L) shouldBe (("border", Some(2L)))
+    out(9L) shouldBe (("noise", None))
+  }
+
+  test("dbscan: two clusters get distinct component-min labels") {
+    val a = (0 until 5).map(i => (10L + i, i * 10L, 0L))
+    val b = (0 until 5).map(i => (20L + i, i * 10L, 5000L))
+    val out = runDbscan(a ++ b, eps = 15L, minPts = 3)
+    out.values.count(_._1 == "core") should be >= 6
+    val labA = out(12L)._2.get; val labB = out(22L)._2.get
+    labA should not be labB
+    a.foreach(p => out(p._1)._2 shouldBe Some(labA))
+    b.foreach(p => out(p._1)._2 shouldBe Some(labB))
+  }
+
+  test("dbscan: a border between two clusters takes the MIN cluster label") {
+    // two 4-core columns; the mid point sees one core per side plus
+    // itself = 3 < minPts 4, so it stays border and cannot bridge
+    val left = (0 until 4).map(i => (1L + i, 0L, i * 10L))
+    val right = (0 until 4).map(i => (11L + i, 60L, i * 10L))
+    val mid = Seq((50L, 30L, 10L))
+    val out = runDbscan(left ++ right ++ mid, eps = 30L, minPts = 4)
+    out(50L) shouldBe (("border", Some(1L)))   // min(label L=1, label R=11)
+    out shouldBe bruteDbscan(left ++ right ++ mid, 30L, 4)
+  }
+
+  test("dbscan: an isolated core (all neighbors within eps of itself) keeps a cluster") {
+    // minPts = 1 makes every point core; singletons self-cluster
+    val out = runDbscan(Seq((5L, 0L, 0L), (7L, 10000L, 0L)), 10L, 1)
+    out(5L) shouldBe (("core", Some(5L)))
+    out(7L) shouldBe (("core", Some(7L)))
+  }
+
+  test("dbscan matches brute-force Ester semantics on pseudo-random points") {
+    val ps = (1 to 200).map(i =>
+      (i.toLong, (i * 7919 % 2001 - 1000).toLong,
+        (i * 104729 % 2001 - 1000).toLong))
+    val expected = bruteDbscan(ps, eps = 150L, minPts = 4)
+    runDbscan(ps, 150L, 4) shouldBe expected
+    expected.values.map(_._1).toSet shouldBe Set("core", "border", "noise")
+  }
 }
