@@ -1795,6 +1795,43 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q278 twin of [[graft.text.TextAnalysis.stemConflation]]: the
+    * same three Harman rules as a CASE, the same two-level
+    * aggregate, string_agg with ORDER BY for the sorted form list. */
+  val q278_stem_conflation: String = """
+WITH corpus AS (
+  SELECT text FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT regexp_replace(text, '([a-z0-9]+)', '\1s', 'g') AS text
+  FROM documents WHERE lang = 'en'),
+toks AS (
+  SELECT list_filter(
+      string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '') AS tokens
+  FROM corpus),
+f AS (SELECT unnest(tokens) AS form FROM toks),
+st AS (
+  SELECT form,
+    CASE
+      WHEN length(form) < 4 THEN form
+      WHEN form LIKE '%ies' THEN
+        CASE WHEN form NOT LIKE '%eies' AND form NOT LIKE '%aies'
+          THEN concat(substr(form, 1, length(form) - 3), 'y') ELSE form END
+      WHEN form LIKE '%es' THEN
+        CASE WHEN form NOT LIKE '%aes' AND form NOT LIKE '%ees'
+             AND form NOT LIKE '%oes'
+          THEN substr(form, 1, length(form) - 1) ELSE form END
+      WHEN form LIKE '%s' THEN
+        CASE WHEN form NOT LIKE '%us' AND form NOT LIKE '%ss'
+          THEN substr(form, 1, length(form) - 1) ELSE form END
+      ELSE form END AS stem
+  FROM f),
+pf AS (SELECT stem, form, count(*) AS c FROM st GROUP BY stem, form)
+SELECT stem, CAST(count(*) AS BIGINT) AS n_forms,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  string_agg(form, ',' ORDER BY form) AS forms
+FROM pf GROUP BY stem HAVING count(*) >= 2 ORDER BY stem"""
+
   /** q277 twin of [[graft.spatial.Spatial.dbscan]] by structurally
     * different machinery: brute-force neighbor pairs (no grid) and a
     * recursive-CTE transitive closure over core-core edges (no
@@ -7045,6 +7082,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q275_skyline" -> q275_skyline,
     "q276_frequent_trigrams" -> q276_frequent_trigrams,
     "q277_dbscan" -> q277_dbscan,
+    "q278_stem_conflation" -> q278_stem_conflation,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

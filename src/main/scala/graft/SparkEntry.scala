@@ -973,6 +973,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // S-stemmer vocabulary conflation over the English slice: per
+    // stem the surface forms a stemmed index would merge, with
+    // sorted comma-joined form lists (engine-neutral). The synthetic
+    // corpus has no natural plurals (31-word vocabulary), so a
+    // pluralized twin corpus is injected (the q269 injection
+    // precedent) — every token gains a trailing s.
+    "q278_stem_conflation" -> ((s, dir) => {
+      val en = Tables.documents(s, dir).filter(col("lang") === "en")
+        .select(col("text"))
+      val plural = en.select(
+        regexp_replace(col("text"), "([a-z0-9]+)", "$1s").as("text"))
+      graft.text.TextAnalysis.stemConflation(en.unionByName(plural))
+        .orderBy(col("stem"))
+    }),
+
     // DBSCAN over the q261 deterministic point field: grid-join
     // neighbor counts, core/border/noise verdicts, clusters as
     // components of the core-core adjacency (component-min labels,

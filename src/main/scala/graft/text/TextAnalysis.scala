@@ -742,4 +742,60 @@ object TextAnalysis {
           expr("(n_code_lines * 1000) div n_lines")).cast("long"))
       .withColumn("is_code", coalesce(col("code_permille") >= 500, lit(false)))
   }
+
+  /** Harman's S-stemmer (Harman, *JASIS* 1991 "How effective is
+    * suffixing?") as a single codegen'd CASE — the three-rule plural
+    * conflator that captures most of English stemming's retrieval
+    * gain with NONE of Porter's rewrite-cascade complexity, and —
+    * unlike Porter — is trivially engine-identical (three suffix
+    * tests, no measure() loops): ies→y (unless -eies/-aies), else
+    * es→e (unless -aes/-ees/-oes), else drop final s (unless
+    * -us/-ss). The rules dispatch on the LONGEST matching suffix and
+    * an exception BLOCKS the word entirely (it does not fall through
+    * to a shorter-suffix rule — otherwise "goes" would dodge the -oes
+    * exception only to lose its s to rule 3, and the exception lists
+    * would be dead letters). One stated deviation: rules apply only
+    * to tokens of length ≥ 4 (Harman leaves short words to her
+    * exception lists; a fixed guard is the engine-neutral
+    * equivalent — "was"/"its" stay put). */
+  def sStem(token: Column): Column = {
+    val t = token
+    val len = length(t)
+    when(len < 4, t)
+      .when(t.endsWith("ies"),
+        when(!t.endsWith("eies") && !t.endsWith("aies"),
+          concat(t.substr(lit(1), len - 3), lit("y"))).otherwise(t))
+      .when(t.endsWith("es"),
+        when(!t.endsWith("aes") && !t.endsWith("ees") && !t.endsWith("oes"),
+          t.substr(lit(1), len - 1)).otherwise(t))
+      .when(t.endsWith("s"),
+        when(!t.endsWith("us") && !t.endsWith("ss"),
+          t.substr(lit(1), len - 1)).otherwise(t))
+      .otherwise(t)
+  }
+
+  /** Vocabulary-conflation report under [[sStem]]: per stem that
+    * merges ≥ `minForms` distinct surface forms, the form count,
+    * total token occurrences, and the sorted comma-joined form list
+    * (engine-neutral, the E129 convention) — the audit that shows
+    * what a stemmed index would merge ("query"/"queries",
+    * "table"/"tables") before anyone commits an index build to it.
+    *
+    * Shape: tokenize + explode (scan-side), one (stem, form)
+    * aggregate, one stem aggregate — all map-side combinable, output
+    * bounded by the vocabulary (the BPE/TF-IDF contract). English
+    * rules ⇒ caller filters to lang = 'en' (stated). */
+  def stemConflation(docs: DataFrame, textCol: String = "text",
+                     minForms: Long = 2L): DataFrame = {
+    val perForm = docs
+      .select(explode(tokens(col(textCol))).as("form"))
+      .withColumn("stem", sStem(col("form")))
+      .groupBy(col("stem"), col("form"))
+      .agg(count(lit(1)).as("__c"))
+    perForm.groupBy(col("stem"))
+      .agg(count(lit(1)).as("n_forms"),
+        sum(col("__c")).as("n_tokens"),
+        array_join(array_sort(collect_list(col("form"))), ",").as("forms"))
+      .filter(col("n_forms") >= minForms)
+  }
 }

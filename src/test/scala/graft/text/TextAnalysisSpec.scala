@@ -511,4 +511,39 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(TextAnalysis.cardScan(d),
       TextAnalysis.cardScan(d.repartition(7)))
   }
+
+  test("sStem: the three Harman rules and every stated exception") {
+    import spark.implicits._
+    val cases = Seq(
+      "queries" -> "query", "ponies" -> "pony",     // ies -> y
+      "tables" -> "table", "classes" -> "classe",   // es -> e (s drop)
+      "runs" -> "run", "words" -> "word",           // s drop
+      "goes" -> "goes", "sees" -> "sees",           // -oes / -ees keep
+      "bus" -> "bus", "miss" -> "miss",             // -us / -ss keep
+      "was" -> "was", "its" -> "its",               // len < 4 guard
+      "query" -> "query")                           // no suffix
+    val out = cases.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.sStem(col("t")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => out(in) shouldBe want }
+  }
+
+  test("stemConflation groups forms under one stem with sorted lists") {
+    val d = docs(
+      1L -> "the query and the queries run",
+      2L -> "tables beat the table; runs run",
+      3L -> "bus stops")
+    val out = TextAnalysis.stemConflation(d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_forms"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("forms"))).toSet
+    out shouldBe Set(
+      ("query", 2L, 2L, "queries,query"),
+      ("table", 2L, 2L, "table,tables"),
+      ("run", 2L, 3L, "run,runs"))
+    // singleton stems (bus, stops->stop, ...) never surface
+    val again = TextAnalysis.stemConflation(d.repartition(5)).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_forms"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("forms"))).toSet
+    again shouldBe out
+  }
 }
