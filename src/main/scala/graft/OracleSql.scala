@@ -1795,6 +1795,40 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q279 twin of [[graft.analytics.Indicators.holtSmooth]]: the
+    * recursive-CTE fold (q79 precedent) with the identical IEEE
+    * expression trees — dyadic α=0.5/β=0.25 literals, level from a
+    * nested subquery so the trend reuses the same lvl value. */
+  val q279_holt_smooth: String =
+    barsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged
+  WHERE symbol IN ('S0','S1','S2','S3','S4') GROUP BY symbol, date),
+d AS (
+  SELECT symbol, date, close_price,
+    row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM daily),
+st AS (
+  SELECT symbol, date, close_price, rn,
+    close_price AS level, CAST(0 AS DOUBLE) AS trend,
+    CAST(NULL AS DOUBLE) AS residual
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT symbol, date, close_price, rn, lvl AS level,
+    CAST('0.25' AS DOUBLE) * (lvl - plvl)
+      + CAST('0.75' AS DOUBLE) * ptr AS trend,
+    res AS residual
+  FROM (
+    SELECT d.symbol, d.date, d.close_price, d.rn,
+      CAST('0.5' AS DOUBLE) * d.close_price
+        + CAST('0.5' AS DOUBLE) * (st.level + st.trend) AS lvl,
+      st.level AS plvl, st.trend AS ptr,
+      d.close_price - (st.level + st.trend) AS res
+    FROM st JOIN d ON d.symbol = st.symbol AND d.rn = st.rn + 1))
+SELECT symbol, date, close_price, level, trend,
+  level + trend AS forecast_next, residual
+FROM st ORDER BY symbol, date"""
+
   /** q278 twin of [[graft.text.TextAnalysis.stemConflation]]: the
     * same three Harman rules as a CASE, the same two-level
     * aggregate, string_agg with ORDER BY for the sorted form list. */
@@ -7083,6 +7117,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q276_frequent_trigrams" -> q276_frequent_trigrams,
     "q277_dbscan" -> q277_dbscan,
     "q278_stem_conflation" -> q278_stem_conflation,
+    "q279_holt_smooth" -> q279_holt_smooth,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Holt double-exponential level+trend smoothing on the
+    // sequential-scan node (the q79 escalation): one-step forecasts
+    // and residuals, bit-identical to the recursive-CTE fold.
+    "q279_holt_smooth" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .filter(col("symbol").isin("S0", "S1", "S2", "S3", "S4"))
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Indicators.holtSmooth(daily)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // S-stemmer vocabulary conflation over the English slice: per
     // stem the surface forms a stemmed index would merge, with
     // sorted comma-joined form lists (engine-neutral). The synthetic

@@ -141,6 +141,62 @@ object Indicators {
       .toDF()
   }
 
+  case class HoltIn(symbol: String, date: java.sql.Date, close_price: Double)
+  case class HoltOut(symbol: String, date: java.sql.Date,
+                     close_price: Double, level: Double, trend: Double,
+                     forecast_next: Double, residual: Option[Double])
+
+  /** Holt's linear-trend smoothing (Holt 1957; fpp3 §8.2) — the
+    * double-exponential step up from [[emaMacd]]'s single smoothing:
+    * a level AND a trend state, so the one-step forecast
+    * `l_t + b_t` tracks a drifting series where a plain EMA lags it
+    * forever, and the residual stream `x_t − (l_{t−1} + b_{t−1})` is
+    * the change-signal a forecast-based monitor alarms on (the
+    * forecasting complement to [[cusumAlarms]]' retrospective test).
+    * Recurrence: l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1});
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}. Stated conventions:
+    * seed l₁ = x₁, b₁ = 0 (the parameter-free seed — fpp3's
+    * optimized initial states need a solver); α, β default to the
+    * DYADIC 0.5/0.25 so even the literals are exact.
+    *
+    * Like every recurrence here it runs on the sequential-scan node
+    * (the emaMacd escalation): hash-partition by symbol, sort within
+    * partitions, one linear pass, O(1) state (two doubles per
+    * series) — parallelism = series count. The fold's arithmetic is
+    * a fixed IEEE-754 evaluation order, bit-identical to the
+    * oracle's recursive-CTE fold. */
+  def holtSmooth(daily: DataFrame, alpha: Double = 0.5,
+                 beta: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha and beta must be in (0, 1)")
+    val ca = 1.0 - alpha; val cb = 1.0 - beta
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[HoltIn]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[HoltOut]
+    daily.select(col("symbol").cast("string").as("symbol"),
+        col("date").cast("date").as("date"),
+        col("close_price").cast("double").as("close_price"))
+      .as[HoltIn]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("date"))
+      .mapPartitions { it =>
+        var sym: String = null
+        var l = 0.0; var b = 0.0
+        it.map { r =>
+          if (sym == null || r.symbol != sym) {
+            sym = r.symbol; l = r.close_price; b = 0.0
+            HoltOut(r.symbol, r.date, r.close_price, l, b, l + b, None)
+          } else {
+            val res = r.close_price - (l + b)
+            val lNew = alpha * r.close_price + ca * (l + b)
+            val bNew = beta * (lNew - l) + cb * b
+            l = lNew; b = bNew
+            HoltOut(r.symbol, r.date, r.close_price, l, b, l + b, Some(res))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Candlestick pattern screen (Nison, *Japanese Candlestick
     * Charting Techniques* 1991) — the OHLC-shape complement to the
     * numeric indicators: per (symbol, day) flags for doji (body ≤

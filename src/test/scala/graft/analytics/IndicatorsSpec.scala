@@ -194,6 +194,63 @@ class IndicatorsSpec extends SparkSpec {
     Indicators.cusumAlarms(cusumFixture(alt)).count() shouldBe 0L
   }
 
+  /** Direct sequential Holt fold — the reference the distributed
+    * mapPartitions pass must reproduce bit-for-bit. */
+  private def holtByHand(closes: Seq[Double], a: Double = 0.5,
+                         b0: Double = 0.25): Seq[(Double, Double, Double, Option[Double])] = {
+    var l = closes.head; var b = 0.0
+    (l, b, l + b, None: Option[Double]) +: closes.tail.map { x =>
+      val res = x - (l + b)
+      val lNew = a * x + (1.0 - a) * (l + b)
+      val bNew = b0 * (lNew - l) + (1.0 - b0) * b
+      l = lNew; b = bNew
+      (l, b, l + b, Some(res))
+    }
+  }
+
+  test("holtSmooth matches the sequential fold bit-for-bit") {
+    val closes = Seq(100.0, 103.0, 101.5, 107.0, 104.25, 110.0, 111.5)
+    val out = Indicators.holtSmooth(cusumFixture(closes))
+      .orderBy("date").collect().map(r => (r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("forecast_next"),
+        if (r.isNullAt(r.fieldIndex("residual"))) None
+        else Some(r.getAs[Double]("residual"))))
+    out.toSeq shouldBe holtByHand(closes)
+  }
+
+  test("holtSmooth: constant series pins level, zero trend, zero residuals") {
+    val out = Indicators.holtSmooth(cusumFixture(Seq.fill(15)(250.0)))
+      .orderBy("date").collect()
+    out.foreach { r =>
+      r.getAs[Double]("level") shouldBe 250.0
+      r.getAs[Double]("trend") shouldBe 0.0
+    }
+    out.drop(1).foreach(_.getAs[Double]("residual") shouldBe 0.0)
+  }
+
+  test("holtSmooth locks onto a linear drift where a plain EMA lags forever") {
+    // x = 100 + 2t: trend estimate must approach 2 and residuals -> 0
+    val closes = (0 until 25).map(i => 100.0 + 2.0 * i)
+    val last = Indicators.holtSmooth(cusumFixture(closes))
+      .orderBy("date").collect().last
+    last.getAs[Double]("trend") shouldBe 2.0 +- 0.2
+    math.abs(last.getAs[Double]("residual")) should be < 0.5
+    // forecast_next anticipates the next point within the same band
+    math.abs(last.getAs[Double]("forecast_next") - 150.0) should be < 1.0
+  }
+
+  test("holtSmooth isolates symbols and is partition-invariant") {
+    val two = cusumFixture(Seq(100.0, 104.0, 108.0))
+      .unionByName(cusumFixture(Seq(50.0, 49.0, 48.0), sym = "Z"))
+    val a = Indicators.holtSmooth(two).orderBy("symbol", "date")
+      .collect().map(_.toSeq)
+    val b = Indicators.holtSmooth(two.repartition(7))
+      .orderBy("symbol", "date").collect().map(_.toSeq)
+    a should contain theSameElementsInOrderAs b
+    // Z's seed is its own first close, untouched by A's state
+    b.drop(3).head(3) shouldBe 50.0
+  }
+
   test("cusumAlarms is invariant under input partitioning and isolates symbols") {
     val closes = Seq.fill(12)(100.0) ++ Seq.fill(13)(104.0)
     val two = cusumFixture(closes).unionByName(
