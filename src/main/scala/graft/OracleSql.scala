@@ -1795,6 +1795,27 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q280 twin of [[graft.etl.Sampling.bhCorrection]]: the same
+    * planted-signal p table, integer step-up comparison, and
+    * p ≤ p(k*) rejection. */
+  val q280_bh_fdr: String = """
+WITH t AS (
+  SELECT doc_id AS test_id,
+    CASE WHEN doc_id % 10 = 0 THEN doc_id * 31 % 20
+         ELSE doc_id * 7919 % 1001 END AS p
+  FROM documents WHERE doc_id < 200),
+r AS (
+  SELECT test_id, p,
+    row_number() OVER (ORDER BY p, test_id) AS p_rank,
+    count(*) OVER () AS m
+  FROM t),
+s AS (
+  SELECT coalesce(max(p), -1) AS pstar FROM r WHERE p * m <= p_rank * 50)
+SELECT test_id, CAST(p AS BIGINT) AS p_permille,
+  CAST(p_rank AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS m,
+  p <= (SELECT pstar FROM s) AS rejected
+FROM r ORDER BY test_id"""
+
   /** q279 twin of [[graft.analytics.Indicators.holtSmooth]]: the
     * recursive-CTE fold (q79 precedent) with the identical IEEE
     * expression trees — dyadic α=0.5/β=0.25 literals, level from a
@@ -7118,6 +7139,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q277_dbscan" -> q277_dbscan,
     "q278_stem_conflation" -> q278_stem_conflation,
     "q279_holt_smooth" -> q279_holt_smooth,
+    "q280_bh_fdr" -> q280_bh_fdr,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

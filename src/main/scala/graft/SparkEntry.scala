@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Benjamini-Hochberg step-up FDR gate over a 200-hypothesis
+    // table (10% planted signals among uniform-null p-values):
+    // exact p*m <= k*alpha comparisons, rejection by p <= p(k*).
+    "q280_bh_fdr" -> ((s, dir) => {
+      val tests = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("test_id"),
+          when(col("doc_id") % 10 === 0, col("doc_id") * 31 % 20)
+            .otherwise(col("doc_id") * 7919 % 1001).as("p_permille"))
+      graft.etl.Sampling.bhCorrection(tests, "test_id", "p_permille")
+        .orderBy(col("test_id"))
+    }),
+
     // Holt double-exponential level+trend smoothing on the
     // sequential-scan node (the q79 escalation): one-step forecasts
     // and residuals, bit-identical to the recursive-CTE fold.

@@ -565,4 +565,44 @@ object Sampling {
       .select(col(bandCol), col("pair_rank"), col("treated_id"),
         col("control_id"))
   }
+
+  /** Benjamini–Hochberg step-up FDR correction (Benjamini & Hochberg,
+    * JRSS-B 1995) — the multiple-testing gate every screen that runs
+    * [[randomizationTest]] / permutation tests PER SEGMENT owes its
+    * readers: at 1,000 hypotheses and α = 5%, ~50 "significant"
+    * results are expected from pure noise; BH bounds the FALSE
+    * DISCOVERY RATE instead of Bonferroni's family-wise rate, keeping
+    * power at scale. Step-up rule: sort p ascending, k* = max{k :
+    * p_(k) ≤ k·α/m}, reject every test with p ≤ p_(k*) — including
+    * tests that FAIL their own rank's threshold (the signature
+    * step-up behavior, spec-pinned).
+    *
+    * Exact integers: p-values arrive in permille; the comparison
+    * p_(k) ≤ k·α/m runs as p·m ≤ k·α_permille in BIGINT (multiply,
+    * never divide); ties in p rank by (p, id) but the REJECTION SET
+    * is tie-independent (rejection tests p ≤ p*, never the rank).
+    *
+    * Scale contract: the input is one row per HYPOTHESIS — a
+    * config-bounded table (the E158 "output bounded by users"
+    * inversion: bounded INPUT), so the global rank window is a
+    * deliberate single-partition pass over thousands of rows, stated
+    * here rather than hidden (the per-row work upstream — computing
+    * each p-value — is where the data-scale cost lives). */
+  def bhCorrection(tests: DataFrame, idCol: String, pCol: String,
+                   alphaPermille: Long = 50L): DataFrame = {
+    require(alphaPermille >= 1 && alphaPermille <= 1000,
+      "alphaPermille must be in [1, 1000]")
+    val ranked = tests
+      .select(col(idCol), col(pCol).cast("long").as("p_permille"))
+      .withColumn("p_rank", row_number().over(
+        Window.orderBy(col("p_permille"), col(idCol))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    val pstar = ranked
+      .filter(col("p_permille") * col("m") <=
+        col("p_rank") * lit(alphaPermille))
+      .agg(coalesce(max(col("p_permille")), lit(-1L)).as("__pstar"))
+    ranked.crossJoin(broadcast(pstar))
+      .select(col(idCol), col("p_permille"), col("p_rank"), col("m"),
+        (col("p_permille") <= col("__pstar")).as("rejected"))
+  }
 }

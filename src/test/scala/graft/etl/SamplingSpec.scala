@@ -416,4 +416,40 @@ test("signFlipTest: a huge one-sided uplift is significant; symmetric noise is n
     assertSameRows(Sampling.signFlipTest(d, "pair_id", "diff"),
       Sampling.signFlipTest(d.repartition(7), "pair_id", "diff"))
   }
+
+  private def bh(ps: (Long, Long)*) = {
+    import spark.implicits._
+    Sampling.bhCorrection(ps.toSeq.toDF("test_id", "p"), "test_id", "p")
+      .collect().map(r => r.getAs[Long]("test_id") ->
+        r.getAs[Boolean]("rejected")).toMap
+  }
+
+  test("bhCorrection: the step-up rescue — a rank-failing p is rejected via a later rank") {
+    // m=4, alpha=50: p*m vs rank*50 -> 40<=50 pass, 120<=100 FAIL,
+    // 140<=150 pass => k*=3, p*=35: 30 is rejected despite failing
+    // its own rank; 900 stays
+    val out = bh(1L -> 10L, 2L -> 30L, 3L -> 35L, 4L -> 900L)
+    out shouldBe Map(1L -> true, 2L -> true, 3L -> true, 4L -> false)
+  }
+
+  test("bhCorrection: uniform-null table rejects nothing, all-tiny rejects all") {
+    val nullish = (1L to 20L).map(i => i -> (i * 50L - 25L))
+    bh(nullish: _*).values.forall(_ == false) shouldBe true
+    val tiny = (1L to 20L).map(i => i -> 1L)
+    bh(tiny: _*).values.forall(_ == true) shouldBe true
+  }
+
+  test("bhCorrection: tie p-values share one fate regardless of rank order") {
+    // two ties at the threshold boundary: rejection is p <= p*, so
+    // both reject together or neither does
+    val out = bh(1L -> 25L, 2L -> 25L, 3L -> 5L, 4L -> 990L)
+    out(1L) shouldBe out(2L)
+    out(3L) shouldBe true
+    out(4L) shouldBe false
+    // and the whole report is partition-invariant
+    import spark.implicits._
+    val d = (1L to 60L).map(i => (i, i * 7919 % 1001)).toDF("test_id", "p")
+    assertSameRows(Sampling.bhCorrection(d, "test_id", "p"),
+      Sampling.bhCorrection(d.repartition(7), "test_id", "p"))
+  }
 }
