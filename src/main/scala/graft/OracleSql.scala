@@ -1795,6 +1795,22 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q281 twin of [[graft.text.TextAnalysis.surprisalScores]]: the
+    * shared tokenizer, the same floor-log2 bit-length device, exact
+    * divs; HUGEINT sums cast back. */
+  val q281_surprisal: String = toksCte + """
+, tk AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
+v AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+n AS (SELECT sum(c) AS n FROM v),
+b AS (
+  SELECT t, CAST(length(bin(CAST(n.n // v.c AS BIGINT))) - 1 AS BIGINT) AS bits
+  FROM v, n)
+SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(b.bits) AS BIGINT) AS total_bits,
+  CAST((sum(b.bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
+FROM tk JOIN b ON tk.t = b.t
+GROUP BY tk.doc_id ORDER BY tk.doc_id"""
+
   /** q280 twin of [[graft.etl.Sampling.bhCorrection]]: the same
     * planted-signal p table, integer step-up comparison, and
     * p ≤ p(k*) rejection. */
@@ -7140,6 +7156,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q278_stem_conflation" -> q278_stem_conflation,
     "q279_holt_smooth" -> q279_holt_smooth,
     "q280_bh_fdr" -> q280_bh_fdr,
+    "q281_surprisal" -> q281_surprisal,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

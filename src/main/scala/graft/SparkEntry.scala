@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Per-doc unigram surprisal (the CCNet-lineage LM quality filter
+    // with the corpus as its own model): exact floor-log2 bits per
+    // token via the bin()-length device.
+    "q281_surprisal" -> ((s, dir) =>
+      graft.text.TextAnalysis.surprisalScores(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // Benjamini-Hochberg step-up FDR gate over a 200-hypothesis
     // table (10% planted signals among uniform-null p-values):
     // exact p*m <= k*alpha comparisons, rejection by p <= p(k*).

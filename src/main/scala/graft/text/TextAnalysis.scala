@@ -743,6 +743,41 @@ object TextAnalysis {
       .withColumn("is_code", coalesce(col("code_permille") >= 500, lit(false)))
   }
 
+  /** Per-document unigram surprisal — the language-model quality
+    * filter of the CCNet/RefinedWeb lineage (Wenzek et al. 2020 score
+    * documents by LM perplexity and cut the tails) re-expressed with
+    * the corpus's own unigram model and exact integers: a document of
+    * common words scores LOW bits/token (template/boilerplate tail),
+    * one of rare words scores HIGH (gibberish/OCR-noise tail); both
+    * tails are what the filter removes. Per token the FLOOR surprisal
+    * −⌊log2 p̂⌋ computed as the bit length of N div c_t (the E156
+    * floor-log2 device: `length(bin(v)) − 1`, bit-identical on both
+    * engines; whole-bit granularity is the stated coarseness, the
+    * price of exactness). Per doc: token count, total floor-bits, and
+    * mean milli-bits/token (exact `div`).
+    *
+    * Shape: one vocabulary aggregate (map-side combinable) + a 1-row
+    * total broadcast-crossed + one vocab-bounded join back to the
+    * exploded tokens + one doc-keyed aggregate — text never shuffles,
+    * postings do. */
+  def surprisalScores(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__t"))
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val total = vocab.agg(sum(col("__c")).as("__n"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .withColumn("__bits",
+        (length(bin(expr("__n div __c"))) - 1).cast("long"))
+      .select(col("__t"), col("__bits"))
+    toks.join(bits, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__bits")).as("total_bits"))
+      .withColumn("mean_millibits",
+        expr("(total_bits * 1000) div n_tokens"))
+  }
+
   /** Harman's S-stemmer (Harman, *JASIS* 1991 "How effective is
     * suffixing?") as a single codegen'd CASE — the three-rule plural
     * conflator that captures most of English stemming's retrieval

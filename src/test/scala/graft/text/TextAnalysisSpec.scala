@@ -512,6 +512,33 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.cardScan(d.repartition(7)))
   }
 
+  test("surprisalScores: hand bits, both filter tails, empty docs drop") {
+    // corpus: "a" x12, "rare" x2, "mid" x2 -> N = 16
+    // bits(a) = floor(log2(16 div 12 = 1)) = 0
+    // bits(rare) = bits(mid) = floor(log2(8)) = 3
+    val d = docs(
+      1L -> ("a " * 10).trim,            // all-common: 0 bits/token
+      2L -> "rare rare mid mid",          // all-rare: 3 bits/token
+      3L -> "a a",                        // common again
+      4L -> "")                           // tokenless: drops
+    val out = TextAnalysis.surprisalScores(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("total_bits"), r.getAs[Long]("mean_millibits")))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((10L, 0L, 0L))
+    out(2L) shouldBe ((4L, 12L, 3000L))
+    out(3L) shouldBe ((2L, 0L, 0L))
+  }
+
+  test("surprisalScores: a uniform corpus scores log2(vocab) everywhere; partition-invariant") {
+    // 8 tokens each appearing once: every token bits = floor(log2 8) = 3
+    val d = docs(1L -> "t1 t2 t3 t4", 2L -> "t5 t6 t7 t8")
+    val out = TextAnalysis.surprisalScores(d).collect()
+    out.foreach(_.getAs[Long]("mean_millibits") shouldBe 3000L)
+    assertSameRows(TextAnalysis.surprisalScores(d),
+      TextAnalysis.surprisalScores(d.repartition(7)))
+  }
+
   test("sStem: the three Harman rules and every stated exception") {
     import spark.implicits._
     val cases = Seq(
