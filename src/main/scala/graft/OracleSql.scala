@@ -1795,6 +1795,86 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q284 twin of [[graft.graph.LinkGraph.twoHopReach]]: the q124
+    * edge formulas, the same cap semantics, UNION-dedup reach. */
+  val q284_two_hop_reach: String = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+           'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+           'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR) FROM documents)
+  WHERE src <> dst),
+d AS (SELECT src, count(*) AS out_degree FROM e GROUP BY src),
+ce AS (SELECT e.src, e.dst FROM e JOIN d ON e.src = d.src
+       WHERE d.out_degree <= 64),
+r AS (
+  SELECT src AS node, dst AS rch FROM e
+  UNION
+  SELECT a.src, b.dst FROM e a JOIN ce b ON a.dst = b.src),
+cnt AS (
+  SELECT node, count(*) AS n_reach2 FROM r WHERE node <> rch GROUP BY node)
+SELECT d.src AS node, CAST(d.out_degree AS BIGINT) AS out_degree,
+  CAST(coalesce(cnt.n_reach2, 0) AS BIGINT) AS n_reach2
+FROM d LEFT JOIN cnt ON d.src = cnt.node ORDER BY node"""
+
+  /** q283 twin of [[graft.analytics.Indicators.conformalBand]] over
+    * the q279 Holt fold: same recursive CTE, then the ceil-rank
+    * order-statistic pick per symbol. */
+  lazy val q283_conformal_band: String =
+    q279_holt_smooth.replaceFirst("SELECT symbol, date, close_price, level, trend,",
+      "__FINAL__ SELECT symbol, date, close_price, level, trend,")
+      .split("__FINAL__")(0) + """
+, res AS (
+  SELECT symbol, abs(residual) AS ar,
+    row_number() OVER (PARTITION BY symbol ORDER BY abs(residual)) AS rnk,
+    count(*) OVER (PARTITION BY symbol) AS n
+  FROM st WHERE residual IS NOT NULL)
+SELECT symbol, CAST(max(n) AS BIGINT) AS n_res,
+  CAST(max(((n + 1) * 900 + 999) // 1000) AS BIGINT) AS target_rank,
+  max(CASE WHEN rnk = ((n + 1) * 900 + 999) // 1000 THEN ar END) AS halfwidth
+FROM res GROUP BY symbol ORDER BY symbol"""
+
+  /** q282 twin of [[graft.analytics.Correlation.kendallTau]]: the
+    * q274 recency window with both variables, the same five pair
+    * classes, identical τ-b tree. */
+  val q282_kendall_tau: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price, min(volume) AS volume
+  FROM merged GROUP BY symbol, date),
+c AS (
+  SELECT symbol, date, CAST(round(close_price * 100) AS BIGINT) AS x,
+    volume AS y,
+    row_number() OVER (PARTITION BY symbol ORDER BY date DESC) AS rd
+  FROM daily),
+r AS (SELECT * FROM c WHERE rd <= 60),
+p AS (
+  SELECT a.symbol,
+    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+  FROM r a JOIN r b ON a.symbol = b.symbol AND a.date < b.date),
+agg AS (
+  SELECT symbol, count(*) AS n_pairs,
+    sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS concordant,
+    sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS discordant,
+    sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS ties_x,
+    sum(CASE WHEN sx <> 0 AND sy = 0 THEN 1 ELSE 0 END) AS ties_y,
+    sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS ties_both
+  FROM p GROUP BY symbol)
+SELECT symbol, CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(concordant AS BIGINT) AS concordant,
+  CAST(discordant AS BIGINT) AS discordant,
+  CAST(ties_x AS BIGINT) AS ties_x, CAST(ties_y AS BIGINT) AS ties_y,
+  CAST(ties_both AS BIGINT) AS ties_both,
+  CASE WHEN (CAST(n_pairs AS DOUBLE) - CAST(ties_x + ties_both AS DOUBLE)) > 0
+        AND (CAST(n_pairs AS DOUBLE) - CAST(ties_y + ties_both AS DOUBLE)) > 0
+    THEN CAST(concordant - discordant AS DOUBLE) /
+      (sqrt(CAST(n_pairs AS DOUBLE) - CAST(ties_x + ties_both AS DOUBLE)) *
+       sqrt(CAST(n_pairs AS DOUBLE) - CAST(ties_y + ties_both AS DOUBLE)))
+  END AS tau_b
+FROM agg ORDER BY symbol"""
+
   /** q281 twin of [[graft.text.TextAnalysis.surprisalScores]]: the
     * shared tokenizer, the same floor-log2 bit-length device, exact
     * divs; HUGEINT sums cast back. */
@@ -7157,6 +7237,9 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q279_holt_smooth" -> q279_holt_smooth,
     "q280_bh_fdr" -> q280_bh_fdr,
     "q281_surprisal" -> q281_surprisal,
+    "q282_kendall_tau" -> q282_kendall_tau,
+    "q283_conformal_band" -> q283_conformal_band,
+    "q284_two_hop_reach" -> q284_two_hop_reach,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,45 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Two-hop reach over the q124 domain graph: distinct nodes
+    // within <= 2 directed hops per source, self excluded, hub-capped
+    // hop-2 traversal (the df-cap governor).
+    "q284_two_hop_reach" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val e1 = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+      val e2 = docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst"))
+      graft.graph.LinkGraph.twoHopReach(e1.unionAll(e2), "src", "dst")
+        .orderBy(col("node"))
+    }),
+
+    // Split-conformal 90% band from Holt one-step residuals: exact
+    // ceil-rank order-statistic half-width per symbol — the
+    // distribution-free calibration of the q279 forecaster.
+    "q283_conformal_band" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .filter(col("symbol").isin("S0", "S1", "S2", "S3", "S4"))
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Indicators.conformalBand(
+          graft.analytics.Indicators.holtSmooth(daily))
+        .orderBy(col("symbol"))
+    }),
+
+    // Kendall tau-b of close vs volume over each symbol's last 60
+    // sessions: all five pair classes exact, tie-corrected tau in
+    // the identical double tree.
+    "q282_kendall_tau" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"),
+          min(col("volume")).as("volume"))
+        .withColumn("close_cents",
+          expr("CAST(round(close_price * 100) AS BIGINT)"))
+      graft.analytics.Correlation.kendallTau(daily, "close_cents", "volume")
+        .orderBy(col("symbol"))
+    }),
+
     // Per-doc unigram surprisal (the CCNet-lineage LM quality filter
     // with the corpus as its own model): exact floor-log2 bits per
     // token via the bin()-length device.

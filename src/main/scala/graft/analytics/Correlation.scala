@@ -258,6 +258,64 @@ object Correlation {
           .as("pv_corr"))
   }
 
+  /** Kendall τ-b between two measures per series (Kendall 1938;
+    * tie-corrected τ-b per Kendall 1945) — the third association
+    * lens: Pearson reads linearity, Spearman reads monotone rank
+    * agreement, Kendall reads PAIRWISE ORDER agreement (P(concordant)
+    * − P(discordant)), the most robust of the three to gross ranking
+    * noise and the one with a direct probabilistic reading. Same
+    * bounded-recency pair governor as [[mannKendall]] (τ-b vs TIME is
+    * exactly Mann–Kendall; this is the two-VARIABLE form): last
+    * `windowRows` rows per series, K(K−1)/2 pairs.
+    *
+    * All five pair classes exact BIGINT (concordant, discordant,
+    * x-only ties, y-only ties, both-tied); τ-b evaluates in doubles
+    * in an identical tree, τ-b = (C−D)/(√(n₀−tx)·√(n₀−ty)) with
+    * tx/ty counting ALL x-/y-tied pairs (tx = ties_x + ties_both —
+    * the standard correction). NULL when either variable is constant
+    * (denominator zero). */
+  def kendallTau(daily: DataFrame, xCol: String, yCol: String,
+                 windowRows: Int = 60): DataFrame = {
+    require(windowRows >= 2, "windowRows must be >= 2")
+    val wDesc = Window.partitionBy(col("symbol")).orderBy(col("date").desc)
+    val recent = daily
+      .withColumn("__rd", row_number().over(wDesc))
+      .filter(col("__rd") <= windowRows)
+      .select(col("symbol"), col("date"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .localCheckpoint()
+    val a = recent.select(col("symbol"), col("date").as("__da"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = recent.select(col("symbol"), col("date").as("__db"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val sgnX = when(col("__xb") > col("__xa"), 1L)
+      .when(col("__xb") < col("__xa"), -1L).otherwise(0L)
+    val sgnY = when(col("__yb") > col("__ya"), 1L)
+      .when(col("__yb") < col("__ya"), -1L).otherwise(0L)
+    val agg = a.join(b, Seq("symbol")).filter(col("__da") < col("__db"))
+      .select(col("symbol"), sgnX.as("__sx"), sgnY.as("__sy"))
+      .groupBy(col("symbol")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__sx") * col("__sy") === 1L, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("__sx") * col("__sy") === -1L, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("__sx") === 0L && col("__sy") =!= 0L, 1L).otherwise(0L))
+          .as("ties_x"),
+        sum(when(col("__sx") =!= 0L && col("__sy") === 0L, 1L).otherwise(0L))
+          .as("ties_y"),
+        sum(when(col("__sx") === 0L && col("__sy") === 0L, 1L).otherwise(0L))
+          .as("ties_both"))
+    val n0 = col("n_pairs").cast("double")
+    val dx = n0 - (col("ties_x") + col("ties_both")).cast("double")
+    val dy = n0 - (col("ties_y") + col("ties_both")).cast("double")
+    agg.select(col("symbol"), col("n_pairs"), col("concordant"),
+      col("discordant"), col("ties_x"), col("ties_y"), col("ties_both"),
+      when(dx > 0 && dy > 0,
+        (col("concordant") - col("discordant")).cast("double") /
+          (sqrt(dx) * sqrt(dy))).as("tau_b"))
+  }
+
   /** Spearman rank correlation per group (Spearman 1904) — the
     * monotone-association complement to the Pearson family above:
     * rank-based, so one fat-tailed outlier day (exactly what price ×

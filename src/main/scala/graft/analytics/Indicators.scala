@@ -197,6 +197,43 @@ object Indicators {
       .toDF()
   }
 
+  /** Split-conformal prediction band (Vovk et al. 2005; Lei et al.,
+    * JASA 2018) over a forecaster's one-step residuals — the
+    * distribution-free calibration step that turns [[holtSmooth]]'s
+    * point forecast into an interval with a finite-sample coverage
+    * GUARANTEE (≥ 1−α whenever residuals are exchangeable — no
+    * normality, no variance model): half-width q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest |residual|; forecast ± q̂ is the band.
+    *
+    * Exact conventions: the target rank is the integer
+    * ((n+1)·(1000−α‰) + 999) div 1000 (ceil, never a float quantile);
+    * the rank is picked by position in the |residual|-sorted order —
+    * the VALUE at a fixed position is deterministic even where
+    * row_number splits ties arbitrarily (the E276 median device);
+    * rank > n ⇒ NULL (that confidence is unattainable with n
+    * residuals — the honest answer, never a clamped guess).
+    *
+    * Shape: one group-keyed rank window + one group aggregate;
+    * output bounded by the group universe. */
+  def conformalBand(scored: DataFrame, groupCol: String = "symbol",
+                    residualCol: String = "residual",
+                    alphaPermille: Long = 100L): DataFrame = {
+    require(alphaPermille >= 1 && alphaPermille <= 999,
+      "alphaPermille must be in [1, 999]")
+    val g = col(groupCol)
+    val r = scored.filter(col(residualCol).isNotNull)
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(g).orderBy(abs(col(residualCol)))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(g)))
+      .withColumn("__k",
+        expr(s"((__n + 1) * ${1000L - alphaPermille} + 999) div 1000"))
+    r.groupBy(g).agg(
+      max(col("__n")).as("n_res"),
+      max(col("__k")).as("target_rank"),
+      max(when(col("__rnk") === col("__k"), abs(col(residualCol))))
+        .as("halfwidth"))
+  }
+
   /** Candlestick pattern screen (Nison, *Japanese Candlestick
     * Charting Techniques* 1991) — the OHLC-shape complement to the
     * numeric indicators: per (symbol, day) flags for doji (body ≤

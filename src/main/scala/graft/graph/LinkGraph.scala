@@ -1143,4 +1143,46 @@ object LinkGraph {
         col("retained_units"),
         expr("(rank_units * 1000) div retained_units").as("retained_permille"))
   }
+
+  /** Two-hop reach — per node the exact count of DISTINCT nodes
+    * reachable in ≤ 2 directed hops, self excluded: the
+    * friends-of-friends audience metric (how far does one crawl
+    * frontier step + one more see?), the local complement to
+    * [[seedReach]]'s global BFS and the precursor every
+    * influence/propagation estimate starts from.
+    *
+    * Scale governor — the Σ df² argument yet again: the two-hop join
+    * fans out in the INTERMEDIATE node's out-degree, so hop-2
+    * traversal drops edges whose source out-degree exceeds
+    * `maxOutDegree` (a hub that links to everything makes everything
+    * "2 hops away" and carries no signal — the link-analysis df-cap;
+    * paths THROUGH over-cap hubs are undercounted, stated, while
+    * hop-1 stays exact and uncapped). Distinctness is one UNION +
+    * dedup keyed on (node, reached) — never a per-node set in memory.
+    *
+    * Shape: one out-degree aggregate, one semi-join cap filter, ONE
+    * edge self-join, one distinct + count. Output bounded by the
+    * source universe. */
+  def twoHopReach(edges: DataFrame, src: String, dst: String,
+                  maxOutDegree: Long = 64L): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("src"),
+        col(dst).cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
+    val capped = e.join(
+      outDeg.filter(col("out_degree") <= maxOutDegree).select(col("src")),
+      Seq("src"))
+    val hop1 = e.select(col("src").as("node"), col("dst").as("__r"))
+    val hop2 = e.join(
+        capped.select(col("src").as("dst"), col("dst").as("__r")), Seq("dst"))
+      .select(col("src").as("node"), col("__r"))
+    val reach = hop1.unionAll(hop2)
+      .filter(col("node") =!= col("__r")).distinct()
+      .groupBy(col("node")).agg(count(lit(1)).as("n_reach2"))
+    outDeg.select(col("src").as("node"), col("out_degree"))
+      .join(reach, Seq("node"), "left")
+      .select(col("node"), col("out_degree"),
+        coalesce(col("n_reach2"), lit(0L)).as("n_reach2"))
+  }
 }

@@ -301,6 +301,45 @@ class CorrelationSpec extends SparkSpec {
     flat.getAs[Long]("sen_slope_e6") shouldBe 0L
   }
 
+  private val ktSchema = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false)))
+
+  private def kt(rows: (Int, Long, Long)*) =
+    df(ktSchema, rows.map { case (i, x, y) =>
+      Row("G", new java.sql.Date((i - 1) * 86400000L), x, y) }: _*)
+
+  test("kendallTau: perfect agreement +1, reversal -1, hand tie case") {
+    // (sqrt(3)*sqrt(3)) is not exactly 3 in IEEE — tolerance, not eq
+    Correlation.kendallTau(kt((1, 1L, 10L), (2, 2L, 20L), (3, 3L, 30L)),
+      "x", "y").collect().head.getAs[Double]("tau_b") shouldBe 1.0 +- 1e-12
+    Correlation.kendallTau(kt((1, 1L, 30L), (2, 2L, 20L), (3, 3L, 10L)),
+      "x", "y").collect().head.getAs[Double]("tau_b") shouldBe -1.0 +- 1e-12
+    // x = [1,2,2], y = [1,3,2]: pairs (1,2)C, (1,3)C, (2,3) x-tied
+    // C=2 D=0 tx=1 -> tau_b = 2 / (sqrt(2)*sqrt(3))
+    val out = Correlation.kendallTau(
+      kt((1, 1L, 1L), (2, 2L, 3L), (3, 2L, 2L)), "x", "y").collect().head
+    out.getAs[Long]("concordant") shouldBe 2L
+    out.getAs[Long]("discordant") shouldBe 0L
+    out.getAs[Long]("ties_x") shouldBe 1L
+    out.getAs[Double]("tau_b") shouldBe
+      (2.0 / (math.sqrt(2.0) * math.sqrt(3.0)))
+  }
+
+  test("kendallTau: constant variable gives NULL tau but exact tie counts") {
+    val out = Correlation.kendallTau(
+      kt((1, 5L, 1L), (2, 5L, 2L), (3, 5L, 3L)), "x", "y").collect().head
+    out.getAs[Long]("ties_x") shouldBe 3L
+    out.isNullAt(out.fieldIndex("tau_b")) shouldBe true
+    // both-tied pairs land in ties_both, not ties_x/ties_y
+    val bt = Correlation.kendallTau(
+      kt((1, 5L, 7L), (2, 5L, 7L)), "x", "y").collect().head
+    bt.getAs[Long]("ties_both") shouldBe 1L
+    bt.getAs[Long]("ties_x") shouldBe 0L
+  }
+
   test("spearmanCorr is invariant under input partitioning") {
     val rows = (1L to 30L).map(i =>
       ("G", Long.box(i * 7919 % 31), Long.box(i * 104729 % 37)))

@@ -251,6 +251,53 @@ class IndicatorsSpec extends SparkSpec {
     b.drop(3).head(3) shouldBe 50.0
   }
 
+  test("conformalBand: ceil-rank order statistic by hand, NULL past n") {
+    import org.apache.spark.sql.functions.col
+    // residuals |r| = 1..9 for A: alpha=100 -> k = ceil(10*0.9) = 9 -> 9.0
+    val rows = (1 to 9).map(i =>
+      Row("A", day(i), 100.0, 0.0, 0.0, 0.0,
+        if (i % 2 == 0) i.toDouble else -i.toDouble)) :+
+      Row("B", day(1), 100.0, 0.0, 0.0, 0.0, 5.0)
+    val schema2 = StructType(Seq(
+      StructField("symbol", StringType, nullable = false),
+      StructField("date", DateType, nullable = false),
+      StructField("close_price", DoubleType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false),
+      StructField("forecast_next", DoubleType, nullable = false),
+      StructField("residual", DoubleType, nullable = true)))
+    val out = Indicators.conformalBand(df(schema2, rows: _*))
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("A").getAs[Long]("n_res") shouldBe 9L
+    out("A").getAs[Long]("target_rank") shouldBe 9L
+    out("A").getAs[Double]("halfwidth") shouldBe 9.0
+    // B has 1 residual: k = ceil(2*0.9) = 2 > 1 -> unattainable, NULL
+    out("B").getAs[Long]("target_rank") shouldBe 2L
+    out("B").isNullAt(out("B").fieldIndex("halfwidth")) shouldBe true
+    // alpha=500 -> k = ceil(10*0.5) = 5 -> |r| = 5
+    Indicators.conformalBand(df(schema2, rows: _*), alphaPermille = 500L)
+      .filter(col("symbol") === "A").collect()
+      .head.getAs[Double]("halfwidth") shouldBe 5.0
+  }
+
+  test("conformalBand on holtSmooth: empirical coverage meets the guarantee") {
+    // a noisy-but-bounded series: forecast_next +- halfwidth must
+    // cover >= 90% of next-day closes by the conformal guarantee
+    val closes = (0 until 60).map(i =>
+      100.0 + 2.0 * i + Seq(0.0, 3.0, -2.0, 1.0, -3.0)(i % 5))
+    // epoch-day dates: the day(i) helper only covers one January
+    val fixture = df(schema, closes.zipWithIndex.map { case (c, i) =>
+      Row("A", new java.sql.Date(i * 86400000L), c, 10L) }: _*)
+    val holt = Indicators.holtSmooth(fixture)
+    val band = Indicators.conformalBand(holt).collect().head
+    val hw = band.getAs[Double]("halfwidth")
+    val rows = holt.orderBy("date").collect()
+    val covered = rows.sliding(2).count { case Array(t, n) =>
+      math.abs(n.getAs[Double]("close_price") -
+        t.getAs[Double]("forecast_next")) <= hw }
+    covered.toDouble / (rows.length - 1) should be >= 0.85
+  }
+
   test("cusumAlarms is invariant under input partitioning and isolates symbols") {
     val closes = Seq.fill(12)(100.0) ++ Seq.fill(13)(104.0)
     val two = cusumFixture(closes).unionByName(

@@ -794,4 +794,38 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.seedDistances(e, s, maxDist = 6L),
       LinkGraph.seedDistances(e.repartition(7), s, maxDist = 6L))
   }
+
+  private def reachMap(e: org.apache.spark.sql.DataFrame, cap: Long = 64L) =
+    LinkGraph.twoHopReach(e, "src", "dst", maxOutDegree = cap)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("out_degree"), r.getAs[Long]("n_reach2")))).toMap
+
+  test("twoHopReach: hand counts, overlap dedup, self exclusion") {
+    // a->{b,e}, b->{c,d}, e->c: reach(a) = {b,e,c,d} = 4 (c via two
+    // paths counts once); reach(b) = {c,d}; 2-cycle a<->b excl self
+    val m = reachMap(edges("a" -> "b", "a" -> "e", "b" -> "c",
+      "b" -> "d", "e" -> "c"))
+    m("a") shouldBe ((2L, 4L))
+    m("b") shouldBe ((2L, 2L))
+    m("e") shouldBe ((1L, 1L))
+    val cyc = reachMap(edges("a" -> "b", "b" -> "a"))
+    cyc("a") shouldBe ((1L, 1L))   // a->b->a: self never counted
+    cyc("b") shouldBe ((1L, 1L))
+  }
+
+  test("twoHopReach: the hub cap drops hop-2 paths through super-spreaders") {
+    // a->h, h->{x,y,z}: uncapped reach(a) = 4; cap 2 keeps only {h}
+    val e = edges("a" -> "h", "h" -> "x", "h" -> "y", "h" -> "z")
+    reachMap(e)("a") shouldBe ((1L, 4L))
+    reachMap(e, cap = 2L)("a") shouldBe ((1L, 1L))
+    // the hub's own hop-1 row stays exact and uncapped
+    reachMap(e, cap = 2L)("h") shouldBe ((3L, 3L))
+  }
+
+  test("twoHopReach is invariant under input partitioning") {
+    val e = edges((1 to 60).map(i =>
+      s"n${i % 12}" -> s"n${(i * 5 + 2) % 13}"): _*)
+    assertSameRows(LinkGraph.twoHopReach(e, "src", "dst"),
+      LinkGraph.twoHopReach(e.repartition(7), "src", "dst"))
+  }
 }
