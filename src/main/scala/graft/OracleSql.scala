@@ -1795,6 +1795,51 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q285 twin of [[graft.etl.Sampling.negativeSamples]]: the
+    * established keyHash twin keyed (anchor|pos|slot), row_number
+    * universe index, same collision drop. */
+  val q285_negative_samples: String = """
+WITH u AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS target
+  FROM embeddings),
+n AS (SELECT count(*) AS n FROM embeddings),
+p AS (
+  SELECT vec_id AS anchor_id, vec_id + 1 AS pos_id
+  FROM embeddings WHERE vec_id % 5 = 0),
+e AS (SELECT anchor_id, pos_id, unnest(range(1, 5)) AS slot FROM p),
+h AS (
+  SELECT anchor_id, pos_id, slot,
+    CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|' ||
+      CAST(pos_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)), 1, 14))
+      AS BIGINT) % (SELECT n FROM n) AS target
+  FROM e)
+SELECT h.anchor_id, h.pos_id, CAST(h.slot AS INTEGER) AS slot,
+  u.vec_id AS neg_id
+FROM h JOIN u ON h.target = u.target
+WHERE u.vec_id <> h.anchor_id AND u.vec_id <> h.pos_id
+ORDER BY anchor_id, slot"""
+
+  /** q286 twin of [[graft.etl.Sampling.proportionalQuotaSample]]:
+    * Hamilton quotas on the class table, hash-order picks. */
+  val q286_quota_sample: String = """
+WITH c AS (SELECT lang, count(*) AS nc FROM documents GROUP BY lang),
+t AS (SELECT sum(nc) AS n FROM c),
+b AS (SELECT lang, nc, (100 * nc) // n AS base, (100 * nc) % n AS rem
+      FROM c, t),
+l AS (SELECT 100 - sum(base) AS leftover FROM b),
+q AS (
+  SELECT lang, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+    <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS quota
+  FROM b),
+r AS (
+  SELECT d.doc_id, d.lang,
+    row_number() OVER (PARTITION BY d.lang ORDER BY
+      CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT),
+      d.doc_id) AS rn
+  FROM documents d)
+SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
+WHERE r.rn <= q.quota ORDER BY r.doc_id"""
+
   /** q284 twin of [[graft.graph.LinkGraph.twoHopReach]]: the q124
     * edge formulas, the same cap semantics, UNION-dedup reach. */
   val q284_two_hop_reach: String = """
@@ -7240,6 +7285,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q282_kendall_tau" -> q282_kendall_tau,
     "q283_conformal_band" -> q283_conformal_band,
     "q284_two_hop_reach" -> q284_two_hop_reach,
+    "q285_negative_samples" -> q285_negative_samples,
+    "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,
     "q95_ann_recall" -> q95_ann_recall,

@@ -973,6 +973,28 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Deterministic hash negative sampling for contrastive pairs:
+    // k=4 negatives per (anchor, anchor+1) positive as a pure
+    // function of (anchor, pos, slot); accidental hits dropped.
+    "q285_negative_samples" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val positives = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("anchor_id"),
+          (col("vec_id") + 1).as("pos_id"))
+      graft.etl.Sampling.negativeSamples(positives, emb, k = 4)
+        .orderBy(col("anchor_id"), col("slot"))
+    }),
+
+    // Largest-remainder proportional quota sample: exactly 100 docs
+    // split across languages by Hamilton rounding, hash-order picks
+    // within each class.
+    "q286_quota_sample" -> ((s, dir) =>
+      graft.etl.Sampling.proportionalQuotaSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", total = 100L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // Two-hop reach over the q124 domain graph: distinct nodes
     // within <= 2 directed hops per source, self excluded, hub-capped
     // hop-2 traversal (the df-cap governor).

@@ -566,6 +566,88 @@ object Sampling {
         col("control_id"))
   }
 
+  /** Deterministic hash negative sampling (the contrastive-training
+    * data step; word2vec's negative sampling, Mikolov et al. 2013,
+    * with the engine's determinism discipline in place of an RNG):
+    * per (anchor, positive) pair, `k` negatives drawn uniformly from
+    * the id universe as a PURE FUNCTION of (anchor, pos, slot) — the
+    * E201 bootstrap device, so every run / partitioning / engine
+    * draws the identical negatives and a training set is
+    * reproducible from its spec. Draw = keyHash(anchor|pos|slot) mod
+    * N mapped to the slot-target'th universe id via the E223
+    * distributed global row index (ids need not be contiguous).
+    * Accidental hits (negative = the anchor or the positive) are
+    * DROPPED, not redrawn (redraw chains make determinism
+    * conditional; expected loss 2k/N, stated) — collision-tolerant
+    * losses (InfoNCE) expect exactly this.
+    *
+    * Shape: positives × k explode, one 1-row count broadcast, one
+    * hash join on the slot target against the indexed universe —
+    * no global sort beyond the index's range partition. */
+  def negativeSamples(positives: DataFrame, universe: DataFrame,
+                      anchorCol: String = "anchor_id",
+                      posCol: String = "pos_id",
+                      idCol: String = "vec_id", k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val idx = graft.etl.Packing.globalRowIndex(
+        universe.select(col(idCol)).distinct(), Seq(idCol), "__gidx")
+      .select((col("__gidx") - 1).as("__target"), col(idCol).as("neg_id"))
+    val total = idx.agg(count(lit(1)).as("__n"))
+    positives.select(col(anchorCol), col(posCol))
+      .withColumn("slot", explode(array((1 to k).map(lit): _*)))
+      .crossJoin(broadcast(total))
+      .withColumn("__target",
+        pmod(keyHash(concat_ws("|", col(anchorCol), col(posCol),
+          col("slot"))), col("__n")))
+      .join(idx, Seq("__target"))
+      .filter(col("neg_id") =!= col(anchorCol) &&
+        col("neg_id") =!= col(posCol))
+      .select(col(anchorCol), col(posCol), col("slot"), col("neg_id"))
+  }
+
+  /** Largest-remainder proportional quota sample — the EXACT-TOTAL
+    * complement to [[stratifiedSample]]'s fixed-k and
+    * [[stratifiedRateSample]]'s fixed-rate: draw exactly `total`
+    * rows, split across classes proportionally to their counts with
+    * Hamilton rounding (base = (T·n_c) div N, leftover units to the
+    * largest remainders, class-name tiebreak — the E273 allocation
+    * arithmetic applied to sampling), then per class the quota rows
+    * with the smallest keyHash(id) (hash order = the frozen
+    * deterministic "random" every sampler here uses). A class whose
+    * quota exceeds its population contributes all it has (only
+    * possible at T ≥ N; the shortfall is the honest answer, stated).
+    *
+    * Shape: one class-count aggregate, quota arithmetic on the
+    * BOUNDED class table (windows over classes, not rows), one
+    * broadcast quota join + one per-class rank window. The quota is
+    * a COLUMN, so Catalyst's constant-limit top-k rewrite
+    * (InferWindowGroupLimit) cannot fire — when one global cap fits,
+    * [[quotaPerGroup]]'s literal k is the cheaper path; this
+    * operator's contract is the exact total, which needs per-class
+    * quotas. */
+  def proportionalQuotaSample(df: DataFrame, classCol: String,
+                              idCol: String, total: Long): DataFrame = {
+    require(total >= 1, "total must be >= 1")
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__nc"))
+    val tot = counts.agg(sum(col("__nc")).as("__n"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(s"(${total}L * __nc) div __n"))
+      .withColumn("__rem", expr(s"(${total}L * __nc) % __n"))
+    val leftover = based.agg((lit(total) - sum(col("__base"))).as("__left"))
+    val quotas = based.crossJoin(broadcast(leftover))
+      .withColumn("__rr", row_number().over(
+        Window.orderBy(col("__rem").desc, col(classCol))))
+      .withColumn("__quota",
+        col("__base") + when(col("__rr") <= col("__left"), 1L).otherwise(0L))
+      .select(col(classCol), col("__quota"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(keyHash(col(idCol)), col(idCol))
+    df.join(broadcast(quotas), Seq(classCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Benjamini–Hochberg step-up FDR correction (Benjamini & Hochberg,
     * JRSS-B 1995) — the multiple-testing gate every screen that runs
     * [[randomizationTest]] / permutation tests PER SEGMENT owes its

@@ -424,6 +424,61 @@ test("signFlipTest: a huge one-sided uplift is significant; symmetric noise is n
         r.getAs[Boolean]("rejected")).toMap
   }
 
+  test("negativeSamples: deterministic, universe-mapped, never the pair itself") {
+    import spark.implicits._
+    val universe = Seq(10L, 20L, 30L, 40L, 50L).toDF("vec_id")
+    val pos = Seq((10L, 20L), (30L, 40L)).toDF("anchor_id", "pos_id")
+    val out = Sampling.negativeSamples(pos, universe, k = 4).collect()
+    out should not be empty
+    // negatives come from the universe and never hit the pair
+    out.foreach { r =>
+      Seq(10L, 20L, 30L, 40L, 50L) should contain(r.getAs[Long]("neg_id"))
+      r.getAs[Long]("neg_id") should not be r.getAs[Long]("anchor_id")
+      r.getAs[Long]("neg_id") should not be r.getAs[Long]("pos_id")
+    }
+    // pure function of (anchor, pos, slot): identical across runs
+    // and partitionings
+    val again = Sampling.negativeSamples(
+      pos.repartition(3), universe.repartition(5), k = 4).collect()
+    again.map(_.toSeq).toSet shouldBe out.map(_.toSeq).toSet
+    // at most k slots per pair, each slot at most once
+    out.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (_, rs) =>
+        rs.length should be <= 4
+        rs.map(_.getAs[Int]("slot")).distinct.length shouldBe rs.length }
+  }
+
+  test("negativeSamples: a universe of only the pair drops everything") {
+    import spark.implicits._
+    val out = Sampling.negativeSamples(
+      Seq((1L, 2L)).toDF("anchor_id", "pos_id"),
+      Seq(1L, 2L).toDF("vec_id"), k = 8)
+    out.count() shouldBe 0L
+  }
+
+  test("proportionalQuotaSample: Hamilton quotas sum exactly to the budget") {
+    import spark.implicits._
+    // classes of 6/3/1 rows, budget 5: bases 3/1/0, remainders 0/5/5,
+    // one leftover unit -> b (tie b < c): quotas 3/2/0
+    val rows = (1 to 6).map(i => (i.toLong, "a")) ++
+      (7 to 9).map(i => (i.toLong, "b")) ++ Seq((10L, "c"))
+    val d = rows.toDF("doc_id", "lang")
+    val out = Sampling.proportionalQuotaSample(d, "lang", "doc_id", 5L)
+      .collect().groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    out.getOrElse("a", 0) shouldBe 3
+    out.getOrElse("b", 0) shouldBe 2
+    out.getOrElse("c", 0) shouldBe 0
+    // budget = population: everything survives
+    Sampling.proportionalQuotaSample(d, "lang", "doc_id", 10L)
+      .count() shouldBe 10L
+    // deterministic under partitioning
+    val a = Sampling.proportionalQuotaSample(d, "lang", "doc_id", 5L)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.proportionalQuotaSample(d.repartition(7),
+      "lang", "doc_id", 5L).collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
   test("bhCorrection: the step-up rescue — a rank-failing p is rejected via a later rank") {
     // m=4, alpha=50: p*m vs rank*50 -> 40<=50 pass, 120<=100 FAIL,
     // 140<=150 pass => k*=3, p*=35: 30 is rejected despite failing
