@@ -1795,6 +1795,23 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q287 twin of [[graft.events.EventAnalytics.keyedDiversity]]:
+    * same two-level aggregate and integer Simpson. */
+  val q287_user_diversity: String = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events
+  GROUP BY user_id, event_type),
+a AS (
+  SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+    sum(c * (c - 1)) AS num
+  FROM c GROUP BY user_id)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+  CAST(n_types AS BIGINT) AS n_types,
+  CASE WHEN n_events >= 2
+    THEN CAST(1000 - (num * 1000) // (n_events * (n_events - 1)) AS BIGINT)
+  END AS diversity_permille
+FROM a ORDER BY user_id"""
+
   /** q285 twin of [[graft.etl.Sampling.negativeSamples]]: the
     * established keyHash twin keyed (anchor|pos|slot), row_number
     * universe index, same collision drop. */
@@ -7286,6 +7303,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q283_conformal_band" -> q283_conformal_band,
     "q284_two_hop_reach" -> q284_two_hop_reach,
     "q285_negative_samples" -> q285_negative_samples,
+    "q287_user_diversity" -> q287_user_diversity,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Per-user Simpson diversity of event types: exact
+    // drawn-without-replacement collision probability, inverted to
+    // a permille diversity — the third bot fingerprint.
+    "q287_user_diversity" -> ((s, dir) =>
+      graft.events.EventAnalytics.keyedDiversity(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
     // Deterministic hash negative sampling for contrastive pairs:
     // k=4 negatives per (anchor, anchor+1) positive as a pure
     // function of (anchor, pos, slot); accidental hits dropped.

@@ -950,6 +950,35 @@ object EventAnalytics {
         col("n_new_cum").as("cum_distinct"))
   }
 
+  /** Per-key Simpson diversity of a categorical mix (Simpson, Nature
+    * 1949) — the third bot fingerprint beside E132's transition rows
+    * and E158's cadence: a human's event mix is varied, a scripted
+    * agent's collapses onto one or two types. diversity = 1 − D where
+    * D = Σ nᵢ(nᵢ−1) / (n(n−1)) is the EXACT probability two events
+    * drawn without replacement share a type — a rational, so the
+    * whole statistic is integer arithmetic (the entropy alternative
+    * needs p·log p floats; Simpson reads the same collapse exactly).
+    * 1000‰ → every event a different type; 0 → monoculture; keys
+    * with one event report NULL (no pair to draw — the honest
+    * answer, not a fabricated extreme).
+    *
+    * Shape: one (key, type) aggregate + one key aggregate, both
+    * map-side combinable; output bounded by keys. Per-term products
+    * nᵢ(nᵢ−1) ≤ n² — inside BIGINT to n ~ 3·10⁹ events per key. */
+  def keyedDiversity(events: DataFrame, keyCol: String = "user_id",
+                     valueCol: String = "event_type"): DataFrame = {
+    events.groupBy(col(keyCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * (col("__c") - 1)).as("__num"))
+      .select(col(keyCol), col("n_events"), col("n_types"),
+        when(col("n_events") >= 2,
+          lit(1000L) - expr("(__num * 1000) div (n_events * (n_events - 1))"))
+          .as("diversity_permille"))
+  }
+
   /** Frequent contiguous k-grams of per-user event-type sequences
     * (k = 3) — the sequence-mining step up from [[transitionMatrix]]'s
     * bigrams: "view→click→purchase happens 4,812 times across 3,007

@@ -672,6 +672,27 @@ test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >"
       EventAnalytics.cumulativeDistinct(d.repartition(7), "u", "day"))
   }
 
+  test("keyedDiversity: exact Simpson by hand at both extremes and between") {
+    val rows =
+      (0 until 6).map(i => ev(10 + i, i, 1L, "click")) ++        // monoculture
+      Seq(ev(20, 0, 2L, "a"), ev(21, 1, 2L, "b"), ev(22, 2, 2L, "c")) ++
+      Seq(ev(30, 0, 3L, "a"), ev(31, 1, 3L, "a"), ev(32, 2, 3L, "b"),
+        ev(33, 3, 3L, "b")) ++                                   // 2+2 of 4
+      Seq(ev(40, 0, 4L, "solo"))                                 // single event
+    val out = EventAnalytics.keyedDiversity(df(schema, rows: _*))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    out(1L).getAs[Long]("diversity_permille") shouldBe 0L
+    out(2L).getAs[Long]("diversity_permille") shouldBe 1000L
+    // D = (2*1 + 2*1) / (4*3) = 4/12 -> 1000 - 333 = 667
+    out(3L).getAs[Long]("diversity_permille") shouldBe 667L
+    out(3L).getAs[Long]("n_types") shouldBe 2L
+    out(4L).isNullAt(out(4L).fieldIndex("diversity_permille")) shouldBe true
+    val again = EventAnalytics.keyedDiversity(
+      df(schema, rows: _*).repartition(5)).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.toSeq).toMap
+    again shouldBe out.map { case (k, r) => k -> r.toSeq }
+  }
+
   test("frequentTrigrams: hand counts, overlap, and the dual support cut") {
     // user 1 loops view,click x3 -> trigrams v,c,v (x2) and c,v,c (x2)
     // user 2 repeats the same loop once more; user 3 is pure noise
