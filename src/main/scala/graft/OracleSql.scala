@@ -1795,6 +1795,76 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q288 twin of the composed contrastive-pair capstone: the q269
+    * injected corpus, the q236 prefix-filter chain at tau 700
+    * (positives, Jaccard weight), and the q285 keyHash negatives
+    * keyed (anchor|pos|slot) over the corpus id universe. */
+  val q288_contrastive_pairs: String = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, substr(text, 1, (n_chars * 2) // 3)
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM corpus),
+sh AS (
+  SELECT doc_id, list_transform(range(1, len(tokens)-1),
+    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM toks WHERE len(tokens) >= 3),
+xs AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> CAST(('0x' || substr(md5(s),1,14)) AS BIGINT) % 1000000007) AS hs
+  FROM sh),
+ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
+dfs AS (SELECT shingle, count(*) AS df FROM posting GROUP BY 1),
+rk AS (
+  SELECT p.doc_id, p.shingle,
+    count(*) OVER (PARTITION BY p.doc_id) AS n_sh,
+    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.shingle) AS rnk
+  FROM posting p JOIN dfs d USING (shingle)),
+pre AS (
+  SELECT doc_id, n_sh, shingle FROM rk
+  WHERE rnk <= n_sh - (700*n_sh + 999)//1000 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.n_sh AS n_a, b.n_sh AS n_b
+  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    AND b.n_sh*1000 >= a.n_sh*700 AND a.n_sh*1000 >= b.n_sh*700),
+cm AS (
+  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS common
+  FROM cand c
+    JOIN posting pa ON pa.doc_id = c.doc_a
+    JOIN posting pb ON pb.doc_id = c.doc_b AND pb.shingle = pa.shingle
+  GROUP BY 1, 2, 3, 4),
+pos AS (
+  SELECT doc_a AS anchor_id, doc_b AS pos_id,
+    (common*1000)//(n_a + n_b - common) AS jac
+  FROM cm WHERE common*1000 >= 700*(n_a + n_b - common)),
+u AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS target
+  FROM corpus),
+nn AS (SELECT count(*) AS n FROM corpus),
+ex AS (SELECT anchor_id, pos_id, jac, unnest(range(1, 3)) AS slot FROM pos),
+h AS (
+  SELECT anchor_id, pos_id, slot,
+    CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|' ||
+      CAST(pos_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)), 1, 14))
+      AS BIGINT) % (SELECT n FROM nn) AS target
+  FROM ex)
+SELECT anchor_id, pos_id AS other_id, 'pos' AS label,
+  CAST(0 AS INTEGER) AS slot, CAST(jac AS BIGINT) AS weight_permille
+FROM pos
+UNION ALL
+SELECT h.anchor_id, u.doc_id, 'neg', CAST(h.slot AS INTEGER),
+  CAST(0 AS BIGINT)
+FROM h JOIN u USING (target)
+WHERE u.doc_id <> h.anchor_id AND u.doc_id <> h.pos_id
+ORDER BY anchor_id, label DESC, slot, other_id"""
+
   /** q287 twin of [[graft.events.EventAnalytics.keyedDiversity]]:
     * same two-level aggregate and integer Simpson. */
   val q287_user_diversity: String = """
@@ -7304,6 +7374,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q284_two_hop_reach" -> q284_two_hop_reach,
     "q285_negative_samples" -> q285_negative_samples,
     "q287_user_diversity" -> q287_user_diversity,
+    "q288_contrastive_pairs" -> q288_contrastive_pairs,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

@@ -973,6 +973,33 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED contrastive-pair curation capstone: near-dup pairs
+    // from the exact-Jaccard prefix filter (tau 700 over the q269
+    // injected corpus) become positives carrying their Jaccard as
+    // weight; two deterministic hash negatives per positive; one
+    // labeled training-pair table.
+    "q288_contrastive_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          expr("substr(text, 1, (n_chars * 2) div 3)").as("text")))
+      val pos = graft.dedup.Dedup.prefixFilterPairs(corpus, tauPermille = 700)
+        .select(col("doc_a").as("anchor_id"), col("doc_b").as("pos_id"),
+          col("jaccard_permille"))
+        .localCheckpoint()
+      val negs = graft.etl.Sampling.negativeSamples(
+        pos, corpus.select(col("doc_id")), idCol = "doc_id", k = 2)
+      val posRows = pos.select(col("anchor_id"),
+        col("pos_id").as("other_id"), lit("pos").as("label"),
+        lit(0).as("slot"), col("jaccard_permille").as("weight_permille"))
+      val negRows = negs.select(col("anchor_id"),
+        col("neg_id").as("other_id"), lit("neg").as("label"), col("slot"),
+        lit(0L).as("weight_permille"))
+      posRows.unionByName(negRows)
+        .orderBy(col("anchor_id"), col("label").desc, col("slot"),
+          col("other_id"))
+    }),
+
     // Per-user Simpson diversity of event types: exact
     // drawn-without-replacement collision probability, inverted to
     // a permille diversity — the third bot fingerprint.
