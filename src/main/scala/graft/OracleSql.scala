@@ -1795,6 +1795,23 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q289 twin of [[graft.store.Store.evolvedRead]]: the merged
+    * logical table derived straight from orders — evolution must be
+    * semantically invisible (the q80→q08 pattern). */
+  val q289_schema_evolution: String = """
+SELECT o_orderkey, o_custkey,
+  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+FROM orders ORDER BY o_orderkey"""
+
+  /** q290 twin of [[graft.store.Store.compact]]: compaction must be
+    * content-invisible, so the oracle aggregates the source rows. */
+  val q290_compaction: String = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** q288 twin of the composed contrastive-pair capstone: the q269
     * injected corpus, the q236 prefix-filter chain at tau 700
     * (positives, Jaccard weight), and the q285 keyHash negatives
@@ -7375,6 +7392,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q285_negative_samples" -> q285_negative_samples,
     "q287_user_diversity" -> q287_user_diversity,
     "q288_contrastive_pairs" -> q288_contrastive_pairs,
+    "q289_schema_evolution" -> q289_schema_evolution,
+    "q290_compaction" -> q290_compaction,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

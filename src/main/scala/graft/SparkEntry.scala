@@ -973,6 +973,44 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Schema-evolution merge read: two parquet generations (the
+    // second adds a column), one logical table; older rows surface
+    // NULL in the evolved column.
+    "q289_schema_evolution" -> ((s, dir) => {
+      val base = scratch("evolve", dir)
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+        .write.mode("overwrite").parquet(base + "/gen1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+          col("o_orderstatus").as("status"))
+        .write.mode("overwrite").parquet(base + "/gen2")
+      graft.store.Store.evolvedRead(s, Seq(base + "/gen1", base + "/gen2"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Small-file compaction round-trip: a 64-file lineitem slice
+    // coalesced to 4 files; result is the content-parity aggregate
+    // (file-count delta asserted in StoreSpec).
+    "q290_compaction" -> ((s, dir) => {
+      val base = scratch("compact", dir)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(base + "/in")
+      graft.store.Store.compact(s, base + "/in", base + "/out",
+          targetFiles = 4)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // COMPOSED contrastive-pair curation capstone: near-dup pairs
     // from the exact-Jaccard prefix filter (tau 700 over the q269
     // injected corpus) become positives carrying their Jaccard as

@@ -169,4 +169,41 @@ object Store {
              count(DISTINCT data_source) AS source_count
       FROM $barsTable
       GROUP BY date, symbol""")
+
+  /** Schema-evolution read: one logical table from parquet
+    * generations written under DIFFERENT schemas (columns added over
+    * time — the normal life of any long-lived table), via Spark's
+    * footer-level schema merge. Columns absent in an older generation
+    * surface as NULL — additive evolution only; renames/type changes
+    * are a rewrite, not a merge (stated contract).
+    *
+    * Scale honesty: `mergeSchema` reconciles by reading EVERY file's
+    * footer up front — at 100 TB (millions of files) that is a real
+    * driver-side cost, so the production path is a DECLARED unified
+    * schema (`spark.read.schema(...)`) or a metastore that already
+    * merged it; this operator is the audit/backfill tool that
+    * discovers what the unified schema IS. */
+  def evolvedRead(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Small-file compaction — the operational sweep behind every
+    * streaming/partitioned sink: thousands of kilobyte files turn
+    * listing, footer reads and task scheduling into the bottleneck
+    * (the classic small-files problem), so rewrite a directory into
+    * `targetFiles` files. `coalesce`, not `repartition`: compaction
+    * must not pay a shuffle — coalesce glues existing partitions
+    * (row CONTENT is preserved exactly; only file boundaries move,
+    * which is the whole point). Returns the compacted read-back so
+    * callers can assert content parity; the file-count delta is the
+    * spec's job ([[graft.store]] StoreSpec). At 100 TB: run per
+    * partition directory, never globally — coalesce to 1 across an
+    * estate serializes the write. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFiles: Int): DataFrame = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    spark.read.parquet(inPath)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
 }

@@ -264,4 +264,32 @@ class StoreSpec extends SparkSpec {
     spark.sql("DROP VIEW dm_test")
     spark.sql("DROP TABLE bars_ddl_test")
   }
+
+  test("evolvedRead: added columns merge, older generations read NULL") {
+    val base = tmp("evolve")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .write.parquet(base + "/g1")
+    Seq((3L, 30L, "x"), (4L, 40L, "y")).toDF("k", "v", "tag")
+      .write.parquet(base + "/g2")
+    val out = Store.evolvedRead(spark, Seq(base + "/g1", base + "/g2"))
+      .orderBy("k").collect()
+    out.map(_.schema.fieldNames.toSet).head shouldBe Set("k", "v", "tag")
+    out.map(r => (r.getAs[Long]("k"),
+      Option(r.getAs[String]("tag")))).toSeq shouldBe
+      Seq(1L -> None, 2L -> None, 3L -> Some("x"), 4L -> Some("y"))
+  }
+
+  test("compact: file count collapses to the target, content survives exactly") {
+    val base = tmp("compactsp")
+    val d = (1 to 500).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    d.repartition(32).write.parquet(base + "/in")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    parquetFiles(base + "/in") shouldBe 32
+    val out = Store.compact(spark, base + "/in", base + "/out",
+      targetFiles = 3)
+    parquetFiles(base + "/out") shouldBe 3
+    out.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq shouldBe
+      (1 to 500).map(i => (i.toLong, s"r$i"))
+  }
 }
