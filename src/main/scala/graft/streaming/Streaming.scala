@@ -507,3 +507,60 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }
+
+/** Per-user running totals state. */
+case class RunningTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+/** Arbitrary keyed state on Spark 4's `transformWithState` — the
+  * successor API to [[StatefulSessions]]' flatMapGroupsWithState
+  * (SPARK-40434 "State API v2"): named state variables through a
+  * typed handle (`ValueState`/`ListState`/`MapState`), per-variable
+  * TTL, timers decoupled from output mode, and schema'd state the
+  * engine can evolve — the API new stateful operators should target,
+  * so the engine carries both forms side by side.
+  *
+  * The operator: exact per-user running event count + value cents
+  * (the money-in-cents discipline: the fold is integer addition, so
+  * the running total is order-independent within a micro-batch and
+  * engine-exact). One emission per (user, micro-batch) in Update
+  * mode — the live dashboard contract.
+  *
+  * Scale: state is two BIGINTs per user; transformWithState REQUIRES
+  * the RocksDB state store provider (the E-StateStoreProviderSpec
+  * production path), so state lives off-heap on local disk with
+  * incremental checkpoints — user cardinality bounds disk, not heap.
+  * Totals-forever is deliberate (no watermark eviction): pass a
+  * `TTLConfig` at the call site when "active in the last N days" is
+  * the contract. */
+object StatefulTotals {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+
+  class TotalsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, SessionEvent, RunningTotal] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        Encoders.product[(Long, Long)], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 timers: TimerValues): Iterator[RunningTotal] = {
+      var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      st.update((n, cents))
+      Iterator.single(RunningTotal(key, n, cents))
+    }
+  }
+
+  def runningTotals(events: DataFrame,
+                    ttl: TTLConfig = TTLConfig.NONE): Dataset[RunningTotal] = {
+    implicit val evEnc = Encoders.product[SessionEvent]
+    implicit val outEnc = Encoders.product[RunningTotal]
+    implicit val keyEnc = Encoders.scalaLong
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor(ttl), TimeMode.None(),
+        OutputMode.Update())
+  }
+}

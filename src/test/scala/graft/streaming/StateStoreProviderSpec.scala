@@ -168,4 +168,37 @@ class StateStoreProviderSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState running totals: state carries across batches, batch-twin final") {
+    // transformWithState REQUIRES the RocksDB provider — the v2 state
+    // API is built on its column-family support
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[Ev]
+      val q = StatefulTotals.runningTotals(ms.toDF())
+        .writeStream.format("memory").queryName("tws_totals")
+        .option("checkpointLocation", tmp("tws"))
+        .outputMode("update").start()
+      try {
+        ms.addData(ev(1, 0, value = 1.25), ev(2, 1, value = 2.50))
+        q.processAllAvailable()
+        ms.addData(ev(3, 2, value = 4.00),
+          ev(4, 3, value = 8.00, user = 2L))
+        q.processAllAvailable()
+        val rows = spark.table("tws_totals").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        // update mode emits one row per (user, batch): user 1 grows
+        // 2 -> 3 events (125+250 -> +400 cents); user 2 appears once
+        rows should contain allOf ((1L, 2L, 375L), (1L, 3L, 775L),
+          (2L, 1L, 800L))
+        // final state equals the batch twin
+        val finals = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+        finals(1L) shouldBe ((1L, 3L, 775L))
+        finals(2L) shouldBe ((2L, 1L, 800L))
+        assertProvider(q, "RocksDB")
+      } finally q.stop()
+    }
+  }
 }
