@@ -1795,6 +1795,24 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q291 twin of [[graft.events.EventAnalytics.slidingStats]]: the
+    * size/slide replication identity — each event lands in exactly 4
+    * epoch-aligned 15-minute-stepped hour windows. */
+  val q291_sliding_stats: String = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t, event_type,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+x AS (
+  SELECT event_type, cents,
+    (t // 900000000) * 900000000 - j * 900000000 AS ws
+  FROM e, (SELECT unnest(range(0, 4)) AS j))
+SELECT make_timestamp(ws) AS window_start,
+  make_timestamp(ws + 3600000000) AS window_end,
+  event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(cents) AS BIGINT) AS value_cents
+FROM x GROUP BY ws, event_type ORDER BY window_start, event_type"""
+
   /** q289 twin of [[graft.store.Store.evolvedRead]]: the merged
     * logical table derived straight from orders — evolution must be
     * semantically invisible (the q80→q08 pattern). */
@@ -7394,6 +7412,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q288_contrastive_pairs" -> q288_contrastive_pairs,
     "q289_schema_evolution" -> q289_schema_evolution,
     "q290_compaction" -> q290_compaction,
+    "q291_sliding_stats" -> q291_sliding_stats,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

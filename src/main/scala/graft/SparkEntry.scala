@@ -973,6 +973,12 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Sliding event-time windows (1h size / 15m slide): the native
+    // Expand-node replication, exact integer cents per (window, type).
+    "q291_sliding_stats" -> ((s, dir) =>
+      graft.events.EventAnalytics.slidingStats(Tables.events(s, dir))
+        .orderBy(col("window_start"), col("event_type"))),
+
     // Schema-evolution merge read: two parquet generations (the
     // second adds a column), one logical table; older rows surface
     // NULL in the evolved column.

@@ -179,6 +179,27 @@ object EventAnalytics {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("unique_users"), col("total_value"), col("sum_k"))
 
+  /** SLIDING event-time windows — the smoothing variant tumbling
+    * windows can't give (a burst straddling a boundary splits across
+    * two tumbling buckets; every sliding window that covers it sees
+    * it whole — the E182 rate-limit lesson at the aggregate level).
+    * Spark's native `window(ts, size, slide)` compiles to ONE Expand
+    * node replicating each row size/slide times BEFORE the hash
+    * aggregate — no self-join, no per-window scan; the stated cost is
+    * exactly that multiplier (4× at 1h/15m), map-side combined away
+    * per window. `size` must be a multiple of `slide` here (the
+    * replication-count identity the oracle replays; Spark itself
+    * allows ragged ratios). Exact integer cents. */
+  def slidingStats(events: DataFrame, size: String = "1 hour",
+                   slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
   /** Per-user view→purchase funnel: event counts per stage, first
     * touch per stage, and whether the user converted (first purchase
     * at-or-after first view). One shuffle on user_id; conditional

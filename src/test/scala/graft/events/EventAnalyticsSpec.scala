@@ -672,6 +672,27 @@ test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >"
       EventAnalytics.cumulativeDistinct(d.repartition(7), "u", "day"))
   }
 
+  test("slidingStats: every event lands in size/slide windows; straddling burst seen whole") {
+    // two events 2 minutes apart straddling the 10:00 hour boundary
+    val rows = Seq(ev(1, 599, 1L, "click", 2.0),   // 09:59
+      ev(2, 601, 1L, "click", 3.0))                 // 10:01
+    val out = EventAnalytics.slidingStats(df(schema, rows: _*))
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("value_cents")))
+    // each event appears in exactly 4 windows
+    out.map(_._2).sum shouldBe 8L
+    // at least one sliding window contains BOTH (tumbling hours split them)
+    out.count(w => w._2 == 2L && w._3 == 500L) should be >= 1
+    // window span is exactly one hour
+    val r0 = EventAnalytics.slidingStats(df(schema, rows: _*)).collect().head
+    (r0.getAs[java.sql.Timestamp]("window_end").getTime -
+      r0.getAs[java.sql.Timestamp]("window_start").getTime) shouldBe 3600000L
+    val again = EventAnalytics.slidingStats(df(schema, rows: _*).repartition(5))
+      .collect().map(_.toSeq).toSet
+    again shouldBe EventAnalytics.slidingStats(df(schema, rows: _*))
+      .collect().map(_.toSeq).toSet
+  }
+
   test("keyedDiversity: exact Simpson by hand at both extremes and between") {
     val rows =
       (0 until 6).map(i => ev(10 + i, i, 1L, "click")) ++        // monoculture
