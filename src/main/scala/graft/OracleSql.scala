@@ -1795,6 +1795,46 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q292 twin of [[graft.graph.LinkGraph.modularity]]: the q124
+    * edge formulas, the same canonical undirected set, label map,
+    * and cleared-denominator arithmetic. */
+  val q292_modularity: String = """
+WITH e0 AS (
+  SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+         'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst FROM documents
+  UNION ALL
+  SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+         'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR) FROM documents),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+lab AS (
+  SELECT node,
+    'c' || CAST(CAST(substr(node, 2) AS BIGINT) // 8 AS VARCHAR) AS label
+  FROM nodes),
+deg AS (
+  SELECT node, count(*) AS d FROM
+    (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+dc AS (
+  SELECT l.label, count(*) AS n_nodes, sum(d) AS degree_sum
+  FROM deg JOIN lab l USING (node) GROUP BY 1),
+ic AS (
+  SELECT la.label, count(*) AS inner_edges
+  FROM und JOIN lab la ON und.a = la.node
+           JOIN lab lb ON und.b = lb.node
+  WHERE la.label = lb.label GROUP BY 1),
+m AS (SELECT count(*) AS m FROM und)
+SELECT dc.label, CAST(n_nodes AS BIGINT) AS n_nodes,
+  CAST(coalesce(inner_edges, 0) AS BIGINT) AS inner_edges,
+  CAST(degree_sum AS BIGINT) AS degree_sum,
+  CAST((SELECT m FROM m) AS BIGINT) AS m_edges,
+  CAST(((4 * (SELECT m FROM m) * coalesce(inner_edges, 0)
+          - degree_sum * degree_sum) * 1000000)
+       // (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS BIGINT) AS contrib_e6
+FROM dc LEFT JOIN ic USING (label) ORDER BY label"""
+
   /** q291 twin of [[graft.events.EventAnalytics.slidingStats]]: the
     * size/slide replication identity — each event lands in exactly 4
     * epoch-aligned 15-minute-stepped hour windows. */
@@ -7413,6 +7453,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q289_schema_evolution" -> q289_schema_evolution,
     "q290_compaction" -> q290_compaction,
     "q291_sliding_stats" -> q291_sliding_stats,
+    "q292_modularity" -> q292_modularity,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

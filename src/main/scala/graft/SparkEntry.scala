@@ -973,6 +973,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Newman-Girvan modularity of a domain-map partition over the
+    // q124 graph: exact cleared-denominator contributions per
+    // community in micro-units.
+    "q292_modularity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val edges = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+        .unionAll(docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst")))
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+      val labels = nodes.select(col("node"),
+        concat(lit("c"), expr("CAST(substr(node, 2) AS BIGINT) div 8")
+          .cast("string")).as("label"))
+      graft.graph.LinkGraph.modularity(edges, "src", "dst", labels)
+        .orderBy(col("label"))
+    }),
+
     // Sliding event-time windows (1h size / 15m slide): the native
     // Expand-node replication, exact integer cents per (window, type).
     "q291_sliding_stats" -> ((s, dir) =>

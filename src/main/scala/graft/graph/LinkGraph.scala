@@ -1163,6 +1163,59 @@ object LinkGraph {
     * Shape: one out-degree aggregate, one semi-join cap filter, ONE
     * edge self-join, one distinct + count. Output bounded by the
     * source universe. */
+  /** Newman–Girvan modularity of a node partition (Newman & Girvan
+    * 2004), exact — the quality score that makes community output
+    * COMPARABLE: Q = Σ_c [e_c/m − (d_c/2m)²] says how much denser
+    * each community is than the degree-preserving random graph, so
+    * two partitions (label propagation vs components vs a domain
+    * map) can be ranked instead of eyeballed. Per community the
+    * exact pieces (inner edges e_c, degree sum d_c, m) plus the
+    * contribution in micro-units via the cleared-denominator
+    * identity Q·4m² = Σ(4m·e_c − d_c²) — integers end to end; the
+    * truncating `div` (toward zero, identical on both engines) at
+    * the ÷4m² is the stated dust. BIGINT headroom bounds the SCALED
+    * contribution at 4m²·10⁶ < 2⁶³ ⇒ m ≤ 1.5·10⁶ edges; beyond
+    * that the exact PIECES (also emitted) stay valid to m < 1.5·10⁹
+    * and the consumer widens to decimals for the ratio.
+    * Contributions can be NEGATIVE (a community sparser than
+    * chance — the signal the score exists to expose).
+    *
+    * Input contract: `labels` assigns every node of the undirected
+    * simple graph (direction and multiplicity dropped here, stated).
+    * Shape: one degree aggregate, one two-sided label join over the
+    * canonical a<b edge set, two bounded label-keyed aggregates +
+    * one 1-row totals broadcast. */
+  def modularity(edges: DataFrame, src: String, dst: String,
+                 labels: DataFrame): DataFrame = {
+    val und = edges.select(col(src).cast("string").as("a"),
+        col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    val lab = labels.select(col("node").cast("string").as("node"),
+      col("label").cast("string").as("label"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val degByC = deg.join(lab, Seq("node"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"),
+        sum(col("__d")).as("degree_sum"))
+    val innerByC = und
+      .join(lab.select(col("node").as("a"), col("label").as("__la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("__lb")), Seq("b"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("inner_edges"))
+    val m = und.agg(count(lit(1)).as("__m"))
+    degByC.join(innerByC, Seq("label"), "left")
+      .withColumn("inner_edges", coalesce(col("inner_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("inner_edges"),
+        col("degree_sum"), col("__m").as("m_edges"),
+        expr("""((4 * __m * inner_edges - degree_sum * degree_sum)
+                 * 1000000) div (4 * __m * __m)""").as("contrib_e6"))
+  }
+
   def twoHopReach(edges: DataFrame, src: String, dst: String,
                   maxOutDegree: Long = 64L): DataFrame = {
     val e = edges.select(col(src).cast("string").as("src"),

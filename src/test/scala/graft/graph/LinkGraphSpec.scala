@@ -822,6 +822,59 @@ class LinkGraphSpec extends SparkSpec {
     reachMap(e, cap = 2L)("h") shouldBe ((3L, 3L))
   }
 
+  private def labelDf(pairs: (String, String)*) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    pairs.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      case (acc, (n, l)) =>
+        val row = edges(n -> n).select(col("src").as("node")).limit(1)
+          .select(col("node"), lit(l).as("label"))
+        Some(acc.map(_.unionByName(row)).getOrElse(row))
+    }.get
+  }
+
+  test("modularity: the two-triangles-and-a-bridge textbook value") {
+    // triangles {a,b,c} and {x,y,z} joined by c-x: m = 7; each
+    // triangle community: e_c = 3, d_c = 7 ->
+    // contrib = (84 - 49)e6 // 196 = 178571; Q ~ 0.357
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "a",
+      "x" -> "y", "y" -> "z", "z" -> "x", "c" -> "x")
+    val lab = labelDf("a" -> "T1", "b" -> "T1", "c" -> "T1",
+      "x" -> "T2", "y" -> "T2", "z" -> "T2")
+    val out = LinkGraph.modularity(e, "src", "dst", lab)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("T1", "T2").foreach { t =>
+      out(t).getAs[Long]("inner_edges") shouldBe 3L
+      out(t).getAs[Long]("degree_sum") shouldBe 7L
+      out(t).getAs[Long]("m_edges") shouldBe 7L
+      out(t).getAs[Long]("contrib_e6") shouldBe 178571L
+    }
+  }
+
+  test("modularity: one-community partition scores exactly zero; sparse goes negative") {
+    val tri = edges("a" -> "b", "b" -> "c", "c" -> "a")
+    val all = labelDf("a" -> "ALL", "b" -> "ALL", "c" -> "ALL")
+    LinkGraph.modularity(tri, "src", "dst", all)
+      .collect().head.getAs[Long]("contrib_e6") shouldBe 0L
+    // 4-cycle with alternating labels: zero inner edges, d_c = 4,
+    // m = 4 -> contrib = -16e6 // 64 = -250000 each
+    val cyc = edges("p" -> "q", "q" -> "r", "r" -> "s", "s" -> "p")
+    val alt = labelDf("p" -> "EVEN", "r" -> "EVEN", "q" -> "ODD", "s" -> "ODD")
+    LinkGraph.modularity(cyc, "src", "dst", alt).collect()
+      .foreach(_.getAs[Long]("contrib_e6") shouldBe -250000L)
+  }
+
+  test("modularity is invariant under input partitioning and edge direction") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "x",
+      "x" -> "y", "y" -> "x")   // duplicate/reversed edges collapse
+    val rev = edges("b" -> "a", "c" -> "b", "a" -> "c", "x" -> "c",
+      "y" -> "x", "x" -> "y")
+    val lab = labelDf("a" -> "L", "b" -> "L", "c" -> "L",
+      "x" -> "R", "y" -> "R")
+    assertSameRows(LinkGraph.modularity(e, "src", "dst", lab),
+      LinkGraph.modularity(rev.repartition(5), "src", "dst",
+        lab.repartition(3)))
+  }
+
   test("twoHopReach is invariant under input partitioning") {
     val e = edges((1 to 60).map(i =>
       s"n${i % 12}" -> s"n${(i * 5 + 2) % 13}"): _*)
