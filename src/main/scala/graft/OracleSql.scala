@@ -1795,6 +1795,44 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q293 twin of [[graft.text.TextAnalysis.rakeKeywords]]: the same
+    * islands identity, deg/freq milli-scores, and (score, phrase)
+    * cut. */
+  val q293_rake_keywords: String = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM documents WHERE lang = 'en'),
+p AS (
+  SELECT doc_id, unnest(tokens) AS t,
+    generate_subscripts(tokens, 1) AS pos
+  FROM toks),
+ns AS (
+  SELECT doc_id, pos, t,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM p
+  WHERE t NOT IN ('a', 'the', 'and', 'of', 'to', 'in', 'is', 'on')),
+wl AS (
+  SELECT doc_id, pos, t, isl,
+    count(*) OVER (PARTITION BY doc_id, isl) AS plen
+  FROM ns),
+wsc AS (
+  SELECT t, (sum(plen) * 1000) // count(*) AS wscore
+  FROM wl GROUP BY t),
+pi AS (
+  SELECT doc_id, isl, count(*) AS nw, sum(wscore) AS score
+  FROM wl JOIN wsc USING (t) GROUP BY 1, 2),
+pt AS (
+  SELECT doc_id, isl, string_agg(t, ' ' ORDER BY pos) AS phrase
+  FROM ns GROUP BY 1, 2)
+SELECT phrase, CAST(max(nw) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(max(score) AS BIGINT) AS score_e3
+FROM pt JOIN pi USING (doc_id, isl)
+GROUP BY phrase HAVING count(*) >= 2
+ORDER BY score_e3 DESC, phrase LIMIT 50"""
+
   /** q292 twin of [[graft.graph.LinkGraph.modularity]]: the q124
     * edge formulas, the same canonical undirected set, label map,
     * and cleared-denominator arithmetic. */
@@ -7454,6 +7492,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q290_compaction" -> q290_compaction,
     "q291_sliding_stats" -> q291_sliding_stats,
     "q292_modularity" -> q292_modularity,
+    "q293_rake_keywords" -> q293_rake_keywords,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

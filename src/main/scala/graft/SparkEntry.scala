@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // RAKE keyword extraction over the English slice: stopword-split
+    // phrase runs, exact deg/freq word scores in milli-units,
+    // top-50 phrases.
+    "q293_rake_keywords" -> ((s, dir) =>
+      graft.text.TextAnalysis.rakeKeywords(
+        Tables.documents(s, dir).filter(col("lang") === "en"))),
+
     // Newman-Girvan modularity of a domain-map partition over the
     // q124 graph: exact cleared-denominator contributions per
     // community in micro-units.

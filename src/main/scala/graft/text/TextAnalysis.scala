@@ -743,6 +743,53 @@ object TextAnalysis {
       .withColumn("is_code", coalesce(col("code_permille") >= 500, lit(false)))
   }
 
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+    * *Automatic keyword extraction from individual documents*) —
+    * unsupervised multi-word keyword mining: candidate phrases are
+    * the maximal token runs BETWEEN stopwords (the stopword list is
+    * the only knowledge injected), each word scores deg/freq where
+    * deg(w) = Σ over w's phrase occurrences of that phrase's length
+    * (long phrases boost their members — RAKE's bias toward
+    * multi-word technical terms), and a phrase scores the sum of its
+    * member word scores. Exact integers: per-word score floored to
+    * milli-units once (stated — the only rounding), phrase score an
+    * exact sum of those.
+    *
+    * Shape: tokenize + posexplode (scan-side), the gaps-and-islands
+    * identity (pos − row_number over non-stop rows) for phrase runs,
+    * one vocabulary-bounded word aggregate broadcast back, one
+    * (doc, island) aggregate, one distinct-phrase aggregate; top-k
+    * is TakeOrderedAndProject. */
+  def rakeKeywords(docs: DataFrame, stopwords: Seq[String] = Seq(
+      "a", "the", "and", "of", "to", "in", "is", "on"),
+      minOccurrences: Long = 2L, k: Int = 50): DataFrame = {
+    require(stopwords.nonEmpty, "RAKE needs a stopword list")
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val nonstop = toks.filter(!col("t").isin(stopwords: _*))
+      .withColumn("__isl", col("pos") - row_number().over(w))
+    val withLen = nonstop.withColumn("__plen",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("__isl"))))
+    val wordScores = withLen.groupBy(col("t"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .select(col("t"), expr("(__deg * 1000) div __freq").as("__wscore"))
+    val inst = withLen.join(broadcast(wordScores), Seq("t"))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(expr("""array_join(transform(
+             array_sort(collect_list(struct(pos, t))), x -> x.t), ' ')""")
+          .as("phrase"),
+        count(lit(1)).as("__nw"),
+        sum(col("__wscore")).as("__score"))
+    inst.groupBy(col("phrase"))
+      .agg(max(col("__nw")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("__score")).as("score_e3"))
+      .filter(col("n_occurrences") >= minOccurrences)
+      .orderBy(col("score_e3").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Per-document unigram surprisal — the language-model quality
     * filter of the CCNet/RefinedWeb lineage (Wenzek et al. 2020 score
     * documents by LM perplexity and cut the tails) re-expressed with

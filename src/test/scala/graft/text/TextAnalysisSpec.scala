@@ -512,6 +512,40 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.cardScan(d.repartition(7)))
   }
 
+  test("rakeKeywords: hand deg/freq scores, multi-word phrases outrank singles") {
+    // stopwords split runs: phrases [big data analytics],
+    // [big data platform], [data]; deg/freq by hand:
+    // big 6/2=3000, data 7/3=2333, analytics 3000, platform 3000
+    val d = docs(1L -> "big data analytics is big data platform on data")
+    val out = TextAnalysis.rakeKeywords(d, minOccurrences = 1L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("score_e3")))
+    out.toSeq shouldBe Seq(
+      ("big data analytics", 3L, 1L, 8333L),
+      ("big data platform", 3L, 1L, 8333L),
+      ("data", 1L, 1L, 2333L))
+  }
+
+  test("rakeKeywords: repeated phrases count occurrences; minOccurrences gates") {
+    val d = docs(
+      1L -> "fast scan of fast scan",
+      2L -> "fast scan and slow merge")
+    val out = TextAnalysis.rakeKeywords(d, minOccurrences = 2L).collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("fast scan")
+    out.head.getAs[Long]("n_occurrences") shouldBe 3L
+    // ...and the corpus-global word scores make every occurrence of a
+    // phrase score identically (max == the only value)
+    val all = TextAnalysis.rakeKeywords(d, minOccurrences = 1L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("score_e3")).toMap
+    all.keySet shouldBe Set("fast scan", "slow merge")
+    val rep = TextAnalysis.rakeKeywords(
+      docs(1L -> "fast scan of fast scan",
+        2L -> "fast scan and slow merge").repartition(5),
+      minOccurrences = 1L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("score_e3")).toMap
+    rep shouldBe all
+  }
+
   test("surprisalScores: hand bits, both filter tails, empty docs drop") {
     // corpus: "a" x12, "rare" x2, "mid" x2 -> N = 16
     // bits(a) = floor(log2(16 div 12 = 1)) = 0
