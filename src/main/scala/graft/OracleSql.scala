@@ -1795,6 +1795,53 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q294 twin of the forecast bake-off: the q279 recursive Holt
+    * fold over daily event counts + a lag-7 naive, both scored on
+    * the same rows with the identical round-then-cast micro-units. */
+  val q294_forecast_bakeoff: String = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date,
+    CAST(count(*) AS DOUBLE) AS close_price
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT symbol, date, close_price,
+    row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM daily),
+st AS (
+  SELECT symbol, date, close_price, rn,
+    close_price AS level, CAST(0 AS DOUBLE) AS trend,
+    CAST(NULL AS DOUBLE) AS residual
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT symbol, date, close_price, rn, lvl AS level,
+    CAST('0.25' AS DOUBLE) * (lvl - plvl)
+      + CAST('0.75' AS DOUBLE) * ptr AS trend,
+    res AS residual
+  FROM (
+    SELECT d.symbol, d.date, d.close_price, d.rn,
+      CAST('0.5' AS DOUBLE) * d.close_price
+        + CAST('0.5' AS DOUBLE) * (st.level + st.trend) AS lvl,
+      st.level AS plvl, st.trend AS ptr,
+      d.close_price - (st.level + st.trend) AS res
+    FROM st JOIN d ON d.symbol = st.symbol AND d.rn = st.rn + 1)),
+b AS (
+  SELECT symbol, close_price, residual,
+    lag(close_price, 7) OVER (PARTITION BY symbol ORDER BY date) AS prev7
+  FROM st),
+f AS (SELECT * FROM b WHERE prev7 IS NOT NULL AND residual IS NOT NULL)
+SELECT symbol AS event_type, CAST(count(*) AS BIGINT) AS n_scored,
+  CAST(sum(CAST(round(abs(residual) * 1000000) AS BIGINT)) // count(*)
+    AS BIGINT) AS holt_mae_e6,
+  CAST(sum(CAST(round(abs(close_price - prev7) * 1000000) AS BIGINT))
+    // count(*) AS BIGINT) AS naive_mae_e6,
+  CASE WHEN sum(CAST(round(abs(residual) * 1000000) AS BIGINT))
+          < sum(CAST(round(abs(close_price - prev7) * 1000000) AS BIGINT))
+       THEN 'holt'
+       WHEN sum(CAST(round(abs(residual) * 1000000) AS BIGINT))
+          > sum(CAST(round(abs(close_price - prev7) * 1000000) AS BIGINT))
+       THEN 'naive' ELSE 'tie' END AS winner
+FROM f GROUP BY symbol ORDER BY event_type"""
+
   /** q293 twin of [[graft.text.TextAnalysis.rakeKeywords]]: the same
     * islands identity, deg/freq milli-scores, and (score, phrase)
     * cut. */
@@ -7493,6 +7540,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q291_sliding_stats" -> q291_sliding_stats,
     "q292_modularity" -> q292_modularity,
     "q293_rake_keywords" -> q293_rake_keywords,
+    "q294_forecast_bakeoff" -> q294_forecast_bakeoff,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

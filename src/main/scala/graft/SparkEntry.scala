@@ -973,6 +973,37 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED forecast bake-off: Holt level+trend vs 7-day seasonal
+    // naive, scored one-step over the SAME days per event type (both
+    // models defined), MAE in exact rounded micro-units, winner
+    // adjudicated on the exact sums.
+    "q294_forecast_bakeoff" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type").as("symbol"),
+          expr("CAST(ts AS DATE)").as("date"))
+        .agg(count(lit(1)).cast("double").as("close_price"))
+      val holt = graft.analytics.Indicators.holtSmooth(daily)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("date"))
+      val both = holt
+        .withColumn("__prev7", lag(col("close_price"), 7).over(w))
+        .filter(col("__prev7").isNotNull && col("residual").isNotNull)
+      both.groupBy(col("symbol").as("event_type")).agg(
+          count(lit(1)).as("n_scored"),
+          sum(expr("CAST(round(abs(residual) * 1000000) AS BIGINT)"))
+            .as("__h"),
+          sum(expr(
+            "CAST(round(abs(close_price - __prev7) * 1000000) AS BIGINT)"))
+            .as("__n"))
+        .select(col("event_type"), col("n_scored"),
+          expr("__h div n_scored").as("holt_mae_e6"),
+          expr("__n div n_scored").as("naive_mae_e6"),
+          when(col("__h") < col("__n"), "holt")
+            .when(col("__h") > col("__n"), "naive")
+            .otherwise("tie").as("winner"))
+        .orderBy(col("event_type"))
+    }),
+
     // RAKE keyword extraction over the English slice: stopword-split
     // phrase runs, exact deg/freq word scores in milli-units,
     // top-50 phrases.
