@@ -1795,6 +1795,22 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q295 twin of [[graft.events.EventAnalytics.churnLabels]]: the
+    * same strict cutoff split and horizon anti-membership. */
+  val q295_churn_labels: String = """
+WITH f AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+    CAST(DATE '2024-01-24' - max(CAST(ts AS DATE)) AS BIGINT) AS recency_days
+  FROM events WHERE ts < DATE '2024-01-24' GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= DATE '2024-01-24' AND ts < DATE '2024-01-31')
+SELECT f.user_id, n_events, n_types, value_cents, recency_days,
+  a.user_id IS NULL AS churned
+FROM f LEFT JOIN a USING (user_id) ORDER BY user_id"""
+
   /** q294 twin of the forecast bake-off: the q279 recursive Holt
     * fold over daily event counts + a lag-7 naive, both scored on
     * the same rows with the identical round-then-cast micro-units. */
@@ -7541,6 +7557,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q292_modularity" -> q292_modularity,
     "q293_rake_keywords" -> q293_rake_keywords,
     "q294_forecast_bakeoff" -> q294_forecast_bakeoff,
+    "q295_churn_labels" -> q295_churn_labels,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

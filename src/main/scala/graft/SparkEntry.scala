@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Leakage-safe churn labels: features strictly before the
+    // 2024-01-24 cutoff, label = no activity in the 7-day horizon.
+    "q295_churn_labels" -> ((s, dir) =>
+      graft.events.EventAnalytics.churnLabels(Tables.events(s, dir),
+          cutoff = "2024-01-24", horizonDays = 7)
+        .orderBy(col("user_id"))),
+
     // COMPOSED forecast bake-off: Holt level+trend vs 7-day seasonal
     // naive, scored one-step over the SAME days per event type (both
     // models defined), MAE in exact rounded micro-units, winner

@@ -971,6 +971,44 @@ object EventAnalytics {
         col("n_new_cum").as("cum_distinct"))
   }
 
+  /** Leakage-safe churn label builder — the supervised-dataset
+    * constructor behind every retention model, with the one
+    * discipline that decides whether the model is real: features
+    * come STRICTLY from before the cutoff instant, the label
+    * strictly from the [cutoff, cutoff+horizon) window after it, and
+    * nothing crosses (a feature that peeks one event past the cutoff
+    * is the classic target leak — the model "predicts" what it
+    * already saw). Population = users with ≥1 feature-window event
+    * (the users known at scoring time, stated); label = churned ⇔ no
+    * activity in the horizon. Features: exact counts, type breadth,
+    * value cents, recency days at cutoff.
+    *
+    * Shape: two filtered aggregates over one events pass each + one
+    * left join keyed by user; output bounded by users. The cutoff
+    * comparison is timestamp < DATE (midnight semantics — identical
+    * cast rule on both engines, stated). */
+  def churnLabels(events: DataFrame, cutoff: String,
+                  horizonDays: Int = 7): DataFrame = {
+    require(horizonDays >= 1, "horizonDays must be >= 1")
+    val cut = to_date(lit(cutoff))
+    val feat = events.filter(col("ts") < cut)
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"),
+        max(col("ts")).as("__last"))
+      .withColumn("recency_days",
+        datediff(cut, expr("CAST(__last AS DATE)")).cast("long"))
+      .drop("__last")
+    val active = events
+      .filter(col("ts") >= cut && col("ts") < date_add(cut, horizonDays))
+      .select(col("user_id")).distinct()
+      .withColumn("__active", lit(true))
+    feat.join(active, Seq("user_id"), "left")
+      .withColumn("churned", coalesce(col("__active"), lit(false)) === false)
+      .drop("__active")
+  }
+
   /** Per-key Simpson diversity of a categorical mix (Simpson, Nature
     * 1949) — the third bot fingerprint beside E132's transition rows
     * and E158's cadence: a human's event mix is varied, a scripted

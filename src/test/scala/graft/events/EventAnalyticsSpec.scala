@@ -672,6 +672,39 @@ test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >"
       EventAnalytics.cumulativeDistinct(d.repartition(7), "u", "day"))
   }
 
+  // ev() timestamps are epoch-1970-based; the cutoff fixtures need 2024
+  private val jan1 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def ev24(id: Long, minute: Long, user: Long,
+                   typ: String = "click", value: Double = 1.0) =
+    Row(id, new Timestamp(jan1 + minute * 60000L), user, typ, value, "{}")
+
+  test("churnLabels: the leakage gate — nothing after the cutoff enters a feature") {
+    val day = 24 * 60L
+    val rows = Seq(
+      ev24(1, 0, 1L, "view", 10.0), ev24(2, day, 1L, "click", 20.0),
+      ev24(3, 3 * day + 5, 1L, "purchase", 999.0), // after cutoff: label-only
+      ev24(4, day, 2L, "view", 5.0),               // user 2: silent after
+      ev24(5, 4 * day, 3L, "view", 7.0))           // only after cutoff: excluded
+    val out = EventAnalytics.churnLabels(df(schema, rows: _*),
+      cutoff = "2024-01-04", horizonDays = 7).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    out.keySet shouldBe Set(1L, 2L)                // user 3 unknown at cutoff
+    out(1L).getAs[Long]("n_events") shouldBe 2L    // the purchase NEVER counts
+    out(1L).getAs[Long]("value_cents") shouldBe 3000L
+    out(1L).getAs[Boolean]("churned") shouldBe false
+    out(2L).getAs[Long]("n_events") shouldBe 1L
+    out(2L).getAs[Boolean]("churned") shouldBe true
+    out(2L).getAs[Long]("recency_days") shouldBe 2L  // last seen Jan 2
+  }
+
+  test("churnLabels: activity past the horizon does not rescue a churner") {
+    val day = 24 * 60L
+    val rows = Seq(ev24(1, 0, 1L), ev24(2, 15 * day, 1L)) // returns day 16
+    val out = EventAnalytics.churnLabels(df(schema, rows: _*),
+      cutoff = "2024-01-04", horizonDays = 7).collect().head
+    out.getAs[Boolean]("churned") shouldBe true      // horizon ends Jan 11
+  }
+
   test("slidingStats: every event lands in size/slide windows; straddling burst seen whole") {
     // two events 2 minutes apart straddling the 10:00 hour boundary
     val rows = Seq(ev(1, 599, 1L, "click", 2.0),   // 09:59
