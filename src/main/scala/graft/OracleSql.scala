@@ -1795,6 +1795,54 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q296 twin of [[graft.dedup.Dedup.weightedJaccardPairs]]: the
+    * q288 shingle chain, floor-log2 IDF weights, weighted sums. */
+  val q296_weighted_jaccard: String = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, substr(text, 1, (n_chars * 2) // 3)
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM corpus),
+sh AS (
+  SELECT doc_id, list_transform(range(1, len(tokens)-1),
+    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM toks WHERE len(tokens) >= 3),
+xs AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> CAST(('0x' || substr(md5(s),1,14)) AS BIGINT) % 1000000007) AS hs
+  FROM sh),
+ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
+posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
+dfs AS (SELECT shingle, count(*) AS df FROM posting GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM posting),
+wt AS (
+  SELECT shingle, df,
+    CAST(length(bin(CAST((SELECT nd FROM nd) // df AS BIGINT))) - 1
+      AS BIGINT) AS w
+  FROM dfs),
+ws AS (
+  SELECT doc_id, sum(w) AS wsum
+  FROM posting JOIN wt USING (shingle) GROUP BY 1),
+f AS (
+  SELECT p.doc_id, p.shingle, wt.w
+  FROM posting p JOIN wt USING (shingle)
+  WHERE wt.df <= 100 AND wt.w > 0),
+cm AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w) AS wc
+  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT cm.doc_a, cm.doc_b, CAST(wc AS BIGINT) AS weighted_common,
+  CAST((wc * 1000) // (wa.wsum + wb.wsum - wc) AS BIGINT) AS sim_permille
+FROM cm JOIN ws wa ON cm.doc_a = wa.doc_id
+         JOIN ws wb ON cm.doc_b = wb.doc_id
+WHERE (wc * 1000) // (wa.wsum + wb.wsum - wc) >= 500
+ORDER BY doc_a, doc_b"""
+
   /** q295 twin of [[graft.events.EventAnalytics.churnLabels]]: the
     * same strict cutoff split and horizon anti-membership. */
   val q295_churn_labels: String = """
@@ -7558,6 +7606,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q293_rake_keywords" -> q293_rake_keywords,
     "q294_forecast_bakeoff" -> q294_forecast_bakeoff,
     "q295_churn_labels" -> q295_churn_labels,
+    "q296_weighted_jaccard" -> q296_weighted_jaccard,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // IDF-weighted Jaccard near-dup pairs over the injected-twin
+    // corpus: boilerplate shingles (w=0) vanish from the measure,
+    // exact floor-log2 weights, q19 plan skeleton.
+    "q296_weighted_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          expr("substr(text, 1, (n_chars * 2) div 3)").as("text")))
+      graft.dedup.Dedup.weightedJaccardPairs(corpus, tauPermille = 500)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Leakage-safe churn labels: features strictly before the
     // 2024-01-24 cutoff, label = no activity in the 7-day horizon.
     "q295_churn_labels" -> ((s, dir) =>

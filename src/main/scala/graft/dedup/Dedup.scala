@@ -286,6 +286,58 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** IDF-weighted Jaccard pairs — the soft-dedup refinement of
+    * [[jaccardPairs]] for template-heavy corpora: plain Jaccard
+    * weighs the boilerplate shingle ("all rights reserved …") the
+    * same as the distinctive one, so two different articles in one
+    * site template score high and two true near-dups differing only
+    * in template score low. Weighted Jaccard Σ_{s∈A∩B} w(s) /
+    * Σ_{s∈A∪B} w(s) with w = the corpus IDF fixes both directions;
+    * w is the EXACT floor-log2 bit length of N div df (the E156
+    * device — integer, engine-identical), so ubiquitous shingles
+    * (df = N ⇒ w = 0) vanish from numerator AND denominator: the
+    * template literally does not exist for this measure.
+    *
+    * Plan: the q19 skeleton verbatim (one distinct postings frame →
+    * sizes/df/self-join, localCheckpoint'd for the four-consumer
+    * reason) with the weight table (vocabulary-bounded, one 1-row N
+    * broadcast) joined on. Zero-weight shingles are pruned BEFORE
+    * the self-join — a value-neutral filter (they contribute 0) that
+    * also removes exactly the hottest keys. The df cap makes the
+    * weighted common a LOWER bound while the per-doc weight sums
+    * stay full: capped similarity under-reports, never inflates
+    * (the q19 governor contract). */
+  def weightedJaccardPairs(docs: DataFrame, tauPermille: Long = 500,
+                           maxDocFreq: Long = 100, idCol: String = "doc_id",
+                           textCol: String = "text", n: Int = 3): DataFrame = {
+    val posting = explodedShingleHashes(docs, idCol, textCol, n)
+      .distinct().localCheckpoint()
+    val dfs = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val nd = posting.agg(countDistinct(col("doc_id")).as("__nd"))
+    val weights = dfs.crossJoin(broadcast(nd))
+      .withColumn("w", (length(bin(expr("__nd div df"))) - 1).cast("long"))
+      .select(col("shingle"), col("df"), col("w"))
+    val wsizes = posting.join(weights.select("shingle", "w"), "shingle")
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
+    val filtered = posting.join(
+      weights.filter(col("df") <= maxDocFreq && col("w") > 0)
+        .select(col("shingle"), col("w")), "shingle")
+    filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w")).as("weighted_common"))
+      .join(broadcast(wsizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "wsum" -> "__wa"))), "doc_a")
+      .join(broadcast(wsizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "wsum" -> "__wb"))), "doc_b")
+      .withColumn("sim_permille", expr(
+        "(weighted_common * 1000) div (__wa + __wb - weighted_common)"))
+      .filter(col("sim_permille") >= tauPermille)
+      .select(col("doc_a"), col("doc_b"), col("weighted_common"),
+        col("sim_permille"))
+  }
+
   /** Asymmetric shingle CONTAINMENT pairs — the sub-document capture
     * detector Jaccard structurally misses: a 40-token quote fully
     * pasted inside a 4000-token page has Jaccard ≈ 0.01 (union is the

@@ -549,4 +549,50 @@ class DedupSpec extends SparkSpec {
       Dedup.prefixFilterPairs(d, tauPermille = 700),
       Dedup.prefixFilterPairs(d.repartition(7), tauPermille = 700))
   }
+
+  test("weightedJaccardPairs: the shared template vanishes from the measure") {
+    // four docs share a long template; cores X and Y distinguish two
+    // twin groups. Template shingles have df = N -> weight 0, so the
+    // cross-group pairs (template-only overlap) disappear entirely
+    // while PLAIN jaccard still pairs them.
+    val template = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = docs(
+      1L -> s"x1 x2 x3 x4 x5 $template",
+      2L -> s"x1 x2 x3 x4 x5 $template",
+      3L -> s"y1 y2 y3 y4 y5 $template",
+      4L -> s"y1 y2 y3 y4 y5 $template")
+    val weighted = Dedup.weightedJaccardPairs(d, tauPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    weighted shouldBe Set((1L, 2L), (3L, 4L))
+    // identical docs score exactly 1000
+    Dedup.weightedJaccardPairs(d, tauPermille = 500).collect()
+      .foreach(_.getAs[Long]("sim_permille") shouldBe 1000L)
+    // plain jaccard at the same cut is fooled by the template
+    val plain = Dedup.jaccardPairs(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    plain should contain((1L, 3L))
+  }
+
+  test("weightedJaccardPairs: df cap under-reports, never inflates; partition-invariant") {
+    // N = 6 docs so the twins' shingles (df = 2) carry weight
+    // bits(6 div 2) = 1 > 0
+    val d = docs(
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8",
+      2L -> "a1 a2 a3 a4 a5 a6 a7 a8",
+      3L -> "b1 b2 b3 zz yy xx qq pp",
+      4L -> "c1 c2 c3 c4 c5",
+      5L -> "d1 d2 d3 d4 d5",
+      6L -> "e1 e2 e3 e4 e5")
+    val loose = Dedup.weightedJaccardPairs(d, tauPermille = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("sim_permille")).toMap
+    // cap at df <= 1 drops every shared shingle -> the (1,2) pair's
+    // weighted common collapses to nothing: no pair survives
+    val capped = Dedup.weightedJaccardPairs(d, tauPermille = 1L,
+      maxDocFreq = 1L).collect()
+    loose((1L, 2L)) shouldBe 1000L
+    capped shouldBe empty
+    assertSameRows(Dedup.weightedJaccardPairs(d, tauPermille = 1L),
+      Dedup.weightedJaccardPairs(d.repartition(7), tauPermille = 1L))
+  }
 }
