@@ -564,3 +564,61 @@ object StatefulTotals {
         OutputMode.Update())
   }
 }
+
+/** One buffered event (cents — the exactness discipline). */
+case class RecentEvent(ts: java.sql.Timestamp, event_id: Long,
+                       event_type: String, value_cents: Long)
+/** The emitted buffer view: ids in (ts, event_id) order. */
+case class RecentBuffer(user_id: Long, n_buffered: Int, event_ids: Seq[Long])
+
+/** Last-k event buffer per user on `ListState` — the online
+  * feature-store pattern (a serving model reads "the user's last 5
+  * interactions" at request time; this operator IS that feature,
+  * maintained incrementally): every micro-batch merges its rows into
+  * the buffer, re-sorts by the exact (ts, event_id) order, trims to
+  * the NEWEST k, and emits the current view (Update mode). The
+  * re-sort makes late/out-of-order arrivals land in their true
+  * position — a buffer that appended blindly would serve a
+  * wrong-order feature forever.
+  *
+  * ListState (vs E293's ValueState holding a collection) is the
+  * right primitive: the store persists elements individually, so a
+  * k-sized buffer costs k small entries, not one re-serialized blob
+  * per update. State per user is ≤ k events — bounded by
+  * construction, no watermark needed. RocksDB provider required
+  * (the v2 state API contract). */
+object StatefulRecent {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{ListState, OutputMode,
+    StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+  class RecentProcessor(k: Int)
+      extends StatefulProcessor[Long, SessionEvent, RecentBuffer] {
+    @transient private var buf: ListState[RecentEvent] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[RecentEvent]("recent",
+        Encoders.product[RecentEvent], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 timers: TimerValues): Iterator[RecentBuffer] = {
+      val existing = if (buf.exists()) buf.get().toSeq else Seq.empty
+      val incoming = rows.map(e => RecentEvent(e.ts, e.event_id,
+        e.event_type, math.round(e.value * 100))).toSeq
+      val merged = (existing ++ incoming)
+        .sortBy(r => (r.ts.getTime, r.event_id)).takeRight(k)
+      buf.put(merged.toArray)
+      Iterator.single(RecentBuffer(key, merged.size, merged.map(_.event_id)))
+    }
+  }
+
+  def recentEvents(events: DataFrame, k: Int = 5): Dataset[RecentBuffer] = {
+    require(k >= 1, "k must be >= 1")
+    implicit val evEnc = Encoders.product[SessionEvent]
+    implicit val outEnc = Encoders.product[RecentBuffer]
+    implicit val keyEnc = Encoders.scalaLong
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentProcessor(k), TimeMode.None(),
+        OutputMode.Update())
+  }
+}

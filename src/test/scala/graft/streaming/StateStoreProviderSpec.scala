@@ -169,6 +169,32 @@ class StateStoreProviderSpec extends SparkSpec {
     }
   }
 
+  test("ListState recent-k buffer: trims to newest, re-sorts late arrivals") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[Ev]
+      val q = StatefulRecent.recentEvents(ms.toDF(), k = 3)
+        .writeStream.format("memory").queryName("tws_recent")
+        .option("checkpointLocation", tmp("tws-recent"))
+        .outputMode("update").start()
+      try {
+        ms.addData(ev(10, 10), ev(20, 20), ev(30, 30), ev(40, 40))
+        q.processAllAvailable()
+        // a LATE event (minute 25) arrives in batch 2: it must sort
+        // into position, evicting the oldest, not append at the end
+        ms.addData(ev(25, 25))
+        q.processAllAvailable()
+        val views = spark.table("tws_recent").collect()
+          .map(r => (r.getAs[Int]("n_buffered"),
+            r.getAs[Seq[Long]]("event_ids")))
+        views should contain((3, Seq(20L, 30L, 40L)))   // after batch 1
+        views should contain((3, Seq(25L, 30L, 40L)))   // late 25 in place
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState running totals: state carries across batches, batch-twin final") {
     // transformWithState REQUIRES the RocksDB provider — the v2 state
     // API is built on its column-family support
