@@ -1795,6 +1795,114 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q299 twin of the DBSCAN-compactness composition: the q277
+    * chain with its final verdict select swapped for the assignment
+    * join + the König–Huygens arithmetic. Lazy: splices
+    * [[q277_dbscan]], defined later in this object. */
+  lazy val q299_cluster_compactness: String =
+    q277_dbscan.substring(0, q277_dbscan.indexOf("SELECT p.id,")) + """,
+asg AS (
+  SELECT p.id, p.x, p.y, COALESCE(l.cluster, bo.cluster) AS cluster
+  FROM p LEFT JOIN lab l ON p.id = l.node
+         LEFT JOIN border bo ON p.id = bo.id)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+  CAST(count(*) * sum(x*x + y*y) - sum(x)*sum(x) - sum(y)*sum(y)
+    AS BIGINT) AS scatter_num,
+  CAST((count(*) * sum(x*x + y*y) - sum(x)*sum(x) - sum(y)*sum(y))
+    // (count(*) * count(*)) AS BIGINT) AS mean_radius2
+FROM asg WHERE cluster IS NOT NULL
+GROUP BY cluster ORDER BY cluster"""
+
+  /** q300 twin of [[graft.analytics.Segmentation.stumpSplit]] over
+    * the q295 churn labels: cumulative class counts over sorted
+    * thresholds, the same cleared-S Gini cost, struct-min best. */
+  val q300_stump_split: String = """
+WITH f AS (
+  SELECT user_id,
+    CAST(DATE '2024-01-24' - max(CAST(ts AS DATE)) AS BIGINT) AS recency_days
+  FROM events WHERE ts < DATE '2024-01-24' GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= DATE '2024-01-24' AND ts < DATE '2024-01-31'),
+lab AS (
+  SELECT f.user_id, f.recency_days, a.user_id IS NULL AS churned
+  FROM f LEFT JOIN a USING (user_id)),
+pv AS (
+  SELECT recency_days AS v, count(*) AS cnt,
+    sum(CASE WHEN churned THEN 1 ELSE 0 END) AS pos
+  FROM lab GROUP BY 1),
+cum AS (
+  SELECT v, sum(cnt) OVER (ORDER BY v) AS cnt_cum,
+    sum(pos) OVER (ORDER BY v) AS pos_cum
+  FROM pv),
+t AS (SELECT sum(cnt) AS n, sum(pos) AS p FROM pv),
+scan AS (
+  SELECT v AS threshold, cnt_cum AS n_left, pos_cum AS pos_left,
+    t.n - cnt_cum AS n_right, t.p - pos_cum AS pos_right, t.n AS nn
+  FROM cum, t WHERE cnt_cum < t.n),
+c AS (
+  SELECT threshold, n_left, pos_left, n_right, pos_right,
+    nn * 1000
+      - ((pos_left * pos_left
+          + (n_left - pos_left) * (n_left - pos_left)) * 1000) // n_left
+      - ((pos_right * pos_right
+          + (n_right - pos_right) * (n_right - pos_right)) * 1000) // n_right
+      AS cost_milli
+  FROM scan),
+b AS (SELECT min(cost_milli) AS bc FROM c),
+b2 AS (SELECT min(threshold) AS bt FROM c
+       WHERE cost_milli = (SELECT bc FROM b))
+SELECT threshold, CAST(n_left AS BIGINT) AS n_left,
+  CAST(pos_left AS BIGINT) AS pos_left,
+  CAST(n_right AS BIGINT) AS n_right,
+  CAST(pos_right AS BIGINT) AS pos_right,
+  CAST(cost_milli AS BIGINT) AS cost_milli,
+  (cost_milli = (SELECT bc FROM b)
+    AND threshold = (SELECT bt FROM b2)) AS is_best
+FROM c ORDER BY threshold"""
+
+  /** q297 twin of [[graft.analytics.Indicators.onBalanceVolume]]:
+    * the same sign rule and per-symbol running sum. */
+  val q297_obv: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price, min(volume) AS volume
+  FROM merged GROUP BY symbol, date),
+s AS (
+  SELECT symbol, date, close_price, volume,
+    lag(close_price) OVER (PARTITION BY symbol ORDER BY date) AS prev
+  FROM daily),
+sv AS (
+  SELECT symbol, date, close_price, volume,
+    CASE WHEN prev IS NULL OR close_price = prev THEN 0
+         WHEN close_price > prev THEN volume ELSE -volume END AS sv
+  FROM s)
+SELECT symbol, date, close_price, volume,
+  CAST(sum(sv) OVER (PARTITION BY symbol ORDER BY date
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM sv ORDER BY symbol, date"""
+
+  /** q298 twin of the time-to-convert composition: the q152 funnel
+    * timing construction + the q260 row-sort quantile pick. */
+  val q298_time_to_convert: String = """
+WITH fv AS (
+  SELECT user_id, min(epoch_us(ts)) AS v FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, fv.v, min(epoch_us(e.ts)) AS p
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v
+  GROUP BY e.user_id, fv.v),
+d AS (SELECT p - v AS delta_us FROM fp),
+o AS (
+  SELECT delta_us, row_number() OVER (ORDER BY delta_us) AS rn,
+    CAST(count(*) OVER () AS BIGINT) AS n
+  FROM d),
+q(q_permille) AS (SELECT * FROM (VALUES (250), (500), (750)))
+SELECT q.q_permille, o.delta_us AS value,
+  (q.q_permille * o.n + 999) // 1000 AS target_rank, o.n AS n
+FROM q JOIN o ON o.rn = (q.q_permille * o.n + 999) // 1000
+ORDER BY q.q_permille"""
+
   /** q296 twin of [[graft.dedup.Dedup.weightedJaccardPairs]]: the
     * q288 shingle chain, floor-log2 IDF weights, weighted sums. */
   val q296_weighted_jaccard: String = """
@@ -7607,6 +7715,10 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q294_forecast_bakeoff" -> q294_forecast_bakeoff,
     "q295_churn_labels" -> q295_churn_labels,
     "q296_weighted_jaccard" -> q296_weighted_jaccard,
+    "q297_obv" -> q297_obv,
+    "q298_time_to_convert" -> q298_time_to_convert,
+    "q299_cluster_compactness" -> q299_cluster_compactness,
+    "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,
     "q190_ltv_curve" -> q190_ltv_curve,

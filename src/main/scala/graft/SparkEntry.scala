@@ -973,6 +973,58 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED cluster-compactness audit over the q277 DBSCAN
+    // clustering: exact within-cluster scatter via the centroid-free
+    // Konig-Huygens identity.
+    "q299_cluster_compactness" -> ((s, dir) => {
+      val pts = Tables.documents(s, dir).select(
+        col("doc_id").as("id"),
+        (col("doc_id") * 7919 % 2000001 - 1000000).as("x_e6"),
+        ((col("doc_id") * 104729 + 12345) % 2000001 - 1000000).as("y_e6"))
+      val assign = graft.spatial.Spatial.dbscan(pts, eps = 150000L,
+        minPts = 8)
+      graft.spatial.Spatial.clusterCompactness(pts, assign)
+        .orderBy(col("cluster"))
+    }),
+
+    // Exact CART decision-stump scan over the q295 churn labels:
+    // every recency threshold's weighted Gini cost in milli-units,
+    // struct-min best pick.
+    "q300_stump_split" -> ((s, dir) => {
+      val labeled = graft.events.EventAnalytics.churnLabels(
+        Tables.events(s, dir), cutoff = "2024-01-24", horizonDays = 7)
+      graft.analytics.Segmentation.stumpSplit(labeled,
+          "recency_days", "churned")
+        .orderBy(col("threshold"))
+    }),
+
+    // On-balance volume per symbol: exact signed-volume prefix sum.
+    "q297_obv" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"),
+          min(col("volume")).as("volume"))
+      graft.analytics.Indicators.onBalanceVolume(daily)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
+    // COMPOSED time-to-convert quantiles: per-user first-view ->
+    // first-subsequent-purchase delta in exact micros, then the
+    // distributed exact type-1 quartiles (no global row sort).
+    "q298_time_to_convert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(expr("unix_micros(ts)")).as("__v"))
+      val delta = ev.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter(expr("unix_micros(ts)") > col("__v"))
+        .groupBy(col("user_id"), col("__v"))
+        .agg(min(expr("unix_micros(ts)")).as("__p"))
+        .select((col("__p") - col("__v")).as("delta_us"))
+      graft.analytics.Profiling.exactQuantiles(delta, "delta_us",
+          Seq(250, 500, 750))
+        .orderBy(col("q_permille"))
+    }),
+
     // IDF-weighted Jaccard near-dup pairs over the injected-twin
     // corpus: boilerplate shingles (w=0) vanish from the measure,
     // exact floor-log2 weights, q19 plan skeleton.

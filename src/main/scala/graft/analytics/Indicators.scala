@@ -197,6 +197,29 @@ object Indicators {
       .toDF()
   }
 
+  /** On-balance volume (Granville 1963) — the classic volume-flow
+    * indicator and the one major price/volume line that is EXACT
+    * arithmetic (A/D and MFI divide; OBV only signs and sums):
+    * OBV_t = OBV_{t−1} + sign(close_t − close_{t−1})·volume_t,
+    * seeded 0. The recurrence is a plain prefix sum of signed
+    * volumes — one lag + one running window on the (symbol, date)
+    * sort every indicator here already rides; BIGINT throughout
+    * (|OBV| ≤ Σvolume). Divergence between the OBV line and price is
+    * the signal readers scan for; this emits the line. */
+  def onBalanceVolume(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val signed = daily
+      .withColumn("__prev", lag(col("close_price"), 1).over(w))
+      .withColumn("__sv",
+        when(col("__prev").isNull || col("close_price") === col("__prev"), 0L)
+          .when(col("close_price") > col("__prev"), col("volume"))
+          .otherwise(-col("volume")))
+    signed.withColumn("obv", sum(col("__sv")).over(wRun))
+      .select(col("symbol"), col("date"), col("close_price"),
+        col("volume"), col("obv"))
+  }
+
   /** Split-conformal prediction band (Vovk et al. 2005; Lei et al.,
     * JASA 2018) over a forecaster's one-step residuals — the
     * distribution-free calibration step that turns [[holtSmooth]]'s

@@ -132,4 +132,37 @@ object Spatial {
       .select(col("id"), coalesce(col("role"), lit("noise")).as("role"),
         col("cluster"))
   }
+
+  /** Per-cluster compactness audit over a clustering's assignments —
+    * the quality read [[dbscan]]'s output owes its consumer (is
+    * cluster 17 a tight blob or a sprawl?): the within-cluster
+    * scatter Σ|p−μ|² per cluster, EXACT, via the centroid-free
+    * identity n·Σ|p−μ|² = n·Σ|p|² − |Σp|² — sums of integer
+    * coordinates only, no float centroid ever materializes (the
+    * cleared-denominator discipline; the identity is König–Huygens).
+    * Emitted: the exact scatter numerator (= n× the scatter) and the
+    * mean squared radius in µ-unit² via truncating div (identical
+    * both engines). BIGINT headroom: coords < 2²⁰ keep n·Σ|p|²
+    * inside int64 past 10⁹ points/cluster; wider coords → the
+    * numerator pieces still fit DECIMAL at the consumer (stated).
+    *
+    * Shape: one assignment join + one cluster-keyed aggregate,
+    * map-side combinable; output bounded by clusters. */
+  def clusterCompactness(points: DataFrame, assignments: DataFrame,
+                         idCol: String = "id", xCol: String = "x_e6",
+                         yCol: String = "y_e6"): DataFrame = {
+    val pts = points.select(col(idCol).as("id"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    pts.join(assignments.filter(col("cluster").isNotNull)
+        .select(col("id"), col("cluster")), Seq("id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x") + col("__y") * col("__y")).as("__ss"))
+      .select(col("cluster"), col("n_points"),
+        (col("n_points") * col("__ss") - col("__sx") * col("__sx")
+          - col("__sy") * col("__sy")).as("scatter_num"),
+        expr("""(n_points * __ss - __sx * __sx - __sy * __sy)
+                div (n_points * n_points)""").as("mean_radius2"))
+  }
 }

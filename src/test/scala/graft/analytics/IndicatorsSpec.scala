@@ -251,6 +251,23 @@ class IndicatorsSpec extends SparkSpec {
     b.drop(3).head(3) shouldBe 50.0
   }
 
+  test("onBalanceVolume: sign rule by hand — up adds, down subtracts, flat and day one are zero") {
+    val rows = Seq((100.0, 10L), (102.0, 20L), (102.0, 30L),
+      (99.0, 40L), (105.0, 50L)).zipWithIndex.map { case ((c, v), i) =>
+      Row("A", day(i + 1), c, v) }
+    val out = Indicators.onBalanceVolume(df(schema, rows: _*))
+      .orderBy("date").collect().map(_.getAs[Long]("obv")).toSeq
+    out shouldBe Seq(0L, 20L, 20L, -20L, 30L)
+    // symbols isolated + partition invariance
+    val two = df(schema, rows ++ Seq(Row("Z", day(1), 50.0, 99L)): _*)
+    val a = Indicators.onBalanceVolume(two).orderBy("symbol", "date")
+      .collect().map(_.toSeq)
+    val b = Indicators.onBalanceVolume(two.repartition(7))
+      .orderBy("symbol", "date").collect().map(_.toSeq)
+    a should contain theSameElementsInOrderAs b
+    b.last(4) shouldBe 0L   // Z's single day seeds at zero
+  }
+
   test("conformalBand: ceil-rank order statistic by hand, NULL past n") {
     import org.apache.spark.sql.functions.col
     // residuals |r| = 1..9 for A: alpha=100 -> k = ceil(10*0.9) = 9 -> 9.0

@@ -95,4 +95,49 @@ class SegmentationSpec extends SparkSpec {
       .map(_.getAs[Int]("m_score"))
     byCents shouldBe byCents.sorted
   }
+
+  private def stump(rows: (Long, Boolean)*) = {
+    import spark.implicits._
+    Segmentation.stumpSplit(rows.toSeq.toDF("f", "y"), "f", "y")
+      .collect().map(r => r.getAs[Long]("threshold") ->
+        ((r.getAs[Long]("cost_milli"), r.getAs[Boolean]("is_best")))).toMap
+  }
+
+  test("stumpSplit: a perfectly separable feature reaches cost 0 at the split") {
+    val out = stump((1L, true), (1L, true), (2L, false), (2L, false))
+    out.keySet shouldBe Set(1L)              // all-left split excluded
+    out(1L) shouldBe ((0L, true))
+    // useless feature: split cost equals the unsplit impurity bound
+    val flat = stump((1L, true), (1L, false), (2L, true), (2L, false))
+    // S_L = S_R = 1+1 = 2 over n=2 each: cost = 4000 - 1000 - 1000
+    flat(1L) shouldBe ((2000L, true))
+  }
+
+  test("stumpSplit: hand scan over three thresholds picks the argmin; ties break low") {
+    // labels: f=1 -> T, f=2 -> T, f=3 -> F,F
+    val out = stump((1L, true), (2L, true), (3L, false), (3L, false))
+    // t=1: L(1,1) R(3,1): 4000 - 1000 - (1+4)*1000/3=1666 -> 1334
+    out(1L)._1 shouldBe 1334L
+    // t=2: L(2,2) R(2,0): perfect -> 0
+    out(2L) shouldBe ((0L, true))
+    out(1L)._2 shouldBe false
+    out.keySet shouldBe Set(1L, 2L)
+    // symmetric tie: costs equal at both thresholds -> lower flagged
+    val tie = stump((1L, true), (2L, false), (3L, true))
+    val bests = tie.filter(_._2._2)
+    bests.keySet shouldBe Set(tie.filter(_._2._1 == bests.head._2._1)
+      .keySet.min)
+  }
+
+  test("stumpSplit is invariant under input partitioning") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i =>
+      ((i * 37 % 23).toLong, i * 7919 % 97 < 40))
+    val a = Segmentation.stumpSplit(rows.toDF("f", "y"), "f", "y")
+      .orderBy("threshold").collect().map(_.toSeq)
+    val b = Segmentation.stumpSplit(rows.toDF("f", "y").repartition(11),
+      "f", "y").orderBy("threshold").collect().map(_.toSeq)
+    a should contain theSameElementsInOrderAs b
+    a.count(_.last.asInstanceOf[Boolean]) shouldBe 1
+  }
 }

@@ -141,6 +141,34 @@ class SpatialSpec extends SparkSpec {
     out(7L) shouldBe (("core", Some(7L)))
   }
 
+  test("clusterCompactness: Konig-Huygens scatter by hand, noise excluded") {
+    import spark.implicits._
+    val ps = pts((1L, 0L, 0L), (2L, 10L, 0L), (3L, 20L, 0L),
+      (9L, 500L, 500L))
+    val asg = Seq((1L, Some(7L)), (2L, Some(7L)), (3L, Some(7L)),
+      (9L, None: Option[Long])).toDF("id", "cluster")
+    val out = Spatial.clusterCompactness(ps, asg).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("n_points") shouldBe 3L
+    // sum|p|^2 = 500, |sum p|^2 = 900: 3*500 - 900 = 600 = 3 * 200
+    out.head.getAs[Long]("scatter_num") shouldBe 600L
+    out.head.getAs[Long]("mean_radius2") shouldBe 66L   // 600 div 9
+  }
+
+  test("clusterCompactness composes with dbscan and is partition-invariant") {
+    val ps = (1 to 120).map(i =>
+      (i.toLong, (i * 7919 % 2001 - 1000).toLong,
+        (i * 104729 % 2001 - 1000).toLong))
+    val asg = Spatial.dbscan(pts(ps: _*), eps = 200L, minPts = 3)
+    val a = Spatial.clusterCompactness(pts(ps: _*), asg)
+      .orderBy("cluster").collect().map(_.toSeq)
+    val b = Spatial.clusterCompactness(pts(ps: _*).repartition(7),
+      Spatial.dbscan(pts(ps: _*).repartition(5), eps = 200L, minPts = 3))
+      .orderBy("cluster").collect().map(_.toSeq)
+    a should contain theSameElementsInOrderAs b
+    a.foreach(r => r(3).asInstanceOf[Long] should be >= 0L)
+  }
+
   test("dbscan matches brute-force Ester semantics on pseudo-random points") {
     val ps = (1 to 200).map(i =>
       (i.toLong, (i * 7919 % 2001 - 1000).toLong,
