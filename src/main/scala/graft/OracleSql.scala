@@ -1795,6 +1795,21 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q301 twin of [[graft.similarity.Similarity.dimensionAudit]]:
+    * 1-based generate_subscripts shifted to the 0-based posexplode
+    * convention; float→double casts exact. */
+  val q301_dimension_audit: String = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+    CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  min(x) AS min_val, max(x) AS max_val,
+  CAST(sum(CAST(round(x * 1000000) AS BIGINT)) // count(*) AS BIGINT)
+    AS mean_e6
+FROM x GROUP BY dim ORDER BY dim"""
+
   /** q299 twin of the DBSCAN-compactness composition: the q277
     * chain with its final verdict select swapped for the assignment
     * join + the König–Huygens arithmetic. Lazy: splices
@@ -7718,6 +7733,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q297_obv" -> q297_obv,
     "q298_time_to_convert" -> q298_time_to_convert,
     "q299_cluster_compactness" -> q299_cluster_compactness,
+    "q301_dimension_audit" -> q301_dimension_audit,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

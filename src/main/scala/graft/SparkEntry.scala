@@ -973,6 +973,12 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Per-dimension embedding distribution audit: dead/collapsed/
+    // runaway dimensions, exact float extremes, round-then-sum mean.
+    "q301_dimension_audit" -> ((s, dir) =>
+      graft.similarity.Similarity.dimensionAudit(Tables.embeddings(s, dir))
+        .orderBy(col("dim"))),
+
     // COMPOSED cluster-compactness audit over the q277 DBSCAN
     // clustering: exact within-cluster scatter via the centroid-free
     // Konig-Huygens identity.

@@ -904,4 +904,32 @@ object Similarity {
         vecNorm(col("__v")).as("norm"))
       .withColumn("is_unit",
         abs(col("norm") - lit(1.0)) * 1e6 <= lit(tolMicro.toDouble))
+
+  /** Per-DIMENSION distribution audit — the transposed complement to
+    * [[embeddingHygiene]]'s per-vector check: a dead dimension
+    * (always 0), a collapsed one (min = max), or a runaway one
+    * (|max| ≫ siblings) silently degrades every distance in the
+    * index, and only the per-dimension view shows it. Per dim:
+    * count, zero count, exact float min/max (float comparisons are
+    * exact — no arithmetic), and the mean in micro-units via the
+    * round-then-sum discipline (each component rounds ONCE to e6 in
+    * BIGINT, the sum is order-free — a raw double sum would be
+    * partitioning-dependent).
+    *
+    * Shape: one posexplode (components never shuffle as vectors —
+    * only (dim, value) pairs keyed by dim) + one map-side-combinable
+    * aggregate; output = the dimensionality. */
+  def dimensionAudit(emb: DataFrame,
+                     vecCol: String = "embedding"): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("dim").cast("long").as("dim"),
+        col("__x").cast("double").as("__x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__x") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("__x")).as("min_val"),
+        max(col("__x")).as("max_val"),
+        sum(expr("CAST(round(__x * 1000000) AS BIGINT)")).as("__s6"))
+      .withColumn("mean_e6", expr("__s6 div n"))
+      .drop("__s6")
 }

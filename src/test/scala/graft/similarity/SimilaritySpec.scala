@@ -581,4 +581,28 @@ class SimilaritySpec extends SparkSpec {
       Similarity.searchIvfIndexPq(spark, path, queries, k = 4, nprobe = 2),
       Similarity.searchIvfIndexPq(spark, path2, queries, k = 4, nprobe = 2))
   }
+
+  test("dimensionAudit: dead, healthy, and signed dimensions by hand") {
+    val e = vecs(1L -> Seq(0f, 1.5f, -2f), 2L -> Seq(0f, 0.5f, 4f))
+    val out = Similarity.dimensionAudit(e).collect()
+      .map(r => r.getAs[Long]("dim") -> r).toMap
+    out(0L).getAs[Long]("n_zero") shouldBe 2L     // the dead dimension
+    out(0L).getAs[Double]("min_val") shouldBe 0.0
+    out(0L).getAs[Long]("mean_e6") shouldBe 0L
+    out(1L).getAs[Double]("min_val") shouldBe 0.5
+    out(1L).getAs[Double]("max_val") shouldBe 1.5
+    out(1L).getAs[Long]("mean_e6") shouldBe 1000000L
+    out(2L).getAs[Long]("mean_e6") shouldBe 1000000L  // (-2e6 + 4e6)/2
+    out(2L).getAs[Double]("min_val") shouldBe -2.0
+  }
+
+  test("dimensionAudit: negative means truncate toward zero; partition-invariant") {
+    val e = vecs(1L -> Seq(-3f), 2L -> Seq(0f))
+    Similarity.dimensionAudit(e).collect().head
+      .getAs[Long]("mean_e6") shouldBe -1500000L
+    val big = vecs((1L to 40L).map(i =>
+      i -> Seq((i % 7).toFloat / 8f, -(i % 5).toFloat / 4f)): _*)
+    assertSameRows(Similarity.dimensionAudit(big),
+      Similarity.dimensionAudit(big.repartition(7)))
+  }
 }
