@@ -622,3 +622,86 @@ object StatefulRecent {
         OutputMode.Update())
   }
 }
+
+/** The [[StatefulSessions]] gap sessionizer re-expressed on the v2
+  * state API — same semantics (sessions close when a same-user event
+  * arrives past the gap, or when the event-time watermark passes the
+  * open session's horizon), with the v2 machinery in place of the v1:
+  * a named ValueState for the open session, an EXPLICIT event-time
+  * timer (registerTimer at last+gap; each update DELETES the stale
+  * timer and registers the new horizon — v1's setTimeoutTimestamp did
+  * that bookkeeping implicitly, v2 makes it the operator's job, which
+  * is also what makes multi-timer operators possible), and
+  * handleExpiredTimer as the timeout path. The suite pins v2 ≡ v1
+  * output-for-output on the same feed — the migration-safety
+  * statement for every stateful operator this engine carries. */
+object StatefulSessionsV2 {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  import StatefulSessions.OpenSession
+
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionEvent, SessionWindow] {
+    @transient private var open: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def emit(user: Long, s: OpenSession) = SessionWindow(user,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+      s.n, s.total)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+                                 timers: TimerValues): Iterator[SessionWindow] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = if (open.exists()) Option(open.get()) else None
+      val prevTimer = cur.map(_.lastMs + gapMs)
+      val closed = Seq.newBuilder[SessionWindow]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(OpenSession(s.startMs, math.max(s.lastMs, t),
+              s.n + 1, s.total + e.value))
+          case Some(s) =>
+            closed += emit(user, s)
+            cur = Some(OpenSession(t, t, 1, e.value))
+          case None =>
+            cur = Some(OpenSession(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        val horizon = s.lastMs + gapMs
+        if (!prevTimer.contains(horizon)) {
+          prevTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(horizon)
+        }
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionWindow] = {
+      val out = if (open.exists() &&
+          open.get().lastMs + gapMs == info.getExpiryTimeInMs) {
+        val s = open.get(); open.clear(); Iterator.single(emit(user, s))
+      } else Iterator.empty
+      out
+    }
+  }
+
+  def sessionize(events: DataFrame, gapMinutes: Int,
+                 watermark: String = "1 hour"): Dataset[SessionWindow] = {
+    implicit val evEnc = Encoders.product[SessionEvent]
+    implicit val outEnc = Encoders.product[SessionWindow]
+    implicit val keyEnc = Encoders.scalaLong
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

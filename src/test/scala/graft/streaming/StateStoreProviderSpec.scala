@@ -169,6 +169,45 @@ class StateStoreProviderSpec extends SparkSpec {
     }
   }
 
+  test("v2 sessionizer (event-time timers) matches v1 output-for-output") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")) {
+      implicit val ctx = spark.sqlContext
+      // the SAME three-batch feed through both sessionizers: a gap
+      // close, then a watermark-timer close of the tail session
+      def run(name: String,
+              mk: org.apache.spark.sql.DataFrame =>
+                org.apache.spark.sql.Dataset[SessionWindow]) = {
+        val ms = MemoryStream[Ev]
+        val q = mk(ms.toDF())
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", tmp(name))
+          .outputMode("append").start()
+        try {
+          ms.addData(ev(1, 10), ev(2, 20, value = 2.0))
+          q.processAllAvailable()
+          ms.addData(ev(3, 100))            // gap > 30m: session 1 closes
+          q.processAllAvailable()
+          ms.addData(ev(99, 300, user = 2L)) // watermark sweeps the tail
+          q.processAllAvailable()
+          ms.addData(ev(100, 301, user = 2L))
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name)
+          .select("user_id", "session_start", "session_end", "n_events",
+            "total_value")
+          .collect().map(_.toSeq).toSet
+      }
+      val v1 = run("sessv1_eq",
+        df => StatefulSessions.sessionize(df, 30, "10 minutes"))
+      val v2 = run("sessv2_eq",
+        df => StatefulSessionsV2.sessionize(df, 30, "10 minutes"))
+      v2 shouldBe v1
+      v1.size should be >= 2
+    }
+  }
+
   test("ListState recent-k buffer: trims to newest, re-sorts late arrivals") {
     withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
         ("org.apache.spark.sql.execution.streaming.state." +
