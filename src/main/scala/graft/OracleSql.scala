@@ -1795,6 +1795,32 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q302 twin of [[graft.analytics.Profiling.inclusionDiscovery]]:
+    * the STRUCTURALLY DIFFERENT pairwise form — one NOT EXISTS
+    * anti-check per ordered column pair over distinct-value CTEs
+    * (the naive plan SINDY's one-pass inversion replaces). */
+  lazy val q302_inclusion_deps: String = {
+    val cols = Seq(
+      ("o_orderkey", "orders", "o_orderkey"),
+      ("o_custkey", "orders", "o_custkey"),
+      ("c_custkey", "customer", "c_custkey"),
+      ("l_orderkey", "lineitem", "l_orderkey"),
+      ("l_suppkey", "lineitem", "l_suppkey"),
+      ("s_suppkey", "supplier", "s_suppkey"))
+    val ctes = cols.map { case (lbl, t, c) =>
+      s"v_$lbl AS (SELECT DISTINCT CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL)"
+    }.mkString("WITH ", ",\n", "")
+    val pairs = for {
+      (cl, _, _) <- cols; (pl, _, _) <- cols if cl != pl
+    } yield s"""SELECT '$cl' AS child, '$pl' AS parent,
+      (SELECT CAST(count(*) AS BIGINT) FROM v_$cl) AS n_child,
+      (SELECT CAST(count(*) AS BIGINT) FROM v_$pl) AS n_parent
+    WHERE NOT EXISTS (
+      SELECT 1 FROM v_$cl WHERE v NOT IN (SELECT v FROM v_$pl))"""
+    ctes + "\n" + pairs.mkString("", "\nUNION ALL\n", "") +
+      "\nORDER BY child, parent"
+  }
+
   /** q301 twin of [[graft.similarity.Similarity.dimensionAudit]]:
     * 1-based generate_subscripts shifted to the 0-based posexplode
     * convention; float→double casts exact. */
@@ -7734,6 +7760,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q298_time_to_convert" -> q298_time_to_convert,
     "q299_cluster_compactness" -> q299_cluster_compactness,
     "q301_dimension_audit" -> q301_dimension_audit,
+    "q302_inclusion_deps" -> q302_inclusion_deps,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

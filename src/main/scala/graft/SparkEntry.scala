@@ -973,6 +973,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // SINDY inclusion-dependency discovery across six TPC-H key
+    // columns: one pass over distinct (column, value), per-value
+    // violation explode, survivors are the discovered FKs.
+    "q302_inclusion_deps" -> ((s, dir) => {
+      val cols = Seq(
+        ("o_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        ("o_custkey", Tables.orders(s, dir), "o_custkey"),
+        ("c_custkey", Tables.customer(s, dir), "c_custkey"),
+        ("l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
+        ("l_suppkey", Tables.lineitem(s, dir), "l_suppkey"),
+        ("s_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+      graft.analytics.Profiling.inclusionDiscovery(cols)
+        .orderBy(col("child"), col("parent"))
+    }),
+
     // Per-dimension embedding distribution audit: dead/collapsed/
     // runaway dimensions, exact float extremes, round-then-sum mean.
     "q301_dimension_audit" -> ((s, dir) =>

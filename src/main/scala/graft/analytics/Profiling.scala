@@ -800,4 +800,49 @@ object Profiling {
     rows.unpivot(idCols.map(col).toArray,
       valueCols.map(col).toArray, varName, valName)
   }
+
+  /** Inclusion-dependency discovery (the SINDY/SPIDER family —
+    * Kruse et al., EDBT 2015) — foreign-key candidates found from
+    * DATA, not declarations: across a set of integer key columns,
+    * every ordered pair (child ⊆ parent) that holds exactly. The
+    * companion to [[candidateKeys]] (uniqueness) and [[fdDiscovery]]
+    * (intra-table dependence): together they reconstruct a schema's
+    * constraint story from rows alone.
+    *
+    * The naive form is one anti-join per column pair (k² scans);
+    * SINDY's inversion does it in ONE pass: per distinct value, the
+    * set of columns containing it — an inclusion child ⊆ parent is
+    * VIOLATED exactly when some value's set has child but not
+    * parent, so exploding each value's (present × absent) pairs and
+    * deduplicating yields every violation at once; the surviving
+    * candidate pairs are the INDs. Per-value work ≤ k² with k a
+    * config constant, so the whole pass costs the distinct-value
+    * volume — never k² table scans.
+    *
+    * Contract: integer key columns (the FK case), NULLs ignored
+    * (SQL FK semantics), self-pairs excluded. Coincidental INDs on
+    * small domains surface BY DESIGN — discovery reports what
+    * holds; meaning is the reader's join with [[candidateKeys]]. */
+  def inclusionDiscovery(columns: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(columns.size >= 2, "need at least two columns")
+    require(columns.map(_._1).distinct.size == columns.size,
+      "column labels must be unique")
+    val vals = columns.map { case (lbl, d, c) =>
+      d.select(lit(lbl).as("col_id"), col(c).cast("long").as("__v"))
+        .filter(col("__v").isNotNull).distinct()
+    }.reduce(_ unionAll _).localCheckpoint()
+    val counts = vals.groupBy(col("col_id")).agg(count(lit(1)).as("n"))
+    val all = array(columns.map(c => lit(c._1)): _*)
+    val violated = vals.groupBy(col("__v"))
+      .agg(collect_set(col("col_id")).as("__present"))
+      .select(explode(col("__present")).as("child"), col("__present"))
+      .select(col("child"),
+        explode(array_except(all, col("__present"))).as("parent"))
+      .distinct()
+    counts.select(col("col_id").as("child"), col("n").as("n_child"))
+      .crossJoin(counts.select(col("col_id").as("parent"),
+        col("n").as("n_parent")))
+      .filter(col("child") =!= col("parent"))
+      .join(violated, Seq("child", "parent"), "left_anti")
+  }
 }

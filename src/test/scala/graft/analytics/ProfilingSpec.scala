@@ -537,6 +537,35 @@ class ProfilingSpec extends SparkSpec {
     nd shouldBe 2L
   }
 
+  test("inclusionDiscovery: exact INDs by hand, violations kill pairs, NULLs ignored") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val child = Seq(Some(2L), Some(3L), None).toDF("k")   // NULL ignored
+    val rogue = Seq(2L, 99L).toDF("k")                     // 99 violates
+    val out = Profiling.inclusionDiscovery(Seq(
+        ("parent", parent, "k"), ("child", child, "k"), ("rogue", rogue, "k")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_child"), r.getAs[Long]("n_parent"))).toSet
+    // child ⊆ parent holds; nothing else does (99 breaks rogue ⊆ *,
+    // parent ⊄ child, * ⊄ rogue misses most values)
+    out shouldBe Set(("child", "parent", 2L, 4L))
+  }
+
+  test("inclusionDiscovery: mutual inclusion reports both directions; partition-invariant") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 2L).toDF("k")   // duplicates collapse
+    val b = Seq(2L, 1L).toDF("k")
+    val out = Profiling.inclusionDiscovery(Seq(("a", a, "k"), ("b", b, "k")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    out shouldBe Set(("a", "b"), ("b", "a"))
+    val big = (1 to 200).map(i => (i * 3 % 47).toLong).toDF("k")
+    val sub = (1 to 50).map(i => (i * 6 % 47).toLong).toDF("k")
+    assertSameRows(
+      Profiling.inclusionDiscovery(Seq(("big", big, "k"), ("sub", sub, "k"))),
+      Profiling.inclusionDiscovery(Seq(("big", big.repartition(7), "k"),
+        ("sub", sub.repartition(5), "k"))))
+  }
+
   test("prefixSums matches the single-partition window reference, multi-column") {
     import spark.implicits._
     val d = (1 to 200).map(i => ((i * 17 % 211).toLong, (i % 5).toLong, (i % 3).toLong))
