@@ -623,6 +623,56 @@ object StatefulRecent {
   }
 }
 
+/** One per-type count row. */
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** Per-(user, type) running counts on `MapState` — the third v2
+  * state shape ([[StatefulTotals]] ValueState, [[StatefulRecent]]
+  * ListState, THIS MapState), and the online form of the categorical
+  * feature vector ("how many views/clicks/purchases has this user
+  * ever made"). MapState is the right primitive for a keyed
+  * sub-map: the store reads and writes ONE (type → count) cell per
+  * touched type — a ValueState holding the whole map would
+  * re-serialize every type's count on every event. Each micro-batch
+  * emits rows only for the types it TOUCHED (Update-mode delta
+  * contract — an unchanged count is not news). */
+object StatefulTypeCounts {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{MapState, OutputMode,
+    StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+  class CountsProcessor
+      extends StatefulProcessor[Long, SessionEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 timers: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { e =>
+        val cur = touched.getOrElse(e.event_type,
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L)
+        touched(e.event_type) = cur + 1L
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.toSeq.map { case (t, n) => TypeCount(key, t, n) }.iterator
+    }
+  }
+
+  def typeCounts(events: DataFrame): Dataset[TypeCount] = {
+    implicit val evEnc = Encoders.product[SessionEvent]
+    implicit val outEnc = Encoders.product[TypeCount]
+    implicit val keyEnc = Encoders.scalaLong
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new CountsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
 /** The [[StatefulSessions]] gap sessionizer re-expressed on the v2
   * state API — same semantics (sessions close when a same-user event
   * arrives past the gap, or when the event-time watermark passes the

@@ -169,6 +169,34 @@ class StateStoreProviderSpec extends SparkSpec {
     }
   }
 
+  test("MapState type counts: per-cell updates, only touched types emit") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[Ev]
+      val q = StatefulTypeCounts.typeCounts(ms.toDF())
+        .writeStream.format("memory").queryName("tws_types")
+        .option("checkpointLocation", tmp("tws-types"))
+        .outputMode("update").start()
+      try {
+        ms.addData(ev(1, 0, "view"), ev(2, 1, "view"), ev(3, 2, "click"))
+        q.processAllAvailable()
+        ms.addData(ev(4, 3, "view"))    // only 'view' touched this batch
+        q.processAllAvailable()
+        val rows = spark.table("tws_types").collect()
+          .map(r => (r.getString(1), r.getLong(2))).toSeq
+        rows should contain allOf (("view", 2L), ("click", 1L),
+          ("view", 3L))
+        // batch 2 emitted NO click row (unchanged counts aren't news)
+        rows.count(_._1 == "click") shouldBe 1
+        // final per-type state equals the batch twin
+        rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap shouldBe
+          Map("view" -> 3L, "click" -> 1L)
+      } finally q.stop()
+    }
+  }
+
   test("v2 sessionizer (event-time timers) matches v1 output-for-output") {
     withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
         ("org.apache.spark.sql.execution.streaming.state." +
