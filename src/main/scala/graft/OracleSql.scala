@@ -1795,6 +1795,43 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q303 twin of [[graft.graph.LinkGraph.assortativity]]: the q292
+    * canonical undirected set, symmetrized endpoint degrees, the q62
+    * conversion and tree. */
+  val q303_assortativity: String = """
+WITH e0 AS (
+  SELECT 'd' || CAST(doc_id % 23 AS VARCHAR) AS src,
+         'd' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS dst FROM documents
+  UNION ALL
+  SELECT 'd' || CAST(doc_id % 23 AS VARCHAR),
+         'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR) FROM documents),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS (
+  SELECT node, count(*) AS d FROM
+    (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+o AS (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+p AS (
+  SELECT da.d AS x, db.d AS y
+  FROM o JOIN deg da ON o.a = da.node JOIN deg db ON o.b = db.node),
+agg AS (
+  SELECT count(*) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+    CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM p)
+SELECT CAST(n AS BIGINT) AS n_endpoints,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+    THEN (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+          sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+  END AS assortativity
+FROM agg"""
+
   /** q302 twin of [[graft.analytics.Profiling.inclusionDiscovery]]:
     * the STRUCTURALLY DIFFERENT pairwise form — one NOT EXISTS
     * anti-check per ordered column pair over distinct-value CTEs
@@ -7761,6 +7798,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q299_cluster_compactness" -> q299_cluster_compactness,
     "q301_dimension_audit" -> q301_dimension_audit,
     "q302_inclusion_deps" -> q302_inclusion_deps,
+    "q303_assortativity" -> q303_assortativity,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -973,6 +973,17 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Degree assortativity of the q124 domain graph: Pearson over
+    // symmetrized endpoint degrees, q62 determinism recipe.
+    "q303_assortativity" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val edges = docs.select(dom(id % 23).as("src"), dom((id * 3 + 1) % 29).as("dst"))
+        .unionAll(docs.select(dom(id % 23).as("src"), dom((id * 5 + 2) % 29).as("dst")))
+      graft.graph.LinkGraph.assortativity(edges, "src", "dst")
+    }),
+
     // SINDY inclusion-dependency discovery across six TPC-H key
     // columns: one pass over distinct (column, value), per-value
     // violation explode, survivors are the discovered FKs.

@@ -1144,6 +1144,53 @@ object LinkGraph {
         expr("(rank_units * 1000) div retained_units").as("retained_permille"))
   }
 
+  /** Degree assortativity (Newman, PRL 2002) — does the graph wire
+    * hubs to hubs (r > 0, social networks) or hubs to leaves (r < 0,
+    * the web, most infrastructure)? The one-number summary of mixing
+    * structure: the Pearson correlation of endpoint degrees over the
+    * EDGE list, every undirected edge contributing both orientations
+    * (the standard symmetrization — r is then direction-free).
+    * Determinism is the q62 recipe: degrees are integers, all five
+    * sums exact (DECIMAL-widened — degree products reach deg²·m),
+    * the final r in an identical double tree; NULL on regular graphs
+    * (every degree equal — zero variance).
+    *
+    * Shape: one degree aggregate + two degree-attach joins + one
+    * 5-sum aggregate — the triangle counter's degree-pass skeleton;
+    * nothing collected. */
+  def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges.select(col(src).cast("string").as("a"),
+        col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val oriented = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val paired = oriented
+      .join(deg.select(col("node").as("a"), col("__d").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("__d").as("__db")), Seq("b"))
+    val agg = paired.agg(
+      count(lit(1)).as("n_endpoints"),
+      sum(col("__da").cast("decimal(38,0)")).cast("double").as("__sx"),
+      sum(col("__db").cast("decimal(38,0)")).cast("double").as("__sy"),
+      sum((col("__da") * col("__da")).cast("decimal(38,0)")).cast("double")
+        .as("__sxx"),
+      sum((col("__db") * col("__db")).cast("decimal(38,0)")).cast("double")
+        .as("__syy"),
+      sum((col("__da") * col("__db")).cast("decimal(38,0)")).cast("double")
+        .as("__sxy"))
+    val n = col("n_endpoints").cast("double")
+    val varx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vary = n * col("__syy") - col("__sy") * col("__sy")
+    agg.select(col("n_endpoints"),
+      when(varx > 0 && vary > 0,
+        (n * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(varx) * sqrt(vary))).as("assortativity"))
+  }
+
   /** Two-hop reach — per node the exact count of DISTINCT nodes
     * reachable in ≤ 2 directed hops, self excluded: the
     * friends-of-friends audience metric (how far does one crawl

@@ -875,6 +875,36 @@ class LinkGraphSpec extends SparkSpec {
         lab.repartition(3)))
   }
 
+  test("assortativity: star is maximally disassortative, regular graph NULL") {
+    // a 4-leaf star: every edge pairs degree 4 with degree 1 -> r = -1
+    val star = edges("h" -> "a", "h" -> "b", "h" -> "c", "h" -> "d")
+    LinkGraph.assortativity(star, "src", "dst").collect().head
+      .getAs[Double]("assortativity") shouldBe -1.0 +- 1e-12
+    // a cycle is 2-regular: zero degree variance -> NULL
+    val cyc = edges("a" -> "b", "b" -> "c", "c" -> "a")
+    val r = LinkGraph.assortativity(cyc, "src", "dst").collect().head
+    r.getAs[Long]("n_endpoints") shouldBe 6L
+    r.isNullAt(r.fieldIndex("assortativity")) shouldBe true
+  }
+
+  test("assortativity: hub-to-hub wiring scores positive; direction-free") {
+    // two K3 triangles joined hub-to-hub beat a star's mixing
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "a",
+      "x" -> "y", "y" -> "z", "z" -> "x", "a" -> "x")
+    val fwd = LinkGraph.assortativity(e, "src", "dst").collect().head
+      .getAs[Double]("assortativity")
+    val rev = LinkGraph.assortativity(
+      edges("b" -> "a", "c" -> "b", "a" -> "c", "y" -> "x",
+        "z" -> "y", "x" -> "z", "x" -> "a"), "src", "dst")
+      .collect().head.getAs[Double]("assortativity")
+    fwd shouldBe rev   // symmetrization makes direction irrelevant
+    // the bridge joins the two degree-3 hubs: assortative vs the star
+    val starR = LinkGraph.assortativity(
+      edges("h" -> "a", "h" -> "b", "h" -> "c", "h" -> "d"),
+      "src", "dst").collect().head.getAs[Double]("assortativity")
+    fwd should be > starR
+  }
+
   test("twoHopReach is invariant under input partitioning") {
     val e = edges((1 to 60).map(i =>
       s"n${i % 12}" -> s"n${(i * 5 + 2) % 13}"): _*)
