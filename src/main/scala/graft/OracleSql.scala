@@ -1795,6 +1795,34 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q304 twin of [[graft.analytics.Correlation.historicalVaR]]: the
+    * q158 rets CTE, the same ceil-rank tail, the VARCHAR-detour
+    * decimal→double for the ES division. */
+  val q304_historical_var: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+rets AS (
+  SELECT symbol, date,
+    CAST(ROUND(CAST((close_price - prev) / prev * 100 AS DECIMAL(28,10)), 6)
+         AS DECIMAL(18,6)) AS ret
+  FROM (SELECT symbol, date, close_price,
+          lag(close_price) OVER (PARTITION BY symbol ORDER BY date) AS prev
+        FROM daily)
+  WHERE prev IS NOT NULL AND prev <> 0),
+r AS (
+  SELECT symbol, ret,
+    row_number() OVER (PARTITION BY symbol ORDER BY ret, date) AS rnk,
+    count(*) OVER (PARTITION BY symbol) AS n
+  FROM rets)
+SELECT symbol, CAST(max(n) AS BIGINT) AS n_days,
+  CAST(max((n * 50 + 999) // 1000) AS BIGINT) AS tail_k,
+  CAST(CAST(max(CASE WHEN rnk = (n * 50 + 999) // 1000 THEN ret END)
+    AS VARCHAR) AS DOUBLE) AS var_ret,
+  CAST(CAST(sum(CASE WHEN rnk <= (n * 50 + 999) // 1000 THEN ret END)
+    AS VARCHAR) AS DOUBLE)
+    / CAST(max((n * 50 + 999) // 1000) AS DOUBLE) AS es_ret
+FROM r GROUP BY symbol ORDER BY symbol"""
+
   /** q303 twin of [[graft.graph.LinkGraph.assortativity]]: the q292
     * canonical undirected set, symmetrized endpoint degrees, the q62
     * conversion and tree. */
@@ -7799,6 +7827,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q301_dimension_audit" -> q301_dimension_audit,
     "q302_inclusion_deps" -> q302_inclusion_deps,
     "q303_assortativity" -> q303_assortativity,
+    "q304_historical_var" -> q304_historical_var,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -973,6 +973,17 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Historical 5% VaR + expected shortfall per symbol: exact
+    // ceil-rank tail pick and exact decimal tail sum, one final
+    // double division.
+    "q304_historical_var" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Correlation.historicalVaR(
+          graft.analytics.Correlation.dailyReturns(daily))
+        .orderBy(col("symbol"))
+    }),
+
     // Degree assortativity of the q124 domain graph: Pearson over
     // symmetrized endpoint degrees, q62 determinism recipe.
     "q303_assortativity" -> ((s, dir) => {

@@ -258,6 +258,41 @@ object Correlation {
           .as("pv_corr"))
   }
 
+  /** Historical value-at-risk + expected shortfall per series — the
+    * regulatory tail-risk pair (VaR: the α-quantile worst daily
+    * return; ES/CVaR: the mean of returns at or beyond it — the
+    * coherent one, Artzner et al. 1999), computed HISTORICALLY
+    * (order statistics of realized returns — no distributional
+    * assumption, the standard first estimate). Exact conventions:
+    * tail size k = ⌈n·α/1000⌉ (integer ceil); VaR = the k-th worst
+    * return picked by position under the (ret, date) total order —
+    * deterministic under ties; ES = exact DECIMAL sum of the k worst
+    * ÷ k in one final double division (the q62 finish). Returns
+    * arrive DECIMAL(18,6) from [[dailyReturns]].
+    *
+    * Shape: one rank window riding the per-symbol sort + one
+    * conditional aggregate; output bounded by the symbol universe. */
+  def historicalVaR(returns: DataFrame,
+                    alphaPermille: Long = 50L): DataFrame = {
+    require(alphaPermille >= 1 && alphaPermille <= 500,
+      "alphaPermille must be in [1, 500]")
+    val w = Window.partitionBy(col("symbol"))
+      .orderBy(col("ret"), col("date"))
+    val ranked = returns
+      .withColumn("__rnk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("symbol"))))
+      .withColumn("__k", expr(s"(__n * $alphaPermille + 999) div 1000"))
+    ranked.groupBy(col("symbol")).agg(
+      max(col("__n")).as("n_days"),
+      max(col("__k")).as("tail_k"),
+      max(when(col("__rnk") === col("__k"), col("ret")))
+        .cast("double").as("var_ret"),
+      sum(when(col("__rnk") <= col("__k"), col("ret"))).as("__tail_sum"))
+      .withColumn("es_ret",
+        col("__tail_sum").cast("double") / col("tail_k").cast("double"))
+      .drop("__tail_sum")
+  }
+
   /** Kendall τ-b between two measures per series (Kendall 1938;
     * tie-corrected τ-b per Kendall 1945) — the third association
     * lens: Pearson reads linearity, Spearman reads monotone rank

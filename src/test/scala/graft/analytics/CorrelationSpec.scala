@@ -301,6 +301,27 @@ class CorrelationSpec extends SparkSpec {
     flat.getAs[Long]("sen_slope_e6") shouldBe 0L
   }
 
+  test("historicalVaR: hand tail on 20 returns, ES at-or-beyond VaR") {
+    // returns -10, -9, ..., +9 (constructed via closes); alpha=100:
+    // k = ceil(20*0.1) = 2 -> VaR = 2nd worst, ES = mean of 2 worst
+    val rets = ((-10 to 9).map(_.toDouble)).zipWithIndex.map {
+      case (r, i) => Row("A", day(i + 1),
+        new java.math.BigDecimal(r).setScale(6))
+    }
+    val schema6 = StructType(Seq(
+      StructField("symbol", StringType, nullable = false),
+      StructField("date", DateType, nullable = false),
+      StructField("ret", DecimalType(18, 6), nullable = false)))
+    val out = Correlation.historicalVaR(df(schema6, rets: _*),
+      alphaPermille = 100L).collect().head
+    out.getAs[Long]("n_days") shouldBe 20L
+    out.getAs[Long]("tail_k") shouldBe 2L
+    out.getAs[Double]("var_ret") shouldBe -9.0
+    out.getAs[Double]("es_ret") shouldBe -9.5
+    // ES is never better than VaR (coherence direction)
+    out.getAs[Double]("es_ret") should be <= out.getAs[Double]("var_ret")
+  }
+
   private val ktSchema = StructType(Seq(
     StructField("symbol", StringType, nullable = false),
     StructField("date", DateType, nullable = false),
