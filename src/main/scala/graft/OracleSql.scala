@@ -1795,6 +1795,26 @@ FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
+  /** q305 twin of the syndication-matrix composition: the q236
+    * prefix-filter chain re-parameterized at tau 900 (string
+    * surgery on the later-defined val — lazy), source joins, exact
+    * floor-mean rollup. */
+  lazy val q305_syndication_matrix: String = {
+    val at900 = q236_prefix_filter_pairs.replace("700", "900")
+    at900.substring(0, at900.indexOf("SELECT doc_a, doc_b,")) + """,
+pr AS (
+  SELECT doc_a, doc_b, (common*1000)//(n_a + n_b - common) AS jac
+  FROM cm WHERE common*1000 >= 900*(n_a + n_b - common)),
+sj AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b, pr.jac
+  FROM pr JOIN documents da ON pr.doc_a = da.doc_id
+          JOIN documents db ON pr.doc_b = db.doc_id)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(jac) // count(*) AS BIGINT) AS mean_jaccard_permille
+FROM sj GROUP BY source_a, source_b ORDER BY source_a, source_b"""
+  }
+
   /** q304 twin of [[graft.analytics.Correlation.historicalVaR]]: the
     * q158 rets CTE, the same ceil-rank tail, the VARCHAR-detour
     * decimal→double for the ES division. */
@@ -7828,6 +7848,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q302_inclusion_deps" -> q302_inclusion_deps,
     "q303_assortativity" -> q303_assortativity,
     "q304_historical_var" -> q304_historical_var,
+    "q305_syndication_matrix" -> q305_syndication_matrix,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

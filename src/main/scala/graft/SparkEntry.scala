@@ -973,6 +973,31 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // COMPOSED syndication matrix: which SOURCES near-duplicate each
+    // other — exact-Jaccard pairs at tau 900 rolled up to unordered
+    // source pairs with exact mean similarity. The cross-source cells
+    // are the syndication signal; the diagonal is in-source
+    // republication.
+    "q305_syndication_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.dedup.Dedup.prefixFilterPairs(
+        docs.select(col("doc_id"), col("text")), tauPermille = 900)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnsRenamed(
+          Map("doc_id" -> "doc_a", "source" -> "__sa")), Seq("doc_a"))
+        .join(src.withColumnsRenamed(
+          Map("doc_id" -> "doc_b", "source" -> "__sb")), Seq("doc_b"))
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"),
+          col("jaccard_permille"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jaccard_permille) div count(1)")
+            .as("mean_jaccard_permille"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Historical 5% VaR + expected shortfall per symbol: exact
     // ceil-rank tail pick and exact decimal tail sum, one final
     // double division.
