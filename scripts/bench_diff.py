@@ -29,10 +29,24 @@ def load_queries(path: str) -> dict:
     except json.JSONDecodeError:
         doc = {"rc": None}
         tail = text
+    # Prefer the full-name min map (queries_by_name) when a complete
+    # line survives (always, in locally-captured stdout; in a driver
+    # tail only when the registry is small enough) — fall back to the
+    # guaranteed-complete closing total line's top-10 digest.
     total_line = None
+    full_line = None
     for line in tail.splitlines():
         if line.startswith('{"metric":"total"'):
             total_line = line
+        if line.startswith('{"metric":"queries_by_name"'):
+            try:
+                json.loads(line)
+                full_line = line
+            except json.JSONDecodeError:
+                pass  # truncated head of a driver tail
+    if full_line is not None:
+        qmap = json.loads(full_line)["queries"]
+        return {q.split("_")[0]: v for q, v in qmap.items()}
     if total_line is None:
         sys.exit(f"{path}: no complete total line in tail (rc={doc.get('rc')})")
     parsed = json.loads(total_line)

@@ -1762,11 +1762,14 @@ SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
   END AS efficiency_permille
 FROM r GROUP BY 1 ORDER BY 1"""
 
-  /** q236 twin of [[graft.dedup.Dedup.prefixFilterPairs]]: the same
-    * rarest-first prefix selection (df then shingle hash — a total
-    * order both engines replay), the same integer-permille size gate
-    * and threshold, and a candidate-bounded full-postings verify. */
-  val q236_prefix_filter_pairs: String = shinglesCte + """
+  /** The prefix-filter candidate chain through the `cm` (common-count)
+    * CTE, parameterized by the permille threshold tau — the L =
+    * n − ⌈τn/1000⌉ + 1 prefix bound, the τ size gate, rarest-first
+    * prefix order (df then shingle hash — a total order both engines
+    * replay). Shared by q236 (tau 700), q269 (tau 500 variant) and
+    * q305 (tau 900) so a re-parameterization is a function argument,
+    * never string surgery on another query's SQL. */
+  private def prefixFilterCmChain(tau: Int): String = shinglesCte + s"""
 , ds AS (SELECT doc_id, list_distinct(hs) AS ss FROM xs),
 posting AS (SELECT doc_id, unnest(ss) AS shingle FROM ds),
 dfs AS (SELECT shingle, count(*) AS df FROM posting GROUP BY 1),
@@ -1777,31 +1780,34 @@ rk AS (
   FROM posting p JOIN dfs d USING (shingle)),
 pre AS (
   SELECT doc_id, n_sh, shingle FROM rk
-  WHERE rnk <= n_sh - (700*n_sh + 999)//1000 + 1),
+  WHERE rnk <= n_sh - ($tau*n_sh + 999)//1000 + 1),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     a.n_sh AS n_a, b.n_sh AS n_b
   FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    AND b.n_sh*1000 >= a.n_sh*700 AND a.n_sh*1000 >= b.n_sh*700),
+    AND b.n_sh*1000 >= a.n_sh*$tau AND a.n_sh*1000 >= b.n_sh*$tau),
 cm AS (
   SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS common
   FROM cand c
     JOIN posting pa ON pa.doc_id = c.doc_a
     JOIN posting pb ON pb.doc_id = c.doc_b AND pb.shingle = pa.shingle
   GROUP BY 1, 2, 3, 4)
+"""
+
+  /** q236 twin of [[graft.dedup.Dedup.prefixFilterPairs]]: the
+    * tau-700 [[prefixFilterCmChain]] plus the verify threshold. */
+  val q236_prefix_filter_pairs: String = prefixFilterCmChain(700) + """
 SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common, n_a, n_b,
   (common*1000)//(n_a + n_b - common) AS jaccard_permille
 FROM cm
 WHERE common*1000 >= 700*(n_a + n_b - common)
 ORDER BY doc_a, doc_b"""
 
-  /** q305 twin of the syndication-matrix composition: the q236
-    * prefix-filter chain re-parameterized at tau 900 (string
-    * surgery on the later-defined val — lazy), source joins, exact
-    * floor-mean rollup. */
-  lazy val q305_syndication_matrix: String = {
-    val at900 = q236_prefix_filter_pairs.replace("700", "900")
-    at900.substring(0, at900.indexOf("SELECT doc_a, doc_b,")) + """,
+  /** q305 twin of the syndication-matrix composition: the
+    * prefix-filter chain at tau 900 ([[prefixFilterCmChain]] — a
+    * parameter, not string surgery), source joins, exact floor-mean
+    * rollup. */
+  val q305_syndication_matrix: String = prefixFilterCmChain(900) + """,
 pr AS (
   SELECT doc_a, doc_b, (common*1000)//(n_a + n_b - common) AS jac
   FROM cm WHERE common*1000 >= 900*(n_a + n_b - common)),
@@ -1813,7 +1819,31 @@ sj AS (
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
   CAST(sum(jac) // count(*) AS BIGINT) AS mean_jaccard_permille
 FROM sj GROUP BY source_a, source_b ORDER BY source_a, source_b"""
-  }
+
+  /** q306 twin of the end-to-end reference-DAG run: q08's
+    * upsert CTEs (the upload+load cycle's logical result) fed into
+    * q03's daily-metrics aggregation (the final view read). The
+    * validation gates are pass-through probes with no row effect on
+    * this data (spec-pinned), so the end-to-end answer is exactly
+    * view(upsert(target, staging)). */
+  val q306_pipeline_e2e: String = barsCte + s"""
+, target AS (SELECT $mergedCols FROM merged WHERE date < DATE '1999-01-01'),
+staging AS (
+  SELECT row_id, date, symbol, data_source, open, high, low, close + 1.0 AS close,
+         volume, processed_at, daily_change_pct, daily_volatility
+  FROM merged WHERE date >= DATE '1998-06-01' AND date < DATE '1999-01-01'),
+after AS (
+  SELECT * FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM staging s
+    WHERE s.date = t.date AND s.symbol = t.symbol AND s.data_source = t.data_source)
+  UNION ALL
+  SELECT * FROM staging)
+SELECT date, symbol,
+  min(close) AS close_price,
+  CAST(sum(CAST(daily_volatility AS DECIMAL(38,4))) AS DOUBLE)
+    / CAST(count(daily_volatility) AS DOUBLE) AS avg_volatility,
+  count(DISTINCT data_source) AS source_count
+FROM after GROUP BY date, symbol ORDER BY date, symbol"""
 
   /** q304 twin of [[graft.analytics.Correlation.historicalVaR]]: the
     * q158 rets CTE, the same ceil-rank tail, the VARCHAR-detour
@@ -7849,6 +7879,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q303_assortativity" -> q303_assortativity,
     "q304_historical_var" -> q304_historical_var,
     "q305_syndication_matrix" -> q305_syndication_matrix,
+    "q306_pipeline_e2e" -> q306_pipeline_e2e,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -973,6 +973,61 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // END-TO-END reference-DAG parity (README.md:96-131): the full
+    // task order — extract both sources → validate raw → transform →
+    // merge/dedup → validate transformed → upload (date-partitioned
+    // parquet, the GCS layout) → load (MERGE-append into the serving
+    // table, the BigQuery step) → daily-metrics view — composed as
+    // ONE entry whose output is the view read AFTER an upsert cycle.
+    // The pieces are individually oracled (q01–q08, q26, q42, q43,
+    // q83); this is the whole DAG in one run, oracled end-to-end
+    // against upsert-then-aggregate SQL. Both validation gates RUN
+    // (one agg pass each, the reference's task contract — failing
+    // validation stops the pipeline, so a `require`, not a column);
+    // anchors are literals, never the clock. The upload target is a
+    // build-once fixture and the MERGE is idempotent (same staging
+    // keys/rows), so bench repeats time the steady-state DAG, not
+    // table bootstrap.
+    "q306_pipeline_e2e" -> ((s, dir) => {
+      import graft.quality.Validators
+      // 1-2. extract (both source frames), 3. validate raw
+      val raw = Bars.bars(s, dir)
+      val vRaw = Validators.validateRaw(raw,
+        today = lit("2005-01-01").cast("date"))
+      require(vRaw.passed,
+        s"pipeline halted: raw validation failed ${vRaw.errors}")
+      // 4-5. transform + merge/dedup (one lazy plan)
+      val merged = mergedBars(s, dir)
+      // 6. validate transformed (threshold probes ride the same pass)
+      val vT = Validators.validateTransformed(merged,
+        today = lit("2005-01-01").cast("date"))
+      require(vT.passed,
+        s"pipeline halted: transformed validation failed ${vT.errors}")
+      val withMonth = merged
+        .withColumn("month", date_format(col("date"), "yyyy-MM"))
+      // 7. upload: date-partitioned parquet target (build-once)
+      val path = fixture("bars_pipeline_e2e", dir) {
+        val p = scratch("bars_pipeline_e2e", dir)
+        withMonth.filter(col("date") < lit("1999-01-01").cast("date"))
+          .write.mode("overwrite").partitionBy("month").parquet(p)
+        p
+      }
+      // 8. load: MERGE-append the staging slice (idempotent; only
+      // touched month partitions rewritten)
+      val staging = withMonth
+        .filter(col("date") >= lit("1998-06-01").cast("date") &&
+          col("date") < lit("1999-01-01").cast("date"))
+        .withColumn("close", col("close") + 1.0)
+        .select(withMonth.columns.map(col): _*)
+      Upsert.upsertPartitioned(s, path, staging, Schemas.mergeKey, "month")
+      // 9. register + read THROUGH the reference's daily-metrics view
+      graft.store.Store.createTable(s, "bars_pipeline_e2e", path)
+      graft.store.Store.createDailyMetricsView(s, "bars_pipeline_e2e",
+        viewName = "stock_daily_metrics_e2e")
+      s.table("stock_daily_metrics_e2e")
+        .orderBy(col("date"), col("symbol"))
+    }),
+
     // COMPOSED syndication matrix: which SOURCES near-duplicate each
     // other — exact-Jaccard pairs at tau 900 rolled up to unordered
     // source pairs with exact mean similarity. The cross-source cells

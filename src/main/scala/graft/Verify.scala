@@ -1,9 +1,28 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Decimal-output lint (the q304 trap): a DecimalType column
+    * hash-mismatches the driver's compare because DuckDB's decimal
+    * string repr ("1.50") differs from pandas' Decimal repr — the
+    * documented rule is cast to DOUBLE on BOTH engine sides. Throws
+    * at dump time so a new decimal operator fails fast with the rule
+    * in the message instead of as a puzzling hash mismatch in the
+    * round artifact. */
+  def lintNoDecimalOutput(name: String, out: DataFrame): Unit = {
+    val decimalCols = out.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.DecimalType] => f.name
+    }
+    if (decimalCols.nonEmpty) throw new IllegalStateException(
+      s"$name: DecimalType output column(s) ${decimalCols.mkString(", ")} — " +
+        "decimal string reprs differ between DuckDB and pandas and " +
+        "WILL hash-mismatch; cast to DOUBLE in both the query and " +
+        "its oracle SQL (see q304)")
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // Optional extra args: run only the named queries (dev iteration).
@@ -21,8 +40,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        lintNoDecimalOutput(name, out)
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

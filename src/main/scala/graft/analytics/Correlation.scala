@@ -308,7 +308,16 @@ object Correlation {
     * in an identical tree, τ-b = (C−D)/(√(n₀−tx)·√(n₀−ty)) with
     * tx/ty counting ALL x-/y-tied pairs (tx = ties_x + ties_both —
     * the standard correction). NULL when either variable is constant
-    * (denominator zero). */
+    * (denominator zero).
+    *
+    * INPUT CONTRACT (same framing as [[mannKendall]]'s micro-unit
+    * rule): xCol/yCol are cast to BIGINT, so fractional measures are
+    * TRUNCATED before comparison — which changes the tie structure
+    * and hence τ-b versus the textbook statistic on real-valued
+    * inputs. Callers with fractional measures must pre-scale to a
+    * stated fixed-point unit (e.g. `round(x * 1e6)` micro-units)
+    * before calling; the monotone scaling leaves τ-b invariant while
+    * preserving the tie structure of the quantized values. */
   def kendallTau(daily: DataFrame, xCol: String, yCol: String,
                  windowRows: Int = 60): DataFrame = {
     require(windowRows >= 2, "windowRows must be >= 2")
@@ -407,6 +416,17 @@ object Correlation {
         datediff(col("date"), lit("1970-01-01")).cast("long").as("__t"),
         col(valueCol).cast("long").as("__x"))
       .localCheckpoint()
+    // Overflow guard: the Sen slope computes (__xb − __xa) · 10⁶ in
+    // BIGINT, so |Δx| must stay under Long.MaxValue/2e6 ≈ 4.6e12;
+    // bounding |x| ≤ Long.MaxValue / 4e6 keeps the worst-case delta
+    // (2·max|x|) safely inside. One cheap action over the
+    // checkpointed window — fail loudly, never a silent wrap.
+    val maxRow = recent.agg(max(abs(col("__x")))).head
+    val maxAbsX = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    require(maxAbsX <= Long.MaxValue / 4000000L,
+      s"mannKendall: |$valueCol| up to $maxAbsX overflows the " +
+        "micro-unit slope product (limit ~2.3e12); pre-scale to a " +
+        "coarser fixed-point unit")
     val a = recent.select(col("symbol"), col("__t").as("__ta"),
       col("__x").as("__xa"))
     val b = recent.select(col("symbol"), col("__t").as("__tb"),

@@ -185,7 +185,15 @@ object Hierarchy {
     * sibling group cannot split anything); nodes not reachable from
     * the seeded roots are absent from the output (seeding a subtree
     * is a legitimate call), but a round cap throws rather than spin
-    * on a cyclic parent relation. Returns (node, depth, amount). */
+    * on a cyclic parent relation. Seed amounts must be non-negative:
+    * `div` truncates toward zero, so a negative parent would make
+    * each base overshoot the exact share and drive `__leftover`
+    * negative, where the `__rnk <= __leftover` distribution never
+    * fires — children would sum to MORE than the parent. Refused
+    * loudly (like the weight guard); with a non-negative seed and
+    * strictly positive weights every descendant amount stays
+    * non-negative, so the guard holds at all depths.
+    * Returns (node, depth, amount). */
   def allocateDown(tree: DataFrame, amounts: DataFrame,
                    nodeCol: String, parentCol: String, weightCol: String,
                    amountCol: String, maxRounds: Int = 30): DataFrame = {
@@ -200,6 +208,11 @@ object Hierarchy {
     var frontier = amounts.select(col(nodeCol).as("node"),
         col(amountCol).cast("long").as("amount"))
       .withColumn("depth", lit(0L)).localCheckpoint()
+    if (!frontier.filter(col("amount") < 0).isEmpty)
+      throw new IllegalArgumentException(
+        "allocateDown: negative seed amount — truncating div breaks " +
+          "the exact-sum invariant for negative parents (children " +
+          "would sum to more than the parent)")
     var result = frontier
     var round = 0
     var done = false

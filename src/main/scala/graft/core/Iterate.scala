@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions.{sum, when}
 
 /** Round barrier for iterative dataframe algorithms (label
   * propagation, frontier relaxation, closure squaring, fixpoints).
@@ -38,5 +39,40 @@ object Iterate {
   def barrier(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  /** [[barrier]] plus a changed-row count collected DURING the
+    * checkpoint's own materialization action — the fixpoint loops'
+    * convergence check for free. Plain `barrier` + a separate
+    * `filter(changed).isEmpty` costs a second job per round (cheap —
+    * it scans the materialized RDD — but a full driver↔cluster round
+    * trip each iteration). Here the count rides the eager
+    * localCheckpoint as an `observe` metric (`CollectMetrics` — Spark's
+    * exactly-once accumulator path, immune to the task-retry
+    * double-count a raw LongAccumulator risks), so one action yields
+    * both the materialized round and its convergence signal.
+    *
+    * Metric delivery is asynchronous (QueryExecutionListener), so the
+    * read polls briefly; if the listener has not fired within the
+    * bound (never observed — a defensive branch only), the count
+    * falls back to one extra job over the already-checkpointed RDD,
+    * which is exactly the old two-action behavior: correctness never
+    * depends on the fast path. */
+  def barrierCounted(df: DataFrame, changed: Column): (DataFrame, Long) = {
+    val obs = Observation()
+    val cp = df.observe(obs,
+      sum(when(changed, 1L).otherwise(0L)).as("n_changed")).localCheckpoint()
+    val out = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    val row =
+      try Some(scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(10, "s")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    val n = row match {
+      case Some(r) if !r.isNullAt(r.fieldIndex("n_changed")) =>
+        r.getAs[Number]("n_changed").longValue()
+      case Some(_) => 0L // empty input: sum over zero rows is null
+      case None => out.filter(changed).count() // defensive fallback
+    }
+    (out, n)
   }
 }

@@ -442,20 +442,22 @@ object Dedup {
         .select(col("node"), col("__jl").as("label"),
           lit(null).cast(labelType).as("__old"))
       // The node's previous label rides through the aggregation (each
-      // node contributes exactly one non-null __old), so the
-      // convergence check AND the next round's parent notices are
-      // filters over the materialized result — no second join
-      // re-running the round's plan.
-      val next = graft.core.Iterate.barrier(labels
+      // node contributes exactly one non-null __old), so the next
+      // round's parent notices are a filter over the materialized
+      // result — no second join re-running the round's plan — and the
+      // convergence count rides the SAME barrier action as an observe
+      // metric (barrierCounted): one job per round, not two.
+      val (next, nChanged) = graft.core.Iterate.barrierCounted(labels
         .select(col("node"), col("label"), col("label").as("__old"))
         .union(neighbourLabels)
         .union(viaJump)
         .union(notices.select(col("node"), col("label"),
           lit(null).cast(labelType).as("__old")))
-        .groupBy("node").agg(min("label").as("label"), max("__old").as("__old")))
-      val changed = next.filter(col("label") =!= col("__old"))
-      notices = changed.select(col("__old").as("node"), col("label"))
-      converged = changed.isEmpty
+        .groupBy("node").agg(min("label").as("label"), max("__old").as("__old")),
+        col("label") =!= col("__old"))
+      notices = next.filter(col("label") =!= col("__old"))
+        .select(col("__old").as("node"), col("label"))
+      converged = nChanged == 0L
       labels = next.select("node", "label")
       i += 1
     }

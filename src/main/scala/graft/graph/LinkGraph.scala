@@ -970,13 +970,15 @@ object LinkGraph {
             lit(null).cast(labelType).as("__old"))
         // barrier, not plain localCheckpoint: the stats-feedback
         // reset (see graft.core.Iterate) — this union would triple
-        // estimate digits per round
-        val next = graft.core.Iterate.barrier(labels
+        // estimate digits per round; the convergence count rides the
+        // same action as an observe metric (barrierCounted)
+        val (next, nChanged) = graft.core.Iterate.barrierCounted(labels
           .select(col("node"), col("label"), col("label").as("__old"))
           .union(viaEdges).union(viaJump)
           .groupBy("node")
-          .agg(min("label").as("label"), max("__old").as("__old")))
-        converged = next.filter(col("label") =!= col("__old")).isEmpty
+          .agg(min("label").as("label"), max("__old").as("__old")),
+          col("label") =!= col("__old"))
+        converged = nChanged == 0L
         labels = next.select("node", "label")
         i += 1
       }

@@ -284,6 +284,18 @@ class CorrelationSpec extends SparkSpec {
       .collect().head.getAs[Long]("sen_slope_e6") shouldBe -2333334L
   }
 
+  test("mannKendall refuses magnitudes that overflow the micro-unit product") {
+    // |x| past Long.MaxValue/4e6 would silently wrap (__xb-__xa)*1e6;
+    // the guard throws instead of returning a wrong Sen slope
+    an[IllegalArgumentException] should be thrownBy
+      Correlation.mannKendall(
+        mk(("G", 1, 0L), ("G", 2, 3000000000000L)), "v")
+    // just inside the bound still works
+    Correlation.mannKendall(
+      mk(("G", 1, 0L), ("G", 2, 2000000000000L)), "v")
+      .collect().head.getAs[Long]("s_stat") shouldBe 1L
+  }
+
   test("mannKendall: the windowRows governor caps pairs at K(K-1)/2") {
     // 100 days but K = 60: only the last 60 enter -> 1770 pairs; the
     // early falling segment is outside the window, so S stays maximal

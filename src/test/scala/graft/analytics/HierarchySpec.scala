@@ -139,6 +139,18 @@ class HierarchySpec extends SparkSpec {
       Hierarchy.allocateDown(t, amounts, "node", "parent", "w", "amount")
   }
 
+  test("allocateDown: a negative seed amount is refused loudly") {
+    // truncating div would make each child's base overshoot the exact
+    // share and the (never-firing) leftover distribution would leave
+    // children summing to MORE than the parent — refused at the seed
+    import spark.implicits._
+    val t = Seq((1L, None, 1L), (2L, Some(1L), 1L), (3L, Some(1L), 2L))
+      .toDF("node", "parent", "w")
+    val amounts = Seq((1L, -10L)).toDF("node", "amount")
+    an[IllegalArgumentException] should be thrownBy
+      Hierarchy.allocateDown(t, amounts, "node", "parent", "w", "amount")
+  }
+
   test("allocateDown is invariant under input partitioning") {
     import spark.implicits._
     val t = (0 to 80).map(i =>

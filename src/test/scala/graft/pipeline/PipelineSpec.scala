@@ -79,6 +79,28 @@ class PipelineSpec extends SparkSpec {
       Pipeline.run(spark, Seq(bad), cfg, table, today = lit("2024-01-06").cast("date"))
   }
 
+  test("q306 wires the full README DAG: view-after-upsert equals the piecewise composition (README.md:96-131)") {
+    // The registry's end-to-end entry runs extract -> validate raw ->
+    // transform -> merge -> validate transformed -> partitioned upload
+    // -> MERGE load -> daily-metrics view as ONE run; this pins that
+    // its output is exactly the piecewise composition of the already-
+    // oracled pieces: q03's daily metrics over q08's logical upsert.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q306_pipeline_e2e")(spark, dir)
+    val merged = graft.SparkEntry.mergedBars(spark, dir)
+    val target = merged.filter(col("date") < lit("1999-01-01").cast("date"))
+    val staging = merged
+      .filter(col("date") >= lit("1998-06-01").cast("date") &&
+        col("date") < lit("1999-01-01").cast("date"))
+      .withColumn("close", col("close") + 1.0)
+      .select(merged.columns.map(col): _*)
+    val after = graft.etl.Upsert.upsert(target, staging,
+      graft.etl.Schemas.mergeKey)
+    val twin = graft.analytics.StockAnalytics.dailyMetrics(after,
+      pick = min(_), avgF = graft.core.Exact.exactAvg(_, 4))
+    assertSameRows(out, twin)
+  }
+
   test("coverage and freshness issues report without aborting") {
     val cfg = PipelineConfig.fromJson(cfgJson)
     val av = source("alpha_vantage", bar("2024-01-05", "AAA", 100.0, "alpha_vantage"))

@@ -262,6 +262,166 @@ class StateStoreProviderSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // RocksDB CHANGELOG checkpointing — the production recovery knob:
+  // with changelogCheckpointing enabled each commit uploads a small
+  // per-batch changelog instead of a full snapshot zip (snapshots
+  // roll up in the background), turning per-batch checkpoint cost
+  // from O(state) into O(delta) — the difference between a 100 TB
+  // state stream that keeps up and one that falls behind its own
+  // checkpoints. The v2-state trio (ValueState totals, ListState
+  // recent-k, MapState type counts) must produce IDENTICAL results
+  // under both modes, and the mode is asserted from the CHECKPOINT
+  // CONTENTS (.changelog files present iff enabled) — the conf alone
+  // proves nothing if a typo silently falls back to snapshot mode.
+  // ------------------------------------------------------------------
+
+  private val rocksCls = "org.apache.spark.sql.execution.streaming.state." +
+    "RocksDBStateStoreProvider"
+
+  /** Count state-store files with the given suffix under a streaming
+    * checkpoint's state/ tree. */
+  private def stateFiles(ckpt: String, suffix: String): Long = {
+    val stateDir = java.nio.file.Paths.get(ckpt, "state")
+    if (!java.nio.file.Files.exists(stateDir)) 0L
+    else {
+      val walk = java.nio.file.Files.walk(stateDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .count(p => p.getFileName.toString.endsWith(suffix)).toLong
+      } finally walk.close()
+    }
+  }
+
+  for (changelog <- Seq(false, true)) {
+
+    test(s"v2 state trio is mode-identical under changelogCheckpointing=$changelog, asserted from checkpoint contents") {
+      withSQLConf(
+        "spark.sql.streaming.stateStore.providerClass" -> rocksCls,
+        ("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled") -> changelog.toString) {
+        implicit val ctx = spark.sqlContext
+        val tag = s"cl_$changelog"
+
+        // ValueState running totals
+        val ck1 = tmp(s"cl-totals-$tag")
+        val ms1 = MemoryStream[Ev]
+        val q1 = StatefulTotals.runningTotals(ms1.toDF())
+          .writeStream.format("memory").queryName(s"clt_$tag")
+          .option("checkpointLocation", ck1).outputMode("update").start()
+        try {
+          ms1.addData(ev(1, 0, value = 1.25), ev(2, 1, value = 2.50))
+          q1.processAllAvailable()
+          ms1.addData(ev(3, 2, value = 4.00))
+          q1.processAllAvailable()
+          val rows = spark.table(s"clt_$tag").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          rows should contain allOf ((1L, 2L, 375L), (1L, 3L, 775L))
+          assertProvider(q1, "RocksDB")
+        } finally q1.stop()
+
+        // ListState recent-k with a late arrival
+        val ck2 = tmp(s"cl-recent-$tag")
+        val ms2 = MemoryStream[Ev]
+        val q2 = StatefulRecent.recentEvents(ms2.toDF(), k = 3)
+          .writeStream.format("memory").queryName(s"clr_$tag")
+          .option("checkpointLocation", ck2).outputMode("update").start()
+        try {
+          ms2.addData(ev(10, 10), ev(20, 20), ev(30, 30), ev(40, 40))
+          q2.processAllAvailable()
+          ms2.addData(ev(25, 25))
+          q2.processAllAvailable()
+          val views = spark.table(s"clr_$tag").collect()
+            .map(r => (r.getAs[Int]("n_buffered"),
+              r.getAs[Seq[Long]]("event_ids")))
+          views should contain((3, Seq(25L, 30L, 40L)))
+        } finally q2.stop()
+
+        // MapState per-type counts
+        val ck3 = tmp(s"cl-types-$tag")
+        val ms3 = MemoryStream[Ev]
+        val q3 = StatefulTypeCounts.typeCounts(ms3.toDF())
+          .writeStream.format("memory").queryName(s"cly_$tag")
+          .option("checkpointLocation", ck3).outputMode("update").start()
+        try {
+          ms3.addData(ev(1, 0, "view"), ev(2, 1, "view"), ev(3, 2, "click"))
+          q3.processAllAvailable()
+          ms3.addData(ev(4, 3, "view"))
+          q3.processAllAvailable()
+          val rows = spark.table(s"cly_$tag").collect()
+            .map(r => (r.getString(1), r.getLong(2))).toSeq
+          rows should contain allOf (("view", 2L), ("click", 1L), ("view", 3L))
+        } finally q3.stop()
+
+        // mode assert from checkpoint contents, not the conf: per-batch
+        // .changelog files exist iff changelog checkpointing engaged
+        for (ck <- Seq(ck1, ck2, ck3)) {
+          val n = stateFiles(ck, ".changelog")
+          withClue(s"$ck changelog files under changelog=$changelog: ") {
+            if (changelog) n should be > 0L else n shouldBe 0L
+          }
+        }
+      }
+    }
+
+    test(s"v2 sessionizer survives stop-and-restart under changelogCheckpointing=$changelog") {
+      withSQLConf(
+        "spark.sql.streaming.stateStore.providerClass" -> rocksCls,
+        ("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled") -> changelog.toString) {
+        // The crash-recovery contract under BOTH checkpoint modes: a
+        // NEW query resuming the SAME checkpoint restores v2 state
+        // (changelog mode replays changelogs over the last snapshot),
+        // so a session whose events straddle the restart closes ONCE
+        // with all its events. File source + parquet sink (the
+        // recoverable pair, as in StreamingSpec's restart test).
+        import spark.implicits._
+        val tag = s"rs_$changelog"
+        val srcDir = tmp(s"cl-restart-src-$tag")
+        val outDir = tmp(s"cl-restart-out-$tag")
+        val ckpt = tmp(s"cl-restart-ckpt-$tag")
+        val schema = Seq.empty[Ev].toDF().schema
+        def startQuery() =
+          StatefulSessionsV2.sessionize(
+              spark.readStream.schema(schema).json(srcDir),
+              gapMinutes = 30, watermark = "10 minutes")
+            .writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .start()
+
+        // batch 1: an open session for user 1
+        Seq(ev(1, 10), ev(2, 20, value = 2.0)).toDF()
+          .coalesce(1).write.mode("append").json(srcDir)
+        val q1 = startQuery()
+        try q1.processAllAvailable() finally q1.stop()
+
+        // restart: one more event in the SAME session, then a far
+        // event that closes it via the event-time timer
+        Seq(ev(3, 25, value = 4.0), ev(99, 200, user = 2L)).toDF()
+          .coalesce(1).write.mode("append").json(srcDir)
+        val q2 = startQuery()
+        try {
+          q2.processAllAvailable()
+          // push the watermark so user 2's tail session also closes
+          Seq(ev(100, 300, user = 2L)).toDF()
+            .coalesce(1).write.mode("append").json(srcDir)
+          q2.processAllAvailable()
+        } finally q2.stop()
+
+        val sessions = spark.read.parquet(outDir)
+          .select("user_id", "n_events", "total_value")
+          .as[(Long, Long, Double)].collect().toSeq
+        // user 1's session closed ONCE with all 3 events (2 before
+        // the restart + 1 after) — state survived the restart
+        sessions should contain((1L, 3L, 7.0))
+        sessions.count(_._1 == 1L) shouldBe 1
+        val n = stateFiles(ckpt, ".changelog")
+        if (changelog) n should be > 0L else n shouldBe 0L
+      }
+    }
+  }
+
   test("transformWithState running totals: state carries across batches, batch-twin final") {
     // transformWithState REQUIRES the RocksDB provider — the v2 state
     // API is built on its column-family support
