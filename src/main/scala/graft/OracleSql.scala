@@ -1845,6 +1845,125 @@ SELECT date, symbol,
   count(DISTINCT data_source) AS source_count
 FROM after GROUP BY date, symbol ORDER BY date, symbol"""
 
+  /** q307 twin of [[graft.analytics.Ranking.averagePrecision]]: the
+    * same ranked-results construction (balance desc, custkey
+    * tiebreak), the same per-k e6 floor and n_relevant divisor. */
+  val q307_average_precision: String = """
+WITH res AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT c_nationkey AS query_id, c_custkey AS doc_id,
+      row_number() OVER (PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC, c_custkey) AS rank
+    FROM customer)
+  WHERE rank <= 20),
+truth AS (
+  SELECT c_nationkey AS query_id, c_custkey AS doc_id
+  FROM customer WHERE c_mktsegment = 'BUILDING'),
+nrel AS (SELECT query_id, count(*) AS n_relevant FROM truth GROUP BY 1),
+hits AS (
+  SELECT r.query_id, r.rank,
+    CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM res r LEFT JOIN truth t
+    ON t.query_id = r.query_id AND t.doc_id = r.doc_id),
+cum AS (
+  SELECT query_id, rank, hit,
+    sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS c
+  FROM hits),
+per AS (
+  SELECT query_id, count(*) AS n_results, sum(hit) AS n_hits,
+    sum(CASE WHEN hit = 1 THEN (1000000 * c) // rank ELSE 0 END) AS ap_num
+  FROM cum GROUP BY 1)
+SELECT query_id,
+  CAST(coalesce(n_results, 0) AS BIGINT) AS n_results,
+  CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+  CASE WHEN coalesce(n_relevant, 0) > 0
+    THEN CAST(coalesce(ap_num, 0) // n_relevant AS BIGINT) END AS ap_e6
+FROM per FULL OUTER JOIN nrel USING (query_id)
+ORDER BY query_id"""
+
+  /** q308 twin of [[graft.text.TextAnalysis.distributionDrift]]: the
+    * shared tokenizer, per-(lang, token) counts, exact HUGEINT
+    * cross-products, the same floor permille. The vocabulary cross
+    * join replays the pivot's keep-every-word-with-zeros contract. */
+  val q308_distribution_drift: String = """
+WITH toks AS (
+  SELECT lang AS slice,
+    unnest(list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      t -> t <> '')) AS w
+  FROM documents),
+counts AS (SELECT slice, w, count(*) AS c FROM toks GROUP BY 1, 2),
+tot AS (SELECT slice, sum(c) AS n FROM counts GROUP BY 1),
+pairs AS (
+  SELECT a.slice AS slice_a, b.slice AS slice_b, a.n AS na, b.n AS nb
+  FROM tot a JOIN tot b ON a.slice < b.slice),
+vocab AS (SELECT DISTINCT w FROM counts),
+cellab AS (
+  SELECT p.slice_a, p.slice_b, p.na, p.nb,
+    coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+  FROM pairs p
+  CROSS JOIN vocab v
+  LEFT JOIN counts ca ON ca.slice = p.slice_a AND ca.w = v.w
+  LEFT JOIN counts cb ON cb.slice = p.slice_b AND cb.w = v.w)
+SELECT slice_a, slice_b,
+  CAST(max(na) AS BIGINT) AS n_tokens_a,
+  CAST(max(nb) AS BIGINT) AS n_tokens_b,
+  CAST((1000 * sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)))
+    // (2 * max(na) * max(nb)) AS BIGINT) AS tv_permille
+FROM cellab GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q309 twin of [[graft.analytics.Ranking.isotonicCalibration]]:
+    * the same md5-derived score/label device, the same B² minimax
+    * construction over floored pooled means. */
+  val q309_isotonic_calibration: String = """
+WITH scored AS (
+  SELECT c_custkey,
+    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14)) AS BIGINT)
+      % 101 AS score,
+    CASE WHEN CAST(('0x' || substr(md5('lbl:' || CAST(c_custkey AS VARCHAR)),
+                    1, 14)) AS BIGINT) % 100
+         < CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14))
+                AS BIGINT) % 101
+         THEN 1 ELSE 0 END AS label
+  FROM customer),
+bins AS (SELECT score AS s, count(*) AS n, sum(label) AS p
+         FROM scored GROUP BY 1),
+ib AS (
+  SELECT s, n, p, row_number() OVER (ORDER BY s) AS i,
+    sum(n) OVER (ORDER BY s) AS cn, sum(p) OVER (ORDER BY s) AS cp
+  FROM bins),
+pr AS (
+  SELECT j.i AS j, k.i AS k,
+    (1000000 * (k.cp - (j.cp - j.p))) // (k.cn - (j.cn - j.n)) AS a
+  FROM ib j JOIN ib k ON j.i <= k.i),
+rm AS (
+  SELECT j, k, min(a) OVER (PARTITION BY j ORDER BY k
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+  FROM pr),
+fit AS (SELECT k AS i, max(m) AS iso FROM rm GROUP BY 1)
+SELECT CAST(s AS BIGINT) AS score, CAST(n AS BIGINT) AS n,
+  CAST(p AS BIGINT) AS n_pos,
+  CAST((1000000 * p) // n AS BIGINT) AS raw_rate_e6,
+  CAST(iso AS BIGINT) AS iso_rate_e6
+FROM ib JOIN fit USING (i) ORDER BY score"""
+
+  /** q310 twin of [[graft.etl.Sampling.prioritySample]]: the same
+    * 56-bit md5 hash, the same u div w priority and (priority, key)
+    * total order. */
+  val q310_priority_sample: String = """
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+      // n_chars AS q
+  FROM documents),
+rn AS (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn
+  FROM pri)
+SELECT doc_id, lang, n_chars FROM rn WHERE rn <= 12
+ORDER BY lang, doc_id"""
+
   /** q304 twin of [[graft.analytics.Correlation.historicalVaR]]: the
     * q158 rets CTE, the same ceil-rank tail, the VARCHAR-detour
     * decimal→double for the ES division. */
@@ -7880,6 +7999,10 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q304_historical_var" -> q304_historical_var,
     "q305_syndication_matrix" -> q305_syndication_matrix,
     "q306_pipeline_e2e" -> q306_pipeline_e2e,
+    "q307_average_precision" -> q307_average_precision,
+    "q308_distribution_drift" -> q308_distribution_drift,
+    "q309_isotonic_calibration" -> q309_isotonic_calibration,
+    "q310_priority_sample" -> q310_priority_sample,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -973,6 +973,63 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Average precision per query — the PR-family rank metric (ROC-AUC
+    // is skew-blind; AP prices precision AT the relevant hits): nations
+    // as queries, customers ranked by balance (custkey tiebreak — a
+    // total order both engines replay), BUILDING-segment membership as
+    // relevance. Un-retrieved relevant customers drag the score
+    // (standard AP — no credit for truncation).
+    "q307_average_precision" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val results = cust.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("c_nationkey").as("query_id"),
+          col("c_custkey").as("doc_id"), col("rank"))
+      val truth = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("query_id"),
+          col("c_custkey").as("doc_id"))
+      graft.analytics.Ranking.averagePrecision(results, truth)
+        .orderBy(col("query_id"))
+    }),
+
+    // Exact total-variation drift between per-language token
+    // distributions — the corpus-drift audit (no transcendental: TV is
+    // a sum of |cross-multiplied integers|, so the permille is the
+    // floor of the TRUE statistic). 5 langs -> 10 pairs.
+    "q308_distribution_drift" -> ((s, dir) =>
+      graft.text.TextAnalysis.distributionDrift(
+          Tables.documents(s, dir), "lang")
+        .orderBy(col("slice_a"), col("slice_b"))),
+
+    // Isotonic calibration repair over a synthetic ~calibrated scorer
+    // (the q258 hash-label device at percent resolution): the minimax
+    // identity over the bounded bin table; the fit must be monotone
+    // and smooth the per-bin sampling noise.
+    "q309_isotonic_calibration" -> ((s, dir) => {
+      import graft.etl.Sampling.keyHash
+      val scored = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          (keyHash(col("c_custkey")) % 101).as("score"))
+        .withColumn("label",
+          (keyHash(concat(lit("lbl:"), col("c_custkey").cast("string")))
+            % 100 < col("score")).cast("long"))
+      graft.analytics.Ranking.isotonicCalibration(scored, "label", "score")
+        .orderBy(col("score"))
+    }),
+
+    // Weighted priority sample per language (Duffield-Lund-Thorup
+    // priorities u div w, exact integer form): char-weighted corpus
+    // cut, deterministic under any partitioning.
+    "q310_priority_sample" -> ((s, dir) =>
+      graft.etl.Sampling.prioritySample(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", "n_chars", k = 12)
+        .orderBy(col("lang"), col("doc_id"))),
+
     // END-TO-END reference-DAG parity (README.md:96-131): the full
     // task order — extract both sources → validate raw → transform →
     // merge/dedup → validate transformed → upload (date-partitioned

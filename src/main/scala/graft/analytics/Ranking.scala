@@ -56,6 +56,129 @@ object Ranking {
           .as("recall_at_k_permille"))
   }
 
+  /** Average precision per query (the area under the precision–recall
+    * curve, summed form) — the PR-family member [[rankingMetrics]]'s
+    * P@k/RR and [[rocAuc]] leave open: ROC-AUC is insensitive to the
+    * class skew retrieval lives under (a ranker can hold AUC ≈ 0.9
+    * while burying every relevant doc past rank 100 when negatives
+    * dominate); AP = (1/R)·Σ_{k : rel_k} P@k weights precision AT the
+    * relevant hits, which is what a searcher experiences.
+    *
+    * Exactness convention (the chi-square per-cell-floor device,
+    * stated): each P@k term floors independently at e6 —
+    * ap_e6 = (Σ_{rel hits} floor(10⁶·cumHits(k) / k)) div R — a
+    * DEFINED deterministic statistic both engines replay bit-for-bit;
+    * the true rational differs by < 1e-6·hits/R. R counts ALL
+    * relevant docs from the truth set (standard AP: un-retrieved
+    * relevant docs drag the score — a ranker can't improve by
+    * truncating its result list). Ranks must be a total order per
+    * query (the caller's rank column, as in [[rankingMetrics]]).
+    * Zero relevant docs → NULL AP (undefined, not zero); a query
+    * with relevant docs but no results reports ap_e6 = 0 — a
+    * retrieval failure must surface, not vanish (the audit stance).
+    *
+    * Shape: one distinct on truth, one left join on (query, doc), a
+    * query-partitioned rank window over RESULT rows (result lists
+    * are k-bounded by contract — never corpus-sized), one aggregate,
+    * one small full-outer join. */
+  def averagePrecision(results: DataFrame, truth: DataFrame,
+                       queryCol: String = "query_id",
+                       docCol: String = "doc_id",
+                       rankCol: String = "rank"): DataFrame = {
+    val rel = truth.select(col(queryCol), col(docCol)).distinct()
+      .withColumn("__rel", lit(1))
+    val nRel = rel.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_relevant"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col(rankCol))
+    val per = results.join(rel, Seq(queryCol, docCol), "left")
+      .withColumn("__hit", when(col("__rel").isNotNull, 1L).otherwise(0L))
+      .withColumn("__cum", sum(col("__hit")).over(w))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_results"),
+        sum(col("__hit")).as("n_hits"),
+        sum(when(col("__hit") === 1L,
+          expr(s"(1000000 * __cum) div $rankCol")).otherwise(0L))
+          .as("__ap_num"))
+    per.join(nRel, Seq(queryCol), "full_outer")
+      .select(col(queryCol),
+        coalesce(col("n_results"), lit(0L)).as("n_results"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_relevant"), lit(0L)) > 0,
+          expr("coalesce(__ap_num, 0L) div n_relevant")).as("ap_e6"))
+  }
+
+  /** Isotonic calibration repair (L2 isotonic regression of the
+    * per-score positive rate) — the FIX for what [[calibrationTable]]
+    * audits: a monotone score whose probabilities are off gets
+    * remapped to the best monotone-non-decreasing rate curve
+    * (Robertson et al. 1988; the standard classifier-calibration
+    * method of Zadrozny & Elkan KDD 2002).
+    *
+    * Computed via the minimax identity — fit(i) = max_{j≤i} min_{k≥i}
+    * mean(rate over bins j..k) — rather than the sequential
+    * pool-adjacent-violators sweep, because the identity is pure
+    * joins/windows over the BIN table and the bin table is BOUNDED:
+    * scores are integer units (the calibrationTable permille
+    * contract), so B ≤ units+1 distinct bins regardless of corpus
+    * size, and the B² pair frame is a constant-size object (≤ ~10⁶
+    * rows at permille resolution) — never corpus-scaled.
+    *
+    * Exactness convention (stated, the chi-square per-cell device):
+    * pooled means floor at e6 — A(j,k) = (10⁶·ΣP) div (ΣN) — and the
+    * minimax runs over the FLOORED matrix. Monotonicity survives the
+    * floor for ANY matrix (min over fewer k and max over more j are
+    * both monotone in i — proof in one line), so the output is still
+    * a valid monotone calibration map; it differs from the true
+    * rational fit by < 1 e6-unit per pooled block.
+    *
+    * Shape: one hash aggregate to bins → one ordered window over B
+    * rows (prefix sums) → one range self-join to the B² pair frame →
+    * one reverse running-min window (partition j) → one (i)-keyed max
+    * aggregate → one join back to bins. Output = B rows:
+    * (score, n, n_pos, raw_rate_e6, iso_rate_e6). */
+  def isotonicCalibration(scored: DataFrame, labelCol: String,
+                          scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+    // B bins: an unpartitioned window over the bin table is a
+    // bounded-frame operation (the liftTable precedent), not the
+    // corpus-window trap
+    val bins = scored
+      .select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .localCheckpoint()
+    val j = bins.select(col("__i").as("__j"),
+      (col("__cn") - col("__n")).as("__cnj"),
+      (col("__cp") - col("__p")).as("__cpj"))
+    val k = bins.select(col("__i").as("__k"),
+      col("__cn").as("__cnk"), col("__cp").as("__cpk"))
+    val pairs = j.join(k, col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        expr("(1000000 * (__cpk - __cpj)) div (__cnk - __cnj)").as("__a"))
+    // running min from the right = growing frame under the REVERSED
+    // sort (the round-14 window-frame rule: an unbounded-FOLLOWING
+    // frame is the O(n²) shrinking-frame processor)
+    val wRevMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__j")).orderBy(col("__k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val fit = pairs
+      .withColumn("__m", min(col("__a")).over(wRevMin))
+      .groupBy(col("__k").as("__i"))
+      .agg(max(col("__m")).as("iso_rate_e6"))
+    bins.join(fit, "__i")
+      .select(col("__s").as("score"), col("__n").as("n"),
+        col("__p").as("n_pos"),
+        expr("(1000000 * __p) div __n").as("raw_rate_e6"),
+        col("iso_rate_e6"))
+  }
+
   /** EXACT ROC-AUC via the Mann–Whitney rank-sum identity — the
     * threshold-free binary-classifier metric next to [[
     * rankingMetrics]]'s IR family: AUC = P(score⁺ > score⁻) + ½

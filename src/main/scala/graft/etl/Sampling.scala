@@ -69,6 +69,48 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** WEIGHTED sample without replacement via priority sampling
+    * (Duffield, Lund & Thorup, JACM 2007) — the weighted counterpart
+    * to [[stratifiedSample]]'s uniform hash order: per stratum the k
+    * rows with the SMALLEST priority q = u div w, where u is the
+    * 56-bit [[keyHash]] uniform and w the row's positive integer
+    * weight — heavier rows draw smaller priorities ∝ 1/w, so
+    * inclusion probability scales with weight (the
+    * size-biased/importance sample a token-weighted corpus cut or a
+    * spend-weighted user panel needs). The integer floor div of the
+    * published continuous u/w priority is the stated deterministic
+    * variant (the engine-neutral discipline everywhere in this file);
+    * (priority, key) tie-break is a total order, so both engines cut
+    * identically and the sample is a pure function of the data.
+    *
+    * Zero/negative/null weights are REFUSED loudly — a zero weight
+    * divides to 0 and would always win the sample, the opposite of
+    * "weight zero means never sample", so silence would invert the
+    * caller's intent. Shape: one filter-free scan + one partitioned
+    * top-k window (InferWindowGroupLimit pre-shuffle cap, the
+    * quotaPerGroup scale argument). */
+  def prioritySample(df: DataFrame, stratumCol: String, keyCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wgt = col(weightCol).cast("long")
+    val bad = df.filter(wgt.isNull || wgt <= 0L)
+    if (!bad.isEmpty) throw new IllegalArgumentException(
+      s"prioritySample: null/non-positive $weightCol — a zero weight " +
+        "would ALWAYS be sampled (priority 0), inverting the intent; " +
+        "filter or fix weights first")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(expr(s"CAST(${priorityExpr(keyCol, weightCol)} AS BIGINT)"),
+        col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** The q = u div w priority as a SQL fragment (shared with callers
+    * that want the priority exposed for audit). */
+  private def priorityExpr(keyCol: String, weightCol: String): String =
+    s"CAST(conv(substring(md5(CAST(CAST($keyCol AS STRING) AS BINARY)), " +
+      s"1, 14), 16, 10) AS BIGINT) div CAST($weightCol AS BIGINT)"
+
   /** Group-quota cap — the domain-capping curation primitive: at most
     * `k` rows per group, keeping the TOP rows by `order` (e.g. the k
     * highest-quality documents per (lang, domain); append a

@@ -561,11 +561,14 @@ object LinkGraph {
       // barrier, not plain localCheckpoint: dist and frontier feed
       // the next round — the stats-feedback reset of
       // [[graft.core.Iterate]] keeps estimate digits flat
-      val improved = graft.core.Iterate.barrier(cand.join(
+      // barrierCounted: the emptiness signal rides the checkpoint's
+      // own action as an observe metric — one job per round, not two
+      val (improved, nImproved) = graft.core.Iterate.barrierCounted(
+        cand.join(
           dist.withColumnsRenamed(Map("dist" -> "__old")), Seq("node"), "left")
         .filter(col("__old").isNull || col("dist") < col("__old"))
-        .select(col("node"), col("dist")))
-      if (improved.isEmpty) done = true
+        .select(col("node"), col("dist")), lit(true))
+      if (nImproved == 0L) done = true
       else {
         dist = graft.core.Iterate.barrier(dist.unionByName(improved)
           .groupBy(col("node")).agg(min(col("dist")).as("dist")))

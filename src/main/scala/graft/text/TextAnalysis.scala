@@ -880,4 +880,91 @@ object TextAnalysis {
         array_join(array_sort(collect_list(col("form"))), ",").as("forms"))
       .filter(col("n_forms") >= minForms)
   }
+
+  /** EXACT total-variation distance between the token distributions
+    * of every slice pair — the corpus-drift number behind "did this
+    * source / this month / this crawl change under us": TV(P,Q) =
+    * ½·Σ_w |p_w − q_w| ∈ [0,1], the largest probability difference
+    * any event set can exhibit (the tightest of the f-divergences to
+    * state, and the one that needs NO transcendental function — KL
+    * and JS want logs of rationals, which no cross-engine exact form
+    * survives; TV is a sum of |cross-multiplied integers|, so the
+    * permille emitted here is the floor of the TRUE statistic, not a
+    * stated approximation).
+    *
+    * tv_permille(a,b) = (1000 · Σ_w |c_w·N_b − d_w·N_a|)
+    * div (2·N_a·N_b), all in DECIMAL(38,0) cross-products (token
+    * counts at 100 TB overflow int64 products). A token absent from
+    * one slice contributes its full mass — the pivot keeps every
+    * vocabulary word with per-slice zeros, so no full-outer join per
+    * pair is needed.
+    *
+    * Shape: tokenize + explode (scan-side) → one (slice, token) hash
+    * aggregate → one pivot to token × slice counts (slice universe
+    * is collected — groups/sources/months, config-bounded by
+    * contract, documented like the E127 stratum map) → ONE aggregate
+    * computing every pair's Σ|…| map-side-combinably. Output =
+    * S·(S−1)/2 rows. Never a token-keyed self-join. */
+  def distributionDrift(docs: DataFrame, sliceCol: String,
+                        textCol: String = "text",
+                        maxSlices: Int = 64): DataFrame = {
+    val counts = docs
+      .select(col(sliceCol).cast("string").as("__slice"),
+        explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__slice"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    // slice universe: config-bounded (sources, languages, months)
+    val slices = counts.select(col("__slice")).distinct()
+      .orderBy(col("__slice"))
+      .collect().map(_.getString(0)).toSeq
+    require(slices.size <= maxSlices,
+      s"distributionDrift: ${slices.size} slices exceeds maxSlices=" +
+        s"$maxSlices — slice on a bounded dimension or raise the cap")
+    require(slices.size >= 2,
+      "distributionDrift needs at least two slices to compare")
+    // positional rename after the pivot: slice VALUES become column
+    // names, which needn't be identifier-safe — __s_<i> always is
+    val cols = "__w" +: slices.indices.map(i => s"__s_$i")
+    val bySlice = slices.indices.map(i => i -> s"__s_$i").toMap
+    val wide = counts.groupBy(col("__w"))
+      .pivot("__slice", slices)
+      .agg(first(col("__c")))
+      .toDF(cols: _*)
+      .na.fill(0L, cols.drop(1))
+    val totals = slices.indices.map(i =>
+      sum(col(bySlice(i))).cast("decimal(38,0)").as(s"__n_$i"))
+    val pairs = for {
+      i <- slices.indices; j <- (i + 1) until slices.size
+    } yield (i, j)
+    // Σ_w |c_w·N_b − d_w·N_a| needs the totals inside the per-token
+    // term, so the pass runs twice over the pivoted frame: once for
+    // the S totals (1-row result, broadcast back), once for the
+    // S·(S−1)/2 abs-sums — both map-side-combinable aggregates.
+    val absSums = pairs.map { case (i, j) =>
+      sum(abs(col(bySlice(i)).cast("decimal(38,0)") * col(s"__T_$j") -
+        col(bySlice(j)).cast("decimal(38,0)") * col(s"__T_$i")))
+        .as(s"__abs_${i}_$j")
+    }
+    val totalRow = wide.agg(totals.head, totals.tail: _*)
+    val withTotals = wide.crossJoin(broadcast(
+      totalRow.select(slices.indices.map(i =>
+        col(s"__n_$i").as(s"__T_$i")): _*)))
+    val absRow = withTotals.agg(absSums.head, absSums.tail: _*)
+      .crossJoin(broadcast(totalRow))
+    val rows = pairs.map { case (i, j) =>
+      // integral `div` (truncating; operands non-negative so it IS the
+      // floor) — a decimal `/` + cast would HALF_UP-round and diverge
+      // from DuckDB's `//`
+      struct(lit(slices(i)).as("slice_a"), lit(slices(j)).as("slice_b"),
+        col(s"__n_$i").cast("long").as("n_tokens_a"),
+        col(s"__n_$j").cast("long").as("n_tokens_b"),
+        expr(s"CAST((CAST(1000 AS DECIMAL(38,0)) * __abs_${i}_$j) div " +
+          s"(CAST(2 AS DECIMAL(38,0)) * __n_$i * __n_$j) AS BIGINT)")
+          .as("tv_permille"))
+    }
+    absRow.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.slice_a"), col("__r.slice_b"),
+        col("__r.n_tokens_a"), col("__r.n_tokens_b"),
+        col("__r.tv_permille"))
+  }
 }

@@ -46,6 +46,90 @@ class RankingSpec extends SparkSpec {
     r.getLong(7) shouldBe 1000L
   }
 
+  test("averagePrecision: hand case with an unretrieved relevant doc") {
+    // rel at ranks 1 and 3; Z unretrieved: AP = (P@1 + P@3)/R
+    //   = (floor(1e6*1/1) + floor(1e6*2/3)) div 3
+    //   = (1000000 + 666666) div 3 = 555555
+    val results = Seq(
+      ("q1", "A", 1L), ("q1", "B", 2L), ("q1", "C", 3L), ("q1", "D", 4L))
+      .toDF("query_id", "doc_id", "rank")
+    val truth = Seq(("q1", "A"), ("q1", "C"), ("q1", "Z"))
+      .toDF("query_id", "doc_id")
+    val r = Ranking.averagePrecision(results, truth).collect().head
+    r.getLong(1) shouldBe 4L       // n_results
+    r.getLong(2) shouldBe 3L       // n_relevant includes unretrieved Z
+    r.getLong(3) shouldBe 2L       // n_hits
+    r.getLong(4) shouldBe 555555L  // ap_e6
+  }
+
+  test("averagePrecision: perfect head ranking = 1e6; failure modes surface") {
+    // both relevant docs at the top: AP = (1e6 + 1e6) div 2 = 1e6
+    val results = Seq(("q1", "A", 1L), ("q1", "B", 2L), ("q1", "C", 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val truth = Seq(("q1", "A"), ("q1", "B"),
+      ("q2", "X"),               // relevant but NO results: ap must be 0
+      ("q1", "A"))               // duplicate truth must not inflate R
+      .toDF("query_id", "doc_id")
+    val out = Ranking.averagePrecision(results, truth)
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("q1").getLong(2) shouldBe 2L
+    out("q1").getLong(4) shouldBe 1000000L
+    out("q2").getLong(1) shouldBe 0L
+    out("q2").getLong(4) shouldBe 0L   // retrieval failure, not NULL
+    // results with no truth at all: AP undefined, not zero
+    val noTruth = Ranking.averagePrecision(results,
+      Seq(("q9", "Y")).toDF("query_id", "doc_id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    noTruth("q1").isNullAt(4) shouldBe true
+  }
+
+  test("averagePrecision is invariant under input partitioning") {
+    val results = (1 to 200).map(i =>
+      (s"q${i % 7}", s"d$i", ((i * 13) % 40 + 1).toLong))
+      .toDF("query_id", "doc_id", "rank")
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"query_id").orderBy($"rank", $"doc_id")))
+    val truth = (1 to 200).filter(_ % 3 == 0).map(i =>
+      (s"q${i % 7}", s"d$i")).toDF("query_id", "doc_id")
+    assertSameRows(
+      Ranking.averagePrecision(results, truth),
+      Ranking.averagePrecision(results.repartition(7),
+        truth.repartition(5)))
+  }
+
+  test("isotonicCalibration: already-monotone rates pass through; a violation pools") {
+    // bins (score, n, pos): (1, 4, 0), (2, 4, 2), (3, 4, 4) — strictly
+    // increasing rates 0, 500000, 1000000 must pass through unchanged
+    def mk(rows: (Long, Long)*) = rows.toDF("score", "label")
+    val mono = mk((1 to 4).map(_ => (1L, 0L)) ++
+      Seq((2L, 0L), (2L, 0L), (2L, 1L), (2L, 1L)) ++
+      (1 to 4).map(_ => (3L, 1L)): _*)
+    val outM = Ranking.isotonicCalibration(mono, "label", "score")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("iso_rate_e6")).toMap
+    outM shouldBe Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L)
+    // violation: rates 1 then 0 with equal n pools to 1/2 on both bins
+    val viol = mk((1L, 1L), (1L, 1L), (2L, 0L), (2L, 0L))
+    val outV = Ranking.isotonicCalibration(viol, "label", "score")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("iso_rate_e6")).toMap
+    outV shouldBe Map(1L -> 500000L, 2L -> 500000L)
+  }
+
+  test("isotonicCalibration output is monotone and partition-invariant") {
+    // noisy hash labels: the fit must be non-decreasing in score
+    val scored = (1 to 500).map { i =>
+      val s = (i * 37) % 11
+      (s.toLong, if ((i * 13) % 10 < s) 1L else 0L)
+    }.toDF("score", "label")
+    val out = Ranking.isotonicCalibration(scored, "label", "score")
+      .orderBy($"score").collect().map(_.getAs[Long]("iso_rate_e6"))
+    out.sliding(2).foreach { case Array(a, b) => a should be <= b }
+    assertSameRows(
+      Ranking.isotonicCalibration(scored, "label", "score"),
+      Ranking.isotonicCalibration(scored.repartition(9), "label", "score"))
+  }
+
   test("rocAuc: perfect separation = 1e6; all-tied = exactly 500000") {
     val perfect = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
       .toDF("y", "score")

@@ -36,6 +36,39 @@ class SamplingSpec extends SparkSpec {
     assertSameRows(s, again)
   }
 
+  test("prioritySample: weight-biased, deterministic, guards bad weights") {
+    val weighted = (1L to 400L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b",
+        if (i <= 40) 1000L else 1L))   // 40 heavy rows among 400
+      .toDF("doc_id", "stratum", "w")
+    val out = Sampling.prioritySample(weighted, "stratum", "doc_id", "w", 10)
+    out.count() shouldBe 20L // k per stratum
+    // priorities u div w: the 1000x-weighted rows dominate the sample
+    val heavy = out.filter(col("doc_id") <= 40).count()
+    heavy should be >= 15L
+    // pure function of the data
+    assertSameRows(out,
+      Sampling.prioritySample(weighted.repartition(9), "stratum",
+        "doc_id", "w", 10))
+    // zero weight refused loudly (it would ALWAYS win)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.prioritySample(
+        Seq((1L, "a", 0L)).toDF("doc_id", "stratum", "w"),
+        "stratum", "doc_id", "w", 5)
+  }
+
+  test("prioritySample membership is stable as unrelated strata arrive") {
+    val base = (1L to 200L).map(i => (i, "a", i % 7 + 1)).toDF("doc_id", "stratum", "w")
+    val more = base.union(
+      (201L to 400L).map(i => (i, "b", i % 5 + 1)).toDF("doc_id", "stratum", "w"))
+    val onlyA = Sampling.prioritySample(base, "stratum", "doc_id", "w", 8)
+      .select("doc_id").as[Long].collect().toSet
+    val withB = Sampling.prioritySample(more, "stratum", "doc_id", "w", 8)
+      .filter(col("stratum") === "a")
+      .select("doc_id").as[Long].collect().toSet
+    withB shouldBe onlyA
+  }
+
   test("quotaPerGroup keeps the top-k by the given order, and plans a group limit") {
     val scored = docs.withColumn("score", (col("doc_id") % 37).cast("double"))
     val capped = Sampling.quotaPerGroup(scored, Seq("lang"),

@@ -607,4 +607,50 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[Long]("n_tokens"), r.getAs[String]("forms"))).toSet
     again shouldBe out
   }
+
+  private def slicedDocs(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.toDF("lang", "text")
+  }
+
+  test("distributionDrift: identical slices 0, disjoint slices 1000, hand middle case") {
+    val d = slicedDocs(
+      ("a", "x y z"), ("b", "x y z"),      // identical distributions
+      ("c", "p q r"))                       // disjoint from both
+    val out = TextAnalysis.distributionDrift(d, "lang").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("tv_permille"))).toMap
+    out(("a", "b")) shouldBe 0L
+    out(("a", "c")) shouldBe 1000L
+    out(("b", "c")) shouldBe 1000L
+    // hand middle case: a = {x:2, y:1} (N=3), d2 = {x:1, y:2} (N=3)
+    // TV = (|2-1| + |1-2|) / (2*3) = 1/3 -> 333
+    val mid = TextAnalysis.distributionDrift(
+      slicedDocs(("a", "x x y"), ("b", "x y y")), "lang").collect().head
+    mid.getAs[Long]("tv_permille") shouldBe 333L
+    mid.getAs[Long]("n_tokens_a") shouldBe 3L
+    mid.getAs[Long]("n_tokens_b") shouldBe 3L
+  }
+
+  test("distributionDrift: unequal totals use exact cross-products") {
+    // a = {x:1} (N=1), b = {x:1, y:3} (N=4)
+    // TV = (|1*4 - 1*1| + |0*4 - 3*1|) / (2*1*4) = 6/8 -> 750
+    val out = TextAnalysis.distributionDrift(
+      slicedDocs(("a", "x"), ("b", "x y y y")), "lang").collect().head
+    out.getAs[Long]("tv_permille") shouldBe 750L
+  }
+
+  test("distributionDrift guards: one slice refused, cap refused, partition-invariant") {
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.distributionDrift(slicedDocs(("a", "x")), "lang")
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.distributionDrift(
+        slicedDocs((1 to 5).map(i => (s"s$i", "x")): _*), "lang",
+        maxSlices = 3)
+    val d = slicedDocs((1 to 60).map(i =>
+      (s"s${i % 4}", s"w${i % 7} w${i % 11} common")): _*)
+    assertSameRows(
+      TextAnalysis.distributionDrift(d, "lang"),
+      TextAnalysis.distributionDrift(d.repartition(9), "lang"))
+  }
 }
