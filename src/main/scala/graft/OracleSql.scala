@@ -1913,6 +1913,52 @@ SELECT slice_a, slice_b,
     // (2 * max(na) * max(nb)) AS BIGINT) AS tv_permille
 FROM cellab GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q311 twin of [[graft.graph.LinkGraph.stressCentrality]] — the
+    * STRUCTURALLY DIFFERENT formulation: walks up to the depth cap
+    * enumerated by recursive CTE (bounded: out-degree ≤ 2 on the
+    * fixture), σ = count of min-length walks per pair, then the
+    * triple-join identity stress(v) = Σ σ(s,v)·σ(v,t) over
+    * d(s,v)+d(v,t) = d(s,t) — no backward recursion, so agreement
+    * with Spark's Brandes-shaped two-phase pass is a real check. */
+  val q311_stress_centrality: String = """
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'd' || CAST(doc_id % 4 AS VARCHAR) AS src,
+           'd' || CAST((doc_id % 4 + 1) % 4 AS VARCHAR) AS dst FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id % 4 + 5 AS VARCHAR),
+           'd' || CAST((doc_id + 1) % 4 + 5 AS VARCHAR) FROM documents
+    UNION ALL SELECT 'd2', 'd9' FROM documents
+    UNION ALL SELECT 'd9', 'd5' FROM documents)
+  WHERE src <> dst),
+walks(s, v, len) AS (
+  SELECT src, dst, 1 FROM ed
+  UNION ALL
+  SELECT w.s, ed.dst, w.len + 1 FROM walks w JOIN ed ON ed.src = w.v
+  WHERE w.len < 12),
+ap AS (SELECT s, v, min(len) AS dist FROM walks GROUP BY 1, 2),
+sig AS (
+  SELECT w.s, w.v, a.dist, count(*) AS sigma
+  FROM walks w JOIN ap a ON a.s = w.s AND a.v = w.v AND w.len = a.dist
+  WHERE w.s <> w.v
+  GROUP BY 1, 2, 3),
+thru AS (
+  SELECT a.v AS node, sum(a.sigma * b.sigma) AS stress
+  FROM sig a
+  JOIN sig b ON b.s = a.v AND b.v <> a.s
+  JOIN sig st ON st.s = a.s AND st.v = b.v
+    AND st.dist = a.dist + b.dist
+  GROUP BY 1),
+nodes AS (
+  -- UNION ALL + outer DISTINCT, not bare UNION: inside WITH RECURSIVE
+  -- DuckDB 1.0 treats any UNION-bodied CTE as a recursive union and
+  -- skips the cross-branch dedup, duplicating every node row.
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed))
+SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
+FROM nodes n LEFT JOIN thru t ON t.node = n.node
+ORDER BY n.node"""
+
   /** q309 twin of [[graft.analytics.Ranking.isotonicCalibration]]:
     * the same md5-derived score/label device, the same B² minimax
     * construction over floored pooled means. */
@@ -8003,6 +8049,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q308_distribution_drift" -> q308_distribution_drift,
     "q309_isotonic_calibration" -> q309_isotonic_calibration,
     "q310_priority_sample" -> q310_priority_sample,
+    "q311_stress_centrality" -> q311_stress_centrality,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

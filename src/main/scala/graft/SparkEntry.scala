@@ -1004,6 +1004,26 @@ object SparkEntry {
           Tables.documents(s, dir), "lang")
         .orderBy(col("slice_a"), col("slice_b"))),
 
+    // Stress centrality (the exact-integer betweenness sibling) over a
+    // two-ring + broker fixture: the bridge node d9 must carry every
+    // A-to-B shortest path; ring interiors carry only in-ring
+    // brokerage. Oracle = the structurally different triple-join
+    // identity over walk-enumerated (dist, sigma) pairs.
+    "q311_stress_centrality" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def dom(e: Column) = concat(lit("d"), e.cast("string"))
+      val ringA = docs.select(dom(id % 4).as("src"),
+        dom((id % 4 + 1) % 4).as("dst"))
+      val ringB = docs.select(dom(id % 4 + 5).as("src"),
+        dom((id + 1) % 4 + 5).as("dst"))
+      val bridge = docs.select(lit("d2").as("src"), lit("d9").as("dst"))
+        .unionAll(docs.select(lit("d9").as("src"), lit("d5").as("dst")))
+      graft.graph.LinkGraph.stressCentrality(
+          ringA.unionAll(ringB).unionAll(bridge), "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // Isotonic calibration repair over a synthetic ~calibrated scorer
     // (the q258 hash-label device at percent resolution): the minimax
     // identity over the bounded bin table; the fit must be monotone

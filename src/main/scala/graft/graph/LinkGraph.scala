@@ -269,6 +269,116 @@ object LinkGraph {
         coalesce(col("harmonic_units"), lit(0L)).as("harmonic_units"))
   }
 
+  /** Stress centrality (Shimbel 1953) — "how many shortest paths run
+    * THROUGH this node": the EXACT-INTEGER member of the betweenness
+    * family, completing the centrality shelf (PageRank/TrustRank =
+    * stationary mass, harmonic = closeness, HITS = endorsement, THIS =
+    * brokerage). Betweenness proper divides by σ_st — a rational with
+    * unbounded denominators, no cross-engine exact form (the stated
+    * nDCG discipline: compute exactly or state what you compute);
+    * stress keeps the raw path counts σ_st(v), ranks brokers the same
+    * way on real graphs, and stays BIGINT end to end.
+    *
+    * Brandes-shaped two-phase computation (Brandes 2001's structure,
+    * integer variant):
+    *  1. FORWARD multi-source BFS on the pair state (src, node):
+    *     dist(s,v) by round, σ(s,v) = Σ over dist-1 in-neighbors of
+    *     σ — one join + one (s,v) aggregate per round, frontier-only
+    *     (the [[harmonicCentrality]] skeleton with a σ column).
+    *  2. BACKWARD continuation counts by DESCENDING level: p(s,v) =
+    *     Σ_{w ∈ DAG-succ(v)} (p(s,w) + 1) — the number of shortest
+    *     paths from v onward to ANY endpoint, an INTEGER recursion
+    *     (each term counts path-endpoint pairs, no division). One
+    *     level-filtered join per round over the visited frame.
+    *  Then stress(v) = Σ_s σ(s,v)·p(s,v) over v ∉ {s}: s→t paths
+    *  through v = (ways to reach v) × (shortest continuations).
+    *
+    * Sources default to EVERY node (exact stress; right for the
+    * bounded fixture/domain graphs this inventory audits); at 100 TB
+    * the stated governor is `sources` — a deterministic hash-chosen
+    * pivot set (Brandes & Pich 2007's sampling, made reproducible),
+    * with state = |sources|·|reachable| pairs, shuffle-partitioned on
+    * (src, node). Directed semantics (paths follow edge direction);
+    * `maxDepth` caps both phases and THROWS if the diameter exceeds
+    * it (a silent cap would undercount brokerage silently).
+    * Every round materializes via [[graft.core.Iterate.barrier]]. */
+  def stressCentrality(edges: DataFrame, src: String, dst: String,
+                       sources: DataFrame = null,
+                       maxDepth: Int = 12): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val srcSet =
+      (if (sources == null) nodes.select(col("node").as("s"))
+       else sources.select(col(sources.columns.head).as("s")).distinct())
+        .localCheckpoint()
+
+    // ---- forward: (s, node, dist, sigma) ---------------------------
+    var visited = graft.core.Iterate.barrier(srcSet
+      .select(col("s"), col("s").as("node"), lit(0L).as("dist"),
+        lit(1L).as("sigma")))
+    var frontier = visited
+    var d = 0L
+    var growing = true
+    while (growing && d < maxDepth) {
+      d += 1
+      val (next, nNew) = graft.core.Iterate.barrierCounted(
+        frontier.join(e.withColumnRenamed("src", "node"), "node")
+          .select(col("s"), col("dst").as("node"), col("sigma"))
+          .join(visited.select(col("s"), col("node")),
+            Seq("s", "node"), "left_anti")
+          .groupBy(col("s"), col("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .withColumn("dist", lit(d)), lit(true))
+      if (nNew == 0L) growing = false
+      else {
+        frontier = next.select("s", "node", "dist", "sigma")
+        visited = graft.core.Iterate.barrier(visited.unionByName(frontier))
+      }
+    }
+    if (growing) throw new IllegalStateException(
+      s"stressCentrality: still expanding at depth $maxDepth — graph " +
+        "diameter exceeds the cap; raise maxDepth (a silent cap would " +
+        "undercount brokerage)")
+
+    // ---- backward: p(s,v) = Σ_{w ∈ succ} (p(s,w) + 1) --------------
+    // DAG successor = edge v→w with dist(s,w) = dist(s,v) + 1.
+    // Deepest level has no successors: p = 0. One join per level.
+    var p = graft.core.Iterate.barrier(
+      visited.filter(col("dist") === lit(d))
+        .select(col("s"), col("node"), lit(0L).as("p")))
+    var level = d - 1
+    while (level >= 0) {
+      val contrib = visited.filter(col("dist") === lit(level))
+        .select(col("s"), col("node"))
+        .join(e.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("s"), col("node"), col("dst"))
+        .join(p.select(col("s"), col("node").as("dst"), col("p")),
+          Seq("s", "dst"))
+        .groupBy(col("s"), col("node"))
+        .agg(sum(col("p") + 1L).as("p"))
+      val thisLevel = visited.filter(col("dist") === lit(level))
+        .select(col("s"), col("node"))
+        .join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), coalesce(col("p"), lit(0L)).as("p"))
+      p = graft.core.Iterate.barrier(p.unionByName(thisLevel))
+      level -= 1
+    }
+
+    // stress(v) = Σ_s σ(s,v)·p(s,v), v ≠ s
+    nodes.join(
+        visited.join(p, Seq("s", "node"))
+          .filter(col("s") =!= col("node"))
+          .groupBy(col("node"))
+          .agg(sum(col("sigma") * col("p")).as("stress")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("stress"), lit(0L)).as("stress"))
+  }
+
   /** HITS hubs & authorities (Kleinberg, *Authoritative Sources in a
     * Hyperlinked Environment*, JACM 1999) — the mutually-recursive
     * companion to [[pagerank]]: a good HUB links to good authorities,

@@ -911,4 +911,54 @@ class LinkGraphSpec extends SparkSpec {
     assertSameRows(LinkGraph.twoHopReach(e, "src", "dst"),
       LinkGraph.twoHopReach(e.repartition(7), "src", "dst"))
   }
+
+  private def stressMap(e: org.apache.spark.sql.DataFrame) =
+    LinkGraph.stressCentrality(e, "src", "dst").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("stressCentrality: chain, diamond, and double-route hand cases") {
+    // chain x->y->z: only x->z runs through y
+    stressMap(edges("x" -> "y", "y" -> "z")) shouldBe
+      Map("x" -> 0L, "y" -> 1L, "z" -> 0L)
+    // diamond a->b->d, a->c->d: b and c each broker one of the two
+    // shortest a->d paths; endpoints broker nothing
+    stressMap(edges("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")) shouldBe
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 0L)
+    // a->b then b->c->e and b->d->e: through-b paths are a->c, a->d,
+    // and a->e TWICE (once per route) = 4; c and d each carry a->e
+    // once plus... c: pairs (a,e) via c AND (b,e) via c = 2
+    stressMap(edges("a" -> "b", "b" -> "c", "b" -> "d",
+      "c" -> "e", "d" -> "e")) shouldBe
+      Map("a" -> 0L, "b" -> 4L, "c" -> 2L, "d" -> 2L, "e" -> 0L)
+  }
+
+  test("stressCentrality: bridge node carries all cross-ring paths; sources subset governs") {
+    // ring a0->a1->a2->a0, bridge a1->b0, tail b0->b1
+    val e = edges("a0" -> "a1", "a1" -> "a2", "a2" -> "a0",
+      "a1" -> "b0", "b0" -> "b1")
+    val full = stressMap(e)
+    // b0 brokers: (a1,b1),(a0,b1),(a2,b1) = 3; a1 brokers every
+    // path from a0/a2 into the tail plus ring traffic
+    full("b0") shouldBe 3L
+    full("b1") shouldBe 0L
+    // k-source variant: only paths FROM a0 count
+    val fromA0 = LinkGraph.stressCentrality(e, "src", "dst",
+        sources = Seq("a0").toDF("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a0's shortest-path tree: a0->a1->{a2, b0->b1}; through a1: 3
+    // (a2, b0, b1), through b0: 1 (b1)
+    fromA0("a1") shouldBe 3L
+    fromA0("b0") shouldBe 1L
+    fromA0("a2") shouldBe 0L
+  }
+
+  test("stressCentrality: depth cap throws; invariant under partitioning") {
+    val chain = edges((0 until 6).map(i => s"c$i" -> s"c${i + 1}"): _*)
+    an[IllegalStateException] should be thrownBy
+      LinkGraph.stressCentrality(chain, "src", "dst", maxDepth = 3)
+    val e = edges((1 to 60).map(i =>
+      s"n${i % 9}" -> s"n${(i * 5 + 2) % 11}"): _*)
+    assertSameRows(LinkGraph.stressCentrality(e, "src", "dst"),
+      LinkGraph.stressCentrality(e.repartition(7), "src", "dst"))
+  }
 }
