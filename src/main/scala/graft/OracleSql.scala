@@ -1959,6 +1959,85 @@ SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN thru t ON t.node = n.node
 ORDER BY n.node"""
 
+  /** q312 twin of [[graft.analytics.Ranking.reciprocalRankFusion]]
+    * over the hybrid exact-cosine + int8-quantized retrieval pair:
+    * the q21 brute-force leg and the q91 SQ8 leg (same CTE devices,
+    * k = 20 each), fused by the e6-floor 10⁶ // (60 + rank)
+    * contribution and re-ranked (sum DESC, doc ASC). */
+  val q312_hybrid_rrf: String = s"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+ex_scored AS (
+  SELECT q.query_id, e.vec_id, ${sqlCosine("q.qv", "e.embedding")} AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ex_ranked AS (
+  SELECT query_id, vec_id AS doc_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM ex_scored),
+n AS (
+  SELECT vec_id,
+    list_transform(range(1, len(embedding)+1),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+             / sqrt(${sqlDot("embedding", "embedding")}) * 127 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+nq AS (SELECT vec_id AS query_id, qv AS qq FROM n WHERE vec_id < 10),
+sq_scored AS (
+  SELECT nq.query_id, n.vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(n.qv)+1), i -> n.qv[i] * nq.qq[i])),
+      (a, v) -> a + v) AS score
+  FROM n CROSS JOIN nq WHERE n.vec_id <> nq.query_id),
+sq_ranked AS (
+  SELECT query_id, vec_id AS doc_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM sq_scored),
+legs AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+  FROM ex_ranked WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+  FROM sq_ranked WHERE rank <= 20),
+fused AS (
+  SELECT query_id, doc_id,
+    CAST(sum(c) AS BIGINT) AS rrf_e6,
+    CAST(count(*) AS BIGINT) AS n_systems,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY sum(c) DESC, doc_id) AS BIGINT) AS fused_rank
+  FROM legs GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_e6, n_systems, fused_rank
+FROM fused WHERE fused_rank <= 10 ORDER BY query_id, fused_rank"""
+
+  /** q313 twin of [[graft.analytics.Correlation.pettittTest]]: the
+    * same doubled midranks (2·rank + ties − 1), the same prefix-sum
+    * identity U_t = t(n+1) − Σ 2r_i, the same earliest-date argmax
+    * tiebreak. */
+  val q313_pettitt: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+v AS (
+  SELECT symbol, date, CAST(round(close_price * 100) AS BIGINT) AS x
+  FROM daily WHERE close_price IS NOT NULL),
+r AS (
+  SELECT symbol, date,
+    2 * rank() OVER (PARTITION BY symbol ORDER BY x)
+      + count(*) OVER (PARTITION BY symbol, x) - 1 AS r2
+  FROM v),
+pre AS (
+  SELECT symbol, date,
+    CAST(row_number() OVER (PARTITION BY symbol ORDER BY date) AS BIGINT) AS t,
+    sum(r2) OVER (PARTITION BY symbol ORDER BY date) AS s2,
+    CAST(count(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+  FROM r),
+u AS (
+  SELECT symbol, date, n, t * (n + 1) - s2 AS uu
+  FROM pre WHERE n >= 4 AND t < n),
+best AS (
+  SELECT symbol, n, uu, date,
+    row_number() OVER (PARTITION BY symbol ORDER BY abs(uu) DESC, date) AS pk
+  FROM u)
+SELECT symbol, n AS n_rows, CAST(abs(uu) AS BIGINT) AS k_stat,
+  CAST(uu AS BIGINT) AS u_at_change, date AS change_point
+FROM best WHERE pk = 1 ORDER BY symbol"""
+
   /** q309 twin of [[graft.analytics.Ranking.isotonicCalibration]]:
     * the same md5-derived score/label device, the same B² minimax
     * construction over floored pooled means. */
@@ -8050,6 +8129,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q309_isotonic_calibration" -> q309_isotonic_calibration,
     "q310_priority_sample" -> q310_priority_sample,
     "q311_stress_centrality" -> q311_stress_centrality,
+    "q312_hybrid_rrf" -> q312_hybrid_rrf,
+    "q313_pettitt" -> q313_pettitt,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -1024,6 +1024,35 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Hybrid retrieval: exact-cosine and int8-quantized kNN legs
+    // (k=20 each) fused by reciprocal rank fusion — incommensurable
+    // scores (double cosine vs integer code-dot) combined on RANKS
+    // alone, e6-floor contributions, exact BIGINT output.
+    "q312_hybrid_rrf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = graft.similarity.Similarity
+        .knnBruteForce(emb, queries, k = 20)
+      val sq8 = graft.similarity.Similarity
+        .knnQuantized(emb, queries, k = 20)
+      graft.analytics.Ranking.reciprocalRankFusion(
+          Seq(exact, sq8), rrfK = 60, topK = 10, docCol = "neighbor_id")
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
+    // Pettitt rank changepoint per symbol over daily close cents:
+    // doubled-midrank prefix identity gives the textbook U_t as exact
+    // BIGINTs, earliest-date argmax; completes CUSUM (when) /
+    // Mann-Kendall (whether) with WHERE the level shifted.
+    "q313_pettitt" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+        .withColumn("close_cents",
+          expr("CAST(round(close_price * 100) AS BIGINT)"))
+      graft.analytics.Correlation.pettittTest(daily, "close_cents")
+        .orderBy(col("symbol"))
+    }),
+
     // Isotonic calibration repair over a synthetic ~calibrated scorer
     // (the q258 hash-label device at percent resolution): the minimax
     // identity over the bounded bin table; the fit must be monotone

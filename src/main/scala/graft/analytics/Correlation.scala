@@ -451,6 +451,65 @@ object Correlation {
         .as("sen_slope_e6"))
   }
 
+  /** Pettitt changepoint test (Pettitt, Applied Statistics 1979) —
+    * the RANK-based single-changepoint locator completing the
+    * regime-shift shelf: CUSUM (Indicators.cusumAlarms) flags when a
+    * quantized mean drifts past a band, Mann-Kendall answers "is
+    * there a monotone trend", THIS answers "if the distribution
+    * jumped once, WHERE" — nonparametric, so a level shift is found
+    * without assuming normality or estimating a variance.
+    *
+    * The statistic: U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i); the
+    * changepoint estimate is the t maximizing |U_t|. The naive form
+    * is O(n²) pairs; this uses the exact midrank identity
+    * Σ_{all j} sgn(x_j − x_i) = n + 1 − 2·r_i (r_i = midrank) and the
+    * antisymmetric cancellation Σ_{i,j≤t} sgn = 0, giving
+    * U_t = t(n+1) − 2·Σ_{i≤t} r_i — ONE rank window + ONE prefix-sum
+    * window per group, linear in rows, never a self-join.
+    *
+    * Exactness: midranks live as DOUBLED integers (the spearmanCorr
+    * device: 2·midrank = 2·rank + ties − 1 is always BIGINT), and
+    * the identity consumes exactly one factor-2: U_t = t(n+1) −
+    * Σ_{i≤t} (2·midrank_i) is the TEXTBOOK statistic as an exact
+    * BIGINT — no scaling, no flooring. The argmax tiebreak is the
+    * EARLIEST qualifying date (stated; ties across t are real on
+    * plateaued series). t ranges 1..n−1 (U_n ≡ 0 — the full prefix
+    * has no complement). The significance transform
+    * p ≈ 2·exp(−6K²/(n³+n²)) is left to the caller: exp has no
+    * cross-engine exact form (the stated nDCG discipline — locating
+    * and ranking by K is exact, the p-value is presentation). */
+  def pettittTest(rows: DataFrame, valueCol: String,
+                  groupCol: String = "symbol", orderCol: String = "date",
+                  minRows: Int = 4): DataFrame = {
+    require(minRows >= 2, "minRows must be >= 2")
+    val g = col(groupCol)
+    val doubledRank =
+      (rank().over(Window.partitionBy(g).orderBy(col(valueCol))) * 2 +
+        count(lit(1)).over(Window.partitionBy(g, col(valueCol))) - 1)
+        .cast("long")
+    val wOrd = Window.partitionBy(g).orderBy(col(orderCol))
+    val wAll = Window.partitionBy(g)
+    val u = rows
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__r2", doubledRank)
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+      .withColumn("__s2", sum(col("__r2")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__n") >= minRows && col("__t") < col("__n"))
+      // U_t = t(n+1) − Σ 2r_i  (Σ over the ordered prefix i ≤ t;
+      // the doubled midranks supply the identity's factor 2)
+      .withColumn("__u",
+        col("__t") * (col("__n") + 1L) - col("__s2"))
+    val wBest = Window.partitionBy(g)
+      .orderBy(abs(col("__u")).desc, col(orderCol))
+    u.withColumn("__pick", row_number().over(wBest))
+      .filter(col("__pick") === 1)
+      .select(g, col("__n").as("n_rows"),
+        abs(col("__u")).as("k_stat"),
+        col("__u").as("u_at_change"),
+        col(orderCol).as("change_point"))
+  }
+
   def spearmanCorr(rows: DataFrame, groupCol: String, xCol: String,
                    yCol: String, minRows: Int = 2): DataFrame = {
     val g = col(groupCol)

@@ -325,6 +325,51 @@ object Ranking {
     * join back is a hash join on x, broadcastable when the frontier
     * input is a pre-aggregated frame. Maximization on both axes —
     * negate a column to minimize it (stated, not parameterized). */
+  /** Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * — the standard way to combine rankings from INCOMMENSURABLE
+    * scorers (BM25 units vs cosine vs a quantized integer dot: their
+    * scores share no scale, their RANKS do): per system, a doc at
+    * rank r contributes 1/(k₀+r); the fused order is by the summed
+    * contribution. The hybrid-retrieval workhorse — lexical + dense
+    * legs fused without training a single weight.
+    *
+    * Exactness: each contribution is the e6 FLOOR 10⁶ div (k₀+r) —
+    * an exact integer (stated variant of the published 1/(k₀+r);
+    * monotone in r, so per-system order is preserved; sums stay
+    * BIGINT and hash-equal cross-engine). Ties on the fused sum
+    * break by doc id ascending (stated). A doc absent from a system
+    * contributes nothing for it — the published convention; the
+    * `n_systems` column reports the support so a consumer can see
+    * single-leg wins.
+    *
+    * Inputs: one frame per system, each with ≤ 1 row per
+    * (query, doc) — (`queryCol`, `docCol`, `rankCol`), rank ≥ 1 and
+    * dense within a query (the shape every top-k in this repo emits).
+    * Shape: union of the k-bounded result lists (NEVER the corpus) →
+    * one (query, doc) hash aggregate → one per-query top-k window
+    * (WindowGroupLimit). Linear in Σ list sizes at any corpus scale. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], rrfK: Int = 60,
+                           topK: Int = 10,
+                           queryCol: String = "query_id",
+                           docCol: String = "doc_id",
+                           rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 1, "rrfK must be >= 1 (k0 = 0 at rank 0 divides by zero;" +
+      " the published constant is 60)")
+    require(topK >= 1, "topK must be >= 1")
+    val legs = rankings.map(_.select(
+      col(queryCol).as("query_id"), col(docCol).as("doc_id"),
+      expr(s"1000000L div (CAST(`$rankCol` AS BIGINT) + $rrfK)").as("__c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    legs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_e6"), count(lit(1)).as("n_systems"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+  }
+
   def skyline(rows: DataFrame, xCol: String, yCol: String): DataFrame = {
     val gm = rows.groupBy(col(xCol)).agg(max(col(yCol)).as("__gmax"))
       .withColumn("__negx", col(xCol) * lit(-1L))

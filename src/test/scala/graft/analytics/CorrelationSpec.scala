@@ -373,6 +373,48 @@ class CorrelationSpec extends SparkSpec {
     bt.getAs[Long]("ties_x") shouldBe 0L
   }
 
+  test("pettittTest: clean step series locates the jump with the brute-force U") {
+    // 1,1,1,5,5,5 — change after t=3. Brute force: U_3 = 9 (all nine
+    // cross pairs +1), U_1 = 3, U_2 = 6, U_4 = 6, U_5 = 3.
+    val rows = Seq(("S", 1, 1L), ("S", 2, 1L), ("S", 3, 1L),
+      ("S", 4, 5L), ("S", 5, 5L), ("S", 6, 5L))
+    val out = Correlation.pettittTest(mk(rows: _*), "v").collect().head
+    out.getAs[Long]("n_rows") shouldBe 6L
+    out.getAs[Long]("k_stat") shouldBe 9L
+    out.getAs[Long]("u_at_change") shouldBe 9L
+    out.getAs[java.sql.Date]("change_point").toString shouldBe "1970-01-03"
+  }
+
+  test("pettittTest: downward step flips the sign; ties use midranks exactly") {
+    // 7,7,2,2 — U_2 = sum sgn over 4 cross pairs = -4
+    val down = Correlation.pettittTest(
+      mk(("D", 1, 7L), ("D", 2, 7L), ("D", 3, 2L), ("D", 4, 2L)),
+      "v").collect().head
+    down.getAs[Long]("k_stat") shouldBe 4L
+    down.getAs[Long]("u_at_change") shouldBe -4L
+    // constant series: every U_t = 0; earliest-date tiebreak picks t=1
+    val flat = Correlation.pettittTest(
+      mk(("F", 1, 3L), ("F", 2, 3L), ("F", 3, 3L), ("F", 4, 3L)),
+      "v").collect().head
+    flat.getAs[Long]("k_stat") shouldBe 0L
+    flat.getAs[java.sql.Date]("change_point").toString shouldBe "1970-01-01"
+  }
+
+  test("pettittTest: minRows gate, null drop, and partitioning invariance") {
+    // 3 rows < default minRows=4 -> group vanishes
+    Correlation.pettittTest(
+      mk(("T", 1, 1L), ("T", 2, 2L), ("T", 3, 3L)), "v")
+      .collect() shouldBe empty
+    val rows = (1 to 40).map(i =>
+      ("P", i, if (i <= 17) (i * 7919 % 13).toLong
+               else 40L + (i * 104729 % 11)))
+    val a = Correlation.pettittTest(mk(rows: _*), "v").collect()
+    val b = Correlation.pettittTest(mk(rows: _*).repartition(7), "v")
+      .collect()
+    a shouldBe b
+    a.head.getAs[java.sql.Date]("change_point").toString shouldBe "1970-01-17"
+  }
+
   test("spearmanCorr is invariant under input partitioning") {
     val rows = (1L to 30L).map(i =>
       ("G", Long.box(i * 7919 % 31), Long.box(i * 104729 % 37)))

@@ -278,4 +278,49 @@ class RankingSpec extends SparkSpec {
         Option(r.get(r.fieldIndex("m")))).toMap
     got shouldBe ref
   }
+
+  private def leg(rows: (String, String, Long)*) =
+    rows.toDF("query_id", "doc_id", "rank")
+
+  test("reciprocalRankFusion: hand sums, single-leg docs, doc-id tiebreak") {
+    val a = leg(("q1", "d1", 1L), ("q1", "d2", 2L), ("q1", "d3", 3L))
+    val b = leg(("q1", "d2", 1L), ("q1", "d1", 2L))
+    val out = Ranking.reciprocalRankFusion(Seq(a, b))
+      .collect().sortBy(_.getAs[Long]("fused_rank"))
+    // 10^6 div 61 = 16393, div 62 = 16129, div 63 = 15873.
+    // d1 and d2 swap ranks across legs -> equal sums 32522; the tie
+    // breaks by doc id, d1 first. d3 appears in one leg only.
+    out.map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("rrf_e6"),
+      r.getAs[Long]("n_systems"), r.getAs[Long]("fused_rank"))) shouldBe
+      Array(("d1", 32522L, 2L, 1L), ("d2", 32522L, 2L, 2L),
+        ("d3", 15873L, 1L, 3L))
+  }
+
+  test("reciprocalRankFusion: topK cuts per query, queries stay independent") {
+    val a = leg(("q1", "dA", 1L), ("q1", "dB", 2L), ("q1", "dC", 3L),
+      ("q2", "dX", 1L))
+    val b = leg(("q2", "dY", 1L), ("q2", "dX", 2L))
+    val out = Ranking.reciprocalRankFusion(Seq(a, b), topK = 2)
+      .collect().map(r => (r.getAs[String]("query_id"),
+        r.getAs[String]("doc_id"), r.getAs[Long]("fused_rank")))
+      .sortBy(t => (t._1, t._3))
+    out shouldBe Array(("q1", "dA", 1L), ("q1", "dB", 2L),
+      ("q2", "dX", 1L), ("q2", "dY", 2L))
+    // dX leads q2: 16393 + 16129 beats dY's single 16393
+  }
+
+  test("reciprocalRankFusion: leg order and partitioning do not matter; guards refuse") {
+    val a = leg(("q1", "d1", 1L), ("q1", "d2", 2L))
+    val b = leg(("q1", "d2", 1L), ("q1", "d3", 2L))
+    val ab = Ranking.reciprocalRankFusion(Seq(a, b)).collect().toSet
+    val ba = Ranking.reciprocalRankFusion(Seq(b, a)).collect().toSet
+    val rep = Ranking.reciprocalRankFusion(
+      Seq(a.repartition(5), b.repartition(3))).collect().toSet
+    ab shouldBe ba
+    ab shouldBe rep
+    an[IllegalArgumentException] should be thrownBy
+      Ranking.reciprocalRankFusion(Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Ranking.reciprocalRankFusion(Seq(a), rrfK = 0)
+  }
 }
