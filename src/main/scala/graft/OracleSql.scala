@@ -2038,6 +2038,109 @@ SELECT symbol, n AS n_rows, CAST(abs(uu) AS BIGINT) AS k_stat,
   CAST(uu AS BIGINT) AS u_at_change, date AS change_point
 FROM best WHERE pk = 1 ORDER BY symbol"""
 
+  /** q315 fixture, shared with the Spark entry (the bpeStaticMerges /
+    * piiPatterns device — one constant, zero drift): K4 on n0–n3
+    * (every edge in two triangles — the 4-truss that must survive)
+    * glued at n3 to a triangle strip {n3,n4,n5},{n4,n5,n6},{n5,n6,n7}
+    * whose edges hold 1–2 triangles each. Peeling CASCADES: round 1
+    * drops the five support-1 strip edges, which strands (n4,n5) and
+    * (n5,n6) at support 0 for round 2 — the two-wave shape that
+    * separates a truss from a one-shot support filter. */
+  val kTrussFixtureEdges: Seq[(String, String)] = Seq(
+    "n0" -> "n1", "n0" -> "n2", "n0" -> "n3", "n1" -> "n2",
+    "n1" -> "n3", "n2" -> "n3",
+    "n3" -> "n4", "n3" -> "n5", "n4" -> "n5", "n4" -> "n6",
+    "n5" -> "n6", "n5" -> "n7", "n6" -> "n7")
+
+  // AS MATERIALIZED is load-bearing: each round reads the previous
+  // edge CTE three times and its triangle CTE three more; DuckDB
+  // 1.0's default CTE INLINING turns four unrolled rounds into a
+  // ~3^8-leaf expression tree (observed: minutes of planner CPU on a
+  // 13-edge fixture). Materializing caps each CTE at one evaluation.
+  private def kTrussRound(i: Int, minSup: Int): String = {
+    val p = s"e${i - 1}"
+    s""",
+t$i AS MATERIALIZED (
+  SELECT ab.a, ab.b, ac.b AS c
+  FROM $p ab JOIN $p ac ON ac.a = ab.a AND ab.b < ac.b
+  JOIN $p bc ON bc.a = ab.b AND bc.b = ac.b),
+s$i AS MATERIALIZED (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT a, b FROM t$i
+    UNION ALL SELECT a AS a, c AS b FROM t$i
+    UNION ALL SELECT b AS a, c AS b FROM t$i)
+  GROUP BY 1, 2),
+e$i AS MATERIALIZED (
+  SELECT e.a, e.b FROM $p e JOIN s$i s ON s.a = e.a AND s.b = e.b
+  WHERE s.sup >= $minSup)"""
+  }
+
+  /** q315 twin of [[graft.graph.LinkGraph.kTruss]] — STRUCTURALLY
+    * different triangle enumeration (plain a<b wedge join from the
+    * lowest-NAME apex vs Spark's degree-ordered compact-forward), and
+    * the peel loop UNROLLED: the fixture fixpoints in 3 rounds
+    * (spec-measured), rounds beyond the fixpoint are identities
+    * (peeling is monotone), so four unrolled rounds + a final support
+    * pass compute the exact truss. */
+  val q315_ktruss: String = {
+    val values = kTrussFixtureEdges
+      .map { case (a, b) => s"('$a', '$b')" }.mkString(",\n    ")
+    val rounds = (1 to 4).map(kTrussRound(_, 2)).mkString
+    s"""
+WITH e0(a, b) AS MATERIALIZED (SELECT * FROM (VALUES
+    $values) v(a, b) WHERE a <> b)$rounds,
+tf AS MATERIALIZED (
+  SELECT ab.a, ab.b, ac.b AS c
+  FROM e4 ab JOIN e4 ac ON ac.a = ab.a AND ab.b < ac.b
+  JOIN e4 bc ON bc.a = ab.b AND bc.b = ac.b),
+sf AS (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT a, b FROM tf
+    UNION ALL SELECT a AS a, c AS b FROM tf
+    UNION ALL SELECT b AS a, c AS b FROM tf)
+  GROUP BY 1, 2)
+SELECT e.a, e.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+FROM e4 e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+ORDER BY e.a, e.b"""
+  }
+
+  /** q314 twin of [[graft.similarity.Similarity.twoStageKnn]]: q91's
+    * SQ8 integer-dot CTEs keep 40 candidates per query, then the
+    * exact-cosine re-rank (q21's scoring) runs over those rows only. */
+  val q314_two_stage_knn: String = s"""
+WITH n AS (
+  SELECT vec_id, embedding,
+    list_transform(range(1, len(embedding)+1),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+             / sqrt(${sqlDot("embedding", "embedding")}) * 127 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+nq AS (SELECT vec_id AS query_id, qv AS qq FROM n WHERE vec_id < 10),
+sq_scored AS (
+  SELECT nq.query_id, n.vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(n.qv)+1), i -> n.qv[i] * nq.qq[i])),
+      (a, v) -> a + v) AS score
+  FROM n CROSS JOIN nq WHERE n.vec_id <> nq.query_id),
+cands AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM sq_scored)
+  WHERE rank <= 40),
+rescored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+    ${sqlCosine("q.embedding", "e.embedding")} AS cosine
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM rescored)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** q309 twin of [[graft.analytics.Ranking.isotonicCalibration]]:
     * the same md5-derived score/label device, the same B² minimax
     * construction over floored pooled means. */
@@ -8131,6 +8234,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q311_stress_centrality" -> q311_stress_centrality,
     "q312_hybrid_rrf" -> q312_hybrid_rrf,
     "q313_pettitt" -> q313_pettitt,
+    "q314_two_stage_knn" -> q314_two_stage_knn,
+    "q315_ktruss" -> q315_ktruss,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

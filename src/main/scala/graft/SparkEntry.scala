@@ -1053,6 +1053,31 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Two-stage retrieval: SQ8 integer-dot candidate scan (k'=40)
+    // re-ranked by exact cosine to top-10 — the measured form of the
+    // knnQuantized scale path (candidates from 4x-smaller codes, full
+    // precision only on |queries| x k' rows).
+    "q314_two_stage_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity.twoStageKnn(emb,
+          emb.filter(col("vec_id") < 10), kCandidates = 40, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // 4-truss peel over the shared K4 + triangle-strip fixture
+    // (OracleSql.kTrussFixtureEdges): the strip peels in a two-wave
+    // cascade, the K4 survives with support 2 on every edge. Oracle
+    // enumerates triangles by plain a<b wedges and unrolls the peel.
+    "q315_ktruss" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val e = graft.OracleSql.kTrussFixtureEdges
+        .map { case (a, b) =>
+          docs.select(lit(a).as("src"), lit(b).as("dst")) }
+        .reduce(_ unionAll _)
+      graft.graph.LinkGraph.kTruss(e, "src", "dst", k = 4)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Isotonic calibration repair over a synthetic ~calibrated scorer
     // (the q258 hash-label device at percent resolution): the minimax
     // identity over the bounded bin table; the fit must be monotone

@@ -814,6 +814,96 @@ object LinkGraph {
     * Shape: one degree aggregate, two degree-attach joins, ONE
     * wedge self-join (the √m-bounded one), one closing equi-join,
     * one explode + count. All keyed; nothing collected. */
+  /** k-truss decomposition (Cohen 2008) — the edge-level cohesion
+    * filter: keep exactly the edges supported by ≥ k−2 triangles
+    * WITHIN the surviving subgraph, peeling until fixpoint. The
+    * community-core primitive one notch stronger than k-core (a
+    * k-truss is always inside a (k−1)-core, never vice versa), and
+    * the principled "stronger pair verification" for an
+    * entity-resolution match graph: the q255 capstone measures how
+    * transitive closure over weak pairwise edges over-merges; a
+    * 3/4-truss pass BEFORE components keeps only edges corroborated
+    * by triangles, cutting exactly the chain-of-coincidences bridges
+    * (spec-pinned on a two-clique bridge fixture).
+    *
+    * Per round: triangles are enumerated ONCE via the
+    * [[triangleStats]] degree-ordered orientation (each triangle from
+    * its lowest-(degree, id) apex — wedge fan-out is governed by the
+    * SMALLER endpoint degree, the standard compact-forward bound),
+    * exploded to their three edges, hash-aggregated to per-edge
+    * support, and edges below k−2 dropped; `Iterate.barrierCounted`
+    * materializes each round (stats reset) and yields the
+    * convergence count with no extra action. Peeling is monotone
+    * (edge sets only shrink), so the fixpoint is unique —
+    * order-independent and partitioning-proof. Throws at
+    * `maxIterations` rather than return a half-peeled subgraph (the
+    * componentLabels discipline); each round removes ≥ 1 edge or
+    * stops, so |E| rounds always suffice.
+    *
+    * Input edges are undirected (canonicalized to a < b, self-loops
+    * dropped, duplicates collapsed). Returns the surviving edges
+    * with their final within-truss support. */
+  def kTruss(edges: DataFrame, src: String, dst: String, k: Int = 4,
+             maxIterations: Int = 30): DataFrame = {
+    require(k >= 3, "k must be >= 3 (every edge is a 2-truss)")
+    val minSup = (k - 2).toLong
+    var (e, nEdges) = graft.core.Iterate.barrierCounted(
+      edges.select(least(col(src), col(dst)).as("a"),
+          greatest(col(src), col(dst)).as("b"))
+        .where(col("a") =!= col("b")).distinct(), lit(true))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIterations) {
+      rounds += 1
+      val kept = e.join(edgeSupport(e), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= minSup)
+        .select(col("a"), col("b"))
+      val (next, nKept) = graft.core.Iterate.barrierCounted(kept, lit(true))
+      if (nKept == nEdges) converged = true
+      e = next
+      nEdges = nKept
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kTruss: still peeling after $maxIterations rounds — raise " +
+        "maxIterations (a half-peeled subgraph is not a k-truss)")
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Per-edge triangle support of a canonical (a < b) edge frame —
+    * the degree-ordered compact-forward enumeration shared with
+    * [[triangleStats]], re-aggregated per EDGE instead of per node. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.withColumnsRenamed(Map("node" -> "a", "deg" -> "__da")), "a")
+      .join(deg.withColumnsRenamed(Map("node" -> "b", "deg" -> "__db")), "b")
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("__db")).otherwise(col("__da")).as("__dv"))
+    val lo = oriented.select(col("u"), col("v").as("__v1"),
+      col("__dv").as("__d1"))
+    val hi = oriented.select(col("u"), col("v").as("__v2"),
+      col("__dv").as("__d2"))
+    val tri = lo.join(hi, "u")
+      .filter(col("__d1") < col("__d2") ||
+        (col("__d1") === col("__d2") && col("__v1") < col("__v2")))
+      .join(oriented.select(col("u").as("__v1"), col("v").as("__v2")),
+        Seq("__v1", "__v2"))
+    def ce(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(least(x, y).as("a"), greatest(x, y).as("b"))
+    tri.select(explode(array(ce(col("u"), col("__v1")),
+        ce(col("u"), col("__v2")), ce(col("__v1"), col("__v2")))).as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
   def triangleStats(edges: DataFrame, src: String, dst: String): DataFrame = {
     val dir = edges.select(col(src).as("src"), col(dst).as("dst"))
       .where(col("src") =!= col("dst"))

@@ -607,6 +607,49 @@ object Similarity {
         col("rank"), col("score"))
   }
 
+  /** Two-stage retrieval — the deployment pattern the
+    * [[knnQuantized]] scaladoc promises, as one operator: stage 1
+    * ranks by the 4×-smaller SQ8 integer code dot and keeps
+    * `kCandidates` per query (the memory-bandwidth-bound scan);
+    * stage 2 re-scores ONLY those candidates with full-precision
+    * exact cosine and keeps `k` (FAISS's refine step, Johnson et al.
+    * 2017). The quality knob is kCandidates: at kCandidates = |corpus|
+    * the output IS [[knnBruteForce]] row for row (spec-asserted), and
+    * at practical k' ≈ 3–5k the int8 perturbation (~1e-3 per cosine
+    * on unit vectors) has to displace a true neighbor past rank k'
+    * to cost recall.
+    *
+    * Scale shape: stage 1 streams codes (swap in [[knnIvf]] /
+    * [[searchIvfIndexQuantized]] for a partition-pruned candidate
+    * scan at 100 TB — the re-rank tail is candidate-source-agnostic);
+    * stage 2 touches |queries|·kCandidates rows via one hash join
+    * back to full vectors — never the corpus. Tie-breaks by id at
+    * both stages (the family contract). */
+  def twoStageKnn(corpus: DataFrame, queries: DataFrame,
+                  kCandidates: Int = 40, k: Int = 10,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(kCandidates >= k,
+      s"kCandidates ($kCandidates) must be >= k ($k) — the refine " +
+        "stage can only shrink the candidate list")
+    val cands = knnQuantized(corpus, queries, kCandidates, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), vecNorm(col(vecCol)).as("__qnorm")))
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), vecNorm(col(vecCol)).as("__cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.join(full, "neighbor_id")
+      .join(q, "query_id")
+      .withColumn("cosine",
+        vecDot(col("__qv"), col("__cv")) / (col("__qnorm") * col("__cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   // ------------------------------------------------- product quantization
 
   /** Static PQ codebook (the q48 "static" discipline that makes the

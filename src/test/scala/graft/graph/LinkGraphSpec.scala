@@ -952,6 +952,48 @@ class LinkGraphSpec extends SparkSpec {
     fromA0("a2") shouldBe 0L
   }
 
+  test("kTruss: cascading peel on the shared fixture leaves exactly the K4") {
+    val e = edges(graft.OracleSql.kTrussFixtureEdges: _*)
+    val out = LinkGraph.kTruss(e, "src", "dst", k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // two-wave cascade: support-1 strip edges die first, which
+    // strands (n4,n5)/(n5,n6) at support 0 for round two
+    out shouldBe Map(
+      ("n0", "n1") -> 2L, ("n0", "n2") -> 2L, ("n0", "n3") -> 2L,
+      ("n1", "n2") -> 2L, ("n1", "n3") -> 2L, ("n2", "n3") -> 2L)
+    // the cascade needs three rounds (two peels + the confirming
+    // fixpoint pass) — a 2-round cap must throw, not half-peel
+    an[IllegalStateException] should be thrownBy
+      LinkGraph.kTruss(e, "src", "dst", k = 4, maxIterations = 2)
+  }
+
+  test("kTruss: a 3-truss cuts the single-edge bridge between two cliques") {
+    // the ER over-merge shape (q255's finding): two tight clusters
+    // chained by one coincidental pair — components would merge them,
+    // the truss drops the uncorroborated bridge first
+    val cliqueA = for (i <- 0 to 3; j <- i + 1 to 3) yield s"a$i" -> s"a$j"
+    val cliqueB = for (i <- 0 to 3; j <- i + 1 to 3) yield s"b$i" -> s"b$j"
+    val e = edges((cliqueA ++ cliqueB :+ ("a3" -> "b0")): _*)
+    val out = LinkGraph.kTruss(e, "src", "dst", k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    out should contain allElementsOf cliqueA.toSet
+    out should contain allElementsOf cliqueB.toSet
+    out should not contain ("a3" -> "b0")
+  }
+
+  test("kTruss: k beyond max cohesion empties; guards; partitioning invariance") {
+    val tri = edges("x" -> "y", "y" -> "z", "z" -> "x")
+    // one triangle: 3-truss keeps it whole, 4-truss (support >= 2) empties
+    LinkGraph.kTruss(tri, "src", "dst", k = 3).count() shouldBe 3L
+    LinkGraph.kTruss(tri, "src", "dst", k = 4).collect() shouldBe empty
+    an[IllegalArgumentException] should be thrownBy
+      LinkGraph.kTruss(tri, "src", "dst", k = 2)
+    val e = edges((1 to 60).map(i =>
+      s"m${i % 8}" -> s"m${(i * 5 + 2) % 11}"): _*)
+    assertSameRows(LinkGraph.kTruss(e, "src", "dst", k = 3),
+      LinkGraph.kTruss(e.repartition(7), "src", "dst", k = 3))
+  }
+
   test("stressCentrality: depth cap throws; invariant under partitioning") {
     val chain = edges((0 until 6).map(i => s"c$i" -> s"c${i + 1}"): _*)
     an[IllegalStateException] should be thrownBy
