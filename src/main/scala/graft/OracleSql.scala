@@ -1920,8 +1920,10 @@ FROM cellab GROUP BY 1, 2 ORDER BY 1, 2"""
     * triple-join identity stress(v) = Σ σ(s,v)·σ(v,t) over
     * d(s,v)+d(v,t) = d(s,t) — no backward recursion, so agreement
     * with Spark's Brandes-shaped two-phase pass is a real check. */
-  val q311_stress_centrality: String = """
-WITH RECURSIVE ed AS (
+  /** Shared two-ring + broker edge CTE body for q311/q316/q317 —
+    * the twin of SparkEntry's `twoRingBrokerEdges` (one modular
+    * construction, zero drift). */
+  private val twoRingEd: String = """
   SELECT DISTINCT src, dst FROM (
     SELECT 'd' || CAST(doc_id % 4 AS VARCHAR) AS src,
            'd' || CAST((doc_id % 4 + 1) % 4 AS VARCHAR) AS dst FROM documents
@@ -1930,7 +1932,10 @@ WITH RECURSIVE ed AS (
            'd' || CAST((doc_id + 1) % 4 + 5 AS VARCHAR) FROM documents
     UNION ALL SELECT 'd2', 'd9' FROM documents
     UNION ALL SELECT 'd9', 'd5' FROM documents)
-  WHERE src <> dst),
+  WHERE src <> dst"""
+
+  val q311_stress_centrality: String = s"""
+WITH RECURSIVE ed AS ($twoRingEd),
 walks(s, v, len) AS (
   SELECT src, dst, 1 FROM ed
   UNION ALL
@@ -1957,6 +1962,109 @@ nodes AS (
     SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed))
 SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN thru t ON t.node = n.node
+ORDER BY n.node"""
+
+  /** q318 twin: q313's Pettitt CTEs locate the change date, the
+    * regime tag splits each series, and q96's OLS arithmetic (same
+    * decimal quantization, same VARCHAR-detour double conversion,
+    * same final expression tree) fits per (symbol, regime). */
+  val q318_segmented_trend: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+v AS (
+  SELECT symbol, date, CAST(round(close_price * 100) AS BIGINT) AS x
+  FROM daily WHERE close_price IS NOT NULL),
+r AS (
+  SELECT symbol, date,
+    2 * rank() OVER (PARTITION BY symbol ORDER BY x)
+      + count(*) OVER (PARTITION BY symbol, x) - 1 AS r2
+  FROM v),
+pre AS (
+  SELECT symbol, date,
+    CAST(row_number() OVER (PARTITION BY symbol ORDER BY date) AS BIGINT) AS t,
+    sum(r2) OVER (PARTITION BY symbol ORDER BY date) AS s2,
+    CAST(count(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+  FROM r),
+u AS (
+  SELECT symbol, date, n, t * (n + 1) - s2 AS uu
+  FROM pre WHERE n >= 4 AND t < n),
+best AS (
+  SELECT symbol, uu, date,
+    row_number() OVER (PARTITION BY symbol ORDER BY abs(uu) DESC, date) AS pk
+  FROM u),
+cp AS (SELECT symbol, date AS change_point FROM best WHERE pk = 1),
+seg AS (
+  SELECT d.symbol,
+    CASE WHEN d.date <= c.change_point THEN 'pre' ELSE 'post' END AS regime,
+    d.date, d.close_price
+  FROM daily d JOIN cp c ON c.symbol = d.symbol),
+q AS (
+  SELECT symbol, regime,
+    CAST(date_diff('day', DATE '1970-01-01', date) AS BIGINT) AS x,
+    CAST(CAST(ROUND(CAST(close_price AS DECIMAL(28,10)), 6) AS DECIMAL(18,6))
+         * 1000000 AS BIGINT) AS y6
+  FROM seg),
+agg AS (
+  SELECT symbol, regime, count(*) AS n_days,
+    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(y6) AS VARCHAR) AS DOUBLE) AS sy6,
+    CAST(CAST(sum(x * y6) AS VARCHAR) AS DOUBLE) AS sxy6
+  FROM q GROUP BY 1, 2)
+SELECT symbol, regime, n_days,
+  ((CAST(n_days AS DOUBLE) * sxy6 - sx * sy6) /
+   (CAST(n_days AS DOUBLE) * sxx - sx * sx)) / 1e6 AS slope,
+  (((sy6 - ((CAST(n_days AS DOUBLE) * sxy6 - sx * sy6) /
+            (CAST(n_days AS DOUBLE) * sxx - sx * sx)) * sx)
+    / CAST(n_days AS DOUBLE)) / 1e6) AS intercept
+FROM agg
+WHERE n_days >= 2 AND (CAST(n_days AS DOUBLE) * sxx - sx * sx) <> 0
+ORDER BY symbol, regime"""
+
+  /** q316 twin of [[graft.graph.LinkGraph.katzCentrality]] — walk
+    * MULTIPLICITY enumerated directly: the recursive CTE keeps one
+    * row per walk (UNION ALL, no dedup), so w_k(v) = count(*) per
+    * (v, len); Spark's Horner accumulator never appears. betaBits=1,
+    * depth=8 → unit 2^(8−k) per length-k walk. */
+  val q316_katz: String = s"""
+WITH RECURSIVE ed AS ($twoRingEd),
+walks(v, len) AS (
+  SELECT dst, 1 FROM ed
+  UNION ALL
+  SELECT ed.dst, w.len + 1 FROM walks w JOIN ed ON ed.src = w.v
+  WHERE w.len < 8),
+wk AS (SELECT v, len, count(*) AS w FROM walks GROUP BY 1, 2),
+kat AS (
+  SELECT v AS node, sum(w * (1 << (8 - len))) AS katz
+  FROM wk GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed))
+SELECT n.node, CAST(coalesce(k.katz, 0) AS BIGINT) AS katz_units
+FROM nodes n LEFT JOIN kat k ON k.node = n.node
+ORDER BY n.node"""
+
+  /** q317 twin of [[graft.graph.LinkGraph.eccentricity]]: shortest
+    * distances from the q311 walk enumeration (min len per pair),
+    * eccentricity = max over reachable others, reach count alongside;
+    * unreachable-everything nodes coalesce to zeros. */
+  val q317_eccentricity: String = s"""
+WITH RECURSIVE ed AS ($twoRingEd),
+walks(s, v, len) AS (
+  SELECT src, dst, 1 FROM ed
+  UNION ALL
+  SELECT w.s, ed.dst, w.len + 1 FROM walks w JOIN ed ON ed.src = w.v
+  WHERE w.len < 12),
+ap AS (SELECT s, v, min(len) AS dist FROM walks WHERE s <> v GROUP BY 1, 2),
+ecc AS (
+  SELECT s AS node, max(dist) AS eccentricity, count(*) AS n_reached
+  FROM ap GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed))
+SELECT n.node, CAST(coalesce(e.eccentricity, 0) AS BIGINT) AS eccentricity,
+  CAST(coalesce(e.n_reached, 0) AS BIGINT) AS n_reached
+FROM nodes n LEFT JOIN ecc e ON e.node = n.node
 ORDER BY n.node"""
 
   /** q312 twin of [[graft.analytics.Ranking.reciprocalRankFusion]]
@@ -8236,6 +8344,9 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q313_pettitt" -> q313_pettitt,
     "q314_two_stage_knn" -> q314_two_stage_knn,
     "q315_ktruss" -> q315_ktruss,
+    "q316_katz" -> q316_katz,
+    "q317_eccentricity" -> q317_eccentricity,
+    "q318_segmented_trend" -> q318_segmented_trend,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -34,6 +34,23 @@ object SparkEntry {
   def transformedBars(spark: SparkSession, sfDir: String): DataFrame =
     Transform.transform(Bars.bars(spark, sfDir), processedAt = col("processed_at"))
 
+  /** Shared graph fixture for q311/q316/q317 (oracle twin:
+    * OracleSql's twoRingEd CTE — same modular construction): ring A
+    * d0→d1→d2→d3→d0, ring B d5→d6→d7→d8→d5, broker d2→d9→d5. The
+    * bridge node d9 carries every A-to-B shortest path; B cannot
+    * reach A. */
+  private def twoRingBrokerEdges(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def dom(e: Column) = concat(lit("d"), e.cast("string"))
+    val ringA = docs.select(dom(id % 4).as("src"),
+      dom((id % 4 + 1) % 4).as("dst"))
+    val ringB = docs.select(dom(id % 4 + 5).as("src"),
+      dom((id + 1) % 4 + 5).as("dst"))
+    val bridge = docs.select(lit("d2").as("src"), lit("d9").as("dst"))
+      .unionAll(docs.select(lit("d9").as("src"), lit("d5").as("dst")))
+    ringA.unionAll(ringB).unionAll(bridge)
+  }
+
   /** Flagship query on sf=0.001: full pipeline + the reference's
     * moving-average analytic (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -1009,20 +1026,27 @@ object SparkEntry {
     // A-to-B shortest path; ring interiors carry only in-ring
     // brokerage. Oracle = the structurally different triple-join
     // identity over walk-enumerated (dist, sigma) pairs.
-    "q311_stress_centrality" -> ((s, dir) => {
-      val id = col("doc_id")
-      val docs = Tables.documents(s, dir)
-      def dom(e: Column) = concat(lit("d"), e.cast("string"))
-      val ringA = docs.select(dom(id % 4).as("src"),
-        dom((id % 4 + 1) % 4).as("dst"))
-      val ringB = docs.select(dom(id % 4 + 5).as("src"),
-        dom((id + 1) % 4 + 5).as("dst"))
-      val bridge = docs.select(lit("d2").as("src"), lit("d9").as("dst"))
-        .unionAll(docs.select(lit("d9").as("src"), lit("d5").as("dst")))
+    "q311_stress_centrality" -> ((s, dir) =>
       graft.graph.LinkGraph.stressCentrality(
-          ringA.unionAll(ringB).unionAll(bridge), "src", "dst")
-        .orderBy(col("node"))
-    }),
+          twoRingBrokerEdges(Tables.documents(s, dir)), "src", "dst")
+        .orderBy(col("node"))),
+
+    // Truncated Katz over the same fixture: every incoming walk up to
+    // length 8, damped by beta = 1/2 per hop, in exact power-of-two
+    // integer units; the broker d9 collects both rings' walk mass.
+    "q316_katz" -> ((s, dir) =>
+      graft.graph.LinkGraph.katzCentrality(
+          twoRingBrokerEdges(Tables.documents(s, dir)), "src", "dst",
+          betaBits = 1, depth = 8)
+        .orderBy(col("node"))),
+
+    // Directed eccentricity per node over the same fixture (diameter
+    // and radius are one aggregate over this output); ring B cannot
+    // reach ring A, so n_reached splits the graph honestly.
+    "q317_eccentricity" -> ((s, dir) =>
+      graft.graph.LinkGraph.eccentricity(
+          twoRingBrokerEdges(Tables.documents(s, dir)), "src", "dst")
+        .orderBy(col("node"))),
 
     // Hybrid retrieval: exact-cosine and int8-quantized kNN legs
     // (k=20 each) fused by reciprocal rank fusion — incommensurable
@@ -1051,6 +1075,30 @@ object SparkEntry {
           expr("CAST(round(close_price * 100) AS BIGINT)"))
       graft.analytics.Correlation.pettittTest(daily, "close_cents")
         .orderBy(col("symbol"))
+    }),
+
+    // COMPOSED changepoint-segmented trend: Pettitt locates each
+    // symbol's level shift, then OLS fits each regime separately —
+    // the "find the break, then trust no single trend across it"
+    // report. Regimes ride olsTrend's group key as symbol|regime.
+    "q318_segmented_trend" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      val cp = graft.analytics.Correlation.pettittTest(
+          daily.withColumn("close_cents",
+            expr("CAST(round(close_price * 100) AS BIGINT)")),
+          "close_cents")
+        .select(col("symbol"), col("change_point"))
+      val seg = daily.join(cp, "symbol")
+        .select(concat(col("symbol"), lit("|"),
+            when(col("date") <= col("change_point"), "pre")
+              .otherwise("post")).as("symbol"),
+          col("date"), col("close_price"))
+      graft.analytics.Correlation.olsTrend(seg)
+        .select(split(col("symbol"), "\\|").getItem(0).as("symbol"),
+          split(col("symbol"), "\\|").getItem(1).as("regime"),
+          col("n_days"), col("slope"), col("intercept"))
+        .orderBy(col("symbol"), col("regime"))
     }),
 
     // Two-stage retrieval: SQ8 integer-dot candidate scan (k'=40)

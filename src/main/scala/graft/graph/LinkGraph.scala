@@ -379,6 +379,118 @@ object LinkGraph {
       .select(col("node"), coalesce(col("stress"), lit(0L)).as("stress"))
   }
 
+  /** Truncated Katz centrality (Katz, Psychometrika 1953) — the
+    * WALK-counting member of the centrality shelf (stress counts
+    * shortest paths; PageRank normalizes per-step; Katz counts ALL
+    * incoming walks, geometrically damped by length): x(v) =
+    * Σ_{k=1..depth} β^k · #walks(·→v, length k). The standard
+    * practical truncation (β^depth ≤ 2⁻⁸ by default — deeper terms
+    * are sub-permille); β = 2^(−betaBits) so every term is a power
+    * of two and the damped sum has an EXACT integer form:
+    * `katz_units` = Σ_k w_k(v) · 2^(betaBits·(depth−k)) — the true
+    * truncated Katz times the stated constant 2^(betaBits·depth),
+    * same ranking, zero floats.
+    *
+    * Per round, Horner's rule: acc ← acc·2^betaBits + w_k with
+    * w_k(v) = Σ_{u→v} w_{k−1}(u) — one edge join + one (node)
+    * aggregate + one accumulator join behind `Iterate.barrier`;
+    * exactly `depth` rounds, no convergence polling. Arithmetic runs
+    * in DECIMAL(38,0) internally (walk counts compound by in-degree
+    * per step; int64 products are the overflow risk the q304 rule
+    * names), and the final BIGINT cast is guarded by one max-check
+    * action — refuse loudly, never wrap (the mannKendall contract).
+    * Directed; walks may revisit nodes (that IS Katz — use
+    * [[stressCentrality]]/[[harmonicCentrality]] for path
+    * semantics). */
+  def katzCentrality(edges: DataFrame, src: String, dst: String,
+                     betaBits: Int = 1, depth: Int = 8): DataFrame = {
+    require(betaBits >= 1, "betaBits must be >= 1 (beta < 1 or the sum diverges)")
+    require(depth >= 1 && depth * betaBits <= 60,
+      "depth*betaBits must stay <= 60 (the 2^(betaBits*depth) unit " +
+        "must fit a BIGINT)")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val two = math.pow(2, betaBits).toLong
+    var w = graft.core.Iterate.barrier(
+      nodes.select(col("node"), lit(1L).cast("decimal(38,0)").as("w")))
+    var acc = graft.core.Iterate.barrier(
+      nodes.select(col("node"), lit(0L).cast("decimal(38,0)").as("acc")))
+    for (_ <- 1 to depth) {
+      w = graft.core.Iterate.barrier(
+        e.join(w.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("w")).as("w")))
+      acc = graft.core.Iterate.barrier(
+        acc.join(w, Seq("node"), "left")
+          .select(col("node"),
+            (col("acc") * two + coalesce(col("w"),
+              lit(0L).cast("decimal(38,0)"))).cast("decimal(38,0)").as("acc")))
+    }
+    val maxRow = acc.agg(max(col("acc"))).head
+    val maxAcc = if (maxRow.isNullAt(0)) BigDecimal(0)
+      else BigDecimal(maxRow.getDecimal(0))
+    require(maxAcc <= BigDecimal(Long.MaxValue),
+      s"katzCentrality: max katz_units $maxAcc overflows BIGINT — " +
+        "lower depth or raise betaBits")
+    acc.select(col("node"), col("acc").cast("long").as("katz_units"))
+  }
+
+  /** Per-node eccentricity over the directed reachable set — the
+    * diameter/radius diagnostic (diameter = max ecc, radius = min ecc
+    * over nodes that reach anything; both one aggregate over this
+    * output): ecc(s) = max_{v reachable, v ≠ s} dist(s, v), with
+    * `n_reached` reporting the reachable-set size so a disconnected
+    * graph's small eccentricities read as what they are (stated —
+    * unreachable pairs contribute nothing, the harmonicCentrality
+    * convention; a node reaching nothing reports ecc 0 / n_reached
+    * 0, never NULL). The [[stressCentrality]] forward BFS minus the
+    * σ column: frontier-only (s, node) pair state, one join + one
+    * aggregate per round behind `Iterate.barrierCounted`; `maxDepth`
+    * THROWS if still expanding (a silently capped eccentricity is a
+    * wrong answer, not an approximation). */
+  def eccentricity(edges: DataFrame, src: String, dst: String,
+                   maxDepth: Int = 12): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var visited = graft.core.Iterate.barrier(
+      nodes.select(col("node").as("s"), col("node"), lit(0L).as("dist")))
+    var frontier = visited
+    var d = 0L
+    var growing = true
+    while (growing && d < maxDepth) {
+      d += 1
+      val (next, nNew) = graft.core.Iterate.barrierCounted(
+        frontier.join(e.withColumnRenamed("src", "node"), "node")
+          .select(col("s"), col("dst").as("node"))
+          .join(visited.select(col("s"), col("node")),
+            Seq("s", "node"), "left_anti")
+          .distinct()
+          .withColumn("dist", lit(d)), lit(true))
+      if (nNew == 0L) growing = false
+      else {
+        frontier = next
+        visited = graft.core.Iterate.barrier(visited.unionByName(frontier))
+      }
+    }
+    if (growing) throw new IllegalStateException(
+      s"eccentricity: still expanding at depth $maxDepth — graph " +
+        "diameter exceeds the cap; raise maxDepth")
+    nodes.join(
+        visited.filter(col("s") =!= col("node"))
+          .groupBy(col("s").as("node"))
+          .agg(max(col("dist")).as("eccentricity"),
+            count(lit(1)).as("n_reached")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("eccentricity"), lit(0L)).as("eccentricity"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"))
+  }
+
   /** HITS hubs & authorities (Kleinberg, *Authoritative Sources in a
     * Hyperlinked Environment*, JACM 1999) — the mutually-recursive
     * companion to [[pagerank]]: a good HUB links to good authorities,

@@ -952,6 +952,63 @@ class LinkGraphSpec extends SparkSpec {
     fromA0("a2") shouldBe 0L
   }
 
+  test("katzCentrality: chain, diamond, and cycle hand units") {
+    def km(e: org.apache.spark.sql.DataFrame, depth: Int = 8) =
+      LinkGraph.katzCentrality(e, "src", "dst", betaBits = 1, depth = depth)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // chain x->y->z at depth 8: unit 2^(8-k) per length-k walk.
+    // y: one len-1 walk = 128; z: len-1 (128) + len-2 (64) = 192
+    km(edges("x" -> "y", "y" -> "z")) shouldBe
+      Map("x" -> 0L, "y" -> 128L, "z" -> 192L)
+    // diamond: d gets two len-1 walks (256) + two len-2 (128) = 384
+    km(edges("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")) shouldBe
+      Map("a" -> 0L, "b" -> 128L, "c" -> 128L, "d" -> 384L)
+    // 3-cycle at depth 3: walks REVISIT (that is Katz) — every node
+    // collects exactly one walk per length: 4 + 2 + 1 = 7
+    km(edges("x" -> "y", "y" -> "z", "z" -> "x"), depth = 3) shouldBe
+      Map("x" -> 7L, "y" -> 7L, "z" -> 7L)
+  }
+
+  test("katzCentrality: overflow and parameter guards refuse loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      LinkGraph.katzCentrality(edges("a" -> "b"), "src", "dst",
+        betaBits = 8, depth = 8)
+    // complete digraph K8: w_k = 7^k per node; at depth 23 the unit
+    // sum ~3.8e19 exceeds BIGINT — the final cast must throw, not wrap
+    val k8 = edges((for (i <- 0 to 7; j <- 0 to 7; if i != j)
+      yield s"v$i" -> s"v$j"): _*)
+    an[IllegalArgumentException] should be thrownBy
+      LinkGraph.katzCentrality(k8, "src", "dst", betaBits = 1, depth = 23)
+    // invariance under partitioning at a depth that fits
+    val e = edges((1 to 40).map(i =>
+      s"w${i % 7}" -> s"w${(i * 3 + 1) % 9}"): _*)
+    assertSameRows(
+      LinkGraph.katzCentrality(e, "src", "dst", depth = 6),
+      LinkGraph.katzCentrality(e.repartition(7), "src", "dst", depth = 6))
+  }
+
+  test("eccentricity: chain, cycle, disconnected halves, depth cap") {
+    def em(e: org.apache.spark.sql.DataFrame) =
+      LinkGraph.eccentricity(e, "src", "dst").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    em(edges("x" -> "y", "y" -> "z")) shouldBe Map(
+      "x" -> (2L, 2L), "y" -> (1L, 1L), "z" -> (0L, 0L))
+    // directed 3-cycle: everyone reaches the other two, ecc 2
+    em(edges("x" -> "y", "y" -> "z", "z" -> "x")) shouldBe Map(
+      "x" -> (2L, 2L), "y" -> (2L, 2L), "z" -> (2L, 2L))
+    // disconnected components stay honest via n_reached
+    em(edges("a" -> "b", "c" -> "d")) shouldBe Map(
+      "a" -> (1L, 1L), "b" -> (0L, 0L),
+      "c" -> (1L, 1L), "d" -> (0L, 0L))
+    val chain = edges((0 until 14).map(i => s"c$i" -> s"c${i + 1}"): _*)
+    an[IllegalStateException] should be thrownBy
+      LinkGraph.eccentricity(chain, "src", "dst", maxDepth = 5)
+    val e = edges((1 to 40).map(i =>
+      s"n${i % 8}" -> s"n${(i * 5 + 2) % 11}"): _*)
+    assertSameRows(LinkGraph.eccentricity(e, "src", "dst"),
+      LinkGraph.eccentricity(e.repartition(7), "src", "dst"))
+  }
+
   test("kTruss: cascading peel on the shared fixture leaves exactly the K4") {
     val e = edges(graft.OracleSql.kTrussFixtureEdges: _*)
     val out = LinkGraph.kTruss(e, "src", "dst", k = 4).collect()
