@@ -415,6 +415,22 @@ class CorrelationSpec extends SparkSpec {
     a.head.getAs[java.sql.Date]("change_point").toString shouldBe "1970-01-17"
   }
 
+  test("pettittTest plan: one symbol Exchange, argmax as a WindowGroupLimit top-1") {
+    val rows = (1 to 20).map(i => ("P", i, (i * 7 % 5).toLong))
+    val out = Correlation.pettittTest(mk(rows: _*), "v")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // all three windows (value rank, date prefix-sum, argmax pick)
+    // ride ONE hash partitioning on the group key; the __pick = 1
+    // filter compiles to a pre-shuffle WindowGroupLimit. Count only
+    // the final adaptive plan — the string repeats under
+    // "== Initial Plan ==".
+    plan.linesIterator
+      .takeWhile(!_.contains("== Initial Plan =="))
+      .count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    plan should include("WindowGroupLimit")
+  }
+
   test("spearmanCorr is invariant under input partitioning") {
     val rows = (1L to 30L).map(i =>
       ("G", Long.box(i * 7919 % 31), Long.box(i * 104729 % 37)))

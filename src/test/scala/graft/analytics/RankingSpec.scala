@@ -309,6 +309,15 @@ class RankingSpec extends SparkSpec {
     // dX leads q2: 16393 + 16129 beats dY's single 16393
   }
 
+  test("reciprocalRankFusion plan: the top-k compiles to a pre-shuffle WindowGroupLimit") {
+    val a = leg(("q1", "d1", 1L), ("q1", "d2", 2L))
+    val b = leg(("q1", "d2", 1L), ("q1", "d3", 2L))
+    val out = Ranking.reciprocalRankFusion(Seq(a, b), topK = 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+
   test("reciprocalRankFusion: leg order and partitioning do not matter; guards refuse") {
     val a = leg(("q1", "d1", 1L), ("q1", "d2", 2L))
     val b = leg(("q1", "d2", 1L), ("q1", "d3", 2L))
