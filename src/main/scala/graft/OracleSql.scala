@@ -1964,6 +1964,24 @@ SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN thru t ON t.node = n.node
 ORDER BY n.node"""
 
+  /** q319 twin of [[graft.functions.GifHeaderUtil.meta]] over the
+    * [[graft.multimodal.Gif.encodeHeader]] fixtures: every field
+    * derived from the fixture's PARAMETER FORMULAS alone — no GIF
+    * bytes anywhere in the oracle (the q200 discipline), so hash
+    * equality proves the little-endian block walk end to end. */
+  val q319_gif_meta: String = """
+SELECT doc_id, true AS decoded, doc_id % 2 = 0 AS version89,
+  CAST(20 + doc_id % 13 AS BIGINT) AS width,
+  CAST(10 + doc_id % 5 AS BIGINT) AS height,
+  CAST((20 + doc_id % 13) * (10 + doc_id % 5) AS BIGINT) AS n_pixels,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+            ELSE 1 << ((doc_id % 7) + 1) END AS BIGINT) AS gct_entries,
+  CAST(doc_id % 7 AS BIGINT) AS bg_index,
+  CAST(1 + doc_id % 2 AS BIGINT) AS n_images,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 ELSE 0 END AS BIGINT)
+    AS n_extensions
+FROM documents ORDER BY doc_id"""
+
   /** q318 twin: q313's Pettitt CTEs locate the change date, the
     * regime tag splits each series, and q96's OLS arithmetic (same
     * decimal quantization, same VARCHAR-detour double conversion,
@@ -8347,6 +8365,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q316_katz" -> q316_katz,
     "q317_eccentricity" -> q317_eccentricity,
     "q318_segmented_trend" -> q318_segmented_trend,
+    "q319_gif_meta" -> q319_gif_meta,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

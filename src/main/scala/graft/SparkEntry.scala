@@ -1077,6 +1077,39 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // GIF header walk (the q200 JPEG pattern for the third crawl
+    // image format): per doc a structurally valid GIF whose screen,
+    // palette, frame and extension roster are pure functions of
+    // doc_id; the oracle derives every field from the parameter
+    // formulas alone, so hash equality proves the little-endian
+    // block walk itself.
+    "q319_gif_meta" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          id -> graft.multimodal.Gif.encodeHeader(
+            w = (20 + id % 13).toInt, h = (10 + id % 5).toInt,
+            version89 = id % 2 == 0,
+            gctExp = if (id % 3 == 0) -1 else (id % 7).toInt,
+            bgIndex = (id % 7).toInt,
+            nImages = (1 + id % 2).toInt,
+            nExtensions = if (id % 2 == 0) (id % 4).toInt else 0)
+        }
+        .toDF("doc_id", "gif")
+      gifs.select(col("doc_id"),
+          graft.multimodal.Multimodal.gifMeta(col("gif")).as("m"))
+        .select(col("doc_id"), col("m.decoded").as("decoded"),
+          col("m.version89").as("version89"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.n_pixels").as("n_pixels"),
+          col("m.gct_entries").as("gct_entries"),
+          col("m.bg_index").as("bg_index"),
+          col("m.n_images").as("n_images"),
+          col("m.n_extensions").as("n_extensions"))
+        .orderBy(col("doc_id"))
+    }),
+
     // COMPOSED changepoint-segmented trend: Pettitt locates each
     // symbol's level shift, then OLS fits each regime separately —
     // the "find the break, then trust no single trend across it"

@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** GIF header metadata via the GIF87a/89a block walk (CompuServe GSD
+  * / W3C GIF89a specification — public knowledge, zero codec
+  * dependencies): signature + version, the little-endian Logical
+  * Screen Descriptor, the Global Color Table skip, then the block
+  * stream — extension blocks (0x21: label + length-prefixed
+  * sub-blocks to a zero terminator), image descriptors (0x2C: 9-byte
+  * descriptor, optional Local Color Table, LZW minimum code size,
+  * data sub-blocks), ending at the 0x3B trailer. HEADER METADATA
+  * ONLY — no LZW decode (dimensions, palette size, frame count, and
+  * structural validity are what a curation pipeline filters on
+  * before paying for one); completes the JPEG/PNG/WAV scan-side
+  * family.
+  *
+  * Degrade contract (the [[PngPixelUtil]]/[[JpegHeaderUtil]]
+  * discipline): anything malformed — wrong signature, unknown
+  * version, truncation anywhere (LSD, color tables, sub-blocks),
+  * zero or adversarial dimensions, an unknown block introducer,
+  * running off the end before the trailer, a trailer before any
+  * image — yields `decoded = false` with NULL fields, never an
+  * exception and never a garbage read.
+  *
+  * Scan-side contract shared with the family: the expression runs
+  * where the bytes are read, only the small typed struct leaves the
+  * projection, media bytes never shuffle. */
+object GifHeaderUtil {
+
+  /** Same adversarial-header ceiling as [[PngPixelUtil.MaxPixels]]:
+    * declared dimensions above this are declined, not trusted. */
+  val MaxPixels: Long = 1L << 24
+
+  private val NotDecoded: InternalRow = {
+    val r = new GenericInternalRow(9)
+    r.update(0, false)
+    r // fields 1-8 stay null
+  }
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Skip a length-prefixed sub-block chain starting at `pos`;
+    * returns the position after the zero terminator, or -1 on
+    * truncation. */
+  private def skipSubBlocks(b: Array[Byte], start: Int): Int = {
+    var pos = start
+    while (pos < b.length) {
+      val len = b(pos) & 0xff
+      if (len == 0) return pos + 1
+      if (pos + 1 + len > b.length) return -1
+      pos += 1 + len
+    }
+    -1
+  }
+
+  def meta(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 13) return NotDecoded
+    if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+      return NotDecoded
+    val version89 =
+      if (bytes(3) == '8' && bytes(4) == '9' && bytes(5) == 'a') true
+      else if (bytes(3) == '8' && bytes(4) == '7' && bytes(5) == 'a') false
+      else return NotDecoded
+    val width = le16(bytes, 6).toLong
+    val height = le16(bytes, 8).toLong
+    if (width <= 0 || height <= 0 || width * height > MaxPixels)
+      return NotDecoded
+    val packed = bytes(10) & 0xff
+    val gctEntries =
+      if ((packed & 0x80) != 0) 1L << ((packed & 0x07) + 1) else 0L
+    val bgIndex = (bytes(11) & 0xff).toLong
+    var pos = 13 + (if (gctEntries > 0) 3 * gctEntries.toInt else 0)
+    if (pos > bytes.length) return NotDecoded // GCT truncated
+    var nImages = 0L
+    var nExtensions = 0L
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x3b => // trailer: the stream ends here
+          if (nImages == 0) return NotDecoded // imageless GIF: nothing to curate
+          val row = new GenericInternalRow(9)
+          row.update(0, true)
+          row.update(1, version89)
+          row.update(2, width); row.update(3, height)
+          row.update(4, width * height)
+          row.update(5, gctEntries)
+          row.update(6, bgIndex)
+          row.update(7, nImages)
+          row.update(8, nExtensions)
+          return row
+        case 0x21 => // extension: label byte + sub-blocks
+          if (pos + 2 > bytes.length) return NotDecoded
+          pos = skipSubBlocks(bytes, pos + 2)
+          if (pos < 0) return NotDecoded
+          nExtensions += 1
+        case 0x2c => // image descriptor
+          if (pos + 10 > bytes.length) return NotDecoded
+          val iw = le16(bytes, pos + 5).toLong
+          val ih = le16(bytes, pos + 7).toLong
+          if (iw <= 0 || ih <= 0 || iw * ih > MaxPixels) return NotDecoded
+          val ipacked = bytes(pos + 9) & 0xff
+          val lct = if ((ipacked & 0x80) != 0) 3 * (1 << ((ipacked & 0x07) + 1)) else 0
+          pos += 10 + lct
+          if (pos + 1 > bytes.length) return NotDecoded // LZW size byte
+          pos = skipSubBlocks(bytes, pos + 1)
+          if (pos < 0) return NotDecoded
+          nImages += 1
+        case _ => return NotDecoded // unknown block introducer: lost sync
+      }
+    }
+    NotDecoded // ran off the end before the trailer
+  }
+}
+
+/** GIF header metadata as a native codegen'd expression — see
+  * [[GifHeaderUtil.meta]] for the walk and the degrade contract. */
+case class GifMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = GifMeta.schema
+
+  override def prettyName: String = "gif_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    GifHeaderUtil.meta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GifHeaderUtil.meta($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GifMeta =
+    copy(child = newChild)
+}
+
+object GifMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("version89", BooleanType),
+    StructField("width", LongType), StructField("height", LongType),
+    StructField("n_pixels", LongType),
+    StructField("gct_entries", LongType),
+    StructField("bg_index", LongType),
+    StructField("n_images", LongType),
+    StructField("n_extensions", LongType)))
+}
+
+object GifFunctions {
+
+  val fnName = "graft_gif_meta"
+
+  private[functions] def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(fnName)))
+      registry.createOrReplaceTempFunction(fnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$fnName takes 1 argument")
+          GifMeta(children.head)
+        },
+        "built-in")
+  }
+
+  def gifMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(fnName, c)
+  }
+}

@@ -52,6 +52,14 @@ object Multimodal {
   def jpegMeta(bin: Column): Column =
     graft.functions.JpegFunctions.jpegMeta(bin)
 
+  /** GIF header metadata (dimensions, palette size, frame and
+    * extension counts, structural validity) via the native
+    * [[graft.functions.GifMeta]] block walk — the JPEG/PNG contract
+    * for the third image format real crawls carry: malformed blobs
+    * yield decoded = false, never an error; bytes never shuffle. */
+  def gifMeta(bin: Column): Column =
+    graft.functions.GifFunctions.gifMeta(bin)
+
   /** Perceptual audio fingerprint of a PCM16 WAV: 65-segment energy
     * envelope → 64 adjacent-mean comparison bits, gain-invariant
     * (see [[graft.functions.WavPcmUtil.fingerprint]]); scan-side,

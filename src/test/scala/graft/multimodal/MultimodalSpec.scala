@@ -471,4 +471,73 @@ test("silenceTrim: leading/trailing silence bounds, interior pause preserved") {
       .as[(Long, Option[Long], Option[Long], Long)].head()
     out shouldBe ((3L, Some(0L), Some(2L), 3L))
   }
+
+  private def gifRow(b: Array[Byte]) = media(1L -> b)
+    .select(Multimodal.gifMeta(col("media")).as("m"))
+
+  private def gifDecoded(b: Array[Byte]): Boolean =
+    gifRow(b).select("m.decoded").as[Boolean].head()
+
+  test("gifMeta parses an 89a with palette, two frames, one extension") {
+    val b = Gif.encodeHeader(w = 320, h = 200, version89 = true,
+      gctExp = 3, bgIndex = 5, nImages = 2, nExtensions = 1)
+    val m = gifRow(b).select("m.decoded", "m.version89", "m.width",
+        "m.height", "m.n_pixels", "m.gct_entries", "m.bg_index",
+        "m.n_images", "m.n_extensions")
+      .as[(Boolean, Boolean, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    m shouldBe ((true, true, 320L, 200L, 64000L, 16L, 5L, 2L, 1L))
+  }
+
+  test("gifMeta: paletteless 87a single frame") {
+    val b = Gif.encodeHeader(w = 7, h = 9, version89 = false,
+      gctExp = -1, nImages = 1, nExtensions = 0)
+    val m = gifRow(b).select("m.decoded", "m.version89",
+        "m.gct_entries", "m.n_images")
+      .as[(Boolean, Boolean, Long, Long)].head()
+    m shouldBe ((true, false, 0L, 1L))
+  }
+
+  test("gifMeta corruption cases all degrade to decoded=false, never throw") {
+    val good = Gif.encodeHeader(w = 32, h = 16, gctExp = 2)
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "empty" -> Array.emptyByteArray,
+      "not a gif" -> "plain text padded out".getBytes("US-ASCII"),
+      "unknown version (GIF90a)" -> { val b = good.clone()
+        b(4) = '0'.toByte; b },
+      "zero width" -> { val b = good.clone(); b(6) = 0; b(7) = 0; b },
+      "oversized dims (adversarial header)" -> { val b = good.clone()
+        b(6) = 0xff.toByte; b(7) = 0xff.toByte
+        b(8) = 0xff.toByte; b(9) = 0xff.toByte; b },
+      "GCT truncated" -> good.take(15),
+      "missing trailer" -> good.dropRight(1),
+      "imageless stream" -> Gif.encodeHeader(w = 8, h = 8, nImages = 0),
+      "unknown block introducer" -> { val b = good.clone()
+        // first block after the 8-entry GCT starts at 13 + 24
+        b(37) = 0x7e.toByte; b },
+      "sub-block length overruns stream" -> { val b = good.clone()
+        b(b.length - 5) = 0x7f.toByte; b })
+    for ((name, b) <- cases)
+      withClue(name) { gifDecoded(b) shouldBe false }
+    gifDecoded(good) shouldBe true // the surgery baseline is valid
+  }
+
+  test("gifMeta: interpreted and codegen paths agree") {
+    val d = media((1L to 20L).map(i =>
+      i -> Gif.encodeHeader(w = (10 + i % 7).toInt, h = (5 + i % 5).toInt,
+        version89 = i % 2 == 0,
+        gctExp = if (i % 3 == 0) -1 else (i % 8).toInt,
+        bgIndex = (i % 5).toInt, nImages = (1 + i % 3).toInt,
+        nExtensions = (i % 4).toInt)): _*)
+    def run(): Seq[(Long, Long, Long, Long, Long)] = d
+      .select(col("id"), Multimodal.gifMeta(col("media")).as("m"))
+      .select(col("id"), col("m.width"), col("m.gct_entries"),
+        col("m.n_images"), col("m.n_extensions"))
+      .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val codegen = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+  }
 }
