@@ -1964,6 +1964,26 @@ SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN thru t ON t.node = n.node
 ORDER BY n.node"""
 
+  /** q320 twin of [[graft.events.EventAnalytics.commonPaths]]: the
+    * same two leads over the same (ts, event_id) order, distinct-user
+    * support, and the same total (support, volume, path) cut order —
+    * paths are unique per group, so the LIMIT boundary is
+    * deterministic on both engines. */
+  val q320_common_paths: String = """
+WITH t AS (
+  SELECT user_id, event_type AS e1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events),
+agg AS (
+  SELECT e1, e2, e3, count(DISTINCT user_id) AS n_users,
+    count(*) AS n_occurrences
+  FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3)
+SELECT e1, e2, e3, CAST(n_users AS BIGINT) AS n_users,
+  CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM agg ORDER BY n_users DESC, n_occurrences DESC, e1, e2, e3
+LIMIT 20"""
+
   /** q319 twin of [[graft.functions.GifHeaderUtil.meta]] over the
     * [[graft.multimodal.Gif.encodeHeader]] fixtures: every field
     * derived from the fixture's PARAMETER FORMULAS alone — no GIF
@@ -8366,6 +8386,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q317_eccentricity" -> q317_eccentricity,
     "q318_segmented_trend" -> q318_segmented_trend,
     "q319_gif_meta" -> q319_gif_meta,
+    "q320_common_paths" -> q320_common_paths,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -1077,6 +1077,14 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Most common 3-step event paths: the second-order sequence
+    // report whose triples expose scripted loops the first-order
+    // transition matrix (q143) structurally cannot; support counts
+    // distinct users, volume carried separately.
+    "q320_common_paths" -> ((s, dir) =>
+      graft.events.EventAnalytics.commonPaths(Tables.events(s, dir),
+        topK = 20)),
+
     // GIF header walk (the q200 JPEG pattern for the third crawl
     // image format): per doc a structurally valid GIF whose screen,
     // palette, frame and extension roster are pure functions of

@@ -260,6 +260,40 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Most common 3-step event paths — the SECOND-ORDER sequence
+    * report [[transitionMatrix]]'s first-order marginals structurally
+    * cannot show: a scripted loop A→B→A→B has exactly the same
+    * first-order rows as organic A↔B traffic; only the triple
+    * (A,B,A)'s support exposes it (the GSP/sequence-mining question
+    * at its cheapest useful length). Per user, consecutive
+    * event-type triples via TWO leads over ONE (ts, event_id)-ordered
+    * window (the E132 tiebreak — equal timestamps stay deterministic
+    * under any partitioning; consecutive means positions i, i+1,
+    * i+2 — no gap skipping, the strict-contiguity variant, stated).
+    * Support counts DISTINCT users (a path one bot fires 10⁶ times
+    * ranks by its reach, not its volume — `n_occurrences` carries
+    * the volume separately).
+    *
+    * Shape: one window pass (both leads ride the same sort), one
+    * hash aggregate bounded by the type-universe CUBED (types³, not
+    * events), global top-k as TakeOrderedAndProject under the total
+    * (support DESC, occurrences DESC, path ASC) order. */
+  def commonPaths(events: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_users").desc, col("n_occurrences").desc,
+        col("e1"), col("e2"), col("e3"))
+      .limit(topK)
+  }
+
   /** Session entry/exit report — the landing/exit-page table of web
     * analytics, over event types: per (entry_type, exit_type) pair,
     * session count and the single-event-session count (entry ≡ exit

@@ -792,4 +792,43 @@ test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >"
       .collect()
     again.map(_.toSeq).toSet shouldBe out.map(_.toSeq).toSet
   }
+
+  test("commonPaths: hand triples, distinct-user support vs raw volume") {
+    // u1 fires A B A B A (a scripted loop): triples (A,B,A) x2,
+    // (B,A,B) x1. u2 fires A B A once: (A,B,A) x1.
+    val d = df(schema,
+      ev(1, 0, 1, "A"), ev(2, 1, 1, "B"), ev(3, 2, 1, "A"),
+      ev(4, 3, 1, "B"), ev(5, 4, 1, "A"),
+      ev(6, 0, 2, "A"), ev(7, 1, 2, "B"), ev(8, 2, 2, "A"))
+    val out = EventAnalytics.commonPaths(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    out shouldBe Array(
+      ("A", "B", "A", 2L, 3L),  // reach 2 users, volume 3
+      ("B", "A", "B", 1L, 1L))
+  }
+
+  test("commonPaths: topK cuts on the total order; users never cross-contaminate") {
+    // u1: A->B->C; u2: X->Y->Z — no triple spans users
+    val d = df(schema,
+      ev(1, 0, 1, "A"), ev(2, 1, 1, "B"), ev(3, 2, 1, "C"),
+      ev(4, 3, 2, "X"), ev(5, 4, 2, "Y"), ev(6, 5, 2, "Z"))
+    val all = EventAnalytics.commonPaths(d).collect()
+    all.map(r => (r.getString(0), r.getString(1), r.getString(2))) shouldBe
+      Array(("A", "B", "C"), ("X", "Y", "Z"))  // ties broken by path asc
+    EventAnalytics.commonPaths(d, topK = 1).collect()
+      .map(_.getString(0)) shouldBe Array("A")
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.commonPaths(d, topK = 0)
+  }
+
+  test("commonPaths is invariant under input partitioning") {
+    val rows = (1 to 60).map(i =>
+      ev(i.toLong, i.toLong, (i % 5).toLong, s"t${i * 7 % 4}"))
+    val d = df(schema, rows: _*)
+    val a = EventAnalytics.commonPaths(d).collect().map(_.toSeq)
+    val b = EventAnalytics.commonPaths(d.repartition(7)).collect()
+      .map(_.toSeq)
+    a shouldBe b
+  }
 }
