@@ -1964,6 +1964,32 @@ SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN thru t ON t.node = n.node
 ORDER BY n.node"""
 
+  /** q321 twin of [[graft.text.TextAnalysis.conditionalSurprisal]]:
+    * the q66 positioned-bigram construction, per-prefix continuation
+    * mass, the shared floor-log2 bit-length device, exact divs. */
+  val q321_conditional_surprisal: String = toksCte + """
+, pos AS (
+  SELECT doc_id, unnest(tokens) AS t, generate_subscripts(tokens, 1) AS p
+  FROM toks),
+bg AS (
+  SELECT a.doc_id, a.t || ' ' || b.t AS bigram, a.t AS w1
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+c12 AS (SELECT bigram, w1, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+b AS (
+  SELECT c12.bigram,
+    CAST(length(bin(CAST(c1.c1 // c12.c12 AS BIGINT))) - 1 AS BIGINT) AS bits
+  FROM c12 JOIN c1 ON c1.w1 = c12.w1)
+SELECT d.doc_id,
+  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(s.total_bits AS BIGINT) AS total_bits,
+  CAST((s.total_bits * 1000) // s.n_bigrams AS BIGINT) AS mean_millibits
+FROM documents d LEFT JOIN (
+  SELECT bg.doc_id, count(*) AS n_bigrams, sum(b.bits) AS total_bits
+  FROM bg JOIN b ON b.bigram = bg.bigram
+  GROUP BY bg.doc_id) s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
   /** q320 twin of [[graft.events.EventAnalytics.commonPaths]]: the
     * same two leads over the same (ts, event_id) order, distinct-user
     * support, and the same total (support, volume, path) cut order —
@@ -8387,6 +8413,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q318_segmented_trend" -> q318_segmented_trend,
     "q319_gif_meta" -> q319_gif_meta,
     "q320_common_paths" -> q320_common_paths,
+    "q321_conditional_surprisal" -> q321_conditional_surprisal,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

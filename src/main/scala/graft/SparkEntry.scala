@@ -1077,6 +1077,14 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Conditional bigram surprisal: the transition-coherence axis —
+    // word salad of common words scores high where unigram surprisal
+    // (q281) and bigram familiarity (q106-family) both pass it.
+    "q321_conditional_surprisal" -> ((s, dir) =>
+      graft.text.TextAnalysis.conditionalSurprisal(
+          Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // Most common 3-step event paths: the second-order sequence
     // report whose triples expose scripted loops the first-order
     // transition matrix (q143) structurally cannot; support counts

@@ -825,6 +825,50 @@ object TextAnalysis {
         expr("(total_bits * 1000) div n_tokens"))
   }
 
+  /** Per-document CONDITIONAL bigram surprisal — the prediction axis
+    * the quality shelf's two neighbors cannot measure:
+    * [[surprisalScores]] prices each token by its corpus RARITY (a
+    * doc of rare-but-coherent jargon scores high), and
+    * [[bigramFamiliarity]] prices each bigram by raw frequency (a
+    * doc of frequent WORDS in shuffled order still looks familiar on
+    * the unigram-dominated tail). This one prices each TRANSITION:
+    * bits(w₂|w₁) = floor log₂(c(w₁·) div c(w₁w₂)) — the continuation
+    * mass of w₁ against the observed pair, the exact-integer floor
+    * of the bigram LM's conditional log-loss (the E156 bit-length
+    * device). Word salad made of common words scores HIGH here while
+    * passing both neighbors; templated boilerplate scores ~0 bits.
+    * Unigram-frequency-invariant by construction: c(w₁·) normalizes
+    * per-prefix, so "rare topic" ≠ "incoherent".
+    *
+    * Self-trained on the corpus (every observed bigram has c ≥ 1 —
+    * no OOV path; the [[surprisalScores]] contract), so scores are
+    * relative coherence within THIS corpus. Shape: one bigram
+    * aggregate, one prefix-sum aggregate over the BIGRAM VOCABULARY
+    * (bounded by distinct pairs, not occurrences), one lookup join
+    * back, one per-doc aggregate. Docs with < 2 tokens surface with
+    * n_bigrams = 0 and NULL means (the familiarity convention). */
+  def conditionalSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol)
+    val c12 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("__c12"))
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+    val c1 = c12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    val bits = c12.join(c1, "__w1")
+      .withColumn("__bits",
+        (length(bin(expr("__c1 div __c12"))) - 1).cast("long"))
+      .select(col("bigram"), col("__bits"))
+    docs.select(col(idCol)).join(
+        bg.join(bits, "bigram")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("__bits")).as("total_bits")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("total_bits"),
+        expr("(total_bits * 1000) div n_bigrams").as("mean_millibits"))
+  }
+
   /** Harman's S-stemmer (Harman, *JASIS* 1991 "How effective is
     * suffixing?") as a single codegen'd CASE — the three-rule plural
     * conflator that captures most of English stemming's retrieval

@@ -653,4 +653,36 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.distributionDrift(d, "lang"),
       TextAnalysis.distributionDrift(d.repartition(9), "lang"))
   }
+
+  private def condMap(d: org.apache.spark.sql.DataFrame) =
+    TextAnalysis.conditionalSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+
+  test("conditionalSurprisal: hand bits over a two-doc corpus") {
+    // corpus: c(a b)=3, c(b a)=1, c(b c)=1; c(a.)=3, c(b.)=2.
+    // bits: (a b)=log2(3 div 3)=0, (b a)=log2(2 div 1)=1, (b c)=1
+    val out = condMap(docs(1L -> "a b a b", 2L -> "a b c"))
+    out(1L) shouldBe ((3L, Some(1L), Some(333L))) // 0+1+0 over 3
+    out(2L) shouldBe ((2L, Some(1L), Some(500L))) // 0+1 over 2
+  }
+
+  test("conditionalSurprisal: word salad of common words scores high, template zero") {
+    // same two words; the template's transitions are deterministic,
+    // the salad's are not — unigram measures cannot tell them apart
+    val out = condMap(docs(1L -> "p q p q p q", 2L -> "p p q q"))
+    out(1L)._3 shouldBe Some(0L)     // pq/qp both majority: 0 bits
+    out(2L)._3 shouldBe Some(1000L)  // pp(2)+pq(0)+qq(1) over 3
+  }
+
+  test("conditionalSurprisal: short docs surface with zero bigrams and NULLs; invariance") {
+    val out = condMap(docs(1L -> "solo", 2L -> "two words"))
+    out(1L) shouldBe ((0L, None, None))
+    out(2L)._1 shouldBe 1L
+    val d = docs((1L to 30L).map(i =>
+      i -> s"w${i % 5} w${(i * 3) % 7} w${i % 5} w${(i * 5) % 6}"): _*)
+    assertSameRows(TextAnalysis.conditionalSurprisal(d),
+      TextAnalysis.conditionalSurprisal(d.repartition(7)))
+  }
 }
