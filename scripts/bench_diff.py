@@ -18,9 +18,10 @@ import statistics
 import sys
 
 
-def load_queries(path: str) -> dict:
+def load_queries(path: str) -> tuple:
     """Accepts a driver BENCH_r*.json artifact (stdout tail under
-    "tail") or a raw file of bench stdout lines."""
+    "tail") or a raw file of bench stdout lines. Returns
+    (short_key -> min_sec, host_factor or None)."""
     with open(path) as f:
         text = f.read()
     try:
@@ -35,9 +36,15 @@ def load_queries(path: str) -> dict:
     # guaranteed-complete closing total line's top-10 digest.
     total_line = None
     full_line = None
+    host_factor = None
     for line in tail.splitlines():
         if line.startswith('{"metric":"total"'):
             total_line = line
+        if line.startswith('{"metric":"host_factor"'):
+            try:
+                host_factor = json.loads(line)["factor"]
+            except (json.JSONDecodeError, KeyError):
+                pass
         if line.startswith('{"metric":"queries_by_name"'):
             try:
                 json.loads(line)
@@ -46,11 +53,20 @@ def load_queries(path: str) -> dict:
                 pass  # truncated head of a driver tail
     if full_line is not None:
         qmap = json.loads(full_line)["queries"]
-        return {q.split("_")[0]: v for q, v in qmap.items()}
+        short = {}
+        for q, v in qmap.items():
+            key = q.split("_")[0]
+            if key in short:
+                # Two registry names sharing a qNN prefix would silently
+                # overwrite each other and mis-attribute bench deltas.
+                sys.exit(f"{path}: duplicate short key {key} "
+                         f"(second full name: {q}) — fix the registry")
+            short[key] = v
+        return short, host_factor
     if total_line is None:
         sys.exit(f"{path}: no complete total line in tail (rc={doc.get('rc')})")
     parsed = json.loads(total_line)
-    return parsed["queries"]
+    return parsed["queries"], host_factor
 
 
 def main() -> None:
@@ -63,22 +79,40 @@ def main() -> None:
     if len(argv) != 2:
         sys.exit(__doc__)
     args = argv
-    old, new = load_queries(args[0]), load_queries(args[1])
+    (old, old_hf), (new, new_hf) = load_queries(args[0]), load_queries(args[1])
     common = sorted(set(old) & set(new))
     if not common:
         sys.exit("no common queries")
-    ratios = {q: new[q] / old[q] for q in common if old[q] > 0}
+    # Host calibration (round-16 protocol): each bench tail carries a
+    # host_factor line from Bench.hostProbeSec — a fixed CPU+shuffle
+    # micro-probe with no IO. Dividing the measured cross-round factor
+    # out of every ratio turns host drift (the round-15 1.37x uniform
+    # slowdown) into arithmetic instead of manual A/B reruns. Artifacts
+    # predating round 16 carry no line -> cal = 1 and the registry
+    # median remains the only uniformity signal.
+    cal = 1.0
+    if old_hf and new_hf:
+        cal = new_hf / old_hf
+        print(f"host calibration: old_factor={old_hf:.3f} "
+              f"new_factor={new_hf:.3f} -> dividing ratios by {cal:.2f}x")
+    else:
+        print("host calibration: factor line missing from "
+              f"{'both' if not (old_hf or new_hf) else 'one'} artifact(s); "
+              "ratios are raw (pre-round-16 artifact?)")
+    ratios = {q: new[q] / old[q] / cal for q in common if old[q] > 0}
     med = statistics.median(ratios.values())
     print(f"common={len(common)}  only_old={sorted(set(old)-set(new))}  "
           f"only_new={sorted(set(new)-set(old))}")
-    print(f"registry median shift: {med:.2f}x  "
-          f"(uniform host factor; outliers are ratios well above this)")
-    print(f"{'query':<8}{'old_s':>8}{'new_s':>8}{'ratio':>7}{'vs_med':>7}")
+    print(f"registry median calibrated shift: {med:.2f}x  "
+          f"(should be ~1.0 when calibrated; outliers are well above)")
+    print(f"{'query':<8}{'old_s':>8}{'new_s':>8}{'cal_ratio':>10}{'vs_med':>7}")
     flagged = sorted(ratios, key=ratios.get, reverse=True)[:top]
     for q in flagged:
         rel = ratios[q] / med
-        mark = "  <-- OUTLIER" if rel > 1.25 and new[q] - old[q] > 0.3 else ""
-        print(f"{q:<8}{old[q]:>8.3f}{new[q]:>8.3f}{ratios[q]:>6.2f}x"
+        mark = ("  <-- OUTLIER"
+                if ratios[q] > 1.5 and rel > 1.25 and new[q] - old[q] > 0.3
+                else "")
+        print(f"{q:<8}{old[q]:>8.3f}{new[q]:>8.3f}{ratios[q]:>9.2f}x"
               f"{rel:>6.2f}x{mark}")
 
 

@@ -1964,6 +1964,43 @@ SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN thru t ON t.node = n.node
 ORDER BY n.node"""
 
+  /** q323 twin of the SAMPLED-PIVOT [[graft.graph.LinkGraph
+    * .stressCentrality]] path (Brandes & Pich 2007 sampling, made
+    * reproducible): the q311 walk-enumeration + triple-join identity,
+    * with the source leg restricted to the pivot set re-derived from
+    * the SAME md5 keyHash formula (the Sampling.keyHash convention:
+    * first 14 hex chars of md5, base-16 to BIGINT, % 3 == 0). */
+  val q323_stress_sampled: String = s"""
+WITH RECURSIVE ed AS ($twoRingEd),
+walks(s, v, len) AS (
+  SELECT src, dst, 1 FROM ed
+  UNION ALL
+  SELECT w.s, ed.dst, w.len + 1 FROM walks w JOIN ed ON ed.src = w.v
+  WHERE w.len < 12),
+ap AS (SELECT s, v, min(len) AS dist FROM walks GROUP BY 1, 2),
+sig AS (
+  SELECT w.s, w.v, a.dist, count(*) AS sigma
+  FROM walks w JOIN ap a ON a.s = w.s AND a.v = w.v AND w.len = a.dist
+  WHERE w.s <> w.v
+  GROUP BY 1, 2, 3),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+piv AS (
+  SELECT node FROM nodes
+  WHERE CAST(('0x' || substr(md5(node), 1, 14)) AS BIGINT) % 3 = 0),
+thru AS (
+  SELECT a.v AS node, sum(a.sigma * b.sigma) AS stress
+  FROM sig a
+  JOIN sig b ON b.s = a.v AND b.v <> a.s
+  JOIN sig st ON st.s = a.s AND st.v = b.v
+    AND st.dist = a.dist + b.dist
+  WHERE a.s IN (SELECT node FROM piv)
+  GROUP BY 1)
+SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
+FROM nodes n LEFT JOIN thru t ON t.node = n.node
+ORDER BY n.node"""
+
   /** q321 twin of [[graft.text.TextAnalysis.conditionalSurprisal]]:
     * the q66 positioned-bigram construction, per-prefix continuation
     * mass, the shared floor-log2 bit-length device, exact divs. */
@@ -2312,6 +2349,69 @@ ranked AS (
   FROM rescored)
 SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** q322 twin of [[graft.similarity.Similarity.twoStageKnnIvf]]:
+    * q111's fixed-centroid coarse assignment + probe + SQ8 CTEs cut at
+    * k'=40 candidates per query, then q314's exact-cosine re-rank tail
+    * over those rows only — the composed prune -> int8 -> exact stack
+    * checked end to end. */
+  val q322_ivf_two_stage: String = {
+    val cvals = (0 until 8).map { j =>
+      val c = graft.similarity.Similarity.hyperplane(j, hpDim)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        .max(java.lang.Double.MIN_VALUE)
+      s"($j, [${c.map(x => s"${x.toInt}.0").mkString(",")}], $cn)"
+    }.mkString(",\n  ")
+    def dotCv(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * cv[i])), (acc,v) -> acc + v)"
+    def sq8(e: String) =
+      s"list_transform(range(1, len($e)+1), " +
+        s"i -> CAST(floor(CAST($e[i] AS DOUBLE) " +
+        s"/ sqrt(${sqlDot(e, e)}) * 127 + 0.5) AS BIGINT))"
+    s"""
+WITH cm(cell, cv, cn) AS (SELECT * FROM (VALUES
+  $cvals) v(cell, cv, cn)),
+a AS (
+  SELECT vec_id, embedding, cell,
+    (-(${dotCv("embedding")})) / (sqrt(${sqlDot("embedding", "embedding")}) * cn) AS d
+  FROM embeddings CROSS JOIN cm),
+codes AS (
+  SELECT vec_id, cell, ${sq8("embedding")} AS qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a)
+  WHERE rn = 1),
+qcodes AS (
+  SELECT vec_id AS query_id, cell, ${sq8("embedding")} AS qq FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a WHERE vec_id < 10)
+  WHERE rn <= 3),
+sq_scored AS (
+  SELECT q.query_id, c.vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(c.qv)+1), i -> c.qv[i] * q.qq[i])),
+      (acc, v) -> acc + v) AS score
+  FROM codes c JOIN qcodes q ON c.cell = q.cell AND c.vec_id <> q.query_id),
+cands AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM sq_scored)
+  WHERE rank <= 40),
+rescored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+    ${sqlCosine("q.embedding", "e.embedding")} AS cosine
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM rescored)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
 
   /** q309 twin of [[graft.analytics.Ranking.isotonicCalibration]]:
     * the same md5-derived score/label device, the same B² minimax
@@ -8414,6 +8514,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q319_gif_meta" -> q319_gif_meta,
     "q320_common_paths" -> q320_common_paths,
     "q321_conditional_surprisal" -> q321_conditional_surprisal,
+    "q322_ivf_two_stage" -> q322_ivf_two_stage,
+    "q323_stress_sampled" -> q323_stress_sampled,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -1150,6 +1150,48 @@ object SparkEntry {
         .orderBy(col("symbol"), col("regime"))
     }),
 
+    // The full deployment-shaped retrieval stack as ONE measured
+    // operator — prune -> int8 rank -> exact re-rank: stage 1 is the
+    // q111 IVF+SQ8 index search (static partition filter reads only
+    // the 3 probed cells' files; candidates ranked by the exact
+    // integer code dot, k'=40), stage 2 re-ranks ONLY those rows with
+    // full-precision cosine. Oracle composes q111's coarse+SQ8 CTEs
+    // (cut at k'=40) with q314's exact re-rank tail.
+    "q322_ivf_two_stage" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      val idxPath = fixture("ivf_sq8_index", dir) {
+        val p = scratch("ivf_sq8_index", dir)
+        graft.similarity.Similarity.writeIvfIndexQuantized(emb, p,
+          centroids = Some(cents))
+        p
+      }
+      graft.similarity.Similarity.twoStageKnnIvf(s, idxPath, emb,
+          emb.filter(col("vec_id") < 10), kCandidates = 40, k = 10,
+          nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Sampled-pivot stress centrality (Brandes & Pich 2007's pivot
+    // sampling, made reproducible): sources = the hash-chosen pivot
+    // set keyHash(node) % 3 == 0 ({d0, d9} on the fixture — one ring-A
+    // node plus the broker), so forward state is |pivots|x|reachable|
+    // pairs, not |V|^2 — the 100 TB governor q311 argues, ORACLED.
+    // The DuckDB twin re-derives the pivot set from the same md5
+    // formula and restricts the q311 triple-join identity to s in
+    // pivots.
+    "q323_stress_sampled" -> ((s, dir) => {
+      val e = twoRingBrokerEdges(Tables.documents(s, dir))
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      val pivots = nodes.filter(
+        graft.etl.Sampling.keyHash(col("node")) % 3 === 0)
+      graft.graph.LinkGraph.stressCentrality(e, "src", "dst",
+          sources = pivots)
+        .orderBy(col("node"))
+    }),
+
     // Two-stage retrieval: SQ8 integer-dot candidate scan (k'=40)
     // re-ranked by exact cosine to top-10 — the measured form of the
     // knnQuantized scale path (candidates from 4x-smaller codes, full

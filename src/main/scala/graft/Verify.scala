@@ -13,9 +13,19 @@ object Verify {
     * in the message instead of as a puzzling hash mismatch in the
     * round artifact. */
   def lintNoDecimalOutput(name: String, out: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    // Recurses: a DecimalType buried inside a struct/array/map column
+    // produces the SAME cross-engine string-repr mismatch as a
+    // top-level one, just harder to spot in the round artifact.
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
     val decimalCols = out.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[
-        org.apache.spark.sql.types.DecimalType] => f.name
+      case f if hasDecimal(f.dataType) => f.name
     }
     if (decimalCols.nonEmpty) throw new IllegalStateException(
       s"$name: DecimalType output column(s) ${decimalCols.mkString(", ")} — " +

@@ -316,34 +316,7 @@ object LinkGraph {
       (if (sources == null) nodes.select(col("node").as("s"))
        else sources.select(col(sources.columns.head).as("s")).distinct())
         .localCheckpoint()
-
-    // ---- forward: (s, node, dist, sigma) ---------------------------
-    var visited = graft.core.Iterate.barrier(srcSet
-      .select(col("s"), col("s").as("node"), lit(0L).as("dist"),
-        lit(1L).as("sigma")))
-    var frontier = visited
-    var d = 0L
-    var growing = true
-    while (growing && d < maxDepth) {
-      d += 1
-      val (next, nNew) = graft.core.Iterate.barrierCounted(
-        frontier.join(e.withColumnRenamed("src", "node"), "node")
-          .select(col("s"), col("dst").as("node"), col("sigma"))
-          .join(visited.select(col("s"), col("node")),
-            Seq("s", "node"), "left_anti")
-          .groupBy(col("s"), col("node"))
-          .agg(sum(col("sigma")).as("sigma"))
-          .withColumn("dist", lit(d)), lit(true))
-      if (nNew == 0L) growing = false
-      else {
-        frontier = next.select("s", "node", "dist", "sigma")
-        visited = graft.core.Iterate.barrier(visited.unionByName(frontier))
-      }
-    }
-    if (growing) throw new IllegalStateException(
-      s"stressCentrality: still expanding at depth $maxDepth — graph " +
-        "diameter exceeds the cap; raise maxDepth (a silent cap would " +
-        "undercount brokerage)")
+    val (visited, d) = stressForward(e, srcSet, maxDepth)
 
     // ---- backward: p(s,v) = Σ_{w ∈ succ} (p(s,w) + 1) --------------
     // DAG successor = edge v→w with dist(s,w) = dist(s,v) + 1.
@@ -377,6 +350,50 @@ object LinkGraph {
           .agg(sum(col("sigma") * col("p")).as("stress")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("stress"), lit(0L)).as("stress"))
+  }
+
+  /** [[stressCentrality]]'s forward multi-source BFS, extracted so the
+    * spec can assert the GOVERNOR'S state bound directly: the returned
+    * frame holds exactly one (s, node, dist, sigma) row per source ×
+    * reachable-node pair (self included) — |sources|·|reachable|, not
+    * |V|² — which is the whole point of the sampled-pivot path at
+    * 100 TB. Returns (visited, exit round counter d; the deepest
+    * materialized dist is the last round that found pairs). */
+  private[graph] def stressForward(e: DataFrame, srcSet: DataFrame,
+                                   maxDepth: Int): (DataFrame, Long) = {
+    var visited = graft.core.Iterate.barrier(srcSet
+      .select(col("s"), col("s").as("node"), lit(0L).as("dist"),
+        lit(1L).as("sigma")))
+    var frontier = visited
+    var d = 0L
+    var growing = true
+    // Loop bound is maxDepth + 1: the round at d == maxDepth + 1 is an
+    // emptiness PROBE — a BFS that completes at exactly depth maxDepth
+    // is a complete answer (the probe finds nothing and growing flips),
+    // and the throw fires only when pairs exist BEYOND the cap. Without
+    // the probe, diameter == maxDepth was spuriously refused. The probe
+    // costs one round only when the frontier is still live at maxDepth.
+    while (growing && d <= maxDepth) {
+      d += 1
+      val (next, nNew) = graft.core.Iterate.barrierCounted(
+        frontier.join(e.withColumnRenamed("src", "node"), "node")
+          .select(col("s"), col("dst").as("node"), col("sigma"))
+          .join(visited.select(col("s"), col("node")),
+            Seq("s", "node"), "left_anti")
+          .groupBy(col("s"), col("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .withColumn("dist", lit(d)), lit(true))
+      if (nNew == 0L) growing = false
+      else {
+        frontier = next.select("s", "node", "dist", "sigma")
+        visited = graft.core.Iterate.barrier(visited.unionByName(frontier))
+      }
+    }
+    if (growing) throw new IllegalStateException(
+      s"stressCentrality: pairs exist past depth $maxDepth — graph " +
+        "diameter exceeds the cap; raise maxDepth (a silent cap would " +
+        "undercount brokerage)")
+    (visited, d)
   }
 
   /** Truncated Katz centrality (Katz, Psychometrika 1953) — the
@@ -428,9 +445,19 @@ object LinkGraph {
             (col("acc") * two + coalesce(col("w"),
               lit(0L).cast("decimal(38,0)"))).cast("decimal(38,0)").as("acc")))
     }
-    val maxRow = acc.agg(max(col("acc"))).head
-    val maxAcc = if (maxRow.isNullAt(0)) BigDecimal(0)
-      else BigDecimal(maxRow.getDecimal(0))
+    // Two guards in one action: (a) DECIMAL(38,0) overflow under
+    // non-ANSI mode yields NULL — and max() SKIPS nulls, so without the
+    // null count an overflowed node would silently emit NULL katz_units
+    // while the max-check passed; (b) a finite max must still fit
+    // BIGINT. Refuse loudly on either, never wrap (the q304 rule).
+    val chk = acc.agg(max(col("acc")),
+      count(when(col("acc").isNull, 1)).as("n_null")).head
+    require(chk.getLong(1) == 0L,
+      s"katzCentrality: ${chk.getLong(1)} node(s) overflowed " +
+        "DECIMAL(38,0) (NULL acc under non-ANSI arithmetic) — lower " +
+        "depth or raise betaBits")
+    val maxAcc = if (chk.isNullAt(0)) BigDecimal(0)
+      else BigDecimal(chk.getDecimal(0))
     require(maxAcc <= BigDecimal(Long.MaxValue),
       s"katzCentrality: max katz_units $maxAcc overflows BIGINT — " +
         "lower depth or raise betaBits")
@@ -448,8 +475,9 @@ object LinkGraph {
     * 0, never NULL). The [[stressCentrality]] forward BFS minus the
     * σ column: frontier-only (s, node) pair state, one join + one
     * aggregate per round behind `Iterate.barrierCounted`; `maxDepth`
-    * THROWS if still expanding (a silently capped eccentricity is a
-    * wrong answer, not an approximation). */
+    * THROWS only when pairs exist past the cap — diameter == maxDepth
+    * succeeds via an emptiness-probe round (a silently capped
+    * eccentricity is a wrong answer, not an approximation). */
   def eccentricity(edges: DataFrame, src: String, dst: String,
                    maxDepth: Int = 12): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be >= 1")
@@ -462,7 +490,9 @@ object LinkGraph {
     var frontier = visited
     var d = 0L
     var growing = true
-    while (growing && d < maxDepth) {
+    // maxDepth + 1 bound = one emptiness-probe round past the cap, so a
+    // diameter of exactly maxDepth succeeds (see stressCentrality).
+    while (growing && d <= maxDepth) {
       d += 1
       val (next, nNew) = graft.core.Iterate.barrierCounted(
         frontier.join(e.withColumnRenamed("src", "node"), "node")
@@ -478,7 +508,7 @@ object LinkGraph {
       }
     }
     if (growing) throw new IllegalStateException(
-      s"eccentricity: still expanding at depth $maxDepth — graph " +
+      s"eccentricity: pairs exist past depth $maxDepth — graph " +
         "diameter exceeds the cap; raise maxDepth")
     nodes.join(
         visited.filter(col("s") =!= col("node"))

@@ -619,9 +619,9 @@ object Similarity {
     * on unit vectors) has to displace a true neighbor past rank k'
     * to cost recall.
     *
-    * Scale shape: stage 1 streams codes (swap in [[knnIvf]] /
-    * [[searchIvfIndexQuantized]] for a partition-pruned candidate
-    * scan at 100 TB — the re-rank tail is candidate-source-agnostic);
+    * Scale shape: stage 1 streams codes ([[twoStageKnnIvf]] IS the
+    * partition-pruned composition for 100 TB — the re-rank tail,
+    * [[refineExact]], is candidate-source-agnostic);
     * stage 2 touches |queries|·kCandidates rows via one hash join
     * back to full vectors — never the corpus. Tie-breaks by id at
     * both stages (the family contract). */
@@ -635,6 +635,19 @@ object Similarity {
         "stage can only shrink the candidate list")
     val cands = knnQuantized(corpus, queries, kCandidates, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
+    refineExact(cands, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** The candidate-source-agnostic exact-cosine refine tail (stage 2 of
+    * [[twoStageKnn]]/[[twoStageKnnIvf]]): re-score `(query_id,
+    * neighbor_id)` candidate pairs with full-precision cosine against
+    * the float corpus and keep the top `k` per query. Touches only
+    * |queries|·k′ rows — one hash join back to full vectors, queries
+    * broadcast, never a corpus scan. Tie-breaks by id (the family
+    * contract). */
+  def refineExact(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  k: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), vecNorm(col(vecCol)).as("__qnorm")))
     val full = corpus.select(col(idCol).as("neighbor_id"),
@@ -648,6 +661,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** The full deployment-shaped retrieval stack as ONE operator —
+    * prune → int8 rank → exact re-rank (FAISS `IVFx,SQ8` + refine,
+    * Johnson et al. 2017, arXiv:1702.08734): stage 1 is
+    * [[searchIvfIndexQuantized]] (static partition pruning reads only
+    * the `nprobe/nlist` probed cells' files, and each row read is the
+    * 4×-smaller int8 codes), keeping `kCandidates` per query by the
+    * exact integer code dot; stage 2 is [[refineExact]] — full
+    * precision touches only |queries|·k′ rows via one hash join, never
+    * the corpus. vs [[twoStageKnn]] (flat SQ8 stage 1) the candidate
+    * scan drops from all bytes of the code store to
+    * `nprobe/nlist` of them — the two prunings multiply.
+    * At `nprobe = nlist` and `kCandidates = |corpus|` the output IS
+    * [[knnBruteForce]] row for row (spec-asserted: both stages
+    * degrade to exhaustive). */
+  def twoStageKnnIvf(spark: org.apache.spark.sql.SparkSession,
+                     path: String, corpus: DataFrame, queries: DataFrame,
+                     kCandidates: Int = 40, k: Int = 10, nprobe: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(kCandidates >= k,
+      s"kCandidates ($kCandidates) must be >= k ($k) — the refine " +
+        "stage can only shrink the candidate list")
+    val cands = searchIvfIndexQuantized(spark, path, queries,
+        k = kCandidates, nprobe = nprobe, idCol = idCol, vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    refineExact(cands, corpus, queries, k, idCol, vecCol)
   }
 
   // ------------------------------------------------- product quantization

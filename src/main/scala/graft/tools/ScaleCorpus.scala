@@ -47,10 +47,18 @@ object ScaleCorpus {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    // The replica shift constants assume base ids fit under them; an
+    // overlap would silently duplicate ids across replicas and corrupt
+    // the synthesized corpus's similarity structure — refuse loudly.
+    val docShift = 1000000L
+    val maxDocId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxDocId < docShift,
+      s"ScaleCorpus: max(doc_id)=$maxDocId >= replica shift $docShift " +
+        "— replica id ranges would overlap; raise the shift constant")
     val docReplicas = (0 until replicas).map { k =>
       if (k == 0) docs
       else docs.select(
-        (col("doc_id") + k * 1000000L).as("doc_id"),
+        (col("doc_id") + k * docShift).as("doc_id"),
         regexp_replace(col("text"), "([a-z0-9]+)", s"$$1z$k").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.map(_.withColumn("n_chars", length(col("text")).cast("long"))
@@ -60,10 +68,15 @@ object ScaleCorpus {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    val orderShift = 100000000L
+    val maxOrderKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    require(maxOrderKey < orderShift,
+      s"ScaleCorpus: max(o_orderkey)=$maxOrderKey >= replica shift " +
+        s"$orderShift — replica key ranges would overlap")
     val otherCols = orders.columns.filter(_ != "o_orderkey").map(col)
     (0 until replicas).map { k =>
       orders.select(
-        (col("o_orderkey") + k * 100000000L).as("o_orderkey") +: otherCols: _*)
+        (col("o_orderkey") + k * orderShift).as("o_orderkey") +: otherCols: _*)
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")

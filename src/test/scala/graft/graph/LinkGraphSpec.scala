@@ -1060,4 +1060,45 @@ class LinkGraphSpec extends SparkSpec {
     assertSameRows(LinkGraph.stressCentrality(e, "src", "dst"),
       LinkGraph.stressCentrality(e.repartition(7), "src", "dst"))
   }
+
+  test("sampled-pivot governor: forward state is |sources|x|reachable|, not |V|^2") {
+    // two disjoint 3-chains: full stress holds 12 (s, node) pairs
+    // (sum over all 6 sources of reachable-incl-self: 3+2+1 per
+    // chain); one pivot holds exactly its own reachable set of 3 —
+    // the state bound that makes the sampled path the 100 TB governor
+    val e = edges("x0" -> "x1", "x1" -> "x2", "y0" -> "y1", "y1" -> "y2")
+      .select(col("src"), col("dst")).distinct().localCheckpoint()
+    val onePivot = LinkGraph.stressForward(e, Seq("x0").toDF("s"), 12)._1
+    onePivot.count() shouldBe 3L
+    val allSources = e.select(col("src").as("s"))
+      .union(e.select(col("dst").as("s"))).distinct()
+    LinkGraph.stressForward(e, allSources, 12)._1.count() shouldBe 12L
+    // and the sampled result counts only paths FROM the pivot: x1
+    // brokers (x0, x2) — the y-chain contributes nothing
+    val st = LinkGraph.stressCentrality(e, "src", "dst",
+        sources = Seq("x0").toDF("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    st("x1") shouldBe 1L
+    st("y1") shouldBe 0L
+  }
+
+  test("diameter == maxDepth succeeds via the emptiness probe; one past still throws") {
+    // chain c0->c1->c2->c3->c4: diameter exactly 4. Pre-round-16 the
+    // loop exited before the empty-frontier round could flip growing,
+    // so maxDepth=4 spuriously refused a complete answer.
+    val chain = edges((0 until 4).map(i => s"c$i" -> s"c${i + 1}"): _*)
+    val ecc = LinkGraph.eccentricity(chain, "src", "dst", maxDepth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ecc("c0") shouldBe 4L
+    ecc("c4") shouldBe 0L
+    val st = LinkGraph.stressCentrality(chain, "src", "dst", maxDepth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c2 brokers exactly the pairs {c0,c1} x {c3,c4}
+    st("c2") shouldBe 4L
+    // a cap one short of the diameter must still refuse
+    an[IllegalStateException] should be thrownBy
+      LinkGraph.eccentricity(chain, "src", "dst", maxDepth = 3)
+    an[IllegalStateException] should be thrownBy
+      LinkGraph.stressCentrality(chain, "src", "dst", maxDepth = 3)
+  }
 }

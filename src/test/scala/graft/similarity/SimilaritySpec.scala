@@ -450,6 +450,64 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("twoStageKnnIvf with full probe and full candidates equals knnBruteForce") {
+    // nprobe = nlist degrades stage 1 to the flat SQ8 scan and
+    // kCandidates = |corpus| makes it lossless, so the composed stack
+    // must reproduce exact brute force bit for bit — the same
+    // degradation identity the flat twoStageKnn pins, now through the
+    // staged index read path.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Array.tabulate(8)(p => Similarity.hyperplane(p, 64))
+    val path = java.nio.file.Files.createTempDirectory("ivf2s").toString + "/idx"
+    Similarity.writeIvfIndexQuantized(emb, path, centroids = Some(cents))
+    val queries = emb.filter(col("vec_id") < 5)
+    val nCorpus = emb.count().toInt
+    assertSameRows(
+      Similarity.twoStageKnnIvf(spark, path, emb, queries,
+        kCandidates = nCorpus, k = 10, nprobe = 8),
+      Similarity.knnBruteForce(emb, queries, k = 10))
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.twoStageKnnIvf(spark, path, emb, queries,
+        kCandidates = 5, k = 10)
+  }
+
+  test("twoStageKnnIvf stage 1 scans only the probed cells' partition files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Array.tabulate(8)(p => Similarity.hyperplane(p, 64))
+    val path = java.nio.file.Files.createTempDirectory("ivf2s").toString + "/idx"
+    Similarity.writeIvfIndexQuantized(emb, path, centroids = Some(cents))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = emb.filter(col("vec_id") === 0L)
+      val out = Similarity.twoStageKnnIvf(spark, path, emb, one,
+        kCandidates = 40, k = 10, nprobe = 2)
+      out.collect()
+      val probed = one.select(explode(Similarity.probedCells(col("embedding"),
+          Similarity.norm(col("embedding")), cents, 2)).as("p"))
+        .select(col("p.cell")).distinct().as[Int].collect().toSet
+      val cellDirs = new java.io.File(s"$path/rows").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+      def parquetFiles(d: java.io.File): Int =
+        d.listFiles().count(_.getName.endsWith(".parquet"))
+      val probedFiles = cellDirs
+        .filter(d => probed.contains(d.getName.stripPrefix("cell=").toInt))
+        .map(parquetFiles).sum
+      val allFiles = cellDirs.map(parquetFiles).sum
+      // the WHOLE composed plan must contain exactly one codes-store
+      // scan, pruned to the probed cells — the refine stage joins back
+      // to the float corpus, never re-reading the index
+      val rowScan = out.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.schema.fieldNames.contains("codes") => s
+      }
+      rowScan should have size 1
+      rowScan.head.metrics("numFiles").value shouldBe probedFiles
+      probedFiles should be < allFiles
+      rowScan.head.toString should include regex "PartitionFilters: \\[.*cell.*\\]"
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("recallAtK counts hits per query, keeping zero-hit queries") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))

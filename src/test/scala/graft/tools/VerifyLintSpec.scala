@@ -25,12 +25,26 @@ class VerifyLintSpec extends SparkSpec {
     noException should be thrownBy Verify.lintNoDecimalOutput("q_test", ok)
   }
 
-  test("nested decimals inside structs are out of lint scope (top-level only)") {
-    // the driver hashes the stringified TOP-LEVEL cells; registry
-    // queries emit flat schemas, so the lint checks top-level fields —
-    // this pin documents that boundary
-    val nested = Seq((1L, ("x", BigDecimal(1.5))))
-      .toDF("k", "s")
-    noException should be thrownBy Verify.lintNoDecimalOutput("q_test", nested)
+  test("nested decimals inside structs/arrays/maps are refused too") {
+    // the driver stringifies WHOLE top-level cells, so a decimal buried
+    // in a struct/array/map produces the same cross-engine repr
+    // mismatch as a top-level one — the lint recurses (round-16 fix;
+    // pre-16 this boundary was top-level only and a nested decimal
+    // escaped to the round artifact as a puzzling hash mismatch)
+    val nested = Seq((1L, ("x", BigDecimal(1.5)))).toDF("k", "s")
+    intercept[IllegalStateException] {
+      Verify.lintNoDecimalOutput("q_test", nested)
+    }.getMessage should include("s")
+    val arr = Seq((1L, Seq(BigDecimal(1.5)))).toDF("k", "a")
+    intercept[IllegalStateException] {
+      Verify.lintNoDecimalOutput("q_test", arr)
+    }.getMessage should include("a")
+    val mp = Seq((1L, Map("x" -> BigDecimal(1.5)))).toDF("k", "m")
+    intercept[IllegalStateException] {
+      Verify.lintNoDecimalOutput("q_test", mp)
+    }.getMessage should include("m")
+    // non-decimal nested types still pass
+    val okNested = Seq((1L, ("x", 1.5), Seq(2L))).toDF("k", "s", "a")
+    noException should be thrownBy Verify.lintNoDecimalOutput("q_test", okNested)
   }
 }
