@@ -2001,6 +2001,62 @@ SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN thru t ON t.node = n.node
 ORDER BY n.node"""
 
+  /** q324 twin of [[graft.text.TextAnalysis.vocabularyGrowth]]: the
+    * shared tokenizer CTE, first-seen doc per distinct token, and the
+    * same conditional aggregates against the literal checkpoint list. */
+  val q324_vocab_growth: String = toksCte + """
+, cp(checkpoint) AS (
+  SELECT * FROM (VALUES (100),(200),(300),(400),(500)) v(c)),
+tokpos AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+firstseen AS (SELECT tok, min(doc_id) AS first_doc FROM tokpos GROUP BY 1),
+v AS (
+  SELECT c.checkpoint,
+    count(CASE WHEN f.first_doc <= c.checkpoint THEN 1 END) AS distinct_tokens
+  FROM firstseen f CROSS JOIN cp c GROUP BY 1),
+occ AS (SELECT doc_id, count(*) AS n FROM tokpos GROUP BY 1),
+t AS (
+  SELECT c.checkpoint,
+    count(CASE WHEN d.doc_id <= c.checkpoint THEN 1 END) AS n_docs,
+    coalesce(sum(CASE WHEN d.doc_id <= c.checkpoint
+                      THEN coalesce(o.n, 0) END), 0) AS total_tokens
+  FROM documents d LEFT JOIN occ o ON o.doc_id = d.doc_id
+  CROSS JOIN cp c GROUP BY 1)
+SELECT CAST(t.checkpoint AS BIGINT) AS checkpoint,
+  CAST(t.n_docs AS BIGINT) AS n_docs,
+  CAST(t.total_tokens AS BIGINT) AS total_tokens,
+  CAST(v.distinct_tokens AS BIGINT) AS distinct_tokens
+FROM t JOIN v ON v.checkpoint = t.checkpoint
+ORDER BY checkpoint"""
+
+  /** q325 twin of [[graft.events.EventAnalytics.dailyAutocorrelation]]:
+    * calendar zero-fill via generate_series, the same n²-scaled
+    * integer identities (HUGEINT on this side, DECIMAL(38,0) on
+    * Spark's), one double division of the exact integers. */
+  val q325_daily_acf: String = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+days AS (
+  SELECT CAST(CAST(gs.d AS DATE) - b.d0 AS BIGINT) AS t,
+    coalesce(dl.c, 0) AS x
+  FROM bounds b, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS gs(d)
+  LEFT JOIN daily dl ON dl.day = CAST(gs.d AS DATE)),
+stats AS (SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q FROM days),
+lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) v(lag)),
+per AS (
+  SELECT l.lag, count(*) AS m, sum(a.x * b.x) AS p,
+    sum(a.x) AS ha, sum(b.x) AS hb
+  FROM days a JOIN lags l ON true
+  JOIN days b ON b.t = a.t + l.lag
+  GROUP BY 1)
+SELECT CAST(per.lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+  CAST(n*n*p - n*s*(ha+hb) + m*s*s AS BIGINT) AS num_scaled,
+  CAST(n*n*q - n*s*s AS BIGINT) AS den_scaled,
+  CASE WHEN n*n*q - n*s*s <> 0
+       THEN CAST(n*n*p - n*s*(ha+hb) + m*s*s AS DOUBLE)
+              / CAST(n*n*q - n*s*s AS DOUBLE) END AS acf
+FROM per CROSS JOIN stats ORDER BY lag"""
+
   /** q321 twin of [[graft.text.TextAnalysis.conditionalSurprisal]]:
     * the q66 positioned-bigram construction, per-prefix continuation
     * mass, the shared floor-log2 bit-length device, exact divs. */
@@ -2350,12 +2406,11 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
 
-  /** q322 twin of [[graft.similarity.Similarity.twoStageKnnIvf]]:
-    * q111's fixed-centroid coarse assignment + probe + SQ8 CTEs cut at
-    * k'=40 candidates per query, then q314's exact-cosine re-rank tail
-    * over those rows only — the composed prune -> int8 -> exact stack
-    * checked end to end. */
-  val q322_ivf_two_stage: String = {
+  /** Shared CTE chain for q322/q326 — q111's fixed-centroid coarse
+    * assignment + probe + SQ8 CTEs cut at k'=40 candidates per query,
+    * then q314's exact-cosine re-rank producing `ranked` (the staged
+    * stack's scored output, pre-cut). */
+  private val ivfTwoStageCtes: String = {
     val cvals = (0 until 8).map { j =>
       val c = graft.similarity.Similarity.hyperplane(j, hpDim)
       val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
@@ -2408,9 +2463,39 @@ ranked AS (
   SELECT query_id, neighbor_id, cosine,
     CAST(row_number() OVER (PARTITION BY query_id
       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-  FROM rescored)
+  FROM rescored)"""
+  }
+
+  /** q322 twin of [[graft.similarity.Similarity.twoStageKnnIvf]]: the
+    * shared staged-stack CTEs (coarse assignment + probe + SQ8 at
+    * k'=40 + exact re-rank) cut to the top-10 — the composed
+    * prune -> int8 -> exact stack checked end to end. */
+  val q322_ivf_two_stage: String = ivfTwoStageCtes + """
 SELECT query_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** q326 twin: recall@10 of the composed staged stack against exact
+    * brute force — the shared q322 CTE chain cut to its final top-10
+    * pairs (the approx list), q95's brute-ranked truth and recall
+    * tail. */
+  val q326_ivf_stack_recall: String = {
+    s"""$ivfTwoStageCtes,
+approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10),
+bruteranked AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM (SELECT q.vec_id AS query_id, e.vec_id,
+          ${sqlCosine("q.embedding", "e.embedding")} AS cosine
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+        WHERE e.vec_id <> q.vec_id)),
+truth AS (SELECT query_id, neighbor_id FROM bruteranked WHERE rank <= 10)
+SELECT t.query_id,
+  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+  CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY 1 ORDER BY t.query_id"""
   }
 
   /** q309 twin of [[graft.analytics.Ranking.isotonicCalibration]]:
@@ -8516,6 +8601,9 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q321_conditional_surprisal" -> q321_conditional_surprisal,
     "q322_ivf_two_stage" -> q322_ivf_two_stage,
     "q323_stress_sampled" -> q323_stress_sampled,
+    "q324_vocab_growth" -> q324_vocab_growth,
+    "q325_daily_acf" -> q325_daily_acf,
+    "q326_ivf_stack_recall" -> q326_ivf_stack_recall,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

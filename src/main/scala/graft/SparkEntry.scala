@@ -1192,6 +1192,48 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Heaps'-law vocabulary growth at five stated doc checkpoints:
+    // distinct vocabulary + cumulative tokens per cut — the
+    // marginal-value read an acquisition loop budgets by (when dV/dT
+    // flattens, new data re-serves the same vocabulary). Exact
+    // integers; no float exponent fit.
+    "q324_vocab_growth" -> ((s, dir) =>
+      graft.text.TextAnalysis.vocabularyGrowth(
+          Tables.documents(s, dir), Seq(100L, 200L, 300L, 400L, 500L))
+        .orderBy(col("checkpoint"))),
+
+    // Daily-volume autocorrelation at lags 1..7 over the calendar
+    // zero-filled event series: the periodicity detector (weekly
+    // traffic peaks r7) in exact n^2-scaled integer sums; acf is one
+    // double division of two exact BIGINTs (the q62 device).
+    "q325_daily_acf" -> ((s, dir) =>
+      graft.events.EventAnalytics.dailyAutocorrelation(
+          Tables.events(s, dir), maxLag = 7)
+        .orderBy(col("lag"))),
+
+    // Recall@10 of the COMPOSED deployment retrieval stack (q322's
+    // prune -> int8 -> exact refine) against exact brute force: the
+    // measured answer to "what does nprobe=3/8 pruning cost through
+    // the real staged path" — integer hits + one division per query.
+    "q326_ivf_stack_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      val idxPath = fixture("ivf_sq8_index", dir) {
+        val p = scratch("ivf_sq8_index", dir)
+        graft.similarity.Similarity.writeIvfIndexQuantized(emb, p,
+          centroids = Some(cents))
+        p
+      }
+      graft.similarity.Similarity.recallAtK(
+          graft.similarity.Similarity.twoStageKnnIvf(s, idxPath, emb,
+            queries, kCandidates = 40, k = 10, nprobe = 3),
+          graft.similarity.Similarity.knnBruteForce(emb, queries, k = 10),
+          k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // Two-stage retrieval: SQ8 integer-dot candidate scan (k'=40)
     // re-ranked by exact cosine to top-10 — the measured form of the
     // knnQuantized scale path (candidates from 4x-smaller codes, full

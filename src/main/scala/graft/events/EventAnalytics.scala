@@ -1112,4 +1112,73 @@ object EventAnalytics {
       .filter(col("n_occurrences") >= minCount &&
         col("n_users") >= minUsers)
   }
+
+  /** Daily-volume autocorrelation (sample ACF at lags 1..maxLag; Box &
+    * Jenkins 1970) — the PERIODICITY detector the seasonality shelf
+    * reads before it models: [[seasonalNaiveBacktest]] ASSUMES a
+    * 7-day cycle and [[hourOfDayEnvelope]]-style reports show shape,
+    * but the ACF is what says WHICH lag the data actually repeats at
+    * (weekly traffic peaks r₇; a 3-day cadence peaks r₃). Exact where
+    * every float ACF is not: with daily counts x_t (calendar
+    * zero-filled — missing days are real zeros, not absent rows) and
+    * S = Σx, n = days, the n²-scaled numerator at lag L,
+    * num = n²·Σx_t·x_{t+L} − nS·(Σ_head x + Σ_tail x) + m·S², and
+    * denominator den = n²·Σx² − nS² are INTEGER identities of the
+    * textbook mean-centered sums (multiply everything by n² so x̄ =
+    * S/n never divides early); both are emitted as exact BIGINTs and
+    * acf = num/den is ONE double division of exact integers —
+    * engine-identical (the q62/assortativity device). Degenerate
+    * constant series (den = 0) yields NULL, never NaN.
+    *
+    * Shape: one daily count aggregate, one calendar explode
+    * (`sequence(d0, d1)` — days, not events), one ≤64-entry lag cross
+    * join + one equi-join on the day index, one per-lag aggregate:
+    * everything after the first agg is calendar-sized, never
+    * event-sized. Sums ride DECIMAL(38,0) internally (count products
+    * at 100 TB overflow int64 — the q304 rule); the final BIGINT cast
+    * is the stated fixture-scale contract. */
+  def dailyAutocorrelation(events: DataFrame, maxLag: Int = 7,
+                           tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "maxLag is config-sized (<= 64)")
+    val spark = events.sparkSession
+    val dec = "decimal(38,0)"
+    val daily = events.select(to_date(col(tsCol)).as("__day"))
+      .groupBy(col("__day")).agg(count(lit(1)).as("__c"))
+    val bounds = daily.agg(min(col("__day")).as("__d0"),
+      max(col("__day")).as("__d1"))
+    // calendar-complete series: a quiet day is a 0, not a missing row
+    // (an ACF over present-days-only would see a compressed lag axis)
+    val days = bounds
+      .select(col("__d0"), explode(expr("sequence(__d0, __d1)")).as("__day"))
+      .join(daily, Seq("__day"), "left")
+      .select(datediff(col("__day"), col("__d0")).cast("long").as("__t"),
+        coalesce(col("__c"), lit(0L)).cast(dec).as("__x"))
+      .localCheckpoint() // feeds stats + both pair-join sides
+    val stats = days.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(col("__x")).cast(dec).as("__s"),
+      sum(col("__x") * col("__x")).cast(dec).as("__q"))
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("lag"))
+    val tail = days.select(col("__t").as("__tb"), col("__x").as("__xb"))
+    val perLag = days.select(col("__t"), col("__x").as("__xa"))
+      .crossJoin(broadcast(lags))
+      .join(tail, col("__tb") === col("__t") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast(dec).as("__m"),
+        sum(col("__xa") * col("__xb")).cast(dec).as("__p"),
+        sum(col("__xa")).cast(dec).as("__a"),
+        sum(col("__xb")).cast(dec).as("__b"))
+    perLag.crossJoin(broadcast(stats))
+      .select(col("lag"), col("__m").cast("long").as("n_pairs"),
+        (col("__n") * col("__n") * col("__p")
+          - col("__n") * col("__s") * (col("__a") + col("__b"))
+          + col("__m") * col("__s") * col("__s")).cast(dec).as("__num"),
+        (col("__n") * col("__n") * col("__q")
+          - col("__n") * col("__s") * col("__s")).cast(dec).as("__den"))
+      .select(col("lag"), col("n_pairs"),
+        col("__num").cast("long").as("num_scaled"),
+        col("__den").cast("long").as("den_scaled"),
+        when(col("__den") =!= 0,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("acf"))
+  }
 }

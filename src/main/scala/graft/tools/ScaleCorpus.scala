@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev/bench tool: synthesize a deterministic ~sf1-equivalent corpus
@@ -84,6 +84,150 @@ object ScaleCorpus {
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
     val no = spark.read.parquet(s"$outDir/orders.parquet").count()
     println(s"""{"scaled_dir":"$outDir","documents":$nd,"orders":$no,"replicas":$replicas}""")
+    spark.stop()
+  }
+
+  /** EDGE-GROWING graph mode (round 16 — the corpus device applied to
+    * graphs, closing the "graph scaling curves are flat because the
+    * fixtures are modular-bounded" gap of SURVEY §6.1): replica k of
+    * an edge list namespaces every node id with `~k`, so replica node
+    * spaces are pairwise DISJOINT and each replica reproduces the base
+    * graph's exact degree distribution, SCC structure, and diameter —
+    * totals scale exactly `replicas`×, an honest "R× more graph of the
+    * same shape" point. A THIN deterministic bridge set stitches
+    * replicas so the output is one graph, not R jobs: replica j ≥ 1
+    * bridges to its BINARY-TREE parent (j−1)/2 — (R−1) bridge edges,
+    * at most 3 extra edges on any single node, and (the load-bearing
+    * choice) cross-replica distances grow as 2·log₂R, NOT R, so a
+    * fixpoint operator's round count stays ~flat across decades and
+    * the measured curve isolates PER-ROUND cost ∝ |edges| (a chain
+    * bridge would conflate data growth with O(R) diameter growth —
+    * the adversarial shape, not "more data").
+    *
+    * `bidirectional` adds the reverse bridge too: for SCC scaling the
+    * two-way bridge MERGES the replicas' terminal cycles into one SCC,
+    * keeping the condensation DEPTH (= the peel-round bound of
+    * [[graft.graph.LinkGraph.stronglyConnected]]) at the base graph's
+    * value; one-way bridges would chain R condensations and force
+    * O(R) peel rounds. All construction is distributed (cross join
+    * against `range(replicas)`) — nothing driver-side. */
+  def scaleEdges(edges: org.apache.spark.sql.DataFrame, replicas: Int,
+                 bridgeSrc: String, bridgeDst: String,
+                 bidirectional: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(replicas >= 1, "replicas must be >= 1")
+    val spark = edges.sparkSession
+    def tag(c: Column, r: Column) = concat(c, lit("~"), r.cast("string"))
+    val reps = spark.range(replicas).select(col("id").as("__r"))
+    val scaled = edges.crossJoin(reps).select(
+      tag(col("src"), col("__r")).as("src"),
+      tag(col("dst"), col("__r")).as("dst"))
+    if (replicas == 1) return scaled
+    val kids = spark.range(1, replicas).select(col("id").as("__j"),
+      expr("(id - 1) div 2").as("__p"))
+    val fwd = kids.select(tag(lit(bridgeSrc), col("__p")).as("src"),
+      tag(lit(bridgeDst), col("__j")).as("dst"))
+    val bridges = if (bidirectional)
+      fwd.unionAll(kids.select(tag(lit(bridgeDst), col("__j")).as("src"),
+        tag(lit(bridgeSrc), col("__p")).as("dst")))
+    else fwd
+    scaled.unionAll(bridges)
+  }
+}
+
+/** Dev/bench tool: measure the GRAPH operator families across four
+  * edge-count decades (R = 1/10/100/1000 replicas of the registry
+  * fixtures via [[ScaleCorpus.scaleEdges]]) — PageRank (q124), HITS
+  * (q155), connected components (q131), SCC (q199). Emits one JSON
+  * line per (operator, R) with the edge count and min-of-2 seconds;
+  * `scripts/bench_scaling_r16 (graph section)` tabulates them. Timing
+  * excludes fixture synthesis (the scaled edge list is materialized
+  * via localCheckpoint first — consistent across decades) and uses the
+  * Bench noop-sink convention so the full plan executes. */
+object GraphScaleBench {
+  def main(args: Array[String]): Unit = {
+    val replicasList =
+      if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 100, 1000)
+    val srcDir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val id = col("doc_id")
+    def dom(e: Column) = concat(lit("d"), e.cast("string"))
+    // The registry fixture formulas (q124/q155; q131; q199), made
+    // DISTINCT before replication so |edges| is the honest unit.
+    val linkBase = docs.select(dom(id % 23).as("src"),
+        dom((id * 3 + 1) % 29).as("dst"))
+      .unionAll(docs.select(dom(id % 23).as("src"),
+        dom((id * 5 + 2) % 29).as("dst")))
+      .distinct()
+    val compBase = docs.select(dom(id % 56).as("src"),
+      dom(id % 56 + 4).as("dst")).distinct()
+    val x = id % 6
+    val sccBase = docs.select(dom(id % 12).as("src"),
+        dom((id % 12 + 1) % 12).as("dst"))
+      .unionAll(docs.select(dom(id % 8 + 12).as("src"),
+        dom((id + 1) % 8 + 12).as("dst")))
+      .unionAll(docs.select(
+        when(x === 0, "d0").when(x === 1, "d13").when(x === 2, "d20")
+          .when(x === 3, "d21").when(x === 4, "d21").otherwise("d23").as("src"),
+        when(x === 0, "d12").when(x === 1, "d20").when(x === 2, "d21")
+          .when(x === 3, "d22").when(x === 4, "d23").otherwise("d24").as("dst")))
+      .unionAll(docs.select(lit("d24").as("src"), lit("d23").as("dst")))
+      .distinct()
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timeMinOf2(run: () => Unit): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+
+    // SPARK_GRAFT_GRAPH_OPS restricts to a comma-separated op subset
+    // (single-op reruns for adjudication; default all four)
+    val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS",
+      "pagerank,hits,components,scc").split(",").toSet
+    def runAll(r: Int, emit: Boolean): Unit = {
+      def report(op: String, edges: Long, sec: Double): Unit = if (emit)
+        println(f"""{"metric":"graph_scaling","op":"$op","replicas":$r,"edges":$edges,"sec":$sec%.3f}""")
+      if (ops("pagerank") || ops("hits")) {
+        val link = ScaleCorpus.scaleEdges(linkBase, r, "d1", "d1")
+          .localCheckpoint()
+        val nLink = link.count()
+        if (ops("pagerank")) report("pagerank", nLink, timeMinOf2(() =>
+          noop(graft.graph.LinkGraph.pagerank(link, "src", "dst", iterations = 3))))
+        if (ops("hits")) report("hits", nLink, timeMinOf2(() =>
+          noop(graft.graph.LinkGraph.hits(link, "src", "dst", iterations = 2))))
+      }
+      if (ops("components")) {
+        val comp = ScaleCorpus.scaleEdges(compBase, r, "d0", "d0")
+          .localCheckpoint()
+        report("components", comp.count(), timeMinOf2(() =>
+          noop(graft.dedup.Dedup.componentLabels(comp, aCol = "src",
+            bCol = "dst", maxIterations = 60))))
+      }
+      if (ops("scc")) {
+        // two-way tree bridges on the terminal 2-cycle: the replicas'
+        // terminal SCCs merge into ONE (condensation depth preserved)
+        val scc = ScaleCorpus.scaleEdges(sccBase, r, "d23", "d24",
+          bidirectional = true).localCheckpoint()
+        // maxPropIters is a loud-failure cap, not an algorithm knob:
+        // coloring rounds grow ~log(R) under the tree bridges (measured:
+        // < 25 through R=1000, 26-ish at R=10000), so the cap scales
+        // with the synthetic decade count
+        report("scc", scc.count(), timeMinOf2(() =>
+          noop(graft.graph.LinkGraph.stronglyConnected(scc, "src", "dst",
+            maxPropIters = 64))))
+      }
+    }
+    runAll(1, emit = false) // untimed warmup: codegen/JIT for all four
+    replicasList.foreach(r => runAll(r, emit = true))
     spark.stop()
   }
 }

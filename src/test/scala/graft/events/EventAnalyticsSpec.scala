@@ -831,4 +831,52 @@ test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >"
       .map(_.toSeq)
     a shouldBe b
   }
+
+  private def day(d: Long, id: Long, n: Int): Seq[Row] =
+    (0 until n).map(i => ev(id * 100 + i, d * 1440 + i, user = 1L))
+
+  test("dailyAutocorrelation: alternating series by hand — r1 negative, r2 positive") {
+    // daily counts [2,0,2,0,2] (days 1 and 3 zero-filled by the
+    // calendar explode): n=5, S=6, Q=12 -> den = 25*12 - 5*36 = 120.
+    // lag1: P=0, A=B=4, m=4 -> num = -5*6*8 + 4*36 = -96 -> acf -0.8
+    // lag2: P=8, A=B=4, m=3 -> num = 200 - 240 + 108 = 68 -> 68/120
+    val d = df(schema, (day(0, 1, 2) ++ day(2, 3, 2) ++ day(4, 5, 2)): _*)
+    val out = EventAnalytics.dailyAutocorrelation(d, maxLag = 2)
+      .orderBy(col("lag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    out.toSeq shouldBe Seq(
+      (1L, 4L, -96L, 120L, -96.0 / 120.0),
+      (2L, 3L, 68L, 120L, 68.0 / 120.0))
+  }
+
+  test("dailyAutocorrelation: a missing calendar day is a zero, not a skipped row") {
+    // counts [2, _, 2] with day 1 absent from the data: zero-filled,
+    // n=3 S=4 Q=8 -> den = 9*8 - 3*16 = 24; lag1 pairs (2,0),(0,2):
+    // num = 0 - 12*4 + 2*16 = -16; lag2 pairs (2,2): num = 36 - 48 +
+    // 16 = 4. If absent days were dropped the two loaded days would
+    // sit at adjacent indices and lag 2 would have no pairs at all.
+    val d = df(schema, (day(0, 1, 2) ++ day(2, 3, 2)): _*)
+    val out = EventAnalytics.dailyAutocorrelation(d, maxLag = 2)
+      .orderBy(col("lag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1L, 2L, -16L, 24L), (2L, 1L, 4L, 24L))
+  }
+
+  test("dailyAutocorrelation: constant series yields NULL acf, never NaN; guards; invariance") {
+    val flat = df(schema, (day(0, 1, 3) ++ day(1, 2, 3) ++ day(2, 3, 3)): _*)
+    val rows = EventAnalytics.dailyAutocorrelation(flat, maxLag = 1).collect()
+    rows should have size 1
+    rows.head.getLong(3) shouldBe 0L       // den_scaled
+    rows.head.isNullAt(4) shouldBe true    // acf NULL on zero variance
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.dailyAutocorrelation(flat, maxLag = 0)
+    val d = df(schema, (0 until 40).flatMap(i =>
+      day(i.toLong % 11, i.toLong + 10, 1 + i % 3)): _*)
+    val a = EventAnalytics.dailyAutocorrelation(d, maxLag = 3)
+      .orderBy(col("lag")).collect().map(_.toSeq)
+    val b = EventAnalytics.dailyAutocorrelation(d.repartition(7), maxLag = 3)
+      .orderBy(col("lag")).collect().map(_.toSeq)
+    a shouldBe b
+  }
 }

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Anti-drift lint for the hand-written docs (round-16 protocol):
+  * round 15 burned three commits on manual README/SURVEY count syncs
+  * (5adf89a, c74c727, cd32de2). This spec DERIVES the counts — registry
+  * size, oracled size, suite-file count, SURVEY §2.13 E-row contiguity,
+  * and every E-row's query citations — and fails the build when a doc
+  * statement drifts from the tree, so the sync is forced at edit time,
+  * not round end. No Spark session needed: the registry map and oracle
+  * map are plain values. */
+class CountSyncSpec extends AnyFunSuite with Matchers {
+
+  private def read(rel: String): String = {
+    val p = java.nio.file.Paths.get(rel)
+    withClue(s"$rel must exist at the repo root (sbt test runs there): ") {
+      java.nio.file.Files.exists(p) shouldBe true
+    }
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  test("README registry counts match SparkEntry (queries + oracled)") {
+    val n = graft.SparkEntry.queries.size
+    val oracled =
+      (graft.SparkEntry.queries.keySet intersect
+        graft.SparkEntry.oracleSql.keySet).size
+    val readme = read("README.md")
+    withClue(s"README must state the derived counts '$n queries " +
+      s"($oracled DuckDB-oracled' (registry grew/shrank without a " +
+      "README sync): ") {
+      readme should include(s"$n queries ($oracled DuckDB-oracled")
+    }
+  }
+
+  test("README suite count matches the test tree") {
+    val specFiles = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get("src/test/scala"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(_.toString.endsWith(".scala"))
+          .count { p =>
+            val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            s.contains("extends SparkSpec") || s.contains("extends AnyFunSuite")
+          }
+      } finally walk.close()
+    }
+    withClue(s"README must state '($specFiles suites)': ") {
+      read("README.md") should include(s"($specFiles suites)")
+    }
+  }
+
+  test("SURVEY 2.13 E-rows are contiguous and cite real registry queries") {
+    val survey = read("SURVEY.md")
+    val rowRe = """(?m)^\| E(\d+) \|(.*)$""".r
+    val rows = rowRe.findAllMatchIn(survey).toSeq
+    rows should not be empty
+    val ids = rows.map(_.group(1).toInt)
+    withClue("duplicate E ids: ") {
+      ids.distinct.size shouldBe ids.size
+    }
+    withClue(s"E ids must be contiguous 1..${ids.max} (a gap or " +
+      "renumber means rows were dropped or double-counted): ") {
+      ids.sorted shouldBe (1 to ids.max).toList
+    }
+    // every qNNN cited anywhere in an E-row must exist in the registry
+    // (>= 2 digits: the registry convention, and it dodges prose like
+    // "q1/median/q3" quartile names)
+    val shortKeys = graft.SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    val qRe = """\bq\d{2,}\b""".r
+    val phantom = for {
+      m <- rows
+      q <- qRe.findAllIn(m.group(2)).toSeq.distinct
+      if !shortKeys.contains(q)
+    } yield s"E${m.group(1)} cites $q"
+    withClue("E-rows cite queries missing from SparkEntry.queries: ") {
+      phantom shouldBe empty
+    }
+  }
+}
