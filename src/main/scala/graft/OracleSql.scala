@@ -341,7 +341,7 @@ SELECT * FROM (
 ORDER BY column_name"""
 
   /** q99 twin: per-doc top-5 TF-IDF with the floor-rational
-    * idf_e6 = (10⁶·N) // df — pure BIGINT scoring on both engines
+    * idf_e6 = (1e6·N) // df — pure BIGINT scoring on both engines
     * (`//` = DuckDB integer division = Spark DIV). */
   val q99_tfidf: String = """
 WITH tok AS (
@@ -2001,33 +2001,6 @@ SELECT n.node, CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
 FROM nodes n LEFT JOIN thru t ON t.node = n.node
 ORDER BY n.node"""
 
-  /** q324 twin of [[graft.text.TextAnalysis.vocabularyGrowth]]: the
-    * shared tokenizer CTE, first-seen doc per distinct token, and the
-    * same conditional aggregates against the literal checkpoint list. */
-  val q324_vocab_growth: String = toksCte + """
-, cp(checkpoint) AS (
-  SELECT * FROM (VALUES (100),(200),(300),(400),(500)) v(c)),
-tokpos AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
-firstseen AS (SELECT tok, min(doc_id) AS first_doc FROM tokpos GROUP BY 1),
-v AS (
-  SELECT c.checkpoint,
-    count(CASE WHEN f.first_doc <= c.checkpoint THEN 1 END) AS distinct_tokens
-  FROM firstseen f CROSS JOIN cp c GROUP BY 1),
-occ AS (SELECT doc_id, count(*) AS n FROM tokpos GROUP BY 1),
-t AS (
-  SELECT c.checkpoint,
-    count(CASE WHEN d.doc_id <= c.checkpoint THEN 1 END) AS n_docs,
-    coalesce(sum(CASE WHEN d.doc_id <= c.checkpoint
-                      THEN coalesce(o.n, 0) END), 0) AS total_tokens
-  FROM documents d LEFT JOIN occ o ON o.doc_id = d.doc_id
-  CROSS JOIN cp c GROUP BY 1)
-SELECT CAST(t.checkpoint AS BIGINT) AS checkpoint,
-  CAST(t.n_docs AS BIGINT) AS n_docs,
-  CAST(t.total_tokens AS BIGINT) AS total_tokens,
-  CAST(v.distinct_tokens AS BIGINT) AS distinct_tokens
-FROM t JOIN v ON v.checkpoint = t.checkpoint
-ORDER BY checkpoint"""
-
   /** q325 twin of [[graft.events.EventAnalytics.dailyAutocorrelation]]:
     * calendar zero-fill via generate_series, the same n²-scaled
     * integer identities (HUGEINT on this side, DECIMAL(38,0) on
@@ -2227,7 +2200,7 @@ ORDER BY n.node"""
   /** q312 twin of [[graft.analytics.Ranking.reciprocalRankFusion]]
     * over the hybrid exact-cosine + int8-quantized retrieval pair:
     * the q21 brute-force leg and the q91 SQ8 leg (same CTE devices,
-    * k = 20 each), fused by the e6-floor 10⁶ // (60 + rank)
+    * k = 20 each), fused by the e6-floor 1e6 // (60 + rank)
     * contribution and re-ranked (sum DESC, doc ASC). */
   val q312_hybrid_rrf: String = s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -8601,7 +8574,6 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q321_conditional_surprisal" -> q321_conditional_surprisal,
     "q322_ivf_two_stage" -> q322_ivf_two_stage,
     "q323_stress_sampled" -> q323_stress_sampled,
-    "q324_vocab_growth" -> q324_vocab_growth,
     "q325_daily_acf" -> q325_daily_acf,
     "q326_ivf_stack_recall" -> q326_ivf_stack_recall,
     "q300_stump_split" -> q300_stump_split,

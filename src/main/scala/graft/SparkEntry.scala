@@ -1192,16 +1192,6 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
-    // Heaps'-law vocabulary growth at five stated doc checkpoints:
-    // distinct vocabulary + cumulative tokens per cut — the
-    // marginal-value read an acquisition loop budgets by (when dV/dT
-    // flattens, new data re-serves the same vocabulary). Exact
-    // integers; no float exponent fit.
-    "q324_vocab_growth" -> ((s, dir) =>
-      graft.text.TextAnalysis.vocabularyGrowth(
-          Tables.documents(s, dir), Seq(100L, 200L, 300L, 400L, 500L))
-        .orderBy(col("checkpoint"))),
-
     // Daily-volume autocorrelation at lags 1..7 over the calendar
     // zero-filled event series: the periodicity detector (weekly
     // traffic peaks r7) in exact n^2-scaled integer sums; acf is one

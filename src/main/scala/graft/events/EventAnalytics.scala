@@ -1118,7 +1118,15 @@ object EventAnalytics {
     * reads before it models: [[seasonalNaiveBacktest]] ASSUMES a
     * 7-day cycle and [[hourOfDayEnvelope]]-style reports show shape,
     * but the ACF is what says WHICH lag the data actually repeats at
-    * (weekly traffic peaks r₇; a 3-day cadence peaks r₃). Exact where
+    * (weekly traffic peaks r₇; a 3-day cadence peaks r₃). The
+    * CALENDAR-series companion of
+    * [[graft.analytics.Correlation.returnAutocorr]], with both
+    * deliberate contrasts stated: returns pair OBSERVATIONS on the
+    * trading calendar (that operator's documented convention) and
+    * finish in decimal/double ρ; an event-VOLUME series needs calendar
+    * positions — a quiet day is a real zero, and pairing present days
+    * only would compress the lag axis and alias the period — and gets
+    * the fully-integer finish below. Exact where
     * every float ACF is not: with daily counts x_t (calendar
     * zero-filled — missing days are real zeros, not absent rows) and
     * S = Σx, n = days, the n²-scaled numerator at lag L,

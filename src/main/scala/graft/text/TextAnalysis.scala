@@ -869,59 +869,6 @@ object TextAnalysis {
         expr("(total_bits * 1000) div n_bigrams").as("mean_millibits"))
   }
 
-  /** Vocabulary growth curve (Heaps' law readout; Heaps 1978, Herdan
-    * 1960) — distinct-vocabulary size at stated corpus checkpoints:
-    * V(c) = |{tokens first seen in doc_id ≤ c}| next to the cumulative
-    * token count T(c) and doc count. The marginal-value read a corpus
-    * acquisition loop owes its budget: when ΔV/ΔT flattens the new
-    * crawl slice is re-serving the same vocabulary (dedup/diversity
-    * signal), and V's trajectory is the tokenizer-budget input (how
-    * big a BPE vocabulary the corpus can justify). Exact integers
-    * end to end — no Heaps exponent is fitted (a float power-law fit
-    * has no cross-engine exact form; the CURVE is the data, the fit
-    * is the caller's).
-    *
-    * Shape: one token aggregate (min first-doc per distinct token —
-    * map-side combinable), one per-doc count aggregate, then each
-    * cross-joined against the ≤64-entry checkpoint list (the E127
-    * config-bounded pattern) into ONE conditional aggregate per side —
-    * output bounded by checkpoints at any corpus size; the token
-    * table is never self-joined. Checkpoints are stated literals
-    * (the fixture-anchor discipline) so the DuckDB twin replays the
-    * same cuts. Docs with zero tokens still count in `n_docs`. */
-  def vocabularyGrowth(docs: DataFrame, checkpoints: Seq[Long],
-                       idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    require(checkpoints.nonEmpty && checkpoints.size <= 64,
-      "checkpoints are a config-sized list (<= 64)")
-    require(checkpoints == checkpoints.sorted &&
-      checkpoints.distinct.size == checkpoints.size,
-      "checkpoints must be strictly increasing")
-    val spark = docs.sparkSession
-    val cp = spark.range(1)
-      .select(explode(lit(checkpoints.toArray)).as("checkpoint"))
-    val toks = docs.select(col(idCol).as("__doc"),
-      explode(tokens(col(textCol))).as("__tok"))
-    val firstSeen = toks.groupBy(col("__tok"))
-      .agg(min(col("__doc")).as("__first"))
-    val vocab = firstSeen.crossJoin(broadcast(cp))
-      .groupBy(col("checkpoint"))
-      .agg(count(when(col("__first") <= col("checkpoint"), 1))
-        .as("distinct_tokens"))
-    val occ = toks.groupBy(col("__doc")).agg(count(lit(1)).as("__n"))
-    val totals = docs.select(col(idCol).as("__doc"))
-      .join(occ, Seq("__doc"), "left")
-      .select(col("__doc"), coalesce(col("__n"), lit(0L)).as("__n"))
-      .crossJoin(broadcast(cp))
-      .groupBy(col("checkpoint"))
-      .agg(count(when(col("__doc") <= col("checkpoint"), 1)).as("n_docs"),
-        coalesce(sum(when(col("__doc") <= col("checkpoint"), col("__n"))),
-          lit(0L)).as("total_tokens"))
-    totals.join(vocab, Seq("checkpoint"))
-      .select(col("checkpoint"), col("n_docs"), col("total_tokens"),
-        col("distinct_tokens"))
-  }
-
   /** Harman's S-stemmer (Harman, *JASIS* 1991 "How effective is
     * suffixing?") as a single codegen'd CASE — the three-rule plural
     * conflator that captures most of English stemming's retrieval

@@ -685,38 +685,4 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(TextAnalysis.conditionalSurprisal(d),
       TextAnalysis.conditionalSurprisal(d.repartition(7)))
   }
-
-  test("vocabularyGrowth: hand curve incl. repeated tokens and a zero-token doc") {
-    // doc 1 "a b a" (V contributes a,b; T 3), doc 2 "b c" (c; T 2),
-    // doc 3 "" (counts as a doc, adds nothing), doc 5 "d" (d; T 1)
-    val d = docs(1L -> "a b a", 2L -> "b c", 3L -> "", 5L -> "d")
-    val out = TextAnalysis.vocabularyGrowth(d, Seq(1L, 3L, 5L))
-      .orderBy(col("checkpoint")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    out.toSeq shouldBe Seq(
-      (1L, 1L, 3L, 2L),   // docs<=1: 1 doc, 3 tokens, {a,b}
-      (3L, 3L, 5L, 3L),   // + doc 2 and the empty doc 3: {a,b,c}
-      (5L, 4L, 6L, 4L))   // + doc 5: {a,b,c,d}
-  }
-
-  test("vocabularyGrowth: both counters are monotone; guards; invariance") {
-    val d = docs((1L to 40L).map(i =>
-      i -> s"w${i % 7} w${(i * 3) % 11} w${(i * i) % 13}"): _*)
-    val cps = Seq(10L, 20L, 30L, 40L)
-    val out = TextAnalysis.vocabularyGrowth(d, cps)
-      .orderBy(col("checkpoint")).collect()
-    val vocabs = out.map(_.getLong(3)).toSeq
-    val totals = out.map(_.getLong(2)).toSeq
-    vocabs shouldBe vocabs.sorted
-    totals shouldBe totals.sorted
-    // final checkpoint covers the whole corpus: V = true distinct count
-    vocabs.last shouldBe d.select(explode(TextAnalysis.tokens(col("text"))))
-      .distinct().count()
-    an[IllegalArgumentException] should be thrownBy
-      TextAnalysis.vocabularyGrowth(d, Seq(20L, 10L))
-    an[IllegalArgumentException] should be thrownBy
-      TextAnalysis.vocabularyGrowth(d, Seq.empty)
-    assertSameRows(TextAnalysis.vocabularyGrowth(d, cps),
-      TextAnalysis.vocabularyGrowth(d.repartition(7), cps))
-  }
 }
