@@ -35,6 +35,10 @@ class CountSyncSpec extends AnyFunSuite with Matchers {
   }
 
   test("README suite count matches the test tree") {
+    // concrete `class … extends SparkSpec/AnyFunSuite` declarations —
+    // NOT a bare content grep, which would also count the SparkSpec
+    // base trait's own file and overstate sbt's suite count by one
+    val suiteRe = """(?m)^class\s+\w+\s+extends\s+(SparkSpec|AnyFunSuite)""".r
     val specFiles = {
       val walk = java.nio.file.Files.walk(
         java.nio.file.Paths.get("src/test/scala"))
@@ -42,10 +46,10 @@ class CountSyncSpec extends AnyFunSuite with Matchers {
         import scala.jdk.CollectionConverters._
         walk.iterator().asScala
           .filter(_.toString.endsWith(".scala"))
-          .count { p =>
+          .map { p =>
             val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            s.contains("extends SparkSpec") || s.contains("extends AnyFunSuite")
-          }
+            suiteRe.findAllIn(s).size
+          }.sum
       } finally walk.close()
     }
     withClue(s"README must state '($specFiles suites)': ") {
