@@ -2244,6 +2244,77 @@ fused AS (
 SELECT query_id, doc_id, rrf_e6, n_systems, fused_rank
 FROM fused WHERE fused_rank <= 10 ORDER BY query_id, fused_rank"""
 
+  /** q327 twin: q312's fusion with the int8 leg swapped to the q111
+    * staged CTEs — exact-cosine brute leg + IVF-pruned SQ8 leg (each
+    * query scores only its 3 probed cells' rows), both cut at k=20,
+    * fused by the same e6-floor contribution and (sum DESC, doc ASC)
+    * re-rank. */
+  val q327_hybrid_staged_rrf: String = {
+    val cvals = (0 until 8).map { j =>
+      val c = graft.similarity.Similarity.hyperplane(j, hpDim)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        .max(java.lang.Double.MIN_VALUE)
+      s"($j, [${c.map(x => s"${x.toInt}.0").mkString(",")}], $cn)"
+    }.mkString(",\n  ")
+    def dotCv(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * cv[i])), (acc,v) -> acc + v)"
+    def sq8(e: String) =
+      s"list_transform(range(1, len($e)+1), " +
+        s"i -> CAST(floor(CAST($e[i] AS DOUBLE) " +
+        s"/ sqrt(${sqlDot(e, e)}) * 127 + 0.5) AS BIGINT))"
+    s"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+ex_scored AS (
+  SELECT q.query_id, e.vec_id, ${sqlCosine("q.qv", "e.embedding")} AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ex_ranked AS (
+  SELECT query_id, vec_id AS doc_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM ex_scored),
+cm(cell, cv, cn) AS (SELECT * FROM (VALUES
+  $cvals) v(cell, cv, cn)),
+a AS (
+  SELECT vec_id, embedding, cell,
+    (-(${dotCv("embedding")})) / (sqrt(${sqlDot("embedding", "embedding")}) * cn) AS d
+  FROM embeddings CROSS JOIN cm),
+codes AS (
+  SELECT vec_id, cell, ${sq8("embedding")} AS qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a)
+  WHERE rn = 1),
+qcodes AS (
+  SELECT vec_id AS query_id, cell, ${sq8("embedding")} AS qq FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM a WHERE vec_id < 10)
+  WHERE rn <= 3),
+sq_scored AS (
+  SELECT qc.query_id, c.vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(c.qv)+1), i -> c.qv[i] * qc.qq[i])),
+      (acc, v) -> acc + v) AS score
+  FROM codes c JOIN qcodes qc ON c.cell = qc.cell AND c.vec_id <> qc.query_id),
+sq_ranked AS (
+  SELECT query_id, vec_id AS doc_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM sq_scored),
+legs AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+  FROM ex_ranked WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+  FROM sq_ranked WHERE rank <= 20),
+fused AS (
+  SELECT query_id, doc_id,
+    CAST(sum(c) AS BIGINT) AS rrf_e6,
+    CAST(count(*) AS BIGINT) AS n_systems,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY sum(c) DESC, doc_id) AS BIGINT) AS fused_rank
+  FROM legs GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_e6, n_systems, fused_rank
+FROM fused WHERE fused_rank <= 10 ORDER BY query_id, fused_rank"""
+  }
+
   /** q313 twin of [[graft.analytics.Correlation.pettittTest]]: the
     * same doubled midranks (2·rank + ties − 1), the same prefix-sum
     * identity U_t = t(n+1) − Σ 2r_i, the same earliest-date argmax
@@ -8576,6 +8647,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q323_stress_sampled" -> q323_stress_sampled,
     "q325_daily_acf" -> q325_daily_acf,
     "q326_ivf_stack_recall" -> q326_ivf_stack_recall,
+    "q327_hybrid_staged_rrf" -> q327_hybrid_staged_rrf,
     "q300_stump_split" -> q300_stump_split,
     "q286_quota_sample" -> q286_quota_sample,
     "q192_peak_concurrency" -> q192_peak_concurrency,

@@ -1064,6 +1064,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("fused_rank"))
     }),
 
+    // Hybrid retrieval in its DEPLOYMENT shape: q312's fusion with
+    // the int8 leg swapped from a flat SQ8 scan to the q111 staged
+    // IVF+SQ8 index search (static partition pruning reads only the
+    // 3 probed cells' files) — exact-cosine leg + pruned-int8 leg
+    // fused on ranks alone. Closes the round-15 verdict's "the q312
+    // quantized leg is a FLAT scan" headroom note from the fusion
+    // side (q322 closed it from the re-rank side).
+    "q327_hybrid_staged_rrf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      val idxPath = fixture("ivf_sq8_index", dir) {
+        val p = scratch("ivf_sq8_index", dir)
+        graft.similarity.Similarity.writeIvfIndexQuantized(emb, p,
+          centroids = Some(cents))
+        p
+      }
+      val exact = graft.similarity.Similarity
+        .knnBruteForce(emb, queries, k = 20)
+      val staged = graft.similarity.Similarity
+        .searchIvfIndexQuantized(s, idxPath, queries, k = 20, nprobe = 3)
+      graft.analytics.Ranking.reciprocalRankFusion(
+          Seq(exact, staged), rrfK = 60, topK = 10, docCol = "neighbor_id")
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // Pettitt rank changepoint per symbol over daily close cents:
     // doubled-midrank prefix identity gives the textbook U_t as exact
     // BIGINTs, earliest-date argmax; completes CUSUM (when) /
