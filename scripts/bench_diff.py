@@ -21,7 +21,7 @@ import sys
 def load_queries(path: str) -> tuple:
     """Accepts a driver BENCH_r*.json artifact (stdout tail under
     "tail") or a raw file of bench stdout lines. Returns
-    (short_key -> min_sec, host_factor or None)."""
+    (short_key -> min_sec, host_factor or None, probe_cpus or None)."""
     with open(path) as f:
         text = f.read()
     try:
@@ -33,16 +33,21 @@ def load_queries(path: str) -> tuple:
     # Prefer the full-name min map (queries_by_name) when a complete
     # line survives (always, in locally-captured stdout; in a driver
     # tail only when the registry is small enough) — fall back to the
-    # guaranteed-complete closing total line's top-10 digest.
+    # guaranteed-complete closing total line's top-10 digest. Short-key
+    # uniqueness in the fallback digest is guaranteed upstream: Bench
+    # requires it before rendering, and CountSyncSpec pins it in CI.
     total_line = None
     full_line = None
     host_factor = None
+    cpus = None
     for line in tail.splitlines():
         if line.startswith('{"metric":"total"'):
             total_line = line
         if line.startswith('{"metric":"host_factor"'):
             try:
-                host_factor = json.loads(line)["factor"]
+                parsed = json.loads(line)
+                host_factor = parsed["factor"]
+                cpus = parsed.get("cpus")  # absent in pre-r17 artifacts
             except (json.JSONDecodeError, KeyError):
                 pass
         if line.startswith('{"metric":"queries_by_name"'):
@@ -62,11 +67,11 @@ def load_queries(path: str) -> tuple:
                 sys.exit(f"{path}: duplicate short key {key} "
                          f"(second full name: {q}) — fix the registry")
             short[key] = v
-        return short, host_factor
+        return short, host_factor, cpus
     if total_line is None:
         sys.exit(f"{path}: no complete total line in tail (rc={doc.get('rc')})")
     parsed = json.loads(total_line)
-    return parsed["queries"], host_factor
+    return parsed["queries"], host_factor, cpus
 
 
 def main() -> None:
@@ -79,7 +84,8 @@ def main() -> None:
     if len(argv) != 2:
         sys.exit(__doc__)
     args = argv
-    (old, old_hf), (new, new_hf) = load_queries(args[0]), load_queries(args[1])
+    (old, old_hf, old_cpus) = load_queries(args[0])
+    (new, new_hf, new_cpus) = load_queries(args[1])
     common = sorted(set(old) & set(new))
     if not common:
         sys.exit("no common queries")
@@ -89,9 +95,18 @@ def main() -> None:
     # out of every ratio turns host drift (the round-15 1.37x uniform
     # slowdown) into arithmetic instead of manual A/B reruns. Artifacts
     # predating round 16 carry no line -> cal = 1 and the registry
-    # median remains the only uniformity signal.
+    # median remains the only uniformity signal. The probe's 0.66 s
+    # reference is pinned at 4 CPUs: factors measured at DIFFERENT cpu
+    # counts differ for non-host reasons, so calibration refuses the
+    # division rather than silently mis-calibrating (r17 protocol; a
+    # pre-r17 artifact with no cpus field is assumed to be the
+    # driver-default 4).
     cal = 1.0
-    if old_hf and new_hf:
+    if old_hf and new_hf and (old_cpus or 4) != (new_cpus or 4):
+        print(f"host calibration: REFUSED — probe cpu counts differ "
+              f"(old={old_cpus or 4}, new={new_cpus or 4}); the factor "
+              "reference is cpu-pinned, ratios are raw")
+    elif old_hf and new_hf:
         cal = new_hf / old_hf
         print(f"host calibration: old_factor={old_hf:.3f} "
               f"new_factor={new_hf:.3f} -> dividing ratios by {cal:.2f}x")
@@ -109,8 +124,12 @@ def main() -> None:
     flagged = sorted(ratios, key=ratios.get, reverse=True)[:top]
     for q in flagged:
         rel = ratios[q] / med
+        # every OUTLIER term is calibrated, including the absolute-delta
+        # noise guard: a raw-seconds delta on a faster new host (cal < 1)
+        # could slip a genuinely regressed fast query under 0.3 s.
         mark = ("  <-- OUTLIER"
-                if ratios[q] > 1.5 and rel > 1.25 and new[q] - old[q] > 0.3
+                if ratios[q] > 1.5 and rel > 1.25
+                and new[q] / cal - old[q] > 0.3
                 else "")
         print(f"{q:<8}{old[q]:>8.3f}{new[q]:>8.3f}{ratios[q]:>9.2f}x"
               f"{rel:>6.2f}x{mark}")

@@ -91,8 +91,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Calibration first, on a fresh JVM state identical across rounds
     // (the probe carries its own untimed warmup for codegen compile).
-    val probeSec =
-      hostProbeSec(spark, scala.util.Try(cpus.toInt).getOrElse(4))
+    val cpusInt = scala.util.Try(cpus.toInt).getOrElse(4)
+    val probeSec = hostProbeSec(spark, cpusInt)
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -228,7 +228,11 @@ object Bench {
     println(s"""{"metric":"queries_median_by_name","queries":${render(results, short = false, median)}}""")
     println(s"""{"metric":"queries_min_short","queries":${render(results, short = true, _.min)}}""")
     println(s"""{"metric":"tiers","heavy_threshold_sec":${fmt(heavySec)},"heavy":${heavy.toSeq.sorted.map(k => "\"" + k.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")}}""")
-    println(s"""{"metric":"host_factor","probe_sec":${fmt(probeSec)},"reference_sec":${fmt(HostProbeReferenceSec)},"factor":${fmt(probeSec / HostProbeReferenceSec)}}""")
+    // cpus is part of the calibration identity: the 0.66 s reference is
+    // pinned at 4 CPUs, so a round benched with a different
+    // SPARK_GRAFT_CPUS shifts the factor for host-independent reasons —
+    // bench_diff.py refuses to divide factors from unequal cpu counts.
+    println(s"""{"metric":"host_factor","probe_sec":${fmt(probeSec)},"reference_sec":${fmt(HostProbeReferenceSec)},"factor":${fmt(probeSec / HostProbeReferenceSec)},"cpus":$cpusInt}""")
     println(s"""{"metric":"total","value":${fmt(total)},"median_total":${fmt(totalMedian)},"unit":"sec","n":${results.size},"sf":"$sfDir"$failedJson,"queries":${render(top10, short = true, _.min)},"detail":"top-10 min digest; full per-query maps on the 3 preceding lines"}""")
     // Exit nonzero AFTER the metric lines so a failure is loud in the
     // driver's rc without erasing the timings of healthy queries.

@@ -2010,8 +2010,13 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1),
 bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
 days AS (
+  -- HUGEINT BEFORE the products, mirroring the Spark side's
+  -- cast-to-DECIMAL(38,0)-before-multiply discipline: raw BIGINT
+  -- x*x / a.x*b.x would overflow-error at extreme per-day counts
+  -- while the Spark twin kept computing — a latent cross-engine
+  -- divergence (loud, but a divergence) at beyond-fixture scale.
   SELECT CAST(CAST(gs.d AS DATE) - b.d0 AS BIGINT) AS t,
-    coalesce(dl.c, 0) AS x
+    CAST(coalesce(dl.c, 0) AS HUGEINT) AS x
   FROM bounds b, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS gs(d)
   LEFT JOIN daily dl ON dl.day = CAST(gs.d AS DATE)),
 stats AS (SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q FROM days),

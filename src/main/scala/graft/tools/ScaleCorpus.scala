@@ -113,14 +113,20 @@ object ScaleCorpus {
     * against `range(replicas)`) — nothing driver-side. */
   def scaleEdges(edges: org.apache.spark.sql.DataFrame, replicas: Int,
                  bridgeSrc: String, bridgeDst: String,
-                 bidirectional: Boolean = false): org.apache.spark.sql.DataFrame = {
+                 bidirectional: Boolean = false,
+                 srcCol: String = "src", dstCol: String = "dst")
+      : org.apache.spark.sql.DataFrame = {
+    // input columns are parameterized like the LinkGraph operators'
+    // (the signature used to hardcode literal src/dst and fail at
+    // analysis for any other edge schema); output is ALWAYS (src, dst)
+    // — the normalized shape the graph operators consume.
     require(replicas >= 1, "replicas must be >= 1")
     val spark = edges.sparkSession
     def tag(c: Column, r: Column) = concat(c, lit("~"), r.cast("string"))
     val reps = spark.range(replicas).select(col("id").as("__r"))
     val scaled = edges.crossJoin(reps).select(
-      tag(col("src"), col("__r")).as("src"),
-      tag(col("dst"), col("__r")).as("dst"))
+      tag(col(srcCol), col("__r")).as("src"),
+      tag(col(dstCol), col("__r")).as("dst"))
     if (replicas == 1) return scaled
     val kids = spark.range(1, replicas).select(col("id").as("__j"),
       expr("(id - 1) div 2").as("__p"))
