@@ -57,6 +57,81 @@ class CountSyncSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("registry short keys (bench digest keys) are unique") {
+    // bench_diff.py's fallback path reads the total line's top-10
+    // digest under SHORT keys; Bench refuses to render duplicates, but
+    // that failure surfaces only at bench time — this pins it in CI.
+    val names = graft.SparkEntry.queries.keySet.toSeq
+    val dup = names.groupBy(_.takeWhile(_ != '_')).filter(_._2.size > 1)
+    withClue("two registry names share a qNN prefix (bench digests " +
+      "would collapse them): ") { dup shouldBe empty }
+  }
+
+  test("every public operator def appears exactly once in the SURVEY 2.13.1 name index") {
+    // The round-16 q324 incident (a semantic near-duplicate drafted
+    // because the inventory wasn't consulted) as a failing test:
+    // landing a public def without touching the index fails here, and
+    // touching the index means reading the inventory — where the
+    // duplicate is caught at draft time.
+    val pkgs = Seq("analytics", "etl", "text", "dedup", "similarity",
+      "graph", "events")
+    val defRe = """(?m)^  (?:final )?def (\w+)""".r
+    val treeDefs: Map[String, String] = pkgs.flatMap { p =>
+      val dir = java.nio.file.Paths.get(s"src/main/scala/graft/$p")
+      val walk = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(_.toString.endsWith(".scala")).toSeq
+          .flatMap { f =>
+            val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+            defRe.findAllMatchIn(s).map(m =>
+              m.group(1) -> s"$p/${f.getFileName}").toSeq
+          }
+      } finally walk.close()
+    }.toMap
+    withClue("two packages define a same-named public def (the index " +
+      "is keyed by name): ") {
+      treeDefs.keySet.size shouldBe treeDefs.size
+    }
+
+    val survey = read("SURVEY.md")
+    val idxRe = """(?m)^\| `(\w+)` \| (\S+) \| `([^`]+)` \|$""".r
+    val idx = idxRe.findAllMatchIn(
+      survey.split("#### 2\\.13\\.1")(1)).map(m =>
+        (m.group(1), m.group(2), m.group(3))).toSeq
+    idx should not be empty
+    withClue("index lists a def twice: ") {
+      idx.map(_._1).distinct.size shouldBe idx.size
+    }
+    val idxNames = idx.map(_._1).toSet
+    withClue("public operator defs missing from the SURVEY 2.13.1 " +
+      "name index (add a row — and CHECK the inventory for an " +
+      "existing operator first): ") {
+      (treeDefs.keySet -- idxNames) shouldBe empty
+    }
+    withClue("index rows with no matching public def in the tree " +
+      "(operator removed/renamed without an index sync): ") {
+      (idxNames -- treeDefs.keySet) shouldBe empty
+    }
+    // home ids must exist: an E-row in the 2.13 table, a core §2 id,
+    // or the explicit `support` classification
+    val eIds = """(?m)^\| (E\d+) \|""".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    val coreIds =
+      (1 to 6).map("S" + _) ++ (1 to 9).map("K" + _) ++
+        (1 to 17).map("P" + _) ++ (1 to 3).map("J" + _) ++
+        (1 to 10).map("A" + _) ++ (1 to 2).map("W" + _) ++
+        (1 to 4).map("O" + _)
+    val valid = eIds ++ coreIds + "support"
+    withClue("index rows citing a nonexistent home row id: ") {
+      idx.filterNot(r => valid.contains(r._2)) shouldBe empty
+    }
+    withClue("index rows naming the wrong defining file: ") {
+      idx.filterNot(r => treeDefs(r._1) == r._3) shouldBe empty
+    }
+  }
+
   test("SURVEY 2.13 E-rows are contiguous and cite real registry queries") {
     val survey = read("SURVEY.md")
     val rowRe = """(?m)^\| E(\d+) \|(.*)$""".r
