@@ -103,6 +103,103 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  /** Sum of ObjectHashAggregateExec's sort-fallback task counter over
+    * the executed plan (0 when the hash path never overflowed). */
+  private def fallbackTasks(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.collect {
+      case p if p.nodeName.contains("ObjectHashAggregate") =>
+        p.metrics.get("numTasksFallBacked").map(_.value).getOrElse(0L)
+    }.sum
+
+  // Memory-pressure evidence for the custom TypedImperativeAggregates
+  // (the SpillPressureSpec discipline applied to the c-tier family):
+  // under pressure ObjectHashAggregate abandons its hash map and
+  // SORTS the remaining input, feeding each group's rows to the SAME
+  // aggregate through the sort-based path — the one code path these
+  // operators ride at 100 TB when group cardinality outgrows executor
+  // memory, and the one that had zero evidence until round 17. A
+  // 2-key fallback threshold forces it on toy data; the asserts are
+  // (a) the fallback ACTUALLY engaged (numTasksFallBacked > 0 — a
+  // threshold typo would otherwise turn this spec into a no-op) and
+  // (b) output ≡ the no-pressure run.
+  test("topKBy under sort-based fallback pressure matches the no-pressure run (q250 shape)") {
+    // q250's registry shape on its real fixture: orders at sf0.01,
+    // top-5 order keys by price cents per priority
+    val o = graft.core.Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        col("o_orderkey").as("id"))
+    val baseline = topRows(o, 5).orderBy("g", "rank")
+      .collect().map(_.toSeq).toSeq
+    baseline should not be empty
+    withSQLConf(
+      // AQE off so executedPlan is the plain tree the metric walk sees
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2") {
+      val out = topRows(o, 5).orderBy("g", "rank")
+      val pressured = out.collect().map(_.toSeq).toSeq
+      withClue("fallback threshold not binding (hash path never " +
+        "overflowed — conf name drift?): ") {
+        fallbackTasks(out) should be > 0L
+      }
+      pressured shouldBe baseline
+    }
+    // bounded top-k is a pure function of the group's multiset, so the
+    // sorted-run path owes BIT-identical output, asserted above
+  }
+
+  test("frequentBy under sort-based fallback pressure keeps its guarantees") {
+    import spark.implicits._
+    // exact regime (≤ k distinct keys per group): the MG summary is a
+    // pure function of the multiset — fallback owes bit-identity
+    val exact = (1 to 300).map(i => (s"g${i % 9}", (i % 4).toLong))
+      .toDF("g", "key")
+    def runExact() = exact.groupBy("g")
+      .agg(TopKFunctions.frequentBy(col("key"), 6).as("f"))
+      .selectExpr("g", "explode(f) AS e").select(col("g"), col("e.id"), col("e.c"))
+      .orderBy("g", "id")
+    val base = runExact().collect().map(_.toSeq).toSeq
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2") {
+      val out = runExact()
+      val pressured = out.collect().map(_.toSeq).toSeq
+      withClue("fallback threshold not binding: ") {
+        fallbackTasks(out) should be > 0L
+      }
+      pressured shouldBe base
+    }
+    // approximate regime (candidate set is order-dependent by MG's
+    // nature, so bit-identity is NOT the contract — the published
+    // bound is): heavy keys survive the sorted-run path with the same
+    // n/(k+1) error envelope the partitioning-invariance spec pins
+    val rows = Seq.fill(300)(10L) ++ Seq.fill(250)(20L) ++
+      Seq.fill(200)(30L) ++ (5000L until 5250L)
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2") {
+      // 7 groups: the hash map must exceed the 2-key threshold per
+      // task for the fallback to engage at all
+      val out = rows.toDF("key")
+        .withColumn("g", (col("key") % 7).cast("int"))
+        .groupBy("g").agg(TopKFunctions.frequentBy(col("key"), 4).as("f"))
+        .selectExpr("explode(f) AS e").select("e.id", "e.c")
+      // collect on THIS frame (not through .as[...], which builds a
+      // fresh QueryExecution whose metrics never run)
+      val est = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue("fallback threshold not binding: ") {
+        fallbackTasks(out) should be > 0L
+      }
+      // per-group thresholds: all of 10/20/30 dominate their group
+      est.keySet should contain allOf (10L, 20L, 30L)
+      est.foreach { case (key, c) =>
+        val truth = rows.count(_ == key).toLong
+        c should be <= truth
+        c should be >= truth - 1000L / 5L
+      }
+    }
+  }
+
   test("frequentBy runs as ObjectHashAggregate without a sort") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i % 3, (i % 7).toLong)).toDF("g", "key")
