@@ -9,8 +9,13 @@ import org.scalatest.matchers.should.Matchers
   * startup costs seconds, so suites must not each build their own. */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    // local[4, 2]: 4 threads, maxFailures = 2 — task RETRY is enabled
+    // so TaskRetrySpec can drill the failed-and-retried-task path (the
+    // default local[4] kills the job on the first task failure, which
+    // no cluster does). Harmless elsewhere: a test that wants a job to
+    // fail still sees the failure, one retry later.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
