@@ -428,6 +428,140 @@ object Streaming {
   def enrichStatic(stream: DataFrame, dim: DataFrame, key: String,
                    hintBroadcast: Boolean = true): DataFrame =
     stream.join(if (hintBroadcast) broadcast(dim) else dim, Seq(key), "left")
+
+  // --------------------------------------------------------------------
+  // Composed end-to-end streaming pipeline (the q306 of streams):
+  // landing-dir JSONL → malformed-record quarantine → watermark dedup →
+  // session aggregation → foreachBatch MERGE into the stored table.
+  // Each stage is an already-spec'd operator (E121 quarantine, E15
+  // dedup+MERGE, E24/E252 sessions, E271 restart); THIS is their
+  // composition as the one pipeline a deployment actually runs, with
+  // the restart drill applied to the whole chain in StreamingSpec.
+  // --------------------------------------------------------------------
+
+  /** Streaming twin of [[graft.io.Sources.readJsonQuarantine]] (E121):
+    * a landing directory of JSON-lines files as a stream, where a
+    * malformed line neither kills the query nor silently drops — it
+    * lands null-typed with its raw text in `quarantineCol`. Good rows
+    * parse against [[eventsSchema]]. Timestamp format matches the
+    * batch reader, so the batch twin reads the same files
+    * identically. */
+  def readEventsQuarantineStream(spark: SparkSession, dir: String,
+                                 quarantineCol: String = "_malformed")
+      : DataFrame =
+    spark.readStream
+      .schema(eventsSchema.add(quarantineCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", quarantineCol)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(dir)
+
+  /** The quarantine leg: malformed raws append to their own table
+    * (batch id tagged for replay forensics) — the stream's dead-letter
+    * feed. Stateless, so exactly-once rides on the idempotent ledger
+    * ([[appendBatch]]): a restart-replayed micro-batch finds its
+    * marker and writes nothing. */
+  def quarantineSink(raw: DataFrame, quarantinePath: String,
+                     checkpointDir: String,
+                     quarantineCol: String = "_malformed")
+      : DataStreamWriter[Row] = {
+    // a data column must stay live beside the corrupt column all the
+    // way into the OUTPUT (Spark refuses plans whose read schema is
+    // only the corrupt record column, and column pruning would strip
+    // a merely-intermediate one — the E121/q252 caveat). event_id is
+    // the natural choice: NULL for a whole-line corruption, populated
+    // when PERMISSIVE salvaged a partial parse — replay forensics for
+    // free.
+    val bad = raw.select(col("event_id"), col(quarantineCol).as("raw_line"))
+      .filter(col("raw_line").isNotNull)
+    bad.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, quarantinePath)
+        ()
+      }
+  }
+
+  /** The curated-sessions leg, stages 2–3 of the capstone: good rows
+    * only (quarantine nulls filtered), exactly-once'd by event_id
+    * within the watermark horizon (the streaming A2 — state restored
+    * across restarts, so a duplicate re-delivered AFTER a restart is
+    * still dropped), then gap-session aggregated on the native
+    * `session_window` (merging state-store windows; a session is
+    * emitted once, when the watermark passes its end — so sessions
+    * whose events STRADDLE a restart emit once with all their rows).
+    * Both stateful operators share the one event-time watermark. */
+  def curatedSessionsStream(raw: DataFrame, gap: String = "30 minutes",
+                            watermark: String = "1 hour",
+                            quarantineCol: String = "_malformed")
+      : DataFrame =
+    raw.filter(col(quarantineCol).isNull).drop(quarantineCol)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.exactSum(col("value"), 6).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        col("total_value"))
+
+  /** Stage 4: closed sessions MERGE into the date-partitioned sessions
+    * table on (user_id, session_start) — [[upsertSink]] with the
+    * partition derived from the session's start date, so a restart
+    * replay of an uncommitted batch updates in place instead of
+    * duplicating, and each micro-batch rewrites only the dates it
+    * touches. */
+  def sessionUpsertSink(sessions: DataFrame, tablePath: String,
+                        checkpointDir: String): DataStreamWriter[Row] =
+    upsertSink(sessions, tablePath,
+      keys = Seq("user_id", "session_start"),
+      checkpointDir = checkpointDir,
+      partitionCol = "session_date",
+      partitionExpr = df => to_date(df("session_start")))
+
+  /** The whole capstone, started: returns (quarantine query, sessions
+    * query) over one landing dir. Two queries because the pipeline has
+    * two independent sinks (dead-letter feed + curated table), each
+    * with its own checkpoint — the standard topology; the file source
+    * tracks offsets per query. Restart = call again with the same
+    * paths. */
+  def startCapstone(spark: SparkSession, landingDir: String,
+                    quarantinePath: String, tablePath: String,
+                    checkpointRoot: String, gap: String = "30 minutes",
+                    watermark: String = "1 hour")
+      : (StreamingQuery, StreamingQuery) = {
+    val raw = readEventsQuarantineStream(spark, landingDir)
+    val qq = quarantineSink(raw, quarantinePath,
+      s"$checkpointRoot/quarantine").start()
+    val sq = sessionUpsertSink(
+      curatedSessionsStream(raw, gap, watermark),
+      tablePath, s"$checkpointRoot/sessions").start()
+    (qq, sq)
+  }
+
+  /** The capstone's BATCH TWIN — the equivalence oracle for the
+    * composed pipeline (streams aren't DuckDB-oracle-able; batch-twin
+    * equality over the same landing files is the correctness
+    * contract). Same stages, batch operators: E121 quarantine read →
+    * good-row filter → exact dedup on event_id → E252 session_window
+    * aggregation. Emits every session (batch has no watermark floor);
+    * the spec compares against the streamed table on the
+    * watermark-closed subset. */
+  def capstoneBatchTwin(spark: SparkSession, landingDir: String,
+                        gapMinutes: Int = 30,
+                        quarantineCol: String = "_malformed"): DataFrame = {
+    val raw = graft.io.Sources.readJsonQuarantine(
+      spark, landingDir, eventsSchema, quarantineCol)
+    val good = raw.filter(col(quarantineCol).isNull).drop(quarantineCol)
+    // exact re-deliveries: any survivor is identical, but keep the
+    // deterministic form anyway (A2 discipline)
+    val deduped = graft.etl.Merge.dedupKeepFirst(good,
+      Seq("event_id"), Seq(col("ts"), col("user_id")))
+    graft.events.EventAnalytics.sessionWindows(deduped, gapMinutes)
+      .select(col("user_id"), col("w_start").as("session_start"),
+        col("w_end").as("session_end"), col("n_events"), col("total_value"))
+  }
 }
 
 /** Typed rows for the stateful session operator. */

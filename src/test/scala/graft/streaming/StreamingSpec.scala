@@ -683,6 +683,75 @@ test("streaming session_window with watermark matches the batch sessionWindows t
     } finally q.stop()
   }
 
+  test("capstone: landing -> quarantine -> dedup -> sessions -> MERGE survives a mid-stream restart and equals the batch twin") {
+    // The q306 of streams (round-17 brief #1): six spec'd pieces —
+    // file source, E121 quarantine, watermark dedup, session_window
+    // aggregation, foreachBatch MERGE, E271 restart — chained as ONE
+    // pipeline and drilled end to end. The restart lands MID-SESSION:
+    // user 1's session has two events before the stop and one after
+    // (plus a re-delivered duplicate), so the final table proves state
+    // continuity (dedup state + open session) across the restart, not
+    // just sink idempotence.
+    val landing = tmp("cap-landing")
+    val quarantine = tmp("cap-quarantine") + "/t"
+    val table = tmp("cap-table") + "/sessions"
+    val ckpt = tmp("cap-ckpt")
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX" // Sources.TsFormat
+    def drop(events: Seq[Ev], name: String): Unit =
+      events.toDF().coalesce(1).write.mode("append")
+        .option("timestampFormat", tsFmt).json(landing)
+    def dropBad(line: String, name: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/$name.json"),
+        (line + "\n").getBytes("UTF-8"))
+    def runPhase(): Unit = {
+      val (qq, sq) = Streaming.startCapstone(
+        spark, landing, quarantine, table, ckpt,
+        gap = "30 minutes", watermark = "10 minutes")
+      try { qq.processAllAvailable(); sq.processAllAvailable() }
+      finally { qq.stop(); sq.stop() }
+    }
+
+    // phase 1: user 1 opens a session (minutes 10, 20); user 2 a
+    // lone event (minute 15); one malformed line
+    new java.io.File(landing).mkdirs()
+    drop(Seq(ev(1, 10, value = 1.0), ev(2, 20, value = 2.0),
+      Ev(3, new Timestamp(base + 15 * 60000L), 2L, "view", 8.0, "{}")), "p1")
+    dropBad("""{"event_id": 4, "ts": "not-a-time" BROKEN""", "bad-1")
+    runPhase()
+    // MID-STREAM: user 1's session is still open here (watermark
+    // hasn't passed its end), nothing emitted for it yet
+
+    // phase 2, after the stop: the SAME event 2 re-delivered (dedup
+    // state must survive the restart), event 4 extends user 1's open
+    // session (minute 25: straddles the restart), a second malformed
+    // line, and a far-future pusher that closes every real session
+    drop(Seq(ev(2, 20, value = 2.0), ev(4, 25, value = 4.0),
+      Ev(99, new Timestamp(base + 600 * 60000L), 9L, "view", 0.5, "{}")), "p2")
+    dropBad("""not json at all""", "bad-2")
+    runPhase()
+
+    // the streamed table vs the batch twin over the SAME landing
+    // files, on the watermark-closed subset (the pusher's own session
+    // never closes — excluded from both sides)
+    val streamed = spark.read.parquet(table)
+      .filter(col("user_id") =!= 9L)
+      .select("user_id", "session_start", "session_end",
+        "n_events", "total_value")
+    val twin = Streaming.capstoneBatchTwin(spark, landing, gapMinutes = 30)
+      .filter(col("user_id") =!= 9L)
+    assertSameRows(streamed, twin)
+    // the straddling session: ONE row, all three events, duplicate
+    // dropped — state continuity in one line
+    streamed.filter(col("user_id") === 1L)
+      .select("n_events", "total_value")
+      .as[(Long, Double)].collect().toSeq shouldBe Seq((3L, 7.0))
+    // the dead-letter feed holds exactly the two malformed raw lines
+    Streaming.readCommitted(spark, quarantine)
+      .select("raw_line").as[String].collect().sorted.toSeq shouldBe
+        Seq("""not json at all""", """{"event_id": 4, "ts": "not-a-time" BROKEN""")
+  }
+
   test("stateful aggregation survives a stop-and-restart from its checkpoint") {
     // The crash-recovery contract a 100 TB/day stream lives on: a NEW
     // query object resuming the SAME checkpointLocation restores the
