@@ -542,6 +542,41 @@ SELECT doc_id,
 FROM enc GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** q329 twin of [[graft.text.Bpe.fertilityByLang]]: the q110
+    * replace-chain encode per word, rolled up per lang with the same
+    * exact integer floors. LEFT JOIN + coalesce(0) keeps zero-word
+    * docs in the doc count, matching the Spark side's 0-count rows. */
+  val q329_tokenizer_fertility: String = {
+    val enc = bpeStaticMerges.foldLeft(
+      """regexp_replace(word, '(.)', '\1|', 'g') || '</w>|'""") {
+      case (e, (a, b)) => s"replace($e, '$a|$b|', '$a$b|')"
+    }
+    toksCte + s"""
+, w AS (SELECT doc_id, unnest(tokens) AS word FROM toks),
+enc AS (SELECT doc_id, $enc AS s FROM w),
+bpe AS (SELECT doc_id,
+  CAST(sum(length(s) - length(replace(s, '|', ''))) AS BIGINT) AS n_bpe
+  FROM enc GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, d.lang,
+    CAST(len(t.tokens) AS BIGINT) AS n_words,
+    CAST(length(d.text) AS BIGINT) AS n_chars
+  FROM documents d JOIN toks t ON t.doc_id = d.doc_id)
+SELECT b.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(b.n_words) AS BIGINT) AS total_words,
+  CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS total_bpe_tokens,
+  CASE WHEN sum(b.n_words) > 0
+       THEN CAST((sum(coalesce(p.n_bpe, 0)) * 1000) // sum(b.n_words)
+            AS BIGINT) END AS fertility_permille,
+  CASE WHEN sum(coalesce(p.n_bpe, 0)) > 0
+       THEN CAST((sum(b.n_chars) * 1000) // sum(coalesce(p.n_bpe, 0))
+            AS BIGINT) END AS chars_per_token_permille
+FROM base b LEFT JOIN bpe p ON p.doc_id = b.doc_id
+GROUP BY b.lang ORDER BY b.lang"""
+  }
+
   val q15_doc_profile: String = toksCte + """
 , base AS (
   SELECT doc_id,
@@ -4061,6 +4096,32 @@ FROM lab GROUP BY entity_id ORDER BY entity_id"""
   val q254_session_window_native: String = """
 WITH e AS (
   SELECT ts, user_id, value, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM m)
+SELECT user_id, min(ts) AS w_start,
+  max(ts) + INTERVAL 30 MINUTE AS w_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, seq ORDER BY user_id, w_start"""
+
+  /** q328 twin of the composed capstone batch path: the oracle never
+    * parses the JSONL fixture — the quarantine split is the doc_id
+    * formula (every 7th event_id broken), the %5 re-delivery collapses
+    * under keep-first dedup BY CONSTRUCTION (asserting that is the
+    * query's point), and what remains is the q254 session sweep over
+    * `event_id % 7 <> 0`. */
+  val q328_capstone_batch: String = """
+WITH e AS (
+  SELECT ts, user_id, value, epoch_us(ts) AS us FROM events
+  WHERE event_id % 7 <> 0),
 m AS (
   SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)
@@ -8583,6 +8644,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q252_csv_quarantine" -> q252_csv_quarantine,
     "q253_bitemporal_correction" -> q253_bitemporal_correction,
     "q254_session_window_native" -> q254_session_window_native,
+    "q328_capstone_batch" -> q328_capstone_batch,
+    "q329_tokenizer_fertility" -> q329_tokenizer_fertility,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1091,6 +1091,52 @@ object SparkEntry {
         .orderBy(col("query_id"), col("fused_rank"))
     }),
 
+    // The E333 streaming capstone's BATCH DATA PATH, DuckDB-oracled
+    // (the streaming half is spec-verified — StreamingSpec's restart
+    // drill): a JSONL event feed derived from events by formula —
+    // every 7th event_id a BROKEN line, every 5th surviving id
+    // re-delivered (duplicated) — through quarantine read (E121) →
+    // good-row filter → keep-first dedup on event_id (A2) → native
+    // session_window aggregation (E252). The oracle never parses the
+    // file: good rows are exactly `event_id % 7 <> 0` (duplicates
+    // collapse under dedup, so the %5 re-delivery is invisible by
+    // construction — that's the assertion), then the q254 sweep.
+    "q328_capstone_batch" -> ((s, dir) => {
+      val path = scratch("capstone_feed", dir) + "_lines"
+      val ev = Tables.events(s, dir)
+      val line = to_json(
+        struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")),
+        java.util.Collections.singletonMap(
+          "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+      ev.select(
+          when(col("event_id") % 7 === 0,
+            concat(lit("{broken event line "), col("event_id").cast("string")))
+            .otherwise(line).as("value"),
+          // re-deliver every 5th surviving line (dup rows explode 2x)
+          explode(when(col("event_id") % 7 =!= 0 && col("event_id") % 5 === 0,
+            array(lit(0), lit(1))).otherwise(array(lit(0)))).as("__copy"))
+        .select(col("value"))
+        .write.mode("overwrite").text(path)
+      val raw = graft.io.Sources.readJsonQuarantine(
+        s, path, graft.streaming.Streaming.eventsSchema)
+      val good = raw.filter(col("_malformed").isNull).drop("_malformed")
+      val deduped = graft.etl.Merge.dedupKeepFirst(good,
+        Seq("event_id"), Seq(col("ts"), col("user_id")))
+      graft.events.EventAnalytics.sessionWindows(deduped, gapMinutes = 30)
+        .orderBy(col("user_id"), col("w_start"))
+    }),
+
+    // Tokenizer fertility by language (Petrov et al. 2023): BPE
+    // tokens per whitespace word and chars per token as exact integer
+    // permille per lang — the multilingual tokenizer-equity audit,
+    // under the q110 fixed merge list (training loops aren't
+    // SQL-expressible; encoding under a known list is).
+    "q329_tokenizer_fertility" -> ((s, dir) =>
+      graft.text.Bpe.fertilityByLang(Tables.documents(s, dir),
+          graft.OracleSql.bpeStaticMerges)
+        .orderBy(col("lang"))),
+
     // Pettitt rank changepoint per symbol over daily close cents:
     // doubled-midrank prefix identity gives the textbook U_t as exact
     // BIGINTs, earliest-date argmax; completes CUSUM (when) /
