@@ -324,4 +324,45 @@ object Bpe {
       }
       .toDF(idCol, "n_bpe_tokens")
   }
+
+  /** Tokenizer fertility by language — the multilingual tokenizer
+    * EQUITY audit (Petrov et al. 2023, arXiv:2305.15425 "Language
+    * Model Tokenizers Introduce Unfairness Between Languages"): a
+    * tokenizer trained on one distribution fragments other languages
+    * into more tokens per word, so those languages pay more context
+    * budget and more per-token cost for the same content. Per lang:
+    * doc/word/char/token mass plus the two headline rates as exact
+    * integer permille — fertility (BPE tokens per whitespace word,
+    * THE fairness number; ~1000 = one token per word) and characters
+    * per token (the compression view; higher = cheaper). Both are
+    * floors of exact BIGINT sums — engine-replayable, no float drift.
+    *
+    * Shape: [[encodeTokenCounts]]'s per-doc encode (word-type memo,
+    * broadcast rank map) + one doc-keyed join of two doc-count-sized
+    * frames + one lang aggregate — cost is the encode scan; nothing
+    * exceeds doc-count rows after it. Zero-word languages emit NULL
+    * rates (never a division blow-up). */
+  def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)],
+                      idCol: String = "doc_id", textCol: String = "text",
+                      langCol: String = "lang"): DataFrame = {
+    val perDoc = encodeTokenCounts(docs, merges, idCol, textCol)
+    val base = docs.select(col(idCol).cast("long").as(idCol),
+      col(langCol),
+      TextAnalysis.whitespaceTokenCount(col(textCol)).as("__words"),
+      length(col(textCol)).cast("long").as("__chars"))
+    base.join(perDoc, idCol)
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__words")).as("total_words"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("n_bpe_tokens")).as("total_bpe_tokens"))
+      .select(col(langCol), col("n_docs"), col("total_words"),
+        col("total_chars"), col("total_bpe_tokens"),
+        when(col("total_words") > 0,
+          expr("(total_bpe_tokens * 1000) div total_words"))
+          .as("fertility_permille"),
+        when(col("total_bpe_tokens") > 0,
+          expr("(total_chars * 1000) div total_bpe_tokens"))
+          .as("chars_per_token_permille"))
+  }
 }

@@ -198,7 +198,7 @@ object GraphScaleBench {
     // SPARK_GRAFT_GRAPH_OPS restricts to a comma-separated op subset
     // (single-op reruns for adjudication; default all four)
     val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS",
-      "pagerank,hits,components,scc").split(",").toSet
+      "pagerank,hits,components,scc,stress").split(",").toSet
     def runAll(r: Int, emit: Boolean): Unit = {
       def report(op: String, edges: Long, sec: Double): Unit = if (emit)
         println(f"""{"metric":"graph_scaling","op":"$op","replicas":$r,"edges":$edges,"sec":$sec%.3f}""")
@@ -210,6 +210,27 @@ object GraphScaleBench {
           noop(graft.graph.LinkGraph.pagerank(link, "src", "dst", iterations = 3))))
         if (ops("hits")) report("hits", nLink, timeMinOf2(() =>
           noop(graft.graph.LinkGraph.hits(link, "src", "dst", iterations = 2))))
+      }
+      if (ops("stress")) {
+        // sampled-pivot stress (q323's shape) at scale: the pivot
+        // sample is a CONFIG CONSTANT while the graph grows (the
+        // production contract — state is |pivots|x|reachable|, never
+        // |V|^2), realized here as the q323 keyHash%3 sample of the
+        // BASE node set placed in a LEAF replica of the bridge tree.
+        // A leaf has no outgoing bridges, so the pivots' forward
+        // reach stays base-graph-sized and the BFS round count stays
+        // flat across decades — the measured curve isolates per-round
+        // frontier-join cost against |edges|, the claim under test.
+        val link = ScaleCorpus.scaleEdges(linkBase, r, "d1", "d1")
+          .localCheckpoint()
+        val leaf = (r - 1).toString
+        val pivots = linkBase.select(col("src").as("node"))
+          .union(linkBase.select(col("dst").as("node"))).distinct()
+          .filter(graft.etl.Sampling.keyHash(col("node")) % 3 === 0)
+          .select(concat(col("node"), lit("~"), lit(leaf)).as("node"))
+        report("stress", link.count(), timeMinOf2(() =>
+          noop(graft.graph.LinkGraph.stressCentrality(link, "src", "dst",
+            sources = pivots, maxDepth = 16))))
       }
       if (ops("components")) {
         val comp = ScaleCorpus.scaleEdges(compBase, r, "d0", "d0")

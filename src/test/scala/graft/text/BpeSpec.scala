@@ -137,6 +137,33 @@ class BpeSpec extends SparkSpec {
     Bpe.trainFromTypes(Seq(blob -> 3L), 2) shouldBe merges
   }
 
+  test("fertilityByLang: hand-computed per-lang rates, zero-word lang yields NULL rates") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // under bpeStaticMerges: "the" -> 1 token (t|h -> th, e|</w> ->
+    // e</w>, th|e</w> -> the</w>), "and" -> 1, "xy" -> 2 (x, y</w>)
+    val d = Seq(
+      (1L, "the and", "en"),   // 2 words, 7 chars, 2 BPE tokens
+      (2L, "xy", "en"),        // 1 word,  2 chars, 2 BPE tokens
+      (3L, "", "zz"))          // 0 words, 0 chars, 0 tokens
+      .toDF("doc_id", "text", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.fertilityByLang(df, graft.OracleSql.bpeStaticMerges)
+        .orderBy(col("lang"))
+        .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+        .collect().toSeq
+    val out = run(d)
+    out shouldBe Seq(
+      // en: 2 docs, 3 words, 9 chars, 4 tokens ->
+      //     fertility 4000 div 3 = 1333, chars/token 9000 div 4 = 2250
+      ("en", 2L, 3L, 9L, 4L, Some(1333L), Some(2250L)),
+      // zz: zero words AND zero tokens -> both rates NULL, doc counted
+      ("zz", 1L, 0L, 0L, 0L, None, None))
+    // partitioning invariance (the memoized encode is per-partition
+    // state; the rates must not see it)
+    run(d.repartition(7)) shouldBe out
+  }
+
   test("encodeTokenCounts cost is independent of merge-list length") {
     // not a wall-clock assertion (jitter): a 50k-entry merge list in
     // which only 5 entries ever apply must still encode correctly —
