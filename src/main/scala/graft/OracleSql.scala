@@ -2096,6 +2096,122 @@ FROM documents d LEFT JOIN (
   GROUP BY bg.doc_id) s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
+  /** q330 twin of [[graft.text.TextAnalysis.knSurprisal]]: the same
+    * interpolated Kneser-Ney arithmetic (D = 3/4, unk-smoothed
+    * continuation over Z = B + V + 1) in HUGEINT, trained on the
+    * lang='en' bigrams, scoring every doc's bigram stream; surprisal
+    * = floor-log2 of the capped integer quotient (the quotientBits
+    * device — LEAST against 2^62 here, the exact-equivalent branch on
+    * the Spark side), q321 rollup conventions. */
+  val q330_kn_surprisal: String = toksCte + """
+, pos AS (
+  SELECT doc_id, lang, unnest(tokens) AS t, generate_subscripts(tokens, 1) AS p
+  FROM toks),
+bg AS (
+  SELECT a.doc_id, a.lang, a.t AS v, b.t AS w
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+c12 AS (SELECT v, w, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+hist AS (
+  SELECT v, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+  FROM c12 GROUP BY 1),
+contw AS (SELECT w, count(*) AS n1r FROM c12 GROUP BY 1),
+zc AS (SELECT (SELECT count(*) FROM c12)
+          + (SELECT count(DISTINCT t) FROM pos WHERE lang = 'en') + 1 AS z),
+scored AS (
+  SELECT g.doc_id, c.c12 AS c12v, h.c1, h.n1f,
+    coalesce(ct.n1r, 0) + 1 AS pn, zc.z
+  FROM bg g
+  LEFT JOIN c12 c ON c.v = g.v AND c.w = g.w
+  LEFT JOIN hist h ON h.v = g.v
+  LEFT JOIN contw ct ON ct.w = g.w
+  CROSS JOIN zc),
+nd AS (
+  SELECT doc_id, (c12v IS NULL) AS novel,
+    CASE WHEN c1 IS NOT NULL
+      THEN CAST(greatest(coalesce(c12v, 0) * 4 - 3, 0) AS HUGEINT)
+             * CAST(z AS HUGEINT)
+           + 3 * CAST(n1f AS HUGEINT) * CAST(pn AS HUGEINT)
+      ELSE CAST(pn AS HUGEINT) END AS num,
+    CASE WHEN c1 IS NOT NULL
+      THEN 4 * CAST(c1 AS HUGEINT) * CAST(z AS HUGEINT)
+      ELSE CAST(z AS HUGEINT) END AS den
+  FROM scored),
+bits AS (
+  SELECT doc_id, novel,
+    CAST(length(bin(CAST(LEAST(den // num,
+      CAST(4611686018427387904 AS HUGEINT)) AS BIGINT))) - 1 AS BIGINT) AS bits
+  FROM nd),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+    CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+    CAST(sum(bits) AS BIGINT) AS total_bits
+  FROM bits GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+  a.total_bits,
+  CAST((a.total_bits * 1000) // a.n_bigrams AS BIGINT) AS mean_millibits
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+  /** q333 twin of [[graft.etl.Sampling.preferencePairs]] over the
+    * unique-token-permille score: per source, best-vs-worst pairs at
+    * the >= 25-permille gap, bottom-3 by (score, doc_id), the same
+    * window tiebreaks. */
+  val q333_preference_pairs: String = toksCte + """
+, sc AS (
+  SELECT doc_id, source,
+    (CAST(len(list_distinct(tokens)) AS BIGINT) * 1000) // len(tokens) AS score
+  FROM toks WHERE len(tokens) > 0),
+ch AS (
+  SELECT source, doc_id AS chosen_id, score AS chosen_score FROM (
+    SELECT source, doc_id, score,
+      row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS r
+    FROM sc) WHERE r = 1),
+rej AS (
+  SELECT s.source, ch.chosen_id, s.doc_id AS rejected_id,
+    ch.chosen_score, s.score AS rejected_score,
+    row_number() OVER (PARTITION BY s.source
+      ORDER BY s.score ASC, s.doc_id ASC) AS pair_rank
+  FROM sc s JOIN ch ON ch.source = s.source
+  WHERE s.doc_id <> ch.chosen_id AND s.score <= ch.chosen_score - 25)
+SELECT source, chosen_id, rejected_id,
+  CAST(chosen_score AS BIGINT) AS chosen_score,
+  CAST(rejected_score AS BIGINT) AS rejected_score,
+  CAST(chosen_score - rejected_score AS BIGINT) AS gap,
+  CAST(pair_rank AS INTEGER) AS pair_rank
+FROM rej WHERE pair_rank <= 3 ORDER BY source, pair_rank"""
+
+  /** q334 twin of the [[graft.functions.GifFrameUtil]] frame walk
+    * over [[graft.multimodal.Gif.encodeAnimation]] fixtures: every
+    * per-frame field derives from the FIXTURE FORMULAS alone (the
+    * q319 contract — the oracle never parses a GIF): frame i of doc
+    * id is (1 + i mod w)x(1 + i mod h) at (2i, 3i), LCT 2^((i mod
+    * 7)+1) when i mod 3 = 0, GCE delay 4+3i / disposal i mod 4 when
+    * the doc is 89a (id mod 11 <> 0) and i mod 5 <> 4, else the 0/0
+    * spec default; the query keeps every 2nd frame. */
+  val q334_gif_frames: String = """
+WITH f AS (
+  SELECT d.doc_id, u.i AS frame_index,
+    (2 * u.i) % 65536 AS left_px, (3 * u.i) % 65536 AS top_px,
+    1 + u.i % (16 + d.doc_id % 9) AS width,
+    1 + u.i % (8 + d.doc_id % 5) AS height,
+    CASE WHEN u.i % 3 = 0
+      THEN CAST(1 AS BIGINT) << CAST((u.i % 7) + 1 AS INTEGER)
+      ELSE 0 END AS lct_entries,
+    CASE WHEN d.doc_id % 11 <> 0 AND u.i % 5 <> 4
+      THEN 4 + 3 * u.i ELSE 0 END AS delay_cs,
+    CASE WHEN d.doc_id % 11 <> 0 AND u.i % 5 <> 4
+      THEN u.i % 4 ELSE 0 END AS disposal
+  FROM documents d,
+    LATERAL (SELECT unnest(range(0, CAST(1 + d.doc_id % 4 AS BIGINT))) AS i) u)
+SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+  CAST(left_px AS BIGINT) AS left_px, CAST(top_px AS BIGINT) AS top_px,
+  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+  CAST(lct_entries AS BIGINT) AS lct_entries,
+  CAST(delay_cs AS BIGINT) AS delay_cs, CAST(disposal AS BIGINT) AS disposal
+FROM f WHERE frame_index % 2 = 0 ORDER BY doc_id, frame_index"""
+
   /** q320 twin of [[graft.events.EventAnalytics.commonPaths]]: the
     * same two leads over the same (ts, event_id) order, distinct-user
     * support, and the same total (support, volume, path) cut order —
@@ -7528,6 +7644,185 @@ SELECT id_a, id_b, cosine FROM (
   FROM s a JOIN s b ON ${sqlAnyBand("a", "b")} AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
 
+  /** Shared CTE chain for q331/q332 — the kNN-graph twin of
+    * [[graft.similarity.Similarity.knnGraphDescent]] (k = 10,
+    * revCap = 10, one NN-Descent round): LSH seed pairs (one row per
+    * colliding pair — the OR-join emits one row per pair, matching
+    * the Spark side's firstMatchingBand dedup), per-src top-10 seed
+    * graph, rank-capped reverse edges, shared-pivot candidates,
+    * UNION dedup (≡ the Spark `.distinct()`), exact-cosine re-rank.
+    * Norms are precomputed once per vector (`nrm`) — the same
+    * sqrt(selfdot) double the per-pair sqlCosine form would produce,
+    * hoisted exactly like the Spark side's vecNorm projection. */
+  private def knnDescentCtes: String = {
+    val cosAB = s"${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"
+    val cosE = s"${sqlDot("e1.embedding", "e2.embedding")} / (e1.nrm * e2.nrm)"
+    s"""
+WITH hp(m) AS (SELECT $hpMatrix),
+nrm AS (
+  SELECT vec_id, embedding,
+    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+  FROM embeddings),
+s AS (
+  SELECT vec_id, embedding, nrm,
+    $sqlKeyCols
+  FROM nrm, hp),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, $cosAB AS cosine
+  FROM s a JOIN s b ON ${sqlAnyBand("a", "b")} AND a.vec_id <> b.vec_id),
+g0 AS (
+  SELECT src, dst, cosine FROM (
+    SELECT src, dst, cosine,
+      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS r
+    FROM pairs) WHERE r <= 10),
+rev AS (
+  SELECT dst AS src, src AS dst FROM (
+    SELECT src, dst,
+      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS r
+    FROM g0) WHERE r <= 10),
+adj AS (SELECT src, dst FROM g0 UNION SELECT src, dst FROM rev),
+cand AS (
+  SELECT x.dst AS src, y.dst AS dst
+  FROM adj x JOIN adj y ON x.src = y.src AND x.dst <> y.dst),
+allc AS (SELECT src, dst FROM cand UNION SELECT src, dst FROM g0),
+rescored AS (
+  SELECT c.src, c.dst, $cosE AS cosine
+  FROM allc c JOIN nrm e1 ON e1.vec_id = c.src
+    JOIN nrm e2 ON e2.vec_id = c.dst),
+g1 AS (
+  SELECT src, dst, cosine, r FROM (
+    SELECT src, dst, cosine,
+      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS r
+    FROM rescored) WHERE r <= 10)"""
+  }
+
+  /** q331 twin: the refined graph itself. */
+  val q331_knn_descent: String = knnDescentCtes + """
+SELECT src AS vec_id, dst AS neighbor_id, CAST(r AS INTEGER) AS rank, cosine
+FROM g1 ORDER BY vec_id, rank"""
+
+  /** q335 twin of [[graft.similarity.Similarity.knnLshMultiprobe]]:
+    * same corpus key columns; the join predicate admits, per band,
+    * the query's own key OR any single-bit flip of it (xor with each
+    * power of two below 2^bits) — the OR emits one row per
+    * qualifying pair, matching the Spark side's ids-distinct. */
+  val q335_ann_multiprobe: String = {
+    val anyProbe = (0 until hpBands).map { b =>
+      val masks = 0 +: (0 until hpBits).map(1 << _)
+      masks.map(m => s"c.key$b = xor(q.key$b, $m)").mkString("(", " OR ", ")")
+    }.mkString("(", "\n    OR ", ")")
+    s"""
+WITH hp(m) AS (SELECT $hpMatrix),
+s AS (
+  SELECT vec_id, embedding,
+    $sqlKeyCols
+  FROM embeddings, hp),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+        ${(0 until hpBands).map(b => s"key$b").mkString(", ")}
+      FROM s WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id, ${sqlCosine("q.qv", "c.embedding")} AS cosine
+  FROM s c JOIN q ON $anyProbe AND c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** q336 twin of [[graft.events.EventAnalytics.behaviorSurprisal]]:
+    * the same (ts, event_id)-ordered transitions, add-one smoothed
+    * model counts, per-hop floor-log2 bits, user rollup with
+    * transition-less users kept. */
+  val q336_behavior_surprisal: String = """
+WITH tr AS (
+  SELECT user_id, event_type AS from_type,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events),
+t2 AS (SELECT user_id, from_type, to_type FROM tr WHERE to_type IS NOT NULL),
+c12 AS (SELECT from_type, to_type, count(*) AS c12 FROM t2 GROUP BY 1, 2),
+c1 AS (SELECT from_type, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+kc AS (SELECT count(DISTINCT event_type) AS k FROM events),
+b AS (
+  SELECT t2.user_id,
+    CAST(length(bin(CAST((c1.c1 + kc.k) // (c12.c12 + 1) AS BIGINT))) - 1
+      AS BIGINT) AS bits
+  FROM t2
+  JOIN c12 ON c12.from_type = t2.from_type AND c12.to_type = t2.to_type
+  JOIN c1 ON c1.from_type = t2.from_type
+  CROSS JOIN kc),
+agg AS (
+  SELECT user_id, count(*) AS n_transitions,
+    CAST(sum(bits) AS BIGINT) AS total_bits,
+    CAST(max(bits) AS BIGINT) AS max_bits
+  FROM b GROUP BY 1)
+SELECT u.user_id,
+  CAST(coalesce(a.n_transitions, 0) AS BIGINT) AS n_transitions,
+  a.total_bits, a.max_bits,
+  CAST((a.total_bits * 1000) // a.n_transitions AS BIGINT) AS mean_millibits
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN agg a ON a.user_id = u.user_id
+ORDER BY u.user_id"""
+
+  /** q337 twin of [[graft.dedup.Dedup.chainingAudit]] over the q18
+    * minhash pairs: the q118 recursive-closure component labels, then
+    * the size/edge/density/min/mean rollups — e6 floors before
+    * aggregation, HUGEINT products (the DECIMAL(38,0) twin). */
+  val q337_chaining_audit: String = s"""
+WITH RECURSIVE
+p AS ($q18_minhash_neardup),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+conn(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN e ON c.b = e.a WHERE e.b <> c.a),
+lab AS (SELECT a AS node, least(a, min(b)) AS label FROM conn GROUP BY a),
+sizes AS (SELECT label, count(*) AS n_docs FROM lab GROUP BY 1),
+ed AS (
+  SELECT l.label, CAST(floor(p.est_jaccard * 1000000) AS BIGINT) AS sim_e6
+  FROM p JOIN lab l ON l.node = p.doc_a),
+est AS (
+  SELECT label, count(*) AS n_edges, min(sim_e6) AS min_sim_e6,
+    CAST(CAST(sum(sim_e6) AS HUGEINT) // CAST(count(*) AS HUGEINT)
+      AS BIGINT) AS mean_sim_e6
+  FROM ed GROUP BY 1)
+SELECT s.label, CAST(s.n_docs AS BIGINT) AS n_docs,
+  CAST(e.n_edges AS BIGINT) AS n_edges,
+  e.n_edges = s.n_docs - 1 AS is_tree,
+  CAST((CAST(e.n_edges AS HUGEINT) * 2000000)
+    // (CAST(s.n_docs AS HUGEINT) * (s.n_docs - 1)) AS BIGINT) AS density_e6,
+  e.min_sim_e6, e.mean_sim_e6
+FROM sizes s JOIN est e ON e.label = s.label ORDER BY s.label"""
+
+  /** q332 twin: recall@10 of the seed (g0) and refined (g1) graphs
+    * against exact brute force (norm-hoisted, same fold), one row per
+    * stage — integer hits, e6 floor mean. */
+  val q332_descent_recall: String = {
+    val cosAB = s"${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"
+    knnDescentCtes + s""",
+exact AS (
+  SELECT src AS query_id, dst AS neighbor_id FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY $cosAB DESC, b.vec_id) AS r
+    FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id) WHERE r <= 10),
+nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM exact),
+sh AS (SELECT count(*) AS total_hits FROM exact e
+  JOIN g0 a ON a.src = e.query_id AND a.dst = e.neighbor_id),
+rh AS (SELECT count(*) AS total_hits FROM exact e
+  JOIN g1 a ON a.src = e.query_id AND a.dst = e.neighbor_id)
+SELECT stage, CAST(n_queries AS BIGINT) AS n_queries,
+  CAST(total_hits AS BIGINT) AS total_hits,
+  CAST((total_hits * 1000000) // (n_queries * 10) AS BIGINT) AS mean_recall_e6
+FROM (
+  SELECT 'seed' AS stage, nq.n_queries, sh.total_hits FROM nq, sh
+  UNION ALL
+  SELECT 'refined' AS stage, nq.n_queries, rh.total_hits FROM nq, rh)
+ORDER BY stage"""
+  }
+
   // --- events (graft.events.EventAnalytics) --------------------------------
 
   /** Gap sessionization twin: integer-microsecond gap compare,
@@ -8646,6 +8941,14 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q254_session_window_native" -> q254_session_window_native,
     "q328_capstone_batch" -> q328_capstone_batch,
     "q329_tokenizer_fertility" -> q329_tokenizer_fertility,
+    "q330_kn_surprisal" -> q330_kn_surprisal,
+    "q331_knn_descent" -> q331_knn_descent,
+    "q332_descent_recall" -> q332_descent_recall,
+    "q333_preference_pairs" -> q333_preference_pairs,
+    "q334_gif_frames" -> q334_gif_frames,
+    "q335_ann_multiprobe" -> q335_ann_multiprobe,
+    "q336_behavior_surprisal" -> q336_behavior_surprisal,
+    "q337_chaining_audit" -> q337_chaining_audit,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1274,6 +1274,124 @@ object SparkEntry {
           Tables.events(s, dir), maxLag = 7)
         .orderBy(col("lag"))),
 
+    // Interpolated Kneser-Ney bigram LM (D=3/4), trained on the 'en'
+    // slice, scoring EVERY doc — the real CCNet-shape perplexity
+    // filter (held-out reference model, smoothed backoff for unseen
+    // transitions, OOV as unk) closing E74's proxy gap. Exact:
+    // per-token probability as DECIMAL(38,0) rationals, surprisal via
+    // the quotientBits branch device, q321 output convention.
+    "q330_kn_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.TextAnalysis.knSurprisal(
+          docs.filter(col("lang") === "en"), docs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // k-NN GRAPH construction: sign-LSH seeded, one NN-Descent
+    // neighbor-of-neighbor refinement round, exact-cosine re-rank —
+    // the every-vector bulk operator behind SemDeDup-scale curation
+    // (linear in n with a (k+revCap)^2 constant, never n^2).
+    "q331_knn_descent" -> ((s, dir) =>
+      graft.similarity.Similarity.knnGraphDescent(
+          Tables.embeddings(s, dir), k = 10, revCap = 10, rounds = 1)
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // Measured recall of the kNN-graph stages vs exact brute force:
+    // the LSH seed alone vs seed + one NN-Descent round — the eval
+    // that justifies (or refutes) each refinement round's cost.
+    // Exact integer hits, one e6 floor division per stage.
+    "q332_descent_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = graft.similarity.Similarity.knnBruteForce(emb, emb, k = 10)
+      def stage(name: String, rounds: Int) =
+        graft.similarity.Similarity.recallAtK(
+            graft.similarity.Similarity.knnGraphDescent(emb, k = 10,
+                revCap = 10, rounds = rounds)
+              .select(col("vec_id").as("query_id"), col("neighbor_id")),
+            exact, k = 10)
+          .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("total_hits"))
+          .select(lit(name).as("stage"),
+            col("n_queries").cast("long").as("n_queries"),
+            col("total_hits").cast("long").as("total_hits"),
+            expr("(total_hits * 1000000) div (n_queries * 10)")
+              .as("mean_recall_e6"))
+      stage("seed", 0).unionByName(stage("refined", 1))
+        .orderBy(col("stage"))
+    }),
+
+    // Preference-pair construction for reward-model/DPO training:
+    // per source group, the best-scored doc vs its bottom-3 docs at a
+    // >= 25-permille separation — score is the exact unique-token
+    // permille (lexical diversity), all tiebreaks by doc_id.
+    "q333_preference_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.text.TextAnalysis.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"), col("source"),
+          expr("(CAST(size(array_distinct(__t)) AS BIGINT) * 1000)" +
+            " div size(__t)").as("score"))
+      graft.etl.Sampling.preferencePairs(d, "source", "doc_id", "score",
+          minGap = 25L, maxRejected = 3)
+        .orderBy(col("source"), col("pair_rank"))
+    }),
+
+    // Multi-probe LSH ANN (Lv et al. 2007): each query probes its
+    // bucket plus every Hamming-1 neighbor per band — the recall knob
+    // that multiplies query-side probes, not corpus-side index rows.
+    "q335_ann_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity.knnLshMultiprobe(emb,
+          emb.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Per-user behavioral surprisal under the corpus's own add-one
+    // smoothed first-order Markov model: the anomaly-scoring consumer
+    // of the q47 transition matrix — exact bits per hop, max_bits
+    // points at each user's single most surprising transition.
+    "q336_behavior_surprisal" -> ((s, dir) =>
+      graft.events.EventAnalytics.behaviorSurprisal(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // Transitive-chaining audit over the q18 minhash near-dup
+    // components: size, edge count, the TREE (maximal chaining risk)
+    // flag, density and min/mean edge similarity in e6 — the evidence
+    // for "did connected-component dedup merge things no edge ever
+    // claimed were similar".
+    "q337_chaining_audit" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.minhashPairs(
+        Tables.documents(s, dir), threshold = 0.5)
+      graft.dedup.Dedup.chainingAudit(pairs).orderBy(col("label"))
+    }),
+
+    // Per-frame GIF inventory + the frame-SAMPLE step (every 2nd
+    // frame) over formula-built animated fixtures (the q319 device):
+    // geometry, local palettes, and GCE delay/disposal all derive
+    // from (doc_id, frame_index) formulas the oracle replays with no
+    // GIF parsing at all.
+    "q334_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          id -> graft.multimodal.Gif.encodeAnimation(
+            w = (16 + id % 9).toInt, h = (8 + id % 5).toInt,
+            nFrames = (1 + id % 4).toInt,
+            version89 = id % 11 != 0)
+        }
+        .toDF("doc_id", "gif")
+      gifs.select(col("doc_id"),
+          explode(graft.multimodal.Multimodal.gifFrames(col("gif"))).as("f"))
+        .select(col("doc_id"), col("f.frame_index").as("frame_index"),
+          col("f.left").as("left_px"), col("f.top").as("top_px"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.lct_entries").as("lct_entries"),
+          col("f.delay_cs").as("delay_cs"), col("f.disposal").as("disposal"))
+        .filter(col("frame_index") % 2 === 0)
+        .orderBy(col("doc_id"), col("frame_index"))
+    }),
+
     // Recall@10 of the COMPOSED deployment retrieval stack (q322's
     // prune -> int8 -> exact refine) against exact brute force: the
     // measured answer to "what does nprobe=3/8 pruning cost through

@@ -468,6 +468,54 @@ object Dedup {
     labels
   }
 
+  /** Transitive-CHAINING audit over near-dup components — the known
+    * failure mode of connected-component dedup grouping (Leskovec,
+    * Rajaraman & Ullman, *Mining of Massive Datasets* §3; observed in
+    * production corpus dedups, e.g. The Stack's near-dedup report,
+    * arXiv:2301.03988): A~B and B~C put A and C in one component with
+    * NO evidence A~C, so a long chain merges documents that share
+    * nothing, and keep-one-per-component silently drops distinct
+    * content. Per component of `pairs` (any frame with two id columns
+    * and a similarity — E5 minhash pairs, E6/E234 exact Jaccard):
+    * size, edge count, the TREE flag (n_edges = n_docs − 1: zero
+    * redundancy — every merge hangs on a single edge, the maximal
+    * chaining-risk shape; a clique has n(n−1)/2), edge density in e6,
+    * and min/mean edge similarity in e6 — a big low-density
+    * low-min-sim component is the one to re-verify (E270's
+    * threshold-sensitivity audit is the knob to turn next; E102's
+    * keep-BEST survivor picking is the mitigation).
+    *
+    * Exactness: similarities floor to e6 BEFORE aggregation (floor of
+    * an exact dyadic double is engine-identical; sums then ride
+    * DECIMAL(38,0) — e6·|edges| overflows int64 at 100 TB); density =
+    * 2e·10^6 div n(n−1) in DECIMAL. Shape: [[componentLabels]]'s
+    * fixpoint (its cost dominates and is already measured), one
+    * edge→label equi-join (edges carry only ids + one e6 integer —
+    * never text), two label-keyed aggregates, one label join. */
+  def chainingAudit(pairs: DataFrame, simCol: String = "est_jaccard",
+                    aCol: String = "doc_a", bCol: String = "doc_b",
+                    maxIterations: Int = 20): DataFrame = {
+    val labels = componentLabels(pairs, aCol, bCol, maxIterations)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    val edges = pairs
+      .select(col(aCol).as("node"),
+        expr(s"CAST(floor($simCol * 1000000) AS BIGINT)").as("__sim_e6"))
+      .join(labels, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("__sim_e6")).as("min_sim_e6"),
+        expr("CAST(sum(CAST(__sim_e6 AS DECIMAL(38,0)))" +
+          " div CAST(count(1) AS DECIMAL(38,0)) AS BIGINT)")
+          .as("mean_sim_e6"))
+    sizes.join(edges, Seq("label"))
+      .select(col("label"), col("n_docs"), col("n_edges"),
+        (col("n_edges") === col("n_docs") - 1).as("is_tree"),
+        expr("CAST((CAST(n_edges AS DECIMAL(38,0)) * 2000000)" +
+          " div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)")
+          .as("density_e6"),
+        col("min_sim_e6"), col("mean_sim_e6"))
+  }
+
   /** INCREMENTAL connected-component maintenance — the append-path
     * complement to [[componentLabels]], the same way E71/E72 make
     * minhash incremental: a new batch of near-dup edges must not

@@ -729,4 +729,56 @@ object Sampling {
       .select(col(idCol), col("p_permille"), col("p_rank"), col("m"),
         (col("p_permille") <= col("__pstar")).as("rejected"))
   }
+
+  /** Preference-pair construction for reward-model / DPO training
+    * (Stiennon et al. 2020, arXiv:2009.01325; Ouyang et al. 2022,
+    * arXiv:2203.02155) — the post-training data-assembly step the
+    * curation shelf was missing: given scored candidates grouped by
+    * prompt (or any group key), pair each group's BEST candidate
+    * against its worst candidates, keeping only pairs whose score gap
+    * clears `minGap` (a pair the scorer can barely separate teaches
+    * the reward model noise — the published pipelines filter on
+    * separation for exactly this reason).
+    *
+    * Semantics, all deterministic: chosen = the group's max score,
+    * ties to the smallest id; rejected = candidates with score ≤
+    * chosen − minGap (the chosen row itself is always excluded),
+    * lowest score first, ties to the smallest id, at most
+    * `maxRejected` per group (best-vs-worst pairing — the widest
+    * usable gaps first). A group whose runner-ups all sit inside the
+    * gap yields no pairs — the honest empty answer, not a forced
+    * noisy pair.
+    *
+    * Shape: one per-group top-1 window (WindowGroupLimit — literal
+    * k = 1), one group-keyed equi-join back (co-partitioned with the
+    * window's shuffle — no second exchange), one ascending rank
+    * window on the co-partitioned result (sort only). Per-group work
+    * is |group| log |group|; nothing crosses groups, so the operator
+    * scales with the number of candidates, not their pairings. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, minGap: Long = 1L,
+                      maxRejected: Int = 3): DataFrame = {
+    require(minGap >= 0, "minGap must be >= 0")
+    require(maxRejected >= 1, "maxRejected must be >= 1")
+    val wBest = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val chosen = df
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(idCol).as("chosen_id"),
+        col(scoreCol).cast("long").as("chosen_score"))
+    df.select(col(groupCol), col(idCol).as("rejected_id"),
+        col(scoreCol).cast("long").as("rejected_score"))
+      .join(chosen, Seq(groupCol))
+      .filter(col("rejected_id") =!= col("chosen_id") &&
+        col("rejected_score") <= col("chosen_score") - lit(minGap))
+      .withColumn("pair_rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("rejected_score").asc, col("rejected_id").asc)))
+      .filter(col("pair_rank") <= maxRejected)
+      .select(col(groupCol), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("gap"),
+        col("pair_rank"))
+  }
 }

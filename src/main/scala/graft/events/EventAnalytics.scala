@@ -260,6 +260,59 @@ object EventAnalytics {
       .drop("__tot")
   }
 
+  /** Per-user behavioral surprisal under the corpus's own first-order
+    * Markov model — the ANOMALY-SCORING consumer of
+    * [[transitionMatrix]]'s counts (which report the model; this
+    * scores each user against it): a user whose transitions are
+    * individually common scores low; scripted or compromised accounts
+    * walking rare edges score high, and `max_bits` points at the
+    * single most surprising hop. Self-scored (model and subjects from
+    * the same corpus — the standard unsupervised-anomaly setup), so
+    * every scored transition exists in the model; add-one (Laplace)
+    * smoothing keeps the arithmetic total anyway and makes scores
+    * comparable across re-trainings: P(b|a) = (c(a,b)+1)/(c(a·)+K),
+    * K = distinct event types.
+    *
+    * Exact: per-transition surprisal = floor(log2(den/num)) over
+    * plain BIGINTs (counts bounded by |events| — no products, unlike
+    * the E335 rationals), summed/maxed per user; mean in millibits by
+    * floor division; users with < 2 events kept with zero
+    * transitions and NULL scores (the audit stance).
+    *
+    * Shape: one (ts, event_id)-ordered window pass (the E132
+    * tiebreak), a types²-bounded model table joined back by type
+    * keys, one user-keyed aggregate. Type keys are Zipf-skewed at
+    * scale — AQE skew-join territory, same note as E335. */
+  def behaviorSurprisal(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("to_type"))
+    val c12 = tr.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy(col("from_type")).agg(sum(col("__c12")).as("__c1"))
+    val kTypes = events.agg(countDistinct(col("event_type")).as("__k"))
+    val scored = tr
+      .join(c12, Seq("from_type", "to_type"))
+      .join(c1, Seq("from_type"))
+      .crossJoin(broadcast(kTypes))
+      .withColumn("__bits", expr(
+        "CAST(length(bin((__c1 + __k) div (__c12 + 1))) - 1 AS BIGINT)"))
+    val agg = scored.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("__bits")).as("total_bits"),
+        max(col("__bits")).as("max_bits"))
+    events.select(col("user_id")).distinct()
+      .join(agg, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        col("total_bits"), col("max_bits"),
+        expr("(total_bits * 1000) div n_transitions").as("mean_millibits"))
+  }
+
   /** Most common 3-step event paths — the SECOND-ORDER sequence
     * report [[transitionMatrix]]'s first-order marginals structurally
     * cannot show: a scripted loop A→B→A→B has exactly the same

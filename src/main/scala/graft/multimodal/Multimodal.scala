@@ -60,6 +60,17 @@ object Multimodal {
   def gifMeta(bin: Column): Column =
     graft.functions.GifFunctions.gifMeta(bin)
 
+  /** Per-frame GIF inventory (position, dimensions, local palette,
+    * GCE delay/disposal — one struct per image descriptor in stream
+    * order) via the native [[graft.functions.GifFrames]] block walk:
+    * the frame-SAMPLE plumbing step for the one multi-frame container
+    * parseable from first principles here — a sampler explodes these
+    * rows and keeps every Nth frame / frames past a delay threshold
+    * BEFORE any pixel decode is paid. Malformed blobs yield NULL
+    * (whole array), never an error; bytes never shuffle. */
+  def gifFrames(bin: Column): Column =
+    graft.functions.GifFunctions.gifFrames(bin)
+
   /** Perceptual audio fingerprint of a PCM16 WAV: 65-segment energy
     * envelope → 64 adjacent-mean comparison bits, gain-invariant
     * (see [[graft.functions.WavPcmUtil.fingerprint]]); scan-side,

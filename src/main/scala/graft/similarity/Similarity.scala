@@ -196,6 +196,144 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Multi-probe LSH ANN top-k (Lv, Josephson, Wang, Charikar & Li,
+    * VLDB 2007): each query probes, per band, its own bucket PLUS the
+    * `bits` buckets at Hamming distance 1 (one sign bit flipped) —
+    * the buckets a near neighbor most likely fell into when one
+    * hyperplane narrowly disagreed. The recall knob that does NOT
+    * grow the index: more bands multiply the CORPUS-side index rows
+    * (the expensive side at 100 TB); multi-probe multiplies only the
+    * QUERY-side probe rows (queries ≪ corpus by contract, and they
+    * ride the same broadcast). Candidates are still one (band, key)
+    * equi-join; a pair colliding through several probes is deduped
+    * on ids BEFORE any vector is touched (ids-only distinct — the
+    * vectors join back after), then exact cosine re-ranks, the
+    * [[knnLsh]] contract. Probing depth is fixed at Hamming ≤ 1
+    * (1 + bits probes/band — the paper's T small regime); deeper
+    * perturbation sets trade toward a flat scan and are a different
+    * operator by design, stated. */
+  def knnLshMultiprobe(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                       bits: Int = signatureBits, bands: Int = signatureBands,
+                       dim: Int = 64, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val c = corpus.select(col(idCol),
+        bandKeys(col(vecCol), bands, bits, dim).as("__keys"))
+      .select(col(idCol), posexplode(col("__keys")).as(Seq("__band", "__key")))
+    val probes = (0 until bits).map(j =>
+      col("__key").bitwiseXOR(lit(1 << j))) :+ col("__key")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        bandKeys(col(vecCol), bands, bits, dim).as("__qkeys"))
+      .select(col("query_id"),
+        posexplode(col("__qkeys")).as(Seq("__band", "__key")))
+      .select(col("query_id"), col("__band"),
+        explode(array(probes: _*)).as("__key")))
+    val candIds = c.join(q, Seq("__band", "__key"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol))
+      .distinct()
+    val cv = corpus.select(col(idCol), col(vecCol),
+      vecNorm(col(vecCol)).as("__cnorm"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), vecNorm(col(vecCol)).as("__qnorm")))
+    val scored = candIds.join(cv, Seq(idCol)).join(qv, Seq("query_id"))
+      .withColumn("cosine",
+        vecDot(col("__qv"), col(vecCol)) / (col("__qnorm") * col("__cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
+  /** k-NN GRAPH construction — LSH-seeded NN-Descent (Dong, Moses &
+    * Li, WWW 2011 "Efficient k-nearest neighbor graph construction
+    * for generic similarity measures"): the bulk operator behind
+    * SemDeDup-style embedding curation and graph-based ANN serving,
+    * where EVERY vector needs its neighbors, not just a query set —
+    * running [[knnBruteForce]] per vector is the n² no one can pay.
+    *
+    * Seed: sign-LSH band collisions ([[knnLsh]]'s candidate
+    * generation as a SELF-join — one row per colliding pair via the
+    * [[firstMatchingBand]] dedup filter), exact-cosine top-k per
+    * vector. Then `rounds` NN-Descent refinements, each exploiting
+    * the paper's observation that a neighbor of a neighbor is likely
+    * a neighbor: candidates = pairs sharing a pivot in the current
+    * adjacency B = G ∪ G⁻¹, re-ranked by exact cosine against the
+    * incumbents. Two deliberate deviations from the paper, both
+    * FOR determinism: reverse edges are capped per node at `revCap`
+    * BY RANK (cosine desc, id — the ρ-sampling analogue, bounded
+    * instead of randomly sampled, so hub nodes cannot quadratically
+    * explode the pivot join), and there is no "new/old flag" delta
+    * optimization (it trades recompute for state; the exact output
+    * is unchanged — stated so nobody mistakes the omission for a
+    * semantic difference).
+    *
+    * Scale: per round, |B| ≤ n·(k+revCap) edges; the pivot
+    * equi-join's fanout is ≤ (k+revCap)² per pivot, so candidates ≤
+    * n·(k+revCap)² — LINEAR in n with a k² constant (the paper's
+    * O(n·k²) per-round cost), vs n² for brute force. All equi-joins
+    * + WindowGroupLimit top-k windows; `distinct` dedups candidates
+    * before any dot product is paid; multi-round lineage rides
+    * [[graft.core.Iterate.barrier]]. rounds = 0 returns the raw LSH
+    * seed graph (the eval baseline q332 measures against). */
+  def knnGraphDescent(vectors: DataFrame, k: Int = 10, revCap: Int = 10,
+                      rounds: Int = 1,
+                      bits: Int = signatureBits, bands: Int = signatureBands,
+                      dim: Int = 64, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(revCap >= 0, "revCap must be >= 0")
+    require(rounds >= 0, "rounds must be >= 0")
+    val base = vectors.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      vecNorm(col(vecCol)).as("__norm"))
+    def topKPerSrc(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+    val keyed = base.withColumn("__keys",
+      bandKeys(col("__vec"), bands, bits, dim))
+    val left = keyed.select(col("__id").as("src"), col("__vec").as("__sv"),
+      col("__norm").as("__snorm"), col("__keys").as("__skeys"),
+      posexplode(col("__keys")).as(Seq("__band", "__key")))
+    val right = keyed.select(col("__id").as("dst"), col("__vec").as("__dv"),
+      col("__norm").as("__dnorm"), col("__keys").as("__dkeys"),
+      posexplode(col("__keys")).as(Seq("__band", "__key")))
+    val seedPairs = left.join(right, Seq("__band", "__key"))
+      .filter(col("src") =!= col("dst"))
+      .filter(firstMatchingBand(col("__skeys"), col("__dkeys"), bands) ===
+        col("__band") + 1)
+      .withColumn("cosine",
+        vecDot(col("__sv"), col("__dv")) / (col("__snorm") * col("__dnorm")))
+      .select(col("src"), col("dst"), col("cosine"))
+    var g = topKPerSrc(seedPairs)
+    for (_ <- 0 until rounds) {
+      val fwd = g.select(col("src"), col("dst"))
+      val rev = g.withColumn("__r", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("cosine").desc, col("src"))))
+        .filter(col("__r") <= revCap)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val b = fwd.union(rev)
+      val cand = b.as("x").join(b.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") =!= col("y.dst"))
+        .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+      val scored = cand.union(fwd).distinct()
+        .join(base.select(col("__id").as("src"), col("__vec").as("__sv"),
+          col("__norm").as("__snorm")), Seq("src"))
+        .join(base.select(col("__id").as("dst"), col("__vec").as("__dv"),
+          col("__norm").as("__dnorm")), Seq("dst"))
+        .withColumn("cosine",
+          vecDot(col("__sv"), col("__dv")) / (col("__snorm") * col("__dnorm")))
+        .select(col("src"), col("dst"), col("cosine"))
+      g = graft.core.Iterate.barrier(topKPerSrc(scored))
+    }
+    g.select(col("src").as(idCol), col("dst").as("neighbor_id"),
+      col("rank"), col("cosine"))
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Per-centroid comparison structs `(d = −cosine(vec, centroid), cell)`.

@@ -869,6 +869,92 @@ object TextAnalysis {
         expr("(total_bits * 1000) div n_bigrams").as("mean_millibits"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring, train slice → target
+    * corpus (Kneser & Ney, ICASSP 1995; Chen & Goodman 1998; the
+    * CCNet perplexity filter, Wenzek et al. 2019 arXiv:1911.00359
+    * trains KenLM on a REFERENCE corpus and buckets CommonCrawl by
+    * the score). Closes E74's stated proxy gap: `lmFamiliarity`
+    * scores docs against the corpus's OWN bigram frequencies — no
+    * smoothing, no held-out reference, unseen transitions silently
+    * dropped; this is the real thing — a discounted model TRAINED on
+    * `train`, scoring every `target` doc including transitions the
+    * reference never saw (exactly the docs a perplexity filter
+    * exists to catch).
+    *
+    * Model (discount D = 3/4 fixed — Chen & Goodman's ~0.75 across
+    * corpora; a FIXED rational keeps every probability an exact
+    * integer pair): for history v with train continuations
+    * c1(v) = Σ_w c12(v,w) and n1f(v) distinct continuations,
+    *   P(w|v) = max(c12−D, 0)/c1 + (D·n1f/c1)·Pcont(w),
+    * and for an unseen/OOV history P(w|v) = Pcont(w), where the
+    * continuation distribution is unk-smoothed over vocab ∪ {unk}:
+    *   Pcont(w) = (n1r(w)+1)/Z,  Z = B + V + 1
+    * (n1r = distinct left-contexts of w, B = distinct bigram types,
+    * V = distinct train tokens; Σ over vocab∪{unk} = Z exactly, and
+    * the discount identity makes each P(·|v) sum to 1 — a PROPER
+    * conditional model, spec-pinned on a hand corpus).
+    *
+    * Exactness: ×4 clears the discount (4c12−3), ×Z clears Pcont —
+    * per-token probability num/den in DECIMAL(38,0) (count products
+    * at 100 TB overflow int64: c1·Z ~ 10^30), surprisal as
+    * floor(log2(den/num)) via [[graft.core.Exact.quotientBits]]'s
+    * branch device (exact, 62-bit clip stated there), summed per doc
+    * with the q321 output convention (mean_millibits, bigram-less
+    * docs kept with NULLs).
+    *
+    * Shape: train-side aggregates are vocabulary-bounded; scoring is
+    * three equi-joins of the target's bigram stream against those
+    * vocab tables plus one 1-row broadcast (Z), then one doc-keyed
+    * aggregate. The (v)-keyed join is Zipf-skewed at scale — common
+    * histories dominate — which is AQE skew-join territory (or salt
+    * via [[graft.etl.Skew]]); nothing here is all-pairs and the
+    * model tables never exceed the vocabulary. */
+  def knSurprisal(train: DataFrame, target: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    def vw(df: DataFrame): DataFrame = df
+      .withColumn("__v", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w", split(col("bigram"), " ").getItem(1))
+    val c12 = vw(docBigrams(train, idCol, textCol))
+      .groupBy(col("__v"), col("__w")).agg(count(lit(1)).as("__c12"))
+    val hist = c12.groupBy(col("__v"))
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1f"))
+    val contw = c12.groupBy(col("__w")).agg(count(lit(1)).as("__n1r"))
+    val zRow = c12.agg(count(lit(1)).as("__B")).crossJoin(
+        withTokens(train, textCol)
+          .select(explode(col("tokens")).as("__t"))
+          .agg(countDistinct(col("__t")).as("__V")))
+      .select((col("__B") + col("__V") + lit(1L)).as("__Z"))
+    val scored = vw(docBigrams(target, idCol, textCol))
+      .join(c12, Seq("__v", "__w"), "left")
+      .join(hist, Seq("__v"), "left")
+      .join(contw, Seq("__w"), "left")
+      .crossJoin(broadcast(zRow))
+      .withColumn("__pn", coalesce(col("__n1r"), lit(0L)) + lit(1L))
+      .withColumn("__a",
+        greatest(lit(0L), coalesce(col("__c12"), lit(0L)) * 4L - 3L))
+      .withColumn("__num", when(col("__c1").isNotNull,
+          expr("CAST(__a AS DECIMAL(38,0)) * CAST(__Z AS DECIMAL(38,0))" +
+            " + CAST(3 AS DECIMAL(38,0)) * CAST(__n1f AS DECIMAL(38,0))" +
+            " * CAST(__pn AS DECIMAL(38,0))"))
+        .otherwise(expr("CAST(__pn AS DECIMAL(38,0))")))
+      .withColumn("__den", when(col("__c1").isNotNull,
+          expr("CAST(4 AS DECIMAL(38,0)) * CAST(__c1 AS DECIMAL(38,0))" +
+            " * CAST(__Z AS DECIMAL(38,0))"))
+        .otherwise(expr("CAST(__Z AS DECIMAL(38,0))")))
+      .withColumn("__bits", graft.core.Exact.quotientBits("__num", "__den"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c12").isNull, 1L).otherwise(0L)).as("n_novel"),
+        sum(col("__bits")).as("total_bits"))
+    target.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("total_bits"),
+        expr("(total_bits * 1000) div n_bigrams").as("mean_millibits"))
+  }
+
   /** Harman's S-stemmer (Harman, *JASIS* 1991 "How effective is
     * suffixing?") as a single codegen'd CASE — the three-rule plural
     * conflator that captures most of English stemming's retrieval

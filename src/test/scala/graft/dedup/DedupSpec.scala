@@ -595,4 +595,21 @@ class DedupSpec extends SparkSpec {
     assertSameRows(Dedup.weightedJaccardPairs(d, tauPermille = 1L),
       Dedup.weightedJaccardPairs(d.repartition(7), tauPermille = 1L))
   }
+
+  test("chainingAudit: a chain flags as tree with its weakest edge; a clique does not") {
+    import spark.implicits._
+    val pairs = Seq(
+      // chain 1-2-3: the transitive merge no edge ever claimed
+      (1L, 2L, 0.90), (2L, 3L, 0.80),
+      // clique 10-11-12: every merge is pairwise-backed
+      (10L, 11L, 0.95), (10L, 12L, 0.95), (11L, 12L, 0.95)
+    ).toDF("doc_a", "doc_b", "est_jaccard")
+    val out = Dedup.chainingAudit(pairs).orderBy("label")
+      .as[(Long, Long, Long, Boolean, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 3L, 2L, true, 666666L, 800000L, 850000L),
+      (10L, 3L, 3L, false, 1000000L, 950000L, 950000L))
+    assertSameRows(Dedup.chainingAudit(pairs),
+      Dedup.chainingAudit(pairs.repartition(5)))
+  }
 }

@@ -540,4 +540,56 @@ test("signFlipTest: a huge one-sided uplift is significant; symmetric noise is n
     assertSameRows(Sampling.bhCorrection(d, "test_id", "p"),
       Sampling.bhCorrection(d.repartition(7), "test_id", "p"))
   }
+
+  private def prefFixture = {
+    import spark.implicits._
+    Seq(
+      // g1: chosen = id 1 (score 100 ties id 5 -> min id wins); inside
+      // the 20-gap: id 4 (95) and id 5 (100) excluded; rejected
+      // ascending: id 3 (60) then id 2 (80)
+      ("g1", 1L, 100L), ("g1", 2L, 80L), ("g1", 3L, 60L),
+      ("g1", 4L, 95L), ("g1", 5L, 100L),
+      // g2: runner-up inside the gap -> no pairs at all
+      ("g2", 6L, 50L), ("g2", 7L, 45L),
+      // g3: singleton -> no pairs
+      ("g3", 8L, 70L)
+    ).toDF("grp", "doc_id", "score")
+  }
+
+  test("preferencePairs: best-vs-worst with gap filter, tiebreaks, empty groups") {
+    import spark.implicits._
+    val out = Sampling.preferencePairs(prefFixture, "grp", "doc_id", "score",
+        minGap = 20L, maxRejected = 3)
+      .select("grp", "chosen_id", "rejected_id", "chosen_score",
+        "rejected_score", "gap", "pair_rank")
+      .orderBy("grp", "pair_rank")
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect().toSeq
+    out shouldBe Seq(
+      ("g1", 1L, 3L, 100L, 60L, 40L, 1),
+      ("g1", 1L, 2L, 100L, 80L, 20L, 2))
+  }
+
+  test("preferencePairs: maxRejected caps at the widest gaps; minGap=0 still excludes self") {
+    val capped = Sampling.preferencePairs(prefFixture, "grp", "doc_id",
+      "score", minGap = 20L, maxRejected = 1)
+    capped.count() shouldBe 1L
+    capped.select("rejected_id").head().getLong(0) shouldBe 3L
+    // minGap = 0: the chosen row never pairs with itself, but its
+    // score twin (id 5) does pair
+    val zero = Sampling.preferencePairs(prefFixture, "grp", "doc_id",
+      "score", minGap = 0L, maxRejected = 10)
+    zero.filter(col("rejected_id") === col("chosen_id")).count() shouldBe 0L
+    zero.filter(col("grp") === "g1").count() shouldBe 4L
+  }
+
+  test("preferencePairs is partitioning-invariant") {
+    import spark.implicits._
+    val big = (1L to 400L)
+      .map(i => (s"p${i % 13}", i, (i * 7919) % 500))
+      .toDF("grp", "doc_id", "score")
+    assertSameRows(
+      Sampling.preferencePairs(big, "grp", "doc_id", "score", 10L, 3),
+      Sampling.preferencePairs(big.repartition(7), "grp", "doc_id", "score",
+        10L, 3))
+  }
 }

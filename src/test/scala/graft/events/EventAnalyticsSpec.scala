@@ -879,4 +879,33 @@ test("sessionWindows: exact-gap boundary MERGES, matching sessionize's strict >"
       .orderBy(col("lag")).collect().map(_.toSeq)
     a shouldBe b
   }
+
+  test("behaviorSurprisal: hand add-one Markov bits — common hop 0 bits, rare hop scored, loner NULL") {
+    // u1 fires A->A nine times (10 'a' events), u2 fires the one rare
+    // A->B hop, u3 has a single event. Model: c(A,A)=9, c(A,B)=1,
+    // c(A.)=10, K=2 types. bits(A->A) = floor(log2(12 div 10)) = 0;
+    // bits(A->B) = floor(log2(12 div 2)) = 2.
+    val rows = (1L to 10L).map(i => ev(i, i, 1, "a")) ++
+      Seq(ev(11, 1, 2, "a"), ev(12, 2, 2, "b"), ev(13, 1, 3, "a"))
+    val d = df(schema, rows: _*)
+    val out = EventAnalytics.behaviorSurprisal(d).orderBy("user_id")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    out shouldBe Seq(
+      (1L, 9L, Some(0L), Some(0L), Some(0L)),
+      (2L, 1L, Some(2L), Some(2L), Some(2000L)),
+      (3L, 0L, None, None, None))
+  }
+
+  test("behaviorSurprisal: equal-timestamp hops stay deterministic; partitioning-invariant") {
+    // two same-minute events per user — the (ts, event_id) tiebreak
+    // decides the transition direction identically under any layout
+    val rows = (1L to 40L).flatMap(u => Seq(
+      ev(u * 10, 5, u, if (u % 2 == 0) "x" else "y"),
+      ev(u * 10 + 1, 5, u, "z"),
+      ev(u * 10 + 2, 9, u, if (u % 3 == 0) "x" else "y")))
+    val d = df(schema, rows: _*)
+    assertSameRows(EventAnalytics.behaviorSurprisal(d),
+      EventAnalytics.behaviorSurprisal(d.repartition(7)))
+  }
 }

@@ -540,4 +540,76 @@ test("silenceTrim: leading/trailing silence bounds, interior pause preserved") {
       run() shouldBe codegen
     }
   }
+
+  private def frameRows(b: Array[Byte]) = media(1L -> b)
+    .select(explode(Multimodal.gifFrames(col("media"))).as("f"))
+    .select("f.frame_index", "f.left", "f.top", "f.width", "f.height",
+      "f.lct_entries", "f.delay_cs", "f.disposal")
+    .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    .collect().toSeq
+
+  test("gifFrames: animation fixture fields match the index formulas, " +
+    "incl. the GCE-less fifth frame's 0/0 spec default") {
+    val rows = frameRows(Gif.encodeAnimation(w = 10, h = 6, nFrames = 7))
+    rows.size shouldBe 7
+    rows.zipWithIndex.foreach { case ((fi, l, t, w, h, lct, d, disp), i) =>
+      withClue(s"frame $i: ") {
+        fi shouldBe i.toLong
+        l shouldBe 2L * i
+        t shouldBe 3L * i
+        w shouldBe 1L + i % 10
+        h shouldBe 1L + i % 6
+        lct shouldBe (if (i % 3 == 0) 1L << ((i % 7) + 1) else 0L)
+        if (i % 5 == 4) { d shouldBe 0L; disp shouldBe 0L }
+        else { d shouldBe 4L + 3L * i; disp shouldBe i % 4L }
+      }
+    }
+  }
+
+  test("gifFrames: 87a fixtures carry no GCEs — every frame reports 0/0") {
+    val rows = frameRows(
+      Gif.encodeAnimation(w = 8, h = 8, nFrames = 4, version89 = false))
+    rows.size shouldBe 4
+    rows.foreach { case (_, _, _, _, _, _, d, disp) =>
+      d shouldBe 0L; disp shouldBe 0L
+    }
+  }
+
+  test("gifFrames: malformed streams degrade to NULL, never throw") {
+    val good = Gif.encodeAnimation(w = 6, h = 4, nFrames = 3)
+    def isNullFor(b: Array[Byte]): Boolean = media(1L -> b)
+      .select(Multimodal.gifFrames(col("media")).isNull.as("n"))
+      .as[Boolean].head()
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "not a gif" -> "plain text padded out".getBytes("US-ASCII"),
+      "trailer cut" -> good.dropRight(1),
+      // GCE of frame 0 sits right after the 13-byte header; its
+      // length byte (spec: 4) is at offset 15 — a wrong length is
+      // lost sync, not a guess
+      "GCE with non-spec length byte" -> { val b = good.clone()
+        b(15) = 3.toByte; b },
+      "imageless stream" -> Gif.encodeHeader(w = 8, h = 8, nImages = 0),
+      "mid-frame truncation" -> good.take(20))
+    for ((name, b) <- cases) withClue(name) { isNullFor(b) shouldBe true }
+    isNullFor(good) shouldBe false // the surgery baseline is valid
+  }
+
+  test("gifFrames: interpreted and codegen paths agree (incl. NULL rows)") {
+    val d = media(((1L to 12L).map { i =>
+      i -> Gif.encodeAnimation(w = (6 + i % 5).toInt, h = (4 + i % 3).toInt,
+        nFrames = (1 + i % 4).toInt, version89 = i % 3 != 0)
+    } :+ (99L -> "garbage".getBytes("US-ASCII"))): _*)
+    def run(): Seq[(Long, Boolean, Long)] = d
+      .select(col("id"), Multimodal.gifFrames(col("media")).as("f"))
+      .select(col("id"), col("f").isNull.as("missing"),
+        coalesce(org.apache.spark.sql.functions.size(col("f")), lit(-1))
+          .cast("long").as("n"))
+      .orderBy("id").as[(Long, Boolean, Long)].collect().toSeq
+    val codegen = run()
+    codegen.count(_._2) shouldBe 1 // exactly the garbage row is NULL
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+  }
 }

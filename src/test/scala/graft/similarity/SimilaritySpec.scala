@@ -695,4 +695,88 @@ class SimilaritySpec extends SparkSpec {
     assertSameRows(Similarity.dimensionAudit(big),
       Similarity.dimensionAudit(big.repartition(7)))
   }
+
+  test("knnGraphDescent rounds=0 IS the LSH seed graph (knnLsh with the corpus as queries)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seed = Similarity.knnGraphDescent(emb, k = 5, rounds = 0)
+    val lshSelf = Similarity.knnLsh(emb, emb, k = 5)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("rank"), col("cosine"))
+    assertSameRows(seed, lshSelf)
+  }
+
+  test("knnGraphDescent: a descent round never loses an exact-top-k hit (and gains here)") {
+    // refined top-k = top-k of a SUPERSET of the seed's edges, and
+    // exact-top-k members outrank every non-member by construction
+    // (same cosine-desc/id order), so per-query hits are monotone —
+    // asserted per query, plus a strict global gain on this fixture.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val exact = Similarity.knnBruteForce(emb, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitsByQuery(rounds: Int): Map[Long, Long] =
+      Similarity.knnGraphDescent(emb, k = 5, rounds = rounds)
+        .select(col("vec_id").as("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").count()
+        .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    val h0 = hitsByQuery(0)
+    val h1 = hitsByQuery(1)
+    (h0.keySet ++ h1.keySet).foreach { q =>
+      withClue(s"query $q: ") { h1(q) should be >= h0(q) }
+    }
+    h1.values.sum should be > h0.values.sum
+  }
+
+  test("knnGraphDescent output is a well-formed ranked graph; partitioning-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val g = Similarity.knnGraphDescent(emb, k = 5, rounds = 1)
+    g.filter(col("vec_id") === col("neighbor_id")).count() shouldBe 0L
+    val shape = g.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("maxr"),
+        countDistinct(col("neighbor_id")).as("nd"))
+      .filter(col("n") > 5 || col("maxr") =!= col("n") || col("nd") =!= col("n"))
+    shape.count() shouldBe 0L
+    assertSameRows(g,
+      Similarity.knnGraphDescent(emb.repartition(7), k = 5, rounds = 1))
+  }
+
+  test("knnLshMultiprobe: per-query exact hits never drop vs knnLsh (mask-0 probe = the plain bucket) and gain here") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.knnBruteForce(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitsByQuery(ann: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      ann.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").count()
+        .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    val plain = hitsByQuery(Similarity.knnLsh(emb, queries, k = 5))
+    val multi = hitsByQuery(Similarity.knnLshMultiprobe(emb, queries, k = 5))
+    (plain.keySet ++ multi.keySet).foreach { q =>
+      withClue(s"query $q: ") { multi(q) should be >= plain(q) }
+    }
+    multi.values.sum should be > plain.values.sum
+    assertSameRows(
+      Similarity.knnLshMultiprobe(emb, queries, k = 5),
+      Similarity.knnLshMultiprobe(emb.repartition(7),
+        queries.repartition(3), k = 5))
+  }
+
+  test("knnGraphDescent: revCap=0 (forward-only descent) is well-formed and never worse than the seed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val exact = Similarity.knnBruteForce(emb, emb, k = 5)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"))
+    def hits(g: org.apache.spark.sql.DataFrame): Long =
+      g.select(col("vec_id"), col("neighbor_id"))
+        .join(exact, Seq("vec_id", "neighbor_id")).count()
+    val seed = hits(Similarity.knnGraphDescent(emb, k = 5, rounds = 0))
+    val fwdOnly = hits(Similarity.knnGraphDescent(emb, k = 5, revCap = 0,
+      rounds = 1))
+    fwdOnly should be >= seed
+  }
 }

