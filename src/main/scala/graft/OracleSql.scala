@@ -7701,6 +7701,59 @@ g1 AS (
 SELECT src AS vec_id, dst AS neighbor_id, CAST(r AS INTEGER) AS rank, cosine
 FROM g1 ORDER BY vec_id, rank"""
 
+  /** q338 twin of [[graft.dedup.Dedup.winnowingPairs]] (k=3, w=4,
+    * maxDocFreq=50): the same shingle hashes with 1-based positions,
+    * the same per-window rightmost-min (min over (h, -p) structs),
+    * full windows only, distinct (doc, hash) fingerprints, df-capped
+    * pair counts. */
+  val q338_winnowing_pairs: String = shinglesCte + """
+, g AS (
+  SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS p,
+    len(hs) AS ng
+  FROM xs WHERE len(hs) >= 4),
+win AS (
+  SELECT doc_id, p, ng,
+    min(struct_pack(h := h, np := -p)) OVER (
+      PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM g),
+fp AS (
+  SELECT DISTINCT doc_id, m.h AS h
+  FROM win WHERE p <= ng - 3),
+kept AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM fp GROUP BY 1)
+  WHERE c BETWEEN 2 AND 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+JOIN kept k ON k.h = a.h
+GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+
+  /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
+    * per-source md5-hash order, stride virtual times with the e6
+    * quantization, and the (vt, source, id) total order — the global
+    * row_number here equals the Spark side's E223 distributed index
+    * by construction. */
+  val q339_weighted_interleave: String = """
+WITH d AS (
+  SELECT doc_id, source,
+    1 + CAST(substr(source, 4) AS INTEGER) % 3 AS w
+  FROM documents),
+idx AS (
+  SELECT doc_id, source, w,
+    row_number() OVER (PARTITION BY source
+      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+        AS BIGINT), doc_id) AS i
+  FROM d),
+vt AS (
+  SELECT doc_id, source, i,
+    ((2 * i - 1) * 1000000) // (2 * w) AS vt
+  FROM idx)
+SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT)
+    AS position,
+  source, doc_id, CAST(vt AS BIGINT) AS vt, CAST(i AS BIGINT) AS source_idx
+FROM vt ORDER BY position"""
+
   /** q335 twin of [[graft.similarity.Similarity.knnLshMultiprobe]]:
     * same corpus key columns; the join predicate admits, per band,
     * the query's own key OR any single-bit flip of it (xor with each
@@ -8949,6 +9002,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q335_ann_multiprobe" -> q335_ann_multiprobe,
     "q336_behavior_surprisal" -> q336_behavior_surprisal,
     "q337_chaining_audit" -> q337_chaining_audit,
+    "q338_winnowing_pairs" -> q338_winnowing_pairs,
+    "q339_weighted_interleave" -> q339_weighted_interleave,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

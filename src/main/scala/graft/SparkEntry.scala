@@ -1336,6 +1336,27 @@ object SparkEntry {
         .orderBy(col("source"), col("pair_rank"))
     }),
 
+    // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
+    // min over k-gram hashes gives position-aware fingerprints with a
+    // detection GUARANTEE (shared spans >= w+k-1 tokens always share
+    // a fingerprint); pairs counted over df-governed fingerprints.
+    "q338_winnowing_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.winnowingPairs(Tables.documents(s, dir),
+          k = 3, w = 4, maxDocFreq = 50)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Weighted fair interleave (stride scheduling): materialize the
+    // consumption ORDER of a ratio-mixed stream so every prefix
+    // tracks the target mixture — positions via the distributed E223
+    // index, never a single-partition window.
+    "q339_weighted_interleave" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("1 + CAST(substr(source, 4) AS INT) % 3").as("w"))
+      graft.etl.Sampling.weightedInterleave(d, "source", "doc_id", "w")
+        .orderBy(col("position"))
+    }),
+
     // Multi-probe LSH ANN (Lv et al. 2007): each query probes its
     // bucket plus every Hamming-1 neighbor per band — the recall knob
     // that multiplies query-side probes, not corpus-side index rows.

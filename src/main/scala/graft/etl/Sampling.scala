@@ -730,6 +730,48 @@ object Sampling {
         (col("p_permille") <= col("__pstar")).as("rejected"))
   }
 
+  /** Weighted fair interleave — materializing the ORDER a ratio-mixed
+    * training stream is consumed in (stride scheduling, Waldspurger &
+    * Weihl OSDI 1995; the WFQ virtual-time device, Demers, Keshav &
+    * Shenker SIGCOMM 1989): E64/E263 decide HOW MUCH of each source
+    * to take; this decides WHEN, so every prefix of the stream tracks
+    * the target ratios — a trainer that stops early (or an epoch
+    * boundary that lands mid-stream) still saw the intended mixture,
+    * where concat-by-source would feed it one source at a time.
+    *
+    * Per source, items take their frozen hash order (keyHash — the
+    * sampler convention) and index i = 1, 2, …; item i of source s
+    * gets virtual time vt = (2i−1)·10^6 div (2·w_s) — the stride
+    * midpoint, quantized at a stated 10^-6 resolution (exact WFQ
+    * compares (2i−1)/w_s as rationals; the e6 floor is deterministic
+    * in both engines and ties break by (source, id), so the schedule
+    * is total and reproducible — and (2i−1)·10^6 bounds i below
+    * ~4.6·10^12 per source in int64, stated loud). Global positions
+    * come from E223's distributed range-partitioned index over
+    * (vt, source, id) — no single-partition window.
+    *
+    * Shape: one per-source rank window, one projection, one
+    * repartitionByRange + bounded offset table (the E223 cost). */
+  def weightedInterleave(df: DataFrame, sourceCol: String, idCol: String,
+                         weightCol: String): DataFrame = {
+    val indexed = df
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(keyHash(col(idCol)), col(idCol))))
+      .withColumn("__vt",
+        expr(s"CASE WHEN $weightCol <= 0 THEN " +
+          "raise_error('weightedInterleave: non-positive weight') " +
+          "ELSE ((2 * CAST(__i AS BIGINT) - 1) * 1000000L)" +
+          s" div (2 * $weightCol) END"))
+    graft.etl.Packing.globalRowIndex(
+        indexed.withColumnRenamed(sourceCol, "__src")
+          .withColumnRenamed(idCol, "__id"),
+        Seq("__vt", "__src", "__id"), "position")
+      .select(col("position"),
+        col("__src").as(sourceCol), col("__id").as(idCol),
+        col("__vt").as("vt"), col("__i").cast("long").as("source_idx"))
+  }
+
   /** Preference-pair construction for reward-model / DPO training
     * (Stiennon et al. 2020, arXiv:2009.01325; Ouyang et al. 2022,
     * arXiv:2203.02155) — the post-training data-assembly step the

@@ -612,4 +612,66 @@ class DedupSpec extends SparkSpec {
     assertSameRows(Dedup.chainingAudit(pairs),
       Dedup.chainingAudit(pairs.repartition(5)))
   }
+
+  /** Reference winnow in plain Scala — same md5-conv-%P hash, same
+    * rightmost-min — so the operator is pinned against first
+    * principles, not against itself. */
+  private def refWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < k + w - 1) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = toks.sliding(k).map { g =>
+      val hex = md.digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % 1000000007L
+    }.toArray
+    (0 to hs.length - w).map { i =>
+      // min hash in window, rightmost position on ties
+      val (h, p) = (i until i + w).map(j => (hs(j), j))
+        .minBy { case (h, p) => (h, -p) }
+      (h, p.toLong)
+    }.toSet
+  }
+
+  test("winnowingFingerprints matches a from-first-principles reference winnow") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "a b c a b c a b c a b",   // duplicate k-grams: ties in-window
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "too short")               // < k+w-1 tokens: no fingerprints
+    val d = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(d, k = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    for ((id, text) <- texts) {
+      withClue(s"doc $id: ") {
+        got.getOrElse(id, Set.empty) shouldBe refWinnow(text, 3, 4)
+      }
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a span of w+k-1 tokens always pair") {
+    import spark.implicits._
+    // unrelated prefixes, one planted 6-token span (= w+k-1 at k=3,w=4)
+    val span = "orange violet crimson amber teal indigo"
+    val d = Seq(
+      1L -> s"alpha beta gamma delta epsilon $span zeta eta",
+      2L -> s"north south east west upward $span downward inward",
+      3L -> "nothing here matches anything else at all today ok")
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(d, k = 3, w = 4, maxDocFreq = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    pairs.map(p => (p._1, p._2)) should contain((1L, 2L))
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+    // density: fingerprints per doc land in [ceil(nw/w), nw]
+    val fp1 = Dedup.winnowingFingerprints(d.filter(col("doc_id") === 1L),
+      k = 3, w = 4).count()
+    val nGrams = 13L - 2  // 13 tokens, k=3
+    val nWindows = nGrams - 3
+    fp1 should be <= nWindows
+    fp1 should be >= (nWindows + 3) / 4
+    assertSameRows(Dedup.winnowingPairs(d, k = 3, w = 4),
+      Dedup.winnowingPairs(d.repartition(5), k = 3, w = 4))
+  }
 }

@@ -582,6 +582,37 @@ test("signFlipTest: a huge one-sided uplift is significant; symmetric noise is n
     zero.filter(col("grp") === "g1").count() shouldBe 4L
   }
 
+  test("weightedInterleave: every prefix tracks the target ratios; stride arithmetic by hand") {
+    import spark.implicits._
+    val d = ((1L to 40L).map(i => ("a", i, 3L)) ++
+      (101L to 140L).map(i => ("b", i, 1L))).toDF("src", "doc_id", "w")
+    val out = Sampling.weightedInterleave(d, "src", "doc_id", "w")
+      .orderBy("position")
+      .select("position", "src", "vt", "source_idx")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    out.map(_._1) shouldBe (1L to 80L)
+    // stride midpoints: a_i at (2i-1)e6/6, b_j at (2j-1)e6/2
+    out.find(r => r._2 == "a" && r._4 == 1L).get._3 shouldBe 166666L
+    out.find(r => r._2 == "b" && r._4 == 1L).get._3 shouldBe 500000L
+    // WFQ prefix property: while both sources are live, source a
+    // (weight 3) holds ~3/4 of every prefix within one stride
+    for (n <- 4 to 52 by 4) {
+      val na = out.take(n).count(_._2 == "a")
+      withClue(s"prefix $n: ") { math.abs(na - 3 * n / 4) should be <= 1 }
+    }
+    assertSameRows(Sampling.weightedInterleave(d, "src", "doc_id", "w"),
+      Sampling.weightedInterleave(d.repartition(7), "src", "doc_id", "w"))
+  }
+
+  test("weightedInterleave fails loudly on non-positive weights") {
+    import spark.implicits._
+    val bad = Seq(("a", 1L, 0L)).toDF("src", "doc_id", "w")
+    val ex = intercept[Exception] {
+      Sampling.weightedInterleave(bad, "src", "doc_id", "w").collect()
+    }
+    ex.getMessage should include("non-positive weight")
+  }
+
   test("preferencePairs is partitioning-invariant") {
     import spark.implicits._
     val big = (1L to 400L)
