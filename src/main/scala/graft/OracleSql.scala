@@ -7701,6 +7701,75 @@ g1 AS (
 SELECT src AS vec_id, dst AS neighbor_id, CAST(r AS INTEGER) AS rank, cosine
 FROM g1 ORDER BY vec_id, rank"""
 
+  /** q341 twin of the decimation round trip: the decimated stats all
+    * derive from the q216 SAMPLE FORMULA at frames 0, 3, 6, … — no
+    * WAV parsed or produced in the oracle, so hash equality pins
+    * decode → every-3rd-frame decimation → re-encode → re-decode,
+    * including the divided declared rate and the decimated-order
+    * channel-0 zero-crossing count. */
+  val q341_wav_decimate: String = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 37 AS nf,
+    8000 + 100 * (doc_id % 4) AS rate
+  FROM documents),
+sm AS (
+  SELECT d.doc_id, d.ch, d.nf, d.rate, fr.f, c.c,
+    ((7919 * d.doc_id + 104729 * (fr.f * d.ch + c.c)
+      + 1299721 * (fr.f * d.ch + c.c) * (fr.f * d.ch + c.c)) % 65536)
+      - 32768 AS v
+  FROM d,
+    LATERAL (SELECT unnest(range(0, CAST(d.nf AS BIGINT), 3)) AS f) fr,
+    LATERAL (SELECT unnest(range(0, CAST(d.ch AS BIGINT))) AS c) c),
+z AS (
+  SELECT doc_id, count(*) AS zc FROM (
+    SELECT doc_id, v,
+      lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+    FROM sm WHERE c = 0)
+  WHERE pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+  GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, max(ch) AS ch, max(rate) AS rate, max(nf) AS nf,
+    sum(v) AS sum_all, sum(abs(v)) AS sum_abs,
+    min(v) AS min_s, max(v) AS max_s
+  FROM sm GROUP BY doc_id)
+SELECT a.doc_id, CAST(a.ch AS BIGINT) AS channels,
+  CAST(a.rate // 3 AS BIGINT) AS sample_rate,
+  CAST((a.nf + 2) // 3 AS BIGINT) AS n_frames,
+  CAST(a.sum_all AS BIGINT) AS sum_all,
+  CAST(a.sum_abs AS BIGINT) AS sum_abs,
+  CAST(a.min_s AS BIGINT) AS min_s, CAST(a.max_s AS BIGINT) AS max_s,
+  CAST(coalesce(z.zc, 0) AS BIGINT) AS zero_cross0
+FROM agg a LEFT JOIN z ON z.doc_id = a.doc_id
+ORDER BY a.doc_id"""
+
+  /** q340 twin of the thumbnail round trip: stride, thumb dims, and
+    * per-channel sums all derive from the q114-style PIXEL FORMULAS
+    * at the nearest-sampled coordinates (tx·s, ty·s) — no PNG is
+    * parsed or produced anywhere in the oracle, so hash equality
+    * pins decode → integer-stride resample → re-encode → re-decode
+    * end to end. */
+  val q340_png_thumbnail: String = """
+WITH td AS (
+  SELECT doc_id, w, h, s, (w + s - 1) // s AS tw, (h + s - 1) // s AS th
+  FROM (
+    SELECT doc_id, w, h, greatest((w + 5) // 6, (h + 5) // 6, 1) AS s
+    FROM (SELECT doc_id, 12 + doc_id % 9 AS w, 10 + doc_id % 7 AS h
+          FROM documents))),
+px AS (
+  SELECT t.doc_id, t.tw, t.th,
+    (7 * t.doc_id + 13 * (tx.i * t.s) + 31 * (ty.i * t.s)) % 256 AS r,
+    (11 * t.doc_id + 17 * (tx.i * t.s) + 5 * (ty.i * t.s)) % 256 AS g,
+    (3 * t.doc_id + 29 * (tx.i * t.s) + 23 * (ty.i * t.s)) % 256 AS b
+  FROM td t,
+    LATERAL (SELECT unnest(range(0, t.tw)) AS i) tx,
+    LATERAL (SELECT unnest(range(0, t.th)) AS i) ty)
+SELECT doc_id,
+  CAST(max(tw) AS BIGINT) AS width, CAST(max(th) AS BIGINT) AS height,
+  CAST(count(*) AS BIGINT) AS n_pixels,
+  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+  CAST(sum(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id ORDER BY doc_id"""
+
   /** q338 twin of [[graft.dedup.Dedup.winnowingPairs]] (k=3, w=4,
     * maxDocFreq=50): the same shingle hashes with 1-based positions,
     * the same per-window rightmost-min (min over (h, -p) structs),
@@ -8552,8 +8621,9 @@ GROUP BY doc_id ORDER BY doc_id"""
 
   /** Quality-rules twin of [[graft.text.QualityRules.ruleReport]] —
     * thresholds and the stopword union are interpolated from the SAME
-    * Scala constants the Spark operator uses. */
-  val q73_quality_rules: String = {
+    * Scala constants the Spark operator uses. Shared CTE chain (ends
+    * at `r`, the per-doc report) reused by q73 and q342. */
+  private val qualityRulesCte: String = {
     import graft.text.QualityRules._
     val stopList = allStopwords.map(w => s"'$w'").mkString("[", ",", "]")
     toksCte + s"""
@@ -8581,10 +8651,81 @@ r AS (
     (CAST(n_digit AS DOUBLE) / n_tokens <= $maxDigitRatio) AS digit_ok,
     (CAST(n_uniq AS DOUBLE) / n_tokens >= $minUniqueRatio) AS rep_ok,
     (n_stop >= $minStopHits) AS stop_ok
-  FROM feats)
+  FROM feats)"""
+  }
+
+  val q73_quality_rules: String = qualityRulesCte + """
 SELECT *, (len_ok AND word_len_ok AND digit_ok AND rep_ok AND stop_ok) AS keep
 FROM r ORDER BY doc_id"""
+
+  /** q342 twin of [[graft.text.QualityRules.ruleAblation]]: per rule,
+    * total failures, UNIQUE failures (all other rules pass), and the
+    * token mass of the unique kills — generated over the same rule
+    * list so the two sides cannot drift. */
+  val q342_rule_ablation: String = {
+    val rules = graft.text.QualityRules.ruleNames
+    val aggs = rules.zipWithIndex.map { case (rl, i) =>
+      val others = rules.filterNot(_ == rl).mkString(" AND ")
+      s"""    sum(CASE WHEN NOT $rl THEN 1 ELSE 0 END) AS f$i,
+    sum(CASE WHEN NOT $rl AND $others THEN 1 ELSE 0 END) AS u$i,
+    sum(CASE WHEN NOT $rl AND $others THEN n_tokens ELSE 0 END) AS t$i"""
+    }.mkString(",\n")
+    val arms = rules.zipWithIndex.map { case (rl, i) =>
+      s"  SELECT '$rl' AS rule, f$i AS n_failing, u$i AS n_unique_failing," +
+        s" t$i AS tokens_lost_unique FROM a"
+    }.mkString("\n  UNION ALL\n")
+    qualityRulesCte + s"""
+, a AS (
+  SELECT
+$aggs
+  FROM r)
+SELECT rule, CAST(n_failing AS BIGINT) AS n_failing,
+  CAST(n_unique_failing AS BIGINT) AS n_unique_failing,
+  CAST(tokens_lost_unique AS BIGINT) AS tokens_lost_unique
+FROM (
+$arms)
+ORDER BY rule"""
   }
+
+  /** q343 twin of [[graft.dedup.Dedup.dedupImpact]] over the q18
+    * minhash pairs: the q118 closure labels pick smallest-id
+    * survivors (label < node ⇒ removed), then the per-source
+    * before/after rollups and HUGEINT permille shares. */
+  val q343_dedup_impact: String = s"""
+WITH RECURSIVE
+p AS ($q18_minhash_neardup),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+conn(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN e ON c.b = e.a WHERE e.b <> c.a),
+lab AS (SELECT a AS node, least(a, min(b)) AS label FROM conn GROUP BY a),
+rm AS (SELECT node AS doc_id FROM lab WHERE label < node),
+b AS (
+  SELECT source, count(*) AS docs_before,
+    CAST(sum(n_chars) AS BIGINT) AS weight_before
+  FROM documents GROUP BY 1),
+a2 AS (
+  SELECT source, count(*) AS docs_after,
+    CAST(sum(n_chars) AS BIGINT) AS weight_after
+  FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id
+  WHERE rm.doc_id IS NULL GROUP BY 1),
+j AS (
+  SELECT b.source, b.docs_before,
+    coalesce(a2.docs_after, 0) AS docs_after,
+    b.weight_before, coalesce(a2.weight_after, 0) AS weight_after
+  FROM b LEFT JOIN a2 USING (source)),
+t AS (SELECT sum(docs_before) AS tb, sum(docs_after) AS ta FROM j)
+SELECT source, CAST(docs_before AS BIGINT) AS docs_before,
+  CAST(docs_after AS BIGINT) AS docs_after,
+  CAST(docs_before - docs_after AS BIGINT) AS docs_removed,
+  weight_before, weight_after,
+  CAST((CAST(docs_before AS HUGEINT) * 1000) // CAST(tb AS HUGEINT)
+    AS BIGINT) AS share_before_permille,
+  CASE WHEN ta = 0 THEN NULL
+    ELSE CAST((CAST(docs_after AS HUGEINT) * 1000) // CAST(ta AS HUGEINT)
+      AS BIGINT) END AS share_after_permille
+FROM j, t ORDER BY source"""
 
   /** Shard-assignment twin of [[graft.etl.Sampling.trainShards]]: the
     * md5-derived key hash for the shard, an independently salted
@@ -9004,6 +9145,10 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q337_chaining_audit" -> q337_chaining_audit,
     "q338_winnowing_pairs" -> q338_winnowing_pairs,
     "q339_weighted_interleave" -> q339_weighted_interleave,
+    "q340_png_thumbnail" -> q340_png_thumbnail,
+    "q341_wav_decimate" -> q341_wav_decimate,
+    "q342_rule_ablation" -> q342_rule_ablation,
+    "q343_dedup_impact" -> q343_dedup_impact,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1336,6 +1336,89 @@ object SparkEntry {
         .orderBy(col("source"), col("pair_rank"))
     }),
 
+    // Rule-ablation report: per quality rule, total failures, UNIQUE
+    // failures (all other rules pass — the rule's marginal kill
+    // count), and the token mass those unique kills cost. 5 rows.
+    "q342_rule_ablation" -> ((s, dir) =>
+      graft.text.QualityRules.ruleAblation(Tables.documents(s, dir))
+        .orderBy(col("rule"))),
+
+    // Dedup impact report: per source, docs/chars before vs after
+    // near-dup removal and permille mixture shares of both corpora —
+    // the mixture-shift evidence a post-dedup re-tune reads.
+    "q343_dedup_impact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.dedup.Dedup.minhashPairs(docs, threshold = 0.5)
+      graft.dedup.Dedup.dedupImpact(docs, pairs, "source")
+        .orderBy(col("source"))
+    }),
+
+    // REAL audio resample end-to-end (the q115/q216 fixture device):
+    // decode formula-synthesized PCM16, DECIMATE by 3 (every 3rd
+    // frame, all channels, rate div 3 — plain decimation, no
+    // low-pass, stated), re-encode, decode AGAIN for stats. The
+    // oracle re-derives every number from the sample formula at
+    // frames 0,3,6,... — no WAV anywhere.
+    "q341_wav_decimate" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val ch = (1 + id % 2).toInt
+          val nf = (50 + id % 37).toInt
+          id -> graft.multimodal.Wav.encodePcm16(
+            ch, (8000 + 100 * (id % 4)).toInt, nf,
+            (f, c) => {
+              val i = f.toLong * ch + c
+              (((7919L * id + 104729L * i + 1299721L * i * i) % 65536L)
+                - 32768L).toInt
+            })
+        }
+        .toDF("doc_id", "wav")
+      wavs.select(col("doc_id"),
+          graft.multimodal.Multimodal.wavPcmStats(
+            graft.multimodal.Multimodal.wavDecimate(col("wav"), factor = 3))
+            .as("s"))
+        .select(col("doc_id"), col("s.channels").as("channels"),
+          col("s.sample_rate").as("sample_rate"),
+          col("s.n_frames").as("n_frames"),
+          col("s.sum_all").as("sum_all"), col("s.sum_abs").as("sum_abs"),
+          col("s.min_s").as("min_s"), col("s.max_s").as("max_s"),
+          col("s.zero_cross0").as("zero_cross0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL image resize end-to-end (the q114 fixture device): decode
+    // formula-built RGB8 PNGs, nearest-neighbor thumbnail to maxDim=6
+    // (integer stride, top-left sample), re-encode, decode AGAIN for
+    // stats. The oracle computes the same stats from the pixel
+    // formulas at the sampled coordinates — no PNG anywhere.
+    "q340_png_thumbnail" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (12 + id % 9).toInt
+          val h = (10 + id % 7).toInt
+          id -> graft.multimodal.Png.encodeRgb(w, h,
+            (x, y) => (((7 * id + 13 * x + 31 * y) % 256).toInt,
+              ((11 * id + 17 * x + 5 * y) % 256).toInt,
+              ((3 * id + 29 * x + 23 * y) % 256).toInt),
+            filterForRow = y => ((y + id) % 5).toInt,
+            idatChunkSize = 96)
+        }
+        .toDF("doc_id", "png")
+      pngs.select(col("doc_id"),
+          graft.multimodal.Multimodal.pngPixelStats(
+            graft.multimodal.Multimodal.pngThumbnail(col("png"), maxDim = 6))
+            .as("s"))
+        .select(col("doc_id"), col("s.width").as("width"),
+          col("s.height").as("height"), col("s.n_pixels").as("n_pixels"),
+          col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+          col("s.sum_b").as("sum_b"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share

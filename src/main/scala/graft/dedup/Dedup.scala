@@ -640,6 +640,50 @@ object Dedup {
     docs.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** Dedup IMPACT report — what near-dup removal did to the corpus
+    * MIXTURE, per group (source/domain/language): doc and weight mass
+    * before and after [[dropNearDups]], the removal count, and each
+    * group's permille share of both corpora. Near-dup removal is not
+    * mixture-neutral — mirrored/syndicated sources (the E311 signal)
+    * lose disproportionately, so a mixture tuned pre-dedup (E64/E263)
+    * silently shifts; this is the report that says BY HOW MUCH, per
+    * group, before anyone re-tunes. Exact integers: DECIMAL(38,0)
+    * share arithmetic, empty-after corpus → NULL shares (never a
+    * division error); groups fully removed keep their row with
+    * zeros (left join — the audit stance).
+    *
+    * Cost = the E27 fixpoint it composes with + two group-keyed
+    * aggregates and a bounded group join; `weightCol` rides the scan
+    * (n_chars/token counts — never text). */
+  def dedupImpact(docs: DataFrame, pairs: DataFrame, groupCol: String,
+                  idCol: String = "doc_id",
+                  weightCol: String = "n_chars"): DataFrame = {
+    def roll(df: DataFrame, n: String, w: String) =
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as(n),
+        sum(col(weightCol)).as(w))
+    val before = roll(docs, "docs_before", "weight_before")
+    val after = roll(dropNearDups(docs, pairs, idCol),
+      "docs_after", "weight_after")
+    val joined = before.join(after, Seq(groupCol), "left")
+      .select(col(groupCol), col("docs_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        col("weight_before"),
+        coalesce(col("weight_after"), lit(0L)).as("weight_after"))
+    val tot = joined.agg(sum(col("docs_before")).as("__tb"),
+      sum(col("docs_after")).as("__ta"))
+    joined.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("docs_before"), col("docs_after"),
+        (col("docs_before") - col("docs_after")).as("docs_removed"),
+        col("weight_before"), col("weight_after"),
+        expr("CAST((CAST(docs_before AS DECIMAL(38,0)) * 1000)" +
+          " div CAST(__tb AS DECIMAL(38,0)) AS BIGINT)")
+          .as("share_before_permille"),
+        expr("CASE WHEN __ta = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST((CAST(docs_after AS DECIMAL(38,0)) * 1000)" +
+          " div CAST(__ta AS DECIMAL(38,0)) AS BIGINT) END")
+          .as("share_after_permille"))
+  }
+
   /** QUALITY-AWARE survivor selection: per near-dup cluster keep the
     * highest-`score` document (ties → smallest id) instead of
     * [[dropNearDups]]'s smallest-id-wins. This is what production

@@ -316,10 +316,87 @@ object PngDhash {
     StructField("dhash", LongType)))
 }
 
+/** REAL image RESIZE: decode → nearest-neighbor downsample →
+  * re-encode. The feature-extract shelf's missing sibling: stats and
+  * dhash REDUCE an image; a thumbnail is the first op that must
+  * PRODUCE one, and it closes the decode→transform→encode round trip
+  * with zero codec dependencies (the [[PngPixelUtil]] inflate/unfilter
+  * decoder plus [[graft.multimodal.Png]]'s deflate encoder — both
+  * java.util.zip).
+  *
+  * Semantics, all stated: integer stride s = max(1, ceil(w/maxDim),
+  * ceil(h/maxDim)) — never upscales, aspect preserved up to the ceil;
+  * thumb pixel (tx, ty) samples source (tx·s, ty·s) — top-left
+  * nearest-neighbor, the deterministic zero-arithmetic kernel
+  * (area-average antialiasing is a different operator by design);
+  * output rows encode with filter 0. Undecodable input → NULL, the
+  * family degrade contract.
+  *
+  * Scan-side contract: runs where the bytes are read; at 100 TB the
+  * thumbnail column (≈ bytes/s²) is what shuffles or persists, never
+  * the originals. */
+object PngThumbUtil {
+  def thumbnail(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    if (maxDim < 1) return null
+    val d = PngPixelUtil.decodeRgb(bytes)
+    if (d == null) return null
+    val s = math.max(1, math.max((d.w + maxDim - 1) / maxDim,
+      (d.h + maxDim - 1) / maxDim))
+    val tw = (d.w + s - 1) / s
+    val th = (d.h + s - 1) / s
+    val stride = 3 * d.w
+    graft.multimodal.Png.encodeRgb(tw, th, (tx, ty) => {
+      val o = (ty * s) * stride + (tx * s) * 3
+      ((d.pix(o) & 0xff, d.pix(o + 1) & 0xff, d.pix(o + 2) & 0xff))
+    }, filterForRow = _ => 0)
+  }
+}
+
+/** Nearest-neighbor PNG thumbnail as a native expression — see
+  * [[PngThumbUtil.thumbnail]] for semantics and the degrade
+  * contract. */
+case class PngThumbnail(child: Expression, dim: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = dim
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, dim.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "png_thumbnail"
+
+  override protected def nullSafeEval(v: Any, m: Any): Any =
+    PngThumbUtil.thumbnail(v.asInstanceOf[Array[Byte]], m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, m) => {
+      val tmp = ctx.freshName("thumb")
+      s"""
+         |byte[] $tmp = graft.functions.PngThumbUtil.thumbnail($c, $m);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PngThumbnail =
+    copy(child = newLeft, dim = newRight)
+}
+
 object PngFunctions {
 
   val fnName = "graft_png_pixel_stats"
   val dhashFnName = "graft_png_dhash"
+  val thumbFnName = "graft_png_thumbnail"
 
   private[functions] def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -337,6 +414,13 @@ object PngFunctions {
           PngDhash(children.head)
         },
         "built-in")
+    if (!registry.functionExists(FunctionIdentifier(thumbFnName)))
+      registry.createOrReplaceTempFunction(thumbFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 2, s"$thumbFnName takes 2 arguments")
+          PngThumbnail(children.head, children(1))
+        },
+        "built-in")
   }
 
   def pngPixelStats(c: Column): Column = {
@@ -347,5 +431,10 @@ object PngFunctions {
   def pngDhash(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(dhashFnName, c)
+  }
+
+  def pngThumbnail(c: Column, maxDim: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(thumbFnName, c, org.apache.spark.sql.functions.lit(maxDim))
   }
 }

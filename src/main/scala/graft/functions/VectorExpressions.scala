@@ -80,17 +80,39 @@ case class FloatVectorDot(left: Expression, right: Expression)
 }
 
 /** Pseudo-random sign-LSH hyperplanes: coefficient `d` of plane
-  * `plane` is a deterministic integer in [-10, 10] from a fixed
-  * Knuth-style multiplicative hash — generated instead of tabulated so
-  * the plane supply is unbounded, and integer-valued so every
+  * `plane` is a deterministic integer in [-10, 10] from a splitmix64
+  * avalanche finisher (Steele, Lea & Flood, OOPSLA 2014; the public
+  * java.util.SplittableRandom mix) — generated instead of tabulated
+  * so the plane supply is unbounded, and integer-valued so every
   * dot-product term is exact in doubles (engine-independent signs).
   * Shared by [[FloatVectorBandKeys]] and the compositional spec form
-  * in `graft.similarity.Similarity`. */
+  * in `graft.similarity.Similarity`; the oracle side interpolates the
+  * MATRIX this function generates, so the two engines share constants
+  * by construction and the formula is free to be a real hash.
+  *
+  * Why a real avalanche and not the original Knuth-style multiply:
+  * `((plane·8191 + d + 1)·c1 + c0) mod p mod 21` is an AFFINE STRIDE —
+  * along `d` the pre-mod values walk a fixed arithmetic progression,
+  * so each plane's coefficients are near-periodic and different
+  * planes are translates of one another. The planes correlate, their
+  * sign bits correlate, and band keys CONCENTRATE: measured on 128k
+  * near-uniform vectors at 14-bit bands, the heaviest bucket held
+  * 2.2% of the corpus and Σ|bucket|² was ~43× the independent-bits
+  * value — turning the LSH seed join quadratic in exactly the regime
+  * (bits scaled with n) the operators prescribe. Found by the E336
+  * scaling instrument, not by any fixture-scale test: at 8 bits ×
+  * ≤2000 vectors the skew is invisible. Post-fix the same probe
+  * measures ~1.6× the independent-bits value with a max bucket of 92
+  * (was 2832) — the multinomial-tail regime the operators assume
+  * (AnnScaleBench, scripts/bench_scaling_r17_ann.raw). */
 object Hyperplanes {
   def coeff(plane: Int, d: Int): Float = {
-    val x = ((plane.toLong * 8191L + d.toLong + 1L) * 2654435761L +
-      1013904223L) % 1000000007L
-    (x % 21L - 10L).toFloat
+    var z = plane.toLong * 0x9E3779B97F4A7C15L +
+      d.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (((z % 21L) + 21L) % 21L - 10L).toFloat
   }
 
   def plane(p: Int, dim: Int): Array[Float] = Array.tabulate(dim)(coeff(p, _))

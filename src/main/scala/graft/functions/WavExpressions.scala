@@ -357,11 +357,82 @@ object WavFrameFeatures {
     containsNull = false)
 }
 
+/** REAL audio RESAMPLE (decimation): decode → keep every `factor`-th
+  * frame (all channels) → re-encode, the audio twin of the PNG
+  * thumbnail's decode→transform→ENCODE round trip and the
+  * frame-sample primitive for audio (a feature extractor that wants
+  * 8 kHz from 48 kHz inputs decimates BEFORE paying per-sample
+  * work). Stated semantics: plain decimation — frames 0, factor,
+  * 2·factor, …; NO anti-alias low-pass (a filter is a different
+  * operator by design — this is the exact-integer frame sampler, and
+  * a downstream energy/ZCR consumer reads decimated frames
+  * directly); declared sample rate divides by `factor` (integer
+  * floor, stated). Undecodable input or factor < 1 → NULL, the
+  * family degrade contract. Scan-side: the ~factor-smaller audio
+  * column is what leaves the projection. */
+object WavDecimUtil {
+  def decimate(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    if (factor < 1) return null
+    val loc = WavPcmUtil.locate(bytes)
+    if (loc == null) return null
+    val ch = loc.channels
+    val outFrames = ((loc.nFrames + factor - 1) / factor).toInt
+    graft.multimodal.Wav.encodePcm16(
+      ch, math.max(1L, loc.sampleRate / factor).toInt, outFrames,
+      (f, c) => {
+        // nSamples <= 2^24 (the locate ceiling), so offsets fit Int
+        val off = (loc.dataOff + 2 * (f.toLong * factor * ch + c)).toInt
+        ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)).toShort.toInt
+      })
+  }
+}
+
+/** PCM16 decimation as a native expression — see
+  * [[WavDecimUtil.decimate]] for semantics and the degrade
+  * contract. */
+case class WavDecimate(child: Expression, factor: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = factor
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, factor.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "wav_decimate"
+
+  override protected def nullSafeEval(v: Any, f: Any): Any =
+    WavDecimUtil.decimate(v.asInstanceOf[Array[Byte]], f.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, f) => {
+      val tmp = ctx.freshName("decimated")
+      s"""
+         |byte[] $tmp = graft.functions.WavDecimUtil.decimate($c, $f);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WavDecimate =
+    copy(child = newLeft, factor = newRight)
+}
+
 object WavFunctions {
 
   val fnName = "graft_wav_pcm_stats"
   val fingerprintFnName = "graft_wav_fingerprint"
   val frameFeaturesFnName = "graft_wav_frame_features"
+  val decimateFnName = "graft_wav_decimate"
 
   private[functions] def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -386,6 +457,13 @@ object WavFunctions {
           WavFrameFeatures(children.head, children(1))
         },
         "built-in")
+    if (!registry.functionExists(FunctionIdentifier(decimateFnName)))
+      registry.createOrReplaceTempFunction(decimateFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 2, s"$decimateFnName takes 2 arguments")
+          WavDecimate(children.head, children(1))
+        },
+        "built-in")
   }
 
   def wavPcmStats(c: Column): Column = {
@@ -402,5 +480,11 @@ object WavFunctions {
     SparkSession.getActiveSession.foreach(register)
     call_function(frameFeaturesFnName, c,
       org.apache.spark.sql.functions.lit(frameSize))
+  }
+
+  def wavDecimate(c: Column, factor: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(decimateFnName, c,
+      org.apache.spark.sql.functions.lit(factor))
   }
 }

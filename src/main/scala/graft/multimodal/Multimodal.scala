@@ -71,6 +71,22 @@ object Multimodal {
   def gifFrames(bin: Column): Column =
     graft.functions.GifFunctions.gifFrames(bin)
 
+  /** REAL image resize: nearest-neighbor PNG thumbnail (decode →
+    * integer-stride downsample → re-encode, all java.util.zip — see
+    * [[graft.functions.PngThumbUtil]] for the stated kernel and
+    * degrade contract). Runs scan-side; the ~s²-smaller thumbnail
+    * column is what leaves the projection, never the originals. */
+  def pngThumbnail(bin: Column, maxDim: Int): Column =
+    graft.functions.PngFunctions.pngThumbnail(bin, maxDim)
+
+  /** REAL audio resample: PCM16 decimation — keep every `factor`-th
+    * frame, re-encode at the divided rate (see
+    * [[graft.functions.WavDecimUtil]]; plain decimation, no low-pass,
+    * stated). The audio frame-sample primitive; scan-side, the
+    * ~factor-smaller audio column is what leaves the projection. */
+  def wavDecimate(bin: Column, factor: Int): Column =
+    graft.functions.WavFunctions.wavDecimate(bin, factor)
+
   /** Perceptual audio fingerprint of a PCM16 WAV: 65-segment energy
     * envelope → 64 adjacent-mean comparison bits, gain-invariant
     * (see [[graft.functions.WavPcmUtil.fingerprint]]); scan-side,

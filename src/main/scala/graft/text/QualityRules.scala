@@ -65,6 +65,43 @@ object QualityRules {
           col("rep_ok") && col("stop_ok"))
   }
 
+  /** The gate's rule columns, in report order. */
+  val ruleNames: Seq[String] =
+    Seq("len_ok", "word_len_ok", "digit_ok", "rep_ok", "stop_ok")
+
+  /** Rule ABLATION report — the marginal-value audit a curation team
+    * runs before tuning any threshold: per rule, how many docs fail
+    * it at all, how many fail it UNIQUELY (every other rule passes —
+    * the docs this rule alone is killing, the rule's marginal kill
+    * count), and the token mass those unique kills cost. A rule with
+    * a large failure count but near-zero unique count is redundant
+    * shadowing (its victims die anyway); a rule with a large unique
+    * token cost is where threshold tuning buys data back. The same
+    * decomposition C4/Gopher-style pipelines publish when justifying
+    * each heuristic (Rae et al. 2021 arXiv:2112.11446 reports
+    * per-filter removal rates).
+    *
+    * Exact integers off [[ruleReport]]'s booleans; one aggregate over
+    * the report scan + a 5-row `stack` — output bounded by the rule
+    * count, nothing by the corpus. */
+  def ruleAblation(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val rpt = ruleReport(docs, idCol, textCol)
+    val aggs = ruleNames.zipWithIndex.flatMap { case (r, i) =>
+      val others = ruleNames.filterNot(_ == r).map(col).reduce(_ && _)
+      Seq(
+        sum(when(!col(r), 1L).otherwise(0L)).as(s"__f$i"),
+        sum(when(!col(r) && others, 1L).otherwise(0L)).as(s"__u$i"),
+        sum(when(!col(r) && others, col("n_tokens")).otherwise(0L))
+          .as(s"__t$i"))
+    }
+    val stacked = ruleNames.zipWithIndex.map { case (r, i) =>
+      s"'$r', __f$i, __u$i, __t$i" }.mkString(", ")
+    rpt.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ruleNames.size}, $stacked) AS " +
+        "(rule, n_failing, n_unique_failing, tokens_lost_unique)"))
+  }
+
   /** The filter itself: [[ruleReport]]'s survivors with their original
     * columns — as a SINGLE-SCAN filter, not a join. The rules are pure
     * per-row predicates, so self-joining the corpus against its own

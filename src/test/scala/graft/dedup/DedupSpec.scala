@@ -613,6 +613,30 @@ class DedupSpec extends SparkSpec {
       Dedup.chainingAudit(pairs.repartition(5)))
   }
 
+  test("dedupImpact: per-group before/after mass and permille shares by hand") {
+    import spark.implicits._
+    // sources: sA has a 3-doc dup chain (keeps min id 1), sB untouched,
+    // sC fully... sC has a pair (keeps 20). Weights = n_chars.
+    val docs = Seq(
+      (1L, "sA", 100L), (2L, "sA", 110L), (3L, "sA", 120L), (4L, "sA", 130L),
+      (10L, "sB", 200L),
+      (20L, "sC", 50L), (21L, "sC", 60L)
+    ).toDF("doc_id", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dedupImpact(docs, pairs, "source").orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    // after: sA keeps {1, 4} (2,3 removed), sB {10}, sC {20}
+    // totals: before 7, after 4
+    out shouldBe Seq(
+      ("sA", 4L, 2L, 2L, 460L, 230L, 571L, Some(500L)),
+      ("sB", 1L, 1L, 0L, 200L, 200L, 142L, Some(250L)),
+      ("sC", 2L, 1L, 1L, 110L, 50L, 285L, Some(250L)))
+    assertSameRows(Dedup.dedupImpact(docs, pairs, "source"),
+      Dedup.dedupImpact(docs.repartition(5), pairs.repartition(3), "source"))
+  }
+
   /** Reference winnow in plain Scala — same md5-conv-%P hash, same
     * rightmost-min — so the operator is pinned against first
     * principles, not against itself. */

@@ -594,6 +594,95 @@ test("silenceTrim: leading/trailing silence bounds, interior pause preserved") {
     isNullFor(good) shouldBe false // the surgery baseline is valid
   }
 
+  test("pngThumbnail: stride sampling by hand — 9x5 at maxDim 3 picks (3tx, 3ty)") {
+    // s = max(ceil(9/3), ceil(5/3)) = 3 -> 3x2 thumb sampling columns
+    // {0,3,6} x rows {0,3}; sums hand-derivable from the formula
+    def f(x: Int, y: Int): (Int, Int, Int) = (x * 10 + y, 2 * x + y, 7 * y + x)
+    val b = Png.encodeRgb(9, 5, f, filterForRow = _ % 5)
+    val m = media(1L -> b)
+      .select(Multimodal.pngPixelStats(
+        Multimodal.pngThumbnail(col("media"), maxDim = 3)).as("s"))
+      .select("s.decoded", "s.width", "s.height", "s.n_pixels",
+        "s.sum_r", "s.sum_g", "s.sum_b")
+      .as[(Boolean, Long, Long, Long, Long, Long, Long)].head()
+    val pts = for (tx <- Seq(0, 3, 6); ty <- Seq(0, 3)) yield f(tx, ty)
+    m shouldBe ((true, 3L, 2L, 6L,
+      pts.map(_._1.toLong).sum, pts.map(_._2.toLong).sum,
+      pts.map(_._3.toLong).sum))
+  }
+
+  test("pngThumbnail: maxDim >= dims is the re-encode identity; malformed and bad dims are NULL") {
+    val b = Png.encodeRgb(7, 4,
+      (x, y) => (x * 17 % 256, y * 29 % 256, (x + y) % 256),
+      filterForRow = _ % 5)
+    val orig = media(1L -> b)
+      .select(Multimodal.pngPixelStats(col("media")).as("s"))
+      .select("s.width", "s.height", "s.sum_r", "s.sum_g", "s.sum_b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val thumbed = media(1L -> b)
+      .select(Multimodal.pngPixelStats(
+        Multimodal.pngThumbnail(col("media"), maxDim = 16)).as("s"))
+      .select("s.width", "s.height", "s.sum_r", "s.sum_g", "s.sum_b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    thumbed shouldBe orig
+    def isNullFor(bytes: Array[Byte], maxDim: Int): Boolean =
+      media(1L -> bytes)
+        .select(Multimodal.pngThumbnail(col("media"), maxDim).isNull.as("n"))
+        .as[Boolean].head()
+    isNullFor("not a png".getBytes("US-ASCII"), 4) shouldBe true
+    isNullFor(b.take(40), 4) shouldBe true // truncated mid-IDAT
+    isNullFor(b, 0) shouldBe true          // nonsense target dim
+  }
+
+  test("wavDecimate: every-3rd-frame by hand — samples, divided rate, frame count") {
+    // 2 channels, 7 frames, sample = frame*10 + channel: decimated
+    // frames {0,3,6} -> samples 0,1,30,31,60,61; rate 9000 -> 3000
+    val b = Wav.encodePcm16(2, 9000, 7, (f, c) => f * 10 + c)
+    val m = media(1L -> b)
+      .select(Multimodal.wavPcmStats(
+        Multimodal.wavDecimate(col("media"), factor = 3)).as("s"))
+      .select("s.decoded", "s.channels", "s.sample_rate", "s.n_frames",
+        "s.sum_all", "s.min_s", "s.max_s")
+      .as[(Boolean, Long, Long, Long, Long, Long, Long)].head()
+    m shouldBe ((true, 2L, 3000L, 3L, 183L, 0L, 61L))
+  }
+
+  test("wavDecimate: factor 1 is the re-encode identity; degrade cases NULL") {
+    val b = Wav.encodePcm16(1, 8000, 20,
+      (f, _) => (f * 997 % 65536) - 32768,
+      ancillary = Seq("LIST" -> Array[Byte](1, 2, 3)))
+    def statsOf(c: org.apache.spark.sql.Column) = media(1L -> b)
+      .select(Multimodal.wavPcmStats(c).as("s"))
+      .select("s.n_frames", "s.sum_all", "s.sum_abs", "s.zero_cross0")
+      .as[(Long, Long, Long, Long)].head()
+    statsOf(Multimodal.wavDecimate(col("media"), 1)) shouldBe
+      statsOf(col("media"))
+    def isNullFor(bytes: Array[Byte], factor: Int): Boolean =
+      media(1L -> bytes)
+        .select(Multimodal.wavDecimate(col("media"), factor).isNull.as("n"))
+        .as[Boolean].head()
+    isNullFor("not a wav".getBytes("US-ASCII"), 3) shouldBe true
+    isNullFor(b.take(30), 3) shouldBe true // truncated mid-chunk
+    isNullFor(b, 0) shouldBe true          // nonsense factor
+  }
+
+  test("pngThumbnail: interpreted and codegen paths agree") {
+    val d = media((1L to 10L).map(i =>
+      i -> Png.encodeRgb((6 + i % 7).toInt, (5 + i % 5).toInt,
+        (x, y) => ((x * i % 256).toInt, (y * 3 % 256).toInt, ((x + y + i) % 256).toInt),
+        filterForRow = y => ((y + i) % 5).toInt)): _*)
+    def run(): Seq[(Long, Long, Long)] = d
+      .select(col("id"), Multimodal.pngPixelStats(
+        Multimodal.pngThumbnail(col("media"), maxDim = 4)).as("s"))
+      .select(col("id"), col("s.width"), col("s.sum_r"))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val codegen = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+  }
+
   test("gifFrames: interpreted and codegen paths agree (incl. NULL rows)") {
     val d = media(((1L to 12L).map { i =>
       i -> Gif.encodeAnimation(w = (6 + i % 5).toInt, h = (4 + i % 3).toInt,

@@ -50,4 +50,37 @@ class QualityRulesSpec extends SparkSpec {
     r(1L)._5 shouldBe true
     r.contains(5L) shouldBe false // tokenless doc never reaches the report
   }
+
+  test("ruleAblation: unique-failure accounting by hand on the shared fixture") {
+    // doc 2 fails len_ok UNIQUELY-ish? "short text only": 3 tokens ->
+    // len fails; stop_ok has no stopwords ('only' is not in the union
+    // list?) — derive expectations from the report itself, then assert
+    // the ablation matches that derivation exactly (the ablation must
+    // be a pure rollup of the report, no separate rule logic).
+    val rpt = QualityRules.ruleReport(docs)
+      .select("doc_id", "n_tokens", "len_ok", "word_len_ok", "digit_ok",
+        "rep_ok", "stop_ok")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val rules = QualityRules.ruleNames
+    def flag(row: (Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean),
+             i: Int): Boolean = i match {
+      case 0 => row._3; case 1 => row._4; case 2 => row._5
+      case 3 => row._6; case _ => row._7
+    }
+    val expected = rules.zipWithIndex.map { case (r, i) =>
+      val fails = rpt.filter(row => !flag(row, i))
+      val unique = fails.filter(row =>
+        rules.indices.filterNot(_ == i).forall(j => flag(row, j)))
+      (r, fails.size.toLong, unique.size.toLong, unique.map(_._2).sum)
+    }.sortBy(_._1)
+    val got = QualityRules.ruleAblation(docs).orderBy("rule")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    got shouldBe expected
+    // sanity on the fixture: at least one rule has unique kills and
+    // at least one failing rule's kills are fully shadowed elsewhere
+    got.map(_._3).sum should be > 0L
+    assertSameRows(QualityRules.ruleAblation(docs),
+      QualityRules.ruleAblation(docs.repartition(5)))
+  }
 }
