@@ -7918,6 +7918,24 @@ SELECT s.label, CAST(s.n_docs AS BIGINT) AS n_docs,
   e.min_sim_e6, e.mean_sim_e6
 FROM sizes s JOIN est e ON e.label = s.label ORDER BY s.label"""
 
+  /** q344 twin: the shared descent chain's g1 edges at cos ≥ 0.4,
+    * symmetrized, recursive-closure components (the q118 device),
+    * smallest-id survivors — q88's verdict shape over the graph
+    * candidate universe. */
+  val q344_semdedup_graph: String =
+    knnDescentCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+pr AS (SELECT src AS a, dst AS b FROM g1 WHERE cosine >= 0.4 AND src < dst),
+e2 AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+conn2(a, b) AS (
+  SELECT a, b FROM e2
+  UNION
+  SELECT c.a, e2.b FROM conn2 c JOIN e2 ON c.b = e2.a WHERE e2.b <> c.a),
+lab AS (SELECT a AS vec_id, least(a, min(b)) AS label FROM conn2 GROUP BY a)
+SELECT e.vec_id, coalesce(l.label, e.vec_id) AS cluster,
+  (l.label IS NULL OR l.label = e.vec_id) AS kept
+FROM embeddings e LEFT JOIN lab l ON l.vec_id = e.vec_id
+ORDER BY e.vec_id"""
+
   /** q332 twin: recall@10 of the seed (g0) and refined (g1) graphs
     * against exact brute force (norm-hoisted, same fold), one row per
     * stage — integer hits, e6 floor mean. */
@@ -9149,6 +9167,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q341_wav_decimate" -> q341_wav_decimate,
     "q342_rule_ablation" -> q342_rule_ablation,
     "q343_dedup_impact" -> q343_dedup_impact,
+    "q344_semdedup_graph" -> q344_semdedup_graph,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1336,6 +1336,26 @@ object SparkEntry {
         .orderBy(col("source"), col("pair_rank"))
     }),
 
+    // SemDeDup through the kNN GRAPH (the deployment-shaped semantic
+    // dedup): near-dup edges = descent-graph edges at cos >= 0.4,
+    // components, keep the min id — q88's verdict shape with the
+    // candidate universe that sees CROSS-CELL near-dups the
+    // IVF-scoped variant structurally cannot.
+    "q344_semdedup_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = graft.similarity.Similarity.knnGraphDescent(emb,
+          k = 10, revCap = 10, rounds = 1)
+        .filter(col("cosine") >= 0.4 && col("vec_id") < col("neighbor_id"))
+        .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+      val labels = graft.dedup.Dedup.componentLabels(pairs)
+        .withColumnRenamed("node", "vec_id")
+      emb.select(col("vec_id")).join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster"),
+          (col("label").isNull || col("label") === col("vec_id")).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Rule-ablation report: per quality rule, total failures, UNIQUE
     // failures (all other rules pass — the rule's marginal kill
     // count), and the token mass those unique kills cost. 5 rows.
