@@ -7918,6 +7918,53 @@ SELECT s.label, CAST(s.n_docs AS BIGINT) AS n_docs,
   e.min_sim_e6, e.mean_sim_e6
 FROM sizes s JOIN est e ON e.label = s.label ORDER BY s.label"""
 
+  /** q345 twin of [[graft.analytics.Correlation.mannWhitneyPairs]]:
+    * per-pair pooled doubled midranks (rank() start + tie count),
+    * HUGEINT exact statistics, and the IDENTICAL-operation-order
+    * double expression for the tie-corrected z. */
+  val q345_mann_whitney: String = """
+WITH g AS (SELECT DISTINCT lang FROM documents),
+pairs AS (
+  SELECT a.lang AS group_a, b.lang AS group_b
+  FROM g a JOIN g b ON a.lang < b.lang),
+pooled AS (
+  SELECT p.group_a, p.group_b, d.lang AS gg, d.n_chars AS v
+  FROM documents d
+  JOIN pairs p ON d.lang = p.group_a OR d.lang = p.group_b),
+rk AS (
+  SELECT group_a, group_b, gg, v,
+    rank() OVER (PARTITION BY group_a, group_b ORDER BY v) AS r,
+    count(*) OVER (PARTITION BY group_a, group_b, v) AS t
+  FROM pooled),
+ag AS (
+  SELECT group_a, group_b,
+    CAST(sum(CASE WHEN gg = group_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN gg = group_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    sum(CASE WHEN gg = group_a THEN CAST(2 * r + t - 1 AS HUGEINT)
+        ELSE CAST(0 AS HUGEINT) END) AS sumd_a
+  FROM rk GROUP BY 1, 2),
+tt AS (
+  SELECT group_a, group_b,
+    sum(CAST(tv AS HUGEINT) * tv * tv - tv) AS tie_sum
+  FROM (SELECT group_a, group_b, v, count(*) AS tv FROM rk GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+fin AS (
+  SELECT a.group_a, a.group_b, a.n_a, a.n_b,
+    a.sumd_a - CAST(a.n_a AS HUGEINT) * (a.n_a + 1) AS u2_a,
+    CAST(a.n_a AS HUGEINT) * a.n_b AS mean2,
+    t.tie_sum, a.n_a + a.n_b AS nn
+  FROM ag a JOIN tt t USING (group_a, group_b))
+SELECT group_a, group_b, n_a, n_b,
+  CAST(u2_a AS BIGINT) AS u2_a, CAST(mean2 AS BIGINT) AS mean2,
+  CAST(tie_sum AS BIGINT) AS tie_sum,
+  CASE WHEN CAST(nn AS HUGEINT) * nn * nn - nn = tie_sum THEN NULL ELSE
+    CAST(u2_a - mean2 AS DOUBLE) / (2.0 * sqrt(
+      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+       ((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+         - CAST(nn AS DOUBLE)) - CAST(tie_sum AS DOUBLE)))
+      / (12.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) END AS z
+FROM fin ORDER BY group_a, group_b"""
+
   /** q344 twin: the shared descent chain's g1 edges at cos ≥ 0.4,
     * symmetrized, recursive-closure components (the q118 device),
     * smallest-id survivors — q88's verdict shape over the graph
@@ -9168,6 +9215,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q342_rule_ablation" -> q342_rule_ablation,
     "q343_dedup_impact" -> q343_dedup_impact,
     "q344_semdedup_graph" -> q344_semdedup_graph,
+    "q345_mann_whitney" -> q345_mann_whitney,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

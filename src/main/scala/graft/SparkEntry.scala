@@ -1336,6 +1336,14 @@ object SparkEntry {
         .orderBy(col("source"), col("pair_rank"))
     }),
 
+    // Pairwise Mann-Whitney U over doc lengths by language: doubled
+    // midranks, exact u2/mean2/tie_sum, tie-corrected z as the one
+    // double (identical op order both engines); all-tied pairs NULL.
+    "q345_mann_whitney" -> ((s, dir) =>
+      graft.analytics.Correlation.mannWhitneyPairs(
+          Tables.documents(s, dir), "lang", "n_chars")
+        .orderBy(col("group_a"), col("group_b"))),
+
     // SemDeDup through the kNN GRAPH (the deployment-shaped semantic
     // dedup): near-dup edges = descent-graph edges at cos >= 0.4,
     // components, keep the min id — q88's verdict shape with the

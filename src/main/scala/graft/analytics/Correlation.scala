@@ -538,4 +538,84 @@ object Correlation {
             (sqrt(varx) * sqrt(vary)))
           .as("spearman"))
   }
+
+  /** Pairwise Mann–Whitney U (Mann & Whitney 1947; tie-corrected
+    * normal approximation per the standard treatment, e.g. Lehmann
+    * *Nonparametrics* 1975) — the k-sample LOCATION comparison the
+    * stats shelf lacked: KS (E79) asks "same distribution?" between
+    * two fixed slices; this asks, for EVERY group pair, "does one
+    * group stochastically dominate?" — rank-based, so length/weight
+    * outliers that wreck t-tests don't vote more than once. The
+    * per-pair p-values feed E282's BH correction (the published
+    * pairing for k-sample screens).
+    *
+    * Exactness: the DOUBLED-midrank device (the E319/Pettitt
+    * convention — a tie group starting at rank r with t members has
+    * doubled midrank 2r + t − 1, integer always): per pair,
+    * u2_a = ΣD_a − n_a(n_a+1) = 2·U_a and mean2 = n_a·n_b = 2·E[U]
+    * are exact DECIMAL(38,0) (rank sums overflow int64 at scale);
+    * tie_sum = Σ(t³ − t) exact. z is the ONE double: computed from
+    * those exact integers by an identical-operation-order expression
+    * in both engines (the q62 "same final double tree" device), with
+    * the all-tied pair (zero variance) emitting NULL, never NaN.
+    *
+    * Shape: pairs = G(G−1)/2 over the CONFIG-BOUNDED group universe
+    * (a broadcast table); each row joins to its (G−1) pairs — the
+    * stated ×(G−1) blow-up of every pairwise rank test — then one
+    * rank window + one tie window per pair partition and two bounded
+    * aggregates. Per-pair pooled ranking is the test's definition
+    * (a global pooled ranking computes a DIFFERENT statistic). */
+  def mannWhitneyPairs(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).cast("string").as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    val groups = rows.select(col("__g")).distinct()
+    val pairs = groups.select(col("__g").as("group_a"))
+      .join(groups.select(col("__g").as("group_b")),
+        col("group_a") < col("group_b"))
+    val pooled = rows.join(broadcast(pairs),
+      col("__g") === col("group_a") || col("__g") === col("group_b"))
+    val wOrd = Window.partitionBy(col("group_a"), col("group_b"))
+      .orderBy(col("__v"))
+    val wVal = Window.partitionBy(col("group_a"), col("group_b"), col("__v"))
+    val ranked = pooled
+      .withColumn("__r", rank().over(wOrd))
+      .withColumn("__t", count(lit(1)).over(wVal))
+      .withColumn("__d", lit(2L) * col("__r") + col("__t") - lit(1L))
+    val agg = ranked.groupBy(col("group_a"), col("group_b"))
+      .agg(
+        sum(when(col("__g") === col("group_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === col("group_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__g") === col("group_a"),
+          expr("CAST(__d AS DECIMAL(38,0))")).otherwise(
+          expr("CAST(0 AS DECIMAL(38,0))"))).as("__sumd_a"))
+    val ties = ranked
+      .groupBy(col("group_a"), col("group_b"), col("__v"))
+      .agg(count(lit(1)).as("__tv"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(expr("CAST(__tv AS DECIMAL(38,0)) * __tv * __tv - __tv"))
+        .as("tie_sum"))
+    agg.join(ties, Seq("group_a", "group_b"))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("u2_a",
+        expr("CAST(__sumd_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)" +
+          " AS DECIMAL(38,0))"))
+      .withColumn("mean2",
+        expr("CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DECIMAL(38,0))"))
+      .withColumn("z", expr(
+        "CASE WHEN CAST(nn AS DECIMAL(38,0)) * nn * nn - nn = tie_sum" +
+          " THEN CAST(NULL AS DOUBLE) ELSE" +
+          " CAST(u2_a - mean2 AS DOUBLE) / (2.0D * sqrt(" +
+          "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *" +
+          " ((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)" +
+          " - CAST(nn AS DOUBLE)) - CAST(tie_sum AS DOUBLE)))" +
+          " / (12.0D * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) END"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        // emitted statistics cast to BIGINT (u2 ≤ 2·n_a·n_b — fits
+        // int64 to ~6·10^9 rows per pair, stated; internal rank sums
+        // stay DECIMAL so the arithmetic never wraps getting here)
+        col("u2_a").cast("long").as("u2_a"),
+        col("mean2").cast("long").as("mean2"),
+        col("tie_sum").cast("long").as("tie_sum"), col("z"))
+  }
 }

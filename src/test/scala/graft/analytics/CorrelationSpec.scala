@@ -440,4 +440,50 @@ class CorrelationSpec extends SparkSpec {
     a.map(_.getAs[Double]("spearman")).head shouldBe
       b.map(_.getAs[Double]("spearman")).head
   }
+
+  test("mannWhitneyPairs: textbook hand cases — separation, ties, all-tied NULL") {
+    // A={1,2} < B={3,4}: no ties, U_a = 0 -> u2 = 0, mean2 = 4,
+    // z = -4 / (2*sqrt(4*60/144)) = -1.549...
+    val d1 = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("g", "v")
+    val r1 = Correlation.mannWhitneyPairs(d1, "g", "v").collect().head
+    r1.getAs[Long]("u2_a") shouldBe 0L
+    r1.getAs[Long]("mean2") shouldBe 4L
+    r1.getAs[Long]("tie_sum") shouldBe 0L
+    r1.getAs[Double]("z") shouldBe -1.5491933384829668 +- 1e-12
+    // ties: A={1,1}, B={1,2}: midrank of the three 1s is 2 (doubled
+    // 4), so sumd_a = 8, u2_a = 8 - 2*3 = 2 (U = 1); tie_sum = 24
+    val d2 = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L))
+      .toDF("g", "v")
+    val r2 = Correlation.mannWhitneyPairs(d2, "g", "v").collect().head
+    r2.getAs[Long]("u2_a") shouldBe 2L
+    r2.getAs[Long]("tie_sum") shouldBe 24L
+    // all values tied: zero variance -> z NULL, never NaN
+    val d3 = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("g", "v")
+    val r3 = Correlation.mannWhitneyPairs(d3, "g", "v").collect().head
+    r3.isNullAt(r3.fieldIndex("z")) shouldBe true
+  }
+
+  test("mannWhitneyPairs: U identity u2_a + u2_b = 2*n_a*n_b; partition-invariant") {
+    val rows = (1L to 200L).map(i => (
+      if (i % 3 == 0) "x" else if (i % 3 == 1) "y" else "z",
+      (i * 7919) % 50))
+    val d = rows.toDF("g", "v")
+    val out = Correlation.mannWhitneyPairs(d, "g", "v")
+    // recompute the b-side U from the pair's pooled doubled ranks:
+    // sum over both sides of D is N(N+1) (doubled 1..N sum with
+    // midranks preserving totals), so u2_a + u2_b = 2 n_a n_b
+    out.collect().foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val n = na + nb
+      // u2_b = (N(N+1) - sumd_a) - n_b(n_b+1); sumd_a = u2_a + n_a(n_a+1)
+      val sumdA = r.getAs[Long]("u2_a") + na * (na + 1)
+      val u2b = n * (n + 1) - sumdA - nb * (nb + 1)
+      withClue(s"${r.getAs[String]("group_a")}/${r.getAs[String]("group_b")}: ") {
+        r.getAs[Long]("u2_a") + u2b shouldBe 2 * na * nb
+      }
+    }
+    assertSameRows(out,
+      Correlation.mannWhitneyPairs(d.repartition(7), "g", "v"))
+  }
 }

@@ -93,4 +93,27 @@ class TaskRetrySpec extends SparkSpec {
     }
     probed shouldBe clean
   }
+
+  test("kNN-graph descent (LSH seed + barrier round) is identical under a retried scan task") {
+    // The round-17 pipeline with the riskiest retry surface: the
+    // probe's partition 0 is re-read by BOTH sides of the LSH
+    // self-join AND the two score-joins, and the descent round rides
+    // Iterate.barrier (localCheckpoint) — a retry that reached the
+    // materialized RDD non-deterministically would freeze a DIVERGED
+    // graph into the checkpoint, invisible to any later run.
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val retries = spark.sparkContext.longAccumulator("probe_retries_descent")
+    def run(p: DataFrame => DataFrame) =
+      graft.similarity.Similarity.knnGraphDescent(p(emb), k = 5, rounds = 1)
+        .orderBy(col("vec_id"), col("rank")).collect().map(_.toSeq).toSeq
+    val clean = run(identity)
+    clean should not be empty
+    val probed = run(failOnceProbe(_, retries))
+    withClue("no task was actually retried: ") {
+      retries.value.longValue should be >= 1L
+    }
+    probed shouldBe clean
+  }
 }
