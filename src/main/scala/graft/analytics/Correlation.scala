@@ -612,8 +612,14 @@ object Correlation {
           " / (12.0D * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) END"))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         // emitted statistics cast to BIGINT (u2 ≤ 2·n_a·n_b — fits
-        // int64 to ~6·10^9 rows per pair, stated; internal rank sums
-        // stay DECIMAL so the arithmetic never wraps getting here)
+        // int64 to ~6·10^9 rows per pair; tie_sum ≤ nn³ − nn — the
+        // TIGHTER bound, int64 only to nn ≤ 2^21 − 1 ≈ 2.09M pooled
+        // rows per pair, and past it the engines diverge (Spark
+        // non-ANSI wraps, DuckDB errors on the HUGEINT→BIGINT cast):
+        // above that, widen this emission to DECIMAL in BOTH twins
+        // before trusting tie_sum. Internal rank sums stay DECIMAL so
+        // the arithmetic — including the z that consumes tie_sum —
+        // never wraps getting here.)
         col("u2_a").cast("long").as("u2_a"),
         col("mean2").cast("long").as("mean2"),
         col("tie_sum").cast("long").as("tie_sum"), col("z"))

@@ -106,8 +106,11 @@ object Dedup {
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): over each doc's k-gram hash
     * sequence, slide a window of `w` starts and keep the window's
-    * MINIMUM hash, rightmost position on ties (the paper's robust
-    * winnowing) — a position-aware fingerprint set with the GUARANTEE
+    * MINIMUM hash, rightmost position on ties (the paper's STANDARD
+    * winnowing selection rule; "robust winnowing" is the paper's
+    * density-reducing variant that prefers the previously selected
+    * fingerprint on ties — not implemented here, and the guarantee
+    * below holds for both) — a position-aware fingerprint set with the GUARANTEE
     * the sketch family (E5 minhash) deliberately trades away: any
     * shared substring of at least w + k − 1 tokens yields at least
     * one shared fingerprint, while expected density stays 2/(w+1) of

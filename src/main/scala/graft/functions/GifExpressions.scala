@@ -86,7 +86,14 @@ object GifHeaderUtil {
     while (pos < bytes.length) {
       (bytes(pos) & 0xff) match {
         case 0x3b => // trailer: the stream ends here
-          if (nImages == 0) return NotDecoded // imageless GIF: nothing to curate
+          // Imageless GIF (header + trailer, zero image descriptors):
+          // STRUCTURALLY valid, but deliberately conflated with
+          // not-decodable — this family's NULL/decoded=false means
+          // "no usable image data", not strictly "malformed", and a
+          // curation pipeline treats both identically. frames()
+          // makes the same call (its `out.isEmpty` branch), so the
+          // two utils never disagree on an input.
+          if (nImages == 0) return NotDecoded
           val row = new GenericInternalRow(9)
           row.update(0, true)
           row.update(1, version89)
@@ -214,7 +221,11 @@ object GifFrameUtil {
     while (pos < bytes.length) {
       (bytes(pos) & 0xff) match {
         case 0x3b =>
-          if (out.isEmpty) return null // imageless: nothing to sample
+          // imageless: nothing to sample — the same deliberate
+          // valid-but-empty ⇒ not-decodable conflation as
+          // GifHeaderUtil.meta's nImages == 0 branch (NULL = "no
+          // usable image data"); the two utils stay in agreement
+          if (out.isEmpty) return null
           return new org.apache.spark.sql.catalyst.util.GenericArrayData(
             out.toArray[Any])
         case 0x21 =>

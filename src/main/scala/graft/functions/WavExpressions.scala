@@ -366,8 +366,15 @@ object WavFrameFeatures {
   * 2·factor, …; NO anti-alias low-pass (a filter is a different
   * operator by design — this is the exact-integer frame sampler, and
   * a downstream energy/ZCR consumer reads decimated frames
-  * directly); declared sample rate divides by `factor` (integer
-  * floor, stated). Undecodable input or factor < 1 → NULL, the
+  * directly); declared sample rate divides by `factor` — integer
+  * floor CLAMPED below at 1 Hz (`max(1, rate div factor)`: a
+  * factor above the sample rate would otherwise write a 0 Hz
+  * header, which downstream decoders reject as malformed — the
+  * surviving frames are still valid data, so the header degrades
+  * to the slowest representable rate instead; any oracle twin must
+  * mirror the clamp, not plain floor division — q341's twin only
+  * exercises factor ≤ rate, where the two agree).
+  * Undecodable input or factor < 1 → NULL, the
   * family degrade contract. Scan-side: the ~factor-smaller audio
   * column is what leaves the projection. */
 object WavDecimUtil {
