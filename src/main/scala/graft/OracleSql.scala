@@ -1219,7 +1219,8 @@ ORDER BY p.doc_id"""
   val q118_keep_best_neardup: String = s"""
 WITH RECURSIVE
 p AS ($q18_minhash_neardup),
-e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+e AS (SELECT DISTINCT a, b FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p)),
 conn(a, b) AS (
   SELECT a, b FROM e
   UNION
@@ -1656,17 +1657,18 @@ WITH e AS (
            'd' || CAST((doc_id * 5 + 2) % 89 AS VARCHAR)
     FROM documents)
   WHERE src <> dst),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nodes AS (SELECT DISTINCT node FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 n AS (SELECT count(*) AS n FROM nodes),
 r0 AS (
   SELECT node FROM (VALUES ('d0'), ('d1'), ('d2')) s(node)
   WHERE node IN (SELECT node FROM nodes)),
-r1 AS (SELECT node FROM r0 UNION
-       SELECT e.dst FROM e JOIN r0 ON e.src = r0.node),
-r2 AS (SELECT node FROM r1 UNION
-       SELECT e.dst FROM e JOIN r1 ON e.src = r1.node),
-r3 AS (SELECT node FROM r2 UNION
-       SELECT e.dst FROM e JOIN r2 ON e.src = r2.node),
+r1 AS (SELECT DISTINCT node FROM (
+  SELECT node FROM r0 UNION ALL SELECT e.dst FROM e JOIN r0 ON e.src = r0.node)),
+r2 AS (SELECT DISTINCT node FROM (
+  SELECT node FROM r1 UNION ALL SELECT e.dst FROM e JOIN r1 ON e.src = r1.node)),
+r3 AS (SELECT DISTINCT node FROM (
+  SELECT node FROM r2 UNION ALL SELECT e.dst FROM e JOIN r2 ON e.src = r2.node)),
 c AS (
   SELECT 0 AS hop, count(*) AS n_reachable FROM r0 UNION ALL
   SELECT 1, count(*) FROM r1 UNION ALL
@@ -1704,7 +1706,8 @@ WITH RECURSIVE e AS (
     UNION ALL
     SELECT 'd24', 'd23' FROM documents)
   WHERE src <> dst),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nodes AS (SELECT DISTINCT node FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 reach(s, d) AS (
   SELECT src, dst FROM e
   UNION
@@ -3784,10 +3787,10 @@ p5 AS (
   SELECT doc_a, doc_b, (common*1000)//(n_a + n_b - common) AS jac
   FROM cm WHERE common*1000 >= 500*(n_a + n_b - common)),
 p7 AS (SELECT doc_a, doc_b FROM p5 WHERE jac >= 700),
-e5 AS (SELECT doc_a AS s, doc_b AS d FROM p5
-  UNION SELECT doc_b, doc_a FROM p5),
-e7 AS (SELECT doc_a AS s, doc_b AS d FROM p7
-  UNION SELECT doc_b, doc_a FROM p7),
+e5 AS (SELECT DISTINCT s, d FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT doc_a AS s, doc_b AS d FROM p5 UNION ALL SELECT doc_b, doc_a FROM p5)),
+e7 AS (SELECT DISTINCT s, d FROM (
+  SELECT doc_a AS s, doc_b AS d FROM p7 UNION ALL SELECT doc_b, doc_a FROM p7)),
 r5(s, d) AS (SELECT s, d FROM e5
   UNION SELECT r5.s, e5.d FROM r5 JOIN e5 ON r5.d = e5.s),
 r7(s, d) AS (SELECT s, d FROM e7
@@ -4192,8 +4195,9 @@ recs AS (
   UNION ALL
   SELECT p_partkey * 2 + 1, substr(p_name, 1, 7) || 'q' || substr(p_name, 9)
   FROM part WHERE p_partkey % 5 = 0),
-e AS (SELECT rec_a AS s, rec_b AS d FROM pairs
-      UNION SELECT rec_b, rec_a FROM pairs),
+e AS (SELECT DISTINCT s, d FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT rec_a AS s, rec_b AS d FROM pairs
+  UNION ALL SELECT rec_b, rec_a FROM pairs)),
 reach(s, d) AS (
   SELECT s, d FROM e
   UNION
@@ -5764,7 +5768,8 @@ WITH RECURSIVE e AS (
            CASE WHEN doc_id % 2 = 0 THEN 'd12' ELSE 'd15' END
     FROM documents)
   WHERE src <> dst),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nodes AS (SELECT DISTINCT node FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 reach(s, d) AS (
   SELECT src, dst FROM e
   UNION
@@ -7074,7 +7079,8 @@ WITH RECURSIVE p AS (
   SELECT DISTINCT 'd' || CAST(doc_id % 56 AS VARCHAR) AS a,
                   'd' || CAST(doc_id % 56 + 4 AS VARCHAR) AS b
   FROM documents),
-e AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+e AS (SELECT DISTINCT s, d FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT a AS s, b AS d FROM p UNION ALL SELECT b, a FROM p)),
 reach(s, d) AS (
   SELECT s, d FROM e
   UNION
@@ -7654,7 +7660,7 @@ WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
     * Norms are precomputed once per vector (`nrm`) — the same
     * sqrt(selfdot) double the per-pair sqlCosine form would produce,
     * hoisted exactly like the Spark side's vecNorm projection. */
-  private def knnDescentCtes: String = {
+  private def knnDescentCtes(src: String = "embeddings"): String = {
     val cosAB = s"${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"
     val cosE = s"${sqlDot("e1.embedding", "e2.embedding")} / (e1.nrm * e2.nrm)"
     s"""
@@ -7662,7 +7668,7 @@ WITH hp(m) AS (SELECT $hpMatrix),
 nrm AS (
   SELECT vec_id, embedding,
     sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-  FROM embeddings),
+  FROM $src),
 s AS (
   SELECT vec_id, embedding, nrm,
     $sqlKeyCols
@@ -7680,11 +7686,22 @@ rev AS (
     SELECT src, dst,
       row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS r
     FROM g0) WHERE r <= 10),
-adj AS (SELECT src, dst FROM g0 UNION SELECT src, dst FROM rev),
+adj AS (
+  -- UNION ALL + outer DISTINCT, not bare UNION (the q323 note): when
+  -- a consumer wraps this chain in WITH RECURSIVE (q344/q347), DuckDB
+  -- 1.0 treats any UNION-bodied CTE as a recursive union and SKIPS
+  -- the cross-branch dedup — duplicate candidate rows then eat the
+  -- row_number() top-k cut below, and WHICH duplicates survive is
+  -- run-dependent: the oracle's edge set silently went
+  -- nondeterministic (caught by q347's first verify run).
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM g0 UNION ALL SELECT src, dst FROM rev)),
 cand AS (
   SELECT x.dst AS src, y.dst AS dst
   FROM adj x JOIN adj y ON x.src = y.src AND x.dst <> y.dst),
-allc AS (SELECT src, dst FROM cand UNION SELECT src, dst FROM g0),
+allc AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM cand UNION ALL SELECT src, dst FROM g0)),
 rescored AS (
   SELECT c.src, c.dst, $cosE AS cosine
   FROM allc c JOIN nrm e1 ON e1.vec_id = c.src
@@ -7697,7 +7714,7 @@ g1 AS (
   }
 
   /** q331 twin: the refined graph itself. */
-  val q331_knn_descent: String = knnDescentCtes + """
+  val q331_knn_descent: String = knnDescentCtes() + """
 SELECT src AS vec_id, dst AS neighbor_id, CAST(r AS INTEGER) AS rank, cosine
 FROM g1 ORDER BY vec_id, rank"""
 
@@ -7895,7 +7912,8 @@ ORDER BY u.user_id"""
   val q337_chaining_audit: String = s"""
 WITH RECURSIVE
 p AS ($q18_minhash_neardup),
-e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+e AS (SELECT DISTINCT a, b FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p)),
 conn(a, b) AS (
   SELECT a, b FROM e
   UNION
@@ -7965,14 +7983,146 @@ SELECT group_a, group_b, n_a, n_b,
       / (12.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) END AS z
 FROM fin ORDER BY group_a, group_b"""
 
+  /** q346 twin of the GOVERNED [[graft.dedup.Dedup.minhashPairs]]
+    * path (maxBucket — the round-18 DedupScaleBench governor): the
+    * same planted 24-clone-per-template corpus, the q18 signature
+    * pipeline (constants generated from the SAME coefficient table),
+    * then the governor replicated exactly — a window count per
+    * (band, key), all-pairs for buckets ≤ 8, id-sorted lead() chain
+    * for oversized ones, DISTINCT across bands, the estimate filter
+    * last. */
+  val q346_minhash_governed: String = {
+    val sigEntries = graft.dedup.Dedup.minhashCoeffs.map { case (a, b) =>
+      s"list_reduce(list_transform(hs, x -> (x*$a+$b)%1000000007), (u,v)->least(u,v))"
+    }.mkString(",\n    ")
+    val nh = graft.dedup.Dedup.numHashes
+    s"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT d.doc_id * 100 + r.r + 900000 AS doc_id,
+         d.text || ' zz' || CAST(r.r AS VARCHAR) AS text
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 24)) AS r) r
+  WHERE d.doc_id < 2),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM corpus),
+sh AS (
+  SELECT doc_id, list_transform(range(1, len(tokens)-1),
+    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM toks WHERE len(tokens) >= 3),
+xs AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> CAST(('0x' || substr(md5(s),1,14)) AS BIGINT) % 1000000007) AS hs
+  FROM sh),
+sigs AS (SELECT doc_id, [$sigEntries] AS sig FROM xs),
+bands AS (
+  SELECT doc_id, sig, b,
+    CAST(sig[b*4+1] AS VARCHAR) || '_' || CAST(sig[b*4+2] AS VARCHAR) || '_' ||
+    CAST(sig[b*4+3] AS VARCHAR) || '_' || CAST(sig[b*4+4] AS VARCHAR) AS key
+  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+sized AS (
+  SELECT doc_id, sig, b, key, count(*) OVER (PARTITION BY b, key) AS bn
+  FROM bands),
+small_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM (SELECT * FROM sized WHERE bn <= 8) a
+  JOIN (SELECT * FROM sized WHERE bn <= 8) b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+chain_pairs AS (
+  SELECT doc_id AS doc_a, lead(doc_id) OVER w AS doc_b,
+         sig AS sig_a, lead(sig) OVER w AS sig_b
+  FROM sized WHERE bn > 8
+  WINDOW w AS (PARTITION BY b, key ORDER BY doc_id)),
+pairs AS (
+  SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
+    SELECT doc_a, doc_b, sig_a, sig_b FROM small_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, sig_a, sig_b FROM chain_pairs
+    WHERE doc_b IS NOT NULL))
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT doc_a, doc_b,
+    CAST(len(list_filter(range(1,${nh + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)/$nh.0
+      AS est_jaccard
+  FROM pairs)
+WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
+  /** q347 twin: BOTH SemDeDup variants replayed over the augmented
+    * corpus (fixture embeddings + 40 planted clones, one FLOAT
+    * component shifted by the same single-precision add Spark does):
+    * the descent chain + recursive-closure labels (the q344 device)
+    * parameterized onto the corpus CTE, the q88 fixed-centroid
+    * assignment + same-cell drop, one row per planted clone with
+    * both verdicts. */
+  val q347_semdedup_agreement: String = {
+    val cvals = (0 until 8).map { j =>
+      val c = graft.similarity.Similarity.hyperplane(j, hpDim)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        .max(java.lang.Double.MIN_VALUE)
+      s"($j, [${c.map(x => s"${x.toInt}.0").mkString(",")}], $cn)"
+    }.mkString(",\n  ")
+    def dotCv(e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($e)+1), " +
+        s"i -> CAST($e[i] AS DOUBLE) * cv[i])), (acc,v) -> acc + v)"
+    val corpusCte = """corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+    list_transform(range(1, len(embedding)+1),
+      i -> CASE WHEN i = 1
+           THEN CAST(embedding[1] + CAST(1.5 AS FLOAT) AS FLOAT)
+           ELSE embedding[i] END) AS embedding
+  FROM embeddings WHERE vec_id < 40), """
+    knnDescentCtes("corpus")
+      .replaceFirst("WITH ", "WITH RECURSIVE " + corpusCte) + s""",
+pr AS (SELECT src AS a3, dst AS b3 FROM g1 WHERE cosine >= 0.4 AND src < dst),
+e2 AS (SELECT DISTINCT a, b FROM (
+  SELECT a3 AS a, b3 AS b FROM pr UNION ALL SELECT b3, a3 FROM pr)),
+conn2(a, b) AS (
+  SELECT a, b FROM e2
+  UNION
+  SELECT c.a, e2.b FROM conn2 c JOIN e2 ON c.b = e2.a WHERE e2.b <> c.a),
+lab AS (SELECT a AS vec_id, least(a, min(b)) AS label FROM conn2 GROUP BY a),
+cm(cell, cv, cn) AS (SELECT * FROM (VALUES
+  $cvals) v(cell, cv, cn)),
+aa AS (
+  SELECT vec_id, embedding, cell,
+    (-(${dotCv("embedding")})) / (sqrt(${sqlDot("embedding", "embedding")}) * cn) AS d
+  FROM corpus CROSS JOIN cm),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM aa)
+  WHERE rn = 1),
+idropped AS (
+  SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4)
+SELECT cl.vec_id - 1000000 AS base_id, cl.vec_id AS clone_id,
+  (ac.cell = ab.cell) AS same_cell,
+  (di.vec_id IS NULL) AS kept_ivf,
+  (lg.label IS NULL OR lg.label = cl.vec_id) AS kept_graph
+FROM corpus cl
+JOIN assign ac ON ac.vec_id = cl.vec_id
+JOIN assign ab ON ab.vec_id = cl.vec_id - 1000000
+LEFT JOIN idropped di ON di.vec_id = cl.vec_id
+LEFT JOIN lab lg ON lg.vec_id = cl.vec_id
+WHERE cl.vec_id >= 1000000
+ORDER BY clone_id"""
+  }
+
   /** q344 twin: the shared descent chain's g1 edges at cos ≥ 0.4,
     * symmetrized, recursive-closure components (the q118 device),
     * smallest-id survivors — q88's verdict shape over the graph
     * candidate universe. */
   val q344_semdedup_graph: String =
-    knnDescentCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+    knnDescentCtes().replaceFirst("WITH ", "WITH RECURSIVE ") + """,
 pr AS (SELECT src AS a, dst AS b FROM g1 WHERE cosine >= 0.4 AND src < dst),
-e2 AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+e2 AS (SELECT DISTINCT a, b FROM (
+  SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr)),
 conn2(a, b) AS (
   SELECT a, b FROM e2
   UNION
@@ -7988,7 +8138,7 @@ ORDER BY e.vec_id"""
     * stage — integer hits, e6 floor mean. */
   val q332_descent_recall: String = {
     val cosAB = s"${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"
-    knnDescentCtes + s""",
+    knnDescentCtes() + s""",
 exact AS (
   SELECT src AS query_id, dst AS neighbor_id FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -8346,7 +8496,8 @@ FROM documents"""
   val q36_neardup_dedup: String = s"""
 WITH RECURSIVE
 p AS ($q18_minhash_neardup),
-e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+e AS (SELECT DISTINCT a, b FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p)),
 conn(a, b) AS (
   SELECT a, b FROM e
   UNION
@@ -8362,7 +8513,8 @@ ORDER BY doc_id"""
   val q84_leakage_split: String = s"""
 WITH RECURSIVE
 p AS ($q18_minhash_neardup),
-e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+e AS (SELECT DISTINCT a, b FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p)),
 conn(a, b) AS (
   SELECT a, b FROM e
   UNION
@@ -8759,7 +8911,8 @@ ORDER BY rule"""
   val q343_dedup_impact: String = s"""
 WITH RECURSIVE
 p AS ($q18_minhash_neardup),
-e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+e AS (SELECT DISTINCT a, b FROM (  -- UNION ALL + DISTINCT: the WITH RECURSIVE rule
+  SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p)),
 conn(a, b) AS (
   SELECT a, b FROM e
   UNION
@@ -9216,6 +9369,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q343_dedup_impact" -> q343_dedup_impact,
     "q344_semdedup_graph" -> q344_semdedup_graph,
     "q345_mann_whitney" -> q345_mann_whitney,
+    "q346_minhash_governed" -> q346_minhash_governed,
+    "q347_semdedup_agreement" -> q347_semdedup_agreement,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1381,6 +1381,71 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // GOVERNED minhash LSH (the round-18 DedupScaleBench find): a
+    // planted 24-clone cluster per template doc forces band buckets
+    // over maxBucket = 8, so the oversized buckets contribute their
+    // id-sorted adjacent CHAIN (linear) instead of all C(b,2) pairs —
+    // while ungoverned small buckets keep the full q18 semantics.
+    // The oracle twin replicates the governor exactly (window count
+    // + lead() chain).
+    "q346_minhash_governed" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val clones = base.filter(col("doc_id") < 2)
+        .crossJoin(s.range(24).select(col("id").as("__r")))
+        .select((col("doc_id") * 100 + col("__r") + 900000L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("__r")).as("text"))
+      val corpus = base.filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .unionByName(clones)
+      graft.dedup.Dedup.minhashPairs(corpus, threshold = 0.5, maxBucket = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SemDeDup VARIANT-AGREEMENT eval (closes the q88 E73 row's
+    // structural-limitation sentence with a measurement): 40 planted
+    // near-identical clones (one float component shifted — both
+    // engines do the same single-precision add), each cos >= 0.9 to
+    // its base, some landing in a DIFFERENT fixed-centroid cell.
+    // Both dedup variants run over the augmented corpus; per clone:
+    // same_cell, the IVF-scoped verdict (q88 — structurally blind to
+    // cross-cell near-dups), and the graph-candidate verdict (q344 —
+    // the descent graph's top-k universe crosses cells).
+    "q347_semdedup_agreement" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val clones = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(1.5f)).otherwise(x)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(clones)
+      val cents = Array.tabulate(8)(p =>
+        graft.similarity.Similarity.hyperplane(p, 64))
+      val ivf = graft.similarity.Similarity.semanticDedup(corpus, 0.4, cents)
+      val gpairs = graft.similarity.Similarity.knnGraphDescent(corpus,
+          k = 10, revCap = 10, rounds = 1)
+        .filter(col("cosine") >= 0.4 && col("vec_id") < col("neighbor_id"))
+        .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+      val labels = graft.dedup.Dedup.componentLabels(gpairs)
+        .withColumnRenamed("node", "vec_id")
+      val graphKeep = corpus.select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (col("label").isNull || col("label") === col("vec_id"))
+            .as("kept_graph"))
+      val cellOf = ivf.select(col("vec_id").as("base_id"),
+        col("cell").as("base_cell"))
+      ivf.filter(col("vec_id") >= 1000000L)
+        .select(col("vec_id").as("clone_id"), col("cell").as("clone_cell"),
+          col("kept").as("kept_ivf"),
+          (col("vec_id") - 1000000L).as("base_id"))
+        .join(cellOf, Seq("base_id"))
+        .join(graphKeep.withColumnRenamed("vec_id", "clone_id"),
+          Seq("clone_id"))
+        .select(col("base_id"), col("clone_id"),
+          (col("base_cell") === col("clone_cell")).as("same_cell"),
+          col("kept_ivf"), col("kept_graph"))
+        .orderBy(col("clone_id"))
+    }),
+
     // REAL audio resample end-to-end (the q115/q216 fixture device):
     // decode formula-synthesized PCM16, DECIMATE by 3 (every 3rd
     // frame, all channels, rate div 3 — plain decimation, no

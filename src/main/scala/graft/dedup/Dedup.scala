@@ -231,10 +231,41 @@ object Dedup {
     * probability ≈ 1-(1-j^r)^b, steep around j ≈ 0.7 for 4×4.
     *
     * The join is on tiny keys and near-empty buckets: candidate
-    * generation is linear in matches, not O(n²). */
+    * generation is linear in matches, not O(n²) — ON A BENIGN CORPUS.
+    * The production corpus is not benign: crawl dedup's defining
+    * input is the viral/mirrored page whose near-dup cluster GROWS
+    * with corpus size, and every member of a clone cluster lands in
+    * the SAME band buckets, so the ungoverned self-join is quadratic
+    * in the cluster size (measured on DedupScaleBench's
+    * clone+boilerplate corpus: one 0.1·n cluster drives candidate
+    * pairs ×15.2 per ×4 docs — the exact analogue of the
+    * correlated-hyperplane skew the ANN bench caught in round 17,
+    * here caused by the DATA, which no hash fix can remove).
+    *
+    * `maxBucket` is the governor (the E6 maxDocFreq analogue at the
+    * band-bucket level): a (band, key) bucket with more than
+    * `maxBucket` docs contributes its id-sorted ADJACENT CHAIN
+    * (b − 1 pairs) instead of all C(b, 2) — linear in the bucket.
+    * Chaining preserves what the dedup consumer (componentLabels)
+    * needs: a TRUE near-dup cluster's members are pairwise similar,
+    * so every chain edge passes the estimate threshold and the
+    * component still merges whole; a boilerplate-collision bucket's
+    * chain edges fail the threshold and vanish — at linear instead
+    * of quadratic cost. The trade, stated: PAIR-level output through
+    * an oversized bucket under-reports (a pair surfaces only if
+    * id-adjacent there, or colliding in some governed bucket) and a
+    * mixed oversized bucket may miss a true pair whose members are
+    * not adjacent — under-reports, never inflates, the family's
+    * governor contract. Candidate volume is bounded by
+    * n·bands·maxBucket/2 + n·bands — cap-linear in n. Oversized
+    * buckets are window partitions (one sort each, spill-safe), and
+    * the window's (band, key) hash partitioning is exactly the
+    * self-join's, so the exchange is reused. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
-                   n: Int = 3, materialize: Boolean = true): DataFrame = {
+                   n: Int = 3, materialize: Boolean = true,
+                   maxBucket: Long = 1000): DataFrame = {
+    require(maxBucket >= 2, "maxBucket < 2 cannot pair anything")
     // Both self-join sides consume the banded signatures; without
     // materialization the corpus is tokenized, shingled, and
     // min-hashed twice. The signatures are 128 B/doc — the cheapest
@@ -246,11 +277,24 @@ object Dedup {
     // design point.
     val bandsRaw = bandedSignatures(minhashSignatures(docs, idCol, textCol, n))
     val bands = if (materialize) bandsRaw.localCheckpoint() else bandsRaw
-    val pairs = bands.as("a").join(bands.as("b"),
+    val wCnt = Window.partitionBy(col("band"), col("key"))
+    val wOrd = Window.partitionBy(col("band"), col("key"))
+      .orderBy(col("doc_id"))
+    val sized = bands.withColumn("__bn", count(lit(1)).over(wCnt))
+    val small = sized.filter(col("__bn") <= maxBucket)
+      .select("doc_id", "sig", "band", "key")
+    val allPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val chained = sized.filter(col("__bn") > maxBucket)
+      .withColumn("__nd", lead(col("doc_id"), 1).over(wOrd))
+      .withColumn("__ns", lead(col("sig"), 1).over(wOrd))
+      .filter(col("__nd").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("__nd").as("doc_b"),
+        col("sig").as("sig_a"), col("__ns").as("sig_b"))
+    val pairs = allPairs.unionByName(chained)
       .distinct() // a pair may collide in several bands
     pairs
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
@@ -303,7 +347,20 @@ object Dedup {
     * near-dup of itself — the self-pair is filtered; if the id spaces
     * otherwise overlap, a genuine pair present on both sides surfaces
     * once per side (keep batch ids disjoint from index ids to avoid
-    * mirrored pairs). */
+    * mirrored pairs).
+    *
+    * Skew exposure, stated (the [[minhashPairs]] maxBucket governor's
+    * sibling): a HOT index bucket — a viral page's clone cluster that
+    * grew with the corpus — costs |bucket| comparisons per batch doc
+    * that lands in it, so per-batch cost is batch-scaled only while
+    * index buckets stay bounded. The incremental contract makes the
+    * mitigation an INDEX hygiene step, not a per-query one: a batch
+    * doc matching a hot cluster is itself deduped away (never
+    * appended), so governed pipelines' indexes grow one
+    * representative per cluster and hot buckets cannot form from
+    * dedup survivors; an index built from an UNgoverned corpus should
+    * be compacted (keep maxBucket rows per (band, key)) before
+    * incremental use. */
   def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, newDocs: DataFrame,
                           threshold: Double = 0.5, idCol: String = "doc_id",

@@ -1,0 +1,201 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev/bench tool: the adversarial-skew instrument for the
+  * MinHash / shingle-Jaccard / winnowing dedup family — the exact
+  * analogue of [[AnnScaleBench]] (whose bucket-concentration probe
+  * caught the correlated-hyperplane bug in round 17), aimed at the
+  * family whose PRODUCTION workload is the skewed case: crawl corpora
+  * are clone-heavy (mirrored/viral pages form near-dup clusters that
+  * GROW with corpus size) and boilerplate-heavy (site templates carry
+  * identical token blocks across a large corpus fraction). The
+  * AnnScaleBench deliberately rejected clone replicas as a fixture
+  * artifact because for ANN they are one; for dedup they are the
+  * real input — this bench synthesizes them on purpose.
+  *
+  * Synthetic corpus (fully deterministic, xxhash64-driven, no RNG —
+  * the resume-safety rule): n = 2000·R docs of ~100 tokens, by
+  * doc_id mod 10:
+  *  - class 0 (10%): ONE near-dup "hot" cluster whose size is 0.1·n —
+  *    the viral-page regime. All members share a base token stream;
+  *    member-specific perturbation replaces every 20th token, so
+  *    pairwise shingle Jaccard stays ≈ 0.7 (true near-dups, above
+  *    every threshold in the registry defaults).
+  *  - classes 1–2 (20%): FIXED-size near-dup clusters (8 members per
+  *    consecutive 40-id block) — the honest "more data of the same
+  *    shape" component; their pair count grows LINEARLY with n.
+  *  - classes 3–9 (70%): unique docs (per-doc token stream).
+  *  - boilerplate: docs with doc_id mod 7 < 2 (~28.6%, cross-cutting
+  *    all classes) get a fixed 30-token template block prepended —
+  *    shingle df for the template ≈ 0.29·n, far above every
+  *    maxDocFreq governor at every decade.
+  *
+  * Per decade and per operator it emits JSON lines with
+  *  - the CONCENTRATION probe: for MinHash, per-(band, key) bucket
+  *    sizes from the PUBLIC index surface
+  *    ([[graft.dedup.Dedup.writeSignatureIndex]]); for Jaccard /
+  *    winnowing, posting/fingerprint document frequencies. Reported
+  *    as sum(b²) (the Σ|bucket|² probe), the candidate-pair integral
+  *    Σ C(b, 2) split at the governor cap (governed vs dropped), and
+  *    the max bucket;
+  *  - the measured operator wall time (min of 2, count() as the
+  *    action so the output volume is captured by the same run) and
+  *    the output pair count.
+  *
+  * The claim under test: every pair-finder's candidate volume is
+  * governed — bounded by a cap-linear function of n — on the
+  * clone+boilerplate corpus, not just on the benign fixture. A
+  * super-linear step in the measured curve or a governed-bound
+  * violation is a REAL scale-killer (the E336 playbook: fix, then
+  * re-measure). */
+object DedupScaleBench {
+
+  /** 30-token site-template block (lowercase alnum — the tokenizer's
+    * own class, so every token survives tokenization verbatim). */
+  val boilerplate: String =
+    (0 until 30).map(i => s"bp$i").mkString(" ")
+
+  /** The deterministic clone+boilerplate corpus at replica factor R
+    * (n = 2000·R docs). Pure projection over range(n): generation is
+    * distributed, nothing driver-side, any decade streams. */
+  def corpus(spark: SparkSession, replicas: Int): DataFrame = {
+    val n = 2000L * replicas
+    val id = col("doc_id")
+    val cls = id % 10
+    // per-class base seed: hot cluster shares one seed; fixed
+    // clusters share a per-40-block seed (8 members each); unique
+    // docs seed on their own id (disjoint ranges via large offsets)
+    // Column `/` is TRUE division (doubles) — block ids need `div`
+    val blk = expr("doc_id div 40")
+    val seed = when(cls === 0, lit(Long.MaxValue - 1L))
+      .when(cls <= 2, blk + 4000000000L)
+      .otherwise(id)
+    val isClone = cls <= 2
+    // member perturbation offset in [0, 20): which residue class of
+    // token positions this member rewrites
+    val off = pmod(id * 3L + blk, lit(20L))
+    val body = transform(sequence(lit(0), lit(99)), p =>
+      when(isClone && pmod(p, lit(20)) === off,
+        concat(lit("p"), pmod(xxhash64(id, p), lit(1000000000000L))))
+        .otherwise(
+          concat(lit("t"), pmod(xxhash64(seed, p), lit(1000000000000L)))))
+    val text = when(id % 7 < 2,
+      concat(lit(boilerplate + " "), concat_ws(" ", body)))
+      .otherwise(concat_ws(" ", body))
+    spark.range(n).select(col("id").as("doc_id"))
+      .select(col("doc_id"), text.as("text"))
+  }
+
+  private def timeMinOf2(run: () => Long): (Double, Long) = {
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = run()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    (runs.map(_._1).min, runs.head._2)
+  }
+
+  /** Bucket/df concentration stats over a (group → member count)
+    * frame: Σb², ΣC(b,2) within the cap, ΣC(b,2) above it (the
+    * candidate volume a governor must remove), max b. */
+  private def concentration(counts: DataFrame, cap: Long): (Long, Long, Long, Long) = {
+    val b = col("b").cast("decimal(38,0)")
+    val r = counts.agg(
+      sum(b * b).cast("long").as("sum_sq"),
+      sum(when(col("b") <= cap, b * (b - 1) / 2).otherwise(lit(0)))
+        .cast("long").as("pairs_governed"),
+      sum(when(col("b") > cap, b * (b - 1) / 2).otherwise(lit(0)))
+        .cast("long").as("pairs_oversized"),
+      max(col("b")).as("max_b")).head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val replicasList =
+      if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16, 64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // partitions sized to the top decade's pair volume, not the core
+    // count (the AnnScaleBench note)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // minhash / jaccard / winnowing, and probe-only (concentration
+    // without timing the pair joins — cheap at any decade)
+    val ops = sys.env.getOrElse("SPARK_GRAFT_DEDUP_OPS",
+      "minhash,jaccard,winnowing").split(",").toSet
+    val scratch = "/root/repo/target/dedup_scale"
+
+    def report(op: String, r: Int, n: Long, fields: String): Unit =
+      println(s"""{"metric":"dedup_scaling","op":"$op","replicas":$r,"docs":$n,$fields}""")
+
+    def runAll(r: Int, emit: Boolean): Unit = {
+      val docs = corpus(spark, r).localCheckpoint()
+      val n = docs.count()
+
+      if (ops("minhash") || ops("probe")) {
+        // concentration from the PUBLIC banded-signature index
+        val idxPath = s"$scratch/sig_r$r"
+        graft.dedup.Dedup.writeSignatureIndex(docs, idxPath)
+        val buckets = spark.read.parquet(idxPath)
+          .groupBy(col("band"), col("key")).agg(count(lit(1)).as("b"))
+        val (sq, gov, over, mx) = concentration(buckets, 1000L)
+        if (emit) report("minhash_buckets", r, n,
+          s""""sum_b2":$sq,"pairs_governed":$gov,"pairs_oversized":$over,"max_bucket":$mx""")
+        if (ops("minhash")) {
+          // SPARK_GRAFT_MAXBUCKET overrides the governor (set it to
+          // a huge value for the ungoverned BEFORE measurement)
+          val maxB = sys.env.getOrElse("SPARK_GRAFT_MAXBUCKET", "1000").toLong
+          val (sec, pairs) = timeMinOf2(() =>
+            graft.dedup.Dedup.minhashPairs(docs, threshold = 0.5,
+              maxBucket = maxB).count())
+          if (emit) report("minhash_pairs", r, n,
+            f""""sec":$sec%.3f,"out_pairs":$pairs,"max_bucket_cap":$maxB""")
+        }
+      }
+
+      if (ops("jaccard") || ops("probe")) {
+        val dfs = graft.dedup.Dedup.explodedShingleHashes(docs).distinct()
+          .groupBy(col("shingle")).agg(count(lit(1)).as("b"))
+        val (sq, gov, over, mx) = concentration(dfs, 100L)
+        if (emit) report("jaccard_postings", r, n,
+          s""""sum_b2":$sq,"pairs_governed":$gov,"pairs_oversized":$over,"max_df":$mx""")
+        if (ops("jaccard")) {
+          // 0.5, not the 0.8 default: the synthetic clusters' true
+          // pairwise Jaccard is ~0.53, so the measurement also shows
+          // the operator FINDING them, not just its join volume
+          val (sec, pairs) = timeMinOf2(() =>
+            graft.dedup.Dedup.jaccardPairs(docs, threshold = 0.5).count())
+          if (emit) report("jaccard_pairs", r, n,
+            f""""sec":$sec%.3f,"out_pairs":$pairs""")
+        }
+      }
+
+      if (ops("winnowing") || ops("probe")) {
+        val dfs = graft.dedup.Dedup.winnowingFingerprints(docs)
+          .select(col("fp_hash"), col("doc_id")).distinct()
+          .groupBy(col("fp_hash")).agg(count(lit(1)).as("b"))
+        val (sq, gov, over, mx) = concentration(dfs, 50L)
+        if (emit) report("winnowing_fps", r, n,
+          s""""sum_b2":$sq,"pairs_governed":$gov,"pairs_oversized":$over,"max_df":$mx""")
+        if (ops("winnowing")) {
+          val (sec, pairs) = timeMinOf2(() =>
+            graft.dedup.Dedup.winnowingPairs(docs).count())
+          if (emit) report("winnowing_pairs", r, n,
+            f""""sec":$sec%.3f,"out_pairs":$pairs""")
+        }
+      }
+    }
+
+    runAll(1, emit = false) // untimed warmup: codegen/JIT
+    replicasList.foreach(r => runAll(r, emit = true))
+    spark.stop()
+  }
+}

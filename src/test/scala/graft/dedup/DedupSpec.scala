@@ -698,4 +698,40 @@ class DedupSpec extends SparkSpec {
     assertSameRows(Dedup.winnowingPairs(d, k = 3, w = 4),
       Dedup.winnowingPairs(d.repartition(5), k = 3, w = 4))
   }
+
+  test("minhashPairs maxBucket governor: oversized buckets chain linearly and the cluster still merges") {
+    // 30 near-identical clones (one template; clone i appends one
+    // token) + 10 unrelated docs. With maxBucket = 8 every clone
+    // bucket is oversized, so the cluster contributes its id-adjacent
+    // CHAIN — pair volume linear in the cluster instead of C(30,2) —
+    // while componentLabels still merges the whole cluster (every
+    // chain edge is a true near-dup and passes the threshold).
+    val template = (0 until 40).map(j => s"base${j}tok").mkString(" ")
+    val rows = (0L until 30L).map(i => i -> s"$template zz$i") ++
+      (100L until 110L).map(i =>
+        i -> (0 until 40).map(j => s"u${i}x$j").mkString(" "))
+    val d = docs(rows: _*)
+    val governed = Dedup.minhashPairs(d, threshold = 0.5, maxBucket = 8)
+    val ungoverned = Dedup.minhashPairs(d, threshold = 0.5,
+      maxBucket = Long.MaxValue)
+    val gp = governed.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val up = ungoverned.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet
+    up.size should be >= 30 * 29 / 2 // ungoverned: all-pairs, quadratic
+    gp.size should be <= 4 * 30 // governed: <= (b-1) chain edges per band
+    gp.subsetOf(up) shouldBe true // the governor never INVENTS a pair
+    // connectivity preserved: the 30 clones are still ONE component
+    val labels = Dedup.componentLabels(governed)
+      .filter(col("node") < 100L).select("label").distinct().count()
+    labels shouldBe 1L
+    // chain selection is deterministic under input partitioning
+    assertSameRows(governed,
+      Dedup.minhashPairs(d.repartition(7), threshold = 0.5, maxBucket = 8))
+  }
+
+  test("minhashPairs governor is dormant when every bucket fits the cap") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assertSameRows(Dedup.minhashPairs(d, threshold = 0.5),
+      Dedup.minhashPairs(d, threshold = 0.5, maxBucket = Long.MaxValue))
+  }
 }

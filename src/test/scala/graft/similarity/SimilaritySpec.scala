@@ -829,4 +829,31 @@ class SimilaritySpec extends SparkSpec {
       plan.toString should include("cosine")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("semDedup variant agreement (q347): graph merges every planted clone; IVF is provably blind to a cross-cell one") {
+    // The measured closure of the q88 E73-row limitation sentence:
+    // 40 planted near-identical clones over the sf0.01 fixture, both
+    // dedup variants run on the augmented corpus. Deterministic —
+    // every verdict is exact arithmetic over fixed inputs.
+    val out = graft.SparkEntry
+      .queries("q347_semdedup_agreement")(spark, "/root/testdata/sf0.01")
+      .collect()
+    out.length shouldBe 40
+    // the descent graph's candidate universe sees EVERY clone (cos
+    // ~0.7+ to its base): the graph variant merges all 40
+    out.foreach { r => r.getAs[Boolean]("kept_graph") shouldBe false }
+    // the perturbation lands clones on both sides of cell boundaries
+    out.count(_.getAs[Boolean]("same_cell")) should be > 0
+    out.count(r => !r.getAs[Boolean]("same_cell")) should be > 0
+    // every same-cell clone is caught by the IVF-scoped variant too
+    out.filter(_.getAs[Boolean]("same_cell")).foreach { r =>
+      r.getAs[Boolean]("kept_ivf") shouldBe false
+    }
+    // the witness: a cross-cell clone the IVF variant KEEPS (it only
+    // compares within a cell — structural blindness) while the graph
+    // variant merges it
+    out.exists(r => !r.getAs[Boolean]("same_cell") &&
+      r.getAs[Boolean]("kept_ivf") &&
+      !r.getAs[Boolean]("kept_graph")) shouldBe true
+  }
 }
