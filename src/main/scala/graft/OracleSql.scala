@@ -8114,6 +8114,68 @@ WHERE cl.vec_id >= 1000000
 ORDER BY clone_id"""
   }
 
+  /** q348 twin of [[graft.dedup.Dedup.compactSignatureIndex]] +
+    * [[graft.dedup.Dedup.incrementalNearDups]]: the q346 corpus, the
+    * q18 signature pipeline, the compaction replayed as a
+    * row_number ≤ 8 filter per (band, key) ordered by doc_id, then
+    * the q85 batch-vs-index banded join over a fresh 3-clone batch.
+    * Detection must survive compaction — the batch clones pair with
+    * the KEPT representatives. */
+  val q348_index_compact: String = {
+    val sigEntries = graft.dedup.Dedup.minhashCoeffs.map { case (a, b) =>
+      s"list_reduce(list_transform(hs, x -> (x*$a+$b)%1000000007), (u,v)->least(u,v))"
+    }.mkString(",\n    ")
+    val nh = graft.dedup.Dedup.numHashes
+    def sigPipe(src: String, suf: String) = s"""
+toks$suf AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM $src),
+sh$suf AS (
+  SELECT doc_id, list_transform(range(1, len(tokens)-1),
+    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM toks$suf WHERE len(tokens) >= 3),
+xs$suf AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> CAST(('0x' || substr(md5(s),1,14)) AS BIGINT) % 1000000007) AS hs
+  FROM sh$suf),
+sigs$suf AS (SELECT doc_id, [$sigEntries] AS sig FROM xs$suf),
+bands$suf AS (
+  SELECT doc_id, sig, b,
+    CAST(sig[b*4+1] AS VARCHAR) || '_' || CAST(sig[b*4+2] AS VARCHAR) || '_' ||
+    CAST(sig[b*4+3] AS VARCHAR) || '_' || CAST(sig[b*4+4] AS VARCHAR) AS key
+  FROM sigs$suf CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))"""
+    s"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT d.doc_id * 100 + r.r + 900000 AS doc_id,
+         d.text || ' zz' || CAST(r.r AS VARCHAR) AS text
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 24)) AS r) r
+  WHERE d.doc_id < 2),
+batch AS (
+  SELECT r.r + 990000 AS doc_id,
+         d.text || ' qq' || CAST(r.r AS VARCHAR) AS text
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 3)) AS r) r
+  WHERE d.doc_id < 1),${sigPipe("corpus", "")},
+idx AS (
+  SELECT doc_id, sig, b, key FROM (
+    SELECT *, row_number() OVER (PARTITION BY b, key ORDER BY doc_id) AS rn
+    FROM bands) WHERE rn <= 8),${sigPipe("batch", "b")},
+pairs AS (
+  SELECT DISTINCT i.doc_id AS doc_a, n.doc_id AS doc_b,
+                  i.sig AS sig_a, n.sig AS sig_b
+  FROM idx i JOIN bandsb n
+    ON i.b = n.b AND i.key = n.key AND i.doc_id <> n.doc_id)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT doc_a, doc_b,
+    CAST(len(list_filter(range(1,${nh + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)/$nh.0
+      AS est_jaccard
+  FROM pairs)
+WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
   /** q344 twin: the shared descent chain's g1 edges at cos ≥ 0.4,
     * symmetrized, recursive-closure components (the q118 device),
     * smallest-id survivors — q88's verdict shape over the graph
@@ -9371,6 +9433,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q345_mann_whitney" -> q345_mann_whitney,
     "q346_minhash_governed" -> q346_minhash_governed,
     "q347_semdedup_agreement" -> q347_semdedup_agreement,
+    "q348_index_compact" -> q348_index_compact,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

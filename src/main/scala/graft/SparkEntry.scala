@@ -1446,6 +1446,35 @@ object SparkEntry {
         .orderBy(col("clone_id"))
     }),
 
+    // Signature-index COMPACTION (the incremental path's governor):
+    // build the index over the q346 planted-clone corpus (hot buckets
+    // of 25), compact to 8 representatives per (band, key), then
+    // dedup a batch of THREE FRESH clones against the compacted
+    // index — detection must survive compaction (each batch clone
+    // still collides with the kept representatives). Index rebuild +
+    // compaction run per evaluation (idempotent composition — the
+    // compaction mutates, so no fixture caching).
+    "q348_index_compact" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val clones = base.filter(col("doc_id") < 2)
+        .crossJoin(s.range(24).select(col("id").as("__r")))
+        .select((col("doc_id") * 100 + col("__r") + 900000L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("__r")).as("text"))
+      val corpus = base.filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .unionByName(clones)
+      val idxPath = scratch("sig_compact", dir)
+      graft.dedup.Dedup.writeSignatureIndex(corpus, idxPath)
+      graft.dedup.Dedup.compactSignatureIndex(s, idxPath, maxBucket = 8)
+      val batch = base.filter(col("doc_id") < 1)
+        .crossJoin(s.range(3).select(col("id").as("__r")))
+        .select((col("__r") + 990000L).as("doc_id"),
+          concat(col("text"), lit(" qq"), col("__r")).as("text"))
+      graft.dedup.Dedup.incrementalNearDups(s, idxPath, batch,
+          threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // REAL audio resample end-to-end (the q115/q216 fixture device):
     // decode formula-synthesized PCM16, DECIMATE by 3 (every 3rd
     // frame, all channels, rate div 3 — plain decimation, no

@@ -330,6 +330,42 @@ object Dedup {
     bandedSignatures(minhashSignatures(docs, idCol, textCol, n))
       .write.mode("append").partitionBy("band").parquet(path)
 
+  /** Compact a persisted signature index to the [[minhashPairs]]
+    * governor's bound: keep at most `maxBucket` rows per (band, key)
+    * — the LOWEST doc_ids, the deterministic representatives — and
+    * rewrite the index in place. This is the index-hygiene step for
+    * an index built over an UNGOVERNED corpus
+    * ([[incrementalNearDups]]'s stated skew exposure): a hot bucket —
+    * a clone cluster that grew with the corpus — costs |bucket|
+    * comparisons per batch doc that lands in it; after compaction at
+    * most `maxBucket`, while DETECTION is preserved for the case that
+    * matters: a batch doc colliding with a true clone cluster
+    * collides with the kept representatives (cluster members are
+    * near-identical, so the lowest-id members carry the same band
+    * keys the dropped ones did). Detection through a MIXED oversized
+    * bucket survives only for pairs whose indexed side was kept —
+    * under-reports, never invents, the family governor contract.
+    * Pair results name a kept representative rather than an arbitrary
+    * cluster member — the verdict ("this batch doc duplicates that
+    * cluster") is unchanged.
+    *
+    * Shape: one window (row_number per bucket, already the index's
+    * band-partitioned layout on disk), rewrite band-partitioned; the
+    * compacted rows are localCheckpoint'd first — the lineage-cut
+    * the overwrite-while-reading device requires (the Upsert staging
+    * convention). Returns the kept row count. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, maxBucket: Long = 1000): Long = {
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    val idx = spark.read.parquet(path)
+    val w = Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+    val kept = idx.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+      .localCheckpoint()
+    kept.write.mode("overwrite").partitionBy("band").parquet(path)
+    kept.count()
+  }
+
   /** Incremental near-dup check: new docs vs a persisted signature
     * index, WITHOUT touching the indexed corpus text. The new batch is
     * signed (one pass over the batch), then band-bucket equi-joined

@@ -734,4 +734,32 @@ class DedupSpec extends SparkSpec {
     assertSameRows(Dedup.minhashPairs(d, threshold = 0.5),
       Dedup.minhashPairs(d, threshold = 0.5, maxBucket = Long.MaxValue))
   }
+
+  test("compactSignatureIndex bounds every bucket, keeps lowest ids, preserves detection, and is idempotent") {
+    val template = (0 until 40).map(j => s"base${j}tok").mkString(" ")
+    val rows = (0L until 30L).map(i => i -> s"$template zz$i") ++
+      (100L until 110L).map(i =>
+        i -> (0 until 40).map(j => s"u${i}x$j").mkString(" "))
+    val d = docs(rows: _*)
+    val path =
+      java.nio.file.Files.createTempDirectory("sigidx").toString + "/idx"
+    Dedup.writeSignatureIndex(d, path)
+    spark.read.parquet(path).groupBy("band", "key").count()
+      .agg(max("count")).head.getLong(0) should be > 8L // hot buckets exist
+    val kept = Dedup.compactSignatureIndex(spark, path, maxBucket = 8)
+    val after = spark.read.parquet(path)
+    after.count() shouldBe kept
+    after.groupBy("band", "key").count()
+      .agg(max("count")).head.getLong(0) should be <= 8L
+    // detection survives: a NEW clone of the template still collides,
+    // and every pair names a KEPT representative (the cluster
+    // buckets' lowest ids, 0..7)
+    val batch = docs(999L -> (template + " zznew"))
+    val hits = Dedup.incrementalNearDups(spark, path, batch,
+      threshold = 0.5).collect()
+    hits.length should be > 0
+    hits.map(_.getLong(0)).max should be <= 7L
+    // compacting a compacted index is a no-op
+    Dedup.compactSignatureIndex(spark, path, maxBucket = 8) shouldBe kept
+  }
 }
