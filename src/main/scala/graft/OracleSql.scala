@@ -1457,7 +1457,8 @@ WITH e AS (
            'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
     FROM documents)
   WHERE src <> dst),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 outdeg AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
 r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_units FROM nodes),
 i1 AS (SELECT e.dst AS node, sum(r.rank_units // o.out_degree) AS in_mass
@@ -1503,7 +1504,8 @@ WITH e AS (
            'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
     FROM documents)
   WHERE src <> dst),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 mass AS (SELECT CAST(count(*) * 1000000 AS BIGINT) AS m FROM nodes),
 h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
 a1r AS (SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
@@ -3128,7 +3130,8 @@ WITH e0 AS (
 und AS (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM e0 WHERE src <> dst),
-nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT a AS node FROM und UNION ALL SELECT b FROM und)),
 lab AS (
   SELECT node,
     'c' || CAST(CAST(substr(node, 2) AS BIGINT) // 8 AS VARCHAR) AS label
@@ -3336,10 +3339,10 @@ WITH e AS (
 d AS (SELECT src, count(*) AS out_degree FROM e GROUP BY src),
 ce AS (SELECT e.src, e.dst FROM e JOIN d ON e.src = d.src
        WHERE d.out_degree <= 64),
-r AS (
+r AS (SELECT DISTINCT node, rch FROM (
   SELECT src AS node, dst AS rch FROM e
-  UNION
-  SELECT a.src, b.dst FROM e a JOIN ce b ON a.dst = b.src),
+  UNION ALL
+  SELECT a.src, b.dst FROM e a JOIN ce b ON a.dst = b.src)),
 cnt AS (
   SELECT node, count(*) AS n_reach2 FROM r WHERE node <> rch GROUP BY node)
 SELECT d.src AS node, CAST(d.out_degree AS BIGINT) AS out_degree,
@@ -4831,7 +4834,8 @@ e0 AS (
   SELECT doc_id % 211 AS a, 211 + doc_id % 13 AS b FROM documents
   UNION ALL
   SELECT doc_id % 211, 224 + doc_id % 7 FROM documents),
-e AS (SELECT a, b FROM (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)),
+e AS (SELECT DISTINCT a, b FROM (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)),
 n AS (SELECT DISTINCT a AS node FROM e),
 conn(a, b) AS (
   SELECT a, b FROM e
@@ -5476,7 +5480,8 @@ WITH s AS (
 p AS (
   SELECT event_type AS src, nxt AS dst, count(*) AS w
   FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
-nodes AS (SELECT src AS node FROM p UNION SELECT dst FROM p),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM p UNION ALL SELECT dst FROM p)),
 ow AS (SELECT src AS node, sum(w) AS out_w FROM p GROUP BY 1),
 pi0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS m FROM nodes),
 $steps
@@ -6154,7 +6159,8 @@ WITH e AS (
            (doc_id % 4) + 1
     FROM documents)
   WHERE src <> dst GROUP BY 1, 2),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 outw AS (SELECT src AS node, sum(w) AS out_weight FROM e GROUP BY 1),
 r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_units FROM nodes),
 i1 AS (SELECT e.dst AS node, sum((r.rank_units * e.w) // o.out_weight) AS m
@@ -7102,7 +7108,8 @@ WITH e AS (
            'd' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR)
     FROM documents)
   WHERE src <> dst),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 outdeg AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
 flagged AS (
   SELECT node, CAST(substr(node, 2) AS INTEGER) % 3 = 0 AS is_seed FROM nodes),

@@ -159,4 +159,46 @@ class CountSyncSpec extends AnyFunSuite with Matchers {
       phantom shouldBe empty
     }
   }
+
+  test("bare UNION in OracleSql appears only as a recursive CTE's own union") {
+    // DuckDB 1.0, measured round 18 (the q347 find): inside any
+    // statement carrying WITH RECURSIVE, a bare UNION in a
+    // NON-self-referential CTE degrades to concatenation — no
+    // cross-branch dedup — and which duplicates survive a downstream
+    // row_number top-k cut is run-dependent, so the oracle's answer
+    // goes nondeterministic (q344's twin was exposed). House rule,
+    // enforced file-wide so a later RECURSIVE wrap can't re-arm the
+    // landmine: bare UNION is allowed ONLY as the recursion operator
+    // of a SELF-referential CTE; every other union writes UNION ALL
+    // + an outer SELECT DISTINCT.
+    val lines = read("src/main/scala/graft/OracleSql.scala").split("\n")
+    val cteDef = """^,?\s*([A-Za-z_][A-Za-z0-9_]*)(\([^)]*\))? AS \(""".r
+    def defAt(l: String): Option[String] =
+      cteDef.findFirstMatchIn(l).map(_.group(1))
+    val bad = for {
+      i <- lines.indices
+      l = lines(i)
+      if """\bUNION\b""".r.findFirstIn(l).isDefined
+      if !l.contains("UNION ALL")
+      pre = l.split("UNION", 2)(0)
+      if !pre.trim.startsWith("*") && !pre.contains("--") // comments
+      defIdx = (i to 0 by -1).find(j => defAt(lines(j)).isDefined)
+      name = defIdx.flatMap(j => defAt(lines(j)))
+      selfRef = (defIdx, name) match {
+        case (Some(j), Some(n)) =>
+          // self-referential iff the CTE's own name occurs again
+          // anywhere between its definition and the next CTE def
+          val end = ((j + 1) until lines.length)
+            .find(k => defAt(lines(k)).isDefined).getOrElse(lines.length)
+          val span = lines.slice(j, end).mkString("\n")
+          ("""\b""" + n + """\b""").r.findAllIn(span).length >= 2
+        case _ => false
+      }
+      if !selfRef
+    } yield s"line ${i + 1} (cte ${name.getOrElse("?")})"
+    withClue("bare UNION outside a self-referential CTE — write UNION " +
+      "ALL + outer SELECT DISTINCT (the WITH RECURSIVE rule): ") {
+      bad shouldBe empty
+    }
+  }
 }
