@@ -7822,6 +7822,40 @@ FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
 JOIN kept k ON k.h = a.h
 GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
 
+  /** q349 twin of [[graft.dedup.Dedup.winnowingSpans]]: the q338
+    * pipeline keeping the selected positions (DuckDB's
+    * generate_subscripts is 1-based; Spark's posexplode is 0-based —
+    * the twin emits p − 1), extents as min/max matched positions per
+    * side, distinct-hash counts, HAVING the minShared floor. */
+  val q349_winnowing_spans: String = shinglesCte + """
+, g AS (
+  SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS p,
+    len(hs) AS ng
+  FROM xs WHERE len(hs) >= 4),
+win AS (
+  SELECT doc_id, p, ng,
+    min(struct_pack(h := h, np := -p)) OVER (
+      PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM g),
+fps AS (
+  SELECT DISTINCT doc_id, m.h AS h, -m.np AS p
+  FROM win WHERE p <= ng - 3),
+kept AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM fps GROUP BY 1)
+  WHERE c BETWEEN 2 AND 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared,
+  CAST(min(a.p) - 1 AS BIGINT) AS a_min_pos,
+  CAST(max(a.p) - 1 AS BIGINT) AS a_max_pos,
+  CAST(min(b.p) - 1 AS BIGINT) AS b_min_pos,
+  CAST(max(b.p) - 1 AS BIGINT) AS b_max_pos
+FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+JOIN kept k ON k.h = a.h
+GROUP BY 1, 2
+HAVING count(DISTINCT a.h) >= 2
+ORDER BY doc_a, doc_b"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -9441,6 +9475,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q346_minhash_governed" -> q346_minhash_governed,
     "q347_semdedup_agreement" -> q347_semdedup_agreement,
     "q348_index_compact" -> q348_index_compact,
+    "q349_winnowing_spans" -> q349_winnowing_spans,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

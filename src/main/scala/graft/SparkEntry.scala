@@ -1545,6 +1545,14 @@ object SparkEntry {
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share
     // a fingerprint); pairs counted over df-governed fingerprints.
+    // Winnowing span EXTENTS (the MOSS report shape): per matching
+    // pair, the shared-fingerprint count plus min/max matched
+    // positions on both sides — 0-based token offsets of the selected
+    // k-grams; same df governor as q338.
+    "q349_winnowing_spans" -> ((s, dir) =>
+      graft.dedup.Dedup.winnowingSpans(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q338_winnowing_pairs" -> ((s, dir) =>
       graft.dedup.Dedup.winnowingPairs(Tables.documents(s, dir),
           k = 3, w = 4, maxDocFreq = 50)

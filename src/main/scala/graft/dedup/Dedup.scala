@@ -181,6 +181,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Winnowing span EXTENTS per matching pair — the report shape the
+    * MOSS service actually serves (Schleimer et al. SIGMOD 2003 §5:
+    * matches are presented as positioned regions, not bare counts):
+    * for each doc pair sharing ≥ `minShared` governed fingerprints,
+    * the shared-fingerprint count plus the matched POSITION extents
+    * on both sides (min/max selected-k-gram position per doc,
+    * 0-based token offsets). The winnowing guarantee positions at
+    * least one shared fingerprint INSIDE any shared span of
+    * ≥ w + k − 1 tokens, so [min_pos, max_pos + k − 1] brackets the
+    * matched material; a pair sharing several DISJOINT spans
+    * collapses to one bracket per side (extent, not segmentation —
+    * stated; span SEGMENTATION is the E59/E126 chunk family's job).
+    *
+    * Same df governor as [[winnowingPairs]] (boilerplate fingerprints
+    * dropped before the self-join, guarantee holds for content rarer
+    * than the cap); `n_shared` counts DISTINCT shared hashes and
+    * equals [[winnowingPairs]]'s count for the same pair (asserted in
+    * DedupSpec). Join fanout per kept hash ≤ maxDocFreq occurrences
+    * per side — the positions ride the same governed join, so cost is
+    * a small constant over the pairs form. */
+  def winnowingSpans(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 3, w: Int = 4,
+                     maxDocFreq: Long = 50, minShared: Long = 2): DataFrame = {
+    require(maxDocFreq >= 2, "maxDocFreq < 2 cannot pair anything")
+    require(minShared >= 1, "minShared must be >= 1")
+    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
+    val keptHashes = fp.groupBy(col("fp_hash"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") <= maxDocFreq && col("__df") >= 2)
+      .select(col("fp_hash"))
+    val kept = fp.join(keptHashes, Seq("fp_hash"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.fp_hash")).as("n_shared"),
+        min(col("a.fp_pos")).as("a_min_pos"),
+        max(col("a.fp_pos")).as("a_max_pos"),
+        min(col("b.fp_pos")).as("b_min_pos"),
+        max(col("b.fp_pos")).as("b_max_pos"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature: per permutation i, min over shingle hashes of
     * (a_i·x + b_i) mod P. Arrays of longs — 128 bytes per doc. */
   def minhashSignature(hashes: Column): Column =

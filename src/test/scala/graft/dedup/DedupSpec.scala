@@ -735,6 +735,36 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashPairs(d, threshold = 0.5, maxBucket = Long.MaxValue))
   }
 
+  test("winnowingSpans: extents bracket a planted shared span; counts agree with winnowingPairs") {
+    // a 20-token span planted at token 20 of doc 1 and token 5 of
+    // doc 2 (unique surroundings, so only fully-in-span k-grams are
+    // shared): shared 3-gram starts lie in [20, 37] / [5, 22]
+    val span = (0 until 20).map(j => s"shared${j}word").mkString(" ")
+    val d = docs(
+      1L -> ((0 until 20).map(j => s"aa${j}x").mkString(" ") + " " + span
+        + " " + (0 until 8).map(j => s"bb${j}x").mkString(" ")),
+      2L -> ((0 until 5).map(j => s"cc${j}x").mkString(" ") + " " + span
+        + " " + (0 until 25).map(j => s"dd${j}x").mkString(" ")),
+      3L -> "totally unrelated words only here nothing shared at all")
+    val out = Dedup.winnowingSpans(d, k = 3, w = 4).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    val r = out.head
+    r.getAs[Long]("n_shared") should be >= 2L
+    r.getAs[Long]("a_min_pos") should be >= 20L
+    r.getAs[Long]("a_max_pos") should be <= 37L
+    r.getAs[Long]("b_min_pos") should be >= 5L
+    r.getAs[Long]("b_max_pos") should be <= 22L
+    // extents are ordered and non-degenerate for a 20-token span
+    r.getAs[Long]("a_max_pos") should be > r.getAs[Long]("a_min_pos")
+    // n_shared is the same number winnowingPairs reports for the pair
+    val fromPairs = Dedup.winnowingPairs(d, k = 3, w = 4)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select("n_shared").as[Long].head()
+    r.getAs[Long]("n_shared") shouldBe fromPairs
+    assertSameRows(Dedup.winnowingSpans(d, k = 3, w = 4),
+      Dedup.winnowingSpans(d.repartition(5), k = 3, w = 4))
+  }
+
   test("compactSignatureIndex bounds every bucket, keeps lowest ids, preserves detection, and is idempotent") {
     val template = (0 until 40).map(j => s"base${j}tok").mkString(" ")
     val rows = (0L until 30L).map(i => i -> s"$template zz$i") ++
