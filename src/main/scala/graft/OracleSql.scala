@@ -8217,6 +8217,37 @@ SELECT doc_a, doc_b, est_jaccard FROM (
 WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"""
   }
 
+  /** q350 twin of [[graft.analytics.Correlation.mannWhitneyScreen]]:
+    * the q345 chain as a CTE, the two-sided permille p as a COUNT
+    * over the SHARED Φ⁻¹ cut-table literals (generated from
+    * [[graft.analytics.Correlation.normalCutsPermille]] — no libm
+    * call in either engine), NULL-z pairs excluded, then the q280 BH
+    * step-up with the identical (p, "a|b") tiebreak. */
+  val q350_mw_screen: String = {
+    val cuts = graft.analytics.Correlation.normalCutsPermille
+      .map(_.toString).mkString(", ")
+    s"""
+WITH mw AS ($q345_mann_whitney),
+pp AS (
+  SELECT group_a, group_b, n_a, n_b, z,
+    CAST(len(list_filter([$cuts], c -> abs(z) <= c)) AS BIGINT)
+      AS p_permille
+  FROM mw WHERE z IS NOT NULL),
+r AS (
+  SELECT *,
+    row_number() OVER (ORDER BY p_permille, group_a || '|' || group_b)
+      AS p_rank,
+    count(*) OVER () AS m
+  FROM pp),
+s AS (
+  SELECT coalesce(max(p_permille), -1) AS pstar
+  FROM r WHERE p_permille * m <= p_rank * 50)
+SELECT group_a, group_b, n_a, n_b, z, p_permille,
+  CAST(p_rank AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS m,
+  p_permille <= (SELECT pstar FROM s) AS rejected
+FROM r ORDER BY group_a, group_b"""
+  }
+
   /** q344 twin: the shared descent chain's g1 edges at cos ≥ 0.4,
     * symmetrized, recursive-closure components (the q118 device),
     * smallest-id survivors — q88's verdict shape over the graph
@@ -9476,6 +9507,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q347_semdedup_agreement" -> q347_semdedup_agreement,
     "q348_index_compact" -> q348_index_compact,
     "q349_winnowing_spans" -> q349_winnowing_spans,
+    "q350_mw_screen" -> q350_mw_screen,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1336,6 +1336,16 @@ object SparkEntry {
         .orderBy(col("source"), col("pair_rank"))
     }),
 
+    // The k-sample location SCREEN: q345's pairwise Mann-Whitney z
+    // -> two-sided permille p via the shared Phi^-1 cut-table (no
+    // query-time transcendentals — both engines compare against the
+    // same generated literals) -> one BH step-up over the pair
+    // family at 5% FDR; all-tied pairs excluded from m.
+    "q350_mw_screen" -> ((s, dir) =>
+      graft.analytics.Correlation.mannWhitneyScreen(
+          Tables.documents(s, dir), "lang", "n_chars")
+        .orderBy(col("group_a"), col("group_b"))),
+
     // Pairwise Mann-Whitney U over doc lengths by language: doubled
     // midranks, exact u2/mean2/tie_sum, tie-corrected z as the one
     // double (identical op order both engines); all-tied pairs NULL.

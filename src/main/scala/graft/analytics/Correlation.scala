@@ -624,4 +624,88 @@ object Correlation {
         col("mean2").cast("long").as("mean2"),
         col("tie_sum").cast("long").as("tie_sum"), col("z"))
   }
+
+  /** Acklam's inverse-normal rational approximation (P. J. Acklam,
+    * 2003; |relative error| < 1.15e-9) — DRIVER-SIDE ONLY: it
+    * generates the [[normalCutsPermille]] literal table once at class
+    * load; no transcendental ever runs inside a query. */
+  private def invNorm(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
+  }
+
+  /** Two-sided normal p-value cut table at permille granularity:
+    * cut k (1-based) = Φ⁻¹(1 − k/2000), so for z with p = 2(1−Φ(|z|))
+    * the permille floor is exactly #{k : |z| ≤ cut_k}. The table is
+    * the engine-parity device for a CDF (the minhashCoeffs /
+    * PoissonCum shared-constant pattern): libm `exp`/`erf` are not
+    * bit-identical across engines, so the twins never call them —
+    * both evaluate pure double COMPARISONS against these literals,
+    * generated once by [[invNorm]]. p_permille is thereby DEFINED by
+    * this table; Acklam's 1.15e-9 error can shift a value whose true
+    * p sits within 1e-9 of a permille boundary by one — identically
+    * in both engines, stated. */
+  val normalCutsPermille: Array[Double] =
+    (1 to 1000).map(k => invNorm(1.0 - k / 2000.0)).toArray
+
+  /** Two-sided normal p-value in permille from a z column — a count
+    * of cut-table literals at or above |z|. The 1000-comparison
+    * lambda is interpreted (HOF), which is the right trade here: the
+    * input is one row per HYPOTHESIS (group pairs — config-bounded),
+    * never per data row. */
+  def zToTwoSidedPermille(z: Column): Column =
+    size(filter(typedLit(normalCutsPermille.toSeq),
+      c => abs(z) <= c)).cast("long")
+
+  /** The k-sample location SCREEN — [[mannWhitneyPairs]] composed
+    * with [[graft.etl.Sampling.bhCorrection]], the pairing both
+    * operators' docs promise: every group pair's tie-corrected z
+    * becomes a two-sided permille p ([[zToTwoSidedPermille]] — the
+    * cut-table device, no query-time transcendentals), and the
+    * G(G−1)/2 hypotheses ride one BH step-up at `alphaPermille` FDR.
+    * All-tied pairs (NULL z) carry no evidence and are EXCLUDED from
+    * the hypothesis family (they don't inflate m), stated. Output:
+    * one row per tested pair with the statistic, p, BH rank, family
+    * size, and the rejection verdict — the report a segment-drift
+    * screen files. Scale: everything after mannWhitneyPairs is
+    * hypothesis-bounded (the E282 contract). */
+  def mannWhitneyScreen(df: DataFrame, groupCol: String, valueCol: String,
+                        alphaPermille: Long = 50L): DataFrame = {
+    val mw = mannWhitneyPairs(df, groupCol, valueCol)
+      .filter(col("z").isNotNull)
+      .withColumn("p_permille", zToTwoSidedPermille(col("z")))
+      .withColumn("__id", concat_ws("|", col("group_a"), col("group_b")))
+    val bh = graft.etl.Sampling.bhCorrection(
+      mw.select(col("__id"), col("p_permille")), "__id", "p_permille",
+      alphaPermille)
+    mw.select(col("__id"), col("group_a"), col("group_b"), col("n_a"),
+        col("n_b"), col("z"))
+      .join(bh, Seq("__id"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("z"), col("p_permille"), col("p_rank"), col("m"),
+        col("rejected"))
+  }
 }

@@ -486,4 +486,50 @@ class CorrelationSpec extends SparkSpec {
     assertSameRows(out,
       Correlation.mannWhitneyPairs(d.repartition(7), "g", "v"))
   }
+
+  test("zToTwoSidedPermille: cut-table p-values hit the textbook critical points") {
+    val zs = Seq(0.0, 1.96, 2.5758, 10.0, -1.96).toDF("z")
+      .select(col("z"), Correlation.zToTwoSidedPermille(col("z")).as("p"))
+      .as[(Double, Long)].collect().toMap
+    zs(0.0) shouldBe 1000L // two-sided p = 1 at z = 0
+    // true two-sided p(1.96) = 0.0499958 -> floor 49 (just under .05)
+    zs(1.96) shouldBe 49L
+    zs(-1.96) shouldBe 49L // two-sided: sign-symmetric
+    // true p(2.5758) = 0.0100003 -> floor 10
+    zs(2.5758) shouldBe 10L
+    zs(10.0) shouldBe 0L // beyond every cut
+    // the table itself: 1000 strictly decreasing cuts ending at 0
+    val cuts = Correlation.normalCutsPermille
+    cuts.length shouldBe 1000
+    cuts.last shouldBe 0.0 +- 1e-12
+    cuts.sliding(2).forall(w => w(0) > w(1)) shouldBe true
+    // cut 50 is the two-sided 5% critical value
+    cuts(49) shouldBe 1.9599639845400545 +- 1e-8
+  }
+
+  test("mannWhitneyScreen: separated pair rejected, overlapping not, all-tied pairs excluded from m") {
+    // A and B: clean separation over 20 ranks each (|z| ~ 5.4);
+    // C interleaves A value-for-value (z ~ 0); D is a constant equal
+    // to a shared value -> the (C,D)-style all-tied pair is NULL-z
+    // and must not inflate the BH family size.
+    val rows =
+      (1L to 20L).map(v => ("A", v)) ++
+      (101L to 120L).map(v => ("B", v)) ++
+      (1L to 20L).map(v => ("C", v)) ++
+      Seq.fill(5)(("D", 7L)) ++ Seq.fill(5)(("E", 7L))
+    val d = rows.toDF("g", "v")
+    val out = Correlation.mannWhitneyScreen(d, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // (D, E) is all-tied -> excluded entirely
+    out.contains(("D", "E")) shouldBe false
+    val m = out.values.head.getAs[Long]("m")
+    m shouldBe out.size.toLong // family = emitted rows, no phantom m
+    out(("A", "B")).getAs[Boolean]("rejected") shouldBe true
+    out(("A", "C")).getAs[Boolean]("rejected") shouldBe false
+    out(("A", "C")).getAs[Long]("p_permille") shouldBe 1000L // z ~ 0
+    // p of the separated pair is at the table floor
+    out(("A", "B")).getAs[Long]("p_permille") shouldBe 0L
+    assertSameRows(Correlation.mannWhitneyScreen(d, "g", "v"),
+      Correlation.mannWhitneyScreen(d.repartition(7), "g", "v"))
+  }
 }
