@@ -161,6 +161,37 @@ object DedupScaleBench {
         }
       }
 
+      if (ops("compare")) {
+        // VERDICT-agreement probe for the maxBucket governor: run the
+        // full dedup pipeline (pairs -> componentLabels -> per-doc
+        // dup/unique verdict + cluster id) from GOVERNED and
+        // UNGOVERNED pairs on the same corpus, and count docs whose
+        // verdict or cluster assignment differs. The governor's
+        // contract is connectivity preservation for true clusters —
+        // this measures it corpus-wide under the adversarial shape,
+        // not just on the spec's clean fixture. (Ungoverned is
+        // quadratic: run this at decades where it is still feasible.)
+        def verdicts(maxB: Long) = {
+          val pairs = graft.dedup.Dedup.minhashPairs(docs, threshold = 0.5,
+            maxBucket = maxB)
+          val labels = graft.dedup.Dedup.componentLabels(pairs)
+          docs.select(col("doc_id")).join(
+              labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("cluster"))
+        }
+        val g = verdicts(1000L)
+        val u = verdicts(Long.MaxValue)
+        val joined = g.withColumnRenamed("cluster", "gc")
+          .join(u.withColumnRenamed("cluster", "uc"), Seq("doc_id"))
+          .localCheckpoint()
+        val diffCluster = joined.filter(col("gc") =!= col("uc")).count()
+        val diffVerdict = joined.filter(
+          (col("gc") === col("doc_id")) =!= (col("uc") === col("doc_id"))).count()
+        if (emit) report("governor_agreement", r, n,
+          s""""diff_cluster":$diffCluster,"diff_verdict":$diffVerdict""")
+      }
+
       if (ops("jaccard") || ops("probe")) {
         val dfs = graft.dedup.Dedup.explodedShingleHashes(docs).distinct()
           .groupBy(col("shingle")).agg(count(lit(1)).as("b"))
