@@ -7856,6 +7856,174 @@ GROUP BY 1, 2
 HAVING count(DISTINCT a.h) >= 2
 ORDER BY doc_a, doc_b"""
 
+  /** Shared dictionary literal for the q351/q352 twins — generated
+    * from the SAME [[graft.text.Blocklist.defaultTerms]] constant the
+    * Spark side scans with (the piiPatterns zero-drift device). */
+  private def blocklistTermsCte: String = {
+    val terms = graft.text.Blocklist.defaultTerms
+      .map(t => s"'${t.toLowerCase}'").mkString(", ")
+    s"""WITH t AS (SELECT unnest([$terms]) AS term),
+c AS (
+  SELECT d.doc_id, t.term,
+    (length(lower(d.text)) - length(replace(lower(d.text), t.term, '')))
+      // length(t.term) AS n_hits
+  FROM documents d CROSS JOIN t)"""
+  }
+
+  /** q351 twin of [[graft.text.Blocklist.blocklistScan]]: the
+    * leftmost-greedy non-overlapping count IS the replace-count —
+    * `replace` scans the original string left to right and never
+    * rescans its own output — so one string function per (doc, term)
+    * replays the automaton exactly. */
+  def q351_blocklist_scan: String = blocklistTermsCte + """
+SELECT doc_id, term, CAST(n_hits AS BIGINT) AS n_hits
+FROM c WHERE n_hits > 0
+ORDER BY doc_id, term"""
+
+  /** q352 twin of [[graft.text.Blocklist.blocklistGate]]: the same
+    * per-term counts aggregated per doc; keep = total ≤ 2. */
+  def q352_blocklist_gate: String = blocklistTermsCte + """
+SELECT doc_id,
+  CAST(sum(n_hits) AS BIGINT) AS n_hits_total,
+  CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_terms_hit,
+  sum(n_hits) <= 2 AS keep
+FROM c GROUP BY doc_id
+ORDER BY doc_id"""
+
+  /** q353 twin of [[graft.etl.RecordLinkage.fellegiSunterScores]]
+    * over the dirty-customer catalog: q238's proven SNM replay (both
+    * passes' total orders, offset windows, pair normalization,
+    * unbounded-levenshtein-equivalent verify) + the attribute join +
+    * the SAME milli-bit weight integers, interpolated from the ONE
+    * [[graft.etl.RecordLinkage.demoFields]] config both engines sum
+    * (the normalCutsPermille shared-constant device) — query-time
+    * scoring is a pure BIGINT sum, no float in either engine. */
+  def q353_fellegi_sunter: String = {
+    val fs = graft.etl.RecordLinkage.demoFields
+      .map(f => f.name -> (f.agreeWeight, f.disagreeWeight)).toMap
+    def term(field: String): String = {
+      val (wa, wd) = fs(field)
+      s"(CASE WHEN agr_$field THEN $wa ELSE $wd END)"
+    }
+    s"""WITH recs AS (
+  SELECT c_custkey * 2 AS rec_id, c_name AS name,
+    c_nationkey AS nation, c_mktsegment AS segment, c_acctbal AS bal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 2 + 1,
+    substr(c_name, 1, 9) || 'q' || substr(c_name, 11),
+    c_nationkey,
+    CASE WHEN c_custkey % 15 = 0 THEN 'STALE' ELSE c_mktsegment END,
+    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+  FROM customer WHERE c_custkey % 5 = 0),
+p1 AS (
+  SELECT rec_id, name,
+    row_number() OVER (ORDER BY name, name, rec_id) AS rnk
+  FROM recs),
+p2 AS (
+  SELECT rec_id, name,
+    row_number() OVER (ORDER BY reverse(name), name, rec_id) AS rnk
+  FROM recs),
+c1 AS (
+  SELECT a.rec_id AS id_a, a.name AS nm_a, b.rec_id AS id_b, b.name AS nm_b
+  FROM p1 a, unnest(range(1, 4)) AS s(off)
+  JOIN p1 b ON b.rnk = a.rnk + s.off),
+c2 AS (
+  SELECT a.rec_id AS id_a, a.name AS nm_a, b.rec_id AS id_b, b.name AS nm_b
+  FROM p2 a, unnest(range(1, 4)) AS s(off)
+  JOIN p2 b ON b.rnk = a.rnk + s.off),
+cand AS (
+  SELECT DISTINCT
+    CASE WHEN id_a < id_b THEN id_a ELSE id_b END AS rec_a,
+    CASE WHEN id_a < id_b THEN id_b ELSE id_a END AS rec_b,
+    CASE WHEN id_a < id_b THEN nm_a ELSE nm_b END AS name_a,
+    CASE WHEN id_a < id_b THEN nm_b ELSE nm_a END AS name_b
+  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+  WHERE id_a <> id_b),
+kept AS (
+  SELECT rec_a, rec_b, levenshtein(name_a, name_b) AS dist
+  FROM cand WHERE levenshtein(name_a, name_b) <= 2),
+agr AS (
+  SELECT k.rec_a, k.rec_b,
+    k.dist <= 1 AS agr_name,
+    x.nation = y.nation AS agr_nation,
+    x.segment = y.segment AS agr_segment,
+    abs(x.bal - y.bal) < 1.0 AS agr_bal
+  FROM kept k
+  JOIN recs x ON k.rec_a = x.rec_id
+  JOIN recs y ON k.rec_b = y.rec_id),
+sc AS (
+  SELECT rec_a, rec_b, agr_name, agr_nation, agr_segment, agr_bal,
+    CAST(${term("name")} + ${term("nation")} + ${term("segment")} +
+      ${term("bal")} AS BIGINT) AS score_millibits
+  FROM agr)
+SELECT rec_a, rec_b, agr_name, agr_nation, agr_segment, agr_bal,
+  score_millibits,
+  CASE WHEN score_millibits >= 6000 THEN 'match'
+       WHEN score_millibits <= -2000 THEN 'non_match'
+       ELSE 'possible' END AS verdict
+FROM sc ORDER BY rec_a, rec_b"""
+  }
+
+  /** q354 twin of [[graft.etl.Packing.sftPack]]: the same raw-space
+    * tokenization (the fixture text is already normalized — NOT the
+    * toksCte regex clean), the shared md5 token hash ('0x'||substr
+    * cast, the q237 idiom), the q64 recursive-CTE packing replay at
+    * capacity 256, ordered list flatten per window, and
+    * generate_series padding (generate_series(1,0) = [] — the full
+    * window pads nothing). */
+  val q354_sft_pack: String = """
+WITH RECURSIVE ex0 AS (
+  SELECT lang AS shard, doc_id,
+    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+ex1 AS (
+  SELECT shard, doc_id,
+    list_transform(toks[1:8],
+      t -> CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT)) AS p_ids,
+    list_transform(toks[9:],
+      t -> CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT)) AS c_ids
+  FROM ex0),
+ex AS (
+  SELECT shard, doc_id,
+    flatten([p_ids, c_ids, [CAST(-1 AS BIGINT)]]) AS ids,
+    flatten([list_transform(p_ids, x -> 0),
+             list_transform(c_ids, x -> 1), [1]]) AS mask,
+    len(p_ids) + len(c_ids) + 1 AS sz
+  FROM ex1
+  WHERE len(p_ids) + len(c_ids) + 1 <= 256),
+d AS (
+  SELECT shard, doc_id, ids, mask, sz,
+    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM ex),
+st AS (
+  SELECT shard, rn, doc_id, sz,
+    CAST(1 AS BIGINT) AS pack_seq, sz AS pack_fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.sz,
+    CASE WHEN st.pack_fill + d.sz <= 256
+         THEN st.pack_seq ELSE st.pack_seq + 1 END,
+    CASE WHEN st.pack_fill + d.sz <= 256
+         THEN st.pack_fill + d.sz ELSE d.sz END
+  FROM d JOIN st ON d.shard = st.shard AND d.rn = st.rn + 1),
+w AS (
+  SELECT st.shard, st.pack_seq, d.doc_id, d.ids, d.mask, d.sz
+  FROM st JOIN d ON st.shard = d.shard AND st.doc_id = d.doc_id),
+agg AS (
+  SELECT shard, pack_seq,
+    CAST(count(*) AS BIGINT) AS n_examples,
+    CAST(sum(sz) AS BIGINT) AS n_tokens,
+    flatten(list(ids ORDER BY doc_id)) AS i0,
+    flatten(list(mask ORDER BY doc_id)) AS m0
+  FROM w GROUP BY shard, pack_seq)
+SELECT shard, pack_seq, n_examples, n_tokens,
+  flatten([i0, list_transform(generate_series(1, 256 - n_tokens),
+    x -> CAST(-2 AS BIGINT))]) AS token_ids,
+  flatten([m0, list_transform(generate_series(1, 256 - n_tokens),
+    x -> 0)]) AS loss_mask
+FROM agg ORDER BY shard, pack_seq"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -9508,6 +9676,10 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q348_index_compact" -> q348_index_compact,
     "q349_winnowing_spans" -> q349_winnowing_spans,
     "q350_mw_screen" -> q350_mw_screen,
+    "q351_blocklist_scan" -> q351_blocklist_scan,
+    "q352_blocklist_gate" -> q352_blocklist_gate,
+    "q353_fellegi_sunter" -> q353_fellegi_sunter,
+    "q354_sft_pack" -> q354_sft_pack,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1551,6 +1551,79 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Aho-Corasick dictionary blocklist scan: per-(doc, term) hit
+    // counts in ONE automaton pass over the text for the whole
+    // dictionary (the per-term regex plan rescans once per term).
+    // Leftmost-greedy non-overlapping counts — the replace-count
+    // identity the DuckDB twin replays with one string function.
+    "q351_blocklist_scan" -> ((s, dir) =>
+      graft.text.Blocklist.blocklistScan(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("term"))),
+
+    // Blocklist keep/drop gate over the same automaton counts: total
+    // hits, distinct terms hit, keep = total <= 2 (thresholded, not
+    // C4's any-hit-drops — the fixture vocabulary hits constantly).
+    "q352_blocklist_gate" -> ((s, dir) =>
+      graft.text.Blocklist.blocklistGate(Tables.documents(s, dir),
+          maxHits = 2L)
+        .orderBy(col("doc_id"))),
+
+    // Fellegi-Sunter probabilistic record linkage over SNM-blocked
+    // candidates: per-field agreement -> shared milli-bit log2(m/u)
+    // integer weights (computed ONCE driver-side, interpolated into
+    // both engines) -> three-way link/possible/non-link verdict. The
+    // dirty-customer fixture plants graded corruptions (balance-only,
+    // segment-only, both) so all three verdict zones populate.
+    "q353_fellegi_sunter" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val orig = c.select((col("c_custkey") * 2).as("rec_id"),
+        col("c_name").as("name"), col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+      val twins = c.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") * 2 + 1).as("rec_id"),
+          expr("concat(substr(c_name, 1, 9), 'q', substr(c_name, 11))")
+            .as("name"),
+          col("c_nationkey").as("nation"),
+          when(col("c_custkey") % 15 === 0, lit("STALE"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("bal"))
+      val recs = orig.unionAll(twins)
+      val cands = graft.etl.FuzzyMatch.snmPairs(
+        recs.select(col("rec_id"), col("name")), "rec_id", "name",
+        Seq(col("name"), reverse(col("name"))), window = 4, maxDist = 2)
+      val attrs = recs.select(col("rec_id"), col("nation"),
+        col("segment"), col("bal"))
+      val pairs = cands
+        .join(attrs.as("x"), col("rec_a") === col("x.rec_id"))
+        .join(attrs.as("y"), col("rec_b") === col("y.rec_id"))
+        .select(col("rec_a"), col("rec_b"),
+          (col("dist") <= 1).as("agr_name"),
+          (col("x.nation") === col("y.nation")).as("agr_nation"),
+          (col("x.segment") === col("y.segment")).as("agr_segment"),
+          (abs(col("x.bal") - col("y.bal")) < 1.0).as("agr_bal"))
+      graft.etl.RecordLinkage.fellegiSunterScores(pairs,
+          graft.etl.RecordLinkage.demoFields,
+          upperMilliBits = 6000L, lowerMilliBits = -2000L)
+        .orderBy(col("rec_a"), col("rec_b"))
+    }),
+
+    // SFT training-window assembly: (prompt, completion) pairs ->
+    // packed fixed-capacity windows with token ids + loss mask (0
+    // over prompt, 1 over completion + EOS, 0 over pad). Prompt =
+    // first 8 tokens of each doc, completion = the rest; capacity
+    // 256; ids are the shared md5 token hash both engines compute.
+    "q354_sft_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"), col("lang"),
+          array_join(slice(col("__t"), 1, 8), " ").as("prompt"),
+          array_join(expr("slice(__t, 9, 1000000)"), " ").as("completion"))
+      graft.etl.Packing.sftPack(d, "lang", "doc_id",
+          "prompt", "completion", capacity = 256L)
+        .orderBy(col("shard"), col("pack_seq"))
+    }),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Greedy sequence packing — the training-data step that concatenates
@@ -130,6 +130,68 @@ object Packing {
       .withColumn("efficiency_permille",
         when(col("max_tokens") > 0,
           expr("(sum_tokens * 1000) div (n_docs * max_tokens)")))
+  }
+
+  /** SFT training-example assembly — the step [[packGreedy]] stops
+    * short of: turn (prompt, completion) pairs into PACKED fixed-
+    * capacity context windows carrying token ids AND the loss mask
+    * (0 over prompt tokens — the model must not train on its own
+    * input — 1 over completion tokens and the EOS, 0 over padding:
+    * the standard SFT masking, e.g. InstructGPT-style pipelines).
+    *
+    * Token ids are the corpus-wide [[graft.dedup.Dedup.tokenHash56]]
+    * (the shared md5 oracle hash — a stand-in vocabulary id; a real
+    * tokenizer slots in per E28/E110 without changing the assembly).
+    * Per example: ids = prompt_ids ++ completion_ids ++ [eosId],
+    * mask aligned; examples LONGER than the capacity are dropped
+    * (stated — the caller chunks long docs first, E103), and windows
+    * are [[packGreedy]]'s deterministic per-shard first-fit, examples
+    * laid out in id order, padded to exactly `capacity` with `padId`.
+    *
+    * Scale shape: two scan-side projections (token arrays
+    * materialized behind their OWN select — HOF lambdas re-evaluate
+    * child subtrees per element otherwise), the packGreedy shard
+    * pass, one (shard, id) join back, one hash aggregate; the padded
+    * window arrays are the OUTPUT — nothing wider shuffles.
+    *
+    * @return one row per window: (shard, pack_seq, n_examples,
+    *         n_tokens pre-pad, token_ids array<long> of length
+    *         `capacity`, loss_mask array<int> aligned). */
+  def sftPack(examples: DataFrame, shardCol: String, idCol: String,
+              promptCol: String, completionCol: String, capacity: Long,
+              eosId: Long = -1L, padId: Long = -2L): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val hash = graft.dedup.Dedup.tokenHash56 _
+    val toks = (c: Column) => filter(split(c, " "), t => t =!= "")
+    val base = examples.select(
+      col(shardCol).cast("string").as("shard"),
+      col(idCol).cast("long").as("doc_id"),
+      transform(toks(col(promptCol)), t => hash(t)).as("p_ids"),
+      transform(toks(col(completionCol)), t => hash(t)).as("c_ids"))
+    val ex = base.select(col("shard"), col("doc_id"),
+        concat(col("p_ids"), col("c_ids"), array(lit(eosId))).as("ids"),
+        concat(array_repeat(lit(0), size(col("p_ids"))),
+          array_repeat(lit(1), size(col("c_ids")) + 1)).as("mask"))
+      .withColumn("sz", size(col("ids")).cast("long"))
+      .filter(col("sz") <= capacity)
+    val packed = packGreedy(ex, "shard", "doc_id", "sz", capacity)
+      .select(col("shard"), col("doc_id"), col("pack_seq"))
+    packed.join(ex, Seq("shard", "doc_id"))
+      .groupBy(col("shard"), col("pack_seq"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("sz")).as("n_tokens"),
+        sort_array(collect_list(
+          struct(col("doc_id"), col("ids"), col("mask")))).as("__xs"))
+      .select(col("shard"), col("pack_seq"), col("n_examples"),
+        col("n_tokens"),
+        flatten(transform(col("__xs"), x => x.getField("ids"))).as("__i"),
+        flatten(transform(col("__xs"), x => x.getField("mask"))).as("__m"))
+      .select(col("shard"), col("pack_seq"), col("n_examples"),
+        col("n_tokens"),
+        concat(col("__i"), array_repeat(lit(padId),
+          (lit(capacity) - col("n_tokens")).cast("int"))).as("token_ids"),
+        concat(col("__m"), array_repeat(lit(0),
+          (lit(capacity) - col("n_tokens")).cast("int"))).as("loss_mask"))
   }
 
   def packStats(packed: DataFrame, capacity: Long): DataFrame =

@@ -95,4 +95,79 @@ class PackingSpec extends SparkSpec {
     val over = stats.filter(col("fill") > 2048L && col("n_docs") > 1).count()
     over shouldBe 0L
   }
+
+  /** Independent md5 token hash — java.security, not Spark: first 14
+    * hex chars of md5(token) as a base-16 long, the tokenHash56
+    * contract re-derived from first principles. */
+  private def refHash(tok: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(7).map(b => f"$b%02x").mkString, 16)
+  }
+
+  private def sftDocs(rows: (String, Long, String, String)*) =
+    rows.toDF("shard", "doc_id", "prompt", "completion")
+
+  test("sftPack: ids/mask layout hand-checked against an independent md5 hash") {
+    val out = Packing.sftPack(
+      sftDocs(("a", 1L, "p1 p2", "c1 c2 c3"), ("a", 2L, "q1", "r1")),
+      "shard", "doc_id", "prompt", "completion", capacity = 10L)
+      .collect()
+    out.length shouldBe 1 // 6 + 3 = 9 <= 10: one window
+    val r = out.head
+    r.getLong(2) shouldBe 2L  // n_examples
+    r.getLong(3) shouldBe 9L  // n_tokens
+    val ids = r.getSeq[Long](4)
+    val mask = r.getSeq[Int](5)
+    ids shouldBe Seq(refHash("p1"), refHash("p2"), refHash("c1"),
+      refHash("c2"), refHash("c3"), -1L,
+      refHash("q1"), refHash("r1"), -1L, -2L)
+    mask shouldBe Seq(0, 0, 1, 1, 1, 1, 0, 1, 1, 0)
+  }
+
+  test("sftPack: empty completion masks only the EOS; oversize examples drop") {
+    val out = Packing.sftPack(
+      sftDocs(("a", 1L, "p1 p2", ""),
+        ("a", 2L, "t1 t2 t3 t4 t5", "u1 u2 u3 u4 u5")), // 11 > 8: dropped
+      "shard", "doc_id", "prompt", "completion", capacity = 8L)
+      .collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getLong(2) shouldBe 1L
+    r.getLong(3) shouldBe 3L
+    r.getSeq[Long](4) shouldBe Seq(refHash("p1"), refHash("p2"), -1L,
+      -2L, -2L, -2L, -2L, -2L)
+    r.getSeq[Int](5) shouldBe Seq(0, 0, 1, 0, 0, 0, 0, 0)
+  }
+
+  test("sftPack: window split follows packGreedy; examples lay out in id order") {
+    // capacity 7: ex1 (2+1+1=4) + ex2 (1+1+1=3) fill 7 exactly; ex3 opens pack 2
+    val out = Packing.sftPack(
+      sftDocs(("a", 1L, "a b", "c"), ("a", 2L, "d", "e"), ("a", 3L, "f", "g")),
+      "shard", "doc_id", "prompt", "completion", capacity = 7L)
+      .orderBy("pack_seq").collect()
+    out.map(_.getLong(1)).toSeq shouldBe Seq(1L, 2L)
+    out(0).getSeq[Long](4) shouldBe Seq(refHash("a"), refHash("b"),
+      refHash("c"), -1L, refHash("d"), refHash("e"), -1L)
+    out(1).getLong(2) shouldBe 1L
+  }
+
+  test("sftPack: shards pack independently; deterministic across partitionings") {
+    val rows = (1L to 60L).map(i =>
+      (s"s${i % 3}", i, s"p$i w$i", s"c$i x$i y$i"))
+    val d = sftDocs(rows: _*)
+    val a = Packing.sftPack(d, "shard", "doc_id", "prompt", "completion", 32L)
+    val b = Packing.sftPack(d.repartition(7), "shard", "doc_id",
+      "prompt", "completion", 32L)
+    assertSameRows(a, b)
+    // every window is exactly capacity wide and mask is 0 wherever pad sits
+    a.collect().foreach { r =>
+      r.getSeq[Long](4).length shouldBe 32
+      r.getSeq[Int](5).length shouldBe 32
+      r.getSeq[Long](4).zip(r.getSeq[Int](5)).foreach { case (id, m) =>
+        if (id == -2L) m shouldBe 0
+      }
+    }
+  }
 }
