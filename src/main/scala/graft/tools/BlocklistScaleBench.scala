@@ -83,9 +83,13 @@ object BlocklistScaleBench {
             .agg(sum(col("n_hits_total"))).head.getLong(0))
         println(s"""{"metric":"blocklist_scaling","variant":"ac","replicas":$r,"docs":$n,"terms":$t,"sec":${f"$acSec%.3f"},"hits":$acHits}""")
 
-        val regexTotal = dict.map(term =>
-          regexp_count(lower(col("text")), lit(term)).cast("long"))
-          .reduce(_ + _)
+        // balanced tree reduce: a 512-deep left-fold Add chain
+        // overflows Catalyst's analyzer stack — depth log2(n) instead
+        def treeSum(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+          if (cs.size == 1) cs.head
+          else treeSum(cs.grouped(2).map(g => g.reduce(_ + _)).toSeq)
+        val regexTotal = treeSum(dict.map(term =>
+          regexp_count(lower(col("text")), lit(term)).cast("long")))
         val (reSec, reHits) = timeMinOf2(() =>
           docs.select(regexTotal.as("h")).agg(sum(col("h"))).head.getLong(0))
         println(s"""{"metric":"blocklist_scaling","variant":"regex","replicas":$r,"docs":$n,"terms":$t,"sec":${f"$reSec%.3f"},"hits":$reHits}""")
