@@ -8024,6 +8024,54 @@ SELECT shard, pack_seq, n_examples, n_tokens,
     x -> 0)]) AS loss_mask
 FROM agg ORDER BY shard, pack_seq"""
 
+  /** q355 twin of [[graft.etl.FuzzyMatch.soundexConflation]]: the
+    * full textbook pipeline re-derived — same translate map (H/W
+    * deleted by the short replacement), the same seven per-digit run
+    * collapses ('g' flag: DuckDB replaces first match by default
+    * where Spark replaces all; the variant-doubling regex is
+    * ^-anchored so both replace exactly once), zero-strip, the
+    * first-letter consonant drop, rpad. */
+  val q355_soundex_conflation: String = """
+WITH txt AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT array_to_string(list_transform(string_split(text, ' '),
+    w -> regexp_replace(w, '^([^aeiou]*)([aeiou])', '\1\2\2')), ' ')
+  FROM documents),
+v AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM txt)
+  WHERE w <> '' GROUP BY w),
+k AS (
+  SELECT word, freq,
+    regexp_replace(upper(word), '[^A-Z]', '', 'g') AS letters,
+    translate(regexp_replace(upper(word), '[^A-Z]', '', 'g'),
+      'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556000000') AS coded
+  FROM v),
+col1 AS (
+  SELECT word, freq, letters,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(coded,
+        '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+        '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+        '66+', '6', 'g') AS collapsed
+  FROM k),
+sx AS (
+  SELECT word, freq,
+    CASE WHEN letters = '' THEN NULL
+         ELSE rpad(substr(letters, 1, 1) ||
+           substr(CASE WHEN substr(letters, 1, 1) IN
+                    ('A','E','I','O','U','Y','H','W')
+                  THEN replace(collapsed, '0', '')
+                  ELSE substr(replace(collapsed, '0', ''), 2) END,
+             1, 3), 4, '0') END AS code
+  FROM col1)
+SELECT code, CAST(count(*) AS BIGINT) AS n_forms,
+  CAST(sum(freq) AS BIGINT) AS n_occurrences,
+  string_agg(word, ',' ORDER BY word) AS forms
+FROM sx WHERE code IS NOT NULL
+GROUP BY code ORDER BY code"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -9680,6 +9728,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q352_blocklist_gate" -> q352_blocklist_gate,
     "q353_fellegi_sunter" -> q353_fellegi_sunter,
     "q354_sft_pack" -> q354_sft_pack,
+    "q355_soundex_conflation" -> q355_soundex_conflation,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1624,6 +1624,21 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_seq"))
     }),
 
+    // Engine-neutral American Soundex phonetic conflation over the
+    // corpus vocabulary, augmented with code-preserving first-vowel-
+    // doubled variants (the q278 injected-twin precedent: the
+    // fixture vocab has no natural sound-alikes). Full vocabulary
+    // partition emitted, so every word's code is oracle-pinned.
+    "q355_soundex_conflation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aug = d.select(col("text")).unionAll(
+        d.select(array_join(transform(split(col("text"), " "),
+          w => regexp_replace(w, "^([^aeiou]*)([aeiou])", "$1$2$2")),
+          " ").as("text")))
+      graft.etl.FuzzyMatch.soundexConflation(aug, "text")
+        .orderBy(col("code"))
+    }),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share

@@ -58,6 +58,64 @@ object FuzzyMatch {
       .filter(levenshtein(col("word_a"), col("word_b")) === 1)
   }
 
+  /** Engine-neutral American Soundex (Russell & Odell, US patents
+    * 1918/1922; the archival/census standard) — the PHONETIC blocking
+    * key the ER family lacked: [[typoPairs]] catches keyboard slips
+    * (edit distance), Soundex catches sound-alike spellings
+    * (Smith/Smyth, Robert/Rupert → same code) that can sit many edits
+    * apart. Use as an [[snmPairs]] pass key or a direct blocking
+    * equi-join key.
+    *
+    * Deliberately NOT Spark's built-in `soundex()`: that follows
+    * commons-codec's corner behaviors (non-letter handling, H/W
+    * treatment) which no other engine replays exactly; this is the
+    * textbook algorithm composed from codegen'd builtins BOTH engines
+    * evaluate identically — translate + per-digit run collapse
+    * (seven fixed regexes; RE2 has no backreferences, so `(\d)\1+` is
+    * off the table — stated), zero UDF:
+    *  1. uppercase, strip non-letters (empty → NULL);
+    *  2. map every letter: BFPV→1 CGJKQSXZ→2 DT→3 L→4 MN→5 R→6,
+    *     vowels+Y→0, H/W DELETED (translate's short-replacement
+    *     delete) — deletion makes codes adjacent, which IS the
+    *     rule that same codes across h/w collapse while a vowel
+    *     (the surviving 0) separates them;
+    *  3. collapse each digit's runs, drop the 0s;
+    *  4. keep the original first letter; drop the leading code digit
+    *     iff the first letter is a coded consonant (its own code);
+    *  5. first letter + first 3 remaining digits, 0-padded to 4.
+    */
+  def soundexKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val letters = regexp_replace(upper(c), "[^A-Z]", "")
+    val first = substring(letters, 1, 1)
+    val coded = translate(letters,
+      "BFPVCGJKQSXZDTLMNRAEIOUYHW", "111122222222334556000000")
+    val collapsed = (0 to 6).foldLeft(coded) { (s, d) =>
+      regexp_replace(s, s"$d$d+", s"$d")
+    }
+    val stripped = replace(collapsed, lit("0"), lit(""))
+    val dropped = when(
+      first.isin("A", "E", "I", "O", "U", "Y", "H", "W"), stripped)
+      .otherwise(stripped.substr(lit(2), length(stripped)))
+    when(length(letters) === 0, lit(null).cast("string"))
+      .otherwise(rpad(concat(first, substring(dropped, 1, 3)), 4, "0"))
+  }
+
+  /** Phonetic conflation report over a corpus vocabulary — the E280
+    * stemConflation shape with [[soundexKey]] as the conflator: one
+    * row per code with the distinct word forms that share it (sorted
+    * comma-joined, the engine-neutral convention), form count, and
+    * total corpus occurrences. Emits singleton codes too — the full
+    * vocabulary partition, so every word's code assignment is pinned
+    * by the oracle hash. Vocabulary-bounded throughout. */
+  def soundexConflation(df: DataFrame, textCol: String): DataFrame =
+    vocab(df, textCol)
+      .withColumn("code", soundexKey(col("word")))
+      .filter(col("code").isNotNull)
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n_forms"),
+        sum(col("freq")).as("n_occurrences"),
+        array_join(sort_array(collect_list(col("word"))), ",").as("forms"))
+
   /** Multi-pass sorted-neighborhood record linkage (Hernández &
     * Stolfo, SIGMOD 1995) — the RECORD-level companion to
     * [[typoPairs]]' word-level deletion blocking: sort all records by

@@ -83,4 +83,59 @@ class FuzzyMatchSpec extends SparkSpec {
       FuzzyMatch.snmPairs(recs.repartition(7), "rec_id", "name",
         Seq(col("name")), window = 3, maxDist = 2))
   }
+
+  private def sx(words: String*): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.col
+    words.toDF("w")
+      .select(col("w"), FuzzyMatch.soundexKey(col("w")).as("c"))
+      .as[(String, String)].collect().toSeq
+  }
+
+  test("soundexKey: the textbook vectors (Knuth TAOCP 3 + census set)") {
+    sx("Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+       "Honeyman", "Euler", "Gauss", "Hilbert", "Knuth", "Lloyd",
+       "Lukasiewicz", "Washington", "Jackson")
+      .map(_._2) shouldBe Seq(
+      "R163", "R163", // sound-alikes conflate across 3 edits
+      "A261", "A261", // s,c collapse ACROSS the deleted h
+      "T522",         // y separates like a vowel; adjacent c,z collapse
+      "P236",         // first letter's own code collapses with f
+      "H555", "E460", "G200", "H416", "K530", "L300", "L222",
+      "W252", "J250")
+  }
+
+  test("soundexKey: vowel separation vs h/w collapse (the rule that distinguishes them)") {
+    // b-o-b: same code across a VOWEL counts twice -> B100? no:
+    // Bobby = B,o,b,b,y: the second b is separated from B by a vowel
+    // so it IS coded (then bb collapses) -> B100
+    sx("Bobby").head._2 shouldBe "B100"
+    // 'grass' (ss adjacent, collapse once) vs 'grasas' (vowel between)
+    sx("grass").head._2 shouldBe "G620"
+    sx("grasas").head._2 shouldBe "G622"
+  }
+
+  test("soundexKey: short codes pad, vowel-initial words keep their first code digit") {
+    sx("a").head._2 shouldBe "A000"
+    sx("Lee").head._2 shouldBe "L000"
+    sx("Ashcraft").head._2 should startWith("A2") // the s survives the drop rule
+  }
+
+  test("soundexKey: case-insensitive, strips non-letters, empty/non-letter -> NULL") {
+    sx("ROBERT", "robert").map(_._2).distinct shouldBe Seq("R163")
+    sx("O'Brien").head._2 shouldBe sx("OBrien").head._2
+    import org.apache.spark.sql.functions.col
+    val out = Seq("123", "", "!?").toDF("w")
+      .select(FuzzyMatch.soundexKey(col("w"))).collect()
+    all(out.map(_.isNullAt(0))) shouldBe true
+  }
+
+  test("soundexConflation: vowel-doubled variants conflate with their originals") {
+    val d = Seq("the table row", "the taable roow").toDF("text")
+    val out = FuzzyMatch.soundexConflation(d, "text")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    out(sx("table").head._2) shouldBe ((2L, 2L, "taable,table"))
+    out(sx("row").head._2) shouldBe ((2L, 2L, "roow,row"))
+    out(sx("the").head._2) shouldBe ((1L, 2L, "the")) // same form twice
+  }
 }
