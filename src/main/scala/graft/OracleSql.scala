@@ -7478,10 +7478,16 @@ FROM j ORDER BY doc_id"""
     * q139's exact α=1/2 temperature rates computed over the
     * POST-DEDUP survivors (the composition contract this query
     * exists to pin), q74's salted shard/order hashes. */
-  val q142_curation_pipeline: String = {
+  /** Shared quality-gate + exact-dedup CTE chain (the q142 stages,
+    * reused verbatim by the q357 SFT capstone — the zero-drift rule
+    * for composed-pipeline twins): rule features → keepers → gated →
+    * keep-first text dedup. `ded` carries text so downstream
+    * consumers can re-tokenize the survivors. Expects `toks` in
+    * scope (toksCte). */
+  private def curationGateCtes: String = {
     import graft.text.QualityRules._
     val stopList = allStopwords.map(w => s"'$w'").mkString("[", ",", "]")
-    toksCte + s"""
+    s"""
 , feats AS (
   SELECT doc_id,
     CAST(len(tokens) AS BIGINT) AS n_tokens,
@@ -7504,12 +7510,16 @@ keepers AS (
     AND n_stop >= $minStopHits),
 gated AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
 ded AS (
-  SELECT doc_id, lang FROM (
-    SELECT doc_id, lang,
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
     FROM gated)
-  WHERE rn = 1),
-c AS (SELECT lang, count(*) AS n FROM ded WHERE lang IS NOT NULL GROUP BY lang),
+  WHERE rn = 1)"""
+  }
+
+  val q142_curation_pipeline: String = {
+    toksCte + curationGateCtes + s"""
+, c AS (SELECT lang, count(*) AS n FROM ded WHERE lang IS NOT NULL GROUP BY lang),
 w0 AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
        FROM c),
 w AS (SELECT lang, n,
@@ -8071,6 +8081,122 @@ SELECT code, CAST(count(*) AS BIGINT) AS n_forms,
   string_agg(word, ',' ORDER BY word) AS forms
 FROM sx WHERE code IS NOT NULL
 GROUP BY code ORDER BY code"""
+
+  /** q356 twin of the packing-order ablation: the q64 recursive
+    * packing replay run TWICE — rn by doc_id (arrival) and rn by
+    * (n_chars DESC, doc_id) (next-fit-decreasing) — then the same
+    * per-pack padding stats and exact integer waste permille. */
+  val q356_pack_order_ablation: String = """
+WITH RECURSIVE d1 AS (
+  SELECT lang AS shard, doc_id, n_chars AS size,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+s1 AS (
+  SELECT shard, rn, size, CAST(1 AS BIGINT) AS pack_seq,
+    size AS pack_fill
+  FROM d1 WHERE rn = 1
+  UNION ALL
+  SELECT d1.shard, d1.rn, d1.size,
+    CASE WHEN s1.pack_fill + d1.size <= 2000
+         THEN s1.pack_seq ELSE s1.pack_seq + 1 END,
+    CASE WHEN s1.pack_fill + d1.size <= 2000
+         THEN s1.pack_fill + d1.size ELSE d1.size END
+  FROM d1 JOIN s1 ON d1.shard = s1.shard AND d1.rn = s1.rn + 1),
+d2 AS (
+  SELECT lang AS shard, doc_id, n_chars AS size,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents),
+s2 AS (
+  SELECT shard, rn, size, CAST(1 AS BIGINT) AS pack_seq,
+    size AS pack_fill
+  FROM d2 WHERE rn = 1
+  UNION ALL
+  SELECT d2.shard, d2.rn, d2.size,
+    CASE WHEN s2.pack_fill + d2.size <= 2000
+         THEN s2.pack_seq ELSE s2.pack_seq + 1 END,
+    CASE WHEN s2.pack_fill + d2.size <= 2000
+         THEN s2.pack_fill + d2.size ELSE d2.size END
+  FROM d2 JOIN s2 ON d2.shard = s2.shard AND d2.rn = s2.rn + 1),
+p1 AS (
+  SELECT shard, pack_seq, count(*) AS n_docs,
+    greatest(2000 - max(pack_fill), 0) AS padding
+  FROM s1 GROUP BY shard, pack_seq),
+p2 AS (
+  SELECT shard, pack_seq, count(*) AS n_docs,
+    greatest(2000 - max(pack_fill), 0) AS padding
+  FROM s2 GROUP BY shard, pack_seq),
+u AS (
+  SELECT 'arrival_order' AS strategy, CAST(count(*) AS BIGINT) AS n_packs,
+    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+    CAST(sum(padding) AS BIGINT) AS sum_padding
+  FROM p1
+  UNION ALL
+  SELECT 'length_desc', CAST(count(*) AS BIGINT),
+    CAST(sum(n_docs) AS BIGINT), CAST(sum(padding) AS BIGINT)
+  FROM p2)
+SELECT strategy, n_packs, n_docs, sum_padding,
+  (sum_padding * 1000) // (n_packs * 2000) AS waste_permille
+FROM u ORDER BY strategy"""
+
+  /** q357 twin of the composed SFT capstone: the SHARED
+    * [[curationGateCtes]] stages (zero drift with q142's twin) feed
+    * the q354 assembly CTEs — ex0 tokenizes the DEDUP SURVIVORS
+    * instead of the raw table; everything downstream is the q354
+    * text verbatim. toksCte's WITH is promoted to WITH RECURSIVE for
+    * the packing CTE. */
+  def q357_sft_capstone: String =
+    toksCte.replaceFirst("WITH", "WITH RECURSIVE") + curationGateCtes + """
+, ex0 AS (
+  SELECT lang AS shard, doc_id,
+    list_filter(string_split(text, ' '), t -> t <> '') AS toks2
+  FROM ded),
+ex1 AS (
+  SELECT shard, doc_id,
+    list_transform(toks2[1:8],
+      t -> CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT)) AS p_ids,
+    list_transform(toks2[9:],
+      t -> CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT)) AS c_ids
+  FROM ex0),
+ex AS (
+  SELECT shard, doc_id,
+    flatten([p_ids, c_ids, [CAST(-1 AS BIGINT)]]) AS ids,
+    flatten([list_transform(p_ids, x -> 0),
+             list_transform(c_ids, x -> 1), [1]]) AS mask,
+    len(p_ids) + len(c_ids) + 1 AS sz
+  FROM ex1
+  WHERE len(p_ids) + len(c_ids) + 1 <= 256),
+d AS (
+  SELECT shard, doc_id, ids, mask, sz,
+    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM ex),
+st AS (
+  SELECT shard, rn, doc_id, sz,
+    CAST(1 AS BIGINT) AS pack_seq, sz AS pack_fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.sz,
+    CASE WHEN st.pack_fill + d.sz <= 256
+         THEN st.pack_seq ELSE st.pack_seq + 1 END,
+    CASE WHEN st.pack_fill + d.sz <= 256
+         THEN st.pack_fill + d.sz ELSE d.sz END
+  FROM d JOIN st ON d.shard = st.shard AND d.rn = st.rn + 1),
+w AS (
+  SELECT st.shard, st.pack_seq, d.doc_id, d.ids, d.mask, d.sz
+  FROM st JOIN d ON st.shard = d.shard AND st.doc_id = d.doc_id),
+agg AS (
+  SELECT shard, pack_seq,
+    CAST(count(*) AS BIGINT) AS n_examples,
+    CAST(sum(sz) AS BIGINT) AS n_tokens,
+    flatten(list(ids ORDER BY doc_id)) AS i0,
+    flatten(list(mask ORDER BY doc_id)) AS m0
+  FROM w GROUP BY shard, pack_seq)
+SELECT shard, pack_seq, n_examples, n_tokens,
+  flatten([i0, list_transform(generate_series(1, 256 - n_tokens),
+    x -> CAST(-2 AS BIGINT))]) AS token_ids,
+  flatten([m0, list_transform(generate_series(1, 256 - n_tokens),
+    x -> 0)]) AS loss_mask
+FROM agg ORDER BY shard, pack_seq"""
 
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
@@ -9729,6 +9855,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q353_fellegi_sunter" -> q353_fellegi_sunter,
     "q354_sft_pack" -> q354_sft_pack,
     "q355_soundex_conflation" -> q355_soundex_conflation,
+    "q356_pack_order_ablation" -> q356_pack_order_ablation,
+    "q357_sft_capstone" -> q357_sft_capstone,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,
