@@ -8198,6 +8198,94 @@ SELECT shard, pack_seq, n_examples, n_tokens,
     x -> 0)]) AS loss_mask
 FROM agg ORDER BY shard, pack_seq"""
 
+  /** q358 twin of [[graft.text.Robots.parseRobots]] +
+    * [[graft.text.Robots.robotsAllowed]]: the same synthesized
+    * per-host files (chr(10) where Spark's literal uses \n), the
+    * line parse (comment strip, first-colon key/value, trim/lower),
+    * the consecutive-UA group heads via the same lag device, the
+    * exact-agent-beats-* pick, and the longest-path winner with
+    * allow winning ties replayed as one ordered row_number. */
+  val q358_robots_allowed: String = """
+WITH hosts AS (
+  SELECT 'host' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
+    CASE CAST(n_nationkey % 4 AS INT)
+      WHEN 0 THEN '# default policy' || chr(10) || 'User-agent: *' ||
+        chr(10) || 'Disallow: /private' || chr(10) ||
+        'Allow: /private/pub' || chr(10)
+      WHEN 1 THEN 'User-agent: graftbot' || chr(10) ||
+        'User-agent: otherbot' || chr(10) || 'Disallow: /' || chr(10) ||
+        'Allow: /docs' || chr(10) || chr(10) || 'User-agent: *' ||
+        chr(10) || 'Disallow: /tmp' || chr(10)
+      WHEN 2 THEN 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+      ELSE 'Disallow: /orphan' || chr(10) || 'User-agent: *' ||
+        chr(10) || 'Crawl-delay: 2' || chr(10) || 'Disallow: /cgi' ||
+        chr(10) END AS robots_txt
+  FROM nation WHERE n_nationkey < 20),
+lines0 AS (
+  SELECT host,
+    generate_subscripts(string_split(robots_txt, chr(10)), 1) - 1 AS line_no,
+    unnest(string_split(robots_txt, chr(10))) AS raw
+  FROM hosts),
+lines1 AS (
+  SELECT host, line_no, trim(regexp_replace(raw, '#.*', '')) AS l
+  FROM lines0),
+kv AS (
+  SELECT host, line_no,
+    lower(trim(substr(l, 1, strpos(l, ':') - 1))) AS k,
+    trim(substr(l, strpos(l, ':') + 1)) AS v
+  FROM lines1 WHERE strpos(l, ':') > 0),
+kept AS (
+  SELECT host, line_no, k, v, k = 'user-agent' AS is_ua
+  FROM kv WHERE k IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+g AS (
+  SELECT *, is_ua AND NOT coalesce(
+      lag(is_ua) OVER (PARTITION BY host ORDER BY line_no), false)
+    AS new_head
+  FROM kept),
+g2 AS (
+  SELECT *, sum(CASE WHEN new_head THEN 1 ELSE 0 END)
+      OVER (PARTITION BY host ORDER BY line_no) AS group_id
+  FROM g),
+heads AS (
+  SELECT host, group_id, lower(v) AS user_agent FROM g2 WHERE is_ua),
+rt AS (
+  SELECT h.host, h.group_id, h.user_agent, r.k AS rule, r.v AS path,
+    r.line_no
+  FROM heads h JOIN (
+    SELECT host, group_id, k, v, line_no FROM g2
+    WHERE NOT is_ua AND group_id > 0) r
+  ON h.host = r.host AND h.group_id = r.group_id),
+pick AS (
+  SELECT *, max(user_agent = 'graftbot')
+      OVER (PARTITION BY host) AS has_exact
+  FROM rt WHERE rule IN ('allow', 'disallow')),
+cand AS (
+  SELECT * FROM pick
+  WHERE CASE WHEN has_exact THEN user_agent = 'graftbot'
+        ELSE user_agent = '*' END),
+urls AS (
+  SELECT doc_id,
+    'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN '/private/pub/x' WHEN 1 THEN '/private/x'
+      WHEN 2 THEN '/docs/d' WHEN 3 THEN '/tmp/t'
+      ELSE '/cgi/run' END AS path
+  FROM documents),
+m AS (
+  SELECT u.doc_id, u.host, u.path, c.rule, c.path AS rp, c.line_no
+  FROM urls u LEFT JOIN cand c
+  ON u.host = c.host AND length(c.path) > 0
+    AND starts_with(u.path, c.path)),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY (rp IS NOT NULL) DESC, length(rp) DESC,
+        (rule = 'allow') DESC, line_no DESC) AS rn
+  FROM m)
+SELECT doc_id, host, path,
+  CASE WHEN rp IS NULL THEN true ELSE rule = 'allow' END AS allowed,
+  CAST(length(rp) AS BIGINT) AS winner_len
+FROM w WHERE rn = 1 ORDER BY doc_id"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -9857,6 +9945,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q355_soundex_conflation" -> q355_soundex_conflation,
     "q356_pack_order_ablation" -> q356_pack_order_ablation,
     "q357_sft_capstone" -> q357_sft_capstone,
+    "q358_robots_allowed" -> q358_robots_allowed,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

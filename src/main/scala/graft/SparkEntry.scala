@@ -1695,6 +1695,37 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_seq"))
     }),
 
+    // robots.txt parse + allow decision (RFC 9309 groups, 1994 prefix
+    // match): synthesized per-host files exercise multi-agent group
+    // heads, the exact-agent-beats-* pick, longest-path precedence
+    // with allow winning ties, the empty-Disallow allow-all idiom,
+    // orphan rules before any group, comments, and crawl-delay lines.
+    "q358_robots_allowed" -> ((s, dir) => {
+      val hosts = Tables.nation(s, dir)
+        .filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey").cast("long").as("hk"))
+        .select(concat(lit("host"), col("hk"), lit(".example")).as("host"),
+          expr("""CASE CAST(hk % 4 AS INT)
+            WHEN 0 THEN concat('# default policy\n',
+              'User-agent: *\nDisallow: /private\nAllow: /private/pub\n')
+            WHEN 1 THEN concat('User-agent: graftbot\n',
+              'User-agent: otherbot\nDisallow: /\nAllow: /docs\n\n',
+              'User-agent: *\nDisallow: /tmp\n')
+            WHEN 2 THEN 'User-agent: *\nDisallow:\n'
+            ELSE concat('Disallow: /orphan\nUser-agent: *\n',
+              'Crawl-delay: 2\nDisallow: /cgi\n') END""").as("robots_txt"))
+      val rules = graft.text.Robots.parseRobots(hosts)
+      val urls = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("host"), col("doc_id") % 20, lit(".example")).as("host"),
+          expr("""CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN '/private/pub/x' WHEN 1 THEN '/private/x'
+            WHEN 2 THEN '/docs/d' WHEN 3 THEN '/tmp/t'
+            ELSE '/cgi/run' END""").as("path"))
+      graft.text.Robots.robotsAllowed(urls, rules, agent = "GraftBot")
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share
