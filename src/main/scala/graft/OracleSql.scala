@@ -8286,6 +8286,51 @@ SELECT doc_id, host, path,
   CAST(length(rp) AS BIGINT) AS winner_len
 FROM w WHERE rn = 1 ORDER BY doc_id"""
 
+  /** q359 twin of
+    * [[graft.analytics.StockAnalytics.seasonalDecompose]]: the q174
+    * daily dedup, then the exact micro-unit construction replayed —
+    * centered 7-row window sum (full windows only), floor-quantized
+    * trend, (symbol, weekday-slot) detrended means with the same
+    * truncating integer division (measured identical both engines for
+    * negatives), per-symbol centering, residual. The weekday slot is
+    * days-since-1970-01-05 mod 7 — engine-neutral where dayofweek()
+    * origins differ. */
+  val q359_seasonal_decompose: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, CAST(close AS BIGINT) AS close_units,
+    CAST((date - DATE '1970-01-05') % 7 AS INTEGER) AS slot
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, date
+      ORDER BY data_source, row_id) AS rn
+    FROM merged WHERE open IS NOT NULL)
+  WHERE rn = 1),
+t AS (
+  SELECT symbol, date, close_units, slot,
+    CASE WHEN count(*) OVER win = 7
+         THEN (sum(close_units) OVER win * 1000000) // 7 END AS trend_micro
+  FROM daily
+  WINDOW win AS (PARTITION BY symbol ORDER BY date
+    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+t2 AS (
+  SELECT *, close_units * 1000000 - trend_micro AS detrended_micro FROM t),
+idx AS (
+  SELECT symbol, slot,
+    sum(detrended_micro) // count(*) AS raw
+  FROM t2 WHERE detrended_micro IS NOT NULL
+  GROUP BY symbol, slot),
+adj AS (
+  SELECT symbol, sum(raw) // count(*) AS a FROM idx GROUP BY symbol),
+seas AS (
+  SELECT idx.symbol, idx.slot, raw - a AS seasonal_micro
+  FROM idx JOIN adj ON idx.symbol = adj.symbol)
+SELECT t2.symbol, t2.date, t2.close_units,
+  CAST(t2.trend_micro AS BIGINT) AS trend_micro,
+  CAST(s.seasonal_micro AS BIGINT) AS seasonal_micro,
+  CAST(t2.detrended_micro - s.seasonal_micro AS BIGINT) AS residual_micro
+FROM t2 LEFT JOIN seas s
+  ON t2.symbol = s.symbol AND t2.slot = s.slot
+ORDER BY t2.symbol, t2.date"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -9946,6 +9991,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q356_pack_order_ablation" -> q356_pack_order_ablation,
     "q357_sft_capstone" -> q357_sft_capstone,
     "q358_robots_allowed" -> q358_robots_allowed,
+    "q359_seasonal_decompose" -> q359_seasonal_decompose,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

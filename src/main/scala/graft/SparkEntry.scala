@@ -1726,6 +1726,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Classical additive seasonal decomposition over the daily bars:
+    // close = trend (centered 7-row MA, full windows only) + seasonal
+    // (per symbol x weekday-slot detrended mean, centered) + residual
+    // -- everything exact BIGINT micro-units, no float anywhere.
+    "q359_seasonal_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol"), col("date"))
+        .orderBy(col("data_source"), col("row_id"))
+      val daily = mergedBars(s, dir)
+        .filter(col("open").isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("symbol", "date", "close")
+      graft.analytics.StockAnalytics.seasonalDecompose(daily, period = 7)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share

@@ -352,4 +352,63 @@ object StockAnalytics {
     val base = bars.filter(col("date") >= date_sub(anchor, days))
     if (symbols.isEmpty) base else base.filter(col("symbol").isin(symbols: _*))
   }
+
+  /** Classical additive seasonal decomposition (the pre-STL textbook
+    * method: e.g. Hyndman & Athanasopoulos, *Forecasting* §3.4) —
+    * close = trend + seasonal + residual, the time-series shelf's
+    * missing DECOMPOSITION next to the smoothers (E-EMA/Holt) and
+    * level/trend tests (Pettitt/Mann–Kendall): trend = centered
+    * `period`-row moving average (FULL windows only — NULL at each
+    * series' edges, the statsmodels convention), seasonal = per
+    * (symbol, weekday-slot) mean of the detrended series CENTERED so
+    * the period's indices sum to ≈0, residual = the rest.
+    *
+    * Exactness contract: `close` is the q01-exact integer-valued bar
+    * double, so EVERYTHING here is exact BIGINT in floor-quantized
+    * MICRO-units (the bm25 device): trend_micro = 1e6·Σ₇ div 7,
+    * detrended = 1e6·close − trend_micro, seasonal = group-sum div
+    * count then centered by the per-symbol index mean — deterministic
+    * under any partitioning and bit-identical cross-engine (both
+    * engines' integer division truncates toward zero — measured).
+    * The weekday slot is pmod(days since 1970-01-05 (a Monday), 7) —
+    * 0=Mon; engine-neutral where dayofweek()'s origin is not.
+    *
+    * Input: one bar per (symbol, date) — the q174 caller-dedup
+    * contract. Shape: one symbol-partitioned window pass + one
+    * (symbol, slot) aggregate (period-bounded) + one broadcast-sized
+    * join back; rows never widen. */
+  def seasonalDecompose(daily: DataFrame, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 (centered MA), got $period")
+    val half = period / 2
+    val frame = Window.partitionBy(col("symbol")).orderBy(col("date"))
+      .rowsBetween(-half, half)
+    val base = daily.select(col("symbol"), col("date"),
+      col("close").cast("long").as("close_units"),
+      pmod(datediff(col("date"), lit("1970-01-05")), lit(7)).as("slot"))
+    val t = base
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__s", sum(col("close_units")).over(frame))
+      .withColumn("trend_micro",
+        expr(s"CASE WHEN __n = $period THEN (__s * 1000000) div $period END"))
+      .withColumn("detrended_micro",
+        col("close_units") * 1000000L - col("trend_micro"))
+      .drop("__n", "__s")
+    val idx = t.filter(col("detrended_micro").isNotNull)
+      .groupBy(col("symbol"), col("slot"))
+      .agg(sum(col("detrended_micro")).as("__ds"),
+        count(lit(1)).as("__dc"))
+      .withColumn("__raw", expr("__ds div __dc"))
+    val adj = idx.groupBy(col("symbol"))
+      .agg(sum(col("__raw")).as("__rs"), count(lit(1)).as("__rc"))
+      .withColumn("__adj", expr("__rs div __rc"))
+      .select(col("symbol"), col("__adj"))
+    val seasonal = idx.join(adj, "symbol")
+      .select(col("symbol"), col("slot"),
+        (col("__raw") - col("__adj")).as("seasonal_micro"))
+    t.join(seasonal, Seq("symbol", "slot"), "left")
+      .select(col("symbol"), col("date"), col("close_units"),
+        col("trend_micro"), col("seasonal_micro"),
+        (col("detrended_micro") - col("seasonal_micro")).as("residual_micro"))
+  }
 }

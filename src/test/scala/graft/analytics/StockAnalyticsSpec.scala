@@ -235,4 +235,72 @@ class StockAnalyticsSpec extends SparkSpec {
     out(("2024-02", 0)) shouldBe ((1L, 10000L, 10000L))
     out.keySet should not contain (("2024-01", 2)) // no order that month
   }
+
+  test("seasonalDecompose: planted weekly bump recovered exactly; interiors zero residual") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; Wednesday (slot 2) closes 3 above base
+    val rows = (0 until 28).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      ("S", java.sql.Date.valueOf(d), if (i % 7 == 2) 103.0 else 100.0)
+    }
+    val out = graft.analytics.StockAnalytics.seasonalDecompose(
+      rows.toDF("symbol", "date", "close"), period = 7)
+      .orderBy("date").collect()
+    out.length shouldBe 28
+    // edges: first/last 3 rows have NULL trend + residual, seasonal set
+    (0 until 3) ++ (25 until 28) foreach { i =>
+      out(i).isNullAt(3) shouldBe true   // trend_micro
+      out(i).isNullAt(5) shouldBe true   // residual_micro
+      out(i).isNullAt(4) shouldBe false  // seasonal_micro
+    }
+    // interior: trend = (700+3)e6 div 7; wed seasonal 2571429, else -428571
+    val wed = out(9) // 2024-01-10, a Wednesday
+    wed.getLong(3) shouldBe 100428571L
+    wed.getLong(4) shouldBe 2571429L
+    wed.getLong(5) shouldBe 0L
+    val thu = out(10)
+    thu.getLong(4) shouldBe -428571L
+    thu.getLong(5) shouldBe 0L
+    // additivity: close*1e6 == trend + seasonal + residual on interiors
+    out.filter(r => !r.isNullAt(3)).foreach { r =>
+      r.getLong(2) * 1000000L shouldBe
+        (r.getLong(3) + r.getLong(4) + r.getLong(5))
+    }
+    // centered: the 7 distinct seasonal indices sum to ~0 (|sum| < 7,
+    // the floor-quantization residue bound)
+    val idx = out.map(_.getLong(4)).distinct
+    idx.length shouldBe 2 // bump slot vs the 6 others
+    math.abs(2571429L + 6L * -428571L) should be < 7L
+  }
+
+  test("seasonalDecompose: constant series decomposes to zero seasonal and residual") {
+    import spark.implicits._
+    val rows = (0 until 21).map { i =>
+      ("S", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 4).plusDays(i)), 50.0)
+    }
+    val out = graft.analytics.StockAnalytics.seasonalDecompose(
+      rows.toDF("symbol", "date", "close"), period = 7)
+      .filter(col("trend_micro").isNotNull).collect()
+    out.foreach { r =>
+      r.getLong(3) shouldBe 50000000L
+      r.getLong(4) shouldBe 0L
+      r.getLong(5) shouldBe 0L
+    }
+  }
+
+  test("seasonalDecompose: rejects even/short periods; invariant under partitioning") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      ("S", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        100.0 + i % 5)
+    }
+    val d = rows.toDF("symbol", "date", "close")
+    an[IllegalArgumentException] should be thrownBy
+      graft.analytics.StockAnalytics.seasonalDecompose(d, period = 6)
+    an[IllegalArgumentException] should be thrownBy
+      graft.analytics.StockAnalytics.seasonalDecompose(d, period = 1)
+    assertSameRows(
+      graft.analytics.StockAnalytics.seasonalDecompose(d),
+      graft.analytics.StockAnalytics.seasonalDecompose(d.repartition(7)))
+  }
 }
