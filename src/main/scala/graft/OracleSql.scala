@@ -8198,15 +8198,13 @@ SELECT shard, pack_seq, n_examples, n_tokens,
     x -> 0)]) AS loss_mask
 FROM agg ORDER BY shard, pack_seq"""
 
-  /** q358 twin of [[graft.text.Robots.parseRobots]] +
-    * [[graft.text.Robots.robotsAllowed]]: the same synthesized
-    * per-host files (chr(10) where Spark's literal uses \n), the
-    * line parse (comment strip, first-colon key/value, trim/lower),
-    * the consecutive-UA group heads via the same lag device, the
-    * exact-agent-beats-* pick, and the longest-path winner with
-    * allow winning ties replayed as one ordered row_number. */
-  val q358_robots_allowed: String = """
-WITH hosts AS (
+  /** Shared robots-fixture rule CTEs for the q358/q360 twins (paired
+    * with SparkEntry.robotsHosts — same CASE shapes, chr(10) where
+    * Spark's literal uses \n): hosts → line parse (comment strip,
+    * first-colon key/value, trim/lower) → consecutive-UA group heads
+    * via the same lag device → the graftbot-or-star candidate rule
+    * set (the exact-agent-beats-* pick). */
+  private val robotsCandCtes: String = """hosts AS (
   SELECT 'host' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
     CASE CAST(n_nationkey % 4 AS INT)
       WHEN 0 THEN '# default policy' || chr(10) || 'User-agent: *' ||
@@ -8262,7 +8260,13 @@ pick AS (
 cand AS (
   SELECT * FROM pick
   WHERE CASE WHEN has_exact THEN user_agent = 'graftbot'
-        ELSE user_agent = '*' END),
+        ELSE user_agent = '*' END)"""
+
+  /** q358 twin of [[graft.text.Robots.parseRobots]] +
+    * [[graft.text.Robots.robotsAllowed]]: the shared rule CTEs, then
+    * the longest-path winner with allow winning ties replayed as one
+    * ordered row_number. */
+  val q358_robots_allowed: String = "WITH " + robotsCandCtes + """,
 urls AS (
   SELECT doc_id,
     'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
@@ -8330,6 +8334,56 @@ SELECT t2.symbol, t2.date, t2.close_units,
 FROM t2 LEFT JOIN seas s
   ON t2.symbol = s.symbol AND t2.slot = s.slot
 ORDER BY t2.symbol, t2.date"""
+
+  /** q360 twin of the composed crawl frontier: the shared robots rule
+    * CTEs + the canonical URL derived from the fixture's parameter
+    * formulas alone (the q319 formula-oracle discipline — E100's
+    * general canonicalization rules are independently oracled at
+    * q116: here scheme lowers, :443 drops under https, the trailing
+    * slash trims, utm_ params vanish and q=1 survives), the same
+    * winner ordering, then the q239 politeness replay over the
+    * allowed survivors. */
+  val q360_crawl_frontier: String = "WITH " + robotsCandCtes + """,
+u AS (
+  SELECT doc_id,
+    CAST(doc_id % 13 AS BIGINT) AS priority,
+    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://' ||
+      'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' ||
+      CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN '/private/pub/x' WHEN 1 THEN '/private/x'
+        WHEN 2 THEN '/docs/d' WHEN 3 THEN '/tmp/t'
+        ELSE '/cgi/run' END ||
+      CASE WHEN doc_id % 10 = 0 THEN '?q=1' ELSE '' END AS url,
+    'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN '/private/pub/x' WHEN 1 THEN '/private/x'
+      WHEN 2 THEN '/docs/d' WHEN 3 THEN '/tmp/t'
+      ELSE '/cgi/run' END AS path
+  FROM documents),
+m AS (
+  SELECT u.doc_id, u.priority, u.url, u.host, u.path,
+    c.rule, c.path AS rp, c.line_no
+  FROM u LEFT JOIN cand c
+  ON u.host = c.host AND length(c.path) > 0
+    AND starts_with(u.path, c.path)),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY (rp IS NOT NULL) DESC, length(rp) DESC,
+        (rule = 'allow') DESC, line_no DESC) AS rn
+  FROM m),
+alw AS (
+  SELECT doc_id, priority, url, host AS domain
+  FROM w WHERE rn = 1
+    AND (rp IS NULL OR rule = 'allow')),
+sched AS (
+  SELECT doc_id, url, domain,
+    row_number() OVER (PARTITION BY domain
+      ORDER BY priority DESC, doc_id) AS queue_pos
+  FROM alw)
+SELECT doc_id, url, domain, CAST(queue_pos AS BIGINT) AS queue_pos,
+  CAST((queue_pos - 1) * 1500 AS BIGINT) AS fetch_offset_ms
+FROM sched WHERE queue_pos <= 20
+ORDER BY domain, queue_pos"""
 
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
@@ -9992,6 +10046,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q357_sft_capstone" -> q357_sft_capstone,
     "q358_robots_allowed" -> q358_robots_allowed,
     "q359_seasonal_decompose" -> q359_seasonal_decompose,
+    "q360_crawl_frontier" -> q360_crawl_frontier,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -34,6 +34,25 @@ object SparkEntry {
   def transformedBars(spark: SparkSession, sfDir: String): DataFrame =
     Transform.transform(Bars.bars(spark, sfDir), processedAt = col("processed_at"))
 
+  /** Shared robots-fixture hosts for q358/q360 (oracle twin:
+    * OracleSql's robotsCandCtes — same CASE shapes): 20 hosts in four
+    * file shapes exercising star groups with carve-outs, exact-agent
+    * groups, the empty-Disallow idiom, and orphan/crawl-delay lines. */
+  def robotsHosts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir)
+      .filter(col("n_nationkey") < 20)
+      .select(col("n_nationkey").cast("long").as("hk"))
+      .select(concat(lit("host"), col("hk"), lit(".example")).as("host"),
+        expr("""CASE CAST(hk % 4 AS INT)
+          WHEN 0 THEN concat('# default policy\n',
+            'User-agent: *\nDisallow: /private\nAllow: /private/pub\n')
+          WHEN 1 THEN concat('User-agent: graftbot\n',
+            'User-agent: otherbot\nDisallow: /\nAllow: /docs\n\n',
+            'User-agent: *\nDisallow: /tmp\n')
+          WHEN 2 THEN 'User-agent: *\nDisallow:\n'
+          ELSE concat('Disallow: /orphan\nUser-agent: *\n',
+            'Crawl-delay: 2\nDisallow: /cgi\n') END""").as("robots_txt"))
+
   /** Shared graph fixture for q311/q316/q317 (oracle twin:
     * OracleSql's twoRingEd CTE — same modular construction): ring A
     * d0→d1→d2→d3→d0, ring B d5→d6→d7→d8→d5, broker d2→d9→d5. The
@@ -1701,20 +1720,7 @@ object SparkEntry {
     // with allow winning ties, the empty-Disallow allow-all idiom,
     // orphan rules before any group, comments, and crawl-delay lines.
     "q358_robots_allowed" -> ((s, dir) => {
-      val hosts = Tables.nation(s, dir)
-        .filter(col("n_nationkey") < 20)
-        .select(col("n_nationkey").cast("long").as("hk"))
-        .select(concat(lit("host"), col("hk"), lit(".example")).as("host"),
-          expr("""CASE CAST(hk % 4 AS INT)
-            WHEN 0 THEN concat('# default policy\n',
-              'User-agent: *\nDisallow: /private\nAllow: /private/pub\n')
-            WHEN 1 THEN concat('User-agent: graftbot\n',
-              'User-agent: otherbot\nDisallow: /\nAllow: /docs\n\n',
-              'User-agent: *\nDisallow: /tmp\n')
-            WHEN 2 THEN 'User-agent: *\nDisallow:\n'
-            ELSE concat('Disallow: /orphan\nUser-agent: *\n',
-              'Crawl-delay: 2\nDisallow: /cgi\n') END""").as("robots_txt"))
-      val rules = graft.text.Robots.parseRobots(hosts)
+      val rules = graft.text.Robots.parseRobots(robotsHosts(s, dir))
       val urls = Tables.documents(s, dir)
         .select(col("doc_id"),
           concat(lit("host"), col("doc_id") % 20, lit(".example")).as("host"),
@@ -1741,6 +1747,39 @@ object SparkEntry {
         .select("symbol", "date", "close")
       graft.analytics.StockAnalytics.seasonalDecompose(daily, period = 7)
         .orderBy(col("symbol"), col("date"))
+    }),
+
+    // COMPOSED crawl-frontier capstone: raw noisy URLs -> E100
+    // canonicalization (case/port/trailing-slash/tracking-param
+    // noise is load-bearing: the robots host match needs the
+    // canonical host) -> robots parse + allow (q358's fixture) ->
+    // politeness schedule over the allowed survivors, one
+    // declarative plan -- the crawl shelf end to end.
+    "q360_crawl_frontier" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir).selectExpr("doc_id",
+        """concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END,
+          '://', 'Host', cast(doc_id % 20 as string), '.Example',
+          CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
+          CASE cast(doc_id % 5 as int)
+            WHEN 0 THEN '/private/pub/x' WHEN 1 THEN '/private/x'
+            WHEN 2 THEN '/docs/d' WHEN 3 THEN '/tmp/t'
+            ELSE '/cgi/run' END,
+          CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+          CASE WHEN doc_id % 10 = 0 THEN '?utm_source=x&q=1'
+            ELSE '' END) AS url""",
+        "cast(doc_id % 13 as bigint) AS priority")
+      val canon = raw.select(col("doc_id"), col("priority"),
+        graft.text.Urls.canonicalizeUrl(col("url")).as("url"))
+      val parts = canon.select(col("doc_id"), col("priority"), col("url"),
+        regexp_extract(col("url"), "^[a-z]+://([^/?#]*)", 1).as("host"),
+        regexp_extract(col("url"), "^[a-z]+://[^/?#]*([^?#]*)", 1).as("path"))
+      val rules = graft.text.Robots.parseRobots(robotsHosts(s, dir))
+      val gated = graft.text.Robots.robotsAllowed(parts, rules, "graftbot")
+        .filter(col("allowed"))
+      graft.text.Urls.politenessSchedule(
+          gated.select(col("doc_id"), col("url"), col("priority")),
+          "priority", delayMs = 1500L, maxPerDomain = 20)
+        .orderBy(col("domain"), col("queue_pos"))
     }),
 
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
