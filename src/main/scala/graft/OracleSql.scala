@@ -7908,14 +7908,11 @@ ORDER BY doc_id"""
     * [[graft.etl.RecordLinkage.demoFields]] config both engines sum
     * (the normalCutsPermille shared-constant device) — query-time
     * scoring is a pure BIGINT sum, no float in either engine. */
-  def q353_fellegi_sunter: String = {
-    val fs = graft.etl.RecordLinkage.demoFields
-      .map(f => f.name -> (f.agreeWeight, f.disagreeWeight)).toMap
-    def term(field: String): String = {
-      val (wa, wd) = fs(field)
-      s"(CASE WHEN agr_$field THEN $wa ELSE $wd END)"
-    }
-    s"""WITH recs AS (
+  /** Shared dirty-customer candidate CTEs for the q353/q361 twins
+    * (paired with SparkEntry.fsCustomerPairs): recs construction,
+    * q238's proven SNM replay, the attribute join, the four boolean
+    * agreement columns. */
+  private val fsPairsCtes: String = """recs AS (
   SELECT c_custkey * 2 AS rec_id, c_name AS name,
     c_nationkey AS nation, c_mktsegment AS segment, c_acctbal AS bal
   FROM customer
@@ -7961,7 +7958,16 @@ agr AS (
     abs(x.bal - y.bal) < 1.0 AS agr_bal
   FROM kept k
   JOIN recs x ON k.rec_a = x.rec_id
-  JOIN recs y ON k.rec_b = y.rec_id),
+  JOIN recs y ON k.rec_b = y.rec_id)"""
+
+  def q353_fellegi_sunter: String = {
+    val fs = graft.etl.RecordLinkage.demoFields
+      .map(f => f.name -> (f.agreeWeight, f.disagreeWeight)).toMap
+    def term(field: String): String = {
+      val (wa, wd) = fs(field)
+      s"(CASE WHEN agr_$field THEN $wa ELSE $wd END)"
+    }
+    "WITH " + fsPairsCtes + s""",
 sc AS (
   SELECT rec_a, rec_b, agr_name, agr_nation, agr_segment, agr_bal,
     CAST(${term("name")} + ${term("nation")} + ${term("segment")} +
@@ -7973,6 +7979,62 @@ SELECT rec_a, rec_b, agr_name, agr_nation, agr_segment, agr_bal,
        WHEN score_millibits <= -2000 THEN 'non_match'
        ELSE 'possible' END AS verdict
 FROM sc ORDER BY rec_a, rec_b"""
+  }
+
+  /** q361 twin of [[graft.etl.RecordLinkage.emStep]]: the shared pair
+    * CTEs, the same 16 pattern counts in one aggregate row (FILTER
+    * form), the SAME posterior constants interpolated from the ONE
+    * [[graft.etl.RecordLinkage.posteriorWeights]] call (shortest-
+    * round-trip double literals parse back to the identical bits),
+    * and the updates as the TEXTUALLY same fixed-order scalar trees —
+    * the q62 one-double device at 16 terms. */
+  def q361_fs_em_step: String = {
+    val flds = graft.etl.RecordLinkage.demoFields
+    val w = graft.etl.RecordLinkage.posteriorWeights(flds, 50)
+    val m = 1 << flds.size
+    def n(g: Int) = s"CAST(n$g AS DOUBLE)"
+    // Scientific notation is LOAD-BEARING: DuckDB types a plain
+    // decimal literal as DECIMAL and its decimal→double conversion
+    // is off by 1 ulp from a text→double parse (measured: the q361
+    // u-side diverged in the last bit); an E-notation literal is
+    // typed DOUBLE and strtod-parsed — 17 significant digits
+    // round-trip the exact bits.
+    def d(x: Double) = f"$x%.17e"
+    def fold(terms: Seq[String]) = terms.mkString(" + ")
+    val nW = fold((0 until m).map(g => s"${n(g)} * ${d(w(g))}"))
+    val nU = fold((0 until m).map(g => s"${n(g)} * ${d(1.0 - w(g))}"))
+    val nAll = fold((0 until m).map(n))
+    val countCols = (0 until m).map(g =>
+      s"count(*) FILTER (WHERE g = $g) AS n$g").mkString(",\n    ")
+    val fieldSelects = flds.zipWithIndex.map { case (f, j) =>
+      val mNum = fold((0 until m).filter(g => ((g >> j) & 1) == 1)
+        .map(g => s"${n(g)} * ${d(w(g))}"))
+      val uNum = fold((0 until m).filter(g => ((g >> j) & 1) == 1)
+        .map(g => s"${n(g)} * ${d(1.0 - w(g))}"))
+      s"""SELECT '${f.name}' AS component,
+    ($mNum) / ($nW) * 1000.0 AS m_permille,
+    ($uNum) / ($nU) * 1000.0 AS u_permille
+  FROM c"""
+    }
+    val priorSelect = s"""SELECT 'prior' AS component,
+    ($nW) / ($nAll) * 1000.0 AS m_permille,
+    CAST(NULL AS DOUBLE) AS u_permille
+  FROM c"""
+    "WITH " + fsPairsCtes + s""",
+pats AS (
+  SELECT (CASE WHEN agr_name THEN 1 ELSE 0 END)
+       + (CASE WHEN agr_nation THEN 2 ELSE 0 END)
+       + (CASE WHEN agr_segment THEN 4 ELSE 0 END)
+       + (CASE WHEN agr_bal THEN 8 ELSE 0 END) AS g
+  FROM agr
+  WHERE agr_name IS NOT NULL AND agr_nation IS NOT NULL
+    AND agr_segment IS NOT NULL AND agr_bal IS NOT NULL),
+c AS (
+  SELECT
+    $countCols
+  FROM pats)
+${(fieldSelects :+ priorSelect).mkString("\nUNION ALL\n")}
+ORDER BY component"""
   }
 
   /** q354 twin of [[graft.etl.Packing.sftPack]]: the same raw-space
@@ -8753,8 +8815,13 @@ WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"""
     * call in either engine), NULL-z pairs excluded, then the q280 BH
     * step-up with the identical (p, "a|b") tiebreak. */
   val q350_mw_screen: String = {
+    // %.17e, not toString: DuckDB types plain decimal literals as
+    // DECIMAL, whose decimal→double conversion is 1 ulp off a
+    // text→double parse (the q361 find) — a z landing exactly on a
+    // cut's bit pattern would then count differently per engine.
+    // E-notation literals are typed DOUBLE and strtod-parsed exact.
     val cuts = graft.analytics.Correlation.normalCutsPermille
-      .map(_.toString).mkString(", ")
+      .map(c => f"$c%.17e").mkString(", ")
     s"""
 WITH mw AS ($q345_mann_whitney),
 pp AS (
@@ -10047,6 +10114,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q358_robots_allowed" -> q358_robots_allowed,
     "q359_seasonal_decompose" -> q359_seasonal_decompose,
     "q360_crawl_frontier" -> q360_crawl_frontier,
+    "q361_fs_em_step" -> q361_fs_em_step,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

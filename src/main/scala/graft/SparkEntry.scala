@@ -34,6 +34,40 @@ object SparkEntry {
   def transformedBars(spark: SparkSession, sfDir: String): DataFrame =
     Transform.transform(Bars.bars(spark, sfDir), processedAt = col("processed_at"))
 
+  /** Shared dirty-customer candidate pairs for q353/q361 (oracle
+    * twin: OracleSql's fsPairsCtes — same construction): SNM-blocked
+    * pairs over originals + graded-corruption twins, with the four
+    * boolean agreement columns the F-S operators consume. */
+  def fsCustomerPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val orig = c.select((col("c_custkey") * 2).as("rec_id"),
+      col("c_name").as("name"), col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+    val twins = c.filter(col("c_custkey") % 5 === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        expr("concat(substr(c_name, 1, 9), 'q', substr(c_name, 11))")
+          .as("name"),
+        col("c_nationkey").as("nation"),
+        when(col("c_custkey") % 15 === 0, lit("STALE"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("bal"))
+    val recs = orig.unionAll(twins)
+    val cands = graft.etl.FuzzyMatch.snmPairs(
+      recs.select(col("rec_id"), col("name")), "rec_id", "name",
+      Seq(col("name"), reverse(col("name"))), window = 4, maxDist = 2)
+    val attrs = recs.select(col("rec_id"), col("nation"),
+      col("segment"), col("bal"))
+    cands
+      .join(attrs.as("x"), col("rec_a") === col("x.rec_id"))
+      .join(attrs.as("y"), col("rec_b") === col("y.rec_id"))
+      .select(col("rec_a"), col("rec_b"),
+        (col("dist") <= 1).as("agr_name"),
+        (col("x.nation") === col("y.nation")).as("agr_nation"),
+        (col("x.segment") === col("y.segment")).as("agr_segment"),
+        (abs(col("x.bal") - col("y.bal")) < 1.0).as("agr_bal"))
+  }
+
   /** Shared robots-fixture hosts for q358/q360 (oracle twin:
     * OracleSql's robotsCandCtes — same CASE shapes): 20 hosts in four
     * file shapes exercising star groups with carve-outs, exact-agent
@@ -1593,39 +1627,21 @@ object SparkEntry {
     // both engines) -> three-way link/possible/non-link verdict. The
     // dirty-customer fixture plants graded corruptions (balance-only,
     // segment-only, both) so all three verdict zones populate.
-    "q353_fellegi_sunter" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val orig = c.select((col("c_custkey") * 2).as("rec_id"),
-        col("c_name").as("name"), col("c_nationkey").as("nation"),
-        col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
-      val twins = c.filter(col("c_custkey") % 5 === 0)
-        .select((col("c_custkey") * 2 + 1).as("rec_id"),
-          expr("concat(substr(c_name, 1, 9), 'q', substr(c_name, 11))")
-            .as("name"),
-          col("c_nationkey").as("nation"),
-          when(col("c_custkey") % 15 === 0, lit("STALE"))
-            .otherwise(col("c_mktsegment")).as("segment"),
-          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
-            .otherwise(col("c_acctbal")).as("bal"))
-      val recs = orig.unionAll(twins)
-      val cands = graft.etl.FuzzyMatch.snmPairs(
-        recs.select(col("rec_id"), col("name")), "rec_id", "name",
-        Seq(col("name"), reverse(col("name"))), window = 4, maxDist = 2)
-      val attrs = recs.select(col("rec_id"), col("nation"),
-        col("segment"), col("bal"))
-      val pairs = cands
-        .join(attrs.as("x"), col("rec_a") === col("x.rec_id"))
-        .join(attrs.as("y"), col("rec_b") === col("y.rec_id"))
-        .select(col("rec_a"), col("rec_b"),
-          (col("dist") <= 1).as("agr_name"),
-          (col("x.nation") === col("y.nation")).as("agr_nation"),
-          (col("x.segment") === col("y.segment")).as("agr_segment"),
-          (abs(col("x.bal") - col("y.bal")) < 1.0).as("agr_bal"))
-      graft.etl.RecordLinkage.fellegiSunterScores(pairs,
+    "q353_fellegi_sunter" -> ((s, dir) =>
+      graft.etl.RecordLinkage.fellegiSunterScores(fsCustomerPairs(s, dir),
           graft.etl.RecordLinkage.demoFields,
           upperMilliBits = 6000L, lowerMilliBits = -2000L)
-        .orderBy(col("rec_a"), col("rec_b"))
-    }),
+        .orderBy(col("rec_a"), col("rec_b"))),
+
+    // One exact-counted EM iteration for the F-S m/u/prior estimates
+    // (Winkler 1988) over the same dirty-customer candidate pairs:
+    // 16 agreement-pattern counts in ONE aggregate row, posterior
+    // constants interpolated into both engines, updates as
+    // fixed-order scalar double trees (the q62 one-double device).
+    "q361_fs_em_step" -> ((s, dir) =>
+      graft.etl.RecordLinkage.emStep(fsCustomerPairs(s, dir),
+          graft.etl.RecordLinkage.demoFields, priorPermille = 50)
+        .orderBy(col("component"))),
 
     // SFT training-window assembly: (prompt, completion) pairs ->
     // packed fixed-capacity windows with token ids + loss mask (0

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter,
@@ -64,6 +64,84 @@ object RecordLinkage {
     FsField("nation", 990, 40),
     FsField("segment", 700, 200),
     FsField("bal", 990, 10))
+
+  /** Per-pattern match posterior P(M | γ) for every agreement pattern
+    * γ ∈ 0..2^k−1 (bit j = field j agrees), computed ONCE driver-side
+    * from the permille config in EXACT integer arithmetic — numerator
+    * p·Π(m-terms) and denominator term (1000−p)·Π(u-terms) stay
+    * ≤ 1000^(k+1) ≤ 1e15·2 < 2^63 for k ≤ 4 — with a single double
+    * division at the end. These are the shared constants both engines
+    * interpolate (the milli-bit weight device extended to the EM
+    * posterior). */
+  def posteriorWeights(fields: Seq[FsField], priorPermille: Int): Seq[Double] = {
+    require(priorPermille > 0 && priorPermille < 1000,
+      s"prior must be in (0, 1000) permille, got $priorPermille")
+    require(fields.size <= 4, "posterior integer bound holds for <= 4 fields")
+    (0 until (1 << fields.size)).map { g =>
+      var a = priorPermille.toLong
+      var b = (1000 - priorPermille).toLong
+      fields.zipWithIndex.foreach { case (f, j) =>
+        val agree = ((g >> j) & 1) == 1
+        a *= (if (agree) f.mPermille else 1000 - f.mPermille)
+        b *= (if (agree) f.uPermille else 1000 - f.uPermille)
+      }
+      a.toDouble / (a + b).toDouble
+    }
+  }
+
+  /** ONE exact-counted EM iteration for the m/u/prior estimates
+    * (Winkler 1988; the E-M fit the [[fellegiSunterScores]] doc
+    * points at) — the estimation step expressed as one aggregate:
+    * the 2^k agreement-pattern counts n(γ) are exact BIGINTs computed
+    * in a SINGLE hash-aggregate row (no groupBy — the pattern space
+    * is config-bounded), the per-pattern posteriors w(γ) ride in as
+    * [[posteriorWeights]] literals, and the updates
+    * m_j' = Σ_{γ∋j} n·w / Σ n·w (u_j' with 1−w, prior' = Σ n·w / N)
+    * are FIXED-ORDER scalar double trees over (count × literal)
+    * terms — bit-identical cross-engine under any partitioning (the
+    * q62 one-double device; the fold order 0..2^k−1 is part of the
+    * contract and the twin mirrors it textually). Iterating to
+    * convergence is a driver loop over this step (the k-means/BPE
+    * precedent); pairs with any NULL agreement are excluded from the
+    * estimation, stated.
+    * @return one row per field (component, m_permille, u_permille as
+    *         doubles) + a ('prior', p', NULL) row. */
+  def emStep(pairs: DataFrame, fields: Seq[FsField],
+             priorPermille: Int): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 4,
+      "1..4 fields (the posterior integer bound)")
+    val k = fields.size
+    val m = 1 << k
+    val w = posteriorWeights(fields, priorPermille)
+    val pat = fields.zipWithIndex.map { case (f, j) =>
+      when(col(s"agr_${f.name}"), lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val nonNull = fields.map(f => col(s"agr_${f.name}").isNotNull)
+      .reduce(_ && _)
+    val counts = pairs.filter(nonNull).select(pat.as("__g"))
+      .agg(
+        sum(when(col("__g") === 0, 1L).otherwise(0L)).as("n0"),
+        (1 until m).map(g =>
+          sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"n$g")): _*)
+    def fold(terms: Seq[Column]): Column = terms.reduce(_ + _)
+    def n(g: Int): Column = col(s"n$g").cast("double")
+    val nW = fold((0 until m).map(g => n(g) * lit(w(g))))
+    val nU = fold((0 until m).map(g => n(g) * lit(1.0 - w(g))))
+    val nAll = fold((0 until m).map(g => n(g)))
+    val fieldRows = fields.zipWithIndex.map { case (f, j) =>
+      val mNum = fold((0 until m).filter(g => ((g >> j) & 1) == 1)
+        .map(g => n(g) * lit(w(g))))
+      val uNum = fold((0 until m).filter(g => ((g >> j) & 1) == 1)
+        .map(g => n(g) * lit(1.0 - w(g))))
+      counts.select(lit(f.name).as("component"),
+        (mNum / nW * 1000.0).as("m_permille"),
+        (uNum / nU * 1000.0).as("u_permille"))
+    }
+    val priorRow = counts.select(lit("prior").as("component"),
+      (nW / nAll * 1000.0).as("m_permille"),
+      lit(null).cast("double").as("u_permille"))
+    (fieldRows :+ priorRow).reduce(_ unionAll _)
+  }
 
   /** Score + classify candidate pairs. `pairs` carries one boolean
     * `agr_<field.name>` column per configured field; appends

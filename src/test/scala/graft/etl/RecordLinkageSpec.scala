@@ -89,6 +89,61 @@ class RecordLinkageSpec extends SparkSpec {
       RecordLinkage.fellegiSunterScores(pairs(), fields, 0L, 0L)
   }
 
+  test("posteriorWeights: exact single-field hand values") {
+    val f = Seq(FsField("x", 900, 100))
+    val w = RecordLinkage.posteriorWeights(f, 500)
+    // prior 1/2: w(agree) = 900/(900+100), w(disagree) = 100/(100+900)
+    w shouldBe Seq(0.1, 0.9)
+    an[IllegalArgumentException] should be thrownBy
+      RecordLinkage.posteriorWeights(f, 0)
+    an[IllegalArgumentException] should be thrownBy
+      RecordLinkage.posteriorWeights(
+        (1 to 5).map(i => FsField(s"f$i", 900, 100)), 500)
+  }
+
+  private def onePairs(rows: (Long, java.lang.Boolean)*): DataFrame =
+    df(StructType(Seq(
+      StructField("rec_a", LongType),
+      StructField("agr_x", BooleanType))),
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)): _*)
+
+  test("emStep: closed-form single-field update; NULL pairs excluded") {
+    val f = Seq(FsField("x", 900, 100))
+    // 8 agreements, 2 disagreements, one NULL (must not count)
+    val p = onePairs(((1L to 8L).map(i => (i, java.lang.Boolean.TRUE)) ++
+      Seq((9L, java.lang.Boolean.FALSE), (10L, java.lang.Boolean.FALSE),
+        (11L, null: java.lang.Boolean))): _*)
+    val out = RecordLinkage.emStep(p, f, priorPermille = 500)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    // expectations mirror the operator's exact fold order (g = 0, 1);
+    // w = (0.1, 0.9) from the hand case above
+    val nW = 2 * 0.1 + 8 * 0.9
+    val nU = 2 * (1.0 - 0.1) + 8 * (1.0 - 0.9)
+    out("x")._1 shouldBe (8 * 0.9 / nW * 1000.0)         // ~972.97
+    out("x")._2 shouldBe (8 * (1.0 - 0.9) / nU * 1000.0) // ~307.69
+    out("prior")._1 shouldBe (nW / (2.0 + 8.0) * 1000.0) // ~740
+    Option(out("prior")._2) shouldBe None
+  }
+
+  test("emStep: a discriminating field's m rises and u falls from a vague start") {
+    // two fields; planted: agreements strongly co-occur (matches)
+    val rows = (1L to 60L).map { i =>
+      val isMatch = i <= 20
+      (i, i + 100L,
+        java.lang.Boolean.valueOf(isMatch || i % 10 == 0),
+        java.lang.Boolean.valueOf(isMatch || i % 7 == 0))
+    }
+    val p = pairs(rows: _*)
+    val vague = Seq(FsField("name", 600, 400), FsField("city", 600, 400))
+    val out = RecordLinkage.emStep(p, vague, priorPermille = 300)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    out("name")._1 should be > 600.0 // m grows toward the match cluster
+    out("name")._2 should be < 400.0 // u shrinks toward the background rate
+    out("city")._1 should be > 600.0
+  }
+
   test("deterministic across partitionings") {
     val p = pairs((1L to 40L).map(i =>
       (i, i + 100L,
