@@ -8447,6 +8447,26 @@ SELECT doc_id, url, domain, CAST(queue_pos AS BIGINT) AS queue_pos,
 FROM sched WHERE queue_pos <= 20
 ORDER BY domain, queue_pos"""
 
+  /** q362 twin of [[graft.text.Vocab.goodTuringCounts]]: the shared
+    * tokenization, counts-of-counts, the same floor-quantized raw
+    * Turing estimate with NULL at the N_{r+1} = 0 gaps, HUGEINT
+    * headroom cast back to BIGINT. */
+  val q362_good_turing: String = toksCte + """
+, tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+f AS (SELECT CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY token),
+nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM f GROUP BY r),
+tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+  FROM nr),
+nx AS (SELECT r - 1 AS r, n_r AS nr_next FROM nr)
+SELECT nr.r, nr.n_r,
+  CAST(CASE WHEN nx.nr_next IS NOT NULL
+       THEN ((nr.r + 1) * nx.nr_next * 1000000) // nr.n_r END AS BIGINT)
+    AS turing_micro,
+  CAST((n1 * 1000) // n AS BIGINT) AS p0_permille
+FROM nr LEFT JOIN nx ON nr.r = nx.r CROSS JOIN tot
+ORDER BY nr.r"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -10115,6 +10135,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q359_seasonal_decompose" -> q359_seasonal_decompose,
     "q360_crawl_frontier" -> q360_crawl_frontier,
     "q361_fs_em_step" -> q361_fs_em_step,
+    "q362_good_turing" -> q362_good_turing,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1798,6 +1798,13 @@ object SparkEntry {
         .orderBy(col("domain"), col("queue_pos"))
     }),
 
+    // Good-Turing counts-of-counts re-estimation over the corpus
+    // vocabulary: N_r table, raw Turing r* in exact micro-units
+    // (NULL at N_{r+1}=0 gaps, stated), unseen-mass share p0.
+    "q362_good_turing" -> ((s, dir) =>
+      graft.text.Vocab.goodTuringCounts(Tables.documents(s, dir))
+        .orderBy(col("r"))),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share

@@ -172,4 +172,40 @@ object Vocab {
         (col("prev_rank") - col("rank")).as("rank_delta"),
         col("prev_rank").isNull.as("is_new"))
   }
+
+  /** Good–Turing frequency re-estimation over the corpus vocabulary
+    * (Good, Biometrika 1953; the counts-of-counts device behind
+    * Katz/absolute-discount smoothing and species-richness
+    * estimation): N_r = how many word TYPES occur exactly r times;
+    * the raw Turing estimate r* = (r+1)·N_{r+1}/N_r re-allocates mass
+    * toward unseen events, and p₀ = N₁/N is the classic unseen-mass
+    * share (the "how much probability belongs to words we have never
+    * seen" answer a corpus card wants next to [[heapsCurve]]).
+    *
+    * Exact BIGINT throughout: r* in floor-quantized micro-units
+    * ((r+1)·N_{r+1}·1e6 div N_r — bounded by maxFreq·|V|·1e6, far
+    * under 2^63 at any corpus since N_{r+1} shrinks as r grows), p₀
+    * in permille. r* is NULL where N_{r+1} = 0 — the raw estimate's
+    * gaps; SIMPLE Good–Turing fills them by log-log regression (Gale
+    * & Sampson 1995), a driver-side fit over THIS (r, N_r) table,
+    * out of scope and stated. Shape: one token aggregate → one
+    * counts-of-counts aggregate (output ≤ distinct-frequency count,
+    * Zipf-tiny) → one broadcast 1-row total. */
+  def goodTuringCounts(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val freqs = TextAnalysis.tokenStats(docs, idCol, textCol)
+      .select(col("occurrences").as("r"))
+    val nr = freqs.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = nr.agg(
+      sum(col("r") * col("n_r")).as("__n"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(lit(0L))).as("__n1"))
+    val nextNr = nr.select((col("r") - 1).as("r"), col("n_r").as("__nr_next"))
+    nr.join(nextNr, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        when(col("__nr_next").isNotNull,
+          expr("((r + 1) * __nr_next * 1000000) div n_r"))
+          .as("turing_micro"),
+        expr("(__n1 * 1000) div __n").as("p0_permille"))
+  }
 }

@@ -153,6 +153,38 @@ class PackingSpec extends SparkSpec {
     out(1).getLong(2) shouldBe 1L
   }
 
+  /** Sum of ObjectHashAggregateExec's sort-fallback task counter (the
+    * TopKSpec device). */
+  private def fallbackTasks(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.collect {
+      case p if p.nodeName.contains("ObjectHashAggregate") =>
+        p.metrics.get("numTasksFallBacked").map(_.value).getOrElse(0L)
+    }.sum
+
+  test("sftPack under sort-based fallback pressure is bit-identical (failure-mode tier)") {
+    // the window-assembly collect_list rides ObjectHashAggregate; at
+    // 100 TB the hash map overflows and the sort-based path must
+    // produce the SAME padded windows — forced here with a 2-key
+    // threshold, with the engaged-fallback metric asserted so a conf
+    // name drift can't turn this into a no-op (the TopKSpec rules)
+    val rows = (1L to 120L).map(i =>
+      (s"s${i % 6}", i, s"p$i w$i", s"c$i x$i y$i"))
+    val d = sftDocs(rows: _*)
+    def run() = Packing.sftPack(d, "shard", "doc_id",
+      "prompt", "completion", 48L).orderBy("shard", "pack_seq")
+    val base = run().collect().map(_.toSeq).toSeq
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2") {
+      val out = run()
+      val pressured = out.collect().map(_.toSeq).toSeq
+      withClue("fallback threshold not binding: ") {
+        fallbackTasks(out) should be > 0L
+      }
+      pressured shouldBe base
+    }
+  }
+
   test("sftPack: shards pack independently; deterministic across partitionings") {
     val rows = (1L to 60L).map(i =>
       (s"s${i % 3}", i, s"p$i w$i", s"c$i x$i y$i"))

@@ -96,6 +96,25 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("plan shape pinned: gate is exchange-free, scan is one Generate over the scan") {
+    // the EXPLAINS.md claim as a failing test (the q335 plan-pin
+    // device): a refactor that sneaks a shuffle into the scan side
+    // (e.g. a join against an exploded term table) fails here
+    val d = docs((1L to 20L).map(i => i -> s"row scan slow $i"): _*)
+    val gatePlan = Blocklist.blocklistGate(d).queryExecution
+      .executedPlan.toString
+    withClue("blocklistGate must stay a pure scan-side projection: ") {
+      gatePlan should not include "Exchange"
+    }
+    val scanPlan = Blocklist.blocklistScan(d).queryExecution
+      .executedPlan.toString
+    withClue("blocklistScan must ride ONE automaton Generate: ") {
+      scanPlan should include("multi_match_counts")
+      "Generate".r.findAllIn(scanPlan).size shouldBe 1
+      scanPlan should not include "Join"
+    }
+  }
+
   test("automaton contract: rejects empty, duplicate, and zero-length dictionaries") {
     an[IllegalArgumentException] should be thrownBy new AhoCorasick(Array.empty[String])
     an[IllegalArgumentException] should be thrownBy new AhoCorasick(Array("a", ""))

@@ -144,4 +144,29 @@ test("vocabTrend: rank deltas against the previous batch; new entrants flagged")
     assertSameRows(Vocab.vocabTrend(d, "batch", k = 5),
       Vocab.vocabTrend(d.repartition(7), "batch", k = 5))
   }
+
+  test("goodTuringCounts: hand counts-of-counts, raw Turing estimate, gaps, unseen mass") {
+    import spark.implicits._
+    // corpus: a a a b b c d -> N1=2 (c,d), N2=1 (b), N3=1 (a); N=7
+    val d = Seq((1L, "a a a b b c d")).toDF("doc_id", "text")
+    val out = Vocab.goodTuringCounts(d).orderBy("r").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      (1L, 2L, 1000000L, 285L),  // r*=2*N2/N1 = 1 exactly
+      (2L, 1L, 3000000L, 285L),  // r*=3*N3/N2 = 3
+      (3L, 1L, -1L, 285L))       // N4=0 -> NULL gap (simple GT's job)
+    // p0 = N1*1000 div N = 2000 div 7 = 285
+  }
+
+  test("goodTuringCounts: mass conservation and invariance under partitioning") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 13} w${i % 3} tail$i"))
+      .toDF("doc_id", "text")
+    val a = Vocab.goodTuringCounts(d)
+    assertSameRows(a, Vocab.goodTuringCounts(d.repartition(7)))
+    // sanity: sum r*N_r equals the corpus token count (4 per doc)
+    val total = a.selectExpr("sum(r * n_r)").head.getLong(0)
+    total shouldBe 160L
+  }
 }
