@@ -8467,6 +8467,23 @@ SELECT nr.r, nr.n_r,
 FROM nr LEFT JOIN nx ON nr.r = nx.r CROSS JOIN tot
 ORDER BY nr.r"""
 
+  /** q363 twin of [[graft.text.Vocab.chao1Richness]]: the same
+    * singleton/doubleton fold and the bias-corrected micro-unit
+    * arithmetic, HUGEINT headroom cast back. */
+  val q363_chao1: String = toksCte + """
+, tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+f AS (SELECT token, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY token)
+SELECT CAST(count(*) AS BIGINT) AS s_obs,
+  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(sum(r) AS BIGINT) AS n_tokens,
+  CAST(count(*) * 1000000 +
+    (sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) *
+     (sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) - 1) * 1000000)
+    // (2 * (sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1)) AS BIGINT)
+    AS chao1_micro
+FROM f"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -10136,6 +10153,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q360_crawl_frontier" -> q360_crawl_frontier,
     "q361_fs_em_step" -> q361_fs_em_step,
     "q362_good_turing" -> q362_good_turing,
+    "q363_chao1" -> q363_chao1,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

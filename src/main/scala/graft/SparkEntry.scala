@@ -1805,6 +1805,12 @@ object SparkEntry {
       graft.text.Vocab.goodTuringCounts(Tables.documents(s, dir))
         .orderBy(col("r"))),
 
+    // Chao1 species-richness estimate (bias-corrected): how many word
+    // types the population holds given the sample's singleton and
+    // doubleton counts -- one exact micro-unit summary row.
+    "q363_chao1" -> ((s, dir) =>
+      graft.text.Vocab.chao1Richness(Tables.documents(s, dir))),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share

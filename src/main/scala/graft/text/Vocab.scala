@@ -208,4 +208,30 @@ object Vocab {
           .as("turing_micro"),
         expr("(__n1 * 1000) div __n").as("p0_permille"))
   }
+
+  /** Chao1 species-richness estimate (Chao, Scand. J. Statist. 1984;
+    * the bias-corrected form) — "how many word types does the
+    * population hold, given what the sample showed?", the
+    * extrapolation companion to [[goodTuringCounts]]' unseen-MASS
+    * share and [[heapsCurve]]' growth curve: Ŝ = S_obs +
+    * N₁(N₁−1) / (2(N₂+1)), driven entirely by the singleton/doubleton
+    * counts (a corpus rich in hapaxes hides many unseen types). Exact
+    * BIGINT in floor-quantized micro-units; the bias-corrected form
+    * is total where the classic N₁²/(2N₂) breaks at N₂ = 0, stated.
+    * The N₁²·1e6 intermediate runs in DECIMAL(38,0) (the q343
+    * convention — int64 would wrap silently past N₁ ≈ 3·10⁶ hapaxes,
+    * well inside web-corpus range); the result fits BIGINT at any
+    * vocabulary. One token aggregate → one 4-scalar fold — a single
+    * summary row. */
+  def chao1Richness(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    TextAnalysis.tokenStats(docs, idCol, textCol)
+      .agg(count(lit(1)).as("s_obs"),
+        sum(when(col("occurrences") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("occurrences") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(col("occurrences")).as("n_tokens"))
+      .withColumn("chao1_micro",
+        expr("""CAST(CAST(s_obs AS DECIMAL(38,0)) * 1000000 +
+          (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) * 1000000)
+            div (2 * (n2 + 1)) AS BIGINT)"""))
 }

@@ -159,6 +159,21 @@ test("vocabTrend: rank deltas against the previous batch; new entrants flagged")
     // p0 = N1*1000 div N = 2000 div 7 = 285
   }
 
+  test("chao1Richness: hand estimate, N2=0 totality, invariance") {
+    import spark.implicits._
+    // a a a b b c d: S=4, N1=2, N2=1 -> chao1 = 4 + 2*1/(2*2) = 4.5
+    val d = Seq((1L, "a a a b b c d")).toDF("doc_id", "text")
+    val r = Vocab.chao1Richness(d).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((4L, 2L, 1L, 7L, 4500000L))
+    // all-hapax corpus (N2 = 0): the bias-corrected form stays total
+    val h = Seq((1L, "w x y z")).toDF("doc_id", "text")
+    val rh = Vocab.chao1Richness(h).collect().head
+    rh.getLong(4) shouldBe (4L * 1000000L + 4L * 3L * 1000000L / 2L) // 4 + 4*3/2 = 10
+    val big = (1L to 50L).map(i => (i, s"w${i % 9} u$i v${i % 4}")).toDF("doc_id", "text")
+    assertSameRows(Vocab.chao1Richness(big), Vocab.chao1Richness(big.repartition(7)))
+  }
+
   test("goodTuringCounts: mass conservation and invariance under partitioning") {
     import spark.implicits._
     val d = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 13} w${i % 3} tail$i"))
