@@ -8484,6 +8484,36 @@ SELECT CAST(count(*) AS BIGINT) AS s_obs,
     AS chao1_micro
 FROM f"""
 
+  /** q364 twin of [[graft.text.TextAnalysis.termDispersion]]: the
+    * shared tokenization, the same cross-multiplied deviation sum
+    * with the closed zero-doc term, HUGEINT headroom throughout,
+    * truncating division. */
+  val q364_term_dispersion: String = toksCte + """
+, sizes AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS s_d
+  FROM toks WHERE len(tokens) > 0),
+post AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS v_d
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM toks)
+  GROUP BY doc_id, token),
+tot AS (SELECT CAST(sum(s_d) AS BIGINT) AS s FROM sizes),
+terms AS (
+  SELECT token, CAST(sum(v_d) AS BIGINT) AS v_total
+  FROM post GROUP BY token),
+dev AS (
+  SELECT p.token, t.v_total, tot.s,
+    sum(abs(p.v_d * tot.s - z.s_d * t.v_total)) AS d,
+    CAST(sum(z.s_d) AS BIGINT) AS s_occ
+  FROM post p
+  JOIN sizes z ON p.doc_id = z.doc_id
+  JOIN terms t ON p.token = t.token
+  CROSS JOIN tot
+  GROUP BY p.token, t.v_total, tot.s)
+SELECT token, v_total,
+  CAST((1000 * (d + (s - s_occ) * v_total)) // (2 * v_total * s)
+    AS BIGINT) AS dp_permille
+FROM dev ORDER BY token"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -10154,6 +10184,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q361_fs_em_step" -> q361_fs_em_step,
     "q362_good_turing" -> q362_good_turing,
     "q363_chao1" -> q363_chao1,
+    "q364_term_dispersion" -> q364_term_dispersion,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

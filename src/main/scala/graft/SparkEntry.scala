@@ -1811,6 +1811,13 @@ object SparkEntry {
     "q363_chao1" -> ((s, dir) =>
       graft.text.Vocab.chao1Richness(Tables.documents(s, dir))),
 
+    // Gries' DP term dispersion: evenness of each term's spread vs
+    // the corpus mass distribution (burst jargon vs function word),
+    // exact permille with the zero-doc contribution folded closed.
+    "q364_term_dispersion" -> ((s, dir) =>
+      graft.text.TextAnalysis.termDispersion(Tables.documents(s, dir))
+        .orderBy(col("token"))),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share

@@ -162,6 +162,53 @@ object TextAnalysis {
   def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
     tokenStats(docs).orderBy(col("occurrences").desc, col("token")).limit(k)
 
+  /** Gries' DP term dispersion (Gries, *Dispersions and adjusted
+    * frequencies*, IJCL 2008) — the corpus-linguistics EVENNESS
+    * measure [[tokenStats]]' doc_freq only hints at: a term occurring
+    * 100× in one document and a term occurring once in each of 100
+    * documents have the same corpus frequency but opposite
+    * distributional profiles (burst jargon vs function word).
+    * DP = ½ Σ_d |v_d/V − s_d/S| over ALL documents (v_d = the term's
+    * count in doc d, V its corpus total; s_d = doc d's size, S the
+    * corpus total): 0 = spread exactly like the corpus mass, → 1 =
+    * concentrated in one tiny doc.
+    *
+    * Exact-integer formulation (partition-proof, engine-identical):
+    * cross-multiplied to the common denominator V·S, with the
+    * zero-occurrence documents' contribution folded into ONE closed
+    * term instead of materializing |V|×|D| zeros —
+    * Σ_{v_d=0} s_d·V = (S − Σ_{v_d>0} s_d)·V — so
+    * DP_permille = ⌊1000·(Σ_{v>0}|v_d·S − s_d·V| + (S−Σ_{v>0}s_d)·V)
+    * / (2·V·S)⌋, all DECIMAL(38,0) (v·S ≤ doc·corpus tokens ≈ 1e17
+    * at the 100 TB point — int64-adjacent, the q343 convention).
+    * Shape: one postings aggregate + a broadcast doc-size join +
+    * one per-term fold; output is vocabulary-bounded. */
+  def termDispersion(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val postings = withTokens(docs, textCol)
+      .select(col(idCol).as("__d"), explode(col("tokens")).as("token"))
+      .groupBy(col("__d"), col("token"))
+      .agg(count(lit(1)).as("v_d"))
+    val sizes = withTokens(docs, textCol)
+      .select(col(idCol).as("__d"), size(col("tokens")).cast("long").as("s_d"))
+      .filter(col("s_d") > 0)
+    val tot = sizes.agg(sum(col("s_d")).as("__S"))
+    val terms = postings.groupBy(col("token"))
+      .agg(sum(col("v_d")).as("v_total"))
+    postings.join(sizes, "__d")
+      .join(terms, "token")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("token"), col("v_total"), col("__S"))
+      .agg(
+        sum(abs(col("v_d").cast("decimal(38,0)") * col("__S") -
+          col("s_d").cast("decimal(38,0)") * col("v_total"))).as("__dev"),
+        sum(col("s_d")).as("__s_occ"))
+      .select(col("token"), col("v_total"),
+        expr("""CAST((1000 * (__dev + CAST(__S - __s_occ AS DECIMAL(38,0)) * v_total))
+          div (2 * CAST(v_total AS DECIMAL(38,0)) * __S) AS BIGINT)""")
+          .as("dp_permille"))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic "what is this
     * document about" keyword extraction, used for topic-aware curation
     * and mixture audits over a training corpus.

@@ -754,4 +754,28 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(out,
       TextAnalysis.knSurprisal(train.repartition(7), target.repartition(3)))
   }
+
+  test("termDispersion: hand DP values — even spread 0, burst 500, small-doc burst 800") {
+    // two docs of 4 tokens each, S = 8
+    val d = docs(1L -> "x x t pad", 2L -> "t u u pad")
+    val out = TextAnalysis.termDispersion(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // t: once per equal-sized doc -> perfectly corpus-shaped, DP = 0
+    out("t") shouldBe ((2L, 0L))
+    // x: 2 of 2 in doc1 -> DP = (|1 - 1/2| + 1/2)/2 = 1/2
+    out("x") shouldBe ((2L, 500L))
+    out("u") shouldBe ((2L, 500L))
+    // concentrated in the SMALL doc of an uneven corpus: sizes 2 & 8
+    val d2 = docs(1L -> "q w", 2L -> "a b c d e f g h")
+    val out2 = TextAnalysis.termDispersion(d2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    out2("q") shouldBe 800L // (|1 - 2/10| + 8/10)/2 = 0.8
+  }
+
+  test("termDispersion is invariant under input partitioning") {
+    val d = docs((1L to 40L).map(i =>
+      i -> s"w${i % 7} w${i % 13} w${i % 3} tail$i"): _*)
+    assertSameRows(TextAnalysis.termDispersion(d),
+      TextAnalysis.termDispersion(d.repartition(7)))
+  }
 }
