@@ -3476,6 +3476,62 @@ SELECT symbol, date, close_price, level, trend,
   level + trend AS forecast_next, residual
 FROM st ORDER BY symbol, date"""
 
+  /** q365 twin of [[graft.analytics.Indicators.holtWinters]]: the
+    * q279 recursive replay extended with the seven per-slot seasonal
+    * state columns (the recursion carries s0..s6; the touched slot
+    * updates via CASE), the same weekday-slot arithmetic as q359,
+    * every double operation in the operator's stated order, all
+    * constants binary-exact. */
+  val q365_holt_winters: String =
+    barsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged
+  WHERE symbol IN ('S0','S1','S2','S3','S4') GROUP BY symbol, date),
+d AS (
+  SELECT symbol, date, close_price,
+    CAST((date - DATE '1970-01-05') % 7 AS INT) AS slot,
+    row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM daily),
+st AS (
+  SELECT symbol, date, close_price, slot, rn,
+    close_price AS level, CAST(0 AS DOUBLE) AS trend,
+    CAST(0 AS DOUBLE) AS s0, CAST(0 AS DOUBLE) AS s1,
+    CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS s3,
+    CAST(0 AS DOUBLE) AS s4, CAST(0 AS DOUBLE) AS s5,
+    CAST(0 AS DOUBLE) AS s6,
+    CAST(0 AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS residual
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT symbol, date, close_price, slot, rn,
+    lvl AS level,
+    CAST('0.25' AS DOUBLE) * (lvl - pl) + CAST('0.75' AS DOUBLE) * pb
+      AS trend,
+    CASE WHEN slot = 0 THEN snew ELSE s0 END,
+    CASE WHEN slot = 1 THEN snew ELSE s1 END,
+    CASE WHEN slot = 2 THEN snew ELSE s2 END,
+    CASE WHEN slot = 3 THEN snew ELSE s3 END,
+    CASE WHEN slot = 4 THEN snew ELSE s4 END,
+    CASE WHEN slot = 5 THEN snew ELSE s5 END,
+    CASE WHEN slot = 6 THEN snew ELSE s6 END,
+    snew AS seasonal, res AS residual
+  FROM (
+    SELECT *,
+      close_price - (pl + pb + sold) AS res,
+      CAST('0.5' AS DOUBLE) * (close_price - sold)
+        + CAST('0.5' AS DOUBLE) * (pl + pb) AS lvl,
+      CAST('0.25' AS DOUBLE) * (close_price - pl - pb)
+        + CAST('0.75' AS DOUBLE) * sold AS snew
+    FROM (
+      SELECT d.symbol, d.date, d.close_price, d.slot, d.rn,
+        st.level AS pl, st.trend AS pb,
+        st.s0, st.s1, st.s2, st.s3, st.s4, st.s5, st.s6,
+        CASE d.slot WHEN 0 THEN st.s0 WHEN 1 THEN st.s1
+          WHEN 2 THEN st.s2 WHEN 3 THEN st.s3 WHEN 4 THEN st.s4
+          WHEN 5 THEN st.s5 ELSE st.s6 END AS sold
+      FROM st JOIN d ON d.symbol = st.symbol AND d.rn = st.rn + 1)))
+SELECT symbol, date, close_price, level, trend, seasonal, residual
+FROM st ORDER BY symbol, date"""
+
   /** q278 twin of [[graft.text.TextAnalysis.stemConflation]]: the
     * same three Harman rules as a CASE, the same two-level
     * aggregate, string_agg with ORDER BY for the sorted form list. */
@@ -10185,6 +10241,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q362_good_turing" -> q362_good_turing,
     "q363_chao1" -> q363_chao1,
     "q364_term_dispersion" -> q364_term_dispersion,
+    "q365_holt_winters" -> q365_holt_winters,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

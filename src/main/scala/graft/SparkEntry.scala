@@ -1818,6 +1818,19 @@ object SparkEntry {
       graft.text.TextAnalysis.termDispersion(Tables.documents(s, dir))
         .orderBy(col("token"))),
 
+    // Holt-Winters additive-seasonal smoothing (weekday slots,
+    // zero-seeded seasonal state): the q279 per-symbol sequential
+    // scan with the seasonal component, replayed step-for-step by
+    // the twin's recursive CTE; binary-exact alpha/beta/gamma.
+    "q365_holt_winters" -> ((s, dir) => {
+      val daily = mergedBars(s, dir)
+        .filter(col("symbol").isin("S0", "S1", "S2", "S3", "S4"))
+        .groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+      graft.analytics.Indicators.holtWinters(daily)
+        .orderBy(col("symbol"), col("date"))
+    }),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // min over k-gram hashes gives position-aware fingerprints with a
     // detection GUARANTEE (shared spans >= w+k-1 tokens always share

@@ -146,6 +146,74 @@ object Indicators {
                      close_price: Double, level: Double, trend: Double,
                      forecast_next: Double, residual: Option[Double])
 
+  case class HwIn(symbol: String, date: java.sql.Date, slot: Int,
+                  close_price: Double)
+  case class HwOut(symbol: String, date: java.sql.Date,
+                   close_price: Double, level: Double, trend: Double,
+                   seasonal: Double, residual: Option[Double])
+
+  /** Holt–Winters ADDITIVE-seasonal smoothing (Winters 1960; fpp3
+    * §8.3) — the triple step up from [[holtSmooth]], closing the
+    * exponential-smoothing ladder next to E363's decomposition:
+    * level/trend as in Holt, plus a per-season additive component
+    *   ℓ_t = α(y_t − s_slot) + (1−α)(ℓ+b)
+    *   b_t = β(ℓ_t − ℓ) + (1−β)b
+    *   s_slot ← γ(y_t − ℓ − b) + (1−γ)s_slot   (old ℓ, b — the order
+    *     is part of the cross-engine contract)
+    * with residual = y_t − (ℓ + b + s_slot) against the PRE-update
+    * state. The season index is the E363 weekday slot (days since
+    * 1970-01-05 mod 7 — date-based, so calendar GAPS keep their
+    * weekday, where the textbook t−m lag would drift), seasonal state
+    * ZERO-seeDED and learned (production warm-starts from a
+    * decomposition — E363 provides exactly that, stated); first row
+    * per symbol seeds ℓ = y, b = 0, residual NULL.
+    *
+    * Determinism: the same [[holtSmooth]] contract — a per-symbol
+    * sequential scan (shard-parallel mapPartitions; packGreedy's
+    * escalation-ladder slot) whose double operations run in one
+    * stated order, replayed step-for-step by the oracle's recursive
+    * CTE; α/β/γ default to binary-exact constants so not even a
+    * literal parse separates the engines. */
+  def holtWinters(daily: DataFrame, alpha: Double = 0.5,
+                  beta: Double = 0.25, gamma: Double = 0.25,
+                  period: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, "alpha, beta, gamma must be in (0, 1)")
+    require(period >= 2 && period <= 366, s"period in [2, 366], got $period")
+    val ca = 1.0 - alpha; val cb = 1.0 - beta; val cg = 1.0 - gamma
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[HwIn]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[HwOut]
+    daily.select(col("symbol").cast("string").as("symbol"),
+        col("date").cast("date").as("date"),
+        pmod(datediff(col("date"), lit("1970-01-05")), lit(period))
+          .cast("int").as("slot"),
+        col("close_price").cast("double").as("close_price"))
+      .as[HwIn]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("date"))
+      .mapPartitions { it =>
+        var sym: String = null
+        var l = 0.0; var b = 0.0
+        var s: Array[Double] = null
+        it.map { r =>
+          if (sym == null || r.symbol != sym) {
+            sym = r.symbol; l = r.close_price; b = 0.0
+            s = new Array[Double](period)
+            HwOut(r.symbol, r.date, r.close_price, l, b, s(r.slot), None)
+          } else {
+            val sOld = s(r.slot)
+            val res = r.close_price - (l + b + sOld)
+            val lNew = alpha * (r.close_price - sOld) + ca * (l + b)
+            val bNew = beta * (lNew - l) + cb * b
+            val sNew = gamma * (r.close_price - l - b) + cg * sOld
+            l = lNew; b = bNew; s(r.slot) = sNew
+            HwOut(r.symbol, r.date, r.close_price, l, b, sNew, Some(res))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Holt's linear-trend smoothing (Holt 1957; fpp3 §8.2) — the
     * double-exponential step up from [[emaMacd]]'s single smoothing:
     * a level AND a trend state, so the one-step forecast

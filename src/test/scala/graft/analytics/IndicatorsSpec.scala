@@ -325,4 +325,75 @@ class IndicatorsSpec extends SparkSpec {
     a should contain theSameElementsInOrderAs b
     a.map(_.getAs[String]("symbol")).toSet shouldBe Set("A")
   }
+
+  /** Sequential Holt–Winters fold in the operator's exact op order;
+    * day(i) = 2024-01-i and 2024-01-01 is a Monday, so slot =
+    * (i−1) mod 7 — the same value the date arithmetic yields. */
+  private def hwByHand(closes: Seq[Double], a: Double = 0.5,
+                       b0: Double = 0.25, g: Double = 0.25)
+      : Seq[(Double, Double, Double, Option[Double])] = {
+    var l = closes.head; var b = 0.0
+    val s = new Array[Double](7)
+    (l, b, 0.0, None: Option[Double]) +: closes.tail.zipWithIndex.map {
+      case (y, i) =>
+        val slot = (i + 1) % 7
+        val sOld = s(slot)
+        val res = y - (l + b + sOld)
+        val lNew = a * (y - sOld) + (1.0 - a) * (l + b)
+        val bNew = b0 * (lNew - l) + (1.0 - b0) * b
+        val sNew = g * (y - l - b) + (1.0 - g) * sOld
+        l = lNew; b = bNew; s(slot) = sNew
+        (l, b, sNew, Some(res))
+    }
+  }
+
+  test("holtWinters matches the sequential fold bit-for-bit") {
+    val closes = Seq(100.0, 103.0, 101.5, 107.0, 104.25, 110.0, 111.5,
+      102.0, 105.5, 103.0, 109.0, 106.25, 112.0, 113.5)
+    val out = Indicators.holtWinters(cusumFixture(closes))
+      .orderBy("date").collect().map(r => (r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("seasonal"),
+        if (r.isNullAt(r.fieldIndex("residual"))) None
+        else Some(r.getAs[Double]("residual"))))
+    out.toSeq shouldBe hwByHand(closes)
+  }
+
+  test("holtWinters: constant series stays exactly pinned with zero seasonal state") {
+    val out = Indicators.holtWinters(cusumFixture(Seq.fill(21)(250.0)))
+      .orderBy("date").collect()
+    out.foreach { r =>
+      r.getAs[Double]("level") shouldBe 250.0
+      r.getAs[Double]("trend") shouldBe 0.0
+      r.getAs[Double]("seasonal") shouldBe 0.0
+    }
+    out.drop(1).foreach(_.getAs[Double]("residual") shouldBe 0.0)
+  }
+
+  test("holtWinters learns a planted weekday bump that plain Holt treats as noise") {
+    // base 100, Wednesdays +14, four weeks: by the last Wednesday the
+    // seasonal component must carry most of the bump and the residual
+    // must shrink well below the bump size
+    val closes = (0 until 28).map(i => 100.0 + (if (i % 7 == 2) 14.0 else 0.0))
+    val out = Indicators.holtWinters(cusumFixture(closes))
+      .orderBy("date").collect()
+    val wedSeasonal = out.zipWithIndex.filter(_._2 % 7 == 2)
+      .map(_._1.getAs[Double]("seasonal"))
+    wedSeasonal.zip(wedSeasonal.tail).foreach { case (prev, next) =>
+      next should be > prev // the slot's state accumulates the bump
+    }
+    math.abs(out(23).getAs[Double]("residual")) should be <
+      math.abs(out(2).getAs[Double]("residual")) // later Wed: better fit
+    an[IllegalArgumentException] should be thrownBy
+      Indicators.holtWinters(cusumFixture(closes), gamma = 1.0)
+  }
+
+  test("holtWinters isolates symbols and is partition-invariant") {
+    val two = cusumFixture(Seq(100.0, 104.0, 108.0, 101.0, 105.0))
+      .unionByName(cusumFixture(Seq(50.0, 49.0, 48.0, 51.0, 47.0), sym = "Z"))
+    val a = Indicators.holtWinters(two).orderBy("symbol", "date").collect()
+    val b = Indicators.holtWinters(two.repartition(7))
+      .orderBy("symbol", "date").collect()
+    a should contain theSameElementsInOrderAs b
+    a.map(_.getAs[String]("symbol")).toSet shouldBe Set("A", "Z")
+  }
 }
