@@ -3672,6 +3672,40 @@ SELECT symbol, CAST(count(*) AS BIGINT) AS n_pairs,
   CAST(max(CASE WHEN rnk = (np + 1) // 2 THEN slope6 END) AS BIGINT) AS sen_slope_e6
 FROM rk GROUP BY symbol ORDER BY symbol"""
 
+  /** q366 twin of
+    * [[graft.analytics.Correlation.seasonalMannKendall]]: the q274
+    * replay with the pair join additionally keyed on the weekday
+    * slot — within-season pairs only — and the larger 84-row
+    * window. */
+  val q366_seasonal_mk: String = barsCte + """
+, daily AS (
+  SELECT symbol, date, min(close) AS close_price FROM merged GROUP BY symbol, date),
+c AS (
+  SELECT symbol, CAST(round(close_price * 100) AS BIGINT) AS x,
+    CAST((date - DATE '1970-01-05') % 7 AS INTEGER) AS slot,
+    CAST(date - DATE '1970-01-01' AS BIGINT) AS t,
+    row_number() OVER (PARTITION BY symbol ORDER BY date DESC) AS rd
+  FROM daily),
+r AS (SELECT * FROM c WHERE rd <= 84),
+p AS (
+  SELECT a.symbol,
+    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+    ((b.x - a.x) * 1000000
+      - (((b.x - a.x) * 1000000) % (b.t - a.t) + (b.t - a.t)) % (b.t - a.t))
+      // (b.t - a.t) AS slope6
+  FROM r a JOIN r b
+  ON a.symbol = b.symbol AND a.slot = b.slot AND a.t < b.t),
+rk AS (
+  SELECT symbol, sgn, slope6,
+    row_number() OVER (PARTITION BY symbol ORDER BY slope6) AS rnk,
+    count(*) OVER (PARTITION BY symbol) AS np
+  FROM p)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(sgn) AS BIGINT) AS s_stat,
+  CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+  CAST(max(CASE WHEN rnk = (np + 1) // 2 THEN slope6 END) AS BIGINT) AS sen_slope_e6
+FROM rk GROUP BY symbol ORDER BY symbol"""
+
   /** q273 twin of [[graft.analytics.Correlation.spearmanCorr]]: the
     * same doubled average ranks (2·rank + ties − 1, integer), exact
     * integer sums cast to double, identical final ρ tree. */
@@ -10242,6 +10276,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q363_chao1" -> q363_chao1,
     "q364_term_dispersion" -> q364_term_dispersion,
     "q365_holt_winters" -> q365_holt_winters,
+    "q366_seasonal_mk" -> q366_seasonal_mk,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1818,6 +1818,18 @@ object SparkEntry {
       graft.text.TextAnalysis.termDispersion(Tables.documents(s, dir))
         .orderBy(col("token"))),
 
+    // Seasonal Mann-Kendall (Hirsch & Slack): trend S + Sen slope
+    // from WITHIN-WEEKDAY pairs only, so weekly seasonality cannot
+    // masquerade as trend; exact integers, K^2/2-per-slot governor.
+    "q366_seasonal_mk" -> ((s, dir) => {
+      val daily = mergedBars(s, dir).groupBy(col("symbol"), col("date"))
+        .agg(min(col("close")).as("close_price"))
+        .withColumn("close_cents",
+          expr("CAST(round(close_price * 100) AS BIGINT)"))
+      graft.analytics.Correlation.seasonalMannKendall(daily, "close_cents")
+        .orderBy(col("symbol"))
+    }),
+
     // Holt-Winters additive-seasonal smoothing (weekday slots,
     // zero-seeded seasonal state): the q279 per-symbol sequential
     // scan with the seasonal component, replayed step-for-step by

@@ -451,6 +451,63 @@ object Correlation {
         .as("sen_slope_e6"))
   }
 
+  /** SEASONAL Mann–Kendall (Hirsch & Slack, WRR 1984) — the trend
+    * screen a weekly-patterned series needs where plain
+    * [[mannKendall]] misreads seasonality as trend (or dilutes a real
+    * trend with cross-season noise): pairs compare ONLY within the
+    * same season slot (same weekday here — the E363 date-based slot,
+    * gaps keep their weekday), per-slot S statistics SUM into the
+    * seasonal S, and the seasonal Sen slope is the lower median of
+    * the within-slot pairwise slopes. Hirsch & Slack's serial-
+    * correlation variance correction is a driver-side scalar over
+    * the emitted per-slot sums — out of scope, stated; the exact
+    * S/n_pairs/n_ties/slope outputs are the test's sufficient
+    * statistics. Same exact-integer devices, same `windowRows` pair
+    * governor (now K²/2 per SLOT per series), same overflow guard. */
+  def seasonalMannKendall(daily: DataFrame, valueCol: String,
+                          windowRows: Int = 84, period: Int = 7): DataFrame = {
+    require(windowRows >= 2, "windowRows must be >= 2")
+    require(period >= 2 && period <= 366, s"period in [2, 366], got $period")
+    val wDesc = Window.partitionBy(col("symbol")).orderBy(col("date").desc)
+    val recent = daily
+      .withColumn("__rd", row_number().over(wDesc))
+      .filter(col("__rd") <= windowRows)
+      .select(col("symbol"),
+        pmod(datediff(col("date"), lit("1970-01-05")), lit(period))
+          .cast("int").as("slot"),
+        datediff(col("date"), lit("1970-01-01")).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .localCheckpoint()
+    val maxRow = recent.agg(max(abs(col("__x")))).head
+    val maxAbsX = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    require(maxAbsX <= Long.MaxValue / 4000000L,
+      s"seasonalMannKendall: |$valueCol| up to $maxAbsX overflows the " +
+        "micro-unit slope product (limit ~2.3e12); pre-scale first")
+    val a = recent.select(col("symbol"), col("slot"),
+      col("__t").as("__ta"), col("__x").as("__xa"))
+    val b = recent.select(col("symbol"), col("slot"),
+      col("__t").as("__tb"), col("__x").as("__xb"))
+    val pairs = a.join(b, Seq("symbol", "slot"))
+      .filter(col("__ta") < col("__tb"))
+      .select(col("symbol"),
+        when(col("__xb") > col("__xa"), 1L)
+          .when(col("__xb") < col("__xa"), -1L).otherwise(0L).as("__sgn"),
+        expr("""CAST(((__xb - __xa) * 1000000L
+                 - pmod((__xb - __xa) * 1000000L, __tb - __ta))
+                div (__tb - __ta) AS BIGINT)""").as("__slope6"))
+    val wSlope = Window.partitionBy(col("symbol")).orderBy(col("__slope6"))
+    val wAll = Window.partitionBy(col("symbol"))
+    pairs
+      .withColumn("__rnk", row_number().over(wSlope))
+      .withColumn("__np", count(lit(1)).over(wAll))
+      .groupBy(col("symbol")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__sgn")).as("s_stat"),
+        sum(when(col("__sgn") === 0L, 1L).otherwise(0L)).as("n_ties"),
+        max(when(col("__rnk") === expr("(__np + 1) div 2"), col("__slope6")))
+          .as("sen_slope_e6"))
+  }
+
   /** Pettitt changepoint test (Pettitt, Applied Statistics 1979) —
     * the RANK-based single-changepoint locator completing the
     * regime-shift shelf: CUSUM (Indicators.cusumAlarms) flags when a

@@ -278,6 +278,44 @@ class CorrelationSpec extends SparkSpec {
     out.getAs[Long]("sen_slope_e6") shouldBe 3333333L
   }
 
+  test("seasonalMannKendall: pure weekly pattern is ALL ties (seasonality is not trend)") {
+    // v depends only on the weekday: every within-slot pair ties ->
+    // S = 0 with n_ties = n_pairs = 7 * C(4,2) = 42 over 28 days
+    val rows = (1 to 28).map(i =>
+      ("W", i, 100L + (if (i % 7 == 0) 50L else 0L)))
+    val out = Correlation.seasonalMannKendall(mk(rows: _*), "v")
+      .collect().head
+    out.getAs[Long]("n_pairs") shouldBe 42L
+    out.getAs[Long]("s_stat") shouldBe 0L
+    out.getAs[Long]("n_ties") shouldBe 42L
+  }
+
+  test("seasonalMannKendall: trend under seasonality hits the exact S extreme and slope") {
+    // v = 10*i + weekday bump: within-slot pairs all rise, the bump
+    // cancels inside a slot -> S = n_pairs, sen slope exactly 10e6
+    val rows = (1 to 28).map(i =>
+      ("T", i, 10L * i + (if (i % 7 == 0) 50L else 0L)))
+    val out = Correlation.seasonalMannKendall(mk(rows: _*), "v")
+      .collect().head
+    out.getAs[Long]("n_pairs") shouldBe 42L
+    out.getAs[Long]("s_stat") shouldBe 42L
+    out.getAs[Long]("n_ties") shouldBe 0L
+    out.getAs[Long]("sen_slope_e6") shouldBe 10000000L
+  }
+
+  test("seasonalMannKendall: window governor, validation, partition invariance") {
+    val rows = (1 to 28).map(i => ("S", i, 7L * i))
+    // windowRows = 14 keeps the last 14 days -> 7 slots x C(2,2)=1 pair
+    val out = Correlation.seasonalMannKendall(mk(rows: _*), "v",
+      windowRows = 14).collect().head
+    out.getAs[Long]("n_pairs") shouldBe 7L
+    an[IllegalArgumentException] should be thrownBy
+      Correlation.seasonalMannKendall(mk(rows: _*), "v", period = 1)
+    val d = mk(rows ++ (1 to 28).map(i => ("Z", i, 1000L - 3L * i)): _*)
+    assertSameRows(Correlation.seasonalMannKendall(d, "v"),
+      Correlation.seasonalMannKendall(d.repartition(7), "v"))
+  }
+
   test("mannKendall floors negative slopes toward -inf, not zero") {
     // Δx = -7 over Δt = 3 days: -7e6/3 = -2333333.33 -> -2333334
     Correlation.mannKendall(mk(("G", 1, 0L), ("G", 4, -7L)), "v")
