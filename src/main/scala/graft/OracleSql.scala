@@ -8604,6 +8604,35 @@ SELECT token, v_total,
     AS BIGINT) AS dp_permille
 FROM dev ORDER BY token"""
 
+  /** q367 twin of
+    * [[graft.analytics.StockAnalytics.decompositionStrength]]: the
+    * ENTIRE q359 twin embedded as a CTE (zero drift), then the same
+    * exact-integer variance sums (HUGEINT headroom) and the identical
+    * one-double strength trees. */
+  def q367_decomp_strength: String = s"""
+WITH dec AS (
+${q359_seasonal_decompose.replace("ORDER BY t2.symbol, t2.date", "")}
+),
+v AS (
+  SELECT symbol, CAST(residual_micro AS HUGEINT) AS r,
+    CAST(seasonal_micro + residual_micro AS HUGEINT) AS sr,
+    CAST(trend_micro + residual_micro AS HUGEINT) AS tr
+  FROM dec WHERE residual_micro IS NOT NULL),
+a AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n_rows,
+    sum(r) AS sr1, sum(r * r) AS sr2,
+    sum(sr) AS ss1, sum(sr * sr) AS ss2,
+    sum(tr) AS st1, sum(tr * tr) AS st2
+  FROM v GROUP BY symbol)
+SELECT symbol, n_rows,
+  greatest(CAST(0 AS DOUBLE), 1.0 -
+    (CAST(n_rows * sr2 - sr1 * sr1 AS DOUBLE) /
+     CAST(n_rows * ss2 - ss1 * ss1 AS DOUBLE))) AS seasonal_strength,
+  greatest(CAST(0 AS DOUBLE), 1.0 -
+    (CAST(n_rows * sr2 - sr1 * sr1 AS DOUBLE) /
+     CAST(n_rows * st2 - st1 * st1 AS DOUBLE))) AS trend_strength
+FROM a ORDER BY symbol"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -10277,6 +10306,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q364_term_dispersion" -> q364_term_dispersion,
     "q365_holt_winters" -> q365_holt_winters,
     "q366_seasonal_mk" -> q366_seasonal_mk,
+    "q367_decomp_strength" -> q367_decomp_strength,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1818,6 +1818,23 @@ object SparkEntry {
       graft.text.TextAnalysis.termDispersion(Tables.documents(s, dir))
         .orderBy(col("token"))),
 
+    // Seasonality/trend STRENGTH from the q359 decomposition (the
+    // fpp3 feature pair): exact-integer variance sums, one double
+    // per strength via an identical op tree in both engines -- the
+    // series-triage numbers that pick the model family.
+    "q367_decomp_strength" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol"), col("date"))
+        .orderBy(col("data_source"), col("row_id"))
+      val daily = mergedBars(s, dir)
+        .filter(col("open").isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("symbol", "date", "close")
+      graft.analytics.StockAnalytics.decompositionStrength(daily)
+        .orderBy(col("symbol"))
+    }),
+
     // Seasonal Mann-Kendall (Hirsch & Slack): trend S + Sen slope
     // from WITHIN-WEEKDAY pairs only, so weekly seasonality cannot
     // masquerade as trend; exact integers, K^2/2-per-slot governor.

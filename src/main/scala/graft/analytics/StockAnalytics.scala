@@ -411,4 +411,46 @@ object StockAnalytics {
         col("trend_micro"), col("seasonal_micro"),
         (col("detrended_micro") - col("seasonal_micro")).as("residual_micro"))
   }
+
+  /** Seasonality / trend STRENGTH from the classical decomposition
+    * (Wang, Smith & Hyndman, J. Comp. Graph. Stat. 2006; the fpp3
+    * §4.3 feature pair): F_seasonal = max(0, 1 − Var(R)/Var(S+R)),
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) — both in [0, 1], the
+    * series-triage numbers that tell a forecasting pipeline WHICH
+    * model family each series needs (strong seasonality →
+    * [[graft.analytics.Indicators.holtWinters]], strong trend →
+    * Holt, neither → the mean) before any fitting runs.
+    *
+    * Composes [[seasonalDecompose]]'s exact micro-unit components
+    * over the interior rows (trend defined): each variance is
+    * computed from EXACT BIGINT sums (Σx, Σx² in DECIMAL(38,0) —
+    * micro-unit squares overflow int64, stated) via the
+    * n·Σx² − (Σx)² identity, and the two strengths are the ONE
+    * double computed from those exact integers by an identical
+    * operation tree in both engines (the q62 device). Per-symbol
+    * output, one aggregate over the decomposition. */
+  def decompositionStrength(daily: DataFrame, period: Int = 7): DataFrame = {
+    val d = seasonalDecompose(daily, period)
+      .filter(col("residual_micro").isNotNull)
+      .select(col("symbol"),
+        col("residual_micro").cast("decimal(38,0)").as("r"),
+        (col("seasonal_micro") + col("residual_micro"))
+          .cast("decimal(38,0)").as("sr"),
+        (col("trend_micro") + col("residual_micro"))
+          .cast("decimal(38,0)").as("tr"))
+    d.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("r")).as("__sr1"), sum(col("r") * col("r")).as("__sr2"),
+        sum(col("sr")).as("__ss1"), sum(col("sr") * col("sr")).as("__ss2"),
+        sum(col("tr")).as("__st1"), sum(col("tr") * col("tr")).as("__st2"))
+      .select(col("symbol"), col("n_rows"),
+        expr("""greatest(CAST(0 AS DOUBLE), 1.0 -
+          (CAST(n_rows * __sr2 - __sr1 * __sr1 AS DOUBLE) /
+           CAST(n_rows * __ss2 - __ss1 * __ss1 AS DOUBLE)))""")
+          .as("seasonal_strength"),
+        expr("""greatest(CAST(0 AS DOUBLE), 1.0 -
+          (CAST(n_rows * __sr2 - __sr1 * __sr1 AS DOUBLE) /
+           CAST(n_rows * __st2 - __st1 * __st1 AS DOUBLE)))""")
+          .as("trend_strength"))
+  }
 }

@@ -288,6 +288,32 @@ class StockAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("decompositionStrength: seasonal vs trending series rank as the features promise") {
+    import spark.implicits._
+    def series(f: Int => Double) = (0 until 56).map { i =>
+      ("S", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), f(i))
+    }.toDF("symbol", "date", "close")
+    // weekly bump + period-3 wiggle (pseudo-noise wrt the weekly slot)
+    val seasonal = graft.analytics.StockAnalytics.decompositionStrength(
+      series(i => 100.0 + (if (i % 7 == 2) 9.0 else 0.0) + (i % 3)))
+      .collect().head
+    seasonal.getAs[Double]("seasonal_strength") should be > 0.5
+    seasonal.getAs[Double]("seasonal_strength") should be >
+      seasonal.getAs[Double]("trend_strength")
+    // linear drift + the same wiggle
+    val trending = graft.analytics.StockAnalytics.decompositionStrength(
+      series(i => 100.0 + 2.0 * i + (i % 3)))
+      .collect().head
+    trending.getAs[Double]("trend_strength") should be > 0.8
+    trending.getAs[Double]("trend_strength") should be >
+      trending.getAs[Double]("seasonal_strength")
+    // invariance
+    val d = series(i => 100.0 + (i % 5) + (if (i % 7 == 3) 4.0 else 0.0))
+    assertSameRows(
+      graft.analytics.StockAnalytics.decompositionStrength(d),
+      graft.analytics.StockAnalytics.decompositionStrength(d.repartition(7)))
+  }
+
   test("seasonalDecompose: rejects even/short periods; invariant under partitioning") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
