@@ -8633,6 +8633,45 @@ SELECT symbol, n_rows,
      CAST(n_rows * st2 - st1 * st1 AS DOUBLE))) AS trend_strength
 FROM a ORDER BY symbol"""
 
+  /** q368 twin of [[graft.quality.Agreement.fleissKappa]]: the same
+    * synthesized 5-rater pool, the same A/B/D/E integer identity in
+    * HUGEINT, and the same nonneg-mod floor for the (possibly
+    * negative) kappa. */
+  val q368_fleiss_kappa: String = """
+WITH ratings AS (
+  SELECT doc_id, r,
+    CASE WHEN (doc_id + r * 7) % 13 = 0
+         THEN 'mis' || CAST((doc_id + r) % 3 AS VARCHAR)
+         ELSE lang END AS label
+  FROM documents, unnest(range(1, 6)) AS s(r)),
+cells AS (
+  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n
+  FROM ratings GROUP BY doc_id, label),
+pi AS (SELECT doc_id, sum(n * (n - 1)) AS si FROM cells GROUP BY doc_id),
+ia AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+    CAST(sum(si) AS HUGEINT) AS a
+  FROM pi),
+la AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+    CAST(sum(ck * ck) AS HUGEINT) AS b
+  FROM (SELECT label, CAST(sum(n) AS HUGEINT) AS ck
+        FROM cells GROUP BY label)),
+x AS (
+  SELECT n_items, CAST(5 AS BIGINT) AS n_raters, n_labels, a, b,
+    CAST(n_items AS HUGEINT) * 5 * 4 AS d,
+    CAST(n_items AS HUGEINT) * 5 * n_items * 5 AS e
+  FROM ia CROSS JOIN la)
+SELECT n_items, n_raters, n_labels,
+  CAST((1000000 * a) // d AS BIGINT) AS p_bar_micro,
+  CAST((1000000 * b) // e AS BIGINT) AS pe_micro,
+  CAST(CASE WHEN e <> b THEN
+    (1000000 * (a * e - b * d)
+     - (((1000000 * (a * e - b * d)) % (d * (e - b)) + (d * (e - b)))
+        % (d * (e - b))))
+    // (d * (e - b)) END AS BIGINT) AS kappa_micro
+FROM x"""
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -10307,6 +10346,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q365_holt_winters" -> q365_holt_winters,
     "q366_seasonal_mk" -> q366_seasonal_mk,
     "q367_decomp_strength" -> q367_decomp_strength,
+    "q368_fleiss_kappa" -> q368_fleiss_kappa,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1818,6 +1818,20 @@ object SparkEntry {
       graft.text.TextAnalysis.termDispersion(Tables.documents(s, dir))
         .orderBy(col("token"))),
 
+    // Fleiss' kappa over a 5-rater annotation pool (deterministic
+    // per-rater mislabels on a doc_id+rater stride): multi-rater
+    // chance-corrected agreement, exact micro-units end to end.
+    "q368_fleiss_kappa" -> ((s, dir) => {
+      val ratings = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(1, 5)")).as("rater"))
+        .select(col("doc_id"),
+          when((col("doc_id") + col("rater") * 7) % 13 === 0,
+            concat(lit("mis"), (col("doc_id") + col("rater")) % 3))
+            .otherwise(col("lang")).as("label"))
+      graft.quality.Agreement.fleissKappa(ratings, "doc_id", "label")
+    }),
+
     // Seasonality/trend STRENGTH from the q359 decomposition (the
     // fpp3 feature pair): exact-integer variance sums, one double
     // per strength via an identical op tree in both engines -- the

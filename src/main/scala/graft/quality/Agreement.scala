@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * the label-domain square, never the corpus — then marginal products
   * on the tiny cell table. Null-labeled items are excluded (stated:
   * an unlabeled item is a coverage problem, not a disagreement).
-  * Fleiss' generalization for >2 raters reuses the same per-item
-  * count shape and is left to a follow-up operator. */
+  * Fleiss' generalization for >2 raters is [[Agreement.fleissKappa]]
+  * below. */
 object Agreement {
 
   /** One row: (n_items, n_agree, agree_permille, pe_permille,
@@ -113,5 +113,76 @@ object Agreement {
         """CASE WHEN least(n_a - 1, n_b - 1) > 0 THEN
           |  chi2_e6 div (1000 * n * least(n_a - 1, n_b - 1))
           |END""".stripMargin))
+  }
+
+  /** Fleiss' kappa (Fleiss, Psychological Bulletin 1971) — the
+    * MULTI-rater agreement [[cohenKappa]]'s doc promised: n raters
+    * label every item (the annotation-pool shape an RLHF/eval
+    * labeling pipeline actually runs — Cohen's pairwise κ doesn't
+    * apply), chance-corrected by the pooled label marginals:
+    * κ = (P̄ − P̄_e)/(1 − P̄_e) with per-item agreement
+    * P_i = Σ_k n_ik(n_ik−1)/(n(n−1)) and P̄_e = Σ_k p_k².
+    *
+    * EVERYTHING exact: with A = Σ_i Σ_k n_ik(n_ik−1),
+    * B = Σ_k (Σ_i n_ik)², D = N·n·(n−1), E = (N·n)², the emission is
+    * P̄ = A/D, P̄_e = B/E, and κ = (A·E − B·D)/(D·(E−B)) — integer
+    * micro-units via the nonneg-mod floor identity (κ is NEGATIVE
+    * below chance; a truncating div would round it the wrong way —
+    * the cohenKappa/q240 trap), DECIMAL(38,0) throughout (E = (N·n)²
+    * passes int64 at N·n ≈ 3·10⁹ — web-scale pools exceed that,
+    * stated). κ is NULL when E = B, the degenerate everyone-says-
+    * the-one-label case.
+    *
+    * The constant-raters-per-item requirement is Fleiss' own; it is
+    * enforced LOUDLY with one config-sized action (min/max ratings
+    * per item) — a silently ragged panel would make D a lie. NULL
+    * items/labels are excluded before the check (stated, the
+    * cohenKappa convention). Shape: one (item, label) aggregate, one
+    * per-item and one per-label rollup — output bounded by the label
+    * domain, never the ratings volume. */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+                  labelCol: String): DataFrame = {
+    val cells = ratings
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__i"),
+        col(labelCol).cast("string").as("__k"))
+      .groupBy(col("__i"), col("__k")).agg(count(lit(1)).as("__n"))
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__ni"),
+        sum(col("__n") * (col("__n") - 1)).as("__si"))
+    val bounds = perItem.agg(min(col("__ni")), max(col("__ni"))).head
+    val nRaters = bounds.getLong(0)
+    require(nRaters == bounds.getLong(1),
+      s"fleissKappa needs a CONSTANT rater count per item, got " +
+        s"[${bounds.getLong(0)}, ${bounds.getLong(1)}] — filter the " +
+        "panel to complete items first")
+    require(nRaters >= 2, s"need >= 2 raters per item, got $nRaters")
+    val itemAgg = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("__si")).cast("decimal(38,0)").as("__A"))
+    val labelAgg = cells.groupBy(col("__k"))
+      .agg(sum(col("__n")).as("__ck"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(col("__ck").cast("decimal(38,0)") * col("__ck"))
+          .as("__B"))
+    itemAgg.crossJoin(broadcast(labelAgg)) // two 1-row frames
+      .withColumn("n_raters", lit(nRaters))
+      .withColumn("__D", expr(
+        s"CAST(n_items AS DECIMAL(38,0)) * $nRaters * (${nRaters} - 1)"))
+      .withColumn("__E", expr(
+        s"CAST(n_items AS DECIMAL(38,0)) * $nRaters " +
+          s"* CAST(n_items AS DECIMAL(38,0)) * $nRaters"))
+      .withColumn("p_bar_micro", expr("(1000000 * __A) div __D"))
+      .withColumn("pe_micro", expr("(1000000 * __B) div __E"))
+      .withColumn("kappa_micro", expr(
+        """CASE WHEN __E <> __B THEN CAST(
+          |  (1000000 * (__A * __E - __B * __D)
+          |   - pmod(1000000 * (__A * __E - __B * __D),
+          |          __D * (__E - __B)))
+          |  div (__D * (__E - __B)) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("n_items"), col("n_raters"), col("n_labels"),
+        expr("CAST(p_bar_micro AS BIGINT)").as("p_bar_micro"),
+        expr("CAST(pe_micro AS BIGINT)").as("pe_micro"),
+        col("kappa_micro"))
   }
 }

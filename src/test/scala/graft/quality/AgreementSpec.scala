@@ -93,4 +93,70 @@ class AgreementSpec extends SparkSpec {
     assertSameRows(Agreement.chiSquare(d, "a", "b"),
       Agreement.chiSquare(d.repartition(9), "a", "b"))
   }
+
+  /** Expand a per-item category-count table into (item, label) rating
+    * rows. */
+  private def panel(counts: Seq[Seq[Int]]) =
+    counts.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.flatMap { case (c, k) =>
+        Seq.fill(c)((s"item$i", s"cat$k"))
+      }
+    }.toDF("item", "label")
+
+  test("fleissKappa: the Fleiss 1971 worked table lands on the textbook kappa") {
+    // 10 subjects x 14 raters x 5 categories (Fleiss 1971, Table 1);
+    // published kappa ~= 0.210 (P-bar 0.378, Pe 0.213)
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val out = Agreement.fleissKappa(panel(table), "item", "label")
+      .collect().head
+    out.getLong(0) shouldBe 10L  // n_items
+    out.getLong(1) shouldBe 14L  // n_raters
+    out.getLong(2) shouldBe 5L   // n_labels
+    // exact integer replication of the operator's identity
+    val a = BigInt(table.flatten.map(n => n * (n - 1)).sum)
+    val cks = (0 until 5).map(k => table.map(_(k)).sum)
+    val b = cks.map(c => BigInt(c) * c).sum
+    val dD = BigInt(10) * 14 * 13
+    val e = BigInt(140) * 140
+    val num = BigInt(1000000) * (a * e - b * dD)
+    val den = dD * (e - b)
+    val expected = ((num - (num % den + den) % den) / den).toLong
+    out.getLong(5) shouldBe expected
+    expected should (be >= 209000L and be <= 211000L) // literature 0.210
+  }
+
+  test("fleissKappa: perfect agreement is exactly 1e6; single-label panel is NULL") {
+    val perfect = panel(Seq(Seq(3, 0), Seq(0, 3), Seq(3, 0)))
+    Agreement.fleissKappa(perfect, "item", "label")
+      .collect().head.getLong(5) shouldBe 1000000L
+    val mono = panel(Seq(Seq(3), Seq(3)))
+    Agreement.fleissKappa(mono, "item", "label")
+      .collect().head.isNullAt(5) shouldBe true
+  }
+
+  test("fleissKappa: below-chance disagreement goes NEGATIVE (the floor trap)") {
+    // 2 raters, 2 items, perfectly anti-correlated labels
+    val anti = panel(Seq(Seq(1, 1), Seq(1, 1)))
+    val k = Agreement.fleissKappa(anti, "item", "label")
+      .collect().head.getLong(5)
+    k should be < 0L
+  }
+
+  test("fleissKappa: ragged and single-rater panels are refused loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      Agreement.fleissKappa(panel(Seq(Seq(2, 1), Seq(1, 0))), "item", "label")
+    an[IllegalArgumentException] should be thrownBy
+      Agreement.fleissKappa(panel(Seq(Seq(1), Seq(1))), "item", "label")
+  }
+
+  test("fleissKappa is invariant under input partitioning") {
+    val d = panel((0 until 30).map(i =>
+      Seq(i % 4, 3 - i % 4, 2, 1)))
+    assertSameRows(Agreement.fleissKappa(d, "item", "label"),
+      Agreement.fleissKappa(d.repartition(7), "item", "label"))
+  }
 }
