@@ -21,10 +21,14 @@ TABLES = [
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Driver-faithful: sort RAW cells (the driver's canonicalizer does
+    # not stringify first, so array/map/struct cells crash sort_values
+    # with "unhashable type" — that crash is the real signal; round 18
+    # hid it here with an astype(str) patch and shipped two queries the
+    # driver ERR'd on). Complex output columns are now banned at build
+    # time (RegistrySchemaLintSpec) and at dump time (Verify lints);
+    # this replica must crash exactly where the driver would.
     df = df.reindex(sorted(df.columns), axis=1)
-    # Stringify before sorting: list/array-valued cells are unhashable
-    # and crash factorize inside sort_values otherwise.
-    df = df.astype(str)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 

@@ -8180,10 +8180,10 @@ agg AS (
     flatten(list(mask ORDER BY doc_id)) AS m0
   FROM w GROUP BY shard, pack_seq)
 SELECT shard, pack_seq, n_examples, n_tokens,
-  flatten([i0, list_transform(generate_series(1, 256 - n_tokens),
-    x -> CAST(-2 AS BIGINT))]) AS token_ids,
-  flatten([m0, list_transform(generate_series(1, 256 - n_tokens),
-    x -> 0)]) AS loss_mask
+  array_to_string(flatten([i0, list_transform(generate_series(1, 256 - n_tokens),
+    x -> CAST(-2 AS BIGINT))]), ',') AS token_ids,
+  array_to_string(flatten([m0, list_transform(generate_series(1, 256 - n_tokens),
+    x -> 0)]), ',') AS loss_mask
 FROM agg ORDER BY shard, pack_seq"""
 
   /** q355 twin of [[graft.etl.FuzzyMatch.soundexConflation]]: the
@@ -8344,10 +8344,10 @@ agg AS (
     flatten(list(mask ORDER BY doc_id)) AS m0
   FROM w GROUP BY shard, pack_seq)
 SELECT shard, pack_seq, n_examples, n_tokens,
-  flatten([i0, list_transform(generate_series(1, 256 - n_tokens),
-    x -> CAST(-2 AS BIGINT))]) AS token_ids,
-  flatten([m0, list_transform(generate_series(1, 256 - n_tokens),
-    x -> 0)]) AS loss_mask
+  array_to_string(flatten([i0, list_transform(generate_series(1, 256 - n_tokens),
+    x -> CAST(-2 AS BIGINT))]), ',') AS token_ids,
+  array_to_string(flatten([m0, list_transform(generate_series(1, 256 - n_tokens),
+    x -> 0)]), ',') AS loss_mask
 FROM agg ORDER BY shard, pack_seq"""
 
   /** Shared robots-fixture rule CTEs for the q358/q360 twins (paired
@@ -8671,6 +8671,135 @@ SELECT n_items, n_raters, n_labels,
         % (d * (e - b))))
     // (d * (e - b)) END AS BIGINT) AS kappa_micro
 FROM x"""
+
+  /** q369 twin of the GOVERNED [[graft.dedup.Dedup.simhashPairs]]
+    * path: the q346 planted-clone corpus, the q20 SimHash pipeline
+    * (bit terms generated from the same constant), then the q346
+    * governor replicated exactly — window count per (band, key),
+    * all-pairs for buckets ≤ 8, id-sorted lead() chain for oversized
+    * ones, DISTINCT across bands, the exact Hamming filter last. */
+  val q369_simhash_governed: String = {
+    val bitTerms = (0 until graft.dedup.Dedup.simhashBits).map { j =>
+      s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $j) & 1 = 1)) > len(hs)" +
+        s" THEN CAST(1 AS BIGINT) << $j ELSE 0 END"
+    }.mkString("\n    + ")
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT d.doc_id * 100 + r.r + 900000 AS doc_id,
+         d.text || ' zz' || CAST(r.r AS VARCHAR) AS text
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 24)) AS r) r
+  WHERE d.doc_id < 2),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                t -> t <> '') AS tokens
+  FROM corpus),
+sh AS (
+  SELECT doc_id, list_transform(range(1, len(tokens)-1),
+    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM toks WHERE len(tokens) >= 3),
+hs64 AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> CAST(('0x' || substr(md5(s),1,14)) AS BIGINT)) AS hs
+  FROM sh),
+sims AS (SELECT doc_id, (""" + bitTerms + """) AS simhash FROM hs64),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (8*b)) & 255 AS key
+  FROM sims CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+sized AS (
+  SELECT doc_id, simhash, b, key, count(*) OVER (PARTITION BY b, key) AS bn
+  FROM bands),
+small_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+  FROM (SELECT * FROM sized WHERE bn <= 8) a
+  JOIN (SELECT * FROM sized WHERE bn <= 8) b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+chain_pairs AS (
+  SELECT doc_id AS doc_a, lead(doc_id) OVER w AS doc_b,
+         simhash AS sa, lead(simhash) OVER w AS sb
+  FROM sized WHERE bn > 8
+  WINDOW w AS (PARTITION BY b, key ORDER BY doc_id)),
+pairs AS (
+  SELECT DISTINCT doc_a, doc_b, sa, sb FROM (
+    SELECT doc_a, doc_b, sa, sb FROM small_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, sa, sb FROM chain_pairs
+    WHERE doc_b IS NOT NULL))
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM pairs)
+WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+  }
+
+  /** q370 twin of the GOVERNED [[graft.multimodal.Multimodal
+    * .bandedHammingPairs]] path under [[graft.multimodal.Multimodal
+    * .imageNearDups]]: the q121 pixel-formula dHash (no PNG bytes in
+    * the oracle — hash equality proves decode + grid end to end)
+    * extended with the planted 40-re-encode viral cluster, h64 packed
+    * with bit_or over LSB-first bit positions (gr·8 + c, the
+    * PngPixelUtil.dhash convention), 16-bit bands, and the q346
+    * governor replay (window count + lead() chain) before the exact
+    * bit_count(xor) filter. */
+  val q370_image_neardup_governed: String = """
+WITH imgs AS (
+  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS m
+  FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT r.r + 900000 AS doc_id, 0 AS g, r.r + 5 AS m
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 40)) AS r) r
+  WHERE d.doc_id < 1),
+px AS (
+  SELECT doc_id,
+    y * 8 // 10 AS gr, x * 9 // 12 AS gc,
+    299 * ((37*g + (3 + g)*x + (5 + g%3)*y +
+            CASE WHEN x = 0 AND y = 0 THEN m ELSE 0 END) % 256)
+    + 587 * ((91*g + (7 + 2*g)*x + (2 + g%2)*y) % 256)
+    + 114 * ((53*g + (1 + g%3)*x + (11 + g)*y) % 256) AS luma
+  FROM imgs, unnest(range(0, 12)) AS tx(x), unnest(range(0, 10)) AS ty(y)),
+cells AS (
+  SELECT doc_id, gr, gc, sum(luma) AS s, count(*) AS cnt
+  FROM px GROUP BY doc_id, gr, gc),
+bits AS (
+  SELECT l.doc_id, l.gr, l.gc AS c,
+    (l.s // l.cnt > r.s // r.cnt OR
+     (l.s // l.cnt = r.s // r.cnt AND
+      (l.s % l.cnt) * r.cnt > (r.s % r.cnt) * l.cnt)) AS bit
+  FROM cells l JOIN cells r
+    ON l.doc_id = r.doc_id AND l.gr = r.gr AND r.gc = l.gc + 1),
+h64 AS (
+  -- bit 63 (gr = 7, c = 7) is the sign bit: 1::BIGINT << 63 overflows
+  -- in DuckDB, so that one bit ORs in the min-long constant instead
+  SELECT doc_id,
+    bit_or(CASE WHEN NOT bit THEN CAST(0 AS BIGINT)
+           WHEN gr*8 + c = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+           ELSE CAST(1 AS BIGINT) << (gr*8 + c) END) AS h
+  FROM bits GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, h, b, (h >> (16*b)) & 65535 AS key
+  FROM h64 CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+sized AS (
+  SELECT doc_id, h, b, key, count(*) OVER (PARTITION BY b, key) AS bn
+  FROM bands),
+small_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+  FROM (SELECT * FROM sized WHERE bn <= 8) a
+  JOIN (SELECT * FROM sized WHERE bn <= 8) b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+chain_pairs AS (
+  SELECT doc_id AS doc_a, lead(doc_id) OVER w AS doc_b,
+         h AS ha, lead(h) OVER w AS hb
+  FROM sized WHERE bn > 8
+  WINDOW w AS (PARTITION BY b, key ORDER BY doc_id)),
+pairs AS (
+  SELECT DISTINCT doc_a, doc_b, ha, hb FROM (
+    SELECT doc_a, doc_b, ha, hb FROM small_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, ha, hb FROM chain_pairs
+    WHERE doc_b IS NOT NULL))
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM pairs)
+WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
 
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
@@ -10347,6 +10476,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q366_seasonal_mk" -> q366_seasonal_mk,
     "q367_decomp_strength" -> q367_decomp_strength,
     "q368_fleiss_kappa" -> q368_fleiss_kappa,
+    "q369_simhash_governed" -> q369_simhash_governed,
+    "q370_image_neardup_governed" -> q370_image_neardup_governed,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

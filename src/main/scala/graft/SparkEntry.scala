@@ -1648,6 +1648,10 @@ object SparkEntry {
     // over prompt, 1 over completion + EOS, 0 over pad). Prompt =
     // first 8 tokens of each doc, completion = the rest; capacity
     // 256; ids are the shared md5 token hash both engines compute.
+    // The id/mask arrays are comma-joined to TEXT for the compare —
+    // the driver's canonicalizer sorts raw cells and crashes on
+    // array values (the q05 pairText contract, round-18 verdict);
+    // sftPack itself keeps the raw arrays for downstream loaders.
     "q354_sft_pack" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__t"))
@@ -1656,6 +1660,10 @@ object SparkEntry {
           array_join(expr("slice(__t, 9, 1000000)"), " ").as("completion"))
       graft.etl.Packing.sftPack(d, "lang", "doc_id",
           "prompt", "completion", capacity = 256L)
+        .withColumn("token_ids",
+          array_join(transform(col("token_ids"), x => x.cast("string")), ","))
+        .withColumn("loss_mask",
+          array_join(transform(col("loss_mask"), x => x.cast("string")), ","))
         .orderBy(col("shard"), col("pack_seq"))
     }),
 
@@ -1716,6 +1724,7 @@ object SparkEntry {
     // packed training windows with loss masks, as ONE declarative
     // plan -- the q142 curation composition extended to the training-
     // loader artifact. Oracle replays all four stages CTE by CTE.
+    // Arrays comma-joined to TEXT for the compare (q354's contract).
     "q357_sft_capstone" -> ((s, dir) => {
       val gated = graft.text.QualityRules.applyRules(Tables.documents(s, dir))
       val deduped = graft.etl.Merge.dedupKeepFirst(gated,
@@ -1727,6 +1736,10 @@ object SparkEntry {
           array_join(expr("slice(__t, 9, 1000000)"), " ").as("completion"))
       graft.etl.Packing.sftPack(pairs, "lang", "doc_id",
           "prompt", "completion", capacity = 256L)
+        .withColumn("token_ids",
+          array_join(transform(col("token_ids"), x => x.cast("string")), ","))
+        .withColumn("loss_mask",
+          array_join(transform(col("loss_mask"), x => x.cast("string")), ","))
         .orderBy(col("shard"), col("pack_seq"))
     }),
 
@@ -1821,6 +1834,66 @@ object SparkEntry {
     // Fleiss' kappa over a 5-rater annotation pool (deterministic
     // per-rater mislabels on a doc_id+rater stride): multi-rater
     // chance-corrected agreement, exact micro-units end to end.
+    // GOVERNED SimHash banding (round-19, the q346 device on the
+    // second ungoverned banded self-join): the q346 planted-clone
+    // corpus drives byte-band buckets over maxBucket = 8 — each
+    // 25-member near-identical cluster shares its byte keys — so the
+    // oversized buckets contribute their id-sorted adjacent CHAIN
+    // instead of all C(b,2), while small buckets keep full q20
+    // semantics. Oracle replays the governor exactly (window count +
+    // lead() chain) on the q20 SimHash pipeline.
+    "q369_simhash_governed" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val clones = base.filter(col("doc_id") < 2)
+        .crossJoin(s.range(24).select(col("id").as("__r")))
+        .select((col("doc_id") * 100 + col("__r") + 900000L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("__r")).as("text"))
+      val corpus = base.filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .unionByName(clones)
+      graft.dedup.Dedup.simhashPairs(corpus, maxHamming = 3, maxBucket = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // GOVERNED image dHash banding (the third and last banded
+    // self-join, shared with audio via bandedHammingPairs): the q121
+    // formula corpus plus a planted 40-re-encode viral cluster of
+    // group 0 (only pixel (0,0)'s red channel moves, so the whole
+    // cluster stays within Hamming 1 and floods one (band, key)
+    // bucket past maxBucket = 8). The oracle recomputes the dHash
+    // from the pixel formula, packs h64 with bit_or, and replays the
+    // governor (window count + lead() chain) before the exact
+    // bit_count(xor) filter.
+    "q370_image_neardup_governed" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val params = base.filter(col("doc_id") < 100)
+        .select(col("doc_id"), expr("doc_id div 5").as("g"),
+          (col("doc_id") % 5).as("m"))
+        .unionByName(base.filter(col("doc_id") < 1)
+          .crossJoin(s.range(40).select(col("id").as("__r")))
+          .select((col("__r") + 900000L).as("doc_id"), lit(0L).as("g"),
+            (col("__r") + 5L).as("m")))
+      val pngs = params.as[(Long, Long, Long)]
+        .map { case (id, g, m) =>
+          id -> graft.multimodal.Png.encodeRgb(12, 10,
+            (x, y) => {
+              val r = (37 * g + (3 + g) * x + (5 + g % 3) * y +
+                (if (x == 0 && y == 0) m else 0L)) % 256
+              val gc = (91 * g + (7 + 2 * g) * x + (2 + g % 2) * y) % 256
+              val b = (53 * g + (1 + g % 3) * x + (11 + g) * y) % 256
+              (r.toInt, gc.toInt, b.toInt)
+            },
+            filterForRow = y => ((y + id) % 5).toInt,
+            idatChunkSize = 64)
+        }
+        .toDF("doc_id", "png")
+      graft.multimodal.Multimodal.imageNearDups(pngs, "doc_id", "png",
+          maxHamming = 3, maxBucket = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q368_fleiss_kappa" -> ((s, dir) => {
       val ratings = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),

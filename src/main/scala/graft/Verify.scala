@@ -33,6 +33,30 @@ object Verify {
         "WILL hash-mismatch; cast to DOUBLE in both the query and " +
         "its oracle SQL (see q304)")
   }
+
+  /** Complex-type output lint (the q354/q357 trap, round-18 verdict):
+    * the driver's canonicalizer sorts result rows by RAW cell values,
+    * and pandas' sort_values crashes on array/map/struct cells
+    * ("unhashable type: numpy.ndarray") — the query ERRs in the hard
+    * signal even though engines agree. The documented rule is the q05
+    * pairText device: serialize complex columns to text in BOTH the
+    * registry entry and the oracle SQL (array_join / array_to_string),
+    * keeping the operator's raw output for the suite and downstream
+    * callers. Throws at dump time; RegistrySchemaLintSpec pins the
+    * same rule at build time. */
+  def lintNoComplexOutput(name: String, out: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val complexCols = out.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => f.name
+    }
+    if (complexCols.nonEmpty) throw new IllegalStateException(
+      s"$name: complex-typed output column(s) ${complexCols.mkString(", ")} — " +
+        "the driver's canonicalizer crashes sorting array/map/struct " +
+        "cells; serialize to text in the registry entry AND the oracle " +
+        "SQL (the q05 pairText device, see q354)")
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // Optional extra args: run only the named queries (dev iteration).
@@ -53,6 +77,7 @@ object Verify {
       try {
         val out = fn(spark, sfDir)
         lintNoDecimalOutput(name, out)
+        lintNoComplexOutput(name, out)
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

@@ -1148,9 +1148,32 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share at least one identical
     * byte of the 4-byte fingerprint (pigeonhole: any pair at Hamming
     * distance ≤ 3 must agree on some byte), verified by exact Hamming
-    * distance ≤ `maxHamming`. Same bucket-join shape as MinHash. */
+    * distance ≤ `maxHamming`. Same bucket-join shape as MinHash —
+    * including the same governor, and here it is needed EVEN ON A
+    * BENIGN CORPUS: a band key is one byte, 256 values, so uniform
+    * hashes still concentrate ~n/256 docs per bucket and the
+    * ungoverned self-join is Θ(n²/64) candidate pairs by construction
+    * (≈15.6G at 1M docs) — before any viral clone cluster makes its
+    * bucket quadratic on top (the round-18 minhash find, which this
+    * operator reproduced structurally until round 19).
+    *
+    * `maxBucket` is [[minhashPairs]]'s governor verbatim: a (band,
+    * key) bucket over the cap contributes its id-sorted ADJACENT
+    * CHAIN (b − 1 pairs) instead of all C(b, 2). A true near-dup
+    * cluster's members are pairwise within `maxHamming`, so chain
+    * edges survive the exact Hamming filter and componentLabels still
+    * merges the cluster whole; an accidental one-byte-collision
+    * bucket's chain edges fail the filter and vanish at linear cost.
+    * PAIR-level output through an oversized bucket under-reports
+    * (a pair surfaces only if id-adjacent there or colliding in some
+    * governed bucket) — under-reports, never inflates, the family
+    * contract. Candidate volume ≤ n·4·maxBucket/2 + n·4: cap-linear.
+    * Oversized buckets are window partitions whose (band, key) hash
+    * partitioning is the self-join's own — the exchange is reused. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucket: Long = 1000): DataFrame = {
+    require(maxBucket >= 2, "maxBucket < 2 cannot pair anything")
     val sims = simhashes(docs, idCol, textCol)
     val byteStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -1159,12 +1182,25 @@ object Dedup {
         explode(byteStructs).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = bands.as("a").join(bands.as("b"),
+    val wCnt = Window.partitionBy(col("band"), col("key"))
+    val wOrd = Window.partitionBy(col("band"), col("key"))
+      .orderBy(col("doc_id"))
+    val sized = bands.withColumn("__bn", count(lit(1)).over(wCnt))
+    val small = sized.filter(col("__bn") <= maxBucket)
+      .select("doc_id", "simhash", "band", "key")
+    val allPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
+    val chained = sized.filter(col("__bn") > maxBucket)
+      .withColumn("__nd", lead(col("doc_id"), 1).over(wOrd))
+      .withColumn("__ns", lead(col("simhash"), 1).over(wOrd))
+      .filter(col("__nd").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("__nd").as("doc_b"),
+        col("simhash").as("sim_a"), col("__ns").as("sim_b"))
+    val pairs = allPairs.unionByName(chained)
+      .distinct() // a pair may collide in several bands
     pairs
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))

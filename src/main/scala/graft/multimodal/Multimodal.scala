@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for LLM training-data pipelines: media
@@ -158,35 +159,59 @@ object Multimodal {
     * 16-bit keys over visually-random hashes — near-uniform outside
     * true near-dups; the 8-byte hash is all that shuffles. */
   def imageNearDups(images: DataFrame, idCol: String = "doc_id",
-                    binCol: String = "png", maxHamming: Int = 3): DataFrame =
+                    binCol: String = "png", maxHamming: Int = 3,
+                    maxBucket: Long = 1000): DataFrame =
     bandedHammingPairs(images
       .select(col(idCol), pngDhash(col(binCol)).as("d"))
       .filter(col("d.decoded"))
-      .select(col(idCol), col("d.dhash").as("h64")), idCol, maxHamming)
+      .select(col(idCol), col("d.dhash").as("h64")),
+      idCol, maxHamming, maxBucket)
 
   /** AUDIO near-duplicate pairs — the same visual-dedup shape over
     * [[wavFingerprint]]'s gain-invariant energy envelope: catches the
     * re-encoded / loudness-normalized copy whose every byte differs.
     * Undecodable or sub-65-sample clips drop out. */
   def audioNearDups(clips: DataFrame, idCol: String = "doc_id",
-                    binCol: String = "wav", maxHamming: Int = 3): DataFrame =
+                    binCol: String = "wav", maxHamming: Int = 3,
+                    maxBucket: Long = 1000): DataFrame =
     bandedHammingPairs(clips
       .select(col(idCol), wavFingerprint(col(binCol)).as("d"))
       .filter(col("d.decoded"))
-      .select(col(idCol), col("d.fingerprint").as("h64")), idCol, maxHamming)
+      .select(col(idCol), col("d.fingerprint").as("h64")),
+      idCol, maxHamming, maxBucket)
 
   /** All id pairs whose 64-bit hashes are within `maxHamming` bits:
     * 16-bit band blocking — two hashes ≤ 3 bits apart MUST share one
     * of the 4 bands by pigeonhole, so candidates come from an
     * equi-join on (band, key), never all-pairs — then the exact
     * `bit_count(xor)` filter makes the banding semantically
-    * invisible. Candidate volume is bounded by 16-bit band-key
-    * collisions, near-uniform for perceptually-random hashes; only
-    * the 8-byte hash shuffles. Input: (idCol, h64). */
-  private def bandedHammingPairs(hashes: DataFrame, idCol: String,
-                                 maxHamming: Int): DataFrame = {
+    * invisible. 16-bit keys are near-uniform for perceptually-random
+    * hashes, but the operator's own use case is the corpus that
+    * VIOLATES that: a viral re-encoded image / loudness-normalized
+    * clip puts every copy of the hot cluster in the SAME (band, key)
+    * bucket, so the ungoverned self-join is C(b, 2) in the cluster
+    * size — the round-18 minhash scale-killer's exact shape.
+    *
+    * `maxBucket` is the family governor ([[graft.dedup.Dedup
+    * .minhashPairs]]'s device verbatim): an over-cap bucket
+    * contributes its id-sorted ADJACENT CHAIN (b − 1 pairs) instead
+    * of all C(b, 2). A true perceptual-clone cluster is pairwise
+    * within `maxHamming`, so every chain edge survives the exact
+    * filter and componentLabels merges the cluster whole; a mixed
+    * collision bucket's failing chain edges vanish at linear cost.
+    * Pair-level output through an oversized bucket under-reports,
+    * never inflates — the family contract, measured corpus-wide by
+    * DedupScaleBench's agreement probe. Candidate volume ≤
+    * n·4·maxBucket/2 + n·4: cap-linear in n. Only the 8-byte hash
+    * shuffles; oversized-bucket windows reuse the self-join's
+    * (band, key) hash partitioning. Input: (idCol, h64). Public: the
+    * direct surface for PRE-HASHED corpora (any 64-bit perceptual
+    * hash), and the instrument DedupScaleBench drives. */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String,
+                         maxHamming: Int, maxBucket: Long = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] (4x16-bit banding guarantees recall only to 3), got $maxHamming")
+    require(maxBucket >= 2, "maxBucket < 2 cannot pair anything")
     val byteStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("h64"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)
@@ -194,12 +219,25 @@ object Multimodal {
       .select(col(idCol), col("h64"), explode(byteStructs).as("bk"))
       .select(col(idCol), col("h64"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a").join(bands.as("b"),
+    val wCnt = Window.partitionBy(col("band"), col("key"))
+    val wOrd = Window.partitionBy(col("band"), col("key"))
+      .orderBy(col(idCol))
+    val sized = bands.withColumn("__bn", count(lit(1)).over(wCnt))
+    val small = sized.filter(col("__bn") <= maxBucket)
+      .select(col(idCol), col("h64"), col("band"), col("key"))
+    val allPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col("a.h64").as("ha"), col("b.h64").as("hb"))
-      .distinct()
+    val chained = sized.filter(col("__bn") > maxBucket)
+      .withColumn("__nd", lead(col(idCol), 1).over(wOrd))
+      .withColumn("__nh", lead(col("h64"), 1).over(wOrd))
+      .filter(col("__nd").isNotNull)
+      .select(col(idCol).as("doc_a"), col("__nd").as("doc_b"),
+        col("h64").as("ha"), col("__nh").as("hb"))
+    allPairs.unionByName(chained)
+      .distinct() // a pair may collide in several bands
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

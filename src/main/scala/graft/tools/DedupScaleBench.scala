@@ -88,6 +88,30 @@ object DedupScaleBench {
       .select(col("doc_id"), text.as("text"))
   }
 
+  /** Deterministic 64-bit PERCEPTUAL-HASH corpus at replica factor R
+    * (n = 2000·R hashes) — the [[corpus]] story translated to the
+    * banded-Hamming family's input (image dHash / audio envelope):
+    * class 0 (10%) is ONE hot cluster (a viral re-encoded asset whose
+    * copies grow with corpus size) sharing a base hash with at most
+    * one member-specific bit flipped — pairwise Hamming ≤ 2, well
+    * inside every maxHamming default; classes 1–2 are 8-member
+    * fixed clusters per 40-id block (linear pair growth); classes
+    * 3–9 are xxhash64-unique hashes. Pure projection over range(n). */
+  def hashCorpus(spark: SparkSession, replicas: Int): DataFrame = {
+    val n = 2000L * replicas
+    val id = col("doc_id")
+    val cls = id % 10
+    val blk = expr("doc_id div 40")
+    val base = when(cls === 0, lit(0x5a3c96e1d2b40f78L))
+      .when(cls <= 2, xxhash64(blk + 4000000000L))
+      .otherwise(xxhash64(id))
+    val h = when(cls <= 2, base.bitwiseXOR(
+        expr("shiftleft(cast(1 as bigint), cast(pmod(doc_id * 31, 64) as int))")))
+      .otherwise(base)
+    spark.range(n).select(col("id").as("doc_id"))
+      .select(col("doc_id"), h.as("h64"))
+  }
+
   private def timeMinOf2(run: () => Long): (Double, Long) = {
     val runs = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
@@ -189,6 +213,104 @@ object DedupScaleBench {
         val diffVerdict = joined.filter(
           (col("gc") === col("doc_id")) =!= (col("uc") === col("doc_id"))).count()
         if (emit) report("governor_agreement", r, n,
+          s""""diff_cluster":$diffCluster,"diff_verdict":$diffVerdict""")
+      }
+
+      if (ops("simhash") || ops("probe")) {
+        // byte-band bucket concentration: 256 keys per band means even
+        // BENIGN corpora concentrate n/256 per bucket — the round-18
+        // verdict's Θ(n²/64) construction — before the hot cluster
+        // floods its buckets on top
+        val sims = graft.dedup.Dedup.simhashes(docs)
+        val buckets = sims.select(col("doc_id"),
+            explode(array((0 until 4).map(b =>
+              (shiftright(col("simhash"), 8 * b) % 256) + lit(b * 256)): _*))
+              .as("bkey"))
+          .groupBy(col("bkey")).agg(count(lit(1)).as("b"))
+        val (sq, gov, over, mx) = concentration(buckets, 1000L)
+        if (emit) report("simhash_buckets", r, n,
+          s""""sum_b2":$sq,"pairs_governed":$gov,"pairs_oversized":$over,"max_bucket":$mx""")
+        if (ops("simhash")) {
+          val maxB = sys.env.getOrElse("SPARK_GRAFT_MAXBUCKET", "1000").toLong
+          val (sec, pairs) = timeMinOf2(() =>
+            graft.dedup.Dedup.simhashPairs(docs, maxHamming = 3,
+              maxBucket = maxB).count())
+          if (emit) report("simhash_pairs", r, n,
+            f""""sec":$sec%.3f,"out_pairs":$pairs,"max_bucket_cap":$maxB""")
+        }
+      }
+
+      if (ops("simhash_compare")) {
+        // verdict-agreement probe for the simhash governor (the
+        // minhash "compare" probe, item-for-item): governed vs
+        // ungoverned full dedup verdicts on the same corpus
+        def verdicts(maxB: Long) = {
+          val pairs = graft.dedup.Dedup.simhashPairs(docs, maxHamming = 3,
+            maxBucket = maxB)
+          val labels = graft.dedup.Dedup.componentLabels(
+            pairs.select(col("doc_a"), col("doc_b")))
+          docs.select(col("doc_id")).join(
+              labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("cluster"))
+        }
+        val g = verdicts(1000L)
+        val u = verdicts(Long.MaxValue)
+        val joined = g.withColumnRenamed("cluster", "gc")
+          .join(u.withColumnRenamed("cluster", "uc"), Seq("doc_id"))
+          .localCheckpoint()
+        val diffCluster = joined.filter(col("gc") =!= col("uc")).count()
+        val diffVerdict = joined.filter(
+          (col("gc") === col("doc_id")) =!= (col("uc") === col("doc_id"))).count()
+        if (emit) report("simhash_governor_agreement", r, n,
+          s""""diff_cluster":$diffCluster,"diff_verdict":$diffVerdict""")
+      }
+
+      if (ops("hamming") || ops("probe")) {
+        // banded-Hamming family (image dHash / audio envelope, shared
+        // bandedHammingPairs): 16-bit keys are near-uniform on benign
+        // hashes, so unlike simhash the BENIGN curve is flat — the hot
+        // re-encode cluster is the entire threat model here
+        val hashes = hashCorpus(spark, r).localCheckpoint()
+        val buckets = hashes.select(col("doc_id"),
+            explode(array((0 until 4).map(b =>
+              shiftright(col("h64"), 16 * b).bitwiseAND(lit(0xffffL)) +
+                lit(b.toLong << 16)): _*)).as("bkey"))
+          .groupBy(col("bkey")).agg(count(lit(1)).as("b"))
+        val (sq, gov, over, mx) = concentration(buckets, 1000L)
+        if (emit) report("hamming_buckets", r, n,
+          s""""sum_b2":$sq,"pairs_governed":$gov,"pairs_oversized":$over,"max_bucket":$mx""")
+        if (ops("hamming")) {
+          val maxB = sys.env.getOrElse("SPARK_GRAFT_MAXBUCKET", "1000").toLong
+          val (sec, pairs) = timeMinOf2(() =>
+            graft.multimodal.Multimodal.bandedHammingPairs(hashes, "doc_id",
+              maxHamming = 3, maxBucket = maxB).count())
+          if (emit) report("hamming_pairs", r, n,
+            f""""sec":$sec%.3f,"out_pairs":$pairs,"max_bucket_cap":$maxB""")
+        }
+      }
+
+      if (ops("hamming_compare")) {
+        val hashes = hashCorpus(spark, r).localCheckpoint()
+        def verdicts(maxB: Long) = {
+          val pairs = graft.multimodal.Multimodal.bandedHammingPairs(
+            hashes, "doc_id", maxHamming = 3, maxBucket = maxB)
+          val labels = graft.dedup.Dedup.componentLabels(
+            pairs.select(col("doc_a"), col("doc_b")))
+          hashes.select(col("doc_id")).join(
+              labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("cluster"))
+        }
+        val g = verdicts(1000L)
+        val u = verdicts(Long.MaxValue)
+        val joined = g.withColumnRenamed("cluster", "gc")
+          .join(u.withColumnRenamed("cluster", "uc"), Seq("doc_id"))
+          .localCheckpoint()
+        val diffCluster = joined.filter(col("gc") =!= col("uc")).count()
+        val diffVerdict = joined.filter(
+          (col("gc") === col("doc_id")) =!= (col("uc") === col("doc_id"))).count()
+        if (emit) report("hamming_governor_agreement", r, n,
           s""""diff_cluster":$diffCluster,"diff_verdict":$diffVerdict""")
       }
 

@@ -735,6 +735,40 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashPairs(d, threshold = 0.5, maxBucket = Long.MaxValue))
   }
 
+  test("simhashPairs maxBucket governor: oversized buckets chain linearly and the cluster still merges") {
+    // the minhash governor drill, byte-band edition: 30 near-identical
+    // clones share their simhash byte keys, so with maxBucket = 8
+    // every clone bucket is oversized and contributes its id-adjacent
+    // CHAIN; chain edges are true near-dups (Hamming ~0) so the
+    // cluster still merges whole.
+    val template = (0 until 40).map(j => s"base${j}tok").mkString(" ")
+    val rows = (0L until 30L).map(i => i -> s"$template zz$i") ++
+      (100L until 110L).map(i =>
+        i -> (0 until 40).map(j => s"u${i}x$j").mkString(" "))
+    val d = docs(rows: _*)
+    val governed = Dedup.simhashPairs(d, maxHamming = 3, maxBucket = 8)
+    val ungoverned = Dedup.simhashPairs(d, maxHamming = 3,
+      maxBucket = Long.MaxValue)
+    val gp = governed.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val up = ungoverned.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet
+    up.size should be >= 30 * 29 / 2 // ungoverned: all-pairs, quadratic
+    gp.size should be <= 4 * 30 // governed: <= (b-1) chain edges per band
+    gp.subsetOf(up) shouldBe true // the governor never INVENTS a pair
+    val labels = Dedup.componentLabels(governed)
+      .filter(col("node") < 100L).select("label").distinct().count()
+    labels shouldBe 1L
+    // chain selection is deterministic under input partitioning
+    assertSameRows(governed,
+      Dedup.simhashPairs(d.repartition(7), maxHamming = 3, maxBucket = 8))
+  }
+
+  test("simhashPairs governor is dormant when every bucket fits the cap") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assertSameRows(Dedup.simhashPairs(d, maxHamming = 3),
+      Dedup.simhashPairs(d, maxHamming = 3, maxBucket = Long.MaxValue))
+  }
+
   test("winnowingSpans: extents bracket a planted shared span; counts agree with winnowingPairs") {
     // a 20-token span planted at token 20 of doc 1 and token 5 of
     // doc 2 (unique surroundings, so only fully-in-span k-grams are

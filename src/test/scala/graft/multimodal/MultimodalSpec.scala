@@ -316,6 +316,47 @@ class MultimodalSpec extends SparkSpec {
     pairs.head._3 should be <= 3L
   }
 
+  test("bandedHammingPairs maxBucket governor: viral cluster chains linearly and still merges") {
+    import spark.implicits._
+    // 30 re-encodes of one asset (base hash, at most one bit flipped
+    // per member -> pairwise Hamming <= 2) + 10 unrelated hashes.
+    // With maxBucket = 8 every cluster bucket is oversized and
+    // contributes its id-adjacent CHAIN; chain edges are true
+    // near-dups so the cluster still merges whole.
+    val base = 0x5a3c96e1d2b40f78L
+    val rows = (0L until 30L).map(i => (i, base ^ (1L << ((i * 7) % 64).toInt))) ++
+      (100L until 110L).map(i => (i, i * 0x9e3779b97f4a7c15L + 0x1234567L))
+    val hashes = rows.toDF("doc_id", "h64")
+    val governed = Multimodal.bandedHammingPairs(hashes, "doc_id",
+      maxHamming = 3, maxBucket = 8)
+    val ungoverned = Multimodal.bandedHammingPairs(hashes, "doc_id",
+      maxHamming = 3, maxBucket = Long.MaxValue)
+    val gp = governed.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val up = ungoverned.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet
+    up.size should be >= 30 * 29 / 2 - 30 // near-all-pairs (some pairs at Hamming 2 may share only flooded bands)
+    gp.size should be <= 4 * 30 // governed: <= (b-1) chain edges per band
+    gp.subsetOf(up) shouldBe true // the governor never INVENTS a pair
+    val labels = graft.dedup.Dedup.componentLabels(
+        governed.select(col("doc_a"), col("doc_b")))
+      .filter(col("node") < 100L).select("label").distinct().count()
+    labels shouldBe 1L
+    // chain selection is deterministic under input partitioning
+    assertSameRows(governed,
+      Multimodal.bandedHammingPairs(hashes.repartition(7), "doc_id",
+        maxHamming = 3, maxBucket = 8))
+  }
+
+  test("bandedHammingPairs governor is dormant when every bucket fits the cap") {
+    import spark.implicits._
+    val hashes = (0L until 50L).map(i =>
+      (i, i * 0x9e3779b97f4a7c15L + 0x77L)).toDF("doc_id", "h64")
+    assertSameRows(
+      Multimodal.bandedHammingPairs(hashes, "doc_id", maxHamming = 3),
+      Multimodal.bandedHammingPairs(hashes, "doc_id", maxHamming = 3,
+        maxBucket = Long.MaxValue))
+  }
+
   test("wavFingerprint: interpreted and codegen paths agree") {
     val d = media((1L to 15L).map(i =>
       i -> Wav.encodePcm16((1 + i % 2).toInt, 8000, (70 + i * 7).toInt,
