@@ -7857,7 +7857,11 @@ agg AS (
     min(v) AS min_s, max(v) AS max_s
   FROM sm GROUP BY doc_id)
 SELECT a.doc_id, CAST(a.ch AS BIGINT) AS channels,
-  CAST(a.rate // 3 AS BIGINT) AS sample_rate,
+  -- greatest(1, ...) mirrors the operator's 1 Hz header clamp (a
+  -- factor above the sample rate must not write a 0 Hz header);
+  -- dormant at this fixture's factor 3 << rate, pinned so any future
+  -- parameter change keeps the engines agreeing
+  CAST(greatest(1, a.rate // 3) AS BIGINT) AS sample_rate,
   CAST((a.nf + 2) // 3 AS BIGINT) AS n_frames,
   CAST(a.sum_all AS BIGINT) AS sum_all,
   CAST(a.sum_abs AS BIGINT) AS sum_abs,

@@ -671,15 +671,20 @@ object Correlation {
         // emitted statistics cast to BIGINT (u2 ≤ 2·n_a·n_b — fits
         // int64 to ~6·10^9 rows per pair; tie_sum ≤ nn³ − nn — the
         // TIGHTER bound, int64 only to nn ≤ 2^21 − 1 ≈ 2.09M pooled
-        // rows per pair, and past it the engines diverge (Spark
-        // non-ANSI wraps, DuckDB errors on the HUGEINT→BIGINT cast):
-        // above that, widen this emission to DECIMAL in BOTH twins
-        // before trusting tie_sum. Internal rank sums stay DECIMAL so
-        // the arithmetic — including the z that consumes tie_sum —
-        // never wraps getting here.)
+        // rows per pair). Past the bound the emission RAISES instead
+        // of wrapping (Spark non-ANSI cast would silently wrap where
+        // DuckDB errors on its HUGEINT→BIGINT cast — now both engines
+        // fail loudly at the same rows; the z consuming tie_sum stays
+        // DECIMAL-exact and NULL-safe regardless). Widen both twins
+        // to DECIMAL if a caller ever needs the raw statistic there.
         col("u2_a").cast("long").as("u2_a"),
         col("mean2").cast("long").as("mean2"),
-        col("tie_sum").cast("long").as("tie_sum"), col("z"))
+        expr("CASE WHEN tie_sum <= CAST(9223372036854775807 AS DECIMAL(38,0))" +
+          " THEN CAST(tie_sum AS BIGINT) ELSE CAST(raise_error(" +
+          "'mannWhitneyPairs: tie_sum exceeds BIGINT at nn > 2^21-1 pooled" +
+          " rows per pair - widen the emission to DECIMAL in both engine" +
+          " twins before trusting it') AS BIGINT) END").as("tie_sum"),
+        col("z"))
   }
 
   /** Acklam's inverse-normal rational approximation (P. J. Acklam,

@@ -370,8 +370,10 @@ object StockAnalytics {
     * count then centered by the per-symbol index mean — deterministic
     * under any partitioning and bit-identical cross-engine (both
     * engines' integer division truncates toward zero — measured).
-    * The weekday slot is pmod(days since 1970-01-05 (a Monday), 7) —
-    * 0=Mon; engine-neutral where dayofweek()'s origin is not.
+    * The seasonal slot is pmod(days since 1970-01-05 (a Monday),
+    * period) — engine-neutral where dayofweek()'s origin is not, and
+    * it follows `period` (at the default 7 it is exactly the weekday,
+    * 0=Mon), so the seasonal grouping always matches the MA window.
     *
     * Input: one bar per (symbol, date) — the q174 caller-dedup
     * contract. Shape: one symbol-partitioned window pass + one
@@ -385,7 +387,11 @@ object StockAnalytics {
       .rowsBetween(-half, half)
     val base = daily.select(col("symbol"), col("date"),
       col("close").cast("long").as("close_units"),
-      pmod(datediff(col("date"), lit("1970-01-05")), lit(7)).as("slot"))
+      // slot follows `period` (days-since-anchor mod period), so a
+      // non-weekly period groups by its own cycle instead of silently
+      // mixing a period-length trend window with weekday-7 indices;
+      // for the default 7 this is exactly the weekday slot (0 = Mon)
+      pmod(datediff(col("date"), lit("1970-01-05")), lit(period)).as("slot"))
     val t = base
       .withColumn("__n", count(lit(1)).over(frame))
       .withColumn("__s", sum(col("close_units")).over(frame))

@@ -1169,7 +1169,14 @@ object Dedup {
     * governed bucket) — under-reports, never inflates, the family
     * contract. Candidate volume ≤ n·4·maxBucket/2 + n·4: cap-linear.
     * Oversized buckets are window partitions whose (band, key) hash
-    * partitioning is the self-join's own — the exchange is reused. */
+    * partitioning is the self-join's own — the exchange is reused.
+    *
+    * STRUCTURAL CEILING, measured (bench_scaling_r19.txt §1): a
+    * 1-byte key cannot be made selective — past n ≈ 256·maxBucket
+    * EVERY bucket chains and pair recall collapses to the adjacent
+    * chains. At ≥256k-doc shards prefer [[minhashPairs]] (band keys
+    * are 10⁹-distinct, curves flat to 512k) or shard the corpus
+    * before SimHash banding. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxBucket: Long = 1000): DataFrame = {
@@ -1182,6 +1189,13 @@ object Dedup {
         explode(byteStructs).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      // semantically a no-op (keys derive from non-null simhashes) but
+      // load-bearing for the plan: the self-join inserts IsNotNull on
+      // its legs' join keys, and without the same filter on the chain
+      // leg the (band, key) exchange subtrees stop being canonically
+      // equal — the chain would pay its OWN shuffle instead of the
+      // ReusedExchange (verified in EXPLAINS.md round 19)
+      .filter(col("band").isNotNull && col("key").isNotNull)
     val wCnt = Window.partitionBy(col("band"), col("key"))
     val wOrd = Window.partitionBy(col("band"), col("key"))
       .orderBy(col("doc_id"))

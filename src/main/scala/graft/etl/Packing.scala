@@ -162,7 +162,13 @@ object Packing {
               eosId: Long = -1L, padId: Long = -2L): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val hash = graft.dedup.Dedup.tokenHash56 _
-    val toks = (c: Column) => filter(split(c, " "), t => t =!= "")
+    // NULL prompt/completion coalesces to the empty token list: a raw
+    // NULL would make the id array NULL and size(NULL) = -1 slip the
+    // capacity filter, feeding a corrupt size into packGreedy (ADVICE
+    // r18) — an all-NULL pair still yields the bare-EOS example,
+    // which is the declared semantics for empty text.
+    val toks = (c: Column) => filter(split(coalesce(c, lit("")), " "),
+      t => t =!= "")
     val base = examples.select(
       col(shardCol).cast("string").as("shard"),
       col(idCol).cast("long").as("doc_id"),

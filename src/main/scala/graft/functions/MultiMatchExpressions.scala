@@ -140,8 +140,13 @@ final class AhoCorasick(val terms: Array[String]) extends Serializable {
 }
 
 /** `string` → `array<long>` of per-term counts (term order = the
-  * constructor's); scan-side codegen'd, text never shuffles. */
-case class MultiMatchCounts(child: Expression, terms: Array[String])
+  * constructor's); scan-side codegen'd, text never shuffles.
+  *
+  * `terms` is a Seq, not Array: case-class equality on an Array is
+  * reference equality, which would make two structurally identical
+  * expressions never canonicalize — defeating Catalyst CSE/reuse
+  * (ADVICE r18; performance only). The automaton converts once. */
+case class MultiMatchCounts(child: Expression, terms: Seq[String])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -154,7 +159,7 @@ case class MultiMatchCounts(child: Expression, terms: Array[String])
 
   override def prettyName: String = "multi_match_counts"
 
-  @transient private lazy val ac = new AhoCorasick(terms)
+  @transient private lazy val ac = new AhoCorasick(terms.toArray)
 
   override protected def nullSafeEval(v: Any): Any =
     ac.counts(v.asInstanceOf[UTF8String])
@@ -173,12 +178,12 @@ object MultiMatchFunctions {
 
   val fnName = "graft_multi_match_counts"
 
-  private def litStringArray(e: Expression, what: String): Array[String] = {
+  private def litStringSeq(e: Expression, what: String): Seq[String] = {
     require(e.foldable, s"$what must be a literal")
     e.eval() match {
       case a: ArrayData =>
         (0 until a.numElements()).map(i =>
-          a.getUTF8String(i).toString).toArray
+          a.getUTF8String(i).toString)
       case other => throw new IllegalArgumentException(
         s"$what must be a string array literal, got $other")
     }
@@ -191,7 +196,7 @@ object MultiMatchFunctions {
         { children: Seq[Expression] =>
           require(children.size == 2, s"$fnName takes (text, terms)")
           MultiMatchCounts(children.head,
-            litStringArray(children(1), "terms"))
+            litStringSeq(children(1), "terms"))
         },
         "built-in")
   }

@@ -371,9 +371,9 @@ object WavFrameFeatures {
   * factor above the sample rate would otherwise write a 0 Hz
   * header, which downstream decoders reject as malformed — the
   * surviving frames are still valid data, so the header degrades
-  * to the slowest representable rate instead; any oracle twin must
-  * mirror the clamp, not plain floor division — q341's twin only
-  * exercises factor ≤ rate, where the two agree).
+  * to the slowest representable rate instead; q341's twin mirrors
+  * the clamp — greatest(1, rate // factor) — so the engines agree
+  * at EVERY factor, not just the fixture's factor ≤ rate).
   * Undecodable input or factor < 1 → NULL, the
   * family degrade contract. Scan-side: the ~factor-smaller audio
   * column is what leaves the projection. */

@@ -219,6 +219,11 @@ object Multimodal {
       .select(col(idCol), col("h64"), explode(byteStructs).as("bk"))
       .select(col(idCol), col("h64"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      // no-op filter that keeps the chain leg's exchange subtree
+      // canonically equal to the join legs' (which carry join-key
+      // IsNotNull), so all three consumers share ONE (band, key)
+      // shuffle via ReusedExchange — the simhashPairs device
+      .filter(col("band").isNotNull && col("key").isNotNull)
     val wCnt = Window.partitionBy(col("band"), col("key"))
     val wOrd = Window.partitionBy(col("band"), col("key"))
       .orderBy(col(idCol))

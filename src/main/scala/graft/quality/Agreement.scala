@@ -151,6 +151,9 @@ object Agreement {
       .agg(sum(col("__n")).as("__ni"),
         sum(col("__n") * (col("__n") - 1)).as("__si"))
     val bounds = perItem.agg(min(col("__ni")), max(col("__ni"))).head
+    require(!bounds.isNullAt(0),
+      "fleissKappa needs at least one non-null-labeled item (input " +
+        "is empty after the null filter)")
     val nRaters = bounds.getLong(0)
     require(nRaters == bounds.getLong(1),
       s"fleissKappa needs a CONSTANT rater count per item, got " +

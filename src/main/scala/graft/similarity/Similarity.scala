@@ -1031,6 +1031,29 @@ object Similarity {
         (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Deterministic query sample for recall evals at scale — the
+    * contract that makes [[recallAtK]]'s EXACT brute-force
+    * denominator affordable at 100 TB: the eval scales by sampling
+    * QUERIES, never the corpus. Per-query recall is self-contained
+    * (its denominator is that query's own exact top-k over the FULL
+    * corpus), so a query sample is an unbiased estimator of mean
+    * recall — whereas sampling the corpus silently redefines the
+    * ground truth and inflates recall. Selection is content-free and
+    * replayable on any engine: keep ids with
+    * pmod(xxhash64(id), 1000) < permille — no RNG, stable across
+    * runs, partitionings, and re-executions (the E223 determinism
+    * rule), and independent of insertion order so the same sample is
+    * reproducible against a regrown corpus. The registry's fixture
+    * evals (q95/q332) keep exhaustive query sets — at fixture scale
+    * exhaustive IS the sample; this is the documented scale path
+    * their E-rows point to. */
+  def sampleQueries(queries: DataFrame, permille: Long,
+                    idCol: String = "vec_id"): DataFrame = {
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1, 1000], got $permille")
+    queries.filter(pmod(xxhash64(col(idCol)), lit(1000L)) < permille)
+  }
+
   /** Matryoshka truncation-recall curve — the dimension-budget eval
     * for prefix-truncatable embeddings (Kusupati et al. 2022,
     * arXiv:2205.13147): for each dim in a stated ladder, run the

@@ -525,6 +525,30 @@ class CorrelationSpec extends SparkSpec {
       Correlation.mannWhitneyPairs(d.repartition(7), "g", "v"))
   }
 
+  test("mannWhitneyPairs tie_sum: exact at the int64 boundary, raises loudly past it") {
+    // tie_sum = nn^3 - nn for one all-tied pooled pair; int64 holds it
+    // only to nn = 2^21 - 1. At the boundary the emission is exact; one
+    // row past it Spark must RAISE (matching DuckDB's HUGEINT->BIGINT
+    // cast error) instead of silently wrapping — the ADVICE r18 fix.
+    def pool(nA: Long, nB: Long) =
+      spark.range(nA + nB).select(
+        when(col("id") < nA, "a").otherwise("b").as("g"),
+        lit(0L).as("v"))
+    val nn = (1L << 21) - 1
+    val ok = Correlation.mannWhitneyPairs(
+      pool(nn - 1000000L, 1000000L), "g", "v").collect().head
+    ok.getAs[Long]("tie_sum") shouldBe
+      (BigInt(nn) * nn * nn - nn).toLong
+    ok.isNullAt(ok.fieldIndex("z")) shouldBe true // all-tied: zero variance
+    val e = intercept[Exception] {
+      Correlation.mannWhitneyPairs(
+        pool(nn - 1000000L + 2, 1000000L), "g", "v").collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    chain should include("tie_sum exceeds BIGINT")
+  }
+
   test("zToTwoSidedPermille: cut-table p-values hit the textbook critical points") {
     val zs = Seq(0.0, 1.96, 2.5758, 10.0, -1.96).toDF("z")
       .select(col("z"), Correlation.zToTwoSidedPermille(col("z")).as("p"))

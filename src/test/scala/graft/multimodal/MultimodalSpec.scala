@@ -707,6 +707,20 @@ test("silenceTrim: leading/trailing silence bounds, interior pause preserved") {
     isNullFor(b, 0) shouldBe true          // nonsense factor
   }
 
+  test("wavDecimate: factor above the sample rate clamps the header to 1 Hz (q341 twin mirrors)") {
+    // 100 frames at 50 Hz, factor 200 > rate: 50 div 200 = 0 would be
+    // a malformed header — the operator clamps to 1 Hz and keeps the
+    // ceil(100/200) = 1 surviving frame; the q341 oracle's
+    // greatest(1, rate // factor) mirrors exactly this.
+    val b = Wav.encodePcm16(1, 50, 100, (f, _) => f * 3 - 50)
+    val m = media(1L -> b)
+      .select(Multimodal.wavPcmStats(
+        Multimodal.wavDecimate(col("media"), factor = 200)).as("s"))
+      .select("s.decoded", "s.sample_rate", "s.n_frames", "s.sum_all")
+      .as[(Boolean, Long, Long, Long)].head()
+    m shouldBe ((true, 1L, 1L, -50L)) // frame 0 only: 0*3 - 50
+  }
+
   test("pngThumbnail: interpreted and codegen paths agree") {
     val d = media((1L to 10L).map(i =>
       i -> Png.encodeRgb((6 + i % 7).toInt, (5 + i % 5).toInt,

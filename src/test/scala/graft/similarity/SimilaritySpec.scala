@@ -519,6 +519,34 @@ class SimilaritySpec extends SparkSpec {
     out shouldBe Array((1L, 1L, 0.5), (2L, 0L, 0.0))
   }
 
+  test("sampleQueries: deterministic, partition-invariant, and recall-unbiased per sampled query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s1 = Similarity.sampleQueries(emb, permille = 200)
+    val ids1 = s1.select("vec_id").as[Long].collect().toSet
+    // deterministic replay: same sample on a rerun and under any input
+    // partitioning (hash of the id, no RNG)
+    val ids2 = Similarity.sampleQueries(emb.repartition(7), permille = 200)
+      .select("vec_id").as[Long].collect().toSet
+    ids1 shouldBe ids2
+    ids1.size should be > 0
+    ids1.size should be < emb.count().toInt // a strict subset at 200 permille
+    // monotone nesting: a smaller permille is a subset of a larger one
+    val ids50 = Similarity.sampleQueries(emb, permille = 50)
+      .select("vec_id").as[Long].collect().toSet
+    ids50.subsetOf(ids1) shouldBe true
+    // per-query recall is self-contained: evaluating over the sampled
+    // queries equals filtering the full eval to the sampled ids — the
+    // property that makes query-sampling unbiased where corpus
+    // sampling is not
+    val full = Similarity.recallAtK(
+      Similarity.knnLsh(emb, emb, k = 5),
+      Similarity.knnBruteForce(emb, emb, k = 5), k = 5)
+    val sampled = Similarity.recallAtK(
+      Similarity.knnLsh(emb, s1, k = 5),
+      Similarity.knnBruteForce(emb, s1, k = 5), k = 5)
+    assertSameRows(sampled, full.filter(col("query_id").isin(ids1.toSeq: _*)))
+  }
+
   test("semanticDedup drops lower-id near-dups within a cluster only") {
     val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
     val d = vecs(
