@@ -8805,6 +8805,98 @@ SELECT doc_a, doc_b, hamming FROM (
   SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM pairs)
 WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
 
+  /** q371 twin of [[graft.analytics.Sketches.hllSketch]] +
+    * [[graft.analytics.Sketches.hllEstimate]]: the GLOBAL register
+    * construction (pointwise-max merge of shard sketches ≡ the global
+    * sketch, so hash equality verifies the merge identity), the same
+    * md5 56-bit hash, `bin()` leading-zero rank (both engines print
+    * without leading zeros), exact-integer S, the shared alpha·m²·2⁴⁷
+    * literal, and the driver-side linear-counting table interpolated
+    * verbatim. */
+  val q371_hll_distinct: String = {
+    val alpha = f"${graft.analytics.Sketches.hllAlphaNum}%.17g"
+    val lcList = graft.analytics.Sketches.linearCountMilli
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ",", "]")
+    s"""
+WITH w0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+w AS (
+  SELECT word || '_' || CAST(doc_id AS VARCHAR) AS word
+  FROM w0 WHERE word <> ''),
+h AS (
+  SELECT CAST(('0x' || substr(md5(word), 1, 14)) AS BIGINT) AS h
+  FROM w),
+regs AS (
+  SELECT h >> 46 AS register,
+    CASE WHEN (h & 70368744177663) = 0 THEN 47
+         ELSE 47 - length(bin(h & 70368744177663)) END AS rho
+  FROM h),
+sk AS (SELECT register, max(rho) AS max_rho FROM regs GROUP BY register),
+est AS (
+  SELECT CAST(1024 AS BIGINT) AS m,
+    CAST(count(*) AS BIGINT) AS n_used,
+    CAST(1024 - count(*) AS BIGINT) AS n_zero,
+    CAST(coalesce(sum(CAST(1 AS BIGINT) << (47 - max_rho)), 0)
+      + (1024 - count(*)) * (CAST(1 AS BIGINT) << 47) AS BIGINT) AS s_scaled
+  FROM sk),
+est2 AS (
+  SELECT m, n_used, n_zero, s_scaled,
+    $alpha / CAST(s_scaled AS DOUBLE) AS raw_est
+  FROM est),
+ex AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS exact_distinct
+       FROM w WHERE word <> '')
+SELECT m, n_used, n_zero, s_scaled, raw_est,
+  CASE WHEN n_zero > 0 AND raw_est <= 2560.0
+       THEN ($lcList)[CAST(n_zero + 1 AS INT)]
+       ELSE CAST(round(raw_est * 1000) AS BIGINT) END AS est_milli,
+  exact_distinct
+FROM est2 CROSS JOIN ex"""
+  }
+
+  /** q372 twin of [[graft.analytics.Sketches.cmsSketch]] +
+    * [[graft.analytics.Sketches.cmsQuery]]: the global counter
+    * construction (pointwise-sum merge ≡ global by CMS linearity),
+    * the same coefficient table interpolated, exact top-20 probes,
+    * min over the depth rows with absent cells as 0. */
+  val q372_cms_counts: String = {
+    // (h mod P) BEFORE the multiply keeps intermediates in int64; all
+    // operands nonnegative, so plain % matches Spark's pmod
+    val hashRows = graft.analytics.Sketches.cmsCoeffs.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"($i, ((h % 1000000007) * $a + $b) % 1000000007 % 1024)"
+      }.mkString(",\n    ")
+    s"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+ww AS (SELECT word FROM w WHERE word <> ''),
+hs AS (
+  SELECT word, CAST(('0x' || substr(md5(word), 1, 14)) AS BIGINT) AS h
+  FROM ww),
+cells AS (
+  SELECT hs.word, t.r AS row, t.c AS col
+  FROM hs, LATERAL (SELECT * FROM (VALUES
+    $hashRows) v(r, c)) t),
+sk AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, col),
+exact AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS exact_count
+  FROM ww GROUP BY word),
+probes AS (
+  SELECT word FROM exact ORDER BY exact_count DESC, word LIMIT 20),
+pk AS (
+  SELECT DISTINCT c.word AS value, c.row, c.col
+  FROM cells c JOIN probes p ON p.word = c.word),
+q AS (
+  SELECT pk.value, min(coalesce(sk.cnt, 0)) AS est_count
+  FROM pk LEFT JOIN sk ON sk.row = pk.row AND sk.col = pk.col
+  GROUP BY pk.value)
+SELECT q.value, q.est_count, e.exact_count,
+  q.est_count - e.exact_count AS overestimate
+FROM q JOIN exact e ON e.word = q.value
+ORDER BY q.value"""
+  }
+
   /** q339 twin of [[graft.etl.Sampling.weightedInterleave]]: the same
     * per-source md5-hash order, stride virtual times with the e6
     * quantization, and the (vt, source, id) total order — the global
@@ -10482,6 +10574,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q368_fleiss_kappa" -> q368_fleiss_kappa,
     "q369_simhash_governed" -> q369_simhash_governed,
     "q370_image_neardup_governed" -> q370_image_neardup_governed,
+    "q371_hll_distinct" -> q371_hll_distinct,
+    "q372_cms_counts" -> q372_cms_counts,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1894,6 +1894,61 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // HyperLogLog distinct-count sketch (dense, m = 1024), built as
+    // TWO shard sketches (doc parity) merged by pointwise max — so
+    // the oracle (which replays the global construction) verifies
+    // the merge identity itself — then estimated: exact-integer
+    // registers and S, one double division, linear-counting branch
+    // from the driver-side table; exact distinct alongside.
+    "q371_hll_distinct" -> ((s, dir) => {
+      // value domain = (word, doc) pairs — the fixture vocabulary is
+      // only ~31 words, which would pin the linear-counting branch
+      // forever; pairs scale with the corpus (~15k at sf0.01) so the
+      // harmonic-mean branch is the one oracled here, and the spec
+      // pins the small-range branch
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          concat(col("word"), lit("_"), col("doc_id")).as("wd"))
+      val skA = graft.analytics.Sketches.hllSketch(
+        words.filter(col("doc_id") % 2 === 0), "wd")
+      val skB = graft.analytics.Sketches.hllSketch(
+        words.filter(col("doc_id") % 2 === 1), "wd")
+      val est = graft.analytics.Sketches.hllEstimate(
+        graft.analytics.Sketches.hllMerge(skA, skB))
+      val exact = words.agg(
+        countDistinct(col("wd")).as("exact_distinct"))
+      est.crossJoin(exact) // two 1-row frames
+    }),
+
+    // Count-Min frequency sketch (4x1024), built as two shard
+    // sketches merged by pointwise SUM (linearity — the oracle's
+    // global construction verifies the merge identity), then
+    // point-queried for the exact top-20 words: estimate >= exact
+    // ALWAYS (the one-sided CMS guarantee, visible per row), all
+    // integers end to end.
+    "q372_cms_counts" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val sk = graft.analytics.Sketches.cmsMerge(
+        graft.analytics.Sketches.cmsSketch(
+          words.filter(col("doc_id") % 2 === 0), "word"),
+        graft.analytics.Sketches.cmsSketch(
+          words.filter(col("doc_id") % 2 === 1), "word"))
+      val exact = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("exact_count"))
+      val probes = exact
+        .orderBy(col("exact_count").desc, col("word")).limit(20)
+        .select(col("word"))
+      graft.analytics.Sketches.cmsQuery(sk, probes, "word")
+        .join(exact.withColumnRenamed("word", "value"), Seq("value"))
+        .select(col("value"), col("est_count"), col("exact_count"),
+          (col("est_count") - col("exact_count")).as("overestimate"))
+        .orderBy(col("value"))
+    }),
+
     "q368_fleiss_kappa" -> ((s, dir) => {
       val ratings = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),

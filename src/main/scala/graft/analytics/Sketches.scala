@@ -1,0 +1,184 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality/frequency sketches — the two classic
+  * shard-local summaries a 100 TB engine keeps so that GLOBAL
+  * questions ("how many distinct values", "how often does x occur")
+  * never shuffle raw data: each executor/shard/day builds its own
+  * kilobyte-sized sketch with one scan + one tiny aggregate, and
+  * merges are pointwise (max of registers / sum of counters) over
+  * frames the size of the sketch, not the corpus. Both sketches are
+  * DataFrames, so persistence, union-across-days, and the merge
+  * itself are ordinary Spark ops (the signature-index pattern,
+  * [[graft.dedup.Dedup.writeSignatureIndex]]).
+  *
+  * Engine-neutral by construction (the q18 shared-constant device):
+  * the value hash is the md5-derived 56-bit integer both engines
+  * compute ([[graft.dedup.Dedup.tokenHash56]]'s idiom), register
+  * positions are bit fields of it, and the leading-zero rank comes
+  * from `length(bin(w))` — Spark and DuckDB share the `bin()`
+  * builtin, so no float log2 anywhere near a bit boundary. The one
+  * transcendental HLL needs (ln for small-range linear counting)
+  * follows the Acklam/invNorm precedent: a DRIVER-SIDE generated
+  * integer table baked into both twins; no ln runs inside a query.
+  *
+  * Reference anchor: cardinality/frequency probes next to the
+  * reference's data_quality.py count checks — the approximate,
+  * mergeable complement of the exact A7 nunique/value_counts rows.
+  */
+object Sketches {
+
+  // ---- HyperLogLog (Flajolet et al. 2007, the dense variant) -------
+
+  /** Register-index bits (m = 1024 registers, ±3.25% standard error);
+    * the remaining 46 hash bits feed the rank. */
+  val hllP: Int = 10
+  val hllM: Int = 1 << hllP
+  private val hllWBits: Int = 56 - hllP // 46
+
+  /** α₁₀₂₄ · m² · 2⁴⁷ (the 2^(wBits+1) scale that keeps Σ2^(47−rho)
+    * an exact int64 even at rho's ceiling of 47), rendered into BOTH
+    * engine twins as one literal (the shared-constant device), so
+    * raw_est is a single identical division in each engine. */
+  val hllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / hllM) * hllM.toDouble * hllM.toDouble *
+      math.pow(2.0, hllWBits + 1)
+
+  /** 1000·m·ln(m/V) for V = 1..m (V = 0 unused), generated driver-side
+    * once — the linear-counting small-range correction as an integer
+    * table both twins embed (the invNorm precedent: no transcendental
+    * inside a query). */
+  val linearCountMilli: IndexedSeq[Long] = (0 to hllM).map(v =>
+    if (v == 0) 0L else math.round(1000.0 * hllM *
+      math.log(hllM.toDouble / v)))
+
+  /** 56-bit md5 value hash (tokenHash56 over an arbitrary column,
+    * stringified first so every type hashes identically cross-engine). */
+  private def h56(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 14), 16, 10)
+      .cast("long")
+
+  /** Build the dense-HLL register frame of a column: one row per
+    * OCCUPIED register, (register, max_rho). rho = leading-zero rank
+    * of the low 46 hash bits + 1, via `length(bin(w))` (both engines'
+    * bin() prints without leading zeros — no float log2). Shape: one
+    * scan, one 1024-group hash aggregate with map-side combine; the
+    * sketch is ≤ 1024 rows / ~16 KB regardless of input size. NULLs
+    * are skipped (a NULL is not a value). */
+  def hllSketch(df: DataFrame, valueCol: String): DataFrame = {
+    val h = h56(col(valueCol))
+    df.filter(col(valueCol).isNotNull)
+      .select(shiftright(h, hllWBits).as("register"),
+        (h.bitwiseAND(lit((1L << hllWBits) - 1))).as("__w"))
+      .select(col("register"),
+        when(col("__w") === 0, lit(hllWBits + 1).cast("long"))
+          .otherwise(lit(hllWBits + 1) - length(bin(col("__w"))))
+          .as("rho"))
+      .groupBy(col("register")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Merge sketches: union + pointwise max — commutative, idempotent,
+    * associative, so shard/day sketches combine in any order and a
+    * re-merge of an already-merged sketch is a no-op. The merge
+    * shuffles ≤ 1024·k rows. */
+  def hllMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("register")).agg(max(col("max_rho")).as("max_rho"))
+  }
+
+  /** Estimate distinct count from a register frame: one row with the
+    * occupancy stats, the raw harmonic-mean estimate (alpha·m²·2⁴⁶ /
+    * S, S the EXACT integer Σ 2^(46−rho) + zeros·2⁴⁶ ≤ 2⁵⁶ — int64,
+    * one double division at the end), and est_milli with the standard
+    * small-range correction: linear counting m·ln(m/V) from the
+    * driver-side table when raw ≤ 2.5m and zero registers remain. */
+  def hllEstimate(sketch: DataFrame): DataFrame = {
+    val lcArr = array(linearCountMilli.map(lit): _*)
+    sketch
+      .agg(count(lit(1)).as("n_used"),
+        // SQL shiftleft (expression shift amount; the functions.
+        // shiftleft overload only takes a literal)
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${hllWBits + 1} - max_rho AS INT))"))
+          .as("__s_used"))
+      .select(lit(hllM.toLong).as("m"), col("n_used"),
+        (lit(hllM.toLong) - col("n_used")).as("n_zero"),
+        (coalesce(col("__s_used"), lit(0L)) +
+          (lit(hllM.toLong) - col("n_used")) * lit(1L << (hllWBits + 1)))
+          .as("s_scaled"))
+      .withColumn("raw_est", lit(hllAlphaNum) / col("s_scaled").cast("double"))
+      .withColumn("est_milli",
+        when(col("n_zero") > 0 &&
+            col("raw_est") <= lit(2.5 * hllM),
+          element_at(lcArr, (col("n_zero") + 1).cast("int")))
+          .otherwise(round(col("raw_est") * 1000).cast("long")))
+  }
+
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) --------------
+
+  /** Fixed pairwise-independent hash family over the 56-bit value
+    * hash: row i maps x to ((aᵢ·h(x) + bᵢ) mod P) mod width. Own
+    * coefficient table (NOT minhash's — sharing would correlate the
+    * sketches' errors with the dedup family's band keys). */
+  val cmsDepth: Int = 4
+  val cmsWidth: Int = 1024
+  val cmsP: Long = 1000000007L
+  val cmsCoeffs: Seq[(Long, Long)] = Seq(
+    (104729L, 48611L), (224737L, 86243L),
+    (350377L, 15485867L), (479909L, 32452843L))
+
+  private def cmsCols(h: Column): Seq[Column] = {
+    // reduce h mod P BEFORE the multiply: h is 56-bit and a is ~2^19,
+    // so the raw product would overflow int64; (h mod P) keeps every
+    // intermediate under P·a < 2^60 (all operands nonnegative, so
+    // pmod ≡ %s — the oracle writes plain %)
+    val hp = pmod(h, lit(cmsP))
+    cmsCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"),
+        pmod(pmod(hp * lit(a) + lit(b), lit(cmsP)), lit(cmsWidth.toLong))
+          .as("col"))
+    }
+  }
+
+  /** Build the Count-Min counter frame of a column: one row per
+    * OCCUPIED (row, col) cell with its count — ≤ depth·width rows
+    * (4096) regardless of input. One scan + explode(depth) + one
+    * map-side-combining aggregate; mergeable by SUM ([[cmsMerge]]),
+    * so per-shard sketches add without touching raw data. NULLs are
+    * skipped. */
+  def cmsSketch(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array(cmsCols(h56(col(valueCol))): _*)).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.col").as("col"))
+      .groupBy(col("row"), col("col")).agg(count(lit(1)).as("cnt"))
+
+  /** Merge Count-Min sketches: union + pointwise SUM (the linearity
+    * that makes CMS the distributed-frequency workhorse; also how a
+    * sketch of yesterday ∪ today is yesterday's plus today's). */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("row"), col("col")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-query a sketch for each DISTINCT probe value: estimate =
+    * min over the depth rows of the probed cells (absent cell = 0).
+    * Exact integers end to end; the classic guarantee — estimate ≥
+    * true count always (never under), ≤ true + εN with probability
+    * 1−δ (ε = e/width, δ = e^−depth) — is oracle-checkable per probe.
+    * The probe side is broadcast-sized by contract (a query list, not
+    * a corpus). */
+  def cmsQuery(sketch: DataFrame, probes: DataFrame,
+               valueCol: String): DataFrame = {
+    val keys = probes.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("value")).distinct()
+      .select(col("value"),
+        explode(array(cmsCols(h56(col("value"))): _*)).as("rc"))
+      .select(col("value"), col("rc.row").as("row"), col("rc.col").as("col"))
+    keys.join(sketch, Seq("row", "col"), "left")
+      .groupBy(col("value"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vals(vs: String*) = vs.toDF("v")
+
+  test("hllSketch registers: rho is the bin()-derived leading-zero rank, mergeable by max") {
+    val d = vals((1 to 400).map(i => s"item$i"): _*)
+    val sk = Sketches.hllSketch(d, "v")
+    // registers bounded by m and by the distinct count
+    sk.count() should be <= 1024L
+    // hand-check one value against the definitional formula
+    val rows = sk.as[(Long, Long)].collect()
+    all(rows.map(_._1)) should (be >= 0L and be < 1024L)
+    all(rows.map(_._2)) should (be >= 1L and be <= 47L)
+    // merge(x, x) = x (idempotent), merge of splits = global
+    assertSameRows(Sketches.hllMerge(sk, sk), sk)
+    val a = Sketches.hllSketch(vals((1 to 200).map(i => s"item$i"): _*), "v")
+    val b = Sketches.hllSketch(vals((201 to 400).map(i => s"item$i"): _*), "v")
+    assertSameRows(Sketches.hllMerge(a, b), sk)
+    // duplicates change nothing: the sketch sees values, not rows
+    assertSameRows(Sketches.hllSketch(
+      vals(((1 to 400) ++ (1 to 400)).map(i => s"item$i"): _*), "v"), sk)
+  }
+
+  test("hllEstimate: small range uses the linear-counting table and lands near exact") {
+    val d = vals((1 to 300).map(i => s"u$i"): _*)
+    val r = Sketches.hllEstimate(Sketches.hllSketch(d, "v")).collect().head
+    r.getAs[Long]("m") shouldBe 1024L
+    r.getAs[Long]("n_zero") should be > 0L
+    val est = r.getAs[Long]("est_milli") / 1000.0
+    // linear counting at n/m ~ 0.3 is typically within a few percent
+    est should be > 250.0
+    est should be < 350.0
+    // the branch really is the table: est_milli equals the table entry
+    r.getAs[Long]("est_milli") shouldBe
+      Sketches.linearCountMilli(r.getAs[Long]("n_zero").toInt)
+  }
+
+  test("hllEstimate: large range uses the harmonic estimate within the 3-sigma band") {
+    val n = 60000
+    val d = spark.range(n).select(concat(lit("val"), col("id")).as("v"))
+    val r = Sketches.hllEstimate(Sketches.hllSketch(d, "v")).collect().head
+    val est = r.getAs[Long]("est_milli") / 1000.0
+    // sigma = 1.04/sqrt(1024) = 3.25%; allow 3 sigma ~ 10%
+    est should be > (n * 0.90)
+    est should be < (n * 1.10)
+    r.getAs[Long]("s_scaled") should be > 0L
+  }
+
+  test("cmsSketch/cmsQuery: estimate >= exact always; exact when width is unsaturated; merge = global") {
+    val rows = (1 to 50).flatMap(i => Seq.fill(i)(s"tok$i"))
+    val d = rows.toDF("v")
+    val sk = Sketches.cmsSketch(d, "v")
+    sk.count() should be <= (4L * 1024L)
+    val probes = (1 to 50).map(i => s"tok$i").toDF("v")
+    val est = Sketches.cmsQuery(sk, probes, "v")
+      .as[(String, Long)].collect().toMap
+    (1 to 50).foreach { i =>
+      withClue(s"tok$i: ") { est(s"tok$i") should be >= i.toLong }
+    }
+    // 50 distinct values in 4x1024 cells: no collisions, all exact
+    (1 to 50).foreach(i => est(s"tok$i") shouldBe i.toLong)
+    // absent value: every cell it hashes to may exist, but with 50
+    // occupied cells of 4096 a fresh value almost surely maps to an
+    // empty cell in SOME row -> 0; at minimum the guarantee holds
+    val ghost = Sketches.cmsQuery(sk, vals("never-seen"), "v")
+      .as[(String, Long)].head()._2
+    ghost should be >= 0L
+    // linearity: merge of split sketches equals the global sketch
+    val a = Sketches.cmsSketch(rows.take(600).toDF("v"), "v")
+    val b = Sketches.cmsSketch(rows.drop(600).toDF("v"), "v")
+    assertSameRows(Sketches.cmsMerge(a, b), sk)
+  }
+
+  test("cms overestimates appear once the domain saturates the width, never underestimates") {
+    // 20k distinct values over 4x1024 cells: every row has ~20 values
+    // per cell, so min-over-rows must overestimate somewhere
+    val d = spark.range(20000).select(concat(lit("x"), col("id")).as("v"))
+    val sk = Sketches.cmsSketch(d, "v")
+    val probes = spark.range(100).select(concat(lit("x"), col("id")).as("v"))
+    val est = Sketches.cmsQuery(sk, probes, "v").as[(String, Long)].collect()
+    all(est.map(_._2)) should be >= 1L // never under the true count 1
+    est.map(_._2).max should be > 1L   // and collisions are visible
+  }
+
+  test("sketches skip NULLs and are partition-invariant") {
+    val d = (Seq[Option[String]](None, Some("a"), Some("b"), None) ++
+      (1 to 100).map(i => Some(s"c$i"))).toDF("v")
+    assertSameRows(Sketches.hllSketch(d, "v"),
+      Sketches.hllSketch(d.repartition(7), "v"))
+    assertSameRows(Sketches.cmsSketch(d, "v"),
+      Sketches.cmsSketch(d.repartition(7), "v"))
+    val est = Sketches.hllEstimate(Sketches.hllSketch(d, "v")).collect().head
+    // 102 non-null distinct values
+    est.getAs[Long]("n_used") should be <= 102L
+  }
+}
