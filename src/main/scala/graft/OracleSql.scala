@@ -8853,6 +8853,54 @@ SELECT m, n_used, n_zero, s_scaled, raw_est,
 FROM est2 CROSS JOIN ex"""
   }
 
+  /** q373 twin of [[graft.analytics.Sketches.hllSketchBy]] +
+    * [[graft.analytics.Sketches.hllEstimateBy]]: the q371 pipeline
+    * with a lang dimension through registers, S, and the branch. */
+  val q373_hll_by_group: String = {
+    val alpha = f"${graft.analytics.Sketches.hllAlphaNum}%.17g"
+    val lcList = graft.analytics.Sketches.linearCountMilli
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ",", "]")
+    s"""
+WITH w0 AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+w AS (
+  SELECT lang AS grp, word || '_' || CAST(doc_id AS VARCHAR) AS wd
+  FROM w0 WHERE word <> ''),
+h AS (
+  SELECT grp, CAST(('0x' || substr(md5(wd), 1, 14)) AS BIGINT) AS h
+  FROM w),
+regs AS (
+  SELECT grp, h >> 46 AS register,
+    CASE WHEN (h & 70368744177663) = 0 THEN 47
+         ELSE 47 - length(bin(h & 70368744177663)) END AS rho
+  FROM h),
+sk AS (SELECT grp, register, max(rho) AS max_rho
+       FROM regs GROUP BY grp, register),
+est AS (
+  SELECT grp,
+    CAST(1024 AS BIGINT) AS m,
+    CAST(count(*) AS BIGINT) AS n_used,
+    CAST(1024 - count(*) AS BIGINT) AS n_zero,
+    CAST(coalesce(sum(CAST(1 AS BIGINT) << (47 - max_rho)), 0)
+      + (1024 - count(*)) * (CAST(1 AS BIGINT) << 47) AS BIGINT) AS s_scaled
+  FROM sk GROUP BY grp),
+est2 AS (
+  SELECT grp, m, n_used, n_zero, s_scaled,
+    $alpha / CAST(s_scaled AS DOUBLE) AS raw_est
+  FROM est),
+ex AS (
+  SELECT grp, CAST(count(DISTINCT wd) AS BIGINT) AS exact_distinct
+  FROM w GROUP BY grp)
+SELECT est2.grp AS "group", m, n_used, n_zero, s_scaled, raw_est,
+  CASE WHEN n_zero > 0 AND raw_est <= 2560.0
+       THEN ($lcList)[CAST(n_zero + 1 AS INT)]
+       ELSE CAST(round(raw_est * 1000) AS BIGINT) END AS est_milli,
+  exact_distinct
+FROM est2 JOIN ex ON ex.grp = est2.grp
+ORDER BY est2.grp"""
+  }
+
   /** q372 twin of [[graft.analytics.Sketches.cmsSketch]] +
     * [[graft.analytics.Sketches.cmsQuery]]: the global counter
     * construction (pointwise-sum merge ≡ global by CMS linearity),
@@ -10576,6 +10624,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q370_image_neardup_governed" -> q370_image_neardup_governed,
     "q371_hll_distinct" -> q371_hll_distinct,
     "q372_cms_counts" -> q372_cms_counts,
+    "q373_hll_by_group" -> q373_hll_by_group,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

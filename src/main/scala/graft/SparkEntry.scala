@@ -1922,6 +1922,23 @@ object SparkEntry {
       est.crossJoin(exact) // two 1-row frames
     }),
 
+    // Per-GROUP HLL: distinct (word, doc) pairs per lang — grouped
+    // sketches for the whole dimension in ONE pass, estimates joined
+    // to the exact per-group distinct for the visible error column.
+    "q373_hll_by_group" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("lang"),
+          concat(col("word"), lit("_"), col("doc_id")).as("wd"))
+      val est = graft.analytics.Sketches.hllEstimateBy(
+        graft.analytics.Sketches.hllSketchBy(words, "lang", "wd"))
+      val exact = words.groupBy(col("lang").as("group"))
+        .agg(countDistinct(col("wd")).as("exact_distinct"))
+      est.join(exact, Seq("group")).orderBy(col("group"))
+    }),
+
     // Count-Min frequency sketch (4x1024), built as two shard
     // sketches merged by pointwise SUM (linearity — the oracle's
     // global construction verifies the merge identity), then

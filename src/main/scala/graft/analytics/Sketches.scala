@@ -116,6 +116,51 @@ object Sketches {
           .otherwise(round(col("raw_est") * 1000).cast("long")))
   }
 
+  /** Per-GROUP register frames — the everyday shape ("distinct users
+    * per day/source/shard"): one row per occupied (group, register),
+    * same construction as [[hllSketch]], one hash aggregate total
+    * (grouped sketches for a whole dimension cost ONE pass, where
+    * exact per-group countDistinct shuffles every raw value). Merge =
+    * union + max per (group, register) — [[hllMerge]] works verbatim
+    * when the group column is carried, via groupCols here. */
+  def hllSketchBy(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val h = h56(col(valueCol))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        shiftright(h, hllWBits).as("register"),
+        (h.bitwiseAND(lit((1L << hllWBits) - 1))).as("__w"))
+      .select(col("group"), col("register"),
+        when(col("__w") === 0, lit(hllWBits + 1).cast("long"))
+          .otherwise(lit(hllWBits + 1) - length(bin(col("__w"))))
+          .as("rho"))
+      .groupBy(col("group"), col("register"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Per-group estimates from a [[hllSketchBy]] frame: one row per
+    * group with the same exact-integer S / shared-literal raw_est /
+    * table-driven linear-counting branch as [[hllEstimate]]. */
+  def hllEstimateBy(sketch: DataFrame): DataFrame = {
+    val lcArr = array(linearCountMilli.map(lit): _*)
+    sketch
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${hllWBits + 1} - max_rho AS INT))"))
+          .as("__s_used"))
+      .select(col("group"), lit(hllM.toLong).as("m"), col("n_used"),
+        (lit(hllM.toLong) - col("n_used")).as("n_zero"),
+        (coalesce(col("__s_used"), lit(0L)) +
+          (lit(hllM.toLong) - col("n_used")) * lit(1L << (hllWBits + 1)))
+          .as("s_scaled"))
+      .withColumn("raw_est", lit(hllAlphaNum) / col("s_scaled").cast("double"))
+      .withColumn("est_milli",
+        when(col("n_zero") > 0 &&
+            col("raw_est") <= lit(2.5 * hllM),
+          element_at(lcArr, (col("n_zero") + 1).cast("int")))
+          .otherwise(round(col("raw_est") * 1000).cast("long")))
+  }
+
   // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) --------------
 
   /** Fixed pairwise-independent hash family over the 56-bit value

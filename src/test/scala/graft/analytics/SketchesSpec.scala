@@ -89,6 +89,25 @@ class SketchesSpec extends SparkSpec {
     est.map(_._2).max should be > 1L   // and collisions are visible
   }
 
+  test("hllSketchBy/hllEstimateBy: per-group registers equal the per-group global sketch") {
+    val d = ((1 to 300).map(i => ("a", s"x$i")) ++
+      (1 to 40).map(i => ("b", s"y$i"))).toDF("g", "v")
+    val grouped = Sketches.hllSketchBy(d, "g", "v")
+    // each group's slice of the grouped sketch IS that group's sketch
+    assertSameRows(
+      grouped.filter(col("group") === "a").drop("group"),
+      Sketches.hllSketch(d.filter(col("g") === "a"), "v"))
+    val est = Sketches.hllEstimateBy(grouped)
+      .select("group", "est_milli").as[(String, Long)].collect().toMap
+    (est("a") / 1000.0) should (be > 260.0 and be < 340.0)
+    (est("b") / 1000.0) should (be > 34.0 and be < 46.0)
+    // and the per-group estimate equals hllEstimate run on the slice
+    val single = Sketches.hllEstimate(
+      Sketches.hllSketch(d.filter(col("g") === "b"), "v"))
+      .select("est_milli").as[Long].head()
+    est("b") shouldBe single
+  }
+
   test("sketches skip NULLs and are partition-invariant") {
     val d = (Seq[Option[String]](None, Some("a"), Some("b"), None) ++
       (1 to 100).map(i => Some(s"c$i"))).toDF("v")
