@@ -8853,6 +8853,37 @@ SELECT m, n_used, n_zero, s_scaled, raw_est,
 FROM est2 CROSS JOIN ex"""
   }
 
+  /** q374 twin of [[graft.functions.Mp4HeaderUtil.meta]]: every
+    * field derived from the fixture construction formulas alone —
+    * no MP4 bytes anywhere in SQL (the q114/q121 discipline), so
+    * hash equality proves the real box walk (both mvhd offsets,
+    * largesize/to-EOF forms, the degrade rows). */
+  val q374_mp4_header: String = """
+WITH p AS (
+  SELECT doc_id,
+    (['isom','mp42','avc1','dash'])[CAST(doc_id % 4 AS INT) + 1] AS brand,
+    600 + (doc_id % 5) * 300 AS timescale,
+    (doc_id % 97) * 1000 + doc_id AS duration,
+    1 + doc_id % 3 AS n_tracks,
+    doc_id % 2 AS mvhd_version,
+    CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS n_top_boxes,
+    (doc_id % 11) IN (3, 7) AS malformed
+  FROM documents WHERE doc_id < 120)
+SELECT doc_id,
+  NOT malformed AS decoded,
+  CASE WHEN malformed THEN NULL ELSE brand END AS major_brand,
+  CASE WHEN malformed THEN NULL
+       ELSE CAST(mvhd_version AS BIGINT) END AS mvhd_version,
+  CASE WHEN malformed THEN NULL ELSE CAST(timescale AS BIGINT) END AS timescale,
+  CASE WHEN malformed THEN NULL ELSE CAST(duration AS BIGINT) END AS duration,
+  CASE WHEN malformed THEN NULL
+       ELSE CAST(duration * 1000 // timescale AS BIGINT) END AS duration_ms,
+  CASE WHEN malformed THEN NULL ELSE CAST(n_tracks AS BIGINT) END AS n_tracks,
+  CASE WHEN malformed THEN NULL
+       ELSE CAST(n_top_boxes AS BIGINT) END AS n_top_boxes,
+  CASE WHEN malformed THEN NULL ELSE CAST(1 AS BIGINT) END AS has_mdat
+FROM p ORDER BY doc_id"""
+
   /** q373 twin of [[graft.analytics.Sketches.hllSketchBy]] +
     * [[graft.analytics.Sketches.hllEstimateBy]]: the q371 pipeline
     * with a lang dimension through registers, S, and the branch. */
@@ -10625,6 +10656,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q371_hll_distinct" -> q371_hll_distinct,
     "q372_cms_counts" -> q372_cms_counts,
     "q373_hll_by_group" -> q373_hll_by_group,
+    "q374_mp4_header" -> q374_mp4_header,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

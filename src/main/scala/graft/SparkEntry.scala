@@ -1922,6 +1922,52 @@ object SparkEntry {
       est.crossJoin(exact) // two 1-row frames
     }),
 
+    // MP4/ISO-BMFF container metadata: synthesized headers exercising
+    // both mvhd versions (u32/u64 offsets), free boxes, 64-bit
+    // largesize and to-EOF mdat forms, plus planted malformed
+    // variants (truncation, wrong first box) that must degrade to
+    // decoded = false. The oracle derives every field from the
+    // construction formulas alone — no bytes in SQL — so hash
+    // equality pins the real box walk end to end.
+    "q374_mp4_header" -> ((s, dir) => {
+      import s.implicits._
+      val brands = Seq("isom", "mp42", "avc1", "dash")
+      val vids = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 120)
+        .map { id =>
+          val b = graft.multimodal.Mp4.encodeHeader(
+            majorBrand = brands((id % 4).toInt),
+            timescale = 600L + (id % 5) * 300L,
+            duration = (id % 97) * 1000L + id,
+            nTracks = (1 + id % 3).toInt,
+            mvhdV1 = id % 2 == 1,
+            freeBefore = id % 3 == 0,
+            mdatBytes = (4 + id % 9).toInt,
+            mdatLargesize = id % 4 == 0,
+            mdatToEof = id % 4 == 2)
+          val bytes =
+            if (id % 11 == 7) b.take(20) // truncated mid-ftyp
+            else if (id % 11 == 3) { val c = b.clone(); c(4) = 'x'.toByte; c }
+            else b
+          id -> bytes
+        }.toDF("doc_id", "mp4")
+      vids.select(col("doc_id"),
+          graft.multimodal.Multimodal.mp4Header(col("mp4")).as("m"))
+        .select(col("doc_id"), col("m.decoded").as("decoded"),
+          col("m.major_brand").as("major_brand"),
+          col("m.mvhd_version").cast("long").as("mvhd_version"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_tracks").as("n_tracks"),
+          col("m.n_top_boxes").as("n_top_boxes"),
+          // 0/1 BIGINT, not nullable boolean: a NULL bool round-trips
+          // as None in pandas-from-parquet but NaN in duckdb.df()
+          col("m.has_mdat").cast("long").as("has_mdat"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-GROUP HLL: distinct (word, doc) pairs per lang — grouped
     // sketches for the whole dimension in ONE pass, estimates joined
     // to the exact per-group distinct for the visible error column.

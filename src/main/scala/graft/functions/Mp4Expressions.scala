@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MP4 / ISO-BMFF container metadata via the box walk (ISO/IEC
+  * 14496-12, public spec; no codec libs): a file is a sequence of
+  * `[size:u32][type:4cc][payload]` boxes, `size == 1` promotes to a
+  * 64-bit largesize after the type, `size == 0` means to-EOF (legal
+  * only for the last top-level box). The first box must be `ftyp`
+  * (major brand read); `moov`'s children are walked for `mvhd`
+  * (timescale/duration at version-dependent offsets — v0 u32 times,
+  * v1 u64) and the `trak` count. This is the VIDEO rung of the
+  * scan-side container family (PNG/JPEG/GIF/WAV): the typed metadata
+  * a curation pipeline filters on — duration, track count, brand —
+  * before paying for any decode (pixel/sample decode for general
+  * codecs stays stubbed per the environment contract,
+  * [[graft.multimodal.Multimodal.stubDecode]]).
+  *
+  * Degrade contract (the family discipline): wrong first box,
+  * truncation anywhere (header, largesize, payload, moov child),
+  * a child overrunning its parent, zero/overflowing sizes, missing
+  * or unknown-version mvhd, zero timescale — `decoded = false` with
+  * NULL fields, never an exception, never a garbage read.
+  *
+  * Scan-side contract: runs where the bytes are read; only the small
+  * typed struct leaves the projection — media bytes never shuffle. */
+object Mp4HeaderUtil {
+
+  private val NotDecoded: InternalRow = {
+    val r = new GenericInternalRow(9)
+    r.update(0, false)
+    r // fields 1-8 stay null
+  }
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  private def typ(b: Array[Byte], o: Int): Int =
+    // 4cc packed into an int — cheap compares, no string churn
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private val FTYP = typ("ftyp".getBytes, 0)
+  private val MOOV = typ("moov".getBytes, 0)
+  private val MVHD = typ("mvhd".getBytes, 0)
+  private val TRAK = typ("trak".getBytes, 0)
+  private val MDAT = typ("mdat".getBytes, 0)
+
+  def meta(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 16) return NotDecoded
+    var pos = 0L
+    val n = bytes.length.toLong
+    var brand: UTF8String = null
+    var timescale = -1L
+    var duration = -1L
+    var mvhdVer = -1
+    var nTracks = 0L
+    var nTop = 0L
+    var hasMdat = false
+    var first = true
+    while (pos < n) {
+      if (pos + 8 > n) return NotDecoded
+      var size = be32(bytes, pos.toInt)
+      val t = typ(bytes, pos.toInt + 4)
+      var hdr = 8L
+      if (size == 1) {
+        if (pos + 16 > n) return NotDecoded
+        size = be64(bytes, pos.toInt + 8)
+        hdr = 16L
+      } else if (size == 0) {
+        size = n - pos // to-EOF: the spec's last-box form
+      }
+      if (size < hdr || size > n - pos) return NotDecoded
+      if (first) {
+        if (t != FTYP || size < hdr + 4) return NotDecoded
+        brand = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, (pos + hdr).toInt,
+            (pos + hdr + 4).toInt))
+        first = false
+      } else if (t == MDAT) {
+        hasMdat = true
+      } else if (t == MOOV) {
+        var cp = pos + hdr
+        val end = pos + size
+        while (cp < end) {
+          if (cp + 8 > end) return NotDecoded
+          var cs = be32(bytes, cp.toInt)
+          val ct = typ(bytes, cp.toInt + 4)
+          var ch = 8L
+          if (cs == 1) {
+            if (cp + 16 > end) return NotDecoded
+            cs = be64(bytes, cp.toInt + 8)
+            ch = 16L
+          } else if (cs == 0) {
+            cs = end - cp // to-end-of-parent
+          }
+          if (cs < ch || cs > end - cp) return NotDecoded
+          if (ct == TRAK) nTracks += 1
+          else if (ct == MVHD) {
+            val o = (cp + ch).toInt
+            if (ch + 4 > cs) return NotDecoded
+            val v = bytes(o) & 0xff
+            mvhdVer = v
+            if (v == 0) {
+              if (ch + 20 > cs) return NotDecoded
+              timescale = be32(bytes, o + 12)
+              duration = be32(bytes, o + 16)
+            } else if (v == 1) {
+              if (ch + 32 > cs) return NotDecoded
+              timescale = be32(bytes, o + 20)
+              duration = be64(bytes, o + 24)
+            } else return NotDecoded
+          }
+          cp += cs
+        }
+      }
+      nTop += 1
+      pos += size
+    }
+    if (brand == null || mvhdVer < 0 || timescale <= 0 || duration < 0 ||
+      duration > Long.MaxValue / 1000) return NotDecoded
+    val r = new GenericInternalRow(9)
+    r.update(0, true)
+    r.update(1, brand)
+    r.update(2, mvhdVer)
+    r.update(3, timescale)
+    r.update(4, duration)
+    r.update(5, duration * 1000L / timescale)
+    r.update(6, nTracks)
+    r.update(7, nTop)
+    r.update(8, hasMdat)
+    r
+  }
+}
+
+/** MP4 container metadata as a native codegen'd expression — see
+  * [[Mp4HeaderUtil.meta]] for the walk and the degrade contract. */
+case class Mp4Header(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = Mp4Header.schema
+
+  override def prettyName: String = "mp4_header"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Mp4HeaderUtil.meta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Mp4HeaderUtil.meta($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4Header =
+    copy(child = newChild)
+}
+
+object Mp4Header {
+  val schema: StructType = StructType(Seq(
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("major_brand", StringType),
+    StructField("mvhd_version", IntegerType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", LongType),
+    StructField("n_top_boxes", LongType),
+    StructField("has_mdat", BooleanType)))
+}
+
+object Mp4Functions {
+
+  val fnName = "graft_mp4_header"
+
+  private[functions] def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(fnName)))
+      registry.createOrReplaceTempFunction(fnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$fnName takes 1 argument")
+          Mp4Header(children.head)
+        },
+        "built-in")
+  }
+
+  def mp4Header(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(fnName, c)
+  }
+}

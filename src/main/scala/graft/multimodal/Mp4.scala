@@ -1,0 +1,72 @@
+package graft.multimodal
+
+/** Minimal ISO-BMFF (MP4) writer for fixtures — the byte-level
+  * counterpart of [[Mp4HeaderUtil]]'s box walk, public-spec only
+  * (ISO/IEC 14496-12: a file is a sequence of boxes, each
+  * `[size:u32][type:4cc][payload]`, with `size == 1` promoting to a
+  * 64-bit `largesize` after the type and `size == 0` meaning
+  * "to end of file", legal only for the last top-level box).
+  * Synthesizes `ftyp` + optional `free` + `moov(mvhd, trak*)` +
+  * `mdat`, with both mvhd versions (v0: u32 times, v1: u64) so the
+  * parser's offset arithmetic is exercised on both layouts. No codec
+  * payloads — this is the CONTAINER level a curation pipeline filters
+  * on before paying for any decode. */
+object Mp4 {
+
+  private def u32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+
+  private def fourcc(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourcc must be 4 chars, got '$s'")
+    s.getBytes("US-ASCII")
+  }
+
+  /** One box; `largesize = true` writes the 16-byte header form. */
+  def box(tpe: String, payload: Array[Byte],
+          largesize: Boolean = false): Array[Byte] =
+    if (largesize)
+      u32(1) ++ fourcc(tpe) ++ u64(16L + payload.length) ++ payload
+    else u32(8L + payload.length) ++ fourcc(tpe) ++ payload
+
+  /** mvhd payload (spec sizes: v0 = 100 bytes, v1 = 112): version +
+    * flags, creation/modification (fixed 3600 — fields the parser
+    * skips over, so wrong offsets surface as garbage timescale),
+    * timescale, duration, then rate/volume/matrix/next-track zeros. */
+  def mvhd(timescale: Long, duration: Long, v1: Boolean): Array[Byte] = {
+    val head =
+      if (v1) Array[Byte](1, 0, 0, 0) ++ u64(3600) ++ u64(3600) ++
+        u32(timescale) ++ u64(duration)
+      else Array[Byte](0, 0, 0, 0) ++ u32(3600) ++ u32(3600) ++
+        u32(timescale) ++ u32(duration)
+    box("mvhd", head ++ Array.fill[Byte](80)(0))
+  }
+
+  /** A structurally-valid header: ftyp(major brand + minor + two
+    * compatible brands), optional free box, moov(mvhd + nTracks
+    * trak(tkhd-stub)), mdat (optionally with the 64-bit largesize
+    * header, optionally written as size = 0 = "to EOF"). */
+  def encodeHeader(majorBrand: String, timescale: Long, duration: Long,
+                   nTracks: Int, mvhdV1: Boolean = false,
+                   freeBefore: Boolean = false, mdatBytes: Int = 8,
+                   mdatLargesize: Boolean = false,
+                   mdatToEof: Boolean = false): Array[Byte] = {
+    require(nTracks >= 0 && mdatBytes >= 0)
+    val ftyp = box("ftyp",
+      fourcc(majorBrand) ++ u32(0) ++ fourcc("isom") ++ fourcc("mp41"))
+    val free =
+      if (freeBefore) box("free", Array.fill[Byte](4)(0))
+      else Array.empty[Byte]
+    val traks = (0 until nTracks)
+      .map(_ => box("trak", box("tkhd", Array.fill[Byte](84)(0))))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val moov = box("moov", mvhd(timescale, duration, mvhdV1) ++ traks)
+    val mdatPayload = Array.fill[Byte](mdatBytes)(0x55)
+    val mdat =
+      if (mdatToEof) u32(0) ++ fourcc("mdat") ++ mdatPayload
+      else box("mdat", mdatPayload, largesize = mdatLargesize)
+    ftyp ++ free ++ moov ++ mdat
+  }
+}

@@ -72,6 +72,18 @@ object Multimodal {
   def gifFrames(bin: Column): Column =
     graft.functions.GifFunctions.gifFrames(bin)
 
+  /** MP4 / ISO-BMFF container metadata (major brand, mvhd
+    * timescale/duration/duration_ms, track count, top-level box
+    * census) via the native [[graft.functions.Mp4Header]] box walk —
+    * the VIDEO rung of the scan-side container family: the typed
+    * fields a curation pipeline filters on (duration, tracks, brand)
+    * before paying for any decode; codec payloads stay stubbed per
+    * the environment contract ([[stubDecode]]). Malformed/truncated
+    * blobs yield decoded = false, never an error; bytes never
+    * shuffle. */
+  def mp4Header(bin: Column): Column =
+    graft.functions.Mp4Functions.mp4Header(bin)
+
   /** REAL image resize: nearest-neighbor PNG thumbnail (decode →
     * integer-stride downsample → re-encode, all java.util.zip — see
     * [[graft.functions.PngThumbUtil]] for the stated kernel and

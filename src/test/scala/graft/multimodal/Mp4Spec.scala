@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+class Mp4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = true)))
+
+  private def media(rows: (Long, Array[Byte])*) =
+    df(schema, rows.map { case (i, b) => Row(i, b) }: _*)
+
+  private def parse(b: Array[Byte]) = media(1L -> b)
+    .select(Multimodal.mp4Header(col("media")).as("m"))
+    .select("m.decoded", "m.major_brand", "m.mvhd_version", "m.timescale",
+      "m.duration", "m.duration_ms", "m.n_tracks", "m.n_top_boxes",
+      "m.has_mdat")
+    .collect().head
+
+  test("mp4Header: hand-built v0 header — every field from the construction") {
+    val b = Mp4.encodeHeader("isom", timescale = 600, duration = 1501,
+      nTracks = 2, mvhdV1 = false, freeBefore = true)
+    val r = parse(b)
+    r.getBoolean(0) shouldBe true
+    r.getString(1) shouldBe "isom"
+    r.getInt(2) shouldBe 0
+    r.getLong(3) shouldBe 600L
+    r.getLong(4) shouldBe 1501L
+    r.getLong(5) shouldBe 2501L // 1501*1000/600 floor
+    r.getLong(6) shouldBe 2L
+    r.getLong(7) shouldBe 4L // ftyp free moov mdat
+    r.getBoolean(8) shouldBe true
+  }
+
+  test("mp4Header: v1 (64-bit times), largesize mdat, and to-EOF mdat all parse") {
+    val v1 = parse(Mp4.encodeHeader("mp42", 1000, 123456789L, 1,
+      mvhdV1 = true, mdatLargesize = true))
+    v1.getInt(2) shouldBe 1
+    v1.getLong(4) shouldBe 123456789L
+    v1.getLong(5) shouldBe 123456789L
+    val eof = parse(Mp4.encodeHeader("avc1", 90000, 90000, 3,
+      mdatToEof = true))
+    eof.getBoolean(0) shouldBe true
+    eof.getLong(6) shouldBe 3L
+    eof.getBoolean(8) shouldBe true
+  }
+
+  test("mp4Header degrade contract: truncation, wrong first box, bad sizes, zero timescale") {
+    def declined(b: Array[Byte]): Unit = {
+      val r = parse(b)
+      withClue(s"bytes len ${b.length}: ") { r.getBoolean(0) shouldBe false }
+      r.isNullAt(1) shouldBe true
+    }
+    val good = Mp4.encodeHeader("isom", 600, 1200, 1)
+    declined(good.take(20))               // truncated mid-ftyp
+    declined(good.take(good.length - 3))  // truncated mid-mdat
+    declined { val c = good.clone(); c(4) = 'x'.toByte; c } // not ftyp first
+    declined { val c = good.clone(); c(3) = 120.toByte; c } // ftyp size overruns
+    declined(Mp4.encodeHeader("isom", 0, 1200, 1))  // zero timescale
+    declined(Array[Byte](1, 2, 3))        // too short
+    declined("RIFF....WAVE".getBytes("US-ASCII") ++ new Array[Byte](20))
+    // moov child overrunning its parent: ftyp is 24 bytes, moov header
+    // at 24, mvhd child header at 32 — inflate a high byte of the mvhd
+    // size so the child claims far more than the parent holds
+    val c = Mp4.encodeHeader("isom", 600, 1200, 1)
+    c(32 + 1) = 127.toByte
+    declined(c)
+  }
+
+  test("mp4Header: interpreted and codegen paths agree") {
+    val d = media((1L to 12L).map(i =>
+      i -> Mp4.encodeHeader(Seq("isom", "mp42")((i % 2).toInt),
+        600 + i * 7, i * 1000 + 3, (i % 4).toInt,
+        mvhdV1 = i % 3 == 0, freeBefore = i % 2 == 0,
+        mdatBytes = (i % 5).toInt)): _*)
+    def run(): Seq[(Long, String, Long)] = d
+      .select(col("id"), Multimodal.mp4Header(col("media")).as("m"))
+      .select(col("id"), col("m.major_brand"), col("m.duration_ms"))
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    val codegen = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      run() shouldBe codegen
+    }
+    codegen.map(_._2).distinct.sorted shouldBe Seq("isom", "mp42")
+  }
+}
