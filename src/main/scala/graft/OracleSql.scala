@@ -8853,6 +8853,73 @@ SELECT m, n_used, n_zero, s_scaled, raw_est,
 FROM est2 CROSS JOIN ex"""
   }
 
+  /** q375 twin of [[graft.analytics.Sketches.hllOverlap]]: the q371
+    * register/S/branch machinery instantiated THREE times (set A,
+    * set B, and the union replayed as max over the concatenated
+    * register streams ≡ hllMerge), then the same milli-unit
+    * inclusion–exclusion arithmetic and the exact intersection. */
+  val q375_hll_overlap: String = {
+    val alpha = f"${graft.analytics.Sketches.hllAlphaNum}%.17g"
+    val lcList = graft.analytics.Sketches.linearCountMilli
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ",", "]")
+    def chain(nm: String, src: String) = s"""
+${nm}_regs AS (
+  SELECT h >> 46 AS register,
+    CASE WHEN (h & 70368744177663) = 0 THEN 47
+         ELSE 47 - length(bin(h & 70368744177663)) END AS rho
+  FROM (SELECT CAST(('0x' || substr(md5(wd), 1, 14)) AS BIGINT) AS h
+        FROM $src)),
+${nm}_sk AS (SELECT register, max(rho) AS max_rho
+             FROM ${nm}_regs GROUP BY register),
+${nm}_m AS (
+  SELECT CASE WHEN (1024 - n_used) > 0
+              AND $alpha / CAST(s_scaled AS DOUBLE) <= 2560.0
+         THEN ($lcList)[CAST(1024 - n_used + 1 AS INT)]
+         ELSE CAST(round($alpha / CAST(s_scaled AS DOUBLE) * 1000)
+                   AS BIGINT) END AS est
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n_used,
+          CAST(coalesce(sum(CAST(1 AS BIGINT) << (47 - max_rho)), 0)
+            + (1024 - count(*)) * (CAST(1 AS BIGINT) << 47)
+            AS BIGINT) AS s_scaled
+        FROM ${nm}_sk))"""
+    s"""
+WITH w0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+w AS (
+  SELECT doc_id, word || '_' || CAST(doc_id AS VARCHAR) AS wd
+  FROM w0 WHERE word <> ''),
+wa AS (SELECT wd FROM w WHERE doc_id % 3 <> 0),
+wb AS (SELECT wd FROM w WHERE doc_id % 3 <> 1),
+${chain("a", "wa")},
+${chain("b", "wb")},
+u_sk AS (
+  SELECT register, max(max_rho) AS max_rho FROM (
+    SELECT register, max_rho FROM a_sk
+    UNION ALL SELECT register, max_rho FROM b_sk)
+  GROUP BY register),
+u_m AS (
+  SELECT CASE WHEN (1024 - n_used) > 0
+              AND $alpha / CAST(s_scaled AS DOUBLE) <= 2560.0
+         THEN ($lcList)[CAST(1024 - n_used + 1 AS INT)]
+         ELSE CAST(round($alpha / CAST(s_scaled AS DOUBLE) * 1000)
+                   AS BIGINT) END AS est
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n_used,
+          CAST(coalesce(sum(CAST(1 AS BIGINT) << (47 - max_rho)), 0)
+            + (1024 - count(*)) * (CAST(1 AS BIGINT) << 47)
+            AS BIGINT) AS s_scaled
+        FROM u_sk)),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT DISTINCT wd FROM wa) ia
+  JOIN (SELECT DISTINCT wd FROM wb) ib USING (wd))
+SELECT a_m.est AS est_a_milli, b_m.est AS est_b_milli,
+  u_m.est AS est_union_milli,
+  a_m.est + b_m.est - u_m.est AS inter_raw_milli,
+  greatest(a_m.est + b_m.est - u_m.est, 0) AS est_intersection_milli,
+  exact_intersection
+FROM a_m CROSS JOIN b_m CROSS JOIN u_m CROSS JOIN ex"""
+  }
+
   /** q374 twin of [[graft.functions.Mp4HeaderUtil.meta]]: every
     * field derived from the fixture construction formulas alone —
     * no MP4 bytes anywhere in SQL (the q114/q121 discipline), so
@@ -10657,6 +10724,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q372_cms_counts" -> q372_cms_counts,
     "q373_hll_by_group" -> q373_hll_by_group,
     "q374_mp4_header" -> q374_mp4_header,
+    "q375_hll_overlap" -> q375_hll_overlap,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1922,6 +1922,26 @@ object SparkEntry {
       est.crossJoin(exact) // two 1-row frames
     }),
 
+    // HLL set-overlap by inclusion-exclusion: the sketch-level
+    // train-vs-benchmark contamination probe — |A ∩ B| estimated
+    // from three kilobyte sketches (A, B, max-merge union), never a
+    // raw join; exact intersection alongside for the visible error.
+    "q375_hll_overlap" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          concat(col("word"), lit("_"), col("doc_id")).as("wd"))
+      val a = words.filter(col("doc_id") % 3 =!= 0)
+      val b = words.filter(col("doc_id") % 3 =!= 1)
+      val est = graft.analytics.Sketches.hllOverlap(
+        graft.analytics.Sketches.hllSketch(a, "wd"),
+        graft.analytics.Sketches.hllSketch(b, "wd"))
+      val exact = a.select("wd").intersect(b.select("wd"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      est.crossJoin(exact) // 1-row frames
+    }),
+
     // MP4/ISO-BMFF container metadata: synthesized headers exercising
     // both mvhd versions (u32/u64 offsets), free boxes, 64-bit
     // largesize and to-EOF mdat forms, plus planted malformed

@@ -116,6 +116,32 @@ object Sketches {
           .otherwise(round(col("raw_est") * 1000).cast("long")))
   }
 
+  /** Distinct-overlap estimate of two sketched sets by
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    * the union sketch is [[hllMerge]]'s pointwise max — the only set
+    * operation HLL supports natively, which is exactly why the
+    * intersection must come from I–E (stated error caveat: the
+    * estimate inherits ~1σ from EACH term, so small true overlaps of
+    * large sets drown in noise — the standard HLL limitation; a small
+    * result says "no large overlap", not "no overlap"). The
+    * LLM-pipeline use: estimate train ∩ benchmark contamination
+    * across shards from kilobyte sketches without ever joining raw
+    * data, then escalate to the exact E-contamination scan only where
+    * the sketch says the overlap is material. One row out; integer
+    * milli units end to end (est_milli differences — can go NEGATIVE
+    * from estimator noise; clamped at 0 with the raw value kept). */
+  def hllOverlap(skA: DataFrame, skB: DataFrame): DataFrame = {
+    def one(sk: DataFrame, name: String) =
+      hllEstimate(sk).select(col("est_milli").as(name))
+    one(skA, "est_a_milli")
+      .crossJoin(one(skB, "est_b_milli")) // 1-row frames
+      .crossJoin(one(hllMerge(skA, skB), "est_union_milli"))
+      .withColumn("inter_raw_milli",
+        col("est_a_milli") + col("est_b_milli") - col("est_union_milli"))
+      .withColumn("est_intersection_milli",
+        greatest(col("inter_raw_milli"), lit(0L)))
+  }
+
   /** Per-GROUP register frames — the everyday shape ("distinct users
     * per day/source/shard"): one row per occupied (group, register),
     * same construction as [[hllSketch]], one hash aggregate total

@@ -89,6 +89,29 @@ class SketchesSpec extends SparkSpec {
     est.map(_._2).max should be > 1L   // and collisions are visible
   }
 
+  test("hllOverlap: inclusion-exclusion lands near the true intersection; disjoint sets near zero") {
+    val a = vals((1 to 2000).map(i => s"k$i"): _*)
+    val b = vals((1001 to 3000).map(i => s"k$i"): _*) // true overlap 1000
+    val r = Sketches.hllOverlap(
+      Sketches.hllSketch(a, "v"), Sketches.hllSketch(b, "v"))
+      .collect().head
+    val inter = r.getAs[Long]("est_intersection_milli") / 1000.0
+    // each term carries ~3.25% sigma of its OWN magnitude (~2-3k), so
+    // the I-E noise floor is a few hundred — allow a wide band
+    inter should be > 500.0
+    inter should be < 1500.0
+    // union consistency: est(A u B) <= est(A) + est(B) in millis
+    r.getAs[Long]("est_union_milli") should be <=
+      (r.getAs[Long]("est_a_milli") + r.getAs[Long]("est_b_milli"))
+    // disjoint sets: clamped at zero or a small noise value
+    val d = Sketches.hllOverlap(
+      Sketches.hllSketch(vals((1 to 500).map(i => s"p$i"): _*), "v"),
+      Sketches.hllSketch(vals((1 to 500).map(i => s"q$i"): _*), "v"))
+      .collect().head
+    d.getAs[Long]("est_intersection_milli") should be >= 0L
+    (d.getAs[Long]("est_intersection_milli") / 1000.0) should be < 100.0
+  }
+
   test("hllSketchBy/hllEstimateBy: per-group registers equal the per-group global sketch") {
     val d = ((1 to 300).map(i => ("a", s"x$i")) ++
       (1 to 40).map(i => ("b", s"y$i"))).toDF("g", "v")
