@@ -145,6 +145,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL register frame matches the batch sketch across micro-batches") {
+    // the sketch IS a streaming aggregation: groupBy(register).max(rho)
+    // runs in complete mode with state bounded by m = 1024 rows no
+    // matter how many values stream past — distinct-cardinality over
+    // an unbounded stream at fixed memory, equal to the batch sketch
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val b1 = (1 to 150).map(i => ev(i, (i % 60).toLong, s"u${i % 40}"))
+    val b2 = (151 to 300).map(i => ev(i.toLong, (i % 60).toLong, s"u${i % 70}"))
+    val q = graft.analytics.Sketches.hllSketch(ms.toDF(), "event_type")
+      .writeStream.format("memory").queryName("hll_out")
+      .option("checkpointLocation", tmp("hll-ckpt")).outputMode("complete")
+      .start()
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out")
+      streamed.count() should be <= 1024L // state bound, the claim
+      val batch = graft.analytics.Sketches.hllSketch(
+        (b1 ++ b2).toDF(), "event_type")
+      assertSameRows(streamed, batch)
+      val estStream = graft.analytics.Sketches.hllEstimate(streamed)
+        .select("est_milli").as[Long].head()
+      val estBatch = graft.analytics.Sketches.hllEstimate(batch)
+        .select("est_milli").as[Long].head()
+      estStream shouldBe estBatch
+    } finally q.stop()
+  }
+
   test("file-source stream: parquet drops process via AvailableNow and match batch") {
     import org.apache.spark.sql.streaming.Trigger
     val landing = tmp("landing")
