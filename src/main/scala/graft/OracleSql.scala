@@ -8951,6 +8951,26 @@ SELECT doc_id,
   CASE WHEN malformed THEN NULL ELSE CAST(1 AS BIGINT) END AS has_mdat
 FROM p ORDER BY doc_id"""
 
+  /** q376 twin of [[graft.functions.Mp4TrackUtil.tracks]]: per-track
+    * rows derived from the same construction formulas (track_ID =
+    * i+1, the movie duration, 320+16i × 240+8i px, tkhd version =
+    * the file's mvhd version); malformed files contribute no rows. */
+  val q376_mp4_tracks: String = """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 97) * 1000 + doc_id AS duration,
+    1 + doc_id % 3 AS n_tracks,
+    doc_id % 2 AS mvhd_version,
+    (doc_id % 11) IN (3, 7) AS malformed
+  FROM documents WHERE doc_id < 120)
+SELECT doc_id, i AS track_index, i + 1 AS track_id,
+  CAST(mvhd_version AS BIGINT) AS tkhd_version,
+  CAST(duration AS BIGINT) AS duration,
+  320 + 16 * i AS width_px, 240 + 8 * i AS height_px
+FROM p, LATERAL (SELECT unnest(range(0, CAST(n_tracks AS BIGINT))) AS i) r
+WHERE NOT malformed
+ORDER BY doc_id, track_index"""
+
   /** q373 twin of [[graft.analytics.Sketches.hllSketchBy]] +
     * [[graft.analytics.Sketches.hllEstimateBy]]: the q371 pipeline
     * with a lang dimension through registers, S, and the branch. */
@@ -10725,6 +10745,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q373_hll_by_group" -> q373_hll_by_group,
     "q374_mp4_header" -> q374_mp4_header,
     "q375_hll_overlap" -> q375_hll_overlap,
+    "q376_mp4_tracks" -> q376_mp4_tracks,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -1988,6 +1988,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-track MP4 inventory: q374's fixture corpus exploded to one
+    // row per trak with its tkhd fields (id, version-dependent
+    // offsets, 16.16 -> px dimensions); malformed files contribute
+    // zero rows (NULL array). Oracle derives every row from the
+    // construction formulas — no bytes in SQL.
+    "q376_mp4_tracks" -> ((s, dir) => {
+      import s.implicits._
+      val brands = Seq("isom", "mp42", "avc1", "dash")
+      val vids = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 120)
+        .map { id =>
+          val b = graft.multimodal.Mp4.encodeHeader(
+            majorBrand = brands((id % 4).toInt),
+            timescale = 600L + (id % 5) * 300L,
+            duration = (id % 97) * 1000L + id,
+            nTracks = (1 + id % 3).toInt,
+            mvhdV1 = id % 2 == 1,
+            freeBefore = id % 3 == 0,
+            mdatBytes = (4 + id % 9).toInt,
+            mdatLargesize = id % 4 == 0,
+            mdatToEof = id % 4 == 2)
+          val bytes =
+            if (id % 11 == 7) b.take(20)
+            else if (id % 11 == 3) { val c = b.clone(); c(4) = 'x'.toByte; c }
+            else b
+          id -> bytes
+        }.toDF("doc_id", "mp4")
+      vids.select(col("doc_id"),
+          explode(graft.multimodal.Multimodal.mp4Tracks(col("mp4"))).as("t"))
+        .select(col("doc_id"),
+          col("t.track_index").as("track_index"),
+          col("t.track_id").as("track_id"),
+          col("t.tkhd_version").cast("long").as("tkhd_version"),
+          col("t.duration").as("duration"),
+          col("t.width_px").as("width_px"),
+          col("t.height_px").as("height_px"))
+        .orderBy(col("doc_id"), col("track_index"))
+    }),
+
     // Per-GROUP HLL: distinct (word, doc) pairs per lang — grouped
     // sketches for the whole dimension in ONE pass, estimates joined
     // to the exact per-group distinct for the visible error column.

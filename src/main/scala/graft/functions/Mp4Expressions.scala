@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -146,6 +147,167 @@ object Mp4HeaderUtil {
   }
 }
 
+/** Per-track MP4 inventory via the same box walk as [[Mp4HeaderUtil]]
+  * — the `gifFrames` analog for video: one row per `trak` in stream
+  * order with its `tkhd` fields (track id, duration, pixel dimensions
+  * from the 16.16 fixed-point width/height), which is what a
+  * frame-sampling or track-selection pipeline filters on (keep the
+  * video track, drop sub-second tracks, bucket by resolution) BEFORE
+  * paying for any sample decode. Both tkhd versions handled at their
+  * spec offsets (v0 u32 times, v1 u64).
+  *
+  * Degrade contract: identical to [[Mp4HeaderUtil.meta]] — any
+  * malformation (bad top-level structure, child overrun, a trak
+  * without a parseable tkhd, unknown tkhd version) yields NULL (the
+  * whole array), never an exception. */
+object Mp4TrackUtil {
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  private def typ(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private val FTYP = typ("ftyp".getBytes, 0)
+  private val MOOV = typ("moov".getBytes, 0)
+  private val TRAK = typ("trak".getBytes, 0)
+  private val TKHD = typ("tkhd".getBytes, 0)
+
+  /** Null on malformed; else one 6-field row per trak in stream
+    * order: (track_index, track_id, tkhd_version, duration, width_px,
+    * height_px). */
+  def tracks(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 16) return null
+    val n = bytes.length.toLong
+    var pos = 0L
+    var first = true
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    while (pos < n) {
+      if (pos + 8 > n) return null
+      var size = be32(bytes, pos.toInt)
+      val t = typ(bytes, pos.toInt + 4)
+      var hdr = 8L
+      if (size == 1) {
+        if (pos + 16 > n) return null
+        size = be64(bytes, pos.toInt + 8)
+        hdr = 16L
+      } else if (size == 0) size = n - pos
+      if (size < hdr || size > n - pos) return null
+      if (first && t != FTYP) return null
+      first = false
+      if (t == MOOV) {
+        var cp = pos + hdr
+        val end = pos + size
+        while (cp < end) {
+          if (cp + 8 > end) return null
+          var cs = be32(bytes, cp.toInt)
+          val ct = typ(bytes, cp.toInt + 4)
+          var ch = 8L
+          if (cs == 1) {
+            if (cp + 16 > end) return null
+            cs = be64(bytes, cp.toInt + 8)
+            ch = 16L
+          } else if (cs == 0) cs = end - cp
+          if (cs < ch || cs > end - cp) return null
+          if (ct == TRAK) {
+            // first tkhd child of this trak
+            var tp = cp + ch
+            val tend = cp + cs
+            var found = false
+            while (!found && tp < tend) {
+              if (tp + 8 > tend) return null
+              var ts = be32(bytes, tp.toInt)
+              val tt = typ(bytes, tp.toInt + 4)
+              var th = 8L
+              if (ts == 1) {
+                if (tp + 16 > tend) return null
+                ts = be64(bytes, tp.toInt + 8)
+                th = 16L
+              } else if (ts == 0) ts = tend - tp
+              if (ts < th || ts > tend - tp) return null
+              if (tt == TKHD) {
+                val o = (tp + th).toInt
+                if (th + 4 > ts) return null
+                val v = bytes(o) & 0xff
+                val row = new GenericInternalRow(6)
+                row.update(0, out.length.toLong)
+                if (v == 0) {
+                  if (th + 84 > ts) return null
+                  row.update(1, be32(bytes, o + 12)) // track_ID
+                  row.update(2, 0)
+                  row.update(3, be32(bytes, o + 20)) // duration
+                  row.update(4, be32(bytes, o + 76) >> 16)
+                  row.update(5, be32(bytes, o + 80) >> 16)
+                } else if (v == 1) {
+                  if (th + 96 > ts) return null
+                  row.update(1, be32(bytes, o + 20))
+                  row.update(2, 1)
+                  row.update(3, be64(bytes, o + 28))
+                  row.update(4, be32(bytes, o + 88) >> 16)
+                  row.update(5, be32(bytes, o + 92) >> 16)
+                } else return null
+                out += row
+                found = true
+              }
+              tp += ts
+            }
+            if (!found) return null // a trak without a tkhd: malformed
+          }
+          cp += cs
+        }
+      }
+      pos += size
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Per-track MP4 inventory as a native codegen'd expression — see
+  * [[Mp4TrackUtil.tracks]]. */
+case class Mp4Tracks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = Mp4Tracks.schema
+
+  override def prettyName: String = "mp4_tracks"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Mp4TrackUtil.tracks(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // nullSafeCodeGen, not defineCodeGen: tracks() returns null for
+    // malformed input, and the value-only form would hand consumers a
+    // null with isNull = false (the GifFrames device)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Mp4TrackUtil.tracks($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4Tracks =
+    copy(child = newChild)
+}
+
+object Mp4Tracks {
+  val trackSchema: StructType = StructType(Seq(
+    StructField("track_index", LongType, nullable = false),
+    StructField("track_id", LongType, nullable = false),
+    StructField("tkhd_version", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("width_px", LongType, nullable = false),
+    StructField("height_px", LongType, nullable = false)))
+  val schema: DataType = ArrayType(trackSchema, containsNull = false)
+}
+
 /** MP4 container metadata as a native codegen'd expression — see
   * [[Mp4HeaderUtil.meta]] for the walk and the degrade contract. */
 case class Mp4Header(child: Expression) extends UnaryExpression {
@@ -186,6 +348,7 @@ object Mp4Header {
 object Mp4Functions {
 
   val fnName = "graft_mp4_header"
+  val tracksFnName = "graft_mp4_tracks"
 
   private[functions] def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -196,10 +359,22 @@ object Mp4Functions {
           Mp4Header(children.head)
         },
         "built-in")
+    if (!registry.functionExists(FunctionIdentifier(tracksFnName)))
+      registry.createOrReplaceTempFunction(tracksFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$tracksFnName takes 1 argument")
+          Mp4Tracks(children.head)
+        },
+        "built-in")
   }
 
   def mp4Header(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(fnName, c)
+  }
+
+  def mp4Tracks(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(tracksFnName, c)
   }
 }

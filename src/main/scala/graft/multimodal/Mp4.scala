@@ -44,10 +44,32 @@ object Mp4 {
     box("mvhd", head ++ Array.fill[Byte](80)(0))
   }
 
+  /** tkhd payload (spec sizes: v0 = 84 bytes, v1 = 96): version +
+    * flags (flags = 7: enabled|in-movie|in-preview, the common case),
+    * creation/modification, track_ID, reserved, duration, reserved×2,
+    * layer/alternate-group/volume/reserved shorts, unity matrix,
+    * width/height in 16.16 fixed point. */
+  def tkhd(trackId: Long, duration: Long, widthPx: Long, heightPx: Long,
+           v1: Boolean): Array[Byte] = {
+    val matrix = u32(0x00010000L) ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32(0x00010000L) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ u32(0x40000000L)
+    val head =
+      if (v1) Array[Byte](1, 0, 0, 7) ++ u64(3600) ++ u64(3600) ++
+        u32(trackId) ++ u32(0) ++ u64(duration)
+      else Array[Byte](0, 0, 0, 7) ++ u32(3600) ++ u32(3600) ++
+        u32(trackId) ++ u32(0) ++ u32(duration)
+    box("tkhd", head ++ u32(0) ++ u32(0) ++
+      Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) ++ // layer, alt_group, volume, reserved
+      matrix ++ u32(widthPx << 16) ++ u32(heightPx << 16))
+  }
+
   /** A structurally-valid header: ftyp(major brand + minor + two
     * compatible brands), optional free box, moov(mvhd + nTracks
-    * trak(tkhd-stub)), mdat (optionally with the 64-bit largesize
-    * header, optionally written as size = 0 = "to EOF"). */
+    * trak(tkhd with deterministic per-track fields: track_ID = i+1,
+    * the movie duration, 320+16i × 240+8i px)), mdat (optionally with
+    * the 64-bit largesize header, optionally written as size = 0 =
+    * "to EOF"). */
   def encodeHeader(majorBrand: String, timescale: Long, duration: Long,
                    nTracks: Int, mvhdV1: Boolean = false,
                    freeBefore: Boolean = false, mdatBytes: Int = 8,
@@ -60,7 +82,8 @@ object Mp4 {
       if (freeBefore) box("free", Array.fill[Byte](4)(0))
       else Array.empty[Byte]
     val traks = (0 until nTracks)
-      .map(_ => box("trak", box("tkhd", Array.fill[Byte](84)(0))))
+      .map(i => box("trak", tkhd(i + 1L, duration, 320L + 16 * i,
+        240L + 8 * i, v1 = mvhdV1)))
       .foldLeft(Array.empty[Byte])(_ ++ _)
     val moov = box("moov", mvhd(timescale, duration, mvhdV1) ++ traks)
     val mdatPayload = Array.fill[Byte](mdatBytes)(0x55)

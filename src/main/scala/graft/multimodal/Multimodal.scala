@@ -84,6 +84,16 @@ object Multimodal {
   def mp4Header(bin: Column): Column =
     graft.functions.Mp4Functions.mp4Header(bin)
 
+  /** Per-track MP4 inventory (one struct per `trak` in stream order:
+    * id, tkhd version, duration, pixel dimensions from the 16.16
+    * fixed-point fields) via the native [[graft.functions.Mp4Tracks]]
+    * walk — the track-selection plumbing a video pipeline runs (keep
+    * the video track, bucket by resolution) before any sample decode.
+    * Malformed blobs yield NULL (whole array), never an error; bytes
+    * never shuffle. */
+  def mp4Tracks(bin: Column): Column =
+    graft.functions.Mp4Functions.mp4Tracks(bin)
+
   /** REAL image resize: nearest-neighbor PNG thumbnail (decode →
     * integer-stride downsample → re-encode, all java.util.zip — see
     * [[graft.functions.PngThumbUtil]] for the stated kernel and

@@ -73,6 +73,34 @@ class Mp4Spec extends SparkSpec {
     declined(c)
   }
 
+  test("mp4Tracks: one row per trak with tkhd fields, both versions; malformed -> NULL") {
+    val v0 = Mp4.encodeHeader("isom", 600, 777, 3, mvhdV1 = false)
+    val rows = media(1L -> v0)
+      .select(explode(Multimodal.mp4Tracks(col("media"))).as("t"))
+      .select("t.track_index", "t.track_id", "t.tkhd_version",
+        "t.duration", "t.width_px", "t.height_px")
+      .orderBy("t.track_index")
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSeq
+    rows shouldBe Seq(
+      (0L, 1L, 0, 777L, 320L, 240L),
+      (1L, 2L, 0, 777L, 336L, 248L),
+      (2L, 3L, 0, 777L, 352L, 256L))
+    val v1 = Mp4.encodeHeader("mp42", 1000, 5000, 1, mvhdV1 = true)
+    media(1L -> v1)
+      .select(explode(Multimodal.mp4Tracks(col("media"))).as("t"))
+      .select("t.tkhd_version", "t.duration")
+      .as[(Int, Long)].head() shouldBe ((1, 5000L))
+    // malformed: whole array NULL (and the codegen path must not NPE)
+    media(1L -> v0.take(20))
+      .select(Multimodal.mp4Tracks(col("media")).isNull.as("n"))
+      .as[Boolean].head() shouldBe true
+    // zero tracks: empty array, not NULL
+    media(1L -> Mp4.encodeHeader("isom", 600, 1, 0))
+      .select(org.apache.spark.sql.functions.size(
+        Multimodal.mp4Tracks(col("media"))).as("s"))
+      .as[Int].head() shouldBe 0
+  }
+
   test("mp4Header: interpreted and codegen paths agree") {
     val d = media((1L to 12L).map(i =>
       i -> Mp4.encodeHeader(Seq("isom", "mp42")((i % 2).toInt),
