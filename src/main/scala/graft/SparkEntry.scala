@@ -87,6 +87,36 @@ object SparkEntry {
           ELSE concat('Disallow: /orphan\nUser-agent: *\n',
             'Crawl-delay: 2\nDisallow: /cgi\n') END""").as("robots_txt"))
 
+  /** Shared MP4 fixture for q374/q376 (oracle twins derive every
+    * field from these formulas — no bytes in SQL): 120 synthesized
+    * headers over both mvhd versions, free/largesize/to-EOF forms,
+    * with planted truncation (id % 11 == 7) and wrong-first-box
+    * (id % 11 == 3) rows that must degrade to decoded = false. */
+  def mp4Fixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val brands = Seq("isom", "mp42", "avc1", "dash")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .filter(_ < 120)
+      .map { id =>
+        val b = graft.multimodal.Mp4.encodeHeader(
+          majorBrand = brands((id % 4).toInt),
+          timescale = 600L + (id % 5) * 300L,
+          duration = (id % 97) * 1000L + id,
+          nTracks = (1 + id % 3).toInt,
+          mvhdV1 = id % 2 == 1,
+          freeBefore = id % 3 == 0,
+          mdatBytes = (4 + id % 9).toInt,
+          mdatLargesize = id % 4 == 0,
+          mdatToEof = id % 4 == 2)
+        val bytes =
+          if (id % 11 == 7) b.take(20) // truncated mid-ftyp
+          else if (id % 11 == 3) { val c = b.clone(); c(4) = 'x'.toByte; c }
+          else b
+        id -> bytes
+      }.toDF("doc_id", "mp4")
+  }
+
   /** Shared graph fixture for q311/q316/q317 (oracle twin:
     * OracleSql's twoRingEd CTE — same modular construction): ring A
     * d0→d1→d2→d3→d0, ring B d5→d6→d7→d8→d5, broker d2→d9→d5. The
@@ -1950,29 +1980,7 @@ object SparkEntry {
     // construction formulas alone — no bytes in SQL — so hash
     // equality pins the real box walk end to end.
     "q374_mp4_header" -> ((s, dir) => {
-      import s.implicits._
-      val brands = Seq("isom", "mp42", "avc1", "dash")
-      val vids = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-        .filter(_ < 120)
-        .map { id =>
-          val b = graft.multimodal.Mp4.encodeHeader(
-            majorBrand = brands((id % 4).toInt),
-            timescale = 600L + (id % 5) * 300L,
-            duration = (id % 97) * 1000L + id,
-            nTracks = (1 + id % 3).toInt,
-            mvhdV1 = id % 2 == 1,
-            freeBefore = id % 3 == 0,
-            mdatBytes = (4 + id % 9).toInt,
-            mdatLargesize = id % 4 == 0,
-            mdatToEof = id % 4 == 2)
-          val bytes =
-            if (id % 11 == 7) b.take(20) // truncated mid-ftyp
-            else if (id % 11 == 3) { val c = b.clone(); c(4) = 'x'.toByte; c }
-            else b
-          id -> bytes
-        }.toDF("doc_id", "mp4")
-      vids.select(col("doc_id"),
+      mp4Fixture(s, dir).select(col("doc_id"),
           graft.multimodal.Multimodal.mp4Header(col("mp4")).as("m"))
         .select(col("doc_id"), col("m.decoded").as("decoded"),
           col("m.major_brand").as("major_brand"),
@@ -1994,29 +2002,7 @@ object SparkEntry {
     // zero rows (NULL array). Oracle derives every row from the
     // construction formulas — no bytes in SQL.
     "q376_mp4_tracks" -> ((s, dir) => {
-      import s.implicits._
-      val brands = Seq("isom", "mp42", "avc1", "dash")
-      val vids = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-        .filter(_ < 120)
-        .map { id =>
-          val b = graft.multimodal.Mp4.encodeHeader(
-            majorBrand = brands((id % 4).toInt),
-            timescale = 600L + (id % 5) * 300L,
-            duration = (id % 97) * 1000L + id,
-            nTracks = (1 + id % 3).toInt,
-            mvhdV1 = id % 2 == 1,
-            freeBefore = id % 3 == 0,
-            mdatBytes = (4 + id % 9).toInt,
-            mdatLargesize = id % 4 == 0,
-            mdatToEof = id % 4 == 2)
-          val bytes =
-            if (id % 11 == 7) b.take(20)
-            else if (id % 11 == 3) { val c = b.clone(); c(4) = 'x'.toByte; c }
-            else b
-          id -> bytes
-        }.toDF("doc_id", "mp4")
-      vids.select(col("doc_id"),
+      mp4Fixture(s, dir).select(col("doc_id"),
           explode(graft.multimodal.Multimodal.mp4Tracks(col("mp4"))).as("t"))
         .select(col("doc_id"),
           col("t.track_index").as("track_index"),
