@@ -8951,6 +8951,49 @@ SELECT doc_id,
   CASE WHEN malformed THEN NULL ELSE CAST(1 AS BIGINT) END AS has_mdat
 FROM p ORDER BY doc_id"""
 
+  /** q377 twin: the q372 Count-Min machinery on the SATURATED
+    * (word, doc) pair domain — same coefficient table, same
+    * reduce-before-multiply, first-25-by-name probes; the per-probe
+    * overestimate is now nonzero and hash-pinned. */
+  val q377_cms_saturated: String = {
+    val hashRows = graft.analytics.Sketches.cmsCoeffs.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"($i, ((h % 1000000007) * $a + $b) % 1000000007 % 1024)"
+      }.mkString(",\n    ")
+    s"""
+WITH w0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ww AS (
+  SELECT word || '_' || CAST(doc_id AS VARCHAR) AS wd
+  FROM w0 WHERE word <> ''),
+hs AS (
+  SELECT wd, CAST(('0x' || substr(md5(wd), 1, 14)) AS BIGINT) AS h
+  FROM ww),
+cells AS (
+  SELECT hs.wd, t.r AS row, t.c AS col
+  FROM hs, LATERAL (SELECT * FROM (VALUES
+    $hashRows) v(r, c)) t),
+sk AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, col),
+exact AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS exact_count
+  FROM ww GROUP BY wd),
+probes AS (
+  SELECT wd FROM exact ORDER BY wd LIMIT 25),
+pk AS (
+  SELECT DISTINCT c.wd AS value, c.row, c.col
+  FROM cells c JOIN probes p ON p.wd = c.wd),
+q AS (
+  SELECT pk.value, min(coalesce(sk.cnt, 0)) AS est_count
+  FROM pk LEFT JOIN sk ON sk.row = pk.row AND sk.col = pk.col
+  GROUP BY pk.value)
+SELECT q.value, q.est_count, e.exact_count,
+  q.est_count - e.exact_count AS overestimate
+FROM q JOIN exact e ON e.wd = q.value
+ORDER BY q.value"""
+  }
+
   /** q376 twin of [[graft.functions.Mp4TrackUtil.tracks]]: per-track
     * rows derived from the same construction formulas (track_ID =
     * i+1, the movie duration, 320+16i × 240+8i px, tkhd version =
@@ -10746,6 +10789,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q374_mp4_header" -> q374_mp4_header,
     "q375_hll_overlap" -> q375_hll_overlap,
     "q376_mp4_tracks" -> q376_mp4_tracks,
+    "q377_cms_saturated" -> q377_cms_saturated,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

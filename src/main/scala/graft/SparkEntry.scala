@@ -1972,6 +1972,27 @@ object SparkEntry {
       est.crossJoin(exact) // 1-row frames
     }),
 
+    // Count-Min in the SATURATED regime (the q372 complement): the
+    // (word, doc) pair domain (~15k distinct at sf0.01) floods the
+    // 4x1024 cells, so the one-sided error is nonzero and ORACLED —
+    // est >= exact per probe with visible overestimates, where q372's
+    // unsaturated vocabulary shows exact recovery.
+    "q377_cms_saturated" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(concat(col("word"), lit("_"), col("doc_id")).as("wd"))
+      val sk = graft.analytics.Sketches.cmsSketch(words, "wd")
+      val exact = words.groupBy(col("wd"))
+        .agg(count(lit(1)).as("exact_count"))
+      val probes = exact.orderBy(col("wd")).limit(25).select(col("wd"))
+      graft.analytics.Sketches.cmsQuery(sk, probes, "wd")
+        .join(exact.withColumnRenamed("wd", "value"), Seq("value"))
+        .select(col("value"), col("est_count"), col("exact_count"),
+          (col("est_count") - col("exact_count")).as("overestimate"))
+        .orderBy(col("value"))
+    }),
+
     // MP4/ISO-BMFF container metadata: synthesized headers exercising
     // both mvhd versions (u32/u64 offsets), free boxes, 64-bit
     // largesize and to-EOF mdat forms, plus planted malformed
