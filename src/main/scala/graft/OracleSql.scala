@@ -8951,6 +8951,38 @@ SELECT doc_id,
   CASE WHEN malformed THEN NULL ELSE CAST(1 AS BIGINT) END AS has_mdat
 FROM p ORDER BY doc_id"""
 
+  /** q378 twin of [[graft.functions.WarcRecordUtil.records]]: every
+    * per-record row — including the block md5 — derived from the
+    * fixture construction formulas (DuckDB md5 of the same formula
+    * string the writer embedded); malformed archives contribute no
+    * rows. */
+  val q378_warc_records: String = """
+WITH p AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id < 120 AND doc_id % 13 NOT IN (5, 9)),
+recs AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS record_index,
+    'warcinfo' AS warc_type,
+    CAST(NULL AS VARCHAR) AS target_uri,
+    'application/warc-fields' AS content_type,
+    CAST(length('software: graft ' || doc_id || chr(13) || chr(10))
+      AS BIGINT) AS content_length,
+    md5('software: graft ' || doc_id || chr(13) || chr(10)) AS block_md5
+  FROM p
+  UNION ALL
+  SELECT doc_id, r AS record_index,
+    CASE WHEN r % 2 = 1 THEN 'response' ELSE 'request' END,
+    'http://host' || (doc_id % 20) || '.example/p' || r,
+    CASE WHEN r % 2 = 1 THEN 'text/html' END,
+    CAST(length('<html>doc ' || doc_id || ' rec ' || r || '</html>')
+      AS BIGINT),
+    md5('<html>doc ' || doc_id || ' rec ' || r || '</html>')
+  FROM p, LATERAL (SELECT unnest(range(1, CAST(doc_id % 3 + 2 AS BIGINT)))
+                   AS r) t)
+SELECT doc_id, record_index, warc_type, target_uri, content_type,
+  content_length, block_md5
+FROM recs ORDER BY doc_id, record_index"""
+
   /** q377 twin: the q372 Count-Min machinery on the SATURATED
     * (word, doc) pair domain — same coefficient table, same
     * reduce-before-multiply, first-25-by-name probes; the per-probe
@@ -10790,6 +10822,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q375_hll_overlap" -> q375_hll_overlap,
     "q376_mp4_tracks" -> q376_mp4_tracks,
     "q377_cms_saturated" -> q377_cms_saturated,
+    "q378_warc_records" -> q378_warc_records,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

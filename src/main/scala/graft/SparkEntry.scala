@@ -1972,6 +1972,50 @@ object SparkEntry {
       est.crossJoin(exact) // 1-row frames
     }),
 
+    // WARC record inventory: synthesized ISO-28500 archives (a
+    // warcinfo head + 1-3 request/response records, pass-through
+    // extra headers, planted truncation and bad-version variants
+    // yielding zero rows), exploded one row per record with the
+    // block md5. Payloads derive from formulas, so the oracle
+    // computes the SAME md5 from the formula string — hash equality
+    // pins header parse, Content-Length block extents, and the
+    // terminator walk end to end, no bytes in SQL.
+    "q378_warc_records" -> ((s, dir) => {
+      import s.implicits._
+      val archives = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 120)
+        .map { id =>
+          val info = graft.multimodal.Warc.record("warcinfo", None,
+            Some("application/warc-fields"),
+            s"software: graft $id\r\n".getBytes("US-ASCII"))
+          val rest = (1L to (id % 3 + 1)).map { r =>
+            graft.multimodal.Warc.record(
+              if (r % 2 == 1) "response" else "request",
+              Some(s"http://host${id % 20}.example/p$r"),
+              if (r % 2 == 1) Some("text/html") else None,
+              s"<html>doc $id rec $r</html>".getBytes("US-ASCII"),
+              extraHeaders = Seq("WARC-Record-ID" -> s"<urn:uuid:$id-$r>"))
+          }
+          val bytes0 = graft.multimodal.Warc.archive((info +: rest): _*)
+          val bytes =
+            if (id % 13 == 5) bytes0.dropRight(3) // truncated terminator
+            else if (id % 13 == 9) { val c = bytes0.clone(); c(0) = 'X'.toByte; c }
+            else bytes0
+          id -> bytes
+        }.toDF("doc_id", "warc")
+      archives.select(col("doc_id"),
+          explode(graft.multimodal.Warc.warcRecords(col("warc"))).as("r"))
+        .select(col("doc_id"),
+          col("r.record_index").as("record_index"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_type").as("content_type"),
+          col("r.content_length").as("content_length"),
+          col("r.block_md5").as("block_md5"))
+        .orderBy(col("doc_id"), col("record_index"))
+    }),
+
     // Count-Min in the SATURATED regime (the q372 complement): the
     // (word, doc) pair domain (~15k distinct at sf0.01) floods the
     // 4x1024 cells, so the one-sided error is nonzero and ORACLED —
