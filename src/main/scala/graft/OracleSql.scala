@@ -8983,6 +8983,26 @@ SELECT doc_id, record_index, warc_type, target_uri, content_type,
   content_length, block_md5
 FROM recs ORDER BY doc_id, record_index"""
 
+  /** q379 twin of the WARC→text capstone: response records derived
+    * from the q378 construction formulas, extracted text = the known
+    * result of the E104 cascade on the formula HTML ('<html>…</html>'
+    * strips to its body), token count by the shared tokenizer rule
+    * (whitespace over the already-clean body = 4 tokens). */
+  val q379_warc_to_text: String = """
+WITH p AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id < 120 AND doc_id % 13 NOT IN (5, 9)),
+recs AS (
+  SELECT doc_id, r AS record_index,
+    'http://host' || (doc_id % 20) || '.example/p' || r AS target_uri,
+    'doc ' || doc_id || ' rec ' || r AS clean_text,
+    CAST(4 AS BIGINT) AS n_tokens
+  FROM p, LATERAL (SELECT unnest(range(1, CAST(doc_id % 3 + 2 AS BIGINT)))
+                   AS r) t
+  WHERE r % 2 = 1)
+SELECT doc_id, record_index, target_uri, clean_text, n_tokens
+FROM recs ORDER BY doc_id, record_index"""
+
   /** q377 twin: the q372 Count-Min machinery on the SATURATED
     * (word, doc) pair domain — same coefficient table, same
     * reduce-before-multiply, first-25-by-name probes; the per-probe
@@ -10823,6 +10843,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q376_mp4_tracks" -> q376_mp4_tracks,
     "q377_cms_saturated" -> q377_cms_saturated,
     "q378_warc_records" -> q378_warc_records,
+    "q379_warc_to_text" -> q379_warc_to_text,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

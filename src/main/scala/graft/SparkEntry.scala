@@ -117,6 +117,38 @@ object SparkEntry {
       }.toDF("doc_id", "mp4")
   }
 
+  /** Shared WARC fixture for q378/q379 (oracle twins derive every
+    * field — including block md5s and extracted text — from these
+    * formulas): 120 synthesized ISO-28500 archives, each a warcinfo
+    * head + 1–3 request/response records with pass-through extra
+    * headers; planted truncation (id % 13 == 5) and bad-version
+    * (id % 13 == 9) archives must degrade to the NULL inventory. */
+  def warcFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .filter(_ < 120)
+      .map { id =>
+        val info = graft.multimodal.Warc.record("warcinfo", None,
+          Some("application/warc-fields"),
+          s"software: graft $id\r\n".getBytes("US-ASCII"))
+        val rest = (1L to (id % 3 + 1)).map { r =>
+          graft.multimodal.Warc.record(
+            if (r % 2 == 1) "response" else "request",
+            Some(s"http://host${id % 20}.example/p$r"),
+            if (r % 2 == 1) Some("text/html") else None,
+            s"<html>doc $id rec $r</html>".getBytes("US-ASCII"),
+            extraHeaders = Seq("WARC-Record-ID" -> s"<urn:uuid:$id-$r>"))
+        }
+        val bytes0 = graft.multimodal.Warc.archive((info +: rest): _*)
+        val bytes =
+          if (id % 13 == 5) bytes0.dropRight(3) // truncated terminator
+          else if (id % 13 == 9) { val c = bytes0.clone(); c(0) = 'X'.toByte; c }
+          else bytes0
+        id -> bytes
+      }.toDF("doc_id", "warc")
+  }
+
   /** Shared graph fixture for q311/q316/q317 (oracle twin:
     * OracleSql's twoRingEd CTE — same modular construction): ring A
     * d0→d1→d2→d3→d0, ring B d5→d6→d7→d8→d5, broker d2→d9→d5. The
@@ -1981,30 +2013,7 @@ object SparkEntry {
     // pins header parse, Content-Length block extents, and the
     // terminator walk end to end, no bytes in SQL.
     "q378_warc_records" -> ((s, dir) => {
-      import s.implicits._
-      val archives = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-        .filter(_ < 120)
-        .map { id =>
-          val info = graft.multimodal.Warc.record("warcinfo", None,
-            Some("application/warc-fields"),
-            s"software: graft $id\r\n".getBytes("US-ASCII"))
-          val rest = (1L to (id % 3 + 1)).map { r =>
-            graft.multimodal.Warc.record(
-              if (r % 2 == 1) "response" else "request",
-              Some(s"http://host${id % 20}.example/p$r"),
-              if (r % 2 == 1) Some("text/html") else None,
-              s"<html>doc $id rec $r</html>".getBytes("US-ASCII"),
-              extraHeaders = Seq("WARC-Record-ID" -> s"<urn:uuid:$id-$r>"))
-          }
-          val bytes0 = graft.multimodal.Warc.archive((info +: rest): _*)
-          val bytes =
-            if (id % 13 == 5) bytes0.dropRight(3) // truncated terminator
-            else if (id % 13 == 9) { val c = bytes0.clone(); c(0) = 'X'.toByte; c }
-            else bytes0
-          id -> bytes
-        }.toDF("doc_id", "warc")
-      archives.select(col("doc_id"),
+      warcFixture(s, dir).select(col("doc_id"),
           explode(graft.multimodal.Warc.warcRecords(col("warc"))).as("r"))
         .select(col("doc_id"),
           col("r.record_index").as("record_index"),
@@ -2013,6 +2022,26 @@ object SparkEntry {
           col("r.content_type").as("content_type"),
           col("r.content_length").as("content_length"),
           col("r.block_md5").as("block_md5"))
+        .orderBy(col("doc_id"), col("record_index"))
+    }),
+
+    // COMPOSED WARC -> text capstone: the crawl-ingest chain end to
+    // end in one declarative plan — archives -> payload walk ->
+    // response records only -> block bytes to string -> the E104
+    // HTML->text cascade -> token count; the archive bytes stop at
+    // the scan projection. Oracle derives every row (including the
+    // extracted text) from the fixture construction formulas.
+    "q379_warc_to_text" -> ((s, dir) => {
+      val recs = warcFixture(s, dir).select(col("doc_id"),
+          explode(graft.multimodal.Warc.warcPayloads(col("warc"))).as("r"))
+        .filter(col("r.warc_type") === "response")
+        .select(col("doc_id"), col("r.record_index").as("record_index"),
+          col("r.target_uri").as("target_uri"),
+          col("r.block").cast("string").as("__html"))
+      recs.select(col("doc_id"), col("record_index"), col("target_uri"),
+          graft.text.Html.extractText(col("__html")).as("clean_text"))
+        .withColumn("n_tokens",
+          size(graft.text.TextAnalysis.tokens(col("clean_text"))).cast("long"))
         .orderBy(col("doc_id"), col("record_index"))
     }),
 

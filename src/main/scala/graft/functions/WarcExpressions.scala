@@ -45,11 +45,17 @@ object WarcRecordUtil {
     -1
   }
 
-  /** Null on malformed; else one 6-field row per record in file
-    * order: (record_index, warc_type, target_uri, content_type,
-    * content_length, block_md5). Absent optional headers surface as
-    * NULL fields; WARC-Type and Content-Length are mandatory. */
-  def records(bytes: Array[Byte]): ArrayData = {
+  /** Null on malformed; else one row per record in file order:
+    * (record_index, warc_type, target_uri, content_type,
+    * content_length, block_md5[, block]). Absent optional headers
+    * surface as NULL fields; WARC-Type and Content-Length are
+    * mandatory. `withBlock = false` keeps the inventory LEAN (the
+    * block bytes never materialize — Catalyst cannot prune nested
+    * array-struct fields produced by an expression, so carrying them
+    * "just in case" would double memory on every metadata-only scan);
+    * `withBlock = true` is the extraction path a WARC→text pipeline
+    * explodes. */
+  def records(bytes: Array[Byte], withBlock: Boolean): ArrayData = {
     if (bytes == null || bytes.length < 12) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var pos = 0
@@ -97,13 +103,15 @@ object WarcRecordUtil {
       val t = blockOff + clen.toInt
       if (bytes(t) != '\r' || bytes(t + 1) != '\n' ||
         bytes(t + 2) != '\r' || bytes(t + 3) != '\n') return null
-      val row = new GenericInternalRow(6)
+      val row = new GenericInternalRow(if (withBlock) 7 else 6)
       row.update(0, out.length.toLong)
       row.update(1, UTF8String.fromString(warcType))
       row.update(2, if (uri == null) null else UTF8String.fromString(uri))
       row.update(3, if (ctype == null) null else UTF8String.fromString(ctype))
       row.update(4, clen)
       row.update(5, UTF8String.fromString(hex))
+      if (withBlock) row.update(6,
+        java.util.Arrays.copyOfRange(bytes, blockOff, blockOff + clen.toInt))
       out += row
       pos = t + 4
     }
@@ -113,8 +121,10 @@ object WarcRecordUtil {
 }
 
 /** WARC record inventory as a native codegen'd expression — see
-  * [[WarcRecordUtil.records]]. */
-case class WarcRecords(child: Expression) extends UnaryExpression {
+  * [[WarcRecordUtil.records]]. `withBlock` selects the payload-
+  * carrying extraction variant. */
+case class WarcRecords(child: Expression, withBlock: Boolean)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -122,18 +132,19 @@ case class WarcRecords(child: Expression) extends UnaryExpression {
       s"$prettyName requires a binary argument, got ${other.simpleString}")
   }
 
-  override def dataType: DataType = WarcRecords.schema
+  override def dataType: DataType =
+    if (withBlock) WarcRecords.schemaWithBlock else WarcRecords.schema
 
   override def prettyName: String = "warc_records"
 
   override protected def nullSafeEval(v: Any): Any =
-    WarcRecordUtil.records(v.asInstanceOf[Array[Byte]])
+    WarcRecordUtil.records(v.asInstanceOf[Array[Byte]], withBlock)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     // nullSafeCodeGen with an explicit isNull: records() returns null
     // for malformed input (the GifFrames/Mp4Tracks device)
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.WarcRecordUtil.records($c);
+      ${ev.value} = graft.functions.WarcRecordUtil.records($c, $withBlock);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
 
@@ -142,19 +153,24 @@ case class WarcRecords(child: Expression) extends UnaryExpression {
 }
 
 object WarcRecords {
-  val recordSchema: StructType = StructType(Seq(
+  private def fields: Seq[StructField] = Seq(
     StructField("record_index", LongType, nullable = false),
     StructField("warc_type", StringType, nullable = false),
     StructField("target_uri", StringType),
     StructField("content_type", StringType),
     StructField("content_length", LongType, nullable = false),
-    StructField("block_md5", StringType, nullable = false)))
+    StructField("block_md5", StringType, nullable = false))
+  val recordSchema: StructType = StructType(fields)
   val schema: DataType = ArrayType(recordSchema, containsNull = false)
+  val schemaWithBlock: DataType = ArrayType(
+    StructType(fields :+ StructField("block", BinaryType, nullable = false)),
+    containsNull = false)
 }
 
 object WarcFunctions {
 
   val fnName = "graft_warc_records"
+  val payloadsFnName = "graft_warc_payloads"
 
   private[functions] def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -162,7 +178,14 @@ object WarcFunctions {
       registry.createOrReplaceTempFunction(fnName,
         { children: Seq[Expression] =>
           require(children.size == 1, s"$fnName takes 1 argument")
-          WarcRecords(children.head)
+          WarcRecords(children.head, withBlock = false)
+        },
+        "built-in")
+    if (!registry.functionExists(FunctionIdentifier(payloadsFnName)))
+      registry.createOrReplaceTempFunction(payloadsFnName,
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$payloadsFnName takes 1 argument")
+          WarcRecords(children.head, withBlock = true)
         },
         "built-in")
   }
@@ -170,5 +193,10 @@ object WarcFunctions {
   def warcRecords(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(fnName, c)
+  }
+
+  def warcPayloads(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(payloadsFnName, c)
   }
 }

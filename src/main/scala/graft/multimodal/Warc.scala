@@ -37,4 +37,14 @@ object Warc {
     * (whole array), never an error. */
   def warcRecords(bin: Column): Column =
     graft.functions.WarcFunctions.warcRecords(bin)
+
+  /** The payload-carrying variant (adds a `block` binary field): the
+    * extraction path a WARC→text pipeline explodes — filter to
+    * response records, cast the block to string, feed the E104
+    * HTML→text cascade. Kept separate from [[warcRecords]] because
+    * Catalyst cannot prune nested array-struct fields out of an
+    * expression result, so the metadata-only inventory must never
+    * carry the blocks. */
+  def warcPayloads(bin: Column): Column =
+    graft.functions.WarcFunctions.warcPayloads(bin)
 }
