@@ -8983,6 +8983,40 @@ SELECT doc_id, record_index, warc_type, target_uri, content_type,
   content_length, block_md5
 FROM recs ORDER BY doc_id, record_index"""
 
+  /** q380 twin of [[graft.text.Sitemap.parseSitemap]]: every row
+    * derived from the fixture construction formulas (no XML in SQL);
+    * the loc-less malformed entry surfaces as a NULL-loc row, index
+    * files as is_index = true child-sitemap rows. */
+  val q380_sitemap: String = """
+WITH p AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+urlrows AS (
+  SELECT doc_id, r - 1 AS url_index, FALSE AS is_index,
+    CASE WHEN doc_id % 9 = 4 AND r = 1 THEN NULL
+         ELSE 'http://host' || (doc_id % 20) || '.example/page' || r
+    END AS loc,
+    CASE WHEN r % 4 <> 0 THEN '2024-0' || ((r % 9) + 1) || '-11' END
+      AS lastmod,
+    (['daily','weekly','monthly'])[CAST(r % 3 AS INT) + 1] AS changefreq,
+    '0.' || ((doc_id + r) % 9 + 1) AS priority
+  FROM p, LATERAL (SELECT unnest(range(1, CAST(doc_id % 3 + 2 AS BIGINT)))
+                   AS r) t
+  WHERE doc_id % 10 <> 8),
+idxrows AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS url_index, TRUE AS is_index,
+    'http://host' || (doc_id % 20) || '.example/sitemap1.xml' AS loc,
+    '2024-01-01' AS lastmod,
+    CAST(NULL AS VARCHAR) AS changefreq, CAST(NULL AS VARCHAR) AS priority
+  FROM p WHERE doc_id % 10 = 8
+  UNION ALL
+  SELECT doc_id, CAST(1 AS BIGINT), TRUE,
+    'http://host' || (doc_id % 20) || '.example/sitemap2.xml',
+    NULL, NULL, NULL
+  FROM p WHERE doc_id % 10 = 8)
+SELECT doc_id, CAST(url_index AS BIGINT) AS url_index, is_index, loc,
+  lastmod, changefreq, priority
+FROM (SELECT * FROM urlrows UNION ALL SELECT * FROM idxrows)
+ORDER BY doc_id, url_index"""
+
   /** q379 twin of the WARC→text capstone: response records derived
     * from the q378 construction formulas, extracted text = the known
     * result of the E104 cascade on the formula HTML ('<html>…</html>'
@@ -10844,6 +10878,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q377_cms_saturated" -> q377_cms_saturated,
     "q378_warc_records" -> q378_warc_records,
     "q379_warc_to_text" -> q379_warc_to_text,
+    "q380_sitemap" -> q380_sitemap,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -2025,6 +2025,48 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("record_index"))
     }),
 
+    // Sitemap parse (sitemaps.org 0.9): the third leg of crawl
+    // discovery after robots (q358) and the frontier (q360) — XML
+    // synthesized DECLARATIVELY per doc (urlset with 1-3 entries,
+    // optional-field omissions, one loc-less malformed entry
+    // surfacing as NULL-not-dropped, plus sitemapindex files whose
+    // child sitemaps come back with is_index = true). The oracle
+    // derives every row from the construction formulas.
+    "q380_sitemap" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") < 120)
+      val host = concat(lit("http://host"),
+        (col("doc_id") % 20).cast("string"), lit(".example"))
+      def urlEntry(r: org.apache.spark.sql.Column) = concat(
+        lit("<url>"),
+        when(!(col("doc_id") % 9 === 4 && r === 1),
+          concat(lit("<loc>"), host, lit("/page"), r.cast("string"),
+            lit("</loc>"))).otherwise(lit("")),
+        when(r % 4 =!= 0,
+          concat(lit("<lastmod>2024-0"), ((r % 9) + 1).cast("string"),
+            lit("-11</lastmod>"))).otherwise(lit("")),
+        concat(lit("<changefreq>"),
+          element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+            (r % 3 + 1).cast("int")), lit("</changefreq>")),
+        concat(lit("<priority>0."),
+          ((col("doc_id") + r) % 9 + 1).cast("string"), lit("</priority>")),
+        lit("</url>"))
+      val xml = when(col("doc_id") % 10 === 8,
+        concat(lit("<sitemapindex><sitemap><loc>"), host,
+          lit("/sitemap1.xml</loc><lastmod>2024-01-01</lastmod></sitemap>"),
+          lit("<sitemap><loc>"), host,
+          lit("/sitemap2.xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          array_join(transform(
+            sequence(lit(1), (col("doc_id") % 3 + 1).cast("int")),
+            r => urlEntry(r)), ""),
+          lit("</urlset>")))
+      graft.text.Sitemap.parseSitemap(
+          base.select(col("doc_id"), xml.as("xml")))
+        .orderBy(col("doc_id"), col("url_index"))
+    }),
+
     // COMPOSED WARC -> text capstone: the crawl-ingest chain end to
     // end in one declarative plan — archives -> payload walk ->
     // response records only -> block bytes to string -> the E104
