@@ -8983,6 +8983,39 @@ SELECT doc_id, record_index, warc_type, target_uri, content_type,
   content_length, block_md5
 FROM recs ORDER BY doc_id, record_index"""
 
+  /** q381 twin of [[graft.functions.Id3FrameUtil.frames]]: every
+    * frame row derived from the fixture construction formulas —
+    * frame sizes are 1 (encoding byte) + the ASCII text length for
+    * text frames, the blob length for PRIV; text identical for the
+    * Latin-1 and UTF-8 variants (ASCII fixture text); malformed
+    * tags contribute no rows. */
+  val q381_id3_frames: String = """
+WITH p AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id < 120 AND doc_id % 13 NOT IN (5, 9)),
+fr AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS frame_index, 'TIT2' AS frame_id,
+    CAST(1 + length('Track ' || doc_id) AS BIGINT) AS frame_size,
+    'Track ' || doc_id AS text
+  FROM p
+  UNION ALL
+  SELECT doc_id, CAST(1 AS BIGINT), 'TPE1',
+    CAST(1 + length('Artist ' || (doc_id % 7)) AS BIGINT),
+    'Artist ' || (doc_id % 7)
+  FROM p
+  UNION ALL
+  SELECT doc_id, CAST(2 AS BIGINT), 'TALB',
+    CAST(1 + length('Album ' || (doc_id % 5)) AS BIGINT),
+    'Album ' || (doc_id % 5)
+  FROM p WHERE doc_id % 4 <> 1
+  UNION ALL
+  SELECT doc_id,
+    CAST(CASE WHEN doc_id % 4 <> 1 THEN 3 ELSE 2 END AS BIGINT),
+    'PRIV', CAST(3 + doc_id % 5 AS BIGINT), CAST(NULL AS VARCHAR)
+  FROM p)
+SELECT doc_id, frame_index, frame_id, frame_size, text
+FROM fr ORDER BY doc_id, frame_index"""
+
   /** q380 twin of [[graft.text.Sitemap.parseSitemap]]: every row
     * derived from the fixture construction formulas (no XML in SQL);
     * the loc-less malformed entry surfaces as a NULL-loc row, index
@@ -10879,6 +10912,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q378_warc_records" -> q378_warc_records,
     "q379_warc_to_text" -> q379_warc_to_text,
     "q380_sitemap" -> q380_sitemap,
+    "q381_id3_frames" -> q381_id3_frames,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -2025,6 +2025,48 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("record_index"))
     }),
 
+    // ID3v2 frame inventory: synthesized v2.3/v2.4 tags (the two
+    // size arithmetics), Latin-1 and UTF-8 text frames decoding to
+    // the same strings, a conditional TALB, a PRIV binary frame
+    // (inventoried with NULL text), spec padding the walk must stop
+    // at, and planted truncation/bad-magic tags yielding zero rows.
+    // Oracle derives every row from the construction formulas.
+    "q381_id3_frames" -> ((s, dir) => {
+      import s.implicits._
+      val tags = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 120)
+        .map { id =>
+          val major = (3 + id % 2).toInt
+          val frames = Seq(
+            graft.multimodal.Id3.textFrame("TIT2", s"Track $id", major,
+              utf8 = id % 3 == 0),
+            graft.multimodal.Id3.textFrame("TPE1", s"Artist ${id % 7}",
+              major)) ++
+            (if (id % 4 != 1)
+              Seq(graft.multimodal.Id3.textFrame("TALB", s"Album ${id % 5}",
+                major))
+            else Nil) :+
+            graft.multimodal.Id3.binFrame("PRIV",
+              Array.fill[Byte]((3 + id % 5).toInt)(0x42), major)
+          val b0 = graft.multimodal.Id3.tag(major, frames,
+            padding = (id % 6).toInt)
+          val bytes =
+            if (id % 13 == 5) b0.take(12) // truncated mid-frame-header
+            else if (id % 13 == 9) { val c = b0.clone(); c(0) = 'X'.toByte; c }
+            else b0
+          id -> bytes
+        }.toDF("doc_id", "mp3")
+      tags.select(col("doc_id"),
+          explode(graft.multimodal.Id3.id3Frames(col("mp3"))).as("f"))
+        .select(col("doc_id"),
+          col("f.frame_index").as("frame_index"),
+          col("f.frame_id").as("frame_id"),
+          col("f.frame_size").as("frame_size"),
+          col("f.text").as("text"))
+        .orderBy(col("doc_id"), col("frame_index"))
+    }),
+
     // Sitemap parse (sitemaps.org 0.9): the third leg of crawl
     // discovery after robots (q358) and the frontier (q360) — XML
     // synthesized DECLARATIVELY per doc (urlset with 1-3 entries,
