@@ -9181,6 +9181,91 @@ FROM est2 JOIN ex ON ex.grp = est2.grp
 ORDER BY est2.grp"""
   }
 
+  /** q382 twin of [[graft.analytics.Sketches.hdrSketch]] +
+    * [[graft.analytics.Sketches.hdrQuantiles]]: the GLOBAL bucket
+    * construction (shard merge by SUM ≡ the global histogram, so
+    * hash equality verifies the merge identity), the same pure
+    * integer bucket formula — exp = max(0, length(bin(v)) − 6),
+    * man = v >> exp — the same permille rank arithmetic in integer
+    * division, the same min-lo bucket pick, and the containment
+    * identity against the exact order statistic. */
+  val q382_hdr_quantiles: String = """
+WITH v AS (SELECT doc_id, n_chars AS v FROM documents),
+b AS (
+  SELECT v,
+    CAST(greatest(0,
+      (CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END) - 6) AS INT) AS e
+  FROM v),
+sk AS (SELECT e, v >> e AS man, count(*) AS cnt FROM b GROUP BY e, man),
+cum AS (
+  SELECT e, man, cnt, (man << e) AS lo, ((man + 1) << e) - 1 AS hi,
+    sum(cnt) OVER (ORDER BY (man << e)) AS cum
+  FROM sk),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+qs AS (SELECT unnest([0, 250, 500, 750, 900, 990, 1000]) AS q_permille),
+r AS (
+  SELECT q_permille, n,
+    greatest(CAST(1 AS BIGINT),
+      CAST((q_permille * n + 999) // 1000 AS BIGINT)) AS rank
+  FROM qs CROSS JOIN tot),
+pick AS (
+  SELECT q_permille, n, rank, min(lo) AS lo
+  FROM r JOIN cum ON cum.cum >= r.rank
+  GROUP BY q_permille, n, rank),
+ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rr
+  FROM documents)
+SELECT p.q_permille, p.n, p.rank, p.lo, c.hi,
+  CAST(p.lo + (c.hi - p.lo) // 2 AS BIGINT) AS est,
+  k.n_chars AS exact_value,
+  (k.n_chars >= p.lo AND k.n_chars <= c.hi) AS contained
+FROM pick p
+JOIN cum c ON c.lo = p.lo
+JOIN ranked k ON k.rr = p.rank
+ORDER BY p.q_permille"""
+
+  /** q383 twin of [[graft.analytics.Sketches.hdrSketchBy]] +
+    * [[graft.analytics.Sketches.hdrQuantilesBy]]: the q382 machinery
+    * with a lang dimension through buckets, running sums, rank
+    * arithmetic, and the per-group containment check. */
+  val q383_hdr_lang: String = """
+WITH v AS (SELECT lang AS grp, doc_id, n_chars AS v FROM documents),
+b AS (
+  SELECT grp, v,
+    CAST(greatest(0,
+      (CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END) - 6) AS INT) AS e
+  FROM v),
+sk AS (
+  SELECT grp, e, v >> e AS man, count(*) AS cnt
+  FROM b GROUP BY grp, e, man),
+cum AS (
+  SELECT grp, e, man, cnt, (man << e) AS lo, ((man + 1) << e) - 1 AS hi,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY (man << e)) AS cum
+  FROM sk),
+tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY grp),
+qs AS (SELECT unnest([500, 900]) AS q_permille),
+r AS (
+  SELECT grp, q_permille, n,
+    greatest(CAST(1 AS BIGINT),
+      CAST((q_permille * n + 999) // 1000 AS BIGINT)) AS rank
+  FROM tot CROSS JOIN qs),
+pick AS (
+  SELECT r.grp, q_permille, n, rank, min(lo) AS lo
+  FROM r JOIN cum ON cum.grp = r.grp AND cum.cum >= r.rank
+  GROUP BY r.grp, q_permille, n, rank),
+ranked AS (
+  SELECT lang AS grp, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rr
+  FROM documents)
+SELECT p.grp AS "group", p.q_permille, p.n, p.rank, p.lo, c.hi,
+  CAST(p.lo + (c.hi - p.lo) // 2 AS BIGINT) AS est,
+  k.n_chars AS exact_value,
+  (k.n_chars >= p.lo AND k.n_chars <= c.hi) AS contained
+FROM pick p
+JOIN cum c ON c.grp = p.grp AND c.lo = p.lo
+JOIN ranked k ON k.grp = p.grp AND k.rr = p.rank
+ORDER BY p.grp, p.q_permille"""
+
   /** q372 twin of [[graft.analytics.Sketches.cmsSketch]] +
     * [[graft.analytics.Sketches.cmsQuery]]: the global counter
     * construction (pointwise-sum merge ≡ global by CMS linearity),
@@ -10905,6 +10990,8 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q371_hll_distinct" -> q371_hll_distinct,
     "q372_cms_counts" -> q372_cms_counts,
     "q373_hll_by_group" -> q373_hll_by_group,
+    "q382_hdr_quantiles" -> q382_hdr_quantiles,
+    "q383_hdr_lang" -> q383_hdr_lang,
     "q374_mp4_header" -> q374_mp4_header,
     "q375_hll_overlap" -> q375_hll_overlap,
     "q376_mp4_tracks" -> q376_mp4_tracks,

@@ -2209,6 +2209,64 @@ object SparkEntry {
       est.join(exact, Seq("group")).orderBy(col("group"))
     }),
 
+    // HDR quantile histogram (the quantile member of the mergeable
+    // sketch shelf): two shard sketches of n_chars merged by SUM,
+    // quantile-queried at seven permille ranks. The exact rank-r
+    // order statistic (eval side, fixture-bounded global sort) must
+    // lie in [lo, hi] ALWAYS — the containment identity is the
+    // structural guarantee, visible per row; `contained` is the
+    // oracle-checked bound.
+    "q382_hdr_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+      val est = graft.analytics.Sketches.hdrQuantiles(
+        graft.analytics.Sketches.hdrMerge(
+          graft.analytics.Sketches.hdrSketch(
+            docs.filter(col("doc_id") % 2 === 0), "n_chars"),
+          graft.analytics.Sketches.hdrSketch(
+            docs.filter(col("doc_id") % 2 === 1), "n_chars")),
+        Seq(0, 250, 500, 750, 900, 990, 1000))
+      val ranked = docs.select(col("n_chars"),
+        row_number().over(
+          Window.orderBy(col("n_chars"), col("doc_id"))).as("rr"))
+      est.join(ranked, est("rank") === ranked("rr"))
+        .select(col("q_permille"), col("n"), col("rank"), col("lo"),
+          col("hi"), col("est"), col("n_chars").as("exact_value"),
+          (col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+            .as("contained"))
+        .orderBy(col("q_permille"))
+    }),
+
+    // Per-group HDR quantiles: per-lang length distributions from ONE
+    // grouped-sketch pass (the hllSketchBy shape), merged across two
+    // shard sketches — the everyday "p50/p90 per source" question
+    // answered from kilobyte bucket frames, with the same per-group
+    // containment identity checked against the exact order statistic.
+    "q383_hdr_lang" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val est = graft.analytics.Sketches.hdrQuantilesBy(
+        graft.analytics.Sketches.hdrMerge(
+          graft.analytics.Sketches.hdrSketchBy(
+            docs.filter(col("doc_id") % 2 === 0), "lang", "n_chars"),
+          graft.analytics.Sketches.hdrSketchBy(
+            docs.filter(col("doc_id") % 2 === 1), "lang", "n_chars")),
+        Seq(500, 900))
+      val ranked = docs.select(col("lang").as("group"), col("n_chars"),
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))).as("rr"))
+      est.join(ranked,
+          est("group") === ranked("group") && est("rank") === ranked("rr"))
+        .select(est("group"), col("q_permille"), col("n"), col("rank"),
+          col("lo"), col("hi"), col("est"),
+          col("n_chars").as("exact_value"),
+          (col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+            .as("contained"))
+        .orderBy(est("group"), col("q_permille"))
+    }),
+
     // Count-Min frequency sketch (4x1024), built as two shard
     // sketches merged by pointwise SUM (linearity — the oracle's
     // global construction verifies the merge identity), then

@@ -252,4 +252,141 @@ object Sketches {
       .groupBy(col("value"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  // ---- HDR quantile histogram (Tene's HdrHistogram; the base-2 ----
+  //      exponential-histogram family, cf. OpenTelemetry's scale
+  //      parameter) — the QUANTILE member completing the mergeable
+  //      shelf: HLL answers "how many distinct", CMS "how often does
+  //      x occur", THIS "what is the p99"
+
+  /** Sub-bucket precision bits: each power-of-two octave splits into
+    * 2^5 = 32 linear sub-buckets, so a bucket's width is ≤ its lower
+    * bound >> 5 — relative quantile error ≤ 2⁻⁵ ≈ 3.1%, and values
+    * below 2^(5+1) = 64 are EXACT (their buckets are singletons, the
+    * HdrHistogram low-range property). */
+  val hdrSubBits: Int = 5
+
+  /** Build the HDR bucket frame of a NONNEGATIVE integer column: one
+    * row per occupied (exp, man) bucket with its count, where
+    * exp = max(0, bitlen(v) − 1 − subBits) and man = v >> exp — pure
+    * integer arithmetic via `length(bin(v))` (the HLL device: both
+    * engines print bin() without leading zeros, no float log2). The
+    * bucket covers [man<<exp, ((man+1)<<exp) − 1]; distinct buckets
+    * never overlap, so ordering by lower bound is total. Bucket count
+    * is bounded by (64 − subBits)·2^subBits + 2^(subBits+1) ≈ 1.9k
+    * rows for the full int64 range — kilobytes regardless of input,
+    * like the register/counter frames above. One scan + one hash
+    * aggregate with map-side combine; counts ROWS (a histogram, not a
+    * distinct sketch), so shard sketches merge by SUM. NULLs are
+    * skipped; a negative value RAISES (the mannWhitneyPairs
+    * refuse-never-wrap contract — mantissa arithmetic is meaningless
+    * on negatives; callers sketch micro-unit magnitudes). */
+  def hdrSketch(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(when(col(valueCol) < 0,
+          raise_error(concat(lit(s"hdrSketch: negative value in $valueCol: "),
+            col(valueCol).cast("string"))).cast("long"))
+        .otherwise(col(valueCol).cast("long")).as("__v"))
+      .select(col("__v"),
+        greatest(lit(0),
+          when(col("__v") === 0, lit(0)).otherwise(length(bin(col("__v"))))
+            - lit(1 + hdrSubBits)).cast("int").as("exp"))
+      .select(col("exp"), expr("shiftright(__v, exp)").as("man"))
+      .groupBy(col("exp"), col("man")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-GROUP bucket frames — per-source/lang/day length or latency
+    * distributions in ONE pass (the hllSketchBy shape): one row per
+    * occupied (group, exp, man). */
+  def hdrSketchBy(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        when(col(valueCol) < 0,
+          raise_error(concat(lit(s"hdrSketchBy: negative value in $valueCol: "),
+            col(valueCol).cast("string"))).cast("long"))
+        .otherwise(col(valueCol).cast("long")).as("__v"))
+      .select(col("group"), col("__v"),
+        greatest(lit(0),
+          when(col("__v") === 0, lit(0)).otherwise(length(bin(col("__v"))))
+            - lit(1 + hdrSubBits)).cast("int").as("exp"))
+      .select(col("group"), col("exp"), expr("shiftright(__v, exp)").as("man"))
+      .groupBy(col("group"), col("exp"), col("man"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge HDR sketches: union + pointwise SUM over every non-count
+    * column — works verbatim for both the global (exp, man) and the
+    * grouped (group, exp, man) shapes, and yesterday ∪ today is
+    * yesterday's plus today's (the cmsMerge linearity). */
+  def hdrMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    val keys = sketches.head.columns.filterNot(_ == "cnt").toSeq
+    sketches.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile query over a bucket frame, permille ranks (integers —
+    * exact rank arithmetic, the house convention): for each q‰, rank
+    * r = max(1, ⌈q·n/1000⌉) and the answer is the bucket where the
+    * cumulative count (in lower-bound order) first reaches r — the
+    * bucket that CONTAINS the rank-r order statistic, an identity the
+    * oracle checks (exact value ∈ [lo, hi] always; q=0 hits the min
+    * bucket, q=1000 the max). est = lo + (hi−lo)/2, the midpoint,
+    * within relative 2⁻⁵ of the true quantile for exp > 0 and exact
+    * below 64. Shape: everything downstream of the sketch is
+    * sketch-sized (≤ ~1.9k rows by construction — the one-partition
+    * running-sum window is bounded, stated); empty sketch → empty
+    * frame, never a division error. */
+  def hdrQuantiles(sketch: DataFrame,
+                   permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 0 && p <= 1000),
+      "permilles must be in [0,1000]")
+    val cum = sketch
+      .select(col("exp"), col("man"), col("cnt"),
+        expr("shiftleft(man, exp)").as("lo"),
+        (expr("shiftleft(man + CAST(1 AS BIGINT), exp)") - lit(1L)).as("hi"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("lo"))))
+    val withQ = cum
+      .crossJoin(broadcast(sketch.agg(sum(col("cnt")).as("n")))) // 1 row
+      .select(col("lo"), col("hi"), col("cum"), col("n"),
+        explode(array(permilles.map(lit): _*)).as("q_permille"))
+      .withColumn("rank",
+        greatest(lit(1L), expr("(q_permille * n + 999) div 1000")))
+    val pick = withQ.filter(col("cum") >= col("rank"))
+      .groupBy(col("q_permille"), col("n"), col("rank"))
+      .agg(min(col("lo")).as("lo"))
+    pick.join(cum.select(col("lo"), col("hi")), Seq("lo"))
+      .select(col("q_permille"), col("n"), col("rank"), col("lo"), col("hi"),
+        expr("lo + (hi - lo) div 2").as("est"))
+  }
+
+  /** Per-group quantiles from a [[hdrSketchBy]] frame: the same rank
+    * arithmetic and bucket pick per group (windows partitioned by
+    * group, totals joined per group — nothing crosses groups). */
+  def hdrQuantilesBy(sketch: DataFrame,
+                     permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 0 && p <= 1000),
+      "permilles must be in [0,1000]")
+    val cum = sketch
+      .select(col("group"), col("exp"), col("man"), col("cnt"),
+        expr("shiftleft(man, exp)").as("lo"),
+        (expr("shiftleft(man + CAST(1 AS BIGINT), exp)") - lit(1L)).as("hi"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("group")).orderBy(col("lo"))))
+    val totals = sketch.groupBy(col("group")).agg(sum(col("cnt")).as("n"))
+    val withQ = cum.join(totals, Seq("group"))
+      .select(col("group"), col("lo"), col("hi"), col("cum"), col("n"),
+        explode(array(permilles.map(lit): _*)).as("q_permille"))
+      .withColumn("rank",
+        greatest(lit(1L), expr("(q_permille * n + 999) div 1000")))
+    val pick = withQ.filter(col("cum") >= col("rank"))
+      .groupBy(col("group"), col("q_permille"), col("n"), col("rank"))
+      .agg(min(col("lo")).as("lo"))
+    pick.join(cum.select(col("group"), col("lo"), col("hi")),
+        Seq("group", "lo"))
+      .select(col("group"), col("q_permille"), col("n"), col("rank"),
+        col("lo"), col("hi"),
+        expr("lo + (hi - lo) div 2").as("est"))
+  }
 }

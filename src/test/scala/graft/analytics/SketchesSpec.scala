@@ -131,6 +131,100 @@ class SketchesSpec extends SparkSpec {
     est("b") shouldBe single
   }
 
+  test("hdrSketch buckets: hand formula, exact singletons below 64, merge of splits = global") {
+    val d = Seq(0L, 1L, 2L, 63L, 64L, 65L, 100L, 1000L, 1000000L).toDF("v")
+    val sk = Sketches.hdrSketch(d, "v").as[(Int, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // below 2^(subBits+1)=64: exp=0, man=v (exact singleton buckets)
+    sk((0, 0L)) shouldBe 1L
+    sk((0, 1L)) shouldBe 1L
+    sk((0, 63L)) shouldBe 1L
+    // 64: bitlen 7, exp=1, man=32 -> [64,65] — 64 and 65 SHARE it
+    sk((1, 32L)) shouldBe 2L
+    // 100: bitlen 7, exp=1, man=50 -> [100,101]
+    sk((1, 50L)) shouldBe 1L
+    // 1000: bitlen 10, exp=4, man=62 -> [992,1007]
+    sk((4, 62L)) shouldBe 1L
+    // 1000000: bitlen 20, exp=14, man=61 -> [999424, 1015807]
+    sk((14, 61L)) shouldBe 1L
+    // merge by SUM: split sketches add to the global (a histogram
+    // counts rows — duplicates COUNT, unlike HLL)
+    val big = (1 to 500).map(i => (i * i * 31 + 7).toLong)
+    val glob = Sketches.hdrSketch(big.toDF("v"), "v")
+    val a = Sketches.hdrSketch(big.take(200).toDF("v"), "v")
+    val b = Sketches.hdrSketch(big.drop(200).toDF("v"), "v")
+    assertSameRows(Sketches.hdrMerge(a, b), glob)
+    assertSameRows(Sketches.hdrSketch(
+      (big ++ big).toDF("v"), "v"),
+      glob.withColumn("cnt", col("cnt") * 2))
+  }
+
+  test("hdrQuantiles: containment identity, exact low range, q0=min, q1000=max, relative-error bound") {
+    // small values (< 64) are exact: lo = hi = the true order statistic
+    val small = (1 to 50).map(_.toLong)
+    val qsmall = Sketches.hdrQuantiles(
+      Sketches.hdrSketch(small.toDF("v"), "v"), Seq(0, 500, 1000))
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    qsmall(0) shouldBe ((0, 50L, 1L, 1L, 1L, 1L))     // min
+    qsmall(500) shouldBe ((500, 50L, 25L, 25L, 25L, 25L)) // median
+    qsmall(1000) shouldBe ((1000, 50L, 50L, 50L, 50L, 50L)) // max
+    // large deterministic values: the rank-r order statistic must lie
+    // in [lo, hi] (an identity), and the bucket width obeys the 2^-5
+    // relative bound
+    val big = (1 to 2000).map(i => (i.toLong * i * 997 + 13))
+    val sorted = big.sorted
+    val qs = Seq(0, 100, 250, 500, 750, 900, 990, 1000)
+    val out = Sketches.hdrQuantiles(
+      Sketches.hdrSketch(big.toDF("v"), "v"), qs)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    out.length shouldBe qs.length
+    out.foreach { case (q, n, rank, lo, hi, est) =>
+      n shouldBe 2000L
+      val expectRank = math.max(1L, (q * 2000L + 999) / 1000)
+      rank shouldBe expectRank
+      val exact = sorted(rank.toInt - 1)
+      withClue(s"q=$q exact=$exact: ") {
+        exact should (be >= lo and be <= hi)
+        est should (be >= lo and be <= hi)
+        (hi - lo) should be <= math.max(1L, lo >> Sketches.hdrSubBits)
+      }
+    }
+  }
+
+  test("hdrSketchBy/hdrQuantilesBy: per-group slices equal the single-group run; negatives raise") {
+    val d = ((1 to 300).map(i => ("a", (i * 7 + 1).toLong)) ++
+      (1 to 40).map(i => ("b", (i * 1000).toLong))).toDF("g", "v")
+    val grouped = Sketches.hdrSketchBy(d, "g", "v")
+    assertSameRows(
+      grouped.filter(col("group") === "a").drop("group"),
+      Sketches.hdrSketch(d.filter(col("g") === "a"), "v"))
+    val byG = Sketches.hdrQuantilesBy(grouped, Seq(500, 1000))
+    assertSameRows(
+      byG.filter(col("group") === "b").drop("group"),
+      Sketches.hdrQuantiles(
+        Sketches.hdrSketch(d.filter(col("g") === "b"), "v"), Seq(500, 1000)))
+    // grouped merge: hdrMerge keys on every non-cnt column
+    val ga = Sketches.hdrSketchBy(d.limit(100), "g", "v")
+    val gb = Sketches.hdrSketchBy(d.except(d.limit(100)), "g", "v")
+    Sketches.hdrMerge(ga, gb).columns.toSeq shouldBe
+      Seq("group", "exp", "man", "cnt")
+    // negative values refuse loudly, never a silent wrong bucket
+    val neg = Seq(5L, -3L).toDF("v")
+    val e = intercept[Exception] {
+      Sketches.hdrSketch(neg, "v").collect()
+    }
+    e.getMessage should include("negative value")
+    // empty sketch -> empty quantile frame, no division error
+    Sketches.hdrQuantiles(
+      Sketches.hdrSketch(Seq.empty[Long].toDF("v"), "v"), Seq(500))
+      .count() shouldBe 0L
+    // partition invariance
+    val big = (1 to 400).map(i => (i * 13 + 5).toLong).toDF("v")
+    assertSameRows(Sketches.hdrSketch(big, "v"),
+      Sketches.hdrSketch(big.repartition(7), "v"))
+  }
+
   test("sketches skip NULLs and are partition-invariant") {
     val d = (Seq[Option[String]](None, Some("a"), Some("b"), None) ++
       (1 to 100).map(i => Some(s"c$i"))).toDF("v")
