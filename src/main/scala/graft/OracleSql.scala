@@ -9016,6 +9016,40 @@ fr AS (
 SELECT doc_id, frame_index, frame_id, frame_size, text
 FROM fr ORDER BY doc_id, frame_index"""
 
+  /** q384 twin of [[graft.functions.Mp4SampleUtil.samples]]: every
+    * sample row derived from the fixture construction formulas — two
+    * stts runs per track give a two-branch dts cumsum, sizes follow
+    * the uniform/per-sample split, sync follows the stss-absent =
+    * all-sync protocol; the truncated, count-mismatched, and
+    * sample-bomb movies contribute no rows. No bytes in SQL. */
+  val q384_mp4_samples: String = """
+WITH p AS (
+  SELECT doc_id AS id FROM documents
+  WHERE doc_id < 120 AND doc_id % 17 <> 4 AND doc_id % 17 <> 11
+    AND doc_id % 19 <> 3),
+tr AS (SELECT id, t FROM p, LATERAL (SELECT unnest([1, 2]) AS t) u),
+par AS (
+  SELECT id, t,
+    CAST(1000 * t + id % 7 AS BIGINT) AS media_ts,
+    CAST(2 + (id + t) % 3 AS BIGINT) AS cnt1,
+    CAST(40 + id % 5 AS BIGINT) AS d1,
+    CAST(1 + (id * t) % 4 AS BIGINT) AS cnt2,
+    CAST(90 + id % 11 AS BIGINT) AS d2
+  FROM tr),
+smp AS (
+  SELECT id, t, media_ts, cnt1, d1, cnt2, d2, k
+  FROM (SELECT *, cnt1 + cnt2 AS total FROM par),
+    LATERAL (SELECT unnest(range(1, CAST(total + 1 AS BIGINT))) AS k) u)
+SELECT id AS doc_id, CAST(t AS BIGINT) AS track_id,
+  media_ts AS media_timescale, CAST(k AS BIGINT) AS sample_index,
+  CAST(CASE WHEN k <= cnt1 THEN (k - 1) * d1
+       ELSE cnt1 * d1 + (k - 1 - cnt1) * d2 END AS BIGINT) AS dts,
+  CAST(CASE WHEN k <= cnt1 THEN d1 ELSE d2 END AS BIGINT) AS delta,
+  CAST(CASE WHEN (id + t) % 3 = 0 THEN 500 + id % 100
+       ELSE 100 * t + 7 * k + id % 13 END AS BIGINT) AS size,
+  ((id + t) % 5 = 0 OR k % 3 = 1) AS is_sync
+FROM smp ORDER BY doc_id, track_id, sample_index"""
+
   /** q380 twin of [[graft.text.Sitemap.parseSitemap]]: every row
     * derived from the fixture construction formulas (no XML in SQL);
     * the loc-less malformed entry surfaces as a NULL-loc row, index
@@ -11000,6 +11034,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q379_warc_to_text" -> q379_warc_to_text,
     "q380_sitemap" -> q380_sitemap,
     "q381_id3_frames" -> q381_id3_frames,
+    "q384_mp4_samples" -> q384_mp4_samples,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -2067,6 +2067,60 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_index"))
     }),
 
+    // Per-sample MP4 inventory (stts/stss/stsz walk): synthesized
+    // movies with two full tracks each — formula-driven time-to-
+    // sample runs (two per track), uniform AND per-sample stsz
+    // forms, present AND absent stss (absent = all sync, per spec),
+    // both tkhd/mdhd version layouts — plus planted truncation,
+    // stsz-count mismatch, and a ~70-byte sample-count bomb, all
+    // yielding NULL (zero rows). The oracle derives every row from
+    // the construction formulas (dts = the run-delta cumsum), so
+    // hash equality pins the four-level box walk, the run expansion,
+    // and the sync-flag protocol end to end with no bytes in SQL.
+    "q384_mp4_samples" -> ((s, dir) => {
+      import s.implicits._
+      val movies = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 120)
+        .map { id =>
+          val v1 = id % 2 == 1
+          def trak(t: Long, mismatch: Boolean, bomb: Boolean) = {
+            val runs =
+              if (bomb) Seq((100000000L, 40L))
+              else Seq((2 + (id + t) % 3, 40 + id % 5),
+                (1 + (id * t) % 4, 90 + id % 11))
+            val total = runs.map(_._1).sum
+            val uniform = bomb || (id + t) % 3 == 0
+            graft.multimodal.Mp4.sampledTrak(
+              t, 90000 + id, 320 + 16 * t, 240 + 8 * t, v1 = v1,
+              mediaTimescale = 1000 * t + id % 7,
+              mediaDuration = 5000 + id, runs = runs,
+              // bomb movies carry no stss: the DECLARED count is the
+              // attack, the fixture itself must stay ~70 bytes
+              syncs = if (bomb || (id + t) % 5 == 0) None
+                      else Some((1L to total).filter(_ % 3 == 1)),
+              uniformSize = if (uniform) 500 + id % 100 else 0,
+              sizes = if (uniform) Nil
+                      else (1L to total).map(k => 100 * t + 7 * k + id % 13),
+              stszCountOverride = if (mismatch) Some(total + 1) else None)
+          }
+          val b0 = graft.multimodal.Mp4.encodeMovie("isom", 600,
+            90000 + id,
+            Seq(trak(1, mismatch = id % 17 == 11, bomb = id % 19 == 3),
+              trak(2, mismatch = false, bomb = false)), mvhdV1 = v1)
+          id -> (if (id % 17 == 4) b0.take(70) else b0)
+        }.toDF("doc_id", "media")
+      movies.select(col("doc_id"),
+          explode(graft.multimodal.Multimodal.mp4Samples(col("media")))
+            .as("sm"))
+        .select(col("doc_id"), col("sm.track_id").as("track_id"),
+          col("sm.media_timescale").as("media_timescale"),
+          col("sm.sample_index").as("sample_index"),
+          col("sm.dts").as("dts"), col("sm.delta").as("delta"),
+          col("sm.size").as("size"), col("sm.is_sync").as("is_sync"))
+        .orderBy(col("doc_id"), col("track_id"), col("sample_index"))
+    }),
+
     // Sitemap parse (sitemaps.org 0.9): the third leg of crawl
     // discovery after robots (q358) and the frontier (q360) — XML
     // synthesized DECLARATIVELY per doc (urlset with 1-3 entries,

@@ -64,6 +64,77 @@ object Mp4 {
       matrix ++ u32(widthPx << 16) ++ u32(heightPx << 16))
   }
 
+  /** mdhd payload (spec sizes: v0 = 24 bytes, v1 = 36): version +
+    * flags, creation/modification, media timescale, media duration,
+    * then language/pre_defined zeros. */
+  def mdhd(timescale: Long, duration: Long, v1: Boolean): Array[Byte] = {
+    val head =
+      if (v1) Array[Byte](1, 0, 0, 0) ++ u64(3600) ++ u64(3600) ++
+        u32(timescale) ++ u64(duration)
+      else Array[Byte](0, 0, 0, 0) ++ u32(3600) ++ u32(3600) ++
+        u32(timescale) ++ u32(duration)
+    box("mdhd", head ++ Array.fill[Byte](4)(0))
+  }
+
+  /** stts (decoding time-to-sample, §8.6.1.2): run-length encoded
+    * (sample_count, sample_delta) pairs. */
+  def stts(runs: Seq[(Long, Long)]): Array[Byte] =
+    box("stts", Array[Byte](0, 0, 0, 0) ++ u32(runs.length) ++
+      runs.flatMap { case (c, d) => u32(c) ++ u32(d) }.toArray)
+
+  /** stss (sync-sample table, §8.6.2): 1-based keyframe numbers.
+    * ABSENCE of the box means every sample is sync, per the spec. */
+  def stss(syncs: Seq[Long]): Array[Byte] =
+    box("stss", Array[Byte](0, 0, 0, 0) ++ u32(syncs.length) ++
+      syncs.flatMap(s => u32(s).toSeq).toArray)
+
+  /** stsz (sample sizes, §8.7.3.2): uniform `sample_size != 0` form
+    * (no table) or per-sample u32 table. The `sample_count` field is
+    * written in BOTH forms (the spec requires it to equal the stts
+    * total — fixtures override it to plant that mismatch). */
+  def stsz(sampleSize: Long, sampleCount: Long,
+           sizes: Seq[Long] = Nil): Array[Byte] =
+    box("stsz", Array[Byte](0, 0, 0, 0) ++ u32(sampleSize) ++
+      u32(sampleCount) ++ sizes.flatMap(s => u32(s).toSeq).toArray)
+
+  /** A full trak with its sample tables: tkhd + mdia(mdhd +
+    * minf(nmhd + stbl(stsd + stts [+ stss] + stsz))) — the nmhd and
+    * empty stsd are deliberate unknown-sibling boxes the walk must
+    * skip over. `uniformSize > 0` writes the no-table stsz form;
+    * `stszCountOverride` plants a count ≠ the stts total. */
+  def sampledTrak(trackId: Long, duration: Long, widthPx: Long,
+                  heightPx: Long, v1: Boolean, mediaTimescale: Long,
+                  mediaDuration: Long, runs: Seq[(Long, Long)],
+                  syncs: Option[Seq[Long]], uniformSize: Long,
+                  sizes: Seq[Long] = Nil,
+                  stszCountOverride: Option[Long] = None): Array[Byte] = {
+    val total = runs.map(_._1).sum
+    val count = stszCountOverride.getOrElse(total)
+    val stblKids =
+      box("stsd", Array[Byte](0, 0, 0, 0) ++ u32(0)) ++
+        stts(runs) ++
+        syncs.map(stss).getOrElse(Array.empty[Byte]) ++
+        (if (uniformSize > 0) stsz(uniformSize, count)
+         else stsz(0, count, sizes))
+    val minf = box("minf",
+      box("nmhd", Array[Byte](0, 0, 0, 0)) ++ box("stbl", stblKids))
+    val mdia = box("mdia",
+      mdhd(mediaTimescale, mediaDuration, v1) ++ minf)
+    box("trak", tkhd(trackId, duration, widthPx, heightPx, v1) ++ mdia)
+  }
+
+  /** ftyp + moov(mvhd + the given traks) + mdat — the movie wrapper
+    * for [[sampledTrak]] fixtures. */
+  def encodeMovie(majorBrand: String, timescale: Long, duration: Long,
+                  traks: Seq[Array[Byte]], mvhdV1: Boolean = false,
+                  mdatBytes: Int = 8): Array[Byte] = {
+    val ftyp = box("ftyp",
+      fourcc(majorBrand) ++ u32(0) ++ fourcc("isom") ++ fourcc("mp41"))
+    val moov = box("moov", mvhd(timescale, duration, mvhdV1) ++
+      traks.foldLeft(Array.empty[Byte])(_ ++ _))
+    ftyp ++ moov ++ box("mdat", Array.fill[Byte](mdatBytes)(0x55))
+  }
+
   /** A structurally-valid header: ftyp(major brand + minor + two
     * compatible brands), optional free box, moov(mvhd + nTracks
     * trak(tkhd with deterministic per-track fields: track_ID = i+1,

@@ -94,6 +94,21 @@ object Multimodal {
   def mp4Tracks(bin: Column): Column =
     graft.functions.Mp4Functions.mp4Tracks(bin)
 
+  /** Per-SAMPLE MP4 inventory (one struct per sample per track:
+    * track id, media timescale, 1-based index, decoding timestamp,
+    * stts delta, size, keyframe flag) via the native
+    * [[graft.functions.Mp4Samples]] sample-table walk (stts/stss/
+    * stsz) — the video FRAME-SAMPLE step: keyframe-only, every-Nth,
+    * or duration-bucketed sampling are plain filters on these rows,
+    * decided BEFORE any codec decode. Expansion is capped at
+    * [[graft.functions.Mp4SampleUtil.MaxSamples]] total samples per
+    * file, checked from the run totals before any allocation (a
+    * 60-byte header can DECLARE billions of samples); the cap, any
+    * malformation, or table disagreement yields NULL (whole array),
+    * never an error. Bytes never shuffle. */
+  def mp4Samples(bin: Column): Column =
+    graft.functions.Mp4Functions.mp4Samples(bin)
+
   /** REAL image resize: nearest-neighbor PNG thumbnail (decode →
     * integer-stride downsample → re-encode, all java.util.zip — see
     * [[graft.functions.PngThumbUtil]] for the stated kernel and
