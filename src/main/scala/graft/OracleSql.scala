@@ -9016,6 +9016,42 @@ fr AS (
 SELECT doc_id, frame_index, frame_id, frame_size, text
 FROM fr ORDER BY doc_id, frame_index"""
 
+  /** q385 twin of [[graft.functions.Mp3FrameUtil.frames]]: every
+    * frame row derived from the fixture construction formulas — the
+    * MPEG-1 Layer III bitrate/sample-rate tables as SQL lists, frame
+    * length = ⌊144·bitrate/samplerate⌋ + padding, byte offsets = the
+    * ID3v2 prefix length (the q381 tag-size arithmetic: 22 + digits
+    * + padding) plus a running sum of prior frame lengths; the
+    * truncated and lost-sync streams contribute no rows. */
+  val q385_mp3_frames: String = """
+WITH p AS (
+  SELECT doc_id AS id FROM documents
+  WHERE doc_id < 120 AND doc_id % 17 <> 4 AND doc_id % 13 <> 9),
+fr AS (
+  SELECT id, k,
+    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+      [CAST(1 + (id + 3 * k) % 14 AS INT)] AS kbps,
+    ([44100,48000,32000])[CAST((id + k) % 3 + 1 AS INT)] AS sr,
+    (id + k) % 2 = 0 AS padding,
+    (id + k) % 5 = 0 AS has_crc
+  FROM p, LATERAL (SELECT unnest(range(1, CAST(2 + id % 4 + 1 AS BIGINT)))
+                   AS k) u),
+fb AS (
+  SELECT *,
+    CAST((144000 * kbps) // sr
+      + CASE WHEN padding THEN 1 ELSE 0 END AS BIGINT) AS frame_bytes,
+    CAST(CASE WHEN id % 4 = 0
+         THEN 22 + length(CAST(id AS VARCHAR)) + id % 6
+         ELSE 0 END AS BIGINT) AS prefix
+  FROM fr)
+SELECT id AS doc_id, CAST(k - 1 AS BIGINT) AS frame_index,
+  CAST(prefix + coalesce(sum(frame_bytes) OVER (PARTITION BY id ORDER BY k
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS byte_offset,
+  CAST(kbps AS BIGINT) AS bitrate_kbps, CAST(sr AS BIGINT) AS sample_rate,
+  padding, has_crc, frame_bytes
+FROM fb ORDER BY doc_id, frame_index"""
+
   /** q384 twin of [[graft.functions.Mp4SampleUtil.samples]]: every
     * sample row derived from the fixture construction formulas — two
     * stts runs per track give a two-branch dts cumsum, sizes follow
@@ -11035,6 +11071,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q380_sitemap" -> q380_sitemap,
     "q381_id3_frames" -> q381_id3_frames,
     "q384_mp4_samples" -> q384_mp4_samples,
+    "q385_mp3_frames" -> q385_mp3_frames,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

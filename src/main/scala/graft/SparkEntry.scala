@@ -2067,6 +2067,49 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_index"))
     }),
 
+    // Per-frame MP3 inventory (MPEG-1 Layer III header walk):
+    // synthesized streams of 2-5 formula-driven frames (bitrate/
+    // sample-rate/padding/CRC varying per frame, so frame lengths
+    // and cumulative offsets all exercise the spec formula), an
+    // ID3v2 prefix skipped by its syncsafe size on every 4th doc
+    // (the prefix length rides the q381 tag construction formulas),
+    // an ID3v1 "TAG" trailer on every 6th, and planted truncation/
+    // lost-sync variants yielding NULL (zero rows). The oracle
+    // derives every row from the formulas — bitrate/rate tables as
+    // SQL lists, offsets as a running sum — no bytes in SQL.
+    "q385_mp3_frames" -> ((s, dir) => {
+      import s.implicits._
+      val streams = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 120)
+        .map { id =>
+          val frames = (1L to (2 + id % 4)).map(k =>
+            ((1 + (id + 3 * k) % 14).toInt, ((id + k) % 3).toInt,
+              (id + k) % 2 == 0, (id + k) % 5 == 0))
+          val b0 = graft.multimodal.Mp3.encodeStream(frames,
+            id3v2 = if (id % 4 == 0)
+              Some(graft.multimodal.Id3.tag(3,
+                Seq(graft.multimodal.Id3.textFrame("TIT2", s"T$id", 3,
+                  utf8 = false)), padding = (id % 6).toInt))
+            else None,
+            id3v1Trailer = id % 6 == 1)
+          val bytes =
+            if (id % 17 == 4) b0.take(b0.length - 2) // truncated
+            else if (id % 13 == 9) { val c = b0.clone(); c(0) = 0x12; c }
+            else b0
+          id -> bytes
+        }.toDF("doc_id", "mp3")
+      streams.select(col("doc_id"),
+          explode(graft.multimodal.Mp3.mp3Frames(col("mp3"))).as("f"))
+        .select(col("doc_id"), col("f.frame_index").as("frame_index"),
+          col("f.byte_offset").as("byte_offset"),
+          col("f.bitrate_kbps").as("bitrate_kbps"),
+          col("f.sample_rate").as("sample_rate"),
+          col("f.padding").as("padding"), col("f.has_crc").as("has_crc"),
+          col("f.frame_bytes").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_index"))
+    }),
+
     // Per-sample MP4 inventory (stts/stss/stsz walk): synthesized
     // movies with two full tracks each — formula-driven time-to-
     // sample runs (two per track), uniform AND per-sample stsz
