@@ -176,6 +176,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HDR bucket frame matches the batch sketch across micro-batches") {
+    // the quantile histogram IS a streaming aggregation:
+    // groupBy(exp, man).count in complete mode, state bounded by the
+    // ~1.9k-bucket int64 ceiling however many values stream past —
+    // p50/p99 over an unbounded stream at fixed memory, equal to the
+    // batch sketch (the hllSketch pin's quantile sibling)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val b1 = (1 to 150).map(i =>
+      ev(i, (i % 60).toLong, "view", value = (i.toLong * i * 997 % 100000).toDouble))
+    val b2 = (151 to 300).map(i =>
+      ev(i, (i % 60).toLong, "view", value = (i.toLong * 31 % 5000).toDouble))
+    val q = graft.analytics.Sketches.hdrSketch(ms.toDF(), "value")
+      .writeStream.format("memory").queryName("hdr_out")
+      .option("checkpointLocation", tmp("hdr-ckpt")).outputMode("complete")
+      .start()
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hdr_out")
+      streamed.count() should be <= 2048L // the bucket-ceiling state bound
+      val batch = graft.analytics.Sketches.hdrSketch((b1 ++ b2).toDF(), "value")
+      assertSameRows(streamed, batch)
+      // the quantile read off the streamed frame equals the batch read
+      assertSameRows(
+        graft.analytics.Sketches.hdrQuantiles(streamed, Seq(500, 990)),
+        graft.analytics.Sketches.hdrQuantiles(batch, Seq(500, 990)))
+    } finally q.stop()
+  }
+
   test("file-source stream: parquet drops process via AvailableNow and match batch") {
     import org.apache.spark.sql.streaming.Trigger
     val landing = tmp("landing")
