@@ -9016,6 +9016,33 @@ fr AS (
 SELECT doc_id, frame_index, frame_id, frame_size, text
 FROM fr ORDER BY doc_id, frame_index"""
 
+  /** q386 twin of [[graft.text.Feed.parseFeed]]: every entry row
+    * derived from the fixture construction formulas (no XML in SQL)
+    * — the RSS/Atom split decides the format label and the published
+    * string shape, the planted missing-field conditions surface as
+    * NULLs, and the non-feed documents contribute no rows. */
+  val q386_feed_parse: String = """
+WITH p AS (
+  SELECT doc_id AS id FROM documents
+  WHERE doc_id < 120 AND doc_id % 10 <> 8),
+e AS (
+  SELECT id, k
+  FROM p, LATERAL (SELECT unnest(range(1, CAST(1 + id % 3 + 1 AS BIGINT)))
+                   AS k) u)
+SELECT id AS doc_id, CAST(k - 1 AS BIGINT) AS entry_index,
+  CASE WHEN id % 2 = 0 THEN 'rss' ELSE 'atom' END AS format,
+  CASE WHEN (id + k) % 7 = 0 THEN NULL
+       ELSE 'Post ' || id || '-' || k END AS title,
+  CASE WHEN (id + k) % 9 = 4 THEN NULL
+       ELSE 'http://host' || (id % 20) || '.example/p' || k END AS link,
+  'urn:f' || id || '-' || k AS entry_id,
+  CASE WHEN (id + k) % 5 = 0 THEN NULL
+       WHEN id % 2 = 0
+       THEN 'Mon, 0' || ((id + k) % 9 + 1) || ' Jan 2024 00:00:00 GMT'
+       ELSE '2024-01-0' || ((id + k) % 9 + 1) || 'T00:00:00Z'
+  END AS published
+FROM e ORDER BY doc_id, entry_index"""
+
   /** q385 twin of [[graft.functions.Mp3FrameUtil.frames]]: every
     * frame row derived from the fixture construction formulas — the
     * MPEG-1 Layer III bitrate/sample-rate tables as SQL lists, frame
@@ -11072,6 +11099,7 @@ FROM range(1, 21) t(i) ORDER BY id"""
     "q381_id3_frames" -> q381_id3_frames,
     "q384_mp4_samples" -> q384_mp4_samples,
     "q385_mp3_frames" -> q385_mp3_frames,
+    "q386_feed_parse" -> q386_feed_parse,
     "q255_er_pipeline" -> q255_er_pipeline,
     "q256_paired_signflip" -> q256_paired_signflip,
     "q257_roc_auc" -> q257_roc_auc,

@@ -2067,6 +2067,51 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_index"))
     }),
 
+    // RSS/Atom feed parse: the fourth leg of crawl discovery
+    // (robots -> sitemap -> FEEDS -> frontier). Formula-synthesized
+    // feeds, half RSS 2.0 (guid/pubDate, text links) and half Atom
+    // (id/updated, href-attribute links), with planted missing
+    // titles/links/dates surfacing as NULL and non-feed documents
+    // yielding zero rows; the channel/feed-level <title> must not
+    // leak into entries. The oracle regenerates every VALUE from the
+    // formulas — no XML in SQL.
+    "q386_feed_parse" -> ((s, dir) => {
+      import s.implicits._
+      val feeds = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 120)
+        .map { id =>
+          val rss = id % 2 == 0
+          val nE = 1 + id % 3
+          val entries = (1L to nE).map { k =>
+            val title =
+              if ((id + k) % 7 == 0) ""
+              else s"<title>Post $id-$k</title>"
+            val pub =
+              if ((id + k) % 5 == 0) ""
+              else if (rss)
+                s"<pubDate>Mon, 0${(id + k) % 9 + 1} Jan 2024 00:00:00 GMT</pubDate>"
+              else s"<updated>2024-01-0${(id + k) % 9 + 1}T00:00:00Z</updated>"
+            val link =
+              if ((id + k) % 9 == 4) ""
+              else if (rss) s"<link>http://host${id % 20}.example/p$k</link>"
+              else
+                s"""<link rel="alternate" href="http://host${id % 20}.example/p$k"/>"""
+            if (rss) s"<item>$title$link<guid>urn:f$id-$k</guid>$pub</item>"
+            else s"<entry>$title$link<id>urn:f$id-$k</id>$pub</entry>"
+          }.mkString
+          val xml =
+            if (id % 10 == 8) s"<html><body>plain $id</body></html>"
+            else if (rss)
+              s"""<?xml version="1.0"?><rss version="2.0"><channel><title>Feed $id</title>$entries</channel></rss>"""
+            else
+              s"""<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed $id</title>$entries</feed>"""
+          id -> xml
+        }.toDF("doc_id", "xml")
+      graft.text.Feed.parseFeed(feeds)
+        .orderBy(col("doc_id"), col("entry_index"))
+    }),
+
     // Per-frame MP3 inventory (MPEG-1 Layer III header walk):
     // synthesized streams of 2-5 formula-driven frames (bitrate/
     // sample-rate/padding/CRC varying per frame, so frame lengths
