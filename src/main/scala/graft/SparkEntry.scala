@@ -1417,12 +1417,22 @@ object SparkEntry {
     // Exact integer hits, one e6 floor division per stage.
     "q332_descent_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // r19 optimization (guide §2.4, duplicated subtrees): the exact
+      // brute-force ground truth feeds BOTH stage evals and the seed
+      // graph is stage 1 AND the input of stage 2 — materialize each
+      // once (localCheckpoint, inside the timed region) instead of
+      // re-running the n² scan and the LSH band self-join per stage.
+      // Before: 12 embedding scans / 2 BroadcastNestedLoopJoin in one
+      // plan (plans/r19/q332_descent_recall_before.txt). Output
+      // unchanged (oracle-verified).
       val exact = graft.similarity.Similarity.knnBruteForce(emb, emb, k = 10)
-      def stage(name: String, rounds: Int) =
+        .localCheckpoint()
+      val seed = graft.similarity.Similarity.knnGraphDescent(emb, k = 10,
+          revCap = 10, rounds = 0)
+        .localCheckpoint()
+      def stage(name: String, approx: org.apache.spark.sql.DataFrame) =
         graft.similarity.Similarity.recallAtK(
-            graft.similarity.Similarity.knnGraphDescent(emb, k = 10,
-                revCap = 10, rounds = rounds)
-              .select(col("vec_id").as("query_id"), col("neighbor_id")),
+            approx.select(col("vec_id").as("query_id"), col("neighbor_id")),
             exact, k = 10)
           .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("total_hits"))
           .select(lit(name).as("stage"),
@@ -1430,7 +1440,9 @@ object SparkEntry {
             col("total_hits").cast("long").as("total_hits"),
             expr("(total_hits * 1000000) div (n_queries * 10)")
               .as("mean_recall_e6"))
-      stage("seed", 0).unionByName(stage("refined", 1))
+      stage("seed", seed).unionByName(stage("refined",
+          graft.similarity.Similarity.knnGraphDescentFrom(emb, seed, k = 10,
+            revCap = 10, rounds = 1)))
         .orderBy(col("stage"))
     }),
 

@@ -641,8 +641,11 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     val labelType = labels.schema("label").dataType
+    // no checkpoint on the empty seed notices: materializing a frame
+    // that is empty BY CONSTRUCTION cost one job per call (r19 opt);
+    // round 1's barrier evaluates the filter(false) at filter cost
     var notices = labels.filter(lit(false))
-      .select(col("node"), col("label")).localCheckpoint()
+      .select(col("node"), col("label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -1282,12 +1285,28 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
-    val pa = posting.select(col("doc_id").as("doc_a"), col("shingle"))
-    val pb = posting.select(col("doc_id").as("doc_b"), col("shingle"))
-    cand.join(pa, "doc_a")
-      .join(pb, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("common"))
+    // r19 optimization (guide §2.3, shuffle fewer bytes): verification
+    // used to join candidates against the FULL postings twice — the
+    // doc_a join exploded every candidate into n_a rows, shuffled them
+    // on (doc_b, shingle), and hash-aggregated the matches back down
+    // (|cand|·n̄ intermediate rows through two exchanges). Instead,
+    // collapse each doc's shingle set to ONE array row (a per-doc
+    // aggregate over the already-distinct postings — bounded by doc
+    // length, never by corpus size) and verify each candidate with a
+    // codegen'd size(array_intersect(...)): two id-keyed joins carrying
+    // |cand| rows, zero exploded intermediates. Order inside the arrays
+    // is irrelevant — the intersection CARDINALITY is order-invariant,
+    // so no sort is paid. Exact same `common`, same filter, same
+    // output (oracle-verified; DedupSpec pins join-verify equivalence).
+    val docSets = posting.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("__set"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("__set").as("__sa")),
+        "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("__set").as("__sb")),
+        "doc_b")
+      .withColumn("common",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .filter(col("common") * 1000 >=
         lit(tauPermille) * (col("n_a") + col("n_b") - col("common")))
       .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"),

@@ -1288,10 +1288,10 @@ object LinkGraph {
     val e0 = edges.select(col(src).as("src"), col(dst).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-    var nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
     var e = e0.localCheckpoint()
+    var nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct() // materialized (with its count) by the first barrier below
     val labelType = nodes.schema("node").dataType
 
     /** Min-label fixpoint with pointer doubling: label(v) starts at v
@@ -1300,7 +1300,12 @@ object LinkGraph {
       * = min id over `rel`-ancestors ∪ {v}. Throws past the cap. */
     def minLabelFixpoint(universe: DataFrame, rel: DataFrame,
                          what: String): DataFrame = {
-      var labels = universe.withColumn("label", col("node")).localCheckpoint()
+      // no checkpoint on the seed labels: `universe` is already a
+      // materialized barrier frame and this is a pure projection of it
+      // — checkpointing it again cost one extra job per fixpoint call
+      // (2 per peel round), measured as pure overhead (r19 opt; the
+      // round-1 plan re-derives the projection at projection cost)
+      var labels = universe.withColumn("label", col("node"))
       var converged = false
       var i = 0
       while (!converged && i < maxPropIters) {
@@ -1336,11 +1341,21 @@ object LinkGraph {
 
     var assigned: DataFrame = null
     var round = 0
-    while (!nodes.isEmpty && round < maxRounds) {
+    // r19 opt: the remaining-node count rides each peel's own barrier
+    // as an observe metric (the barrierCounted device) instead of a
+    // separate isEmpty job per round; the final round skips rebuilding
+    // `e` entirely once the count hits zero. Same labels, fewer jobs.
+    val (nodes0, count0) = graft.core.Iterate.barrierCounted(nodes, lit(true))
+    nodes = nodes0
+    var nRemaining = count0
+    while (nRemaining > 0L && round < maxRounds) {
       // -- 1. forward coloring: color = min ancestor-or-self --------
-      val colors = graft.core.Iterate.barrier(minLabelFixpoint(nodes,
+      // no extra barrier: the fixpoint's result IS a materialized
+      // barrier frame; the rename is a projection replayed at
+      // projection cost by its three consumers (r19 opt)
+      val colors = minLabelFixpoint(nodes,
         e.select(col("src").as("s"), col("dst").as("d")), "coloring")
-        .withColumnRenamed("label", "color"))
+        .withColumnRenamed("label", "color")
       // -- 2. capture: within-class descendant-min == color ---------
       // only same-color edges can sit on a capture path (scaladoc
       // proof), so restrict once; descendant-min propagates BACKWARD
@@ -1356,14 +1371,17 @@ object LinkGraph {
         .select(col("node"), col("color").as("scc")))
       // -- 3. peel ---------------------------------------------------
       assigned = if (assigned == null) captured else assigned.union(captured)
-      nodes = graft.core.Iterate.barrier(
-        nodes.join(captured.select("node"), Seq("node"), "left_anti"))
-      e = graft.core.Iterate.barrier(
-        e.join(captured.select(col("node").as("src")), Seq("src"), "left_anti")
-          .join(captured.select(col("node").as("dst")), Seq("dst"), "left_anti"))
+      val (nNext, cNext) = graft.core.Iterate.barrierCounted(
+        nodes.join(captured.select("node"), Seq("node"), "left_anti"),
+        lit(true))
+      nodes = nNext; nRemaining = cNext
+      if (nRemaining > 0L)
+        e = graft.core.Iterate.barrier(
+          e.join(captured.select(col("node").as("src")), Seq("src"), "left_anti")
+            .join(captured.select(col("node").as("dst")), Seq("dst"), "left_anti"))
       round += 1
     }
-    if (!nodes.isEmpty) throw new IllegalStateException(
+    if (nRemaining > 0L) throw new IllegalStateException(
       s"stronglyConnected did not assign every node in $maxRounds rounds " +
         "(SCC-condensation chain exceeds the cap); raise maxRounds")
     val sizes = assigned.groupBy(col("scc")).agg(count(lit(1)).as("scc_size"))

@@ -288,12 +288,6 @@ object Similarity {
     require(rounds >= 0, "rounds must be >= 0")
     val base = vectors.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
       vecNorm(col(vecCol)).as("__norm"))
-    def topKPerSrc(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cosine").desc, col("dst"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    }
     val keyed = base.withColumn("__keys",
       bandKeys(col("__vec"), bands, bits, dim))
     val left = keyed.select(col("__id").as("src"), col("__vec").as("__sv"),
@@ -309,7 +303,45 @@ object Similarity {
       .withColumn("cosine",
         vecDot(col("__sv"), col("__dv")) / (col("__snorm") * col("__dnorm")))
       .select(col("src"), col("dst"), col("cosine"))
-    var g = topKPerSrc(seedPairs)
+    descentRounds(base, topKPerSrc(seedPairs, k), k, revCap, rounds, idCol)
+  }
+
+  /** Resume NN-Descent from an already-built graph in [[knnGraphDescent]]
+    * OUTPUT shape (idCol, neighbor_id, rank, cosine): runs `rounds`
+    * refinement rounds over it. `knnGraphDescentFrom(v, knnGraphDescent(
+    * v, rounds = 0), rounds = r)` ≡ `knnGraphDescent(v, rounds = r)`
+    * (the loop is a pure function of (vectors, graph); suite-pinned).
+    * Exists so an eval that measures SEVERAL stages of the same
+    * construction (q332's seed-vs-refined recall) can materialize the
+    * seed once instead of re-paying the LSH band self-join per stage —
+    * guide §2.4, remove duplicated subtrees. */
+  def knnGraphDescentFrom(vectors: DataFrame, graph: DataFrame,
+                          k: Int = 10, revCap: Int = 10, rounds: Int = 1,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(revCap >= 0, "revCap must be >= 0")
+    require(rounds >= 0, "rounds must be >= 0")
+    val base = vectors.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      vecNorm(col(vecCol)).as("__norm"))
+    val g0 = graph.select(col(idCol).as("src"), col("neighbor_id").as("dst"),
+      col("rank"), col("cosine"))
+    descentRounds(base, g0, k, revCap, rounds, idCol)
+  }
+
+  /** Per-src top-k of a (src, dst, cosine, …) scored frame. */
+  private def topKPerSrc(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The shared NN-Descent refinement loop ([[knnGraphDescent]] body). */
+  private def descentRounds(base: DataFrame, g0: DataFrame, k: Int,
+                            revCap: Int, rounds: Int,
+                            idCol: String): DataFrame = {
+    var g = g0
     for (_ <- 0 until rounds) {
       val fwd = g.select(col("src"), col("dst"))
       val rev = g.withColumn("__r", row_number().over(
@@ -328,7 +360,7 @@ object Similarity {
         .withColumn("cosine",
           vecDot(col("__sv"), col("__dv")) / (col("__snorm") * col("__dnorm")))
         .select(col("src"), col("dst"), col("cosine"))
-      g = graft.core.Iterate.barrier(topKPerSrc(scored))
+      g = graft.core.Iterate.barrier(topKPerSrc(scored, k))
     }
     g.select(col("src").as(idCol), col("dst").as("neighbor_id"),
       col("rank"), col("cosine"))

@@ -757,6 +757,21 @@ class SimilaritySpec extends SparkSpec {
     h1.values.sum should be > h0.values.sum
   }
 
+  test("knnGraphDescentFrom(seed) replays knnGraphDescent exactly (the q332 stage-reuse contract)") {
+    // the refinement loop is a pure function of (vectors, graph): resuming
+    // from the materialized rounds=0 output must equal the one-shot run —
+    // this is what lets q332 checkpoint the seed once for both stages
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seed = Similarity.knnGraphDescent(emb, k = 5, rounds = 0)
+      .localCheckpoint()
+    assertSameRows(
+      Similarity.knnGraphDescentFrom(emb, seed, k = 5, rounds = 1),
+      Similarity.knnGraphDescent(emb, k = 5, rounds = 1))
+    assertSameRows(
+      Similarity.knnGraphDescentFrom(emb, seed, k = 5, rounds = 0), seed)
+  }
+
   test("knnGraphDescent output is a well-formed ranked graph; partitioning-invariant") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
