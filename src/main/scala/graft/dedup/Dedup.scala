@@ -96,8 +96,12 @@ object Dedup {
     // lambdas re-evaluate child subtrees per access — inlined, every
     // shingle re-runs the whole regexp tokenization (measured 7×
     // slower at sf0.1).
-    docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // scaleOut BEFORE the tokenize/shingle/md5 cascade: a one-row-group
+    // corpus file otherwise evaluates the whole cascade in a single
+    // scan task (graft.core.Par scaladoc; r19 opt, guide §2.5)
+    graft.core.Par.scaleOut(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__txt")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("__txt")).as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col("doc_id"), explode(shingles(col("__toks"), n)).as("__sh"))
       .select(col("doc_id"), (if (modP) h56 % P else h56).as("shingle"))
@@ -137,9 +141,10 @@ object Dedup {
     require(w >= 1, "w must be >= 1")
     val h56 = conv(substring(md5(col("__sh").cast("binary")), 1, 14), 16, 10)
       .cast("long")
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        graft.text.TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val grams = graft.core.Par.scaleOut( // r19 opt: see explodedShingleHashes
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt")))
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("__txt")).as("__toks"))
       .filter(size(col("__toks")) >= k + w - 1)
       .select(col("doc_id"), (size(col("__toks")) - (k - 1)).as("__ng"),
         posexplode(shingles(col("__toks"), k)).as(Seq("__pos", "__sh")))
@@ -653,10 +658,23 @@ object Dedup {
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .select(col("dst").as("node"), col("label"),
           lit(null).cast(labelType).as("__old"))
-      val viaJump = labels.select(col("node"), col("label").as("__ptr"))
+      val jump1 = labels.select(col("node"), col("label").as("__ptr"))
         .join(labels.select(col("node").as("__ptr"),
           col("label").as("__jl")), "__ptr")
+        .select(col("node"), col("__jl"))
+      val viaJump = jump1
         .select(col("node"), col("__jl").as("label"),
+          lit(null).cast(labelType).as("__old"))
+      // r19 opt: a SECOND jump per round — label(label(label(v))) —
+      // contracts pointer chains ×4 per round instead of ×2 (one more
+      // node-keyed join per round bought the q255 match graph's
+      // fixpoint down from 13 rounds; each round saved is a whole
+      // driver job + its shuffles). Same fixpoint, same labels: every
+      // relaxation source is still a component member's label.
+      val viaJump2 = jump1.select(col("node"), col("__jl").as("__ptr2"))
+        .join(labels.select(col("node").as("__ptr2"),
+          col("label").as("__jl2")), "__ptr2")
+        .select(col("node"), col("__jl2").as("label"),
           lit(null).cast(labelType).as("__old"))
       // The node's previous label rides through the aggregation (each
       // node contributes exactly one non-null __old), so the next
@@ -668,6 +686,7 @@ object Dedup {
         .select(col("node"), col("label"), col("label").as("__old"))
         .union(neighbourLabels)
         .union(viaJump)
+        .union(viaJump2)
         .union(notices.select(col("node"), col("label"),
           lit(null).cast(labelType).as("__old")))
         .groupBy("node").agg(min("label").as("label"), max("__old").as("__old")),

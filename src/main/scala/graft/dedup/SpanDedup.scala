@@ -42,8 +42,9 @@ object SpanDedup {
   /** Tokenized docs: (doc_id, toks) for docs with at least k tokens. */
   private def tokenized(df: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        split(col(textCol), "\\s+").as("toks"))
+    graft.core.Par.scaleOut( // r19 opt: spread the gram-md5 cascade
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__txt")))
+      .select(col("doc_id"), split(col("__txt"), "\\s+").as("toks"))
       .where(size(col("toks")) >= k)
 
   /** Shared core: diagonal runs per ordered doc pair —
@@ -51,13 +52,17 @@ object SpanDedup {
     * gram position `start_a` of doc_a (and `start_a - diag` of doc_b)
     * match consecutively. */
   private def diagonalRuns(toks: DataFrame, k: Int, maxDf: Int): DataFrame = {
-    // posting per k-token window; slice is 1-based
+    // posting per k-token window; slice is 1-based. The lambda builds
+    // only the gram STRING; md5 runs as a codegen'd scalar over the
+    // exploded rows (r19 opt — HOF lambdas are interpreted, so hashing
+    // inside the transform paid an interpreted md5 per window;
+    // measured alongside the dedup operators' exploded-path rule)
     val postings = toks.select(col("doc_id"),
-        explode(expr(
+        posexplode(expr(
           s"transform(sequence(0, size(toks) - $k), " +
-            s"i -> struct(i AS pos, md5(array_join(slice(toks, i + 1, $k), ' ')) AS g))"))
-          .as("p"))
-      .select(col("doc_id"), col("p.pos").as("pos"), col("p.g").as("g"))
+            s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
+          .as(Seq("pos", "__gs")))
+      .select(col("doc_id"), col("pos"), md5(col("__gs")).as("g"))
     val kept = postings.join(
       postings.groupBy("g").agg(countDistinct(col("doc_id")).as("__df"))
         .where(col("__df") <= maxDf)
@@ -123,8 +128,9 @@ object SpanDedup {
       .select(col("doc_b").as("doc_id"),
         (col("start_a") - col("diag")).as("start"),
         (col("start_a") - col("diag") + col("run") + lit(k - 2)).as("end"))
-    val base = df.select(col(idCol).as("doc_id"),
-      split(col(textCol), "\\s+").as("toks"))
+    val base = graft.core.Par.scaleOut( // r19 opt: spread the reassembly
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__txt")))
+      .select(col("doc_id"), split(col("__txt"), "\\s+").as("toks"))
     val positioned = base
       .select(col("doc_id"),
         explode(expr("transform(toks, (t, i) -> struct(i AS pos, t AS tok))"))

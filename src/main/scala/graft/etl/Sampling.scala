@@ -517,7 +517,12 @@ object Sampling {
   def bootstrapStats(df: DataFrame, keyCol: String, valueCol: String,
                      replicates: Int = 20, sumScale: Int = 4): DataFrame = {
     require(replicates >= 1, "need at least one replicate")
-    val rep = df.select(col(keyCol).cast("string").as("__k"), col(valueCol))
+    // scaleOut BEFORE the rows×R explode: the md5 per (row, replicate)
+    // is the documented dominant cost, and a one-row-group input file
+    // otherwise computes all of it in a single scan task (r19 opt,
+    // guide §2.5; measured 1-task at local[4] on the sf0.1 bench)
+    val rep = graft.core.Par.scaleOut(
+        df.select(col(keyCol).cast("string").as("__k"), col(valueCol)))
       .select(col("__k"), col(valueCol),
         explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
     val u = keyHash(concat_ws("|", col("__k"), col("replicate").cast("string"))) %

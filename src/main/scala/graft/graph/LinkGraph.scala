@@ -1313,6 +1313,11 @@ object LinkGraph {
           .join(labels.select(col("node").as("s"), col("label")), "s")
           .select(col("d").as("node"), col("label"),
             lit(null).cast(labelType).as("__old"))
+        // (r19 note: a second jump per round — label³, the device that
+        // paid off in componentLabels — was MEASURED SLOWER here:
+        // q199 9.24→9.35 s, q201 6.16→6.90 s. The peel fixtures'
+        // chains are short, so the extra node-keyed join per round
+        // costs more than the rounds it saves. Kept single-jump.)
         val viaJump = labels.select(col("node"), col("label").as("__ptr"))
           .join(labels.select(col("node").as("__ptr"),
             col("label").as("__jl")), "__ptr")

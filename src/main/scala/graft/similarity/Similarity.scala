@@ -56,7 +56,11 @@ object Similarity {
                           idCol: String, vecCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), vecNorm(col(vecCol)).as("__qnorm")))
-    corpus.select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__cnorm"))
+    // scaleOut: the |corpus|×|queries| dot products evaluate in the
+    // corpus SCAN stage (broadcast join side) — a one-row-group corpus
+    // file would score every pair in a single task (r19 opt, §2.5)
+    graft.core.Par.scaleOut(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol), vecNorm(col(vecCol)).as("__cnorm"))
       .crossJoin(q)
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine",
@@ -172,7 +176,9 @@ object Similarity {
              bits: Int = signatureBits, bands: Int = signatureBands,
              dim: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol), col(vecCol),
+    val c = graft.core.Par.scaleOut( // r19 opt: see bruteScored
+        corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
         bandKeys(col(vecCol), bands, bits, dim).as("__keys"),
         vecNorm(col(vecCol)).as("__cnorm"))
       .select(col(idCol), col(vecCol), col("__keys"), col("__cnorm"),
@@ -217,7 +223,9 @@ object Similarity {
                        dim: Int = 64, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val c = corpus.select(col(idCol),
+    val c = graft.core.Par.scaleOut( // r19 opt: see bruteScored
+        corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol),
         bandKeys(col(vecCol), bands, bits, dim).as("__keys"))
       .select(col(idCol), posexplode(col("__keys")).as(Seq("__band", "__key")))
     val probes = (0 until bits).map(j =>
@@ -286,8 +294,11 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     require(revCap >= 0, "revCap must be >= 0")
     require(rounds >= 0, "rounds must be >= 0")
-    val base = vectors.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-      vecNorm(col(vecCol)).as("__norm"))
+    // scaleOut: norms + LSH band keys evaluate in the vectors' scan
+    // stage — spread it before the per-vector hyperplane dots (r19 opt)
+    val base = graft.core.Par.scaleOut(
+        vectors.select(col(idCol).as("__id"), col(vecCol).as("__vec")))
+      .withColumn("__norm", vecNorm(col("__vec")))
     val keyed = base.withColumn("__keys",
       bandKeys(col("__vec"), bands, bits, dim))
     val left = keyed.select(col("__id").as("src"), col("__vec").as("__sv"),
