@@ -937,7 +937,11 @@ object SparkEntry {
     "q114_png_decode_stats" -> ((s, dir) => {
       import s.implicits._
       val pngs = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+        .select(col("doc_id").cast("long"))
+        // r19: PNG encode+decode of every doc off the 1-task scan
+        // (measured 0.36->0.26 s; the cheap header-synth queries keep
+        // the plain scan — the exchange cost exceeded their map work)
+        .transform(graft.core.Par.scaleOut).as[Long]
         .map { id =>
           val w = (3 + id % 6).toInt
           val h = (2 + id % 5).toInt
@@ -1655,7 +1659,10 @@ object SparkEntry {
     "q340_png_thumbnail" -> ((s, dir) => {
       import s.implicits._
       val pngs = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+        .select(col("doc_id").cast("long"))
+        // r19: full-image PNG encode per doc off the 1-task scan
+        // (measured 0.91->0.49 s at sf0.1/4cpu)
+        .transform(graft.core.Par.scaleOut).as[Long]
         .map { id =>
           val w = (12 + id % 9).toInt
           val h = (10 + id % 7).toInt
