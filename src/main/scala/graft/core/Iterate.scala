@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{sum, when}
 
 /** Round barrier for iterative dataframe algorithms (label
@@ -45,34 +45,65 @@ object Iterate {
     * checkpoint's own materialization action — the fixpoint loops'
     * convergence check for free. Plain `barrier` + a separate
     * `filter(changed).isEmpty` costs a second job per round (cheap —
-    * it scans the materialized RDD — but a full driver↔cluster round
-    * trip each iteration). Here the count rides the eager
-    * localCheckpoint as an `observe` metric (`CollectMetrics` — Spark's
-    * exactly-once accumulator path, immune to the task-retry
-    * double-count a raw LongAccumulator risks), so one action yields
-    * both the materialized round and its convergence signal.
+    * it scans the materialized RDD — but a full plan-compile +
+    * driver↔cluster round trip each iteration). Here the count rides
+    * the eager localCheckpoint as an `observe` metric
+    * (`CollectMetrics` — Spark's exactly-once accumulator path,
+    * immune to the task-retry double-count a raw LongAccumulator
+    * risks), so one action yields both the materialized round and its
+    * convergence signal.
     *
-    * Metric delivery is asynchronous (QueryExecutionListener), so the
-    * read polls briefly; if the listener has not fired within the
-    * bound (never observed — a defensive branch only), the count
-    * falls back to one extra job over the already-checkpointed RDD,
-    * which is exactly the old two-action behavior: correctness never
-    * depends on the fast path. */
+    * The metric is read SYNCHRONOUSLY from the observed frame's own
+    * `queryExecution.observedMetrics` — accumulator updates are
+    * applied before the materializing action returns, so the value is
+    * ready the moment localCheckpoint comes back. (The previous
+    * listener-based read — `Observation.future` + Await — waited on
+    * the async QueryExecutionListener bus and measured +25 ms/round
+    * of pure delivery latency across this repo's ~50-round fixpoint
+    * queries, r19.) If the metric is ever absent (defensive branch
+    * only — never observed), the count falls back to one extra job
+    * over the already-checkpointed RDD, the old two-action behavior:
+    * correctness never depends on the fast path. */
   def barrierCounted(df: DataFrame, changed: Column): (DataFrame, Long) = {
-    val obs = Observation()
-    val cp = df.observe(obs,
-      sum(when(changed, 1L).otherwise(0L)).as("n_changed")).localCheckpoint()
+    val name = "__n_changed_" + java.util.UUID.randomUUID().toString
+    val obsDf = df.observe(name,
+      sum(when(changed, 1L).otherwise(0L)).as("n_changed"))
+    val cp = obsDf.localCheckpoint()
     val out = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    val row =
-      try Some(scala.concurrent.Await.result(
-        obs.future, scala.concurrent.duration.Duration(10, "s")))
-      catch { case _: java.util.concurrent.TimeoutException => None }
-    val n = row match {
+    val n = obsDf.queryExecution.observedMetrics.get(name) match {
       case Some(r) if !r.isNullAt(r.fieldIndex("n_changed")) =>
         r.getAs[Number]("n_changed").longValue()
       case Some(_) => 0L // empty input: sum over zero rows is null
       case None => out.filter(changed).count() // defensive fallback
     }
     (out, n)
+  }
+
+  /** Scale-adaptive AQE gate for fixpoint loops (guide §2: derive
+    * settings from input size, never from the cluster shape). AQE
+    * re-plans every exchange as its own query-stage job; on a BIG
+    * round that buys skew splitting and partition coalescing, but a
+    * fixpoint round whose state is TINY (a few thousand labels —
+    * either a small fixture or the geometrically shrinking tail of a
+    * big run's peel/convergence phase) gets nothing back: the stages
+    * it would adapt are already single-partition-sized, while the
+    * per-stage submission overhead was measured at ~120 ms/round
+    * (local[4], 3-exchange round, r19). `body` runs with AQE off iff
+    * the measured row count of the loop state is below the floor —
+    * a DATA property, so the same code keeps AQE on for the big
+    * early rounds at warehouse scale and sheds it exactly when the
+    * loop outlives its data. The floor (rows whose shuffle bytes sit
+    * well under one advisory AQE partition) can be overridden via
+    * `spark.graft.iterate.aqeRowFloor`. The previous setting is restored
+    * on every exit path; loops run the gate per call, so a loop that
+    * GROWS past the floor re-enables AQE on its next call. */
+  def withAqeGate[T](spark: SparkSession, stateRows: Long)(body: => T): T = {
+    val floor = spark.conf.getOption("spark.graft.iterate.aqeRowFloor")
+      .map(_.toLong).getOrElse(1000000L)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    if (stateRows >= floor || prev == "false") body
+    else try { spark.conf.set(key, "false"); body }
+    finally spark.conf.set(key, prev)
   }
 }

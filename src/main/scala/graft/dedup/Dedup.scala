@@ -643,8 +643,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // seed via barrierCounted: the node count rides the seed's own
+    // materialization for free and drives the loop's AQE gate (r19)
+    val (labels0, nNodes) = graft.core.Iterate.barrierCounted(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")), lit(true))
+    var labels = labels0
     val labelType = labels.schema("label").dataType
     // no checkpoint on the empty seed notices: materializing a frame
     // that is empty BY CONSTRUCTION cost one job per call (r19 opt);
@@ -653,49 +657,56 @@ object Dedup {
       .select(col("node"), col("label"))
     var converged = false
     var i = 0
+    // r19: AQE gated on the measured node count — a tiny match graph
+    // pays AQE's per-stage job overhead every round for stages it
+    // cannot improve; big graphs keep AQE (see Iterate.withAqeGate)
+    graft.core.Iterate.withAqeGate(edges.sparkSession, nNodes) {
     while (!converged && i < maxIterations) {
-      val neighbourLabels = edges
-        .join(labels.select(col("node").as("src"), col("label")), "src")
-        .select(col("dst").as("node"), col("label"),
-          lit(null).cast(labelType).as("__old"))
-      val jump1 = labels.select(col("node"), col("label").as("__ptr"))
-        .join(labels.select(col("node").as("__ptr"),
-          col("label").as("__jl")), "__ptr")
-        .select(col("node"), col("__jl"))
-      val viaJump = jump1
-        .select(col("node"), col("__jl").as("label"),
-          lit(null).cast(labelType).as("__old"))
-      // r19 opt: a SECOND jump per round — label(label(label(v))) —
-      // contracts pointer chains ×4 per round instead of ×2 (one more
-      // node-keyed join per round bought the q255 match graph's
-      // fixpoint down from 13 rounds; each round saved is a whole
-      // driver job + its shuffles). Same fixpoint, same labels: every
-      // relaxation source is still a component member's label.
-      val viaJump2 = jump1.select(col("node"), col("__jl").as("__ptr2"))
-        .join(labels.select(col("node").as("__ptr2"),
-          col("label").as("__jl2")), "__ptr2")
-        .select(col("node"), col("__jl2").as("label"),
-          lit(null).cast(labelType).as("__old"))
-      // The node's previous label rides through the aggregation (each
-      // node contributes exactly one non-null __old), so the next
-      // round's parent notices are a filter over the materialized
-      // result — no second join re-running the round's plan — and the
-      // convergence count rides the SAME barrier action as an observe
-      // metric (barrierCounted): one job per round, not two.
-      val (next, nChanged) = graft.core.Iterate.barrierCounted(labels
-        .select(col("node"), col("label"), col("label").as("__old"))
-        .union(neighbourLabels)
-        .union(viaJump)
-        .union(viaJump2)
-        .union(notices.select(col("node"), col("label"),
-          lit(null).cast(labelType).as("__old")))
-        .groupBy("node").agg(min("label").as("label"), max("__old").as("__old")),
+      // r19 opt (guide §2.1, remove shuffles): every relaxation of a
+      // round — neighbor labels across edges, pointer jump to
+      // label(label(v)), parent notify, keep-own-label — is the same
+      // shape "node d receives label(s)". Earlier rounds ran them as
+      // THREE separate hash joins feeding a 5-branch union (≈7
+      // exchanges per round; with AQE each exchange is its own
+      // stage-job). Building ONE relation R and doing ONE join + one
+      // aggregate per round cuts that to 3 exchanges:
+      //   edges      (src, dst)       -> neighbor labels
+      //   pointer    (label(v), v)    -> label(label(v))
+      //   self       (v, v) [tagged]  -> own label + __old carrier
+      //   notify     (changed v, its former label)
+      //              -> the former parent hears the new min in one
+      //                 round (Rastogi et al. ICDE 2013; the changed
+      //                 node's CURRENT label is exactly the value the
+      //                 old notice rows carried)
+      // The second pointer jump (label³) that round-18 measured as a
+      // win against the 3-join shape was re-measured against THIS
+      // shape and lost: it needs its own extra join stage per round,
+      // and the fused round is cheap enough that extra rounds cost
+      // less than extra per-round joins. Each node contributes
+      // exactly one __self row, so max(when(__self, label)) is the
+      // node's previous label and the convergence count rides the
+      // same barrier action (barrierCounted), one job per round.
+      val relation = edges.select(col("src").as("s"), col("dst").as("d"),
+          lit(false).as("__self"))
+        .union(labels.select(col("label").as("s"), col("node").as("d"),
+          lit(false).as("__self")))
+        .union(labels.select(col("node").as("s"), col("node").as("d"),
+          lit(true).as("__self")))
+        .union(notices.select(col("node").as("s"), col("label").as("d"),
+          lit(false).as("__self")))
+      val (next, nChanged) = graft.core.Iterate.barrierCounted(relation
+        .join(labels.select(col("node").as("s"), col("label")), "s")
+        .groupBy(col("d").as("node"))
+        .agg(min("label").as("label"),
+          max(when(col("__self"), col("label"))
+            .otherwise(lit(null).cast(labelType))).as("__old")),
         col("label") =!= col("__old"))
       notices = next.filter(col("label") =!= col("__old"))
-        .select(col("__old").as("node"), col("label"))
+        .select(col("node"), col("__old").as("label"))
       converged = nChanged == 0L
       labels = next.select("node", "label")
       i += 1
+    }
     }
     if (!converged) throw new IllegalStateException(
       s"componentLabels did not converge in $maxIterations rounds " +

@@ -316,21 +316,33 @@ object LinkGraph {
       (if (sources == null) nodes.select(col("node").as("s"))
        else sources.select(col(sources.columns.head).as("s")).distinct())
         .localCheckpoint()
-    val (visited, d) = stressForward(e, srcSet, maxDepth)
+    val (visited, d, nVisited) = stressForward(e, srcSet, maxDepth)
 
     // ---- backward: p(s,v) = Σ_{w ∈ succ} (p(s,w) + 1) --------------
     // DAG successor = edge v→w with dist(s,w) = dist(s,v) + 1.
     // Deepest level has no successors: p = 0. One join per level.
-    var p = graft.core.Iterate.barrier(
+    // r19 opt, two structural cuts (guide §2.1/§2.2):
+    //  - a DAG successor of a level-L node sits at EXACTLY level L+1,
+    //    so the per-level join needs only the PREVIOUS level's p rows,
+    //    not the whole accumulated table (the old shape joined every
+    //    deeper level and filtered them out by key miss);
+    //  - p is accumulated as a lazy union of the per-level
+    //    checkpointed frames instead of re-checkpointing the whole
+    //    accumulation every level (the stressForward device).
+    var prevLevel = graft.core.Iterate.barrier(
       visited.filter(col("dist") === lit(d))
         .select(col("s"), col("node"), lit(0L).as("p")))
+    val pLevels = scala.collection.mutable.ArrayBuffer(prevLevel)
     var level = d - 1
+    // r19: AQE gated on the measured (s, node) pair count — free from
+    // the forward pass (see Iterate.withAqeGate)
+    graft.core.Iterate.withAqeGate(e.sparkSession, nVisited) {
     while (level >= 0) {
       val contrib = visited.filter(col("dist") === lit(level))
         .select(col("s"), col("node"))
         .join(e.withColumnRenamed("src", "node"), Seq("node"))
         .select(col("s"), col("node"), col("dst"))
-        .join(p.select(col("s"), col("node").as("dst"), col("p")),
+        .join(prevLevel.select(col("s"), col("node").as("dst"), col("p")),
           Seq("s", "dst"))
         .groupBy(col("s"), col("node"))
         .agg(sum(col("p") + 1L).as("p"))
@@ -338,9 +350,12 @@ object LinkGraph {
         .select(col("s"), col("node"))
         .join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"), coalesce(col("p"), lit(0L)).as("p"))
-      p = graft.core.Iterate.barrier(p.unionByName(thisLevel))
+      prevLevel = graft.core.Iterate.barrier(thisLevel)
+      pLevels += prevLevel
       level -= 1
     }
+    }
+    val p = pLevels.reduce(_ unionByName _)
 
     // stress(v) = Σ_s σ(s,v)·p(s,v), v ≠ s
     nodes.join(
@@ -357,14 +372,24 @@ object LinkGraph {
     * frame holds exactly one (s, node, dist, sigma) row per source ×
     * reachable-node pair (self included) — |sources|·|reachable|, not
     * |V|² — which is the whole point of the sampled-pivot path at
-    * 100 TB. Returns (visited, exit round counter d; the deepest
-    * materialized dist is the last round that found pairs). */
+    * 100 TB. Returns (visited, exit round counter d, total visited
+    * row count; the deepest materialized dist is the last round that
+    * found pairs). */
   private[graph] def stressForward(e: DataFrame, srcSet: DataFrame,
-                                   maxDepth: Int): (DataFrame, Long) = {
-    var visited = graft.core.Iterate.barrier(srcSet
+                                   maxDepth: Int): (DataFrame, Long, Long) = {
+    var (frontier, nSeed) = graft.core.Iterate.barrierCounted(srcSet
       .select(col("s"), col("s").as("node"), lit(0L).as("dist"),
-        lit(1L).as("sigma")))
-    var frontier = visited
+        lit(1L).as("sigma")), lit(true))
+    // r19 opt: `visited` is kept as a LAZY union of the per-level
+    // checkpointed frontiers instead of re-checkpointing the whole
+    // accumulated frame every round — the old shape re-materialized
+    // O(total·depth) rows across a BFS (every round rewrote all prior
+    // levels); each leaf is already materialized, so the union costs
+    // plan nodes only, and the anti-join scans the same row volume
+    // either way.
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    def visitedUnion: DataFrame = levels.reduce(_ unionByName _)
+    var visited = visitedUnion
     var d = 0L
     var growing = true
     // Loop bound is maxDepth + 1: the round at d == maxDepth + 1 is an
@@ -373,8 +398,13 @@ object LinkGraph {
     // and the throw fires only when pairs exist BEYOND the cap. Without
     // the probe, diameter == maxDepth was spuriously refused. The probe
     // costs one round only when the frontier is still live at maxDepth.
+    var total = nSeed
     while (growing && d <= maxDepth) {
       d += 1
+      // r19: AQE gated per round on the measured visited total so far
+      // (monotone — a run that grows past the floor re-enables AQE on
+      // its next round; see Iterate.withAqeGate)
+      graft.core.Iterate.withAqeGate(e.sparkSession, total) {
       val (next, nNew) = graft.core.Iterate.barrierCounted(
         frontier.join(e.withColumnRenamed("src", "node"), "node")
           .select(col("s"), col("dst").as("node"), col("sigma"))
@@ -385,15 +415,18 @@ object LinkGraph {
           .withColumn("dist", lit(d)), lit(true))
       if (nNew == 0L) growing = false
       else {
+        total += nNew
         frontier = next.select("s", "node", "dist", "sigma")
-        visited = graft.core.Iterate.barrier(visited.unionByName(frontier))
+        levels += frontier
+        visited = visitedUnion
+      }
       }
     }
     if (growing) throw new IllegalStateException(
       s"stressCentrality: pairs exist past depth $maxDepth — graph " +
         "diameter exceeds the cap; raise maxDepth (a silent cap would " +
         "undercount brokerage)")
-    (visited, d)
+    (visited, d, total)
   }
 
   /** Truncated Katz centrality (Katz, Psychometrika 1953) — the
@@ -564,12 +597,20 @@ object LinkGraph {
            iterations: Int = 2, unit: Long = 1000000L,
            materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // r19 opt: checkpoint the deduplicated edge list and the node
+    // universe ONCE — every half-iteration references both (matvec
+    // joins e and lands on nodes; rescale references its input twice
+    // for the exact-total broadcast), so the lazy subtrees compound
+    // ~4^iterations deep and q155's 2-iteration plan compiled to
+    // 15k formatted lines with the driver spending 3.5 of its 4.4 s
+    // in Catalyst, not in jobs (guide §1.3/§5: plan growth is driver
+    // memory/time). Two tiny eager jobs bound the whole tree.
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct()
+      .distinct().localCheckpoint()
 
     // L1 renormalization to total mass n·unit, exact: one 1-row
     // aggregate broadcast back to every row. Σv > 0 whenever the
@@ -1309,29 +1350,37 @@ object LinkGraph {
       var converged = false
       var i = 0
       while (!converged && i < maxPropIters) {
-        val viaEdges = rel
-          .join(labels.select(col("node").as("s"), col("label")), "s")
-          .select(col("d").as("node"), col("label"),
-            lit(null).cast(labelType).as("__old"))
-        // (r19 note: a second jump per round — label³, the device that
-        // paid off in componentLabels — was MEASURED SLOWER here:
-        // q199 9.24→9.35 s, q201 6.16→6.90 s. The peel fixtures'
-        // chains are short, so the extra node-keyed join per round
-        // costs more than the rounds it saves. Kept single-jump.)
-        val viaJump = labels.select(col("node"), col("label").as("__ptr"))
-          .join(labels.select(col("node").as("__ptr"),
-            col("label").as("__jl")), "__ptr")
-          .select(col("node"), col("__jl").as("label"),
-            lit(null).cast(labelType).as("__old"))
+        // r19 opt (guide §2.1, remove shuffles): the three relaxations
+        // of a round — keep own label, pull labels across `rel`
+        // edges, pointer-jump to label(label(v)) — used to run as two
+        // separate hash joins plus a 3-branch union (≈5 exchanges per
+        // round; with AQE each exchange is its own stage-job, and the
+        // fixture's ~50 total rounds made q199 a 445-job query). All
+        // three are the SAME shape: "node d receives label(s)". So
+        // build ONE relation R = rel ∪ pointer-edges ∪ self-loops and
+        // do ONE join + one aggregate per round (3 exchanges). The
+        // self-loop branch doubles as the previous-label carrier for
+        // the convergence count (it is the only branch tagged
+        // __self, and each node has exactly one such row).
+        // (A second jump per round — label³ — was MEASURED SLOWER
+        // here: q199 9.24→9.35 s; the peel fixtures' chains are
+        // short. Kept single-jump.)
+        val relation = rel.select(col("s"), col("d"),
+            lit(false).as("__self"))
+          .union(labels.select(col("label").as("s"), col("node").as("d"),
+            lit(false).as("__self")))
+          .union(labels.select(col("node").as("s"), col("node").as("d"),
+            lit(true).as("__self")))
         // barrier, not plain localCheckpoint: the stats-feedback
         // reset (see graft.core.Iterate) — this union would triple
         // estimate digits per round; the convergence count rides the
         // same action as an observe metric (barrierCounted)
-        val (next, nChanged) = graft.core.Iterate.barrierCounted(labels
-          .select(col("node"), col("label"), col("label").as("__old"))
-          .union(viaEdges).union(viaJump)
-          .groupBy("node")
-          .agg(min("label").as("label"), max("__old").as("__old")),
+        val (next, nChanged) = graft.core.Iterate.barrierCounted(relation
+          .join(labels.select(col("node").as("s"), col("label")), "s")
+          .groupBy(col("d").as("node"))
+          .agg(min("label").as("label"),
+            max(when(col("__self"), col("label"))
+              .otherwise(lit(null).cast(labelType))).as("__old")),
           col("label") =!= col("__old"))
         converged = nChanged == 0L
         labels = next.select("node", "label")
@@ -1354,6 +1403,12 @@ object LinkGraph {
     nodes = nodes0
     var nRemaining = count0
     while (nRemaining > 0L && round < maxRounds) {
+      // r19: AQE gated per peel on the MEASURED remaining-node count
+      // (free — it rides the peel barrier): tiny peels — a small
+      // input, or the shrinking tail of a big run — pay AQE's
+      // per-stage job overhead on every fixpoint round and can get
+      // nothing back; big early peels keep AQE (skew, coalescing).
+      graft.core.Iterate.withAqeGate(nodes.sparkSession, nRemaining) {
       // -- 1. forward coloring: color = min ancestor-or-self --------
       // no extra barrier: the fixpoint's result IS a materialized
       // barrier frame; the rename is a projection replayed at
@@ -1384,6 +1439,7 @@ object LinkGraph {
         e = graft.core.Iterate.barrier(
           e.join(captured.select(col("node").as("src")), Seq("src"), "left_anti")
             .join(captured.select(col("node").as("dst")), Seq("dst"), "left_anti"))
+      }
       round += 1
     }
     if (nRemaining > 0L) throw new IllegalStateException(
